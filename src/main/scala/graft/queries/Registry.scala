@@ -1,0 +1,9 @@
+package graft.queries
+
+import graft.QueryDef
+
+/** Assembly point for the per-family query registries. */
+object Registry {
+  def all: Seq[QueryDef] =
+    Relational.defs
+}
