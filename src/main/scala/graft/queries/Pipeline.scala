@@ -1,0 +1,408 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline operators (north star in BASELINE.json):
+  * deduplication (exact, MinHash+LSH banding, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup), similarity search (brute-force top-k baseline +
+  * cluster-pruned IVF-style variant), and text analysis (language-ID, quality
+  * scoring, token stats, fingerprinting), plus event-time windowing /
+  * sessionization over the events table.
+  *
+  * All hashes are md5-based so the DuckDB oracle computes bit-identical
+  * values; every per-row float derivation is rounded before output.
+  *
+  * Scale notes (100 TB): the MinHash/LSH path is the scalable near-dup join —
+  * signatures are computed per-row (map-only), candidate pairs come from an
+  * equi-join on (band_index, band_hash) which Spark shuffles by band key
+  * (no O(n^2) comparison); the oracle uses the equivalent OR-of-bands theta
+  * join on a bounded id range only because DuckDB has no explode-join idiom.
+  * Brute-force cosine pair generation is intentionally bounded to a fixed id
+  * range (oracle-checkable); the unbounded path is the banded/clustered one.
+  */
+object Pipeline {
+
+  // ---- shared builders (Spark side) ----
+
+  /** whitespace tokens of the text column */
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** distinct 3-char shingle set (requires length >= 3) */
+  private def shingles(c: Column): Column =
+    array_distinct(transform(sequence(lit(1), length(c) - 2), i => c.substr(i, lit(3))))
+
+  /** MinHash j: min over shingles of md5(j ∥ '_' ∥ shingle), 12-hex prefix. */
+  private def minhash(sh: Column, j: Int): Column =
+    substring(array_min(transform(sh, s => md5(concat(lit(s"${j}_"), s)))), 1, 12)
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  // ---- shared constants (must match the generated oracle SQL) ----
+
+  /** fixed 64-dim query vector; every value is exactly representable in
+    * binary so the SQL literal parses to the identical double.
+    */
+  private val queryVec: Seq[Double] = (0 until 64).map(i => ((i % 7) - 3) * 0.125)
+
+  private def queryVecSql: String =
+    queryVec.mkString("[", ", ", "]::DOUBLE[]")
+
+  private def queryVecCol: Column = array(queryVec.map(lit): _*)
+
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "y", "las", "un"),
+  )
+
+  /** DuckDB list-comprehension for the distinct 3-gram shingle set. */
+  private val shinglesSql =
+    "list_distinct([substr(text, i, 3) for i in generate_series(1, length(text) - 2)])"
+
+  private def minhashSql(j: Int): String =
+    s"substr(list_min([md5('${j}_' || s) for s in sh]), 1, 12)"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q28_dedup_exact",
+      (s, dir) => {
+        // exact dedup: hash-groupBy on content digest; keeper = min id.
+        T(s, dir, "documents")
+          .groupBy(md5(col("text")).as("text_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy(col("text_hash"))
+      },
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+             |count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin),
+    ),
+    QueryDef(
+      "q29_ann_topk",
+      (s, dir) => {
+        // brute-force cosine top-k: Catalyst plans orderBy+limit as
+        // TakeOrderedAndProject — per-partition heap, no global sort.
+        val e = col("embedding").cast("array<double>")
+        T(s, dir, "embeddings")
+          .select(col("vec_id"), round(cosine(e, queryVecCol), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""SELECT vec_id, round(
+              |  list_dot_product(embedding::DOUBLE[], $queryVecSql) /
+              |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              |   sqrt(list_dot_product($queryVecSql, $queryVecSql))), 6) AS cos_sim
+              |FROM embeddings
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    ),
+    QueryDef(
+      "q30_ann_ivf",
+      (s, dir) => {
+        // IVF-style pruned search: the label column partitions the vectors
+        // into clusters; probe only the query's cluster (here cluster 1).
+        // At scale this is a partition-pruned parquet scan instead of a
+        // full-table pass.
+        val e = col("embedding").cast("array<double>")
+        T(s, dir, "embeddings")
+          .filter(col("label") === 1)
+          .select(col("vec_id"), round(cosine(e, queryVecCol), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""SELECT vec_id, round(
+              |  list_dot_product(embedding::DOUBLE[], $queryVecSql) /
+              |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              |   sqrt(list_dot_product($queryVecSql, $queryVecSql))), 6) AS cos_sim
+              |FROM embeddings WHERE label = 1
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    ),
+    QueryDef(
+      "q31_neardup_cosine",
+      (s, dir) => {
+        // embedding-cosine near-dup pairs on a bounded id range (the
+        // unbounded scale path is q33's banded LSH join).
+        val emb = T(s, dir, "embeddings")
+          .filter(col("vec_id") < 1000)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+        val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+        a.join(b, col("vec_a") < col("vec_b"))
+          .select(col("vec_a"), col("vec_b"),
+            round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4)
+          .orderBy(col("vec_a"), col("vec_b"))
+      },
+      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(
+             |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+             |FROM embeddings a JOIN embeddings b
+             |ON a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
+             |WHERE round(
+             |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
+             |ORDER BY vec_a, vec_b""".stripMargin),
+    ),
+    QueryDef(
+      "q32_minhash_sig",
+      (s, dir) => {
+        val sh = shingles(col("text"))
+        val sig = (0 until 8).map(j => minhash(col("sh"), j).as(s"h$j"))
+        T(s, dir, "documents")
+          .filter(col("n_chars") >= 3)
+          .withColumn("sh", sh)
+          .select((col("doc_id") +: sig): _*)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val hs = (0 until 8).map(j => s"${minhashSql(j)} AS h$j").mkString(",\n")
+        s"""SELECT doc_id,
+           |$hs
+           |FROM (SELECT doc_id, $shinglesSql AS sh FROM documents WHERE n_chars >= 3)
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
+    QueryDef(
+      "q33_lsh_pairs",
+      (s, dir) => {
+        // MinHash-LSH banding: 8 hashes → 4 bands of 2; candidate pairs via
+        // an equi-join on (band_index, band_hash). This is the 100 TB shape:
+        // map-side signatures, shuffle by band key, no quadratic compare.
+        // Bounded to doc_id < 1000 only so the DuckDB oracle's theta-join
+        // formulation stays cheap.
+        val sh = shingles(col("text"))
+        val sig = T(s, dir, "documents")
+          .filter(col("n_chars") >= 3 && col("doc_id") < 1000)
+          .withColumn("sh", sh)
+          .select(col("doc_id") +: (0 until 8).map(j => minhash(col("sh"), j).as(s"h$j")): _*)
+        // 2 bands × 4 rows: this corpus's docs share most shingles, so wider
+        // bands keep the candidate set selective.
+        val bandCols = (0 until 2).map(b =>
+          md5(concat((0 until 4).map(r => col(s"h${4 * b + r}")): _*)))
+        val bands = sig.select(col("doc_id"),
+          posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+        val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+        val b = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
+        a.join(b, Seq("band_idx", "band_hash"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"))
+          .distinct()
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val hs = (0 until 8).map(j => s"${minhashSql(j)} AS h$j").mkString(", ")
+        val bs = (0 until 2).map(b =>
+          s"md5(${(0 until 4).map(r => s"h${4 * b + r}").mkString(" || ")}) AS b$b").mkString(", ")
+        val ors = (0 until 2).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+        s"""SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM
+           |(SELECT doc_id, $bs FROM (SELECT doc_id, $hs FROM
+           |  (SELECT doc_id, $shinglesSql AS sh FROM documents
+           |   WHERE n_chars >= 3 AND doc_id < 1000))) a
+           |JOIN
+           |(SELECT doc_id, $bs FROM (SELECT doc_id, $hs FROM
+           |  (SELECT doc_id, $shinglesSql AS sh FROM documents
+           |   WHERE n_chars >= 3 AND doc_id < 1000))) b
+           |ON a.doc_id < b.doc_id AND ($ors)
+           |ORDER BY doc_a, doc_b""".stripMargin
+      },
+    ),
+    QueryDef(
+      "q34_ngram_jaccard",
+      (s, dir) => {
+        // exact n-gram Jaccard near-dup on a bounded id range (the candidate
+        // generation at scale is q33; this is the verification kernel).
+        val docs = T(s, dir, "documents")
+          .filter(col("n_chars") >= 3 && col("doc_id") < 200)
+          .select(col("doc_id"), shingles(col("text")).as("sh"))
+        val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+        val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            round(size(array_intersect(col("sha"), col("shb")))
+              .cast("double") / size(array_union(col("sha"), col("shb"))), 6).as("jaccard"))
+          .filter(col("jaccard") >= 0.6)
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""SELECT doc_a, doc_b, jaccard FROM (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              |    round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              |          len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+              |  FROM (SELECT doc_id, $shinglesSql AS sh FROM documents
+              |        WHERE n_chars >= 3 AND doc_id < 200) a
+              |  JOIN (SELECT doc_id, $shinglesSql AS sh FROM documents
+              |        WHERE n_chars >= 3 AND doc_id < 200) b
+              |  ON a.doc_id < b.doc_id)
+              |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin),
+    ),
+    QueryDef(
+      "q35_simhash",
+      (s, dir) => {
+        // 16-bit SimHash: bit i = sign of sum over tokens of ±1 by the top
+        // bit of md5(token)'s i-th nibble (md5-based so the oracle matches).
+        val toks = tokens(col("text"))
+        val bits = (0 until 16).map { i =>
+          val contrib = transform(col("toks"),
+            t => when(substring(md5(t), i + 1, 1) >= "8", 1).otherwise(-1))
+          when(aggregate(contrib, lit(0), (a, x) => a + x) > 0, "1").otherwise("0")
+        }
+        T(s, dir, "documents")
+          .withColumn("toks", toks)
+          .select(col("doc_id"), concat(bits: _*).as("simhash"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val bits = (0 until 16).map { i =>
+          s"CASE WHEN list_sum([CASE WHEN substr(md5(t), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END for t in toks]) > 0 THEN '1' ELSE '0' END"
+        }.mkString(" || ")
+        s"""SELECT doc_id, $bits AS simhash
+           |FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
+    QueryDef(
+      "q36_lang_id",
+      (s, dir) => {
+        // stopword-vote language ID (n-gram heuristic class; reference has
+        // no lang-id — this is a north-star training-pipeline op).
+        val toks = tokens(col("text"))
+        val scored = T(s, dir, "documents").withColumn("toks", toks)
+        val scoreCols = stopwords.map { case (l, ws) =>
+          size(filter(col("toks"), t => ws.map(w => t === w).reduce(_ || _)))
+            .cast("long").as(s"s_$l")
+        }
+        val langs = stopwords.map(_._1)
+        // argmax with first-wins tie-break in declaration order
+        val pred = langs.zipWithIndex.foldRight(lit(langs.last): Column) {
+          case ((l, _), acc) =>
+            val ge = langs.filter(_ != l).map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+            when(ge, l).otherwise(acc)
+        }
+        scored
+          .select((col("doc_id") +: col("lang") +: scoreCols): _*)
+          .withColumn("pred", pred)
+          .withColumn("correct", col("pred") === col("lang"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val scores = stopwords.map { case (l, ws) =>
+          val set = ws.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(toks, t -> t IN ($set))) AS s_$l"
+        }.mkString(",\n")
+        val langs = stopwords.map(_._1)
+        val pred = langs.init.foldRight(s"'${langs.last}'") { (l, acc) =>
+          val ge = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"CASE WHEN $ge THEN '$l' ELSE $acc END"
+        }
+        s"""SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+           |$pred AS pred, ($pred) = lang AS correct
+           |FROM (SELECT doc_id, lang,
+           |$scores
+           |FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents))
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
+    QueryDef(
+      "q37_quality_score",
+      (s, dir) => {
+        val toks = tokens(col("text"))
+        val enStop = stopwords.head._2
+        T(s, dir, "documents")
+          .withColumn("toks", toks)
+          .withColumn("n_tok", size(col("toks")).cast("long"))
+          .select(
+            col("doc_id"),
+            length(col("text")).cast("long").as("len_c"),
+            col("n_tok"),
+            round(length(regexp_replace(col("text"), "\\s", "")).cast("double") / col("n_tok"), 6)
+              .as("avg_tok_len"),
+            round(size(filter(col("toks"), t => enStop.map(w => t === w).reduce(_ || _)))
+              .cast("double") / col("n_tok"), 6).as("stop_ratio"),
+            round(size(array_distinct(col("toks"))).cast("double") / col("n_tok"), 6)
+              .as("ttr"),
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val set = stopwords.head._2.map(w => s"'$w'").mkString(", ")
+        s"""SELECT doc_id, length(text) AS len_c, len(toks) AS n_tok,
+           |round(length(regexp_replace(text, '\\s', '', 'g'))::DOUBLE / len(toks), 6) AS avg_tok_len,
+           |round(len(list_filter(toks, t -> t IN ($set)))::DOUBLE / len(toks), 6) AS stop_ratio,
+           |round(len(list_distinct(toks))::DOUBLE / len(toks), 6) AS ttr
+           |FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
+    QueryDef(
+      "q38_fingerprint",
+      (s, dir) => {
+        // whitespace-normalized content fingerprint (rolling-hash class);
+        // grouped to expose duplicate fingerprints.
+        val fp = substring(md5(lower(regexp_replace(col("text"), "\\s+", " "))), 1, 16)
+        T(s, dir, "documents")
+          .select(col("doc_id"), fp.as("fp"))
+          .groupBy(col("fp"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+          .orderBy(col("fp"))
+      },
+      Some("""SELECT fp, count(*) AS n, min(doc_id) AS first_doc
+             |FROM (SELECT doc_id,
+             |  substr(md5(lower(regexp_replace(text, '\s+', ' ', 'g'))), 1, 16) AS fp
+             |  FROM documents)
+             |GROUP BY fp ORDER BY fp""".stripMargin),
+    ),
+    QueryDef(
+      "q39_events_hourly",
+      (s, dir) => {
+        // event-time tumbling window aggregation (batch form; the streaming
+        // form is Structured Streaming withWatermark + window — see
+        // graft.streaming).
+        T(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+            round(avg(col("value")), 4).as("avg_v"))
+          .orderBy(col("hr"), col("event_type"))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hr, event_type,
+             |count(*) AS n, round(sum(value), 2) AS total,
+             |round(avg(value), 4) AS avg_v
+             |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin),
+    ),
+    QueryDef(
+      "q40_sessionize",
+      (s, dir) => {
+        // gap-based sessionization: 30-min inactivity starts a new session.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_ts").isNull ||
+              col("ts") - col("prev_ts") > expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_s")).over(wRun))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+          .orderBy(col("user_id"), col("session_id"))
+      },
+      Some("""SELECT user_id, session_id, count(*) AS n_events,
+             |min(ts) AS session_start, max(ts) AS session_end
+             |FROM (SELECT user_id, ts, event_id,
+             |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+             |  FROM (SELECT user_id, ts, event_id,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
+             |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
+    ),
+  )
+}
