@@ -1,0 +1,127 @@
+package graft.catalog
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+
+/** Column definition. `computedExpr` is a Spark SQL expression over other
+  * columns of the table (the reference's computed columns,
+  * `/root/reference/pixeltable/catalog/column.py:73,110-124`).
+  * `stored=false` columns are inlined into reads instead of materialized
+  * (reference `exprs/expr.py:259` resolve_computed_cols).
+  */
+final case class ColumnDef(
+    name: String,
+    dataType: String,
+    computedExpr: Option[String] = None,
+    stored: Boolean = true,
+)
+
+/** One entry of the table's version log. The active file-set at version V is
+  * replayed from the log (Delta-style add/remove); `revert` truncates the
+  * log, leaving later files orphaned (exact reference revert semantics,
+  * `/root/reference/pixeltable/store.py:514-610`).
+  */
+final case class VersionEntry(
+    version: Long,
+    op: String,
+    addedDirs: Seq[String],
+    removedDirs: Seq[String],
+    createdAtMs: Long,
+)
+
+final case class TableMeta(
+    name: String,
+    columns: Seq[ColumnDef],
+    versions: Seq[VersionEntry],
+    snapshots: Map[String, Long],
+    nextRowId: Long,
+) {
+  def currentVersion: Long = if (versions.isEmpty) 0L else versions.last.version
+
+  def userColumns: Seq[ColumnDef] = columns
+
+  /** replay the log: dirs visible at `version` */
+  def activeDirs(version: Long): Seq[String] = {
+    var dirs = Vector.empty[String]
+    versions.takeWhile(_.version <= version).foreach { v =>
+      dirs = dirs.filterNot(v.removedDirs.contains) ++ v.addedDirs
+    }
+    dirs
+  }
+
+  /** computed columns in dependency (topological) order; dependencies are
+    * detected by word-boundary occurrence of other column names in the expr.
+    */
+  def computedInTopoOrder: Seq[ColumnDef] = {
+    val computed = columns.filter(_.computedExpr.isDefined)
+    val names = computed.map(_.name).toSet
+    def deps(c: ColumnDef): Set[String] =
+      names.filter(n => n != c.name &&
+        ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
+          .findFirstIn(c.computedExpr.get).isDefined)
+    // Kahn's algorithm
+    var remaining = computed
+    var ordered = Vector.empty[ColumnDef]
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(c => deps(c).forall(d => ordered.exists(_.name == d)))
+      require(ready.nonEmpty, s"cyclic computed-column dependency among ${remaining.map(_.name)}")
+      ordered ++= ready
+      remaining = blocked
+    }
+    ordered
+  }
+}
+
+/** File-based metastore for versioned tables (the reference keeps this in
+  * Postgres, `/root/reference/pixeltable/metadata/schema.py`). One JSON file
+  * per table under `<warehouse>/<table>/meta.json`; writes go through a temp
+  * file + atomic move, single-writer-per-table discipline (SURVEY.md §7.4).
+  */
+final class Catalog(val warehouse: String) {
+  private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
+
+  private def metaPath(table: String) = Paths.get(warehouse, table, "meta.json")
+
+  def exists(table: String): Boolean = Files.exists(metaPath(table))
+
+  def load(table: String): TableMeta = {
+    val bytes = Files.readAllBytes(metaPath(table))
+    val m = mapper.readValue(bytes, classOf[TableMeta])
+    // Map[String, Long] loses its value type to erasure — Jackson produces
+    // boxed Integers for small numbers; coerce back to Long.
+    m.copy(snapshots = m.snapshots.asInstanceOf[Map[String, Any]].map {
+      case (k, v) => k -> v.asInstanceOf[Number].longValue()
+    })
+  }
+
+  def save(meta: TableMeta): Unit = {
+    val path = metaPath(meta.name)
+    Files.createDirectories(path.getParent)
+    val tmp = path.resolveSibling("meta.json.tmp")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsString(meta).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def listTables(): Seq[String] = {
+    val w = Paths.get(warehouse)
+    if (!Files.exists(w)) Seq.empty
+    else {
+      val s = Files.list(w)
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.filter(p => Files.exists(p.resolve("meta.json")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  private implicit class IterOps[A](it: java.util.Iterator[A]) {
+    def asScala: Iterator[A] = new Iterator[A] {
+      def hasNext: Boolean = it.hasNext
+      def next(): A = it.next()
+    }
+  }
+}

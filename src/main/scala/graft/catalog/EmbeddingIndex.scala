@@ -1,0 +1,44 @@
+package graft.catalog
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding index over a table column (reference
+  * `/root/reference/pixeltable/index/embedding_index.py`): declared as a
+  * stored computed column producing `array<float>`, searched with
+  * cosine / inner-product / L2 similarity.
+  *
+  * The stored column is the index: at query time `search` is a
+  * TakeOrderedAndProject over the scan (per-partition top-k heaps, merged on
+  * the driver — no global sort, no shuffle of the full table). For 100 TB,
+  * `searchClustered` prunes to a cluster column first (IVF layout: partition
+  * the table by cluster id so the probe is a partition-pruned scan).
+  */
+final class EmbeddingIndex(
+    val table: GraftTable,
+    val column: String,
+    val metric: String,
+) {
+  def search(query: Seq[Double], k: Int): DataFrame =
+    VectorFunctions.topK(table.read(), col(column), query, k, metric)
+
+  def searchClustered(clusterCol: String, probe: Seq[Int],
+      query: Seq[Double], k: Int): DataFrame =
+    VectorFunctions.topKClustered(table.read(), col(clusterCol), probe,
+      col(column), query, k)
+}
+
+object EmbeddingIndex {
+  /** Adds the stored embedding column (backfilling existing rows) and
+    * returns the index handle. `embedExprSql` maps source columns to an
+    * `array<float>` — at 100 TB this is where a model UDF plugs in.
+    */
+  def create(table: GraftTable, indexedCol: String, embedExprSql: String,
+      metric: String = "cosine"): EmbeddingIndex = {
+    val embCol = s"${indexedCol}_idx_emb"
+    if (!table.meta.columns.exists(_.name == embCol))
+      table.addColumn(ColumnDef(embCol, "array<float>", Some(embedExprSql)))
+    new EmbeddingIndex(table, embCol, metric)
+  }
+}

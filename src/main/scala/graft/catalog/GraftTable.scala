@@ -1,0 +1,237 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A versioned, insertable table with computed columns, MVCC row visibility,
+  * snapshots, time travel and revert — the Spark-native equivalent of the
+  * reference's `InsertableTable` (`/root/reference/pixeltable/catalog/
+  * insertable_table.py`, store layout `store.py:27-58`).
+  *
+  * Physical layout: parquet dirs under `<warehouse>/<name>/data/v<N>-<op>/`
+  * with system columns `_rowid` (stable row identity), `_v_min`/`_v_max`
+  * (row live at V iff `_v_min <= V < _v_max`). A Delta-style add/remove log
+  * in the catalog decides which dirs a version reads; the MVCC filter
+  * `_v_min <= V AND _v_max > V` is applied on top and pushes down to the
+  * parquet scan (verified via PushedFilters in explain).
+  *
+  * Scale notes: inserts are append-only (one new dir, no rewrite);
+  * delete/update are copy-on-write of the current image — at 100 TB these
+  * would rewrite only the files whose min/max stats can contain matching
+  * rows; that file-level pruning is the known follow-up, the log format
+  * already supports it (removedDirs can be a subset).
+  * Single-writer-per-table discipline (SURVEY.md §7.4).
+  */
+final class GraftTable private (
+    val spark: SparkSession,
+    val catalog: Catalog,
+    val name: String,
+) {
+  import GraftTable._
+
+  def meta: TableMeta = catalog.load(name)
+
+  def currentVersion: Long = meta.currentVersion
+
+  private def dataDir(version: Long, op: String): String =
+    s"${catalog.warehouse}/$name/data/v$version-$op"
+
+  // ---------- read path ----------
+
+  /** Stored image at `version` (system columns included). */
+  private def storedAt(m: TableMeta, version: Long): DataFrame = {
+    val dirs = m.activeDirs(version)
+    if (dirs.isEmpty) emptyFrame(m)
+    else spark.read.parquet(dirs: _*)
+      .filter(col(VMin) <= version && col(VMax) > version)
+  }
+
+  private def emptyFrame(m: TableMeta): DataFrame = {
+    val storedCols = m.columns.filter(c => c.computedExpr.isEmpty || c.stored)
+    val schemaSql = (storedCols.map(c => s"${c.name} ${c.dataType}") ++
+      Seq(s"$RowId bigint", s"$VMin bigint", s"$VMax bigint")).mkString(", ")
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(schemaSql))
+  }
+
+  /** Table contents at a version (default: latest), user columns only.
+    * Unstored computed columns are inlined here — the analog of the
+    * reference's resolve_computed_cols (`plan.py:88-93`).
+    */
+  def read(version: Option[Long] = None): DataFrame = {
+    val m = meta
+    val v = version.getOrElse(m.currentVersion)
+    var df = storedAt(m, v)
+    m.computedInTopoOrder.filterNot(_.stored).foreach { c =>
+      df = df.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
+    }
+    df.select(m.columns.map(c => col(c.name)): _*)
+  }
+
+  /** Read pinned by snapshot name (reference `pxt.create_snapshot`). */
+  def readSnapshot(snapshot: String): DataFrame = {
+    val m = meta
+    val v = m.snapshots.getOrElse(snapshot,
+      throw new IllegalArgumentException(s"no snapshot '$snapshot' on $name"))
+    read(Some(v))
+  }
+
+  /** System-column view for tests/debugging. */
+  def readWithSystem(version: Option[Long] = None): DataFrame = {
+    val m = meta
+    storedAt(m, version.getOrElse(m.currentVersion))
+  }
+
+  // ---------- write path ----------
+
+  /** Append rows. Stored computed columns are evaluated in dependency order
+    * at insert time (reference insert plan, `plan.py:255-266`); row ids are
+    * assigned distributedly (no single-partition choke point).
+    */
+  def insert(rows: DataFrame): Long = {
+    val m = meta
+    val v = m.currentVersion + 1
+    var df = rows
+    m.computedInTopoOrder.filter(_.stored).foreach { c =>
+      df = df.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
+    }
+    df = df
+      .withColumn(RowId, monotonically_increasing_id() + lit(m.nextRowId))
+      .withColumn(VMin, lit(v))
+      .withColumn(VMax, lit(Live))
+    val dir = dataDir(v, "insert")
+    df.write.mode("overwrite").parquet(dir)
+    val maxRow = spark.read.parquet(dir).agg(max(col(RowId))).head
+    val maxId = if (maxRow.isNullAt(0)) m.nextRowId - 1 else maxRow.getLong(0)
+    catalog.save(m.copy(
+      versions = m.versions :+ entry(v, "insert", Seq(dir), Seq.empty),
+      nextRowId = maxId + 1))
+    v
+  }
+
+  /** Delete rows matching a SQL predicate: copy-on-write close of matching
+    * live rows (`_v_max := V+1`); history stays readable via time travel.
+    */
+  def delete(predicateSql: String): Long = {
+    val m = meta
+    val v = m.currentVersion + 1
+    val image = storedImage(m)
+    val out = image.withColumn(VMax,
+      when(col(VMax) === Live && expr(predicateSql), lit(v)).otherwise(col(VMax)))
+    rewrite(m, v, "delete", out)
+  }
+
+  /** Update columns on rows matching a predicate; dependent computed columns
+    * are recomputed transitively (reference update cascade,
+    * `plan.py:414-485`). Updated rows keep their `_rowid`.
+    */
+  def update(setExprs: Map[String, String], predicateSql: String): Long = {
+    val m = meta
+    val v = m.currentVersion + 1
+    val image = storedImage(m)
+    val hit = col(VMax) === Live && expr(predicateSql)
+    val closed = image.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax)))
+    var updated = image.filter(hit)
+    setExprs.foreach { case (c, e) => updated = updated.withColumn(c, expr(e)) }
+    // cascade: recompute every stored computed column downstream of a set col
+    val dirty = scala.collection.mutable.Set(setExprs.keys.toSeq: _*)
+    m.computedInTopoOrder.filter(_.stored).foreach { c =>
+      val refsDirty = dirty.exists(d =>
+        ("\\b" + java.util.regex.Pattern.quote(d) + "\\b").r
+          .findFirstIn(c.computedExpr.get).isDefined)
+      if (refsDirty) {
+        updated = updated.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
+        dirty += c.name
+      }
+    }
+    updated = updated
+      .withColumn(VMin, lit(v))
+      .withColumn(VMax, lit(Live))
+      .select(closed.columns.map(col): _*)
+    rewrite(m, v, "update", closed.union(updated))
+  }
+
+  /** Add a (possibly computed) column; existing rows are backfilled in one
+    * batch rewrite (reference `add_computed_column` backfill,
+    * `plan.py:1230-1247`).
+    */
+  def addColumn(c: ColumnDef): Long = {
+    val m = meta
+    require(!m.columns.exists(_.name == c.name), s"column ${c.name} exists")
+    val v = m.currentVersion + 1
+    val newMeta = m.copy(columns = m.columns :+ c)
+    if (c.computedExpr.isDefined && !c.stored) { // purely logical: no rewrite
+      catalog.save(newMeta.copy(versions =
+        m.versions :+ entry(v, "add_column", Seq.empty, Seq.empty)))
+      return v
+    }
+    val image = storedImage(m)
+    val out = c.computedExpr match {
+      case Some(e) => image.withColumn(c.name, expr(e).cast(c.dataType))
+      case None    => image.withColumn(c.name, lit(null).cast(c.dataType))
+    }
+    val dir = dataDir(v, "add_column")
+    out.write.mode("overwrite").parquet(dir)
+    catalog.save(newMeta.copy(versions = m.versions :+
+      entry(v, "add_column", Seq(dir), m.activeDirs(m.currentVersion)),
+      nextRowId = m.nextRowId))
+    v
+  }
+
+  /** Roll the table back to `toVersion`: truncates the version log (later
+    * data dirs become orphans, exactly like the reference's revert).
+    */
+  def revert(toVersion: Long): Unit = {
+    val m = meta
+    require(toVersion <= m.currentVersion, s"cannot revert forward to $toVersion")
+    catalog.save(m.copy(versions = m.versions.filter(_.version <= toVersion)))
+  }
+
+  /** Pin the current version under a name (immutable snapshot). */
+  def createSnapshot(snapshot: String): Long = {
+    val m = meta
+    catalog.save(m.copy(snapshots = m.snapshots + (snapshot -> m.currentVersion)))
+    m.currentVersion
+  }
+
+  // ---------- internals ----------
+
+  /** full stored image (live + dead rows) at current version's file set */
+  private def storedImage(m: TableMeta): DataFrame = {
+    val dirs = m.activeDirs(m.currentVersion)
+    if (dirs.isEmpty) emptyFrame(m) else spark.read.parquet(dirs: _*)
+  }
+
+  private def rewrite(m: TableMeta, v: Long, op: String, out: DataFrame): Long = {
+    val dir = dataDir(v, op)
+    out.write.mode("overwrite").parquet(dir)
+    catalog.save(m.copy(versions = m.versions :+
+      entry(v, op, Seq(dir), m.activeDirs(m.currentVersion))))
+    v
+  }
+
+  private def entry(v: Long, op: String, added: Seq[String], removed: Seq[String]) =
+    VersionEntry(v, op, added, removed, System.currentTimeMillis())
+}
+
+object GraftTable {
+  val RowId = "_rowid"
+  val VMin = "_v_min"
+  val VMax = "_v_max"
+  val Live: Long = Long.MaxValue
+
+  def create(spark: SparkSession, catalog: Catalog, name: String,
+      columns: Seq[ColumnDef]): GraftTable = {
+    require(!catalog.exists(name), s"table $name already exists")
+    catalog.save(TableMeta(name, columns,
+      versions = Seq(VersionEntry(0L, "create", Seq.empty, Seq.empty,
+        System.currentTimeMillis())),
+      snapshots = Map.empty, nextRowId = 0L))
+    new GraftTable(spark, catalog, name)
+  }
+
+  def open(spark: SparkSession, catalog: Catalog, name: String): GraftTable = {
+    require(catalog.exists(name), s"no such table: $name")
+    new GraftTable(spark, catalog, name)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Views over versioned tables:
+  *
+  *  - predicate/select views (reference `pxt.create_view(base, ...)`,
+  *    `/root/reference/pixeltable/globals.py:286-333`) — logical by default,
+  *    materialized on demand;
+  *  - component (iterator) views — one-to-many expansion of each base row
+  *    via an array-producing SQL expression + posexplode, keyed by
+  *    `(base _rowid, _pos)` exactly like the reference's
+  *    ComponentIterationNode (`exec/component_iteration_node.py:83-85`);
+  *  - incremental maintenance: `refresh` processes only base rows created
+  *    since the last processed base version (`_v_min > lastSeen`), the
+  *    reference's propagates_insert semantics (`plan.py:761-834`).
+  *
+  * The iterator expression replaces the reference's Python generator
+  * classes: e.g. `string_splitter` ≡ `split(text, '\\s+')`, a chunker ≡
+  * `transform(sequence(...), i -> substr(text, ..., ...))`. flatMap-style
+  * expansion stays fully distributed (posexplode is a generator in codegen).
+  */
+object Views {
+
+  val BaseRowId = "_base_rowid"
+  val Pos = "_pos"
+
+  /** Logical predicate/select view: no storage, composes into the caller's
+    * plan so Catalyst pushes filters/pruning through it.
+    */
+  def logicalView(base: GraftTable, whereSql: Option[String],
+      selectExprs: Seq[(String, String)]): DataFrame = {
+    var df = base.read()
+    whereSql.foreach(w => df = df.filter(expr(w)))
+    if (selectExprs.nonEmpty)
+      df = df.select(selectExprs.map { case (alias, e) => expr(e).as(alias) }: _*)
+    df
+  }
+
+  /** One-to-many component expansion of arbitrary rows: every base row emits
+    * one output row per element of `iteratorExprSql` (an array-typed SQL
+    * expression), with the element bound as `valueCol` and its index as
+    * `_pos`.
+    */
+  def expand(baseRows: DataFrame, iteratorExprSql: String, valueCol: String): DataFrame =
+    baseRows.select(
+      (baseRows.columns.map(col) :+
+        posexplode(expr(iteratorExprSql)).as(Seq(Pos, valueCol))): _*)
+
+  /** Create a materialized component view as its own versioned table.
+    * The view's schema = (base _rowid as _base_rowid, _pos, valueCol) +
+    * `keepCols` carried from the base.
+    */
+  def createComponentView(spark: SparkSession, catalog: Catalog, name: String,
+      base: GraftTable, iteratorExprSql: String, valueCol: String,
+      valueType: String, keepCols: Seq[ColumnDef]): GraftTable = {
+    val cols = Seq(
+      ColumnDef(BaseRowId, "bigint"), ColumnDef(Pos, "int"),
+      ColumnDef(valueCol, valueType)) ++ keepCols
+    val view = GraftTable.create(spark, catalog, name, cols)
+    catalog.save(catalog.load(name).copy(snapshots =
+      Map(lastSeenKey(base) -> 0L)))
+    refreshComponentView(view, base, iteratorExprSql, valueCol, keepCols.map(_.name))
+    view
+  }
+
+  /** Incremental maintenance: expand only base rows inserted after the last
+    * refresh (`_v_min > lastSeen`) and append them to the view store.
+    */
+  def refreshComponentView(view: GraftTable, base: GraftTable,
+      iteratorExprSql: String, valueCol: String, keepCols: Seq[String]): Long = {
+    val lastSeen = view.meta.snapshots.getOrElse(lastSeenKey(base), 0L)
+    val baseVersion = base.currentVersion
+    if (baseVersion <= lastSeen) return view.currentVersion
+    val fresh = base.readWithSystem()
+      .filter(col(GraftTable.VMin) > lastSeen && col(GraftTable.VMax) === GraftTable.Live)
+    val expanded = expand(fresh, iteratorExprSql, valueCol)
+      .select((Seq(col(GraftTable.RowId).as(BaseRowId), col(Pos), col(valueCol)) ++
+        keepCols.map(col)): _*)
+    val v = view.insert(expanded)
+    val m = view.meta
+    view.catalog.save(m.copy(snapshots = m.snapshots + (lastSeenKey(base) -> baseVersion)))
+    v
+  }
+
+  private def lastSeenKey(base: GraftTable) = s"__last_seen_base_${base.name}"
+}

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for training-data pipelines: tokenization,
+  * shingling, MinHash, SimHash, fingerprints, language ID, quality metrics.
+  *
+  * Everything here is a composition of codegen'd Spark built-ins — no UDFs —
+  * so predicates/projections over these stay inside whole-stage codegen and
+  * push down where possible. Hashes are md5-based so results are reproducible
+  * across engines (and across Spark versions, unlike `hash()`'s murmur seed).
+  *
+  * Reference surface: pixeltable has `string_splitter` / `document_splitter`
+  * iterators (`/root/reference/pixeltable/functions/string.py:913`,
+  * `document.py:163`) but no dedup/lang-id ops; these are the north-star
+  * additions for 100 TB pipelines.
+  */
+object TextFunctions {
+
+  /** whitespace tokens */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** distinct character n-gram shingle set (requires length >= n) */
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+      i => text.substr(i, lit(n))))
+
+  /** MinHash_j over a shingle-set column: min md5(j ∥ '_' ∥ shingle), 12-hex
+    * prefix. A signature of k of these supports banded LSH joins.
+    */
+  def minhash(shingleSet: Column, j: Int): Column =
+    substring(array_min(transform(shingleSet, s => md5(concat(lit(s"${j}_"), s)))), 1, 12)
+
+  /** LSH band hash over consecutive minhash columns. */
+  def bandHash(minhashes: Seq[Column]): Column = md5(concat(minhashes: _*))
+
+  /** 16-bit SimHash over a token-array column, as a '0'/'1' string: bit i is
+    * the sign of Σ_tokens ±1 by the top bit of md5(token)'s i-th nibble.
+    */
+  def simhash16(tokens: Column): Column = {
+    val bits = (0 until 16).map { i =>
+      val contrib = transform(tokens,
+        t => when(substring(md5(t), i + 1, 1) >= "8", 1).otherwise(-1))
+      when(aggregate(contrib, lit(0), (a, x) => a + x) > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** whitespace-normalized 16-hex content fingerprint */
+  def fingerprint(text: Column): Column =
+    substring(md5(lower(regexp_replace(text, "\\s+", " "))), 1, 16)
+
+  /** count of tokens contained in a fixed vocabulary */
+  def vocabHits(tokens: Column, vocab: Seq[String]): Column =
+    size(filter(tokens, t => vocab.map(w => t === w).reduce(_ || _))).cast("long")
+
+  /** type-token ratio (lexical diversity) */
+  def typeTokenRatio(tokens: Column): Column =
+    size(array_distinct(tokens)).cast("double") / size(tokens)
+}

@@ -1,0 +1,108 @@
+package graft.catalog
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCatalog() =
+    new Catalog(java.nio.file.Files.createTempDirectory("graft-wh").toString)
+
+  private val cols = Seq(
+    ColumnDef("id", "bigint"),
+    ColumnDef("name", "string"),
+    ColumnDef("score", "double"),
+    ColumnDef("score2", "double", computedExpr = Some("score * 2")),
+    ColumnDef("score4", "double", computedExpr = Some("score2 * 2")), // depends on computed
+    ColumnDef("label", "string", computedExpr = Some("upper(name)"), stored = false),
+  )
+
+  test("insert, computed columns, read") {
+    val t = GraftTable.create(spark, freshCatalog(), "t1", cols)
+    t.insert(Seq((1L, "a", 1.5), (2L, "b", 2.0)).toDF("id", "name", "score"))
+    val rows = t.read().orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Double]("score2") == 3.0)
+    assert(rows(0).getAs[Double]("score4") == 6.0) // dependency-ordered
+    assert(rows(0).getAs[String]("label") == "A")  // unstored, inlined at read
+    // unstored column must not be materialized
+    val stored = t.readWithSystem()
+    assert(!stored.columns.contains("label"))
+  }
+
+  test("mvcc time travel across inserts") {
+    val t = GraftTable.create(spark, freshCatalog(), "t2", cols)
+    val v1 = t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
+    val v2 = t.insert(Seq((2L, "b", 2.0)).toDF("id", "name", "score"))
+    assert(t.read(Some(v1)).count() == 1)
+    assert(t.read(Some(v2)).count() == 2)
+    assert(t.read().count() == 2)
+  }
+
+  test("delete closes rows but history remains") {
+    val t = GraftTable.create(spark, freshCatalog(), "t3", cols)
+    val v1 = t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"))
+    val v2 = t.delete("id = 1")
+    assert(t.read().count() == 1)
+    assert(t.read(Some(v1)).count() == 2) // time travel sees the deleted row
+    assert(t.read(Some(v2)).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("update recomputes dependent computed columns and keeps rowid") {
+    val t = GraftTable.create(spark, freshCatalog(), "t4", cols)
+    t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"))
+    val before = t.readWithSystem().filter("id = 1")
+      .select(GraftTable.RowId).as[Long].head()
+    t.update(Map("score" -> "score + 10"), "id = 1")
+    val row = t.read().filter("id = 1").head()
+    assert(row.getAs[Double]("score") == 11.0)
+    assert(row.getAs[Double]("score2") == 22.0) // cascade
+    assert(row.getAs[Double]("score4") == 44.0) // transitive cascade
+    val after = t.readWithSystem()
+      .filter(col("id") === 1 && col(GraftTable.VMax) === GraftTable.Live)
+      .select(GraftTable.RowId).as[Long].head()
+    assert(before == after) // identity preserved across update
+    assert(t.read().count() == 2)
+  }
+
+  test("revert truncates history") {
+    val t = GraftTable.create(spark, freshCatalog(), "t5", cols)
+    val v1 = t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
+    t.insert(Seq((2L, "b", 2.0)).toDF("id", "name", "score"))
+    t.delete("id = 1")
+    t.revert(v1)
+    assert(t.currentVersion == v1)
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("snapshots pin a version") {
+    val t = GraftTable.create(spark, freshCatalog(), "t6", cols)
+    t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
+    t.createSnapshot("s1")
+    t.insert(Seq((2L, "b", 2.0)).toDF("id", "name", "score"))
+    assert(t.readSnapshot("s1").count() == 1)
+    assert(t.read().count() == 2)
+  }
+
+  test("add computed column backfills existing rows") {
+    val t = GraftTable.create(spark, freshCatalog(), "t7",
+      cols.filterNot(c => Set("score4", "label")(c.name)))
+    t.insert(Seq((1L, "a", 3.0)).toDF("id", "name", "score"))
+    t.addColumn(ColumnDef("score10", "double", Some("score * 10")))
+    assert(t.read().head().getAs[Double]("score10") == 30.0)
+    // new inserts compute it too
+    t.insert(Seq((2L, "b", 4.0)).toDF("id", "name", "score"))
+    assert(t.read().filter("id = 2").head().getAs[Double]("score10") == 40.0)
+  }
+
+  test("mvcc filter pushes down to parquet scan") {
+    val t = GraftTable.create(spark, freshCatalog(), "t8", cols)
+    t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
+    val plan = t.read().queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains(GraftTable.VMin), s"no pushdown in:\n$plan")
+  }
+}

@@ -1,0 +1,51 @@
+package graft.catalog
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ViewsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCatalog() =
+    new Catalog(java.nio.file.Files.createTempDirectory("graft-wh").toString)
+
+  private val cols = Seq(ColumnDef("id", "bigint"), ColumnDef("text", "string"))
+
+  test("logical view filters and projects") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "docs", cols)
+    t.insert(Seq((1L, "hello world"), (2L, "spark")).toDF("id", "text"))
+    val v = Views.logicalView(t, Some("id = 1"),
+      Seq("id" -> "id", "upper_text" -> "upper(text)"))
+    val rows = v.collect()
+    assert(rows.length == 1 && rows(0).getAs[String]("upper_text") == "HELLO WORLD")
+  }
+
+  test("component view expands one-to-many with (base_rowid, pos) key") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "docs2", cols)
+    t.insert(Seq((1L, "a b c"), (2L, "x y")).toDF("id", "text"))
+    val view = Views.createComponentView(spark, cat, "tokens", t,
+      "split(text, '\\\\s+')", "token", "string", Seq(ColumnDef("id", "bigint")))
+    val rows = view.read().orderBy("id", Views.Pos).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[String]("token")).toSeq == Seq("a", "b", "c", "x", "y"))
+    assert(rows.map(_.getAs[Int](Views.Pos)).toSeq == Seq(0, 1, 2, 0, 1))
+  }
+
+  test("incremental refresh processes only new base rows") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "docs3", cols)
+    t.insert(Seq((1L, "a b")).toDF("id", "text"))
+    val view = Views.createComponentView(spark, cat, "tokens3", t,
+      "split(text, '\\\\s+')", "token", "string", Seq(ColumnDef("id", "bigint")))
+    assert(view.read().count() == 2)
+    t.insert(Seq((2L, "c d e")).toDF("id", "text"))
+    Views.refreshComponentView(view, t, "split(text, '\\\\s+')", "token", Seq("id"))
+    assert(view.read().count() == 5)
+    // idempotent: nothing new → no growth
+    Views.refreshComponentView(view, t, "split(text, '\\\\s+')", "token", Seq("id"))
+    assert(view.read().count() == 5)
+  }
+}
