@@ -127,14 +127,17 @@ object Pipeline {
       (s, dir) => {
         // embedding-cosine near-dup pairs on a bounded id range (the
         // unbounded scale path is q33's banded LSH join).
+        // norms are precomputed per vector BEFORE the pair join — the join
+        // then evaluates one dot product per pair instead of three.
         val emb = T(s, dir, "embeddings")
           .filter(col("vec_id") < 1000)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-        val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"))
-        val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+          .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
+        val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
+        val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
         a.join(b, col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
-            round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+            round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
           .orderBy(col("vec_a"), col("vec_b"))
       },
