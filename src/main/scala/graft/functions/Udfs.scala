@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Scalar UDF surface (reference `@pxt.udf`,
+  * `/root/reference/pixeltable/func/udf.py:27-106`) for the Python-exact
+  * string semantics that Spark built-ins don't reproduce (SURVEY.md §7.4
+  * hard part 2). Prefer built-in Column functions everywhere else — a UDF
+  * breaks codegen and pushdown for the expression it wraps.
+  */
+object Udfs {
+
+  /** Python `str.title()`: every alpha run starts uppercase, rest lowercase
+    * (reference `functions/string.py` title). Differs from `initcap`, which
+    * splits on whitespace only and lowercases the remainder of each word.
+    */
+  val titleCase = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val sb = new StringBuilder(s.length)
+      var prevAlpha = false
+      s.foreach { c =>
+        if (c.isLetter) {
+          sb += (if (prevAlpha) c.toLower else c.toUpper)
+          prevAlpha = true
+        } else { sb += c; prevAlpha = false }
+      }
+      sb.toString
+    }
+  }
+
+  /** Python `str.zfill(width)`: left-pad with zeros, sign-aware. */
+  val zfill = udf { (s: String, width: Int) =>
+    if (s == null) null
+    else if (s.length >= width) s
+    else if (s.nonEmpty && (s(0) == '+' || s(0) == '-'))
+      s(0) + ("0" * (width - s.length)) + s.substring(1)
+    else "0" * (width - s.length) + s
+  }
+
+  /** Python `//` floor division on longs (SQL div truncates toward zero). */
+  val floorDiv = udf { (a: Long, b: Long) => Math.floorDiv(a, b) }
+
+  /** Python `%` (sign of divisor; SQL % takes sign of dividend). */
+  val pyMod = udf { (a: Long, b: Long) => Math.floorMod(a, b) }
+
+  def title(c: Column): Column = titleCase(c)
+}

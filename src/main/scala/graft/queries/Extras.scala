@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import graft.functions.{Udas, Udfs}
+import org.apache.spark.sql.functions._
+
+/** Remaining §2 surface: collect-list UDAs (reference `make_list`,
+  * `functions/json.py:476-492`), explode/component expansion as a query,
+  * Python-exact UDF semantics (`str.title`, floor-div/mod — SURVEY §7.4
+  * hard part 2), statistical aggregates, approximate distinct, and the
+  * custom Aggregator (UDA) surface.
+  */
+object Extras {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q41_make_list",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+            count(lit(1)).as("n"),
+          )
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+             |count(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+    QueryDef(
+      "q42_explode",
+      (s, dir) => {
+        // component-view expansion as a query: one row per token with its
+        // position — the reference's string_splitter iterator view shape.
+        val toks = split(trim(col("text")), "\\s+")
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+          .orderBy(col("doc_id"), col("pos"))
+      },
+      Some("""SELECT doc_id, r.pos AS pos, r.tok AS tok FROM (
+             |  SELECT doc_id,
+             |    unnest(list_transform(string_split_regex(trim(text), '\s+'),
+             |      (t, i) -> {'pos': i - 1, 'tok': t})) AS r
+             |  FROM documents WHERE doc_id < 50)
+             |ORDER BY doc_id, pos""".stripMargin),
+    ),
+    QueryDef(
+      "q43_udf_title",
+      (s, dir) => {
+        // Scala UDF with Python str.title() semantics; the oracle reproduces
+        // it with list ops (valid for this single-space lowercase corpus).
+        T(s, dir, "documents")
+          .select(col("doc_id"), Udfs.title(col("text")).as("title_text"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |array_to_string(list_transform(string_split(text, ' '),
+             |  w -> upper(w[1]) || w[2:]), ' ') AS title_text
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "q44_py_arith",
+      (s, dir) => {
+        // Python // and % (floor semantics) vs SQL's truncation semantics —
+        // exercised on negative values.
+        val shifted = col("o_orderkey") - 7500L
+        T(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            shifted.as("shifted"),
+            Udfs.pyMod(shifted, lit(7L)).as("pymod7"),
+            Udfs.floorDiv(shifted, lit(7L)).as("floordiv7"),
+            Udfs.zfill(col("o_orderkey").cast("string"), lit(10)).as("zfilled"),
+          )
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderkey - 7500 AS shifted,
+             |((o_orderkey - 7500) % 7 + 7) % 7 AS pymod7,
+             |cast(floor((o_orderkey - 7500) / 7.0) AS BIGINT) AS floordiv7,
+             |lpad(o_orderkey::VARCHAR, 10, '0') AS zfilled
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+    ),
+    QueryDef(
+      "q45_stats_agg",
+      (s, dir) => {
+        T(s, dir, "lineitem").agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_q"),
+          round(var_samp(col("l_quantity")), 6).as("var_q"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_q"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        )
+      },
+      Some("""SELECT
+             |round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+             |round(stddev_samp(l_quantity), 6) AS sd_q,
+             |round(var_samp(l_quantity), 6) AS var_q,
+             |round(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+             |round(quantile_cont(l_quantity, 0.5), 4) AS p50_q,
+             |round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+             |FROM lineitem""".stripMargin),
+    ),
+    QueryDef(
+      "q46_approx_distinct",
+      (s, dir) => {
+        // HLL sketches differ across engines, so no value oracle — the
+        // driver records the weaker rows-only check. Exact counts ride along
+        // to document the sketch's error at this scale.
+        T(s, dir, "lineitem").agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        )
+      },
+      None,
+    ),
+    QueryDef(
+      "q47_uda",
+      (s, dir) => {
+        // custom Aggregator surface: weighted mean (plain UDA) and an
+        // order-sensitive concat (the reference's requires_order_by class) —
+        // both partial-aggregation-friendly (no global input sort).
+        val wm = udaf(Udas.WeightedMean)
+        val oc = udaf(Udas.OrderedConcat)
+        T(s, dir, "lineitem")
+          .filter(col("l_suppkey") < 10)
+          .groupBy(col("l_suppkey"))
+          .agg(
+            round(wm(col("l_extendedprice"), col("l_quantity")), 6).as("wmean_price"),
+            oc(col("l_orderkey") * 10 + col("l_linenumber"),
+              col("l_linenumber").cast("string")).as("lines_in_order"),
+          )
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""SELECT l_suppkey,
+             |round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS wmean_price,
+             |string_agg(l_linenumber::VARCHAR, ','
+             |  ORDER BY l_orderkey * 10 + l_linenumber, l_linenumber::VARCHAR) AS lines_in_order
+             |FROM lineitem WHERE l_suppkey < 10
+             |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+    ),
+  )
+}

@@ -69,6 +69,28 @@ object CatalogDemo {
     println("[demo] multimodal metadata with error capture:")
     Multimodal.withImageMeta(media, "bytes", "meta").select("name", "meta.*").show(false)
 
+    // io connectors: csv round-trip into a versioned table
+    val ioDir = java.nio.file.Files.createTempDirectory("graft-io").toString
+    graft.io.Connectors.exportCsv(t.read().select("id", "text"), s"$ioDir/csv")
+    val imported = graft.io.Connectors.importCsv(spark, s"$ioDir/csv")
+    println(s"[demo] csv round-trip: ${imported.count()} rows re-imported")
+
+    // streaming: micro-batches land as table versions (computed cols apply)
+    val streamSrc = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-cp").toString
+    Seq((100L, "streamed row one"), (101L, "streamed row two")).toDF("id", "text")
+      .write.mode("overwrite").parquet(streamSrc)
+    val st = GraftTable.create(spark, cat, "stream_docs", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("text", "string"),
+      ColumnDef("n_chars", "bigint", Some("length(text)"))))
+    val q = graft.streaming.Streaming.foreachBatchInto(
+      graft.streaming.Streaming.fileStream(spark, streamSrc,
+        org.apache.spark.sql.types.StructType.fromDDL("id bigint, text string")),
+      st, cp)
+    q.awaitTermination(60000)
+    println(s"[demo] streamed table: ${st.read().count()} rows at v${st.currentVersion}")
+    st.read().orderBy("id").show(false)
+
     println(s"[demo] catalog tables: ${cat.listTables().mkString(", ")}")
     println("[demo] DONE")
     spark.stop()
