@@ -144,5 +144,47 @@ object Extras {
              |FROM lineitem WHERE l_suppkey < 10
              |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
     ),
+    QueryDef(
+      "q48_setops",
+      (s, dir) => {
+        // intersect/except (beyond the reference surface, SURVEY §2.8 —
+        // free in Spark, declared here for the inventory).
+        val cNations = T(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        val sNations = T(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+        val both = cNations.intersect(sNations).withColumn("setop", lit("both"))
+        val custOnly = cNations.except(sNations).withColumn("setop", lit("cust_only"))
+        both.union(custOnly).orderBy(col("setop"), col("nationkey"))
+      },
+      Some("""SELECT nationkey, setop FROM (
+             |  SELECT nationkey, 'both' AS setop FROM (
+             |    SELECT c_nationkey AS nationkey FROM customer
+             |    INTERSECT SELECT s_nationkey FROM supplier)
+             |  UNION ALL
+             |  SELECT nationkey, 'cust_only' FROM (
+             |    SELECT c_nationkey AS nationkey FROM customer
+             |    EXCEPT SELECT s_nationkey FROM supplier))
+             |ORDER BY setop, nationkey""".stripMargin),
+    ),
+    QueryDef(
+      "q49_sample_n",
+      (s, dir) => {
+        // repeatable global n-row sample: rank all rows by md5(seed ∥ pk)
+        // (reference SqlSampleNode n-sample, `exec/sql_node.py:771-826`).
+        import org.apache.spark.sql.expressions.Window
+        val key = md5(concat_ws("___", lit("11"),
+          col("o_orderkey").cast("string")))
+        val w = Window.orderBy(key)
+        T(s, dir, "orders")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 100)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderkey, o_totalprice, row_number() OVER (
+             |    ORDER BY md5(concat_ws('___', '11', o_orderkey::VARCHAR))) AS rk
+             |  FROM orders)
+             |WHERE rk <= 100 ORDER BY o_orderkey""".stripMargin),
+    ),
   )
 }

@@ -1,0 +1,60 @@
+package graft.api
+
+import graft.TestSpark
+import graft.catalog.{Catalog, ColumnDef, GraftTable}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QuerySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def table(): GraftTable = {
+    val cat = new Catalog(java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    val t = GraftTable.create(spark, cat, "q", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("grp", "string"), ColumnDef("x", "double")))
+    t.insert((1L to 100L).map(i => (i, if (i % 2 == 0) "even" else "odd", i * 1.5))
+      .toDF("id", "grp", "x"))
+    t
+  }
+
+  test("where/select/orderBy/limit chain") {
+    val rows = Query(table())
+      .where("x > 30")
+      .select(col("id"), col("x"))
+      .orderBy(col("id"))
+      .limit(3)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(21L, 22L, 23L))
+  }
+
+  test("groupBy/agg") {
+    val rows = Query(table())
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), round(avg(col("x")), 2).as("mean_x"))
+      .orderBy(col("grp"))
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("even", 50L), ("odd", 50L)))
+  }
+
+  test("head and tail follow insertion order") {
+    val q = Query(table())
+    assert(q.head(3).collect().map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+    assert(q.tail(2).collect().map(_.getAs[Long]("id")).toSet == Set(99L, 100L))
+  }
+
+  test("samples are repeatable and seed-sensitive") {
+    val q = Query(table())
+    val s1 = q.sampleFraction(0.3, seed = 42).collect().map(_.getAs[Long]("id")).toSet
+    val s2 = q.sampleFraction(0.3, seed = 42).collect().map(_.getAs[Long]("id")).toSet
+    val s3 = q.sampleFraction(0.3, seed = 43).collect().map(_.getAs[Long]("id")).toSet
+    assert(s1 == s2)        // repeatable
+    assert(s1 != s3)        // seed changes the sample
+    assert(s1.size > 10 && s1.size < 60) // roughly 30%
+
+    assert(q.sampleN(7, seed = 1).count() == 7)
+    val strat = q.sampleStratified(5, Seq(col("grp")), seed = 1)
+    assert(strat.count() == 10) // 5 per stratum × 2 strata
+  }
+}
