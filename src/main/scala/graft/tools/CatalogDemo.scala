@@ -91,6 +91,22 @@ object CatalogDemo {
     println(s"[demo] streamed table: ${st.read().count()} rows at v${st.currentVersion}")
     st.read().orderBy("id").show(false)
 
+    // fluent Query API with repeatable sampling
+    val sampled = graft.api.Query(t)
+      .where("n_chars > 5")
+      .sampleFraction(0.99, seed = 42)
+      .head(2)
+      .collect()
+    println(s"[demo] Query API head(2) of 99% sample: ${sampled.map(_.getAs[Long]("id")).mkString(",")}")
+
+    // rate-limited batched executor with error capture
+    val batched = graft.operators.AsyncBatcher.mapColumn(
+      t.read().select("id", "text"), "text", "remote_result",
+      batch => batch.map(v => s"processed:${v.length}"),
+      graft.operators.AsyncBatcher.Config(batchSize = 2, maxConcurrent = 2))
+    println("[demo] AsyncBatcher output:")
+    batched.orderBy("id").show(false)
+
     println(s"[demo] catalog tables: ${cat.listTables().mkString(", ")}")
     println("[demo] DONE")
     spark.stop()
