@@ -186,5 +186,87 @@ object Extras {
              |  FROM orders)
              |WHERE rk <= 100 ORDER BY o_orderkey""".stripMargin),
     ),
+    QueryDef(
+      "q50_join_theta",
+      (s, dir) => {
+        // mixed equi + theta ON predicate (reference SqlJoinNode allows
+        // arbitrary ON, `exec/sql_node.py:656-712`): Catalyst uses the equi
+        // part for the hash join and applies the theta part as a residual.
+        val li = T(s, dir, "lineitem")
+        val o = T(s, dir, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey") &&
+            li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 200 DAYS"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("total"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |round(sum(l_extendedprice), 2) AS total
+             |FROM lineitem JOIN orders
+             |ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 200 DAY
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+    ),
+    QueryDef(
+      "q51_window_range",
+      (s, dir) => {
+        // RANGE frame over a numeric ordering (peers share results, so ties
+        // on l_orderkey are deterministic by construction).
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_orderkey"))
+          .rangeBetween(-100, Window.currentRow)
+        T(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"),
+            round(sum(col("l_quantity")).over(w), 2).as("range_sum"))
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+             |round(sum(l_quantity) OVER (PARTITION BY l_returnflag
+             |  ORDER BY l_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW), 2) AS range_sum
+             |FROM lineitem
+             |ORDER BY l_returnflag, l_orderkey, l_linenumber, l_quantity""".stripMargin),
+    ),
+    QueryDef(
+      "q52_pivot",
+      (s, dir) => {
+        // pivot via conditional aggregation (portable form of groupBy.pivot)
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val aggs = segs.map(seg =>
+          count(when(col("c_mktsegment") === seg, 1)).as(s"n_${seg.toLowerCase}")) :+
+          round(sum(col("c_acctbal")), 2).as("total_bal")
+        T(s, dir, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(aggs.head, aggs.tail: _*)
+          .orderBy(col("c_nationkey"))
+      },
+      Some {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+        val cols = segs.map(s =>
+          s"count(*) FILTER (WHERE c_mktsegment = '$s') AS n_${s.toLowerCase}").mkString(",\n")
+        s"""SELECT c_nationkey,
+           |$cols,
+           |round(sum(c_acctbal), 2) AS total_bal
+           |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+      },
+    ),
+    QueryDef(
+      "q53_binary_meta",
+      (s, dir) => {
+        // binary-column plumbing in the oracle gate: payload bytes + length
+        // + hex header (multimodal columns carry media exactly like this).
+        val bytes = col("text").cast("binary")
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            octet_length(bytes).cast("long").as("n_bytes"),
+            lower(hex(substring(bytes, lit(1), lit(4)))).as("header_hex"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |octet_length(text::BLOB) AS n_bytes,
+             |lower(hex(substr(text, 1, 4)::BLOB)) AS header_hex
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
