@@ -1,0 +1,80 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity over `array<double>` —
+  * the hot kernel of similarity search. One fused loop (dot + both norms)
+  * with `doGenCode`, so it runs inside whole-stage codegen with no lambda
+  * dispatch, no HOF intermediate arrays, and no UDF serialization. This is
+  * tier (b) of the custom-operator ladder (compose built-ins → custom
+  * Expression → custom plan) — used where the zip_with/aggregate composition
+  * in `VectorFunctions` shows up in profiles.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0
+    var nx = 0.0
+    var ny = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      s"""
+         |double[] $x = $a.toDoubleArray();
+         |double[] $y = $b.toDoubleArray();
+         |int $n = java.lang.Math.min($x.length, $y.length);
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $x[$i] * $y[$i];
+         |  $nx += $x[$i] * $x[$i];
+         |  $ny += $y[$i] * $y[$i];
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NativeVector {
+  /** Register `cosine_sim_native(a, b)` for use via expr()/SQL; both
+    * arguments must be `array<double>`.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim_native",
+      exprs => CosineSimilarityExpr(exprs.head, exprs(1)),
+      "scala_udf")
+
+  /** Column form (registers on first use in the session). */
+  def cosine(spark: SparkSession, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("cosine_sim_native", a, b)
+  }
+}

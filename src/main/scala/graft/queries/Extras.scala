@@ -268,5 +268,37 @@ object Extras {
              |lower(hex(substr(text, 1, 4)::BLOB)) AS header_hex
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q54_py_strings",
+      (s, dir) => {
+        import graft.functions.PyStrings
+        T(s, dir, "customer").select(
+          col("c_custkey"),
+          PyStrings.capitalize(lower(col("c_mktsegment"))).as("cap"),
+          PyStrings.find(col("c_name"), "9").as("f9"),
+          PyStrings.countSub(col("c_name"), "0").as("cnt0"),
+          PyStrings.center(col("c_mktsegment"), 14, "*").as("ctr"),
+          PyStrings.swapcase(col("c_name")).as("swap"),
+          PyStrings.removePrefix(col("c_name"), "Customer#").as("noprefix"),
+          PyStrings.removeSuffix(col("c_mktsegment"), "ING").as("nosuffix"),
+        ).orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey,
+             |upper(substr(lower(c_mktsegment), 1, 1)) || lower(substr(lower(c_mktsegment), 2)) AS cap,
+             |instr(c_name, '9') - 1 AS f9,
+             |(length(c_name) - length(replace(c_name, '0', ''))) AS cnt0,
+             |repeat('*', floor(greatest(14 - length(c_mktsegment), 0) / 2)::INT)
+             |  || c_mktsegment ||
+             |  repeat('*', greatest(14 - length(c_mktsegment), 0)
+             |    - floor(greatest(14 - length(c_mktsegment), 0) / 2)::INT) AS ctr,
+             |translate(c_name, 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+             |  'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swap,
+             |CASE WHEN starts_with(c_name, 'Customer#')
+             |  THEN substr(c_name, 10) ELSE c_name END AS noprefix,
+             |CASE WHEN ends_with(c_mktsegment, 'ING')
+             |  THEN substr(c_mktsegment, 1, length(c_mktsegment) - 3)
+             |  ELSE c_mktsegment END AS nosuffix
+             |FROM customer ORDER BY c_custkey""".stripMargin),
+    ),
   )
 }

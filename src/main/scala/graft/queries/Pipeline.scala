@@ -37,11 +37,12 @@ object Pipeline {
   private def minhash(sh: Column, j: Int): Column =
     substring(array_min(transform(sh, s => md5(concat(lit(s"${j}_"), s)))), 1, 12)
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** native Catalyst kernel (graft.plans.CosineSimilarityExpr): one fused
+    * codegen loop; the HOF zip_with/aggregate composition is CodegenFallback
+    * and would poison whole-stage codegen for the projection.
+    */
+  private def cosine(s: SparkSession, a: Column, b: Column): Column =
+    graft.plans.NativeVector.cosine(s, a, b)
 
   // ---- shared constants (must match the generated oracle SQL) ----
 
@@ -90,7 +91,7 @@ object Pipeline {
         // TakeOrderedAndProject — per-partition heap, no global sort.
         val e = col("embedding").cast("array<double>")
         T(s, dir, "embeddings")
-          .select(col("vec_id"), round(cosine(e, queryVecCol), 6).as("cos_sim"))
+          .select(col("vec_id"), round(cosine(s, e, queryVecCol), 6).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(10)
       },
@@ -111,7 +112,7 @@ object Pipeline {
         val e = col("embedding").cast("array<double>")
         T(s, dir, "embeddings")
           .filter(col("label") === 1)
-          .select(col("vec_id"), round(cosine(e, queryVecCol), 6).as("cos_sim"))
+          .select(col("vec_id"), round(cosine(s, e, queryVecCol), 6).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(10)
       },
@@ -127,17 +128,16 @@ object Pipeline {
       (s, dir) => {
         // embedding-cosine near-dup pairs on a bounded id range (the
         // unbounded scale path is q33's banded LSH join).
-        // norms are precomputed per vector BEFORE the pair join — the join
-        // then evaluates one dot product per pair instead of three.
+        // one fused native-codegen loop per pair (dot + both norms) — no
+        // HOF lambda dispatch, no codegen fallback in the join projection.
         val emb = T(s, dir, "embeddings")
           .filter(col("vec_id") < 1000)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
-          .withColumn("nrm", sqrt(dot(col("e"), col("e"))))
-        val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
-        val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
+        val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+        val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"))
         a.join(b, col("vec_a") < col("vec_b"))
           .select(col("vec_a"), col("vec_b"),
-            round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6).as("cos_sim"))
+            round(cosine(s, col("ea"), col("eb")), 6).as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
           .orderBy(col("vec_a"), col("vec_b"))
       },

@@ -1,0 +1,43 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class NativeVectorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native cosine matches the HOF composition and runs in codegen") {
+    NativeVector.register(spark)
+    val df = Seq(
+      (1L, Array(1.0, 0.0, 2.0), Array(1.0, 1.0, 2.0)),
+      (2L, Array(0.5, -1.0, 3.0), Array(2.0, 0.25, -1.0)),
+    ).toDF("id", "a", "b").repartition(2) // block local-relation folding
+    val out = df.select(
+      col("id"),
+      expr("cosine_sim_native(a, b)").as("native"),
+      VectorFunctions.cosineSimilarity(col("a"), col("b")).as("hof"),
+    )
+    out.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-12,
+        s"mismatch on id=${r.getLong(0)}")
+    }
+    // the native expression alone stays inside whole-stage codegen — the
+    // HOF composition does NOT (HigherOrderFunction is CodegenFallback and
+    // poisons its whole projection), which is the point of the native path
+    val nativeOnly = df.select(expr("cosine_sim_native(a, b)").as("c"))
+    nativeOnly.collect()
+    val plan = nativeOnly.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"no codegen span in:\n$plan")
+  }
+
+  test("null inputs produce null, not a crash") {
+    NativeVector.register(spark)
+    val df = Seq((1L, Option(Array(1.0, 2.0)), Option.empty[Array[Double]]))
+      .toDF("id", "a", "b")
+    val r = df.select(expr("cosine_sim_native(a, b)").as("c")).head()
+    assert(r.isNullAt(0))
+  }
+}
