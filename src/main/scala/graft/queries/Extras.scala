@@ -300,5 +300,89 @@ object Extras {
              |  ELSE c_mktsegment END AS nosuffix
              |FROM customer ORDER BY c_custkey""".stripMargin),
     ),
+    QueryDef(
+      "q55_doc_chunker",
+      (s, dir) => {
+        // document_splitter char_limit+overlap mode (reference
+        // `functions/document.py:163`): 100-char chunks, 20-char overlap.
+        import graft.functions.Iterators
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            posexplode(Iterators.charChunks(col("text"), 100, 20)).as(Seq("chunk_idx", "chunk")))
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("chunk"), length(col("chunk")).cast("long").as("chunk_len"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      Some("""SELECT doc_id, r.idx AS chunk_idx, r.chunk AS chunk,
+             |length(r.chunk) AS chunk_len FROM (
+             |  SELECT doc_id, unnest(list_transform(
+             |    [substr(text, s, 100) for s in generate_series(1, greatest(length(text), 1), 80)],
+             |    (c, i) -> {'idx': i - 1, 'chunk': c})) AS r
+             |  FROM documents WHERE doc_id < 100)
+             |ORDER BY doc_id, chunk_idx""".stripMargin),
+    ),
+    QueryDef(
+      "q56_tpch_q3",
+      (s, dir) => {
+        // TPC-H Q3 shape: selective dim filter → 3-way join → agg → top-k.
+        val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = T(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val li = T(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin),
+    ),
+    QueryDef(
+      "q57_tpch_q18",
+      (s, dir) => {
+        // TPC-H Q18 shape: HAVING subquery as a semi-join (no correlated
+        // subquery machinery needed — the idiomatic Spark decorrelation).
+        val li = T(s, dir, "lineitem")
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("qty"))
+          .filter(col("qty") > 150.0)
+          .select(col("l_orderkey").as("big_orderkey"))
+        val o = T(s, dir, "orders")
+        val c = T(s, dir, "customer")
+        o.join(big, o("o_orderkey") === big("big_orderkey"), "left_semi")
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(li, o("o_orderkey") === li("l_orderkey"))
+          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"))
+          .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), round(col("o_totalprice"), 2).as("o_totalprice"),
+            col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+             |round(o_totalprice, 2) AS o_totalprice,
+             |round(sum(l_quantity), 2) AS total_qty
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE o_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             |  HAVING sum(l_quantity) > 150.0)
+             |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+    ),
   )
 }

@@ -1,0 +1,25 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IteratorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("charChunks: stride = size - overlap, tail chunk may be short") {
+    val df = Seq(("x" * 250)).toDF("text")
+    val chunks = df.select(explode(Iterators.charChunks(col("text"), 100, 20)).as("c"))
+      .select(length(col("c")).as("len")).as[Int].collect().toSeq
+    // starts at 1, 81, 161, 241 → lengths 100, 100, 90, 10
+    assert(chunks == Seq(100, 100, 90, 10))
+  }
+
+  test("tokenChunks: n-token windows with overlap") {
+    val df = Seq(("a b c d e f g")).toDF("text")
+    val chunks = df.select(explode(Iterators.tokenChunks(col("text"), 3, 1)).as("c"))
+      .as[String].collect().toSeq
+    assert(chunks == Seq("a b c", "c d e", "e f g", "g"))
+  }
+}
