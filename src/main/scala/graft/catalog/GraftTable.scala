@@ -133,22 +133,39 @@ final class GraftTable private (
     val closed = image.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax)))
     var updated = image.filter(hit)
     setExprs.foreach { case (c, e) => updated = updated.withColumn(c, expr(e)) }
-    // cascade: recompute every stored computed column downstream of a set col
-    val dirty = scala.collection.mutable.Set(setExprs.keys.toSeq: _*)
-    m.computedInTopoOrder.filter(_.stored).foreach { c =>
-      val refsDirty = dirty.exists(d =>
-        ("\\b" + java.util.regex.Pattern.quote(d) + "\\b").r
-          .findFirstIn(c.computedExpr.get).isDefined)
-      if (refsDirty) {
-        updated = updated.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
-        dirty += c.name
-      }
-    }
-    updated = updated
+    updated = recomputeCascade(updated, setExprs.keySet, m)
       .withColumn(VMin, lit(v))
       .withColumn(VMax, lit(Live))
       .select(closed.columns.map(col): _*)
     rewrite(m, v, "update", closed.union(updated))
+  }
+
+  /** Apply per-key updates from a DataFrame (reference batch_update:
+    * SqlLookupNode key-list lookup + RowUpdateNode, `exec/sql_node.py:
+    * 563-609`, `exec/row_update_node.py:9`): rows matched on `keyCols` take
+    * the update frame's other columns as new values; dependent computed
+    * columns recompute transitively; unmatched rows are untouched.
+    */
+  def batchUpdate(updates: DataFrame, keyCols: Seq[String]): Long = {
+    val m = meta
+    val v = m.currentVersion + 1
+    val image = storedImage(m)
+    val setCols = updates.columns.filterNot(keyCols.contains).toSeq
+    require(setCols.nonEmpty, "batchUpdate needs at least one non-key column")
+    val renamed = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"_u_$c"))
+    val joinCond = keyCols.map(k => image(k) === renamed(s"_u_$k")).reduce(_ && _)
+    // updates frames are small key-lists: broadcast them
+    val joined = image.join(broadcast(renamed), joinCond, "left_outer")
+    val hit = col(VMax) === Live && col(s"_u_${keyCols.head}").isNotNull
+    val dropU = (c: DataFrame) => renamed.columns.foldLeft(c)((d, u) => d.drop(u))
+    val closed = dropU(joined.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax))))
+    var updated = joined.filter(hit)
+    setCols.foreach(c => updated = updated.withColumn(c, col(s"_u_$c")))
+    updated = recomputeCascade(dropU(updated), setCols.toSet, m)
+      .withColumn(VMin, lit(v))
+      .withColumn(VMax, lit(Live))
+      .select(closed.columns.map(col): _*)
+    rewrite(m, v, "batch_update", closed.union(updated))
   }
 
   /** Add a (possibly computed) column; existing rows are backfilled in one
@@ -195,6 +212,24 @@ final class GraftTable private (
   }
 
   // ---------- internals ----------
+
+  /** recompute every stored computed column transitively downstream of the
+    * dirty set (reference update cascade, `plan.py:414-485`).
+    */
+  private def recomputeCascade(df0: DataFrame, dirty0: Set[String], m: TableMeta): DataFrame = {
+    var df = df0
+    val dirty = scala.collection.mutable.Set(dirty0.toSeq: _*)
+    m.computedInTopoOrder.filter(_.stored).foreach { c =>
+      val refsDirty = dirty.exists(d =>
+        ("\\b" + java.util.regex.Pattern.quote(d) + "\\b").r
+          .findFirstIn(c.computedExpr.get).isDefined)
+      if (refsDirty) {
+        df = df.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
+        dirty += c.name
+      }
+    }
+    df
+  }
 
   /** full stored image (live + dead rows) at current version's file set */
   private def storedImage(m: TableMeta): DataFrame = {

@@ -384,5 +384,65 @@ object Extras {
              |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
              |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
     ),
+    QueryDef(
+      "q58_json_roundtrip",
+      (s, dir) => {
+        // JSON construction (InlineDict/to_json) + nested JsonPath + keys +
+        // array length over untyped JSON strings — only extracted scalars
+        // are compared, so serialization details can't cause false diffs.
+        val js = to_json(struct(
+          col("o_orderkey").as("id"),
+          array(col("o_orderpriority"), col("o_orderstatus")).as("tags"),
+          struct(col("o_totalprice").as("price")).as("meta")))
+        T(s, dir, "orders")
+          .withColumn("js", js)
+          .select(
+            col("o_orderkey"),
+            get_json_object(col("js"), "$.meta.price").cast("double").as("price"),
+            json_array_length(get_json_object(col("js"), "$.tags")).cast("long").as("n_tags"),
+            get_json_object(col("js"), "$.tags[0]").as("first_tag"),
+            array_join(json_object_keys(get_json_object(col("js"), "$.meta")), ",").as("meta_keys"),
+            get_json_object(col("js"), "$.missing").isNull.as("missing_is_null"),
+          )
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |json_extract_string(js, '$.meta.price')::DOUBLE AS price,
+             |json_array_length(js, '$.tags')::BIGINT AS n_tags,
+             |json_extract_string(js, '$.tags[0]') AS first_tag,
+             |array_to_string(json_keys(js, '$.meta'), ',') AS meta_keys,
+             |json_extract_string(js, '$.missing') IS NULL AS missing_is_null
+             |FROM (SELECT o_orderkey, to_json({'id': o_orderkey,
+             |  'tags': [o_orderpriority, o_orderstatus],
+             |  'meta': {'price': o_totalprice}})::VARCHAR AS js FROM orders)
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
+    QueryDef(
+      "q59_try_funcs",
+      (s, dir) => {
+        // per-cell error tolerance (reference on_error='ignore' /
+        // errortype pseudo-columns): failed casts and zero divisions yield
+        // NULL cells plus an errortype marker, never task failure.
+        val divisor = col("o_orderkey") % 3
+        T(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            round(try_divide(col("o_totalprice"), divisor), 6).as("td"),
+            try_cast_long(col("o_orderpriority")).as("bad_cast"),
+            try_cast_long(col("o_orderkey").cast("string")).as("good_cast"),
+            when(divisor === 0, "DivisionByZero").as("errortype"),
+          )
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |round(o_totalprice / nullif(o_orderkey % 3, 0), 6) AS td,
+             |try_cast(o_orderpriority AS BIGINT) AS bad_cast,
+             |try_cast(o_orderkey::VARCHAR AS BIGINT) AS good_cast,
+             |CASE WHEN o_orderkey % 3 = 0 THEN 'DivisionByZero' END AS errortype
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+    ),
   )
+
+  private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.try_cast("long")
 }

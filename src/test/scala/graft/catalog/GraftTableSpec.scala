@@ -98,6 +98,19 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read().filter("id = 2").head().getAs[Double]("score10") == 40.0)
   }
 
+  test("batchUpdate applies keyed updates with cascade, leaves others") {
+    val t = GraftTable.create(spark, freshCatalog(), "t9", cols)
+    t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "score"))
+    val updates = Seq((1L, 10.0), (3L, 30.0)).toDF("id", "score")
+    t.batchUpdate(updates, Seq("id"))
+    val rows = t.read().orderBy("id").collect()
+    assert(rows.map(_.getAs[Double]("score")).toSeq == Seq(10.0, 2.0, 30.0))
+    assert(rows.map(_.getAs[Double]("score4")).toSeq == Seq(40.0, 8.0, 120.0)) // cascade
+    assert(rows.map(_.getAs[String]("name")).toSeq == Seq("a", "b", "c")) // untouched col
+    assert(t.read(Some(1L)).filter("id = 1").head().getAs[Double]("score") == 1.0) // history
+  }
+
   test("mvcc filter pushes down to parquet scan") {
     val t = GraftTable.create(spark, freshCatalog(), "t8", cols)
     t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
