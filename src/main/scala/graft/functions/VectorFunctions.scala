@@ -54,4 +54,23 @@ object VectorFunctions {
   def topKClustered(df: DataFrame, clusterCol: Column, probeClusters: Seq[Int],
       embedding: Column, query: Seq[Double], k: Int): DataFrame =
     topK(df.filter(clusterCol.isin(probeClusters: _*)), embedding, query, k)
+
+  /** Per-row query template (reference `@pxt.query` / `retrieval_udf`,
+    * `func/query_template_function.py:153-193` — SURVEY §7.4 hard part 4):
+    * "for every row of `queries`, run a top-k similarity lookup against
+    * `corpus`" rewritten as ONE broadcast join + per-query window rank —
+    * no per-row subquery execution, one distributed plan.
+    *
+    * `queries` must be broadcast-sized (it is the parameter set, not data).
+    */
+  def topKPerQuery(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String, k: Int): DataFrame = {
+    val score = cosineSimilarity(col(corpusVec), col(queryVec))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryId)).orderBy(score.desc, col(corpusId))
+    corpus.crossJoin(broadcast(queries))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .select(col(queryId), col(corpusId), score.as("_score"), col("_rk"))
+  }
 }

@@ -441,6 +441,62 @@ object Extras {
              |CASE WHEN o_orderkey % 3 = 0 THEN 'DivisionByZero' END AS errortype
              |FROM orders ORDER BY o_orderkey""".stripMargin),
     ),
+    QueryDef(
+      "q60_asof_join",
+      (s, dir) => {
+        // as-of join (Spark has no native one): latest click at-or-before
+        // each purchase per user. Implemented as union + running
+        // last(ignoreNulls) window — one shuffle+sort, linear; the oracle
+        // states the same semantics as a theta join + argmax (quadratic,
+        // fine for DuckDB at oracle scale).
+        import graft.operators.AsOf
+        val ev = T(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("ts").as("cts"))
+        AsOf.joinAsOf(purchases, clicks, "user_id", "ts", "cts", "last_click_ts")
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT p.event_id, p.user_id, p.ts, max(c.cts) AS last_click_ts
+             |FROM (SELECT event_id, user_id, ts FROM events
+             |      WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT user_id AS cu, ts AS cts FROM events
+             |      WHERE event_type = 'click') c
+             |ON c.cu = p.user_id AND c.cts <= p.ts
+             |GROUP BY p.event_id, p.user_id, p.ts
+             |ORDER BY p.event_id""".stripMargin),
+    ),
+    QueryDef(
+      "q61_topk_per_query",
+      (s, dir) => {
+        // per-row query template (reference @pxt.query) as one broadcast
+        // join + window rank: top-3 corpus matches for each query vector.
+        import graft.functions.VectorFunctions
+        val emb = T(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").cast("array<double>").as("qe"))
+        val corpus = emb.filter(col("vec_id") >= 5)
+          .select(col("vec_id").as("cid"), col("embedding").cast("array<double>").as("ce"))
+        VectorFunctions.topKPerQuery(corpus, "cid", "ce", queries, "qid", "qe", 3)
+          .select(col("qid"), col("cid"), round(col("_score"), 6).as("score"),
+            col("_rk").cast("long").as("rk"))
+          .orderBy(col("qid"), col("rk"))
+      },
+      Some("""SELECT qid, cid, round(score, 6) AS score, rk FROM (
+             |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |    list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+             |      (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+             |       sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) AS score,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+             |      (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])) *
+             |       sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) DESC,
+             |      c.vec_id) AS rk
+             |  FROM (SELECT * FROM embeddings WHERE vec_id < 5) q
+             |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 5) c)
+             |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
