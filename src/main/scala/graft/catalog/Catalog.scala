@@ -18,16 +18,17 @@ final case class ColumnDef(
     stored: Boolean = true,
 )
 
-/** One entry of the table's version log. The active file-set at version V is
-  * replayed from the log (Delta-style add/remove); `revert` truncates the
-  * log, leaving later files orphaned (exact reference revert semantics,
-  * `/root/reference/pixeltable/store.py:514-610`).
+/** One entry of the table's version log, tracking individual parquet files
+  * (Delta-style add/remove). File granularity is what makes copy-on-write
+  * writes proportional to the files actually touched, not the table.
+  * `revert` truncates the log, leaving later files orphaned (exact
+  * reference revert semantics, `/root/reference/pixeltable/store.py:514-610`).
   */
 final case class VersionEntry(
     version: Long,
     op: String,
-    addedDirs: Seq[String],
-    removedDirs: Seq[String],
+    added: Seq[String],
+    removed: Seq[String],
     createdAtMs: Long,
 )
 
@@ -42,13 +43,13 @@ final case class TableMeta(
 
   def userColumns: Seq[ColumnDef] = columns
 
-  /** replay the log: dirs visible at `version` */
-  def activeDirs(version: Long): Seq[String] = {
-    var dirs = Vector.empty[String]
+  /** replay the log: parquet files visible at `version` */
+  def activeFiles(version: Long): Seq[String] = {
+    var files = Vector.empty[String]
     versions.takeWhile(_.version <= version).foreach { v =>
-      dirs = dirs.filterNot(v.removedDirs.contains) ++ v.addedDirs
+      files = files.filterNot(v.removed.contains) ++ v.added
     }
-    dirs
+    files
   }
 
   /** computed columns in dependency (topological) order; dependencies are

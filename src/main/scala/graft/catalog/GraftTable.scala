@@ -1,6 +1,6 @@
 package graft.catalog
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A versioned, insertable table with computed columns, MVCC row visibility,
@@ -8,18 +8,17 @@ import org.apache.spark.sql.functions._
   * reference's `InsertableTable` (`/root/reference/pixeltable/catalog/
   * insertable_table.py`, store layout `store.py:27-58`).
   *
-  * Physical layout: parquet dirs under `<warehouse>/<name>/data/v<N>-<op>/`
+  * Physical layout: parquet files under `<warehouse>/<name>/data/v<N>-<op>/`
   * with system columns `_rowid` (stable row identity), `_v_min`/`_v_max`
-  * (row live at V iff `_v_min <= V < _v_max`). A Delta-style add/remove log
-  * in the catalog decides which dirs a version reads; the MVCC filter
-  * `_v_min <= V AND _v_max > V` is applied on top and pushes down to the
-  * parquet scan (verified via PushedFilters in explain).
+  * (row live at V iff `_v_min <= V < _v_max`). The catalog keeps a
+  * Delta-style file-level add/remove log; the MVCC filter
+  * `_v_min <= V AND _v_max > V` pushes down to the parquet scan.
   *
-  * Scale notes: inserts are append-only (one new dir, no rewrite);
-  * delete/update are copy-on-write of the current image — at 100 TB these
-  * would rewrite only the files whose min/max stats can contain matching
-  * rows; that file-level pruning is the known follow-up, the log format
-  * already supports it (removedDirs can be a subset).
+  * Scale behavior: inserts append (new files only). Delete/update/
+  * batchUpdate are file-pruned copy-on-write — `input_file_name()`
+  * identifies the files that actually contain matching live rows and only
+  * those are rewritten; untouched files stay in the manifest. Write cost is
+  * proportional to touched files, not table size.
   * Single-writer-per-table discipline (SURVEY.md §7.4).
   */
 final class GraftTable private (
@@ -40,9 +39,9 @@ final class GraftTable private (
 
   /** Stored image at `version` (system columns included). */
   private def storedAt(m: TableMeta, version: Long): DataFrame = {
-    val dirs = m.activeDirs(version)
-    if (dirs.isEmpty) emptyFrame(m)
-    else spark.read.parquet(dirs: _*)
+    val files = m.activeFiles(version)
+    if (files.isEmpty) emptyFrame(m)
+    else spark.read.parquet(files: _*)
       .filter(col(VMin) <= version && col(VMax) > version)
   }
 
@@ -101,76 +100,93 @@ final class GraftTable private (
       .withColumn(VMax, lit(Live))
     val dir = dataDir(v, "insert")
     df.write.mode("overwrite").parquet(dir)
+    val files = listParquetFiles(dir)
     val maxRow = spark.read.parquet(dir).agg(max(col(RowId))).head
     val maxId = if (maxRow.isNullAt(0)) m.nextRowId - 1 else maxRow.getLong(0)
     catalog.save(m.copy(
-      versions = m.versions :+ entry(v, "insert", Seq(dir), Seq.empty),
+      versions = m.versions :+ entry(v, "insert", files, Seq.empty),
       nextRowId = maxId + 1))
     v
   }
 
-  /** Delete rows matching a SQL predicate: copy-on-write close of matching
-    * live rows (`_v_max := V+1`); history stays readable via time travel.
+  /** Delete rows matching a SQL predicate: file-pruned copy-on-write —
+    * only files containing matching live rows are rewritten with
+    * `_v_max := V+1`; history stays readable via time travel.
     */
   def delete(predicateSql: String): Long = {
     val m = meta
     val v = m.currentVersion + 1
-    val image = storedImage(m)
-    val out = image.withColumn(VMax,
-      when(col(VMax) === Live && expr(predicateSql), lit(v)).otherwise(col(VMax)))
-    rewrite(m, v, "delete", out)
+    withTouchedFiles(m, expr(predicateSql)) match {
+      case None => noopVersion(m, v, "delete")
+      case Some((touchedDf, touchedFiles)) =>
+        val out = touchedDf.withColumn(VMax,
+          when(col(VMax) === Live && expr(predicateSql), lit(v)).otherwise(col(VMax)))
+        rewrite(m, v, "delete", out, touchedFiles)
+    }
   }
 
   /** Update columns on rows matching a predicate; dependent computed columns
-    * are recomputed transitively (reference update cascade,
-    * `plan.py:414-485`). Updated rows keep their `_rowid`.
+    * recompute transitively (reference update cascade, `plan.py:414-485`).
+    * Updated rows keep their `_rowid`. File-pruned like delete.
     */
   def update(setExprs: Map[String, String], predicateSql: String): Long = {
     val m = meta
     val v = m.currentVersion + 1
-    val image = storedImage(m)
-    val hit = col(VMax) === Live && expr(predicateSql)
-    val closed = image.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax)))
-    var updated = image.filter(hit)
-    setExprs.foreach { case (c, e) => updated = updated.withColumn(c, expr(e)) }
-    updated = recomputeCascade(updated, setExprs.keySet, m)
-      .withColumn(VMin, lit(v))
-      .withColumn(VMax, lit(Live))
-      .select(closed.columns.map(col): _*)
-    rewrite(m, v, "update", closed.union(updated))
+    withTouchedFiles(m, expr(predicateSql)) match {
+      case None => noopVersion(m, v, "update")
+      case Some((touchedDf, touchedFiles)) =>
+        val hit = col(VMax) === Live && expr(predicateSql)
+        val closed = touchedDf.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax)))
+        var updated = touchedDf.filter(hit)
+        setExprs.foreach { case (c, e) => updated = updated.withColumn(c, expr(e)) }
+        updated = recomputeCascade(updated, setExprs.keySet, m)
+          .withColumn(VMin, lit(v))
+          .withColumn(VMax, lit(Live))
+          .select(closed.columns.map(col): _*)
+        rewrite(m, v, "update", closed.union(updated), touchedFiles)
+    }
   }
 
   /** Apply per-key updates from a DataFrame (reference batch_update:
     * SqlLookupNode key-list lookup + RowUpdateNode, `exec/sql_node.py:
     * 563-609`, `exec/row_update_node.py:9`): rows matched on `keyCols` take
     * the update frame's other columns as new values; dependent computed
-    * columns recompute transitively; unmatched rows are untouched.
+    * columns recompute transitively; unmatched rows and untouched files
+    * stay as they are.
     */
   def batchUpdate(updates: DataFrame, keyCols: Seq[String]): Long = {
     val m = meta
     val v = m.currentVersion + 1
-    val image = storedImage(m)
     val setCols = updates.columns.filterNot(keyCols.contains).toSeq
     require(setCols.nonEmpty, "batchUpdate needs at least one non-key column")
     val renamed = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"_u_$c"))
+    val image = storedImage(m)
+    if (image.isEmpty) return noopVersion(m, v, "batch_update")
     val joinCond = keyCols.map(k => image(k) === renamed(s"_u_$k")).reduce(_ && _)
     // updates frames are small key-lists: broadcast them
-    val joined = image.join(broadcast(renamed), joinCond, "left_outer")
+    val joined = image.withColumn(FileCol, input_file_name())
+      .join(broadcast(renamed), joinCond, "left_outer")
     val hit = col(VMax) === Live && col(s"_u_${keyCols.head}").isNotNull
-    val dropU = (c: DataFrame) => renamed.columns.foldLeft(c)((d, u) => d.drop(u))
-    val closed = dropU(joined.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax))))
-    var updated = joined.filter(hit)
+    val hitFiles = joined.filter(hit).select(FileCol).distinct()
+      .collect().map(_.getString(0))
+    if (hitFiles.isEmpty) return noopVersion(m, v, "batch_update")
+    val touched = joined.filter(col(FileCol).isin(hitFiles.toSeq: _*))
+    val dropU = (d: DataFrame) =>
+      renamed.columns.foldLeft(d.drop(FileCol))((x, u) => x.drop(u))
+    val closed = dropU(touched.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax))))
+    var updated = touched.filter(hit)
     setCols.foreach(c => updated = updated.withColumn(c, col(s"_u_$c")))
     updated = recomputeCascade(dropU(updated), setCols.toSet, m)
       .withColumn(VMin, lit(v))
       .withColumn(VMax, lit(Live))
       .select(closed.columns.map(col): _*)
-    rewrite(m, v, "batch_update", closed.union(updated))
+    rewrite(m, v, "batch_update", closed.union(updated),
+      manifestFilesMatching(m, hitFiles))
   }
 
   /** Add a (possibly computed) column; existing rows are backfilled in one
     * batch rewrite (reference `add_computed_column` backfill,
-    * `plan.py:1230-1247`).
+    * `plan.py:1230-1247`) — schema changes touch every file by nature.
     */
   def addColumn(c: ColumnDef): Long = {
     val m = meta
@@ -190,13 +206,13 @@ final class GraftTable private (
     val dir = dataDir(v, "add_column")
     out.write.mode("overwrite").parquet(dir)
     catalog.save(newMeta.copy(versions = m.versions :+
-      entry(v, "add_column", Seq(dir), m.activeDirs(m.currentVersion)),
+      entry(v, "add_column", listParquetFiles(dir), m.activeFiles(m.currentVersion)),
       nextRowId = m.nextRowId))
     v
   }
 
   /** Roll the table back to `toVersion`: truncates the version log (later
-    * data dirs become orphans, exactly like the reference's revert).
+    * data files become orphans, exactly like the reference's revert).
     */
   def revert(toVersion: Long): Unit = {
     val m = meta
@@ -212,6 +228,36 @@ final class GraftTable private (
   }
 
   // ---------- internals ----------
+
+  /** Locate the active files containing live rows matching `pred`; returns
+    * the stored rows of ONLY those files plus the manifest paths, or None
+    * if nothing matches.
+    */
+  private def withTouchedFiles(m: TableMeta, pred: org.apache.spark.sql.Column)
+      : Option[(DataFrame, Seq[String])] = {
+    val files = m.activeFiles(m.currentVersion)
+    if (files.isEmpty) return None
+    val df = spark.read.parquet(files: _*).withColumn(FileCol, input_file_name())
+    val hitFiles = df.filter(col(VMax) === Live && pred)
+      .select(FileCol).distinct().collect().map(_.getString(0))
+    if (hitFiles.isEmpty) None
+    else Some((
+      df.filter(col(FileCol).isin(hitFiles.toSeq: _*)).drop(FileCol),
+      manifestFilesMatching(m, hitFiles)))
+  }
+
+  /** map input_file_name() URIs back to their manifest entries */
+  private def manifestFilesMatching(m: TableMeta, fileUris: Seq[String]): Seq[String] = {
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val hit = fileUris.map(norm).toSet
+    m.activeFiles(m.currentVersion).filter(f => hit.contains(norm(f)))
+  }
+
+  /** full stored image (live + dead rows) of the touched file-set */
+  private def storedImage(m: TableMeta): DataFrame = {
+    val files = m.activeFiles(m.currentVersion)
+    if (files.isEmpty) emptyFrame(m) else spark.read.parquet(files: _*)
+  }
 
   /** recompute every stored computed column transitively downstream of the
     * dirty set (reference update cascade, `plan.py:414-485`).
@@ -231,18 +277,26 @@ final class GraftTable private (
     df
   }
 
-  /** full stored image (live + dead rows) at current version's file set */
-  private def storedImage(m: TableMeta): DataFrame = {
-    val dirs = m.activeDirs(m.currentVersion)
-    if (dirs.isEmpty) emptyFrame(m) else spark.read.parquet(dirs: _*)
-  }
-
-  private def rewrite(m: TableMeta, v: Long, op: String, out: DataFrame): Long = {
+  private def rewrite(m: TableMeta, v: Long, op: String, out: DataFrame,
+      removedFiles: Seq[String]): Long = {
     val dir = dataDir(v, op)
     out.write.mode("overwrite").parquet(dir)
     catalog.save(m.copy(versions = m.versions :+
-      entry(v, op, Seq(dir), m.activeDirs(m.currentVersion))))
+      entry(v, op, listParquetFiles(dir), removedFiles)))
     v
+  }
+
+  private def noopVersion(m: TableMeta, v: Long, op: String): Long = {
+    catalog.save(m.copy(versions = m.versions :+ entry(v, op, Seq.empty, Seq.empty)))
+    v
+  }
+
+  private def listParquetFiles(dir: String): Seq[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted.toSeq
   }
 
   private def entry(v: Long, op: String, added: Seq[String], removed: Seq[String]) =
@@ -254,6 +308,7 @@ object GraftTable {
   val VMin = "_v_min"
   val VMax = "_v_max"
   val Live: Long = Long.MaxValue
+  private val FileCol = "_file"
 
   def create(spark: SparkSession, catalog: Catalog, name: String,
       columns: Seq[ColumnDef]): GraftTable = {

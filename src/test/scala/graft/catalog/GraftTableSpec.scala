@@ -111,6 +111,30 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read(Some(1L)).filter("id = 1").head().getAs[Double]("score") == 1.0) // history
   }
 
+  test("delete rewrites only files containing matching rows") {
+    val t = GraftTable.create(spark, freshCatalog(), "t10", cols)
+    t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
+    t.insert(Seq((2L, "b", 2.0)).toDF("id", "name", "score"))
+    val before = t.meta.activeFiles(t.currentVersion)
+    val batch2Files = before.filter(_.contains("v2-insert")).toSet
+    assert(batch2Files.nonEmpty)
+    t.delete("id = 1") // only batch-1's file contains id=1
+    val after = t.meta.activeFiles(t.currentVersion).toSet
+    assert(batch2Files.subsetOf(after), "untouched batch-2 files were rewritten")
+    assert(after.forall(f => !f.contains("v1-insert")), "touched file not removed")
+    assert(t.read().select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(t.read(Some(2L)).count() == 2) // history intact
+  }
+
+  test("delete with no matches is a no-op version") {
+    val t = GraftTable.create(spark, freshCatalog(), "t11", cols)
+    t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
+    val files = t.meta.activeFiles(t.currentVersion)
+    t.delete("id = 999")
+    assert(t.meta.activeFiles(t.currentVersion) == files)
+    assert(t.read().count() == 1)
+  }
+
   test("mvcc filter pushes down to parquet scan") {
     val t = GraftTable.create(spark, freshCatalog(), "t8", cols)
     t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
