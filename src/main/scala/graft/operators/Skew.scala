@@ -31,4 +31,14 @@ object Skew {
   def clusterForPruning(df: DataFrame, cols: String*): DataFrame =
     df.repartitionByRange(cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
+
+  /** Write a table bucketed+sorted on the join key. Two tables bucketed the
+    * same way join with NO shuffle on either side (co-located join) — the
+    * pre-shuffle investment for fact-fact joins repeated at 100 TB.
+    * Requires a session catalog (saveAsTable), not a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }

@@ -497,6 +497,57 @@ object Extras {
              |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id >= 5) c)
              |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
     ),
+    QueryDef(
+      "q62_ts_construct",
+      (s, dir) => {
+        // timestamp constructors + interval arithmetic (reference
+        // make_timestamp / add_days / replace, `functions/timestamp.py`).
+        T(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            make_timestamp(year(col("o_orderdate")), month(col("o_orderdate")),
+              dayofmonth(col("o_orderdate")), lit(12), lit(30), lit(0))
+              .cast("timestamp_ntz").as("noon"),
+            (col("o_orderdate") + expr("INTERVAL 3 MONTHS")).as("plus3m"),
+            (col("o_orderdate") - expr("INTERVAL 90 DAYS")).as("minus90d"),
+            datediff(lit("2000-01-01").cast("timestamp"), col("o_orderdate"))
+              .cast("long").as("days_to_2000"),
+            last_day(col("o_orderdate")).cast("string").as("month_end"),
+          )
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey,
+             |make_timestamp(year(o_orderdate)::BIGINT, month(o_orderdate)::BIGINT,
+             |  dayofmonth(o_orderdate)::BIGINT, 12, 30, 0.0) AS noon,
+             |o_orderdate + INTERVAL 3 MONTH AS plus3m,
+             |o_orderdate - INTERVAL 90 DAY AS minus90d,
+             |date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_2000,
+             |last_day(o_orderdate)::VARCHAR AS month_end
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+    ),
+    QueryDef(
+      "q63_uuid_synth",
+      (s, dir) => {
+        // deterministic content-derived UUID (reference uuid family,
+        // `functions/uuid.py` — uuid4/uuid7 are nondeterministic and can't
+        // be oracle-checked; the deterministic v5-style form can).
+        val h = md5(concat_ws("_", lit("graft"), col("doc_id").cast("string")))
+        val uuid = concat_ws("-",
+          substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+          substring(h, 17, 4), substring(h, 21, 12))
+        T(s, dir, "documents")
+          .select(col("doc_id"), uuid.as("doc_uuid"),
+            substring(h, 1, 8).as("short_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |concat_ws('-', substr(h, 1, 8), substr(h, 9, 4), substr(h, 13, 4),
+             |  substr(h, 17, 4), substr(h, 21, 12)) AS doc_uuid,
+             |substr(h, 1, 8) AS short_id
+             |FROM (SELECT doc_id, md5('graft' || '_' || doc_id::VARCHAR) AS h
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -49,6 +49,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plain.collect().toSeq == salted.collect().toSeq)
   }
 
+  test("bucketed tables join without a shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Skew.writeBucketed((1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "a"),
+        "bkt_left", "k", 4)
+      Skew.writeBucketed((1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "b"),
+        "bkt_right", "k", 4)
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
+  test("GraftExtensions wires the native function catalog") {
+    // a shared test JVM can't build a second session with different
+    // extensions (getOrCreate reuses the active one), so: apply the
+    // extension to a fresh SparkSessionExtensions (must not throw) and
+    // drive the registered builder directly.
+    new graft.plans.GraftExtensions()(new org.apache.spark.sql.SparkSessionExtensions)
+    val (_, _, builder) = graft.plans.GraftExtensions.functions.head
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val arr = Literal.create(ArrayData.toArrayData(Array(1.0, 0.0)), ArrayType(DoubleType))
+    val result = builder(Seq(arr, arr)).eval(null).asInstanceOf[Double]
+    assert(math.abs(result - 1.0) < 1e-12)
+  }
+
   test("clusterForPruning produces range-clustered output") {
     val df = (1 to 1000).reverse.map(i => (i.toLong, s"r$i")).toDF("id", "s")
     val clustered = Skew.clusterForPruning(df, "id")
