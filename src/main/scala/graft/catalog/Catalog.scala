@@ -107,6 +107,16 @@ final class Catalog(val warehouse: String) {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  def dropTable(table: String): Unit = {
+    val dir = Paths.get(warehouse, table)
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally s.close()
+    }
+  }
+
   def listTables(): Seq[String] = {
     val w = Paths.get(warehouse)
     if (!Files.exists(w)) Seq.empty

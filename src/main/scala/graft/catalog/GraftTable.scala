@@ -220,6 +220,32 @@ final class GraftTable private (
     catalog.save(m.copy(versions = m.versions.filter(_.version <= toVersion)))
   }
 
+  /** Physically remove data files no longer reachable from any version ≤
+    * current (orphans left behind by revert). Named snapshots always stay
+    * reachable because they pin log versions. Irreversible: time travel to
+    * reverted-away versions is gone after vacuum.
+    */
+  def vacuum(): Seq[String] = {
+    val m = meta
+    val reachable = m.versions.flatMap(_.added).toSet
+    def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath
+    val reachableNorm = reachable.map(norm)
+    val dataRoot = new org.apache.hadoop.fs.Path(s"${catalog.warehouse}/$name/data")
+    val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dataRoot)) return Seq.empty
+    val it = fs.listFiles(dataRoot, true)
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toString
+      if (f.getPath.getName.startsWith("part-") && !reachableNorm.contains(norm(p))) {
+        fs.delete(f.getPath, false)
+        removed += p
+      }
+    }
+    removed.toSeq
+  }
+
   /** Pin the current version under a name (immutable snapshot). */
   def createSnapshot(snapshot: String): Long = {
     val m = meta

@@ -548,6 +548,35 @@ object Extras {
              |      FROM documents)
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q64_cube",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), round(avg(col("l_discount")), 6).as("avg_disc"))
+          .orderBy(col("l_returnflag"), col("l_linestatus")) // asc = nulls first
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |round(avg(l_discount), 6) AS avg_disc
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+    ),
+    QueryDef(
+      "q65_setops_all",
+      (s, dir) => {
+        // bag-semantics set ops (intersectAll/exceptAll keep duplicates)
+        val a = T(s, dir, "lineitem").select(col("l_suppkey").as("k")).filter(col("k") < 20)
+        val b = T(s, dir, "lineitem").select(col("l_partkey").as("k")).filter(col("k") < 20)
+        a.intersectAll(b)
+          .groupBy(col("k")).agg(count(lit(1)).as("n"))
+          .orderBy(col("k"))
+      },
+      Some("""SELECT k, count(*) AS n FROM (
+             |  SELECT l_suppkey AS k FROM lineitem WHERE l_suppkey < 20
+             |  INTERSECT ALL
+             |  SELECT l_partkey FROM lineitem WHERE l_partkey < 20)
+             |GROUP BY k ORDER BY k""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

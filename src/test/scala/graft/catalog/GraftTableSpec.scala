@@ -135,6 +135,21 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read().count() == 1)
   }
 
+  test("vacuum deletes orphans from revert, keeps reachable history") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "t12", cols)
+    val v1 = t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
+    t.insert(Seq((2L, "b", 2.0)).toDF("id", "name", "score"))
+    t.revert(v1)
+    val removed = t.vacuum()
+    assert(removed.nonEmpty, "expected orphaned v2 files to be deleted")
+    assert(removed.forall(_.contains("v2-insert")))
+    assert(t.read().count() == 1) // current state intact
+    assert(t.vacuum().isEmpty)    // idempotent
+    cat.dropTable("t12")
+    assert(!cat.exists("t12"))
+  }
+
   test("mvcc filter pushes down to parquet scan") {
     val t = GraftTable.create(spark, freshCatalog(), "t8", cols)
     t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
