@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's json family (`/root/reference/pixeltable/functions/
+  * json.py:26-619`) over UNTYPED JSON string columns (the reference's Json
+  * type is dynamic; SURVEY §7.4 hard part 3): scalar reducers operate on a
+  * JSON array **within one row** (per-row, not across rows), mirroring
+  * `json.sum/min/max/mean/count`.
+  */
+object Jsons {
+
+  private def darr(js: Column): Column = from_json(js, ArrayType(DoubleType))
+
+  def dumps(c: Column): Column = to_json(c)
+  def len(js: Column): Column = json_array_length(js).cast("long")
+  def is_empty(js: Column): Column = json_array_length(js) === 0
+  def contains(js: Column, path: String): Column =
+    get_json_object(js, path).isNotNull
+  def get(js: Column, path: String): Column = get_json_object(js, path)
+  def sum(js: Column): Column =
+    aggregate(darr(js), lit(0.0), (a, x) => a + x)
+  def min(js: Column): Column = array_min(darr(js))
+  def max(js: Column): Column = array_max(darr(js))
+  def mean(js: Column): Column = sum(js) / size(darr(js))
+  def count(js: Column): Column = size(darr(js)).cast("long")
+  def keys(js: Column): Column = json_object_keys(js)
+  def values(js: Column): Column =
+    map_values(from_json(js, MapType(StringType, StringType)))
+  def items(js: Column): Column =
+    map_entries(from_json(js, MapType(StringType, StringType)))
+  def flatten(js: Column): Column =
+    to_json(org.apache.spark.sql.functions.flatten(
+      from_json(js, ArrayType(ArrayType(StringType)))))
+  def concat(a: Column, b: Column): Column =
+    to_json(org.apache.spark.sql.functions.concat(
+      from_json(a, ArrayType(StringType)), from_json(b, ArrayType(StringType))))
+  def merge(a: Column, b: Column): Column =
+    to_json(map_concat(
+      from_json(a, MapType(StringType, StringType)),
+      from_json(b, MapType(StringType, StringType))))
+  /** make_list UDA: collect values into a JSON list (deterministic order). */
+  def make_list(c: Column): Column = to_json(sort_array(collect_list(c)))
+}

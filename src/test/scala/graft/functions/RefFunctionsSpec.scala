@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Python-semantics checks for the reference function families — expected
+  * values hand-computed from CPython behavior.
+  */
+class RefFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq("x").toDF("dummy").select(c.as("r")).head().getAs[T]("r")
+
+  private def oneSeq(c: org.apache.spark.sql.Column): Seq[String] =
+    Seq("x").toDF("dummy").select(c.as("r")).head()
+      .getAs[scala.collection.Seq[String]]("r").toList
+
+  test("string family python semantics") {
+    assert(one[String](Strings.capitalize(lit("hELLO wOrld"))) == "Hello world")
+    assert(one[Long](Strings.find(lit("hello"), "zz")) == -1L)
+    assert(one[Long](Strings.find(lit("hello"), "l")) == 2L)
+    assert(one[Long](Strings.rfind(lit("abcabc"), "abc")) == 3L)
+    assert(one[Long](Strings.rfind(lit("abcabc"), "zz")) == -1L)
+    assert(one[Long](Strings.count(lit("aaaa"), "aa")) == 2L) // non-overlapping
+    assert(one[String](Strings.center(lit("ab"), 5, "*")) == "*ab**")
+    assert(one[String](Strings.swapcase(lit("AbC"))) == "aBc")
+    assert(one[String](Strings.title(lit("x1y two"))) == "X1Y Two") // alpha-run semantics
+    assert(one[Boolean](Strings.istitle(lit("Hello World"))))
+    assert(!one[Boolean](Strings.istitle(lit("Hello world"))))
+    assert(one[String](Strings.removeprefix(lit("testcase"), "test")) == "case")
+    assert(one[String](Strings.removeprefix(lit("case"), "test")) == "case")
+    assert(oneSeq(Strings.partition(lit("a=b=c"), "=")) == Seq("a", "=", "b=c"))
+    assert(oneSeq(Strings.rpartition(lit("a=b=c"), "=")) == Seq("a=b", "=", "c"))
+    assert(oneSeq(Strings.partition(lit("abc"), "=")) == Seq("abc", "", ""))
+    assert(one[String](Strings.slice(lit("hello"), 1, 3)) == "el") // s[1:3]
+    assert(one[String](Strings.slice_replace(lit("hello"), 1, 3, "XY")) == "hXYlo")
+    assert(one[String](Strings.zfill(lit("-42"), 6)) == "-00042")
+    assert(oneSeq(Strings.wrap(lit("aa bb cc dd"), 5)) == Seq("aa bb", "cc dd"))
+    assert(one[Boolean](Strings.isidentifier(lit("_x1"))))
+    assert(!one[Boolean](Strings.isidentifier(lit("1x"))))
+  }
+
+  test("timestamp family") {
+    val ts = lit("2024-07-01 10:20:30.123456").cast("timestamp")
+    assert(one[Long](Timestamps.weekday(ts)) == 0L)      // Monday = 0
+    assert(one[Long](Timestamps.isoweekday(ts)) == 1L)   // Monday = 1
+    assert(one[Long](Timestamps.microsecond(ts)) == 123456L)
+    assert(one[Long](Timestamps.toordinal(lit("0001-01-01").cast("timestamp"))) == 1L)
+    assert(one[String](Timestamps.isoformat(ts)) == "2024-07-01T10:20:30")
+    assert(one[Double](Timestamps.posix_timestamp(
+      lit("1970-01-01 00:00:01.5").cast("timestamp"))) == 1.5)
+  }
+
+  test("json family per-row reducers") {
+    val arr = lit("""[1.0, 2.0, 3.0]""")
+    assert(one[Double](Jsons.sum(arr)) == 6.0)
+    assert(one[Double](Jsons.mean(arr)) == 2.0)
+    assert(one[Long](Jsons.count(arr)) == 3L)
+    assert(one[Long](Jsons.len(arr)) == 3L)
+    val obj = lit("""{"a": "1", "b": "2"}""")
+    assert(oneSeq(Jsons.keys(obj)) == Seq("a", "b"))
+    assert(oneSeq(Jsons.values(obj)) == Seq("1", "2"))
+    assert(one[String](Jsons.merge(lit("""{"a":"1"}"""), lit("""{"b":"2"}"""))) ==
+      """{"a":"1","b":"2"}""")
+    assert(one[String](Jsons.get(obj, "$.b")) == "2")
+  }
+
+  test("math family") {
+    assert(one[Long](Maths.bitwise_xor(lit(6L), lit(3L))) == 5L)
+    assert(one[Long](Maths.to_int(lit(3.9))) == 3L)
+    assert(one[Double](Maths.round(lit(2.345), 2)) == 2.35)
+  }
+}
