@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udf
+
+/** Detection-evaluation ops (reference `/root/reference/pixeltable/
+  * functions/vision.py:100-281`, mmdet-style matching): per-row
+  * `evalDetections` produces TP/FP flags per class, and `MeanAp` aggregates
+  * them into per-class average precision across the table. Pure math — no
+  * image decode — so this is full-fidelity reference surface.
+  *
+  * Matching semantics (as the reference): predictions are visited in
+  * descending score; a prediction is TP iff its best-IoU ground-truth box
+  * has IoU >= minIou and is not yet matched; every other prediction is FP.
+  * One deliberate fix vs the reference: tp/fp flags are emitted in
+  * descending-score order, aligned with the emitted scores (the reference
+  * emits flags in input order but scores sorted, which misaligns them when
+  * inputs are unsorted).
+  */
+object Vision {
+
+  final case class DetectionEval(
+      min_iou: Double, category: Int, tp: Seq[Int], fp: Seq[Int],
+      scores: Seq[Double], num_gts: Int)
+
+  private val Eps: Double = java.lang.Math.ulp(1.0f).toDouble
+
+  private[functions] def bboxArea(b: Seq[Double]): Double =
+    (b(2) - b(0)) * (b(3) - b(1))
+
+  /** IoU of two xyxy boxes (float-eps clamped union, like the reference). */
+  def iou(b1: Seq[Double], b2: Seq[Double]): Double = {
+    val w = math.max(math.min(b1(2), b2(2)) - math.max(b1(0), b2(0)), 0.0)
+    val h = math.max(math.min(b1(3), b2(3)) - math.max(b1(1), b2(1)), 0.0)
+    val inter = w * h
+    inter / math.max(bboxArea(b1) + bboxArea(b2) - inter, Eps)
+  }
+
+  /** One image's detections vs ground truth → one eval per label class. */
+  def evalDetections(
+      predBoxes: Seq[Seq[Double]], predLabels: Seq[Int], predScores: Seq[Double],
+      gtBoxes: Seq[Seq[Double]], gtLabels: Seq[Int], minIou: Double = 0.5,
+  ): Seq[DetectionEval] = {
+    val classes = (predLabels ++ gtLabels).distinct.sorted
+    classes.map { cls =>
+      val pIdx = predLabels.indices.filter(predLabels(_) == cls)
+      val gIdx = gtLabels.indices.filter(gtLabels(_) == cls)
+      val order = pIdx.sortBy(i => -predScores(i)) // descending score
+      val gtCovered = Array.fill(gIdx.length)(false)
+      val tp = scala.collection.mutable.ArrayBuffer.empty[Int]
+      order.foreach { i =>
+        val ious = gIdx.map(g => iou(predBoxes(i), gtBoxes(g)))
+        val best = if (ious.isEmpty) -1 else ious.indices.maxBy(ious(_))
+        if (best >= 0 && ious(best) >= minIou && !gtCovered(best)) {
+          gtCovered(best) = true; tp += 1
+        } else tp += 0
+      }
+      DetectionEval(minIou, cls, tp.toSeq, tp.map(1 - _).toSeq,
+        order.map(predScores(_)), gIdx.length)
+    }
+  }
+
+  /** UDF form for DataFrame use: boxes as array<array<double>>. */
+  val evalDetectionsUdf = udf(
+    (pb: Seq[Seq[Double]], pl: Seq[Int], ps: Seq[Double],
+        gb: Seq[Seq[Double]], gl: Seq[Int], minIou: Double) =>
+      evalDetections(pb, pl, ps, gb, gl, minIou))
+
+  final case class ClassAcc(
+      tp: List[Int], fp: List[Int], scores: List[Double], numGts: Int)
+
+  /** mean_ap UDA: aggregates evalDetections rows into per-class AP using
+    * all-point interpolation (monotone precision envelope), exactly the
+    * reference's computation. Partial-aggregation friendly.
+    */
+  object MeanAp extends Aggregator[Seq[DetectionEval], Map[Int, ClassAcc], Map[Int, Double]] {
+    def zero: Map[Int, ClassAcc] = Map.empty
+
+    def reduce(b: Map[Int, ClassAcc], evals: Seq[DetectionEval]): Map[Int, ClassAcc] =
+      evals.foldLeft(b) { (acc, e) =>
+        val cur = acc.getOrElse(e.category, ClassAcc(Nil, Nil, Nil, 0))
+        acc.updated(e.category, ClassAcc(
+          cur.tp ++ e.tp, cur.fp ++ e.fp, cur.scores ++ e.scores,
+          cur.numGts + e.num_gts))
+      }
+
+    def merge(a: Map[Int, ClassAcc], b: Map[Int, ClassAcc]): Map[Int, ClassAcc] =
+      (a.keySet ++ b.keySet).map { k =>
+        val x = a.getOrElse(k, ClassAcc(Nil, Nil, Nil, 0))
+        val y = b.getOrElse(k, ClassAcc(Nil, Nil, Nil, 0))
+        k -> ClassAcc(x.tp ++ y.tp, x.fp ++ y.fp, x.scores ++ y.scores,
+          x.numGts + y.numGts)
+      }.toMap
+
+    def finish(b: Map[Int, ClassAcc]): Map[Int, Double] = b.map { case (cls, acc) =>
+      val order = acc.scores.indices.sortBy(i => -acc.scores(i))
+      var tpCum = 0.0
+      var fpCum = 0.0
+      val pr = order.map { i =>
+        tpCum += acc.tp(i); fpCum += acc.fp(i)
+        (tpCum / math.max(tpCum + fpCum, Eps), tpCum / math.max(acc.numGts, Eps))
+      }
+      // all-point interpolation: envelope precision from the right, sum
+      // precision * recall-step at every recall change
+      val mrec = 0.0 +: pr.map(_._2) :+ 1.0
+      val mpre = (0.0 +: pr.map(_._1) :+ 0.0).toArray
+      for (i <- mpre.length - 1 until 0 by -1)
+        mpre(i - 1) = math.max(mpre(i - 1), mpre(i))
+      val ap = (0 until mrec.length - 1).collect {
+        case i if mrec(i + 1) != mrec(i) => (mrec(i + 1) - mrec(i)) * mpre(i + 1)
+      }.sum
+      cls -> ap
+    }
+
+    def bufferEncoder: Encoder[Map[Int, ClassAcc]] = Encoders.kryo[Map[Int, ClassAcc]]
+    def outputEncoder: Encoder[Map[Int, Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Int, Double]]()
+  }
+
+  def mean_ap(evals: Column): Column =
+    org.apache.spark.sql.functions.udaf(MeanAp).apply(evals)
+}

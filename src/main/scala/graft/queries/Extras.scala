@@ -577,6 +577,30 @@ object Extras {
              |  SELECT l_partkey FROM lineitem WHERE l_partkey < 20)
              |GROUP BY k ORDER BY k""".stripMargin),
     ),
+    QueryDef(
+      "q66_mean_ap",
+      (s, dir) => {
+        // detection-eval pipeline (reference eval_detections + mean_ap UDA,
+        // `functions/vision.py:176-281`) over synthetic deterministic boxes;
+        // AP math is not reasonably SQL-expressible → rows-only check.
+        import graft.functions.Vision
+        val box = array(lit(0.0), lit(0.0), col("l_quantity"), col("l_quantity"))
+        val gtBox = array(lit(0.0), lit(0.0),
+          col("l_quantity") + (col("l_orderkey") % 3).cast("double"),
+          col("l_quantity") + (col("l_orderkey") % 3).cast("double"))
+        T(s, dir, "lineitem")
+          .filter(col("l_suppkey") < 50)
+          .select(col("l_returnflag"),
+            Vision.evalDetectionsUdf(
+              array(box), array((col("l_linenumber") % 2).cast("int")),
+              array(lit(0.9)), array(gtBox),
+              array((col("l_linenumber") % 2).cast("int")), lit(0.5)).as("evals"))
+          .groupBy(col("l_returnflag"))
+          .agg(Vision.mean_ap(col("evals")).as("ap_by_class"))
+          .orderBy(col("l_returnflag"))
+      },
+      None,
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
