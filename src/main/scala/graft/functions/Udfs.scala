@@ -30,6 +30,23 @@ object Udfs {
     }
   }
 
+  /** uuid4: random v4 UUID (nondeterministic, like reference
+    * `functions/uuid.py:14`).
+    */
+  val uuid4 = udf(() => java.util.UUID.randomUUID().toString).asNondeterministic()
+
+  /** uuid7: time-ordered UUID (reference `functions/uuid.py:29`):
+    * 48-bit unix-ms timestamp + version/variant bits + random — sortable by
+    * creation time, the reference's preferred row id generator.
+    */
+  val uuid7 = udf { () =>
+    val ms = System.currentTimeMillis()
+    val rnd = java.util.concurrent.ThreadLocalRandom.current()
+    val hi = (ms << 16) | 0x7000L | (rnd.nextLong() & 0x0fffL)
+    val lo = (rnd.nextLong() & 0x3fffffffffffffffL) | 0x8000000000000000L
+    new java.util.UUID(hi, lo).toString
+  }.asNondeterministic()
+
   /** Python `str.zfill(width)`: left-pad with zeros, sign-aware. */
   val zfill = udf { (s: String, width: Int) =>
     if (s == null) null

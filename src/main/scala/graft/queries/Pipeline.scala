@@ -226,7 +226,12 @@ object Pipeline {
           .select(col("doc_id"), shingles(col("text")).as("sh"))
         val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
         val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
-        a.join(b, col("doc_a") < col("doc_b"))
+        // size-ratio prefilter: jaccard >= t implies min(|A|,|B|)/max(|A|,|B|)
+        // >= t, so the cheap size comparison prunes pairs before the
+        // expensive set intersection. Result set is provably unchanged.
+        a.join(b, col("doc_a") < col("doc_b") &&
+            size(col("sha")).cast("double") >= lit(0.6) * size(col("shb")) &&
+            size(col("shb")).cast("double") >= lit(0.6) * size(col("sha")))
           .select(col("doc_a"), col("doc_b"),
             round(size(array_intersect(col("sha"), col("shb")))
               .cast("double") / size(array_union(col("sha"), col("shb"))), 6).as("jaccard"))
