@@ -27,16 +27,13 @@ object Multimodal {
     StructField("errormsg", StringType),
   ))
 
-  /** STUB image decode: header-derived deterministic dimensions. A real
-    * deployment swaps `decodeImage` for a codec (javax.imageio / JavaCV)
-    * without touching the dataflow.
+  /** Real image decode via the JDK's headless javax.imageio (see
+    * `graft.functions.Images` for the full op family). Decode failures are
+    * captured per cell by `withImageMeta`.
     */
   private[multimodal] def decodeImage(bytes: Array[Byte]): (Int, Int, String) = {
-    if (bytes == null || bytes.length < 4)
-      throw new IllegalArgumentException("not an image: payload too short")
-    val w = 1 + (bytes(0) & 0x7f)
-    val h = 1 + (bytes(1) & 0x7f)
-    (w, h, if ((bytes(2) & 1) == 0) "RGB" else "L")
+    val img = graft.functions.Images.decode(bytes)
+    (img.getWidth, img.getHeight, graft.functions.Images.mode(img))
   }
 
   /** Attach decoded metadata for a binary media column. Runs as a

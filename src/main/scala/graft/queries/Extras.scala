@@ -601,6 +601,53 @@ object Extras {
       },
       None,
     ),
+    QueryDef(
+      "q67_image_pipeline",
+      (s, dir) => {
+        // REAL image codec in the oracle gate: synthesize a PNG per row with
+        // id-derived dimensions, resize it, decode metadata — output dims
+        // must match the oracle's closed-form arithmetic.
+        import graft.functions.Images
+        val w0 = (col("doc_id") % 16 + 8).cast("int")
+        val h0 = (col("doc_id") % 8 + 8).cast("int")
+        val rgb = (col("doc_id") * 1000 % 0xffffff).cast("int")
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("png", Images.makeSolidPng(w0, h0, rgb))
+          .withColumn("meta",
+            Images.getMetadata(Images.resize(col("png"), (w0 * 2).cast("int"), h0)))
+          .select(col("doc_id"),
+            col("meta._1").cast("long").as("rw"),
+            col("meta._2").cast("long").as("rh"),
+            col("meta._3").as("mode"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |(doc_id % 16 + 8) * 2 AS rw,
+             |doc_id % 8 + 8 AS rh,
+             |'RGB' AS mode
+             |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "q68_variant",
+      (s, dir) => {
+        // Spark 4 VariantType for untyped JSON (SURVEY §1.2 Json mapping):
+        // parse once, extract typed values lazily.
+        T(s, dir, "events")
+          .withColumn("v", parse_json(col("props")))
+          .select(
+            col("event_id"),
+            try_variant_get(col("v"), "$.k", "long").as("k_var"),
+            try_variant_get(col("v"), "$.missing", "string").isNull
+              .as("missing_null"),
+          )
+          .orderBy(col("event_id"))
+      },
+      Some("""SELECT event_id,
+             |json_extract_string(props, '$.k')::BIGINT AS k_var,
+             |json_extract_string(props, '$.missing') IS NULL AS missing_null
+             |FROM events ORDER BY event_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

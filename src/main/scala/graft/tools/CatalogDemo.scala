@@ -64,9 +64,11 @@ object CatalogDemo {
     println("[demo] embedding index top-2 for (1,0):")
     idx.search(Seq(1.0, 0.0), 2).show(false)
 
-    val media = Seq(("img1", "payload-bytes-here"), ("broken", "x"))
-      .toDF("name", "payload").withColumn("bytes", col("payload").cast("binary"))
-    println("[demo] multimodal metadata with error capture:")
+    val media = Seq(
+      ("img1", graft.functions.Images.solidPng(64, 32, 0x336699)),
+      ("broken", "not an image".getBytes("UTF-8")),
+    ).toDF("name", "bytes")
+    println("[demo] multimodal metadata (real javax.imageio decode) with error capture:")
     Multimodal.withImageMeta(media, "bytes", "meta").select("name", "meta.*").show(false)
 
     // io connectors: csv round-trip into a versioned table

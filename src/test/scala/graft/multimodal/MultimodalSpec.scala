@@ -9,16 +9,18 @@ class MultimodalSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("image metadata extraction with per-cell error capture") {
-    val df = Seq(("ok", "some image payload bytes"), ("bad", "xx"))
-      .toDF("name", "payload")
-      .withColumn("bytes", col("payload").cast("binary"))
+    val df = Seq(
+      ("ok", graft.functions.Images.solidPng(40, 20, 0x336699)),
+      ("bad", "not an image".getBytes("UTF-8")),
+    ).toDF("name", "bytes")
     val out = Multimodal.withImageMeta(df, "bytes", "meta")
     val rows = out.select("name", "meta.*").orderBy("name").collect()
     val bad = rows(0)
     assert(bad.getAs[String]("errortype") == "IllegalArgumentException")
     assert(bad.isNullAt(bad.fieldIndex("width")))
     val ok = rows(1)
-    assert(ok.getAs[Int]("width") > 0 && ok.getAs[String]("mode") != null)
+    assert(ok.getAs[Int]("width") == 40 && ok.getAs[Int]("height") == 20)
+    assert(ok.getAs[String]("mode") == "RGB")
     assert(ok.isNullAt(ok.fieldIndex("errortype")))
   }
 
