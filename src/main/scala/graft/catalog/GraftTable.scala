@@ -81,6 +81,11 @@ final class GraftTable private (
     storedAt(m, version.getOrElse(m.currentVersion))
   }
 
+  /** Full row history — live AND closed rows, no MVCC visibility filter
+    * (change-data-feed style; used by view maintenance to see deletions).
+    */
+  def readHistory(): DataFrame = storedImage(meta)
+
   // ---------- write path ----------
 
   /** Append rows. Stored computed columns are evaluated in dependency order

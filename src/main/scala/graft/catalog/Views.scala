@@ -84,5 +84,31 @@ object Views {
     v
   }
 
+  /** Full incremental sync: propagate base DELETEs and UPDATEs in addition
+    * to inserts (reference update/delete cascade into views,
+    * `plan.py:414-485`). Base rows closed since the last sync get their
+    * view expansions deleted; updated base rows (closed + reinserted under
+    * the same `_rowid`) are re-expanded by the insert path.
+    */
+  def syncComponentView(view: GraftTable, base: GraftTable,
+      iteratorExprSql: String, valueCol: String, keepCols: Seq[String]): Long = {
+    val lastSeen = view.meta.snapshots.getOrElse(lastSeenKey(base), 0L)
+    val baseVersion = base.currentVersion
+    if (baseVersion > lastSeen) {
+      // rows closed (deleted or replaced) after the last sync — must read
+      // history, not the MVCC-visible image, to see them
+      val closed = base.readHistory()
+        .filter(col(GraftTable.VMax) > lastSeen &&
+          col(GraftTable.VMax) =!= GraftTable.Live)
+        .select(col(GraftTable.RowId)).distinct()
+        .collect().map(_.getLong(0))
+      if (closed.nonEmpty)
+        closed.grouped(10000).foreach { chunk =>
+          view.delete(s"$BaseRowId IN (${chunk.mkString(",")})")
+        }
+    }
+    refreshComponentView(view, base, iteratorExprSql, valueCol, keepCols)
+  }
+
   private def lastSeenKey(base: GraftTable) = s"__last_seen_base_${base.name}"
 }

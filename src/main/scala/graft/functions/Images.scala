@@ -112,4 +112,54 @@ object Images {
   val b64Encode = udf { (bytes: Array[Byte]) =>
     java.util.Base64.getEncoder.encodeToString(bytes)
   }
+
+  /** tile_iterator (reference `functions/image.py:473`): split an image
+    * into a grid of tiles; returns (x, y, w, h, tile_bytes) structs for
+    * posexplode into a component view. Edge tiles may be smaller.
+    */
+  val tiles = udf { (bytes: Array[Byte], tileW: Int, tileH: Int) =>
+    val img = decode(bytes)
+    for {
+      y <- 0 until img.getHeight by tileH
+      x <- 0 until img.getWidth by tileW
+    } yield {
+      val w = math.min(tileW, img.getWidth - x)
+      val h = math.min(tileH, img.getHeight - y)
+      (x, y, w, h, encodePng(img.getSubimage(x, y, w, h)))
+    }
+  }
+}
+
+/** stitch_tiles UDA (reference `functions/image.py:576`): reassemble tiles
+  * produced by `Images.tiles` into the full image. Position metadata makes
+  * it order-insensitive, so partial aggregation applies (no sorted input
+  * required, unlike the reference's requires_order_by formulation).
+  */
+object StitchTiles extends org.apache.spark.sql.expressions.Aggregator[
+    (Int, Int, Int, Int, Array[Byte]),
+    List[(Int, Int, Int, Int, Array[Byte])],
+    Array[Byte]] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  def zero: List[(Int, Int, Int, Int, Array[Byte])] = Nil
+  def reduce(b: List[(Int, Int, Int, Int, Array[Byte])],
+      t: (Int, Int, Int, Int, Array[Byte])): List[(Int, Int, Int, Int, Array[Byte])] = t :: b
+  def merge(a: List[(Int, Int, Int, Int, Array[Byte])],
+      b: List[(Int, Int, Int, Int, Array[Byte])]): List[(Int, Int, Int, Int, Array[Byte])] = a ++ b
+  def finish(ts: List[(Int, Int, Int, Int, Array[Byte])]): Array[Byte] = {
+    if (ts.isEmpty) return null
+    val width = ts.map(t => t._1 + t._3).max
+    val height = ts.map(t => t._2 + t._4).max
+    val canvas = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = canvas.createGraphics()
+    ts.foreach { case (x, y, _, _, bytes) =>
+      g.drawImage(Images.decode(bytes), x, y, null)
+    }
+    g.dispose()
+    Images.encodePng(canvas)
+  }
+  def bufferEncoder: Encoder[List[(Int, Int, Int, Int, Array[Byte])]] =
+    Encoders.kryo[List[(Int, Int, Int, Int, Array[Byte])]]
+  def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
 }

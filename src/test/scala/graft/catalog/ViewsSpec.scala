@@ -34,6 +34,27 @@ class ViewsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int](Views.Pos)).toSeq == Seq(0, 1, 2, 0, 1))
   }
 
+  test("sync propagates base updates and deletes into the view") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "docs4", cols)
+    t.insert(Seq((1L, "a b"), (2L, "x y z")).toDF("id", "text"))
+    val view = Views.createComponentView(spark, cat, "tokens4", t,
+      "split(text, '\\\\s+')", "token", "string", Seq(ColumnDef("id", "bigint")))
+    assert(view.read().count() == 5)
+    // update: re-expansion replaces old tokens
+    t.update(Map("text" -> "'p q r s'"), "id = 1")
+    Views.syncComponentView(view, t, "split(text, '\\\\s+')", "token", Seq("id"))
+    val tokens1 = view.read().filter("id = 1")
+      .orderBy(Views.Pos).select("token").as[String].collect().toSeq
+    assert(tokens1 == Seq("p", "q", "r", "s"))
+    assert(view.read().count() == 7)
+    // delete: expansions disappear
+    t.delete("id = 2")
+    Views.syncComponentView(view, t, "split(text, '\\\\s+')", "token", Seq("id"))
+    assert(view.read().filter("id = 2").count() == 0)
+    assert(view.read().count() == 4)
+  }
+
   test("incremental refresh processes only new base rows") {
     val cat = freshCatalog()
     val t = GraftTable.create(spark, cat, "docs3", cols)

@@ -31,6 +31,20 @@ class ImagesSpec extends AnyFunSuite {
     assert(out.getAs[scala.collection.Seq[Int]]("px").toSeq == Seq(0xAA, 0x55, 0x00))
   }
 
+  test("tiles + stitch round-trip reassembles the image") {
+    val df = Seq(Tuple1(Images.solidPng(32, 16, 0x112233))).toDF("img")
+    val tiled = df.select(explode(Images.tiles(col("img"), lit(16), lit(8))).as("t"))
+      .select(col("t._1").as("x"), col("t._2").as("y"),
+        col("t._3").as("w"), col("t._4").as("h"), col("t._5").as("tile"))
+    assert(tiled.count() == 4)
+    val stitch = udaf(StitchTiles)
+    val out = tiled
+      .agg(stitch(col("x"), col("y"), col("w"), col("h"), col("tile")).as("img"))
+      .select(Images.getMetadata(col("img")).as("meta")).head()
+    val meta = out.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getInt(0) == 32 && meta.getInt(1) == 16)
+  }
+
   test("rotate 90 moves pixels correctly") {
     // 2x1 image: left red, right green → rotated 90 CCW: top green, bottom red
     val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
