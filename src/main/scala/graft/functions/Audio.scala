@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.udf
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+/** Real audio operations over binary WAV payloads (reference audio family,
+  * `/root/reference/pixeltable/functions/audio.py:26-763`), built on the
+  * JDK's javax.sound.sampled — no external codec dependency. PCM 16-bit
+  * WAV is the interchange encoding.
+  *
+  * `audioSplitter` reproduces the reference's silence-detection splitting
+  * shape: segments bounded by runs of below-threshold RMS.
+  */
+object Audio {
+
+  private val Rate = 16000f
+
+  private[graft] def decodePcm(bytes: Array[Byte]): (AudioFormat, Array[Short]) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16, s"expect 16-bit PCM, got $fmt")
+    val raw = in.readAllBytes()
+    val samples = new Array[Short](raw.length / 2)
+    val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN
+    java.nio.ByteBuffer.wrap(raw).order(order).asShortBuffer().get(samples)
+    (fmt, samples)
+  }
+
+  private[graft] def encodeWav(samples: Array[Short], rate: Float = Rate): Array[Byte] = {
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(samples)
+    val ais = new AudioInputStream(new ByteArrayInputStream(raw), fmt, samples.length)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** deterministic mono 16 kHz sine WAV — test/demo audio source */
+  def sineWav(seconds: Double, freqHz: Double, amplitude: Double = 0.5): Array[Byte] = {
+    val n = (seconds * Rate).toInt
+    val samples = Array.tabulate(n)(i =>
+      (math.sin(2 * math.Pi * freqHz * i / Rate) * amplitude * Short.MaxValue).toShort)
+    encodeWav(samples)
+  }
+
+  val makeSineWav = udf { (seconds: Double, freqHz: Double) => sineWav(seconds, freqHz) }
+
+  /** (sample_rate, channels, n_samples, duration_seconds) */
+  val getMetadata = udf { (bytes: Array[Byte]) =>
+    val (fmt, samples) = decodePcm(bytes)
+    val perChannel = samples.length / fmt.getChannels
+    (fmt.getSampleRate.toInt, fmt.getChannels, perChannel,
+      perChannel.toDouble / fmt.getSampleRate)
+  }
+
+  /** extract [startSec, endSec) as a new WAV (reference `clip`) */
+  val clip = udf { (bytes: Array[Byte], startSec: Double, endSec: Double) =>
+    val (fmt, samples) = decodePcm(bytes)
+    val from = math.max((startSec * fmt.getSampleRate).toInt, 0)
+    val until = math.min((endSec * fmt.getSampleRate).toInt, samples.length)
+    encodeWav(samples.slice(from, until), fmt.getSampleRate)
+  }
+
+  /** root-mean-square level in [0, 1] */
+  val rms = udf { (bytes: Array[Byte]) =>
+    val (_, samples) = decodePcm(bytes)
+    if (samples.isEmpty) 0.0
+    else math.sqrt(samples.map(s => (s.toDouble / Short.MaxValue) *
+      (s.toDouble / Short.MaxValue)).sum / samples.length)
+  }
+
+  /** scale amplitude (reference `multiply_volume`), clipping at full scale */
+  val multiplyVolume = udf { (bytes: Array[Byte], factor: Double) =>
+    val (fmt, samples) = decodePcm(bytes)
+    encodeWav(samples.map(s => math.max(math.min(s * factor, Short.MaxValue),
+      Short.MinValue).toShort), fmt.getSampleRate)
+  }
+
+  /** audio_splitter (reference `audio.py:357-763`): split on silence —
+    * windows whose RMS falls below `silenceRms` for at least
+    * `minSilenceSec` separate segments. Returns (idx, start_sec, end_sec,
+    * wav) structs for posexplode into a component view.
+    */
+  val audioSplitter = udf { (bytes: Array[Byte], silenceRms: Double, minSilenceSec: Double) =>
+    val (fmt, samples) = decodePcm(bytes)
+    val rate = fmt.getSampleRate
+    val win = math.max((rate * 0.02).toInt, 1) // 20 ms analysis windows
+    val winRms = samples.grouped(win).map { w =>
+      math.sqrt(w.map(s => (s.toDouble / Short.MaxValue) *
+        (s.toDouble / Short.MaxValue)).sum / w.length)
+    }.toArray
+    val minSilentWins = math.max((minSilenceSec / 0.02).toInt, 1)
+    // find segment boundaries: maximal non-silent spans
+    val segments = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var segStart = -1
+    var silentRun = 0
+    winRms.indices.foreach { i =>
+      if (winRms(i) < silenceRms) {
+        silentRun += 1
+        if (segStart >= 0 && silentRun >= minSilentWins) {
+          segments += ((segStart, i - silentRun + 1)); segStart = -1
+        }
+      } else {
+        if (segStart < 0) segStart = i
+        silentRun = 0
+      }
+    }
+    if (segStart >= 0) segments += ((segStart, winRms.length))
+    segments.zipWithIndex.map { case ((s, e), idx) =>
+      (idx, s * win / rate.toDouble, math.min(e * win, samples.length) / rate.toDouble,
+        encodeWav(samples.slice(s * win, math.min(e * win, samples.length)),
+          fmt.getSampleRate))
+    }.toSeq
+  }
+}

@@ -648,6 +648,31 @@ object Extras {
              |json_extract_string(props, '$.missing') IS NULL AS missing_null
              |FROM events ORDER BY event_id""".stripMargin),
     ),
+    QueryDef(
+      "q69_audio_pipeline",
+      (s, dir) => {
+        // REAL audio codec in the oracle gate: synthesize a WAV per row
+        // with id-derived duration, clip it, decode metadata — sample
+        // counts must match closed-form arithmetic (16 kHz mono).
+        import graft.functions.Audio
+        val seconds = (col("doc_id") % 5 + 1).cast("double") * 0.1
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("wav", Audio.makeSineWav(seconds, lit(440.0)))
+          .withColumn("meta", Audio.getMetadata(col("wav")))
+          .withColumn("halfmeta",
+            Audio.getMetadata(Audio.clip(col("wav"), lit(0.0), seconds / 2)))
+          .select(col("doc_id"),
+            col("meta._1").cast("long").as("rate"),
+            col("meta._3").cast("long").as("n_samples"),
+            col("halfmeta._3").cast("long").as("n_half"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 16000 AS rate,
+             |(doc_id % 5 + 1) * 1600 AS n_samples,
+             |(doc_id % 5 + 1) * 800 AS n_half
+             |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
