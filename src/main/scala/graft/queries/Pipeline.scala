@@ -374,12 +374,13 @@ object Pipeline {
         T(s, dir, "events")
           .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"), col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
-            round(avg(col("value")), 4).as("avg_v"))
+            // rounded-sum / count avoids rounding half-boundary flips
+            round(round(sum(col("value")), 2) / count(lit(1)), 6).as("avg_v"))
           .orderBy(col("hr"), col("event_type"))
       },
       Some("""SELECT date_trunc('hour', ts) AS hr, event_type,
              |count(*) AS n, round(sum(value), 2) AS total,
-             |round(avg(value), 4) AS avg_v
+             |round(round(sum(value), 2) / count(*), 6) AS avg_v
              |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin),
     ),
     QueryDef(

@@ -39,13 +39,15 @@ object Relational {
             col("l_linenumber"),
             round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue"),
           )
-          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"))
           .limit(100)
       },
+      // revenue in the sort: (l_orderkey, l_linenumber) is not unique in
+      // this corpus, so ties need a value column for a total order
       Some(s"""SELECT l_orderkey, l_linenumber,
               |round(l_extendedprice * (1.0 - l_discount), 2) AS revenue
               |FROM lineitem WHERE l_shipdate <= TIMESTAMP '$shipCut'
-              |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin),
+              |ORDER BY l_orderkey, l_linenumber, revenue LIMIT 100""".stripMargin),
     ),
     QueryDef(
       "q02_agg_groupby",
@@ -57,8 +59,11 @@ object Relational {
             round(sum(col("l_quantity")), 2).as("sum_qty"),
             round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
             round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-            round(avg(col("l_quantity")), 4).as("avg_qty"),
-            round(avg(col("l_discount")), 4).as("avg_disc"),
+            // averages via rounded-sum / count: a raw avg can land on a
+            // rounding half-boundary where the engines' accumulation orders
+            // disagree in the last ulp and round opposite ways
+            round(round(sum(col("l_quantity")), 2) / count(lit(1)), 4).as("avg_qty"),
+            round(round(sum(col("l_discount")), 4) / count(lit(1)), 6).as("avg_disc"),
             count(lit(1)).as("count_order"),
           )
           .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -67,8 +72,8 @@ object Relational {
               |round(sum(l_quantity), 2) AS sum_qty,
               |round(sum(l_extendedprice), 2) AS sum_base_price,
               |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-              |round(avg(l_quantity), 4) AS avg_qty,
-              |round(avg(l_discount), 4) AS avg_disc,
+              |round(round(sum(l_quantity), 2) / count(*), 4) AS avg_qty,
+              |round(round(sum(l_discount), 4) / count(*), 6) AS avg_disc,
               |count(*) AS count_order
               |FROM lineitem WHERE l_shipdate <= TIMESTAMP '$shipCut'
               |GROUP BY l_returnflag, l_linestatus
