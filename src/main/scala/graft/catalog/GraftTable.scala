@@ -86,6 +86,24 @@ final class GraftTable private (
     */
   def readHistory(): DataFrame = storedImage(meta)
 
+  /** Schema + versioning summary (reference `t.describe()`). */
+  def describe(): DataFrame = {
+    val m = meta
+    import spark.implicits._
+    m.columns.map(c => (c.name, c.dataType,
+      c.computedExpr.getOrElse(""), c.stored))
+      .toDF("column", "type", "computed_expr", "stored")
+  }
+
+  /** Version log as a DataFrame (reference `t.history()`). */
+  def history(): DataFrame = {
+    val m = meta
+    import spark.implicits._
+    m.versions.map(v => (v.version, v.op, v.added.length, v.removed.length,
+      new java.sql.Timestamp(v.createdAtMs)))
+      .toDF("version", "operation", "files_added", "files_removed", "created_at")
+  }
+
   // ---------- write path ----------
 
   /** Append rows. Stored computed columns are evaluated in dependency order

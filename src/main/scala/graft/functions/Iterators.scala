@@ -26,6 +26,18 @@ object Iterators {
       start => text.substr(start, lit(size)))
   }
 
+  /** sentence splitter (document_splitter separator='sentence'): split
+    * after sentence-ending punctuation followed by whitespace.
+    */
+  def sentences(text: Column): Column =
+    filter(split(trim(text), "(?<=[.!?])\\s+"), s => length(s) > 0)
+
+  /** paragraph splitter (document_splitter separator='paragraph'): split on
+    * blank lines.
+    */
+  def paragraphs(text: Column): Column =
+    filter(split(trim(text), "\\n\\s*\\n"), s => length(s) > 0)
+
   /** token windows of `n` tokens with `overlap` (token_limit mode) */
   def tokenChunks(text: Column, n: Int, overlap: Int = 0): Column = {
     require(n > 0 && overlap >= 0 && overlap < n)

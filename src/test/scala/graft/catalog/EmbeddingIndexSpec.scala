@@ -18,5 +18,10 @@ class EmbeddingIndexSpec extends AnyFunSuite {
     assert(t.read().columns.contains("xy_idx_emb"))
     val top = idx.search(Seq(1.0, 0.0), 2).select("id").as[Long].collect().toSeq
     assert(top == Seq(1L, 3L)) // exact match first, then the near vector
+
+    // index maintenance: later inserts compute the embedding column too
+    t.insert(Seq((4L, 0.99, 0.01)).toDF("id", "x", "y"))
+    val top2 = idx.search(Seq(1.0, 0.0), 2).select("id").as[Long].collect().toSeq
+    assert(top2 == Seq(1L, 4L)) // new row ranks above the old near vector
   }
 }

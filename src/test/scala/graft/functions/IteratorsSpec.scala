@@ -16,6 +16,16 @@ class IteratorsSpec extends AnyFunSuite {
     assert(chunks == Seq(100, 100, 90, 10))
   }
 
+  test("sentence and paragraph splitters") {
+    val df = Seq(("One two. Three four! Five?\n\nNew para here.")).toDF("text")
+    val sents = df.select(explode(Iterators.sentences(col("text"))).as("s"))
+      .as[String].collect().toSeq
+    assert(sents == Seq("One two.", "Three four!", "Five?", "New para here."))
+    val paras = df.select(explode(Iterators.paragraphs(col("text"))).as("p"))
+      .as[String].collect().toSeq
+    assert(paras == Seq("One two. Three four! Five?", "New para here."))
+  }
+
   test("tokenChunks: n-token windows with overlap") {
     val df = Seq(("a b c d e f g")).toDF("text")
     val chunks = df.select(explode(Iterators.tokenChunks(col("text"), 3, 1)).as("c"))
