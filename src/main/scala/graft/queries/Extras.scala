@@ -673,6 +673,31 @@ object Extras {
              |(doc_id % 5 + 1) * 800 AS n_half
              |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q70_char_entropy",
+      (s, dir) => {
+        // character-distribution Shannon entropy per document (quality
+        // signal: gibberish/repetition detection). Uses the closed form
+        // H = ln(t) - Σ n·ln(n) / t so one aggregation suffices.
+        val chars = T(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+          .filter(col("c") =!= "")
+        chars
+          .groupBy(col("doc_id"), col("c"))
+          .agg(count(lit(1)).cast("double").as("n"))
+          .groupBy(col("doc_id"))
+          .agg(round(log(sum(col("n"))) -
+            sum(col("n") * log(col("n"))) / sum(col("n")), 6).as("entropy"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
+             |FROM (SELECT doc_id, c, count(*)::DOUBLE AS n FROM (
+             |  SELECT doc_id, unnest(string_split(text, '')) AS c
+             |  FROM documents WHERE doc_id < 200) GROUP BY 1, 2)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
