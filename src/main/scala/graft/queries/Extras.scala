@@ -698,6 +698,60 @@ object Extras {
              |  FROM documents WHERE doc_id < 200) GROUP BY 1, 2)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q71_date_spine",
+      (s, dir) => {
+        // generated calendar spine left-joined to facts: months with no
+        // orders still appear (the standard gap-filling pattern; the spine
+        // is a generator expression, no source table needed).
+        val spine = s.range(1).select(explode(sequence(
+          lit("1995-01-01").cast("timestamp"),
+          lit("2001-12-01").cast("timestamp"),
+          expr("INTERVAL 1 MONTH"))).as("month"))
+        val o = T(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("m"))
+          .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        spine.join(o, spine("month").cast("timestamp_ntz") === o("m"), "left_outer")
+          .select(spine("month").cast("timestamp_ntz").as("month"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("total"), lit(0.0)).as("total"))
+          .orderBy(col("month"))
+      },
+      Some("""SELECT spine.month AS month,
+             |coalesce(o.n_orders, 0) AS n_orders,
+             |coalesce(o.total, 0.0) AS total
+             |FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01',
+             |  TIMESTAMP '2001-12-01', INTERVAL 1 MONTH)) AS month) spine
+             |LEFT JOIN (SELECT date_trunc('month', o_orderdate) AS m,
+             |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+             |  FROM orders GROUP BY 1) o
+             |ON spine.month = o.m
+             |ORDER BY month""".stripMargin),
+    ),
+    QueryDef(
+      "q72_part_analysis",
+      (s, dir) => {
+        // part/supplier dimension coverage: revenue by brand and size band.
+        val li = T(s, dir, "lineitem")
+        val p = T(s, dir, "part")
+        val sup = T(s, dir, "supplier")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+          .groupBy(col("p_brand"), (col("p_size") - col("p_size") % 10).as("size_band"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"),
+            countDistinct(col("s_nationkey")).as("n_supp_nations"))
+          .orderBy(col("p_brand"), col("size_band"))
+      },
+      Some("""SELECT p_brand, p_size - p_size % 10 AS size_band,
+             |count(*) AS n, round(sum(l_extendedprice), 2) AS revenue,
+             |count(DISTINCT s_nationkey) AS n_supp_nations
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY p_brand, size_band
+             |ORDER BY p_brand, size_band""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
