@@ -752,6 +752,31 @@ object Extras {
              |GROUP BY p_brand, size_band
              |ORDER BY p_brand, size_band""".stripMargin),
     ),
+    QueryDef(
+      "q73_nested_arrays",
+      (s, dir) => {
+        // rank-2 array construction + flatten + reduction (the reference's
+        // computed ndarray column class, `tests/utils.py:253` c8 fixture).
+        val nested = array(
+          array(col("l_quantity"), col("l_discount")),
+          array(col("l_tax"), col("l_extendedprice")))
+        T(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 100)
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            round(aggregate(flatten(nested), lit(0.0), (a, x) => a + x), 4).as("flat_sum"),
+            size(flatten(nested)).cast("long").as("n_elems"),
+            round(element_at(element_at(nested, 2), 2), 2).as("corner"),
+          )
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("flat_sum"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+             |round(list_sum(flatten([[l_quantity, l_discount], [l_tax, l_extendedprice]])), 4) AS flat_sum,
+             |len(flatten([[l_quantity, l_discount], [l_tax, l_extendedprice]])) AS n_elems,
+             |round([[l_quantity, l_discount], [l_tax, l_extendedprice]][2][2], 2) AS corner
+             |FROM lineitem WHERE l_orderkey < 100
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, flat_sum""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -27,6 +27,15 @@ object Streaming {
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
+  /** Stateful streaming dedup: drop rows whose key was already seen, with a
+    * watermark bounding the dedup state (keys older than the watermark are
+    * evicted — the streaming form of exact dedup at unbounded input).
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   /** Incremental maintenance into a versioned table: every micro-batch is an
     * insert (one table version per batch), so computed columns, MVCC and
     * time travel apply to streamed data exactly as to batch inserts.

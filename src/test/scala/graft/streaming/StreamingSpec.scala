@@ -52,6 +52,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == 1000L) // every corpus event lands in exactly one window
   }
 
+  test("stateful stream dedup drops repeated keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream").toString
+    val batch = Seq(
+      ("2024-01-01 00:01:00", 1L, "a"),
+      ("2024-01-01 00:01:00", 1L, "a-dup"),
+      ("2024-01-01 00:02:00", 2L, "b"),
+    ).toDF("ts_s", "key", "payload")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = Streaming.fileStream(spark, dir, batch.schema)
+    val deduped = Streaming.dedupStream(stream, "ts", Seq("key"), "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").select("key").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("stream lands in a versioned table via foreachBatch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val cp = java.nio.file.Files.createTempDirectory("graft-cp").toString
