@@ -110,5 +110,58 @@ object Views {
     refreshComponentView(view, base, iteratorExprSql, valueCol, keepCols)
   }
 
+  // ---------- materialized predicate/select views ----------
+
+  /** Create a materialized predicate/select view (the reference's default
+    * view kind: `pxt.create_view(base, filter=..., select=...)`) as its own
+    * versioned table keyed by `_base_rowid`. Column types are inferred from
+    * the select expressions against the base schema.
+    */
+  def createMaterializedView(spark: SparkSession, catalog: Catalog, name: String,
+      base: GraftTable, whereSql: Option[String],
+      selectExprs: Seq[(String, String)]): GraftTable = {
+    val sample = mvTransform(base.readWithSystem().limit(0), whereSql, selectExprs)
+    val cols = sample.schema.fields.map(f =>
+      ColumnDef(f.name, f.dataType.sql.toLowerCase)).toSeq
+    val view = GraftTable.create(spark, catalog, name, cols)
+    catalog.save(catalog.load(name).copy(snapshots = Map(lastSeenKey(base) -> 0L)))
+    syncMaterializedView(view, base, whereSql, selectExprs)
+    view
+  }
+
+  /** Incremental sync of a materialized view: expansions of base rows
+    * closed since the last sync are deleted; base rows created since then
+    * re-enter through the predicate (a row updated OUT of the predicate is
+    * removed and not re-added).
+    */
+  def syncMaterializedView(view: GraftTable, base: GraftTable,
+      whereSql: Option[String], selectExprs: Seq[(String, String)]): Long = {
+    val lastSeen = view.meta.snapshots.getOrElse(lastSeenKey(base), 0L)
+    val baseVersion = base.currentVersion
+    if (baseVersion <= lastSeen) return view.currentVersion
+    val closed = base.readHistory()
+      .filter(col(GraftTable.VMax) > lastSeen &&
+        col(GraftTable.VMax) =!= GraftTable.Live)
+      .select(col(GraftTable.RowId)).distinct().collect().map(_.getLong(0))
+    if (closed.nonEmpty)
+      closed.grouped(10000).foreach { chunk =>
+        view.delete(s"$BaseRowId IN (${chunk.mkString(",")})")
+      }
+    val fresh = base.readWithSystem()
+      .filter(col(GraftTable.VMin) > lastSeen && col(GraftTable.VMax) === GraftTable.Live)
+    val v = view.insert(mvTransform(fresh, whereSql, selectExprs))
+    val m = view.meta
+    view.catalog.save(m.copy(snapshots = m.snapshots + (lastSeenKey(base) -> baseVersion)))
+    v
+  }
+
+  private def mvTransform(rows: DataFrame, whereSql: Option[String],
+      selectExprs: Seq[(String, String)]): DataFrame = {
+    var df = rows
+    whereSql.foreach(w => df = df.filter(expr(w)))
+    df.select((col(GraftTable.RowId).as(BaseRowId) +:
+      selectExprs.map { case (alias, e) => expr(e).as(alias) }): _*)
+  }
+
   private def lastSeenKey(base: GraftTable) = s"__last_seen_base_${base.name}"
 }

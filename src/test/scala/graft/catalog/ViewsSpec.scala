@@ -55,6 +55,29 @@ class ViewsSpec extends AnyFunSuite {
     assert(view.read().count() == 4)
   }
 
+  test("materialized predicate view syncs inserts, updates, deletes") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "docs5", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("text", "string"),
+      ColumnDef("n", "bigint", Some("length(text)"))))
+    t.insert(Seq((1L, "short"), (2L, "a much longer text here")).toDF("id", "text"))
+    val mv = Views.createMaterializedView(spark, cat, "long_docs", t,
+      Some("n > 10"), Seq("id" -> "id", "shout" -> "upper(text)"))
+    assert(mv.read().select("id").as[Long].collect().toSeq == Seq(2L))
+    // insert propagates through the predicate
+    t.insert(Seq((3L, "another sufficiently long document")).toDF("id", "text"))
+    Views.syncMaterializedView(mv, t, Some("n > 10"), Seq("id" -> "id", "shout" -> "upper(text)"))
+    assert(mv.read().select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // update OUT of the predicate removes the row from the view
+    t.update(Map("text" -> "'tiny'"), "id = 2")
+    Views.syncMaterializedView(mv, t, Some("n > 10"), Seq("id" -> "id", "shout" -> "upper(text)"))
+    assert(mv.read().select("id").as[Long].collect().toSeq == Seq(3L))
+    // base delete propagates
+    t.delete("id = 3")
+    Views.syncMaterializedView(mv, t, Some("n > 10"), Seq("id" -> "id", "shout" -> "upper(text)"))
+    assert(mv.read().count() == 0)
+  }
+
   test("incremental refresh processes only new base rows") {
     val cat = freshCatalog()
     val t = GraftTable.create(spark, cat, "docs3", cols)
