@@ -150,6 +150,23 @@ class GraftTableSpec extends AnyFunSuite {
     assert(!cat.exists("t12"))
   }
 
+  test("error paths: double create, missing open, forward revert, dup column") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "t13", cols)
+    intercept[IllegalArgumentException] { GraftTable.create(spark, cat, "t13", cols) }
+    intercept[IllegalArgumentException] { GraftTable.open(spark, cat, "no_such") }
+    intercept[IllegalArgumentException] { t.revert(99L) }
+    intercept[IllegalArgumentException] { t.addColumn(ColumnDef("id", "bigint")) }
+    intercept[IllegalArgumentException] { t.readSnapshot("nope") }
+    // cyclic computed columns rejected at use
+    val bad = GraftTable.create(spark, cat, "t14", Seq(
+      ColumnDef("a", "double", Some("b * 2")),
+      ColumnDef("b", "double", Some("a * 2"))))
+    intercept[IllegalArgumentException] {
+      bad.insert(Seq(Tuple1(1.0)).toDF("x"))
+    }
+  }
+
   test("mvcc filter pushes down to parquet scan") {
     val t = GraftTable.create(spark, freshCatalog(), "t8", cols)
     t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "score"))

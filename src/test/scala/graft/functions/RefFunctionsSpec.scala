@@ -41,6 +41,20 @@ class RefFunctionsSpec extends AnyFunSuite {
     assert(oneSeq(Strings.wrap(lit("aa bb cc dd"), 5)) == Seq("aa bb", "cc dd"))
     assert(one[Boolean](Strings.isidentifier(lit("_x1"))))
     assert(!one[Boolean](Strings.isidentifier(lit("1x"))))
+    assert(one[Boolean](Strings.fullmatch(lit("abc"), "a.c")))
+    assert(!one[Boolean](Strings.fullmatch(lit("abcd"), "a.c")))
+    assert(one[Boolean](Strings.`match`(lit("abcd"), "a.c")))   // prefix match
+    assert(one[Boolean](Strings.isspace(lit("  \t"))))
+    assert(!one[Boolean](Strings.isspace(lit(" x "))))
+    assert(oneSeq(Strings.splitlines(lit("a\nb\r\nc"))) == Seq("a", "b", "c"))
+    assert(one[String](Strings.join(",", Strings.split(lit("a|b|c"), "|"))) == "a,b,c")
+    assert(one[String](Strings.ljust(lit("ab"), 5, ".")) == "ab...")
+    assert(one[String](Strings.rjust(lit("ab"), 5, ".")) == "...ab")
+    assert(one[String](Strings.ljust(lit("abcdef"), 3)) == "abcdef") // never truncates
+    assert(one[Boolean](Strings.islower(lit("abc1"))))
+    assert(!one[Boolean](Strings.islower(lit("Abc"))))
+    assert(one[Boolean](Strings.isupper(lit("ABC1"))))
+    assert(one[String](Strings.casefold(lit("AbC"))) == "abc")
   }
 
   test("timestamp family") {
