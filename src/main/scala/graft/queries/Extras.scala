@@ -777,6 +777,36 @@ object Extras {
              |FROM lineitem WHERE l_orderkey < 100
              |ORDER BY l_orderkey, l_linenumber, l_quantity, flat_sum""".stripMargin),
     ),
+    QueryDef(
+      "q74_mvcc_time_travel",
+      (s, dir) => {
+        // versioned DML in the correctness gate: build a GraftTable from
+        // lineitem, delete a slice, read BOTH versions — the oracle
+        // recomputes what each version must contain from the raw table.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q74").toString)
+        val t = GraftTable.create(s, cat, "li_v", Seq(
+          ColumnDef("l_orderkey", "bigint"), ColumnDef("l_linenumber", "int"),
+          ColumnDef("l_quantity", "double")))
+        val v1 = t.insert(T(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 1000)
+          .select("l_orderkey", "l_linenumber", "l_quantity"))
+        val v2 = t.delete("l_orderkey % 10 = 0")
+        val at = (v: Long, label: String) => t.read(Some(v))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+          .withColumn("version", lit(label))
+          .select("version", "n", "qty")
+        at(v1, "v1").union(at(v2, "v2")).orderBy(col("version"))
+      },
+      Some("""SELECT 'v1' AS version, count(*) AS n,
+             |round(sum(l_quantity), 2) AS qty
+             |FROM lineitem WHERE l_orderkey < 1000
+             |UNION ALL
+             |SELECT 'v2', count(*), round(sum(l_quantity), 2)
+             |FROM lineitem WHERE l_orderkey < 1000 AND l_orderkey % 10 != 0
+             |ORDER BY version""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
