@@ -807,6 +807,40 @@ object Extras {
              |FROM lineitem WHERE l_orderkey < 1000 AND l_orderkey % 10 != 0
              |ORDER BY version""".stripMargin),
     ),
+    QueryDef(
+      "q75_percentile_group",
+      (s, dir) => {
+        T(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+            round(expr("percentile(l_discount, 0.25)"), 6).as("p25_disc"),
+          )
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag,
+             |round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+             |round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             |round(quantile_cont(l_discount, 0.25), 6) AS p25_disc
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+    ),
+    QueryDef(
+      "q76_scalar_subquery",
+      (s, dir) => {
+        // SQL entry path + scalar subquery (Catalyst plans it as a
+        // subquery-broadcast, no driver round trip).
+        T(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+                |FROM orders_v
+                |WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders_v)
+                |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+             |FROM orders
+             |WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
+             |ORDER BY o_orderkey""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
