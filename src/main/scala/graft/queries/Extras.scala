@@ -581,25 +581,63 @@ object Extras {
       "q66_mean_ap",
       (s, dir) => {
         // detection-eval pipeline (reference eval_detections + mean_ap UDA,
-        // `functions/vision.py:176-281`) over synthetic deterministic boxes;
-        // AP math is not reasonably SQL-expressible → rows-only check.
+        // `functions/vision.py:176-281`): one pred + one gt box per row with a
+        // distinct md5-derived confidence score, so the PR-curve visit order is
+        // a deterministic total order reproducible in SQL. The per-class AP map
+        // is exploded to scalar (l_returnflag, class_id, ap) rows and matched
+        // against a window-function oracle computing the same all-point
+        // interpolation (cumulative tp → precision/recall → right-max envelope
+        // → Σ precision·Δrecall).
         import graft.functions.Vision
-        val box = array(lit(0.0), lit(0.0), col("l_quantity"), col("l_quantity"))
-        val gtBox = array(lit(0.0), lit(0.0),
-          col("l_quantity") + (col("l_orderkey") % 3).cast("double"),
-          col("l_quantity") + (col("l_orderkey") % 3).cast("double"))
+        val q = col("l_quantity")
+        val k = (col("l_orderkey") % 3).cast("double")
+        val box = array(lit(0.0), lit(0.0), q, q)
+        val gtBox = array(lit(0.0), lit(0.0), q + k, q + k)
+        val cls = array((col("l_linenumber") % 2).cast("int"))
+        val key = md5(concat_ws("___", lit("ap"), col("l_orderkey").cast("string"),
+          col("l_linenumber").cast("string"), col("l_quantity").cast("string")))
+        // 48-bit hex prefix → double in [0,1): numeric desc == hex-string desc
+        val score = conv(substring(key, 1, 12), 16, 10).cast("double") / lit(281474976710656.0)
         T(s, dir, "lineitem")
           .filter(col("l_suppkey") < 50)
           .select(col("l_returnflag"),
             Vision.evalDetectionsUdf(
-              array(box), array((col("l_linenumber") % 2).cast("int")),
-              array(lit(0.9)), array(gtBox),
-              array((col("l_linenumber") % 2).cast("int")), lit(0.5)).as("evals"))
+              array(box), cls, array(score), array(gtBox), cls, lit(0.5)).as("evals"))
           .groupBy(col("l_returnflag"))
           .agg(Vision.mean_ap(col("evals")).as("ap_by_class"))
-          .orderBy(col("l_returnflag"))
+          .select(col("l_returnflag"), explode(col("ap_by_class")).as(Seq("class_id", "ap")))
+          .select(col("l_returnflag"), col("class_id"), round(col("ap"), 6).as("ap"))
+          .orderBy(col("l_returnflag"), col("class_id"))
       },
-      None,
+      Some("""WITH det AS (
+             |  SELECT l_returnflag AS flag, (l_linenumber % 2)::INT AS cls,
+             |    CASE WHEN (l_quantity*l_quantity) / greatest(
+             |        l_quantity*l_quantity
+             |          + (l_quantity + CAST(l_orderkey % 3 AS DOUBLE))*(l_quantity + CAST(l_orderkey % 3 AS DOUBLE))
+             |          - l_quantity*l_quantity,
+             |        1.1920928955078125e-07) >= 0.5
+             |      THEN 1.0 ELSE 0.0 END AS tp,
+             |    md5(concat_ws('___', 'ap', l_orderkey::VARCHAR, l_linenumber::VARCHAR, l_quantity::VARCHAR)) AS key
+             |  FROM lineitem WHERE l_suppkey < 50),
+             |ranked AS (
+             |  SELECT flag, cls, key,
+             |    row_number() OVER w AS rn,
+             |    sum(tp) OVER (PARTITION BY flag, cls ORDER BY key DESC
+             |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tpc,
+             |    count(*) OVER (PARTITION BY flag, cls) AS ngts
+             |  FROM det
+             |  WINDOW w AS (PARTITION BY flag, cls ORDER BY key DESC)),
+             |prc AS (
+             |  SELECT flag, cls, key, tpc / rn AS prec, tpc / ngts AS rec FROM ranked),
+             |env AS (
+             |  SELECT flag, cls, rec,
+             |    max(prec) OVER (PARTITION BY flag, cls ORDER BY key DESC
+             |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS envp,
+             |    lag(rec, 1, 0.0) OVER (PARTITION BY flag, cls ORDER BY key DESC) AS rec_prev
+             |  FROM prc)
+             |SELECT flag AS l_returnflag, cls AS class_id,
+             |  round(sum(CASE WHEN rec != rec_prev THEN (rec - rec_prev) * envp ELSE 0.0 END), 6) AS ap
+             |FROM env GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
     ),
     QueryDef(
       "q67_image_pipeline",
