@@ -32,10 +32,13 @@ object PyStrings {
       sub.length).cast("long")
   }
 
-  /** Python str.center: pad to width; the odd fill char goes right. */
+  /** Python str.center: pad to width; CPython's split puts the odd fill char
+    * on the LEFT when width is odd (`left = marg//2 + (marg & width & 1)`,
+    * Objects/unicodeobject.c pad) — 'ab'.center(5,'*') == '**ab*'.
+    */
   def center(s: Column, width: Int, fill: String = " "): Column = {
     val pad = greatest(lit(width) - length(s), lit(0))
-    val left = floor(pad / 2).cast("int")
+    val left = (floor(pad / 2) + pad.bitwiseAND(lit(width)).bitwiseAND(lit(1))).cast("int")
     val right = (pad - left).cast("int")
     concat(call_function("repeat", lit(fill), left), s,
       call_function("repeat", lit(fill), right))

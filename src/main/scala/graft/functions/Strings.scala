@@ -20,7 +20,11 @@ object Strings {
   def contains_re(s: Column, pattern: String): Column = s.rlike(pattern)
   def count(s: Column, sub: String): Column = PyStrings.countSub(s, sub)
   def endswith(s: Column, suffix: String): Column = s.endsWith(suffix)
-  def fill(s: Column, width: Int): Column = Udfs.zfill(s, lit(width))
+  /** textwrap.fill semantics (reference `functions/string.py:140-150`):
+    * wrap to width, join lines with '\n' — NOT zfill.
+    */
+  def fill(s: Column, width: Int): Column =
+    array_join(Udfs.textWrap(s, lit(width)), "\n")
   def find(s: Column, sub: String): Column = PyStrings.find(s, sub)
   def findall(s: Column, pattern: String): Column =
     regexp_extract_all(s, lit(pattern), lit(0))
@@ -47,7 +51,17 @@ object Strings {
   def lstrip(s: Column, chars: String): Column = ltrim(s, chars)
   def `match`(s: Column, pattern: String): Column = s.rlike(s"^(?:$pattern)")
   def normalize(s: Column): Column = Udfs.nfcNormalize(s)
-  def pad(s: Column, width: Int, fill: String = " "): Column = center(s, width, fill)
+  /** reference `pad(width, side, fillchar)` (`functions/string.py:460-477`):
+    * side='left' → str.ljust, 'right' → str.rjust, 'both' → str.center
+    * (the reference maps the names exactly this way, not pandas-style).
+    */
+  def pad(s: Column, width: Int, side: String = "left", fill: String = " "): Column =
+    side match {
+      case "left"  => ljust(s, width, fill)
+      case "right" => rjust(s, width, fill)
+      case "both"  => center(s, width, fill)
+      case other   => throw new IllegalArgumentException(s"Invalid side: $other")
+    }
   def partition(s: Column, sep: String): Column = {
     val i = instr(s, sep)
     when(i > 0, array(substring(s, lit(1), i - 1), lit(sep),

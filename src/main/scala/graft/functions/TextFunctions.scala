@@ -21,10 +21,15 @@ object TextFunctions {
   /** whitespace tokens */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** distinct character n-gram shingle set (requires length >= n) */
+  /** distinct character n-gram shingle set; empty array when length < n
+    * (an unguarded `sequence(1, length-(n-1))` would count DOWN for short
+    * text — Spark's default step is -1 — yielding bogus substrings).
+    */
   def shingles(text: Column, n: Int = 3): Column =
-    array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
-      i => text.substr(i, lit(n))))
+    when(length(text) >= n,
+      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** MinHash_j over a shingle-set column: min md5(j ∥ '_' ∥ shingle), 12-hex
     * prefix. A signature of k of these supports banded LSH joins.

@@ -30,11 +30,14 @@ object Streaming {
   /** Stateful streaming dedup: drop rows whose key was already seen, with a
     * watermark bounding the dedup state (keys older than the watermark are
     * evicted — the streaming form of exact dedup at unbounded input).
+    * Key-ONLY dedup: the same key at a different timestamp inside the
+    * watermark is still a duplicate, so state is keyed on `keyCols` alone
+    * (`dropDuplicatesWithinWatermark`, Spark 3.5+), not on (key, ts).
     */
   def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
       watermark: String): DataFrame =
     events.withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Incremental maintenance into a versioned table: every micro-batch is an
     * insert (one table version per batch), so computed columns, MVCC and

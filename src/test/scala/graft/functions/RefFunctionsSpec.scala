@@ -25,7 +25,18 @@ class RefFunctionsSpec extends AnyFunSuite {
     assert(one[Long](Strings.rfind(lit("abcabc"), "abc")) == 3L)
     assert(one[Long](Strings.rfind(lit("abcabc"), "zz")) == -1L)
     assert(one[Long](Strings.count(lit("aaaa"), "aa")) == 2L) // non-overlapping
-    assert(one[String](Strings.center(lit("ab"), 5, "*")) == "*ab**")
+    // CPython pad split: odd fill char goes LEFT when width is odd
+    assert(one[String](Strings.center(lit("ab"), 5, "*")) == "**ab*")
+    assert(one[String](Strings.center(lit("abc"), 5, "*")) == "*abc*")
+    assert(one[String](Strings.center(lit("ab"), 6, "*")) == "**ab**")
+    assert(one[String](Strings.center(lit("abc"), 6, "*")) == "*abc**") // even width: extra goes right
+    // fill == textwrap.fill (wrap + join '\n'), NOT zfill
+    assert(one[String](Strings.fill(lit("aa bb cc dd"), 5)) == "aa bb\ncc dd")
+    // pad maps side names exactly as the reference: left→ljust, right→rjust
+    assert(one[String](Strings.pad(lit("ab"), 5, "left", ".")) == "ab...")
+    assert(one[String](Strings.pad(lit("ab"), 5, "right", ".")) == "...ab")
+    assert(one[String](Strings.pad(lit("ab"), 5, "both", ".")) == "..ab.")
+    assertThrows[IllegalArgumentException](Strings.pad(lit("ab"), 5, "middle"))
     assert(one[String](Strings.swapcase(lit("AbC"))) == "aBc")
     assert(one[String](Strings.title(lit("x1y two"))) == "X1Y Two") // alpha-run semantics
     assert(one[Boolean](Strings.istitle(lit("Hello World"))))
@@ -80,6 +91,12 @@ class RefFunctionsSpec extends AnyFunSuite {
     assert(one[String](Jsons.merge(lit("""{"a":"1"}"""), lit("""{"b":"2"}"""))) ==
       """{"a":"1","b":"2"}""")
     assert(one[String](Jsons.get(obj, "$.b")) == "2")
+  }
+
+  test("shingles guard on short text") {
+    assert(oneSeq(TextFunctions.shingles(lit("abcd"), 3)) == Seq("abc", "bcd"))
+    assert(oneSeq(TextFunctions.shingles(lit("ab"), 3)) == Seq.empty)
+    assert(oneSeq(TextFunctions.shingles(lit(""), 3)) == Seq.empty)
   }
 
   test("math family") {

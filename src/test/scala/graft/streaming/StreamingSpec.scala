@@ -57,6 +57,7 @@ class StreamingSpec extends AnyFunSuite {
     val batch = Seq(
       ("2024-01-01 00:01:00", 1L, "a"),
       ("2024-01-01 00:01:00", 1L, "a-dup"),
+      ("2024-01-01 00:03:00", 1L, "a-later-ts-dup"), // same key, DIFFERENT ts, inside watermark
       ("2024-01-01 00:02:00", 2L, "b"),
     ).toDF("ts_s", "key", "payload")
       .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
