@@ -92,12 +92,13 @@ object Query {
   def apply(table: GraftTable, version: Option[Long] = None): Query = {
     val m = table.meta
     // keep _rowid available for head/tail/sample, user columns first
+    val v = version.getOrElse(m.currentVersion)
     val df = table.readWithSystem(version)
     var out = df
-    m.computedInTopoOrder.filterNot(_.stored).foreach { c =>
+    m.computedInTopoOrderAt(v).filterNot(_.stored).foreach { c =>
       out = out.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
     }
-    Query(out.select((m.columns.map(c => col(c.name)) :+ col(GraftTable.RowId)): _*),
+    Query(out.select((m.columnsAt(v).map(c => col(c.name)) :+ col(GraftTable.RowId)): _*),
       Seq(GraftTable.RowId))
   }
 

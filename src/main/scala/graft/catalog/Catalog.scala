@@ -16,7 +16,31 @@ final case class ColumnDef(
     dataType: String,
     computedExpr: Option[String] = None,
     stored: Boolean = true,
-)
+    addedVersion: Long = 0L,
+    droppedVersion: Long = Long.MaxValue, // MaxValue = live
+    physicalName: String = "", // "" = same as name; set on rename (Delta-style column mapping)
+) {
+  /** name under which the column is stored in parquet files — stable across
+    * renames, so rename is metadata-only (no 100 TB rewrite).
+    */
+  def storeName: String = if (physicalName.isEmpty) name else physicalName
+
+  def liveAt(version: Long): Boolean =
+    addedVersion <= version && version < droppedVersion
+}
+
+object ColumnDef {
+  /** Column names referenced by a computed expression, via the real SQL
+    * parser (NOT a regex word-match: a name inside a string literal is not a
+    * dependency, and a backticked reference is). Struct-field access `s.f`
+    * parses to a multi-part attribute whose head is the column.
+    */
+  def exprReferences(exprSql: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseExpression(exprSql)
+      .collect { case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+      }.toSet
+}
 
 /** One entry of the table's version log, tracking individual parquet files
   * (Delta-style add/remove). File granularity is what makes copy-on-write
@@ -43,6 +67,17 @@ final case class TableMeta(
 
   def userColumns: Seq[ColumnDef] = columns
 
+  /** Schema as of `version` — columns added later or dropped by then don't
+    * exist there (schema is versioned alongside data for time travel and
+    * revert). Renames are metadata-only and retroactive (Delta column-mapping
+    * semantics): history reads show the current name.
+    */
+  def columnsAt(version: Long): Seq[ColumnDef] =
+    columns.filter(_.liveAt(version))
+
+  /** currently-live columns (excludes dropped) */
+  def liveColumns: Seq[ColumnDef] = columnsAt(currentVersion)
+
   /** replay the log: parquet files visible at `version` */
   def activeFiles(version: Long): Seq[String] = {
     var files = Vector.empty[String]
@@ -52,16 +87,17 @@ final case class TableMeta(
     files
   }
 
-  /** computed columns in dependency (topological) order; dependencies are
-    * detected by word-boundary occurrence of other column names in the expr.
+  /** computed columns in dependency (topological) order; dependencies come
+    * from parsing the expression (`ColumnDef.exprReferences`), so names in
+    * string literals don't count and quoted references do.
     */
-  def computedInTopoOrder: Seq[ColumnDef] = {
-    val computed = columns.filter(_.computedExpr.isDefined)
+  def computedInTopoOrder: Seq[ColumnDef] = computedInTopoOrderAt(currentVersion)
+
+  def computedInTopoOrderAt(version: Long): Seq[ColumnDef] = {
+    val computed = columnsAt(version).filter(_.computedExpr.isDefined)
     val names = computed.map(_.name).toSet
     def deps(c: ColumnDef): Set[String] =
-      names.filter(n => n != c.name &&
-        ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r
-          .findFirstIn(c.computedExpr.get).isDefined)
+      ColumnDef.exprReferences(c.computedExpr.get).intersect(names) - c.name
     // Kahn's algorithm
     var remaining = computed
     var ordered = Vector.empty[ColumnDef]

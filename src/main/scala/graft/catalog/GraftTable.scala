@@ -41,17 +41,30 @@ final class GraftTable private (
   private def storedAt(m: TableMeta, version: Long): DataFrame = {
     val files = m.activeFiles(version)
     if (files.isEmpty) emptyFrame(m)
-    else spark.read.parquet(files: _*)
+    else spark.read.option("mergeSchema", "true").parquet(files: _*)
       .filter(col(VMin) <= version && col(VMax) > version)
   }
 
   private def emptyFrame(m: TableMeta): DataFrame = {
     val storedCols = m.columns.filter(c => c.computedExpr.isEmpty || c.stored)
-    val schemaSql = (storedCols.map(c => s"${c.name} ${c.dataType}") ++
+    val schemaSql = (storedCols.map(c => s"${c.storeName} ${c.dataType}") ++
       Seq(s"$RowId bigint", s"$VMin bigint", s"$VMax bigint")).mkString(", ")
     spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(schemaSql))
   }
+
+  /** files carry physical column names (stable across renames); user-facing
+    * frames carry logical names. These map between the two.
+    */
+  private def toLogical(df: DataFrame, m: TableMeta): DataFrame =
+    m.columns.filter(c => c.storeName != c.name).foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c.storeName)) d.withColumnRenamed(c.storeName, c.name) else d
+    }
+
+  private def toPhysical(df: DataFrame, m: TableMeta): DataFrame =
+    m.columns.filter(c => c.storeName != c.name).foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c.name)) d.withColumnRenamed(c.name, c.storeName) else d
+    }
 
   /** Table contents at a version (default: latest), user columns only.
     * Unstored computed columns are inlined here — the analog of the
@@ -60,11 +73,12 @@ final class GraftTable private (
   def read(version: Option[Long] = None): DataFrame = {
     val m = meta
     val v = version.getOrElse(m.currentVersion)
-    var df = storedAt(m, v)
-    m.computedInTopoOrder.filterNot(_.stored).foreach { c =>
+    val colsAtV = m.columnsAt(v) // schema is versioned: later-added columns don't exist at v
+    var df = toLogical(storedAt(m, v), m)
+    m.computedInTopoOrderAt(v).filterNot(_.stored).foreach { c =>
       df = df.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
     }
-    df.select(m.columns.map(c => col(c.name)): _*)
+    df.select(colsAtV.map(c => col(c.name)): _*)
   }
 
   /** Read pinned by snapshot name (reference `pxt.create_snapshot`). */
@@ -78,7 +92,7 @@ final class GraftTable private (
   /** System-column view for tests/debugging. */
   def readWithSystem(version: Option[Long] = None): DataFrame = {
     val m = meta
-    storedAt(m, version.getOrElse(m.currentVersion))
+    toLogical(storedAt(m, version.getOrElse(m.currentVersion)), m)
   }
 
   /** Full row history — live AND closed rows, no MVCC visibility filter
@@ -90,7 +104,7 @@ final class GraftTable private (
   def describe(): DataFrame = {
     val m = meta
     import spark.implicits._
-    m.columns.map(c => (c.name, c.dataType,
+    m.liveColumns.map(c => (c.name, c.dataType,
       c.computedExpr.getOrElse(""), c.stored))
       .toDF("column", "type", "computed_expr", "stored")
   }
@@ -122,7 +136,7 @@ final class GraftTable private (
       .withColumn(VMin, lit(v))
       .withColumn(VMax, lit(Live))
     val dir = dataDir(v, "insert")
-    df.write.mode("overwrite").parquet(dir)
+    toPhysical(df, m).write.mode("overwrite").parquet(dir)
     val files = listParquetFiles(dir)
     val maxRow = spark.read.parquet(dir).agg(max(col(RowId))).head
     val maxId = if (maxRow.isNullAt(0)) m.nextRowId - 1 else maxRow.getLong(0)
@@ -211,10 +225,11 @@ final class GraftTable private (
     * batch rewrite (reference `add_computed_column` backfill,
     * `plan.py:1230-1247`) — schema changes touch every file by nature.
     */
-  def addColumn(c: ColumnDef): Long = {
+  def addColumn(c0: ColumnDef): Long = {
     val m = meta
-    require(!m.columns.exists(_.name == c.name), s"column ${c.name} exists")
+    require(!m.columns.exists(_.name == c0.name), s"column ${c0.name} exists")
     val v = m.currentVersion + 1
+    val c = c0.copy(addedVersion = v) // stamp for versioned-schema time travel
     val newMeta = m.copy(columns = m.columns :+ c)
     if (c.computedExpr.isDefined && !c.stored) { // purely logical: no rewrite
       catalog.save(newMeta.copy(versions =
@@ -227,20 +242,76 @@ final class GraftTable private (
       case None    => image.withColumn(c.name, lit(null).cast(c.dataType))
     }
     val dir = dataDir(v, "add_column")
-    out.write.mode("overwrite").parquet(dir)
+    toPhysical(out, newMeta).write.mode("overwrite").parquet(dir)
     catalog.save(newMeta.copy(versions = m.versions :+
       entry(v, "add_column", listParquetFiles(dir), m.activeFiles(m.currentVersion)),
       nextRowId = m.nextRowId))
     v
   }
 
+  /** Drop a column: metadata-only (`droppedVersion` stamp) — no file rewrite,
+    * so dropping a column on a 100 TB table is O(1). Time travel to versions
+    * before the drop still shows it; later rewrites of touched files shed the
+    * physical data (reference `drop_column`, `catalog/table.py`).
+    */
+  def dropColumn(colName: String): Long = {
+    val m = meta
+    val c = m.liveColumns.find(_.name == colName)
+      .getOrElse(throw new IllegalArgumentException(s"no column $colName on $name"))
+    val dependents = m.liveColumns.filter(d => d.name != colName &&
+      d.computedExpr.exists(e => ColumnDef.exprReferences(e).contains(colName)))
+    require(dependents.isEmpty,
+      s"cannot drop $colName: computed column(s) ${dependents.map(_.name).mkString(", ")} depend on it")
+    val v = m.currentVersion + 1
+    catalog.save(m.copy(
+      columns = m.columns.map(x => if (x.name == colName && x.liveAt(m.currentVersion))
+        x.copy(droppedVersion = v) else x),
+      versions = m.versions :+ entry(v, "drop_column", Seq.empty, Seq.empty)))
+    v
+  }
+
+  /** Rename a column: metadata-only. The parquet files keep the original
+    * (physical) name; the mapping lives in `ColumnDef.physicalName` (Delta
+    * column-mapping style), so rename is O(1) at any table size. Renames are
+    * retroactive: history reads show the new name.
+    */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val m = meta
+    require(m.liveColumns.exists(_.name == oldName), s"no column $oldName on $name")
+    require(!m.liveColumns.exists(_.name == newName), s"column $newName exists")
+    val dependents = m.liveColumns.filter(d =>
+      d.computedExpr.exists(e => ColumnDef.exprReferences(e).contains(oldName)))
+    require(dependents.isEmpty,
+      s"cannot rename $oldName: computed column(s) ${dependents.map(_.name).mkString(", ")} reference it")
+    val v = m.currentVersion + 1
+    catalog.save(m.copy(
+      columns = m.columns.map(x => if (x.name == oldName && x.liveAt(m.currentVersion))
+        x.copy(name = newName, physicalName = x.storeName) else x),
+      versions = m.versions :+ entry(v, "rename_column", Seq.empty, Seq.empty)))
+    v
+  }
+
   /** Roll the table back to `toVersion`: truncates the version log (later
-    * data files become orphans, exactly like the reference's revert).
+    * data files become orphans, exactly like the reference's revert) and
+    * drops columns added after `toVersion` (schema is versioned too).
+    * Refuses if a named snapshot pins a later version — reverting would
+    * silently change (and vacuum would delete) the snapshot's contents,
+    * matching the reference `_revert`'s refusal.
     */
   def revert(toVersion: Long): Unit = {
     val m = meta
     require(toVersion <= m.currentVersion, s"cannot revert forward to $toVersion")
-    catalog.save(m.copy(versions = m.versions.filter(_.version <= toVersion)))
+    val pinned = m.snapshots.filter { case (_, v) => v > toVersion }
+    require(pinned.isEmpty,
+      s"cannot revert to $toVersion: snapshot(s) ${pinned.keys.mkString(", ")} pin later versions")
+    catalog.save(m.copy(
+      versions = m.versions.filter(_.version <= toVersion),
+      columns = m.columns.filter(_.addedVersion <= toVersion).map { c =>
+        // a drop that happened after toVersion never happened
+        if (c.droppedVersion > toVersion && c.droppedVersion != Long.MaxValue)
+          c.copy(droppedVersion = Long.MaxValue)
+        else c
+      }))
   }
 
   /** Physically remove data files no longer reachable from any version ≤
@@ -286,7 +357,9 @@ final class GraftTable private (
       : Option[(DataFrame, Seq[String])] = {
     val files = m.activeFiles(m.currentVersion)
     if (files.isEmpty) return None
-    val df = spark.read.parquet(files: _*).withColumn(FileCol, input_file_name())
+    val df = toLogical(
+      spark.read.option("mergeSchema", "true").parquet(files: _*), m)
+      .withColumn(FileCol, input_file_name())
     val hitFiles = df.filter(col(VMax) === Live && pred)
       .select(FileCol).distinct().collect().map(_.getString(0))
     if (hitFiles.isEmpty) None
@@ -302,10 +375,14 @@ final class GraftTable private (
     m.activeFiles(m.currentVersion).filter(f => hit.contains(norm(f)))
   }
 
-  /** full stored image (live + dead rows) of the touched file-set */
+  /** full stored image (live + dead rows), logical column names.
+    * mergeSchema handles files written before/after a drop_column.
+    */
   private def storedImage(m: TableMeta): DataFrame = {
     val files = m.activeFiles(m.currentVersion)
-    if (files.isEmpty) emptyFrame(m) else spark.read.parquet(files: _*)
+    if (files.isEmpty) toLogical(emptyFrame(m), m)
+    else toLogical(
+      spark.read.option("mergeSchema", "true").parquet(files: _*), m)
   }
 
   /** recompute every stored computed column transitively downstream of the
@@ -315,9 +392,9 @@ final class GraftTable private (
     var df = df0
     val dirty = scala.collection.mutable.Set(dirty0.toSeq: _*)
     m.computedInTopoOrder.filter(_.stored).foreach { c =>
-      val refsDirty = dirty.exists(d =>
-        ("\\b" + java.util.regex.Pattern.quote(d) + "\\b").r
-          .findFirstIn(c.computedExpr.get).isDefined)
+      // parsed references, not regex: a column name inside a string literal
+      // is not a dependency, and a backticked reference is
+      val refsDirty = ColumnDef.exprReferences(c.computedExpr.get).exists(dirty.contains)
       if (refsDirty) {
         df = df.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
         dirty += c.name
@@ -329,7 +406,7 @@ final class GraftTable private (
   private def rewrite(m: TableMeta, v: Long, op: String, out: DataFrame,
       removedFiles: Seq[String]): Long = {
     val dir = dataDir(v, op)
-    out.write.mode("overwrite").parquet(dir)
+    toPhysical(out, m).write.mode("overwrite").parquet(dir)
     catalog.save(m.copy(versions = m.versions :+
       entry(v, op, listParquetFiles(dir), removedFiles)))
     v

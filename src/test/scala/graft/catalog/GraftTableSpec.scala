@@ -87,6 +87,84 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read().count() == 2)
   }
 
+  test("revert refuses when a named snapshot pins a later version") {
+    val t = GraftTable.create(spark, freshCatalog(), "t5b", cols)
+    val v1 = t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
+    t.insert(Seq((2L, "b", 2.0)).toDF("id", "name", "score"))
+    t.createSnapshot("pinned")
+    assertThrows[IllegalArgumentException](t.revert(v1))
+    assert(t.read().count() == 2) // unchanged
+  }
+
+  test("schema is versioned: time travel before add_column, revert drops it") {
+    val t = GraftTable.create(spark, freshCatalog(), "t5c",
+      cols.filterNot(c => Set("score4", "label")(c.name)))
+    val v1 = t.insert(Seq((1L, "a", 3.0)).toDF("id", "name", "score"))
+    val v2 = t.addColumn(ColumnDef("bonus", "double", Some("score + 1")))
+    // read at a version before the add_column must not see (or fail on) it
+    assert(!t.read(Some(v1)).columns.contains("bonus"))
+    assert(t.read(Some(v2)).columns.contains("bonus"))
+    t.revert(v1)
+    assert(!t.read().columns.contains("bonus")) // column gone with the revert
+    // and the table still round-trips writes
+    t.insert(Seq((2L, "b", 4.0)).toDF("id", "name", "score"))
+    assert(t.read().count() == 2)
+  }
+
+  test("drop_column is metadata-only and time travel still sees it") {
+    val t = GraftTable.create(spark, freshCatalog(), "t5d",
+      cols.filterNot(c => Set("score2", "score4", "label")(c.name)))
+    val v1 = t.insert(Seq((1L, "a", 3.0)).toDF("id", "name", "score"))
+    val before = t.history().count()
+    val v2 = t.dropColumn("score")
+    assert(t.history().count() == before + 1) // one metadata version, no rewrite
+    assert(!t.read().columns.contains("score"))
+    assert(t.read(Some(v1)).columns.contains("score")) // pre-drop time travel
+    t.insert(Seq((2L, "b")).toDF("id", "name")) // post-drop insert without the column
+    assert(t.read().count() == 2)
+    t.revert(v1)
+    assert(t.read().columns.contains("score")) // drop undone by revert
+  }
+
+  test("drop_column refuses when computed columns depend on it") {
+    val t = GraftTable.create(spark, freshCatalog(), "t5e", cols)
+    t.insert(Seq((1L, "a", 1.0)).toDF("id", "name", "score"))
+    assertThrows[IllegalArgumentException](t.dropColumn("score")) // score2 depends
+  }
+
+  test("rename_column is metadata-only; reads, writes and updates follow") {
+    val t = GraftTable.create(spark, freshCatalog(), "t5f",
+      cols.filterNot(c => Set("score2", "score4", "label")(c.name)))
+    t.insert(Seq((1L, "a", 3.0)).toDF("id", "name", "score"))
+    t.renameColumn("score", "points")
+    assert(t.read().columns.toSeq == Seq("id", "name", "points"))
+    assert(t.read().filter("id = 1").head().getAs[Double]("points") == 3.0)
+    // insert and update through the new name
+    t.insert(Seq((2L, "b", 4.0)).toDF("id", "name", "points"))
+    t.update(Map("points" -> "points + 10"), "id = 1")
+    assert(t.read().filter("id = 1").head().getAs[Double]("points") == 13.0)
+    assert(t.read().filter("id = 2").head().getAs[Double]("points") == 4.0)
+    // a second rename chains (physical name stays the original)
+    t.renameColumn("points", "pts")
+    assert(t.read().filter("id = 1").head().getAs[Double]("pts") == 13.0)
+  }
+
+  test("cascade dependency detection parses, not regex-matches") {
+    val t = GraftTable.create(spark, freshCatalog(), "t5g", Seq(
+      ColumnDef("id", "bigint"),
+      ColumnDef("score", "double"),
+      // 'score' appears only inside a string literal: NOT a dependency
+      ColumnDef("tag", "string", computedExpr = Some("concat('score', ' fixed')")),
+      // backtick-quoted reference IS a dependency
+      ColumnDef("dbl", "double", computedExpr = Some("`score` * 2")),
+    ))
+    t.insert(Seq((1L, 1.0)).toDF("id", "score"))
+    t.update(Map("score" -> "score + 1"), "id = 1")
+    val row = t.read().head()
+    assert(row.getAs[Double]("dbl") == 4.0)        // recomputed via quoted ref
+    assert(row.getAs[String]("tag") == "score fixed")
+  }
+
   test("add computed column backfills existing rows") {
     val t = GraftTable.create(spark, freshCatalog(), "t7",
       cols.filterNot(c => Set("score4", "label")(c.name)))
