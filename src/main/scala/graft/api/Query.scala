@@ -61,17 +61,29 @@ final case class Query(df: DataFrame, keyCols: Seq[String]) {
     copy(df = df.filter(substring(sampleKey(seed), 1, 8) < threshold))
   }
 
-  /** Repeatable n-row sample: global rank by md5 key. */
-  def sampleN(n: Int, seed: Long = 0L): Query = {
-    val w = Window.orderBy(sampleKey(seed))
-    copy(df = df.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= n).drop("_rk"))
-  }
+  /** Repeatable n-row sample: top-n by md5 key via orderBy+limit, which
+    * Catalyst plans as TakeOrderedAndProject (per-partition heaps + merge of
+    * n-row heads — no global sort, no single-task window at any scale).
+    */
+  def sampleN(n: Int, seed: Long = 0L): Query =
+    copy(df = df.orderBy(sampleKey(seed)).limit(n))
 
-  /** Repeatable stratified sample: n rows per stratum. */
-  def sampleStratified(n: Int, stratifyBy: Seq[Column], seed: Long = 0L): Query = {
-    val w = Window.partitionBy(stratifyBy: _*).orderBy(sampleKey(seed))
-    copy(df = df.withColumn("_rk", row_number().over(w))
+  /** Repeatable stratified sample: n rows per stratum, two-phase so no
+    * single task ever sorts a whole stratum. Phase 1 ranks within
+    * (stratum, salt) — `saltBuckets`× the parallelism of a per-stratum
+    * window — keeping n rows per salted group; phase 2 ranks the surviving
+    * ≤ saltBuckets·n rows per stratum. Top-n-of-union == global top-n, and
+    * the salt is derived from the sample key so tied keys stay together.
+    */
+  def sampleStratified(n: Int, stratifyBy: Seq[Column], seed: Long = 0L,
+      saltBuckets: Int = 64): Query = {
+    val key = sampleKey(seed)
+    val salt = pmod(crc32(key), lit(saltBuckets))
+    val w1 = Window.partitionBy((stratifyBy :+ salt): _*).orderBy(key)
+    val pre = df.withColumn("_rk", row_number().over(w1))
+      .filter(col("_rk") <= n).drop("_rk")
+    val w2 = Window.partitionBy(stratifyBy: _*).orderBy(key)
+    copy(df = pre.withColumn("_rk", row_number().over(w2))
       .filter(col("_rk") <= n).drop("_rk"))
   }
 

@@ -168,15 +168,16 @@ object Extras {
     QueryDef(
       "q49_sample_n",
       (s, dir) => {
-        // repeatable global n-row sample: rank all rows by md5(seed ∥ pk)
+        // repeatable global n-row sample: top-n by md5(seed ∥ pk) via
+        // orderBy+limit → TakeOrderedAndProject (per-partition heaps, no
+        // global single-task sort — a partition-less Window.orderBy would
+        // funnel the whole table through one task at scale).
         // (reference SqlSampleNode n-sample, `exec/sql_node.py:771-826`).
-        import org.apache.spark.sql.expressions.Window
         val key = md5(concat_ws("___", lit("11"),
           col("o_orderkey").cast("string")))
-        val w = Window.orderBy(key)
         T(s, dir, "orders")
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= 100)
+          .orderBy(key)
+          .limit(100)
           .select(col("o_orderkey"), col("o_totalprice"))
           .orderBy(col("o_orderkey"))
       },

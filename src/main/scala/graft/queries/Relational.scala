@@ -254,11 +254,25 @@ object Relational {
       (s, dir) => {
         // Order on enough columns that tied rows are identical in every
         // output-relevant column (lag/lead read l_quantity, which is a key).
+        //
+        // Scale shape: l_returnflag has 3 distinct values, so a direct
+        // per-flag window sorts the whole table in ≤3 tasks regardless of
+        // cluster size. Two-phase instead: (1) keep the top 501 rows per
+        // (flag, salt) — 64× the parallelism, salt derived from the order
+        // key so tied rows stay together; top-501-of-union ⊇ global
+        // top-501, and rank 501 is exactly what lead() at rank 500 needs —
+        // then (2) run the real window on the ≤ 64·501 survivors per flag.
+        val orderCols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"), col("l_shipdate"))
+        val salt = pmod(crc32(concat_ws("_", orderCols: _*)), lit(64))
+        val wPre = Window.partitionBy(col("l_returnflag"), salt).orderBy(orderCols: _*)
         val w = Window
           .partitionBy(col("l_returnflag"))
-          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-            col("l_extendedprice"), col("l_discount"), col("l_tax"), col("l_shipdate"))
+          .orderBy(orderCols: _*)
         T(s, dir, "lineitem")
+          .withColumn("_prk", row_number().over(wPre))
+          .filter(col("_prk") <= 501)
+          .drop("_prk")
           .select(
             col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
             row_number().over(w).cast("long").as("rn"),
@@ -321,10 +335,18 @@ object Relational {
       "q17_sample_stratified",
       (s, dir) => {
         // n-per-stratum repeatable sample: rank by md5 key within stratum.
+        // Two-phase (see q13): pre-reduce per (stratum, salt) so no task
+        // ever sorts a whole stratum; top-10-of-union == global top-10.
+        val key = md5Key("7", col("l_orderkey"), col("l_linenumber"))
+        val salt = pmod(crc32(key), lit(64))
+        val wPre = Window.partitionBy(col("l_returnflag"), salt).orderBy(key)
         val w = Window
           .partitionBy(col("l_returnflag"))
-          .orderBy(md5Key("7", col("l_orderkey"), col("l_linenumber")))
+          .orderBy(key)
         T(s, dir, "lineitem")
+          .withColumn("_prk", row_number().over(wPre))
+          .filter(col("_prk") <= 10)
+          .drop("_prk")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10)
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
