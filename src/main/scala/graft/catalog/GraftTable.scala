@@ -162,6 +162,35 @@ final class GraftTable private (
     }
   }
 
+  /** Delete live rows whose `keyCol` value appears in `keys` (a one-column
+    * DataFrame), fully distributed — the key set is never materialized on
+    * the driver, so a 100M-row delete works the same as a 100-row one, and
+    * exactly ONE table version is minted regardless of key count. File-pruned
+    * copy-on-write like `delete`; only the driver-side file list (not rows)
+    * is collected. The join strategy is left to Catalyst/AQE: small key sets
+    * broadcast, large ones shuffle.
+    */
+  def deleteByKeys(keys: DataFrame, keyCol: String): Long = {
+    val m = meta
+    val v = m.currentVersion + 1
+    require(keys.columns.length == 1, "deleteByKeys expects a single-column key frame")
+    val files = m.activeFiles(m.currentVersion)
+    if (files.isEmpty) return noopVersion(m, v, "delete")
+    val k = keys.toDF("_k").distinct()
+    val df = toLogical(
+      spark.read.option("mergeSchema", "true").parquet(files: _*), m)
+      .withColumn(FileCol, input_file_name())
+    val joined = df.join(k, df(keyCol) === k("_k"), "left_outer")
+    val hit = col(VMax) === Live && k("_k").isNotNull
+    val hitFiles = joined.filter(hit).select(FileCol).distinct()
+      .collect().map(_.getString(0))
+    if (hitFiles.isEmpty) return noopVersion(m, v, "delete")
+    val out = joined.filter(col(FileCol).isin(hitFiles.toSeq: _*))
+      .withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax)))
+      .drop(FileCol).drop("_k")
+    rewrite(m, v, "delete", out, manifestFilesMatching(m, hitFiles))
+  }
+
   /** Update columns on rows matching a predicate; dependent computed columns
     * recompute transitively (reference update cascade, `plan.py:414-485`).
     * Updated rows keep their `_rowid`. File-pruned like delete.

@@ -96,16 +96,15 @@ object Views {
     val baseVersion = base.currentVersion
     if (baseVersion > lastSeen) {
       // rows closed (deleted or replaced) after the last sync — must read
-      // history, not the MVCC-visible image, to see them
+      // history, not the MVCC-visible image, to see them. The closed-rowid
+      // set stays distributed: one anti-join-style rewrite, one view version
+      // (a driver-side collect + chunked IN-deletes would OOM the driver and
+      // mint a version per chunk at scale).
       val closed = base.readHistory()
         .filter(col(GraftTable.VMax) > lastSeen &&
           col(GraftTable.VMax) =!= GraftTable.Live)
-        .select(col(GraftTable.RowId)).distinct()
-        .collect().map(_.getLong(0))
-      if (closed.nonEmpty)
-        closed.grouped(10000).foreach { chunk =>
-          view.delete(s"$BaseRowId IN (${chunk.mkString(",")})")
-        }
+        .select(col(GraftTable.RowId))
+      if (!closed.isEmpty) view.deleteByKeys(closed, BaseRowId)
     }
     refreshComponentView(view, base, iteratorExprSql, valueCol, keepCols)
   }
@@ -139,14 +138,12 @@ object Views {
     val lastSeen = view.meta.snapshots.getOrElse(lastSeenKey(base), 0L)
     val baseVersion = base.currentVersion
     if (baseVersion <= lastSeen) return view.currentVersion
+    // distributed closed-row propagation — see syncComponentView
     val closed = base.readHistory()
       .filter(col(GraftTable.VMax) > lastSeen &&
         col(GraftTable.VMax) =!= GraftTable.Live)
-      .select(col(GraftTable.RowId)).distinct().collect().map(_.getLong(0))
-    if (closed.nonEmpty)
-      closed.grouped(10000).foreach { chunk =>
-        view.delete(s"$BaseRowId IN (${chunk.mkString(",")})")
-      }
+      .select(col(GraftTable.RowId))
+    if (!closed.isEmpty) view.deleteByKeys(closed, BaseRowId)
     val fresh = base.readWithSystem()
       .filter(col(GraftTable.VMin) > lastSeen && col(GraftTable.VMax) === GraftTable.Live)
     val v = view.insert(mvTransform(fresh, whereSql, selectExprs))

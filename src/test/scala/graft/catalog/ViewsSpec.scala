@@ -78,6 +78,24 @@ class ViewsSpec extends AnyFunSuite {
     assert(mv.read().count() == 0)
   }
 
+  test("sync of a >100k-row base deletion is one distributed version") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "docs_big", cols)
+    import org.apache.spark.sql.functions._
+    t.insert(spark.range(120000).select(col("id"),
+      concat(lit("w"), col("id") % 7).as("text")))
+    val mv = Views.createMaterializedView(spark, cat, "mv_big", t,
+      None, Seq("id" -> "id", "text" -> "text"))
+    assert(mv.read().count() == 120000)
+    val versionsBefore = mv.history().count()
+    t.delete("id % 2 = 0") // closes 60k base rows
+    Views.syncMaterializedView(mv, t, None, Seq("id" -> "id", "text" -> "text"))
+    assert(mv.read().count() == 60000)
+    // exactly 2 new view versions: ONE distributed delete + one insert
+    // (the old chunked-IN path minted one version per 10k rowids)
+    assert(mv.history().count() == versionsBefore + 2)
+  }
+
   test("incremental refresh processes only new base rows") {
     val cat = freshCatalog()
     val t = GraftTable.create(spark, cat, "docs3", cols)
