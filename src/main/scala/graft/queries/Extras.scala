@@ -880,6 +880,51 @@ object Extras {
              |WHERE o_totalprice > 1.9 * (SELECT avg(o_totalprice) FROM orders)
              |ORDER BY o_orderkey""".stripMargin),
     ),
+    QueryDef(
+      "q77_video_pipeline",
+      (s, dir) => {
+        // REAL video container codec in the oracle gate (reference video
+        // family, `functions/video/iterators.py`, `editing.py`): synthesize
+        // an MJPEG-AVI per row with id-derived frame count/geometry, read
+        // header metadata, clip off frame 0, explode the remaining frames
+        // and JPEG-decode each one — every output column must match the
+        // oracle's closed-form arithmetic.
+        import graft.functions.{Images, Video}
+        val n = (col("doc_id") % 5 + 2).cast("int")  // 2..6 frames
+        val w = (col("doc_id") % 16 + 8).cast("int") // 8..23
+        val h = (col("doc_id") % 8 + 8).cast("int")  // 8..15
+        val rgb = (col("doc_id") * 999 % 0xffffff).cast("int")
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("vid", Video.makeTestVideoUdf(n, w, h, rgb, lit(10)))
+          .withColumn("meta", Video.getMetadata(col("vid")))
+          .withColumn("clip", Video.clip(col("vid"), lit(1), n))
+          .withColumn("fr", explode(Video.frameIterator(col("clip"), lit(1))))
+          .withColumn("fmeta", Images.getMetadata(col("fr._3")))
+          .groupBy(col("doc_id"))
+          .agg(
+            first(col("meta.frames")).as("frames"),
+            first(col("meta.width")).as("width"),
+            first(col("meta.height")).as("height"),
+            first(col("meta.fps")).as("fps"),
+            first(col("meta.duration_s")).as("duration_s"),
+            count(lit(1)).as("clip_frames"),
+            min(col("fmeta._1")).as("frame_w"),
+            min(col("fmeta._2")).as("frame_h"),
+          )
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |(doc_id % 5 + 2)::INT AS frames,
+             |(doc_id % 16 + 8)::INT AS width,
+             |(doc_id % 8 + 8)::INT AS height,
+             |10.0 AS fps,
+             |(doc_id % 5 + 2) / 10.0 AS duration_s,
+             |(doc_id % 5 + 1)::BIGINT AS clip_frames,
+             |(doc_id % 16 + 8)::INT AS frame_w,
+             |(doc_id % 8 + 8)::INT AS frame_h
+             |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
