@@ -109,8 +109,370 @@ object Images {
     Seq((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
   }
 
+  /** raw raster sample of band 0 — for 'L'/'1' images getRGB would apply a
+    * gray→sRGB colorspace conversion; this reads the stored value.
+    */
+  val getSample = udf { (bytes: Array[Byte], x: Int, y: Int) =>
+    decode(bytes).getRaster.getSample(x, y, 0)
+  }
+
   val b64Encode = udf { (bytes: Array[Byte]) =>
     java.util.Base64.getEncoder.encodeToString(bytes)
+  }
+
+  // ---- PIL-mirror completion (reference `functions/image.py:28-726`) ----
+
+  private def rgbAt(img: BufferedImage, x: Int, y: Int): (Int, Int, Int) = {
+    val p = img.getRGB(x, y)
+    ((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+  }
+
+  private def newRgb(w: Int, h: Int) = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+
+  /** PIL convert: 'L' uses ITU-R 601-2 with PIL's exact fixed-point
+    * rounding ((19595 R + 38470 G + 7471 B + 0x8000) >> 16); '1' thresholds
+    * L at 128 (PIL dithers by default — threshold matches dither=NONE);
+    * 'RGB'/'RGBA' re-encode.
+    */
+  val convert = udf { (bytes: Array[Byte], mode: String) =>
+    val src = decode(bytes)
+    def lum(x: Int, y: Int): Int = {
+      val (r, g, b) = rgbAt(src, x, y)
+      (19595 * r + 38470 * g + 7471 * b + 0x8000) >> 16
+    }
+    val out = mode match {
+      case "L" =>
+        val dst = new BufferedImage(src.getWidth, src.getHeight, BufferedImage.TYPE_BYTE_GRAY)
+        for (y <- 0 until src.getHeight; x <- 0 until src.getWidth) {
+          val l = lum(x, y)
+          dst.getRaster.setSample(x, y, 0, l)
+        }
+        dst
+      case "1" =>
+        val dst = new BufferedImage(src.getWidth, src.getHeight, BufferedImage.TYPE_BYTE_BINARY)
+        for (y <- 0 until src.getHeight; x <- 0 until src.getWidth)
+          dst.getRaster.setSample(x, y, 0, if (lum(x, y) >= 128) 1 else 0)
+        dst
+      case "RGB" =>
+        val dst = newRgb(src.getWidth, src.getHeight)
+        val g = dst.createGraphics(); g.drawImage(src, 0, 0, null); g.dispose()
+        dst
+      case "RGBA" =>
+        val dst = new BufferedImage(src.getWidth, src.getHeight, BufferedImage.TYPE_INT_ARGB)
+        val g = dst.createGraphics(); g.drawImage(src, 0, 0, null); g.dispose()
+        dst
+      case other => throw new IllegalArgumentException(s"unsupported mode $other")
+    }
+    encodePng(out)
+  }
+
+  /** PIL blend: out = im1 + (im2 - im1) * alpha, per channel, rounded. */
+  val blend = udf { (a: Array[Byte], b: Array[Byte], alpha: Double) =>
+    val ia = decode(a); val ib = decode(b)
+    require(ia.getWidth == ib.getWidth && ia.getHeight == ib.getHeight, "size mismatch")
+    val dst = newRgb(ia.getWidth, ia.getHeight)
+    for (y <- 0 until ia.getHeight; x <- 0 until ia.getWidth) {
+      val (r1, g1, b1) = rgbAt(ia, x, y); val (r2, g2, b2) = rgbAt(ib, x, y)
+      def mix(u: Int, v: Int) = math.max(0, math.min(255, math.round(u + (v - u) * alpha).toInt))
+      dst.setRGB(x, y, (mix(r1, r2) << 16) | (mix(g1, g2) << 8) | mix(b1, b2))
+    }
+    encodePng(dst)
+  }
+
+  /** PIL composite(image1, image2, mask): image1 where mask=255, image2
+    * where mask=0, linear in between (mask read as luminance).
+    */
+  val composite = udf { (a: Array[Byte], b: Array[Byte], mask: Array[Byte]) =>
+    val ia = decode(a); val ib = decode(b); val im = decode(mask)
+    require(ia.getWidth == ib.getWidth && ia.getHeight == ib.getHeight &&
+      im.getWidth == ia.getWidth && im.getHeight == ia.getHeight, "size mismatch")
+    val dst = newRgb(ia.getWidth, ia.getHeight)
+    for (y <- 0 until ia.getHeight; x <- 0 until ia.getWidth) {
+      val (r1, g1, b1) = rgbAt(ia, x, y); val (r2, g2, b2) = rgbAt(ib, x, y)
+      val m = im.getRaster.getSample(x, y, 0)
+      def mix(u: Int, v: Int) = (u * m + v * (255 - m) + 127) / 255
+      dst.setRGB(x, y, (mix(r1, r2) << 16) | (mix(g1, g2) << 8) | mix(b1, b2))
+    }
+    encodePng(dst)
+  }
+
+  /** PIL alpha_composite: Porter-Duff source-over (inputs promoted to RGBA). */
+  val alphaComposite = udf { (a: Array[Byte], b: Array[Byte]) =>
+    val base = decode(a); val over = decode(b)
+    require(base.getWidth == over.getWidth && base.getHeight == over.getHeight, "size mismatch")
+    val dst = new BufferedImage(base.getWidth, base.getHeight, BufferedImage.TYPE_INT_ARGB)
+    val g = dst.createGraphics()
+    g.drawImage(base, 0, 0, null)
+    g.drawImage(over, 0, 0, null)
+    g.dispose()
+    encodePng(dst)
+  }
+
+  /** PIL getchannel(i): one band as an 'L' image. */
+  val getChannel = udf { (bytes: Array[Byte], channel: Int) =>
+    val src = decode(bytes)
+    val dst = new BufferedImage(src.getWidth, src.getHeight, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until src.getHeight; x <- 0 until src.getWidth) {
+      val p = src.getRGB(x, y)
+      val v = channel match {
+        case 0 => (p >> 16) & 0xff
+        case 1 => (p >> 8) & 0xff
+        case 2 => p & 0xff
+        case 3 => (p >> 24) & 0xff
+        case c => throw new IllegalArgumentException(s"bad channel $c")
+      }
+      dst.getRaster.setSample(x, y, 0, v)
+    }
+    encodePng(dst)
+  }
+
+  /** PIL point(lut): 256-entry lookup applied to every channel. */
+  val point = udf { (bytes: Array[Byte], lut: Seq[Int]) =>
+    require(lut.length == 256, s"lut must have 256 entries, got ${lut.length}")
+    val src = decode(bytes)
+    val dst = newRgb(src.getWidth, src.getHeight)
+    for (y <- 0 until src.getHeight; x <- 0 until src.getWidth) {
+      val (r, g, b) = rgbAt(src, x, y)
+      def f(v: Int) = math.max(0, math.min(255, lut(v)))
+      dst.setRGB(x, y, (f(r) << 16) | (f(g) << 8) | f(b))
+    }
+    encodePng(dst)
+  }
+
+  /** PIL transpose: 0=FLIP_LEFT_RIGHT 1=FLIP_TOP_BOTTOM 2=ROTATE_90
+    * 3=ROTATE_180 4=ROTATE_270 5=TRANSPOSE 6=TRANSVERSE (PIL's rotations
+    * are counter-clockwise).
+    */
+  val transpose = udf { (bytes: Array[Byte], method: Int) =>
+    val src = decode(bytes)
+    val (w, h) = (src.getWidth, src.getHeight)
+    val swap = method >= 2 && method != 3
+    val dst = newRgb(if (swap) h else w, if (swap) w else h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (nx, ny) = method match {
+        case 0 => (w - 1 - x, y)             // FLIP_LEFT_RIGHT
+        case 1 => (x, h - 1 - y)             // FLIP_TOP_BOTTOM
+        case 2 => (y, w - 1 - x)             // ROTATE_90 (ccw)
+        case 3 => (w - 1 - x, h - 1 - y)     // ROTATE_180
+        case 4 => (h - 1 - y, x)             // ROTATE_270
+        case 5 => (y, x)                     // TRANSPOSE
+        case 6 => (h - 1 - y, w - 1 - x)     // TRANSVERSE
+        case m => throw new IllegalArgumentException(s"bad method $m")
+      }
+      dst.setRGB(nx, ny, src.getRGB(x, y))
+    }
+    encodePng(dst)
+  }
+
+  /** PIL histogram(): concatenated 256-bin per-band histogram (768 for RGB,
+    * 256 for L).
+    */
+  def histogramOf(img: BufferedImage): Array[Long] = {
+    if (img.getType == BufferedImage.TYPE_BYTE_GRAY) {
+      val h = new Array[Long](256)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        h(img.getRaster.getSample(x, y, 0)) += 1
+      h
+    } else {
+      val h = new Array[Long](768)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val (r, g, b) = rgbAt(img, x, y)
+        h(r) += 1; h(256 + g) += 1; h(512 + b) += 1
+      }
+      h
+    }
+  }
+
+  val histogram = udf { (bytes: Array[Byte]) => histogramOf(decode(bytes)).toSeq }
+
+  /** PIL entropy(): Shannon entropy (bits) of the concatenated histogram. */
+  val entropy = udf { (bytes: Array[Byte]) =>
+    val h = histogramOf(decode(bytes))
+    val total = h.sum.toDouble
+    -h.iterator.filter(_ > 0).map { c =>
+      val p = c / total
+      p * (math.log(p) / math.log(2))
+    }.sum
+  }
+
+  /** PIL getextrema(): per-band (min, max) — [[rmin,rmax],[gmin,gmax],[bmin,bmax]]
+    * for RGB, [[min,max]] for L.
+    */
+  val getExtrema = udf { (bytes: Array[Byte]) =>
+    val img = decode(bytes)
+    if (img.getType == BufferedImage.TYPE_BYTE_GRAY) {
+      var lo = 255; var hi = 0
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val v = img.getRaster.getSample(x, y, 0)
+        lo = math.min(lo, v); hi = math.max(hi, v)
+      }
+      Seq(Seq(lo, hi))
+    } else {
+      val lo = Array(255, 255, 255); val hi = Array(0, 0, 0)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val (r, g, b) = rgbAt(img, x, y)
+        val vs = Array(r, g, b)
+        for (i <- 0 until 3) { lo(i) = math.min(lo(i), vs(i)); hi(i) = math.max(hi(i), vs(i)) }
+      }
+      (0 until 3).map(i => Seq(lo(i), hi(i)))
+    }
+  }
+
+  /** PIL getbands() */
+  val getBands = udf { (bytes: Array[Byte]) =>
+    mode(decode(bytes)).map(_.toString)
+  }
+
+  /** PIL getbbox(): bounding box (l, u, r, lo) of non-zero pixels, null if
+    * the image is entirely zero.
+    */
+  val getBbox = udf { (bytes: Array[Byte]) =>
+    val img = decode(bytes)
+    var (minX, minY, maxX, maxY) = (Int.MaxValue, Int.MaxValue, -1, -1)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      if ((img.getRGB(x, y) & 0xffffff) != 0) {
+        minX = math.min(minX, x); minY = math.min(minY, y)
+        maxX = math.max(maxX, x); maxY = math.max(maxY, y)
+      }
+    if (maxX < 0) null else Seq(minX, minY, maxX + 1, maxY + 1)
+  }
+
+  /** PIL getcolors(maxcolors): (count, [r,g,b]) per distinct color, null if
+    * the image has more than maxcolors distinct colors.
+    */
+  val getColors = udf { (bytes: Array[Byte], maxColors: Int) =>
+    val img = decode(bytes)
+    val counts = scala.collection.mutable.LinkedHashMap.empty[Int, Long]
+    var over = false
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth if !over) {
+      val c = img.getRGB(x, y) & 0xffffff
+      counts(c) = counts.getOrElse(c, 0L) + 1
+      if (counts.size > maxColors) over = true
+    }
+    if (over) null
+    else counts.toSeq.map { case (c, n) =>
+      (n, Seq((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff))
+    }
+  }
+
+  /** PIL getprojection(): 0/1 flags per column and per row marking any
+    * non-zero pixel.
+    */
+  val getProjection = udf { (bytes: Array[Byte]) =>
+    val img = decode(bytes)
+    val xs = Array.fill(img.getWidth)(0)
+    val ys = Array.fill(img.getHeight)(0)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      if ((img.getRGB(x, y) & 0xffffff) != 0) { xs(x) = 1; ys(y) = 1 }
+    (xs.toSeq, ys.toSeq)
+  }
+
+  /** PIL reduce(factor): box-mean downscale by an integer factor (edge
+    * boxes average the remaining pixels); output is ceil(w/f) × ceil(h/f).
+    */
+  val reduceBox = udf { (bytes: Array[Byte], factor: Int) =>
+    require(factor >= 1, s"bad factor $factor")
+    val src = decode(bytes)
+    val nw = (src.getWidth + factor - 1) / factor
+    val nh = (src.getHeight + factor - 1) / factor
+    val dst = newRgb(nw, nh)
+    for (by <- 0 until nh; bx <- 0 until nw) {
+      var (sr, sg, sb, n) = (0L, 0L, 0L, 0)
+      for (y <- by * factor until math.min((by + 1) * factor, src.getHeight);
+           x <- bx * factor until math.min((bx + 1) * factor, src.getWidth)) {
+        val (r, g, b) = rgbAt(src, x, y)
+        sr += r; sg += g; sb += b; n += 1
+      }
+      dst.setRGB(bx, by, (((sr + n / 2) / n).toInt << 16) |
+        (((sg + n / 2) / n).toInt << 8) | ((sb + n / 2) / n).toInt)
+    }
+    encodePng(dst)
+  }
+
+  /** PIL thumbnail(size): aspect-preserving shrink-only resize so the result
+    * fits in (maxW, maxH); images already inside the box pass through.
+    */
+  val thumbnail = udf { (bytes: Array[Byte], maxW: Int, maxH: Int) =>
+    val src = decode(bytes)
+    val scale = math.min(maxW.toDouble / src.getWidth, maxH.toDouble / src.getHeight)
+    if (scale >= 1.0) encodePng(src)
+    else {
+      val nw = math.max(math.round(src.getWidth * scale).toInt, 1)
+      val nh = math.max(math.round(src.getHeight * scale).toInt, 1)
+      val dst = newRgb(nw, nh)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(src, 0, 0, nw, nh, null)
+      g.dispose()
+      encodePng(dst)
+    }
+  }
+
+  /** PIL quantize(colors): median-cut palette of ≤ `colors` colors, every
+    * pixel snapped to its bucket's mean (re-encoded as RGB — distinct-color
+    * count is the observable contract).
+    */
+  val quantize = udf { (bytes: Array[Byte], colors: Int) =>
+    require(colors >= 1, s"bad color count $colors")
+    val img = decode(bytes)
+    val pixels = (for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      yield img.getRGB(x, y) & 0xffffff).toArray
+    // median-cut: repeatedly split the box with the largest channel range
+    final case class Box(px: Array[Int]) {
+      private def chan(c: Int, p: Int) = (p >> (16 - 8 * c)) & 0xff
+      val ranges: Seq[Int] = (0 until 3).map(c => px.map(chan(c, _)).max - px.map(chan(c, _)).min)
+      def widest: Int = ranges.indexOf(ranges.max)
+      def split: Seq[Box] = {
+        val c = widest
+        val sorted = px.sortBy(chan(c, _))
+        val mid = sorted.length / 2
+        Seq(Box(sorted.take(mid)), Box(sorted.drop(mid)))
+      }
+      def mean: Int = {
+        val n = px.length
+        val r = px.map(p => (p >> 16) & 0xff).map(_.toLong).sum / n
+        val g = px.map(p => (p >> 8) & 0xff).map(_.toLong).sum / n
+        val b = px.map(p => p & 0xff).map(_.toLong).sum / n
+        (r.toInt << 16) | (g.toInt << 8) | b.toInt
+      }
+    }
+    var boxes = Vector(Box(pixels))
+    while (boxes.length < colors && boxes.exists(_.px.length > 1)) {
+      val i = boxes.indexWhere(b => b.px.length > 1 && b.ranges.max ==
+        boxes.filter(_.px.length > 1).map(_.ranges.max).max)
+      boxes = boxes.patch(i, boxes(i).split.filter(_.px.nonEmpty), 1)
+    }
+    val palette = boxes.map(_.mean)
+    def nearest(p: Int): Int = palette.minBy { q =>
+      val dr = ((p >> 16) & 0xff) - ((q >> 16) & 0xff)
+      val dg = ((p >> 8) & 0xff) - ((q >> 8) & 0xff)
+      val db = (p & 0xff) - (q & 0xff)
+      dr * dr + dg * dg + db * db
+    }
+    val dst = newRgb(img.getWidth, img.getHeight)
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      dst.setRGB(x, y, nearest(img.getRGB(x, y) & 0xffffff))
+    encodePng(dst)
+  }
+
+  /** PIL effect_spread(distance): per-pixel displacement within ±distance.
+    * PIL draws the offsets from a PRNG; here they come from a deterministic
+    * position hash so results are reproducible across runs and engines.
+    */
+  val effectSpread = udf { (bytes: Array[Byte], distance: Int) =>
+    val src = decode(bytes)
+    val (w, h) = (src.getWidth, src.getHeight)
+    val dst = newRgb(w, h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val hash = (x * 2654435761L + y * 40503L) & 0x7fffffff
+      val dx = (hash % (2 * distance + 1)).toInt - distance
+      val dy = ((hash / 7919) % (2 * distance + 1)).toInt - distance
+      val sx = math.max(0, math.min(w - 1, x + dx))
+      val sy = math.max(0, math.min(h - 1, y + dy))
+      dst.setRGB(x, y, src.getRGB(sx, sy))
+    }
+    encodePng(dst)
   }
 
   /** tile_iterator (reference `functions/image.py:473`): split an image

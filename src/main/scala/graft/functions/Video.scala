@@ -202,6 +202,44 @@ object Video {
       math.max(meta.fps.round.toInt, 1))
   }
 
+  /** make_video UDA (reference `functions/video/__init__.py` make_video,
+    * an order-sensitive aggregate): collect (pos, jpegFrame) pairs and
+    * assemble them into one MJPEG-AVI. Position metadata makes it
+    * order-INsensitive here — partial aggregation composes and `finish`
+    * sorts by pos — the same reformulation StitchTiles uses for
+    * requires_order_by UDAs.
+    */
+  object MakeVideo extends org.apache.spark.sql.expressions.Aggregator[
+      (Int, Array[Byte]), List[(Int, Array[Byte])], Array[Byte]] {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    def zero: List[(Int, Array[Byte])] = Nil
+    def reduce(b: List[(Int, Array[Byte])], t: (Int, Array[Byte])): List[(Int, Array[Byte])] = t :: b
+    def merge(a: List[(Int, Array[Byte])], b: List[(Int, Array[Byte])]): List[(Int, Array[Byte])] = a ++ b
+    def finish(fs: List[(Int, Array[Byte])]): Array[Byte] = {
+      if (fs.isEmpty) return null
+      // transcode whatever image encoding arrives (PNG from the image ops,
+      // JPEG from frame extraction) to JPEG so the MJPG stream is honest
+      val imgs = fs.sortBy(_._1).map(t => Images.decode(t._2))
+      val jpegs = imgs.map { img =>
+        val rgb = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = rgb.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+        val bos = new ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(rgb, "jpg", bos)
+        bos.toByteArray
+      }
+      Avi.write(jpegs, imgs.head.getWidth, imgs.head.getHeight, DefaultFps)
+    }
+    def bufferEncoder: Encoder[List[(Int, Array[Byte])]] =
+      Encoders.kryo[List[(Int, Array[Byte])]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  val DefaultFps = 25 // the reference make_video default
+
+  def make_video(pos: Column, frame: Column): Column =
+    org.apache.spark.sql.functions.udaf(MakeVideo).apply(pos, frame)
+
   /** concat_videos (reference `editing.py`): frame-level concatenation;
     * requires matching dimensions (the reference re-encodes to the first
     * video's geometry — here geometry must already agree).

@@ -925,6 +925,50 @@ object Extras {
              |(doc_id % 8 + 8)::INT AS frame_h
              |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q78_image_ops",
+      (s, dir) => {
+        // the round-2 PIL-mirror ops in the oracle gate: convert('L') with
+        // PIL's exact fixed-point luminance, per-band extrema, reduce()'s
+        // ceil-div geometry, and getbbox of a solid image — all closed-form
+        // arithmetic the oracle recomputes (reference `functions/image.py`
+        // convert/getextrema/reduce/getbbox).
+        import graft.functions.Images
+        val w = (col("doc_id") % 16 + 8).cast("int")
+        val h = (col("doc_id") % 8 + 8).cast("int")
+        val rgb = (col("doc_id") * 999 % 0xffffff).cast("int")
+        T(s, dir, "documents")
+          .filter(col("doc_id").between(1, 50))
+          .withColumn("img", Images.makeSolidPng(w, h, rgb))
+          .withColumn("lpx",
+            Images.getSample(Images.convert(col("img"), lit("L")), lit(0), lit(0)))
+          .withColumn("ext", Images.getExtrema(col("img")))
+          .withColumn("rme", Images.getMetadata(Images.reduceBox(col("img"), lit(3))))
+          .withColumn("bb", Images.getBbox(col("img")))
+          .select(col("doc_id"),
+            col("lpx").cast("long").as("l_val"),
+            col("ext")(0)(0).cast("long").as("red"),
+            col("ext")(1)(1).cast("long").as("green"),
+            col("ext")(2)(0).cast("long").as("blue"),
+            col("rme._1").cast("long").as("rw"),
+            col("rme._2").cast("long").as("rh"),
+            col("bb")(2).cast("long").as("bb_r"),
+            col("bb")(3).cast("long").as("bb_lo"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |(19595 * ((doc_id*999 % 16777215) // 65536)
+             |  + 38470 * (((doc_id*999 % 16777215) // 256) % 256)
+             |  + 7471 * ((doc_id*999 % 16777215) % 256) + 32768) // 65536 AS l_val,
+             |(doc_id*999 % 16777215) // 65536 AS red,
+             |((doc_id*999 % 16777215) // 256) % 256 AS green,
+             |(doc_id*999 % 16777215) % 256 AS blue,
+             |(doc_id % 16 + 8 + 2) // 3 AS rw,
+             |(doc_id % 8 + 8 + 2) // 3 AS rh,
+             |doc_id % 16 + 8 AS bb_r,
+             |doc_id % 8 + 8 AS bb_lo
+             |FROM documents WHERE doc_id BETWEEN 1 AND 50 ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -55,4 +55,127 @@ class ImagesSpec extends AnyFunSuite {
       .head().getAs[scala.collection.Seq[Int]](0).toSeq
     assert(top == Seq(0, 255, 0)) // green rotated to top
   }
+
+  private def px(bytes: Array[Byte], x: Int, y: Int): Seq[Int] = {
+    val p = Images.decode(bytes).getRGB(x, y)
+    Seq((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+  }
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq(Tuple1(png)).toDF("img").select(c.as("r")).head().getAs[T]("r")
+
+  test("convert: PIL-exact L luminance and threshold mode 1") {
+    // PIL L for (0xAA, 0x55, 0x00): (19595*170 + 38470*85 + 7471*0 + 0x8000) >> 16 = 101
+    val l = one[Array[Byte]](Images.convert(col("img"), lit("L")))
+    assert(Images.decode(l).getRaster.getSample(3, 3, 0) == 101)
+    val bw = one[Array[Byte]](Images.convert(col("img"), lit("1")))
+    assert(Images.decode(bw).getRaster.getSample(3, 3, 0) == 0) // 101 < 128
+  }
+
+  test("blend and composite interpolate channels") {
+    val red = Images.solidPng(4, 4, 0xFF0000)
+    val blue = Images.solidPng(4, 4, 0x0000FF)
+    val df = Seq((red, blue)).toDF("a", "b")
+    val mixed = df.select(Images.blend(col("a"), col("b"), lit(0.25)).as("r"))
+      .head().getAs[Array[Byte]]("r")
+    assert(px(mixed, 1, 1) == Seq(191, 0, 64)) // 255*(1-.25)=191.25→191, 255*.25=63.75→64
+    val black = Images.solidPng(4, 4, 0x000000) // mask 0 → second image
+    val comp = Seq((red, blue, black)).toDF("a", "b", "m")
+      .select(Images.composite(col("a"), col("b"), col("m")).as("r"))
+      .head().getAs[Array[Byte]]("r")
+    assert(px(comp, 0, 0) == Seq(0, 0, 255))
+  }
+
+  test("transpose methods produce PIL geometry") {
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    val b = Images.encodePng(img)
+    val df = Seq(Tuple1(b)).toDF("img")
+    val flipped = df.select(Images.transpose(col("img"), lit(0)).as("r"))
+      .head().getAs[Array[Byte]]("r")
+    assert(px(flipped, 0, 0) == Seq(0, 255, 0)) // FLIP_LEFT_RIGHT
+    val t = df.select(Images.transpose(col("img"), lit(5)).as("r"))
+      .head().getAs[Array[Byte]]("r")
+    val m = Images.decode(t)
+    assert(m.getWidth == 1 && m.getHeight == 2) // TRANSPOSE swaps axes
+  }
+
+  test("histogram/entropy/extrema/colors/bands on a solid image") {
+    val hist = one[scala.collection.Seq[Long]](Images.histogram(col("img"))).toSeq
+    assert(hist.length == 768)
+    assert(hist(0xAA) == 512 && hist(256 + 0x55) == 512 && hist(512 + 0x00) == 512)
+    // solid RGB: 3 equal spikes in the 768-bin concatenated histogram → log2(3)
+    assert(math.abs(one[Double](Images.entropy(col("img"))) -
+      math.log(3) / math.log(2)) < 1e-12)
+    val ext = one[scala.collection.Seq[scala.collection.Seq[Int]]](
+      Images.getExtrema(col("img"))).map(_.toSeq).toSeq
+    assert(ext == Seq(Seq(0xAA, 0xAA), Seq(0x55, 0x55), Seq(0x00, 0x00)))
+    val colors = one[scala.collection.Seq[org.apache.spark.sql.Row]](
+      Images.getColors(col("img"), lit(4))).toSeq
+    assert(colors.length == 1 && colors.head.getLong(0) == 512)
+    assert(one[scala.collection.Seq[String]](Images.getBands(col("img"))).toSeq ==
+      Seq("R", "G", "B"))
+  }
+
+  test("getbbox and projection find the non-zero region") {
+    val img = new java.awt.image.BufferedImage(8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(2, 1, 0xFFFFFF); img.setRGB(5, 2, 0xFFFFFF)
+    val df = Seq(Tuple1(Images.encodePng(img))).toDF("img")
+    val bbox = df.select(Images.getBbox(col("img")).as("r"))
+      .head().getAs[scala.collection.Seq[Int]]("r").toSeq
+    assert(bbox == Seq(2, 1, 6, 3))
+    val proj = df.select(Images.getProjection(col("img")).as("r"))
+      .head().getAs[org.apache.spark.sql.Row]("r")
+    assert(proj.getAs[scala.collection.Seq[Int]](0).toSeq == Seq(0, 0, 1, 0, 0, 1, 0, 0))
+    assert(proj.getAs[scala.collection.Seq[Int]](1).toSeq == Seq(0, 1, 1, 0))
+  }
+
+  test("point applies a per-channel LUT") {
+    val inverted = one[Array[Byte]](Images.point(col("img"),
+      lit((255 to 0 by -1).toArray)))
+    assert(px(inverted, 0, 0) == Seq(255 - 0xAA, 255 - 0x55, 255))
+  }
+
+  test("reduce box-averages and thumbnail preserves aspect") {
+    val r = one[Array[Byte]](Images.reduceBox(col("img"), lit(5)))
+    val ri = Images.decode(r)
+    assert(ri.getWidth == 7 && ri.getHeight == 4) // ceil(32/5), ceil(16/5)
+    assert(px(r, 0, 0) == Seq(0xAA, 0x55, 0x00))  // solid stays solid
+    val t = one[Array[Byte]](Images.thumbnail(col("img"), lit(8), lit(8)))
+    val ti = Images.decode(t)
+    assert(ti.getWidth == 8 && ti.getHeight == 4) // 32x16 → scale 1/4
+    val noop = one[Array[Byte]](Images.thumbnail(col("img"), lit(100), lit(100)))
+    assert(Images.decode(noop).getWidth == 32) // shrink-only
+  }
+
+  test("quantize bounds the distinct color count") {
+    val img = new java.awt.image.BufferedImage(8, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 8).foreach(x => img.setRGB(x, 0, x * 0x202020)) // 8 distinct grays
+    val df = Seq(Tuple1(Images.encodePng(img))).toDF("img")
+    val q = df.select(Images.quantize(col("img"), lit(3)).as("r"))
+      .head().getAs[Array[Byte]]("r")
+    val qi = Images.decode(q)
+    val distinct = (0 until 8).map(x => qi.getRGB(x, 0) & 0xffffff).distinct
+    assert(distinct.length <= 3)
+  }
+
+  test("getchannel extracts a band; effect_spread is deterministic") {
+    val ch = one[Array[Byte]](Images.getChannel(col("img"), lit(1)))
+    assert(Images.decode(ch).getRaster.getSample(0, 0, 0) == 0x55)
+    val s1 = one[Array[Byte]](Images.effectSpread(col("img"), lit(2)))
+    val s2 = one[Array[Byte]](Images.effectSpread(col("img"), lit(2)))
+    assert(java.util.Arrays.equals(s1, s2))
+    assert(px(s1, 3, 3) == Seq(0xAA, 0x55, 0x00)) // solid: displacement invisible
+  }
+
+  test("make_video assembles ordered frames into an AVI") {
+    val frames = (0 until 4).map(i => (i, Images.solidPng(16, 8, 0x101010 * i)))
+    val df = frames.toDF("pos", "frame")
+    val vid = df.agg(Video.make_video(col("pos"), col("frame")).as("v"))
+      .head().getAs[Array[Byte]]("v")
+    val meta = Avi.readMeta(vid)
+    assert(meta.frames == 4 && meta.width == 16 && meta.height == 8)
+    assert(meta.fps == Video.DefaultFps.toDouble)
+    assert(Avi.readFrames(vid).length == 4)
+  }
 }
