@@ -46,4 +46,71 @@ object Iterators {
     transform(sequence(lit(1), greatest(size(toks), lit(1)), lit(stride)),
       start => concat_ws(" ", slice(toks, start, lit(n))))
   }
+
+  /** One chunk of a heading-split document (document_splitter
+    * separator='heading', reference `functions/document.py:24-45`): the text
+    * under the currently-open heading hierarchy, with the reference's chunk
+    * metadata — `title` (first h1), `heading` (open h1..h6 map) and
+    * `sourceline` (1-based first line of the chunk).
+    */
+  final case class DocChunk(
+      text: String, title: String, heading: Map[String, String], sourceline: Int)
+
+  /** document_splitter separator='heading': split at markdown (`# ...`) and
+    * single-line HTML (`<hN>...</hN>`) headings (reference HTML headings,
+    * `document.py:138`; markdown needs no external parser). A heading opens
+    * its level and closes all deeper levels; text between headings becomes
+    * one chunk tagged with the open hierarchy. Preamble before the first
+    * heading is a chunk with an empty heading map.
+    */
+  val headingChunks = udf { (text: String) =>
+    if (text == null) Seq.empty[DocChunk]
+    else {
+      val md = "^(#{1,6})\\s+(.*)$".r
+      val html = "(?i)^\\s*<h([1-6])[^>]*>(.*?)</h\\1>\\s*$".r
+      val open = scala.collection.mutable.SortedMap.empty[Int, String]
+      var title: String = null
+      val out = scala.collection.mutable.ArrayBuffer.empty[DocChunk]
+      val cur = new StringBuilder
+      var curStart = 1
+      var started = false
+      def emit(): Unit = {
+        val t = cur.toString.trim
+        if (t.nonEmpty)
+          out += DocChunk(t, title,
+            open.map { case (l, h) => s"h$l" -> h }.toMap, curStart)
+        cur.clear(); started = false
+      }
+      text.split("\n", -1).zipWithIndex.foreach { case (line, i) =>
+        val h = line match {
+          case md(hashes, t) => Some((hashes.length, t.trim))
+          case html(lvl, t)  => Some((lvl.toInt, t.trim))
+          case _             => None
+        }
+        h match {
+          case Some((lvl, t)) =>
+            emit() // chunk carries the hierarchy it was accumulated under
+            open.keys.filter(_ > lvl).toSeq.foreach(open.remove)
+            open(lvl) = t
+            if (lvl == 1 && title == null) title = t
+          case None =>
+            if (!started) { curStart = i + 1; started = true }
+            cur.append(line).append('\n')
+        }
+      }
+      emit()
+      out.toSeq
+    }
+  }
+
+  /** document_splitter separator='page': form-feed (\f) page breaks — the
+    * plain-text page convention (the reference's page mode needs a PDF
+    * parser; the metadata shape — 1-based `page` per chunk — is the same).
+    */
+  val pageChunks = udf { (text: String) =>
+    if (text == null) Seq.empty[(String, Int)]
+    else text.split("\f", -1).zipWithIndex.collect {
+      case (t, i) if t.trim.nonEmpty => (t.trim, i + 1)
+    }.toSeq
+  }
 }

@@ -969,6 +969,38 @@ object Extras {
              |doc_id % 8 + 8 AS bb_lo
              |FROM documents WHERE doc_id BETWEEN 1 AND 50 ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q79_doc_headings",
+      (s, dir) => {
+        // document_splitter heading mode in the oracle gate (reference
+        // `functions/document.py:24-45`): build a markdown doc around each
+        // corpus text, split at headings, and check the chunk metadata —
+        // title, open-heading map, sourceline — against closed-form SQL.
+        import graft.functions.Iterators
+        val mdDoc = concat(lit("# Doc "), col("doc_id"), lit("\n"), col("text"),
+          lit("\n## Details\n"), col("text"))
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(col("doc_id"), col("text"),
+            posexplode(Iterators.headingChunks(mdDoc)).as(Seq("idx", "ch")))
+          .select(col("doc_id"), col("idx"),
+            col("ch.title").as("title"),
+            element_at(col("ch.heading"), "h1").as("h1"),
+            element_at(col("ch.heading"), "h2").as("h2"),
+            col("ch.sourceline").as("sourceline"),
+            length(col("ch.text")).cast("long").as("chunk_len"))
+          .orderBy(col("doc_id"), col("idx"))
+      },
+      Some("""SELECT doc_id, i AS idx,
+             |'Doc ' || doc_id AS title,
+             |'Doc ' || doc_id AS h1,
+             |CASE WHEN i = 1 THEN 'Details' END AS h2,
+             |CASE WHEN i = 0 THEN 2 ELSE 4 END AS sourceline,
+             |length(trim(text))::BIGINT AS chunk_len
+             |FROM documents, (VALUES (0), (1)) AS t(i)
+             |WHERE doc_id < 40 AND length(trim(text)) > 0
+             |ORDER BY doc_id, idx""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
