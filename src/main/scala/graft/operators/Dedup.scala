@@ -19,22 +19,53 @@ object Dedup {
       .filter(col("_rk") === 1).drop("_rk")
   }
 
-  /** Near-dup removal via MinHash+LSH banding: map-side signatures, an
-    * equi-join on (band, hash) for candidates (never O(n²)), exact Jaccard
-    * on candidates only, then greedy keep-smallest-id within connected
-    * pairs (single-link one level — at 100 TB a connected-components pass
-    * replaces the last step).
+  /** Connected components over an undirected edge list (any two columns,
+    * cast to long) by iterative min-label propagation: each round every
+    * vertex adopts the smallest label in its neighborhood — one shuffle per
+    * round, early exit when no label changes. Rounds needed = graph
+    * diameter; near-duplicate graphs are chains/cliques of a handful of
+    * docs, so this converges in 2-3 rounds at any corpus size (the
+    * general-diameter alternative is alternating small-star/large-star,
+    * same per-round shuffle shape).
+    *
+    * Returns (vertex, component) with component = min vertex id reachable.
     */
-  def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(edges.columns(0)).cast("long").as("src"),
+      col(edges.columns(1)).cast("long").as("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    var labels = und.select(col("src").as("v")).distinct()
+      .withColumn("component", col("v")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val msgs = und.join(labels, und("dst") === labels("v"))
+        .select(und("src").as("v"), col("component"))
+      val next = labels.select("v", "component").union(msgs)
+        .groupBy("v").agg(min("component").as("component")).persist()
+      changed = labels.select(col("v"), col("component").as("_old"))
+        .join(next, "v").filter(col("component") < col("_old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    und.unpersist()
+    labels
+  }
+
+  /** LSH candidate pairs verified by exact Jaccard: (_ida, _idb) with
+    * _ida < _idb — the edge list of the near-duplicate graph.
+    */
+  def nearDuplicatePairs(df: DataFrame, textCol: String, idCol: String,
       jaccardThreshold: Double = 0.9, numHashes: Int = 8, bands: Int = 2,
       shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = bands
     val perBand = numHashes / bands
     val withShingles = df
       .filter(length(col(textCol)) >= shingleSize)
       .withColumn("_sh", TextFunctions.shingles(col(textCol), shingleSize))
-    val sig = withShingles.withColumn("_bands", array((0 until rows).map { b =>
+    val sig = withShingles.withColumn("_bands", array((0 until bands).map { b =>
       TextFunctions.bandHash((0 until perBand).map(r =>
         TextFunctions.minhash(col("_sh"), b * perBand + r)))
     }: _*))
@@ -42,12 +73,29 @@ object Dedup {
       posexplode(col("_bands")).as(Seq("_b", "_h")))
     val a = bandsDf.select(col("_id").as("_ida"), col("_sh").as("_sha"), col("_b"), col("_h"))
     val b = bandsDf.select(col("_id").as("_idb"), col("_sh").as("_shb"), col("_b"), col("_h"))
-    val dupIds = a.join(b, Seq("_b", "_h"))
+    a.join(b, Seq("_b", "_h"))
       .filter(col("_ida") < col("_idb"))
       .filter(size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
         size(array_union(col("_sha"), col("_shb"))) >= jaccardThreshold)
-      .select(col("_idb").as("_dup"))
+      .select(col("_ida"), col("_idb"))
       .distinct()
+  }
+
+  /** Near-dup removal via MinHash+LSH banding: map-side signatures, an
+    * equi-join on (band, hash) for candidates (never O(n²)), exact Jaccard
+    * on candidates only, then CONNECTED COMPONENTS over the verified pairs
+    * so transitive chains (A~B, B~C, A≁C) collapse to one keeper — the
+    * component's smallest id — instead of the one-level greedy that left
+    * C's fate dependent on visit order.
+    */
+  def nearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      jaccardThreshold: Double = 0.9, numHashes: Int = 8, bands: Int = 2,
+      shingleSize: Int = 3): DataFrame = {
+    val pairs = nearDuplicatePairs(df, textCol, idCol, jaccardThreshold,
+      numHashes, bands, shingleSize)
+    val dupIds = connectedComponents(pairs)
+      .filter(col("v") =!= col("component")) // keeper = component min id
+      .select(col("v").as("_dup"))
     df.join(dupIds, df(idCol) === dupIds("_dup"), "left_anti")
   }
 

@@ -29,4 +29,32 @@ class DedupSpec extends AnyFunSuite {
     val out = Dedup.simhashBuckets(docs, "text", "id").select("id").as[Long].collect().toSet
     assert(out.contains(1L) && out.contains(4L) && !out.contains(2L))
   }
+
+  test("connected components collapse chains and separate islands") {
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L))
+      .toDF("src", "dst")
+    val cc = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L))
+  }
+
+  test("near-dup chain A~B, B~C, A!~C keeps exactly one survivor") {
+    // 3-shingle Jaccard: A-B = 6/10 = 0.6, B-C = 0.6, A-C = 4/12 = 0.33 —
+    // both adjacent pairs clear threshold 0.5, the chain ends don't.
+    val chain = Seq(
+      (1L, "abcdefghij"),
+      (2L, "cdefghijkl"),
+      (3L, "efghijklmn"),
+      (9L, "zzzzyyyyxxxx"),
+    ).toDF("id", "text")
+    val pairs = Dedup.nearDuplicatePairs(chain, "text", "id",
+      jaccardThreshold = 0.5, numHashes = 8, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L))) // no 1-3 edge
+    val out = Dedup.nearDuplicates(chain, "text", "id",
+      jaccardThreshold = 0.5, numHashes = 8, bands = 8)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 9L)) // transitive chain → single keeper
+  }
 }
