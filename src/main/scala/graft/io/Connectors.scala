@@ -21,6 +21,33 @@ object Connectors {
   def importJson(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** JSON-lines import (reference `import_json` on .jsonl sources): one
+    * record per line — Spark's native json reader semantics, named
+    * explicitly; `multiLine=false` keeps the scan splittable (a whole-file
+    * JSON document would serialize one file per task).
+    */
+  def importJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "false").json(path)
+
+  /** Whole-document JSON import (one JSON value spanning the file). */
+  def importJsonDocument(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+
+  /** Directory-of-media import (the reference's media-dir import: a glob of
+    * image/audio/video files becomes rows) via Spark's binaryFile source:
+    * (path, modification_time, size, data). The scan distributes across
+    * executors — bytes never route through the driver.
+    */
+  def importMediaDir(spark: SparkSession, dir: String,
+      glob: String = "*"): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    (if (glob == "*") reader else reader.option("pathGlobFilter", glob))
+      .load(dir)
+      .withColumnRenamed("modificationTime", "modification_time")
+      .withColumnRenamed("length", "size")
+      .withColumnRenamed("content", "data")
+  }
+
   def importParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
@@ -41,4 +68,44 @@ object Connectors {
     * `plan.py:342-364`): computed columns evaluate on the way in.
     */
   def importInto(table: GraftTable, df: DataFrame): Long = table.insert(df)
+
+  /** Sharded dataset export (the reference's lancedb/pytorch export layout,
+    * `io/lancedb.py`, `io/__init__.py`): bounded-size parquet shards plus a
+    * `_manifest.json` listing every shard with its row count — the layout a
+    * DataLoader or downstream ingest consumes shard-by-shard. Sharding
+    * happens on the executors (`maxRecordsPerFile`); only the file listing
+    * touches the driver.
+    */
+  def exportShards(df: DataFrame, path: String, rowsPerShard: Int): Seq[String] = {
+    require(rowsPerShard > 0, s"bad shard size $rowsPerShard")
+    df.write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerShard.toString)
+      .parquet(path)
+    val spark = df.sparkSession
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val shards = fs.listStatus(fsPath)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName).sorted.toSeq
+    val counts = spark.read.parquet(path)
+      .groupBy(org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.input_file_name(), "/"), -1).as("shard"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val manifest = shards.map { s =>
+      s"""{"shard":${jsonQuote(s)},"rows":${counts.getOrElse(s, 0L)}}"""
+    }.mkString("[", ",", "]")
+    val out = fs.create(new org.apache.hadoop.fs.Path(fsPath, "_manifest.json"), true)
+    try out.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    shards
+  }
+
+  private def jsonQuote(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 }

@@ -18,4 +18,51 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(json.count() == 2)
     assert(json.select("name").as[String].collect().sorted.toSeq == Seq("a", "b"))
   }
+
+  test("jsonl import reads one record per line") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    java.nio.file.Files.write(tmp.resolve("data.jsonl"),
+      "{\"id\":1,\"v\":\"x\"}\n{\"id\":2,\"v\":\"y\"}\n".getBytes("UTF-8"))
+    val df = Connectors.importJsonl(spark, tmp.toString)
+    assert(df.count() == 2)
+    assert(df.select("v").as[String].collect().sorted.toSeq == Seq("x", "y"))
+    // whole-document variant parses a single multi-line JSON array
+    java.nio.file.Files.write(tmp.resolve("doc.json"),
+      "[\n{\"id\":3,\"v\":\"z\"}\n]\n".getBytes("UTF-8"))
+    val doc = Connectors.importJsonDocument(spark, tmp.resolve("doc.json").toString)
+    assert(doc.count() == 1 && doc.select("v").as[String].head() == "z")
+  }
+
+  test("media-dir import loads binary files with metadata, distributed") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media")
+    val png = graft.functions.Images.solidPng(8, 4, 0x123456)
+    java.nio.file.Files.write(tmp.resolve("a.png"), png)
+    java.nio.file.Files.write(tmp.resolve("b.png"),
+      graft.functions.Images.solidPng(2, 2, 0))
+    java.nio.file.Files.write(tmp.resolve("skip.txt"), "not media".getBytes)
+    val df = Connectors.importMediaDir(spark, tmp.toString, "*.png")
+    assert(df.count() == 2)
+    assert(df.columns.toSet == Set("path", "modification_time", "size", "data"))
+    val row = df.filter(org.apache.spark.sql.functions.col("path").endsWith("a.png")).head()
+    assert(java.util.Arrays.equals(row.getAs[Array[Byte]]("data"), png))
+    assert(row.getAs[Long]("size") == png.length.toLong)
+  }
+
+  test("sharded export writes bounded shards plus a manifest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val df = spark.range(100).toDF("id").repartition(2)
+    val shards = Connectors.exportShards(df, s"$tmp/ds", rowsPerShard = 30)
+    assert(shards.nonEmpty)
+    val back = Connectors.importParquet(spark, s"$tmp/ds")
+    assert(back.count() == 100)
+    // every shard respects the bound
+    val counts = back
+      .groupBy(org.apache.spark.sql.functions.input_file_name()).count()
+      .select("count").as[Long].collect()
+    assert(counts.forall(_ <= 30))
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/ds/_manifest.json")), "UTF-8")
+    shards.foreach(s => assert(manifest.contains(s)))
+    assert(manifest.contains("\"rows\":"))
+  }
 }
