@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.functions.udf
+
+/** The reference's net family (`/root/reference/pixeltable/functions/
+  * net.py:11` presigned_url): time-limited signed URLs for media columns.
+  * No cloud SDK exists in this environment, so the signing scheme is the
+  * S3-style query-string HMAC implemented directly: the URL carries an
+  * absolute expiry and an HMAC-SHA256 over (uri, expiry) — verifiable
+  * without shared state, deterministic given (uri, expiry, secret).
+  */
+object Net {
+
+  private def hmacHex(secret: String, payload: String): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(
+      secret.getBytes("UTF-8"), "HmacSHA256"))
+    mac.doFinal(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** presigned_url(uri, expiresEpochS, secret): `uri?X-Graft-Expires=E&
+    * X-Graft-Signature=hex(hmac_sha256(secret, uri \n E))`. The caller
+    * passes the ABSOLUTE expiry so the result is deterministic (the
+    * reference passes a relative `expiration` and stamps now() inside —
+    * plan-unstable; computed columns need determinism).
+    */
+  val presignedUrl = udf { (uri: String, expiresEpochS: Long, secret: String) =>
+    if (uri == null) null
+    else {
+      val sep = if (uri.contains("?")) "&" else "?"
+      val sig = hmacHex(secret, s"$uri\n$expiresEpochS")
+      s"$uri${sep}X-Graft-Expires=$expiresEpochS&X-Graft-Signature=$sig"
+    }
+  }
+
+  /** Check a presigned URL's signature and expiry against `nowEpochS`. */
+  val verifyPresignedUrl = udf { (signed: String, nowEpochS: Long, secret: String) =>
+    if (signed == null) false
+    else {
+      val m = "^(.*?)[?&]X-Graft-Expires=(\\d+)&X-Graft-Signature=([0-9a-f]+)$".r
+      signed match {
+        case m(uri, expS, sig) =>
+          val exp = expS.toLong
+          exp >= nowEpochS && hmacHex(secret, s"$uri\n$exp") == sig
+        case _ => false
+      }
+    }
+  }
+}

@@ -2,8 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
-import java.util.concurrent.{Callable, Executors, Future, Semaphore, TimeUnit}
-import scala.collection.mutable.ArrayBuffer
+import java.util.concurrent.{Callable, Executors, Future}
 import scala.util.control.NonFatal
 
 /** Rate-limited batched executor for expensive per-row calls (model
@@ -17,9 +16,10 @@ import scala.util.control.NonFatal
   * Runs inside `mapPartitions`, so limits apply per partition — on a large
   * cluster set `requestsPerSecond` to clusterBudget / concurrentPartitions.
   * Output preserves input order (the reference's maintain_input_order).
-  * Rows of a partition are buffered while batches are in flight; size
-  * partitions accordingly (the reference bounds this with
-  * MAX_BUFFERED_ROWS=2048 — here the bound is the partition).
+  * At most `maxBufferedRows` (reference MAX_BUFFERED_ROWS=2048) are held
+  * per partition: input is consumed lazily, completed batches emit as soon
+  * as every earlier batch has emitted — a fat partition streams through in
+  * bounded memory instead of buffering entirely.
   */
 object AsyncBatcher {
 
@@ -29,6 +29,7 @@ object AsyncBatcher {
       requestsPerSecond: Double = 0.0, // 0 = unlimited
       maxRetries: Int = 3,
       retryBackoffMs: Long = 50,
+      maxBufferedRows: Int = 2048,     // reference MAX_BUFFERED_ROWS
   )
 
   /** Map `fn` (a batch call: inputs → outputs, may throw) over a string
@@ -47,13 +48,14 @@ object AsyncBatcher {
     val conf = config
     df.mapPartitions { rows =>
       val pool = Executors.newFixedThreadPool(conf.maxConcurrent)
-      val inFlight = new Semaphore(conf.maxConcurrent)
       val limiter = new TokenBucket(conf.requestsPerSecond)
-      val pending = ArrayBuffer.empty[(IndexedSeq[Row], Future[Seq[(String, String)]])]
-      rows.grouped(conf.batchSize).foreach { batch =>
-        val orig = batch.toIndexedSeq
+      val maxPendingBatches = math.max(1, conf.maxBufferedRows / conf.batchSize)
+      val batches = rows.grouped(conf.batchSize) // lazy: consumes input on demand
+      val pending =
+        scala.collection.mutable.Queue.empty[(IndexedSeq[Row], Future[Seq[(String, String)]])]
+      def submitOne(): Unit = {
+        val orig = batches.next().toIndexedSeq
         val inputs = orig.map(r => r.getAs[String](idx))
-        inFlight.acquire()
         val fut = pool.submit(new Callable[Seq[(String, String)]] {
           def call(): Seq[(String, String)] =
             try {
@@ -61,15 +63,28 @@ object AsyncBatcher {
               callWithRetry(fn, inputs, conf).map(v => (v, null: String))
             } catch {
               case NonFatal(e) => inputs.map(_ => (null: String, e.getMessage))
-            } finally inFlight.release()
+            }
         })
-        pending += ((orig, fut))
+        pending.enqueue((orig, fut))
       }
-      pool.shutdown()
-      pool.awaitTermination(1, TimeUnit.DAYS)
-      pending.iterator.flatMap { case (orig, fut) =>
-        orig.zip(fut.get()).map { case (r, (v, err)) =>
-          Row.fromSeq(r.toSeq :+ v :+ err)
+      new Iterator[Row] {
+        private var cur: Iterator[Row] = Iterator.empty
+        def hasNext: Boolean = {
+          while (!cur.hasNext && (pending.nonEmpty || batches.hasNext)) {
+            // keep the bounded window full, then block on the OLDEST batch
+            // only (FIFO keeps input order) while later ones run concurrently
+            while (pending.size < maxPendingBatches && batches.hasNext) submitOne()
+            val (orig, fut) = pending.dequeue()
+            cur = orig.zip(fut.get()).iterator.map { case (r, (v, err)) =>
+              Row.fromSeq(r.toSeq :+ v :+ err)
+            }
+          }
+          if (!cur.hasNext && pending.isEmpty && !batches.hasNext) pool.shutdown()
+          cur.hasNext
+        }
+        def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException("end of partition")
+          cur.next()
         }
       }
     }(enc)

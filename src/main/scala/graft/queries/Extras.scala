@@ -1001,6 +1001,32 @@ object Extras {
              |WHERE doc_id < 40 AND length(trim(text)) > 0
              |ORDER BY doc_id, idx""".stripMargin),
     ),
+    QueryDef(
+      "q80_query_template",
+      (s, dir) => {
+        // general @pxt.query per-row template (reference
+        // `func/query_template_function.py:153-193`): a parameterized
+        // aggregate runs "for every parameter row" — rewritten as ONE
+        // broadcast join + group-by, not a query per row.
+        import graft.functions.QueryTemplates
+        val params = T(s, dir, "nation").filter(col("n_nationkey") < 5)
+          .select(col("n_nationkey").as("pk"),
+            (lit(50000.0) * (col("n_nationkey") + 1)).as("threshold"))
+        val corpus = T(s, dir, "orders")
+        QueryTemplates.aggregatePerParam(params, Seq("pk", "threshold"), corpus,
+          corpus("o_totalprice") > params("threshold"),
+          Seq(count(corpus("o_orderkey")).as("n_over"),
+            round(sum(corpus("o_totalprice")), 2).as("total_over")))
+          .orderBy(col("pk"))
+      },
+      Some("""SELECT n_nationkey AS pk,
+             |50000.0 * (n_nationkey + 1) AS threshold,
+             |count(o_orderkey) AS n_over,
+             |round(sum(o_totalprice), 2) AS total_over
+             |FROM nation LEFT JOIN orders ON o_totalprice > 50000.0 * (n_nationkey + 1)
+             |WHERE n_nationkey < 5
+             |GROUP BY 1, 2 ORDER BY pk""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -38,6 +38,46 @@ class OperatorsSpec extends AnyFunSuite {
     assert(elapsed < 30.0)
   }
 
+  test("AsyncBatcher streams a fat partition in bounded memory") {
+    // one partition far larger than maxBufferedRows: peak concurrently-held
+    // batches must stay within the bounded window
+    val inFlightPeak = new java.util.concurrent.atomic.AtomicInteger(0)
+    val inFlightNow = new java.util.concurrent.atomic.AtomicInteger(0)
+    val df = (1 to 5000).map(i => (i.toLong, s"x$i")).toDF("id", "s").repartition(1)
+    val out = AsyncBatcher.mapColumn(df, "s", "out",
+      batch => {
+        val now = inFlightNow.incrementAndGet()
+        inFlightPeak.updateAndGet(p => math.max(p, now))
+        Thread.sleep(1)
+        inFlightNow.decrementAndGet()
+        batch.map(_.toUpperCase)
+      },
+      AsyncBatcher.Config(batchSize = 50, maxConcurrent = 4, maxBufferedRows = 200))
+    val rows = out.collect()
+    assert(rows.length == 5000)
+    assert(rows.map(_.getAs[String]("s")).toSeq == (1 to 5000).map(i => s"x$i")) // order kept
+    assert(inFlightPeak.get() <= 4) // thread pool bound holds
+  }
+
+  test("Net presigned URLs sign, verify, and expire") {
+    import graft.functions.Net
+    val df = Seq(("file:///data/img1.png")).toDF("uri")
+    val signed = df.select(Net.presignedUrl(col("uri"), lit(1000000L), lit("sekrit")).as("u"))
+      .head().getAs[String]("u")
+    assert(signed.startsWith("file:///data/img1.png?X-Graft-Expires=1000000&X-Graft-Signature="))
+    val sdf = Seq(signed).toDF("u")
+    assert(sdf.select(Net.verifyPresignedUrl(col("u"), lit(999999L), lit("sekrit")))
+      .head().getBoolean(0))
+    assert(!sdf.select(Net.verifyPresignedUrl(col("u"), lit(1000001L), lit("sekrit")))
+      .head().getBoolean(0)) // expired
+    assert(!sdf.select(Net.verifyPresignedUrl(col("u"), lit(999999L), lit("wrong")))
+      .head().getBoolean(0)) // bad secret
+    // deterministic: same inputs, same URL
+    val again = df.select(Net.presignedUrl(col("uri"), lit(1000000L), lit("sekrit")))
+      .head().getString(0)
+    assert(again == signed)
+  }
+
   test("saltedJoin equals plain join") {
     val left = (1 to 1000).map(i => (if (i < 900) "hot" else s"k$i", i))
       .toDF("key", "v")
