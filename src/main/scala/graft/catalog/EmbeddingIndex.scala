@@ -27,6 +27,24 @@ final class EmbeddingIndex(
       query: Seq[Double], k: Int): DataFrame =
     VectorFunctions.topKClustered(table.read(), col(clusterCol), probe,
       col(column), query, k)
+
+  /** Learn the IVF layout: fit k-means over the stored embeddings and
+    * return the model — `graft.operators.KMeans.assign` materializes the
+    * cluster column (partition/bucket the table by it for pruned probes).
+    */
+  def buildIvf(idCol: String, k: Int, maxIter: Int = 10): graft.operators.KMeans.Model =
+    graft.operators.KMeans.fit(table.read(), column, idCol, k, maxIter)
+
+  /** Probe the `nprobe` clusters nearest to the query (by centroid
+    * distance) and rank inside them — the full IVF search path.
+    */
+  def searchIvf(model: graft.operators.KMeans.Model, clusterCol: String,
+      query: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+    val byDist = model.centroids.zipWithIndex.sortBy { case (c, _) =>
+      c.zip(query).map { case (x, y) => (x - y) * (x - y) }.sum
+    }
+    searchClustered(clusterCol, byDist.take(nprobe).map(_._2), query, k)
+  }
 }
 
 object EmbeddingIndex {

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an `array<double>` embedding column —
+  * the learned-cluster build the IVF index layout needs (the reference ships
+  * vectors to an external index; SURVEY §2.12 keeps the layout in the table
+  * as a cluster column).
+  *
+  * Scale shape: the ASSIGNMENT step is map-side only — the k centroids are
+  * inlined into the plan as literals, so each row computes k distances and
+  * an argmin inside the scan, no join, no shuffle. The UPDATE step reduces
+  * to k·dim partial averages (posexplode → groupBy(cluster, dim)), so the
+  * per-iteration shuffle is k·dim rows per partition — independent of row
+  * count. The driver holds only the k×dim centroid matrix between
+  * iterations. Initialization is deterministic: the first k rows in
+  * md5(id) order (a repeatable sample, not rand()).
+  */
+object KMeans {
+
+  final case class Model(centroids: Seq[Seq[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  private def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
+
+  /** squared L2 distance as a codegen'd fold (build-path op) */
+  private def distSq(a: Column, b: Seq[Double]): Column =
+    aggregate(zip_with(a, litVec(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** 0-based index of the nearest centroid — k distance columns + argmin,
+    * all inside the row's projection.
+    */
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = array(centroids.map(c => distSq(vec, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Add `clusterCol` = nearest-centroid id (map-side, no shuffle). */
+  def assign(df: DataFrame, vecCol: String, model: Model,
+      clusterCol: String = "cluster"): DataFrame =
+    df.withColumn(clusterCol,
+      nearestCentroid(col(vecCol).cast("array<double>"), model.centroids))
+
+  /** Fit k centroids. `idCol` keys the deterministic initialization. */
+  def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      maxIter: Int = 10, tol: Double = 1e-6): Model = {
+    require(k >= 1, s"bad k $k")
+    val vecs = df.select(col(idCol).as("_id"),
+      col(vecCol).cast("array<double>").as("_v")).persist()
+    var centroids: Seq[Seq[Double]] = vecs
+      .orderBy(md5(concat(lit("kmeans"), col("_id").cast("string"))))
+      .limit(k)
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("_v").toSeq).toSeq
+    val dim = centroids.head.length
+    var it = 0
+    var moved = Double.MaxValue
+    while (it < maxIter && moved > tol) {
+      val assigned = vecs.withColumn("_c", nearestCentroid(col("_v"), centroids))
+      // k·dim partial sums — the only shuffle of the iteration
+      val sums = assigned
+        .select(col("_c"), posexplode(col("_v")).as(Seq("_d", "_x")))
+        .groupBy("_c", "_d")
+        .agg(sum("_x").as("_s"), count(lit(1)).as("_n"))
+        .collect()
+      val next = Array.tabulate(k)(i => centroids(i).toArray) // empty cluster keeps old
+      sums.groupBy(_.getInt(0)).foreach { case (c, rows) =>
+        rows.foreach { r =>
+          next(c)(r.getInt(1)) = r.getLong(3) match {
+            case 0 => centroids(c)(r.getInt(1))
+            case n => r.getDouble(2) / n
+          }
+        }
+      }
+      moved = centroids.zip(next).map { case (a, b) =>
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.max
+      centroids = next.map(_.toSeq).toSeq
+      it += 1
+    }
+    vecs.unpersist()
+    require(centroids.forall(_.length == dim), "dimension drift")
+    Model(centroids)
+  }
+}

@@ -413,5 +413,27 @@ object Pipeline {
              |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
              |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
     ),
+    QueryDef(
+      "q81_ann_ivf_learned",
+      (s, dir) => {
+        // EXACT ANN over a LEARNED IVF layout: distributed k-means
+        // (deterministic md5-ordered init) + per-cluster radii, probe order
+        // by triangle-inequality bound — the pruned result must equal the
+        // oracle's brute-force top-10 EXACTLY, by construction, with
+        // data-dependent pruning (graft.operators.ExactAnn).
+        import graft.operators.ExactAnn
+        val emb = T(s, dir, "embeddings")
+        val ivf = ExactAnn.build(emb, "embedding", "vec_id", k = 8, maxIter = 5)
+        ExactAnn.search(s, emb, "embedding", "vec_id", queryVec, 10, ivf)
+          .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+      },
+      Some(s"""SELECT vec_id, round(
+              |  list_dot_product(embedding::DOUBLE[], $queryVecSql) /
+              |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              |   sqrt(list_dot_product($queryVecSql, $queryVecSql))), 6) AS cos_sim
+              |FROM embeddings
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
+    ),
   )
 }
