@@ -59,11 +59,114 @@ object Multimodal {
     }(enc)
   }
 
+  // ---------- media file references (reference media types are file URI +
+  // cache: `type_system.py:1734-1817`, `exec/cache_prefetch_node.py`;
+  // column properties fileurl/localpath: `exprs/column_property_ref.py`) ----
+
+  /** result struct for a URI fetch: payload or per-cell error */
+  val mediaFetchType: StructType = StructType(Seq(
+    StructField("data", BinaryType),
+    StructField("errortype", StringType),
+    StructField("errormsg", StringType),
+  ))
+
+  /** `col.fileurl` (reference ColumnPropertyRef FILEURL): for URI-backed
+    * media columns the property IS the stored URI.
+    */
+  def fileurl(uriCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = uriCol
+
+  /** Fetch URI-referenced media bytes ON THE EXECUTORS — each partition
+    * opens its own Hadoop FileSystem (file://, hdfs://, s3a://… resolve the
+    * same way), so 100 TB of media streams scan-side and never routes
+    * through the driver. Failures (missing file, bad scheme) land in the
+    * struct's errortype/errormsg, not as task failures.
+    */
+  def fetchMedia(df: DataFrame, uriCol: String, outCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, mediaFetchType))
+    val idx = df.schema.fieldIndex(uriCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      rows.map { r =>
+        val cell =
+          try {
+            val p = new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(idx)))
+            val fs = p.getFileSystem(conf)
+            val in = fs.open(p)
+            try {
+              val bos = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](64 * 1024)
+              var n = in.read(buf)
+              while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+              Row(bos.toByteArray, null, null)
+            } finally in.close()
+          } catch {
+            case e: Exception =>
+              Row(null, e.getClass.getSimpleName, e.getMessage)
+          }
+        Row.fromSeq(r.toSeq :+ cell)
+      }
+    }(enc)
+  }
+
+  /** `col.localpath` (reference ColumnPropertyRef LOCALPATH) via the
+    * CachePrefetchNode pattern: remote URIs are copied into a local cache
+    * keyed by md5(uri) — concurrently, batch-ahead, with per-cell error
+    * capture (riding `AsyncBatcher`'s bounded in-flight window). Local
+    * file:// URIs short-circuit to their own path (no copy), exactly like
+    * the reference's cache hit path. Appends `<outCol>` and
+    * `<outCol>_errormsg`.
+    */
+  def withLocalPath(df: DataFrame, uriCol: String, outCol: String,
+      cacheDir: String): DataFrame =
+    graft.operators.AsyncBatcher.mapColumn(df, uriCol, outCol,
+      uris => {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        uris.map { uri =>
+          val u = new java.net.URI(uri)
+          if (u.getScheme == null || u.getScheme == "file") {
+            val p = java.nio.file.Paths.get(
+              if (u.getScheme == null) uri else u.getPath)
+            if (!java.nio.file.Files.exists(p))
+              throw new java.io.FileNotFoundException(uri)
+            p.toString
+          } else {
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest(uri.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            val ext = uri.reverse.takeWhile(c => c != '.' && c != '/').reverse
+            val target = java.nio.file.Paths.get(cacheDir,
+              if (ext.nonEmpty && ext.length <= 8) s"$digest.$ext" else digest)
+            if (!java.nio.file.Files.exists(target)) { // cache hit → no refetch
+              java.nio.file.Files.createDirectories(target.getParent)
+              val src = new org.apache.hadoop.fs.Path(u)
+              val fs = src.getFileSystem(conf)
+              val tmp = java.nio.file.Files.createTempFile(
+                target.getParent, ".fetch", ".part")
+              val in = fs.open(src)
+              try java.nio.file.Files.copy(in, tmp,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              finally in.close()
+              try java.nio.file.Files.move(tmp, target,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              catch { // lost a concurrent race: the winner's copy is fine
+                case _: java.nio.file.FileAlreadyExistsException =>
+                  java.nio.file.Files.deleteIfExists(tmp); ()
+              }
+            }
+            target.toString
+          }
+        }
+      },
+      // batchSize=1: fetches are per-file (so errors capture per cell),
+      // concurrent up to maxConcurrent — the CachePrefetchNode shape
+      graft.operators.AsyncBatcher.Config(batchSize = 1, maxConcurrent = 4,
+        maxRetries = 0))
+
   /** STUB frame sampling: one-to-many expansion of a binary "video" payload
     * into n fixed-size frame slices with frame index — the dataflow shape of
-    * the reference's frame_iterator component views
-    * (`functions/video/iterators.py:41-123`). Real decode would replace the
-    * slicing with codec calls; partitioning/expansion stays identical.
+    * the reference's frame_iterator component views. SUPERSEDED by the real
+    * container codec in `graft.functions.Video.frameIterator` (MJPEG-AVI);
+    * kept as the format-agnostic fallback shape.
     */
   def sampleFrames(df: DataFrame, binaryCol: String, nFrames: Int): DataFrame = {
     val frames = transform(sequence(lit(0), lit(nFrames - 1)), i =>

@@ -33,4 +33,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.select("frame_idx").as[Int].collect().toSeq == Seq(0, 1, 2, 3))
     assert(out.columns.contains("frame_bytes"))
   }
+
+  test("fetchMedia loads file:// URIs executor-side with error capture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-uri")
+    val png = graft.functions.Images.solidPng(6, 3, 0xABCDEF)
+    java.nio.file.Files.write(dir.resolve("x.png"), png)
+    val df = Seq(
+      (1L, dir.resolve("x.png").toUri.toString),
+      (2L, dir.resolve("missing.png").toUri.toString),
+    ).toDF("id", "uri")
+    val out = Multimodal.fetchMedia(df, "uri", "media").orderBy("id").collect()
+    assert(java.util.Arrays.equals(
+      out(0).getAs[org.apache.spark.sql.Row]("media").getAs[Array[Byte]]("data"), png))
+    assert(out(0).getAs[org.apache.spark.sql.Row]("media").getAs[String]("errormsg") == null)
+    val err = out(1).getAs[org.apache.spark.sql.Row]("media")
+    assert(err.getAs[Array[Byte]]("data") == null)
+    assert(err.getAs[String]("errortype") == "FileNotFoundException")
+  }
+
+  test("localpath short-circuits file URIs and errors on missing files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-localpath")
+    val cache = java.nio.file.Files.createTempDirectory("graft-cache").toString
+    java.nio.file.Files.write(dir.resolve("a.bin"), Array[Byte](1, 2, 3))
+    val df = Seq(
+      (1L, dir.resolve("a.bin").toUri.toString),
+      (2L, dir.resolve("nope.bin").toUri.toString),
+    ).toDF("id", "uri")
+    val out = Multimodal.withLocalPath(df, "uri", "localpath", cache)
+      .orderBy("id").collect()
+    // file:// → its own path, no copy into the cache
+    assert(out(0).getAs[String]("localpath") == dir.resolve("a.bin").toString)
+    assert(out(0).getAs[String]("localpath_errormsg") == null)
+    assert(out(1).getAs[String]("localpath") == null)
+    assert(out(1).getAs[String]("localpath_errormsg") != null)
+    assert(new java.io.File(cache).listFiles().forall(_.getName.startsWith("."))) // nothing cached
+  }
 }
