@@ -80,9 +80,13 @@ object Vision {
     def reduce(b: Map[Int, ClassAcc], evals: Seq[DetectionEval]): Map[Int, ClassAcc] =
       evals.foldLeft(b) { (acc, e) =>
         val cur = acc.getOrElse(e.category, ClassAcc(Nil, Nil, Nil, 0))
+        // PREPEND (O(per-row) not O(accumulated)) — `finish` sorts by score,
+        // so accumulation order is irrelevant; appending made reduce
+        // quadratic per group. The three lists permute together, keeping
+        // tp/fp/scores index-aligned.
         acc.updated(e.category, ClassAcc(
-          cur.tp ++ e.tp, cur.fp ++ e.fp, cur.scores ++ e.scores,
-          cur.numGts + e.num_gts))
+          e.tp.toList ::: cur.tp, e.fp.toList ::: cur.fp,
+          e.scores.toList ::: cur.scores, cur.numGts + e.num_gts))
       }
 
     def merge(a: Map[Int, ClassAcc], b: Map[Int, ClassAcc]): Map[Int, ClassAcc] =

@@ -35,11 +35,11 @@ object ExactAnn {
   /** Fit the layout: k-means on unit vectors + per-cluster radii. */
   def build(df: DataFrame, vecCol: String, idCol: String, k: Int,
       maxIter: Int = 10): Ivf = {
+    val spark = df.sparkSession
     val norm = df.withColumn("_nv", normalized(col(vecCol)))
     val model = KMeans.fit(norm, "_nv", idCol, k, maxIter)
     val dists = array(model.centroids.map(c =>
-      aggregate(zip_with(col("_nv"), array(c.map(lit): _*),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)): _*)
+      KMeans.distSq(spark, col("_nv"), c)): _*)
     val radii = KMeans.assign(norm, "_nv", model)
       .withColumn("_dc", sqrt(array_min(dists)))
       .groupBy("cluster").agg(max("_dc").as("r"))
@@ -57,18 +57,22 @@ object ExactAnn {
     val dCent = ivf.model.centroids.zipWithIndex.map { case (c, i) =>
       i -> math.sqrt(c.zip(qn).map { case (x, y) => (x - y) * (x - y) }.sum)
     }.toMap
+    // the normalized+assigned projection feeds BOTH probe passes: persist
+    // it once (the HOF normalize would otherwise re-run interpreted per pass)
     val assigned = KMeans.assign(
       df.withColumn("_nv", normalized(col(vecCol))), "_nv", ivf.model)
+      .select(col(idCol), col("cluster"), col(vecCol))
+      .persist()
     val cos = graft.plans.NativeVector.cosine(spark,
       col(vecCol).cast("array<double>"), array(query.map(lit): _*))
-    def topIn(clusters: Seq[Int]): DataFrame =
+    def topIn(clusters: Seq[Int]): Array[org.apache.spark.sql.Row] =
       assigned.filter(col("cluster").isin(clusters: _*))
         .select(col(idCol), cos.as("cos_sim"))
         .orderBy(col("cos_sim").desc, col(idCol))
-        .limit(k)
+        .limit(k).collect()
     // pass 1: nearest cluster → kth-best similarity → distance bound τ
     val nearest = dCent.minBy(_._2)._1
-    val seed = topIn(Seq(nearest)).collect()
+    val seed = topIn(Seq(nearest))
     val tau =
       if (seed.length < k) Double.MaxValue
       else math.sqrt(math.max(2.0 - 2.0 * seed.last.getDouble(1), 0.0))
@@ -76,6 +80,15 @@ object ExactAnn {
     val probe = ivf.model.centroids.indices.filter { c =>
       dCent(c) - ivf.radii.getOrElse(c, 0.0) <= tau + 1e-9
     }
-    topIn(probe)
+    val rows = topIn(probe)
+    assigned.unpersist()
+    // k rows — a driver-local frame is the honest shape for a top-k probe
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol,
+          df.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("cos_sim",
+          org.apache.spark.sql.types.DoubleType))))
   }
 }

@@ -25,24 +25,28 @@ object KMeans {
 
   private def litVec(v: Seq[Double]): Column = array(v.map(lit): _*)
 
-  /** squared L2 distance as a codegen'd fold (build-path op) */
-  private def distSq(a: Column, b: Seq[Double]): Column =
-    aggregate(zip_with(a, litVec(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
+  /** squared L2 distance via the native codegen'd kernel
+    * (`graft.plans.L2SquaredExpr`) — the HOF zip_with/aggregate form is
+    * CodegenFallback and ran interpreted k times per row per iteration.
+    */
+  private[operators] def distSq(spark: org.apache.spark.sql.SparkSession,
+      a: Column, b: Seq[Double]): Column =
+    graft.plans.NativeVector.l2Sq(spark, a, litVec(b))
 
   /** 0-based index of the nearest centroid — k distance columns + argmin,
     * all inside the row's projection.
     */
-  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dists = array(centroids.map(c => distSq(vec, c)): _*)
+  def nearestCentroid(spark: org.apache.spark.sql.SparkSession, vec: Column,
+      centroids: Seq[Seq[Double]]): Column = {
+    val dists = array(centroids.map(c => distSq(spark, vec, c)): _*)
     (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   /** Add `clusterCol` = nearest-centroid id (map-side, no shuffle). */
   def assign(df: DataFrame, vecCol: String, model: Model,
       clusterCol: String = "cluster"): DataFrame =
-    df.withColumn(clusterCol,
-      nearestCentroid(col(vecCol).cast("array<double>"), model.centroids))
+    df.withColumn(clusterCol, nearestCentroid(df.sparkSession,
+      col(vecCol).cast("array<double>"), model.centroids))
 
   /** Fit k centroids. `idCol` keys the deterministic initialization. */
   def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
@@ -58,7 +62,8 @@ object KMeans {
     var it = 0
     var moved = Double.MaxValue
     while (it < maxIter && moved > tol) {
-      val assigned = vecs.withColumn("_c", nearestCentroid(col("_v"), centroids))
+      val assigned = vecs.withColumn("_c",
+        nearestCentroid(df.sparkSession, col("_v"), centroids))
       // k·dim partial sums — the only shuffle of the iteration
       val sums = assigned
         .select(col("_c"), posexplode(col("_v")).as(Seq("_d", "_x")))

@@ -61,20 +61,77 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance over `array<double>` — the k-means / exact-ANN
+  * hot kernel (assignment computes k of these per row per iteration; the
+  * HOF zip_with/aggregate form is CodegenFallback and runs interpreted).
+  */
+case class L2SquaredExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      s"""
+         |double[] $x = $a.toDoubleArray();
+         |double[] $y = $b.toDoubleArray();
+         |int $n = java.lang.Math.min($x.length, $y.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $x[$i] - $y[$i];
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeVector {
-  /** Register `cosine_sim_native(a, b)` for use via expr()/SQL; both
-    * arguments must be `array<double>`.
+  /** Register `cosine_sim_native(a, b)` / `l2_sq_native(a, b)` for use via
+    * expr()/SQL; both arguments must be `array<double>`.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim_native",
       exprs => CosineSimilarityExpr(exprs.head, exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_sq_native",
+      exprs => L2SquaredExpr(exprs.head, exprs(1)),
+      "scala_udf")
+  }
 
   /** Column form (registers on first use in the session). */
   def cosine(spark: SparkSession, a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("cosine_sim_native", a, b)
+  }
+
+  /** Column form of squared L2 distance. */
+  def l2Sq(spark: SparkSession, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("l2_sq_native", a, b)
   }
 }
