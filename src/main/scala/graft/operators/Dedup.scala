@@ -71,13 +71,14 @@ object Dedup {
     }: _*))
     val bandsDf = sig.select(col(idCol).as("_id"), col("_sh"),
       posexplode(col("_bands")).as(Seq("_b", "_h")))
-    val a = bandsDf.select(col("_id").as("_ida"), col("_sh").as("_sha"), col("_b"), col("_h"))
-    val b = bandsDf.select(col("_id").as("_idb"), col("_sh").as("_shb"), col("_b"), col("_h"))
-    a.join(b, Seq("_b", "_h"))
-      .filter(col("_ida") < col("_idb"))
-      .filter(size(array_intersect(col("_sha"), col("_shb"))).cast("double") /
-        size(array_union(col("_sha"), col("_shb"))) >= jaccardThreshold)
-      .select(col("_ida"), col("_idb"))
+    // alias self-join with renames AFTER the join: both sides shuffle the
+    // identical subplan, so ReuseExchange computes signatures once at scale
+    bandsDf.as("a").join(bandsDf.as("b"),
+        col("a._b") === col("b._b") && col("a._h") === col("b._h"))
+      .filter(col("a._id") < col("b._id"))
+      .filter(size(array_intersect(col("a._sh"), col("b._sh"))).cast("double") /
+        size(array_union(col("a._sh"), col("b._sh"))) >= jaccardThreshold)
+      .select(col("a._id").as("_ida"), col("b._id").as("_idb"))
       .distinct()
   }
 

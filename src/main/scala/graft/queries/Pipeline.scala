@@ -191,11 +191,15 @@ object Pipeline {
           md5(concat((0 until 4).map(r => col(s"h${4 * b + r}")): _*)))
         val bands = sig.select(col("doc_id"),
           posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
-        val a = bands.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
-        val b = bands.select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
-        a.join(b, Seq("band_idx", "band_hash"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
+        // self-join via aliases, renaming AFTER the join: both sides then
+        // shuffle the IDENTICAL subplan on (band_idx, band_hash), so
+        // Catalyst's ReuseExchange computes the md5 minhash signatures ONCE
+        // and replays the exchange for the other side.
+        bands.as("a").join(bands.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_hash") === col("b.band_hash"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
           .orderBy(col("doc_a"), col("doc_b"))
       },
