@@ -80,6 +80,63 @@ object Audio {
       Short.MinValue).toShort), fmt.getSampleRate)
   }
 
+  /** fade_in over the first `seconds` (linear amplitude ramp) */
+  val fadeIn = udf { (bytes: Array[Byte], seconds: Double) =>
+    val (fmt, samples) = decodePcm(bytes)
+    val n = math.max((seconds * fmt.getSampleRate).toInt, 1)
+    encodeWav(samples.zipWithIndex.map { case (s, i) =>
+      if (i >= n) s else (s * (i.toDouble / n)).toShort
+    }, fmt.getSampleRate)
+  }
+
+  /** fade_out over the last `seconds` */
+  val fadeOut = udf { (bytes: Array[Byte], seconds: Double) =>
+    val (fmt, samples) = decodePcm(bytes)
+    val n = math.max((seconds * fmt.getSampleRate).toInt, 1)
+    val total = samples.length
+    encodeWav(samples.zipWithIndex.map { case (s, i) =>
+      if (i < total - n) s else (s * ((total - 1 - i).toDouble / n)).toShort
+    }, fmt.getSampleRate)
+  }
+
+  /** normalize: scale so the peak hits `peak` of full scale (no-op on
+    * silence).
+    */
+  val normalize = udf { (bytes: Array[Byte], peak: Double) =>
+    val (fmt, samples) = decodePcm(bytes)
+    val maxAbs = if (samples.isEmpty) 0 else samples.map(s => math.abs(s.toInt)).max
+    if (maxAbs == 0) encodeWav(samples, fmt.getSampleRate)
+    else {
+      val factor = peak * Short.MaxValue / maxAbs
+      encodeWav(samples.map(s => math.max(math.min(s * factor, Short.MaxValue),
+        Short.MinValue).toShort), fmt.getSampleRate)
+    }
+  }
+
+  /** encode_audio as re-sampling to a target rate (linear interpolation) —
+    * the format-conversion op reduced to what PCM WAV supports.
+    */
+  val resample = udf { (bytes: Array[Byte], targetRate: Int) =>
+    val (fmt, samples) = decodePcm(bytes)
+    val srcRate = fmt.getSampleRate
+    val outLen = math.max((samples.length.toLong * targetRate / srcRate).toInt, 1)
+    encodeWav(Array.tabulate(outLen) { i =>
+      val pos = i.toDouble * srcRate / targetRate
+      val j = math.min(pos.toInt, samples.length - 1)
+      val k = math.min(j + 1, samples.length - 1)
+      val frac = pos - j
+      (samples(j) * (1 - frac) + samples(k) * frac).toShort
+    }, targetRate.toFloat)
+  }
+
+  /** concatenate two WAVs (rates must match) */
+  val concatAudio = udf { (a: Array[Byte], b: Array[Byte]) =>
+    val (fa, sa) = decodePcm(a)
+    val (fb, sb) = decodePcm(b)
+    require(fa.getSampleRate == fb.getSampleRate, "sample-rate mismatch")
+    encodeWav(sa ++ sb, fa.getSampleRate)
+  }
+
   /** audio_splitter (reference `audio.py:357-763`): split on silence —
     * windows whose RMS falls below `silenceRms` for at least
     * `minSilenceSec` separate segments. Returns (idx, start_sec, end_sec,

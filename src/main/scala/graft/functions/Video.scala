@@ -43,33 +43,72 @@ object Avi {
   private def list(listType: String, contents: Array[Byte]): Array[Byte] =
     chunk("LIST", fourcc(listType) ++ contents)
 
-  /** Assemble an MJPEG AVI from JPEG frames (all `w`×`h`, `fps` frames/s). */
-  def write(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+  /** Assemble an MJPEG AVI from JPEG frames (all `w`×`h`, `fps` frames/s),
+    * optionally with a PCM-16 mono audio track (`samples`, `sampleRate`) as
+    * a second ('auds'/'01wb') stream — the with_audio layout.
+    */
+  def write(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
+      audio: Option[(Array[Short], Int)] = None): Array[Byte] = {
     require(frames.nonEmpty, "video needs at least one frame")
     require(fps > 0, s"bad fps $fps")
     val maxFrame = frames.map(_.length).max
+    val nStreams = if (audio.isDefined) 2 else 1
     val avih = Array.concat(le(1000000 / fps), le(0), le(0), le(0x10),
-      le(frames.length), le(0), le(1), le(maxFrame), le(w), le(h),
+      le(frames.length), le(0), le(nStreams), le(maxFrame), le(w), le(h),
       le(0), le(0), le(0), le(0))
     val strh = Array.concat(fourcc("vids"), fourcc("MJPG"), le(0), le(0),
       le(0), le(1), le(fps), le(0), le(frames.length), le(maxFrame),
       le(-1), le(0), le16(0), le16(0), le16(w), le16(h))
     val strf = Array.concat(le(40), le(w), le(h), le16(1), le16(24),
       fourcc("MJPG"), le(w * h * 3), le(0), le(0), le(0), le(0))
+    val videoStrl = list("strl", chunk("strh", strh) ++ chunk("strf", strf))
+    val audioStrl = audio.map { case (samples, rate) =>
+      val aStrh = Array.concat(fourcc("auds"), le(0), le(0), le(0),
+        le(0), le(1), le(rate), le(0), le(samples.length), le(samples.length * 2),
+        le(-1), le(2), le16(0), le16(0), le16(0), le16(0))
+      // WAVEFORMATEX: PCM, mono, 16-bit
+      val aStrf = Array.concat(le16(1), le16(1), le(rate), le(rate * 2),
+        le16(2), le16(16), le16(0))
+      list("strl", chunk("strh", aStrh) ++ chunk("strf", aStrf))
+    }
     val hdrl = list("hdrl",
-      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      chunk("avih", avih) ++ videoStrl ++ audioStrl.getOrElse(Array.empty[Byte]))
+    val audioChunk = audio.map { case (samples, _) =>
+      val raw = new Array[Byte](samples.length * 2)
+      ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).asShortBuffer().put(samples)
+      chunk("01wb", raw)
+    }
     val frameChunks = frames.map(f => chunk("00dc", f))
-    val movi = list("movi", frameChunks.reduce(_ ++ _))
+    val moviChunks = frameChunks ++ audioChunk.toSeq
+    val movi = list("movi", moviChunks.reduce(_ ++ _))
     // idx1 offsets are relative to the start of the movi list's data
     var off = 4 // past the "movi" fourcc
-    val idxEntries = frames.zip(frameChunks).map { case (f, fc) =>
-      val e = Array.concat(fourcc("00dc"), le(0x10), le(off), le(f.length))
+    val idxEntries = moviChunks.map { fc =>
+      val id = new String(fc.take(4), "US-ASCII")
+      val len = ByteBuffer.wrap(fc, 4, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      val e = Array.concat(fourcc(id), le(0x10), le(off), le(len))
       off += fc.length
       e
     }
     val idx1 = chunk("idx1", idxEntries.reduce(_ ++ _))
     val body = fourcc("AVI ") ++ hdrl ++ movi ++ idx1
     Array.concat(fourcc("RIFF"), le(body.length), body)
+  }
+
+  /** The PCM-16 audio track (samples, sampleRate), if the AVI has one. */
+  def readAudio(bytes: Array[Byte]): Option[(Array[Short], Int)] = {
+    val b = buf(bytes)
+    val cs = chunks(bytes)
+    val aStrh = cs.find(c => c._1 == "strh" && fourccAt(b, c._3) == "auds")
+    aStrh.map { c =>
+      val rate = b.getInt(c._3 + 24)
+      val pcm = cs.filter(_._1.endsWith("wb")).flatMap { case (_, _, pos, len) =>
+        java.util.Arrays.copyOfRange(bytes, pos, pos + len)
+      }.toArray
+      val samples = new Array[Short](pcm.length / 2)
+      ByteBuffer.wrap(pcm).order(ByteOrder.LITTLE_ENDIAN).asShortBuffer().get(samples)
+      (samples, rate)
+    }
   }
 
   private def buf(bytes: Array[Byte]) =
@@ -251,5 +290,237 @@ object Video {
       s"geometry mismatch: ${ma.width}x${ma.height} vs ${mb.width}x${mb.height}")
     Avi.write(Avi.readFrames(a) ++ Avi.readFrames(b), ma.width, ma.height,
       math.max(ma.fps.round.toInt, 1))
+  }
+
+  // ---- filter family (reference `functions/video/filters.py:18-1461`):
+  // decode frames → the image-family kernels → re-encode. Each filter is a
+  // per-row UDF; at scale the per-video work stays on the executor that
+  // holds the row, exactly like the reference's per-file ffmpeg calls. ----
+
+  private def toJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+    // JPEG handles gray natively; anything else goes through RGB (alpha
+    // types fail ImageIO's jpg writer)
+    val out =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY ||
+          img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) img
+      else {
+        val rgb = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = rgb.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+        rgb
+      }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** apply an image transform to every frame, keeping fps and audio */
+  private def mapFrames(bytes: Array[Byte])(
+      f: (java.awt.image.BufferedImage, Int, Int) => java.awt.image.BufferedImage): Array[Byte] = {
+    val meta = Avi.readMeta(bytes)
+    val frames = Avi.readFrames(bytes)
+    val n = frames.length
+    val out = frames.zipWithIndex.map { case (fb, i) =>
+      toJpeg(f(Images.decode(fb), i, n))
+    }
+    val first = Images.decode(out.head)
+    Avi.write(out, first.getWidth, first.getHeight,
+      math.max(meta.fps.round.toInt, 1), Avi.readAudio(bytes))
+  }
+
+  val cropVideo = udf { (v: Array[Byte], l: Int, u: Int, r: Int, lo: Int) =>
+    mapFrames(v)((img, _, _) => img.getSubimage(l, u, r - l, lo - u))
+  }
+
+  val resizeVideo = udf { (v: Array[Byte], w: Int, h: Int) =>
+    mapFrames(v) { (img, _, _) =>
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null); g.dispose()
+      dst
+    }
+  }
+
+  /** rotate all frames by 90/180/270 degrees ccw */
+  val rotateVideo = udf { (v: Array[Byte], degrees: Int) =>
+    val deg = ((degrees % 360) + 360) % 360
+    require(deg % 90 == 0, s"only multiples of 90, got $degrees")
+    mapFrames(v) { (img, _, _) =>
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (nw, nh) = if (deg % 180 == 0) (w, h) else (h, w)
+      val dst = new java.awt.image.BufferedImage(nw, nh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val (nx, ny) = deg match {
+          case 0 => (x, y); case 90 => (y, w - 1 - x)
+          case 180 => (w - 1 - x, h - 1 - y); case 270 => (h - 1 - y, x)
+        }
+        dst.setRGB(nx, ny, img.getRGB(x, y))
+      }
+      dst
+    }
+  }
+
+  val grayscaleVideo = udf { (v: Array[Byte]) =>
+    mapFrames(v) { (img, _, _) =>
+      val dst = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val g = dst.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+      dst
+    }
+  }
+
+  private def flip(img: java.awt.image.BufferedImage, horizontal: Boolean) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val dst = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      dst.setRGB(if (horizontal) w - 1 - x else x,
+        if (horizontal) y else h - 1 - y, img.getRGB(x, y))
+    dst
+  }
+
+  val mirrorX = udf { (v: Array[Byte]) => mapFrames(v)((i, _, _) => flip(i, true)) }
+  val mirrorY = udf { (v: Array[Byte]) => mapFrames(v)((i, _, _) => flip(i, false)) }
+
+  private def scaleBrightness(img: java.awt.image.BufferedImage, factor: Double) = {
+    val dst = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until img.getWidth; y <- 0 until img.getHeight) {
+      val p = img.getRGB(x, y)
+      def s(v: Int) = math.max(0, math.min(255, math.round(v * factor).toInt))
+      dst.setRGB(x, y, (s((p >> 16) & 0xff) << 16) | (s((p >> 8) & 0xff) << 8) | s(p & 0xff))
+    }
+    dst
+  }
+
+  val adjustBrightness = udf { (v: Array[Byte], factor: Double) =>
+    mapFrames(v)((img, _, _) => scaleBrightness(img, factor))
+  }
+
+  /** fade_in/fade_out over the first/last `frames` frames (linear ramp) */
+  val fadeIn = udf { (v: Array[Byte], nFade: Int) =>
+    mapFrames(v)((img, i, _) =>
+      if (i >= nFade) img else scaleBrightness(img, i.toDouble / nFade))
+  }
+
+  val fadeOut = udf { (v: Array[Byte], nFade: Int) =>
+    mapFrames(v)((img, i, n) =>
+      if (i < n - nFade) img else scaleBrightness(img, (n - 1 - i).toDouble / nFade))
+  }
+
+  /** overlay_text at (x, y) on every frame */
+  val overlayText = udf { (v: Array[Byte], text: String, x: Int, y: Int) =>
+    mapFrames(v) { (img, _, _) =>
+      val dst = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.drawImage(img, 0, 0, null)
+      g.setColor(java.awt.Color.WHITE)
+      g.drawString(text, x, y)
+      g.dispose()
+      dst
+    }
+  }
+
+  /** reverse: frame order inverted WITHOUT re-encoding (chunk reorder);
+    * the audio track reverses sample-wise.
+    */
+  val reverseVideo = udf { (v: Array[Byte]) =>
+    val meta = Avi.readMeta(v)
+    Avi.write(Avi.readFrames(v).reverse, meta.width, meta.height,
+      math.max(meta.fps.round.toInt, 1),
+      Avi.readAudio(v).map { case (s, r) => (s.reverse, r) })
+  }
+
+  /** speed: retime by changing fps (frames untouched); audio resamples
+    * linearly to keep pitch-naive sync, like ffmpeg's setpts+atempo shape.
+    */
+  val speed = udf { (v: Array[Byte], factor: Double) =>
+    require(factor > 0, s"bad speed $factor")
+    val meta = Avi.readMeta(v)
+    val newFps = math.max((meta.fps * factor).round.toInt, 1)
+    val audio = Avi.readAudio(v).map { case (s, r) =>
+      val outLen = math.max((s.length / factor).toInt, 1)
+      (Array.tabulate(outLen) { i =>
+        val pos = i * factor
+        val j = math.min(pos.toInt, s.length - 1)
+        val k = math.min(j + 1, s.length - 1)
+        val frac = pos - j
+        (s(j) * (1 - frac) + s(k) * frac).toShort
+      }, r)
+    }
+    Avi.write(Avi.readFrames(v), meta.width, meta.height, newFps, audio)
+  }
+
+  /** segment_video: split into ceil(n / framesPerSegment) clips (array of
+    * videos, for posexplode into a component view).
+    */
+  val segmentVideo = udf { (v: Array[Byte], framesPerSegment: Int) =>
+    require(framesPerSegment > 0)
+    val meta = Avi.readMeta(v)
+    Avi.readFrames(v).grouped(framesPerSegment).map { seg =>
+      Avi.write(seg, meta.width, meta.height, math.max(meta.fps.round.toInt, 1))
+    }.toSeq
+  }
+
+  /** scene_detect: frame indices where the mean absolute pixel delta vs the
+    * previous frame exceeds `threshold` (0..255 scale).
+    */
+  val sceneDetect = udf { (v: Array[Byte], threshold: Double) =>
+    val frames = Avi.readFrames(v).map(Images.decode)
+    (1 until frames.length).filter { i =>
+      val (a, b) = (frames(i - 1), frames(i))
+      val n = math.min(a.getWidth, b.getWidth) * math.min(a.getHeight, b.getHeight)
+      var sum = 0.0
+      for (x <- 0 until math.min(a.getWidth, b.getWidth);
+           y <- 0 until math.min(a.getHeight, b.getHeight)) {
+        val pa = a.getRGB(x, y); val pb = b.getRGB(x, y)
+        sum += math.abs(((pa >> 16) & 0xff) - ((pb >> 16) & 0xff)) +
+          math.abs(((pa >> 8) & 0xff) - ((pb >> 8) & 0xff)) +
+          math.abs((pa & 0xff) - (pb & 0xff))
+      }
+      sum / (3.0 * n) > threshold
+    }
+  }
+
+  // ---- audio track ops (reference `editing.py` extract_audio/with_audio/
+  // mix_audio) ----
+
+  /** with_audio: attach a mono PCM-16 WAV as the AVI's audio track. */
+  val withAudio = udf { (v: Array[Byte], wav: Array[Byte]) =>
+    val meta = Avi.readMeta(v)
+    val (fmt, samples) = Audio.decodePcm(wav)
+    Avi.write(Avi.readFrames(v), meta.width, meta.height,
+      math.max(meta.fps.round.toInt, 1), Some((samples, fmt.getSampleRate.toInt)))
+  }
+
+  /** extract_audio: the AVI's audio track as a WAV (null if none). */
+  val extractAudio = udf { (v: Array[Byte]) =>
+    Avi.readAudio(v).map { case (samples, rate) =>
+      Audio.encodeWav(samples, rate.toFloat)
+    }.orNull
+  }
+
+  /** mix_audio: average the existing track with a WAV (or adopt it). */
+  val mixAudio = udf { (v: Array[Byte], wav: Array[Byte]) =>
+    val meta = Avi.readMeta(v)
+    val (fmt, incoming) = Audio.decodePcm(wav)
+    val mixed = Avi.readAudio(v) match {
+      case Some((existing, rate)) =>
+        require(rate == fmt.getSampleRate.toInt, "sample-rate mismatch")
+        val n = math.max(existing.length, incoming.length)
+        (Array.tabulate(n) { i =>
+          val a = if (i < existing.length) existing(i).toInt else 0
+          val b = if (i < incoming.length) incoming(i).toInt else 0
+          ((a + b) / 2).toShort
+        }, rate)
+      case None => (incoming, fmt.getSampleRate.toInt)
+    }
+    Avi.write(Avi.readFrames(v), meta.width, meta.height,
+      math.max(meta.fps.round.toInt, 1), Some(mixed))
   }
 }

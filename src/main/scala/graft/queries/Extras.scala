@@ -1002,6 +1002,49 @@ object Extras {
              |ORDER BY doc_id, idx""".stripMargin),
     ),
     QueryDef(
+      "q82_video_filters",
+      (s, dir) => {
+        // round-2 video filter + audio-track family in the oracle gate
+        // (reference `functions/video/filters.py`, `editing.py`
+        // extract_audio/with_audio): synthesize an AVI, attach an
+        // id-derived sine track, rotate and retime — container geometry,
+        // fps, duration and extracted-audio sample counts are all
+        // closed-form arithmetic.
+        import graft.functions.{Audio, Video}
+        val n = (col("doc_id") % 4 + 2).cast("int")  // 2..5 frames
+        val w = (col("doc_id") % 6 + 8).cast("int")  // 8..13
+        val h = (col("doc_id") % 3 + 6).cast("int")  // 6..8
+        val secs = (col("doc_id") % 3 + 1).cast("double") * 0.1
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("vid", Video.makeTestVideoUdf(n, w, h, lit(0x334455), lit(10)))
+          .withColumn("wav", Audio.makeSineWav(secs, lit(220.0)))
+          .withColumn("va", Video.withAudio(col("vid"), col("wav")))
+          .withColumn("rot", Video.rotateVideo(col("va"), lit(90)))
+          .withColumn("fast", Video.speed(col("va"), lit(2.0)))
+          .withColumn("rmeta", Video.getMetadata(col("rot")))
+          .withColumn("fmeta", Video.getMetadata(col("fast")))
+          .withColumn("back", Audio.getMetadata(Video.extractAudio(col("fast"))))
+          .select(col("doc_id"),
+            col("rmeta.width").as("rot_w"),
+            col("rmeta.height").as("rot_h"),
+            col("fmeta.fps").as("fast_fps"),
+            col("fmeta.duration_s").as("fast_dur"),
+            // speed 2.0 halves the audio: (secs*16000)/2 samples
+            col("back._3").cast("long").as("n_samples"),
+            col("back._1").cast("long").as("rate"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |(doc_id % 3 + 6)::INT AS rot_w,
+             |(doc_id % 6 + 8)::INT AS rot_h,
+             |20.0 AS fast_fps,
+             |(doc_id % 4 + 2) / 20.0 AS fast_dur,
+             |(doc_id % 3 + 1) * 800 AS n_samples,
+             |16000 AS rate
+             |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
       "q80_query_template",
       (s, dir) => {
         // general @pxt.query per-row template (reference

@@ -85,6 +85,99 @@ class VideoSpec extends AnyFunSuite {
     assert(meta.frames == 5 && meta.width == 16)
   }
 
+  test("filters: crop/resize/rotate/grayscale change geometry as expected") {
+    val vid = Video.makeTestVideo(4, 20, 10, 0x406080, 5)
+    val df = Seq(Tuple1(vid)).toDF("v")
+    def meta(c: org.apache.spark.sql.Column) =
+      Avi.readMeta(df.select(c.as("r")).head().getAs[Array[Byte]]("r"))
+    assert(meta(Video.cropVideo(col("v"), lit(2), lit(1), lit(12), lit(9))).width == 10)
+    assert(meta(Video.resizeVideo(col("v"), lit(40), lit(20))).width == 40)
+    val rot = meta(Video.rotateVideo(col("v"), lit(90)))
+    assert(rot.width == 10 && rot.height == 20)
+    val gray = df.select(Video.grayscaleVideo(col("v")).as("r")).head().getAs[Array[Byte]]("r")
+    assert(Images.mode(Images.decode(Avi.readFrames(gray).head)) == "L")
+  }
+
+  test("reverse reorders stored frames byte-identically; speed retimes fps") {
+    val vid = Video.makeTestVideo(5, 8, 8, 0x111111, 10)
+    val df = Seq(Tuple1(vid)).toDF("v")
+    val rev = df.select(Video.reverseVideo(col("v")).as("r")).head().getAs[Array[Byte]]("r")
+    val src = Avi.readFrames(vid)
+    val got = Avi.readFrames(rev)
+    (0 until 5).foreach(i => assert(java.util.Arrays.equals(got(i), src(4 - i))))
+    val fast = df.select(Video.speed(col("v"), lit(2.0)).as("r")).head().getAs[Array[Byte]]("r")
+    val m = Avi.readMeta(fast)
+    assert(m.fps == 20.0 && m.frames == 5 && m.duration_s == 0.25)
+  }
+
+  test("fades scale brightness at the ends; brightness clamps") {
+    val vid = Video.makeTestVideo(4, 4, 4, 0x808080, 4)
+    val df = Seq(Tuple1(vid)).toDF("v")
+    val faded = df.select(Video.fadeIn(col("v"), lit(4)).as("r")).head().getAs[Array[Byte]]("r")
+    val f0 = Images.decode(Avi.readFrames(faded).head)
+    assert((f0.getRGB(0, 0) & 0xff) <= 2) // frame 0 scaled by 0/4 (jpeg noise tolerance)
+    val bright = df.select(Video.adjustBrightness(col("v"), lit(10.0)).as("r"))
+      .head().getAs[Array[Byte]]("r")
+    assert((Images.decode(Avi.readFrames(bright).head).getRGB(0, 0) & 0xff) >= 250)
+  }
+
+  test("audio track: with_audio → extract_audio round trip, mix, segment") {
+    val vid = Video.makeTestVideo(4, 8, 8, 0x123456, 4)
+    val wav = Audio.sineWav(0.5, 440.0) // 8000 samples at 16k
+    val df = Seq((vid, wav)).toDF("v", "w")
+    val withA = df.select(Video.withAudio(col("v"), col("w")).as("r"))
+      .head().getAs[Array[Byte]]("r")
+    assert(Avi.readMeta(withA).frames == 4) // video stream intact
+    val audio = Avi.readAudio(withA)
+    assert(audio.exists { case (s, r) => s.length == 8000 && r == 16000 })
+    val extracted = Seq(Tuple1(withA)).toDF("v")
+      .select(Video.extractAudio(col("v")).as("r")).head().getAs[Array[Byte]]("r")
+    val (fmt, samples) = Audio.decodePcm(extracted)
+    assert(samples.length == 8000 && fmt.getSampleRate == 16000f)
+    // no track → null
+    assert(df.select(Video.extractAudio(col("v"))).head().get(0) == null)
+    // mix with itself: same length
+    val mixed = Seq((withA, wav)).toDF("v", "w")
+      .select(Video.mixAudio(col("v"), col("w")).as("r")).head().getAs[Array[Byte]]("r")
+    assert(Avi.readAudio(mixed).exists(_._1.length == 8000))
+    // segmentation: 4 frames / 3 per segment → 2 clips
+    val segs = df.select(Video.segmentVideo(col("v"), lit(3)).as("s"))
+      .head().getAs[scala.collection.Seq[Array[Byte]]]("s")
+    assert(segs.length == 2 && Avi.readMeta(segs(0)).frames == 3 &&
+      Avi.readMeta(segs(1)).frames == 1)
+  }
+
+  test("scene_detect flags the color jump") {
+    // frames: 3 near-identical darks, then a white jump
+    val dark = (0 until 3).map(_ => Video.makeTestVideo(1, 8, 8, 0x101010, 4))
+      .flatMap(Avi.readFrames)
+    val white = Avi.readFrames(Video.makeTestVideo(1, 8, 8, 0xffffff, 4))
+    val vid = Avi.write(dark ++ white, 8, 8, 4)
+    val cuts = Seq(Tuple1(vid)).toDF("v")
+      .select(Video.sceneDetect(col("v"), lit(60.0)).as("c"))
+      .head().getAs[scala.collection.Seq[Int]]("c")
+    assert(cuts == Seq(3))
+  }
+
+  test("audio family: fades, normalize, resample, concat") {
+    val wav = Audio.sineWav(0.1, 440.0, amplitude = 0.25) // peak ~0.25 FS
+    val df = Seq(Tuple1(wav)).toDF("w")
+    val norm = df.select(Audio.normalize(col("w"), lit(1.0)).as("r"))
+      .head().getAs[Array[Byte]]("r")
+    val (_, ns) = Audio.decodePcm(norm)
+    assert(ns.map(s => math.abs(s.toInt)).max > Short.MaxValue * 0.97)
+    val faded = df.select(Audio.fadeIn(col("w"), lit(0.1)).as("r"))
+      .head().getAs[Array[Byte]]("r")
+    assert(Audio.decodePcm(faded)._2.take(5).forall(s => math.abs(s.toInt) < 100))
+    val res = df.select(Audio.resample(col("w"), lit(8000)).as("r"))
+      .head().getAs[Array[Byte]]("r")
+    val (rf, rs) = Audio.decodePcm(res)
+    assert(rf.getSampleRate == 8000f && math.abs(rs.length - 800) <= 1)
+    val cat = df.select(Audio.concatAudio(col("w"), col("w")).as("r"))
+      .head().getAs[Array[Byte]]("r")
+    assert(Audio.decodePcm(cat)._2.length == 3200)
+  }
+
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
     var i = 0
     while (i <= hay.length - needle.length) {
