@@ -355,6 +355,21 @@ object Images {
     }
   }
 
+  /** PIL getpalette(): the palette as flat [r,g,b,…] for palettized (P)
+    * images, null otherwise — javax.imageio surfaces palettes as
+    * IndexColorModel.
+    */
+  val getPalette = udf { (bytes: Array[Byte]) =>
+    decode(bytes).getColorModel match {
+      case icm: java.awt.image.IndexColorModel =>
+        val n = icm.getMapSize
+        val (rs, gs, bs) = (new Array[Byte](n), new Array[Byte](n), new Array[Byte](n))
+        icm.getReds(rs); icm.getGreens(gs); icm.getBlues(bs)
+        (0 until n).flatMap(i => Seq(rs(i) & 0xff, gs(i) & 0xff, bs(i) & 0xff))
+      case _ => null
+    }
+  }
+
   /** PIL getprojection(): 0/1 flags per column and per row marking any
     * non-zero pixel.
     */

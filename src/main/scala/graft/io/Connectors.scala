@@ -51,6 +51,26 @@ object Connectors {
   def importParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** HuggingFace-datasets on-disk layout import (reference
+    * `import_huggingface_dataset`, `io/hf_datasets.py:159` — there the
+    * `datasets` lib materializes arrow/parquet per split): each
+    * subdirectory of `dir` is a split of parquet shards; rows get a
+    * `split` column, like the reference's `column_name_for_split`. One
+    * distributed scan per split, unioned by name.
+    */
+  def importHuggingFaceLayout(spark: SparkSession, dir: String,
+      splitCol: String = "split"): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val splits = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+    require(splits.nonEmpty, s"no split directories under $dir")
+    splits.map { split =>
+      spark.read.parquet(s"$dir/$split")
+        .withColumn(splitCol, org.apache.spark.sql.functions.lit(split))
+    }.reduce(_.unionByName(_))
+  }
+
   def importJdbc(spark: SparkSession, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)

@@ -159,6 +159,23 @@ class ImagesSpec extends AnyFunSuite {
     assert(distinct.length <= 3)
   }
 
+  test("getpalette: entries for palettized PNG, null for RGB") {
+    assert(one[scala.collection.Seq[Int]](Images.getPalette(col("img"))) == null)
+    // build a real palettized (P) image: 2-entry IndexColorModel
+    val cmap = Array(0xff0000, 0x00ff00)
+    val icm = new java.awt.image.IndexColorModel(1, 2,
+      cmap.map(c => ((c >> 16) & 0xff).toByte),
+      cmap.map(c => ((c >> 8) & 0xff).toByte),
+      cmap.map(c => (c & 0xff).toByte))
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    img.getRaster.setSample(0, 0, 0, 0); img.getRaster.setSample(1, 0, 0, 1)
+    val df = Seq(Tuple1(Images.encodePng(img))).toDF("img")
+    val pal = df.select(Images.getPalette(col("img")).as("p"))
+      .head().getAs[scala.collection.Seq[Int]]("p").toSeq
+    assert(pal == Seq(255, 0, 0, 0, 255, 0))
+  }
+
   test("getchannel extracts a band; effect_spread is deterministic") {
     val ch = one[Array[Byte]](Images.getChannel(col("img"), lit(1)))
     assert(Images.decode(ch).getRaster.getSample(0, 0, 0) == 0x55)

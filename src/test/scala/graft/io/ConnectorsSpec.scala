@@ -48,6 +48,16 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(row.getAs[Long]("size") == png.length.toLong)
   }
 
+  test("huggingface split-directory layout imports with a split column") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hf").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "text").write.parquet(s"$tmp/train")
+    Seq((3L, "c")).toDF("id", "text").write.parquet(s"$tmp/test")
+    val df = Connectors.importHuggingFaceLayout(spark, tmp)
+    assert(df.count() == 3)
+    assert(df.filter("split = 'train'").count() == 2)
+    assert(df.filter("split = 'test'").select("id").as[Long].head() == 3L)
+  }
+
   test("sharded export writes bounded shards plus a manifest") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-shards").toString
     val df = spark.range(100).toDF("id").repartition(2)
