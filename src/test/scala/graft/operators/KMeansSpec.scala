@@ -70,6 +70,27 @@ class KMeansSpec extends AnyFunSuite {
     assert(excludable >= 1)
   }
 
+  test("cluster-partitioned layout prunes probe scans to probed directories") {
+    // the 100 TB IVF path: write partitioned by cluster id, probe one
+    // cluster → the scan must read ONLY that partition's files
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/ds"
+    val pts = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 10.0
+      (i.toLong, Seq(base + i * 0.01, base - i * 0.01))
+    }
+    val df = pts.toDF("id", "vec")
+    val model = KMeans.fit(df, "vec", "id", k = 2, maxIter = 10)
+    KMeans.assign(df, "vec", model).write
+      .partitionBy("cluster").parquet(dir)
+    val back = spark.read.parquet(dir)
+    val probed = back.filter(col("cluster") === 0)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(probed.nonEmpty)
+    assert(probed.forall(_.contains("cluster=0"))) // partition-pruned scan
+    val all = back.select(input_file_name()).distinct().count()
+    assert(probed.length < all) // strictly fewer files than a full scan
+  }
+
   test("assignment is map-side: no exchange in the plan") {
     val df = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(5.0, 5.0))).toDF("id", "vec")
     val model = KMeans.Model(Seq(Seq(0.0, 0.0), Seq(5.0, 5.0)))
