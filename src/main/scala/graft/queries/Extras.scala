@@ -847,6 +847,47 @@ object Extras {
              |ORDER BY version""".stripMargin),
     ),
     QueryDef(
+      "q83_schema_evolution",
+      (s, dir) => {
+        // round-2 schema DDL in the correctness gate: rename (metadata-only
+        // via physical-name mapping), drop (droppedVersion stamp), and a
+        // computed add_column over the RENAMED name, plus time travel to a
+        // pre-evolution version — the oracle recomputes every projection
+        // from the raw table.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q83").toString)
+        val t = GraftTable.create(s, cat, "li_s", Seq(
+          ColumnDef("l_orderkey", "bigint"), ColumnDef("l_linenumber", "int"),
+          ColumnDef("l_quantity", "double"), ColumnDef("l_tax", "double")))
+        val v1 = t.insert(T(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 500)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_tax"))
+        t.renameColumn("l_quantity", "qty")
+        t.dropColumn("l_tax")
+        t.addColumn(ColumnDef("qty2", "double", Some("qty * 2")))
+        val now = t.read()
+          .agg(count(lit(1)).as("n"), round(sum(col("qty2")), 2).as("qty2_sum"),
+            lit(t.read().columns.mkString(",")).as("cols"))
+          .withColumn("state", lit("evolved"))
+        val past = t.read(Some(v1))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_tax")), 4).as("qty2_sum"),
+            lit(t.read(Some(v1)).columns.mkString(",")).as("cols"))
+          .withColumn("state", lit("v1"))
+        now.union(past).select("state", "n", "qty2_sum", "cols")
+          .orderBy(col("state"))
+      },
+      Some("""SELECT 'evolved' AS state, count(*) AS n,
+             |round(sum(l_quantity * 2), 2) AS qty2_sum,
+             |'l_orderkey,l_linenumber,qty,qty2' AS cols
+             |FROM lineitem WHERE l_orderkey < 500
+             |UNION ALL
+             |SELECT 'v1', count(*), round(sum(l_tax), 4),
+             |'l_orderkey,l_linenumber,qty,l_tax'
+             |FROM lineitem WHERE l_orderkey < 500
+             |ORDER BY state""".stripMargin),
+    ),
+    QueryDef(
       "q75_percentile_group",
       (s, dir) => {
         T(s, dir, "lineitem")
