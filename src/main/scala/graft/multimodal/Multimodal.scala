@@ -162,6 +162,58 @@ object Multimodal {
       graft.operators.AsyncBatcher.Config(batchSize = 1, maxConcurrent = 4,
         maxRetries = 0))
 
+  /** ObjectStoreSaveNode analog (reference
+    * `exec/object_store_save_node.py:21-33`: move each row's media files to
+    * destination stores, rewrite the cell to the destination URL): saves a
+    * binary column's cells to `destDir` ON THE EXECUTORS via Hadoop FS (so
+    * file://, hdfs://, s3a:// destinations all work and bytes never route
+    * through the driver), appending `<outCol>` = destination URL plus
+    * `<outCol>_errormsg` for per-cell failures (reference on_error=ignore).
+    *
+    * Object names are md5(bytes)+ext — content-addressed, so re-saving is
+    * idempotent and concurrent writers of identical cells can't conflict.
+    */
+  def saveMedia(df: DataFrame, binaryCol: String, destDir: String,
+      ext: String = "bin"): DataFrame = {
+    val outCol = binaryCol + "_url"
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, StringType) :+
+      StructField(outCol + "_errormsg", StringType))
+    val idx = df.schema.fieldIndex(binaryCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val base = new org.apache.hadoop.fs.Path(destDir)
+      val fs = base.getFileSystem(conf)
+      fs.mkdirs(base)
+      rows.map { r =>
+        val (url, err) =
+          if (r.isNullAt(idx)) (null, null)
+          else try {
+            val bytes = r.getAs[Array[Byte]](idx)
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest(bytes).map("%02x".format(_)).mkString
+            val target = new org.apache.hadoop.fs.Path(base, s"$digest.$ext")
+            if (!fs.exists(target)) { // content-addressed: skip identical
+              val tmp = new org.apache.hadoop.fs.Path(base,
+                s"_tmp-$digest-${java.util.UUID.randomUUID()}.$ext")
+              val out = fs.create(tmp, false)
+              try out.write(bytes) finally out.close()
+              if (!fs.rename(tmp, target)) { // lost a race: ours is a dup
+                fs.delete(tmp, false)
+                if (!fs.exists(target))
+                  throw new java.io.IOException(s"rename to $target failed")
+              }
+            }
+            (fs.makeQualified(target).toUri.toString, null)
+          } catch {
+            case e: Exception => (null, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        Row.fromSeq(r.toSeq :+ url :+ err)
+      }
+    }(enc)
+  }
+
   /** STUB frame sampling: one-to-many expansion of a binary "video" payload
     * into n fixed-size frame slices with frame index — the dataflow shape of
     * the reference's frame_iterator component views. SUPERSEDED by the real

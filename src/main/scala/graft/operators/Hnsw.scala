@@ -1,0 +1,309 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sharded HNSW approximate-nearest-neighbor index (reference: EmbeddingIndex
+  * with an ANN backend, `pixeltable/catalog/...embedding index`; algorithm:
+  * Malkov & Yashunin, "Efficient and robust approximate nearest neighbor
+  * search using Hierarchical Navigable Small World graphs", TPAMI 2018).
+  *
+  * Scale design — the Lucene/Milvus segment shape: one in-memory HNSW graph
+  * per PARTITION, built inside `mapPartitions` (no driver materialization,
+  * no cross-partition traffic), serialized to a bytes column and stored as
+  * a parquet index table. A query searches every shard's graph (embarrass-
+  * ingly parallel, ef log n per shard) and takes a global top-k over the
+  * union of shard candidates (TakeOrderedAndProject). Graph build is
+  * deterministic: node levels derive from md5(id), not a RNG, so the index
+  * — and therefore every query — is reproducible run-to-run.
+  *
+  * Search is approximate (recall tuned by M/efConstruction/ef); the EXACT
+  * path with pruning is `ExactAnn`. Both rank by cosine via inner product
+  * on unit vectors.
+  */
+object Hnsw {
+
+  /** One shard's graph: unit vectors + layered adjacency. */
+  final class Graph(
+      val ids: Array[Long],
+      val vecs: Array[Array[Double]],
+      val levels: Array[Int],
+      // links(level)(node) = neighbor node indices (node-local to shard)
+      val links: Array[Array[Array[Int]]],
+      val entry: Int) {
+
+    def size: Int = ids.length
+
+    private def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    /** Greedy descent from the top layer, beam of `ef` at layer 0; returns
+      * up to k (id, cosine) pairs, best first.
+      */
+    def search(query: Array[Double], k: Int, ef: Int): Seq[(Long, Double)] = {
+      if (size == 0) return Nil
+      val q = Hnsw.unit(query)
+      var cur = entry
+      var curSim = dot(q, vecs(cur))
+      var level = levels(entry)
+      while (level > 0) { // greedy single-path above layer 0
+        var improved = true
+        while (improved) {
+          improved = false
+          val nbrs = links(level)(cur)
+          var i = 0
+          while (i < nbrs.length) {
+            val s = dot(q, vecs(nbrs(i)))
+            if (s > curSim) { curSim = s; cur = nbrs(i); improved = true }
+            i += 1
+          }
+        }
+        level -= 1
+      }
+      // layer-0 beam search with ef candidates
+      val visited = new java.util.HashSet[Integer]()
+      // candidates: max-sim first; results: min-sim first (bounded to ef)
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(_._1))
+      val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
+      visited.add(cur)
+      cand.enqueue((curSim, cur))
+      res.enqueue((curSim, cur))
+      while (cand.nonEmpty) {
+        val (s, c) = cand.dequeue()
+        if (res.size >= ef && s < res.head._1) cand.clear()
+        else {
+          val nbrs = links(0)(c)
+          var i = 0
+          while (i < nbrs.length) {
+            val nb = nbrs(i)
+            if (visited.add(nb)) {
+              val ns = dot(q, vecs(nb))
+              if (res.size < ef || ns > res.head._1) {
+                cand.enqueue((ns, nb))
+                res.enqueue((ns, nb))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val drained: Seq[(Double, Int)] = res.dequeueAll
+      drained.reverse.take(k).map { case (s, n) => (ids(n), s) }
+    }
+
+    def serialize(): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(size)
+      out.writeInt(if (size == 0) 0 else vecs(0).length)
+      out.writeInt(entry)
+      var i = 0
+      while (i < size) {
+        out.writeLong(ids(i)); out.writeInt(levels(i))
+        val v = vecs(i)
+        var j = 0
+        while (j < v.length) { out.writeDouble(v(j)); j += 1 }
+        i += 1
+      }
+      out.writeInt(links.length)
+      links.foreach { layer =>
+        var n = 0
+        while (n < size) {
+          val nbrs = if (layer(n) == null) Array.empty[Int] else layer(n)
+          out.writeInt(nbrs.length)
+          nbrs.foreach(out.writeInt)
+          n += 1
+        }
+      }
+      out.close()
+      bos.toByteArray
+    }
+  }
+
+  def deserialize(bytes: Array[Byte]): Graph = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val dim = in.readInt()
+    val entry = in.readInt()
+    val ids = new Array[Long](n)
+    val levels = new Array[Int](n)
+    val vecs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      ids(i) = in.readLong(); levels(i) = in.readInt()
+      val v = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { v(j) = in.readDouble(); j += 1 }
+      vecs(i) = v
+      i += 1
+    }
+    val nLayers = in.readInt()
+    val links = Array.fill(nLayers) {
+      Array.tabulate(n) { _ =>
+        val m = in.readInt()
+        Array.fill(m)(in.readInt())
+      }
+    }
+    new Graph(ids, vecs, levels, links, entry)
+  }
+
+  private[operators] def unit(v: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Deterministic level for an id: md5-derived uniform → geometric with
+    * mL = 1/ln(M) (the paper's distribution, reproducible across builds).
+    */
+  private[operators] def levelFor(id: Long, m: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hnsw:$id".getBytes("UTF-8"))
+    val bits = java.nio.ByteBuffer.wrap(md).getLong() >>> 11
+    val u = (bits + 1).toDouble / (1L << 53).toDouble // (0, 1]
+    (-math.log(u) / math.log(m.toDouble)).toInt
+  }
+
+  /** Build one shard's graph from (id, vector) pairs. */
+  def buildGraph(rows: Iterator[(Long, Array[Double])], m: Int = 16,
+      efConstruction: Int = 100): Graph = {
+    val idBuf = mutable.ArrayBuffer.empty[Long]
+    val vecBuf = mutable.ArrayBuffer.empty[Array[Double]]
+    rows.foreach { case (id, v) => idBuf += id; vecBuf += unit(v) }
+    val n = idBuf.length
+    val ids = idBuf.toArray
+    val vecs = vecBuf.toArray
+    val levels = Array.tabulate(n)(i => levelFor(ids(i), m))
+    val maxLevel = if (n == 0) 0 else levels.max
+    val mmax0 = 2 * m
+    // adjacency as growable buffers during construction
+    val adj = Array.fill(maxLevel + 1, n)(mutable.ArrayBuffer.empty[Int])
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val len = math.min(a.length, b.length)
+      while (i < len) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    var entry = -1
+    var entryLevel = -1
+
+    def searchLayer(q: Array[Double], ep: Int, ef: Int, level: Int): Seq[Int] = {
+      val visited = new java.util.HashSet[Integer]()
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(_._1))
+      val res = mutable.PriorityQueue.empty[(Double, Int)](Ordering.by(-_._1))
+      val eps = dot(q, vecs(ep))
+      visited.add(ep); cand.enqueue((eps, ep)); res.enqueue((eps, ep))
+      while (cand.nonEmpty) {
+        val (s, c) = cand.dequeue()
+        if (res.size >= ef && s < res.head._1) cand.clear()
+        else adj(level)(c).foreach { nb =>
+          if (visited.add(nb)) {
+            val ns = dot(q, vecs(nb))
+            if (res.size < ef || ns > res.head._1) {
+              cand.enqueue((ns, nb)); res.enqueue((ns, nb))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+        }
+      }
+      val drained: Seq[(Double, Int)] = res.dequeueAll
+      drained.reverse.map(_._2) // best first
+    }
+
+    var i = 0
+    while (i < n) {
+      val lvl = levels(i)
+      if (entry < 0) { entry = i; entryLevel = lvl }
+      else {
+        var ep = entry
+        // greedy descent to lvl+1
+        var l = entryLevel
+        while (l > lvl) {
+          var improved = true
+          while (improved) {
+            improved = false
+            var best = dot(vecs(i), vecs(ep))
+            adj(l)(ep).foreach { nb =>
+              val s = dot(vecs(i), vecs(nb))
+              if (s > best) { best = s; ep = nb; improved = true }
+            }
+          }
+          l -= 1
+        }
+        // connect on layers min(lvl, entryLevel)..0
+        var level = math.min(lvl, entryLevel)
+        while (level >= 0) {
+          val cands = searchLayer(vecs(i), ep, efConstruction, level)
+          val cap = if (level == 0) mmax0 else m
+          val selected = cands.take(m)
+          selected.foreach { nb =>
+            adj(level)(i) += nb
+            adj(level)(nb) += i
+            if (adj(level)(nb).length > cap) {
+              // prune: keep the `cap` most similar neighbors
+              val pruned = adj(level)(nb)
+                .sortBy(x => -dot(vecs(nb), vecs(x))).take(cap)
+              adj(level)(nb) = pruned
+            }
+          }
+          ep = cands.headOption.getOrElse(ep)
+          level -= 1
+        }
+        if (lvl > entryLevel) { entry = i; entryLevel = lvl }
+      }
+      i += 1
+    }
+
+    new Graph(ids, vecs, levels,
+      adj.map(layer => layer.map(_.toArray)), math.max(entry, 0))
+  }
+
+  /** Build the sharded index table: `shards` partitions, one serialized
+    * graph per partition, written as parquet (shard, n, bytes). Bytes never
+    * touch the driver.
+    */
+  def buildIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
+      shards: Int, m: Int = 16, efConstruction: Int = 100): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .repartition(shards, col(idCol)) // deterministic row→shard mapping
+      .mapPartitions { it =>
+        val g = buildGraph(it, m, efConstruction)
+        if (g.size == 0) Iterator.empty
+        else Iterator((g.size.toLong, g.serialize()))
+      }
+      .toDF("n", "graph")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Search all shards: each task searches its graph(s); the union of
+    * per-shard top-k candidates feeds a global top-k.
+    */
+  def search(spark: SparkSession, indexPath: String, query: Seq[Double],
+      k: Int, ef: Int = 64): DataFrame = {
+    import spark.implicits._
+    val q = query.toArray
+    spark.read.parquet(indexPath)
+      .select(col("graph")).as[Array[Byte]]
+      .flatMap(bytes => deserialize(bytes).search(q, k, math.max(ef, k)))
+      .toDF("vec_id", "cos_sim")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

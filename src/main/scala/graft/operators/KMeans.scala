@@ -33,14 +33,15 @@ object KMeans {
       a: Column, b: Seq[Double]): Column =
     graft.plans.NativeVector.l2Sq(spark, a, litVec(b))
 
-  /** 0-based index of the nearest centroid — k distance columns + argmin,
-    * all inside the row's projection.
+  /** 0-based index of the nearest centroid — one fused native argmin loop
+    * (`graft.plans.NearestCentroidExpr`). The centroid matrix is a codegen
+    * reference object, NOT inlined literals: per-centroid literal arrays
+    * make each iteration's plan textually unique, so janino recompiled the
+    * whole stage every iteration — the dominant cost of a small fit.
     */
   def nearestCentroid(spark: org.apache.spark.sql.SparkSession, vec: Column,
-      centroids: Seq[Seq[Double]]): Column = {
-    val dists = array(centroids.map(c => distSq(spark, vec, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+      centroids: Seq[Seq[Double]]): Column =
+    graft.plans.NativeVector.nearestCentroid(spark, vec, centroids)
 
   /** Add `clusterCol` = nearest-centroid id (map-side, no shuffle). */
   def assign(df: DataFrame, vecCol: String, model: Model,
@@ -64,20 +65,22 @@ object KMeans {
     while (it < maxIter && moved > tol) {
       val assigned = vecs.withColumn("_c",
         nearestCentroid(df.sparkSession, col("_v"), centroids))
-      // k·dim partial sums — the only shuffle of the iteration
+      // k·dim partial sums — the only shuffle of the iteration. One sum
+      // aggregate per dimension (codegen'd, k rows out) instead of
+      // posexplode: exploding multiplies the row count by dim through the
+      // partial-aggregation machinery for zero benefit.
+      val dimSums = (0 until dim).map(d =>
+        sum(element_at(col("_v"), d + 1)).as(s"_s$d"))
       val sums = assigned
-        .select(col("_c"), posexplode(col("_v")).as(Seq("_d", "_x")))
-        .groupBy("_c", "_d")
-        .agg(sum("_x").as("_s"), count(lit(1)).as("_n"))
+        .groupBy(col("_c"))
+        .agg(count(lit(1)).as("_n"), dimSums: _*)
         .collect()
       val next = Array.tabulate(k)(i => centroids(i).toArray) // empty cluster keeps old
-      sums.groupBy(_.getInt(0)).foreach { case (c, rows) =>
-        rows.foreach { r =>
-          next(c)(r.getInt(1)) = r.getLong(3) match {
-            case 0 => centroids(c)(r.getInt(1))
-            case n => r.getDouble(2) / n
-          }
-        }
+      sums.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1)
+        if (n > 0)
+          (0 until dim).foreach(d => next(c)(d) = r.getDouble(d + 2) / n)
       }
       moved = centroids.zip(next).map { case (a, b) =>
         a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum

@@ -106,6 +106,88 @@ case class L2SquaredExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native argmin-over-centroids for k-means assignment / IVF probing: one
+  * fused k×dim loop returning the nearest centroid's index. The centroid
+  * matrix rides along as a codegen REFERENCE OBJECT, not as literals —
+  * inlining k·dim literal doubles makes every iteration's plan textually
+  * unique, so janino recompiles the whole stage once per iteration (the
+  * dominant cost of a small k-means fit); a reference keeps the generated
+  * source identical across iterations and the compiled stage cached.
+  */
+case class NearestCentroidExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  /** The k×dim matrix rides in as a FOLDABLE literal (array<array<double>>)
+    * and is evaluated exactly once per plan, never code-generated — so the
+    * generated source is identical across k-means iterations and janino's
+    * compiled-stage cache hits instead of recompiling per iteration.
+    */
+  @transient private lazy val mat: Array[Array[Double]] = {
+    require(right.foldable, "centroid matrix must be foldable")
+    right.eval(null).asInstanceOf[ArrayData].toObjectArray(
+      org.apache.spark.sql.types.ArrayType(DoubleType))
+      .map(_.asInstanceOf[ArrayData].toDoubleArray())
+  }
+
+  override def nullSafeEval(a: Any, unused: Any): Any = {
+    val v = a.asInstanceOf[ArrayData].toDoubleArray()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < mat.length) {
+      val ctr = mat(c)
+      val n = math.min(v.length, ctr.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = v(i) - ctr(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", mat, "double[][]")
+    val leftGen = left.genCode(ctx)
+    val v = ctx.freshName("v")
+    val best = ctx.freshName("best")
+    val bestD = ctx.freshName("bestD")
+    val c = ctx.freshName("c")
+    val s = ctx.freshName("s")
+    val n = ctx.freshName("n")
+    val d = ctx.freshName("d")
+    val i = ctx.freshName("i")
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    ev.copy(code =
+      code"""
+        |${leftGen.code}
+        |boolean ${ev.isNull} = ${leftGen.isNull};
+        |int ${ev.value} = -1;
+        |if (!${ev.isNull}) {
+        |  double[] $v = ${leftGen.value}.toDoubleArray();
+        |  int $best = 0;
+        |  double $bestD = Double.MAX_VALUE;
+        |  for (int $c = 0; $c < $ref.length; $c++) {
+        |    int $n = java.lang.Math.min($v.length, $ref[$c].length);
+        |    double $s = 0.0;
+        |    for (int $i = 0; $i < $n; $i++) {
+        |      double $d = $v[$i] - $ref[$c][$i];
+        |      $s += $d * $d;
+        |    }
+        |    if ($s < $bestD) { $bestD = $s; $best = $c; }
+        |  }
+        |  ${ev.value} = $best;
+        |}
+      """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeVector {
   /** Register `cosine_sim_native(a, b)` / `l2_sq_native(a, b)` for use via
     * expr()/SQL; both arguments must be `array<double>`.
@@ -133,5 +215,20 @@ object NativeVector {
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("l2_sq_native", a, b)
+  }
+
+  /** Column form of nearest-centroid argmin (see NearestCentroidExpr): the
+    * centroid matrix is passed as a typedlit literal (foldable) so the
+    * expression can lift it out of codegen as a reference object.
+    */
+  def nearestCentroid(spark: SparkSession, vec: org.apache.spark.sql.Column,
+      centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_centroid_native",
+      exprs => NearestCentroidExpr(exprs.head, exprs(1)),
+      "scala_udf")
+    org.apache.spark.sql.functions.call_function("nearest_centroid_native",
+      vec.cast("array<double>"),
+      org.apache.spark.sql.functions.typedlit(centroids.map(_.toSeq)))
   }
 }

@@ -439,5 +439,23 @@ object Pipeline {
               |FROM embeddings
               |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
     ),
+    QueryDef(
+      "q84_ann_hnsw",
+      (s, dir) => {
+        // sharded HNSW (graft.operators.Hnsw): per-partition graphs built in
+        // mapPartitions, md5-deterministic levels, candidates unioned into a
+        // global top-k. Approximate by nature → no SQL oracle (rows-only
+        // gate); recall vs brute force is pinned in HnswSpec, and the graph
+        // build/search determinism makes this run-to-run reproducible.
+        import graft.operators.Hnsw
+        val idx = java.nio.file.Files.createTempDirectory("graft-hnsw")
+          .resolve("idx").toString
+        Hnsw.buildIndex(T(s, dir, "embeddings"), "embedding", "vec_id",
+          idx, shards = 4)
+        Hnsw.search(s, idx, queryVec, 10, ef = 128)
+          .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+      },
+      None,
+    ),
   )
 }

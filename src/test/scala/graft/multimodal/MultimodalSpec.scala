@@ -68,4 +68,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1).getAs[String]("localpath_errormsg") != null)
     assert(new java.io.File(cache).listFiles().forall(_.getName.startsWith("."))) // nothing cached
   }
+
+  test("saveMedia writes content-addressed cells executor-side and round-trips") {
+    val dest = java.nio.file.Files.createTempDirectory("graft-save").toString
+    val df = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, Array[Byte](9, 8, 7, 6)),
+      (3L, Array[Byte](1, 2, 3)), // duplicate content → same object
+      (4L, null.asInstanceOf[Array[Byte]]),
+    ).toDF("id", "data")
+    val out = Multimodal.saveMedia(df, "data", dest, ext = "png")
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("data_url") != null)
+    assert(out(0).getAs[String]("data_url") == out(2).getAs[String]("data_url"))
+    assert(out(1).getAs[String]("data_url") != out(0).getAs[String]("data_url"))
+    assert(out(3).isNullAt(out(3).fieldIndex("data_url"))) // null cell → null url
+    assert(out.forall(_.getAs[String]("data_url_errormsg") == null))
+    // two distinct objects on disk, content-addressed names, no temp litter
+    val files = new java.io.File(dest).listFiles().filter(_.getName.endsWith(".png"))
+    assert(files.length == 2 && files.forall(!_.getName.startsWith("_tmp")))
+    // fetch back through the URI path: bytes round-trip
+    val fetched = Multimodal.fetchMedia(
+      out.map(r => (r.getLong(0), r.getAs[String]("data_url"))).toSeq
+        .filter(_._2 != null).toDF("id", "uri"), "uri", "media")
+      .orderBy("id").collect()
+    assert(java.util.Arrays.equals(
+      fetched(0).getStruct(2).getAs[Array[Byte]](0), Array[Byte](1, 2, 3)))
+  }
 }
