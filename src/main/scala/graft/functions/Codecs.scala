@@ -204,6 +204,22 @@ object Codecs {
     makeAnimatedGif(frames.map(Images.decode), delayMs))
   private val audioUdf = udf(transcodeAudio _)
 
+  private val synthGifUdf = udf((n: Int, w: Int, h: Int, delayMs: Int) =>
+    makeAnimatedGif((1 to n).map { i =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color((i * 40 % 255) * 0x10101))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      img
+    }, delayMs))
+
+  /** deterministic n-frame looping GIF — test/demo media source (the GIF
+    * twin of `Images.solidPng` / `Video.synthClip`)
+    */
+  def synthGif(n: Column, w: Column, h: Column, delayMs: Int): Column =
+    synthGifUdf(n, w, h, lit(delayMs))
+
   /** `reencode(img_bytes, 'gif'|'bmp'|'tiff'|…)` */
   def reencode(c: Column, format: String): Column = reencodeUdf(c, lit(format))
 

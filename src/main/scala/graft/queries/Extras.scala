@@ -668,6 +668,35 @@ object Extras {
              |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
+      "q85_gif_pipeline",
+      (s, dir) => {
+        // REAL animated-GIF codec in the gate (graft.functions.Codecs):
+        // synthesize an n-frame looping GIF per row (id-derived frame count
+        // and dims), explode it back through the gif frame iterator, decode
+        // each frame — frame counts, indices, delays and dims must match the
+        // oracle's closed-form arithmetic.
+        import graft.functions.{Codecs, Images}
+        val n = (col("doc_id") % 3 + 2).cast("int")
+        val w = (col("doc_id") % 10 + 5).cast("int")
+        val gifs = T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("gif", Codecs.synthGif(n, w, lit(6), delayMs = 30))
+        Codecs.gifFrameIterator(gifs, "gif")
+          .withColumn("meta", Images.getMetadata(col("frame_png")))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"),
+            sum(col("frame_idx")).cast("long").as("idx_sum"),
+            max(col("delay_ms")).cast("long").as("delay"),
+            max(col("meta._1")).cast("long").as("fw"),
+            max(col("meta._2")).cast("long").as("fh"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, (doc_id % 3 + 2) AS n_frames,
+             |(doc_id % 3 + 2) * (doc_id % 3 + 1) // 2 AS idx_sum,
+             |30::BIGINT AS delay, doc_id % 10 + 5 AS fw, 6::BIGINT AS fh
+             |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
       "q68_variant",
       (s, dir) => {
         // Spark 4 VariantType for untyped JSON (SURVEY §1.2 Json mapping):
