@@ -71,9 +71,19 @@ object Connectors {
     }.reduce(_.unionByName(_))
   }
 
+  /** SqlDataNode / import_sql (reference `io/sql.py`): read a table or a
+    * pushed-down query (`table` may be `(SELECT …) q`) over JDBC. Executors
+    * open their own connections; pass partitioning options (partitionColumn/
+    * lowerBound/upperBound/numPartitions) in `props` for a parallel read.
+    */
   def importJdbc(spark: SparkSession, url: String, table: String,
       props: java.util.Properties = new java.util.Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
+
+  /** Export into a SQL database over JDBC (executor-side batched inserts). */
+  def exportJdbc(df: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties()): Unit =
+    df.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
 
   def exportCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)

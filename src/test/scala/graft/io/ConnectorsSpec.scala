@@ -75,4 +75,32 @@ class ConnectorsSpec extends AnyFunSuite {
     shards.foreach(s => assert(manifest.contains(s)))
     assert(manifest.contains("\"rows\":"))
   }
+
+  test("jdbc import/export round-trip over embedded Derby with pushdown") {
+    // SqlDataNode path (reference io/sql.py) against the Derby that ships
+    // on Spark's own classpath — in-memory db, shared by local executors
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", -1.0))
+      .toDF("id", "name", "x")
+    Connectors.exportJdbc(df, url, "t_round", props)
+    val back = Connectors.importJdbc(spark, url, "t_round", props)
+    assert(back.count() == 3)
+    assert(back.orderBy("id").select("name").as[String].collect().toSeq ==
+      Seq("a", "b", "c"))
+    // filter pushdown reaches the JDBC scan
+    val q = back.filter(org.apache.spark.sql.functions.col("x") > 0)
+    assert(q.count() == 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"jdbc pushdown missing:\n$plan")
+    // query-shaped import (import_sql semantics)
+    // Derby folds unquoted identifiers to UPPER; Spark wrote them quoted
+    val agg = Connectors.importJdbc(spark, url,
+      """(SELECT "name", "x" * 2 AS x2 FROM t_round WHERE "id" <= 2) q""", props)
+    assert(agg.count() == 2)
+    assert(agg.orderBy("name").select("x2").as[Double].collect().toSeq ==
+      Seq(3.0, 5.0))
+  }
 }
