@@ -131,6 +131,29 @@ object Connectors {
     shards
   }
 
+  /** FiftyOne-style labeled-media dataset export (reference
+    * `io/fiftyone.py`: samples = media filepath + named labels): media
+    * cells land content-addressed under `<dir>/data` ON THE EXECUTORS
+    * (`Multimodal.saveMedia`), then a `samples.jsonl` manifest pairs each
+    * media file with its label columns — one JSON object per line, written
+    * as a distributed text output (no driver materialization). Classifica-
+    * tion labels are plain values; detection labels are JSON-encoded
+    * structs, which is how FiftyOne's import expects nested label data.
+    */
+  def exportLabeledMedia(df: DataFrame, binaryCol: String,
+      labelCols: Seq[String], dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val saved = graft.multimodal.Multimodal
+      .saveMedia(df, binaryCol, s"$dir/data")
+    saved
+      .filter(col(binaryCol + "_url").isNotNull)
+      .select(to_json(struct(
+        concat(lit("data/"),
+          element_at(split(col(binaryCol + "_url"), "/"), -1)).as("filepath")
+          +: labelCols.map(c => col(c).as(c)): _*)).as("value"))
+      .write.mode(SaveMode.Overwrite).text(s"$dir/samples")
+  }
+
   private def jsonQuote(s: String): String =
     "\"" + s.flatMap {
       case '"'  => "\\\""

@@ -103,4 +103,27 @@ class ConnectorsSpec extends AnyFunSuite {
     assert(agg.orderBy("name").select("x2").as[Double].collect().toSeq ==
       Seq(3.0, 5.0))
   }
+
+  test("labeled-media export writes media files plus a jsonl sample manifest") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fo").toString
+    val df = Seq(
+      (graft.functions.Images.solidPng(4, 4, 0xFF0000), "cat", 0.9,
+        Seq(0.1, 0.2, 0.5, 0.6)),
+      (graft.functions.Images.solidPng(6, 4, 0x00FF00), "dog", 0.7,
+        Seq(0.3, 0.3, 0.9, 0.8)),
+    ).toDF("img", "label", "confidence", "bbox")
+    Connectors.exportLabeledMedia(df, "img", Seq("label", "confidence", "bbox"), tmp)
+    // media files content-addressed under data/
+    val media = new java.io.File(tmp, "data").listFiles()
+      .filter(_.getName.endsWith(".bin"))
+    assert(media.length == 2)
+    // manifest: one JSON sample per line, filepath resolves to a real file
+    val samples = Connectors.importJsonl(spark, s"$tmp/samples")
+    assert(samples.count() == 2)
+    val cat = samples.filter($"label" === "cat").head()
+    assert(cat.getAs[String]("filepath").startsWith("data/"))
+    assert(new java.io.File(tmp, cat.getAs[String]("filepath")).exists())
+    assert(cat.getAs[Double]("confidence") == 0.9)
+    assert(cat.getAs[scala.collection.Seq[Double]]("bbox").head == 0.1)
+  }
 }
