@@ -272,12 +272,42 @@ object Hnsw {
       adj.map(layer => layer.map(_.toArray)), math.max(entry, 0))
   }
 
-  /** Build the sharded index table: `shards` partitions, one serialized
-    * graph per partition, written as parquet (shard, n, bytes). Bytes never
-    * touch the driver.
+  /** Per-shard summary for query-time pruning: unit centroid of the
+    * shard's (unit) vectors plus the minimum member-to-centroid cosine
+    * (the shard's angular radius). Both are one pass over the graph.
     */
-  def buildIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
-      shards: Int, m: Int = 16, efConstruction: Int = 100): Unit = {
+  private def summarize(g: Graph): (Array[Double], Double) = {
+    val dim = if (g.size == 0) 0 else g.vecs(0).length
+    val c = new Array[Double](dim)
+    g.vecs.foreach { v =>
+      var i = 0
+      while (i < dim) { c(i) += v(i); i += 1 }
+    }
+    val cu = unit(c)
+    var minCos = 1.0
+    g.vecs.foreach { v =>
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += v(i) * cu(i); i += 1 }
+      if (s < minCos) minCos = s
+    }
+    (cu, minCos)
+  }
+
+  /** Tightest possible cos(query, member) for a shard whose members lie
+    * within angle arccos(minCos) of its centroid — the spherical-cap bound
+    * cos(θ_qc − θ_r). A shard with bound < τ cannot contain a result
+    * better than τ and is skipped without deserializing its graph.
+    */
+  private[operators] def capBound(cosQC: Double, minCos: Double): Double = {
+    val cq = math.max(-1.0, math.min(1.0, cosQC))
+    val cr = math.max(-1.0, math.min(1.0, minCos))
+    if (cq >= cr) 1.0
+    else cq * cr + math.sqrt((1 - cq * cq) * (1 - cr * cr))
+  }
+
+  private def shardRows(df: DataFrame, vecCol: String, idCol: String,
+      shards: Int, m: Int, efConstruction: Int) = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -286,22 +316,77 @@ object Hnsw {
       .mapPartitions { it =>
         val g = buildGraph(it, m, efConstruction)
         if (g.size == 0) Iterator.empty
-        else Iterator((g.size.toLong, g.serialize()))
+        else {
+          val (centroid, minCos) = summarize(g)
+          // shard key = min member id: deterministic and unique across
+          // appended segments (ids are unique table-wide)
+          Iterator((g.ids.min, g.size.toLong, centroid, minCos, g.serialize()))
+        }
       }
-      .toDF("n", "graph")
-      .write.mode("overwrite").parquet(path)
+      .toDF("shard", "n", "centroid", "min_cos", "graph")
   }
 
-  /** Search all shards: each task searches its graph(s); the union of
-    * per-shard top-k candidates feeds a global top-k.
+  /** Build the sharded index table: `shards` partitions, one serialized
+    * graph per partition plus its pruning summary, written as parquet
+    * (n, centroid, min_cos, graph). Bytes never touch the driver.
+    */
+  def buildIndex(df: DataFrame, vecCol: String, idCol: String, path: String,
+      shards: Int, m: Int = 16, efConstruction: Int = 100): Unit =
+    shardRows(df, vecCol, idCol, shards, m, efConstruction)
+      .write.mode("overwrite").parquet(path)
+
+  /** Incremental maintenance: new rows become NEW shards appended to the
+    * index table (the Lucene segment model — inserts never rewrite existing
+    * graphs; periodic `buildIndex` over the full table is the compaction).
+    */
+  def appendToIndex(df: DataFrame, vecCol: String, idCol: String,
+      path: String, shards: Int = 1, m: Int = 16,
+      efConstruction: Int = 100): Unit =
+    shardRows(df, vecCol, idCol, shards, m, efConstruction)
+      .write.mode("append").parquet(path)
+
+  /** Search: shard summaries (KBs) are read first and the spherical-cap
+    * bound prunes shards that cannot beat the best shard's kth result —
+    * only surviving shards deserialize their graphs (embarrassingly
+    * parallel), and their candidates feed a global top-k.
     */
   def search(spark: SparkSession, indexPath: String, query: Seq[Double],
-      k: Int, ef: Int = 64): DataFrame = {
+      k: Int, ef: Int = 64, prune: Boolean = true): DataFrame = {
     import spark.implicits._
     val q = query.toArray
-    spark.read.parquet(indexPath)
+    val qu = unit(q)
+    val index = spark.read.parquet(indexPath)
+    val effEf = math.max(ef, k)
+
+    val pruned =
+      if (!prune) index
+      else {
+        // summaries only: one row per shard, never the graph bytes
+        val sums = index.select(col("shard"), col("centroid"), col("min_cos"))
+          .as[(Long, Array[Double], Double)].collect()
+        if (sums.isEmpty) index
+        else {
+          val cosQC = sums.map { case (_, c, _) =>
+            c.zip(qu).map { case (a, b) => a * b }.sum }
+          // probe the most-promising shard for a kth-best threshold τ
+          val bestShard = cosQC.indices.maxBy(cosQC(_))
+          val seed = index
+            .filter(col("shard") === sums(bestShard)._1)
+            .select(col("graph")).as[Array[Byte]]
+            .flatMap(b => deserialize(b).search(q, k, effEf))
+            .collect().sortBy(-_._2)
+          val tau = if (seed.length < k) -1.0 else seed(k - 1)._2
+          // keep shards whose cap bound can still beat τ
+          val keep = sums.indices
+            .filter(i => capBound(cosQC(i), sums(i)._3) >= tau - 1e-12)
+            .map(i => sums(i)._1)
+          index.filter(col("shard").isin(keep: _*))
+        }
+      }
+
+    pruned
       .select(col("graph")).as[Array[Byte]]
-      .flatMap(bytes => deserialize(bytes).search(q, k, math.max(ef, k)))
+      .flatMap(bytes => deserialize(bytes).search(q, k, effEf))
       .toDF("vec_id", "cos_sim")
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)

@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-robustness probe: replicate the sf0.1 corpus m× with key offsets
+  * (so joins stay linear — matching fact keys shift together), run headline
+  * registry queries at 1× and m×, and report the wall-time ratio per query.
+  * A query whose ratio grows much faster than m has a hidden superlinear
+  * path — exactly the class of bug the 100 TB bar cares about. Dimension
+  * tables stay as-is (they'd be broadcast at any scale).
+  */
+object ScaleCheck {
+
+  private val Queries = Seq(
+    "q01_filter_project", "q02_agg_groupby", "q03_global_agg", "q05_join_multi",
+    "q12_window_running", "q13_window_rank", "q15_topn", "q16_sample_det",
+    "q17_sample_stratified", "q28_dedup_exact", "q33_lsh_pairs", "q35_simhash",
+    "q36_lang_id", "q38_fingerprint", "q40_sessionize", "q56_tpch_q3",
+    "q57_tpch_q18", "q66_mean_ap", "q75_percentile_group")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    val bigDir = s"/tmp/graft_scale_${mult}x"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def replicate(name: String, keyCols: Map[String, Long]): Unit = {
+      val src = spark.read.parquet(s"$base/$name.parquet")
+      val copies = (0 until mult).map { i =>
+        keyCols.foldLeft(src) { case (df, (c, span)) =>
+          df.withColumn(c, col(c) + lit(i * span))
+        }
+      }
+      copies.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$bigDir/$name.parquet")
+    }
+
+    if (!new java.io.File(s"$bigDir/lineitem.parquet").exists()) {
+      println(s"[scale] building ${mult}x corpus at $bigDir")
+      // offset spans chosen > max key in the sf0.1 corpus so copies disjoint
+      replicate("lineitem", Map("l_orderkey" -> 10000000L))
+      replicate("orders", Map("o_orderkey" -> 10000000L))
+      replicate("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
+      replicate("documents", Map("doc_id" -> 10000000L))
+      for (dim <- Seq("region", "nation", "customer", "supplier", "part",
+          "embeddings"))
+        spark.read.parquet(s"$base/$dim.parquet")
+          .write.mode("overwrite").parquet(s"$bigDir/$dim.parquet")
+    }
+
+    def time(dir: String, name: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      fn(spark, dir).collect() // warm
+      val t0 = System.nanoTime()
+      fn(spark, dir).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    println(f"[scale] ${"query"}%-24s ${"1x"}%8s ${mult + "x"}%8s  ratio")
+    var worst = ("", 0.0)
+    Queries.foreach { name =>
+      val t1 = time(base, name)
+      val tm = time(bigDir, name)
+      val ratio = tm / math.max(t1, 1e-9)
+      if (ratio > worst._2) worst = (name, ratio)
+      println(f"[scale] $name%-24s $t1%8.2f $tm%8.2f  ${ratio}%5.1f")
+    }
+    println(f"[scale] worst ratio: ${worst._1} ${worst._2}%.1f (m=$mult)")
+    spark.stop()
+  }
+}

@@ -62,6 +62,46 @@ class HnswSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"sharded recall $recall: got $got want $expected")
   }
 
+  test("shard pruning: cap bound is sound and pruned search equals unpruned") {
+    // bound math: inside the cap → 1.0; outside → cos(θqc − θr)
+    assert(Hnsw.capBound(0.9, 0.8) == 1.0)
+    val b = Hnsw.capBound(0.5, 0.9)
+    assert(b > 0.5 && b < 1.0)
+    assert(math.abs(b - (0.5 * 0.9 + math.sqrt(0.75 * 0.19))) < 1e-12)
+    // two well-separated clusters → pruning must not change results
+    val clustered = (0L until 400L).map { i =>
+      val base = if (i < 200) 1.0 else -1.0
+      i -> vec(i).zipWithIndex.map { case (x, d) =>
+        x * 0.05 + (if (d == 0) base else 0.0) }
+    }
+    val df = clustered.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-prune").toString + "/i"
+    Hnsw.buildIndex(df, "embedding", "vec_id", idx, shards = 4)
+    val q = Array.tabulate(16)(d => if (d == 0) 1.0 else 0.01)
+    val withPrune = Hnsw.search(spark, idx, q.toSeq, 10, ef = 96)
+      .collect().map(_.getLong(0)).toSeq
+    val noPrune = Hnsw.search(spark, idx, q.toSeq, 10, ef = 96, prune = false)
+      .collect().map(_.getLong(0)).toSeq
+    assert(withPrune == noPrune, "pruning changed the result set")
+    assert(withPrune.forall(_ < 200), "wrong cluster matched")
+  }
+
+  test("appendToIndex adds segments that search covers without a rebuild") {
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-append").toString + "/i"
+    val first = (0L until 300L).map(i => i -> vec(i))
+    Hnsw.buildIndex(first.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", idx, shards = 2)
+    val more = (300L until 500L).map(i => i -> vec(i))
+    Hnsw.appendToIndex(more.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", idx, shards = 1)
+    assert(spark.read.parquet(idx).count() == 3) // 2 built + 1 appended
+    val q = vec(424242L)
+    val got = Hnsw.search(spark, idx, q.toSeq, 10, ef = 96)
+      .select("vec_id").as[Long].collect().toSet
+    val expected = bruteTopK(first ++ more, q, 10).toSet
+    assert((expected & got).size >= 9, s"recall after append: got $got want $expected")
+  }
+
   test("level assignment follows the geometric distribution") {
     val levels = (0L until 20000L).map(Hnsw.levelFor(_, 16))
     val l0 = levels.count(_ == 0) / 20000.0
