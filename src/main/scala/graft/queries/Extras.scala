@@ -917,6 +917,79 @@ object Extras {
              |ORDER BY state""".stripMargin),
     ),
     QueryDef(
+      "q86_view_maintenance",
+      (s, dir) => {
+        // incremental materialized-view lifecycle in the oracle gate
+        // (reference view sync, `catalog/view.py` + SURVEY §2.11): create a
+        // predicate+select view, insert into the base, sync, delete from the
+        // base, sync again — the view's final contents must equal the oracle
+        // recomputing the predicate over the surviving base rows.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable, Views}
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q86").toString)
+        val base = GraftTable.create(s, cat, "li_b", Seq(
+          ColumnDef("l_orderkey", "bigint"), ColumnDef("l_linenumber", "int"),
+          ColumnDef("l_quantity", "double")))
+        val src = T(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        base.insert(src.filter(col("l_orderkey") < 800))
+        val view = Views.createMaterializedView(s, cat, "mv", base,
+          Some("l_quantity > 10"),
+          Seq("l_orderkey" -> "l_orderkey", "qty2" -> "l_quantity * 2"))
+        base.insert(src.filter(col("l_orderkey") >= 800 && col("l_orderkey") < 1200))
+        Views.syncMaterializedView(view, base, Some("l_quantity > 10"),
+          Seq("l_orderkey" -> "l_orderkey", "qty2" -> "l_quantity * 2"))
+        base.delete("l_orderkey % 7 = 0")
+        Views.syncMaterializedView(view, base, Some("l_quantity > 10"),
+          Seq("l_orderkey" -> "l_orderkey", "qty2" -> "l_quantity * 2"))
+        view.read().agg(count(lit(1)).as("n"),
+          round(sum(col("qty2")), 2).as("qty2_sum"))
+      },
+      Some("""SELECT count(*) AS n, round(sum(l_quantity * 2), 2) AS qty2_sum
+             |FROM lineitem
+             |WHERE l_orderkey < 1200 AND l_quantity > 10
+             |  AND l_orderkey % 7 != 0""".stripMargin),
+    ),
+    QueryDef(
+      "q87_batch_update",
+      (s, dir) => {
+        // RowUpdateNode / batch_update + computed-column backfill in the
+        // oracle gate (reference `table.batch_update`, `tbl_ops` backfill):
+        // keyed updates land via the broadcast-join COW path, then a
+        // computed column added AFTER the update backfills over the updated
+        // values. The oracle recomputes both from raw lineitem.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q87").toString)
+        val t = GraftTable.create(s, cat, "li_u", Seq(
+          ColumnDef("l_orderkey", "bigint"), ColumnDef("l_linenumber", "int"),
+          ColumnDef("qty", "double")))
+        // (l_orderkey, l_linenumber) is not unique in the corpus — dedup to
+        // a keyed image so batch_update keys address exactly one row
+        val keyed = T(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 600)
+          .groupBy(col("l_orderkey"), col("l_linenumber"))
+          .agg(max(col("l_quantity")).as("qty"))
+        t.insert(keyed)
+        val updates = keyed.filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("qty") + 100).as("qty"))
+        t.batchUpdate(updates, Seq("l_orderkey", "l_linenumber"))
+        t.addColumn(ColumnDef("qty3", "double", Some("qty * 3")))
+        t.read().agg(count(lit(1)).as("n"),
+          round(sum(col("qty")), 2).as("qty_sum"),
+          round(sum(col("qty3")), 2).as("qty3_sum"))
+      },
+      Some("""WITH d AS (
+             |  SELECT l_orderkey, l_linenumber, max(l_quantity) AS q
+             |  FROM lineitem WHERE l_orderkey < 600 GROUP BY 1, 2),
+             |u AS (
+             |  SELECT CASE WHEN l_orderkey % 5 = 0 THEN q + 100 ELSE q END AS q
+             |  FROM d)
+             |SELECT count(*) AS n, round(sum(q), 2) AS qty_sum,
+             |round(sum(q * 3), 2) AS qty3_sum FROM u""".stripMargin),
+    ),
+    QueryDef(
       "q75_percentile_group",
       (s, dir) => {
         T(s, dir, "lineitem")
