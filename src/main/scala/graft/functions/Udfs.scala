@@ -73,21 +73,21 @@ object Udfs {
   /** Python textwrap.wrap: greedy word wrap to `width`, breaking long
     * words; returns the list of lines.
     */
-  val textWrap = udf { (s: String, width: Int) =>
-    if (s == null) null
-    else {
-      val words = s.trim.split("\\s+").filter(_.nonEmpty).flatMap { w =>
-        if (w.length <= width) Seq(w) else w.grouped(width).toSeq
-      }
-      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-      val cur = new StringBuilder
-      words.foreach { w =>
-        if (cur.isEmpty) cur ++= w
-        else if (cur.length + 1 + w.length <= width) { cur += ' '; cur ++= w }
-        else { lines += cur.toString; cur.clear(); cur ++= w }
-      }
-      if (cur.nonEmpty) lines += cur.toString
-      lines.toSeq
+  private[graft] def textWrapImpl(s: String, width: Int): Seq[String] = {
+    if (s == null) return null
+    val words = s.trim.split("\\s+").filter(_.nonEmpty).flatMap { w =>
+      if (w.length <= width) Seq(w) else w.grouped(width).toSeq
     }
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    words.foreach { w =>
+      if (cur.isEmpty) cur ++= w
+      else if (cur.length + 1 + w.length <= width) { cur += ' '; cur ++= w }
+      else { lines += cur.toString; cur.clear(); cur ++= w }
+    }
+    if (cur.nonEmpty) lines += cur.toString
+    lines.toSeq
   }
+
+  val textWrap = udf(textWrapImpl _)
 }

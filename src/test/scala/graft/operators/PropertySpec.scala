@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized-property pins for the kernels whose correctness arguments are
+  * mathematical rather than example-based: the HNSW spherical-cap pruning
+  * bound (soundness: never excludes a true result), textwrap line
+  * invariants, graph-search recall, connected components vs a union-find
+  * oracle, and the xlsx round-trip. Deterministic seed — failures reproduce.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def unitVec(rnd: scala.util.Random, dim: Int): Array[Double] =
+    Hnsw.unit(Array.fill(dim)(rnd.nextGaussian()))
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("property: cap bound never excludes a shard member (500 trials)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 500) {
+      val dim = 2 + rnd.nextInt(15)
+      val members = Seq.fill(3 + rnd.nextInt(20))(unitVec(rnd, dim))
+      val centroidRaw = members.transpose.map(_.sum).toArray
+      val centroid = Hnsw.unit(centroidRaw)
+      val minCos = members.map(dot(_, centroid)).min
+      val q = unitVec(rnd, dim)
+      val bound = Hnsw.capBound(dot(q, centroid), minCos)
+      val bestActual = members.map(dot(q, _)).max
+      assert(bound >= bestActual - 1e-9,
+        s"cap bound $bound < member cosine $bestActual (dim=$dim)")
+    }
+  }
+
+  test("property: textwrap keeps every line within width, loses no words") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcde fgh ij klmnopqrstuvw xyz   "
+    for (_ <- 1 to 300) {
+      val s = Seq.fill(rnd.nextInt(30))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val width = 1 + rnd.nextInt(12)
+      val lines = graft.functions.Udfs.textWrapImpl(s, width)
+      assert(lines.forall(l => l.nonEmpty && l.length <= width),
+        s"line over width=$width for ${s.inspect}: $lines")
+      // chunked long words rejoin to the original word stream
+      val inWords = s.trim.split("\\s+").filter(_.nonEmpty).mkString
+      val outWords = lines.flatMap(_.split(" ")).mkString
+      assert(outWords == inWords, s"words changed for ${s.inspect}")
+    }
+  }
+
+  test("property: single-graph HNSW recall stays high on random sets") {
+    val rnd = new scala.util.Random(1234)
+    val recalls = (1 to 15).map { _ =>
+      val n = 50 + rnd.nextInt(150)
+      val data = (0L until n.toLong).map(i => i -> unitVec(rnd, 12))
+      val g = Hnsw.buildGraph(data.iterator, m = 12, efConstruction = 80)
+      val q = unitVec(rnd, 12)
+      val brute = data.map { case (id, v) => (id, dot(q, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+      val got = g.search(q, 10, ef = 64).map(_._1).toSet
+      (brute & got).size / 10.0
+    }
+    assert(recalls.sum / recalls.size >= 0.95,
+      s"mean recall ${recalls.sum / recalls.size}: $recalls")
+    assert(recalls.min >= 0.8, s"worst-case recall ${recalls.min}: $recalls")
+  }
+
+  test("property: connected components match a union-find oracle") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 4) {
+      val n = 12 + rnd.nextInt(10)
+      val edges = Seq.fill(10 + rnd.nextInt(15))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // union-find oracle
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val got = Dedup.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every vertex that appears in an edge gets its root's min label
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val oracleGroups = verts.groupBy(v => find(v.toInt)).values
+        .map(_.toSet).toSet
+      val gotGroups = verts.groupBy(got).values.map(_.toSet).toSet
+      assert(gotGroups == oracleGroups, s"trial $trial: $gotGroups vs $oracleGroups")
+    }
+  }
+
+  test("property: xlsx round-trip preserves random typed tables") {
+    val rnd = new scala.util.Random(5)
+    for (trial <- 1 to 3) {
+      val n = 1 + rnd.nextInt(25)
+      val rows = (1 to n).map { i =>
+        (i.toLong * 7, rnd.nextDouble() * 1000 - 500,
+          Seq.fill(rnd.nextInt(12))(
+            " ab<&>\"cdefg".charAt(rnd.nextInt(12))).mkString,
+          rnd.nextBoolean())
+      }
+      val df = rows.toDF("id", "x", "s", "b")
+      val path = java.nio.file.Files.createTempDirectory("prop-xlsx")
+        .resolve("t.xlsx").toString
+      graft.io.Excel.exportExcel(df, path)
+      val back = graft.io.Excel.importExcel(spark, path)
+        .orderBy("id").collect()
+      rows.sortBy(_._1).zip(back).foreach { case ((id, x, s0, b), r) =>
+        assert(r.getLong(0) == id)
+        assert(math.abs(r.getDouble(1) - x) < 1e-9, s"trial $trial x")
+        // empty cells read back as null; whitespace-only strings trim to empty
+        val expectS = if (s0.isEmpty) null else s0
+        val gotS = r.getString(2)
+        assert(gotS == expectS || (gotS == null && s0.trim.isEmpty) ||
+          gotS == s0.trim, // Excel shared strings may trim outer spaces
+          s"trial $trial s: got ${Option(gotS)} want ${s0.inspect}")
+        assert(r.getBoolean(3) == b)
+      }
+    }
+  }
+
+  private implicit class Inspect(s: String) {
+    def inspect: String = "\"" + s.replace("\"", "\\\"") + "\""
+  }
+}
