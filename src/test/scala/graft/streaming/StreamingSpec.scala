@@ -88,4 +88,49 @@ class StreamingSpec extends AnyFunSuite {
     // computed column evaluated on the streamed batch
     assert(t.read().filter("id = 1").head().getAs[Long]("n_chars") == 1L)
   }
+
+  test("streamed embeddings extend the ANN index as appended segments") {
+    // streaming ingest → incremental HNSW maintenance: each micro-batch
+    // becomes a new index segment (no rebuild), searches see it immediately
+    import graft.operators.Hnsw
+    def vec(i: Long): Array[Double] = Array.tabulate(8) { d =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sv:$i:$d".getBytes("UTF-8"))
+      java.nio.ByteBuffer.wrap(h).getInt() / Int.MaxValue.toDouble
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-annstream").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft-anncp").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft-annidx").toString + "/i"
+    // seed index from an initial batch, then stream two more batches in
+    val initial = (0L until 100L).map(i => i -> vec(i))
+    Hnsw.buildIndex(initial.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", idx, shards = 2)
+    (100L until 300L).map(i => i -> vec(i)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema("vec_id bigint, embedding array<double>")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = stream.writeStream
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Hnsw.appendToIndex(batch, "embedding", "vec_id", idx, shards = 1)
+      }
+      .start()
+    q.awaitTermination(120000)
+    val all = initial ++ (100L until 300L).map(i => i -> vec(i))
+    assert(spark.read.parquet(idx).agg(
+      org.apache.spark.sql.functions.sum("n")).head().getLong(0) == 300L)
+    val query = vec(777777L)
+    val got = Hnsw.search(spark, idx, query.toSeq, 10, ef = 96)
+      .select("vec_id").as[Long].collect().toSet
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum /
+        (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val brute = all.map { case (id, v) => (id, cos(v, query)) }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    assert((brute & got).size >= 9,
+      s"streamed-index recall too low: got $got want $brute")
+  }
 }
