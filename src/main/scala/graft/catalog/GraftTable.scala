@@ -138,6 +138,9 @@ final class GraftTable private (
     val dir = dataDir(v, "insert")
     toPhysical(df, m).write.mode("overwrite").parquet(dir)
     val files = listParquetFiles(dir)
+    // footer-stats aggregate pushdown: the rowid max comes from parquet
+    // metadata, not a re-scan of the data just written
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     val maxRow = spark.read.parquet(dir).agg(max(col(RowId))).head
     val maxId = if (maxRow.isNullAt(0)) m.nextRowId - 1 else maxRow.getLong(0)
     catalog.save(m.copy(
