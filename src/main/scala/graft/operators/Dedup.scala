@@ -76,8 +76,11 @@ object Dedup {
     bandsDf.as("a").join(bandsDf.as("b"),
         col("a._b") === col("b._b") && col("a._h") === col("b._h"))
       .filter(col("a._id") < col("b._id"))
-      .filter(size(array_intersect(col("a._sh"), col("b._sh"))).cast("double") /
-        size(array_union(col("a._sh"), col("b._sh"))) >= jaccardThreshold)
+      // |A∪B| = |A|+|B|−|A∩B| on distinct shingle sets (skips union build)
+      .withColumn("_ni", size(array_intersect(col("a._sh"), col("b._sh"))))
+      .filter(col("_ni").cast("double") /
+        (size(col("a._sh")) + size(col("b._sh")) - col("_ni")) >= jaccardThreshold)
+      .drop("_ni")
       .select(col("a._id").as("_ida"), col("b._id").as("_idb"))
       .distinct()
   }

@@ -236,9 +236,14 @@ object Pipeline {
         a.join(b, col("doc_a") < col("doc_b") &&
             size(col("sha")).cast("double") >= lit(0.6) * size(col("shb")) &&
             size(col("shb")).cast("double") >= lit(0.6) * size(col("sha")))
+          // |A∪B| = |A|+|B|−|A∩B| on distinct shingle sets: one hash probe
+          // per pair instead of also materializing the union array
+          .select(col("doc_a"), col("doc_b"), size(col("sha")).as("_na"),
+            size(col("shb")).as("_nb"),
+            size(array_intersect(col("sha"), col("shb"))).as("_ni"))
           .select(col("doc_a"), col("doc_b"),
-            round(size(array_intersect(col("sha"), col("shb")))
-              .cast("double") / size(array_union(col("sha"), col("shb"))), 6).as("jaccard"))
+            round(col("_ni").cast("double") /
+              (col("_na") + col("_nb") - col("_ni")), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.6)
           .orderBy(col("doc_a"), col("doc_b"))
       },
