@@ -64,7 +64,10 @@ object Dedup {
     val perBand = numHashes / bands
     val withShingles = df
       .filter(length(col(textCol)) >= shingleSize)
-      .withColumn("_sh", TextFunctions.shingles(col(textCol), shingleSize))
+      // sorted once per row: the exact-Jaccard verify below uses the native
+      // merge-scan intersect (no per-pair hash set)
+      .withColumn("_sh",
+        array_sort(TextFunctions.shingles(col(textCol), shingleSize)))
     val sig = withShingles.withColumn("_bands", array((0 until bands).map { b =>
       TextFunctions.bandHash((0 until perBand).map(r =>
         TextFunctions.minhash(col("_sh"), b * perBand + r)))
@@ -77,7 +80,8 @@ object Dedup {
         col("a._b") === col("b._b") && col("a._h") === col("b._h"))
       .filter(col("a._id") < col("b._id"))
       // |A∪B| = |A|+|B|−|A∩B| on distinct shingle sets (skips union build)
-      .withColumn("_ni", size(array_intersect(col("a._sh"), col("b._sh"))))
+      .withColumn("_ni", graft.plans.NativeVector.sortedIntersectCount(
+        df.sparkSession, col("a._sh"), col("b._sh")))
       .filter(col("_ni").cast("double") /
         (size(col("a._sh")) + size(col("b._sh")) - col("_ni")) >= jaccardThreshold)
       .drop("_ni")

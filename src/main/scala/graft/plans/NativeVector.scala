@@ -188,6 +188,56 @@ case class NearestCentroidExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native merge-scan intersection count over two SORTED string arrays —
+  * the exact-Jaccard verification kernel. `array_intersect` builds a hash
+  * set per invocation (per candidate pair); on pre-sorted distinct shingle
+  * arrays a single merge scan does the same count with zero allocation,
+  * and |A∪B| = |A|+|B|−|A∩B| needs no union array. Sort once per row,
+  * merge per pair.
+  */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < x.numElements() && j < y.numElements()) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      s"""
+         |int $i = 0, $j = 0, $n = 0;
+         |while ($i < $a.numElements() && $j < $b.numElements()) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $n++; $i++; $j++; }
+         |  else if ($c < 0) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeVector {
   /** Register `cosine_sim_native(a, b)` / `l2_sq_native(a, b)` for use via
     * expr()/SQL; both arguments must be `array<double>`.
@@ -201,6 +251,19 @@ object NativeVector {
       "l2_sq_native",
       exprs => L2SquaredExpr(exprs.head, exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCountExpr(exprs.head, exprs(1)),
+      "scala_udf")
+  }
+
+  /** Merge-scan |A∩B| of two sorted string arrays (see
+    * SortedIntersectCountExpr); sort each side once with `array_sort`.
+    */
+  def sortedIntersectCount(spark: SparkSession, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("sorted_intersect_count", a, b)
   }
 
   /** Column form (registers on first use in the session). */

@@ -608,7 +608,8 @@ object Extras {
           .agg(Vision.mean_ap(col("evals")).as("ap_by_class"))
           .select(col("l_returnflag"), explode(col("ap_by_class")).as(Seq("class_id", "ap")))
           .select(col("l_returnflag"), col("class_id"), round(col("ap"), 6).as("ap"))
-          .orderBy(col("l_returnflag"), col("class_id"))
+          .transform(graft.QueryUtil.orderedSmall(_,
+            col("l_returnflag"), col("class_id")))
       },
       Some("""WITH det AS (
              |  SELECT l_returnflag AS flag, (l_linenumber % 2)::INT AS cls,
@@ -865,7 +866,8 @@ object Extras {
           .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
           .withColumn("version", lit(label))
           .select("version", "n", "qty")
-        at(v1, "v1").union(at(v2, "v2")).orderBy(col("version"))
+        at(v1, "v1").union(at(v2, "v2"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("version")))
       },
       Some("""SELECT 'v1' AS version, count(*) AS n,
              |round(sum(l_quantity), 2) AS qty
@@ -904,7 +906,7 @@ object Extras {
             lit(t.read(Some(v1)).columns.mkString(",")).as("cols"))
           .withColumn("state", lit("v1"))
         now.union(past).select("state", "n", "qty2_sum", "cols")
-          .orderBy(col("state"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("state")))
       },
       Some("""SELECT 'evolved' AS state, count(*) AS n,
              |round(sum(l_quantity * 2), 2) AS qty2_sum,
@@ -999,7 +1001,7 @@ object Extras {
             round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
             round(expr("percentile(l_discount, 0.25)"), 6).as("p25_disc"),
           )
-          .orderBy(col("l_returnflag"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("l_returnflag")))
       },
       Some("""SELECT l_returnflag,
              |round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,

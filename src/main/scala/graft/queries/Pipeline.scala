@@ -139,7 +139,7 @@ object Pipeline {
           .select(col("vec_a"), col("vec_b"),
             round(cosine(s, col("ea"), col("eb")), 6).as("cos_sim"))
           .filter(col("cos_sim") >= 0.4)
-          .orderBy(col("vec_a"), col("vec_b"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("vec_a"), col("vec_b")))
       },
       Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(
              |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
@@ -201,7 +201,7 @@ object Pipeline {
           .filter(col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
-          .orderBy(col("doc_a"), col("doc_b"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_a"), col("doc_b")))
       },
       Some {
         val hs = (0 until 8).map(j => s"${minhashSql(j)} AS h$j").mkString(", ")
@@ -225,9 +225,13 @@ object Pipeline {
       (s, dir) => {
         // exact n-gram Jaccard near-dup on a bounded id range (the candidate
         // generation at scale is q33; this is the verification kernel).
+        // sorted shingles: the pairwise kernel is a native zero-allocation
+        // merge scan (graft.plans.SortedIntersectCountExpr) — sort once per
+        // ROW, merge once per PAIR (array_intersect would re-build a hash
+        // set per pair)
         val docs = T(s, dir, "documents")
           .filter(col("n_chars") >= 3 && col("doc_id") < 200)
-          .select(col("doc_id"), shingles(col("text")).as("sh"))
+          .select(col("doc_id"), array_sort(shingles(col("text"))).as("sh"))
         val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
         val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"))
         // size-ratio prefilter: jaccard >= t implies min(|A|,|B|)/max(|A|,|B|)
@@ -236,16 +240,16 @@ object Pipeline {
         a.join(b, col("doc_a") < col("doc_b") &&
             size(col("sha")).cast("double") >= lit(0.6) * size(col("shb")) &&
             size(col("shb")).cast("double") >= lit(0.6) * size(col("sha")))
-          // |A∪B| = |A|+|B|−|A∩B| on distinct shingle sets: one hash probe
-          // per pair instead of also materializing the union array
+          // |A∪B| = |A|+|B|−|A∩B| on distinct shingle sets — no union array
           .select(col("doc_a"), col("doc_b"), size(col("sha")).as("_na"),
             size(col("shb")).as("_nb"),
-            size(array_intersect(col("sha"), col("shb"))).as("_ni"))
+            graft.plans.NativeVector.sortedIntersectCount(s,
+              col("sha"), col("shb")).as("_ni"))
           .select(col("doc_a"), col("doc_b"),
             round(col("_ni").cast("double") /
               (col("_na") + col("_nb") - col("_ni")), 6).as("jaccard"))
           .filter(col("jaccard") >= 0.6)
-          .orderBy(col("doc_a"), col("doc_b"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_a"), col("doc_b")))
       },
       Some(s"""SELECT doc_a, doc_b, jaccard FROM (
               |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

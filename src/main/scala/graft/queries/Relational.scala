@@ -280,7 +280,8 @@ object Relational {
             lead(col("l_quantity"), 1).over(w).as("next_qty"),
           )
           .filter(col("rn") <= 500)
-          .orderBy(col("l_returnflag"), col("rn"))
+          .transform(graft.QueryUtil.orderedSmall(_,
+            col("l_returnflag"), col("rn")))
       },
       Some("""SELECT l_returnflag, l_orderkey, l_linenumber, rn, prev_qty, next_qty
              |FROM (SELECT l_returnflag, l_orderkey, l_linenumber,
@@ -350,7 +351,8 @@ object Relational {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10)
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
-          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .transform(graft.QueryUtil.orderedSmall(_,
+            col("l_returnflag"), col("l_orderkey"), col("l_linenumber")))
       },
       Some("""SELECT l_returnflag, l_orderkey, l_linenumber FROM (
              |  SELECT l_returnflag, l_orderkey, l_linenumber,
