@@ -992,6 +992,37 @@ object Extras {
              |round(sum(q * 3), 2) AS qty3_sum FROM u""".stripMargin),
     ),
     QueryDef(
+      "q88_connector_roundtrip",
+      (s, dir) => {
+        // io connectors in the oracle gate: lineitem slices round-trip
+        // through the Iceberg directory layout (distributed parquet +
+        // avro/JSON metadata) and through a pure-JVM xlsx file — the
+        // re-imported aggregates must equal the oracle computing directly
+        // on lineitem. Exercises schema mapping, snapshot resolution and
+        // type inference end-to-end, not just the happy write path.
+        import graft.io.{Excel, Iceberg}
+        val tmp = java.nio.file.Files.createTempDirectory("graft-q88")
+        val src = T(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+        Iceberg.exportIceberg(src.filter(col("l_orderkey") < 300),
+          tmp.resolve("ice").toString)
+        val ice = Iceberg.importIceberg(s, tmp.resolve("ice").toString)
+          .agg(count(lit(1)).as("ice_n"),
+            round(sum(col("l_quantity")), 2).as("ice_qty"))
+        Excel.exportExcel(src.filter(col("l_orderkey") < 40),
+          tmp.resolve("t.xlsx").toString)
+        val xls = Excel.importExcel(s, tmp.resolve("t.xlsx").toString)
+          .agg(count(lit(1)).as("xls_n"),
+            round(sum(col("l_quantity")), 2).as("xls_qty"))
+        ice.crossJoin(xls)
+      },
+      Some("""SELECT
+             |(SELECT count(*) FROM lineitem WHERE l_orderkey < 300) AS ice_n,
+             |(SELECT round(sum(l_quantity), 2) FROM lineitem WHERE l_orderkey < 300) AS ice_qty,
+             |(SELECT count(*) FROM lineitem WHERE l_orderkey < 40) AS xls_n,
+             |(SELECT round(sum(l_quantity), 2) FROM lineitem WHERE l_orderkey < 40) AS xls_qty""".stripMargin),
+    ),
+    QueryDef(
       "q75_percentile_group",
       (s, dir) => {
         T(s, dir, "lineitem")
