@@ -20,14 +20,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup: a small real query through the full stack (scan+agg+codegen)
-    try SparkEntry.queries.head._2(spark, sfDir).count()
+    try SparkEntry.queries.head._2(spark, sfDir).collect()
     catch { case _: Throwable => () }
     // two runs per query, report the second: steady-state throughput
-    // (first run pays per-query codegen compilation, not execution)
+    // (first run pays per-query codegen compilation, not execution).
+    // noop sink, NOT count(): count() lets Catalyst prune computed columns
+    // and aggregate expressions wholesale (a minhash/UDAF query times
+    // near-zero while computing nothing); the noop sink forces every
+    // output row to be fully produced without driver materialization.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       once()

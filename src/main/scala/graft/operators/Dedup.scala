@@ -68,9 +68,12 @@ object Dedup {
       // merge-scan intersect (no per-pair hash set)
       .withColumn("_sh",
         array_sort(TextFunctions.shingles(col(textCol), shingleSize)))
-    val sig = withShingles.withColumn("_bands", array((0 until bands).map { b =>
+    val withSig = withShingles.withColumn("_mh",
+      graft.plans.TextNative.minhashSignature(df.sparkSession, col("_sh"),
+        numHashes = numHashes))
+    val sig = withSig.withColumn("_bands", array((0 until bands).map { b =>
       TextFunctions.bandHash((0 until perBand).map(r =>
-        TextFunctions.minhash(col("_sh"), b * perBand + r)))
+        element_at(col("_mh"), b * perBand + r + 1)))
     }: _*))
     val bandsDf = sig.select(col(idCol).as("_id"), col("_sh"),
       posexplode(col("_bands")).as(Seq("_b", "_h")))

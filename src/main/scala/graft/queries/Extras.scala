@@ -39,7 +39,7 @@ object Extras {
           .filter(col("doc_id") < 50)
           .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
           .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
-          .orderBy(col("doc_id"), col("pos"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id"), col("pos")))
       },
       Some("""SELECT doc_id, r.pos AS pos, r.tok AS tok FROM (
              |  SELECT doc_id,
@@ -55,7 +55,7 @@ object Extras {
         // it with list ops (valid for this single-space lowercase corpus).
         T(s, dir, "documents")
           .select(col("doc_id"), Udfs.title(col("text")).as("title_text"))
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some("""SELECT doc_id,
              |array_to_string(list_transform(string_split(text, ' '),
@@ -76,7 +76,7 @@ object Extras {
             Udfs.floorDiv(shifted, lit(7L)).as("floordiv7"),
             Udfs.zfill(col("o_orderkey").cast("string"), lit(10)).as("zfilled"),
           )
-          .orderBy(col("o_orderkey"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("o_orderkey")))
       },
       Some("""SELECT o_orderkey, o_orderkey - 7500 AS shifted,
              |((o_orderkey - 7500) % 7 + 7) % 7 AS pymod7,
@@ -87,7 +87,11 @@ object Extras {
     QueryDef(
       "q45_stats_agg",
       (s, dir) => {
-        T(s, dir, "lineitem").agg(
+        T(s, dir, "lineitem")
+          // one-row-group file: fan the percentile/corr buffering across
+          // tasks (partial aggregation still combines map-side)
+          .repartition(32, col("l_orderkey"))
+          .agg(
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
           round(stddev_samp(col("l_quantity")), 6).as("sd_q"),
           round(var_samp(col("l_quantity")), 6).as("var_q"),
@@ -220,8 +224,9 @@ object Extras {
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
             col("l_quantity"),
             round(sum(col("l_quantity")).over(w), 2).as("range_sum"))
-          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-            col("l_quantity"))
+          .transform(graft.QueryUtil.orderedSmall(_,
+            col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity")))
       },
       Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
              |round(sum(l_quantity) OVER (PARTITION BY l_returnflag
@@ -262,7 +267,7 @@ object Extras {
           .select(col("doc_id"),
             octet_length(bytes).cast("long").as("n_bytes"),
             lower(hex(substring(bytes, lit(1), lit(4)))).as("header_hex"))
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some("""SELECT doc_id,
              |octet_length(text::BLOB) AS n_bytes,
@@ -313,7 +318,7 @@ object Extras {
             posexplode(Iterators.charChunks(col("text"), 100, 20)).as(Seq("chunk_idx", "chunk")))
           .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
             col("chunk"), length(col("chunk")).cast("long").as("chunk_len"))
-          .orderBy(col("doc_id"), col("chunk_idx"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id"), col("chunk_idx")))
       },
       Some("""SELECT doc_id, r.idx AS chunk_idx, r.chunk AS chunk,
              |length(r.chunk) AS chunk_len FROM (
@@ -396,6 +401,9 @@ object Extras {
           array(col("o_orderpriority"), col("o_orderstatus")).as("tags"),
           struct(col("o_totalprice").as("price")).as("meta")))
         T(s, dir, "orders")
+          // the corpus file is one row group (unsplittable): fan the
+          // JSON-parse work across tasks instead of one scan task
+          .repartition(32, col("o_orderkey"))
           .withColumn("js", js)
           .select(
             col("o_orderkey"),
@@ -405,7 +413,7 @@ object Extras {
             array_join(json_object_keys(get_json_object(col("js"), "$.meta")), ",").as("meta_keys"),
             get_json_object(col("js"), "$.missing").isNull.as("missing_is_null"),
           )
-          .orderBy(col("o_orderkey"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("o_orderkey")))
       },
       Some("""SELECT o_orderkey,
              |json_extract_string(js, '$.meta.price')::DOUBLE AS price,
@@ -426,6 +434,7 @@ object Extras {
         // NULL cells plus an errortype marker, never task failure.
         val divisor = col("o_orderkey") % 3
         T(s, dir, "orders")
+          .repartition(32, col("o_orderkey")) // one-row-group file: fan out
           .select(
             col("o_orderkey"),
             round(try_divide(col("o_totalprice"), divisor), 6).as("td"),
@@ -433,7 +442,7 @@ object Extras {
             try_cast_long(col("o_orderkey").cast("string")).as("good_cast"),
             when(divisor === 0, "DivisionByZero").as("errortype"),
           )
-          .orderBy(col("o_orderkey"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("o_orderkey")))
       },
       Some("""SELECT o_orderkey,
              |round(o_totalprice / nullif(o_orderkey % 3, 0), 6) AS td,
@@ -457,7 +466,7 @@ object Extras {
         val clicks = ev.filter(col("event_type") === "click")
           .select(col("user_id"), col("ts"), col("ts").as("cts"))
         AsOf.joinAsOf(purchases, clicks, "user_id", "ts", "cts", "last_click_ts")
-          .orderBy(col("event_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("event_id")))
       },
       Some("""SELECT p.event_id, p.user_id, p.ts, max(c.cts) AS last_click_ts
              |FROM (SELECT event_id, user_id, ts FROM events

@@ -156,13 +156,18 @@ object Pipeline {
     QueryDef(
       "q32_minhash_sig",
       (s, dir) => {
+        // native one-pass signature kernel (graft.plans.MinHashSigExpr):
+        // bit-identical to the per-j HOF composition the oracle mirrors,
+        // but one digest loop per row instead of 8 interpreted array passes
         val sh = shingles(col("text"))
-        val sig = (0 until 8).map(j => minhash(col("sh"), j).as(s"h$j"))
         T(s, dir, "documents")
           .filter(col("n_chars") >= 3)
-          .withColumn("sh", sh)
-          .select((col("doc_id") +: sig): _*)
-          .orderBy(col("doc_id"))
+          .repartition(32, col("doc_id")) // one-row-group file: fan out
+          .withColumn("sig",
+            graft.plans.TextNative.minhashSignature(s, sh))
+          .select((col("doc_id") +:
+            (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"h$j"))): _*)
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some {
         val hs = (0 until 8).map(j => s"${minhashSql(j)} AS h$j").mkString(",\n")
@@ -183,8 +188,10 @@ object Pipeline {
         val sh = shingles(col("text"))
         val sig = T(s, dir, "documents")
           .filter(col("n_chars") >= 3 && col("doc_id") < 1000)
-          .withColumn("sh", sh)
-          .select(col("doc_id") +: (0 until 8).map(j => minhash(col("sh"), j).as(s"h$j")): _*)
+          .repartition(32, col("doc_id")) // one-row-group file: fan out
+          .withColumn("_sig", graft.plans.TextNative.minhashSignature(s, sh))
+          .select(col("doc_id") +: (0 until 8).map(j =>
+            element_at(col("_sig"), j + 1).as(s"h$j")): _*)
         // 2 bands × 4 rows: this corpus's docs share most shingles, so wider
         // bands keep the candidate set selective.
         val bandCols = (0 until 2).map(b =>
@@ -274,9 +281,10 @@ object Pipeline {
           when(aggregate(contrib, lit(0), (a, x) => a + x) > 0, "1").otherwise("0")
         }
         T(s, dir, "documents")
+          .repartition(32, col("doc_id")) // one-row-group file: fan out
           .withColumn("toks", toks)
           .select(col("doc_id"), concat(bits: _*).as("simhash"))
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some {
         val bits = (0 until 16).map { i =>
@@ -309,7 +317,7 @@ object Pipeline {
           .select((col("doc_id") +: col("lang") +: scoreCols): _*)
           .withColumn("pred", pred)
           .withColumn("correct", col("pred") === col("lang"))
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some {
         val scores = stopwords.map { case (l, ws) =>
@@ -348,7 +356,7 @@ object Pipeline {
             round(size(array_distinct(col("toks"))).cast("double") / col("n_tok"), 6)
               .as("ttr"),
           )
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some {
         val set = stopwords.head._2.map(w => s"'$w'").mkString(", ")
@@ -370,7 +378,7 @@ object Pipeline {
           .select(col("doc_id"), fp.as("fp"))
           .groupBy(col("fp"))
           .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
-          .orderBy(col("fp"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("fp")))
       },
       Some("""SELECT fp, count(*) AS n, min(doc_id) AS first_doc
              |FROM (SELECT doc_id,
