@@ -346,6 +346,33 @@ final class GraftTable private (
       }))
   }
 
+  /** Small-file compaction (the lakehouse OPTIMIZE maintenance op): merge
+    * the current version's active file set into `targetFiles` files as a
+    * new version. Physical rows — including closed history rows with
+    * `_v_max` set — are copied byte-identical, so every read and every
+    * time travel ≤ the pre-compact version is unchanged; only the layout
+    * shrinks. Prior versions keep referencing the old files (removed here
+    * only from the NEW manifest), so nothing is deleted until `vacuum`.
+    * At 100 TB this is the defense against manifest bloat from many small
+    * streaming/DML versions — O(live data) rewrite, metadata-only for
+    * every older version.
+    */
+  def compact(targetFiles: Int = 1): Long = {
+    val m = meta
+    val v = m.currentVersion + 1
+    val files = m.activeFiles(m.currentVersion)
+    if (files.size <= targetFiles) return noopVersion(m, v, "compact")
+    // physical read/write: no logical translation, column mapping and
+    // system columns pass through untouched
+    val raw = spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .repartition(targetFiles)
+    val dir = dataDir(v, "compact")
+    raw.write.mode("overwrite").parquet(dir)
+    catalog.save(m.copy(versions = m.versions :+
+      entry(v, "compact", listParquetFiles(dir), files)))
+    v
+  }
+
   /** Physically remove data files no longer reachable from any version ≤
     * current (orphans left behind by revert). Named snapshots always stay
     * reachable because they pin log versions. Irreversible: time travel to

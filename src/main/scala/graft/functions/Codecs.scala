@@ -161,6 +161,59 @@ object Codecs {
     bos.toByteArray
   }
 
+  // ---- multi-page TIFF --------------------------------------------------
+
+  /** Encode pages into one multi-page TIFF (the binary-container analog of
+    * the document splitter's page mode — one file, N addressable pages).
+    */
+  private[graft] def makeMultipageTiff(pages: Seq[BufferedImage]): Array[Byte] = {
+    require(pages.nonEmpty, "no pages")
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new ByteArrayOutputStream()
+    val out = new MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      pages.foreach(p => writer.writeToSequence(new IIOImage(p, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); out.close() }
+    bos.toByteArray
+  }
+
+  /** Decode every page of a multi-page TIFF. */
+  private[graft] def tiffPages(bytes: Array[Byte]): Seq[BufferedImage] = {
+    val reader = ImageIO.getImageReadersByFormatName("tiff").next()
+    val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(in, false)
+      (0 until reader.getNumImages(true)).map(reader.read)
+    } finally { reader.dispose(); in.close() }
+  }
+
+  private val tiffPagesUdf = udf((b: Array[Byte]) =>
+    tiffPages(b).zipWithIndex.map { case (img, i) =>
+      (i, img.getWidth, img.getHeight, Images.encodePng(img)) })
+  private val makeTiffUdf = udf((pages: Seq[Array[Byte]]) =>
+    makeMultipageTiff(pages.map(Images.decode)))
+
+  /** build a multi-page TIFF from an array of image payloads */
+  def makeTiff(pages: Column): Column = makeTiffUdf(pages)
+
+  /** One row per TIFF page (the document page-iterator shape on a real
+    * binary container): appends page_idx, page_w, page_h, page_png.
+    */
+  def tiffPageIterator(df: DataFrame, binaryCol: String): DataFrame = {
+    val exploded = df.select((df.columns.map(col) :+
+      posexplode(tiffPagesUdf(col(binaryCol)).cast(
+        "array<struct<page_idx:int,page_w:int,page_h:int,png:binary>>"))
+        .as(Seq("_pos", "_p"))): _*)
+    exploded.select((df.columns.map(col) :+
+      col("_p.page_idx").as("page_idx") :+
+      col("_p.page_w").as("page_w") :+
+      col("_p.page_h").as("page_h") :+
+      col("_p.png").as("page_png")): _*)
+  }
+
   // ---- audio containers -------------------------------------------------
 
   private val AudioTypes = Map(

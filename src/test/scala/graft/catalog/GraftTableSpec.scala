@@ -252,4 +252,29 @@ class GraftTableSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") &&
       plan.contains(GraftTable.VMin), s"no pushdown in:\n$plan")
   }
+
+  test("compact merges the active file set without changing any version's rows") {
+    val t = GraftTable.create(spark, freshCatalog(), "t9", cols)
+    val v1 = t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"))
+    t.insert(Seq((3L, "c", 3.0)).toDF("id", "name", "score"))
+    t.insert(Seq((4L, "d", 4.0)).toDF("id", "name", "score"))
+    val vDel = t.delete("id = 2")
+    def snapshot(v: Long) = t.read(Some(v)).orderBy("id").collect().map(_.toString).toSeq
+    val beforeCur = snapshot(vDel)
+    val beforeV1 = snapshot(v1)
+    val filesBefore = t.meta.activeFiles(t.meta.currentVersion).size
+    assert(filesBefore >= 3)
+    val vc = t.compact(targetFiles = 1)
+    assert(t.meta.activeFiles(vc).size == 1, "not compacted to one file")
+    // current rows and pre-compact time travel are unchanged
+    assert(t.read().orderBy("id").collect().map(_.toString).toSeq == beforeCur)
+    assert(snapshot(vDel) == beforeCur)
+    assert(snapshot(v1) == beforeV1)
+    // closed history rows survived the rewrite (delete is still visible
+    // as a closed row, not resurrected)
+    assert(t.read().filter("id = 2").count() == 0)
+    // compacting an already-compact table is a no-op version
+    val vc2 = t.compact(targetFiles = 1)
+    assert(t.meta.activeFiles(vc2).size == 1)
+  }
 }

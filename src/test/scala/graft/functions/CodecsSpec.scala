@@ -50,6 +50,23 @@ class CodecsSpec extends AnyFunSuite {
     assert(Images.decode(first.getAs[Array[Byte]]("frame_png")).getWidth == 4)
   }
 
+  test("multi-page tiff: build, page count, per-page dims and pixels") {
+    val pages = Seq((4, 3, 0xAA0000), (6, 2, 0x00BB00), (5, 5, 0x0000CC))
+      .map { case (w, h, c) => Images.decode(Images.solidPng(w, h, c)) }
+    val tiff = Codecs.makeMultipageTiff(pages)
+    assert(Codecs.imageFormatOf(tiff) == "tiff")
+    val back = Codecs.tiffPages(tiff)
+    assert(back.map(p => (p.getWidth, p.getHeight)) == Seq((4, 3), (6, 2), (5, 5)))
+    assert((back(1).getRGB(2, 1) & 0xFFFFFF) == 0x00BB00)
+    // distributed page iterator: one row per page with dims
+    val df = Seq((7L, tiff)).toDF("doc_id", "tiff")
+    val rows = Codecs.tiffPageIterator(df, "tiff").orderBy("page_idx").collect()
+    assert(rows.map(_.getAs[Int]("page_idx")).toSeq == Seq(0, 1, 2))
+    assert(rows.map(r => (r.getAs[Int]("page_w"), r.getAs[Int]("page_h"))).toSeq ==
+      Seq((4, 3), (6, 2), (5, 5)))
+    assert(Images.decode(rows(2).getAs[Array[Byte]]("page_png")).getHeight == 5)
+  }
+
   test("audio transcode wav → aiff → au → wav preserves pcm samples") {
     val wav = Audio.sineWav(0.05, 440.0)
     val (fmtW, samplesW) = Audio.decodePcm(wav)
