@@ -137,4 +137,42 @@ class OperatorsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("selective shuffle joins inject a runtime bloom filter on the fact side") {
+    // the 100 TB fact-fact join story: when the dim side is too big to
+    // broadcast, Catalyst builds a bloom filter from the filtered creation
+    // side and pushes `might_contain` into the fact scan — rows that can't
+    // join die before the shuffle. Thresholds are production-scale, so the
+    // tiny corpus needs them lowered to observe the mechanism.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    spark.range(100000).selectExpr("id", "id % 1000 AS k", "id * 2 AS v")
+      .write.parquet(s"$dir/fact")
+    spark.range(1000).selectExpr("id AS k", "id % 7 AS attr")
+      .write.parquet(s"$dir/dim")
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+    ).map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle join
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim")
+        .filter(org.apache.spark.sql.functions.col("attr") === 3) // selective
+      val joined = fact.join(dim, "k")
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter_agg") ||
+        optimized.toLowerCase.contains("mightcontain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      // and it computes the right answer: 1000/7-ish dim keys × 100 fact rows each
+      assert(joined.count() == dim.count() * 100)
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
 }
