@@ -523,4 +523,222 @@ object Video {
     Avi.write(Avi.readFrames(v), meta.width, meta.height,
       math.max(meta.fps.round.toInt, 1), Some(mixed))
   }
+
+  // ---- remaining filters.py surface: overlay_image, transition, scroll,
+  // pan, zoom (reference `filters.py:253,799,1276,1390,1461`). Same shape
+  // as the rest of the family: per-row frame kernels on java.awt, standing
+  // in for the reference's per-file ffmpeg filter graphs. ----
+
+  /** overlay_image: composite `img` onto every frame. Alignment + margin
+    * place it; `scale` (NaN = original size) sizes it relative to the video
+    * HEIGHT keeping aspect; `opacity` in [0,1]; visible for frame times in
+    * [startSec, endSec) with NaN = unbounded (reference None).
+    */
+  val overlayImage = udf { (v: Array[Byte], img: Array[Byte], hAlign: String,
+      hMargin: Int, vAlign: String, vMargin: Int, scale: Double,
+      opacity: Double, startSec: Double, endSec: Double) =>
+    require(opacity >= 0.0 && opacity <= 1.0, s"bad opacity $opacity")
+    val meta = Avi.readMeta(v)
+    val fps = math.max(meta.fps, 1e-9)
+    val raw = Images.decode(img)
+    val over =
+      if (scale.isNaN) raw
+      else {
+        require(scale > 0, s"bad scale $scale")
+        val oh = math.max(math.round(meta.height * scale).toInt, 1)
+        val ow = math.max(math.round(raw.getWidth.toDouble * oh / raw.getHeight).toInt, 1)
+        val dst = new java.awt.image.BufferedImage(ow, oh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(raw, 0, 0, ow, oh, null); g.dispose()
+        dst
+      }
+    val x = hAlign match {
+      case "left" => hMargin
+      case "right" => meta.width - over.getWidth - hMargin
+      case "center" => (meta.width - over.getWidth) / 2
+      case other => sys.error(s"bad horizontal_align '$other'")
+    }
+    val y = vAlign match {
+      case "top" => vMargin
+      case "bottom" => meta.height - over.getHeight - vMargin
+      case "center" => (meta.height - over.getHeight) / 2
+      case other => sys.error(s"bad vertical_align '$other'")
+    }
+    mapFrames(v) { (frame, i, _) =>
+      val t = i / fps
+      val visible = (startSec.isNaN || t >= startSec) && (endSec.isNaN || t < endSec)
+      if (!visible) frame
+      else {
+        val dst = new java.awt.image.BufferedImage(frame.getWidth,
+          frame.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        g.drawImage(frame, 0, 0, null)
+        g.setComposite(java.awt.AlphaComposite.getInstance(
+          java.awt.AlphaComposite.SRC_OVER, opacity.toFloat))
+        g.drawImage(over, x, y, null)
+        g.dispose()
+        dst
+      }
+    }
+  }
+
+  /** Per-pixel blend factor (0 = all first clip, 1 = all second) for one
+    * transition frame at progress p ∈ (0,1). `dissolve` uses a
+    * deterministic per-pixel hash threshold (reference ffmpeg uses noise);
+    * `smooth*` are wipes with a quarter-frame smoothstep band.
+    */
+  private def transitionWeight(effect: String, p: Double, x: Int, y: Int,
+      w: Int, h: Int): Double = {
+    def clamp01(d: Double) = math.max(0.0, math.min(1.0, d))
+    def smooth(d: Double) = { val t = clamp01(d); t * t * (3 - 2 * t) }
+    effect match {
+      case "fade" => p
+      case "dissolve" =>
+        val bits = scala.util.hashing.MurmurHash3.productHash((x, y))
+        if (((bits & 0xffff).toDouble / 65536.0) < p) 1.0 else 0.0
+      case "wipeleft" => if (x >= w * (1 - p)) 1.0 else 0.0
+      case "wiperight" => if (x < w * p) 1.0 else 0.0
+      case "wipeup" => if (y >= h * (1 - p)) 1.0 else 0.0
+      case "wipedown" => if (y < h * p) 1.0 else 0.0
+      case "smoothleft" => smooth((w * (1 + 0.25) * p - (w - 1 - x)) / (w * 0.25))
+      case "smoothright" => smooth((w * (1 + 0.25) * p - x) / (w * 0.25))
+      case "smoothup" => smooth((h * (1 + 0.25) * p - (h - 1 - y)) / (h * 0.25))
+      case "smoothdown" => smooth((h * (1 + 0.25) * p - y) / (h * 0.25))
+      case other => sys.error(s"bad transition effect '$other'")
+    }
+  }
+
+  /** transition (xfade): join two clips overlapping the last/first
+    * `durationSec` seconds; output length = n1 + n2 − overlap frames.
+    * `slide*` translate the incoming frame; everything else blends via
+    * `transitionWeight`. Geometry must match (as concat_videos).
+    */
+  val transition = udf { (a: Array[Byte], b: Array[Byte], effect: String,
+      durationSec: Double) =>
+    val ma = Avi.readMeta(a)
+    val mb = Avi.readMeta(b)
+    require(ma.width == mb.width && ma.height == mb.height,
+      s"geometry mismatch: ${ma.width}x${ma.height} vs ${mb.width}x${mb.height}")
+    val fps = math.max(ma.fps.round.toInt, 1)
+    val fa = Avi.readFrames(a)
+    val fb = Avi.readFrames(b)
+    val overlap = math.max(0, math.min(math.min(fa.length, fb.length),
+      math.round(durationSec * fps).toInt))
+    val (w, h) = (ma.width, ma.height)
+    val blended = (0 until overlap).map { j =>
+      val p = (j + 1).toDouble / (overlap + 1) // strictly inside (0,1)
+      val ia = Images.decode(fa(fa.length - overlap + j))
+      val ib = Images.decode(fb(j))
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      if (effect.startsWith("slide")) {
+        val g = dst.createGraphics()
+        val (dx, dy) = effect match {
+          case "slideleft" => (-(w * p).round.toInt, 0)
+          case "slideright" => ((w * p).round.toInt, 0)
+          case "slideup" => (0, -(h * p).round.toInt)
+          case "slidedown" => (0, (h * p).round.toInt)
+          case other => sys.error(s"bad transition effect '$other'")
+        }
+        g.drawImage(ia, dx, dy, null)
+        // incoming frame trails the outgoing one by a full frame size
+        g.drawImage(ib, dx - Integer.signum(dx) * w, dy - Integer.signum(dy) * h, null)
+        g.dispose()
+      } else {
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val wt = transitionWeight(effect, p, x, y, w, h)
+            val pa = ia.getRGB(x, y); val pb = ib.getRGB(x, y)
+            def mix(sh: Int) = {
+              val ca = (pa >> sh) & 0xff; val cb = (pb >> sh) & 0xff
+              math.round(ca * (1 - wt) + cb * wt).toInt & 0xff
+            }
+            dst.setRGB(x, y, (mix(16) << 16) | (mix(8) << 8) | mix(0))
+            x += 1
+          }
+          y += 1
+        }
+      }
+      toJpeg(dst)
+    }
+    val out = fa.dropRight(overlap) ++ blended ++ fb.drop(overlap)
+    Avi.write(out, w, h, fps)
+  }
+
+  /** scroll: extract a (w × h) viewport whose origin starts at
+    * (xStart, yStart) and moves at (xSpeed, ySpeed) px/sec, clamped at the
+    * frame edges; w/h ≤ 0 mean "input size" (reference None).
+    */
+  val scroll = udf { (v: Array[Byte], w: Int, h: Int, xSpeed: Double,
+      ySpeed: Double, xStart: Int, yStart: Int) =>
+    val meta = Avi.readMeta(v)
+    val vw = if (w <= 0) meta.width else w
+    val vh = if (h <= 0) meta.height else h
+    require(vw <= meta.width && vh <= meta.height,
+      s"viewport ${vw}x$vh exceeds ${meta.width}x${meta.height}")
+    val fps = math.max(meta.fps, 1e-9)
+    def clamp(d: Double, hi: Int) = math.max(0, math.min(hi, d.round.toInt))
+    mapFrames(v) { (img, i, _) =>
+      val t = i / fps
+      img.getSubimage(clamp(xStart + xSpeed * t, meta.width - vw),
+        clamp(yStart + ySpeed * t, meta.height - vh), vw, vh)
+    }
+  }
+
+  /** pan: scroll() convenience — the viewport (sized by cropPct on each
+    * moving axis) sweeps its full range over the clip's duration;
+    * sign = +1 right/down, −1 left/up, 0 no motion on that axis.
+    */
+  val pan = udf { (v: Array[Byte], xSign: Int, ySign: Int, cropPct: Double) =>
+    require(xSign != 0 || ySign != 0, "at least one of x_sign/y_sign must be nonzero")
+    require(cropPct > 0.0 && cropPct < 1.0, s"bad crop_pct $cropPct")
+    val meta = Avi.readMeta(v)
+    val vw = math.floor(meta.width * (1 - cropPct * math.abs(xSign))).toInt
+    val vh = math.floor(meta.height * (1 - cropPct * math.abs(ySign))).toInt
+    val (rangeX, rangeY) = (meta.width - vw, meta.height - vh)
+    val x0 = math.floor(rangeX * (1 - xSign) / 2.0).toInt
+    val y0 = math.floor(rangeY * (1 - ySign) / 2.0).toInt
+    val dur = math.max(meta.duration_s, 1e-9)
+    val fps = math.max(meta.fps, 1e-9)
+    def clamp(d: Double, hi: Int) = math.max(0, math.min(hi, d.round.toInt))
+    mapFrames(v) { (img, i, _) =>
+      val t = i / fps
+      img.getSubimage(clamp(x0 + rangeX / dur * xSign * t, rangeX),
+        clamp(y0 + rangeY / dur * ySign * t, rangeY), vw, vh)
+    }
+  }
+
+  /** zoom (zoompan): zoom factor interpolates linearly start→end over the
+    * clip; each frame crops a (W/s × H/s) region centered on normalized
+    * (cx, cy) — clamped inside the frame — and scales it back to W × H.
+    */
+  val zoom = udf { (v: Array[Byte], startScale: Double, endScale: Double,
+      cx: Double, cy: Double) =>
+    require(startScale >= 1.0 && endScale >= 1.0,
+      s"scales must be >= 1.0, got $startScale/$endScale")
+    require(cx >= 0.0 && cx <= 1.0 && cy >= 0.0 && cy <= 1.0,
+      s"center must be in [0,1], got [$cx, $cy]")
+    mapFrames(v) { (img, i, n) =>
+      val frac = if (n <= 1) 0.0 else i.toDouble / (n - 1)
+      val s = startScale + (endScale - startScale) * frac
+      val (w, h) = (img.getWidth, img.getHeight)
+      val cw = math.max(math.round(w / s).toInt, 1)
+      val ch = math.max(math.round(h / s).toInt, 1)
+      val x0 = math.max(0, math.min(w - cw, math.round(cx * w - cw / 2.0).toInt))
+      val y0 = math.max(0, math.min(h - ch, math.round(cy * h - ch / 2.0).toInt))
+      val dst = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = dst.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img.getSubimage(x0, y0, cw, ch), 0, 0, w, h, null)
+      g.dispose()
+      dst
+    }
+  }
 }

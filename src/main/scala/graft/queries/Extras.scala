@@ -1255,6 +1255,62 @@ object Extras {
              |WHERE n_nationkey < 5
              |GROUP BY 1, 2 ORDER BY pk""".stripMargin),
     ),
+    QueryDef(
+      "q89_video_motion",
+      (s, dir) => {
+        // the motion/compositing end of the filter family in the oracle
+        // gate (reference `filters.py` overlay_image:253, transition:799,
+        // scroll:1276, pan:1390, zoom:1461): per-row synthesized clips run
+        // through xfade-style transition, a scrolling viewport, a pan and
+        // a zoom — output frame counts and geometry are closed-form.
+        import graft.functions.{Images, Video}
+        val n1 = (col("doc_id") % 4 + 3).cast("int") // 3..6 frames
+        val n2 = (col("doc_id") % 3 + 2).cast("int") // 2..4 frames
+        val w = (col("doc_id") % 12 + 12).cast("int") // 12..23
+        val h = (col("doc_id") % 6 + 10).cast("int") // 10..15
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("v1", Video.makeTestVideoUdf(n1, w, h, lit(0x803020), lit(10)))
+          .withColumn("v2", Video.makeTestVideoUdf(n2, w, h, lit(0x203080), lit(10)))
+          .withColumn("logo", Images.makeSolidPng(lit(4), lit(4), lit(0x00ff00)))
+          // 0.2s at 10 fps → 2-frame overlap (n1 ≥ 3, n2 ≥ 2 always)
+          .withColumn("xf", Video.transition(col("v1"), col("v2"), lit("fade"), lit(0.2)))
+          .withColumn("sc", Video.scroll(col("v1"), w - 4, h - 2, lit(10.0),
+            lit(0.0), lit(0), lit(0)))
+          .withColumn("pn", Video.pan(col("v1"), lit(1), lit(0), lit(0.25)))
+          .withColumn("zm", Video.zoom(col("v1"), lit(2.0), lit(2.0), lit(0.5), lit(0.5)))
+          .withColumn("ov", Video.overlayImage(col("v1"), col("logo"), lit("left"),
+            lit(1), lit("top"), lit(1), lit(Double.NaN), lit(1.0),
+            lit(Double.NaN), lit(Double.NaN)))
+          .withColumn("xm", Video.getMetadata(col("xf")))
+          .withColumn("sm", Video.getMetadata(col("sc")))
+          .withColumn("pm", Video.getMetadata(col("pn")))
+          .withColumn("zmm", Video.getMetadata(col("zm")))
+          .withColumn("om", Video.getMetadata(col("ov")))
+          .select(col("doc_id"),
+            col("xm.frames").as("xfade_frames"),
+            col("sm.width").as("scroll_w"),
+            col("sm.height").as("scroll_h"),
+            col("sm.frames").as("scroll_frames"),
+            col("pm.width").as("pan_w"),
+            col("pm.height").as("pan_h"),
+            col("zmm.width").as("zoom_w"),
+            col("zmm.height").as("zoom_h"),
+            col("om.frames").as("overlay_frames"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |((doc_id % 4 + 3) + (doc_id % 3 + 2) - 2)::INT AS xfade_frames,
+             |(doc_id % 12 + 12 - 4)::INT AS scroll_w,
+             |(doc_id % 6 + 10 - 2)::INT AS scroll_h,
+             |(doc_id % 4 + 3)::INT AS scroll_frames,
+             |floor((doc_id % 12 + 12) * 0.75)::INT AS pan_w,
+             |(doc_id % 6 + 10)::INT AS pan_h,
+             |(doc_id % 12 + 12)::INT AS zoom_w,
+             |(doc_id % 6 + 10)::INT AS zoom_h,
+             |(doc_id % 4 + 3)::INT AS overlay_frames
+             |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

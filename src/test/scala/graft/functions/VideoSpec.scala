@@ -178,6 +178,134 @@ class VideoSpec extends AnyFunSuite {
     assert(Audio.decodePcm(cat)._2.length == 3200)
   }
 
+  /** video whose left half is pure red and right half pure blue — spatial
+    * structure for viewport/blend filters (JPEG-lossy, so assertions use
+    * channel dominance, not exact values).
+    */
+  private def halfRedBlue(n: Int, w: Int, h: Int, fps: Int): Array[Byte] = {
+    val frames = (0 until n).map { _ =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(java.awt.Color.RED); g.fillRect(0, 0, w / 2, h)
+      g.setColor(java.awt.Color.BLUE); g.fillRect(w / 2, 0, w - w / 2, h)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    Avi.write(frames, w, h, fps)
+  }
+
+  private def frameImages(v: Array[Byte]) = Avi.readFrames(v).map(Images.decode)
+  private def red(p: Int) = (p >> 16) & 0xff
+  private def blue(p: Int) = p & 0xff
+
+  test("overlay_image: placement, opacity, and time window") {
+    val vid = Video.makeTestVideo(6, 40, 30, 0x000000, 10) // black, 0.6s
+    val logo = Images.solidPng(8, 8, 0x00ff00) // green square
+    val df = Seq((vid, logo)).toDF("v", "img")
+    // top-left, full opacity, visible only in [0.2s, 0.4s) = frames 2..3
+    val out = df.select(Video.overlayImage(col("v"), col("img"), lit("left"),
+      lit(2), lit("top"), lit(3), lit(Double.NaN), lit(1.0), lit(0.2),
+      lit(0.4)).as("r")).head().getAs[Array[Byte]]("r")
+    val fs = frameImages(out)
+    assert(fs.length == 6)
+    def greenAt(img: java.awt.image.BufferedImage) = (img.getRGB(5, 6) >> 8) & 0xff
+    assert(greenAt(fs(0)) < 80 && greenAt(fs(1)) < 80) // before window
+    assert(greenAt(fs(2)) > 180 && greenAt(fs(3)) > 180) // inside
+    assert(greenAt(fs(4)) < 80 && greenAt(fs(5)) < 80) // after
+    // half opacity on black ≈ half-intensity green
+    val half = df.select(Video.overlayImage(col("v"), col("img"), lit("left"),
+      lit(0), lit("top"), lit(0), lit(Double.NaN), lit(0.5), lit(Double.NaN),
+      lit(Double.NaN)).as("r")).head().getAs[Array[Byte]]("r")
+    val g0 = (frameImages(half).head.getRGB(3, 3) >> 8) & 0xff
+    assert(g0 > 90 && g0 < 170, s"expected ~128 green, got $g0")
+    // scale=0.5 of video height → 15px square; right/bottom aligned
+    val scaled = df.select(Video.overlayImage(col("v"), col("img"), lit("right"),
+      lit(0), lit("bottom"), lit(0), lit(0.5), lit(1.0), lit(Double.NaN),
+      lit(Double.NaN)).as("r")).head().getAs[Array[Byte]]("r")
+    val sf = frameImages(scaled).head
+    assert(((sf.getRGB(39 - 7, 29 - 7) >> 8) & 0xff) > 180) // inside overlay
+    assert(((sf.getRGB(5, 5) >> 8) & 0xff) < 80) // far corner untouched
+  }
+
+  test("transition: fade length arithmetic and wipe geometry") {
+    val a = halfRedBlue(6, 32, 16, 10) // only geometry matters for length
+    val red6 = Video.makeTestVideo(6, 32, 16, 0xff0000, 10)
+    // 0x..f0 base: makeTestVideo adds the frame index to the packed rgb,
+    // so the blue channel needs headroom to stay blue on later frames
+    val blue6 = Video.makeTestVideo(6, 32, 16, 0x0000f0, 10)
+    val df = Seq((red6, blue6)).toDF("a", "b")
+    // duration 0.3s at 10 fps → 3-frame overlap → 6 + 6 - 3 = 9 frames
+    val faded = df.select(Video.transition(col("a"), col("b"), lit("fade"),
+      lit(0.3)).as("r")).head().getAs[Array[Byte]]("r")
+    val ff = frameImages(faded)
+    assert(ff.length == 9)
+    assert(red(ff.head.getRGB(16, 8)) > 180) // pure first clip
+    assert(blue(ff.last.getRGB(16, 8)) > 180) // pure second clip
+    val mid = ff(4) // middle overlap frame: a genuine mix
+    assert(red(mid.getRGB(16, 8)) > 60 && blue(mid.getRGB(16, 8)) > 60)
+    // wipeleft: second clip enters from the RIGHT edge
+    val wiped = df.select(Video.transition(col("a"), col("b"), lit("wipeleft"),
+      lit(0.3)).as("r")).head().getAs[Array[Byte]]("r")
+    val wmid = frameImages(wiped)(4)
+    assert(red(wmid.getRGB(2, 8)) > 180, "left edge still first clip")
+    assert(blue(wmid.getRGB(30, 8)) > 180, "right edge already second clip")
+    val err = intercept[Exception] {
+      df.select(Video.transition(col("a"), col("b"), lit("nope"), lit(0.3)))
+        .head()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("scroll and pan: viewport geometry and motion") {
+    val vid = halfRedBlue(5, 40, 20, 10) // 0.5s
+    val df = Seq(Tuple1(vid)).toDF("v")
+    // 20x20 viewport scrolling right at 40 px/s: frame0 at x=0 (red),
+    // by frame4 x = 0.4s*40 = 16 → mostly blue at viewport center-right
+    val out = df.select(Video.scroll(col("v"), lit(20), lit(20), lit(40.0),
+      lit(0.0), lit(0), lit(0)).as("r")).head().getAs[Array[Byte]]("r")
+    val meta = Avi.readMeta(out)
+    assert(meta.width == 20 && meta.height == 20 && meta.frames == 5)
+    val fs = frameImages(out)
+    assert(red(fs.head.getRGB(10, 10)) > 180) // viewport over the red half
+    assert(blue(fs.last.getRGB(15, 10)) > 180) // slid into the blue half
+    // pan right: viewport is 80% width, full height; same frame count
+    val panned = df.select(Video.pan(col("v"), lit(1), lit(0), lit(0.2))
+      .as("r")).head().getAs[Array[Byte]]("r")
+    val pm = Avi.readMeta(panned)
+    assert(pm.width == 32 && pm.height == 20 && pm.frames == 5)
+    val err = intercept[Exception] {
+      df.select(Video.pan(col("v"), lit(0), lit(0), lit(0.2))).head()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("zoom: static zoom crops the center and keeps resolution") {
+    val vid = halfRedBlue(4, 40, 20, 8)
+    val df = Seq(Tuple1(vid)).toDF("v")
+    // static 2x centered on the left-quarter (cx=0.25): crop is 20x10 at
+    // x0 = 0.25*40 - 10 = 0 → entirely red, scaled back to 40x20
+    val out = df.select(Video.zoom(col("v"), lit(2.0), lit(2.0), lit(0.25),
+      lit(0.5)).as("r")).head().getAs[Array[Byte]]("r")
+    val meta = Avi.readMeta(out)
+    assert(meta.width == 40 && meta.height == 20 && meta.frames == 4)
+    val f0 = frameImages(out).head
+    assert(red(f0.getRGB(35, 10)) > 180, "zoomed into the red half everywhere")
+    // animated zoom 1x -> 2x center: first frame unchanged layout
+    val anim = df.select(Video.zoom(col("v"), lit(1.0), lit(2.0), lit(0.5),
+      lit(0.5)).as("r")).head().getAs[Array[Byte]]("r")
+    val af = frameImages(anim)
+    assert(red(af.head.getRGB(5, 10)) > 180 && blue(af.head.getRGB(35, 10)) > 180)
+    // last frame: 2x center crop spans x in [10,30) — still red-left/blue-right
+    assert(red(af.last.getRGB(5, 10)) > 180 && blue(af.last.getRGB(35, 10)) > 180)
+    val err = intercept[Exception] {
+      df.select(Video.zoom(col("v"), lit(0.5), lit(1.0), lit(0.5), lit(0.5))).head()
+    }
+    assert(err.getMessage != null)
+  }
+
   private def indexOfSlice(hay: Array[Byte], needle: Array[Byte]): Int = {
     var i = 0
     while (i <= hay.length - needle.length) {
