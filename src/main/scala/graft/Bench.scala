@@ -22,8 +22,10 @@ object Bench {
     // warmup: a small real query through the full stack (scan+agg+codegen)
     try SparkEntry.queries.head._2(spark, sfDir).collect()
     catch { case _: Throwable => () }
-    // two runs per query, report the second: steady-state throughput
-    // (first run pays per-query codegen compilation, not execution).
+    // warmup run + three timed runs per query, report the MIN: steady-state
+    // throughput (the warmup pays per-query codegen compilation; min-of-3
+    // is robust to host-level stalls and GC pauses, which showed 2-30x
+    // one-off inflation on this VM).
     // noop sink, NOT count(): count() lets Catalyst prune computed columns
     // and aggregate expressions wholesale (a minhash/UDAF query times
     // near-zero while computing nothing); the noop sink forces every
@@ -36,7 +38,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once()
-      name -> once()
+      name -> Seq(once(), once(), once()).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
