@@ -474,5 +474,107 @@ object Pipeline {
       },
       None,
     ),
+    QueryDef(
+      "q90_bm25",
+      (s, dir) => {
+        // BM25 keyword search over the corpus (graft.functions.Ranking):
+        // postings filtered to the query's terms BEFORE the shuffle, corpus
+        // stats broadcast, top-k via TakeOrderedAndProject. Reference has no
+        // ranking surface — north-star text-retrieval op.
+        graft.functions.Ranking.bm25(
+          T(s, dir, "documents"), "doc_id", "text",
+          query = "spark join vector", topK = 25)
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents),
+             |base2 AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+             |hits AS (
+             |  SELECT doc_id, dl, term, count(*) AS tf
+             |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base2)
+             |  WHERE term IN ('spark', 'join', 'vector')
+             |  GROUP BY 1, 2, 3),
+             |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base2),
+             |dft AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+             |scored AS (
+             |  SELECT h.doc_id,
+             |    round(sum(
+             |      ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             |      * h.tf * 2.2
+             |      / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * h.dl / s.avgdl))), 4) AS bm25,
+             |    count(*) AS terms_hit
+             |  FROM hits h
+             |  CROSS JOIN stats s
+             |  JOIN dft d ON h.term = d.term
+             |  GROUP BY 1)
+             |SELECT doc_id, bm25, terms_hit FROM scored
+             |ORDER BY bm25 DESC, doc_id LIMIT 25""".stripMargin),
+    ),
+    QueryDef(
+      "q91_tfidf_keywords",
+      (s, dir) => {
+        // TF-IDF keyword extraction: full inverted-index build (one shuffle
+        // on (doc, term)), vocabulary df join on term, per-doc top-2 via a
+        // window partitioned on the high-cardinality doc id. Bounded to a
+        // doc range only to keep the oracle result small.
+        val docs = T(s, dir, "documents").where(col("doc_id") < 40)
+        graft.functions.Ranking.topTfidfTerms(docs, "doc_id", "text", k = 2)
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id"), col("rk")))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents WHERE doc_id < 40),
+             |post AS (
+             |  SELECT doc_id, dl, term, count(*) AS tf
+             |  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base)
+             |  GROUP BY 1, 2, 3),
+             |dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+             |stats AS (SELECT count(*) AS n_docs FROM base),
+             |scored AS (
+             |  SELECT p.doc_id, p.term,
+             |    round(p.tf * (ln((1.0 + s.n_docs) / (1.0 + d.df)) + 1.0), 4) AS tfidf
+             |  FROM post p JOIN dft d ON p.term = d.term CROSS JOIN stats s),
+             |ranked AS (
+             |  SELECT doc_id, term, tfidf,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+             |  FROM scored)
+             |SELECT doc_id, term, tfidf, rk FROM ranked WHERE rk <= 2
+             |ORDER BY doc_id, rk""".stripMargin),
+    ),
+    QueryDef(
+      "q92_int8_ann",
+      (s, dir) => {
+        // Symmetric int8 quantized ANN (graft.operators.Quantize): one
+        // global max-abs scale (scalar metadata agg), map-only int8
+        // encode, INTEGER-dot top-k — the linear (offset-free) transform
+        // keeps integer-dot ranking proportional to true-dot ranking, and
+        // integer math makes the oracle replicate results EXACTLY (unlike
+        // any float-accumulation similarity). 4x compression is the scale
+        // path for a 100 TB embedding store.
+        import graft.operators.Quantize
+        val emb = T(s, dir, "embeddings")
+        val scale = Quantize.scaleStat(emb, "embedding")
+        Quantize.searchQuantized(emb, "embedding", "vec_id", queryVec, 10, scale)
+      },
+      Some {
+        // query codes are a pure function of the literal query vector —
+        // precomputed here so the oracle shares the exact integers.
+        val qc = graft.operators.Quantize.encodeQuery(queryVec)
+          .mkString("[", ", ", "]::BIGINT[]")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+           |sc AS (
+           |  SELECT max(abs(v)) AS s
+           |  FROM (SELECT unnest(emb) AS v FROM e)),
+           |codes AS (
+           |  SELECT vec_id, i,
+           |    CASE WHEN sc.s > 0 THEN least(greatest(
+           |      round(emb[i] / sc.s * 127), -127), 127)
+           |    ELSE 0 END::BIGINT AS c
+           |  FROM e, range(1, 65) t(i), sc)
+           |SELECT vec_id, sum(c * ($qc)[i])::BIGINT AS qdot
+           |FROM codes
+           |GROUP BY vec_id ORDER BY qdot DESC, vec_id LIMIT 10""".stripMargin
+      },
+    ),
   )
 }
