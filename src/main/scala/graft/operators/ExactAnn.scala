@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** EXACT cosine top-k over a learned IVF layout: cluster-level
   * triangle-inequality pruning that never loses a result.
@@ -16,6 +17,13 @@ import org.apache.spark.sql.functions._
   * pathological data degrades to a full scan, never to a wrong answer).
   * With the table partitioned by cluster id the probe is a
   * partition-pruned scan — the 100 TB layout.
+  *
+  * Build shape: ONE cached RDD of unit vectors feeds the k-means
+  * iterations and the radii pass (treeAggregate each — no shuffle, no
+  * per-iteration Catalyst planning; see KMeans.fitRdd). The search-side
+  * assignment stays a declarative map-side projection via the native
+  * argmin expression, because at scale the cluster id is a materialized
+  * layout column, not recomputed per query (q30).
   */
 object ExactAnn {
 
@@ -32,18 +40,32 @@ object ExactAnn {
     q.map(_ / n)
   }
 
-  /** Fit the layout: k-means on unit vectors + per-cluster radii. */
+  private def unit(v: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i) / n; i += 1 }
+    out
+  }
+
+  /** Fit the layout: k-means on unit vectors + per-cluster radii, off one
+    * cached unit-vector RDD (normalization runs once, in a plain loop —
+    * the HOF transform/aggregate form is CodegenFallback and interpreted).
+    */
   def build(df: DataFrame, vecCol: String, idCol: String, k: Int,
       maxIter: Int = 10): Ivf = {
-    val spark = df.sparkSession
-    val norm = df.withColumn("_nv", normalized(col(vecCol)))
-    val model = KMeans.fit(norm, "_nv", idCol, k, maxIter)
-    val dists = array(model.centroids.map(c =>
-      KMeans.distSq(spark, col("_nv"), c)): _*)
-    val radii = KMeans.assign(norm, "_nv", model)
-      .withColumn("_dc", sqrt(array_min(dists)))
-      .groupBy("cluster").agg(max("_dc").as("r"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val init = KMeans.initCentroids(df, vecCol, idCol, k)
+      .map(c => unit(c.toArray).toSeq)
+    val rdd = df.select(col(vecCol).cast("array<double>").as("_v"))
+      .where(col("_v").isNotNull)
+      .rdd.map(r => unit(r.getAs[scala.collection.Seq[Double]](0).toArray))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val model = KMeans.fitRdd(rdd, init, maxIter, tol = 1e-6)
+    val radii = KMeans.radii(rdd, model)
+    rdd.unpersist(blocking = false)
     Ivf(model, radii)
   }
 
@@ -57,17 +79,18 @@ object ExactAnn {
     val dCent = ivf.model.centroids.zipWithIndex.map { case (c, i) =>
       i -> math.sqrt(c.zip(qn).map { case (x, y) => (x - y) * (x - y) }.sum)
     }.toMap
-    // the normalized+assigned projection feeds BOTH probe passes: persist
-    // it once (the HOF normalize would otherwise re-run interpreted per pass)
-    val assigned = KMeans.assign(
-      df.withColumn("_nv", normalized(col(vecCol))), "_nv", ivf.model)
-      .select(col(idCol), col("cluster"), col(vecCol))
-      .persist()
+    // one narrow persisted projection (id, cluster, cos_sim) feeds BOTH
+    // probe passes: the similarity is computed once, and the probes are
+    // filter + TakeOrderedAndProject over three scalar columns.
     val cos = graft.plans.NativeVector.cosine(spark,
       col(vecCol).cast("array<double>"), array(query.map(lit): _*))
+    val assigned = KMeans.assign(
+      df.withColumn("_nv", normalized(col(vecCol))), "_nv", ivf.model)
+      .select(col(idCol), col("cluster"), cos.as("cos_sim"))
+      .persist()
     def topIn(clusters: Seq[Int]): Array[org.apache.spark.sql.Row] =
       assigned.filter(col("cluster").isin(clusters: _*))
-        .select(col(idCol), cos.as("cos_sim"))
+        .select(col(idCol), col("cos_sim"))
         .orderBy(col("cos_sim").desc, col(idCol))
         .limit(k).collect()
     // pass 1: nearest cluster → kth-best similarity → distance bound τ
