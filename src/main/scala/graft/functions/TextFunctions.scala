@@ -63,4 +63,46 @@ object TextFunctions {
   /** type-token ratio (lexical diversity) */
   def typeTokenRatio(tokens: Column): Column =
     size(array_distinct(tokens)).cast("double") / size(tokens)
+
+  /** space-joined word n-grams over a token array; empty when < n tokens
+    * (same guard rationale as `shingles`: Spark's `sequence` counts DOWN
+    * when stop < start). The 13-gram form of this is the standard
+    * benchmark-decontamination unit (GPT-3 appendix C / Llama 2 §A.6).
+    */
+  def wordNgrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => array_join(slice(tokens, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  // PII patterns: shared RE2/Java-regex-safe dialect (no lookaround, no
+  // backrefs) so Spark and the DuckDB oracle match identical spans.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, NNN-NNN-NNNN phone numbers and IPv4 addresses with
+    * typed placeholders — the standard pre-training PII scrub. Map-only:
+    * three codegen'd regexp_replace passes, no shuffle, trivially
+    * data-parallel at any scale. Order matters: emails first (an email's
+    * domain may contain an IPv4-looking host), then phones, then IPs.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipv4Re, "<IP>")
+
+  /** Count of PII matches (emails + phones + IPv4s), each pattern counted
+    * on the text with the earlier patterns already redacted — the same
+    * precedence `redactPii` applies.
+    */
+  def piiCount(text: Column): Column = {
+    val noEmail = regexp_replace(text, emailRe, "<EMAIL>")
+    val noPhone = regexp_replace(noEmail, phoneRe, "<PHONE>")
+    (regexp_count(text, lit(emailRe)) +
+      regexp_count(noEmail, lit(phoneRe)) +
+      regexp_count(noPhone, lit(ipv4Re))).cast("long")
+  }
 }

@@ -119,4 +119,27 @@ object Dedup {
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
   }
+
+  /** Benchmark decontamination (GPT-3 appendix C / Llama 2 §A.6): per
+    * training document, the number of distinct word `n`-grams (lowercased,
+    * whitespace-tokenized) that also appear in the benchmark corpus.
+    * Filter on `n_contaminated > 0` to drop tainted documents.
+    *
+    * Scale shape: both sides explode to (id, gram) — map-only — and meet in
+    * an equi-join on the gram. Benchmark suites are MBs against a 100 TB
+    * training corpus, so the distinct benchmark-gram set is broadcast: the
+    * whole check is one broadcast-hash semi-pass plus the per-doc distinct
+    * count's shuffle, never a corpus-by-corpus join.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol).as("_id"),
+      explode(TextFunctions.wordNgrams(
+        TextFunctions.tokens(lower(col(textCol))), n)).as("_gram"))
+    val benchGrams = grams(bench).select("_gram").distinct()
+    grams(train)
+      .join(broadcast(benchGrams), "_gram")
+      .groupBy(col("_id").as(idCol))
+      .agg(count_distinct(col("_gram")).as("n_contaminated"))
+  }
 }

@@ -576,5 +576,126 @@ object Pipeline {
            |GROUP BY vec_id ORDER BY qdot DESC, vec_id LIMIT 10""".stripMargin
       },
     ),
+    QueryDef(
+      "q93_pii_redact",
+      (s, dir) => {
+        // PII scrub (graft.functions.TextFunctions.redactPii): map-only
+        // regexp redaction of emails / phones / IPv4s with typed
+        // placeholders + per-row match counts — the standard pre-training
+        // privacy pass. The corpus has no organic PII, so rows synthesize
+        // one of each (identically in the oracle) on 2/3 of the docs; the
+        // regex dialect is the RE2 ∩ Java subset so both engines match
+        // identical spans.
+        import graft.functions.TextFunctions
+        val synth = concat(
+          substring(col("text"), 1, 40),
+          lit(" email user"), col("doc_id").cast("string"),
+          lit("@example.com call 555-123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10.1."), (col("doc_id") % 256).cast("string"), lit(".7 end"))
+        val t = when(col("doc_id") % 3 === 0, substring(col("text"), 1, 40))
+          .otherwise(synth)
+        T(s, dir, "documents").where(col("doc_id") < 150)
+          .select(col("doc_id"),
+            TextFunctions.redactPii(t).as("redacted"),
+            TextFunctions.piiCount(t).as("n_pii"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val (em, ph, ip) = (graft.functions.TextFunctions.emailRe,
+          graft.functions.TextFunctions.phoneRe,
+          graft.functions.TextFunctions.ipv4Re)
+        s"""WITH synth AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 40)
+           |    ELSE substr(text, 1, 40) || ' email user' || doc_id ||
+           |      '@example.com call 555-123-' ||
+           |      lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+           |      ' ip 10.1.' || (doc_id % 256) || '.7 end'
+           |    END AS t
+           |  FROM documents WHERE doc_id < 150)
+           |SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(
+           |    t, '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'),
+           |    '$ip', '<IP>', 'g') AS redacted,
+           |  (len(regexp_extract_all(t, '$em'))
+           |   + len(regexp_extract_all(
+           |       regexp_replace(t, '$em', '<EMAIL>', 'g'), '$ph'))
+           |   + len(regexp_extract_all(regexp_replace(
+           |       regexp_replace(t, '$em', '<EMAIL>', 'g'),
+           |       '$ph', '<PHONE>', 'g'), '$ip')))::BIGINT AS n_pii
+           |FROM synth ORDER BY doc_id""".stripMargin
+      },
+    ),
+    QueryDef(
+      "q94_decontaminate",
+      (s, dir) => {
+        // Benchmark decontamination (graft.operators.Dedup.decontaminate):
+        // distinct 13-word-gram overlap between each training doc and a
+        // held-out "benchmark" slice (doc_id % 7 = 0 stands in for the
+        // eval suite). Scale shape: map-only gram explosion on both sides,
+        // benchmark gram set BROADCAST (eval suites are MBs vs a 100 TB
+        // corpus), one distinct-count shuffle keyed on doc id.
+        import graft.operators.Dedup
+        val docs = T(s, dir, "documents")
+        Dedup.decontaminate(
+          docs.where(col("doc_id") % 7 =!= 0),
+          docs.where(col("doc_id") % 7 === 0),
+          "text", "doc_id", n = 13)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |pos AS (SELECT doc_id, t,
+             |  unnest(range(1, greatest(len(t) - 11, 1))) AS i FROM toks),
+             |grams AS (SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+             |  FROM pos),
+             |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
+             |SELECT g.doc_id, count(DISTINCT g.g)::BIGINT AS n_contaminated
+             |FROM grams g JOIN bench b ON g.g = b.g
+             |WHERE g.doc_id % 7 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
+    QueryDef(
+      "q95_repetition",
+      (s, dir) => {
+        // Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+        // duplicate-2-gram fraction is computed PER ROW with array HOFs
+        // (map-only, no shuffle); the top-word fraction needs per-(doc,
+        // word) counts — one shuffle with map-side combine, then a per-doc
+        // reduce. Both are exact integer ratios so the rounded doubles
+        // match the oracle bit-for-bit.
+        import graft.functions.TextFunctions
+        val docs = T(s, dir, "documents").where(col("doc_id") < 300)
+        val toks = TextFunctions.tokens(lower(col("text")))
+        val g2 = TextFunctions.wordNgrams(toks, 2)
+        val perRow = docs.select(col("doc_id"),
+          round(lit(1.0) - size(array_distinct(g2)).cast("double") / size(g2), 4)
+            .as("dup_2gram_frac"))
+        val topWord = docs
+          .select(col("doc_id"), explode(toks).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(round(max("c").cast("double") / sum("c"), 4).as("top_word_frac"))
+        perRow.join(topWord, "doc_id").orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+             |  FROM documents WHERE doc_id < 300),
+             |pos AS (SELECT doc_id, tk,
+             |  unnest(range(1, greatest(len(tk), 1))) AS i FROM toks),
+             |grams AS (SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g FROM pos),
+             |d2 AS (SELECT doc_id,
+             |  round(1 - count(DISTINCT g)::DOUBLE / count(*), 4) AS dup_2gram_frac
+             |  FROM grams GROUP BY 1),
+             |wc AS (SELECT doc_id, w, count(*) AS c
+             |  FROM (SELECT doc_id, unnest(tk) AS w FROM toks) GROUP BY 1, 2),
+             |tw AS (SELECT doc_id,
+             |  round(max(c)::DOUBLE / sum(c), 4) AS top_word_frac
+             |  FROM wc GROUP BY 1)
+             |SELECT d2.doc_id, dup_2gram_frac, top_word_frac
+             |FROM d2 JOIN tw USING (doc_id) ORDER BY doc_id""".stripMargin),
+    ),
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.TestSpark
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class DedupSpec extends AnyFunSuite {
@@ -56,5 +57,48 @@ class DedupSpec extends AnyFunSuite {
       jaccardThreshold = 0.5, numHashes = 8, bands = 8)
       .select("id").as[Long].collect().toSet
     assert(out == Set(1L, 9L)) // transitive chain → single keeper
+  }
+
+  test("decontaminate counts distinct overlapping word n-grams") {
+    // bench doc = "a b c d e"; train 20 shares the 3-grams "a b c" /
+    // "b c d" / "c d e" (and "b c d" TWICE — distinct count still 3);
+    // train 21 shares none; train 22 is below n tokens.
+    val train = Seq(
+      (20L, "a b c d e x b c d"),
+      (21L, "p q r s t u"),
+      (22L, "a b"),
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, bench, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(20L -> 3L))
+  }
+
+  test("redactPii replaces and counts emails, phones and IPv4s") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "call 555-867-5309 or ping 192.168.0.1 ok"),
+      (3L, "no pii here"),
+      (4L, "a@b.io and c_d%e@f-g.co.uk twice"),
+    ).toDF("id", "t")
+    val got = rows.select(col("id"),
+        TextFunctions.redactPii(col("t")).as("r"),
+        TextFunctions.piiCount(col("t")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+    assert(got == List(
+      (1L, "mail <EMAIL> now", 1L),
+      (2L, "call <PHONE> or ping <IP> ok", 2L),
+      (3L, "no pii here", 0L),
+      (4L, "<EMAIL> and <EMAIL> twice", 2L)))
+  }
+
+  test("wordNgrams guards short token arrays") {
+    import graft.functions.TextFunctions
+    val df = Seq("a b c d", "a b", "").toDF("t")
+      .select(TextFunctions.wordNgrams(
+        TextFunctions.tokens(col("t")), 3).as("g"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("a b c", "b c d"), Nil, Nil))
   }
 }
