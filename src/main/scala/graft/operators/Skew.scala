@@ -25,11 +25,21 @@ object Skew {
   }
 
   /** Range-partition + sort-within-partitions on the same columns: parquet
-    * files come out clustered so min/max stats prune scans on those columns
-    * (the practical substitute for Z-order when filtering on a prefix).
+    * row groups come out clustered so pushed-down filters on those columns
+    * skip row groups / pages via min/max stats (vanilla Spark never skips
+    * whole FILES on footer stats — the pruning mechanism is the parquet
+    * reader's row-group and column-index filtering, so the sort inside
+    * each file matters as much as the range partitioning across files).
+    * Pass `partitions` to pin the file count: AQE otherwise coalesces a
+    * small clustered write into very few files.
     */
   def clusterForPruning(df: DataFrame, cols: String*): DataFrame =
     df.repartitionByRange(cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+
+  /** clusterForPruning with an explicit range-partition count. */
+  def clusterForPruningN(df: DataFrame, partitions: Int, cols: String*): DataFrame =
+    df.repartitionByRange(partitions, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
 
   /** Write a table bucketed+sorted on the join key. Two tables bucketed the
@@ -41,4 +51,48 @@ object Skew {
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+}
+
+/** Z-order clustering (Delta/Iceberg OPTIMIZE ZORDER analog, on plain
+  * parquet): cluster a table so parquet min/max stats prune scans filtered
+  * on ANY of the z-columns — `Skew.clusterForPruning` only serves a sort
+  * prefix. Bucket boundaries come from distributed quantile sketches
+  * (approxQuantile: only numBuckets−1 doubles per column reach the driver),
+  * so skewed columns still spread across the full curve; the per-row
+  * z-value is one native codegen'd kernel (`graft.plans.ZValueExpr`).
+  */
+object ZOrder {
+
+  /** Per-column quantile cut points (numBuckets − 1 each, ascending).
+    * numBuckets must be a power of two (bits interleave cleanly).
+    */
+  def boundariesFor(df: DataFrame, cols: Seq[String],
+      numBuckets: Int = 256): Seq[Seq[Double]] = {
+    require(numBuckets >= 2 && (numBuckets & (numBuckets - 1)) == 0,
+      s"numBuckets must be a power of two, got $numBuckets")
+    val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
+    cols.map { c =>
+      df.select(col(c).cast("double").as("_zc"))
+        .stat.approxQuantile("_zc", probs, 0.001).toSeq
+    }
+  }
+
+  /** The z-value column for `cols` given `boundariesFor` output. */
+  def zvalue(df: DataFrame, cols: Seq[String],
+      cuts: Seq[Seq[Double]]): org.apache.spark.sql.Column =
+    graft.plans.ZOrderNative.zvalue(df.sparkSession,
+      array(cols.map(c => col(c).cast("double")): _*), cuts)
+
+  /** Range-partition + sort by the interleaved z-value: files come out
+    * tight on every z-column's min/max, so a filter on any of them prunes.
+    */
+  def cluster(df: DataFrame, cols: Seq[String], numBuckets: Int = 256,
+      partitions: Int = 0): DataFrame = {
+    val cuts = boundariesFor(df, cols, numBuckets)
+    val withZ = df.withColumn("_zv", zvalue(df, cols, cuts))
+    val ranged =
+      if (partitions > 0) withZ.repartitionByRange(partitions, col("_zv"))
+      else withZ.repartitionByRange(col("_zv"))
+    ranged.sortWithinPartitions(col("_zv")).drop("_zv")
+  }
 }

@@ -2,37 +2,44 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.operators.{Skew, ZOrder}
 
-/** Throwaway decomposition probe for q81 (delete freely). */
+/** Throwaway z-order layout probe (delete freely). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import graft.operators.{ExactAnn, KMeans}
-
-    val emb = graft.Tables(spark, sfDir, "embeddings")
-    println(s"[scratch] rows=${emb.count()}")
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[scratch] $label%-30s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    import spark.implicits._
+    val df = (1L to 200000L).map(i => (i, (i * 48271L) % 200003L, s"p$i"))
+      .toDF("x", "y", "v")
+    val dir = "/tmp/zprobe"
+    ZOrder.cluster(df.repartition(64), Seq("x", "y"), numBuckets = 256,
+        partitions = 64)
+      .write.mode("overwrite").parquet(s"$dir/zorder")
+    Skew.clusterForPruning(df.repartition(64), "x")
+      .write.mode("overwrite").parquet(s"$dir/xonly")
+    // report per-file x/y min-max for the first few z files
+    val zfiles = new java.io.File(s"$dir/zorder").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).take(6)
+    zfiles.foreach { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("x"), max("x"), min("y"), max("y")).collect().head
+      println(s"[scratch] ${f.getName.take(12)} x=[${r.get(0)},${r.get(1)}] y=[${r.get(2)},${r.get(3)}]")
     }
-    // warm
-    emb.count()
-    val queryVec: Seq[Double] = (0 until 64).map(i => ((i % 7) - 3) * 0.125)
-    val ivf = t("build (kmeans+radii)")(ExactAnn.build(emb, "embedding", "vec_id", k = 8, maxIter = 5))
-    val res = t("search")(ExactAnn.search(spark, emb, "embedding", "vec_id", queryVec, 10, ivf).collect())
-    // decompose build
-    val norm = emb.withColumn("_nv", org.apache.spark.sql.functions.expr("transform(cast(embedding as array<double>), x -> x)"))
-    val ivf2 = t("build again")(ExactAnn.build(emb, "embedding", "vec_id", k = 8, maxIter = 5))
-    val m = t("kmeans.fit only")(KMeans.fit(emb.withColumn("_nv", col("embedding").cast("array<double>")), "_nv", "vec_id", 8, 5))
-    println(res.take(2).mkString(","))
+    def filesRead(path: String, c: String, v: Long): Long = {
+      val scan = spark.read.parquet(path).filter(col(c) === v)
+      scan.collect()
+      val leaf = scan.queryExecution.executedPlan.collectLeaves().head
+      leaf.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+    }
+    println(s"[scratch] zorder x-filter files=${filesRead(s"$dir/zorder", "x", 123456L)}")
+    println(s"[scratch] zorder y-filter files=${filesRead(s"$dir/zorder", "y", 123456L)}")
+    println(s"[scratch] xonly x-filter files=${filesRead(s"$dir/xonly", "x", 123456L)}")
+    println(s"[scratch] xonly y-filter files=${filesRead(s"$dir/xonly", "y", 123456L)}")
     spark.stop()
   }
 }
