@@ -268,23 +268,34 @@ object Excel {
         val millis = (EpochDays + days) * 86400000L +
           math.round(frac * 86400000L)
         new java.sql.Timestamp(millis)
-      } else d
+      }
+      // Integer vs double is decided by the cell's TEXT, not the parsed
+      // value: a double column of whole values serializes as "17.0" while
+      // a true integer serializes as "17", so round-trips preserve the
+      // column type (csv-style inference; the old value-based heuristic
+      // collapsed whole doubles to bigint and broke re-import hashing).
+      else if (IntegerText.matches(c.value) && c.value.length <= 18)
+        c.value.toLong
+      else d
   }
+
+  private val IntegerText = "-?\\d+".r
 
   private def inferType(vals: Seq[Any]): DataType = {
     val nn = vals.filter(_ != null)
     if (nn.isEmpty) StringType
     else if (nn.forall(_.isInstanceOf[java.sql.Timestamp])) TimestampType
     else if (nn.forall(_.isInstanceOf[Boolean])) BooleanType
-    else if (nn.forall(_.isInstanceOf[Double]))
-      if (nn.forall { case d: Double => d.isWhole && math.abs(d) < 9.0e15 })
-        LongType else DoubleType
+    else if (nn.forall(_.isInstanceOf[Long])) LongType
+    else if (nn.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]))
+      DoubleType
     else StringType
   }
 
   private def coerce(v: Any, t: DataType): Any = (v, t) match {
     case (null, _) => null
     case (d: Double, LongType) => d.toLong
+    case (l: Long, DoubleType) => l.toDouble
     case (x, StringType) => x match {
       case ts: java.sql.Timestamp => ts.toString
       case d: Double => if (d.isWhole && math.abs(d) < 9.0e15)
