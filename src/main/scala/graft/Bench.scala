@@ -22,23 +22,29 @@ object Bench {
     // warmup: a small real query through the full stack (scan+agg+codegen)
     try SparkEntry.queries.head._2(spark, sfDir).collect()
     catch { case _: Throwable => () }
-    // warmup run + three timed runs per query, report the MIN: steady-state
-    // throughput (the warmup pays per-query codegen compilation; min-of-3
-    // is robust to host-level stalls and GC pauses, which showed 2-30x
-    // one-off inflation on this VM).
+    // One warmup pass over the whole suite (pays per-query codegen), then
+    // THREE full timed passes with the per-query MIN reported. The repeats
+    // are INTERLEAVED across queries — suite pass 1, then pass 2, then
+    // pass 3 — rather than back-to-back per query: host-level stalls on
+    // this VM showed 2-30x one-off inflation lasting multiple seconds, so
+    // three consecutive runs of one query can all land inside a stall and
+    // produce phantom 12x cross-round swings. Spreading the repeats ~400 s
+    // apart makes the min a true steady-state sample.
     // noop sink, NOT count(): count() lets Catalyst prune computed columns
     // and aggregate expressions wholesale (a minhash/UDAF query times
     // near-zero while computing nothing); the noop sink forces every
     // output row to be fully produced without driver materialization.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      once()
-      name -> Seq(once(), once(), once()).min
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    queries.foreach { case (_, fn) => once(fn) } // warmup pass
+    val passes = Seq.fill(3)(queries.map { case (name, fn) => name -> once(fn) })
+    val results = queries.map { case (name, _) =>
+      name -> passes.map(_.toMap.apply(name)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -56,12 +56,38 @@ final case class VersionEntry(
     createdAtMs: Long,
 )
 
+/** A declared ANN index over an embedding column, maintained by DML: every
+  * `insert` appends the new rows as a fresh index segment and past
+  * `segmentThreshold` segments the index is rebuilt at `shards` segments
+  * (Lucene-style compaction). The reference maintains embedding indexes
+  * transparently inside its insert/update plans (`plan.py:380-390`,
+  * `index/embedding_index.py`); here the declaration lives in table meta so
+  * the maintenance hook survives sessions.
+  */
+final case class IndexDef(
+    name: String,
+    column: String,
+    idCol: String,
+    kind: String, // "hnsw"
+    path: String,
+    shards: Int,
+    m: Int,
+    efConstruction: Int,
+    segmentThreshold: Int,
+)
+
 final case class TableMeta(
     name: String,
     columns: Seq[ColumnDef],
     versions: Seq[VersionEntry],
     snapshots: Map[String, Long],
     nextRowId: Long,
+    // optimistic-concurrency token: bumped by every committed mutation
+    // (including version-less ones like createSnapshot, which is why the
+    // version number alone can't serve as the CAS check)
+    commitSeq: Long = 0L,
+    // DML-maintained ANN indexes (see IndexDef)
+    indexes: Seq[IndexDef] = Seq.empty,
 ) {
   def currentVersion: Long = if (versions.isEmpty) 0L else versions.last.version
 
@@ -114,7 +140,15 @@ final case class TableMeta(
 /** File-based metastore for versioned tables (the reference keeps this in
   * Postgres, `/root/reference/pixeltable/metadata/schema.py`). One JSON file
   * per table under `<warehouse>/<table>/meta.json`; writes go through a temp
-  * file + atomic move, single-writer-per-table discipline (SURVEY.md §7.4).
+  * file + atomic move.
+  *
+  * Concurrency: mutations commit through `commit` — an optimistic
+  * check-and-swap on `TableMeta.commitSeq` under an exclusive lock file —
+  * so concurrent writers SERIALIZE instead of clobbering each other's
+  * manifest (the reference gets this from Postgres transactions +
+  * retry_loop, `catalog/catalog.py`; tested there by
+  * `tests/test_concurrent.py`). A loser sees `false` and retries its whole
+  * mutation from fresh meta (GraftTable.retryOnConflict).
   */
 final class Catalog(val warehouse: String) {
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
@@ -127,20 +161,63 @@ final class Catalog(val warehouse: String) {
     val bytes = Files.readAllBytes(metaPath(table))
     val m = mapper.readValue(bytes, classOf[TableMeta])
     // Map[String, Long] loses its value type to erasure — Jackson produces
-    // boxed Integers for small numbers; coerce back to Long.
-    m.copy(snapshots = m.snapshots.asInstanceOf[Map[String, Any]].map {
-      case (k, v) => k -> v.asInstanceOf[Number].longValue()
-    })
+    // boxed Integers for small numbers; coerce back to Long. Fields added
+    // after a meta file was written deserialize as null; default them.
+    m.copy(
+      snapshots = m.snapshots.asInstanceOf[Map[String, Any]].map {
+        case (k, v) => k -> v.asInstanceOf[Number].longValue()
+      },
+      indexes = Option(m.indexes).getOrElse(Seq.empty))
   }
 
   def save(meta: TableMeta): Unit = {
     val path = metaPath(meta.name)
     Files.createDirectories(path.getParent)
-    val tmp = path.resolveSibling("meta.json.tmp")
+    val tmp = path.resolveSibling(s"meta.json.${java.util.UUID.randomUUID()}.tmp")
     Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsString(meta).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Check-and-swap commit for a mutation that started from commitSeq
+    * `expectedSeq`: under the table's lock file, verify no other writer
+    * committed in between, then persist with the token bumped. Returns
+    * false on conflict — the caller retries its mutation from fresh meta.
+    */
+  def commit(expectedSeq: Long, meta: TableMeta): Boolean =
+    withTableLock(meta.name) {
+      val cur = load(meta.name)
+      if (cur.commitSeq != expectedSeq) false
+      else { save(meta.copy(commitSeq = expectedSeq + 1)); true }
+    }
+
+  /** Exclusive advisory lock via atomic lock-file creation (CREATE_NEW is
+    * atomic on POSIX and across threads/processes). Crash-safe: a lock
+    * older than 10 s is presumed abandoned and stolen. Held only for the
+    * load-compare-save of `commit` — never across data writes — so
+    * contention windows are milliseconds.
+    */
+  private def withTableLock[A](table: String)(f: => A): A = {
+    val lock = Paths.get(warehouse, table, "meta.json.lock")
+    Files.createDirectories(lock.getParent)
+    val deadline = System.currentTimeMillis() + 30000
+    var held = false
+    while (!held) {
+      try { Files.createFile(lock); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+            if (age > 10000) Files.deleteIfExists(lock)
+          } catch { case _: java.io.IOException => () }
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(s"timed out acquiring meta lock for $table")
+          Thread.sleep(2)
+      }
+    }
+    try f finally Files.deleteIfExists(lock)
   }
 
   def dropTable(table: String): Unit = {

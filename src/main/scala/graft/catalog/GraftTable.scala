@@ -19,7 +19,16 @@ import org.apache.spark.sql.functions._
   * identifies the files that actually contain matching live rows and only
   * those are rewritten; untouched files stay in the manifest. Write cost is
   * proportional to touched files, not table size.
-  * Single-writer-per-table discipline (SURVEY.md §7.4).
+  *
+  * Concurrency: optimistic. Every mutation writes its data files to a
+  * UNIQUE directory (no two writers ever collide physically), then
+  * check-and-swap-commits the manifest (`Catalog.commit`); a loser discards
+  * its files and retries the whole mutation from fresh meta, so concurrent
+  * `insert()`s serialize into consecutive versions and a conflicting schema
+  * change surfaces its own validation error on replay. This is the
+  * reference's Postgres-transaction + retry_loop protocol
+  * (`catalog/catalog.py`, `tests/test_concurrent.py`) re-expressed over a
+  * file manifest, Delta-commit style.
   */
 final class GraftTable private (
     val spark: SparkSession,
@@ -32,8 +41,12 @@ final class GraftTable private (
 
   def currentVersion: Long = meta.currentVersion
 
+  /** Unique per write ATTEMPT: the random suffix means a writer that loses
+    * the commit race never collided with the winner's files; its orphan
+    * directory is unreferenced by any manifest and `vacuum` reclaims it.
+    */
   private def dataDir(version: Long, op: String): String =
-    s"${catalog.warehouse}/$name/data/v$version-$op"
+    s"${catalog.warehouse}/$name/data/v$version-$op-${java.util.UUID.randomUUID().toString.take(8)}"
 
   // ---------- read path ----------
 
@@ -124,7 +137,7 @@ final class GraftTable private (
     * at insert time (reference insert plan, `plan.py:255-266`); row ids are
     * assigned distributedly (no single-partition choke point).
     */
-  def insert(rows: DataFrame): Long = {
+  def insert(rows: DataFrame): Long = retryOnConflict {
     val m = meta
     val v = m.currentVersion + 1
     var df = rows
@@ -143,9 +156,10 @@ final class GraftTable private (
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
     val maxRow = spark.read.parquet(dir).agg(max(col(RowId))).head
     val maxId = if (maxRow.isNullAt(0)) m.nextRowId - 1 else maxRow.getLong(0)
-    catalog.save(m.copy(
+    commitMetaOrClean(m, m.copy(
       versions = m.versions :+ entry(v, "insert", files, Seq.empty),
-      nextRowId = maxId + 1))
+      nextRowId = maxId + 1), dir)
+    maintainIndexes(dir)
     v
   }
 
@@ -153,7 +167,7 @@ final class GraftTable private (
     * only files containing matching live rows are rewritten with
     * `_v_max := V+1`; history stays readable via time travel.
     */
-  def delete(predicateSql: String): Long = {
+  def delete(predicateSql: String): Long = retryOnConflict {
     val m = meta
     val v = m.currentVersion + 1
     withTouchedFiles(m, expr(predicateSql)) match {
@@ -173,7 +187,7 @@ final class GraftTable private (
     * is collected. The join strategy is left to Catalyst/AQE: small key sets
     * broadcast, large ones shuffle.
     */
-  def deleteByKeys(keys: DataFrame, keyCol: String): Long = {
+  def deleteByKeys(keys: DataFrame, keyCol: String): Long = retryOnConflict {
     val m = meta
     val v = m.currentVersion + 1
     require(keys.columns.length == 1, "deleteByKeys expects a single-column key frame")
@@ -198,7 +212,7 @@ final class GraftTable private (
     * recompute transitively (reference update cascade, `plan.py:414-485`).
     * Updated rows keep their `_rowid`. File-pruned like delete.
     */
-  def update(setExprs: Map[String, String], predicateSql: String): Long = {
+  def update(setExprs: Map[String, String], predicateSql: String): Long = retryOnConflict {
     val m = meta
     val v = m.currentVersion + 1
     withTouchedFiles(m, expr(predicateSql)) match {
@@ -223,7 +237,7 @@ final class GraftTable private (
     * columns recompute transitively; unmatched rows and untouched files
     * stay as they are.
     */
-  def batchUpdate(updates: DataFrame, keyCols: Seq[String]): Long = {
+  def batchUpdate(updates: DataFrame, keyCols: Seq[String]): Long = retryOnConflict {
     val m = meta
     val v = m.currentVersion + 1
     val setCols = updates.columns.filterNot(keyCols.contains).toSeq
@@ -257,14 +271,14 @@ final class GraftTable private (
     * batch rewrite (reference `add_computed_column` backfill,
     * `plan.py:1230-1247`) — schema changes touch every file by nature.
     */
-  def addColumn(c0: ColumnDef): Long = {
+  def addColumn(c0: ColumnDef): Long = retryOnConflict {
     val m = meta
     require(!m.columns.exists(_.name == c0.name), s"column ${c0.name} exists")
     val v = m.currentVersion + 1
     val c = c0.copy(addedVersion = v) // stamp for versioned-schema time travel
     val newMeta = m.copy(columns = m.columns :+ c)
     if (c.computedExpr.isDefined && !c.stored) { // purely logical: no rewrite
-      catalog.save(newMeta.copy(versions =
+      commitMeta(m, newMeta.copy(versions =
         m.versions :+ entry(v, "add_column", Seq.empty, Seq.empty)))
       return v
     }
@@ -275,9 +289,9 @@ final class GraftTable private (
     }
     val dir = dataDir(v, "add_column")
     toPhysical(out, newMeta).write.mode("overwrite").parquet(dir)
-    catalog.save(newMeta.copy(versions = m.versions :+
+    commitMetaOrClean(m, newMeta.copy(versions = m.versions :+
       entry(v, "add_column", listParquetFiles(dir), m.activeFiles(m.currentVersion)),
-      nextRowId = m.nextRowId))
+      nextRowId = m.nextRowId), dir)
     v
   }
 
@@ -286,7 +300,7 @@ final class GraftTable private (
     * before the drop still shows it; later rewrites of touched files shed the
     * physical data (reference `drop_column`, `catalog/table.py`).
     */
-  def dropColumn(colName: String): Long = {
+  def dropColumn(colName: String): Long = retryOnConflict {
     val m = meta
     val c = m.liveColumns.find(_.name == colName)
       .getOrElse(throw new IllegalArgumentException(s"no column $colName on $name"))
@@ -295,7 +309,7 @@ final class GraftTable private (
     require(dependents.isEmpty,
       s"cannot drop $colName: computed column(s) ${dependents.map(_.name).mkString(", ")} depend on it")
     val v = m.currentVersion + 1
-    catalog.save(m.copy(
+    commitMeta(m, m.copy(
       columns = m.columns.map(x => if (x.name == colName && x.liveAt(m.currentVersion))
         x.copy(droppedVersion = v) else x),
       versions = m.versions :+ entry(v, "drop_column", Seq.empty, Seq.empty)))
@@ -307,7 +321,7 @@ final class GraftTable private (
     * column-mapping style), so rename is O(1) at any table size. Renames are
     * retroactive: history reads show the new name.
     */
-  def renameColumn(oldName: String, newName: String): Long = {
+  def renameColumn(oldName: String, newName: String): Long = retryOnConflict {
     val m = meta
     require(m.liveColumns.exists(_.name == oldName), s"no column $oldName on $name")
     require(!m.liveColumns.exists(_.name == newName), s"column $newName exists")
@@ -316,7 +330,7 @@ final class GraftTable private (
     require(dependents.isEmpty,
       s"cannot rename $oldName: computed column(s) ${dependents.map(_.name).mkString(", ")} reference it")
     val v = m.currentVersion + 1
-    catalog.save(m.copy(
+    commitMeta(m, m.copy(
       columns = m.columns.map(x => if (x.name == oldName && x.liveAt(m.currentVersion))
         x.copy(name = newName, physicalName = x.storeName) else x),
       versions = m.versions :+ entry(v, "rename_column", Seq.empty, Seq.empty)))
@@ -330,13 +344,13 @@ final class GraftTable private (
     * silently change (and vacuum would delete) the snapshot's contents,
     * matching the reference `_revert`'s refusal.
     */
-  def revert(toVersion: Long): Unit = {
+  def revert(toVersion: Long): Unit = retryOnConflict {
     val m = meta
     require(toVersion <= m.currentVersion, s"cannot revert forward to $toVersion")
     val pinned = m.snapshots.filter { case (_, v) => v > toVersion }
     require(pinned.isEmpty,
       s"cannot revert to $toVersion: snapshot(s) ${pinned.keys.mkString(", ")} pin later versions")
-    catalog.save(m.copy(
+    commitMeta(m, m.copy(
       versions = m.versions.filter(_.version <= toVersion),
       columns = m.columns.filter(_.addedVersion <= toVersion).map { c =>
         // a drop that happened after toVersion never happened
@@ -357,7 +371,7 @@ final class GraftTable private (
     * streaming/DML versions — O(live data) rewrite, metadata-only for
     * every older version.
     */
-  def compact(targetFiles: Int = 1): Long = {
+  def compact(targetFiles: Int = 1): Long = retryOnConflict {
     val m = meta
     val v = m.currentVersion + 1
     val files = m.activeFiles(m.currentVersion)
@@ -368,8 +382,8 @@ final class GraftTable private (
       .repartition(targetFiles)
     val dir = dataDir(v, "compact")
     raw.write.mode("overwrite").parquet(dir)
-    catalog.save(m.copy(versions = m.versions :+
-      entry(v, "compact", listParquetFiles(dir), files)))
+    commitMetaOrClean(m, m.copy(versions = m.versions :+
+      entry(v, "compact", listParquetFiles(dir), files)), dir)
     v
   }
 
@@ -400,10 +414,77 @@ final class GraftTable private (
   }
 
   /** Pin the current version under a name (immutable snapshot). */
-  def createSnapshot(snapshot: String): Long = {
+  def createSnapshot(snapshot: String): Long = retryOnConflict {
     val m = meta
-    catalog.save(m.copy(snapshots = m.snapshots + (snapshot -> m.currentVersion)))
+    commitMeta(m, m.copy(snapshots = m.snapshots + (snapshot -> m.currentVersion)))
     m.currentVersion
+  }
+
+  // ---------- ANN indexes (DML-maintained) ----------
+
+  /** Declare a sharded HNSW index over `column` (ids from `idCol`): built
+    * over the live table now and MAINTAINED BY DML from then on — every
+    * `insert` appends its rows as a fresh segment with no manual call
+    * (reference: indexes update transparently inside the insert plan,
+    * `plan.py:380-390`), and past `segmentThreshold` segments the index is
+    * rebuilt at `shards` segments so streaming appends keep a bounded
+    * search fan-out.
+    */
+  def createHnswIndex(idxName: String, column: String, idCol: String,
+      shards: Int = 4, hnswM: Int = 16, efConstruction: Int = 100,
+      segmentThreshold: Int = 16): Unit = retryOnConflict {
+    val m = meta
+    require(!m.indexes.exists(_.name == idxName), s"index $idxName exists on $name")
+    val path = s"${catalog.warehouse}/$name/index/$idxName"
+    graft.operators.Hnsw.buildIndex(read(), column, idCol, path,
+      shards, hnswM, efConstruction)
+    commitMeta(m, m.copy(indexes = m.indexes :+ IndexDef(idxName, column,
+      idCol, "hnsw", path, shards, hnswM, efConstruction, segmentThreshold)))
+  }
+
+  /** ANN search through a declared index. Deletes/updates are handled the
+    * Lucene way — the index over-fetches 4k candidates and a semi-join
+    * against the live id set drops rows that no longer exist (stale
+    * segments never surface ghosts); inserts are covered by the
+    * append-on-insert segments.
+    */
+  def searchIndex(idxName: String, query: Seq[Double], k: Int,
+      ef: Int = 64): DataFrame = {
+    val m = meta
+    val ix = m.indexes.find(_.name == idxName)
+      .getOrElse(throw new IllegalArgumentException(s"no index $idxName on $name"))
+    val live = read().select(col(ix.idCol).cast("long").as("vec_id"))
+    graft.operators.Hnsw.search(spark, ix.path, query, math.max(4 * k, k + 8), ef)
+      .join(live, Seq("vec_id"), "left_semi")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def dropIndex(idxName: String): Unit = retryOnConflict {
+    val m = meta
+    require(m.indexes.exists(_.name == idxName), s"no index $idxName on $name")
+    commitMeta(m, m.copy(indexes = m.indexes.filterNot(_.name == idxName)))
+  }
+
+  /** Post-commit insert hook: append the freshly written rows (read back
+    * from this insert's own directory — never a table rescan) to every
+    * declared index, then compact any index whose segment count passed its
+    * threshold. Runs after the manifest commit so a lost commit race never
+    * pollutes an index.
+    */
+  private def maintainIndexes(dir: String): Unit = {
+    val m = meta
+    if (m.indexes.isEmpty) return
+    val newRows = toLogical(spark.read.parquet(dir), m)
+    m.indexes.foreach { ix =>
+      graft.operators.Hnsw.appendToIndex(newRows, ix.column, ix.idCol,
+        ix.path, shards = 1, ix.m, ix.efConstruction)
+      // segment count = index-table row count: tiny metadata-style read
+      val segments = spark.read.parquet(ix.path).count()
+      if (segments > ix.segmentThreshold)
+        graft.operators.Hnsw.buildIndex(read(), ix.column, ix.idCol, ix.path,
+          ix.shards, ix.m, ix.efConstruction)
+    }
   }
 
   // ---------- internals ----------
@@ -462,17 +543,59 @@ final class GraftTable private (
     df
   }
 
+  /** CAS-commit `updated` against the meta this mutation started from;
+    * a concurrent commit in between raises ConcurrentModificationException
+    * (caught by `retryOnConflict`, which replays the mutation).
+    */
+  private def commitMeta(base: TableMeta, updated: TableMeta): Unit =
+    if (!catalog.commit(base.commitSeq, updated))
+      throw new java.util.ConcurrentModificationException(
+        s"concurrent write to table $name")
+
+  /** Like `commitMeta` but deletes this attempt's freshly written data
+    * directory when the commit loses the race (nothing references it).
+    */
+  private def commitMetaOrClean(base: TableMeta, updated: TableMeta,
+      dir: String): Unit =
+    try commitMeta(base, updated)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        try p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        catch { case _: java.io.IOException => () }
+        throw e
+    }
+
+  /** Optimistic retry loop: replay the whole mutation from fresh meta on a
+    * commit conflict, with small linear backoff. Validation errors
+    * (duplicate column, missing table…) are NOT retried — they propagate
+    * from the replay against the winner's meta, which is exactly the
+    * "conflicting schema change raises cleanly" semantics.
+    */
+  private def retryOnConflict[A](f: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return f
+      catch {
+        case _: java.util.ConcurrentModificationException if attempt < 9 =>
+          attempt += 1
+          Thread.sleep(3L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def rewrite(m: TableMeta, v: Long, op: String, out: DataFrame,
       removedFiles: Seq[String]): Long = {
     val dir = dataDir(v, op)
     toPhysical(out, m).write.mode("overwrite").parquet(dir)
-    catalog.save(m.copy(versions = m.versions :+
-      entry(v, op, listParquetFiles(dir), removedFiles)))
+    commitMetaOrClean(m, m.copy(versions = m.versions :+
+      entry(v, op, listParquetFiles(dir), removedFiles)), dir)
     v
   }
 
   private def noopVersion(m: TableMeta, v: Long, op: String): Long = {
-    catalog.save(m.copy(versions = m.versions :+ entry(v, op, Seq.empty, Seq.empty)))
+    commitMeta(m, m.copy(versions = m.versions :+ entry(v, op, Seq.empty, Seq.empty)))
     v
   }
 

@@ -259,8 +259,8 @@ object Excel {
     case "str" | "inlineStr" => c.value
     case "b" => c.value.trim == "1"
     case _ => // numeric; date-styled serials become timestamps
-      val d = c.value.toDouble
       if (dateStyles(c.style)) {
+        val d = c.value.toDouble
         val days = math.floor(d).toLong
         val frac = d - days
         // serial doubles carry ~µs float error at modern dates; snap to
@@ -274,9 +274,12 @@ object Excel {
       // a true integer serializes as "17", so round-trips preserve the
       // column type (csv-style inference; the old value-based heuristic
       // collapsed whole doubles to bigint and broke re-import hashing).
-      else if (IntegerText.matches(c.value) && c.value.length <= 18)
+      // The 18-digit guard counts digits, not the sign: ±18 digits always
+      // fits in a Long (range ±9.2e18).
+      else if (IntegerText.matches(c.value) &&
+        c.value.length - (if (c.value.startsWith("-")) 1 else 0) <= 18)
         c.value.toLong
-      else d
+      else c.value.toDouble
   }
 
   private val IntegerText = "-?\\d+".r
@@ -294,6 +297,8 @@ object Excel {
 
   private def coerce(v: Any, t: DataType): Any = (v, t) match {
     case (null, _) => null
+    // defensive only: inferType yields LongType solely when every non-null
+    // value is already a Long, so this case is unreachable today
     case (d: Double, LongType) => d.toLong
     case (l: Long, DoubleType) => l.toDouble
     case (x, StringType) => x match {

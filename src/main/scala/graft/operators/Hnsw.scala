@@ -345,14 +345,18 @@ object Hnsw {
     shardRows(df, vecCol, idCol, shards, m, efConstruction)
       .write.mode("append").parquet(path)
 
-  /** Search: shard summaries (KBs) are read first and the spherical-cap
-    * bound prunes shards that cannot beat the best shard's kth result —
-    * only surviving shards deserialize their graphs (embarrassingly
-    * parallel), and their candidates feed a global top-k.
+  /** Search: shard summaries are scored DISTRIBUTED — cos(query, centroid)
+    * and the spherical-cap bound are Catalyst expressions over the summary
+    * rows, never a driver-side array — and shards that cannot beat the
+    * best shard's kth result are dropped by a broadcast semi-join on the
+    * surviving shard ids (no literal `isin` list, so 10⁵ shards plan the
+    * same as 10). Only two bounded driver materializations remain: the
+    * single best-shard id (one row) and its k seed scores.
     */
   def search(spark: SparkSession, indexPath: String, query: Seq[Double],
       k: Int, ef: Int = 64, prune: Boolean = true): DataFrame = {
     import spark.implicits._
+    import graft.functions.VectorFunctions
     val q = query.toArray
     val qu = unit(q)
     val index = spark.read.parquet(indexPath)
@@ -363,24 +367,29 @@ object Hnsw {
       else {
         // summaries only: one row per shard, never the graph bytes
         val sums = index.select(col("shard"), col("centroid"), col("min_cos"))
-          .as[(Long, Array[Double], Double)].collect()
-        if (sums.isEmpty) index
+        val cosQC = VectorFunctions.dot(col("centroid"),
+          VectorFunctions.vectorLit(qu.toSeq))
+        // spherical-cap bound cos(θ_qc − θ_r) as a codegen'd expression
+        val cq = greatest(lit(-1.0), least(lit(1.0), cosQC))
+        val cr = greatest(lit(-1.0), least(lit(1.0), col("min_cos")))
+        val bound = when(cq >= cr, lit(1.0))
+          .otherwise(cq * cr + sqrt((lit(1.0) - cq * cq) * (lit(1.0) - cr * cr)))
+        // probe the most-promising shard for a kth-best threshold τ:
+        // TakeOrderedAndProject over summaries → exactly one driver row
+        val best = sums.select(col("shard"))
+          .orderBy(cosQC.desc, col("shard")).limit(1).as[Long].collect()
+        if (best.isEmpty) index
         else {
-          val cosQC = sums.map { case (_, c, _) =>
-            c.zip(qu).map { case (a, b) => a * b }.sum }
-          // probe the most-promising shard for a kth-best threshold τ
-          val bestShard = cosQC.indices.maxBy(cosQC(_))
           val seed = index
-            .filter(col("shard") === sums(bestShard)._1)
+            .filter(col("shard") === best.head)
             .select(col("graph")).as[Array[Byte]]
             .flatMap(b => deserialize(b).search(q, k, effEf))
             .collect().sortBy(-_._2)
           val tau = if (seed.length < k) -1.0 else seed(k - 1)._2
-          // keep shards whose cap bound can still beat τ
-          val keep = sums.indices
-            .filter(i => capBound(cosQC(i), sums(i)._3) >= tau - 1e-12)
-            .map(i => sums(i)._1)
-          index.filter(col("shard").isin(keep: _*))
+          // keep shards whose cap bound can still beat τ — broadcast
+          // semi-join on shard id, fully distributed
+          val keep = sums.filter(bound >= lit(tau - 1e-12)).select(col("shard"))
+          index.join(broadcast(keep), Seq("shard"), "left_semi")
         }
       }
 
@@ -389,6 +398,38 @@ object Hnsw {
       .flatMap(bytes => deserialize(bytes).search(q, k, effEf))
       .toDF("vec_id", "cos_sim")
       .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Oracle-exact search: HNSW supplies a CANDIDATE set — each shard's
+    * layer-0 beam returns its best `ef` ids, not just k — and the
+    * candidates are re-ranked EXACTLY against the base table, scoring with
+    * the same dot/(‖a‖·‖b‖) double arithmetic a brute-force scan uses.
+    * When the per-shard beam covers the shard's true top-k (HnswSpec pins
+    * recall 1.0 at the `ef` used; `ef` ≥ shard size makes it uncondition-
+    * ally exhaustive), the union provably contains the global top-k and
+    * the result equals brute force — so a hash-checked SQL oracle (the
+    * brute-force query itself) applies to an ANN operator.
+    * Shape: shards×ef candidate ids (KBs) broadcast into a semi-join
+    * against the corpus scan; the corpus itself is never collected.
+    */
+  def searchRerank(base: DataFrame, vecCol: String, idCol: String,
+      indexPath: String, query: Seq[Double], k: Int, ef: Int = 256): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val q = query.toArray
+    val effEf = math.max(ef, k)
+    val cands = spark.read.parquet(indexPath)
+      .select(col("graph")).as[Array[Byte]]
+      .flatMap(b => deserialize(b).search(q, effEf, effEf).map(_._1))
+      .toDF("_cand_id")
+    val score = VectorFunctions.cosineSimilarity(
+      col(vecCol).cast("array<double>"), VectorFunctions.vectorLit(query))
+    base.join(broadcast(cands), col(idCol) === col("_cand_id"), "left_semi")
+      .withColumn("cos_sim", score)
+      .select(col(idCol), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
 }

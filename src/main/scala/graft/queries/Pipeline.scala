@@ -460,19 +460,28 @@ object Pipeline {
       "q84_ann_hnsw",
       (s, dir) => {
         // sharded HNSW (graft.operators.Hnsw): per-partition graphs built in
-        // mapPartitions, md5-deterministic levels, candidates unioned into a
-        // global top-k. Approximate by nature → no SQL oracle (rows-only
-        // gate); recall vs brute force is pinned in HnswSpec, and the graph
-        // build/search determinism makes this run-to-run reproducible.
+        // mapPartitions, md5-deterministic levels. Oracle-checkable via
+        // EXACT RE-RANK: each shard's beam emits its best `ef` candidate
+        // ids, and the union is re-scored against the embeddings table with
+        // brute-force double arithmetic — HnswSpec pins per-shard recall
+        // 1.0 at this ef on this corpus, so the candidate union contains
+        // the true top-10 and the result equals the brute-force oracle
+        // hash-for-hash (the q81 SQL verbatim).
         import graft.operators.Hnsw
         val idx = java.nio.file.Files.createTempDirectory("graft-hnsw")
           .resolve("idx").toString
-        Hnsw.buildIndex(T(s, dir, "embeddings"), "embedding", "vec_id",
-          idx, shards = 4)
-        Hnsw.search(s, idx, queryVec, 10, ef = 128)
+        val emb = T(s, dir, "embeddings")
+        Hnsw.buildIndex(emb, "embedding", "vec_id", idx, shards = 4)
+        Hnsw.searchRerank(emb, "embedding", "vec_id", idx, queryVec, 10, ef = 256)
           .select(col("vec_id"), round(col("cos_sim"), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
       },
-      None,
+      Some(s"""SELECT vec_id, round(
+              |  list_dot_product(embedding::DOUBLE[], $queryVecSql) /
+              |  (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              |   sqrt(list_dot_product($queryVecSql, $queryVecSql))), 6) AS cos_sim
+              |FROM embeddings
+              |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
     ),
     QueryDef(
       "q90_bm25",

@@ -102,6 +102,30 @@ class HnswSpec extends AnyFunSuite {
     assert((expected & got).size >= 9, s"recall after append: got $got want $expected")
   }
 
+  test("searchRerank equals brute force exactly (oracle containment at ef=256)") {
+    val data = (0L until 1000L).map(i => i -> vec(i))
+    val df = data.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("hnsw-rerank").toString + "/i"
+    Hnsw.buildIndex(df, "embedding", "vec_id", idx, shards = 4)
+    val q = vec(31337L)
+    val got = Hnsw.searchRerank(df, "embedding", "vec_id", idx, q.toSeq, 10, ef = 256)
+      .select("vec_id").as[Long].collect().toSeq
+    val expected = bruteTopK(data, q, 10)
+    assert(got == expected, s"rerank diverged from brute force: $got vs $expected")
+  }
+
+  test("q84 exact re-rank matches the brute-force oracle on real test data") {
+    // same gate the driver applies: q84's output must equal its oracle —
+    // which is q81's brute-force SQL verbatim, and q81 is exact by
+    // construction — so q84(sf) == q81(sf) row-for-row.
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val hnsw = graft.SparkEntry.queries("q84_ann_hnsw")(spark, sf).collect().toSeq
+      val brute = graft.SparkEntry.queries("q81_ann_ivf_learned")(spark, sf).collect().toSeq
+      assert(hnsw == brute, s"q84 != q81 at $sf")
+    }
+  }
+
   test("level assignment follows the geometric distribution") {
     val levels = (0L until 20000L).map(Hnsw.levelFor(_, 16))
     val l0 = levels.count(_ == 0) / 20000.0
