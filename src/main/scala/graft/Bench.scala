@@ -46,10 +46,14 @@ object Bench {
     val results = queries.map { case (name, _) =>
       name -> passes.map(_.toMap.apply(name)).min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision: full doubles made the line long enough that
+    // the driver's tail capture truncated the leading queries out of
+    // BENCH_rNN.json; 3 decimals keeps all ~96 entries comfortably inside
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -69,11 +69,17 @@ final case class IndexDef(
     column: String,
     idCol: String,
     kind: String, // "hnsw"
-    path: String,
+    path: String, // current segment dir; rebuilds swap to a fresh dir via CAS
     shards: Int,
     m: Int,
     efConstruction: Int,
     segmentThreshold: Int,
+    // table version whose effects are fully reflected in the segments —
+    // committed through the same CAS as the data it indexes, so a crash
+    // between a table commit and index maintenance leaves a LAG (repaired
+    // from the version log by the next maintenance pass), never a
+    // permanently missing range
+    indexedThrough: Long = 0L,
 )
 
 final case class TableMeta(
@@ -181,43 +187,61 @@ final class Catalog(val warehouse: String) {
   }
 
   /** Check-and-swap commit for a mutation that started from commitSeq
-    * `expectedSeq`: under the table's lock file, verify no other writer
+    * `expectedSeq`: under the table's meta lock, verify no other writer
     * committed in between, then persist with the token bumped. Returns
     * false on conflict — the caller retries its mutation from fresh meta.
     */
   def commit(expectedSeq: Long, meta: TableMeta): Boolean =
-    withTableLock(meta.name) {
+    withFileLock(Paths.get(warehouse, meta.name, "meta.json.lock")) {
       val cur = load(meta.name)
       if (cur.commitSeq != expectedSeq) false
       else { save(meta.copy(commitSeq = expectedSeq + 1)); true }
     }
 
-  /** Exclusive advisory lock via atomic lock-file creation (CREATE_NEW is
-    * atomic on POSIX and across threads/processes). Crash-safe: a lock
-    * older than 10 s is presumed abandoned and stolen. Held only for the
-    * load-compare-save of `commit` — never across data writes — so
-    * contention windows are milliseconds.
+  /** Per-table WRITER lock: serializes whole mutations (meta load → data
+    * write → CAS commit), so the expensive multi-second race window of a
+    * heavy write never collides in-process or cross-process on one
+    * machine — concurrent writers queue FIFO instead of burning replay
+    * attempts. Reentrant per thread (index maintenance commits nest
+    * inside an insert's window).
     */
-  private def withTableLock[A](table: String)(f: => A): A = {
-    val lock = Paths.get(warehouse, table, "meta.json.lock")
-    Files.createDirectories(lock.getParent)
-    val deadline = System.currentTimeMillis() + 30000
-    var held = false
-    while (!held) {
-      try { Files.createFile(lock); held = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          try {
-            val age = System.currentTimeMillis() -
-              Files.getLastModifiedTime(lock).toMillis
-            if (age > 10000) Files.deleteIfExists(lock)
-          } catch { case _: java.io.IOException => () }
-          if (System.currentTimeMillis() > deadline)
-            throw new IllegalStateException(s"timed out acquiring meta lock for $table")
-          Thread.sleep(2)
-      }
-    }
-    try f finally Files.deleteIfExists(lock)
+  def withWriterLock[A](table: String)(f: => A): A =
+    withFileLock(Paths.get(warehouse, table, "writer.lock"))(f)
+
+  /** Exclusive advisory lock: a process-wide fair `ReentrantLock` keyed by
+    * lock-file path serializes same-JVM threads (OS file locks are
+    * per-process — a second `FileChannel.lock` in the same JVM throws
+    * instead of queueing), then an OS `FileChannel` lock serializes
+    * processes. Crash-safe by construction: the OS releases file locks on
+    * process death, so there is no stale-lock age heuristic and no steal
+    * path — the create/steal/delete races of a lock-FILE protocol (two
+    * stealers both deleting, a stalled holder deleting its thief's lock)
+    * cannot occur. The lock file persists empty and is never deleted.
+    *
+    * PORTABILITY: requires POSIX-local (or NFSv4/SMB with lock support)
+    * storage for the warehouse. On object stores (S3/GCS) advisory file
+    * locks don't exist — deployments there need an external lock service
+    * (DynamoDB-style, as Delta's S3 committer uses); the CAS in `commit`
+    * still bounds the damage to a retried mutation, never a lost one.
+    */
+  private def withFileLock[A](lockFile: java.nio.file.Path)(f: => A): A = {
+    val key = lockFile.toAbsolutePath.toString
+    if (Catalog.heldLocks.get.contains(key)) return f // reentrant
+    Files.createDirectories(lockFile.getParent)
+    val jvmLock = Catalog.jvmLocks.computeIfAbsent(key,
+      _ => new java.util.concurrent.locks.ReentrantLock(true))
+    jvmLock.lock()
+    try {
+      val ch = java.nio.channels.FileChannel.open(lockFile,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val osLock = ch.lock()
+        Catalog.heldLocks.get.add(key)
+        try f
+        finally { Catalog.heldLocks.get.remove(key); osLock.release() }
+      } finally ch.close()
+    } finally jvmLock.unlock()
   }
 
   def dropTable(table: String): Unit = {
@@ -247,5 +271,22 @@ final class Catalog(val warehouse: String) {
       def hasNext: Boolean = it.hasNext
       def next(): A = it.next()
     }
+  }
+}
+
+object Catalog {
+  /** JVM-level mutexes shadowing the OS file locks, keyed by absolute
+    * lock-file path (shared across Catalog instances of one warehouse).
+    * Fair, so contending writer threads queue FIFO.
+    */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Lock paths held by the current thread — makes `withFileLock` reentrant
+    * (nested acquisitions of the same lock are no-ops).
+    */
+  private val heldLocks = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue(): java.util.HashSet[String] =
+      new java.util.HashSet[String]()
   }
 }

@@ -137,29 +137,34 @@ final class GraftTable private (
     * at insert time (reference insert plan, `plan.py:255-266`); row ids are
     * assigned distributedly (no single-partition choke point).
     */
-  def insert(rows: DataFrame): Long = retryOnConflict {
-    val m = meta
-    val v = m.currentVersion + 1
-    var df = rows
-    m.computedInTopoOrder.filter(_.stored).foreach { c =>
-      df = df.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
+  def insert(rows: DataFrame): Long = {
+    val v = retryOnConflict {
+      val m = meta
+      val v = m.currentVersion + 1
+      var df = rows
+      m.computedInTopoOrder.filter(_.stored).foreach { c =>
+        df = df.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
+      }
+      df = df
+        .withColumn(RowId, monotonically_increasing_id() + lit(m.nextRowId))
+        .withColumn(VMin, lit(v))
+        .withColumn(VMax, lit(Live))
+      val dir = dataDir(v, "insert")
+      toPhysical(df, m).write.mode("overwrite").parquet(dir)
+      val files = listParquetFiles(dir)
+      // footer-stats aggregate pushdown: the rowid max comes from parquet
+      // metadata, not a re-scan of the data just written
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      val maxRow = spark.read.parquet(dir).agg(max(col(RowId))).head
+      val maxId = if (maxRow.isNullAt(0)) m.nextRowId - 1 else maxRow.getLong(0)
+      commitMetaOrClean(m, m.copy(
+        versions = m.versions :+ entry(v, "insert", files, Seq.empty),
+        nextRowId = maxId + 1), dir)
+      v
     }
-    df = df
-      .withColumn(RowId, monotonically_increasing_id() + lit(m.nextRowId))
-      .withColumn(VMin, lit(v))
-      .withColumn(VMax, lit(Live))
-    val dir = dataDir(v, "insert")
-    toPhysical(df, m).write.mode("overwrite").parquet(dir)
-    val files = listParquetFiles(dir)
-    // footer-stats aggregate pushdown: the rowid max comes from parquet
-    // metadata, not a re-scan of the data just written
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    val maxRow = spark.read.parquet(dir).agg(max(col(RowId))).head
-    val maxId = if (maxRow.isNullAt(0)) m.nextRowId - 1 else maxRow.getLong(0)
-    commitMetaOrClean(m, m.copy(
-      versions = m.versions :+ entry(v, "insert", files, Seq.empty),
-      nextRowId = maxId + 1), dir)
-    maintainIndexes(dir)
+    // outside the retry body: a maintenance-side conflict must never replay
+    // an already-committed insert (which would duplicate its rows)
+    maintainIndexes()
     v
   }
 
@@ -212,22 +217,28 @@ final class GraftTable private (
     * recompute transitively (reference update cascade, `plan.py:414-485`).
     * Updated rows keep their `_rowid`. File-pruned like delete.
     */
-  def update(setExprs: Map[String, String], predicateSql: String): Long = retryOnConflict {
-    val m = meta
-    val v = m.currentVersion + 1
-    withTouchedFiles(m, expr(predicateSql)) match {
-      case None => noopVersion(m, v, "update")
-      case Some((touchedDf, touchedFiles)) =>
-        val hit = col(VMax) === Live && expr(predicateSql)
-        val closed = touchedDf.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax)))
-        var updated = touchedDf.filter(hit)
-        setExprs.foreach { case (c, e) => updated = updated.withColumn(c, expr(e)) }
-        updated = recomputeCascade(updated, setExprs.keySet, m)
-          .withColumn(VMin, lit(v))
-          .withColumn(VMax, lit(Live))
-          .select(closed.columns.map(col): _*)
-        rewrite(m, v, "update", closed.union(updated), touchedFiles)
+  def update(setExprs: Map[String, String], predicateSql: String): Long = {
+    val v = retryOnConflict {
+      val m = meta
+      val v = m.currentVersion + 1
+      withTouchedFiles(m, expr(predicateSql)) match {
+        case None => noopVersion(m, v, "update")
+        case Some((touchedDf, touchedFiles)) =>
+          val hit = col(VMax) === Live && expr(predicateSql)
+          val closed = touchedDf.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax)))
+          var updated = touchedDf.filter(hit)
+          setExprs.foreach { case (c, e) => updated = updated.withColumn(c, expr(e)) }
+          updated = recomputeCascade(updated, setExprs.keySet, m)
+            .withColumn(VMin, lit(v))
+            .withColumn(VMax, lit(Live))
+            .select(closed.columns.map(col): _*)
+          rewrite(m, v, "update", closed.union(updated), touchedFiles)
+      }
     }
+    // rewritten rows may carry new values for an indexed embedding column;
+    // the catch-up appends them so searchIndex ranks by the NEW vector
+    maintainIndexes()
+    v
   }
 
   /** Apply per-key updates from a DataFrame (reference batch_update:
@@ -237,7 +248,13 @@ final class GraftTable private (
     * columns recompute transitively; unmatched rows and untouched files
     * stay as they are.
     */
-  def batchUpdate(updates: DataFrame, keyCols: Seq[String]): Long = retryOnConflict {
+  def batchUpdate(updates: DataFrame, keyCols: Seq[String]): Long = {
+    val v = batchUpdateInner(updates, keyCols)
+    maintainIndexes()
+    v
+  }
+
+  private def batchUpdateInner(updates: DataFrame, keyCols: Seq[String]): Long = retryOnConflict {
     val m = meta
     val v = m.currentVersion + 1
     val setCols = updates.columns.filterNot(keyCols.contains).toSeq
@@ -357,7 +374,13 @@ final class GraftTable private (
         if (c.droppedVersion > toVersion && c.droppedVersion != Long.MaxValue)
           c.copy(droppedVersion = Long.MaxValue)
         else c
-      }))
+      },
+      // clamp the index high-water marks so post-revert inserts (which
+      // reuse the rolled-back version numbers) are picked up again;
+      // reverted-away rows left in segments are ghosts the live re-rank
+      // in searchIndex already drops
+      indexes = m.indexes.map(ix =>
+        ix.copy(indexedThrough = math.min(ix.indexedThrough, toVersion)))))
   }
 
   /** Small-file compaction (the lakehouse OPTIMIZE maintenance op): merge
@@ -436,54 +459,123 @@ final class GraftTable private (
     val m = meta
     require(!m.indexes.exists(_.name == idxName), s"index $idxName exists on $name")
     val path = s"${catalog.warehouse}/$name/index/$idxName"
-    graft.operators.Hnsw.buildIndex(read(), column, idCol, path,
+    graft.operators.Hnsw.buildIndex(
+      read().filter(col(column).isNotNull), column, idCol, path,
       shards, hnswM, efConstruction)
     commitMeta(m, m.copy(indexes = m.indexes :+ IndexDef(idxName, column,
-      idCol, "hnsw", path, shards, hnswM, efConstruction, segmentThreshold)))
+      idCol, "hnsw", path, shards, hnswM, efConstruction, segmentThreshold,
+      indexedThrough = m.currentVersion)))
   }
 
-  /** ANN search through a declared index. Deletes/updates are handled the
-    * Lucene way — the index over-fetches 4k candidates and a semi-join
-    * against the live id set drops rows that no longer exist (stale
-    * segments never surface ghosts); inserts are covered by the
-    * append-on-insert segments.
+  /** ANN search through a declared index. The graphs supply CANDIDATE ids
+    * only; scores come from re-ranking against the LIVE vector column
+    * (`Hnsw.searchRerank`'s broadcast-join shape) — so a row whose
+    * embedding was updated ranks by its NEW vector even while an old
+    * segment still carries the stale one, duplicate candidates from
+    * multiple segments collapse (max score per id), and deleted rows drop
+    * at the join. If heavy deletion leaves fewer than k live hits in the
+    * over-fetched candidate set, the fetch escalates (×4) until satisfied
+    * or the whole index has been considered.
     */
   def searchIndex(idxName: String, query: Seq[Double], k: Int,
       ef: Int = 64): DataFrame = {
     val m = meta
     val ix = m.indexes.find(_.name == idxName)
       .getOrElse(throw new IllegalArgumentException(s"no index $idxName on $name"))
-    val live = read().select(col(ix.idCol).cast("long").as("vec_id"))
-    graft.operators.Hnsw.search(spark, ix.path, query, math.max(4 * k, k + 8), ef)
-      .join(live, Seq("vec_id"), "left_semi")
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
+    import graft.functions.VectorFunctions
+    val live = read()
+      .filter(col(ix.column).isNotNull)
+      .select(col(ix.idCol).cast("long").as("vec_id"),
+        col(ix.column).cast("array<double>").as("_vec"))
+    // total indexed rows, from segment summaries (one row per segment)
+    val totalRow = spark.read.parquet(ix.path).agg(sum(col("n"))).head
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    val score = VectorFunctions.cosineSimilarity(col("_vec"),
+      VectorFunctions.vectorLit(query))
+    var fetch = math.max(4 * k, k + 8).toLong
+    while (true) {
+      val fi = math.min(fetch, Int.MaxValue.toLong).toInt
+      val cands = graft.operators.Hnsw
+        .search(spark, ix.path, query, fi, math.max(ef, fi))
+        .select(col("vec_id")).dropDuplicates("vec_id")
+      val ranked = live.join(broadcast(cands), Seq("vec_id"))
+        .withColumn("cos_sim", score)
+        .groupBy(col("vec_id")).agg(max(col("cos_sim")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(k)
+      if (fetch >= total) return ranked
+      val got = ranked.count()
+      if (got >= k) return ranked
+      fetch = math.min(total, fetch * 4)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   def dropIndex(idxName: String): Unit = retryOnConflict {
     val m = meta
     require(m.indexes.exists(_.name == idxName), s"no index $idxName on $name")
     commitMeta(m, m.copy(indexes = m.indexes.filterNot(_.name == idxName)))
+    deleteIndexDirs(idxName)
   }
 
-  /** Post-commit insert hook: append the freshly written rows (read back
-    * from this insert's own directory — never a table rescan) to every
-    * declared index, then compact any index whose segment count passed its
-    * threshold. Runs after the manifest commit so a lost commit race never
-    * pollutes an index.
+  /** Index catch-up, driven by the `indexedThrough` high-water mark: every
+    * row VERSION minted since (inserts and the rewritten halves of
+    * updates — identified as `_v_min > indexedThrough` inside just the
+    * files the log added since, never a table rescan) is appended as a
+    * fresh segment; then any index past its segment threshold is rebuilt
+    * into a NEW directory and swapped in via the CAS (readers mid-query
+    * keep their planned files — old dirs are removed only by dropIndex).
+    * Runs post-commit under the writer lock, so maintenance never races a
+    * concurrent insert's append or a rebuild. Crash between table commit
+    * and here just leaves `indexedThrough` behind; the next pass repairs
+    * from the log. A crash after the segment write but before the mark
+    * commits can leave a duplicate segment — harmless, because
+    * `searchIndex` re-ranks with max-per-id over live vectors.
     */
-  private def maintainIndexes(dir: String): Unit = {
-    val m = meta
-    if (m.indexes.isEmpty) return
-    val newRows = toLogical(spark.read.parquet(dir), m)
-    m.indexes.foreach { ix =>
-      graft.operators.Hnsw.appendToIndex(newRows, ix.column, ix.idCol,
-        ix.path, shards = 1, ix.m, ix.efConstruction)
-      // segment count = index-table row count: tiny metadata-style read
-      val segments = spark.read.parquet(ix.path).count()
-      if (segments > ix.segmentThreshold)
-        graft.operators.Hnsw.buildIndex(read(), ix.column, ix.idCol, ix.path,
-          ix.shards, ix.m, ix.efConstruction)
+  private def maintainIndexes(): Unit = {
+    if (meta.indexes.isEmpty) return
+    catalog.withWriterLock(name) {
+      val m = meta
+      val cur = m.currentVersion
+      val updated = m.indexes.map { ix =>
+        if (ix.indexedThrough >= cur) ix
+        else {
+          val newFiles = m.versions
+            .filter(e => e.version > ix.indexedThrough && e.version <= cur)
+            .flatMap(_.added).distinct
+          if (newFiles.nonEmpty) {
+            val newRows = toLogical(spark.read.option("mergeSchema", "true")
+              .parquet(newFiles: _*), m)
+              .filter(col(VMin) > ix.indexedThrough &&
+                col(ix.column).isNotNull)
+            graft.operators.Hnsw.appendToIndex(newRows, ix.column, ix.idCol,
+              ix.path, shards = 1, ix.m, ix.efConstruction)
+          }
+          // segment count = index-table row count: tiny metadata-style read
+          val segments = spark.read.parquet(ix.path).count()
+          val path =
+            if (segments <= ix.segmentThreshold) ix.path
+            else {
+              val fresh = s"${catalog.warehouse}/$name/index/${ix.name}@v$cur"
+              graft.operators.Hnsw.buildIndex(
+                read().filter(col(ix.column).isNotNull),
+                ix.column, ix.idCol, fresh, ix.shards, ix.m, ix.efConstruction)
+              fresh
+            }
+          ix.copy(path = path, indexedThrough = cur)
+        }
+      }
+      if (updated != m.indexes)
+        commitMeta(m, m.copy(indexes = updated))
+    }
+  }
+
+  private def deleteIndexDirs(idxName: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"${catalog.warehouse}/$name/index")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n == idxName || n.startsWith(s"$idxName@")) fs.delete(st.getPath, true)
     }
   }
 
@@ -566,23 +658,33 @@ final class GraftTable private (
         throw e
     }
 
-  /** Optimistic retry loop: replay the whole mutation from fresh meta on a
-    * commit conflict, with small linear backoff. Validation errors
+  /** Writer protocol: the whole mutation (meta load → data write → CAS
+    * commit) runs under the table's writer lock, so same-machine writers
+    * — threads or processes — queue FIFO and commit first-try instead of
+    * burning multi-second Spark replays losing CAS races (attempts cost
+    * ~0.5–2 s of parquet jobs; an attempt-capped millisecond backoff is
+    * the wrong shape by three orders of magnitude). The CAS stays as the
+    * actual correctness gate: against out-of-band writers (another
+    * machine on shared storage where advisory locks may not reach) a
+    * conflict replays the mutation from fresh meta on a generous
+    * wall-clock deadline with randomized backoff. Validation errors
     * (duplicate column, missing table…) are NOT retried — they propagate
     * from the replay against the winner's meta, which is exactly the
     * "conflicting schema change raises cleanly" semantics.
     */
-  private def retryOnConflict[A](f: => A): A = {
-    var attempt = 0
-    while (true) {
-      try return f
+  private def retryOnConflict[A](f: => A): A = catalog.withWriterLock(name) {
+    val deadline = System.currentTimeMillis() + RetryBudgetMs
+    var out: Option[A] = None
+    while (out.isEmpty) {
+      try out = Some(f)
       catch {
-        case _: java.util.ConcurrentModificationException if attempt < 9 =>
-          attempt += 1
-          Thread.sleep(3L * attempt)
+        case e: java.util.ConcurrentModificationException =>
+          if (System.currentTimeMillis() > deadline) throw e
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(25L, 250L))
       }
     }
-    throw new IllegalStateException("unreachable")
+    out.get
   }
 
   private def rewrite(m: TableMeta, v: Long, op: String, out: DataFrame,
@@ -617,6 +719,9 @@ object GraftTable {
   val VMax = "_v_max"
   val Live: Long = Long.MaxValue
   private val FileCol = "_file"
+  // wall-clock replay budget for CAS conflicts from out-of-band writers
+  // (attempts cost seconds of Spark jobs — budget time, not attempts)
+  private val RetryBudgetMs = 120000L
 
   def create(spark: SparkSession, catalog: Catalog, name: String,
       columns: Seq[ColumnDef]): GraftTable = {

@@ -52,6 +52,16 @@ object Hnsw {
     def search(query: Array[Double], k: Int, ef: Int): Seq[(Long, Double)] = {
       if (size == 0) return Nil
       val q = Hnsw.unit(query)
+      if (ef >= size) {
+        // ef covers the whole shard: scan it outright — cheaper than a beam
+        // that would visit every node anyway, and STRUCTURALLY exact (graph
+        // connectivity can't hide nodes), which is what makes the re-rank
+        // path below oracle-checkable at any corpus size.
+        return ids.indices
+          .map(i => (ids(i), dot(q, vecs(i))))
+          .sortBy { case (id, s) => (-s, id) }
+          .take(k)
+      }
       var cur = entry
       var curSim = dot(q, vecs(cur))
       var level = levels(entry)
@@ -401,17 +411,18 @@ object Hnsw {
       .limit(k)
   }
 
-  /** Oracle-exact search: HNSW supplies a CANDIDATE set — each shard's
-    * layer-0 beam returns its best `ef` ids, not just k — and the
-    * candidates are re-ranked EXACTLY against the base table, scoring with
-    * the same dot/(‖a‖·‖b‖) double arithmetic a brute-force scan uses.
-    * When the per-shard beam covers the shard's true top-k (HnswSpec pins
-    * recall 1.0 at the `ef` used; `ef` ≥ shard size makes it uncondition-
-    * ally exhaustive), the union provably contains the global top-k and
-    * the result equals brute force — so a hash-checked SQL oracle (the
-    * brute-force query itself) applies to an ANN operator.
-    * Shape: shards×ef candidate ids (KBs) broadcast into a semi-join
-    * against the corpus scan; the corpus itself is never collected.
+  /** Oracle-exact search: HNSW supplies a CANDIDATE set — each shard
+    * returns its best `max(ef, shard size)` ids, so every shard's
+    * contribution is STRUCTURALLY exhaustive (the `ef >= size` scan path
+    * in `Graph.search` — exactness no longer rests on empirically-pinned
+    * beam recall) — and the candidates are re-ranked EXACTLY against the
+    * base table, scoring with the same dot/(‖a‖·‖b‖) double arithmetic a
+    * brute-force scan uses. The union therefore provably contains the
+    * global top-k at ANY corpus size, and the result equals brute force —
+    * so a hash-checked SQL oracle (the brute-force query itself) applies
+    * to an ANN operator. `Hnsw.search` remains the approximate fast path.
+    * Shape: candidate ids (KBs) broadcast into a semi-join against the
+    * corpus scan; the corpus itself is never collected.
     */
   def searchRerank(base: DataFrame, vecCol: String, idCol: String,
       indexPath: String, query: Seq[Double], k: Int, ef: Int = 256): DataFrame = {
@@ -422,7 +433,11 @@ object Hnsw {
     val effEf = math.max(ef, k)
     val cands = spark.read.parquet(indexPath)
       .select(col("graph")).as[Array[Byte]]
-      .flatMap(b => deserialize(b).search(q, effEf, effEf).map(_._1))
+      .flatMap { b =>
+        val g = deserialize(b)
+        val shardEf = math.max(effEf, g.size)
+        g.search(q, shardEf, shardEf).map(_._1)
+      }
       .toDF("_cand_id")
     val score = VectorFunctions.cosineSimilarity(
       col(vecCol).cast("array<double>"), VectorFunctions.vectorLit(query))

@@ -113,13 +113,20 @@ object Extras {
       "q46_approx_distinct",
       (s, dir) => {
         // HLL sketches differ across engines, so no value oracle — the
-        // driver records the weaker rows-only check. Exact counts ride along
-        // to document the sketch's error at this scale.
+        // driver records the weaker rows-only check. Exact counts ride
+        // along, plus a self-check the rows-only gate still verifies:
+        // `within_tol` must be true (sketch within 5% of exact — HLL's
+        // default rsd is 5%), asserted by ExtrasSpec on real test data.
         T(s, dir, "lineitem").agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        )
+          countDistinct(col("l_partkey")).as("exact_parts"),
+        ).withColumn("within_tol",
+          abs(col("approx_orders") - col("exact_orders")) <=
+            col("exact_orders") * 0.05 &&
+          abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.05)
       },
       None,
     ),
@@ -216,14 +223,17 @@ object Extras {
       "q51_window_range",
       (s, dir) => {
         // RANGE frame over a numeric ordering (peers share results, so ties
-        // on l_orderkey are deterministic by construction).
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_orderkey"))
-          .rangeBetween(-100, Window.currentRow)
-        T(s, dir, "lineitem")
+        // on l_orderkey are deterministic by construction). l_returnflag has
+        // 3 values — partitioning the window on it alone would sort a third
+        // of the table per task at scale — so the bounded 100-key lookback
+        // runs through RangeFrame's bucketed shape: high-cardinality
+        // (flag, orderkey-bucket) partitions, exact frames via carry rows.
+        val base = T(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-            col("l_quantity"),
-            round(sum(col("l_quantity")).over(w), 2).as("range_sum"))
+            col("l_quantity"))
+        graft.operators.RangeFrame.withBoundedFrame(
+            base, Seq(col("l_returnflag")), col("l_orderkey"), 100L,
+            "range_sum", w => round(sum(col("l_quantity")).over(w), 2))
           .transform(graft.QueryUtil.orderedSmall(_,
             col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
             col("l_quantity")))

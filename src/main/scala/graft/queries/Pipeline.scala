@@ -461,11 +461,11 @@ object Pipeline {
       (s, dir) => {
         // sharded HNSW (graft.operators.Hnsw): per-partition graphs built in
         // mapPartitions, md5-deterministic levels. Oracle-checkable via
-        // EXACT RE-RANK: each shard's beam emits its best `ef` candidate
-        // ids, and the union is re-scored against the embeddings table with
-        // brute-force double arithmetic — HnswSpec pins per-shard recall
-        // 1.0 at this ef on this corpus, so the candidate union contains
-        // the true top-10 and the result equals the brute-force oracle
+        // EXACT RE-RANK: each shard emits its best max(ef, shard size)
+        // candidate ids (structurally exhaustive per shard — exactness does
+        // not depend on beam recall or corpus size), and the union is
+        // re-scored against the embeddings table with brute-force double
+        // arithmetic, so the result equals the brute-force oracle
         // hash-for-hash (the q81 SQL verbatim).
         import graft.operators.Hnsw
         val idx = java.nio.file.Files.createTempDirectory("graft-hnsw")
@@ -705,6 +705,34 @@ object Pipeline {
              |  FROM wc GROUP BY 1)
              |SELECT d2.doc_id, dup_2gram_frac, top_word_frac
              |FROM d2 JOIN tw USING (doc_id) ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "q96_pdf_chunker",
+      (s, dir) => {
+        // document_splitter separator='page' over REAL PDFs (reference
+        // `functions/document.py:180-205` page metadata via pypdfium2): each
+        // document renders to a multi-page PDF (200 chars/page — the
+        // SQL-reproducible pagination), which is then parsed back through
+        // the page tree + FlateDecode content-stream extractor; one chunk
+        // per page with 1-based `page` metadata. Map-only at scale: render,
+        // parse and explode all distribute with the scan, no shuffle.
+        import graft.functions.Pdf
+        T(s, dir, "documents").filter(col("doc_id") < 50)
+          .select(col("doc_id"), Pdf.textToPdf(col("text"), 200).as("pdf"))
+          .select(col("doc_id"),
+            posexplode(Pdf.pdfPages(col("pdf"))).as(Seq("pidx", "page_text")))
+          .select(col("doc_id"), (col("pidx") + 1).cast("long").as("page"),
+            col("page_text"),
+            length(col("page_text")).cast("long").as("page_len"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id"), col("page")))
+      },
+      Some("""SELECT doc_id, r.idx + 1 AS page, r.chunk AS page_text,
+             |length(r.chunk) AS page_len FROM (
+             |  SELECT doc_id, unnest(list_transform(
+             |    [substr(text, s, 200) for s in generate_series(1, greatest(length(text), 1), 200)],
+             |    (c, i) -> {'idx': i - 1, 'chunk': c})) AS r
+             |  FROM documents WHERE doc_id < 50)
+             |ORDER BY doc_id, page""".stripMargin),
     ),
   )
 }

@@ -1,0 +1,108 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PdfSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** A hand-assembled PDF — NOT produced by Pdf.writePdf — with an
+    * uncompressed content stream, a TJ array with kerning numbers, a hex
+    * string, octal/paren escapes and a ' (move-and-show) operator, so the
+    * parser is exercised against foreign structure, not just its twin.
+    */
+  private def handFixture: Array[Byte] = {
+    val content =
+      """BT /F1 12 Tf 72 720 Td
+        |[(Hel) -20 (lo) 5 ( )] TJ (world) Tj
+        |0 -14 Td
+        |(par\(en\) \\ back\163lash) Tj
+        |(next line) '
+        |0 -14 Td
+        |<48455821> Tj
+        |ET""".stripMargin
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    val s = new StringBuilder("%PDF-1.4\n")
+    s.append(obj(1, "<< /Type /Catalog /Pages 2 0 R >>"))
+    s.append(obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    s.append(obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Contents 4 0 R >>"))
+    s.append(obj(4, s"<< /Length ${content.length} >>\nstream\n$content\nendstream"))
+    s.append("trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF")
+    s.toString.getBytes(ISO_8859_1)
+  }
+
+  test("hand-built fixture: TJ arrays, hex strings, escapes, ' operator") {
+    val pages = Pdf.extractPages(handFixture)
+    assert(pages.length == 1)
+    assert(pages.head ==
+      "Hello world\npar(en) \\ backslash\nnext line\nHEX!")
+  }
+
+  test("writer → parser round-trip is text-exact: unicode, parens, newlines") {
+    val texts = Seq(
+      "plain ascii",
+      "parens () and \\ backslash (nested (deep))",
+      "line1\nline2\n\nline4 after blank",
+      "unicode: åçé 中文 🎉 end",
+      "", // empty page
+      "trailing newline\n")
+    val pdf = Pdf.writePdf(texts)
+    assert(Pdf.extractPages(pdf) == texts)
+  }
+
+  test("nested page tree preserves document order across inner nodes") {
+    // 20 pages → writer groups kids in 8s → 3 inner /Pages nodes
+    val texts = (0 until 20).map(i => s"page $i body")
+    assert(Pdf.extractPages(Pdf.writePdf(texts)) == texts)
+  }
+
+  test("encrypted and non-Flate-filtered PDFs raise cleanly") {
+    val enc = new String(handFixture, ISO_8859_1)
+      .replace("/Size 5", "/Size 5 /Encrypt 9 0 R").getBytes(ISO_8859_1)
+    assertThrows[IllegalArgumentException](Pdf.extractPages(enc))
+    val lzw = new String(handFixture, ISO_8859_1)
+      .replace(">>\nstream", " /Filter /LZWDecode >>\nstream").getBytes(ISO_8859_1)
+    assertThrows[IllegalArgumentException](Pdf.extractPages(lzw))
+    assertThrows[IllegalArgumentException](
+      Pdf.extractPages("not a pdf".getBytes(ISO_8859_1)))
+  }
+
+  test("textToPdf + pdfPages on a DataFrame: exact substr pagination") {
+    val df = Seq(
+      (1L, "a" * 450), // 3 pages: 200, 200, 50
+      (2L, ""),        // 1 empty page
+      (3L, "short\nwith\nlines"),
+    ).toDF("doc_id", "text")
+    val out = df
+      .select(col("doc_id"), Pdf.textToPdf(col("text"), 200).as("pdf"))
+      .select(col("doc_id"), posexplode(Pdf.pdfPages(col("pdf"))).as(Seq("i", "t")))
+      .orderBy("doc_id", "i")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0, "a" * 200), (1L, 1, "a" * 200), (1L, 2, "a" * 50),
+      (2L, 0, ""),
+      (3L, 0, "short\nwith\nlines")))
+  }
+
+  test("q96 registry query runs and matches page arithmetic on testdata") {
+    val df = graft.SparkEntry.queries("q96_pdf_chunker")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // page_len == 200 for every non-final page; reconstructed text == source
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, pages) =>
+      val ordered = pages.sortBy(_.getLong(1))
+      assert(ordered.init.forall(_.getLong(3) == 200L), s"doc $id short mid-page")
+      assert(ordered.map(_.getString(2)).mkString == src(id), s"doc $id text diverged")
+    }
+  }
+}
