@@ -734,5 +734,106 @@ object Pipeline {
              |  FROM documents WHERE doc_id < 50)
              |ORDER BY doc_id, page""".stripMargin),
     ),
+    QueryDef(
+      "q97_gopher_rules",
+      (s, dir) => {
+        // Gopher document-level quality rules (Rae et al. 2021, table A1 —
+        // the filter battery FineWeb/Dolma reuse): word-count bounds, mean
+        // word length in [3, 10], alphabetic-word fraction ≥ 0.8, ≥ 2
+        // stop-word hits. Map-only per-row HOFs — no shuffle, the shape
+        // that matters when this gates a 100 TB corpus. All derived
+        // doubles are exact integer ratios rounded once, so the oracle
+        // matches bit-for-bit.
+        val toks = graft.functions.TextFunctions.tokens(lower(col("text")))
+        val stopHits = filter(toks, t =>
+          t.isin("the", "and", "is", "in", "to", "of"))
+        val alphaToks = filter(toks, t => t.rlike("^[a-z]+$"))
+        val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+        T(s, dir, "documents")
+          .select(col("doc_id"), toks.as("_t"), size(stopHits).as("_stop"),
+            size(alphaToks).as("_alpha"), sumLen.as("_chars"))
+          .select(col("doc_id"),
+            size(col("_t")).cast("long").as("n_words"),
+            round(col("_chars").cast("double") / size(col("_t")), 4)
+              .as("mean_word_len"),
+            round(col("_alpha").cast("double") / size(col("_t")), 4)
+              .as("alpha_frac"),
+            col("_stop").cast("long").as("stop_hits"))
+          .withColumn("keep",
+            col("n_words").between(50, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("alpha_frac") >= 0.8 && col("stop_hits") >= 2)
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |  len(tk)::BIGINT AS n_words,
+             |  round(list_sum(list_transform(tk, x -> length(x)))::DOUBLE / len(tk), 4)
+             |    AS mean_word_len,
+             |  round(len(list_filter(tk, x -> regexp_full_match(x, '[a-z]+')))::DOUBLE
+             |    / len(tk), 4) AS alpha_frac,
+             |  len(list_filter(tk, x -> x IN ('the','and','is','in','to','of')))::BIGINT
+             |    AS stop_hits
+             |  FROM t)
+             |SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+             |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+             |   AND alpha_frac >= 0.8 AND stop_hits >= 2) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "q98_dedup_canonical",
+      (s, dir) => {
+        // transitive near-dup clustering to a canonical keeper: the exact
+        // Jaccard edges of q34 (bounded id range — candidate generation at
+        // scale is q33's LSH banding) collapsed by connectedComponents
+        // (min-label propagation, one shuffle per round, converges in
+        // graph-diameter rounds), keeper = smallest doc_id per component.
+        // The oracle recomputes components with a DuckDB recursive CTE —
+        // the first value-level gate on the CC operator (previously spec-
+        // only via the union-find property test).
+        val docs = T(s, dir, "documents")
+          .filter(col("n_chars") >= 3 && col("doc_id") < 200)
+          .select(col("doc_id"), array_sort(shingles(col("text"))).as("sh"))
+        val edges = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+          .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+            col("doc_a") < col("doc_b") &&
+            size(col("sha")).cast("double") >= lit(0.6) * size(col("shb")) &&
+            size(col("shb")).cast("double") >= lit(0.6) * size(col("sha")))
+          .select(col("doc_a"), col("doc_b"),
+            size(col("sha")).as("_na"), size(col("shb")).as("_nb"),
+            graft.plans.NativeVector.sortedIntersectCount(s,
+              col("sha"), col("shb")).as("_ni"))
+          .filter(col("_ni").cast("double") /
+            (col("_na") + col("_nb") - col("_ni")) >= 0.6)
+          .select(col("doc_a"), col("doc_b"))
+        graft.operators.Dedup.connectedComponents(edges)
+          .select(col("v").cast("long").as("doc_id"),
+            col("component").cast("long").as("cluster_id"))
+          .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some(s"""WITH RECURSIVE
+              |pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM
+              |    (SELECT doc_id, $shinglesSql AS sh FROM documents
+              |     WHERE n_chars >= 3 AND doc_id < 200) a
+              |  JOIN
+              |    (SELECT doc_id, $shinglesSql AS sh FROM documents
+              |     WHERE n_chars >= 3 AND doc_id < 200) b
+              |  ON a.doc_id < b.doc_id
+              |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+              |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+              |edges AS (SELECT doc_a AS u, doc_b AS w FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |walk(v, lbl) AS (
+              |  SELECT DISTINCT u, u FROM edges
+              |  UNION
+              |  SELECT e.w, walk.lbl FROM walk JOIN edges e ON e.u = walk.v)
+              |SELECT v AS doc_id, min(lbl) AS cluster_id,
+              |  (v = min(lbl)) AS is_canonical
+              |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
