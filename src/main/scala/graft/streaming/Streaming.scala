@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.catalog.GraftTable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming surface. The reference has no stream processing —
@@ -52,4 +52,79 @@ object Streaming {
         if (!batch.isEmpty) { table.insert(batch); () }
       }
       .start()
+
+  /** One closed gap-session (same fields q40's batch sessionization emits,
+    * so the two surfaces are directly comparable).
+    */
+  final case class Session(
+      user_id: Long,
+      session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Open-session state carried between micro-batches. */
+  final case class OpenSession(startMs: Long, endMs: Long, n: Long)
+
+  /** Streaming gap-based sessionization — the batch q40 semantics (a
+    * `gapMs` quiet period closes the session) on an unbounded stream via
+    * `flatMapGroupsWithState` with an EVENT-time timeout: per-key state is
+    * one open session; a batch's events extend it or close it (gap inside
+    * the batch), and the watermark passing `end + gap` closes it between
+    * batches — so state is O(keys), eviction is driven by event time, and
+    * late data inside the watermark still lands in its session. This is
+    * the custom-state tier Structured Streaming's built-in windowed aggs
+    * can't express (`session_window` exists, but not with per-event custom
+    * merge/emit logic — this operator is the template for any such state).
+    *
+    * Input columns: user_id (long), ts (timestamp), pre-sorted within a
+    * group per micro-batch by Spark? NO — Spark gives batch order, so the
+    * handler sorts each group's batch slice by event time before folding.
+    */
+  def sessionizeStream(events: DataFrame, gapMs: Long,
+      watermark: String): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          def close(s: OpenSession): Unit =
+            out += Session(key, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.endMs), s.n)
+          if (!rows.hasNext && state.hasTimedOut) {
+            // watermark passed end + gap: the open session is final
+            state.getOption.foreach(close)
+            state.remove()
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) => // gap exceeded inside the batch: session closed
+                  close(s)
+                  cur = Some(OpenSession(t, t, 1))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                // fires once the event-time watermark passes this instant
+                state.setTimeoutTimestamp(s.endMs + gapMs)
+              case None => state.remove()
+            }
+          }
+          out.iterator
+      }
+  }
 }

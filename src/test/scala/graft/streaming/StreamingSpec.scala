@@ -89,6 +89,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(t.read().filter("id = 1").head().getAs[Long]("n_chars") == 1L)
   }
 
+  test("flatMapGroupsWithState gap sessionization: in-batch splits, cross-batch merges, watermark flush") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val sess = Streaming.sessionizeStream(
+      ms.toDF().toDF("user_id", "ts"), gapMs = 30L * 60 * 1000, watermark = "0 seconds")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    // batch 1: user 1 opens a session with 2 events; user 2 with 1
+    ms.addData((1L, t("2024-01-01 00:00:00")), (1L, t("2024-01-01 00:10:00")),
+      (2L, t("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    // batch 2: user 1's 01:00 exceeds the 30-min gap → closes the first
+    // session IN-BATCH; user 2's 00:20 extends its open session cross-batch
+    ms.addData((1L, t("2024-01-01 01:00:00")), (2L, t("2024-01-01 00:20:00")))
+    q.processAllAvailable()
+    // sentinel advances the watermark far past every end+gap; one more
+    // batch lets the event-time timeouts fire and flush open sessions
+    ms.addData((99L, t("2024-01-01 09:00:00")))
+    q.processAllAvailable()
+    ms.addData((99L, t("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_out")
+      .filter(col("user_id") < 99)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0", 2L),
+      (1L, "2024-01-01 01:00:00.0", "2024-01-01 01:00:00.0", 1L),
+      (2L, "2024-01-01 00:05:00.0", "2024-01-01 00:20:00.0", 2L)))
+  }
+
   test("streamed embeddings extend the ANN index as appended segments") {
     // streaming ingest → incremental HNSW maintenance: each micro-batch
     // becomes a new index segment (no rebuild), searches see it immediately
