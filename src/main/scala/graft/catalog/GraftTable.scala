@@ -635,14 +635,23 @@ final class GraftTable private (
     df
   }
 
+  /** Test seam: runs just before every CAS attempt. Lets specs inject an
+    * out-of-band commit inside the race window — the writer lock makes
+    * real in-process conflicts impossible, so without this the replay
+    * path would be unreachable from tests.
+    */
+  private[catalog] var onBeforeCommit: () => Unit = () => ()
+
   /** CAS-commit `updated` against the meta this mutation started from;
     * a concurrent commit in between raises ConcurrentModificationException
     * (caught by `retryOnConflict`, which replays the mutation).
     */
-  private def commitMeta(base: TableMeta, updated: TableMeta): Unit =
+  private def commitMeta(base: TableMeta, updated: TableMeta): Unit = {
+    onBeforeCommit()
     if (!catalog.commit(base.commitSeq, updated))
       throw new java.util.ConcurrentModificationException(
         s"concurrent write to table $name")
+  }
 
   /** Like `commitMeta` but deletes this attempt's freshly written data
     * directory when the commit loses the race (nothing references it).

@@ -308,6 +308,38 @@ class GraftTableSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("w2") == r.getAs[Long]("w") * 2))
   }
 
+  test("out-of-band CAS conflict replays the mutation once, losslessly") {
+    // the writer lock hides the replay path from in-process races; inject
+    // a conflicting commit inside the race window via the test seam — the
+    // shape of a writer on another machine whose file locks don't reach us
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "oob", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("w", "bigint")))
+    t.insert(Seq((1L, 10L)).toDF("id", "w"))
+    var fired = false
+    t.onBeforeCommit = () => {
+      if (!fired) {
+        fired = true // conflict exactly once: replay must then succeed
+        val m = cat.load("oob")
+        cat.save(m.copy(commitSeq = m.commitSeq + 1))
+      }
+    }
+    val v = t.insert(Seq((2L, 20L)).toDF("id", "w"))
+    t.onBeforeCommit = () => ()
+    assert(fired)
+    // replay re-read fresh meta: exactly one new version, no duplicate rows
+    assert(v == t.currentVersion)
+    assert(t.read().count() == 2)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // the losing attempt's data directory was cleaned up: every dir under
+    // data/ is referenced by the manifest
+    val referenced = cat.load("oob").versions.flatMap(_.added)
+      .map(f => new java.io.File(f).getParentFile.getName).toSet
+    val onDisk = new java.io.File(s"${cat.warehouse}/oob/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(onDisk == referenced, s"orphan dirs left: ${onDisk -- referenced}")
+  }
+
   test("concurrent mixed DML (insert + delete) serializes") {
     val t = GraftTable.create(spark, freshCatalog(), "conc2", Seq(
       ColumnDef("id", "bigint")))
