@@ -52,6 +52,20 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: PDF write→extract round-trips arbitrary page text (200 trials)") {
+    val rnd = new scala.util.Random(99)
+    // byte-hostile alphabet: parens, backslashes, control chars, newlines,
+    // non-ASCII and astral (surrogate-pair) code points
+    val pool: IndexedSeq[String] = ("abc ()\\%<>[]/#\t".map(_.toString) :+
+      "\n" :+ "é" :+ "中" :+ "🎉" :+ "\r\n" :+ "")
+    for (_ <- 1 to 200) {
+      val pages = Seq.fill(1 + rnd.nextInt(5))(
+        Seq.fill(rnd.nextInt(80))(pool(rnd.nextInt(pool.length))).mkString)
+      val got = graft.functions.Pdf.extractPages(graft.functions.Pdf.writePdf(pages))
+      assert(got == pages, s"round-trip diverged for ${pages.map(_.inspect)}")
+    }
+  }
+
   test("property: single-graph HNSW recall stays high on random sets") {
     val rnd = new scala.util.Random(1234)
     val recalls = (1 to 15).map { _ =>
