@@ -16,8 +16,9 @@ object ScaleCheck {
     "q01_filter_project", "q02_agg_groupby", "q03_global_agg", "q05_join_multi",
     "q12_window_running", "q13_window_rank", "q15_topn", "q16_sample_det",
     "q17_sample_stratified", "q28_dedup_exact", "q33_lsh_pairs", "q35_simhash",
-    "q36_lang_id", "q38_fingerprint", "q40_sessionize", "q56_tpch_q3",
-    "q57_tpch_q18", "q66_mean_ap", "q75_percentile_group")
+    "q36_lang_id", "q38_fingerprint", "q40_sessionize", "q51_window_range",
+    "q56_tpch_q3", "q57_tpch_q18", "q66_mean_ap", "q75_percentile_group",
+    "q97_gopher_rules")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -57,11 +58,16 @@ object ScaleCheck {
           .write.mode("overwrite").parquet(s"$bigDir/$dim.parquet")
     }
 
+    // noop sink, as in Bench: rows are fully produced on executors but not
+    // serialized to the driver — collect() would make any query with
+    // data-proportional output (q12 emits every row) look superlinear from
+    // single-threaded driver deserialization alone, hiding the plan's
+    // actual scaling
     def time(dir: String, name: String): Double = {
       val fn = graft.SparkEntry.queries(name)
-      fn(spark, dir).collect() // warm
+      fn(spark, dir).write.format("noop").mode("overwrite").save() // warm
       val t0 = System.nanoTime()
-      fn(spark, dir).collect()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
