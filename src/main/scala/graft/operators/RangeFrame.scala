@@ -45,6 +45,17 @@ object RangeFrame {
       lookback: Long,
       outName: String,
       aggOver: org.apache.spark.sql.expressions.WindowSpec => Column,
+      bucketWidth: Long = 0L): DataFrame =
+    withBoundedFrames(df, parts, orderCol, lookback,
+      Seq(outName -> aggOver), bucketWidth)
+
+  /** Multi-aggregate form: all frames share one bucketed shuffle+sort. */
+  def withBoundedFrames(
+      df: DataFrame,
+      parts: Seq[Column],
+      orderCol: Column,
+      lookback: Long,
+      aggs: Seq[(String, org.apache.spark.sql.expressions.WindowSpec => Column)],
       bucketWidth: Long = 0L): DataFrame = {
     require(lookback >= 0, "lookback must be >= 0")
     val b = if (bucketWidth > 0) bucketWidth else math.max(4 * lookback, 1L)
@@ -60,8 +71,9 @@ object RangeFrame {
       .partitionBy(parts :+ col("_rf_bkt"): _*)
       .orderBy(orderCol)
       .rangeBetween(-lookback, Window.currentRow)
-    home.unionByName(carry)
-      .withColumn(outName, aggOver(w))
+    aggs.foldLeft(home.unionByName(carry)) { case (d, (name, aggOver)) =>
+      d.withColumn(name, aggOver(w))
+    }
       .filter(col("_rf_home"))
       .drop("_rf_bkt", "_rf_home")
   }

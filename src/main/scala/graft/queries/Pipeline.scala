@@ -835,5 +835,36 @@ object Pipeline {
               |  (v = min(lbl)) AS is_canonical
               |FROM walk GROUP BY v ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q99_rolling_window",
+      (s, dir) => {
+        // rolling 1-hour per-user event stats — a TIME-based bounded RANGE
+        // frame through RangeFrame's bucketed shape (microsecond order key,
+        // bucket = 4h): user_id is high-cardinality already, but the
+        // bucketing also bounds power-law users (one hot user's history
+        // splits across time buckets instead of one task). count is exact;
+        // the sum is rounded once (2 dp) as everywhere else.
+        val base = T(s, dir, "events")
+          .filter(col("user_id") < 50)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("_us"), col("value"))
+        graft.operators.RangeFrame.withBoundedFrames(
+            base, Seq(col("user_id")), col("_us"), 3600L * 1000000,
+            Seq(
+              "n_1h" -> (w => count(lit(1)).over(w)),
+              "sum_1h" -> (w => round(sum(col("value")).over(w), 2))))
+          .select(col("event_id"), col("user_id"), col("n_1h"),
+            col("sum_1h"))
+          .transform(graft.QueryUtil.orderedSmall(_,
+            col("event_id"), col("user_id")))
+      },
+      Some("""SELECT event_id, user_id,
+             |count(*) OVER w AS n_1h,
+             |round(sum(value) OVER w, 2) AS sum_1h
+             |FROM events WHERE user_id < 50
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id, user_id""".stripMargin),
+    ),
   )
 }
