@@ -1,0 +1,113 @@
+package graft.functions
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.AsyncBatcher
+
+/** ML/LLM provider surface over the OpenAI-compatible HTTP API — the wire
+  * protocol that openai, azure, together, fireworks, vllm, ollama, llama.cpp
+  * and most serving stacks speak (the reference ships ~17k LoC of per-vendor
+  * wrappers, `/root/reference/pixeltable/functions/openai.py` et al.; this
+  * implements the shared protocol once and treats the vendor as an endpoint
+  * + model string). Execution rides `AsyncBatcher` — the reference's
+  * scheduler semantics: bounded in-flight, token-bucket rate limit, retries
+  * with exponential backoff (honoring `Retry-After` on 429/503), per-cell
+  * error capture instead of task failure.
+  *
+  * Embeddings batch natively (one POST per 64 texts — the API's own
+  * batching); chat completions post per prompt inside the batch window.
+  * Results land as JSON strings (`from_json` to typed columns downstream),
+  * keeping the surface schema-stable across models.
+  */
+object Providers {
+
+  final case class ProviderConfig(
+      endpoint: String,       // base URL, e.g. http://host:8080/v1
+      model: String,
+      apiKey: String = "",    // literal key; prefer apiKeyEnv in production
+      apiKeyEnv: String = "", // env var holding the key (wins if set & present)
+      timeoutMs: Long = 60000,
+      batch: AsyncBatcher.Config = AsyncBatcher.Config()) {
+    def resolvedKey: String =
+      if (apiKeyEnv.nonEmpty) sys.env.getOrElse(apiKeyEnv, apiKey) else apiKey
+  }
+
+  /** HTTP error carrying the status and any Retry-After hint. */
+  final class ProviderHttpError(val status: Int, val retryAfterMs: Long,
+      body: String) extends RuntimeException(s"HTTP $status: ${body.take(200)}")
+
+  private val mapper = new ObjectMapper()
+
+  @transient private lazy val http: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+
+  private def post(cfg: ProviderConfig, path: String, body: String): JsonNode = {
+    val b = HttpRequest.newBuilder(URI.create(cfg.endpoint + path))
+      .timeout(Duration.ofMillis(cfg.timeoutMs))
+      .header("Content-Type", "application/json")
+    val key = cfg.resolvedKey
+    if (key.nonEmpty) b.header("Authorization", s"Bearer $key")
+    val resp = http.send(
+      b.POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2) {
+      val retryMs = resp.headers().firstValue("Retry-After")
+        .map[Long](s => s.toDouble.toLong * 1000L).orElse(0L)
+      if (retryMs > 0 && (resp.statusCode() == 429 || resp.statusCode() == 503))
+        Thread.sleep(retryMs) // server-directed pacing, then let retry rerun
+      throw new ProviderHttpError(resp.statusCode(), retryMs, resp.body())
+    }
+    mapper.readTree(resp.body())
+  }
+
+  /** One embeddings POST for a batch of texts (the API's native batching);
+    * returns one compact JSON float array per input, `data` re-ordered by
+    * its `index` field as the protocol allows out-of-order entries.
+    */
+  def embedBatch(cfg: ProviderConfig)(texts: Seq[String]): Seq[String] = {
+    val req = mapper.createObjectNode()
+    req.put("model", cfg.model)
+    val arr = req.putArray("input")
+    texts.foreach(arr.add)
+    val data = post(cfg, "/embeddings", mapper.writeValueAsString(req)).get("data")
+    val byIndex = (0 until data.size()).map { i =>
+      val d = data.get(i)
+      d.get("index").asInt() -> d.get("embedding").toString
+    }.toMap
+    texts.indices.map(byIndex)
+  }
+
+  /** One chat completion per prompt (posted sequentially inside the batch
+    * window; concurrency comes from AsyncBatcher's in-flight batches).
+    */
+  def chatBatch(cfg: ProviderConfig, system: Option[String] = None)
+      (prompts: Seq[String]): Seq[String] =
+    prompts.map { p =>
+      val req = mapper.createObjectNode()
+      req.put("model", cfg.model)
+      val msgs = req.putArray("messages")
+      system.foreach(s => msgs.addObject().put("role", "system").put("content", s))
+      msgs.addObject().put("role", "user").put("content", p)
+      post(cfg, "/chat/completions", mapper.writeValueAsString(req))
+        .get("choices").get(0).get("message").get("content").asText()
+    }
+
+  /** df + JSON-array embedding column (`outputCol`) and
+    * `<outputCol>_errormsg` — cast downstream with
+    * `from_json(col, "array<float>")`.
+    */
+  def withEmbeddings(df: DataFrame, inputCol: String, outputCol: String,
+      cfg: ProviderConfig): DataFrame =
+    AsyncBatcher.mapColumn(df, inputCol, outputCol, embedBatch(cfg), cfg.batch)
+
+  /** df + completion text column and `<outputCol>_errormsg`. */
+  def withChatCompletion(df: DataFrame, promptCol: String, outputCol: String,
+      cfg: ProviderConfig, system: Option[String] = None): DataFrame =
+    AsyncBatcher.mapColumn(df, promptCol, outputCol, chatBatch(cfg, system),
+      cfg.batch)
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+import java.net.InetSocketAddress
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic OpenAI-compatible server on localhost (JDK HttpServer):
+  * /v1/embeddings returns [len(text), code(first char)] per input with the
+  * protocol's out-of-order `data` allowed (emitted reversed), and the first
+  * call per process returns 429 + Retry-After to exercise the retry path;
+  * /v1/chat/completions echoes the prompt reversed. Auth is enforced.
+  */
+class ProvidersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+  @volatile private var flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private def startServer(): (HttpServer, String) = {
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def handle(ex: HttpExchange)(f: com.fasterxml.jackson.databind.JsonNode => String): Unit = {
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      if (auth != "Bearer test-key") {
+        val b = """{"error":"unauthorized"}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(401, b.length); ex.getResponseBody.write(b)
+      } else if (flaky.getAndIncrement() == 0) {
+        // first request of the test run: rate-limited with a hint
+        ex.getResponseHeaders.add("Retry-After", "0")
+        val b = """{"error":"rate limited"}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(429, b.length); ex.getResponseBody.write(b)
+      } else {
+        val req = mapper.readTree(ex.getRequestBody)
+        val out = f(req).getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, out.length); ex.getResponseBody.write(out)
+      }
+      ex.close()
+    }
+    srv.createContext("/v1/embeddings", (ex: HttpExchange) => handle(ex) { req =>
+      assert(req.get("model").asText() == "test-embed")
+      val inputs = req.get("input")
+      val root = mapper.createObjectNode()
+      val data = root.putArray("data")
+      // reversed order: the client must re-sort by `index`
+      ((inputs.size() - 1) to 0 by -1).foreach { i =>
+        val t = inputs.get(i).asText()
+        val d = data.addObject()
+        d.put("index", i)
+        val e = d.putArray("embedding")
+        e.add(t.length.toDouble)
+        e.add(if (t.isEmpty) 0.0 else t.charAt(0).toDouble)
+      }
+      mapper.writeValueAsString(root)
+    })
+    srv.createContext("/v1/chat/completions", (ex: HttpExchange) => handle(ex) { req =>
+      val msgs = req.get("messages")
+      val prompt = msgs.get(msgs.size() - 1).get("content").asText()
+      val root = mapper.createObjectNode()
+      root.putArray("choices").addObject()
+        .putObject("message").put("role", "assistant")
+        .put("content", prompt.reverse)
+      mapper.writeValueAsString(root)
+    })
+    srv.start()
+    (srv, s"http://127.0.0.1:${srv.getAddress.getPort}/v1")
+  }
+
+  test("embeddings: native batching, index re-sort, 429 retry, auth, errors") {
+    flaky = new java.util.concurrent.atomic.AtomicInteger(0)
+    val (srv, endpoint) = startServer()
+    try {
+      val cfg = Providers.ProviderConfig(endpoint, "test-embed", apiKey = "test-key")
+      val docs = Seq("alpha", "be", "", "gamma!").toDF("text")
+      val out = Providers.withEmbeddings(docs, "text", "emb", cfg)
+        .withColumn("v", from_json(col("emb"),
+          org.apache.spark.sql.types.DataType.fromDDL("array<float>")))
+        .select("text", "v", "emb_errormsg").collect()
+        .map(r => (r.getString(0), Option(r.getSeq[Float](1)).map(_.toSeq), r.getString(2)))
+      assert(out.forall(_._3 == null), s"unexpected errors: ${out.toSeq}")
+      val byText = out.map(x => x._1 -> x._2.get).toMap
+      assert(byText("alpha") == Seq(5.0f, 'a'.toFloat))
+      assert(byText("be") == Seq(2.0f, 'b'.toFloat))
+      assert(byText("") == Seq(0.0f, 0.0f))
+      assert(byText("gamma!") == Seq(6.0f, 'g'.toFloat))
+      // bad credentials: per-cell error capture, job does not fail
+      val bad = Providers.withEmbeddings(docs, "text", "emb",
+        cfg.copy(apiKey = "wrong",
+          batch = graft.operators.AsyncBatcher.Config(maxRetries = 0)))
+        .select("emb", "emb_errormsg").collect()
+      assert(bad.forall(r => r.getString(0) == null && r.getString(1).contains("401")))
+    } finally srv.stop(0)
+  }
+
+  test("chat completions over a DataFrame with a system prompt") {
+    flaky = new java.util.concurrent.atomic.AtomicInteger(1) // no 429 this time
+    val (srv, endpoint) = startServer()
+    try {
+      val cfg = Providers.ProviderConfig(endpoint, "test-chat", apiKey = "test-key")
+      val out = Providers.withChatCompletion(
+          Seq("stressed", "drawer").toDF("prompt"), "prompt", "answer",
+          cfg, system = Some("reverse it"))
+        .select("prompt", "answer").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(out == Map("stressed" -> "desserts", "drawer" -> "reward"))
+    } finally srv.stop(0)
+  }
+}
