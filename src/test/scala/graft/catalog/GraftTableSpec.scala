@@ -308,6 +308,27 @@ class GraftTableSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("w2") == r.getAs[Long]("w") * 2))
   }
 
+  test("computed columns evaluate registered Scala UDFs (provider-style)") {
+    // the reference's UDF-backed computed columns (@pxt.udf in a computed
+    // column): computedExpr is a SQL expression, so any registered UDF —
+    // including ones wrapping remote/tool calls — participates in insert
+    // evaluation, cascade and backfill
+    spark.udf.register("graft_test_sig",
+      (s: String) => if (s == null) null else s"${s.length}:${s.toUpperCase}")
+    val t = GraftTable.create(spark, freshCatalog(), "udfcol", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("txt", "string"),
+      ColumnDef("sig", "string", computedExpr = Some("graft_test_sig(txt)")),
+      ColumnDef("sig_len", "int",
+        computedExpr = Some("cast(split(sig, ':')[0] as int)"))))
+    t.insert(Seq((1L, "abc"), (2L, "hello")).toDF("id", "txt"))
+    val rows = t.read().orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("sig")).toSeq == Seq("3:ABC", "5:HELLO"))
+    assert(rows.map(_.getAs[Int]("sig_len")).toSeq == Seq(3, 5)) // cascade
+    t.update(Map("txt" -> "'replaced'"), "id = 1")
+    val r1 = t.read().filter("id = 1").head()
+    assert(r1.getAs[String]("sig") == "8:REPLACED" && r1.getAs[Int]("sig_len") == 8)
+  }
+
   test("out-of-band CAS conflict replays the mutation once, losslessly") {
     // the writer lock hides the replay path from in-process races; inject
     // a conflicting commit inside the race window via the test seam — the
