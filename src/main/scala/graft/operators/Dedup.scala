@@ -33,20 +33,26 @@ object Dedup {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val e = edges.select(col(edges.columns(0)).cast("long").as("src"),
       col(edges.columns(1)).cast("long").as("dst"))
+    // hash-partition the (cached) edge list on the join key once: the
+    // per-round join then reuses the cached partitioning and only the
+    // small label side shuffles each iteration
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().persist()
+      .distinct().repartition(col("dst")).persist()
+    // eager localCheckpoint instead of persist: iterative lineage would
+    // otherwise grow by one join+agg per round, inflating planning time
+    // linearly in rounds (the classic iterative-algorithm trap)
     var labels = und.select(col("src").as("v")).distinct()
-      .withColumn("component", col("v")).persist()
+      .withColumn("component", col("v")).localCheckpoint(true)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       val msgs = und.join(labels, und("dst") === labels("v"))
         .select(und("src").as("v"), col("component"))
       val next = labels.select("v", "component").union(msgs)
-        .groupBy("v").agg(min("component").as("component")).persist()
+        .groupBy("v").agg(min("component").as("component"))
+        .localCheckpoint(true)
       changed = labels.select(col("v"), col("component").as("_old"))
         .join(next, "v").filter(col("component") < col("_old")).count()
-      labels.unpersist()
       labels = next
       it += 1
     }
