@@ -126,6 +126,99 @@ object Dedup {
       .filter(col("_rk") === 1).drop("_rk")
   }
 
+  /** Embedding-space near-duplicate pairs via a cluster-pruned similarity
+    * self-join — the SemDeDup clustering shape (Abbas et al. 2023,
+    * arXiv:2303.09540) made EXACT with the triangle-inequality bound
+    * `ExactAnn` uses for search. K-means over unit vectors partitions the
+    * corpus; for clusters i, j with centroid distance d_ij and member radii
+    * r_i, r_j, any members x∈i, y∈j satisfy d(x,y) ≥ d_ij − r_i − r_j, so
+    * on unit vectors cos(x,y) ≤ 1 − max(0, d_ij−r_i−r_j)²/2. Cluster pairs
+    * whose bound falls below `tau` cannot contain a qualifying pair and are
+    * never compared.
+    *
+    * Scale shape: the candidate cluster-pair list is a k×k driver
+    * computation broadcast into an equi-join on cluster id — each row
+    * shuffles ONCE on its cluster, comparisons happen only within candidate
+    * cluster pairs, never all-pairs. Exactness is unconditional: a poor
+    * clustering degrades pruning (worst case all k² pairs survive, the
+    * brute-force join), never the answer. `exact=false` drops the bound
+    * and compares within single clusters only — SemDeDup proper, the
+    * cheaper approximation that misses cross-cluster pairs.
+    *
+    * Returns (vec_a, vec_b, cos_sim) with vec_a < vec_b and
+    * round(cos_sim, 6) ≥ tau.
+    */
+  def semanticNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+      tau: Double, k: Int = 16, maxIter: Int = 10,
+      exact: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val ivf = ExactAnn.build(df, vecCol, idCol, k, maxIter)
+    val assigned = KMeans.assign(
+        df.withColumn("_nv", ExactAnn.normalized(col(vecCol))), "_nv", ivf.model)
+      .select(col(idCol).as("_ida"), col(vecCol).cast("array<double>").as("_va"),
+        col("cluster").as("_ca"))
+    val cand = candidateClusterPairs(ivf, tau, exact)
+    import spark.implicits._
+    val candDf = cand.toDF("_ci", "_cj")
+    val b = assigned.select(col("_ida").as("_idb"), col("_va").as("_vb"),
+      col("_ca").as("_cb"))
+    assigned.join(broadcast(candDf), col("_ca") === col("_ci"))
+      .join(b, col("_cb") === col("_cj") && col("_ida") < col("_idb"))
+      .withColumn("cos_sim", round(graft.plans.NativeVector.cosine(spark,
+        col("_va"), col("_vb")), 6))
+      .filter(col("cos_sim") >= tau)
+      .select(col("_ida").as("vec_a"), col("_idb").as("vec_b"), col("cos_sim"))
+  }
+
+  /** Candidate cluster pairs for `semanticNearDupPairs` (driver-side k×k):
+    * both orientations for i≠j so the _ida < _idb filter keeps every
+    * unordered row pair exactly once regardless of which cluster holds the
+    * smaller id. A pair survives iff the triangle-inequality ceiling
+    * 1 − max(0, d_ij−r_i−r_j)²/2 on member cosine reaches `tau`.
+    */
+  private[operators] def candidateClusterPairs(ivf: ExactAnn.Ivf, tau: Double,
+      exact: Boolean): Seq[(Int, Int)] = {
+    val cents = ivf.model.centroids.map(_.toArray)
+    def dist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+    val idxs = cents.indices
+    idxs.flatMap { i =>
+      idxs.filter(_ >= i).flatMap { j =>
+        val keep =
+          if (!exact) i == j // SemDeDup proper: within-cluster only
+          else {
+            val gap = math.max(0.0,
+              dist(cents(i), cents(j)) - ivf.radii.getOrElse(i, 0.0) -
+                ivf.radii.getOrElse(j, 0.0))
+            // rounding in the final filter adds ≤5e-7; 1e-6 covers it + fp
+            1.0 - gap * gap / 2.0 >= tau - 1e-6
+          }
+        if (!keep) Nil
+        else if (i == j) Seq((i, j))
+        else Seq((i, j), (j, i))
+      }
+    }
+  }
+
+  /** Semantic dedup: drop every row that is embedding-near-duplicate
+    * (cos ≥ tau) of a lower-id row, with transitive chains collapsed to the
+    * component's smallest id via connected components — the SemDeDup
+    * keep-one policy with the same transitive-closure discipline as
+    * `nearDuplicates`.
+    */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String,
+      tau: Double, k: Int = 16, exact: Boolean = true): DataFrame = {
+    val pairs = semanticNearDupPairs(df, vecCol, idCol, tau, k, exact = exact)
+      .select(col("vec_a"), col("vec_b"))
+    val dupIds = connectedComponents(pairs)
+      .filter(col("v") =!= col("component"))
+      .select(col("v").as("_dup"))
+    df.join(dupIds, df(idCol) === dupIds("_dup"), "left_anti")
+  }
+
   /** Benchmark decontamination (GPT-3 appendix C / Llama 2 §A.6): per
     * training document, the number of distinct word `n`-grams (lowercased,
     * whitespace-tokenized) that also appear in the benchmark corpus.

@@ -866,5 +866,31 @@ object Pipeline {
              |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              |ORDER BY event_id, user_id""".stripMargin),
     ),
+    QueryDef(
+      "q100_semantic_neardup",
+      (s, dir) => {
+        // embedding-space near-dup pairs over the FULL table via the
+        // cluster-pruned EXACT similarity self-join (SemDeDup clustering
+        // shape + ExactAnn's triangle-inequality bound): rows shuffle once
+        // on their k-means cluster and compare only within cluster pairs
+        // whose centroid-distance/radii bound admits cos >= tau — never
+        // all-pairs (q31 is the bounded-id brute-force baseline). The
+        // oracle is the brute-force join: exactness is unconditional on
+        // clustering quality, so the hash gate holds at any corpus.
+        graft.operators.Dedup.semanticNearDupPairs(
+            T(s, dir, "embeddings"), "embedding", "vec_id", tau = 0.4, k = 8)
+          .transform(graft.QueryUtil.orderedSmall(_, col("vec_a"), col("vec_b")))
+      },
+      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(
+             |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE round(
+             |  list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             |  (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
+             |ORDER BY vec_a, vec_b""".stripMargin),
+    ),
   )
 }

@@ -93,6 +93,82 @@ class DedupSpec extends AnyFunSuite {
       (4L, "<EMAIL> and <EMAIL> twice", 2L)))
   }
 
+  test("semanticNearDupPairs equals brute force regardless of clustering") {
+    // deterministic pseudo-random 16-dim vectors: clusters are garbage on
+    // this data, so the test pins the exactness claim (pruning can only
+    // degrade, never lose pairs)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 120).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian())))
+    val df = vecs.toDF("vec_id", "embedding")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= 0.3
+    } yield (ia, ib)).toSet
+    assert(want.nonEmpty)
+    for (k <- Seq(1, 5)) { // k=1 = degenerate single cluster, k=5 = pruned
+      val got = Dedup.semanticNearDupPairs(df, "embedding", "vec_id",
+          tau = 0.3, k = k)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("separable clusters prune cluster pairs; chains dedup to one keeper") {
+    // 4 tight blobs on orthogonal axes: cross-blob cosine ~0, within-blob
+    // ~1. At tau=0.9 the triangle-inequality ceiling kills every
+    // cross-cluster pair, so the candidate list is the 4 self-pairs.
+    val dirs = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+    val pts = (0 until 40).map { i =>
+      val d = dirs(i % 4)
+      (i.toLong, d.zipWithIndex.map { case (v, j) => v * 5 + 0.002 * ((i + j) % 5) })
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    // pruning-bound geometry on a hand-built layout (k-means init can
+    // legitimately split one blob, which weakens pruning but never
+    // correctness — the exactness test above pins that): ideal centroids
+    // at the axes, tiny radii → at tau=0.9 the ceiling 1−(√2−2r)²/2 ≈ 0
+    // kills every cross pair, keeping only the 4 self-pairs
+    val ideal = ExactAnn.Ivf(KMeans.Model(dirs),
+      (0 until 4).map(_ -> 0.01).toMap)
+    val cand = Dedup.candidateClusterPairs(ideal, tau = 0.9, exact = true)
+    assert(cand.toSet == (0 until 4).map(c => (c, c)).toSet)
+    // ...and with a threshold low enough that the ceiling can't exclude
+    // anything, every ordered pair survives (degrades to brute force)
+    val all = Dedup.candidateClusterPairs(ideal, tau = -1.0, exact = true)
+    assert(all.size == 4 * 4)
+    // within-blob members are mutual near-dups → semanticDedup keeps the
+    // smallest id per blob
+    val kept = Dedup.semanticDedup(df, "embedding", "vec_id", tau = 0.9, k = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 3L))
+    // SemDeDup-proper mode (within-cluster only) can only MISS pairs vs
+    // exact — here k-means split blob 0 across two centroids, so the
+    // approximation genuinely drops the cross-split pairs while the
+    // triangle-inequality mode still finds them (the exact flag's whole
+    // point). Pin the subset relation and that exact covers every
+    // within-blob pair.
+    val approx = Dedup.semanticNearDupPairs(df, "embedding", "vec_id",
+        tau = 0.9, k = 4, exact = false)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exactPairs = Dedup.semanticNearDupPairs(df, "embedding", "vec_id",
+        tau = 0.9, k = 4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exactPairs))
+    val wantBlobPairs = (for {
+      a <- 0L until 40L; b <- 0L until 40L
+      if a < b && a % 4 == b % 4 // same blob
+    } yield (a, b)).toSet
+    assert(exactPairs == wantBlobPairs)
+  }
+
   test("wordNgrams guards short token arrays") {
     import graft.functions.TextFunctions
     val df = Seq("a b c d", "a b", "").toDF("t")
