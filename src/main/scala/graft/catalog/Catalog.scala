@@ -244,6 +244,204 @@ final class Catalog(val warehouse: String) {
     } finally jvmLock.unlock()
   }
 
+  // ---------- directory namespace ----------
+  // The reference organizes tables in a directory tree addressed by
+  // slash-separated paths (`globals.py` create_dir/drop_dir/move/ls,
+  // `catalog/dir.py`). Here a path maps directly onto warehouse
+  // subdirectories: a TABLE is a dir containing `meta.json`, a DIRECTORY
+  // is marked by an empty `.dir` file (so empty dirs survive listing),
+  // and the root "" always exists. Namespace mutations serialize under a
+  // warehouse-level catalog lock.
+
+  private def catalogLock[A](f: => A): A =
+    withFileLock(Paths.get(warehouse, ".catalog.lock"))(f)
+
+  private def dirMarker(path: String) = Paths.get(warehouse, path, ".dir")
+
+  /** Validate a table/dir path: slash-separated segments of word chars,
+    * dots and dashes, not starting with a dot (reserves `.dir`,
+    * `.catalog.lock`), no empty segments.
+    */
+  def validatePath(path: String): Unit = {
+    require(path.nonEmpty, "empty path")
+    require(!path.startsWith("/") && !path.endsWith("/"), s"bad path '$path'")
+    path.split('/').foreach { seg =>
+      require(seg.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+        s"bad path segment '$seg' in '$path'")
+    }
+  }
+
+  private def parentOf(path: String): String = {
+    val i = path.lastIndexOf('/')
+    if (i < 0) "" else path.substring(0, i)
+  }
+
+  def isDir(path: String): Boolean = path.isEmpty || Files.exists(dirMarker(path))
+
+  def isTable(path: String): Boolean = exists(path)
+
+  private def requireParent(path: String): Unit = {
+    val p = parentOf(path)
+    require(isDir(p), s"parent directory '$p' does not exist")
+  }
+
+  /** Create a directory (reference `pxt.create_dir`). `ifExists`:
+    * error | ignore | replace (must be empty) | replace_force (drops
+    * contents). `parents` creates missing ancestors.
+    */
+  def createDir(path: String, ifExists: String = "error",
+      parents: Boolean = false): Unit = catalogLock {
+    validatePath(path)
+    require(!isTable(path), s"'$path' is a table")
+    if (isDir(path)) ifExists match {
+      case "ignore" => return
+      case "replace" =>
+        require(dirEntries(path).isEmpty, s"directory '$path' is not empty")
+      case "replace_force" => dropDir(path, force = true)
+      case _ => throw new IllegalArgumentException(s"directory '$path' already exists")
+    }
+    if (parents) {
+      val segs = path.split('/')
+      segs.indices.foreach { i =>
+        val p = segs.take(i + 1).mkString("/")
+        require(!isTable(p), s"'$p' is a table")
+        Files.createDirectories(dirMarker(p).getParent)
+        if (!Files.exists(dirMarker(p))) Files.createFile(dirMarker(p))
+      }
+    } else {
+      requireParent(path)
+      Files.createDirectories(dirMarker(path).getParent)
+      if (!Files.exists(dirMarker(path))) Files.createFile(dirMarker(path))
+    }
+  }
+
+  /** Immediate children of a directory: (name, isTable) pairs. */
+  private def dirEntries(path: String): Seq[(String, Boolean)] = {
+    val base = if (path.isEmpty) Paths.get(warehouse) else Paths.get(warehouse, path)
+    if (!Files.exists(base)) Seq.empty
+    else {
+      val s = Files.list(base)
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala.filter(Files.isDirectory(_))
+        .flatMap { p =>
+          val n = p.getFileName.toString
+          if (Files.exists(p.resolve("meta.json"))) Some(n -> true)
+          else if (Files.exists(p.resolve(".dir"))) Some(n -> false)
+          else None
+        }.toSeq.sortBy(_._1)
+      finally s.close()
+    }
+  }
+
+  /** Drop a directory (reference `pxt.drop_dir`): refuses non-empty unless
+    * `force`, which removes the whole subtree including tables.
+    */
+  def dropDir(path: String, force: Boolean = false,
+      ifNotExists: String = "error"): Unit = catalogLock {
+    validatePath(path)
+    if (!isDir(path)) {
+      if (ifNotExists == "ignore") return
+      throw new IllegalArgumentException(s"no such directory: '$path'")
+    }
+    val entries = dirEntries(path)
+    require(force || entries.isEmpty, s"directory '$path' is not empty")
+    val dir = Paths.get(warehouse, path)
+    val s = Files.walk(dir)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally s.close()
+  }
+
+  /** Directories under `path` as full paths, sorted (reference
+    * `pxt.list_dirs`).
+    */
+  def listDirs(path: String = "", recursive: Boolean = true): Seq[String] = {
+    val here = dirEntries(path).collect { case (n, false) =>
+      if (path.isEmpty) n else s"$path/$n"
+    }
+    if (!recursive) here
+    else here ++ here.flatMap(d => listDirs(d, recursive = true))
+  }.sorted
+
+  /** Tables under `path` as full paths, sorted (reference
+    * `pxt.list_tables`).
+    */
+  def listTablesUnder(path: String = "", recursive: Boolean = true): Seq[String] = {
+    val entries = dirEntries(path)
+    val tables = entries.collect { case (n, true) =>
+      if (path.isEmpty) n else s"$path/$n"
+    }
+    val subdirs = entries.collect { case (n, false) =>
+      if (path.isEmpty) n else s"$path/$n"
+    }
+    (if (recursive) tables ++ subdirs.flatMap(listTablesUnder(_, recursive = true))
+     else tables).sorted
+  }
+
+  /** Move/rename a table or directory (reference `pxt.move`). Rewrites the
+    * absolute data-file URIs in moved manifests (version log + index
+    * paths). Open handles to a moved table are invalidated — their next
+    * operation fails to load the old path. `ifExists='ignore'` no-ops when
+    * the destination exists; `ifNotExists='ignore'` no-ops when the source
+    * doesn't.
+    */
+  def move(path: String, newPath: String, ifExists: String = "error",
+      ifNotExists: String = "error"): Unit = catalogLock {
+    validatePath(path); validatePath(newPath)
+    require(path != newPath, "source and destination are identical")
+    require(!(newPath + "/").startsWith(path + "/"),
+      s"cannot move '$path' into its own subtree")
+    if (!isTable(path) && !isDir(path)) {
+      if (ifNotExists == "ignore") return
+      throw new IllegalArgumentException(s"no such table or directory: '$path'")
+    }
+    if (isTable(newPath) || isDir(newPath)) {
+      if (ifExists == "ignore") return
+      throw new IllegalArgumentException(s"'$newPath' already exists")
+    }
+    requireParent(newPath)
+    // block in-flight mutations on a moved table; dir moves take the lock
+    // of every nested table (depth-first via recursion below)
+    if (isTable(path)) withFileLock(Paths.get(warehouse, path, "writer.lock")) {
+      Files.move(Paths.get(warehouse, path), Paths.get(warehouse, newPath),
+        StandardCopyOption.ATOMIC_MOVE)
+      rewriteMovedMeta(path, newPath)
+    } else {
+      Files.move(Paths.get(warehouse, path), Paths.get(warehouse, newPath),
+        StandardCopyOption.ATOMIC_MOVE)
+      // rewrite every nested table's manifest
+      listTablesUnder(newPath).foreach { t =>
+        val old = path + t.stripPrefix(newPath)
+        rewriteMovedMeta(old, t)
+      }
+    }
+  }
+
+  /** After a physical move, fix the moved manifest: `name` and every
+    * absolute file URI in the version log / index defs contains the old
+    * path. URIs appear both as plain absolute paths and `file:` URIs, so
+    * the rewrite is a substring replace of the old absolute prefix.
+    */
+  private def rewriteMovedMeta(oldPath: String, newPath: String): Unit = {
+    val m = load(newPath).copy(name = newPath) // loads by location; name field is stale
+    val oldAbs = Paths.get(warehouse, oldPath).toAbsolutePath.toString + "/"
+    val newAbs = Paths.get(warehouse, newPath).toAbsolutePath.toString + "/"
+    def fix(s: String) = s.replace(oldAbs, newAbs)
+    save(m.copy(
+      versions = m.versions.map(v =>
+        v.copy(added = v.added.map(fix), removed = v.removed.map(fix))),
+      indexes = m.indexes.map(i => i.copy(path = fix(i.path)))))
+  }
+
+  /** Ensure a table path can be created here: valid segments, parent dir
+    * exists, and nothing already occupies the path.
+    */
+  def requireCreatable(path: String): Unit = {
+    validatePath(path)
+    require(!isDir(path), s"'$path' is a directory")
+    requireParent(path)
+  }
+
   def dropTable(table: String): Unit = {
     val dir = Paths.get(warehouse, table)
     if (Files.exists(dir)) {

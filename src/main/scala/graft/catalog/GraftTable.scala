@@ -735,6 +735,7 @@ object GraftTable {
   def create(spark: SparkSession, catalog: Catalog, name: String,
       columns: Seq[ColumnDef]): GraftTable = {
     require(!catalog.exists(name), s"table $name already exists")
+    catalog.requireCreatable(name) // valid segments, parent dir exists
     catalog.save(TableMeta(name, columns,
       versions = Seq(VersionEntry(0L, "create", Seq.empty, Seq.empty,
         System.currentTimeMillis())),

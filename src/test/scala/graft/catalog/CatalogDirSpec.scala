@@ -1,0 +1,111 @@
+package graft.catalog
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Directory-namespace surface (reference `pxt.create_dir` / `drop_dir` /
+  * `move` / `list_dirs` / `list_tables`, `globals.py`): slash-separated
+  * paths over warehouse subdirectories, `.dir` markers for empty dirs,
+  * manifest URI rewrite on move.
+  */
+class CatalogDirSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCatalog() =
+    new Catalog(java.nio.file.Files.createTempDirectory("graft-dir").toString)
+
+  private val cols = Seq(ColumnDef("id", "bigint"), ColumnDef("s", "string"))
+
+  test("createDir: nesting, parents, ifExists modes") {
+    val cat = freshCatalog()
+    cat.createDir("d1")
+    assert(cat.isDir("d1"))
+    // parent must exist without parents=true
+    intercept[IllegalArgumentException](cat.createDir("dx/sub"))
+    cat.createDir("d1/sub")
+    cat.createDir("a/b/c", parents = true)
+    assert(cat.isDir("a/b") && cat.isDir("a/b/c"))
+    // error / ignore / replace
+    intercept[IllegalArgumentException](cat.createDir("d1"))
+    cat.createDir("d1", ifExists = "ignore")
+    intercept[IllegalArgumentException](cat.createDir("d1", ifExists = "replace")) // not empty
+    cat.createDir("d1/sub", ifExists = "replace") // empty: ok
+    cat.createDir("d1", ifExists = "replace_force")
+    assert(cat.isDir("d1") && !cat.isDir("d1/sub"))
+    // invalid segments rejected
+    intercept[IllegalArgumentException](cat.createDir(".hidden"))
+    intercept[IllegalArgumentException](cat.createDir("a//b"))
+  }
+
+  test("tables live inside dirs; listing sees the tree") {
+    val cat = freshCatalog()
+    cat.createDir("corp/raw", parents = true)
+    val t = GraftTable.create(spark, cat, "corp/raw/events", cols)
+    t.insert(Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    assert(t.read().count() == 2)
+    // parent must be a dir
+    intercept[IllegalArgumentException](
+      GraftTable.create(spark, cat, "nosuch/t", cols))
+    // a table path can't be shadowed by a dir and vice versa
+    intercept[IllegalArgumentException](cat.createDir("corp/raw/events"))
+    assert(cat.listDirs() == Seq("corp", "corp/raw"))
+    assert(cat.listDirs("corp", recursive = false) == Seq("corp/raw"))
+    assert(cat.listTablesUnder() == Seq("corp/raw/events"))
+    assert(cat.listTablesUnder("corp") == Seq("corp/raw/events"))
+  }
+
+  test("move table rewrites manifest URIs; history and DML survive") {
+    val cat = freshCatalog()
+    cat.createDir("src")
+    cat.createDir("dst")
+    val t = GraftTable.create(spark, cat, "src/t", cols)
+    t.insert(Seq((1L, "a")).toDF("id", "s"))
+    t.insert(Seq((2L, "b")).toDF("id", "s"))
+    cat.move("src/t", "dst/t2")
+    assert(!cat.isTable("src/t") && cat.isTable("dst/t2"))
+    val m = GraftTable.open(spark, cat, "dst/t2")
+    // reads (manifest URIs must point at the moved files)
+    assert(m.read().as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // time travel across the move
+    assert(m.read(Some(1L)).count() == 1)
+    // post-move DML lands under the new path
+    m.insert(Seq((3L, "c")).toDF("id", "s"))
+    assert(m.read().count() == 3)
+    assert(m.meta.versions.flatMap(_.added).forall(_.contains("dst/t2")))
+    // old handle is invalidated
+    intercept[Exception](t.read().count())
+  }
+
+  test("move directory carries nested tables; move guards hold") {
+    val cat = freshCatalog()
+    cat.createDir("a/b", parents = true)
+    val t = GraftTable.create(spark, cat, "a/b/t", cols)
+    t.insert(Seq((7L, "x")).toDF("id", "s"))
+    cat.createDir("elsewhere")
+    cat.move("a", "elsewhere/a2")
+    assert(cat.listTablesUnder() == Seq("elsewhere/a2/b/t"))
+    val m = GraftTable.open(spark, cat, "elsewhere/a2/b/t")
+    assert(m.read().as[(Long, String)].collect().toSeq == Seq((7L, "x")))
+    // guards
+    intercept[IllegalArgumentException](cat.move("elsewhere", "elsewhere/a2/x"))
+    intercept[IllegalArgumentException](cat.move("nope", "other"))
+    cat.move("nope", "other", ifNotExists = "ignore") // no-op
+    cat.createDir("d3")
+    intercept[IllegalArgumentException](cat.move("d3", "elsewhere/a2"))
+    cat.move("d3", "elsewhere/a2", ifExists = "ignore") // no-op
+    assert(cat.isDir("d3"))
+  }
+
+  test("dropDir: empty-only unless force; force drops nested tables") {
+    val cat = freshCatalog()
+    cat.createDir("p/q", parents = true)
+    GraftTable.create(spark, cat, "p/q/t", cols)
+    intercept[IllegalArgumentException](cat.dropDir("p"))
+    cat.dropDir("p", force = true)
+    assert(!cat.isDir("p") && !cat.isTable("p/q/t"))
+    intercept[IllegalArgumentException](cat.dropDir("p"))
+    cat.dropDir("p", ifNotExists = "ignore")
+  }
+}
