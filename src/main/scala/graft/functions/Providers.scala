@@ -46,6 +46,9 @@ object Providers {
   @transient private lazy val http: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
 
+  private[functions] def postJson(cfg: ProviderConfig, path: String,
+      body: String): JsonNode = post(cfg, path, body)
+
   private def post(cfg: ProviderConfig, path: String, body: String): JsonNode = {
     val b = HttpRequest.newBuilder(URI.create(cfg.endpoint + path))
       .timeout(Duration.ofMillis(cfg.timeoutMs))
