@@ -229,16 +229,79 @@ object Pdf {
     out.toSeq
   }
 
+  /** Chunk bounding box in PDF user space (origin bottom-left, points) —
+    * the reference's BoundingBox metadata (`document.py` x1/y1/x2/y2).
+    */
+  final case class PdfBox(x1: Double, y1: Double, x2: Double, y2: Double) {
+    def union(o: PdfBox): PdfBox = PdfBox(math.min(x1, o.x1),
+      math.min(y1, o.y1), math.max(x2, o.x2), math.max(y2, o.y2))
+  }
+
+  /** Advance width of `t` at font size `size`, Adobe core Helvetica AFM
+    * metrics (published character widths, /1000 em) — exact for this
+    * writer's output; the documented approximation for foreign fonts
+    * (resolving embedded font programs is out of the subset). Non-ASCII
+    * falls back to the Helvetica average 556.
+    */
+  private val helveticaWidths: Array[Int] = Array(
+    278, 278, 355, 556, 556, 889, 667, 191, 333, 333, 389, 584, 278, 333,
+    278, 278, 556, 556, 556, 556, 556, 556, 556, 556, 556, 556, 278, 278,
+    584, 584, 584, 556, 1015, 667, 667, 722, 722, 667, 611, 778, 722, 278,
+    500, 667, 556, 833, 722, 778, 667, 778, 722, 667, 611, 722, 667, 944,
+    667, 667, 611, 278, 278, 278, 469, 556, 333, 556, 556, 500, 556, 556,
+    278, 556, 556, 222, 222, 500, 222, 833, 556, 556, 556, 556, 333, 500,
+    278, 556, 500, 722, 500, 500, 500, 334, 260, 334, 584)
+  private def textWidth(t: CharSequence, size: Double): Double = {
+    var w = 0.0
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      w += (if (c >= 32 && c <= 126) helveticaWidths(c - 32) else 556)
+      i += 1
+    }
+    w * size / 1000.0
+  }
+
+  // Helvetica vertical metrics (ascender 718, descender -207, /1000 em)
+  private val Ascent = 0.718
+  private val Descent = 0.207
+
   /** Text-showing operators of one page's (concatenated) content streams. */
-  private[functions] def extractContentText(content: Array[Byte]): String = {
+  private[functions] def extractContentText(content: Array[Byte]): String =
+    extractContentRuns(content)._1
+
+  /** Text plus the union bounding box of the page's shown text, tracking
+    * the positioning operators (BT, Tm, Td, TD, T-star, TL, Tf and the
+    * quote shortcuts) with Helvetica advance widths. Rotation/scale in Tm
+    * and TJ kerning are ignored for the box (translation only) — PDFs from
+    * `writePdf` are measured exactly.
+    */
+  private[functions] def extractContentRuns(
+      content: Array[Byte]): (String, Option[PdfBox]) = {
     val s = new String(content, ISO_8859_1)
     val text = new StringBuilder // latin1 chars = raw bytes
     val pending = new StringBuilder
     var havePending = false
     var seenText = false
     var i = 0
+    // text-position state (translation components only)
+    var lineX = 0.0; var lineY = 0.0 // start of the current line
+    var curX = 0.0; var curY = 0.0   // current show position
+    var size = 12.0                  // last Tf size
+    var leading = 0.0                // TL / TD-set leading for T* and '/"
+    val nums = new scala.collection.mutable.ArrayBuffer[Double](8)
+    var box: Option[PdfBox] = None
     def flushShow(): Unit = {
+      if (pending.nonEmpty) {
+        val w = textWidth(pending, size)
+        val b = PdfBox(curX, curY - Descent * size, curX + w, curY + Ascent * size)
+        box = Some(box.fold(b)(_.union(b)))
+        curX += w
+      }
       text.append(pending); pending.clear(); havePending = false; seenText = true
+    }
+    def nextLine(): Unit = {
+      lineY -= leading; curX = lineX; curY = lineY
     }
     def newline(): Unit = if (seenText) text.append('\n')
     while (i < s.length) {
@@ -302,27 +365,61 @@ object Pdf {
           val start = i
           while (i < s.length && !isDelim(s.charAt(i))) i += 1
           s.substring(start, i) match {
-            case "Tj" | "TJ" if havePending => flushShow()
-            case "'" => newline(); if (havePending) flushShow() else seenText = true
-            case "\"" => newline(); if (havePending) flushShow() else seenText = true
-            case "Td" | "TD" | "T*" =>
+            case "Tj" | "TJ" if havePending => flushShow(); nums.clear()
+            case "'" =>
+              newline(); nextLine()
+              if (havePending) flushShow() else seenText = true
+              nums.clear()
+            case "\"" =>
+              newline(); nextLine()
+              if (havePending) flushShow() else seenText = true
+              nums.clear()
+            case op @ ("Td" | "TD") =>
               pending.clear(); havePending = false; newline()
-            case "BT" | "ET" => pending.clear(); havePending = false
+              if (nums.length >= 2) {
+                val (tx, ty) = (nums(nums.length - 2), nums(nums.length - 1))
+                lineX += tx; lineY += ty
+                if (op == "TD") leading = -ty
+              }
+              curX = lineX; curY = lineY
+              nums.clear()
+            case "T*" =>
+              pending.clear(); havePending = false; newline()
+              nextLine()
+              nums.clear()
+            case "TL" =>
+              if (nums.nonEmpty) leading = nums.last
+              pending.clear(); havePending = false; nums.clear()
+            case "Tf" =>
+              if (nums.nonEmpty) size = nums.last
+              pending.clear(); havePending = false; nums.clear()
+            case "Tm" =>
+              pending.clear(); havePending = false
+              if (nums.length >= 6) { // translation components only
+                lineX = nums(nums.length - 2); lineY = nums(nums.length - 1)
+                curX = lineX; curY = lineY
+              }
+              nums.clear()
+            case "BT" =>
+              pending.clear(); havePending = false
+              lineX = 0; lineY = 0; curX = 0; curY = 0
+              nums.clear()
+            case "ET" => pending.clear(); havePending = false; nums.clear()
             case t if t.nonEmpty && !t.head.isDigit && t.head != '-' && t.head != '.' =>
               // any other operator consumes its (non-string) operands
-              pending.clear(); havePending = false
-            case _ => // number operand: keep pending strings (e.g. TJ kerning)
+              pending.clear(); havePending = false; nums.clear()
+            case n => // number operand: keep pending strings (e.g. TJ kerning)
+              try nums += n.toDouble catch { case _: NumberFormatException => () }
           }
       }
     }
-    new String(text.toString.getBytes(ISO_8859_1), UTF_8)
+    (new String(text.toString.getBytes(ISO_8859_1), UTF_8), box)
   }
 
   private def isDelim(c: Char): Boolean =
     c.isWhitespace || "()<>[]{}/%".indexOf(c) >= 0
 
-  /** Per-page extracted text, document order. */
-  def extractPages(pdf: Array[Byte]): Seq[String] = {
+  private def pageContents(pdf: Array[Byte]): Seq[Array[Byte]] = {
     val objs = parseObjects(pdf)
     pageOrder(objs).map { p =>
       val dict = objs(p).dict
@@ -332,11 +429,21 @@ object Pdf {
           .orElse("""/Contents\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(dict)
             .map(m => Seq(m.group(1).toInt)))
           .getOrElse(Seq.empty)
-      val content = contentRefs.flatMap(objs.get).map(decodedStream)
+      contentRefs.flatMap(objs.get).map(decodedStream)
         .foldLeft(Array.emptyByteArray)(_ ++ _)
-      extractContentText(content)
     }
   }
+
+  /** Per-page extracted text, document order. */
+  def extractPages(pdf: Array[Byte]): Seq[String] =
+    pageContents(pdf).map(extractContentText)
+
+  /** Per-page text + bounding box of the page's shown text (None for a
+    * textless page) — the reference's PDF `bounding_box` chunk metadata for
+    * page mode (`document.py` BoundingBox x1/y1/x2/y2, PDF user space).
+    */
+  def extractPagesWithBoxes(pdf: Array[Byte]): Seq[(String, Option[PdfBox])] =
+    pageContents(pdf).map(extractContentRuns)
 
   // ---------------- Spark surface ----------------
 
@@ -376,5 +483,21 @@ object Pdf {
     */
   val pdfPages = udf { (bytes: Array[Byte]) =>
     if (bytes == null) Seq.empty[String] else extractPages(bytes)
+  }
+
+  /** One page chunk with its bounding box (null coords for textless pages) —
+    * the chunk-metadata row shape of the reference's
+    * `document_splitter(..., metadata='page,bounding_box')` on PDFs.
+    */
+  final case class PageChunk(text: String, x1: Option[Double],
+      y1: Option[Double], x2: Option[Double], y2: Option[Double])
+
+  /** PDF bytes → array of (text, x1, y1, x2, y2) page chunks. */
+  val pdfPageBoxes = udf { (bytes: Array[Byte]) =>
+    if (bytes == null) Seq.empty[PageChunk]
+    else extractPagesWithBoxes(bytes).map {
+      case (t, Some(b)) => PageChunk(t, Some(b.x1), Some(b.y1), Some(b.x2), Some(b.y2))
+      case (t, None) => PageChunk(t, None, None, None, None)
+    }
   }
 }

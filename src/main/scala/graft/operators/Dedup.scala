@@ -120,7 +120,7 @@ object Dedup {
     * smallest id — a coarse, single-shuffle near-dup pass.
     */
   def simhashBuckets(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(TextFunctions.simhash16(
+    val w = Window.partitionBy(graft.plans.TextNative.simhash16(df.sparkSession,
       TextFunctions.tokens(col(textCol)))).orderBy(col(idCol))
     df.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")

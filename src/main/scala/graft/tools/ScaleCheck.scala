@@ -18,7 +18,13 @@ object ScaleCheck {
     "q17_sample_stratified", "q28_dedup_exact", "q33_lsh_pairs", "q35_simhash",
     "q36_lang_id", "q38_fingerprint", "q40_sessionize", "q51_window_range",
     "q56_tpch_q3", "q57_tpch_q18", "q66_mean_ap", "q75_percentile_group",
-    "q97_gopher_rules")
+    "q97_gopher_rules", "q99_rolling_window")
+  // q100_semantic_neardup is intentionally absent: replication duplicates
+  // every embedding, so the TRUE near-dup pair count grows quadratically
+  // with m (every copy matches every copy at cos=1) — the ratio would
+  // measure the data artifact, not the plan. Its scale shape (single
+  // cluster-key shuffle, broadcast candidates) is plan-asserted in
+  // DedupSpec instead.
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -90,6 +90,42 @@ class PdfSpec extends AnyFunSuite {
       (3L, 0, "short\nwith\nlines")))
   }
 
+  test("bounding boxes: Helvetica metrics exact on writer output") {
+    // writer layout: /F1 12 Tf, first line Td 72 720, 0 -14 Td per line
+    val pages = Pdf.extractPagesWithBoxes(Pdf.writePdf(Seq("AB\nx", "")))
+    assert(pages.map(_._1) == Seq("AB\nx", ""))
+    val b = pages(0)._2.get
+    val wAB = (667 + 667) * 12.0 / 1000 // Helvetica 'A'=667 'B'=667
+    assert(math.abs(b.x1 - 72.0) < 1e-9)
+    assert(math.abs(b.x2 - (72.0 + wAB)) < 1e-9) // "AB" is the widest line
+    assert(math.abs(b.y2 - (720.0 + 0.718 * 12)) < 1e-9) // ascender, top line
+    assert(math.abs(b.y1 - (706.0 - 0.207 * 12)) < 1e-9) // descender, line 2
+    assert(pages(1)._2.isEmpty) // textless page: no box
+  }
+
+  test("bounding boxes on the foreign fixture track ', Td and TL-less flow") {
+    val Some(b) = Pdf.extractPagesWithBoxes(handFixture).head._2
+    // lines land at y = 720, 706, 706 (' with zero leading), 692
+    assert(math.abs(b.y2 - (720.0 + 0.718 * 12)) < 1e-9)
+    assert(math.abs(b.y1 - (692.0 - 0.207 * 12)) < 1e-9)
+    assert(math.abs(b.x1 - 72.0) < 1e-9)
+    assert(b.x2 > 72.0 + 50) // some line is at least ~9 chars wide
+  }
+
+  test("pdfPageBoxes on a DataFrame: box columns, null coords when textless") {
+    val rows = Seq((1L, "hi\nthere"), (2L, ""))
+      .toDF("id", "t")
+      .select(col("id"), Pdf.textToPdf(col("t"), 200).as("pdf"))
+      .select(col("id"), posexplode(Pdf.pdfPageBoxes(col("pdf"))).as(Seq("i", "c")))
+      .select(col("id"), col("c.text"), col("c.x1"), col("c.y2"))
+      .orderBy("id")
+      .collect()
+    assert(rows(0).getString(1) == "hi\nthere")
+    assert(math.abs(rows(0).getDouble(2) - 72.0) < 1e-9)
+    assert(math.abs(rows(0).getDouble(3) - (720.0 + 0.718 * 12)) < 1e-9)
+    assert(rows(1).getString(1) == "" && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+  }
+
   test("q96 registry query runs and matches page arithmetic on testdata") {
     val df = graft.SparkEntry.queries("q96_pdf_chunker")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()

@@ -169,6 +169,26 @@ class DedupSpec extends AnyFunSuite {
     assert(exactPairs == wantBlobPairs)
   }
 
+  test("semantic pair join broadcasts candidates — no cartesian product") {
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 60).map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "embedding")
+    val q = Dedup.semanticNearDupPairs(df, "embedding", "vec_id",
+      tau = 0.5, k = 4)
+    val plan = q.queryExecution.executedPlan.toString
+    // candidate cluster pairs ride a broadcast join; the row-pair meeting
+    // point is an equi-join on cluster id (hash or sort-merge after AQE),
+    // never a cartesian/nested-loop over rows
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // the row-row join condition is cluster-equi: both sides exchange (or
+    // broadcast) on the cluster key, not an unkeyed all-pairs
+    val rowJoin = plan.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("_cb")).toSeq
+    assert(rowJoin.nonEmpty && rowJoin.forall(_.contains("=")), plan.take(2000))
+  }
+
   test("wordNgrams guards short token arrays") {
     import graft.functions.TextFunctions
     val df = Seq("a b c d", "a b", "").toDF("t")
