@@ -122,6 +122,43 @@ final class GraftTable private (
       .toDF("column", "type", "computed_expr", "stored")
   }
 
+  /** Structured introspection snapshot (reference `t.get_metadata()` →
+    * TableMetadata/ColumnMetadata/IndexMetadata, `catalog/table_metadata.py`):
+    * name/path, current + schema state, per-column provenance (version
+    * added, stored vs computed, the computing expression and its parsed
+    * dependencies), declared ANN indexes with their maintenance high-water
+    * mark, and named snapshots. Pure manifest read — no data scan.
+    */
+  def tableMetadata: GraftTable.TableMetadataInfo = {
+    val m = meta
+    GraftTable.TableMetadataInfo(
+      name = name,
+      version = m.currentVersion,
+      versionCreatedMs = m.versions.lastOption.map(_.createdAtMs).getOrElse(0L),
+      commitSeq = m.commitSeq,
+      nextRowId = m.nextRowId,
+      columns = m.liveColumns.map { c =>
+        GraftTable.ColumnMetadataInfo(
+          name = c.name,
+          dataType = c.dataType,
+          versionAdded = c.addedVersion,
+          isStored = c.computedExpr.isEmpty || c.stored,
+          isComputed = c.computedExpr.isDefined,
+          computedWith = c.computedExpr,
+          dependsOn = c.computedExpr
+            .map(e => ColumnDef.exprReferences(e).toSeq.sorted)
+            .getOrElse(Seq.empty),
+          physicalName = c.storeName)
+      },
+      indices = m.indexes.map { i =>
+        GraftTable.IndexMetadataInfo(i.name, Seq(i.column), i.kind,
+          shards = i.shards, m = i.m, efConstruction = i.efConstruction,
+          segmentThreshold = i.segmentThreshold,
+          indexedThrough = i.indexedThrough)
+      },
+      snapshots = m.snapshots)
+  }
+
   /** Version log as a DataFrame (reference `t.history()`). */
   def history(): DataFrame = {
     val m = meta
@@ -723,6 +760,39 @@ final class GraftTable private (
 }
 
 object GraftTable {
+  /** reference ColumnMetadata analog (`catalog/table_metadata.py`) */
+  final case class ColumnMetadataInfo(
+      name: String,
+      dataType: String,
+      versionAdded: Long,
+      isStored: Boolean,
+      isComputed: Boolean,
+      computedWith: Option[String],
+      dependsOn: Seq[String],
+      physicalName: String)
+
+  /** reference IndexMetadata analog */
+  final case class IndexMetadataInfo(
+      name: String,
+      columns: Seq[String],
+      indexType: String,
+      shards: Int,
+      m: Int,
+      efConstruction: Int,
+      segmentThreshold: Int,
+      indexedThrough: Long)
+
+  /** reference TableMetadata analog */
+  final case class TableMetadataInfo(
+      name: String,
+      version: Long,
+      versionCreatedMs: Long,
+      commitSeq: Long,
+      nextRowId: Long,
+      columns: Seq[ColumnMetadataInfo],
+      indices: Seq[IndexMetadataInfo],
+      snapshots: Map[String, Long])
+
   val RowId = "_rowid"
   val VMin = "_v_min"
   val VMax = "_v_max"

@@ -98,6 +98,27 @@ class CatalogDirSpec extends AnyFunSuite {
     assert(cat.isDir("d3"))
   }
 
+  test("tableMetadata reflects schema, computed deps, snapshots and indexes") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "meta_t", cols :+
+      ColumnDef("s_up", "string", computedExpr = Some("upper(s)")))
+    t.insert(Seq((1L, "a")).toDF("id", "s"))
+    t.createSnapshot("first")
+    val md = t.tableMetadata
+    assert(md.name == "meta_t" && md.version == t.currentVersion)
+    assert(md.snapshots == Map("first" -> 1L))
+    val byName = md.columns.map(c => c.name -> c).toMap
+    assert(byName("id").isStored && !byName("id").isComputed)
+    assert(byName("s_up").isComputed &&
+      byName("s_up").computedWith.contains("upper(s)") &&
+      byName("s_up").dependsOn == Seq("s"))
+    assert(md.indices.isEmpty && md.nextRowId == 1L)
+    // physicalName survives rename (s itself is pinned by the computed col)
+    t.renameColumn("id", "id2")
+    val md2 = t.tableMetadata
+    assert(md2.columns.exists(c => c.name == "id2" && c.physicalName == "id"))
+  }
+
   test("dropDir: empty-only unless force; force drops nested tables") {
     val cat = freshCatalog()
     cat.createDir("p/q", parents = true)
