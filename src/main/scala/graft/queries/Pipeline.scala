@@ -890,5 +890,50 @@ object Pipeline {
              |   sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
              |ORDER BY vec_a, vec_b""".stripMargin),
     ),
+    QueryDef(
+      "q101_stream_hourly",
+      (s, dir) => {
+        // batch-stream EQUIVALENCE gate: q39's event-time aggregation run
+        // through Structured Streaming (parquet file source → AvailableNow
+        // trigger → complete-mode memory sink) must produce the batch
+        // answer bit-for-bit, so ONE DuckDB oracle gates both engines.
+        // Complete mode because a bounded replay's watermark never passes
+        // the last windows (append mode would hold them back forever);
+        // unbounded production pipelines use the watermarked append form
+        // (Streaming.windowedCounts, StreamingSpec).
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        // the file source ingests DIRECTORIES (files arriving over time);
+        // the corpus table is one file — stage it via symlink, zero copy
+        val stage = java.nio.file.Files.createTempDirectory("q101_in")
+        java.nio.file.Files.createSymbolicLink(
+          stage.resolve("events.parquet"),
+          java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
+        val stream = s.readStream.schema(schema).parquet(stage.toString)
+          .withColumn("ts",
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+        val agg = stream
+          .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"),
+            round(round(sum(col("value")), 2) / count(lit(1)), 6).as("avg_v"))
+        val qname = "q101_mem_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val ck = java.nio.file.Files.createTempDirectory("q101_ck").toString
+        val sq = agg.writeStream.format("memory").queryName(qname)
+          .outputMode("complete")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        sq.awaitTermination()
+        s.table(qname)
+          .transform(graft.QueryUtil.orderedSmall(_, col("hr"), col("event_type")))
+      },
+      Some("""SELECT date_trunc('hour', ts) AS hr, event_type,
+             |count(*) AS n, round(sum(value), 2) AS total,
+             |round(round(sum(value), 2) / count(*), 6) AS avg_v
+             |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin),
+    ),
   )
 }
