@@ -189,11 +189,12 @@ final class GraftTable private (
       val dir = dataDir(v, "insert")
       toPhysical(df, m).write.mode("overwrite").parquet(dir)
       val files = listParquetFiles(dir)
-      // footer-stats aggregate pushdown: the rowid max comes from parquet
-      // metadata, not a re-scan of the data just written
-      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-      val maxRow = spark.read.parquet(dir).agg(max(col(RowId))).head
-      val maxId = if (maxRow.isNullAt(0)) m.nextRowId - 1 else maxRow.getLong(0)
+      // rowid max from the just-written files' parquet FOOTERS, read on the
+      // driver — no Spark job (the previous footer-aggregate-pushdown read
+      // still paid full job scheduling per insert; at a handful of files
+      // the driver loop is microseconds of metadata I/O, and DML
+      // lifecycles run many inserts)
+      val maxId = maxLongFromFooters(files, RowId).getOrElse(m.nextRowId - 1)
       commitMetaOrClean(m, m.copy(
         versions = m.versions :+ entry(v, "insert", files, Seq.empty),
         nextRowId = maxId + 1), dir)
@@ -745,6 +746,53 @@ final class GraftTable private (
   private def noopVersion(m: TableMeta, v: Long, op: String): Long = {
     commitMeta(m, m.copy(versions = m.versions :+ entry(v, op, Seq.empty, Seq.empty)))
     v
+  }
+
+  /** Max of a bigint column across `files`, from footer row-group
+    * statistics only. None if the files are empty of rows; falls back to a
+    * Spark footer-pushdown aggregate if any footer lacks stats for the
+    * column (never happens for columns Spark itself wrote, but manifests
+    * can reference foreign files after an import).
+    */
+  private def maxLongFromFooters(files: Seq[String], colName: String): Option[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    try {
+      val maxes = files.flatMap { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala
+              .filter(_.getPath.toDotString == colName)
+              .map { c =>
+                val st = c.getStatistics
+                require(st != null && st.hasNonNullValue || b.getRowCount == 0,
+                  s"no stats for $colName in $f")
+                st
+              }
+              .collect { case st if st.hasNonNullValue =>
+                st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+              }
+          }
+        } finally r.close()
+      }
+      if (maxes.isEmpty) None else Some(maxes.max)
+    } catch {
+      case _: Exception => // foreign footer without stats: one Spark job
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        val row = spark.read.parquet(files: _*).agg(max(col(colName))).head
+        if (row.isNullAt(0)) None else Some(row.getLong(0))
+    }
+  }
+
+  private implicit class JavaListOps[A](l: java.util.List[A]) {
+    def asScala: Seq[A] = {
+      val b = Seq.newBuilder[A]
+      val it = l.iterator()
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
   }
 
   private def listParquetFiles(dir: String): Seq[String] = {
