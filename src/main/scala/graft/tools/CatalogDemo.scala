@@ -109,7 +109,28 @@ object CatalogDemo {
     println("[demo] AsyncBatcher output:")
     batched.orderBy("id").show(false)
 
-    println(s"[demo] catalog tables: ${cat.listTables().mkString(", ")}")
+    // directory namespace: nested paths, move with manifest rewrite
+    cat.createDir("corp/raw", parents = true)
+    cat.move(t.name, s"corp/raw/${t.name}")
+    val moved = graft.catalog.GraftTable.open(spark, cat, s"corp/raw/${t.name}")
+    println(s"[demo] moved into corp/raw: ${moved.read().count()} rows, " +
+      s"dirs=${cat.listDirs().mkString(",")}")
+
+    // structured metadata introspection
+    val md = moved.tableMetadata
+    println(s"[demo] tableMetadata: v${md.version}, cols=" +
+      md.columns.map(c => s"${c.name}${if (c.isComputed) "*" else ""}").mkString(","))
+
+    // embedding-space semantic dedup (exact, cluster-pruned)
+    val embDf = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.999, 0.01)), // near-dups
+      (3L, Seq(0.0, 1.0))).toDF("vec_id", "embedding")
+    val semKept = graft.operators.Dedup.semanticDedup(
+      embDf, "embedding", "vec_id", tau = 0.95, k = 2)
+      .select("vec_id").as[Long].collect().sorted
+    println(s"[demo] semanticDedup keeps: ${semKept.mkString(",")}")
+
+    println(s"[demo] catalog tables: ${cat.listTablesUnder().mkString(", ")}")
     println("[demo] DONE")
     spark.stop()
   }
