@@ -162,19 +162,26 @@ object Dedup {
     val candDf = cand.toDF("_ci", "_cj")
     val b = assigned.select(col("_ida").as("_idb"), col("_va").as("_vb"),
       col("_ca").as("_cb"))
+    // one orientation per cluster pair (ci <= cj): an unordered row pair
+    // across clusters i<j meets exactly once (a-side from i, b-side from
+    // j) with NO reverse-orientation combo ever evaluated — half the
+    // cosine work of the both-orientations form; within a cluster the id
+    // inequality dedups. Output order is normalized afterwards, since the
+    // smaller id may sit on either side of a cross-cluster pair.
     assigned.join(broadcast(candDf), col("_ca") === col("_ci"))
-      .join(b, col("_cb") === col("_cj") && col("_ida") < col("_idb"))
+      .join(b, col("_cb") === col("_cj") &&
+        (col("_ci") < col("_cj") || col("_ida") < col("_idb")))
       .withColumn("cos_sim", round(graft.plans.NativeVector.cosine(spark,
         col("_va"), col("_vb")), 6))
       .filter(col("cos_sim") >= tau)
-      .select(col("_ida").as("vec_a"), col("_idb").as("vec_b"), col("cos_sim"))
+      .select(least(col("_ida"), col("_idb")).as("vec_a"),
+        greatest(col("_ida"), col("_idb")).as("vec_b"), col("cos_sim"))
   }
 
-  /** Candidate cluster pairs for `semanticNearDupPairs` (driver-side k×k):
-    * both orientations for i≠j so the _ida < _idb filter keeps every
-    * unordered row pair exactly once regardless of which cluster holds the
-    * smaller id. A pair survives iff the triangle-inequality ceiling
-    * 1 − max(0, d_ij−r_i−r_j)²/2 on member cosine reaches `tau`.
+  /** Candidate cluster pairs for `semanticNearDupPairs` (driver-side k×k,
+    * one orientation per unordered pair, i <= j). A pair survives iff the
+    * triangle-inequality ceiling 1 − max(0, d_ij−r_i−r_j)²/2 on member
+    * cosine reaches `tau`.
     */
   private[operators] def candidateClusterPairs(ivf: ExactAnn.Ivf, tau: Double,
       exact: Boolean): Seq[(Int, Int)] = {
@@ -186,20 +193,16 @@ object Dedup {
     }
     val idxs = cents.indices
     idxs.flatMap { i =>
-      idxs.filter(_ >= i).flatMap { j =>
-        val keep =
-          if (!exact) i == j // SemDeDup proper: within-cluster only
-          else {
-            val gap = math.max(0.0,
-              dist(cents(i), cents(j)) - ivf.radii.getOrElse(i, 0.0) -
-                ivf.radii.getOrElse(j, 0.0))
-            // rounding in the final filter adds ≤5e-7; 1e-6 covers it + fp
-            1.0 - gap * gap / 2.0 >= tau - 1e-6
-          }
-        if (!keep) Nil
-        else if (i == j) Seq((i, j))
-        else Seq((i, j), (j, i))
-      }
+      idxs.filter(_ >= i).filter { j =>
+        if (!exact) i == j // SemDeDup proper: within-cluster only
+        else {
+          val gap = math.max(0.0,
+            dist(cents(i), cents(j)) - ivf.radii.getOrElse(i, 0.0) -
+              ivf.radii.getOrElse(j, 0.0))
+          // rounding in the final filter adds ≤5e-7; 1e-6 covers it + fp
+          1.0 - gap * gap / 2.0 >= tau - 1e-6
+        }
+      }.map(j => (i, j))
     }
   }
 

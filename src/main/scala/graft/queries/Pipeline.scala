@@ -875,8 +875,12 @@ object Pipeline {
         // all-pairs (q31 is the bounded-id brute-force baseline). The
         // oracle is the brute-force join: exactness is unconditional on
         // clustering quality, so the hash gate holds at any corpus.
+        // maxIter 4: on synthetic near-random vectors Lloyd's never
+        // converges early and clustering quality only affects PRUNING,
+        // never the (oracle-gated) answer — fewer fit jobs, same rows
         graft.operators.Dedup.semanticNearDupPairs(
-            T(s, dir, "embeddings"), "embedding", "vec_id", tau = 0.4, k = 8)
+            T(s, dir, "embeddings"), "embedding", "vec_id", tau = 0.4, k = 8,
+            maxIter = 4)
           .transform(graft.QueryUtil.orderedSmall(_, col("vec_a"), col("vec_b")))
       },
       Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round(

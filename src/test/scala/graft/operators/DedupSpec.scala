@@ -141,9 +141,9 @@ class DedupSpec extends AnyFunSuite {
     val cand = Dedup.candidateClusterPairs(ideal, tau = 0.9, exact = true)
     assert(cand.toSet == (0 until 4).map(c => (c, c)).toSet)
     // ...and with a threshold low enough that the ceiling can't exclude
-    // anything, every ordered pair survives (degrades to brute force)
+    // anything, every unordered pair survives (degrades to brute force)
     val all = Dedup.candidateClusterPairs(ideal, tau = -1.0, exact = true)
-    assert(all.size == 4 * 4)
+    assert(all.size == 4 * 5 / 2)
     // within-blob members are mutual near-dups → semanticDedup keeps the
     // smallest id per blob
     val kept = Dedup.semanticDedup(df, "embedding", "vec_id", tau = 0.9, k = 4)
