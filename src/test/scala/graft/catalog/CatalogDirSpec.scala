@@ -119,6 +119,29 @@ class CatalogDirSpec extends AnyFunSuite {
     assert(md2.columns.exists(c => c.name == "id2" && c.physicalName == "id"))
   }
 
+  test("move blocks behind an in-flight writer, then lands intact") {
+    val cat = freshCatalog()
+    cat.createDir("m1"); cat.createDir("m2")
+    val t = GraftTable.create(spark, cat, "m1/t", cols)
+    t.insert(Seq((1L, "a")).toDF("id", "s"))
+    @volatile var moved = false
+    // hold the table's writer lock (as any in-flight mutation does) and
+    // launch the move: it must WAIT, not relocate files under the writer
+    val mover = new Thread(() => { cat.move("m1/t", "m2/t"); moved = true })
+    cat.withWriterLock("m1/t") {
+      mover.start()
+      Thread.sleep(300)
+      assert(!moved, "move proceeded while the writer lock was held")
+      assert(cat.isTable("m1/t"))
+    }
+    mover.join(30000)
+    assert(moved && cat.isTable("m2/t") && !cat.isTable("m1/t"))
+    val m = GraftTable.open(spark, cat, "m2/t")
+    assert(m.read().as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    m.insert(Seq((2L, "b")).toDF("id", "s"))
+    assert(m.read().count() == 2)
+  }
+
   test("dropDir: empty-only unless force; force drops nested tables") {
     val cat = freshCatalog()
     cat.createDir("p/q", parents = true)

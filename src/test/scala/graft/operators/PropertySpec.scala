@@ -35,6 +35,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: semantic cluster-pair ceiling never excludes a pair (300 trials)") {
+    // soundness of Dedup.candidateClusterPairs' triangle-inequality bound:
+    // for ANY layout (centroids need not be means, radii from true max
+    // member distance), every row pair with round6(cos) >= tau lies in a
+    // candidate cluster pair — the same argument the oracle-gated q100
+    // rides, here exercised across random dims/k/tau
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 300) {
+      val dim = 2 + rnd.nextInt(6)
+      val k = 2 + rnd.nextInt(4)
+      val n = 10 + rnd.nextInt(25)
+      val vecs = Seq.fill(n)(unitVec(rnd, dim))
+      val cents = Seq.fill(k)(unitVec(rnd, dim)).map(_.clone())
+      def distTo(v: Array[Double], c: Array[Double]) =
+        math.sqrt(v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+      val assign = vecs.map(v => cents.indices.minBy(c => distTo(v, cents(c))))
+      val radii = (0 until k).map { c =>
+        val members = vecs.zip(assign).collect { case (v, a) if a == c => v }
+        c -> (if (members.isEmpty) 0.0 else members.map(distTo(_, cents(c))).max)
+      }.toMap
+      val ivf = ExactAnn.Ivf(KMeans.Model(cents.map(_.toSeq)), radii)
+      val tau = rnd.nextDouble() * 2 - 1
+      val cand = Dedup.candidateClusterPairs(ivf, tau, exact = true).toSet
+      for (i <- 0 until n; j <- (i + 1) until n) {
+        val cos = BigDecimal(dot(vecs(i), vecs(j)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (cos >= tau) {
+          val (ci, cj) = (assign(i) min assign(j), assign(i) max assign(j))
+          assert(cand.contains((ci, cj)),
+            s"pair cos=$cos tau=$tau clusters=($ci,$cj) missing (dim=$dim k=$k)")
+        }
+      }
+    }
+  }
+
   test("property: textwrap keeps every line within width, loses no words") {
     val rnd = new scala.util.Random(7)
     val alphabet = "abcde fgh ij klmnopqrstuvw xyz   "
