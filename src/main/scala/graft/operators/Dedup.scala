@@ -47,13 +47,22 @@ object Dedup {
     var it = 0
     while (changed > 0 && it < maxIter) {
       val msgs = und.join(labels, und("dst") === labels("v"))
-        .select(und("src").as("v"), col("component"))
-      val next = labels.select("v", "component").union(msgs)
-        .groupBy("v").agg(min("component").as("component"))
+        .select(und("src").as("v"), col("component"),
+          lit(null).cast("long").as("_old"))
+      // carry each vertex's previous label through the union as _old
+      // (unique per v, so min() recovers it; message rows contribute null)
+      // → the did-anything-change test is a flag on the aggregated row,
+      // counted off the checkpointed partitions — no extra join+shuffle
+      // per round
+      val agged = labels
+        .select(col("v"), col("component"), col("component").as("_old"))
+        .union(msgs)
+        .groupBy("v").agg(min("component").as("component"), min("_old").as("_old"))
+        .withColumn("_chg", col("component") < col("_old"))
+        .select("v", "component", "_chg")
         .localCheckpoint(true)
-      changed = labels.select(col("v"), col("component").as("_old"))
-        .join(next, "v").filter(col("component") < col("_old")).count()
-      labels = next
+      changed = agged.filter(col("_chg")).count()
+      labels = agged.select("v", "component")
       it += 1
     }
     und.unpersist()

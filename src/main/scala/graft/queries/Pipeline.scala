@@ -646,7 +646,10 @@ object Pipeline {
         import graft.operators.Dedup
         val docs = T(s, dir, "documents")
         Dedup.decontaminate(
-          docs.where(col("doc_id") % 7 =!= 0),
+          // one-row-group corpus file: fan the heavy train-side gram
+          // explosion out across cores (q32/q35 discipline; at 100 TB
+          // inputs arrive pre-split and this shuffle disappears)
+          docs.where(col("doc_id") % 7 =!= 0).repartition(32, col("doc_id")),
           docs.where(col("doc_id") % 7 === 0),
           "text", "doc_id", n = 13)
           .orderBy(col("doc_id"))
