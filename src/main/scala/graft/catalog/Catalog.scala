@@ -378,6 +378,21 @@ final class Catalog(val warehouse: String) {
      else tables).sorted
   }
 
+  /** Directory contents as a DataFrame — (name, kind, version) rows for the
+    * immediate children of `path` (reference `pxt.ls()`; version is null
+    * for directories).
+    */
+  def ls(spark: org.apache.spark.sql.SparkSession, path: String = "")
+      : org.apache.spark.sql.DataFrame = {
+    val rows = dirEntries(path).map { case (n, table) =>
+      val full = if (path.isEmpty) n else s"$path/$n"
+      (n, if (table) "table" else "dir",
+        if (table) Option(load(full).currentVersion) else None)
+    }
+    import spark.implicits._
+    rows.toDF("name", "kind", "version")
+  }
+
   /** Move/rename a table or directory (reference `pxt.move`). Rewrites the
     * absolute data-file URIs in moved manifests (version log + index
     * paths). Open handles to a moved table are invalidated — their next

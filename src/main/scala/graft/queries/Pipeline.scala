@@ -942,5 +942,78 @@ object Pipeline {
              |round(round(sum(value), 2) / count(*), 6) AS avg_v
              |FROM events GROUP BY 1, 2 ORDER BY hr, event_type""".stripMargin),
     ),
+    QueryDef(
+      "q102_corpus_pipeline",
+      (s, dir) => {
+        // END-TO-END training-data curation, the operators composed the way
+        // a real corpus run chains them: Gopher-style quality gate → exact
+        // dedup (md5 keep-min-id) → SimHash near-dup keep-one (native
+        // kernel) → 13-gram benchmark decontamination (broadcast gram set).
+        // One composite oracle hash-gates the whole pipeline. Every stage
+        // is map-only or a single keyed shuffle; the explicit repartition
+        // fans the one-row-group corpus file out (pre-split at scale).
+        import graft.functions.TextFunctions
+        val toksC = TextFunctions.tokens(lower(col("text")))
+        val base = T(s, dir, "documents").where(col("doc_id") % 7 =!= 0)
+          .repartition(32, col("doc_id"))
+          .select(col("doc_id"), col("text"), toksC.as("_tk"))
+        val quality = base.select(col("doc_id"), col("text"), col("_tk"),
+            size(col("_tk")).cast("long").as("n_words"),
+            round(aggregate(col("_tk"), lit(0L), (a, t) => a + length(t))
+              .cast("double") / size(col("_tk")), 4).as("_mwl"),
+            size(filter(col("_tk"), t =>
+              t.isin("the", "and", "is", "in", "to", "of"))).as("_stop"))
+          .where(col("n_words").between(20, 100000) &&
+            col("_mwl").between(3.0, 10.0) && col("_stop") >= 1)
+        val deduped = graft.operators.Dedup.exact(quality, "text", "doc_id")
+          .withColumn("simhash",
+            graft.plans.TextNative.simhash16(s, col("_tk")))
+        val wSim = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("simhash")).orderBy(col("doc_id"))
+        val kept = deduped.withColumn("_rk", row_number().over(wSim))
+          .filter(col("_rk") === 1)
+        val contaminated = graft.operators.Dedup.decontaminate(
+            kept, T(s, dir, "documents").where(col("doc_id") % 7 === 0),
+            "text", "doc_id", n = 13)
+          .select(col("doc_id"))
+        kept.join(contaminated, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_words"), col("simhash"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some {
+        val bits = (0 until 16).map { i =>
+          s"CASE WHEN list_sum([CASE WHEN substr(md5(t), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END for t in tk]) > 0 THEN '1' ELSE '0' END"
+        }.mkString(" || ")
+        s"""WITH t AS (SELECT doc_id, text,
+           |  string_split_regex(trim(lower(text)), '\\s+') AS tk
+           |  FROM documents WHERE doc_id % 7 <> 0),
+           |m AS (SELECT doc_id, text, tk, len(tk)::BIGINT AS n_words,
+           |  round(list_sum(list_transform(tk, x -> length(x)))::DOUBLE
+           |    / len(tk), 4) AS mwl,
+           |  len(list_filter(tk, x -> x IN ('the','and','is','in','to','of')))
+           |    AS stop FROM t),
+           |q AS (SELECT * FROM m WHERE n_words BETWEEN 20 AND 100000
+           |  AND mwl BETWEEN 3.0 AND 10.0 AND stop >= 1),
+           |d AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+           |s AS (SELECT q.doc_id, q.n_words, q.tk, $bits AS simhash
+           |  FROM q JOIN d USING (doc_id)),
+           |k AS (SELECT min(doc_id) AS doc_id FROM s GROUP BY simhash),
+           |bt AS (SELECT doc_id,
+           |  string_split_regex(trim(lower(text)), '\\s+') AS tk
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |bg AS (SELECT DISTINCT array_to_string(tk[i:i+12], ' ') AS g
+           |  FROM (SELECT tk, unnest(range(1, greatest(len(tk) - 11, 1))) AS i
+           |        FROM bt)),
+           |tg AS (SELECT doc_id, array_to_string(tk[i:i+12], ' ') AS g
+           |  FROM (SELECT s.doc_id, s.tk,
+           |          unnest(range(1, greatest(len(s.tk) - 11, 1))) AS i
+           |        FROM s JOIN k USING (doc_id))),
+           |bad AS (SELECT DISTINCT doc_id FROM tg JOIN bg USING (g))
+           |SELECT s.doc_id, s.n_words, s.simhash
+           |FROM s JOIN k USING (doc_id)
+           |WHERE s.doc_id NOT IN (SELECT doc_id FROM bad)
+           |ORDER BY doc_id""".stripMargin
+      },
+    ),
   )
 }

@@ -53,6 +53,11 @@ class CatalogDirSpec extends AnyFunSuite {
     assert(cat.listDirs("corp", recursive = false) == Seq("corp/raw"))
     assert(cat.listTablesUnder() == Seq("corp/raw/events"))
     assert(cat.listTablesUnder("corp") == Seq("corp/raw/events"))
+    // ls(): immediate children with kind + version
+    val ls = cat.ls(spark, "corp/raw").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.get(2)))).toSeq
+    assert(ls == Seq(("events", "table", Some(1L))))
+    assert(cat.ls(spark).collect().map(_.getString(1)).toSeq == Seq("dir"))
   }
 
   test("move table rewrites manifest URIs; history and DML survive") {
