@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.{QueryDef, Tables => T}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a pretraining data pipeline runs between raw
+  * ingestion and tokenization: temperature-resampled language/domain
+  * mixtures (UniMax / mT5-style), sequence packing into fixed token
+  * budgets, corpus-trained character-LM quality scoring (CCNet's filtering
+  * signal, re-expressed without the external KenLM dependency), and
+  * duplicated-span coverage measurement (the statistic driving exact
+  * substring dedup à la Lee et al., "Deduplicating Training Data Makes
+  * Language Models Better").
+  *
+  * Everything is deterministic (md5 sampling keys, rounded floats) so the
+  * DuckDB oracle reproduces results hash-for-hash, and every shape is the
+  * one that survives 100 TB: broadcast-joined per-group rates, a two-phase
+  * distributed prefix scan (`operators/Pack.scala`), bounded-vocabulary
+  * broadcast stats, and equi-joins on gram keys — never all-pairs, never a
+  * single-task global sort.
+  */
+object Curation {
+
+  /** md5-based uniform [0,1) draw from the doc id: first 48 hash bits as a
+    * fraction — exact in a double, bit-identical in any engine.
+    */
+  private def hashFrac(seed: String, id: Column): Column =
+    conv(substring(md5(concat(lit(seed + "_"), id.cast("string"))), 1, 12),
+      16, 10).cast("double") / 281474976710656.0 // 2^48
+
+  private def hashFracSql(seed: String, idExpr: String): String =
+    s"('0x' || substr(md5('${seed}_' || $idExpr), 1, 12))::BIGINT / 281474976710656.0"
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q103_mixture_sample",
+      (s, dir) => {
+        // UniMax/mT5 temperature resampling: per-language sampling rates
+        // proportional to n^alpha (alpha=0.5) toward a 250-doc budget,
+        // applied as a repeatable md5-threshold draw per document. The
+        // rates table is |languages| rows — broadcast-joined, so the scan
+        // stays map-only at any corpus size. Rates are rounded to 6
+        // decimals BEFORE the threshold compare: the compare must be
+        // bit-reproducible across engines, and the rate derivation ends in
+        // a float sum whose last-ULP could otherwise flip a boundary doc.
+        val docs = T(s, dir, "documents")
+        val counts = docs.groupBy(col("lang"))
+          .agg(count(lit(1)).cast("double").as("n"))
+        val denom = counts.agg(sum(sqrt(col("n"))).as("denom"))
+        val rates = counts.crossJoin(broadcast(denom))
+          .withColumn("rate",
+            round(least(lit(1.0), lit(250.0) * sqrt(col("n")) / col("denom") / col("n")), 6))
+          .select(col("lang"), col("rate"))
+        docs.join(broadcast(rates), Seq("lang"))
+          .filter(hashFrac("103", col("doc_id")) < col("rate"))
+          .select(col("doc_id"), col("lang"), col("source"), col("rate"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some(s"""WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+              |r AS (SELECT lang,
+              |  round(least(1.0, 250.0 * sqrt(n) / (SELECT sum(sqrt(n)) FROM c) / n), 6) AS rate
+              |  FROM c)
+              |SELECT d.doc_id, d.lang, d.source, r.rate
+              |FROM documents d JOIN r USING (lang)
+              |WHERE ${hashFracSql("103", "d.doc_id::VARCHAR")} < r.rate
+              |ORDER BY d.doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "q104_sequence_pack",
+      (s, dir) => {
+        // sequence packing: documents in doc_id order land in the bin where
+        // their first token falls (capacity 256 tokens, GPT-style packed
+        // stream split at fixed strides). The global token offset comes
+        // from Pack.withExclusivePrefixSum — a two-phase distributed scan
+        // (range repartition; per-partition totals prefix-summed on the
+        // driver, #partitions values; windows only WITHIN partitions) —
+        // never a single-task global window.
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("tok"))
+        graft.operators.Pack
+          .packBins(docs, col("doc_id"), col("tok"), 256L, "bin")
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("bin_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("bin")))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS tok
+             |  FROM documents),
+             |o AS (SELECT doc_id, tok,
+             |    coalesce(sum(tok) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             |  FROM t)
+             |SELECT floor(off / 256.0)::BIGINT AS bin, count(*) AS n_docs,
+             |  sum(tok) AS bin_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |FROM o GROUP BY 1 ORDER BY bin""".stripMargin),
+    ),
+    QueryDef(
+      "q105_charlm_score",
+      (s, dir) => {
+        // CCNet-style LM quality signal without the external KenLM: train a
+        // character-bigram unigram-frequency model ON the corpus itself
+        // (one groupBy over exploded bigrams — the model is at most
+        // |charset|^2 rows, broadcastable at any corpus size) and score
+        // each document by its mean log2 bigram probability. Low scores =
+        // character salad; the filtering threshold is a downstream choice.
+        val docs = T(s, dir, "documents")
+        val bg = docs.select(col("doc_id"),
+          explode(when(length(col("text")) >= 2,
+            transform(sequence(lit(1), length(col("text")) - 1),
+              i => lower(col("text")).substr(i, lit(2)))).otherwise(lit(null)))
+            .as("bg"))
+        val model = bg.groupBy(col("bg")).agg(count(lit(1)).cast("double").as("cnt"))
+        val total = model.agg(sum(col("cnt")).as("tot"))
+        bg.join(broadcast(model), Seq("bg"))
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(log2(col("cnt") / col("tot"))), 4).as("avg_logp"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH bg AS (SELECT doc_id,
+             |    unnest([substr(lower(text), i, 2)
+             |            for i in generate_series(1, length(text) - 1)]) AS bg
+             |  FROM documents),
+             |c AS (SELECT bg, count(*)::DOUBLE AS cnt FROM bg GROUP BY 1)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(avg(log2(cnt / (SELECT sum(cnt) FROM c))), 4) AS avg_logp
+             |FROM bg JOIN c USING (bg)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "q106_dupspan_stats",
+      (s, dir) => {
+        // duplicated-span coverage (the measurement behind exact substring
+        // dedup, Lee et al. 2022): fraction of each document's tokens
+        // covered by some word-8-gram that also appears in ANOTHER
+        // document. Shape: posexplode grams (map-only), one groupBy on the
+        // gram key to find cross-document grams, an equi-join back on the
+        // gram key (shuffle by gram — never all-pairs), then a distinct on
+        // covered (doc, position) pairs. At 100 TB the gram key-space is
+        // huge → hash-shuffle balances; the oracle is the identical
+        // relational pipeline in DuckDB.
+        val docs = T(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("w"))
+        val grams = toks.select(col("doc_id"), col("w"),
+            // guard: Spark's sequence(1, n) REVERSES for n < 1 instead of
+            // returning empty; explode(null) is the correct zero-row escape
+            explode(when(size(col("w")) >= 8,
+              sequence(lit(1), size(col("w")) - 7)).otherwise(lit(null)))
+              .as("pos"))
+          .select(col("doc_id"), col("pos"),
+            array_join(slice(col("w"), col("pos"), lit(8)), " ").as("gram"))
+        val dup = grams.groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1).select(col("gram"))
+        val covered = grams.join(dup, Seq("gram"))
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + 7)).as("p"))
+          .distinct()
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+        toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+          .join(covered, Seq("doc_id"), "left")
+          .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+          .withColumn("dup_ratio",
+            round(col("n_covered").cast("double") / col("n_tokens"), 4))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents),
+             |g AS (SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS gram
+             |  FROM (SELECT doc_id, w,
+             |          unnest(generate_series(1, len(w) - 7)) AS pos FROM t)),
+             |dup AS (SELECT gram FROM g GROUP BY gram
+             |  HAVING count(DISTINCT doc_id) > 1),
+             |cov AS (SELECT DISTINCT doc_id, p FROM
+             |  (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+             |   FROM g JOIN dup USING (gram))),
+             |covc AS (SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY 1)
+             |SELECT t.doc_id, len(w)::BIGINT AS n_tokens,
+             |  coalesce(n_covered, 0) AS n_covered,
+             |  round(coalesce(n_covered, 0)::DOUBLE / len(w), 4) AS dup_ratio
+             |FROM t LEFT JOIN covc USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin),
+    ),
+  )
+}
