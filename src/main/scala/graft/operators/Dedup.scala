@@ -159,32 +159,62 @@ object Dedup {
     */
   def semanticNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
       tau: Double, k: Int = 16, maxIter: Int = 10,
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = true, saltFactor: Int = 8): DataFrame = {
+    require(saltFactor >= 1, s"bad saltFactor $saltFactor")
     val spark = df.sparkSession
     val ivf = ExactAnn.build(df, vecCol, idCol, k, maxIter)
     val assigned = KMeans.assign(
         df.withColumn("_nv", ExactAnn.normalized(col(vecCol))), "_nv", ivf.model)
-      .select(col(idCol).as("_ida"), col(vecCol).cast("array<double>").as("_va"),
+      .select(col(idCol).as("_ida"), col("_nv").as("_ua"),
         col("cluster").as("_ca"))
     val cand = candidateClusterPairs(ivf, tau, exact)
     import spark.implicits._
-    val candDf = cand.toDF("_ci", "_cj")
-    val b = assigned.select(col("_ida").as("_idb"), col("_va").as("_vb"),
-      col("_ca").as("_cb"))
+    // SALT the cluster-id equi-join: its key has only k distinct values, so
+    // un-salted the comparison work lands on ≤k tasks no matter the cluster
+    // fan-out (a fat cluster = one straggler). Replicating the a-side into
+    // `saltFactor` sub-keys while each b row takes ONE deterministic salt
+    // spreads every cluster pair over saltFactor tasks; each unordered row
+    // pair still meets exactly once. Shuffle volume grows ×saltFactor on
+    // the a-side only — the candidate list stays a driver-side broadcast.
+    val candDf = cand.flatMap { case (i, j) =>
+      (0 until saltFactor).map(s => (i, j, s))
+    }.toDF("_ci", "_cj", "_s")
+    val b = assigned.select(col("_ida").as("_idb"), col("_ua").as("_ub"),
+      col("_ca").as("_cb"),
+      pmod(hash(col("_ida")), lit(saltFactor)).as("_sb"))
     // one orientation per cluster pair (ci <= cj): an unordered row pair
     // across clusters i<j meets exactly once (a-side from i, b-side from
     // j) with NO reverse-orientation combo ever evaluated — half the
     // cosine work of the both-orientations form; within a cluster the id
     // inequality dedups. Output order is normalized afterwards, since the
     // smaller id may sit on either side of a cross-cluster pair.
-    assigned.join(broadcast(candDf), col("_ca") === col("_ci"))
-      .join(b, col("_cb") === col("_cj") &&
-        (col("_ci") < col("_cj") || col("_ida") < col("_idb")))
+    // the cosine threshold rides INSIDE the join condition (conservative by
+    // 1e-6 against the output rounding): candidate row pairs die inside the
+    // join instead of materializing ~|i|×|j| wide rows for a downstream
+    // filter. The condition kernel is the copy-free DOT over pre-normalized
+    // vectors (a condition runs |i|×|j| times per key group — the fused
+    // cosine expr's toDoubleArray() copies are pure GC churn there), and
+    // join rows carry ONLY the unit vector, halving the shuffle/sort bytes.
+    // Survivors re-fetch their raw vectors to pay the oracle-exact cosine
+    // formula — so exactness never rests on normalize-then-dot rounding.
+    val survivors = assigned.join(broadcast(candDf), col("_ca") === col("_ci"))
+      .join(b, col("_cb") === col("_cj") && col("_sb") === col("_s") &&
+        (col("_ci") < col("_cj") || col("_ida") < col("_idb")) &&
+        graft.plans.NativeVector.dot(spark, col("_ua"), col("_ub")) >=
+          tau - 1e-6)
+      .select(least(col("_ida"), col("_idb")).as("vec_a"),
+        greatest(col("_ida"), col("_idb")).as("vec_b"))
+    val raw = df.select(col(idCol).as("_rid"),
+      col(vecCol).cast("array<double>").as("_rv"))
+    survivors
+      .join(raw, col("vec_a") === col("_rid"))
+      .withColumnRenamed("_rv", "_va").drop("_rid")
+      .join(raw, col("vec_b") === col("_rid"))
+      .withColumnRenamed("_rv", "_vb").drop("_rid")
       .withColumn("cos_sim", round(graft.plans.NativeVector.cosine(spark,
         col("_va"), col("_vb")), 6))
       .filter(col("cos_sim") >= tau)
-      .select(least(col("_ida"), col("_idb")).as("vec_a"),
-        greatest(col("_ida"), col("_idb")).as("vec_b"), col("cos_sim"))
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
   }
 
   /** Candidate cluster pairs for `semanticNearDupPairs` (driver-side k×k,

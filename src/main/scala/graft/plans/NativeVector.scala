@@ -61,6 +61,51 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Copy-free dot product over `array<double>`: reads elements straight off
+  * the columnar/unsafe array via `getDouble(i)` — no `toDoubleArray()`
+  * materialization. Built for JOIN CONDITIONS evaluated millions of times
+  * per task (semantic-dedup's cluster-pair join): the fused cosine kernel
+  * above allocates+copies two arrays per evaluation, which is fine in a
+  * projection evaluated once per row but becomes pure GC churn when a
+  * condition fires |cluster|² times per key group. With pre-normalized
+  * vectors, `dot >= tau` IS the cosine test at a third of the flops and
+  * zero allocation.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native squared-L2 distance over `array<double>` — the k-means / exact-ANN
   * hot kernel (assignment computes k of these per row per iteration; the
   * HOF zip_with/aggregate form is CodegenFallback and runs interpreted).
@@ -252,6 +297,10 @@ object NativeVector {
       exprs => L2SquaredExpr(exprs.head, exprs(1)),
       "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_native",
+      exprs => DotProductExpr(exprs.head, exprs(1)),
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCountExpr(exprs.head, exprs(1)),
       "scala_udf")
@@ -271,6 +320,13 @@ object NativeVector {
       b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("cosine_sim_native", a, b)
+  }
+
+  /** Column form of the copy-free dot product (see DotProductExpr). */
+  def dot(spark: SparkSession, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("dot_native", a, b)
   }
 
   /** Column form of squared L2 distance. */
