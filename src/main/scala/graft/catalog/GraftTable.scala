@@ -322,6 +322,53 @@ final class GraftTable private (
       manifestFilesMatching(m, hitFiles))
   }
 
+  /** Re-evaluate one or more stored computed columns (reference
+    * `recompute_columns`, `catalog/table.py:1025-1060`): the use case is a
+    * UDF or external function whose behavior changed since the values were
+    * materialized — a cascade alone never re-runs the column itself.
+    * `whereSql` restricts the rewrite to matching rows (file-pruned COW,
+    * like `update`); `cascade` also recomputes transitive dependents.
+    * Produces a normal version: time travel sees the old values.
+    */
+  def recomputeColumns(columns: Seq[String], whereSql: Option[String] = None,
+      cascade: Boolean = true): Long = {
+    val v = retryOnConflict {
+      val m = meta
+      val v = m.currentVersion + 1
+      require(columns.nonEmpty, "no columns to recompute")
+      columns.foreach { c =>
+        val cd = m.liveColumns.find(_.name == c)
+          .getOrElse(throw new IllegalArgumentException(s"no column $c on $name"))
+        require(cd.computedExpr.isDefined, s"column $c is not computed")
+        require(cd.stored,
+          s"column $c is unstored — it always evaluates fresh, nothing to recompute")
+      }
+      val pred = whereSql.map(expr).getOrElse(lit(true))
+      withTouchedFiles(m, pred) match {
+        case None => noopVersion(m, v, "recompute")
+        case Some((touchedDf, touchedFiles)) =>
+          val hit = col(VMax) === Live && pred
+          val closed = touchedDf.withColumn(VMax,
+            when(hit, lit(v)).otherwise(col(VMax)))
+          var updated = touchedDf.filter(hit)
+          // the named columns re-evaluate in dependency order (one named
+          // column may feed another); the cascade then picks up dependents
+          m.computedInTopoOrder.filter(c => columns.contains(c.name))
+            .foreach(c => updated = updated.withColumn(c.name,
+              expr(c.computedExpr.get).cast(c.dataType)))
+          if (cascade) updated = recomputeCascade(updated, columns.toSet, m)
+          updated = updated
+            .withColumn(VMin, lit(v))
+            .withColumn(VMax, lit(Live))
+            .select(closed.columns.map(col): _*)
+          rewrite(m, v, "recompute", closed.union(updated), touchedFiles)
+      }
+    }
+    // recomputed rows may carry new values for an indexed embedding column
+    maintainIndexes()
+    v
+  }
+
   /** Add a (possibly computed) column; existing rows are backfilled in one
     * batch rewrite (reference `add_computed_column` backfill,
     * `plan.py:1230-1247`) — schema changes touch every file by nature.

@@ -405,4 +405,37 @@ class GraftTableSpec extends AnyFunSuite {
     } finally pool.shutdownNow()
     assert(t.meta.liveColumns.count(_.name == "extra") == 1)
   }
+
+  test("recomputeColumns re-runs a changed UDF, respects where/cascade, versions") {
+    // the recompute use case: a UDF's behavior changed AFTER values were
+    // materialized — cascades never re-run the column itself
+    spark.udf.register("rc_f", (x: Double) => x * 2)
+    val t = GraftTable.create(spark, freshCatalog(), "rc", Seq(
+      ColumnDef("id", "bigint"),
+      ColumnDef("v", "double"),
+      ColumnDef("d", "double", computedExpr = Some("rc_f(v)")),
+      ColumnDef("e", "double", computedExpr = Some("d + 1"))))
+    t.insert(Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("id", "v"))
+    val vOld = t.meta.currentVersion
+    assert(t.read().orderBy("id").select("d").as[Double].collect().toSeq ==
+      Seq(2.0, 4.0, 6.0))
+    spark.udf.register("rc_f", (x: Double) => x * 10) // behavior change
+    // where-restricted, cascading
+    t.recomputeColumns(Seq("d"), whereSql = Some("id <= 2"))
+    val rows = t.read().orderBy("id").select("d", "e")
+      .as[(Double, Double)].collect().toSeq
+    assert(rows == Seq((10.0, 11.0), (20.0, 21.0), (6.0, 7.0)))
+    // time travel sees pre-recompute values
+    assert(t.read(Some(vOld)).orderBy("id").select("d").as[Double]
+      .collect().toSeq == Seq(2.0, 4.0, 6.0))
+    // cascade=false leaves the dependent stale
+    spark.udf.register("rc_f", (x: Double) => x * 100)
+    t.recomputeColumns(Seq("d"), whereSql = Some("id = 3"), cascade = false)
+    val r3 = t.read().filter(col("id") === 3).select("d", "e")
+      .as[(Double, Double)].head()
+    assert(r3 == ((300.0, 7.0)))
+    // validation: non-computed and unstored columns are rejected
+    intercept[IllegalArgumentException](t.recomputeColumns(Seq("v")))
+    intercept[IllegalArgumentException](t.recomputeColumns(Seq("missing")))
+  }
 }
