@@ -170,6 +170,23 @@ final class GraftTable private (
 
   // ---------- write path ----------
 
+  /** Dry-run materialization (reference `Table.compute`,
+    * `catalog/table.py:806`): evaluate EVERY computed column — stored and
+    * unstored — over the given rows and return the result WITHOUT
+    * persisting anything (no version, no row ids, no index maintenance).
+    * The use case is inspecting what an insert would produce, or running
+    * the table's computation pipeline as a pure function over external
+    * rows. Evaluation order and expressions are identical to `insert`'s.
+    */
+  def compute(rows: DataFrame): DataFrame = {
+    val m = meta
+    var df = rows
+    m.computedInTopoOrder.foreach { c =>
+      df = df.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
+    }
+    df.select(m.liveColumns.map(c => col(c.name)): _*)
+  }
+
   /** Append rows. Stored computed columns are evaluated in dependency order
     * at insert time (reference insert plan, `plan.py:255-266`); row ids are
     * assigned distributedly (no single-partition choke point).

@@ -438,4 +438,15 @@ class GraftTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.recomputeColumns(Seq("v")))
     intercept[IllegalArgumentException](t.recomputeColumns(Seq("missing")))
   }
+
+  test("compute() materializes computed columns without persisting") {
+    val t = GraftTable.create(spark, freshCatalog(), "dryrun", cols)
+    val out = t.compute(Seq((9L, "zed", 5.0)).toDF("id", "name", "score"))
+      .collect().head
+    assert(out.getAs[Double]("score2") == 10.0)
+    assert(out.getAs[Double]("score4") == 20.0)
+    assert(out.getAs[String]("label") == "ZED") // unstored evaluates too
+    assert(t.read().count() == 0)               // nothing persisted
+    assert(t.meta.currentVersion == 0L)         // no version minted
+  }
 }
