@@ -161,4 +161,23 @@ object Views {
   }
 
   private def lastSeenKey(base: GraftTable) = s"__last_seen_base_${base.name}"
+  private val lastSeenPrefix = "__last_seen_base_"
+
+  /** Views maintained over `base`, anywhere in the warehouse (reference
+    * `Table.list_views`, `catalog/table.py:69`): a view records its base
+    * under the `__last_seen_base_<name>` snapshot key, so lineage is read
+    * straight from table metadata — a driver-side metadata scan.
+    */
+  def listViews(catalog: Catalog, base: GraftTable): Seq[String] =
+    catalog.listTablesUnder("", recursive = true)
+      .filter(t => t != base.name &&
+        catalog.load(t).snapshots.contains(lastSeenKey(base)))
+
+  /** The base table a view is maintained over, or None for ordinary tables
+    * (reference `Table.get_base_table`).
+    */
+  def baseOf(catalog: Catalog, view: GraftTable): Option[String] =
+    view.meta.snapshots.keys.collectFirst {
+      case k if k.startsWith(lastSeenPrefix) => k.stripPrefix(lastSeenPrefix)
+    }
 }

@@ -186,5 +186,68 @@ object Curation {
              |FROM t LEFT JOIN covc USING (doc_id)
              |ORDER BY t.doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q107_dedup_substring",
+      (s, dir) => {
+        // exact substring dedup — the REMOVAL side of q106 (Lee et al.
+        // 2022): every word position covered by a cross-document 8-gram is
+        // dropped and the surviving words reassemble in order. Shape: the
+        // q106 pipeline (gram-keyed equi-join) plus one anti-join on
+        // (doc, position) and a per-doc ordered reassembly — collect_list
+        // groups only a single document's tokens, never a corpus-wide sort.
+        val docs = T(s, dir, "documents")
+        val toks = docs.select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("w"))
+        val grams = toks.select(col("doc_id"), col("w"),
+            explode(when(size(col("w")) >= 8,
+              sequence(lit(1), size(col("w")) - 7)).otherwise(lit(null)))
+              .as("pos"))
+          .select(col("doc_id"), col("pos"),
+            array_join(slice(col("w"), col("pos"), lit(8)), " ").as("gram"))
+        val dup = grams.groupBy(col("gram"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 1).select(col("gram"))
+        val covered = grams.join(dup, Seq("gram"))
+          .select(col("doc_id"),
+            explode(sequence(col("pos"), col("pos") + 7)).as("p"))
+          .distinct()
+        val words = toks.select(col("doc_id"),
+          posexplode(col("w")).as(Seq("p0", "word")))
+          .select(col("doc_id"), (col("p0") + 1).as("p"), col("word"))
+        val kept = words.join(covered, Seq("doc_id", "p"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(array_join(transform(array_sort(collect_list(
+            struct(col("p"), col("word")))), x => x("word")), " ")
+            .as("clean_text"),
+            count(lit(1)).as("n_kept"))
+        toks.select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"))
+          .join(kept, Seq("doc_id"), "left")
+          .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
+          .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+             |  FROM documents),
+             |g AS (SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS gram
+             |  FROM (SELECT doc_id, w,
+             |          unnest(generate_series(1, len(w) - 7)) AS pos FROM t)),
+             |dup AS (SELECT gram FROM g GROUP BY gram
+             |  HAVING count(DISTINCT doc_id) > 1),
+             |cov AS (SELECT DISTINCT doc_id, p FROM
+             |  (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+             |   FROM g JOIN dup USING (gram))),
+             |words AS (SELECT doc_id, p, w[p] AS word FROM
+             |  (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM t)),
+             |kept AS (SELECT w.doc_id,
+             |    string_agg(w.word, ' ' ORDER BY w.p) AS clean_text,
+             |    count(*) AS n_kept
+             |  FROM words w ANTI JOIN cov c ON w.doc_id = c.doc_id AND w.p = c.p
+             |  GROUP BY w.doc_id)
+             |SELECT t.doc_id, len(w)::BIGINT AS n_tokens,
+             |  coalesce(clean_text, '') AS clean_text,
+             |  coalesce(n_kept, 0) AS n_kept
+             |FROM t LEFT JOIN kept USING (doc_id)
+             |ORDER BY t.doc_id""".stripMargin),
+    ),
   )
 }

@@ -110,4 +110,17 @@ class ViewsSpec extends AnyFunSuite {
     Views.refreshComponentView(view, t, "split(text, '\\\\s+')", "token", Seq("id"))
     assert(view.read().count() == 5)
   }
+
+  test("listViews finds views of a base; baseOf reads lineage; plain tables have neither") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "base1", cols)
+    t.insert(Seq((1L, "a b")).toDF("id", "text"))
+    val other = GraftTable.create(spark, cat, "plain1", cols)
+    val v1 = Views.createComponentView(spark, cat, "view1", t,
+      "split(text, '\\\\s+')", "token", "string", Seq(ColumnDef("id", "bigint")))
+    assert(Views.listViews(cat, t) == Seq("view1"))
+    assert(Views.listViews(cat, other).isEmpty)
+    assert(Views.baseOf(cat, v1).contains("base1"))
+    assert(Views.baseOf(cat, other).isEmpty)
+  }
 }
