@@ -106,7 +106,11 @@ object Curation {
         // |charset|^2 rows, broadcastable at any corpus size) and score
         // each document by its mean log2 bigram probability. Low scores =
         // character salad; the filtering threshold is a downstream choice.
-        val docs = T(s, dir, "documents")
+        // the driver corpus is ONE row group per file — fan the compute-
+        // heavy bigram explode out across cores (at 100 TB inputs arrive
+        // pre-split; this shuffle is KBs here); computed ONCE for both the
+        // model aggregation and the scoring join via the shared lineage
+        val docs = T(s, dir, "documents").repartition(32, col("doc_id"))
         val bg = docs.select(col("doc_id"),
           explode(when(length(col("text")) >= 2,
             transform(sequence(lit(1), length(col("text")) - 1),
@@ -143,7 +147,8 @@ object Curation {
         // covered (doc, position) pairs. At 100 TB the gram key-space is
         // huge → hash-shuffle balances; the oracle is the identical
         // relational pipeline in DuckDB.
-        val docs = T(s, dir, "documents")
+        // single-row-group input: fan the gram explosion out across cores
+        val docs = T(s, dir, "documents").repartition(32, col("doc_id"))
         val toks = docs.select(col("doc_id"),
           split(trim(col("text")), "\\s+").as("w"))
         val grams = toks.select(col("doc_id"), col("w"),
@@ -195,7 +200,8 @@ object Curation {
         // q106 pipeline (gram-keyed equi-join) plus one anti-join on
         // (doc, position) and a per-doc ordered reassembly — collect_list
         // groups only a single document's tokens, never a corpus-wide sort.
-        val docs = T(s, dir, "documents")
+        // single-row-group input: fan the gram explosion out across cores
+        val docs = T(s, dir, "documents").repartition(32, col("doc_id"))
         val toks = docs.select(col("doc_id"),
           split(trim(col("text")), "\\s+").as("w"))
         val grams = toks.select(col("doc_id"), col("w"),

@@ -18,7 +18,12 @@ object ScaleCheck {
     "q17_sample_stratified", "q28_dedup_exact", "q33_lsh_pairs", "q35_simhash",
     "q36_lang_id", "q38_fingerprint", "q40_sessionize", "q51_window_range",
     "q56_tpch_q3", "q57_tpch_q18", "q66_mean_ap", "q75_percentile_group",
-    "q97_gopher_rules", "q99_rolling_window")
+    "q97_gopher_rules", "q99_rolling_window",
+    "q103_mixture_sample", "q104_sequence_pack", "q105_charlm_score",
+    "q106_dupspan_stats")
+  // q107 is absent like q100: replication makes every document an exact
+  // dup of its copies, so covered positions approach 100% and the
+  // reassembly output collapses — the ratio would measure the artifact.
   // q100_semantic_neardup is intentionally absent: replication duplicates
   // every embedding, so the TRUE near-dup pair count grows quadratically
   // with m (every copy matches every copy at cos=1) — the ratio would
