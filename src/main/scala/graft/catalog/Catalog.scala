@@ -421,14 +421,37 @@ final class Catalog(val warehouse: String) {
       Files.move(Paths.get(warehouse, path), Paths.get(warehouse, newPath),
         StandardCopyOption.ATOMIC_MOVE)
       rewriteMovedMeta(path, newPath)
+      rewriteViewLineage(Map(path -> newPath))
     } else {
       Files.move(Paths.get(warehouse, path), Paths.get(warehouse, newPath),
         StandardCopyOption.ATOMIC_MOVE)
       // rewrite every nested table's manifest
-      listTablesUnder(newPath).foreach { t =>
+      val renames = listTablesUnder(newPath).map { t =>
         val old = path + t.stripPrefix(newPath)
         rewriteMovedMeta(old, t)
+        old -> t
       }
+      rewriteViewLineage(renames.toMap)
+    }
+  }
+
+  /** After a table/dir move, fix VIEW LINEAGE everywhere: a view records its
+    * base under a `__last_seen_base_<name>` snapshot key; a stale key after
+    * the base moves would make the next refresh miss it, default lastSeen
+    * to 0, and RE-EXPAND every base row into duplicates. Metadata-only scan
+    * of every table's manifest.
+    */
+  private def rewriteViewLineage(renames: Map[String, String]): Unit = {
+    if (renames.isEmpty) return
+    val p = Views.lastSeenPrefix
+    listTablesUnder("", recursive = true).foreach { t =>
+      val m = load(t)
+      val fixed = m.snapshots.map {
+        case (k, v) if k.startsWith(p) && renames.contains(k.stripPrefix(p)) =>
+          (p + renames(k.stripPrefix(p))) -> v
+        case kv => kv
+      }
+      if (fixed != m.snapshots) save(m.copy(snapshots = fixed))
     }
   }
 

@@ -161,7 +161,7 @@ object Views {
   }
 
   private def lastSeenKey(base: GraftTable) = s"__last_seen_base_${base.name}"
-  private val lastSeenPrefix = "__last_seen_base_"
+  private[catalog] val lastSeenPrefix = "__last_seen_base_"
 
   /** Views maintained over `base`, anywhere in the warehouse (reference
     * `Table.list_views`, `catalog/table.py:69`): a view records its base

@@ -18,6 +18,7 @@ object CatalogDemo {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -129,6 +130,33 @@ object CatalogDemo {
       embDf, "embedding", "vec_id", tau = 0.95, k = 2)
       .select("vec_id").as[Long].collect().sorted
     println(s"[demo] semanticDedup keeps: ${semKept.mkString(",")}")
+
+    // plain SQL over graft tables (GraftRelationRule): names, time travel
+    spark.conf.set("spark.graft.warehouse", cat.warehouse)
+    val sqlNow = spark.sql(s"SELECT count(*) AS n FROM graft.`corp/raw/docs`")
+      .as[Long].head()
+    val sqlV1 = spark.sql(s"SELECT count(*) AS n FROM graft.`corp/raw/docs@v1`")
+      .as[Long].head()
+    println(s"[demo] spark.sql: current=$sqlNow rows, time travel @v1=$sqlV1 rows")
+
+    // dry-run the computed-column pipeline; then recompute after a UDF change
+    spark.udf.register("demo_fp", (s: String) => s.length.toLong)
+    val rcT = GraftTable.create(spark, cat, "rc_demo", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("txt", "string"),
+      ColumnDef("fp2", "bigint", Some("demo_fp(txt)"))))
+    val dry = rcT.compute(Seq((1L, "abc")).toDF("id", "txt"))
+      .select("fp2").as[Long].head()
+    rcT.insert(Seq((1L, "abc"), (2L, "abcdef")).toDF("id", "txt"))
+    spark.udf.register("demo_fp", (s: String) => s.length.toLong * 100)
+    rcT.recomputeColumns(Seq("fp2"))
+    val after = rcT.read().orderBy("id").select("fp2").as[Long].collect()
+    println(s"[demo] compute() dry-run fp2=$dry; after UDF change + " +
+      s"recomputeColumns: ${after.mkString(",")} (history keeps v1 values)")
+
+    // view lineage + function catalog
+    println(s"[demo] listViews(docs)=${
+      Views.listViews(cat, moved).mkString(",")}; functions=${
+      graft.functions.FunctionsCatalog.functions.size} Column builders")
 
     println(s"[demo] catalog tables: ${cat.listTablesUnder().mkString(", ")}")
     println("[demo] DONE")

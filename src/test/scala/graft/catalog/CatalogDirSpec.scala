@@ -157,4 +157,32 @@ class CatalogDirSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](cat.dropDir("p"))
     cat.dropDir("p", ifNotExists = "ignore")
   }
+
+  test("moving a base table keeps view lineage: refresh stays incremental, no duplicates") {
+    val cat = freshCatalog()
+    val base = GraftTable.create(spark, cat, "vb", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("text", "string")))
+    base.insert(Seq((1L, "a b")).toDF("id", "text"))
+    val view = Views.createComponentView(spark, cat, "vtokens", base,
+      "split(text, '\\\\s+')", "token", "string", Seq(ColumnDef("id", "bigint")))
+    assert(view.read().count() == 2)
+    cat.createDir("inner")
+    cat.move("vb", "inner/vb")
+    val moved = GraftTable.open(spark, cat, "inner/vb")
+    // lineage survived the move — both directions
+    assert(Views.listViews(cat, moved) == Seq("vtokens"))
+    assert(Views.baseOf(cat, view).contains("inner/vb"))
+    // refresh against the MOVED base must process only NEW rows — a stale
+    // lineage key would default lastSeen to 0 and duplicate row 1's tokens
+    moved.insert(Seq((2L, "c")).toDF("id", "text"))
+    Views.refreshComponentView(view, moved, "split(text, '\\\\s+')", "token", Seq("id"))
+    assert(view.read().count() == 3, "stale lineage re-expanded old rows")
+    // dir move of the base keeps lineage too
+    cat.move("inner", "outer")
+    val moved2 = GraftTable.open(spark, cat, "outer/vb")
+    assert(Views.baseOf(cat, view).contains("outer/vb"))
+    moved2.insert(Seq((3L, "d e")).toDF("id", "text"))
+    Views.refreshComponentView(view, moved2, "split(text, '\\\\s+')", "token", Seq("id"))
+    assert(view.read().count() == 5)
+  }
 }
