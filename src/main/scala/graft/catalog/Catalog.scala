@@ -480,7 +480,23 @@ final class Catalog(val warehouse: String) {
     requireParent(path)
   }
 
-  def dropTable(table: String): Unit = {
+  /** Drop a table (reference `pxt.drop_table`, `globals.py:641`): refuses
+    * when dependent views exist unless `force`, which drops the dependents
+    * first (recursively — views of views cascade too). Missing tables no-op
+    * with `ifNotExists='ignore'` (the default, matching prior behavior).
+    */
+  def dropTable(table: String, force: Boolean = false,
+      ifNotExists: String = "ignore"): Unit = {
+    if (!exists(table)) {
+      if (ifNotExists == "ignore") return
+      throw new IllegalArgumentException(s"no such table: '$table'")
+    }
+    val deps = dependentViews(table)
+    if (deps.nonEmpty) {
+      require(force, s"table '$table' has dependent views " +
+        s"${deps.mkString(", ")}; pass force=true to drop them too")
+      deps.foreach(dropTable(_, force = true))
+    }
     val dir = Paths.get(warehouse, table)
     if (Files.exists(dir)) {
       val s = Files.walk(dir)
@@ -489,6 +505,12 @@ final class Catalog(val warehouse: String) {
       finally s.close()
     }
   }
+
+  /** Tables whose view lineage points at `table` (metadata-only scan). */
+  def dependentViews(table: String): Seq[String] =
+    listTablesUnder("", recursive = true)
+      .filter(t => t != table &&
+        load(t).snapshots.contains(Views.lastSeenPrefix + table))
 
   def listTables(): Seq[String] = {
     val w = Paths.get(warehouse)

@@ -70,7 +70,7 @@ object Views {
     */
   def refreshComponentView(view: GraftTable, base: GraftTable,
       iteratorExprSql: String, valueCol: String, keepCols: Seq[String]): Long = {
-    val lastSeen = view.meta.snapshots.getOrElse(lastSeenKey(base), 0L)
+    val lastSeen = healAfterRevert(view, base)
     val baseVersion = base.currentVersion
     if (baseVersion <= lastSeen) return view.currentVersion
     val fresh = base.readWithSystem()
@@ -92,7 +92,7 @@ object Views {
     */
   def syncComponentView(view: GraftTable, base: GraftTable,
       iteratorExprSql: String, valueCol: String, keepCols: Seq[String]): Long = {
-    val lastSeen = view.meta.snapshots.getOrElse(lastSeenKey(base), 0L)
+    val lastSeen = healAfterRevert(view, base)
     val baseVersion = base.currentVersion
     if (baseVersion > lastSeen) {
       // rows closed (deleted or replaced) after the last sync — must read
@@ -135,7 +135,7 @@ object Views {
     */
   def syncMaterializedView(view: GraftTable, base: GraftTable,
       whereSql: Option[String], selectExprs: Seq[(String, String)]): Long = {
-    val lastSeen = view.meta.snapshots.getOrElse(lastSeenKey(base), 0L)
+    val lastSeen = healAfterRevert(view, base)
     val baseVersion = base.currentVersion
     if (baseVersion <= lastSeen) return view.currentVersion
     // distributed closed-row propagation — see syncComponentView
@@ -162,6 +162,28 @@ object Views {
 
   private def lastSeenKey(base: GraftTable) = s"__last_seen_base_${base.name}"
   private[catalog] val lastSeenPrefix = "__last_seen_base_"
+
+  /** A base REVERT invalidates incremental view state: the view may hold
+    * expansions of rows that no longer exist at any readable base version,
+    * and the version log the sync diff walks has been truncated. Detected
+    * by `base.currentVersion < lastSeen`; the view self-heals with a full
+    * rebuild — delete everything, reset the high-water mark, and let the
+    * caller's normal incremental pass re-expand the live image. (The
+    * reference's own revert/view interaction is an open TODO,
+    * `catalog/catalog.py:641`; a rebuild is the conservative correct
+    * answer.) Returns the effective lastSeen.
+    */
+  private def healAfterRevert(view: GraftTable, base: GraftTable): Long = {
+    val key = lastSeenKey(base)
+    val lastSeen = view.meta.snapshots.getOrElse(key, 0L)
+    if (base.currentVersion >= lastSeen) lastSeen
+    else {
+      view.delete("true")
+      val m = view.meta
+      view.catalog.save(m.copy(snapshots = m.snapshots + (key -> 0L)))
+      0L
+    }
+  }
 
   /** Views maintained over `base`, anywhere in the warehouse (reference
     * `Table.list_views`, `catalog/table.py:69`): a view records its base

@@ -111,6 +111,41 @@ class ViewsSpec extends AnyFunSuite {
     assert(view.read().count() == 5)
   }
 
+  test("base revert self-heals the view: full rebuild, no orphan expansions") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "rvb", cols)
+    t.insert(Seq((1L, "a b")).toDF("id", "text"))
+    val v1 = t.currentVersion
+    val view = Views.createComponentView(spark, cat, "rvtok", t,
+      "split(text, '\\\\s+')", "token", "string", Seq(ColumnDef("id", "bigint")))
+    t.insert(Seq((2L, "c d e")).toDF("id", "text"))
+    Views.refreshComponentView(view, t, "split(text, '\\\\s+')", "token", Seq("id"))
+    assert(view.read().count() == 5)
+    // revert the base BELOW the view's high-water mark: row 2 never existed
+    t.revert(v1)
+    Views.syncComponentView(view, t, "split(text, '\\\\s+')", "token", Seq("id"))
+    val toks = view.read().select("token").as[String].collect().sorted.toSeq
+    assert(toks == Seq("a", "b"), s"orphan expansions survived revert: $toks")
+    // and incremental behavior resumes after the heal
+    t.insert(Seq((3L, "x")).toDF("id", "text"))
+    Views.refreshComponentView(view, t, "split(text, '\\\\s+')", "token", Seq("id"))
+    assert(view.read().count() == 3)
+  }
+
+  test("dropTable refuses with dependent views; force cascades") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "dtb", cols)
+    t.insert(Seq((1L, "a")).toDF("id", "text"))
+    Views.createComponentView(spark, cat, "dtv", t,
+      "split(text, '\\\\s+')", "token", "string", Seq.empty)
+    val e = intercept[IllegalArgumentException](cat.dropTable("dtb"))
+    assert(e.getMessage.contains("dtv"))
+    cat.dropTable("dtb", force = true)
+    assert(!cat.exists("dtb") && !cat.exists("dtv"))
+    intercept[IllegalArgumentException](cat.dropTable("dtb", ifNotExists = "error"))
+    cat.dropTable("dtb") // default ignore: no-op
+  }
+
   test("listViews finds views of a base; baseOf reads lineage; plain tables have neither") {
     val cat = freshCatalog()
     val t = GraftTable.create(spark, cat, "base1", cols)
