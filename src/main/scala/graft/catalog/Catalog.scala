@@ -445,13 +445,20 @@ final class Catalog(val warehouse: String) {
     if (renames.isEmpty) return
     val p = Views.lastSeenPrefix
     listTablesUnder("", recursive = true).foreach { t =>
-      val m = load(t)
-      val fixed = m.snapshots.map {
+      def fixed(m: TableMeta): Map[String, Long] = m.snapshots.map {
         case (k, v) if k.startsWith(p) && renames.contains(k.stripPrefix(p)) =>
           (p + renames(k.stripPrefix(p))) -> v
         case kv => kv
       }
-      if (fixed != m.snapshots) save(m.copy(snapshots = fixed))
+      // CAS under the view's writer lock — a raw save would clobber any
+      // commit that landed since the load and regress commitSeq
+      if (fixed(load(t)) != load(t).snapshots) withWriterLock(t) {
+        var done = false
+        while (!done) {
+          val m = load(t)
+          done = commit(m.commitSeq, m.copy(snapshots = fixed(m)))
+        }
+      }
     }
   }
 

@@ -59,8 +59,7 @@ object Views {
       ColumnDef(BaseRowId, "bigint"), ColumnDef(Pos, "int"),
       ColumnDef(valueCol, valueType)) ++ keepCols
     val view = GraftTable.create(spark, catalog, name, cols)
-    catalog.save(catalog.load(name).copy(snapshots =
-      Map(lastSeenKey(base) -> 0L)))
+    setMark(view, lastSeenKey(base), 0L)
     refreshComponentView(view, base, iteratorExprSql, valueCol, keepCols.map(_.name))
     view
   }
@@ -79,8 +78,7 @@ object Views {
       .select((Seq(col(GraftTable.RowId).as(BaseRowId), col(Pos), col(valueCol)) ++
         keepCols.map(col)): _*)
     val v = view.insert(expanded)
-    val m = view.meta
-    view.catalog.save(m.copy(snapshots = m.snapshots + (lastSeenKey(base) -> baseVersion)))
+    setMark(view, lastSeenKey(base), baseVersion)
     v
   }
 
@@ -123,7 +121,7 @@ object Views {
     val cols = sample.schema.fields.map(f =>
       ColumnDef(f.name, f.dataType.sql.toLowerCase)).toSeq
     val view = GraftTable.create(spark, catalog, name, cols)
-    catalog.save(catalog.load(name).copy(snapshots = Map(lastSeenKey(base) -> 0L)))
+    setMark(view, lastSeenKey(base), 0L)
     syncMaterializedView(view, base, whereSql, selectExprs)
     view
   }
@@ -147,8 +145,7 @@ object Views {
     val fresh = base.readWithSystem()
       .filter(col(GraftTable.VMin) > lastSeen && col(GraftTable.VMax) === GraftTable.Live)
     val v = view.insert(mvTransform(fresh, whereSql, selectExprs))
-    val m = view.meta
-    view.catalog.save(m.copy(snapshots = m.snapshots + (lastSeenKey(base) -> baseVersion)))
+    setMark(view, lastSeenKey(base), baseVersion)
     v
   }
 
@@ -179,11 +176,26 @@ object Views {
     if (base.currentVersion >= lastSeen) lastSeen
     else {
       view.delete("true")
-      val m = view.meta
-      view.catalog.save(m.copy(snapshots = m.snapshots + (key -> 0L)))
+      setMark(view, key, 0L)
       0L
     }
   }
+
+  /** CAS-protected lineage-mark update. A raw `catalog.save` here would
+    * clobber any commit that landed between the caller's last read and the
+    * save — and REGRESS `commitSeq`, breaking the CAS for every in-flight
+    * writer. Under the view's writer lock an in-process conflict is
+    * impossible; the loop covers out-of-band writers on shared storage.
+    */
+  private def setMark(view: GraftTable, key: String, value: Long): Unit =
+    view.catalog.withWriterLock(view.name) {
+      var done = false
+      while (!done) {
+        val m = view.catalog.load(view.name)
+        done = view.catalog.commit(m.commitSeq,
+          m.copy(snapshots = m.snapshots + (key -> value)))
+      }
+    }
 
   /** Views maintained over `base`, anywhere in the warehouse (reference
     * `Table.list_views`, `catalog/table.py:69`): a view records its base
