@@ -427,6 +427,12 @@ final class GraftTable private (
       d.computedExpr.exists(e => ColumnDef.exprReferences(e).contains(colName)))
     require(dependents.isEmpty,
       s"cannot drop $colName: computed column(s) ${dependents.map(_.name).mkString(", ")} depend on it")
+    // a dangling IndexDef would make every subsequent insert fail inside
+    // maintainIndexes (filter on a column that no longer exists)
+    val idxDeps = m.indexes.filter(ix => ix.column == colName || ix.idCol == colName)
+    require(idxDeps.isEmpty,
+      s"cannot drop $colName: index(es) ${idxDeps.map(_.name).mkString(", ")} " +
+        "use it; dropIndex first")
     val v = m.currentVersion + 1
     commitMeta(m, m.copy(
       columns = m.columns.map(x => if (x.name == colName && x.liveAt(m.currentVersion))
@@ -452,6 +458,11 @@ final class GraftTable private (
     commitMeta(m, m.copy(
       columns = m.columns.map(x => if (x.name == oldName && x.liveAt(m.currentVersion))
         x.copy(name = newName, physicalName = x.storeName) else x),
+      // index defs address columns by LOGICAL name — follow the rename, or
+      // maintenance/search would reference a name that no longer resolves
+      indexes = m.indexes.map(ix => ix.copy(
+        column = if (ix.column == oldName) newName else ix.column,
+        idCol = if (ix.idCol == oldName) newName else ix.idCol)),
       versions = m.versions :+ entry(v, "rename_column", Seq.empty, Seq.empty)))
     v
   }
@@ -517,7 +528,13 @@ final class GraftTable private (
     * reachable because they pin log versions. Irreversible: time travel to
     * reverted-away versions is gone after vacuum.
     */
-  def vacuum(): Seq[String] = {
+  def vacuum(): Seq[String] = catalog.withWriterLock(name) {
+    // under the writer lock: without it, vacuum could load meta BEFORE a
+    // concurrent insert's commit but list the filesystem AFTER its files
+    // landed — and delete the freshly committed data as "unreachable".
+    // The lock blocks same-machine writers for the scan; the meta reloads
+    // inside the window. (Out-of-band writers on shared storage keep the
+    // same caveat as the lock protocol itself — see Catalog.withFileLock.)
     val m = meta
     val reachable = m.versions.flatMap(_.added).toSet
     def norm(s: String) = new org.apache.hadoop.fs.Path(s).toUri.getPath

@@ -127,6 +127,34 @@ class HnswIndexDmlSpec extends AnyFunSuite {
     assert(got == bruteTopK(t, q, 10), "repair after lag diverged")
   }
 
+  test("schema changes respect indexes: drop refused, rename followed") {
+    val cat = freshCatalog()
+    val t = mkTable(cat, "ix8", 80L)
+    t.createHnswIndex("e", "emb", "id", shards = 2)
+    // dropping the indexed column (or id col) would leave a dangling
+    // IndexDef that breaks every later insert inside maintainIndexes
+    val e1 = intercept[IllegalArgumentException](t.dropColumn("emb"))
+    assert(e1.getMessage.contains("dropIndex"))
+    intercept[IllegalArgumentException](t.dropColumn("id"))
+    // rename follows through into the index def: maintenance + search work
+    t.renameColumn("emb", "vec")
+    assert(t.meta.indexes.head.column == "vec")
+    t.insert(Seq((500L, vec(500L))).toDF("id", "vec"))
+    val q = vec(12321L)
+    val got = t.searchIndex("e", q, 5).select("vec_id").as[Long].collect().toSeq
+    import graft.functions.VectorFunctions
+    val brute = t.read()
+      .withColumn("s", VectorFunctions.cosineSimilarity(col("vec"),
+        VectorFunctions.vectorLit(q)))
+      .orderBy(col("s").desc, col("id")).limit(5)
+      .select("id").as[Long].collect().toSeq
+    assert(got == brute, "index broken after renaming its column")
+    // after dropIndex, the column drop goes through
+    t.dropIndex("e")
+    t.dropColumn("vec")
+    assert(!t.read().columns.contains("vec"))
+  }
+
   test("dropIndex removes segment dirs including rebuilt generations") {
     val cat = freshCatalog()
     val t = mkTable(cat, "ix7", 60L)
