@@ -557,6 +557,10 @@ final class GraftTable private (
 
   /** Pin the current version under a name (immutable snapshot). */
   def createSnapshot(snapshot: String): Long = retryOnConflict {
+    // the snapshots map doubles as view-lineage storage; a user snapshot
+    // under the reserved prefix would corrupt a view's high-water mark
+    require(!snapshot.startsWith(Views.lastSeenPrefix),
+      s"snapshot name '$snapshot' uses the reserved prefix '${Views.lastSeenPrefix}'")
     val m = meta
     commitMeta(m, m.copy(snapshots = m.snapshots + (snapshot -> m.currentVersion)))
     m.currentVersion
