@@ -192,6 +192,58 @@ object Curation {
              |ORDER BY t.doc_id""".stripMargin),
     ),
     QueryDef(
+      "q108_ccnet_filter",
+      (s, dir) => {
+        // CCNet's decision layer (Wenzek et al. 2020): per-LANGUAGE tercile
+        // cutoffs over the corpus-LM score split documents into head /
+        // middle / tail quality buckets (tail = least probable text, the
+        // filtering candidate). Cutoffs are |languages| rows broadcast
+        // back, so the pass stays map-only after the score aggregation.
+        // Scores and cutoffs are BOTH rounded to 4 dp before the bucket
+        // compare — the gate must be engine-reproducible at the boundary.
+        val docs = T(s, dir, "documents").repartition(32, col("doc_id"))
+        val bg = docs.select(col("doc_id"), col("lang"),
+          explode(when(length(col("text")) >= 2,
+            transform(sequence(lit(1), length(col("text")) - 1),
+              i => lower(col("text")).substr(i, lit(2)))).otherwise(lit(null)))
+            .as("bg"))
+        val model = bg.groupBy(col("bg")).agg(count(lit(1)).cast("double").as("cnt"))
+        val total = model.agg(sum(col("cnt")).as("tot"))
+        val scored = bg.join(broadcast(model), Seq("bg"))
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(round(avg(log2(col("cnt") / col("tot"))), 4).as("score"))
+        val cuts = scored.groupBy(col("lang")).agg(
+          round(expr("percentile(score, 0.333333)"), 4).as("t1"),
+          round(expr("percentile(score, 0.666667)"), 4).as("t2"))
+        scored.join(broadcast(cuts), Seq("lang"))
+          .withColumn("bucket",
+            when(col("score") <= col("t1"), "tail")
+              .when(col("score") <= col("t2"), "middle")
+              .otherwise("head"))
+          .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH bg AS (SELECT doc_id, lang,
+             |    unnest([substr(lower(text), i, 2)
+             |            for i in generate_series(1, length(text) - 1)]) AS bg
+             |  FROM documents),
+             |c AS (SELECT bg, count(*)::DOUBLE AS cnt FROM bg GROUP BY 1),
+             |scored AS (SELECT doc_id, lang,
+             |    round(avg(log2(cnt / (SELECT sum(cnt) FROM c))), 4) AS score
+             |  FROM bg JOIN c USING (bg) GROUP BY doc_id, lang),
+             |cuts AS (SELECT lang,
+             |    round(quantile_cont(score, 0.333333), 4) AS t1,
+             |    round(quantile_cont(score, 0.666667), 4) AS t2
+             |  FROM scored GROUP BY lang)
+             |SELECT doc_id, s.lang, score,
+             |  CASE WHEN score <= t1 THEN 'tail'
+             |       WHEN score <= t2 THEN 'middle'
+             |       ELSE 'head' END AS bucket
+             |FROM scored s JOIN cuts USING (lang)
+             |ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
       "q107_dedup_substring",
       (s, dir) => {
         // exact substring dedup — the REMOVAL side of q106 (Lee et al.
