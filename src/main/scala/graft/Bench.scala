@@ -53,7 +53,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures a bounded log tail, which has truncated the
+    // lexically-first queries out of BENCH_rNN.json in past rounds (q100+
+    // sort before q20, pushing q20+ timings off the front). Persist the
+    // complete per-query map to its own file so every round's numbers are
+    // diffable regardless of tail size.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -94,6 +94,14 @@ final case class TableMeta(
     commitSeq: Long = 0L,
     // DML-maintained ANN indexes (see IndexDef)
     indexes: Seq[IndexDef] = Seq.empty,
+    // monotonic count of reverts ever applied to this table. Version
+    // numbers alone can't signal a revert to downstream observers: revert
+    // truncates the log and later inserts REUSE the rolled-back numbers,
+    // so an observer that compares only currentVersion to its high-water
+    // mark can be lapped (revert + enough new writes between two looks).
+    // Incremental views store the epoch they synced at alongside their
+    // lastSeen mark; any mismatch forces a rebuild regardless of ordering.
+    revertEpoch: Long = 0L,
 ) {
   def currentVersion: Long = if (versions.isEmpty) 0L else versions.last.version
 

@@ -477,7 +477,10 @@ final class GraftTable private (
   def revert(toVersion: Long): Unit = retryOnConflict {
     val m = meta
     require(toVersion <= m.currentVersion, s"cannot revert forward to $toVersion")
-    val pinned = m.snapshots.filter { case (_, v) => v > toVersion }
+    // view-lineage marks (reserved prefixes) hold BASE-table versions, not
+    // versions of this table — they are not pins and must not block revert
+    val pinned = m.snapshots.filter { case (k, v) =>
+      v > toVersion && !Views.isLineageKey(k) }
     require(pinned.isEmpty,
       s"cannot revert to $toVersion: snapshot(s) ${pinned.keys.mkString(", ")} pin later versions")
     commitMeta(m, m.copy(
@@ -493,7 +496,12 @@ final class GraftTable private (
       // reverted-away rows left in segments are ghosts the live re-rank
       // in searchIndex already drops
       indexes = m.indexes.map(ix =>
-        ix.copy(indexedThrough = math.min(ix.indexedThrough, toVersion)))))
+        ix.copy(indexedThrough = math.min(ix.indexedThrough, toVersion))),
+      // signal the revert to incremental views order-independently: later
+      // inserts reuse the truncated version numbers, so a view comparing
+      // only currentVersion to its lastSeen mark could miss the revert
+      // entirely (ADVICE r5). The epoch only ever grows.
+      revertEpoch = m.revertEpoch + 1))
   }
 
   /** Small-file compaction (the lakehouse OPTIMIZE maintenance op): merge

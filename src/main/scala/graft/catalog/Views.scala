@@ -59,7 +59,7 @@ object Views {
       ColumnDef(BaseRowId, "bigint"), ColumnDef(Pos, "int"),
       ColumnDef(valueCol, valueType)) ++ keepCols
     val view = GraftTable.create(spark, catalog, name, cols)
-    setMark(view, lastSeenKey(base), 0L)
+    setMark(view, lastSeenKey(base), 0L, base, base.meta.revertEpoch)
     refreshComponentView(view, base, iteratorExprSql, valueCol, keepCols.map(_.name))
     view
   }
@@ -69,7 +69,7 @@ object Views {
     */
   def refreshComponentView(view: GraftTable, base: GraftTable,
       iteratorExprSql: String, valueCol: String, keepCols: Seq[String]): Long = {
-    val lastSeen = healAfterRevert(view, base)
+    val (lastSeen, epoch) = healAfterRevert(view, base)
     val baseVersion = base.currentVersion
     if (baseVersion <= lastSeen) return view.currentVersion
     val fresh = base.readWithSystem()
@@ -78,7 +78,7 @@ object Views {
       .select((Seq(col(GraftTable.RowId).as(BaseRowId), col(Pos), col(valueCol)) ++
         keepCols.map(col)): _*)
     val v = view.insert(expanded)
-    setMark(view, lastSeenKey(base), baseVersion)
+    setMark(view, lastSeenKey(base), baseVersion, base, epoch)
     v
   }
 
@@ -90,7 +90,7 @@ object Views {
     */
   def syncComponentView(view: GraftTable, base: GraftTable,
       iteratorExprSql: String, valueCol: String, keepCols: Seq[String]): Long = {
-    val lastSeen = healAfterRevert(view, base)
+    val (lastSeen, _) = healAfterRevert(view, base)
     val baseVersion = base.currentVersion
     if (baseVersion > lastSeen) {
       // rows closed (deleted or replaced) after the last sync — must read
@@ -121,7 +121,7 @@ object Views {
     val cols = sample.schema.fields.map(f =>
       ColumnDef(f.name, f.dataType.sql.toLowerCase)).toSeq
     val view = GraftTable.create(spark, catalog, name, cols)
-    setMark(view, lastSeenKey(base), 0L)
+    setMark(view, lastSeenKey(base), 0L, base, base.meta.revertEpoch)
     syncMaterializedView(view, base, whereSql, selectExprs)
     view
   }
@@ -133,7 +133,7 @@ object Views {
     */
   def syncMaterializedView(view: GraftTable, base: GraftTable,
       whereSql: Option[String], selectExprs: Seq[(String, String)]): Long = {
-    val lastSeen = healAfterRevert(view, base)
+    val (lastSeen, epoch) = healAfterRevert(view, base)
     val baseVersion = base.currentVersion
     if (baseVersion <= lastSeen) return view.currentVersion
     // distributed closed-row propagation — see syncComponentView
@@ -145,7 +145,7 @@ object Views {
     val fresh = base.readWithSystem()
       .filter(col(GraftTable.VMin) > lastSeen && col(GraftTable.VMax) === GraftTable.Live)
     val v = view.insert(mvTransform(fresh, whereSql, selectExprs))
-    setMark(view, lastSeenKey(base), baseVersion)
+    setMark(view, lastSeenKey(base), baseVersion, base, epoch)
     v
   }
 
@@ -158,26 +158,46 @@ object Views {
   }
 
   private def lastSeenKey(base: GraftTable) = s"__last_seen_base_${base.name}"
+  private def epochKey(base: GraftTable) = s"__revert_epoch_base_${base.name}"
   private[catalog] val lastSeenPrefix = "__last_seen_base_"
+  private[catalog] val epochPrefix = "__revert_epoch_base_"
+
+  /** True for snapshot-map keys that carry view lineage (high-water mark or
+    * revert epoch) rather than a user snapshot pin.
+    */
+  private[catalog] def isLineageKey(k: String): Boolean =
+    k.startsWith(lastSeenPrefix) || k.startsWith(epochPrefix)
 
   /** A base REVERT invalidates incremental view state: the view may hold
     * expansions of rows that no longer exist at any readable base version,
-    * and the version log the sync diff walks has been truncated. Detected
-    * by `base.currentVersion < lastSeen`; the view self-heals with a full
-    * rebuild — delete everything, reset the high-water mark, and let the
-    * caller's normal incremental pass re-expand the live image. (The
-    * reference's own revert/view interaction is an open TODO,
+    * and the version log the sync diff walks has been truncated. Detection
+    * is ORDER-INDEPENDENT (ADVICE r5): `revert` truncates the log and later
+    * inserts REUSE the rolled-back version numbers, so a revert followed by
+    * enough new base writes before the next refresh makes
+    * `currentVersion >= lastSeen` again and a version-only compare is
+    * lapped. The base therefore carries a monotonic `revertEpoch`
+    * (TableMeta), and the view stores the epoch it last synced at alongside
+    * its high-water mark; any epoch mismatch — regardless of what the
+    * version numbers look like — forces the rebuild. The version compare
+    * stays as a second tripwire for marks written before epochs existed.
+    * The view self-heals with a full rebuild: delete everything, reset the
+    * mark, and let the caller's normal incremental pass re-expand the live
+    * image. (The reference's own revert/view interaction is an open TODO,
     * `catalog/catalog.py:641`; a rebuild is the conservative correct
-    * answer.) Returns the effective lastSeen.
+    * answer.) Returns (effective lastSeen, base epoch observed BEFORE any
+    * base data is read — the caller passes it back to `setMark`).
     */
-  private def healAfterRevert(view: GraftTable, base: GraftTable): Long = {
+  private def healAfterRevert(view: GraftTable, base: GraftTable): (Long, Long) = {
     val key = lastSeenKey(base)
+    val bm = base.meta
     val lastSeen = view.meta.snapshots.getOrElse(key, 0L)
-    if (base.currentVersion >= lastSeen) lastSeen
+    val seenEpoch = view.meta.snapshots.getOrElse(epochKey(base), 0L)
+    if (bm.revertEpoch == seenEpoch && bm.currentVersion >= lastSeen)
+      (lastSeen, bm.revertEpoch)
     else {
       view.delete("true")
-      setMark(view, key, 0L)
-      0L
+      setMark(view, key, 0L, base, bm.revertEpoch)
+      (0L, bm.revertEpoch)
     }
   }
 
@@ -187,15 +207,23 @@ object Views {
     * writer. Under the view's writer lock an in-process conflict is
     * impossible; the loop covers out-of-band writers on shared storage.
     */
-  private def setMark(view: GraftTable, key: String, value: Long): Unit =
+  private def setMark(view: GraftTable, key: String, value: Long,
+      base: GraftTable, epoch: Long): Unit = {
+    // the epoch is captured by the caller BEFORE it read any base data and
+    // committed in the SAME CAS as the high-water mark: if a revert lands
+    // mid-refresh, the stored (pre-revert) epoch mismatches the base's new
+    // one and the next sync rebuilds — storing the epoch as-of-now instead
+    // would hide exactly that revert
     view.catalog.withWriterLock(view.name) {
       var done = false
       while (!done) {
         val m = view.catalog.load(view.name)
         done = view.catalog.commit(m.commitSeq,
-          m.copy(snapshots = m.snapshots + (key -> value)))
+          m.copy(snapshots = m.snapshots +
+            (key -> value) + (epochKey(base) -> epoch)))
       }
     }
+  }
 
   /** Views maintained over `base`, anywhere in the warehouse (reference
     * `Table.list_views`, `catalog/table.py:69`): a view records its base

@@ -48,17 +48,40 @@ case class GraftRelationRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def resolve(spec: String): Option[LogicalPlan] = {
     val warehouse = session.conf.getOption("spark.graft.warehouse")
       .getOrElse(return None)
+    val cat = new graft.catalog.Catalog(warehouse)
+    // a literal '@' is legal in a table name — try the whole spec as a
+    // table FIRST, so `graft.\`a@b\`` reads table "a@b" rather than
+    // mis-splitting into (a, b) (ADVICE r5)
+    if (cat.exists(spec)) {
+      val t = graft.catalog.GraftTable.open(session, cat, spec)
+      return Some(t.read().queryExecution.analyzed)
+    }
     val (name, at) = spec.lastIndexOf('@') match {
       case -1 => (spec, None)
       case i  => (spec.substring(0, i), Some(spec.substring(i + 1)))
     }
-    val cat = new graft.catalog.Catalog(warehouse)
     if (!cat.exists(name)) return None
     val t = graft.catalog.GraftTable.open(session, cat, name)
     val df = at match {
       case None => t.read()
-      case Some(v) if v.matches("v\\d+") => t.read(Some(v.drop(1).toLong))
-      case Some(snap) => t.readSnapshot(snap)
+      // `vN` prefers time travel, but only when N parses (a >19-digit
+      // suffix must not throw NumberFormatException out of analysis) AND
+      // the version is actually in the log — otherwise fall through to a
+      // named snapshot, so a snapshot literally called "v3" stays
+      // reachable whenever version 3 itself doesn't exist (ADVICE r5)
+      case Some(v) =>
+        val asVersion = if (v.matches("v\\d+"))
+          scala.util.Try(v.drop(1).toLong).toOption
+            .filter(n => t.meta.versions.exists(_.version == n))
+        else None
+        asVersion match {
+          case Some(n) => t.read(Some(n))
+          case None =>
+            // unknown snapshot name → leave the relation unresolved (the
+            // normal "table not found" error), not an analysis-time throw
+            if (!t.meta.snapshots.contains(v)) return None
+            t.readSnapshot(v)
+        }
     }
     Some(df.queryExecution.analyzed)
   }

@@ -1,10 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 
 /** Native Catalyst expression for cosine similarity over `array<double>` —
   * the hot kernel of similarity search. One fused loop (dot + both norms)
@@ -15,7 +15,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * in `VectorFunctions` shows up in profiles.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // analysis-time contract (ADVICE r5): these kernels read raw ArrayData
+  // slots, so a mistyped child (array<float>, non-array) would silently
+  // return garbage at runtime — declare the types and let the analyzer
+  // implicit-cast compatible inputs or fail the plan
+  override def inputTypes = Seq[org.apache.spark.sql.types.DataType](ArrayType(DoubleType), ArrayType(DoubleType))
+
 
   override def dataType: DataType = DoubleType
 
@@ -72,7 +79,14 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   * zero allocation.
   */
 case class DotProductExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // analysis-time contract (ADVICE r5): these kernels read raw ArrayData
+  // slots, so a mistyped child (array<float>, non-array) would silently
+  // return garbage at runtime — declare the types and let the analyzer
+  // implicit-cast compatible inputs or fail the plan
+  override def inputTypes = Seq[org.apache.spark.sql.types.DataType](ArrayType(DoubleType), ArrayType(DoubleType))
+
 
   override def dataType: DataType = DoubleType
 
@@ -111,7 +125,14 @@ case class DotProductExpr(left: Expression, right: Expression)
   * HOF zip_with/aggregate form is CodegenFallback and runs interpreted).
   */
 case class L2SquaredExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // analysis-time contract (ADVICE r5): these kernels read raw ArrayData
+  // slots, so a mistyped child (array<float>, non-array) would silently
+  // return garbage at runtime — declare the types and let the analyzer
+  // implicit-cast compatible inputs or fail the plan
+  override def inputTypes = Seq[org.apache.spark.sql.types.DataType](ArrayType(DoubleType), ArrayType(DoubleType))
+
 
   override def dataType: DataType = DoubleType
 
@@ -160,7 +181,14 @@ case class L2SquaredExpr(left: Expression, right: Expression)
   * source identical across iterations and the compiled stage cached.
   */
 case class NearestCentroidExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // analysis-time contract (ADVICE r5): these kernels read raw ArrayData
+  // slots, so a mistyped child (array<float>, non-array) would silently
+  // return garbage at runtime — declare the types and let the analyzer
+  // implicit-cast compatible inputs or fail the plan
+  override def inputTypes = Seq[org.apache.spark.sql.types.DataType](ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
@@ -241,7 +269,14 @@ case class NearestCentroidExpr(left: Expression, right: Expression)
   * merge per pair.
   */
 case class SortedIntersectCountExpr(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  // analysis-time contract (ADVICE r5): these kernels read raw ArrayData
+  // slots, so a mistyped child (array<float>, non-array) would silently
+  // return garbage at runtime — declare the types and let the analyzer
+  // implicit-cast compatible inputs or fail the plan
+  override def inputTypes = Seq[org.apache.spark.sql.types.DataType](ArrayType(StringType), ArrayType(StringType))
+
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 

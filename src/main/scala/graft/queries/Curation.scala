@@ -94,7 +94,7 @@ object Curation {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
              |  FROM t)
              |SELECT floor(off / 256.0)::BIGINT AS bin, count(*) AS n_docs,
-             |  sum(tok) AS bin_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+             |  sum(tok)::BIGINT AS bin_tokens, min(doc_id) AS first_doc, max(doc_id) AS last_doc
              |FROM o GROUP BY 1 ORDER BY bin""".stripMargin),
     ),
     QueryDef(

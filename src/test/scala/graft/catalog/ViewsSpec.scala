@@ -132,6 +132,45 @@ class ViewsSpec extends AnyFunSuite {
     assert(view.read().count() == 3)
   }
 
+  test("revert LAPPED by new base writes still rebuilds (epoch beats version compare)") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "rvl", cols)
+    t.insert(Seq((1L, "a b")).toDF("id", "text"))
+    val v1 = t.currentVersion
+    val view = Views.createComponentView(spark, cat, "rvltok", t,
+      "split(text, '\\\\s+')", "token", "string", Seq(ColumnDef("id", "bigint")))
+    t.insert(Seq((2L, "c d")).toDF("id", "text"))
+    Views.refreshComponentView(view, t, "split(text, '\\\\s+')", "token", Seq("id"))
+    assert(view.read().count() == 4)
+    // revert, then write ENOUGH new versions that currentVersion climbs back
+    // past the view's lastSeen mark — the r5-ADVICE lapping scenario where
+    // a version-only compare sees nothing wrong
+    t.revert(v1)
+    t.insert(Seq((3L, "x y z")).toDF("id", "text")) // reuses the rolled-back version number
+    t.insert(Seq((4L, "q")).toDF("id", "text"))     // climbs past lastSeen
+    Views.syncComponentView(view, t, "split(text, '\\\\s+')", "token", Seq("id"))
+    val toks = view.read().select("token").as[String].collect().sorted.toSeq
+    assert(toks == Seq("a", "b", "q", "x", "y", "z"),
+      s"lapped revert left stale/missing expansions: $toks")
+  }
+
+  test("a view's own revert is not blocked by its lineage marks") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "rvp", cols)
+    // drive the base version well above any view version, so the lineage
+    // mark's VALUE (a base version) exceeds the view's own version numbers
+    (1 to 5).foreach(i => t.insert(Seq((i.toLong, s"w$i")).toDF("id", "text")))
+    val view = Views.createComponentView(spark, cat, "rvptok", t,
+      "split(text, '\\\\s+')", "token", "string", Seq(ColumnDef("id", "bigint")))
+    val vv = view.currentVersion
+    t.insert(Seq((6L, "a b")).toDF("id", "text"))
+    Views.refreshComponentView(view, t, "split(text, '\\\\s+')", "token", Seq("id"))
+    // lastSeen mark now holds base version 6 > any view version; a pin
+    // check that counted lineage marks as snapshots would refuse this
+    view.revert(vv)
+    assert(view.currentVersion == vv)
+  }
+
   test("dropTable refuses with dependent views; force cascades") {
     val cat = freshCatalog()
     val t = GraftTable.create(spark, cat, "dtb", cols)

@@ -41,6 +41,38 @@ class PackSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("input columns colliding with internal names survive untouched") {
+    // r5-ADVICE: an input column literally named _pk_k/_pk_b/_pk_off was
+    // silently clobbered and dropped from the output
+    val df = Seq((1L, 10L, "a", "b", "c"), (2L, 5L, "d", "e", "f"))
+      .toDF("id", "v", "_pk_k", "_pk_b", "_pk_off")
+    val out = Pack.packBins(df, col("id"), col("v"), 8L, "bin")
+    assert(out.columns.toSet == Set("id", "v", "_pk_k", "_pk_b", "_pk_off", "bin"))
+    val rows = out.orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("_pk_k")).toSeq == Seq("a", "d"))
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 1L))
+  }
+
+  test("phase-3 window reads the persisted intermediate, not the source again") {
+    // r5 verdict #4: the operator used to scan its input three times
+    // (quantile, per-bucket sums, final pass). The quantile scan is an
+    // irreducible pre-pass (its literals DEFINE the bucket column), so the
+    // floor is two source scans — the final pass must come from the cache.
+    val df = (0 until 500).map(i => (i.toLong, 2L)).toDF("id", "v")
+    val out = Pack.withExclusivePrefixSum(df, col("id"), col("v"), "off")
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("InMemoryRelation"),
+      s"final pass does not read the cached intermediate:\n$plan")
+    // repeated calls keep at most ONE pack intermediate cached per session
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      Pack.withExclusivePrefixSum(df, col("id"), col("v"), "off").count()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= before + 1, s"cache leak: $before -> $after persistent RDDs")
+    Pack.uncache(spark)
+  }
+
   test("no single-task global window: plan has no empty-frame Window over all rows") {
     // the scale guarantee: every Window in the plan is partitioned (by the
     // internal pid), never a global ORDER BY-only window

@@ -40,4 +40,21 @@ class NativeVectorSpec extends AnyFunSuite {
     val r = df.select(expr("cosine_sim_native(a, b)").as("c")).head()
     assert(r.isNullAt(0))
   }
+
+  test("kernels declare input types: float arrays cast, non-arrays fail analysis") {
+    // r5-ADVICE: the kernels read raw ArrayData slots, so without a type
+    // contract an array<float> child returned garbage by reinterpretation
+    NativeVector.register(spark)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b").repartition(2)
+    val dot = df.select(expr("dot_native(a, b)").as("d")).head().getDouble(0)
+    assert(math.abs(dot - 14.0) < 1e-6, s"float input mis-read: $dot")
+    val cos = df.select(expr("cosine_sim_native(a, b)").as("c")).head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-9, s"float input mis-read: $cos")
+    // a non-array child is an ANALYSIS error, not garbage numbers
+    val bad = Seq((1L, Array(1.0, 2.0))).toDF("x", "a")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(expr("dot_native(x, a)")).collect()
+    }
+  }
 }

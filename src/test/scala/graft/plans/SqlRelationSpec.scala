@@ -58,6 +58,34 @@ class SqlRelationSpec extends AnyFunSuite {
     assert(out == Seq(("bolt", 10), ("nut", 3)))
   }
 
+  test("@-suffix edge cases: snapshot named vN, huge digits, literal @ in table name") {
+    val cat = freshWarehouse()
+    val t = GraftTable.create(spark, cat, "edge", cols)
+    t.insert(Seq((1L, "one")).toDF("id", "name"))
+    // a snapshot literally named "v99": version 99 doesn't exist, so the
+    // suffix must fall through to snapshot resolution (r5-ADVICE: the
+    // v\d+ pattern used to unconditionally mean time travel)
+    t.createSnapshot("v99")
+    t.insert(Seq((2L, "two")).toDF("id", "name"))
+    assert(spark.sql("SELECT count(*) AS n FROM graft.`edge@v99`")
+      .as[Long].head() == 1L)
+    // >19-digit version: must be a clean table-not-found, not a
+    // NumberFormatException escaping the analyzer
+    val e1 = intercept[Exception](
+      spark.sql("SELECT * FROM graft.`edge@v99999999999999999999`").collect())
+    assert(!e1.isInstanceOf[NumberFormatException])
+    // unknown snapshot name: clean analysis error too
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM graft.`edge@nosuch`").collect())
+    assert(e2.getMessage.contains("edge") ||
+      e2.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND"))
+    // '@' in a table NAME is rejected at creation (Catalog.validatePath),
+    // so the resolver's '@' split can never mis-parse a real table; the
+    // resolver additionally tries the whole spec as a table name first in
+    // case an out-of-band warehouse contains one
+    intercept[IllegalArgumentException](GraftTable.create(spark, cat, "a@b", cols))
+  }
+
   test("unknown names fall through to the normal analysis error") {
     freshWarehouse()
     val e = intercept[Exception](spark.sql("SELECT * FROM graft.nope").collect())
