@@ -87,6 +87,64 @@ final case class Query(df: DataFrame, keyCols: Seq[String]) {
       .filter(col("_rk") <= n).drop("_rk"))
   }
 
+  /** Repeatable stratified FRACTION sample (reference `fraction` +
+    * `stratify_by`, `exec/sql_node.py:848-895`): each stratum contributes
+    * EXACTLY `ceil(fraction · stratumCount)` rows — the stratum's lowest
+    * md5 sample keys — not a per-row coin flip.
+    *
+    * The reference ranks with one window per stratum; at scale that puts a
+    * whole stratum in one task. Here the exact global-within-stratum rank
+    * is assembled from KEY-RANGE buckets of the md5 key (its first two hex
+    * chars: 256 uniform, ORDER-ALIGNED buckets — every key in bucket 0x2f
+    * sorts before every key in 0x30):
+    * rank = (rows of the stratum in lower buckets) + (rank within own
+    * bucket). The per-(stratum, bucket) count table is tiny
+    * (|strata|·256), its prefix sums are a window over that tiny table,
+    * and it broadcast-joins back — so no task ever sorts more than one
+    * (stratum, bucket) slice, exactly the q13/q17 salting discipline but
+    * with an ORDERED salt so ranks compose.
+    *
+    * Ties (duplicate sample keys) get an arbitrary but count-exact order,
+    * same as the reference's `row_number`.
+    */
+  def sampleStratifiedFraction(fraction: Double, stratifyBy: Seq[Column],
+      seed: Long = 0L): Query = {
+    require(fraction >= 0 && fraction <= 1, s"bad fraction $fraction")
+    val internal = Set("_sk", "_sb", "_lr", "_bc", "_off", "_tot") ++
+      stratifyBy.indices.map(i => s"_st$i")
+    val clash = df.columns.filter(internal)
+    require(clash.isEmpty,
+      s"input columns collide with sampler internals: ${clash.mkString(", ")}")
+    val sCols = stratifyBy.indices.map(i => s"_st$i")
+    val withS = df.select(
+      (df.columns.map(col) ++ stratifyBy.zip(sCols).map { case (e, n) => e.as(n) }): _*)
+    val key = sampleKey(seed)
+    val keyed = withS.withColumn("_sk", key)
+      .withColumn("_sb", conv(substring(col("_sk"), 1, 2), 16, 10).cast("int"))
+    val wLocal = Window.partitionBy((sCols :+ "_sb").map(col): _*).orderBy(col("_sk"))
+    val ranked = keyed.withColumn("_lr", row_number().over(wLocal).cast("long"))
+    // tiny: |strata| × 256 rows; prefix offsets + totals windowed over it
+    val counts = keyed.groupBy((sCols :+ "_sb").map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_bc"))
+    val wOff = Window.partitionBy(sCols.map(col): _*).orderBy(col("_sb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(sCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = counts
+      .withColumn("_off", coalesce(sum(col("_bc")).over(wOff), lit(0L)))
+      .withColumn("_tot", sum(col("_bc")).over(wTot))
+      .select((sCols :+ "_sb").map(col) ++ Seq(col("_off"), col("_tot")): _*)
+    // null-safe equi-join (strata values may be null, reference joins with
+    // IS NOT DISTINCT FROM); the counts side is broadcast-size by design
+    val joinCond = (sCols.map(c => ranked(c) <=> offs(c)) :+
+      (ranked("_sb") === offs("_sb"))).reduce(_ && _)
+    val out = ranked.join(broadcast(offs), joinCond)
+      .filter(col("_off") + col("_lr") <=
+        ceil(lit(fraction) * col("_tot")).cast("long"))
+      .select(df.columns.map(ranked(_)): _*)
+    copy(df = out)
+  }
+
   def count(): Long = df.count()
   def collect(): Array[Row] = df.collect()
   def show(): Unit = df.show(false)

@@ -363,6 +363,33 @@ object Relational {
              |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin),
     ),
     QueryDef(
+      "q109_sample_strat_fraction",
+      (s, dir) => {
+        // stratified FRACTION sample (reference fraction+stratify_by,
+        // exec/sql_node.py:848): exactly ceil(0.1·|stratum|) rows per
+        // stratum, lowest md5 keys first. Exercises the two-phase
+        // key-range-bucketed rank in api.Query — no task ranks a whole
+        // stratum (the oracle's flat per-stratum window is the spec, not
+        // the shape). Output restricted to key columns so tied sample
+        // keys (duplicate pks exist in the corpus) stay value-identical
+        // whichever physical row the cutoff admits.
+        graft.api.Query(T(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+          .sampleStratifiedFraction(0.1, Seq(col("l_returnflag")), seed = 7)
+          .df
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .transform(graft.QueryUtil.orderedSmall(_,
+            col("l_returnflag"), col("l_orderkey"), col("l_linenumber")))
+      },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber FROM (
+             |  SELECT l_returnflag, l_orderkey, l_linenumber,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY md5(concat_ws('___', '7', l_orderkey::VARCHAR, l_linenumber::VARCHAR))) AS rn,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+             |  FROM lineitem)
+             |WHERE rn <= ceil(0.1 * cnt)::BIGINT
+             |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin),
+    ),
+    QueryDef(
       "q18_isin",
       (s, dir) => {
         T(s, dir, "orders")

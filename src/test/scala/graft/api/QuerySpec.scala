@@ -57,4 +57,32 @@ class QuerySpec extends AnyFunSuite {
     val strat = q.sampleStratified(5, Seq(col("grp")), seed = 1)
     assert(strat.count() == 10) // 5 per stratum × 2 strata
   }
+
+  test("stratified fraction sample: exact ceil(f·|stratum|) per stratum, repeatable") {
+    val q = Query(table())
+    val s1 = q.sampleStratifiedFraction(0.1, Seq(col("grp")), seed = 3)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val s2 = q.sampleStratifiedFraction(0.1, Seq(col("grp")), seed = 3)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(s1 == s2, "not repeatable")
+    // 50 rows per stratum → exactly ceil(0.1·50) = 5 per stratum
+    val byGrp = q.sampleStratifiedFraction(0.1, Seq(col("grp")), seed = 3)
+      .df.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("even" -> 5L, "odd" -> 5L), s"got $byGrp")
+    // matches the reference's flat per-stratum window rank (the spec the
+    // bucketed two-phase rank must reproduce exactly) — same sample key,
+    // same source DataFrame
+    val key = md5(concat_ws("___", lit("3"),
+      col(graft.catalog.GraftTable.RowId).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(key)
+    val flat = q.df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == flat, s"bucketed rank diverges from flat rank: ${s1.diff(flat)} / ${flat.diff(s1)}")
+    // fraction 1.0 keeps everything; 0.0 keeps ceil(0)=0
+    assert(q.sampleStratifiedFraction(1.0, Seq(col("grp"))).count() == 100)
+    assert(q.sampleStratifiedFraction(0.0, Seq(col("grp"))).count() == 0)
+  }
 }
