@@ -485,6 +485,34 @@ object Pdf {
     if (bytes == null) Seq.empty[String] else extractPages(bytes)
   }
 
+  /** Cell result for the error-capturing page split: pages, or a per-cell
+    * error marker (`errortype`/`errormsg`, the reference's cellmd shape).
+    */
+  final case class PdfPagesCell(pages: Seq[String], errortype: String,
+      errormsg: String)
+
+  /** PDF bytes → pages with PER-CELL error capture (reference
+    * `on_error='ignore'`, `exec/exec_context.py:15`): a rejected document —
+    * encrypted (`errortype='encrypted'`), LZW, malformed — carries its
+    * error in the cell instead of failing the whole task, so one bad file
+    * in a 100 TB corpus doesn't kill the batch. The raising variant
+    * `pdfPages` stays for oracle-gated pipelines where an error must be
+    * loud.
+    */
+  val pdfPagesSafe = udf { (bytes: Array[Byte]) =>
+    if (bytes == null) PdfPagesCell(Seq.empty, null, null)
+    else
+      try PdfPagesCell(extractPages(bytes), null, null)
+      catch {
+        case e: Exception =>
+          val msg = Option(e.getMessage).getOrElse("")
+          val et =
+            if (msg.contains("encrypted")) "encrypted"
+            else e.getClass.getSimpleName
+          PdfPagesCell(null, et, msg)
+      }
+  }
+
   /** One page chunk with its bounding box (null coords for textless pages) —
     * the chunk-metadata row shape of the reference's
     * `document_splitter(..., metadata='page,bounding_box')` on PDFs.

@@ -49,12 +49,23 @@ object Providers {
   private[functions] def postJson(cfg: ProviderConfig, path: String,
       body: String): JsonNode = post(cfg, path, body)
 
-  private def post(cfg: ProviderConfig, path: String, body: String): JsonNode = {
+  /** Anthropic's protocol revision header — a fixed public constant of the
+    * Messages API, not a secret or a vendor SDK artifact.
+    */
+  private val AnthropicVersion = "2023-06-01"
+
+  private def post(cfg: ProviderConfig, path: String, body: String,
+      anthropicAuth: Boolean = false): JsonNode = {
     val b = HttpRequest.newBuilder(URI.create(cfg.endpoint + path))
       .timeout(Duration.ofMillis(cfg.timeoutMs))
       .header("Content-Type", "application/json")
     val key = cfg.resolvedKey
-    if (key.nonEmpty) b.header("Authorization", s"Bearer $key")
+    if (anthropicAuth) {
+      // the Messages API authenticates with x-api-key + a pinned
+      // anthropic-version instead of an Authorization bearer
+      if (key.nonEmpty) b.header("x-api-key", key)
+      b.header("anthropic-version", AnthropicVersion)
+    } else if (key.nonEmpty) b.header("Authorization", s"Bearer $key")
     val resp = http.send(
       b.POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
@@ -100,6 +111,32 @@ object Providers {
         .get("choices").get(0).get("message").get("content").asText()
     }
 
+  /** One Anthropic Messages completion per prompt — the second wire format
+    * next to the OpenAI-compatible one (reference `functions/anthropic.py`;
+    * the protocol shape is Anthropic's public Messages API: POST
+    * `{endpoint}/messages`, `system` as a top-level field, response
+    * `content` as typed blocks). Execution, batching, retry, and per-cell
+    * error capture are the same AsyncBatcher plumbing — only the
+    * request/response mapping differs.
+    */
+  def anthropicChatBatch(cfg: ProviderConfig, system: Option[String] = None,
+      maxTokens: Int = 1024)(prompts: Seq[String]): Seq[String] =
+    prompts.map { p =>
+      val req = mapper.createObjectNode()
+      req.put("model", cfg.model)
+      req.put("max_tokens", maxTokens)
+      system.foreach(s => req.put("system", s))
+      req.putArray("messages").addObject()
+        .put("role", "user").put("content", p)
+      val content = post(cfg, "/messages", mapper.writeValueAsString(req),
+        anthropicAuth = true).get("content")
+      // concatenate the text blocks (tool_use and other block types pass
+      // through silently; tool orchestration lives in functions.Tools)
+      (0 until content.size()).map(content.get)
+        .filter(b => b.get("type").asText() == "text")
+        .map(_.get("text").asText()).mkString
+    }
+
   /** df + JSON-array embedding column (`outputCol`) and
     * `<outputCol>_errormsg` — cast downstream with
     * `from_json(col, "array<float>")`.
@@ -113,4 +150,11 @@ object Providers {
       cfg: ProviderConfig, system: Option[String] = None): DataFrame =
     AsyncBatcher.mapColumn(df, promptCol, outputCol, chatBatch(cfg, system),
       cfg.batch)
+
+  /** df + Messages-API completion column and `<outputCol>_errormsg`. */
+  def withAnthropicCompletion(df: DataFrame, promptCol: String,
+      outputCol: String, cfg: ProviderConfig, system: Option[String] = None,
+      maxTokens: Int = 1024): DataFrame =
+    AsyncBatcher.mapColumn(df, promptCol, outputCol,
+      anthropicChatBatch(cfg, system, maxTokens), cfg.batch)
 }

@@ -72,6 +72,25 @@ class PdfSpec extends AnyFunSuite {
       Pdf.extractPages("not a pdf".getBytes(ISO_8859_1)))
   }
 
+  test("mixed batch: plain PDF chunks, encrypted PDF carries a cell error") {
+    // reference on_error='ignore' (exec/exec_context.py:15): a bad file
+    // must not fail the task — pdfPagesSafe captures per cell
+    val enc = new String(handFixture, ISO_8859_1)
+      .replace("/Size 5", "/Size 5 /Encrypt 9 0 R").getBytes(ISO_8859_1)
+    val plain = Pdf.writePdf(Seq("hello", "world"))
+    val rows = Seq((1L, plain), (2L, enc), (3L, "junk".getBytes(ISO_8859_1)))
+      .toDF("doc_id", "pdf")
+      .select(col("doc_id"), Pdf.pdfPagesSafe(col("pdf")).as("cell"))
+      .select(col("doc_id"), col("cell.pages"), col("cell.errortype"))
+      .orderBy("doc_id")
+      .collect()
+    assert(rows(0).getAs[scala.collection.Seq[String]]("pages").toSeq ==
+      Seq("hello", "world"))
+    assert(rows(0).getAs[String]("errortype") == null)
+    assert(rows(1).isNullAt(1) && rows(1).getAs[String]("errortype") == "encrypted")
+    assert(rows(2).isNullAt(1) && rows(2).getAs[String]("errortype") != null)
+  }
+
   test("textToPdf + pdfPages on a DataFrame: exact substr pagination") {
     val df = Seq(
       (1L, "a" * 450), // 3 pages: 200, 200, 50

@@ -66,6 +66,33 @@ class ProvidersSpec extends AnyFunSuite {
         .put("content", prompt.reverse)
       mapper.writeValueAsString(root)
     })
+    // Messages wire shape: x-api-key auth (NOT Authorization: Bearer),
+    // anthropic-version pinned, system as a top-level field, response
+    // content as typed blocks
+    srv.createContext("/v1/messages", (ex: HttpExchange) => {
+      val out: Array[Byte] =
+        if (ex.getRequestHeaders.getFirst("x-api-key") != "test-key" ||
+            ex.getRequestHeaders.getFirst("anthropic-version") == null) {
+          val b = """{"error":"unauthorized"}""".getBytes("UTF-8")
+          ex.sendResponseHeaders(401, b.length); b
+        } else {
+          val req = mapper.readTree(ex.getRequestBody)
+          assert(req.get("max_tokens").asInt() > 0)
+          assert(req.get("system").asText() == "reverse it")
+          val prompt = req.get("messages").get(0).get("content").asText()
+          val root = mapper.createObjectNode()
+          val content = root.putArray("content")
+          // two text blocks + a non-text block the client must skip
+          content.addObject().put("type", "text").put("text", prompt.reverse)
+          content.addObject().put("type", "tool_use").put("id", "t1")
+          content.addObject().put("type", "text").put("text", "!")
+          val b = mapper.writeValueAsString(root).getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, b.length); b
+        }
+      ex.getResponseBody.write(out)
+      ex.close()
+    })
     srv.start()
     (srv, s"http://127.0.0.1:${srv.getAddress.getPort}/v1")
   }
@@ -107,6 +134,29 @@ class ProvidersSpec extends AnyFunSuite {
         .select("prompt", "answer").collect()
         .map(r => (r.getString(0), r.getString(1))).toMap
       assert(out == Map("stressed" -> "desserts", "drawer" -> "reward"))
+    } finally srv.stop(0)
+  }
+
+  test("anthropic Messages wire format: x-api-key auth, system field, text blocks") {
+    flaky = new java.util.concurrent.atomic.AtomicInteger(1)
+    val (srv, endpoint) = startServer()
+    try {
+      val cfg = Providers.ProviderConfig(endpoint, "test-msgs", apiKey = "test-key")
+      val out = Providers.withAnthropicCompletion(
+          Seq("stressed", "drawer").toDF("prompt"), "prompt", "answer",
+          cfg, system = Some("reverse it"))
+        .select("prompt", "answer").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      // text blocks concatenated, non-text block skipped
+      assert(out == Map("stressed" -> "desserts!", "drawer" -> "reward!"))
+      // wrong key → per-cell 401 capture, not a job failure
+      val bad = Providers.withAnthropicCompletion(
+          Seq("x").toDF("prompt"), "prompt", "answer",
+          cfg.copy(apiKey = "wrong",
+            batch = graft.operators.AsyncBatcher.Config(maxRetries = 0)),
+          system = Some("reverse it"))
+        .select("answer", "answer_errormsg").collect()
+      assert(bad(0).getString(0) == null && bad(0).getString(1).contains("401"))
     } finally srv.stop(0)
   }
 }
