@@ -451,12 +451,18 @@ final class Catalog(val warehouse: String) {
     */
   private def rewriteViewLineage(renames: Map[String, String]): Unit = {
     if (renames.isEmpty) return
-    val p = Views.lastSeenPrefix
+    // BOTH lineage key families embed the base name: the high-water mark
+    // AND the revert-epoch mark. Missing the epoch key after a move would
+    // reset the view's remembered epoch to 0 and force a spurious full
+    // rebuild of every view whose base ever reverted (audit r6: move ×
+    // revert-epoch).
+    val prefixes = Seq(Views.lastSeenPrefix, Views.epochPrefix)
     listTablesUnder("", recursive = true).foreach { t =>
-      def fixed(m: TableMeta): Map[String, Long] = m.snapshots.map {
-        case (k, v) if k.startsWith(p) && renames.contains(k.stripPrefix(p)) =>
-          (p + renames(k.stripPrefix(p))) -> v
-        case kv => kv
+      def fixed(m: TableMeta): Map[String, Long] = m.snapshots.map { kv =>
+        prefixes.collectFirst {
+          case p if kv._1.startsWith(p) && renames.contains(kv._1.stripPrefix(p)) =>
+            (p + renames(kv._1.stripPrefix(p))) -> kv._2
+        }.getOrElse(kv)
       }
       // CAS under the view's writer lock — a raw save would clobber any
       // commit that landed since the load and regress commitSeq

@@ -24,8 +24,13 @@ import org.apache.spark.sql.functions.udf
   *    hex strings; Td/TD/T* after text on a page break lines;
   *  - no font/ToUnicode machinery: string bytes are taken as UTF-8 (exact
   *    for this writer's output; the common-case approximation for simple
-  *    Latin PDFs). Encrypted PDFs, object streams (/ObjStm), and
-  *    non-Flate filters are out of scope and raise cleanly.
+  *    Latin PDFs). Content-stream filters cover the text-bearing set:
+  *    FlateDecode, LZWDecode (variable-width MSB-first codes with
+  *    /EarlyChange per the spec's TIFF variant), ASCIIHexDecode,
+  *    ASCII85Decode, RunLengthDecode — singly or as a /Filter chain.
+  *    Encrypted PDFs, object streams (/ObjStm), and predictor-coded
+  *    streams are out of scope and raise cleanly (the raise is captured
+  *    per-cell by `pdfPagesSafe`).
   */
 object Pdf {
 
