@@ -55,9 +55,23 @@ object Pdf {
     * compressed content streams, a balanced (grouped) page tree. The
     * extractor below round-trips it byte-exactly at the text level.
     */
-  def writePdf(pages: Seq[String]): Array[Byte] = {
+  def writePdf(pages: Seq[String]): Array[Byte] =
+    writePdfFiltered(pages, Seq("FlateDecode"))
+
+  /** `writePdf` with an explicit content-stream filter chain, named in
+    * DECODE order exactly as a `/Filter` array lists them (so
+    * `Seq("ASCII85Decode", "LZWDecode")` stores a85(lzw(content))).
+    * Fixture surface for the non-Flate filter paths.
+    */
+  private[functions] def writePdfFiltered(pages: Seq[String],
+      filters: Seq[String]): Array[Byte] = {
     val objs = mutable.ArrayBuffer.empty[String] // 1-based object bodies
     def add(body: String): Int = { objs += body; objs.length }
+    val filterEntry = filters match {
+      case Seq() => ""
+      case Seq(one) => s" /Filter /$one"
+      case many => many.map("/" + _).mkString(" /Filter [", " ", "]")
+    }
 
     val fontId = add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     val pageIds = pages.map { text =>
@@ -69,14 +83,8 @@ object Pdf {
       }
       content.append("ET")
       val raw = content.toString.getBytes(UTF_8)
-      val deflater = new java.util.zip.Deflater()
-      deflater.setInput(raw); deflater.finish()
-      val buf = new Array[Byte](raw.length + 64)
-      val bos = new ByteArrayOutputStream()
-      while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
-      deflater.end()
-      val z = bos.toByteArray
-      val cId = add(s"<< /Length ${z.length} /Filter /FlateDecode >>" +
+      val z = encodeFilters(raw, filters)
+      val cId = add(s"<< /Length ${z.length}$filterEntry >>" +
         "\nstream\n" + new String(z, ISO_8859_1) + "\nendstream")
       add("<< /Type /Page /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 $fontId 0 R >> >> /Contents $cId 0 R >>")
@@ -197,13 +205,283 @@ object Pdf {
     bos.toByteArray
   }
 
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val buf = new Array[Byte](8192)
+    val bos = new ByteArrayOutputStream()
+    while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    bos.toByteArray
+  }
+
+  // ---------------- stream filters (PDF 32000-1:2008 §7.4) ----------------
+
+  /** LZWDecode — the spec's TIFF variant: MSB-first variable-width codes
+    * (9→12 bits), Clear=256, EOD=257, width growth one code early under
+    * `/EarlyChange 1` (the default). A truncated stream decodes what it
+    * has rather than raising (matching `inflate` above).
+    */
+  private[functions] def lzwDecode(data: Array[Byte],
+      earlyChange: Int = 1): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val table = mutable.ArrayBuffer.empty[Array[Byte]]
+    def reset(): Unit = {
+      table.clear()
+      var b = 0
+      while (b < 256) { table += Array(b.toByte); b += 1 }
+      table += null; table += null // 256 = Clear, 257 = EOD
+    }
+    reset()
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    def read(): Int = {
+      while (bitCnt < width) {
+        if (pos >= data.length) return 257 // truncated: treat as EOD
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xff); pos += 1; bitCnt += 8
+      }
+      bitCnt -= width
+      ((bitBuf >>> bitCnt) & ((1 << width) - 1)).toInt
+    }
+    var code = read()
+    while (code != 257) {
+      if (code == 256) { reset(); width = 9; prev = null }
+      else {
+        val entry =
+          if (code < table.length && table(code) != null) table(code)
+          else if (prev != null && code == table.length) prev :+ prev(0)
+          else throw new IllegalArgumentException(s"bad LZW code $code")
+        out.write(entry, 0, entry.length)
+        if (prev != null && table.length < 4096) {
+          table += prev :+ entry(0)
+          // decoder is one entry behind the encoder, so the same literal
+          // comparison lands on the same position in the code stream
+          if (table.length + earlyChange >= (1 << width) && width < 12)
+            width += 1
+        }
+        prev = entry
+      }
+      code = read()
+    }
+    out.toByteArray
+  }
+
+  /** LZW encoder (fixture twin of `lzwDecode`): dictionary keyed by
+    * (prefix code, next byte) — the classic trie-as-pairs shape — with a
+    * conservative Clear well before the 12-bit table fills.
+    */
+  private[functions] def lzwEncode(data: Array[Byte],
+      earlyChange: Int = 1): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        bitCnt -= 8; out.write(((bitBuf >>> bitCnt) & 0xff).toInt)
+      }
+    }
+    val dict = mutable.HashMap.empty[(Int, Byte), Int]
+    var nextCode = 258
+    emit(256) // leading Clear, as the spec's example streams do
+    var w = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i)
+      if (w < 0) w = b & 0xff
+      else dict.get((w, b)) match {
+        case Some(c) => w = c
+        case None =>
+          emit(w)
+          val assigned = nextCode
+          dict((w, b)) = assigned
+          nextCode += 1
+          if (assigned + earlyChange >= (1 << width) && width < 12) width += 1
+          if (nextCode >= 4093) { // table nearly full: Clear (current width!)
+            emit(256); dict.clear(); nextCode = 258; width = 9
+          }
+          w = b & 0xff
+      }
+      i += 1
+    }
+    if (w >= 0) emit(w)
+    emit(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private[functions] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else if (!c.isWhitespace) {
+        val v = Character.digit(c, 16)
+        require(v >= 0, s"bad ASCIIHex char '$c'")
+        if (hi < 0) hi = v
+        else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0
+    out.toByteArray
+  }
+
+  private[functions] def asciiHexEncode(data: Array[Byte]): Array[Byte] =
+    (data.map(b => f"${b & 0xff}%02x").mkString + ">").getBytes(ISO_8859_1)
+
+  private[functions] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var n = 0
+    def flush(count: Int): Unit = { // count = chars present (2..5)
+      var j = count
+      while (j < 5) { grp(j) = 84; j += 1 } // pad with 'u'
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + grp(k); k += 1 }
+      val bytes = Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(bytes, 0, count - 1)
+      n = 0
+    }
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true // '~>' terminator
+      else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0), 0, 4)
+      else if (!c.isWhitespace) {
+        require(c >= '!' && c <= 'u', s"bad ASCII85 char '$c'")
+        grp(n) = c - '!'; n += 1
+        if (n == 5) flush(5)
+      }
+      i += 1
+    }
+    if (n > 0) { require(n >= 2, "truncated ASCII85 group"); flush(n) }
+    out.toByteArray
+  }
+
+  private[functions] def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val rem = math.min(4, data.length - i)
+      var v = 0L
+      var k = 0
+      while (k < 4) {
+        v = (v << 8) | (if (k < rem) data(i + k) & 0xff else 0); k += 1
+      }
+      if (rem == 4 && v == 0) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var j = 4
+        while (j >= 0) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+        sb.appendAll(cs, 0, rem + 1)
+      }
+      i += rem
+    }
+    sb.append("~>")
+    sb.toString.getBytes(ISO_8859_1)
+  }
+
+  private[functions] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      if (l == 128) done = true // EOD
+      else if (l < 128) { // literal run of l+1 bytes
+        out.write(data, i + 1, math.min(l + 1, data.length - i - 1))
+        i += l + 1
+      } else { // repeat next byte 257-l times
+        if (i + 1 < data.length) {
+          var k = 257 - l
+          while (k > 0) { out.write(data(i + 1)); k -= 1 }
+        }
+        i += 1
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  private[functions] def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128)
+        run += 1
+      if (run >= 3) { out.write(257 - run); out.write(data(i)); i += run }
+      else { // literal run up to the next ≥3 repeat (or 128 bytes)
+        var j = i + 1
+        while (j < data.length && j - i < 128 &&
+            !(j + 2 < data.length && data(j) == data(j + 1) &&
+              data(j) == data(j + 2))) j += 1
+        out.write(j - i - 1)
+        out.write(data, i, j - i)
+        i = j
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  /** Apply `filters` (DECODE-order names, as a `/Filter` array lists
+    * them) in ENCODE order — the writer-side twin of `decodedStream`.
+    */
+  private[functions] def encodeFilters(raw: Array[Byte],
+      filters: Seq[String]): Array[Byte] =
+    filters.reverse.foldLeft(raw) { (d, f) =>
+      f match {
+        case "FlateDecode" => deflate(d)
+        case "LZWDecode" => lzwEncode(d)
+        case "ASCIIHexDecode" => asciiHexEncode(d)
+        case "ASCII85Decode" => ascii85Encode(d)
+        case "RunLengthDecode" => runLengthEncode(d)
+        case other =>
+          throw new IllegalArgumentException(s"no encoder for /$other")
+      }
+    }
+
+  private val filterArrayPat = """/Filter\s*\[([^\]]*)\]""".r
+  private val filterSinglePat = """/Filter\s*/(\w+)""".r
+
+  /** `/Filter` names in decode order (empty = unfiltered). */
+  private def streamFilters(dict: String): Seq[String] =
+    filterArrayPat.findFirstMatchIn(dict) match {
+      case Some(m) =>
+        """/(\w+)""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+      case None => filterSinglePat.findFirstMatchIn(dict).map(_.group(1)).toSeq
+    }
+
   private def decodedStream(o: Obj): Array[Byte] = {
     val raw = o.stream.getOrElse(Array.emptyByteArray)
-    if (o.dict.contains("/FlateDecode")) inflate(raw)
-    else if (""" /Filter\s*/""".r.findFirstIn(o.dict.replace("/Filter", " /Filter")).isDefined
-      && !o.dict.contains("/FlateDecode"))
-      throw new IllegalArgumentException(s"unsupported stream filter in ${o.dict.take(80)}")
-    else raw
+    // predictor-coded Flate/LZW (PNG/TIFF row predictors) would decode to
+    // garbage if ignored — raise loudly instead (captured per-cell by
+    // pdfPagesSafe); content streams in the wild are predictor-free.
+    val predictor = """/Predictor\s+(\d+)""".r.findFirstMatchIn(o.dict)
+      .map(_.group(1).toInt).getOrElse(1)
+    require(predictor <= 1,
+      s"predictor-coded streams unsupported (/Predictor $predictor)")
+    val earlyChange = """/EarlyChange\s+(\d+)""".r.findFirstMatchIn(o.dict)
+      .map(_.group(1).toInt).getOrElse(1)
+    streamFilters(o.dict).foldLeft(raw) { (data, f) =>
+      f match {
+        case "FlateDecode" | "Fl" => inflate(data)
+        case "LZWDecode" | "LZW" => lzwDecode(data, earlyChange)
+        case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+        case "ASCII85Decode" | "A85" => ascii85Decode(data)
+        case "RunLengthDecode" | "RL" => runLengthDecode(data)
+        case other => throw new IllegalArgumentException(
+          s"unsupported stream filter /$other")
+      }
+    }
   }
 
   private val refPat = """(\d+)\s+\d+\s+R""".r

@@ -61,15 +61,72 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extractPages(Pdf.writePdf(texts)) == texts)
   }
 
-  test("encrypted and non-Flate-filtered PDFs raise cleanly") {
+  test("encrypted, image-filtered, and predictor-coded PDFs raise cleanly") {
     val enc = new String(handFixture, ISO_8859_1)
       .replace("/Size 5", "/Size 5 /Encrypt 9 0 R").getBytes(ISO_8859_1)
     assertThrows[IllegalArgumentException](Pdf.extractPages(enc))
-    val lzw = new String(handFixture, ISO_8859_1)
-      .replace(">>\nstream", " /Filter /LZWDecode >>\nstream").getBytes(ISO_8859_1)
-    assertThrows[IllegalArgumentException](Pdf.extractPages(lzw))
+    val dct = new String(handFixture, ISO_8859_1)
+      .replace(">>\nstream", " /Filter /DCTDecode >>\nstream").getBytes(ISO_8859_1)
+    assertThrows[IllegalArgumentException](Pdf.extractPages(dct))
+    val pred = new String(Pdf.writePdf(Seq("x")), ISO_8859_1)
+      .replace("/Filter /FlateDecode",
+        "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>")
+      .getBytes(ISO_8859_1)
+    assertThrows[IllegalArgumentException](Pdf.extractPages(pred))
     assertThrows[IllegalArgumentException](
       Pdf.extractPages("not a pdf".getBytes(ISO_8859_1)))
+  }
+
+  test("LZW codec: PDF-spec example stream, width boundaries, EarlyChange 0") {
+    // PDF 32000-1:2008 §7.4.4.2's worked example: this input must produce
+    // exactly the code sequence 256 45 258 258 65 259 66 257 = bytes
+    // 80 0B 60 50 22 0C 0C 85 01
+    val ex = Array[Byte](45, 45, 45, 45, 45, 65, 45, 45, 45, 66)
+    val enc = Pdf.lzwEncode(ex)
+    assert(enc.map(b => f"${b & 0xff}%02X").mkString(" ") ==
+      "80 0B 60 50 22 0C 0C 85 01")
+    assert(Pdf.lzwDecode(enc).toSeq == ex.toSeq)
+    // deterministic pseudo-random payload long enough to cross the 9→10→11
+    // bit width boundaries (and exercise KwKwK self-reference runs)
+    val rnd = new java.util.Random(42)
+    val big = new Array[Byte](20000)
+    rnd.nextBytes(big)
+    java.util.Arrays.fill(big, 5000, 9000, 'a'.toByte) // long runs → KwKwK
+    assert(Pdf.lzwDecode(Pdf.lzwEncode(big)).toSeq == big.toSeq)
+    // EarlyChange 0 shifts every width bump by one code — both sides must
+    // agree or the stream shreds at code 511
+    assert(Pdf.lzwDecode(Pdf.lzwEncode(big, 0), 0).toSeq == big.toSeq)
+    // table-full path: enough distinct material to force the internal Clear
+    val huge = new Array[Byte](300000)
+    new java.util.Random(7).nextBytes(huge)
+    assert(Pdf.lzwDecode(Pdf.lzwEncode(huge)).toSeq == huge.toSeq)
+  }
+
+  test("ASCIIHex / ASCII85 / RunLength codecs round-trip with spec edges") {
+    val rnd = new java.util.Random(1)
+    val data = new Array[Byte](4097) // odd length: partial final a85 group
+    rnd.nextBytes(data)
+    java.util.Arrays.fill(data, 100, 400, 0.toByte) // a85 'z' groups, RL runs
+    assert(Pdf.asciiHexDecode(Pdf.asciiHexEncode(data)).toSeq == data.toSeq)
+    assert(Pdf.ascii85Decode(Pdf.ascii85Encode(data)).toSeq == data.toSeq)
+    assert(Pdf.runLengthDecode(Pdf.runLengthEncode(data)).toSeq == data.toSeq)
+    // odd final hex digit implies low nibble 0; whitespace is ignored
+    assert(Pdf.asciiHexDecode("4 86\n55>".getBytes(ISO_8859_1)).toSeq ==
+      Seq[Byte](0x48, 0x65, 0x50))
+    // 'z' = four zero bytes, '~>' terminates
+    assert(Pdf.ascii85Decode("z~>".getBytes(ISO_8859_1)).toSeq ==
+      Seq[Byte](0, 0, 0, 0))
+  }
+
+  test("filtered PDFs extract identically: LZW, RunLength, hex, 85+LZW chain") {
+    val texts = Seq("lzw page one\nwith a second line",
+      "page two — unicode: привет, 日本語", "short")
+    for (chain <- Seq(Seq("LZWDecode"), Seq("RunLengthDecode"),
+        Seq("ASCIIHexDecode"), Seq("ASCII85Decode", "LZWDecode"),
+        Seq("ASCII85Decode", "FlateDecode"))) {
+      val pdf = Pdf.writePdfFiltered(texts, chain)
+      assert(Pdf.extractPages(pdf) == texts, s"chain $chain diverged")
+    }
   }
 
   test("mixed batch: plain PDF chunks, encrypted PDF carries a cell error") {
