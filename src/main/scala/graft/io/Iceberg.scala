@@ -22,9 +22,18 @@ import org.apache.spark.sql.types._
   * data files feed a normal distributed parquet scan, so pushdown/pruning
   * apply as with any `spark.read.parquet`.
   *
-  * Supported: format v1/v2 read (current or named snapshot), append-only
-  * v2 tables (no position/equality delete files — rejected explicitly),
-  * unpartitioned v1 write with snapshot history.
+  * Supported: format v1/v2 read (current or named snapshot) INCLUDING
+  * v2 row-level deletes — position deletes (file_path, pos) and equality
+  * deletes (equality_ids), applied with Iceberg's sequence-number rules
+  * (position: delete.seq >= data.seq; equality: delete.seq > data.seq,
+  * spec §"Scan Planning"; entries missing a sequence number inherit the
+  * manifest's) — and unpartitioned v1 write with snapshot history.
+  *
+  * Delete application is distributed anti-joins keyed on
+  * (`_metadata.file_path`, `_metadata.row_index`) for position deletes
+  * and on the equality columns for equality deletes. Delete files are
+  * tiny relative to data (that is their design point), so AQE broadcasts
+  * the delete side and the base scan stays map-only — no data shuffle.
   */
 object Iceberg {
 
@@ -48,9 +57,14 @@ object Iceberg {
         val cur = meta.path("current-snapshot-id").asLong
         snaps.find(_.path("snapshot-id").asLong == cur).getOrElse(snaps.last)
     }
-    val dataFiles = listDataFiles(tableDir, current)
+    val entries = listFiles(tableDir, current)
+    val dataFiles = entries.filter(_.content == 0)
     require(dataFiles.nonEmpty, s"snapshot has no data files in $tableDir")
-    spark.read.parquet(dataFiles.map(resolvePath(tableDir, _)): _*)
+    val base = spark.read.parquet(
+      dataFiles.map(e => resolvePath(tableDir, e.path)): _*)
+    val deletes = entries.filter(_.content != 0)
+    if (deletes.isEmpty) base
+    else applyDeletes(spark, tableDir, base, dataFiles, deletes, meta)
   }
 
   /** Snapshot ids in the table's history, oldest first. */
@@ -77,26 +91,30 @@ object Iceberg {
     mapper.readTree(java.nio.file.Files.readString(metaFile.toPath))
   }
 
-  /** Walk snapshot → manifest list → manifests → data file paths.
-    * Rejects v2 delete manifests/files rather than silently returning
-    * undeleted rows.
+  /** One live file reachable from a snapshot: `content` 0 = data,
+    * 1 = position deletes, 2 = equality deletes (iceberg spec manifest
+    * `data_file.content`); `seq` is the entry's data sequence number
+    * (inherited from the manifest when the entry carries none — the
+    * spec's inheritance rule for ADDED entries).
     */
-  private def listDataFiles(tableDir: String, snap: JsonNode): Seq[String] = {
-    val manifestPaths: Seq[(String, Int)] =
+  private final case class FileEntry(path: String, seq: Long, content: Int,
+      equalityIds: Seq[Int])
+
+  /** Walk snapshot → manifest list → manifests → live file entries. */
+  private def listFiles(tableDir: String, snap: JsonNode): Seq[FileEntry] = {
+    val manifests: Seq[(String, Int, Long)] = // (path, content, seq)
       if (snap.has("manifest-list")) {
         readAvro(resolvePath(tableDir, snap.path("manifest-list").asText()))
           .map { r =>
             (r.get("manifest_path").toString,
-              field(r, "content").map(_.toString.toInt).getOrElse(0))
+              field(r, "content").map(_.toString.toInt).getOrElse(0),
+              field(r, "sequence_number").map(_.toString.toLong).getOrElse(0L))
           }
       } else { // v1 inline manifest array
         snap.path("manifests").elements().asScala
-          .map(m => (m.asText(), 0)).toSeq
+          .map(m => (m.asText(), 0, 0L)).toSeq
       }
-    val deletes = manifestPaths.filter(_._2 == 1)
-    require(deletes.isEmpty,
-      s"table has ${deletes.size} delete manifest(s) — v2 row-level deletes unsupported")
-    manifestPaths.flatMap { case (mp, _) =>
+    manifests.flatMap { case (mp, mContent, mSeq) =>
       readAvro(resolvePath(tableDir, mp)).flatMap { entry =>
         val status = field(entry, "status").map(_.toString.toInt).getOrElse(1)
         if (status == 2) None // DELETED entry
@@ -104,10 +122,86 @@ object Iceberg {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val fmt = String.valueOf(df.get("file_format")).toUpperCase
           require(fmt == "PARQUET", s"unsupported data file format $fmt")
-          Some(df.get("file_path").toString)
+          val seq = field(entry, "sequence_number")
+            .map(_.toString.toLong).getOrElse(mSeq)
+          val content = field(df, "content")
+            .map(_.toString.toInt).getOrElse(mContent)
+          val eqIds = field(df, "equality_ids").toSeq.flatMap {
+            case l: java.util.List[_] => l.asScala.map(_.toString.toInt).toSeq
+            case _ => Seq.empty[Int]
+          }
+          Some(FileEntry(df.get("file_path").toString, seq, content, eqIds))
         }
       }
     }
+  }
+
+  /** Apply v2 position + equality deletes to the base scan as anti-joins.
+    * The delete side is small by construction (compaction folds deletes
+    * into data files), so these joins broadcast under AQE; the base scan
+    * itself never shuffles.
+    */
+  private def applyDeletes(spark: SparkSession, tableDir: String,
+      base: DataFrame, dataFiles: Seq[FileEntry], deletes: Seq[FileEntry],
+      meta: JsonNode): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pathCol = "_ib_file"; val posCol = "_ib_pos"; val seqCol = "_ib_seq"
+    Seq(pathCol, posCol, seqCol).foreach(c => require(!base.columns.contains(c),
+      s"column name $c collides with the delete-application helpers"))
+    def normExpr(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^file:(//)?", "")
+    // data sequence numbers: a tiny (path, seq) side broadcast onto rows
+    val seqDf = spark.createDataFrame(
+      dataFiles.map(e => (resolvePath(tableDir, e.path), e.seq)))
+      .toDF(pathCol, seqCol)
+    var cur = base
+      .withColumn(pathCol, normExpr(col("_metadata.file_path")))
+      .withColumn(posCol, col("_metadata.row_index"))
+      .join(broadcast(seqDf), Seq(pathCol), "left")
+    val posDeletes = deletes.filter(_.content == 1)
+    if (posDeletes.nonEmpty) {
+      val pd = posDeletes.map { e =>
+        spark.read.parquet(resolvePath(tableDir, e.path)).select(
+          normExpr(col("file_path")).as("_del_file"),
+          col("pos").cast("long").as("_del_pos"),
+          lit(e.seq).as("_del_seq"))
+      }.reduce(_ unionByName _)
+      cur = cur.join(pd,
+        cur(pathCol) === pd("_del_file") && cur(posCol) === pd("_del_pos") &&
+          pd("_del_seq") >= cur(seqCol), "left_anti")
+    }
+    val idToName: Map[Int, String] = schemaFields(meta)
+    deletes.filter(_.content == 2).groupBy(_.equalityIds).foreach {
+      case (ids, files) =>
+        require(ids.nonEmpty, "equality delete file carries no equality_ids")
+        val names = ids.map(id => idToName.getOrElse(id,
+          throw new IllegalArgumentException(s"unknown equality field id $id")))
+        val del = files.map { e =>
+          spark.read.parquet(resolvePath(tableDir, e.path)).select(
+            names.map(n => col(n).as(s"_del_$n")) :+ lit(e.seq).as("_del_seq"): _*)
+        }.reduce(_ unionByName _)
+        // Iceberg equality matches null-to-null → null-safe compare
+        val cond = names.map(n => cur(n) <=> del(s"_del_$n"))
+          .reduce(_ && _) && del("_del_seq") > cur(seqCol)
+        cur = cur.join(del, cond, "left_anti")
+    }
+    cur.drop(pathCol, posCol, seqCol)
+  }
+
+  /** field-id → name from the metadata schema (single `schema` or the
+    * newer `schemas` + `current-schema-id` layout).
+    */
+  private def schemaFields(meta: JsonNode): Map[Int, String] = {
+    val schema =
+      if (meta.has("schema")) meta.path("schema")
+      else {
+        val cur = meta.path("current-schema-id").asInt
+        meta.path("schemas").elements().asScala
+          .find(_.path("schema-id").asInt == cur)
+          .getOrElse(meta.path("schemas").elements().asScala.toSeq.head)
+      }
+    schema.path("fields").elements().asScala
+      .map(f => f.path("id").asInt -> f.path("name").asText()).toMap
   }
 
   /** Null-safe field access: avro's Record.get THROWS on absent fields
@@ -240,7 +334,7 @@ object Iceberg {
     snapshotId
   }
 
-  private def writeAvro(path: String, schema: Schema,
+  private[io] def writeAvro(path: String, schema: Schema,
       records: Seq[GenericRecord]): Unit = {
     val w = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
