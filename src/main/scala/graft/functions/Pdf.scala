@@ -64,7 +64,20 @@ object Pdf {
     * Fixture surface for the non-Flate filter paths.
     */
   private[functions] def writePdfFiltered(pages: Seq[String],
-      filters: Seq[String]): Array[Byte] = {
+      filters: Seq[String]): Array[Byte] =
+    writePdfImpl(pages, filters, None)
+
+  /** `writePdf` with standard-security-handler encryption: `method`
+    * "rc4" (V2/R3, 128-bit) or "aes" (V4/R4, AESV2). Empty `userPwd` is
+    * the parser-readable owner-locked shape; a non-empty one produces a
+    * genuinely password-protected file (the error-path fixture).
+    */
+  private[functions] def writePdfEncrypted(pages: Seq[String],
+      method: String = "rc4", userPwd: String = ""): Array[Byte] =
+    writePdfImpl(pages, Seq("FlateDecode"), Some((method, userPwd)))
+
+  private def writePdfImpl(pages: Seq[String], filters: Seq[String],
+      enc: Option[(String, String)]): Array[Byte] = {
     val objs = mutable.ArrayBuffer.empty[String] // 1-based object bodies
     def add(body: String): Int = { objs += body; objs.length }
     val filterEntry = filters match {
@@ -72,6 +85,28 @@ object Pdf {
       case Seq(one) => s" /Filter /$one"
       case many => many.map("/" + _).mkString(" /Filter [", " ", "]")
     }
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    // fixture determinism: fixed file id and AES IV
+    val id0 = Array.tabulate(16)(i => (i * 17 + 3).toByte)
+    val cryptState = enc.map { case (method, userPwd) =>
+      val aes = method == "aes"
+      val r = if (aes) 4 else 3
+      val keyLen = 16
+      val o = PdfCrypt.ownerValue(keyLen, r)
+      val pwdPadded = (userPwd.getBytes(ISO_8859_1) ++ PdfCrypt.Pad).take(32)
+      val p = -1
+      val key = PdfCrypt.fileKey(pwdPadded, o, p, id0, keyLen, r,
+        encryptMetadata = true)
+      val u = PdfCrypt.userValue(key, id0, r) ++ new Array[Byte](16)
+      (Crypt(key, aes), o, u.take(32), r, p)
+    }
+    def encryptStream(num: Int, z: Array[Byte]): Array[Byte] =
+      cryptState match {
+        case None => z
+        case Some((c, _, _, _, _)) =>
+          val k = PdfCrypt.objKey(c.key, num, 0, c.aes)
+          if (c.aes) PdfCrypt.aesEncrypt(k, id0, z) else PdfCrypt.rc4(k, z)
+      }
 
     val fontId = add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     val pageIds = pages.map { text =>
@@ -83,7 +118,7 @@ object Pdf {
       }
       content.append("ET")
       val raw = content.toString.getBytes(UTF_8)
-      val z = encodeFilters(raw, filters)
+      val z = encryptStream(objs.length + 1, encodeFilters(raw, filters))
       val cId = add(s"<< /Length ${z.length}$filterEntry >>" +
         "\nstream\n" + new String(z, ISO_8859_1) + "\nendstream")
       add("<< /Type /Page /MediaBox [0 0 612 792] " +
@@ -98,6 +133,14 @@ object Pdf {
     val rootPagesId = add(s"<< /Type /Pages /Kids [${
       kidIds.map(i => s"$i 0 R").mkString(" ")}] /Count ${pages.length} >>")
     val catId = add(s"<< /Type /Catalog /Pages $rootPagesId 0 R >>")
+    val encId = cryptState.map { case (c, o, u, r, p) =>
+      val filterPart =
+        if (c.aes) "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 " +
+          "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+        else "/V 2 /R 3 /Length 128"
+      add(s"<< /Filter /Standard $filterPart /P $p " +
+        s"/O <${hex(o)}> /U <${hex(u)}> >>")
+    }
 
     val out = new StringBuilder("%PDF-1.4\n")
     val offsets = new Array[Int](objs.length + 1)
@@ -108,7 +151,10 @@ object Pdf {
     val xref = out.length
     out.append(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
     (1 to objs.length).foreach(i => out.append(f"${offsets(i)}%010d 00000 n \n"))
-    out.append(s"trailer\n<< /Size ${objs.length + 1} /Root $catId 0 R >>\n")
+    val encEntry = encId.map(id =>
+      s" /Encrypt $id 0 R /ID [<${hex(id0)}> <${hex(id0)}>]").getOrElse("")
+    out.append(s"trailer\n<< /Size ${objs.length + 1} /Root $catId 0 R" +
+        s"$encEntry >>\n")
       .append(s"startxref\n$xref\n%%EOF")
     out.toString.getBytes(ISO_8859_1)
   }
@@ -152,22 +198,26 @@ object Pdf {
   private def parseObjects(bytes: Array[Byte]): Map[Int, Obj] = {
     val s = new String(bytes, ISO_8859_1)
     require(s.startsWith("%PDF"), "not a PDF (missing %PDF header)")
-    require(!s.contains("/Encrypt"), "encrypted PDFs not supported")
     val out = mutable.Map.empty[Int, Obj]
     // pass 1: dict-only objects, so indirect /Length refs resolve in pass 2
     val starts = objStart.findAllMatchIn(s).toVector
-    def parseAt(m: scala.util.matching.Regex.Match): (Int, String, Int) = {
+    def parseAt(m: scala.util.matching.Regex.Match): (Int, Int, String, Int) = {
       val num = m.group(1).toInt
+      val gen = m.group(2).toInt
       var i = m.end
       while (i < s.length && s.charAt(i).isWhitespace) i += 1
       if (i + 1 < s.length && s.charAt(i) == '<' && s.charAt(i + 1) == '<') {
         val e = dictEnd(s, i)
-        (num, s.substring(i, e), e)
-      } else (num, "", i)
+        (num, gen, s.substring(i, e), e)
+      } else (num, gen, "", i)
     }
     val parsed = starts.map(parseAt)
-    val dictOf = parsed.map { case (n, d, _) => n -> d }.toMap
-    parsed.foreach { case (num, dict, dEnd) =>
+    val dictOf = parsed.map { case (n, _, d, _) => n -> d }.toMap
+    val crypt: Option[Crypt] =
+      if ("""/Encrypt\s+\d+\s+\d+\s+R""".r.findFirstIn(s).isDefined)
+        Some(buildCrypt(s, dictOf))
+      else None
+    parsed.foreach { case (num, gen, dict, dEnd) =>
       var i = dEnd
       while (i < s.length && s.charAt(i).isWhitespace) i += 1
       val stream =
@@ -184,11 +234,55 @@ object Pdf {
               val e = s.indexOf("endstream", d)
               math.max(0, e - d)
             }
-          Some(java.util.Arrays.copyOfRange(bytes, d, math.min(d + len, bytes.length)))
+          val raw = java.util.Arrays.copyOfRange(bytes, d,
+            math.min(d + len, bytes.length))
+          // everything but cross-reference streams is encrypted (§7.5.8.2)
+          Some(crypt match {
+            case Some(c) if !dict.contains("/XRef") => c.decrypt(num, gen, raw)
+            case _ => raw
+          })
         }
       out(num) = Obj(dict, stream)
     }
+    expandObjectStreams(out)
     out.toMap
+  }
+
+  /** PDF 1.5+ object streams: a `/Type /ObjStm` stream holds N compressed
+    * dict-only objects behind a `objnum offset` pair header — where real
+    * post-2005 PDFs keep their page tree. Expand each into the object map
+    * so the rest of the parser never knows the difference. Top-level
+    * definitions win a number conflict (incremental updates append
+    * replacements at the file level).
+    */
+  private def expandObjectStreams(out: mutable.Map[Int, Obj]): Unit = {
+    val stms = out.collect {
+      case (n, o) if o.dict.contains("/ObjStm") && o.stream.isDefined => n
+    }.toSeq
+    stms.foreach { n =>
+      val o = out(n)
+      val s2 = new String(decodedStream(o), ISO_8859_1)
+      val count = """/N\s+(\d+)""".r.findFirstMatchIn(o.dict)
+        .map(_.group(1).toInt).getOrElse(0)
+      val first = """/First\s+(\d+)""".r.findFirstMatchIn(o.dict)
+        .map(_.group(1).toInt).getOrElse(0)
+      val header = s2.substring(0, math.min(first, s2.length))
+      val pairs = """\d+""".r.findAllIn(header).map(_.toInt)
+        .grouped(2).take(count).collect { case Seq(a, b) => (a, b) }.toVector
+      pairs.zipWithIndex.foreach { case ((objNum, off), idx) =>
+        val start = first + off
+        val end = if (idx + 1 < pairs.length) first + pairs(idx + 1)._2
+          else s2.length
+        if (start <= s2.length && !out.contains(objNum)) {
+          val body = s2.substring(start, math.min(math.max(end, start),
+            s2.length)).trim
+          val dict =
+            if (body.startsWith("<<")) body.substring(0, dictEnd(body, 0))
+            else body // number/array object (e.g. an indirect /Length target)
+          out(objNum) = Obj(dict, None)
+        }
+      }
+    }
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -701,6 +795,229 @@ object Pdf {
 
   private def isDelim(c: Char): Boolean =
     c.isWhitespace || "()<>[]{}/%".indexOf(c) >= 0
+
+  // ------------- standard security handler (PDF 32000-1 §7.6.3) -------------
+
+  /** RC4 / AES-128 decryption for the standard security handler with an
+    * EMPTY user password — the ubiquitous "owner-locked" case (viewable by
+    * anyone, permissions flagged). Password-protected files and the
+    * AES-256 (R5/R6) handler raise a clean "encrypted" error that
+    * `pdfPagesSafe` captures per cell.
+    */
+  private object PdfCrypt {
+    val Pad: Array[Byte] = Array(0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A,
+      0x41, 0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E,
+      0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64,
+      0x53, 0x69, 0x7A).map(_.toByte)
+
+    def md5(parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(d.update)
+      d.digest()
+    }
+
+    def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val s = Array.tabulate(256)(_.toByte)
+      var j = 0
+      var i = 0
+      while (i < 256) {
+        j = (j + s(i) + key(i % key.length)) & 0xff
+        val t = s(i); s(i) = s(j); s(j) = t
+        i += 1
+      }
+      val out = new Array[Byte](data.length)
+      var x = 0; var y = 0
+      i = 0
+      while (i < data.length) {
+        x = (x + 1) & 0xff
+        y = (y + s(x)) & 0xff
+        val t = s(x); s(x) = s(y); s(y) = t
+        out(i) = (data(i) ^ s((s(x) + s(y)) & 0xff)).toByte
+        i += 1
+      }
+      out
+    }
+
+    def le(v: Long, n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((v >>> (8 * i)) & 0xff).toByte)
+
+    /** Algorithm 2: file encryption key from a (padded) password. */
+    def fileKey(paddedPwd: Array[Byte], o: Array[Byte], p: Int,
+        id0: Array[Byte], keyLen: Int, r: Int,
+        encryptMetadata: Boolean): Array[Byte] = {
+      val extra =
+        if (r >= 4 && !encryptMetadata) le(0xFFFFFFFFL, 4)
+        else Array.emptyByteArray
+      var digest = md5(paddedPwd, o, le(p.toLong & 0xFFFFFFFFL, 4), id0, extra)
+      if (r >= 3) {
+        var i = 0
+        while (i < 50) { digest = md5(digest.take(keyLen)); i += 1 }
+      }
+      digest.take(keyLen)
+    }
+
+    /** Algorithm 4/5: the /U value an empty user password must produce. */
+    def userValue(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+      if (r == 2) rc4(key, Pad)
+      else {
+        var e = rc4(key, md5(Pad, id0))
+        var i = 1
+        while (i <= 19) {
+          e = rc4(key.map(b => (b ^ i).toByte), e)
+          i += 1
+        }
+        e
+      }
+
+    /** Algorithm 3: the /O entry (empty owner AND user password). */
+    def ownerValue(keyLen: Int, r: Int): Array[Byte] = {
+      var digest = md5(Pad)
+      if (r >= 3) { var i = 0; while (i < 50) { digest = md5(digest); i += 1 } }
+      val k = digest.take(keyLen)
+      var o = rc4(k, Pad)
+      if (r >= 3) {
+        var i = 1
+        while (i <= 19) { o = rc4(k.map(b => (b ^ i).toByte), o); i += 1 }
+      }
+      o
+    }
+
+    /** Algorithm 1: per-object key. */
+    def objKey(key: Array[Byte], num: Int, gen: Int,
+        aes: Boolean): Array[Byte] = {
+      val salt = if (aes) Array(0x73, 0x41, 0x6C, 0x54).map(_.toByte)
+        else Array.emptyByteArray
+      md5(key, le(num.toLong, 3), le(gen.toLong, 2), salt)
+        .take(math.min(key.length + 5, 16))
+    }
+
+    def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      require(data.length >= 16, "AES stream shorter than its IV")
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(data.take(16)))
+      c.doFinal(data, 16, data.length - 16)
+    }
+
+    def aesEncrypt(key: Array[Byte], iv: Array[Byte],
+        data: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(data)
+    }
+  }
+
+  /** A live decryptor for one document: `aes` selects AESV2 vs RC4. */
+  private final case class Crypt(key: Array[Byte], aes: Boolean) {
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
+      val k = PdfCrypt.objKey(key, num, gen, aes)
+      if (aes) PdfCrypt.aesDecrypt(k, data) else PdfCrypt.rc4(k, data)
+    }
+  }
+
+  /** Parse a PDF string at `i` (must point at '(' or '<'): raw bytes +
+    * end index. The dict-context twin of the content-stream reader.
+    */
+  private def parsePdfString(s: String, i0: Int): (Array[Byte], Int) = {
+    val out = new ByteArrayOutputStream()
+    var i = i0
+    if (s.charAt(i) == '<') {
+      i += 1
+      val hex = new StringBuilder
+      while (i < s.length && s.charAt(i) != '>') {
+        if (!s.charAt(i).isWhitespace) hex.append(s.charAt(i))
+        i += 1
+      }
+      i += 1
+      if (hex.length % 2 == 1) hex.append('0')
+      hex.toString.grouped(2).foreach(h => out.write(Integer.parseInt(h, 16)))
+    } else {
+      i += 1
+      var depth = 1
+      while (i < s.length && depth > 0) {
+        s.charAt(i) match {
+          case '\\' if i + 1 < s.length =>
+            s.charAt(i + 1) match {
+              case 'n' => out.write('\n'); i += 2
+              case 'r' => out.write('\r'); i += 2
+              case 't' => out.write('\t'); i += 2
+              case 'b' => out.write('\b'); i += 2
+              case 'f' => out.write('\f'); i += 2
+              case '\n' => i += 2
+              case '\r' =>
+                i += 2; if (i < s.length && s.charAt(i) == '\n') i += 1
+              case d if d >= '0' && d <= '7' =>
+                var v = 0; var n = 0; i += 1
+                while (n < 3 && i < s.length &&
+                    s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+                  v = v * 8 + (s.charAt(i) - '0'); i += 1; n += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other); i += 2
+            }
+          case '(' => depth += 1; out.write('('); i += 1
+          case ')' =>
+            depth -= 1; if (depth > 0) out.write(')'); i += 1
+          case ch => out.write(ch); i += 1
+        }
+      }
+    }
+    (out.toByteArray, i)
+  }
+
+  /** String value of dict key `name` (literal or hex form). */
+  private def dictString(dict: String, name: String): Option[Array[Byte]] =
+    (name + """(?![A-Za-z])\s*""").r.findAllMatchIn(dict).collectFirst {
+      case m if m.end < dict.length &&
+          (dict.charAt(m.end) == '(' || dict.charAt(m.end) == '<') =>
+        parsePdfString(dict, m.end)._1
+    }
+
+  /** Build the document decryptor from the trailer's /Encrypt dict, or
+    * raise "encrypted" if the handler/password is out of reach.
+    */
+  private def buildCrypt(s: String, dictOf: Map[Int, String]): Crypt = {
+    val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(
+        "encrypted PDF: /Encrypt dict not an indirect reference"))
+    val enc = dictOf.getOrElse(encRef, throw new IllegalArgumentException(
+      "encrypted PDF: /Encrypt object missing"))
+    require(enc.contains("/Standard"),
+      "encrypted PDF: non-standard security handler")
+    def intKey(k: String, dflt: Int): Int =
+      (k + """(?![A-Za-z])\s+(-?\d+)""").r.findFirstMatchIn(enc)
+        .map(_.group(1).toInt).getOrElse(dflt)
+    val v = intKey("/V", 0)
+    val r = intKey("/R", 2)
+    require(v <= 4 && r <= 4,
+      s"encrypted PDF: AES-256 handler (V=$v R=$r) unsupported")
+    val keyLen = math.max(5, intKey("/Length", 40) / 8)
+    val p = intKey("/P", -1)
+    val o = dictString(enc, "/O").getOrElse(
+      throw new IllegalArgumentException("encrypted PDF: missing /O"))
+    val u = dictString(enc, "/U").getOrElse(
+      throw new IllegalArgumentException("encrypted PDF: missing /U"))
+    val encryptMetadata = !enc.contains("/EncryptMetadata false")
+    // V4 crypt filters: /Identity means no stream encryption; AESV2 = AES
+    val aes = enc.contains("/AESV2")
+    val id0 = """/ID\s*\[\s*<""".r.findFirstMatchIn(s)
+      .map(m => parsePdfString(s, m.end - 1)._1)
+      .getOrElse(Array.emptyByteArray)
+    val key = PdfCrypt.fileKey(PdfCrypt.Pad, o, p, id0, keyLen, r,
+      encryptMetadata)
+    val expectU = PdfCrypt.userValue(key, id0, r)
+    val ok =
+      if (r == 2) java.util.Arrays.equals(expectU, u)
+      else u.length >= 16 &&
+        java.util.Arrays.equals(expectU.take(16), u.take(16))
+    require(ok, "encrypted PDF: password-protected (empty user password " +
+      "does not authenticate)")
+    Crypt(key, aes)
+  }
 
   private def pageContents(pdf: Array[Byte]): Seq[Array[Byte]] = {
     val objs = parseObjects(pdf)

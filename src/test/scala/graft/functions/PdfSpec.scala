@@ -118,6 +118,55 @@ class PdfSpec extends AnyFunSuite {
       Seq[Byte](0, 0, 0, 0))
   }
 
+  test("encrypted PDFs with an empty user password decrypt: RC4-128 and AES-128") {
+    // the ubiquitous owner-locked shape — readable by any viewer, so the
+    // splitter must read it too (standard security handler, §7.6.3)
+    val texts = Seq("rc4 secret page", "page two\nsecond line",
+      "unicode: привет")
+    assert(Pdf.extractPages(Pdf.writePdfEncrypted(texts, "rc4")) == texts)
+    assert(Pdf.extractPages(Pdf.writePdfEncrypted(texts, "aes")) == texts)
+  }
+
+  test("password-protected PDF fails auth and carries errortype=encrypted") {
+    val locked = Pdf.writePdfEncrypted(Seq("cannot read"), "rc4",
+      userPwd = "hunter2")
+    val e = intercept[IllegalArgumentException](Pdf.extractPages(locked))
+    assert(e.getMessage.contains("password-protected"))
+    val rows = Seq((1L, locked))
+      .toDF("doc_id", "pdf")
+      .select(Pdf.pdfPagesSafe(col("pdf")).as("cell"))
+      .select(col("cell.errortype"))
+      .collect()
+    assert(rows(0).getString(0) == "encrypted")
+  }
+
+  test("object streams (/ObjStm): page tree inside a compressed stream") {
+    // PDF 1.5+ layout: catalog/pages/page dicts live inside one
+    // Flate-compressed /ObjStm ("objnum offset" pair header, bodies at
+    // /First + offset); only the content stream is a top-level object.
+    val content = "BT /F1 12 Tf 72 720 Td (objstm works) Tj ET"
+    val zc = Pdf.encodeFilters(content.getBytes(ISO_8859_1), Seq("FlateDecode"))
+    val bodies = Seq(
+      3 -> "<< /Type /Catalog /Pages 4 0 R >>",
+      4 -> "<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+      5 -> "<< /Type /Page /MediaBox [0 0 612 792] /Contents 1 0 R >>")
+    val offsets = bodies.map(_._2).scanLeft(0)((a, b) => a + b.length + 1).init
+    val header = bodies.zip(offsets)
+      .map { case ((n, _), o) => s"$n $o" }.mkString(" ")
+    val first = header.length + 1
+    val payload = header + "\n" + bodies.map(_._2).mkString("\n")
+    val zp = Pdf.encodeFilters(payload.getBytes(ISO_8859_1), Seq("FlateDecode"))
+    val sb = new StringBuilder("%PDF-1.5\n")
+    sb.append(s"1 0 obj\n<< /Length ${zc.length} /Filter /FlateDecode >>\nstream\n")
+      .append(new String(zc, ISO_8859_1)).append("\nendstream\nendobj\n")
+    sb.append(s"2 0 obj\n<< /Type /ObjStm /N 3 /First $first /Length ${zp.length}")
+      .append(" /Filter /FlateDecode >>\nstream\n")
+      .append(new String(zp, ISO_8859_1)).append("\nendstream\nendobj\n")
+    sb.append("trailer\n<< /Root 3 0 R >>\n%%EOF")
+    assert(Pdf.extractPages(sb.toString.getBytes(ISO_8859_1)) ==
+      Seq("objstm works"))
+  }
+
   test("filtered PDFs extract identically: LZW, RunLength, hex, 85+LZW chain") {
     val texts = Seq("lzw page one\nwith a second line",
       "page two — unicode: привет, 日本語", "short")
