@@ -55,17 +55,22 @@ object Providers {
   private val AnthropicVersion = "2023-06-01"
 
   private def post(cfg: ProviderConfig, path: String, body: String,
-      anthropicAuth: Boolean = false): JsonNode = {
+      auth: String = "bearer"): JsonNode = {
     val b = HttpRequest.newBuilder(URI.create(cfg.endpoint + path))
       .timeout(Duration.ofMillis(cfg.timeoutMs))
       .header("Content-Type", "application/json")
     val key = cfg.resolvedKey
-    if (anthropicAuth) {
-      // the Messages API authenticates with x-api-key + a pinned
-      // anthropic-version instead of an Authorization bearer
-      if (key.nonEmpty) b.header("x-api-key", key)
-      b.header("anthropic-version", AnthropicVersion)
-    } else if (key.nonEmpty) b.header("Authorization", s"Bearer $key")
+    auth match {
+      case "anthropic" =>
+        // the Messages API authenticates with x-api-key + a pinned
+        // anthropic-version instead of an Authorization bearer
+        if (key.nonEmpty) b.header("x-api-key", key)
+        b.header("anthropic-version", AnthropicVersion)
+      case "goog" => // Gemini API key header
+        if (key.nonEmpty) b.header("x-goog-api-key", key)
+      case _ =>
+        if (key.nonEmpty) b.header("Authorization", s"Bearer $key")
+    }
     val resp = http.send(
       b.POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
@@ -129,12 +134,36 @@ object Providers {
       req.putArray("messages").addObject()
         .put("role", "user").put("content", p)
       val content = post(cfg, "/messages", mapper.writeValueAsString(req),
-        anthropicAuth = true).get("content")
+        auth = "anthropic").get("content")
       // concatenate the text blocks (tool_use and other block types pass
       // through silently; tool orchestration lives in functions.Tools)
       (0 until content.size()).map(content.get)
         .filter(b => b.get("type").asText() == "text")
         .map(_.get("text").asText()).mkString
+    }
+
+  /** One Gemini generateContent completion per prompt — the third wire
+    * format (reference `functions/gemini.py`; the protocol shape is the
+    * public Generative Language API: POST
+    * `{endpoint}/models/{model}:generateContent`, `contents` with typed
+    * `parts`, `systemInstruction` as a top-level field, response
+    * `candidates[0].content.parts[].text`).
+    */
+  def geminiChatBatch(cfg: ProviderConfig, system: Option[String] = None,
+      maxTokens: Int = 1024)(prompts: Seq[String]): Seq[String] =
+    prompts.map { p =>
+      val req = mapper.createObjectNode()
+      system.foreach(s => req.putObject("systemInstruction")
+        .putArray("parts").addObject().put("text", s))
+      req.putArray("contents").addObject()
+        .put("role", "user")
+        .putArray("parts").addObject().put("text", p)
+      req.putObject("generationConfig").put("maxOutputTokens", maxTokens)
+      val parts = post(cfg, s"/models/${cfg.model}:generateContent",
+        mapper.writeValueAsString(req), auth = "goog")
+        .get("candidates").get(0).get("content").get("parts")
+      (0 until parts.size()).map(parts.get)
+        .filter(_.has("text")).map(_.get("text").asText()).mkString
     }
 
   /** df + JSON-array embedding column (`outputCol`) and
@@ -157,4 +186,11 @@ object Providers {
       maxTokens: Int = 1024): DataFrame =
     AsyncBatcher.mapColumn(df, promptCol, outputCol,
       anthropicChatBatch(cfg, system, maxTokens), cfg.batch)
+
+  /** df + generateContent completion column and `<outputCol>_errormsg`. */
+  def withGeminiCompletion(df: DataFrame, promptCol: String,
+      outputCol: String, cfg: ProviderConfig, system: Option[String] = None,
+      maxTokens: Int = 1024): DataFrame =
+    AsyncBatcher.mapColumn(df, promptCol, outputCol,
+      geminiChatBatch(cfg, system, maxTokens), cfg.batch)
 }

@@ -93,6 +93,34 @@ class ProvidersSpec extends AnyFunSuite {
       ex.getResponseBody.write(out)
       ex.close()
     })
+    // Gemini generateContent wire shape: x-goog-api-key auth, model in the
+    // URL path, contents/parts request, candidates/content/parts response
+    srv.createContext("/v1/models/test-gem:generateContent",
+      (ex: HttpExchange) => {
+        val out: Array[Byte] =
+          if (ex.getRequestHeaders.getFirst("x-goog-api-key") != "test-key") {
+            val b = """{"error":"unauthorized"}""".getBytes("UTF-8")
+            ex.sendResponseHeaders(401, b.length); b
+          } else {
+            val req = mapper.readTree(ex.getRequestBody)
+            assert(req.get("systemInstruction").get("parts").get(0)
+              .get("text").asText() == "reverse it")
+            assert(req.get("generationConfig").get("maxOutputTokens").asInt() > 0)
+            val prompt = req.get("contents").get(0).get("parts").get(0)
+              .get("text").asText()
+            val root = mapper.createObjectNode()
+            val parts = root.putArray("candidates").addObject()
+              .putObject("content").putArray("parts")
+            parts.addObject().put("text", prompt.reverse)
+            parts.addObject().put("inlineData", "skipped") // non-text part
+            parts.addObject().put("text", "!")
+            val b = mapper.writeValueAsString(root).getBytes("UTF-8")
+            ex.getResponseHeaders.add("Content-Type", "application/json")
+            ex.sendResponseHeaders(200, b.length); b
+          }
+        ex.getResponseBody.write(out)
+        ex.close()
+      })
     srv.start()
     (srv, s"http://127.0.0.1:${srv.getAddress.getPort}/v1")
   }
@@ -151,6 +179,28 @@ class ProvidersSpec extends AnyFunSuite {
       assert(out == Map("stressed" -> "desserts!", "drawer" -> "reward!"))
       // wrong key → per-cell 401 capture, not a job failure
       val bad = Providers.withAnthropicCompletion(
+          Seq("x").toDF("prompt"), "prompt", "answer",
+          cfg.copy(apiKey = "wrong",
+            batch = graft.operators.AsyncBatcher.Config(maxRetries = 0)),
+          system = Some("reverse it"))
+        .select("answer", "answer_errormsg").collect()
+      assert(bad(0).getString(0) == null && bad(0).getString(1).contains("401"))
+    } finally srv.stop(0)
+  }
+
+  test("gemini generateContent wire format: goog auth, parts, model-in-path") {
+    flaky = new java.util.concurrent.atomic.AtomicInteger(1)
+    val (srv, endpoint) = startServer()
+    try {
+      val cfg = Providers.ProviderConfig(endpoint, "test-gem", apiKey = "test-key")
+      val out = Providers.withGeminiCompletion(
+          Seq("stressed", "drawer").toDF("prompt"), "prompt", "answer",
+          cfg, system = Some("reverse it"))
+        .select("prompt", "answer").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      // text parts concatenated, non-text part skipped
+      assert(out == Map("stressed" -> "desserts!", "drawer" -> "reward!"))
+      val bad = Providers.withGeminiCompletion(
           Seq("x").toDF("prompt"), "prompt", "answer",
           cfg.copy(apiKey = "wrong",
             batch = graft.operators.AsyncBatcher.Config(maxRetries = 0)),
