@@ -804,7 +804,7 @@ object Pdf {
     * AES-256 (R5/R6) handler raise a clean "encrypted" error that
     * `pdfPagesSafe` captures per cell.
     */
-  private object PdfCrypt {
+  private[functions] object PdfCrypt {
     val Pad: Array[Byte] = Array(0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A,
       0x41, 0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E,
       0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64,

@@ -167,6 +167,46 @@ class PdfSpec extends AnyFunSuite {
       Seq("objstm works"))
   }
 
+  test("interaction: encryption × ObjStm × LZW chain in one document") {
+    // decryption must run BEFORE object-stream expansion and filter
+    // decoding: an encrypted PDF whose page tree lives in an /ObjStm and
+    // whose content stream is LZW-compressed exercises all three layers
+    // in their required order
+    val content = "BT /F1 12 Tf 72 720 Td (layered) Tj ET"
+    val zc = Pdf.encodeFilters(content.getBytes(ISO_8859_1), Seq("LZWDecode"))
+    val bodies = Seq(
+      3 -> "<< /Type /Catalog /Pages 4 0 R >>",
+      4 -> "<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+      5 -> "<< /Type /Page /MediaBox [0 0 612 792] /Contents 1 0 R >>")
+    val offsets = bodies.map(_._2).scanLeft(0)((a, b) => a + b.length + 1).init
+    val header = bodies.zip(offsets)
+      .map { case ((n, _), o) => s"$n $o" }.mkString(" ")
+    val first = header.length + 1
+    val payload = header + "\n" + bodies.map(_._2).mkString("\n")
+    val zp = Pdf.encodeFilters(payload.getBytes(ISO_8859_1), Seq("FlateDecode"))
+    // encrypt both streams with the same deterministic parameters the
+    // writer uses (R3 RC4-128, empty passwords, fixed /ID)
+    val id0 = Array.tabulate(16)(i => (i * 17 + 3).toByte)
+    val o = Pdf.PdfCrypt.ownerValue(16, 3)
+    val key = Pdf.PdfCrypt.fileKey(Pdf.PdfCrypt.Pad, o, -1, id0, 16, 3, true)
+    val u = Pdf.PdfCrypt.userValue(key, id0, 3) ++ new Array[Byte](16)
+    def enc(num: Int, data: Array[Byte]) =
+      Pdf.PdfCrypt.rc4(Pdf.PdfCrypt.objKey(key, num, 0, aes = false), data)
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    val e1 = enc(1, zc)
+    val e2 = enc(2, zp)
+    val sb = new StringBuilder("%PDF-1.5\n")
+    sb.append(s"1 0 obj\n<< /Length ${e1.length} /Filter /LZWDecode >>\nstream\n")
+      .append(new String(e1, ISO_8859_1)).append("\nendstream\nendobj\n")
+    sb.append(s"2 0 obj\n<< /Type /ObjStm /N 3 /First $first /Length ${e2.length}")
+      .append(" /Filter /FlateDecode >>\nstream\n")
+      .append(new String(e2, ISO_8859_1)).append("\nendstream\nendobj\n")
+    sb.append("6 0 obj\n<< /Filter /Standard /V 2 /R 3 /Length 128 /P -1 ")
+      .append(s"/O <${hx(o)}> /U <${hx(u.take(32))}> >>\nendobj\n")
+    sb.append(s"trailer\n<< /Root 3 0 R /Encrypt 6 0 R /ID [<${hx(id0)}> <${hx(id0)}>] >>\n%%EOF")
+    assert(Pdf.extractPages(sb.toString.getBytes(ISO_8859_1)) == Seq("layered"))
+  }
+
   test("filtered PDFs extract identically: LZW, RunLength, hex, 85+LZW chain") {
     val texts = Seq("lzw page one\nwith a second line",
       "page two — unicode: привет, 日本語", "short")

@@ -161,6 +161,24 @@ class ExcelIcebergSpec extends AnyFunSuite {
       Seq(4L, 6L, 7L, 8L, 9L, 10L))
     // equality-only sanity at a later data seq: nothing from B is touched
     assert(got.filter($"id" >= 6).count() == 5)
+
+    // interaction: time travel × deletes — a pre-delete snapshot reading
+    // only data manifest A must see A's rows UNDELETED
+    val meta2 = java.nio.file.Files.readString(
+      java.nio.file.Path.of(dir, "metadata/v1.metadata.json"))
+    Iceberg.writeAvro(s"$dir/metadata/snap-98.avro", listSchema,
+      Seq(mf("metadata/m-data.avro", 0, 1L)))
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(dir, "metadata/v1.metadata.json"),
+      meta2.replace("\"snapshots\":[",
+        """"snapshots":[{"snapshot-id":98,"sequence-number":1,
+          |"manifest-list":"metadata/snap-98.avro",
+          |"summary":{"operation":"append"}},""".stripMargin))
+    val old = Iceberg.importIceberg(spark, dir, snapshotId = Some(98L))
+    assert(old.count() == 10,
+      "pre-delete snapshot must not apply later delete files")
+    assert(Iceberg.importIceberg(spark, dir).count() == 6,
+      "current snapshot must still apply deletes after the metadata edit")
   }
 
   test("iceberg import prunes columns and pushes filters to the parquet scan") {
