@@ -1015,5 +1015,85 @@ object Pipeline {
            |ORDER BY doc_id""".stripMargin
       },
     ),
+    QueryDef(
+      "q110_hybrid_rrf",
+      (s, dir) => {
+        // Hybrid retrieval — RAG's standard fusion shape: the lexical
+        // BM25 top-100 and the semantic cosine top-100 fused with
+        // Reciprocal Rank Fusion (Cormack et al. 2009, score =
+        // Σ 1/(60 + rank); a doc absent from a list contributes 0).
+        // Scale shape: both candidate lists arrive via
+        // TakeOrderedAndProject (per-partition heaps, no global corpus
+        // sort); the ranking windows and the full-outer fusion join then
+        // run on ≤100-row bounded sets, so the plan is corpus-size-
+        // independent. Ranks are taken over ROUNDED scores (4dp BM25,
+        // 6dp cosine) with a doc_id tiebreak so both engines order
+        // identically.
+        import org.apache.spark.sql.expressions.Window
+        val lex = graft.functions.Ranking.bm25(
+            T(s, dir, "documents"), "doc_id", "text",
+            query = "spark join vector", topK = 100)
+          .select(col("doc_id"), col("bm25"))
+        val lexR = lex.withColumn("r_lex",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+            .cast("long"))
+        val e = col("embedding").cast("array<double>")
+        val sem = T(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"),
+            round(cosine(s, e, queryVecCol), 6).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("doc_id"))
+          .limit(100)
+        val semR = sem.withColumn("r_sem",
+          row_number().over(Window.orderBy(col("cos_sim").desc, col("doc_id")))
+            .cast("long"))
+        lexR.join(semR, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            round(
+              coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + col("r_sem")), lit(0.0)),
+              6).as("rrf"),
+            col("r_lex"), col("r_sem"))
+          .orderBy(col("rrf").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+              |  FROM documents),
+              |base2 AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+              |hits AS (
+              |  SELECT doc_id, dl, term, count(*) AS tf
+              |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base2)
+              |  WHERE term IN ('spark', 'join', 'vector')
+              |  GROUP BY 1, 2, 3),
+              |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base2),
+              |dft AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+              |scored AS (
+              |  SELECT h.doc_id,
+              |    round(sum(
+              |      ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+              |      * h.tf * 2.2
+              |      / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * h.dl / s.avgdl))), 4) AS bm25
+              |  FROM hits h CROSS JOIN stats s JOIN dft d ON h.term = d.term
+              |  GROUP BY 1),
+              |lex AS (SELECT doc_id, bm25 FROM scored
+              |  ORDER BY bm25 DESC, doc_id LIMIT 100),
+              |lexr AS (SELECT doc_id,
+              |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex FROM lex),
+              |sem AS (
+              |  SELECT vec_id AS doc_id, round(
+              |    list_dot_product(embedding::DOUBLE[], $queryVecSql) /
+              |    (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              |     sqrt(list_dot_product($queryVecSql, $queryVecSql))), 6) AS cos_sim
+              |  FROM embeddings
+              |  ORDER BY cos_sim DESC, doc_id LIMIT 100),
+              |semr AS (SELECT doc_id,
+              |  row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_sem FROM sem)
+              |SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+              |  round(coalesce(1.0 / (60 + l.r_lex), 0) +
+              |        coalesce(1.0 / (60 + r.r_sem), 0), 6) AS rrf,
+              |  l.r_lex, r.r_sem
+              |FROM lexr l FULL JOIN semr r ON l.doc_id = r.doc_id
+              |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
+    ),
   )
 }
