@@ -159,6 +159,11 @@ class ExcelIcebergSpec extends AnyFunSuite {
       "delete helpers leaked into the schema")
     assert(got.select("id").as[Long].collect().sorted.toSeq ==
       Seq(4L, 6L, 7L, 8L, 9L, 10L))
+    // scale shape: the delete side broadcasts — the base scan must not
+    // shuffle through a sort-merge join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"delete application shuffled the base scan:\n$plan")
     // equality-only sanity at a later data seq: nothing from B is touched
     assert(got.filter($"id" >= 6).count() == 5)
 
