@@ -1095,5 +1095,31 @@ object Pipeline {
               |FROM lexr l FULL JOIN semr r ON l.doc_id = r.doc_id
               |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
     ),
+    QueryDef(
+      "q111_html_extract",
+      (s, dir) => {
+        // HTML → main-content extraction (the CommonCrawl step): each
+        // document is wrapped in a deterministic page template (nav +
+        // title + styled head + footer) and run through the tag-soup
+        // scanner with link-density boilerplate dropping
+        // (functions.Html); the oracle reconstructs the expected text
+        // from the source column, so scan + entity decode + block
+        // segmentation + boilerplate drop are all hash-gated. Map-only
+        // UDF — the operator scales with the scan, no shuffle.
+        val page = concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style>p{x:1}</style></head><body>" +
+            "<nav><a href=\"/\">home</a> <a href=\"/i\">index</a></nav><p>"),
+          col("text"),
+          lit("</p><footer><a href=\"/p\">privacy</a></footer></body></html>"))
+        T(s, dir, "documents")
+          .select(col("doc_id"),
+            graft.functions.Html.htmlMainText(page).as("text_out"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, 'Doc ' || doc_id || chr(10) ||
+             |trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')) AS text_out
+             |FROM documents ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
