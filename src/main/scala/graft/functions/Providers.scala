@@ -166,6 +166,31 @@ object Providers {
         .filter(_.has("text")).map(_.get("text").asText()).mkString
     }
 
+  /** One Bedrock Converse completion per prompt — the fourth wire format
+    * (reference `functions/bedrock.py`; the protocol shape is the public
+    * Bedrock Runtime Converse API with API-key bearer auth: POST
+    * `{endpoint}/model/{modelId}/converse`, typed `content` blocks,
+    * top-level `system` array, response
+    * `output.message.content[].text`). SigV4 request signing is not
+    * implemented — point `apiKey` at a Bedrock API key (bearer).
+    */
+  def bedrockConverseBatch(cfg: ProviderConfig, system: Option[String] = None,
+      maxTokens: Int = 1024)(prompts: Seq[String]): Seq[String] =
+    prompts.map { p =>
+      val req = mapper.createObjectNode()
+      req.putArray("messages").addObject()
+        .put("role", "user")
+        .putArray("content").addObject().put("text", p)
+      system.foreach(s =>
+        req.putArray("system").addObject().put("text", s))
+      req.putObject("inferenceConfig").put("maxTokens", maxTokens)
+      val content = post(cfg, s"/model/${cfg.model}/converse",
+        mapper.writeValueAsString(req))
+        .get("output").get("message").get("content")
+      (0 until content.size()).map(content.get)
+        .filter(_.has("text")).map(_.get("text").asText()).mkString
+    }
+
   /** df + JSON-array embedding column (`outputCol`) and
     * `<outputCol>_errormsg` — cast downstream with
     * `from_json(col, "array<float>")`.
@@ -193,4 +218,11 @@ object Providers {
       maxTokens: Int = 1024): DataFrame =
     AsyncBatcher.mapColumn(df, promptCol, outputCol,
       geminiChatBatch(cfg, system, maxTokens), cfg.batch)
+
+  /** df + Converse completion column and `<outputCol>_errormsg`. */
+  def withBedrockCompletion(df: DataFrame, promptCol: String,
+      outputCol: String, cfg: ProviderConfig, system: Option[String] = None,
+      maxTokens: Int = 1024): DataFrame =
+    AsyncBatcher.mapColumn(df, promptCol, outputCol,
+      bedrockConverseBatch(cfg, system, maxTokens), cfg.batch)
 }

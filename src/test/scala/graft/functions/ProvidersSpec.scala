@@ -121,6 +121,33 @@ class ProvidersSpec extends AnyFunSuite {
         ex.getResponseBody.write(out)
         ex.close()
       })
+    // Bedrock Converse wire shape: bearer auth, model in the URL path,
+    // typed content blocks, system as a top-level array
+    srv.createContext("/v1/model/test-bdr/converse",
+      (ex: HttpExchange) => {
+        val out: Array[Byte] =
+          if (ex.getRequestHeaders.getFirst("Authorization") != "Bearer test-key") {
+            val b = """{"error":"unauthorized"}""".getBytes("UTF-8")
+            ex.sendResponseHeaders(403, b.length); b
+          } else {
+            val req = mapper.readTree(ex.getRequestBody)
+            assert(req.get("system").get(0).get("text").asText() == "reverse it")
+            assert(req.get("inferenceConfig").get("maxTokens").asInt() > 0)
+            val prompt = req.get("messages").get(0).get("content").get(0)
+              .get("text").asText()
+            val root = mapper.createObjectNode()
+            val content = root.putObject("output").putObject("message")
+              .put("role", "assistant").putArray("content")
+            content.addObject().put("text", prompt.reverse)
+            content.addObject().put("toolUse", "skipped")
+            content.addObject().put("text", "!")
+            val b = mapper.writeValueAsString(root).getBytes("UTF-8")
+            ex.getResponseHeaders.add("Content-Type", "application/json")
+            ex.sendResponseHeaders(200, b.length); b
+          }
+        ex.getResponseBody.write(out)
+        ex.close()
+      })
     srv.start()
     (srv, s"http://127.0.0.1:${srv.getAddress.getPort}/v1")
   }
@@ -207,6 +234,27 @@ class ProvidersSpec extends AnyFunSuite {
           system = Some("reverse it"))
         .select("answer", "answer_errormsg").collect()
       assert(bad(0).getString(0) == null && bad(0).getString(1).contains("401"))
+    } finally srv.stop(0)
+  }
+
+  test("bedrock Converse wire format: bearer auth, content blocks, system array") {
+    flaky = new java.util.concurrent.atomic.AtomicInteger(1)
+    val (srv, endpoint) = startServer()
+    try {
+      val cfg = Providers.ProviderConfig(endpoint, "test-bdr", apiKey = "test-key")
+      val out = Providers.withBedrockCompletion(
+          Seq("stressed", "drawer").toDF("prompt"), "prompt", "answer",
+          cfg, system = Some("reverse it"))
+        .select("prompt", "answer").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(out == Map("stressed" -> "desserts!", "drawer" -> "reward!"))
+      val bad = Providers.withBedrockCompletion(
+          Seq("x").toDF("prompt"), "prompt", "answer",
+          cfg.copy(apiKey = "wrong",
+            batch = graft.operators.AsyncBatcher.Config(maxRetries = 0)),
+          system = Some("reverse it"))
+        .select("answer", "answer_errormsg").collect()
+      assert(bad(0).getString(0) == null && bad(0).getString(1).contains("403"))
     } finally srv.stop(0)
   }
 }
