@@ -554,18 +554,73 @@ object Pdf {
       case None => filterSinglePat.findFirstMatchIn(dict).map(_.group(1)).toSeq
     }
 
+  /** Undo a /DecodeParms predictor after Flate/LZW: PNG row filters
+    * (predictor ≥ 10: None/Sub/Up/Average/Paeth, one filter-type byte per
+    * row) or TIFF horizontal differencing (predictor 2). 8-bit components
+    * as everywhere in text-bearing streams.
+    */
+  private[functions] def applyPredictor(data: Array[Byte], predictor: Int,
+      columns: Int, colors: Int, bpc: Int): Array[Byte] = {
+    if (predictor <= 1) return data
+    require(bpc == 8, s"predictor with $bpc-bit components unsupported")
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (columns * colors * bpc + 7) / 8
+    if (predictor == 2) { // TIFF horizontal differencing
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = bpp
+        while (i < rowLen) {
+          out(r + i) = (out(r + i) + out(r + i - bpp)).toByte; i += 1
+        }
+        r += rowLen
+      }
+      out
+    } else { // PNG: each stored row = filter byte + rowLen filtered bytes
+      val rows = data.length / (rowLen + 1)
+      val out = new Array[Byte](rows * rowLen)
+      var r = 0
+      while (r < rows) {
+        val ft = data(r * (rowLen + 1)) & 0xff
+        val src = r * (rowLen + 1) + 1
+        val dst = r * rowLen
+        var i = 0
+        while (i < rowLen) {
+          val raw = data(src + i) & 0xff
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+          val up = if (r > 0) out(dst - rowLen + i) & 0xff else 0
+          val ul = if (r > 0 && i >= bpp) out(dst - rowLen + i - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left)
+              val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              raw + (if (pa <= pb && pa <= pc) left
+                else if (pb <= pc) up else ul)
+            case other =>
+              throw new IllegalArgumentException(s"bad PNG filter $other")
+          }
+          out(dst + i) = (v & 0xff).toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    }
+  }
+
   private def decodedStream(o: Obj): Array[Byte] = {
     val raw = o.stream.getOrElse(Array.emptyByteArray)
-    // predictor-coded Flate/LZW (PNG/TIFF row predictors) would decode to
-    // garbage if ignored — raise loudly instead (captured per-cell by
-    // pdfPagesSafe); content streams in the wild are predictor-free.
-    val predictor = """/Predictor\s+(\d+)""".r.findFirstMatchIn(o.dict)
-      .map(_.group(1).toInt).getOrElse(1)
-    require(predictor <= 1,
-      s"predictor-coded streams unsupported (/Predictor $predictor)")
-    val earlyChange = """/EarlyChange\s+(\d+)""".r.findFirstMatchIn(o.dict)
-      .map(_.group(1).toInt).getOrElse(1)
-    streamFilters(o.dict).foldLeft(raw) { (data, f) =>
+    def parm(name: String, dflt: Int): Int =
+      (name + """\s+(\d+)""").r.findFirstMatchIn(o.dict)
+        .map(_.group(1).toInt).getOrElse(dflt)
+    val earlyChange = parm("/EarlyChange", 1)
+    val decoded = streamFilters(o.dict).foldLeft(raw) { (data, f) =>
       f match {
         case "FlateDecode" | "Fl" => inflate(data)
         case "LZWDecode" | "LZW" => lzwDecode(data, earlyChange)
@@ -576,6 +631,8 @@ object Pdf {
           s"unsupported stream filter /$other")
       }
     }
+    applyPredictor(decoded, parm("/Predictor", 1), parm("/Columns", 1),
+      parm("/Colors", 1), parm("/BitsPerComponent", 8))
   }
 
   private val refPat = """(\d+)\s+\d+\s+R""".r

@@ -61,20 +61,71 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.extractPages(Pdf.writePdf(texts)) == texts)
   }
 
-  test("encrypted, image-filtered, and predictor-coded PDFs raise cleanly") {
+  test("encrypted-ref-missing, image-filtered, and junk PDFs raise cleanly") {
     val enc = new String(handFixture, ISO_8859_1)
       .replace("/Size 5", "/Size 5 /Encrypt 9 0 R").getBytes(ISO_8859_1)
     assertThrows[IllegalArgumentException](Pdf.extractPages(enc))
     val dct = new String(handFixture, ISO_8859_1)
       .replace(">>\nstream", " /Filter /DCTDecode >>\nstream").getBytes(ISO_8859_1)
     assertThrows[IllegalArgumentException](Pdf.extractPages(dct))
-    val pred = new String(Pdf.writePdf(Seq("x")), ISO_8859_1)
-      .replace("/Filter /FlateDecode",
-        "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >>")
-      .getBytes(ISO_8859_1)
-    assertThrows[IllegalArgumentException](Pdf.extractPages(pred))
     assertThrows[IllegalArgumentException](
       Pdf.extractPages("not a pdf".getBytes(ISO_8859_1)))
+  }
+
+  test("predictor-coded streams decode: PNG Up/Sub/Paeth rows, TIFF diff") {
+    val rnd = new java.util.Random(3)
+    val plain = new Array[Byte](640) // 40 rows × 16 columns
+    rnd.nextBytes(plain)
+    def pngEncode(data: Array[Byte], cols: Int, ft: Int): Array[Byte] = {
+      val rows = data.length / cols
+      val out = new java.io.ByteArrayOutputStream()
+      for (r <- 0 until rows) {
+        out.write(ft)
+        for (i <- 0 until cols) {
+          val cur = data(r * cols + i) & 0xff
+          val left = if (i > 0) data(r * cols + i - 1) & 0xff else 0
+          val up = if (r > 0) data((r - 1) * cols + i) & 0xff else 0
+          val ul = if (r > 0 && i > 0) data((r - 1) * cols + i - 1) & 0xff else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          out.write((cur - pred) & 0xff)
+        }
+      }
+      out.toByteArray
+    }
+    for (ft <- Seq(0, 1, 2, 3, 4))
+      assert(Pdf.applyPredictor(pngEncode(plain, 16, ft), 12, 16, 1, 8).toSeq ==
+        plain.toSeq, s"PNG filter $ft diverged")
+    // TIFF predictor 2: horizontal differencing
+    val tiff = plain.clone()
+    for (r <- 0 until 40; i <- 15 to 1 by -1)
+      tiff(r * 16 + i) = (tiff(r * 16 + i) - tiff(r * 16 + i - 1)).toByte
+    assert(Pdf.applyPredictor(tiff, 2, 16, 1, 8).toSeq == plain.toSeq)
+    // end-to-end: a content stream stored as PNG-Up-filtered Flate
+    val content = "BT /F1 12 Tf 72 720 Td (predictor ok) Tj ET"
+    val cols = 16
+    val padded = content.getBytes(ISO_8859_1) ++
+      Array.fill((cols - content.length % cols) % cols)(' '.toByte)
+    val z = Pdf.encodeFilters(pngEncode(padded, cols, 2), Seq("FlateDecode"))
+    val sb = new StringBuilder("%PDF-1.4\n")
+    sb.append(s"1 0 obj\n<< /Length ${z.length} /Filter /FlateDecode")
+      .append(s" /DecodeParms << /Predictor 12 /Columns $cols >> >>\nstream\n")
+      .append(new String(z, ISO_8859_1)).append("\nendstream\nendobj\n")
+    sb.append("2 0 obj\n<< /Type /Page /MediaBox [0 0 612 792] /Contents 1 0 R >>\nendobj\n")
+    sb.append("3 0 obj\n<< /Type /Pages /Kids [2 0 R] /Count 1 >>\nendobj\n")
+    sb.append("4 0 obj\n<< /Type /Catalog /Pages 3 0 R >>\nendobj\n")
+    sb.append("trailer\n<< /Root 4 0 R >>\n%%EOF")
+    assert(Pdf.extractPages(sb.toString.getBytes(ISO_8859_1)) ==
+      Seq("predictor ok"))
   }
 
   test("LZW codec: PDF-spec example stream, width boundaries, EarlyChange 0") {
