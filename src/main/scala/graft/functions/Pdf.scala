@@ -68,8 +68,9 @@ object Pdf {
     writePdfImpl(pages, filters, None)
 
   /** `writePdf` with standard-security-handler encryption: `method`
-    * "rc4" (V2/R3, 128-bit) or "aes" (V4/R4, AESV2). Empty `userPwd` is
-    * the parser-readable owner-locked shape; a non-empty one produces a
+    * "rc4" (V2/R3, 128-bit), "aes" (V4/R4, AESV2), or "aes256" (V5/R6,
+    * AESV3 with the Algorithm 2.B password hash). Empty `userPwd` is the
+    * parser-readable owner-locked shape; a non-empty one produces a
     * genuinely password-protected file (the error-path fixture).
     */
   private[functions] def writePdfEncrypted(pages: Seq[String],
@@ -89,21 +90,46 @@ object Pdf {
     // fixture determinism: fixed file id and AES IV
     val id0 = Array.tabulate(16)(i => (i * 17 + 3).toByte)
     val cryptState = enc.map { case (method, userPwd) =>
-      val aes = method == "aes"
-      val r = if (aes) 4 else 3
-      val keyLen = 16
-      val o = PdfCrypt.ownerValue(keyLen, r)
-      val pwdPadded = (userPwd.getBytes(ISO_8859_1) ++ PdfCrypt.Pad).take(32)
-      val p = -1
-      val key = PdfCrypt.fileKey(pwdPadded, o, p, id0, keyLen, r,
-        encryptMetadata = true)
-      val u = PdfCrypt.userValue(key, id0, r) ++ new Array[Byte](16)
-      (Crypt(key, aes), o, u.take(32), r, p)
+      if (method == "aes256") { // V5/R6 (Algorithm 8: U/UE from the 2.B hash)
+        val pwd = userPwd.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .take(127)
+        val vSalt = Array.tabulate(8)(i => (i * 7 + 1).toByte)
+        val kSalt = Array.tabulate(8)(i => (i * 11 + 5).toByte)
+        val fileKey = Array.tabulate(32)(i => (i * 31 + 13).toByte)
+        val u = PdfCrypt.hash2B(pwd, vSalt, Array.emptyByteArray) ++
+          vSalt ++ kSalt
+        val ue = PdfCrypt.aesNoPad(
+          PdfCrypt.hash2B(pwd, kSalt, Array.emptyByteArray), fileKey,
+          encrypt = true)
+        // owner entries mirror the user ones (empty owner password, keyed
+        // over the 48-byte /U per Algorithm 9)
+        val ovSalt = Array.tabulate(8)(i => (i * 3 + 2).toByte)
+        val okSalt = Array.tabulate(8)(i => (i * 13 + 7).toByte)
+        val o48 = PdfCrypt.hash2B(Array.emptyByteArray, ovSalt, u) ++
+          ovSalt ++ okSalt
+        val oe = PdfCrypt.aesNoPad(
+          PdfCrypt.hash2B(Array.emptyByteArray, okSalt, u), fileKey,
+          encrypt = true)
+        (Crypt(fileKey, aes = true, v5 = true), o48, u, 6, -1, Some((ue, oe)))
+      } else {
+        val aes = method == "aes"
+        val r = if (aes) 4 else 3
+        val keyLen = 16
+        val o = PdfCrypt.ownerValue(keyLen, r)
+        val pwdPadded = (userPwd.getBytes(ISO_8859_1) ++ PdfCrypt.Pad).take(32)
+        val p = -1
+        val key = PdfCrypt.fileKey(pwdPadded, o, p, id0, keyLen, r,
+          encryptMetadata = true)
+        val u = PdfCrypt.userValue(key, id0, r) ++ new Array[Byte](16)
+        (Crypt(key, aes), o, u.take(32), r, p, None)
+      }
     }
     def encryptStream(num: Int, z: Array[Byte]): Array[Byte] =
       cryptState match {
         case None => z
-        case Some((c, _, _, _, _)) =>
+        case Some((c, _, _, _, _, _)) if c.v5 =>
+          PdfCrypt.aesEncrypt(c.key, id0, z)
+        case Some((c, _, _, _, _, _)) =>
           val k = PdfCrypt.objKey(c.key, num, 0, c.aes)
           if (c.aes) PdfCrypt.aesEncrypt(k, id0, z) else PdfCrypt.rc4(k, z)
       }
@@ -133,13 +159,18 @@ object Pdf {
     val rootPagesId = add(s"<< /Type /Pages /Kids [${
       kidIds.map(i => s"$i 0 R").mkString(" ")}] /Count ${pages.length} >>")
     val catId = add(s"<< /Type /Catalog /Pages $rootPagesId 0 R >>")
-    val encId = cryptState.map { case (c, o, u, r, p) =>
+    val encId = cryptState.map { case (c, o, u, r, p, oe) =>
       val filterPart =
-        if (c.aes) "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 " +
+        if (c.v5) "/V 5 /R 6 /Length 256 /CF << /StdCF << /CFM /AESV3 " +
+          "/Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+        else if (c.aes) "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 " +
           "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
         else "/V 2 /R 3 /Length 128"
+      val ueEntry = oe.map { case (ueBytes, oeBytes) =>
+        s" /UE <${hex(ueBytes)}> /OE <${hex(oeBytes)}>"
+      }.getOrElse("")
       add(s"<< /Filter /Standard $filterPart /P $p " +
-        s"/O <${hex(o)}> /U <${hex(u)}> >>")
+        s"/O <${hex(o)}> /U <${hex(u)}>$ueEntry >>")
     }
 
     val out = new StringBuilder("%PDF-1.4\n")
@@ -965,14 +996,68 @@ object Pdf {
         new javax.crypto.spec.IvParameterSpec(iv))
       iv ++ c.doFinal(data)
     }
+
+    /** AES-CBC without padding, zero IV not prepended — the V5 key-wrap
+      * transform for /UE and /OE (32-byte payloads).
+      */
+    def aesNoPad(key: Array[Byte], data: Array[Byte],
+        encrypt: Boolean): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+        else javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(data)
+    }
+
+    def sha(n: Int, parts: Array[Byte]*): Array[Byte] = {
+      val d = java.security.MessageDigest.getInstance(s"SHA-$n")
+      parts.foreach(d.update)
+      d.digest()
+    }
+
+    /** ISO 32000-2 Algorithm 2.B — the R6 password hash: SHA-256 seeded,
+      * then ≥64 rounds of AES-128-CBC over a 64× repeat with the digest
+      * function (256/384/512) chosen by the ciphertext modulo 3, until
+      * the final byte permits stopping.
+      */
+    def hash2B(pwd: Array[Byte], salt: Array[Byte],
+        udata: Array[Byte]): Array[Byte] = {
+      var k = sha(256, pwd, salt, udata)
+      var round = 0
+      var e = Array.emptyByteArray
+      while (round < 64 || (e.last & 0xff) > round - 32) {
+        val unit = pwd ++ k ++ udata
+        val k1 = new Array[Byte](unit.length * 64)
+        var i = 0
+        while (i < 64) {
+          System.arraycopy(unit, 0, k1, i * unit.length, unit.length); i += 1
+        }
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+          new javax.crypto.spec.IvParameterSpec(
+            java.util.Arrays.copyOfRange(k, 16, 32)))
+        e = c.doFinal(k1)
+        val mod = (0 until 16).map(e(_) & 0xff).sum % 3
+        k = sha(if (mod == 0) 256 else if (mod == 1) 384 else 512, e)
+        round += 1
+      }
+      k.take(32)
+    }
   }
 
-  /** A live decryptor for one document: `aes` selects AESV2 vs RC4. */
-  private final case class Crypt(key: Array[Byte], aes: Boolean) {
-    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
-      val k = PdfCrypt.objKey(key, num, gen, aes)
-      if (aes) PdfCrypt.aesDecrypt(k, data) else PdfCrypt.rc4(k, data)
-    }
+  /** A live decryptor for one document: `aes` selects AESV2 vs RC4; `v5`
+    * (AES-256) uses the file key directly — V5 has no per-object mixing.
+    */
+  private final case class Crypt(key: Array[Byte], aes: Boolean,
+      v5: Boolean = false) {
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      if (v5) PdfCrypt.aesDecrypt(key, data)
+      else {
+        val k = PdfCrypt.objKey(key, num, gen, aes)
+        if (aes) PdfCrypt.aesDecrypt(k, data) else PdfCrypt.rc4(k, data)
+      }
   }
 
   /** Parse a PDF string at `i` (must point at '(' or '<'): raw bytes +
@@ -1050,8 +1135,28 @@ object Pdf {
         .map(_.group(1).toInt).getOrElse(dflt)
     val v = intKey("/V", 0)
     val r = intKey("/R", 2)
+    if (v == 5) { // AES-256: R6 (Algorithm 2.B hash) or legacy R5
+      val u = dictString(enc, "/U").getOrElse(
+        throw new IllegalArgumentException("encrypted PDF: missing /U"))
+      val ue = dictString(enc, "/UE").getOrElse(
+        throw new IllegalArgumentException("encrypted PDF: missing /UE"))
+      require(u.length >= 48 && ue.length >= 32,
+        "encrypted PDF: malformed V5 /U//UE")
+      val vSalt = java.util.Arrays.copyOfRange(u, 32, 40)
+      val kSalt = java.util.Arrays.copyOfRange(u, 40, 48)
+      val empty = Array.emptyByteArray
+      def pwdHash(salt: Array[Byte]): Array[Byte] =
+        if (r == 6) PdfCrypt.hash2B(empty, salt, empty)
+        else PdfCrypt.sha(256, empty, salt) // R5: plain SHA-256
+      require(java.util.Arrays.equals(pwdHash(vSalt), u.take(32)),
+        "encrypted PDF: password-protected (empty user password does " +
+          "not authenticate)")
+      val fileKey = PdfCrypt.aesNoPad(pwdHash(kSalt), ue.take(32),
+        encrypt = false)
+      return Crypt(fileKey, aes = true, v5 = true)
+    }
     require(v <= 4 && r <= 4,
-      s"encrypted PDF: AES-256 handler (V=$v R=$r) unsupported")
+      s"encrypted PDF: unsupported security handler (V=$v R=$r)")
     val keyLen = math.max(5, intKey("/Length", 40) / 8)
     val p = intKey("/P", -1)
     val o = dictString(enc, "/O").getOrElse(

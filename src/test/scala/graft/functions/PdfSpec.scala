@@ -176,19 +176,23 @@ class PdfSpec extends AnyFunSuite {
       "unicode: привет")
     assert(Pdf.extractPages(Pdf.writePdfEncrypted(texts, "rc4")) == texts)
     assert(Pdf.extractPages(Pdf.writePdfEncrypted(texts, "aes")) == texts)
+    // V5/R6 AES-256 (AESV3, Algorithm 2.B hash) — the modern default
+    assert(Pdf.extractPages(Pdf.writePdfEncrypted(texts, "aes256")) == texts)
   }
 
   test("password-protected PDF fails auth and carries errortype=encrypted") {
-    val locked = Pdf.writePdfEncrypted(Seq("cannot read"), "rc4",
-      userPwd = "hunter2")
-    val e = intercept[IllegalArgumentException](Pdf.extractPages(locked))
-    assert(e.getMessage.contains("password-protected"))
-    val rows = Seq((1L, locked))
-      .toDF("doc_id", "pdf")
-      .select(Pdf.pdfPagesSafe(col("pdf")).as("cell"))
-      .select(col("cell.errortype"))
-      .collect()
-    assert(rows(0).getString(0) == "encrypted")
+    for (method <- Seq("rc4", "aes256")) {
+      val locked = Pdf.writePdfEncrypted(Seq("cannot read"), method,
+        userPwd = "hunter2")
+      val e = intercept[IllegalArgumentException](Pdf.extractPages(locked))
+      assert(e.getMessage.contains("password-protected"), s"method $method")
+      val rows = Seq((1L, locked))
+        .toDF("doc_id", "pdf")
+        .select(Pdf.pdfPagesSafe(col("pdf")).as("cell"))
+        .select(col("cell.errortype"))
+        .collect()
+      assert(rows(0).getString(0) == "encrypted", s"method $method")
+    }
   }
 
   test("object streams (/ObjStm): page tree inside a compressed stream") {
