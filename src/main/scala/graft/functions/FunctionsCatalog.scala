@@ -19,6 +19,7 @@ object FunctionsCatalog {
     "audio" -> Audio,
     "vision" -> Vision,
     "text" -> TextFunctions,
+    "html" -> Html,
     "vector" -> VectorFunctions,
     "ranking" -> Ranking,
     "net" -> Net,

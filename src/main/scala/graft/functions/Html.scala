@@ -171,15 +171,12 @@ object Html {
 
   // ---------------- Spark surface ----------------
 
+  private lazy val htmlTextUdf = udf((h: String) => htmlToText(h))
+  private lazy val htmlMainTextUdf = udf((h: String) => extractMainText(h))
+
   /** html string column → extracted text (all blocks). */
-  val htmlText: Column => Column = {
-    val f = udf((h: String) => htmlToText(h))
-    (c: Column) => f(c)
-  }
+  def htmlText(c: Column): Column = htmlTextUdf(c)
 
   /** html string column → main-content text (boilerplate dropped). */
-  val htmlMainText: Column => Column = {
-    val f = udf((h: String) => extractMainText(h))
-    (c: Column) => f(c)
-  }
+  def htmlMainText(c: Column): Column = htmlMainTextUdf(c)
 }

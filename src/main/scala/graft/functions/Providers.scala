@@ -32,9 +32,20 @@ object Providers {
       apiKey: String = "",    // literal key; prefer apiKeyEnv in production
       apiKeyEnv: String = "", // env var holding the key (wins if set & present)
       timeoutMs: Long = 60000,
-      batch: AsyncBatcher.Config = AsyncBatcher.Config()) {
+      batch: AsyncBatcher.Config = AsyncBatcher.Config(),
+      // SigV4 (Bedrock): set awsRegion to sign requests instead of bearer
+      // auth; credentials fall back to the standard AWS env vars.
+      awsRegion: String = "",
+      awsAccessKey: String = "",
+      awsSecretKey: String = "") {
     def resolvedKey: String =
       if (apiKeyEnv.nonEmpty) sys.env.getOrElse(apiKeyEnv, apiKey) else apiKey
+    def resolvedAwsAccessKey: String =
+      if (awsAccessKey.nonEmpty) awsAccessKey
+      else sys.env.getOrElse("AWS_ACCESS_KEY_ID", "")
+    def resolvedAwsSecretKey: String =
+      if (awsSecretKey.nonEmpty) awsSecretKey
+      else sys.env.getOrElse("AWS_SECRET_ACCESS_KEY", "")
   }
 
   /** HTTP error carrying the status and any Retry-After hint. */
@@ -68,6 +79,24 @@ object Providers {
         b.header("anthropic-version", AnthropicVersion)
       case "goog" => // Gemini API key header
         if (key.nonEmpty) b.header("x-goog-api-key", key)
+      case "sigv4" => // AWS SigV4 (Bedrock with IAM credentials)
+        val u = URI.create(cfg.endpoint + path)
+        val hostHeader =
+          if (u.getPort == -1) u.getHost else s"${u.getHost}:${u.getPort}"
+        val amzDate = SigV4.amzNow()
+        val token = sys.env.get("AWS_SESSION_TOKEN")
+        val headers = Seq(
+          "content-type" -> "application/json",
+          "host" -> hostHeader,
+          "x-amz-date" -> amzDate) ++
+          token.map("x-amz-security-token" -> _)
+        val authz = SigV4.sign("POST", u.getRawPath, "", headers,
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          cfg.resolvedAwsAccessKey, cfg.resolvedAwsSecretKey,
+          cfg.awsRegion, "bedrock", amzDate)
+        b.header("x-amz-date", amzDate)
+        token.foreach(b.header("x-amz-security-token", _))
+        b.header("Authorization", authz)
       case _ =>
         if (key.nonEmpty) b.header("Authorization", s"Bearer $key")
     }
@@ -171,8 +200,9 @@ object Providers {
     * Bedrock Runtime Converse API with API-key bearer auth: POST
     * `{endpoint}/model/{modelId}/converse`, typed `content` blocks,
     * top-level `system` array, response
-    * `output.message.content[].text`). SigV4 request signing is not
-    * implemented — point `apiKey` at a Bedrock API key (bearer).
+    * `output.message.content[].text`). Auth: set `awsRegion` for full
+    * SigV4 signing with IAM credentials (graft.functions.SigV4), or
+    * leave it empty and point `apiKey` at a Bedrock API key (bearer).
     */
   def bedrockConverseBatch(cfg: ProviderConfig, system: Option[String] = None,
       maxTokens: Int = 1024)(prompts: Seq[String]): Seq[String] =
@@ -185,7 +215,8 @@ object Providers {
         req.putArray("system").addObject().put("text", s))
       req.putObject("inferenceConfig").put("maxTokens", maxTokens)
       val content = post(cfg, s"/model/${cfg.model}/converse",
-        mapper.writeValueAsString(req))
+        mapper.writeValueAsString(req),
+        auth = if (cfg.awsRegion.nonEmpty) "sigv4" else "bearer")
         .get("output").get("message").get("content")
       (0 until content.size()).map(content.get)
         .filter(_.has("text")).map(_.get("text").asText()).mkString

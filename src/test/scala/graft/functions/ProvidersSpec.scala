@@ -148,6 +148,38 @@ class ProvidersSpec extends AnyFunSuite {
         ex.getResponseBody.write(out)
         ex.close()
       })
+    // SigV4-authed Converse: the server recomputes the signature over the
+    // bindings the client claims (host, date, path, payload) and rejects
+    // any mismatch — so a wrong body/date/host cannot carry a valid header
+    srv.createContext("/v1/model/test-sig/converse",
+      (ex: HttpExchange) => {
+        val body = ex.getRequestBody.readAllBytes()
+        val amzDate = ex.getRequestHeaders.getFirst("x-amz-date")
+        val host = ex.getRequestHeaders.getFirst("Host")
+        val expect = SigV4.sign("POST", "/v1/model/test-sig/converse", "",
+          Seq("content-type" -> "application/json", "host" -> host,
+            "x-amz-date" -> amzDate),
+          body, "AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY",
+          "us-west-2", "bedrock", amzDate)
+        val got = ex.getRequestHeaders.getFirst("Authorization")
+        val out: Array[Byte] =
+          if (got != expect) {
+            val b = """{"error":"bad signature"}""".getBytes("UTF-8")
+            ex.sendResponseHeaders(403, b.length); b
+          } else {
+            val req = mapper.readTree(body)
+            val prompt = req.get("messages").get(0).get("content").get(0)
+              .get("text").asText()
+            val root = mapper.createObjectNode()
+            root.putObject("output").putObject("message")
+              .put("role", "assistant").putArray("content")
+              .addObject().put("text", prompt.reverse)
+            val b = mapper.writeValueAsString(root).getBytes("UTF-8")
+            ex.sendResponseHeaders(200, b.length); b
+          }
+        ex.getResponseBody.write(out)
+        ex.close()
+      })
     srv.start()
     (srv, s"http://127.0.0.1:${srv.getAddress.getPort}/v1")
   }
@@ -253,6 +285,27 @@ class ProvidersSpec extends AnyFunSuite {
           cfg.copy(apiKey = "wrong",
             batch = graft.operators.AsyncBatcher.Config(maxRetries = 0)),
           system = Some("reverse it"))
+        .select("answer", "answer_errormsg").collect()
+      assert(bad(0).getString(0) == null && bad(0).getString(1).contains("403"))
+    } finally srv.stop(0)
+  }
+
+  test("bedrock with SigV4: server-verified signature binds host/date/payload") {
+    flaky = new java.util.concurrent.atomic.AtomicInteger(1)
+    val (srv, endpoint) = startServer()
+    try {
+      val cfg = Providers.ProviderConfig(endpoint, "test-sig",
+        awsRegion = "us-west-2", awsAccessKey = "AKIDEXAMPLE",
+        awsSecretKey = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+      val out = Providers.withBedrockCompletion(
+          Seq("stressed").toDF("prompt"), "prompt", "answer", cfg)
+        .select("answer").collect()
+      assert(out(0).getString(0) == "desserts")
+      // wrong secret → server-side signature mismatch → per-cell 403
+      val bad = Providers.withBedrockCompletion(
+          Seq("x").toDF("prompt"), "prompt", "answer",
+          cfg.copy(awsSecretKey = "wrong",
+            batch = graft.operators.AsyncBatcher.Config(maxRetries = 0)))
         .select("answer", "answer_errormsg").collect()
       assert(bad(0).getString(0) == null && bad(0).getString(1).contains("403"))
     } finally srv.stop(0)
