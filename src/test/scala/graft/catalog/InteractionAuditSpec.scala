@@ -101,6 +101,40 @@ class InteractionAuditSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 1.0 - 0.9), (2L, 1.0 - 0.1), (3L, 0.5)), s"got $rows")
   }
 
+  test("streaming ingest × incremental views: each micro-batch version syncs without rebuild") {
+    val cat = freshCatalog()
+    val dir = java.nio.file.Files.createTempDirectory("ia-stream").toString
+    val cp = java.nio.file.Files.createTempDirectory("ia-cp").toString
+    val t = GraftTable.create(spark, cat, "ia_streamed", cols)
+    Seq((1L, "a b"), (2L, "c")).toDF("id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val view = graft.catalog.Views.createComponentView(spark, cat, "ia_sv", t,
+      "split(text, '\\\\s+')", "token", "string", Seq(ColumnDef("id", "bigint")))
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL("id bigint, text string")
+    val q1 = graft.streaming.Streaming.foreachBatchInto(
+      graft.streaming.Streaming.fileStream(spark, dir, schema), t, cp)
+    q1.awaitTermination(60000)
+    graft.catalog.Views.syncComponentView(view, t,
+      "split(text, '\\\\s+')", "token", Seq("id"))
+    assert(view.read().count() == 3) // a, b, c
+    val versionsAfterFirstSync = view.history().count()
+    // second wave of files → new micro-batch → new table version; the view
+    // must pick up ONLY the delta (no new full-rebuild version spray)
+    Seq((3L, "d e f")).toDF("id", "text")
+      .write.mode("append").parquet(dir)
+    val q2 = graft.streaming.Streaming.foreachBatchInto(
+      graft.streaming.Streaming.fileStream(spark, dir, schema), t, cp)
+    q2.awaitTermination(60000)
+    graft.catalog.Views.syncComponentView(view, t,
+      "split(text, '\\\\s+')", "token", Seq("id"))
+    assert(view.read().count() == 6)
+    assert(view.history().count() == versionsAfterFirstSync + 1,
+      "incremental sync after a streamed batch minted more than one version")
+    // and the streamed rows time-travel like batch rows
+    assert(t.read(Some(1L)).count() == 2)
+  }
+
   test("compute() × unstored chains × type constraints: dry-run evaluates the full pipeline, persists nothing") {
     val cat = freshCatalog()
     val t = GraftTable.create(spark, cat, "dryc", Seq(
