@@ -1121,5 +1121,45 @@ object Pipeline {
              |trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')) AS text_out
              |FROM documents ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q112_length_histogram",
+      (s, dir) => {
+        // Sequence-length histogram — the context-length planning stat
+        // every pretraining run derives before choosing pack capacity
+        // (pairs with q104's packer): docs bucketed by floor(log2(token
+        // count)), per-bucket doc count, token mass, and corpus share.
+        // Map-only token count + one tiny groupBy; the share is computed
+        // from a broadcast scalar (sum window over the 1-row-per-bucket
+        // aggregate), so nothing global ever shuffles rows.
+        // floor(log2(n)) computed integer-exactly as bitlength(n)-1 —
+        // float log2 disagrees between engines by one ulp at exact powers
+        // of two, which flips the bucket
+        val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+        val bucketed = T(s, dir, "documents")
+          .select((length(conv(greatest(toks, lit(1L)).cast("string"),
+            10, 2)) - 1).cast("long").as("len_bucket"), toks.as("n_tok"))
+          .groupBy(col("len_bucket"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+        bucketed
+          .withColumn("token_share", round(col("tokens") /
+            sum(col("tokens")).over(
+              org.apache.spark.sql.expressions.Window.partitionBy()), 6))
+          .orderBy(col("len_bucket"))
+      },
+      Some("""WITH t AS (
+             |  SELECT (length(bin(greatest(
+             |      len(string_split_regex(trim(text), '\s+')), 1))) - 1)::BIGINT
+             |      AS len_bucket,
+             |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok
+             |  FROM documents),
+             |b AS (
+             |  SELECT len_bucket, count(*) AS n_docs,
+             |    sum(n_tok)::BIGINT AS tokens
+             |  FROM t GROUP BY 1)
+             |SELECT len_bucket, n_docs, tokens,
+             |  round(tokens / (SELECT sum(tokens)::DOUBLE FROM b), 6)
+             |    AS token_share
+             |FROM b ORDER BY len_bucket""".stripMargin),
+    ),
   )
 }
