@@ -112,11 +112,17 @@ object WebDataset {
     val schema = df.schema
     val binary = cols.filter(c =>
       schema(c).dataType == org.apache.spark.sql.types.BinaryType).toSet
-    // key-repartitioned so a sample's entries stay adjacent in one shard
-    df.repartition(shards, col(keyCol))
+    // key-repartitioned so a sample's entries stay adjacent in one shard;
+    // each task returns only its (shard, entries, bytes) stat row
+    val statsEnc = org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val stats = df.repartition(shards, col(keyCol))
       .sortWithinPartitions(keyCol)
-      .foreachPartition { (rows: Iterator[Row]) =>
+      .mapPartitions { (rows: Iterator[Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
+        var n = 0L
         val entries = rows.flatMap { r =>
           val stem = String.valueOf(r.getAs[Any](keyCol))
           cols.flatMap { c =>
@@ -124,6 +130,7 @@ object WebDataset {
               val bytes =
                 if (binary(c)) v.asInstanceOf[Array[Byte]]
                 else String.valueOf(v).getBytes(UTF_8)
+              n += 1
               s"$stem.$c" -> bytes
             }
           }
@@ -132,9 +139,19 @@ object WebDataset {
           val f = new File(out, f"shard-$pid%05d.tar")
           val os = new java.io.BufferedOutputStream(new FileOutputStream(f))
           try writeTar(entries, os) finally os.close()
-        }
-      }
-    new File(dir).listFiles().count(_.getName.endsWith(".tar"))
+          Iterator.single((f.getName, n, f.length()))
+        } else Iterator.empty
+      }(statsEnc)
+      .collect().sortBy(_._1)
+    // loader-side shard manifest (webdataset convention: a shard list
+    // with sizes so loaders plan splits without opening tars) — only this
+    // KB-scale summary ever reaches the driver
+    val manifest = stats.map { case (name, n, bytes) =>
+      s"""{"shard":"$name","entries":$n,"bytes":$bytes}"""
+    }.mkString("[\n", ",\n", "\n]")
+    java.nio.file.Files.writeString(
+      new File(out, "_shards.json").toPath, manifest)
+    stats.length
   }
 
   /** Import: long format `(shard, key, ext, content)` — one row per tar

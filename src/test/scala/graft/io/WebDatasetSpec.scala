@@ -60,5 +60,14 @@ class WebDatasetSpec extends AnyFunSuite {
     val byShard = long.select("shard", "key").as[(String, String)].collect()
       .groupBy(_._2).view.mapValues(_.map(_._1).distinct.length)
     assert(byShard.values.forall(_ == 1), "sample split across shards")
+    // the shard manifest (executor-computed stats, driver-assembled)
+    // matches reality: entry counts per shard sum to the long-form rows
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Path.of(dir, "_shards.json")), UTF_8)
+    val counts = """"entries":(\d+)""".r.findAllMatchIn(manifest)
+      .map(_.group(1).toLong).toSeq
+    assert(counts.sum == 7, s"manifest entries diverged: $manifest")
+    assert(""""shard":"shard-\d{5}\.tar"""".r
+      .findAllIn(manifest).size == shards)
   }
 }
