@@ -81,7 +81,7 @@ object WebDataset {
       if (name.isEmpty) { off = tar.length } // zero block → EOF
       else {
         val sizeStr = new String(tar, off + 124, 12, UTF_8)
-          .takeWhile(c => c >= '0' && c <= '7')
+          .dropWhile(_ == ' ').takeWhile(c => c >= '0' && c <= '7')
         val size = if (sizeStr.isEmpty) 0L
           else java.lang.Long.parseLong(sizeStr, 8)
         val typeflag = tar(off + 156)
@@ -89,7 +89,11 @@ object WebDataset {
         if ((typeflag == '0' || typeflag == 0) && dataOff + size <= tar.length)
           out += name -> java.util.Arrays.copyOfRange(
             tar, dataOff, (dataOff + size).toInt)
-        off = dataOff + ((size + Block - 1) / Block * Block).toInt
+        // a corrupt size field must not overflow Int or stall the scan —
+        // advance monotonically or stop
+        val next = dataOff.toLong + (size + Block - 1) / Block * Block
+        off = if (next <= off || next > tar.length.toLong) tar.length
+          else next.toInt
       }
     }
     out.result()

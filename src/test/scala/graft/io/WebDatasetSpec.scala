@@ -33,6 +33,25 @@ class WebDatasetSpec extends AnyFunSuite {
     assert(listed == entries.map(_._1))
   }
 
+  test("tar reader terminates on garbage, truncations, and corrupt sizes") {
+    val rnd = new java.util.Random(7)
+    for (_ <- 0 until 300) {
+      val b = new Array[Byte](rnd.nextInt(4096))
+      rnd.nextBytes(b)
+      WebDataset.readTar(b) // must return, never throw or loop
+    }
+    // corrupt octal size field in an otherwise valid tar
+    val bos = new java.io.ByteArrayOutputStream()
+    WebDataset.writeTar(Iterator("a.txt" -> "hello".getBytes("UTF-8")), bos)
+    val tar = bos.toByteArray
+    for (junk <- Seq("77777777777", "99999999999", "           ")) {
+      val c = tar.clone()
+      System.arraycopy(junk.getBytes("UTF-8"), 0, c, 124, junk.length)
+      WebDataset.readTar(c)
+    }
+    for (len <- 0 until tar.length by 13) WebDataset.readTar(tar.take(len))
+  }
+
   test("export/import round-trip: samples, binary + text entries, nulls") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wds").toString
     val df = Seq(
