@@ -1,0 +1,241 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Local-model inference over Spark — the JVM answer to the reference's
+  * `functions/huggingface.py` family (sentence_transformer:32, cross_encoder:85,
+  * text_classification:1175), which runs torch models in-process. Here the
+  * checkpoint (safetensors + vocab.txt + config.json, the standard HF
+  * layout) is loaded ONCE on the driver, broadcast to executors, and the
+  * hand-rolled `Encoder` forward pass runs inside `mapPartitions` in
+  * tokenized padded batches — map-only, no shuffle, no egress, no native
+  * deps.
+  *
+  * 100 TB shape: weights are O(100 MB) broadcast once per executor while
+  * the corpus streams through partitions; throughput scales linearly with
+  * cores. The per-batch cost is the usual O(L²·H + L·H²) per layer; for
+  * big checkpoints swap `Tensors.linear` for a BLAS-backed kernel — the
+  * orchestration (broadcast + batched mapPartitions) is the part that has
+  * to be right at scale, and it is the same for a 4-layer test model and a
+  * 24-layer production one.
+  */
+object LocalModels {
+
+  /** A loaded checkpoint directory: HF layout (config.json,
+    * model.safetensors, vocab.txt). Serializable so it can ride a Spark
+    * broadcast; the Encoder/tokenizer are rebuilt lazily per executor.
+    */
+  final class ModelBundle(val cfg: EncoderConfig, val weights: Map[String, Tensor],
+      val vocabTokens: IndexedSeq[String]) extends Serializable {
+    @transient lazy val encoder: Encoder = new Encoder(cfg, weights)
+    @transient lazy val tokenizer: WordPiece =
+      WordPiece.fromTokens(vocabTokens, cfg.doLowerCase)
+  }
+
+  def load(modelDir: String): ModelBundle = {
+    val cfg = EncoderConfig.fromJson(new String(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")), StandardCharsets.UTF_8))
+    val weights = SafeTensors.read(Paths.get(modelDir, "model.safetensors").toString)
+    val vocab = scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(Paths.get(modelDir, "vocab.txt"), StandardCharsets.UTF_8))
+      .asScala.toIndexedSeq
+    new ModelBundle(cfg, weights, vocab)
+  }
+
+  /** Append `outCol: array<float>` — the unit-norm mean-pooled sentence
+    * embedding of `textCol` (reference sentence_transformer,
+    * `huggingface.py:32` with `normalize_embeddings` semantics). Null or
+    * empty text → null embedding.
+    */
+  def sentenceTransformer(df: DataFrame, textCol: String, outCol: String,
+      modelDir: String, maxLen: Int = 128, batchSize: Int = 32): DataFrame =
+    mapBatches(df, Seq(textCol), outCol, ArrayType(FloatType), modelDir) {
+      (bundle, rows) =>
+        val texts = rows.map(_.head)
+        val present = texts.zipWithIndex.filter { case (t, _) => t != null && t.nonEmpty }
+        val out = Array.fill[Any](texts.length)(null)
+        if (present.nonEmpty) {
+          val ids = present.map { case (t, _) => bundle.tokenizer.encode(t, maxLen) }
+          val embs = bundle.encoder.meanPoolNormalized(bundle.encoder.forward(ids))
+          present.zip(embs).foreach { case ((_, i), e) => out(i) = e.toSeq }
+        }
+        out.toSeq
+    }(batchSize)
+
+  /** Append `outCol: float` — cross-encoder relevance of a sentence pair
+    * (reference `huggingface.py:85`). Mirrors sentence-transformers
+    * CrossEncoder.predict: single-logit heads go through sigmoid,
+    * multi-label heads return the max softmax probability.
+    */
+  def crossEncoderScore(df: DataFrame, colA: String, colB: String, outCol: String,
+      modelDir: String, maxLen: Int = 128, batchSize: Int = 32): DataFrame =
+    mapBatches(df, Seq(colA, colB), outCol, FloatType, modelDir) { (bundle, rows) =>
+      val enc = rows.map { case Seq(a, b) =>
+        bundle.tokenizer.encodePair(if (a == null) "" else a, if (b == null) "" else b, maxLen)
+      }
+      val encoded = bundle.encoder.forward(enc.map(_._1), Some(enc.map(_._2)))
+      val logits = bundle.encoder.classify(bundle.encoder.pooledOutput(encoded))
+      logits.toSeq.map { l =>
+        if (l.length == 1) (1.0 / (1.0 + math.exp(-l(0).toDouble))).toFloat
+        else {
+          Tensors.softmaxRows(l, 1, l.length)
+          l.max
+        }
+      }
+    }(batchSize)
+
+  /** Append `outCol: array<struct<label string, score float>>` — top-k
+    * softmax classes (reference text_classification, `huggingface.py:1175`,
+    * which returns label/score pairs ordered by score).
+    */
+  def textClassification(df: DataFrame, textCol: String, outCol: String,
+      modelDir: String, topK: Int = 5, maxLen: Int = 128, batchSize: Int = 32): DataFrame = {
+    val elemType = StructType(Seq(
+      StructField("label", StringType), StructField("score", FloatType)))
+    mapBatches(df, Seq(textCol), outCol, ArrayType(elemType), modelDir) {
+      (bundle, rows) =>
+        val ids = rows.map(r => bundle.tokenizer.encode(Option(r.head).getOrElse(""), maxLen))
+        val logits = bundle.encoder.classify(
+          bundle.encoder.pooledOutput(bundle.encoder.forward(ids)))
+        logits.toSeq.map { l =>
+          Tensors.softmaxRows(l, 1, l.length)
+          l.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(topK).map { case (s, i) =>
+            Row(bundle.cfg.id2label.getOrElse(i, s"LABEL_$i"), s)
+          }.toSeq
+        }
+    }(batchSize)
+  }
+
+  /** Shared plumbing: broadcast the bundle, stream partitions through in
+    * `batchSize` groups, append one computed column.
+    */
+  private def mapBatches(df: DataFrame, inCols: Seq[String], outCol: String,
+      outType: DataType, modelDir: String)(
+      fn: (ModelBundle, Seq[Seq[String]]) => Seq[Any])(batchSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(load(modelDir))
+    val idxs = inCols.map(df.schema.fieldIndex)
+    val schema = StructType(df.schema.fields :+ StructField(outCol, outType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.grouped(batchSize).flatMap { batch =>
+        val inputs = batch.map(r => idxs.map(i => if (r.isNullAt(i)) null else r.getString(i)))
+        val outs = fn(bundle, inputs)
+        batch.zip(outs).map { case (r, o) => Row.fromSeq(r.toSeq :+ o) }
+      }
+    }(enc)
+  }
+
+  /** Register `name(text) -> array<float>` as a SQL UDF so local-model
+    * embeddings can be a stored computed column / embedding-index expr
+    * (reference: `add_embedding_index(embedding=sentence_transformer.using(
+    * model_id=…))`, `huggingface.py:60-76`). The bundle rides the closure;
+    * per-row forward (no cross-row batching) — use `sentenceTransformer`
+    * for bulk backfills.
+    */
+  def registerEmbedUdf(spark: SparkSession, name: String, modelDir: String,
+      maxLen: Int = 128): Unit = {
+    val bundle = load(modelDir)
+    spark.udf.register(name, (text: String) =>
+      if (text == null || text.isEmpty) null
+      else {
+        val ids = Seq(bundle.tokenizer.encode(text, maxLen))
+        bundle.encoder.meanPoolNormalized(bundle.encoder.forward(ids))(0).toSeq
+      })
+  }
+
+  // ---------------------------------------------------------------------
+  // Deterministic tiny checkpoint (tests + registry query): real HF layout,
+  // real forward pass, seeded pseudo-random weights — the container has no
+  // model zoo and no egress, so this stands in for a downloaded checkpoint
+  // exactly the way TESTDATA stands in for a real corpus.
+  // ---------------------------------------------------------------------
+
+  /** ASCII-complete vocab: specials, then a-z/0-9 as word starts and `##`
+    * continuations (any alnum word char-splits), then isolated punctuation.
+    */
+  def tinyVocab: IndexedSeq[String] = {
+    val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    val punct = ".,!?;:'\"-()[]{}/@#$%&*+=<>_~`|\\^".map(_.toString)
+    (Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]") ++ chars ++
+      chars.map("##" + _) ++ punct).toIndexedSeq
+  }
+
+  /** Write a seeded random checkpoint in the standard HF directory layout.
+    * `numLabels > 0` adds pooler + classifier heads (cross-encoder /
+    * classification); id2label is LABEL_i unless given.
+    */
+  def writeTinyModel(dir: String, seed: Long = 42L, hidden: Int = 16,
+      layers: Int = 2, heads: Int = 2, intermediate: Int = 32,
+      maxPos: Int = 128, numLabels: Int = 0,
+      labels: Seq[String] = Seq.empty): Unit = {
+    val vocab = tinyVocab
+    val rnd = new java.util.Random(seed)
+    def gauss(n: Int, scale: Double): Array[Float] =
+      Array.fill(n)((rnd.nextGaussian() * scale).toFloat)
+    def t(shape: Int*)(scale: Double): Tensor =
+      Tensor(shape.toArray, gauss(shape.product, scale))
+    def ones(n: Int): Tensor = Tensor(Array(n), Array.fill(n)(1f))
+    def zeros(n: Int): Tensor = Tensor(Array(n), new Array[Float](n))
+
+    val ts = scala.collection.mutable.ArrayBuffer.empty[(String, Tensor)]
+    ts += "embeddings.word_embeddings.weight" -> t(vocab.length, hidden)(0.1)
+    ts += "embeddings.position_embeddings.weight" -> t(maxPos, hidden)(0.02)
+    ts += "embeddings.token_type_embeddings.weight" -> t(2, hidden)(0.02)
+    ts += "embeddings.LayerNorm.weight" -> ones(hidden)
+    ts += "embeddings.LayerNorm.bias" -> zeros(hidden)
+    (0 until layers).foreach { i =>
+      val p = s"encoder.layer.$i."
+      Seq("query", "key", "value").foreach { qkv =>
+        ts += s"${p}attention.self.$qkv.weight" -> t(hidden, hidden)(0.08)
+        ts += s"${p}attention.self.$qkv.bias" -> t(hidden)(0.02)
+      }
+      ts += s"${p}attention.output.dense.weight" -> t(hidden, hidden)(0.08)
+      ts += s"${p}attention.output.dense.bias" -> t(hidden)(0.02)
+      ts += s"${p}attention.output.LayerNorm.weight" -> ones(hidden)
+      ts += s"${p}attention.output.LayerNorm.bias" -> zeros(hidden)
+      ts += s"${p}intermediate.dense.weight" -> t(intermediate, hidden)(0.08)
+      ts += s"${p}intermediate.dense.bias" -> t(intermediate)(0.02)
+      ts += s"${p}output.dense.weight" -> t(hidden, intermediate)(0.08)
+      ts += s"${p}output.dense.bias" -> t(hidden)(0.02)
+      ts += s"${p}output.LayerNorm.weight" -> ones(hidden)
+      ts += s"${p}output.LayerNorm.bias" -> zeros(hidden)
+    }
+    if (numLabels > 0) {
+      ts += "pooler.dense.weight" -> t(hidden, hidden)(0.08)
+      ts += "pooler.dense.bias" -> t(hidden)(0.02)
+      ts += "classifier.weight" -> t(numLabels, hidden)(0.08)
+      ts += "classifier.bias" -> t(numLabels)(0.02)
+    }
+
+    Files.createDirectories(Paths.get(dir))
+    SafeTensors.write(Paths.get(dir, "model.safetensors").toString, ts.toSeq,
+      Map("format" -> "pt"))
+    val id2label =
+      if (numLabels == 0) Map.empty[Int, String]
+      else (0 until numLabels).map(i =>
+        i -> labels.lift(i).getOrElse(s"LABEL_$i")).toMap
+    val cfg = EncoderConfig(hidden, layers, heads, intermediate, vocab.length,
+      maxPos, typeVocabSize = 2, id2label = id2label)
+    Files.write(Paths.get(dir, "config.json"),
+      EncoderConfig.toJson(cfg).getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(dir, "vocab.txt"),
+      vocab.mkString("\n").getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Idempotent shared tiny checkpoint for registry queries/specs: write
+    * once under the JVM temp dir, keyed by seed+shape so concurrent
+    * sessions agree on content.
+    */
+  def ensureTinyModel(seed: Long = 42L, numLabels: Int = 0): String = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_tiny_model_s${seed}_l$numLabels")
+    val marker = dir.resolve("vocab.txt")
+    if (!Files.exists(marker)) writeTinyModel(dir.toString, seed, numLabels = numLabels)
+    dir.toString
+  }
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{QueryDef, QueryUtil, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Local-model inference queries — the reference's in-process model family
+  * (`functions/huggingface.py`: sentence_transformer:32, cross_encoder:85,
+  * text_classification:1175) over the synthetic corpus, powered by the
+  * pure-JVM encoder in `graft.ml` (safetensors weights broadcast to
+  * executors, batched mapPartitions forward pass).
+  *
+  * The transformer forward is not SQL-expressible, so these are rows-only
+  * gates (like q46's HLL): correctness is pinned instead by EncoderSpec's
+  * independent naive-reimplementation cross-check plus in-query
+  * self-check columns (unit norms, probe cosine bounds) that would go
+  * wrong-valued if the math or the batching broke.
+  */
+object Ml {
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q113_local_embed",
+      (s, dir) => {
+        // Embed every document with the deterministic tiny checkpoint
+        // (the container stand-in for a downloaded sentence-transformers
+        // model), then score each against a fixed probe text. 100 TB
+        // shape: weights broadcast once, forward pass is map-only inside
+        // mapPartitions; the explicit repartition(32) breaks the
+        // one-row-group testdata files into parallel tasks. Self-checks:
+        // emb_norm is 1.0 for every row (mean-pool + L2 normalize),
+        // emb_dim is the checkpoint's hidden size, probe_cos ∈ [-1, 1].
+        val modelDir = graft.ml.LocalModels.ensureTinyModel(seed = 42L)
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), substring(col("text"), 1, 120).as("snippet"))
+          .repartition(32, col("doc_id"))
+        val emb = graft.ml.LocalModels.sentenceTransformer(
+          docs, "snippet", "emb", modelDir, maxLen = 48)
+        // the probe goes through the same checkpoint on the driver; both
+        // sides are unit vectors so dot = cosine
+        val bundle = graft.ml.LocalModels.load(modelDir)
+        val probe = bundle.encoder.meanPoolNormalized(bundle.encoder.forward(
+          Seq(bundle.tokenizer.encode("distributed query engine", 48))))(0)
+          .map(_.toDouble).toSeq
+        val vf = graft.functions.VectorFunctions
+        QueryUtil.orderedSmall(
+          emb.select(
+            col("doc_id"),
+            size(col("emb")).cast("long").as("emb_dim"),
+            round(vf.l2Norm(col("emb")), 4).as("emb_norm"),
+            round(vf.dot(col("emb"), vf.vectorLit(probe)), 4).as("probe_cos")),
+          col("doc_id"))
+      },
+      None, // transformer forward not SQL-expressible — rows-only gate
+    ),
+  )
+}

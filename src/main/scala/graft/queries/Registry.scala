@@ -6,5 +6,5 @@ import graft.QueryDef
 object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Scalars.defs ++ Pipeline.defs ++ Extras.defs ++
-      Curation.defs
+      Curation.defs ++ Ml.defs
 }
