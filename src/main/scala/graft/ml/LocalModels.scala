@@ -1,5 +1,6 @@
 package graft.ml
 
+import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 import java.nio.charset.StandardCharsets
@@ -146,6 +147,161 @@ object LocalModels {
         val ids = Seq(bundle.tokenizer.encode(text, maxLen))
         bundle.encoder.meanPoolNormalized(bundle.encoder.forward(ids))(0).toSeq
       })
+  }
+
+  // ---------------------------------------------------------------------
+  // CLIP joint image/text embedding (reference huggingface.py:127-205)
+  // ---------------------------------------------------------------------
+
+  /** A loaded CLIP checkpoint dir: config.json + model.safetensors +
+    * vocab.json + merges.txt (the HF CLIP layout).
+    */
+  final class ClipBundle(val cfg: ClipConfig, val weights: Map[String, Tensor],
+      val vocab: Map[String, Int], val merges: Seq[(String, String)])
+      extends Serializable {
+    @transient lazy val model: ClipModel = new ClipModel(cfg, weights)
+    @transient lazy val tokenizer: Bpe = new Bpe(vocab, merges, clipMode = true)
+    def sotId: Int = vocab("<|startoftext|>")
+    def eosId: Int = cfg.text.eosTokenId
+
+    def encodeText(text: String): Array[Int] = {
+      val body = tokenizer.encode(text).take(cfg.text.maxPositions - 2)
+      (sotId +: body :+ eosId).toArray
+    }
+  }
+
+  def loadClip(modelDir: String): ClipBundle = {
+    val cfg = ClipConfig.fromJson(new String(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")), StandardCharsets.UTF_8))
+    val weights = SafeTensors.read(Paths.get(modelDir, "model.safetensors").toString)
+    val node = new ObjectMapper().readTree(
+      Files.readAllBytes(Paths.get(modelDir, "vocab.json")))
+    val vocab = scala.jdk.CollectionConverters.IteratorHasAsScala(node.properties().iterator())
+      .asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
+    new ClipBundle(cfg, weights, vocab, readMerges(modelDir))
+  }
+
+  private def readMerges(modelDir: String): Seq[(String, String)] =
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      Files.readAllLines(Paths.get(modelDir, "merges.txt"), StandardCharsets.UTF_8))
+      .asScala.iterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val sp = l.split(" ", 2); (sp(0), sp(1)) }.toSeq
+
+  /** Append `outCol: array<float>` — the CLIP text-tower embedding
+    * (unit-norm, `projection_dim` wide; same space as `clipImage`).
+    */
+  def clipText(df: DataFrame, textCol: String, outCol: String,
+      modelDir: String, batchSize: Int = 32): DataFrame =
+    mapClipBatches(df, textCol, outCol, modelDir, binary = false) { (bundle, vals) =>
+      bundle.model.textEmbed(vals.map(v => bundle.encodeText(v.asInstanceOf[String])))
+    }(batchSize)
+
+  /** Append `outCol: array<float>` — the CLIP vision-tower embedding of an
+    * encoded image (any codec `functions.Images.decode` reads).
+    */
+  def clipImage(df: DataFrame, imageCol: String, outCol: String,
+      modelDir: String, batchSize: Int = 8): DataFrame =
+    mapClipBatches(df, imageCol, outCol, modelDir, binary = true) { (bundle, vals) =>
+      bundle.model.imageEmbed(vals.map(v =>
+        bundle.model.preprocess(
+          graft.functions.Images.decode(v.asInstanceOf[Array[Byte]]))))
+    }(batchSize)
+
+  private def mapClipBatches(df: DataFrame, inCol: String, outCol: String,
+      modelDir: String, binary: Boolean)(
+      fn: (ClipBundle, Seq[Any]) => Array[Array[Float]])(batchSize: Int): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadClip(modelDir))
+    val idx = df.schema.fieldIndex(inCol)
+    val schema = StructType(df.schema.fields :+ StructField(outCol, ArrayType(FloatType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.grouped(batchSize).flatMap { batch =>
+        val present = batch.zipWithIndex.filter { case (r, _) => !r.isNullAt(idx) }
+        val out = Array.fill[Any](batch.length)(null)
+        if (present.nonEmpty) {
+          val vals = present.map { case (r, _) => r.get(idx) }
+          fn(bundle, vals).zip(present).foreach { case (e, (_, i)) => out(i) = e.toSeq }
+        }
+        batch.zip(out).map { case (r, o) => Row.fromSeq(r.toSeq :+ o) }
+      }
+    }(enc)
+  }
+
+  /** Deterministic tiny CLIP checkpoint (HF layout, seeded weights). */
+  def writeTinyClipModel(dir: String, seed: Long = 42L, hidden: Int = 16,
+      layers: Int = 2, heads: Int = 2, intermediate: Int = 32,
+      imageSize: Int = 16, patchSize: Int = 8, projectionDim: Int = 8,
+      textMaxPos: Int = 32): Unit = {
+    val (vocabToks, merges) = Bpe.tinyClipVocab
+    val eosId = 1 // <|endoftext|> position in tinyClipVocab
+    val rnd = new java.util.Random(seed)
+    def gauss(n: Int, scale: Double): Array[Float] =
+      Array.fill(n)((rnd.nextGaussian() * scale).toFloat)
+    def t(shape: Int*)(scale: Double): Tensor =
+      Tensor(shape.toArray, gauss(shape.product, scale))
+    def ones(n: Int): Tensor = Tensor(Array(n), Array.fill(n)(1f))
+    def zeros(n: Int): Tensor = Tensor(Array(n), new Array[Float](n))
+    val grid = imageSize / patchSize
+    val ts = scala.collection.mutable.ArrayBuffer.empty[(String, Tensor)]
+    ts += "text_model.embeddings.token_embedding.weight" -> t(vocabToks.length, hidden)(0.1)
+    ts += "text_model.embeddings.position_embedding.weight" -> t(textMaxPos, hidden)(0.02)
+    ts += "vision_model.embeddings.class_embedding" -> t(hidden)(0.1)
+    ts += "vision_model.embeddings.patch_embedding.weight" ->
+      Tensor(Array(hidden, 3, patchSize, patchSize),
+        gauss(hidden * 3 * patchSize * patchSize, 0.05))
+    ts += "vision_model.embeddings.position_embedding.weight" ->
+      t(1 + grid * grid, hidden)(0.02)
+    ts += "vision_model.pre_layrnorm.weight" -> ones(hidden)
+    ts += "vision_model.pre_layrnorm.bias" -> zeros(hidden)
+    for (tower <- Seq("text_model", "vision_model"); i <- 0 until layers) {
+      val p = s"$tower.encoder.layers.$i."
+      Seq("q_proj", "k_proj", "v_proj", "out_proj").foreach { pr =>
+        ts += s"${p}self_attn.$pr.weight" -> t(hidden, hidden)(0.08)
+        ts += s"${p}self_attn.$pr.bias" -> t(hidden)(0.02)
+      }
+      ts += s"${p}layer_norm1.weight" -> ones(hidden)
+      ts += s"${p}layer_norm1.bias" -> zeros(hidden)
+      ts += s"${p}mlp.fc1.weight" -> t(intermediate, hidden)(0.08)
+      ts += s"${p}mlp.fc1.bias" -> t(intermediate)(0.02)
+      ts += s"${p}mlp.fc2.weight" -> t(hidden, intermediate)(0.08)
+      ts += s"${p}mlp.fc2.bias" -> t(hidden)(0.02)
+      ts += s"${p}layer_norm2.weight" -> ones(hidden)
+      ts += s"${p}layer_norm2.bias" -> zeros(hidden)
+    }
+    ts += "text_model.final_layer_norm.weight" -> ones(hidden)
+    ts += "text_model.final_layer_norm.bias" -> zeros(hidden)
+    ts += "vision_model.post_layernorm.weight" -> ones(hidden)
+    ts += "vision_model.post_layernorm.bias" -> zeros(hidden)
+    ts += "text_projection.weight" -> t(projectionDim, hidden)(0.1)
+    ts += "visual_projection.weight" -> t(projectionDim, hidden)(0.1)
+
+    Files.createDirectories(Paths.get(dir))
+    SafeTensors.write(Paths.get(dir, "model.safetensors").toString, ts.toSeq,
+      Map("format" -> "pt"))
+    val cfgJson =
+      s"""{"model_type":"clip","projection_dim":$projectionDim,
+         |"text_config":{"hidden_size":$hidden,"num_hidden_layers":$layers,
+         |"num_attention_heads":$heads,"intermediate_size":$intermediate,
+         |"max_position_embeddings":$textMaxPos,"vocab_size":${vocabToks.length},
+         |"eos_token_id":$eosId,"hidden_act":"quick_gelu","layer_norm_eps":1e-5},
+         |"vision_config":{"hidden_size":$hidden,"num_hidden_layers":$layers,
+         |"num_attention_heads":$heads,"intermediate_size":$intermediate,
+         |"image_size":$imageSize,"patch_size":$patchSize,
+         |"hidden_act":"quick_gelu","layer_norm_eps":1e-5}}""".stripMargin
+    Files.write(Paths.get(dir, "config.json"), cfgJson.getBytes(StandardCharsets.UTF_8))
+    Bpe.writeFiles(Paths.get(dir, "vocab.json").toString,
+      Paths.get(dir, "merges.txt").toString, vocabToks, merges)
+  }
+
+  /** Idempotent shared tiny CLIP checkpoint under the JVM temp dir. */
+  def ensureTinyClipModel(seed: Long = 42L): String = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_clip_s$seed")
+    val marker = dir.resolve("merges.txt")
+    if (!Files.exists(marker)) writeTinyClipModel(dir.toString, seed)
+    dir.toString
   }
 
   // ---------------------------------------------------------------------

@@ -85,6 +85,16 @@ object Tensors {
     }
   }
 
+  /** CLIP's `quick_gelu`: x · sigmoid(1.702 x). */
+  def quickGelu(x: Array[Float]): Unit = {
+    var i = 0
+    while (i < x.length) {
+      val v = x(i).toDouble
+      x(i) = (v / (1.0 + math.exp(-1.702 * v))).toFloat
+      i += 1
+    }
+  }
+
   /** erf via the Numerical-Recipes erfc rational approximation
     * (|error| < 1.2e-7 everywhere — well under float32 resolution).
     */

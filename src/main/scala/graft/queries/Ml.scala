@@ -52,5 +52,38 @@ object Ml {
       },
       None, // transformer forward not SQL-expressible — rows-only gate
     ),
+    QueryDef(
+      "q114_clip_similarity",
+      (s, dir) => {
+        // CLIP dual-tower joint embedding (reference huggingface.py:127-205):
+        // per-doc synthesized image (id-derived solid PNG, the q67 recipe)
+        // + text snippet, both towers broadcast-weights map-only, cosine in
+        // the shared projection space. Self-checks: both norms exactly 1.0,
+        // cosine within [-1, 1]. Rows-only gate (transformer + conv not
+        // SQL-expressible); tower math is pinned by ClipSpec's independent
+        // naive reimplementations.
+        import graft.functions.Images
+        val modelDir = graft.ml.LocalModels.ensureTinyClipModel(seed = 42L)
+        val docs = T(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), substring(col("text"), 1, 60).as("snippet"))
+          .withColumn("png", Images.makeSolidPng(
+            (col("doc_id") % 16 + 8).cast("int"),
+            (col("doc_id") % 8 + 8).cast("int"),
+            (col("doc_id") * 1000 % 0xffffff).cast("int")))
+          .repartition(16, col("doc_id"))
+        val withText = graft.ml.LocalModels.clipText(docs, "snippet", "temb", modelDir)
+        val withBoth = graft.ml.LocalModels.clipImage(withText, "png", "iemb", modelDir)
+        val vf = graft.functions.VectorFunctions
+        QueryUtil.orderedSmall(
+          withBoth.select(
+            col("doc_id"),
+            round(vf.dot(col("temb"), col("iemb")), 4).as("txt_img_cos"),
+            round(vf.l2Norm(col("temb")), 4).as("t_norm"),
+            round(vf.l2Norm(col("iemb")), 4).as("i_norm")),
+          col("doc_id"))
+      },
+      None,
+    ),
   )
 }

@@ -105,6 +105,31 @@ class LocalModelsSpec extends AnyFunSuite {
     assert(top2 == Set(1L, 4L)) // the duplicate text ties with the original
   }
 
+  test("clip dataframe surface: joint space, partition/batch invariant") {
+    val clipDir = LocalModels.ensureTinyClipModel(seed = 42L)
+    val rows = (1 to 13).map { i =>
+      (i.toLong, s"caption number $i",
+        graft.functions.Images.solidPng(8 + i % 5, 8, i * 999331 % 0xffffff))
+    }
+    val df = rows.toDF("id", "caption", "png")
+    def run(parts: Int, batch: Int): Map[Long, (Seq[Float], Seq[Float])] = {
+      val t = LocalModels.clipText(df.repartition(parts), "caption", "temb", clipDir,
+        batchSize = batch)
+      LocalModels.clipImage(t, "png", "iemb", clipDir, batchSize = batch)
+        .select("id", "temb", "iemb").collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Float](1), r.getSeq[Float](2))).toMap
+    }
+    val a = run(1, 32)
+    val b = run(5, 3)
+    assert(a == b)
+    a.values.foreach { case (t, i) =>
+      for (v <- Seq(t, i)) {
+        assert(v.length == 8)
+        assert(math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+      }
+    }
+  }
+
   test("different seeds give different models; same seed reproduces bitwise") {
     val d1 = java.nio.file.Files.createTempDirectory("m1").toString
     val d2 = java.nio.file.Files.createTempDirectory("m2").toString
