@@ -26,9 +26,14 @@ final class Bpe(
   val unkId: Int = vocab.getOrElse(unkToken,
     throw new IllegalArgumentException(s"vocab missing $unkToken"))
 
-  // GPT-2 word pattern (contractions, letter runs, number runs, other runs)
-  private val pat = ("""'s|'t|'re|'ve|'m|'ll|'d|""" +
-    """[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""").r
+  // word pre-split: CLIP collapses whitespace away (the `</w>` marker is
+  // the boundary); GPT-2 keeps a leading space on each word (→ `Ġ` through
+  // the byte map), so decode restores spacing exactly
+  private val pat =
+    if (clipMode) ("""'s|'t|'re|'ve|'m|'ll|'d|""" +
+      """[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""").r
+    else ("""'s|'t|'re|'ve|'m|'ll|'d|""" +
+      """ ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+""").r
 
   /** Greedy lowest-rank pair merging of one word's symbol sequence. */
   private def bpe(symbols0: Vector[String]): Vector[String] = {
@@ -62,6 +67,24 @@ final class Bpe(
         mapped.init.map(_.toString).toVector :+ (mapped.last.toString + "</w>")
       else mapped.map(_.toString).toVector
     bpe(symbols).map(s => vocab.getOrElse(s, unkId))
+  }
+
+  @transient private lazy val idToToken: Map[Int, String] = vocab.map(_.swap)
+  @transient private lazy val unicodeToByte: Map[Char, Int] =
+    Bpe.byteToUnicode.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  /** ids → text (inverse byte map; `skipIds` drops special tokens; in
+    * clip mode each `</w>` marker becomes a trailing space, then trimmed).
+    */
+  def decode(ids: Seq[Int], skipIds: Set[Int] = Set.empty): String = {
+    val sb = new java.io.ByteArrayOutputStream()
+    ids.iterator.filterNot(skipIds).flatMap(idToToken.get).foreach { tok =>
+      val (body, eow) =
+        if (clipMode && tok.endsWith("</w>")) (tok.dropRight(4), true) else (tok, false)
+      body.foreach(c => unicodeToByte.get(c).foreach(sb.write))
+      if (eow) sb.write(' ')
+    }
+    new String(sb.toByteArray, "UTF-8").stripTrailing()
   }
 
   def encode(text: String): Seq[Int] = {

@@ -305,6 +305,140 @@ object LocalModels {
   }
 
   // ---------------------------------------------------------------------
+  // Whisper speech-to-text (reference huggingface.py:979)
+  // ---------------------------------------------------------------------
+
+  final class WhisperBundle(val cfg: WhisperConfig, val weights: Map[String, Tensor],
+      val vocab: Map[String, Int], val merges: Seq[(String, String)])
+      extends Serializable {
+    @transient lazy val model: WhisperModel = new WhisperModel(cfg, weights)
+    @transient lazy val tokenizer: Bpe =
+      new Bpe(vocab, merges, clipMode = false, unkToken = "<|endoftext|>")
+    /** `<|...|>` control tokens, skipped when decoding to text. */
+    @transient lazy val specialIds: Set[Int] =
+      vocab.collect { case (t, id) if t.startsWith("<|") && t.endsWith("|>") => id }.toSet
+    def melConfig: Mel.MelConfig = Mel.MelConfig(nMels = cfg.numMelBins)
+  }
+
+  def loadWhisper(modelDir: String): WhisperBundle = {
+    val cfg = WhisperConfig.fromJson(new String(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")), StandardCharsets.UTF_8))
+    val weights = SafeTensors.read(Paths.get(modelDir, "model.safetensors").toString)
+    val node = new ObjectMapper().readTree(
+      Files.readAllBytes(Paths.get(modelDir, "vocab.json")))
+    val vocab = scala.jdk.CollectionConverters.IteratorHasAsScala(node.properties().iterator())
+      .asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
+    new WhisperBundle(cfg, weights, vocab, readMerges(modelDir))
+  }
+
+  /** Append `outCol: string` — greedy transcription of a WAV/AIFF/AU
+    * binary column. Audio is resampled to the model rate and padded or
+    * trimmed to the encoder's receptive field (2·max_source_positions
+    * frames), the Whisper convention. Null audio → null text.
+    */
+  def speechToText(df: DataFrame, audioCol: String, outCol: String,
+      modelDir: String, maxNewTokens: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadWhisper(modelDir))
+    val idx = df.schema.fieldIndex(audioCol)
+    val schema = StructType(df.schema.fields :+ StructField(outCol, StringType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      val melCfg = bundle.melConfig
+      val targetSamples = bundle.cfg.maxSourcePositions * 2 * melCfg.hop
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val (fmt, pcm) = graft.functions.Audio.decodePcm(r.getAs[Array[Byte]](idx))
+            val f = pcm.map(s => (s / 32768.0f))
+            val at16k = Mel.resample(f, fmt.getSampleRate.toInt, melCfg.sampleRate)
+            val fixed = java.util.Arrays.copyOf(at16k, targetSamples) // pad/trim
+            val mel = Mel.logMelSpectrogram(fixed, melCfg)
+            val ids = bundle.model.transcribe(mel, maxNewTokens)
+            bundle.tokenizer.decode(ids, bundle.specialIds)
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Deterministic tiny Whisper checkpoint (HF layout, seeded weights):
+    * byte-level token space (256 byte symbols + 2 control tokens), 16 mel
+    * bins, 32 encoder/decoder positions — ~0.65 s of 16 kHz audio.
+    */
+  def writeTinyWhisperModel(dir: String, seed: Long = 42L, dModel: Int = 16,
+      layers: Int = 2, heads: Int = 2, ffn: Int = 32, nMels: Int = 16,
+      maxSource: Int = 32, maxTarget: Int = 32): Unit = {
+    val byteToks = Bpe.byteToUnicode.map(_.toString).toSeq
+    val vocabToks = byteToks ++ Seq("<|startoftranscript|>", "<|endoftext|>")
+    val sotId = 256; val eosId = 257
+    val rnd = new java.util.Random(seed)
+    def gauss(n: Int, scale: Double): Array[Float] =
+      Array.fill(n)((rnd.nextGaussian() * scale).toFloat)
+    def t(shape: Int*)(scale: Double): Tensor =
+      Tensor(shape.toArray, gauss(shape.product, scale))
+    def ones(n: Int): Tensor = Tensor(Array(n), Array.fill(n)(1f))
+    def zeros(n: Int): Tensor = Tensor(Array(n), new Array[Float](n))
+    val ts = scala.collection.mutable.ArrayBuffer.empty[(String, Tensor)]
+    ts += "model.encoder.conv1.weight" -> t(dModel, nMels, 3)(0.08)
+    ts += "model.encoder.conv1.bias" -> t(dModel)(0.02)
+    ts += "model.encoder.conv2.weight" -> t(dModel, dModel, 3)(0.08)
+    ts += "model.encoder.conv2.bias" -> t(dModel)(0.02)
+    ts += "model.encoder.embed_positions.weight" -> t(maxSource, dModel)(0.02)
+    ts += "model.decoder.embed_tokens.weight" -> t(vocabToks.length, dModel)(0.1)
+    ts += "model.decoder.embed_positions.weight" -> t(maxTarget, dModel)(0.02)
+    for (side <- Seq("encoder", "decoder"); i <- 0 until layers) {
+      val p = s"model.$side.layers.$i."
+      val attns = if (side == "decoder") Seq("self_attn", "encoder_attn") else Seq("self_attn")
+      attns.foreach { a =>
+        ts += s"$p$a.q_proj.weight" -> t(dModel, dModel)(0.08)
+        ts += s"$p$a.q_proj.bias" -> t(dModel)(0.02)
+        ts += s"$p$a.k_proj.weight" -> t(dModel, dModel)(0.08) // no bias, like HF
+        ts += s"$p$a.v_proj.weight" -> t(dModel, dModel)(0.08)
+        ts += s"$p$a.v_proj.bias" -> t(dModel)(0.02)
+        ts += s"$p$a.out_proj.weight" -> t(dModel, dModel)(0.08)
+        ts += s"$p$a.out_proj.bias" -> t(dModel)(0.02)
+        ts += s"$p${a}_layer_norm.weight" -> ones(dModel)
+        ts += s"$p${a}_layer_norm.bias" -> zeros(dModel)
+      }
+      ts += s"${p}fc1.weight" -> t(ffn, dModel)(0.08)
+      ts += s"${p}fc1.bias" -> t(ffn)(0.02)
+      ts += s"${p}fc2.weight" -> t(dModel, ffn)(0.08)
+      ts += s"${p}fc2.bias" -> t(dModel)(0.02)
+      ts += s"${p}final_layer_norm.weight" -> ones(dModel)
+      ts += s"${p}final_layer_norm.bias" -> zeros(dModel)
+    }
+    ts += "model.encoder.layer_norm.weight" -> ones(dModel)
+    ts += "model.encoder.layer_norm.bias" -> zeros(dModel)
+    ts += "model.decoder.layer_norm.weight" -> ones(dModel)
+    ts += "model.decoder.layer_norm.bias" -> zeros(dModel)
+    Files.createDirectories(Paths.get(dir))
+    SafeTensors.write(Paths.get(dir, "model.safetensors").toString, ts.toSeq,
+      Map("format" -> "pt"))
+    val cfgJson =
+      s"""{"model_type":"whisper","d_model":$dModel,"encoder_layers":$layers,
+         |"encoder_attention_heads":$heads,"decoder_layers":$layers,
+         |"decoder_attention_heads":$heads,"encoder_ffn_dim":$ffn,
+         |"decoder_ffn_dim":$ffn,"num_mel_bins":$nMels,
+         |"max_source_positions":$maxSource,"max_target_positions":$maxTarget,
+         |"vocab_size":${vocabToks.length},"decoder_start_token_id":$sotId,
+         |"eos_token_id":$eosId}""".stripMargin
+    Files.write(Paths.get(dir, "config.json"), cfgJson.getBytes(StandardCharsets.UTF_8))
+    Bpe.writeFiles(Paths.get(dir, "vocab.json").toString,
+      Paths.get(dir, "merges.txt").toString, vocabToks, Seq.empty)
+  }
+
+  /** Idempotent shared tiny Whisper checkpoint under the JVM temp dir. */
+  def ensureTinyWhisperModel(seed: Long = 42L): String = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_whisper_s$seed")
+    val marker = dir.resolve("merges.txt")
+    if (!Files.exists(marker)) writeTinyWhisperModel(dir.toString, seed)
+    dir.toString
+  }
+
+  // ---------------------------------------------------------------------
   // Deterministic tiny checkpoint (tests + registry query): real HF layout,
   // real forward pass, seeded pseudo-random weights — the container has no
   // model zoo and no egress, so this stands in for a downloaded checkpoint

@@ -1,0 +1,246 @@
+package graft.ml
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Whisper-architecture speech-to-text (Radford et al. 2022) — the
+  * reference's `speech2text_for_conditional_generation`
+  * (`/root/reference/pixeltable/functions/huggingface.py:979`, which runs
+  * HF Whisper in-process). Encoder-decoder transformer in HF Whisper
+  * weight naming (`model.encoder.*` / `model.decoder.*`, `k_proj` without
+  * bias, tied output projection), so real checkpoints load directly:
+  *
+  *  - encoder: log-mel frames → two GELU conv1d stems (stride 1 then 2) →
+  *    +sinusoidal-table positions → pre-LN self-attention stack → LN;
+  *  - decoder: token+position embeddings → pre-LN blocks of causal
+  *    self-attention, cross-attention over encoder states, FFN → LN →
+  *    logits against the tied token embedding;
+  *  - greedy decode from `decoder_start_token_id` until EOS.
+  *
+  * Single-utterance forward (batch = the partition's rows, looped): audio
+  * lengths vary too much for padded batching to pay off, and the per-row
+  * decode loop is embarrassingly parallel across partitions.
+  */
+final case class WhisperConfig(
+    dModel: Int, encoderLayers: Int, encoderHeads: Int, decoderLayers: Int,
+    decoderHeads: Int, encoderFfn: Int, decoderFfn: Int, numMelBins: Int,
+    maxSourcePositions: Int, maxTargetPositions: Int, vocabSize: Int,
+    decoderStartTokenId: Int, eosTokenId: Int, layerNormEps: Double = 1e-5,
+) extends Serializable {
+  require(dModel % encoderHeads == 0 && dModel % decoderHeads == 0)
+}
+
+object WhisperConfig {
+  def fromJson(json: String): WhisperConfig = {
+    val n = new ObjectMapper().readTree(json)
+    def i(name: String): Int = {
+      require(n.has(name), s"whisper config missing $name"); n.get(name).asInt()
+    }
+    WhisperConfig(
+      dModel = i("d_model"), encoderLayers = i("encoder_layers"),
+      encoderHeads = i("encoder_attention_heads"), decoderLayers = i("decoder_layers"),
+      decoderHeads = i("decoder_attention_heads"), encoderFfn = i("encoder_ffn_dim"),
+      decoderFfn = i("decoder_ffn_dim"), numMelBins = i("num_mel_bins"),
+      maxSourcePositions = i("max_source_positions"),
+      maxTargetPositions = i("max_target_positions"), vocabSize = i("vocab_size"),
+      decoderStartTokenId = i("decoder_start_token_id"), eosTokenId = i("eos_token_id"),
+    )
+  }
+}
+
+final class WhisperModel(val cfg: WhisperConfig, weights: Map[String, Tensor])
+    extends Serializable {
+
+  private def w(name: String): Tensor = weights.getOrElse(name,
+    throw new IllegalArgumentException(s"whisper checkpoint missing tensor $name"))
+
+  /** linear with the bias optional (whisper k_proj has none). */
+  private def lin(x: Array[Float], m: Int, in: Int, stem: String): Array[Float] = {
+    val wt = w(stem + ".weight")
+    val b = weights.getOrElse(stem + ".bias", Tensor(Array(wt.rows), new Array[Float](wt.rows)))
+    Tensors.linear(x, m, in, wt, b)
+  }
+
+  /** conv1d k=3 pad=1: in [t][cIn] → out [tOut][cOut], GELU applied. */
+  private def conv3(x: Array[Float], t: Int, cIn: Int, stride: Int,
+      stem: String): Array[Float] = {
+    val wt = w(stem + ".weight") // [cOut, cIn, 3]
+    val b = w(stem + ".bias")
+    val cOut = wt.shape(0)
+    require(wt.shape(1) == cIn && wt.shape(2) == 3, s"$stem shape mismatch")
+    val tOut = (t + 2 - 3) / stride + 1
+    val out = new Array[Float](tOut * cOut)
+    var ti = 0
+    while (ti < tOut) {
+      var o = 0
+      while (o < cOut) {
+        var acc: Double = b.data(o)
+        var k = 0
+        while (k < 3) {
+          val src = ti * stride + k - 1
+          if (src >= 0 && src < t) {
+            var c = 0
+            while (c < cIn) {
+              acc += wt.data((o * cIn + c) * 3 + k).toDouble * x(src * cIn + c)
+              c += 1
+            }
+          }
+          k += 1
+        }
+        out(ti * cOut + o) = acc.toFloat
+        o += 1
+      }
+      ti += 1
+    }
+    Tensors.gelu(out)
+    out
+  }
+
+  /** Multi-head attention of x (queries, len lq) over kv (len lkv). */
+  private def attend(x: Array[Float], lq: Int, kv: Array[Float], lkv: Int,
+      stem: String, heads: Int, causal: Boolean): Array[Float] = {
+    val h = cfg.dModel
+    val dh = h / heads
+    val scale = 1.0 / math.sqrt(dh.toDouble)
+    val q = lin(x, lq, h, stem + ".q_proj")
+    val k = lin(kv, lkv, h, stem + ".k_proj")
+    val v = lin(kv, lkv, h, stem + ".v_proj")
+    val ctx = new Array[Float](lq * h)
+    val scores = new Array[Float](lkv)
+    var hd = 0
+    while (hd < heads) {
+      val hOff = hd * dh
+      var i = 0
+      while (i < lq) {
+        var j = 0
+        while (j < lkv) {
+          if (causal && j > i) scores(j) = -1e9f
+          else {
+            var acc = 0.0
+            var d = 0
+            while (d < dh) { acc += q(i * h + hOff + d).toDouble * k(j * h + hOff + d); d += 1 }
+            scores(j) = (acc * scale).toFloat
+          }
+          j += 1
+        }
+        Tensors.softmaxRows(scores, 1, lkv)
+        var d = 0
+        while (d < dh) {
+          var acc = 0.0
+          var jj = 0
+          while (jj < lkv) { acc += scores(jj).toDouble * v(jj * h + hOff + d); jj += 1 }
+          ctx(i * h + hOff + d) = acc.toFloat
+          d += 1
+        }
+        i += 1
+      }
+      hd += 1
+    }
+    lin(ctx, lq, h, stem + ".out_proj")
+  }
+
+  private def lnCopy(x: Array[Float], m: Int, stem: String): Array[Float] = {
+    val c = java.util.Arrays.copyOf(x, x.length)
+    Tensors.layerNorm(c, m, cfg.dModel, w(stem + ".weight"), w(stem + ".bias"),
+      cfg.layerNormEps)
+    c
+  }
+
+  private def ffn(x: Array[Float], m: Int, p: String, ffnDim: Int): Array[Float] = {
+    val inter = lin(x, m, cfg.dModel, p + "fc1")
+    Tensors.gelu(inter)
+    lin(inter, m, ffnDim, p + "fc2")
+  }
+
+  /** mel [T][nMels] → encoder hidden states [T/2 * dModel]. */
+  def encode(mel: Array[Array[Float]]): (Array[Float], Int) = {
+    val t = mel.length
+    require(t > 0, "empty mel")
+    val flat = new Array[Float](t * cfg.numMelBins)
+    var i = 0
+    while (i < t) {
+      require(mel(i).length == cfg.numMelBins, "mel bin count mismatch")
+      System.arraycopy(mel(i), 0, flat, i * cfg.numMelBins, cfg.numMelBins)
+      i += 1
+    }
+    val c1 = conv3(flat, t, cfg.numMelBins, 1, "model.encoder.conv1")
+    val t2 = (t + 2 - 3) / 2 + 1
+    val x = conv3(c1, t, cfg.dModel, 2, "model.encoder.conv2")
+    require(t2 <= cfg.maxSourcePositions,
+      s"encoder frames $t2 > max_source_positions ${cfg.maxSourcePositions}")
+    val pos = w("model.encoder.embed_positions.weight")
+    var j = 0
+    while (j < t2 * cfg.dModel) { x(j) += pos.data(j); j += 1 }
+    var layer = 0
+    while (layer < cfg.encoderLayers) {
+      val p = s"model.encoder.layers.$layer."
+      val n1 = lnCopy(x, t2, p + "self_attn_layer_norm")
+      Tensors.addInPlace(x, attend(n1, t2, n1, t2, p + "self_attn",
+        cfg.encoderHeads, causal = false))
+      Tensors.addInPlace(x, ffn(lnCopy(x, t2, p + "final_layer_norm"), t2, p, cfg.encoderFfn))
+      layer += 1
+    }
+    Tensors.layerNorm(x, t2, cfg.dModel, w("model.encoder.layer_norm.weight"),
+      w("model.encoder.layer_norm.bias"), cfg.layerNormEps)
+    (x, t2)
+  }
+
+  /** Full-recompute decoder forward → logits of the LAST position. */
+  def decodeStep(tokens: Seq[Int], encStates: Array[Float], encLen: Int): Array[Float] = {
+    val l = tokens.length
+    require(l <= cfg.maxTargetPositions, s"decode length $l > max_target_positions")
+    val h = cfg.dModel
+    val tok = w("model.decoder.embed_tokens.weight")
+    val pos = w("model.decoder.embed_positions.weight")
+    val x = new Array[Float](l * h)
+    var i = 0
+    while (i < l) {
+      var k = 0
+      while (k < h) { x(i * h + k) = tok.data(tokens(i) * h + k) + pos.data(i * h + k); k += 1 }
+      i += 1
+    }
+    var layer = 0
+    while (layer < cfg.decoderLayers) {
+      val p = s"model.decoder.layers.$layer."
+      val n1 = lnCopy(x, l, p + "self_attn_layer_norm")
+      Tensors.addInPlace(x, attend(n1, l, n1, l, p + "self_attn",
+        cfg.decoderHeads, causal = true))
+      Tensors.addInPlace(x, attend(lnCopy(x, l, p + "encoder_attn_layer_norm"), l,
+        encStates, encLen, p + "encoder_attn", cfg.decoderHeads, causal = false))
+      Tensors.addInPlace(x, ffn(lnCopy(x, l, p + "final_layer_norm"), l, p, cfg.decoderFfn))
+      layer += 1
+    }
+    Tensors.layerNorm(x, l, h, w("model.decoder.layer_norm.weight"),
+      w("model.decoder.layer_norm.bias"), cfg.layerNormEps)
+    // tied projection: logits = h_last · embed_tokensᵀ
+    val last = (l - 1) * h
+    val logits = new Array[Float](cfg.vocabSize)
+    var vtok = 0
+    while (vtok < cfg.vocabSize) {
+      var acc = 0.0
+      var k = 0
+      while (k < h) { acc += x(last + k).toDouble * tok.data(vtok * h + k); k += 1 }
+      logits(vtok) = acc.toFloat
+      vtok += 1
+    }
+    logits
+  }
+
+  /** Greedy transcription: token ids INCLUDING the start token, stopping
+    * at EOS (EOS itself not included) or `maxNewTokens`.
+    */
+  def transcribe(mel: Array[Array[Float]], maxNewTokens: Int = 64,
+      forcedPrefix: Seq[Int] = Seq.empty): Seq[Int] = {
+    val (enc, encLen) = encode(mel)
+    var tokens = cfg.decoderStartTokenId +: forcedPrefix.toVector
+    var done = false
+    while (!done && tokens.length < math.min(cfg.maxTargetPositions,
+        1 + forcedPrefix.length + maxNewTokens)) {
+      val logits = decodeStep(tokens, enc, encLen)
+      var best = 0
+      var i = 1
+      while (i < logits.length) { if (logits(i) > logits(best)) best = i; i += 1 }
+      if (best == cfg.eosTokenId) done = true else tokens :+= best
+    }
+    tokens
+  }
+}

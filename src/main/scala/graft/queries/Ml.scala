@@ -85,5 +85,35 @@ object Ml {
       },
       None,
     ),
+    QueryDef(
+      "q115_speech2text",
+      (s, dir) => {
+        // Whisper-architecture speech-to-text (reference huggingface.py:979):
+        // per-doc synthesized sine WAV (id-derived frequency, the q69
+        // recipe) → log-mel frontend → encoder-decoder greedy decode with
+        // the tiny seeded checkpoint. Map-only with broadcast weights; the
+        // decode loop parallelizes across partitions. Self-checks:
+        // n_frames is the padded constant (2·max_source_positions), the
+        // transcript is deterministic (rows-only hash stability across
+        // runs), token count bounded by maxNewTokens. Tower math is
+        // pinned by WhisperSpec's independent naive reimplementation.
+        import graft.functions.Audio
+        val modelDir = graft.ml.LocalModels.ensureTinyWhisperModel(seed = 42L)
+        val docs = T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("wav", Audio.makeSineWav(
+            lit(0.3), (col("doc_id") % 8 * 110.0 + 220.0)))
+          .repartition(8, col("doc_id"))
+        val out = graft.ml.LocalModels.speechToText(docs, "wav", "transcript",
+          modelDir, maxNewTokens = 6)
+        QueryUtil.orderedSmall(
+          out.select(
+            col("doc_id"),
+            length(col("transcript")).cast("long").as("n_chars"),
+            col("transcript")),
+          col("doc_id"))
+      },
+      None, // encoder-decoder greedy decode not SQL-expressible
+    ),
   )
 }

@@ -130,6 +130,24 @@ class LocalModelsSpec extends AnyFunSuite {
     }
   }
 
+  test("speechToText dataframe surface: deterministic, partition invariant") {
+    val whisperDir = LocalModels.ensureTinyWhisperModel(seed = 42L)
+    val rows = (1 to 6).map(i =>
+      (i.toLong, graft.functions.Audio.sineWav(0.3, 200.0 + 80 * i))) :+
+      (99L, null.asInstanceOf[Array[Byte]])
+    val df = rows.toDF("id", "wav")
+    def run(parts: Int): Map[Long, String] =
+      LocalModels.speechToText(df.repartition(parts), "wav", "txt", whisperDir,
+        maxNewTokens = 5)
+        .select("id", "txt").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = run(1)
+    val b = run(4)
+    assert(a == b)
+    assert(a(99L) == null)
+    assert(a.filterNot(_._1 == 99L).values.forall(_ != null))
+  }
+
   test("different seeds give different models; same seed reproduces bitwise") {
     val d1 = java.nio.file.Files.createTempDirectory("m1").toString
     val d2 = java.nio.file.Files.createTempDirectory("m2").toString
