@@ -1,0 +1,115 @@
+package graft.ml
+
+import graft.TestSpark
+import graft.catalog.{Catalog, ColumnDef, GraftTable}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-feature interaction audit for the local-model family — the
+  * compositions a training-data pipeline actually runs, each pairing
+  * `graft.ml` with another subsystem:
+  *
+  *  1. WebDataset tar shards × CLIP: export image+caption samples, import
+  *     the shards back, embed both modalities from the tar-sourced bytes.
+  *  2. Model-UDF computed column × table DML: embeddings materialize on
+  *     insert, survive schema evolution, and recompute on demand.
+  *  3. Local embeddings × semantic dedup: near-duplicate texts land
+  *     closer in model space than unrelated ones, end-to-end through the
+  *     model rather than precomputed vectors.
+  *  4. Audio silence-splitting × Whisper: segment, then transcribe each
+  *     segment independently — iterator output feeding model input.
+  */
+class MlInteractionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("webdataset shards round-trip into CLIP joint embeddings") {
+    val clipDir = LocalModels.ensureTinyClipModel(seed = 42L)
+    val outDir = java.nio.file.Files.createTempDirectory("wds-clip").toString
+    val rows = (1 to 9).map { i =>
+      (f"sample$i%03d", s"caption text $i",
+        graft.functions.Images.solidPng(10, 10, i * 1234567 % 0xffffff))
+    }
+    val n = graft.io.WebDataset.exportWebDataset(
+      rows.toDF("key", "txt", "png"), outDir, "key", numShards = 2)
+    assert(n > 0)
+    val wide = graft.io.WebDataset.importWebDatasetWide(spark, outDir)
+      .withColumn("caption", col("txt").cast("string"))
+    val embedded = LocalModels.clipImage(
+      LocalModels.clipText(wide, "caption", "temb", clipDir),
+      "png", "iemb", clipDir)
+      .select("key", "temb", "iemb").collect()
+    assert(embedded.length == 9)
+    embedded.foreach { r =>
+      assert(r.getSeq[Float](1).length == 8 && r.getSeq[Float](2).length == 8)
+    }
+    // tar-sourced bytes give the same embeddings as the originals
+    val direct = LocalModels.clipText(
+      rows.toDF("key", "caption", "png"), "caption", "temb", clipDir)
+      .select("key", "temb").collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    embedded.foreach(r => assert(r.getSeq[Float](1) == direct(r.getString(0))))
+  }
+
+  test("model-udf computed column: DML materialization + recompute") {
+    LocalModels.registerEmbedUdf(spark, "tiny_embed_ia", LocalModels.ensureTinyModel(42L))
+    val cat = new Catalog(java.nio.file.Files.createTempDirectory("graft-mlia").toString)
+    val t = GraftTable.create(spark, cat, "docs_ia", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("body", "string")))
+    t.insert(Seq((1L, "first document"), (2L, "second document")).toDF("id", "body"))
+    t.addColumn(ColumnDef("emb", "array<float>", Some("tiny_embed_ia(body)")))
+    // backfill materialized the embedding for existing rows
+    val e1 = t.read().where("id = 1").select("emb").collect()(0).getSeq[Float](0)
+    assert(e1.length == 16)
+    // inserts after the add flow through the computed column
+    t.insert(Seq((3L, "third document")).toDF("id", "body"))
+    assert(t.read().where("id = 3").select("emb").collect()(0).getSeq[Float](0).length == 16)
+    // updating the source text recomputes the embedding (cascade)
+    val before = t.read().where("id = 2").select("emb").collect()(0).getSeq[Float](0)
+    t.batchUpdate(Seq((2L, "entirely different text")).toDF("id", "body"), Seq("id"))
+    val after = t.read().where("id = 2").select("emb").collect()(0).getSeq[Float](0)
+    assert(before != after)
+    // and matches a fresh forward pass of the new text
+    val fresh = spark.sql("SELECT tiny_embed_ia('entirely different text') e")
+      .collect()(0).getSeq[Float](0)
+    assert(after == fresh)
+  }
+
+  test("near-duplicate texts are nearer in model space than unrelated ones") {
+    val dir = LocalModels.ensureTinyModel(42L)
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog!"),
+      (3L, "completely unrelated text about database engines")).toDF("id", "t")
+    val emb = LocalModels.sentenceTransformer(df, "t", "e", dir)
+      .select("id", "e").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    assert(cos(emb(1L), emb(2L)) > cos(emb(1L), emb(3L)))
+    assert(cos(emb(1L), emb(2L)) > 0.9) // one punct char apart
+  }
+
+  test("silence-split segments transcribe independently and deterministically") {
+    val whisperDir = LocalModels.ensureTinyWhisperModel(seed = 42L)
+    // 0.2 s tone, 0.3 s silence, 0.2 s tone at a different pitch
+    val rate = 16000
+    def tone(freq: Double, secs: Double): Array[Short] =
+      Array.tabulate((rate * secs).toInt)(i =>
+        (math.sin(2 * math.Pi * freq * i / rate) * 0.5 * 32767).toShort)
+    val pcm = tone(440, 0.2) ++ new Array[Short]((rate * 0.3).toInt) ++ tone(880, 0.2)
+    val wav = graft.functions.Audio.encodeWav(pcm, rate.toFloat)
+    // the reference composition: audio_splitter iterator → per-segment model
+    val segs = Seq((1L, wav)).toDF("id", "wav")
+      .select(col("id"), explode(graft.functions.Audio.audioSplitter(
+        col("wav"), lit(0.05), lit(0.1))).as("seg"))
+      .select(col("id"), col("seg._1").as("seg_idx"), col("seg._4").as("segwav"))
+    assert(segs.count() == 2, "expected the silence gap to yield 2 segments")
+    val out1 = LocalModels.speechToText(segs, "segwav", "txt", whisperDir, maxNewTokens = 5)
+      .select("seg_idx", "txt").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val out2 = LocalModels.speechToText(segs.repartition(2), "segwav", "txt", whisperDir,
+      maxNewTokens = 5)
+      .select("seg_idx", "txt").collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out1 == out2)
+    assert(out1.size == 2 && out1.values.forall(_ != null))
+  }
+}

@@ -88,7 +88,14 @@ def main():
         t = os.path.basename(p)[:-8]
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    only = sys.argv[3:] or sorted(oracle)
+    if len(sys.argv) > 3:
+        only = sys.argv[3:]
+    else:
+        # include rows-only queries (present as output dirs but absent from
+        # oracle_sql.json) — the driver checks those for rows>0 too
+        dirs = {os.path.basename(d) for d in glob.glob(f"{outdir}/*")
+                if os.path.isdir(d)}
+        only = sorted(dirs | set(oracle))
     nfail = 0
     for name in only:
         files = glob.glob(f"{outdir}/{name}/*.parquet")
