@@ -276,4 +276,31 @@ final class Encoder(val cfg: EncoderConfig, rawWeights: Map[String, Tensor])
     val cw = w("classifier.weight"); val cb = w("classifier.bias")
     pooled.map(v => Tensors.linear(v, 1, cfg.hiddenSize, cw, cb))
   }
+
+  /** Per-position classifier logits for sequence item `b` (token
+    * classification / NER: the classifier applied to every hidden state,
+    * reference `huggingface.py:1342`). Returns [seqLen][labels].
+    */
+  def classifyTokens(e: Encoded, b: Int): Array[Array[Float]] = {
+    val cw = w("classifier.weight"); val cb = w("classifier.bias")
+    val h = e.hiddenSize
+    Array.tabulate(e.seqLen) { t =>
+      val off = (b * e.seqLen + t) * h
+      Tensors.linear(java.util.Arrays.copyOfRange(e.hidden, off, off + h), 1, h, cw, cb)
+    }
+  }
+
+  /** Extractive-QA span head (`qa_outputs.weight` [2, hidden]): per
+    * position (startLogit, endLogit) for sequence item `b`.
+    */
+  def qaSpanLogits(e: Encoded, b: Int): Array[(Float, Float)] = {
+    val qw = w("qa_outputs.weight"); val qb = w("qa_outputs.bias")
+    require(qw.rows == 2, s"qa_outputs has ${qw.rows} rows, expected 2")
+    val h = e.hiddenSize
+    Array.tabulate(e.seqLen) { t =>
+      val off = (b * e.seqLen + t) * h
+      val l = Tensors.linear(java.util.Arrays.copyOfRange(e.hidden, off, off + h), 1, h, qw, qb)
+      (l(0), l(1))
+    }
+  }
 }

@@ -110,6 +110,90 @@ object LocalModels {
     }(batchSize)
   }
 
+  /** Append `outCol: array<struct<token string, label string, score
+    * float>>` — per-token classification / NER (reference
+    * `huggingface.py:1342`): every wordpiece of the input gets its argmax
+    * label and softmax score ([CLS]/[SEP] skipped).
+    */
+  def tokenClassification(df: DataFrame, textCol: String, outCol: String,
+      modelDir: String, maxLen: Int = 128, batchSize: Int = 32): DataFrame = {
+    val elemType = StructType(Seq(StructField("token", StringType),
+      StructField("label", StringType), StructField("score", FloatType)))
+    mapBatches(df, Seq(textCol), outCol, ArrayType(elemType), modelDir) {
+      (bundle, rows) =>
+        val texts = rows.map(r => Option(r.head).getOrElse(""))
+        val pieces = texts.map(t => bundle.tokenizer.tokenize(t).take(maxLen - 2))
+        val ids = pieces.map(p =>
+          (bundle.tokenizer.clsId +: p.map(bundle.tokenizer.vocab) :+ bundle.tokenizer.sepId).toArray)
+        val enc = bundle.encoder.forward(ids)
+        rows.indices.map { b =>
+          val logits = bundle.encoder.classifyTokens(enc, b)
+          pieces(b).zipWithIndex.map { case (tok, i) =>
+            val l = logits(i + 1) // skip [CLS]
+            Tensors.softmaxRows(l, 1, l.length)
+            val best = l.indices.maxBy(l(_))
+            Row(tok, bundle.cfg.id2label.getOrElse(best, s"LABEL_$best"), l(best))
+          }
+        }
+    }(batchSize)
+  }
+
+  /** Append `outCol: struct<answer string, score float, start long, end
+    * long>` — extractive QA (reference `huggingface.py:1492`): best
+    * start/end span over the CONTEXT segment, answer text recovered from
+    * wordpiece char offsets into the original context.
+    */
+  def questionAnswering(df: DataFrame, questionCol: String, contextCol: String,
+      outCol: String, modelDir: String, maxLen: Int = 256, maxAnswerTokens: Int = 30,
+      batchSize: Int = 16): DataFrame = {
+    val outType = StructType(Seq(StructField("answer", StringType),
+      StructField("score", FloatType), StructField("start", LongType),
+      StructField("end", LongType)))
+    mapBatches(df, Seq(questionCol, contextCol), outCol, outType, modelDir) {
+      (bundle, rows) =>
+        rows.map { case Seq(q0, c0) =>
+          val question = Option(q0).getOrElse("")
+          val context = Option(c0).getOrElse("")
+          val tk = bundle.tokenizer
+          val qIds = tk.tokenize(question).map(tk.vocab)
+          val cSpans = tk.tokenizeWithOffsets(context)
+          val budget = maxLen - 3 - qIds.length
+          val cKept = cSpans.take(math.max(0, budget))
+          if (cKept.isEmpty) Row(null, null, null, null)
+          else {
+            val ids = (tk.clsId +: qIds :+ tk.sepId) ++
+              cKept.map(s => tk.vocab(s._1)) :+ tk.sepId
+            val types = Array.fill(qIds.length + 2)(0) ++ Array.fill(cKept.length + 1)(1)
+            val enc = bundle.encoder.forward(Seq(ids.toArray), Some(Seq(types)))
+            val span = bundle.encoder.qaSpanLogits(enc, 0)
+            val cOff = qIds.length + 2 // first context-token position
+            val cEndEx = cOff + cKept.length
+            // softmax over context positions, best valid (s ≤ e) pair
+            val starts = span.slice(cOff, cEndEx).map(_._1)
+            val ends = span.slice(cOff, cEndEx).map(_._2)
+            Tensors.softmaxRows(starts, 1, starts.length)
+            Tensors.softmaxRows(ends, 1, ends.length)
+            var best = (0, 0); var bestP = -1.0
+            var s = 0
+            while (s < starts.length) {
+              var e = s
+              while (e < math.min(starts.length, s + maxAnswerTokens)) {
+                val p = starts(s).toDouble * ends(e)
+                if (p > bestP) { bestP = p; best = (s, e) }
+                e += 1
+              }
+              s += 1
+            }
+            val (bs, be) = best
+            val charStart = cKept(bs)._2
+            val charEnd = cKept(be)._3
+            Row(context.substring(charStart, charEnd), bestP.toFloat,
+              charStart.toLong, charEnd.toLong)
+          }
+        }
+    }(batchSize)
+  }
+
   /** Shared plumbing: broadcast the bundle, stream partitions through in
     * `batchSize` groups, append one computed column.
     */
@@ -305,6 +389,110 @@ object LocalModels {
   }
 
   // ---------------------------------------------------------------------
+  // GPT-2 text generation (reference huggingface.py:1113)
+  // ---------------------------------------------------------------------
+
+  final class Gpt2Bundle(val cfg: Gpt2Config, val weights: Map[String, Tensor],
+      val vocab: Map[String, Int], val merges: Seq[(String, String)])
+      extends Serializable {
+    @transient lazy val model: Gpt2Model = new Gpt2Model(cfg, weights)
+    @transient lazy val tokenizer: Bpe =
+      new Bpe(vocab, merges, clipMode = false, unkToken = "<|endoftext|>")
+  }
+
+  def loadGpt2(modelDir: String): Gpt2Bundle = {
+    val cfg = Gpt2Config.fromJson(new String(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")), StandardCharsets.UTF_8))
+    val weights = SafeTensors.read(Paths.get(modelDir, "model.safetensors").toString)
+    val node = new ObjectMapper().readTree(
+      Files.readAllBytes(Paths.get(modelDir, "vocab.json")))
+    val vocab = scala.jdk.CollectionConverters.IteratorHasAsScala(node.properties().iterator())
+      .asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
+    new Gpt2Bundle(cfg, weights, vocab, readMerges(modelDir))
+  }
+
+  /** Append `outCol: string` — greedy continuation of a prompt column
+    * (reference text_generation, `huggingface.py:1113`; the pipeline's
+    * `return_full_text=False` shape: only the generated suffix). Long
+    * prompts keep their TAIL (the conditioning window). Null → null.
+    */
+  def textGeneration(df: DataFrame, promptCol: String, outCol: String,
+      modelDir: String, maxNewTokens: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadGpt2(modelDir))
+    val idx = df.schema.fieldIndex(promptCol)
+    val schema = StructType(df.schema.fields :+ StructField(outCol, StringType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val prompt = bundle.tokenizer.encode(r.getString(idx))
+            val kept = prompt.takeRight(math.max(1, bundle.cfg.nPositions - maxNewTokens))
+            val ids =
+              if (kept.nonEmpty) kept else Seq(bundle.cfg.eosTokenId) // empty prompt
+            bundle.tokenizer.decode(bundle.model.generate(ids, maxNewTokens))
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Deterministic tiny GPT-2 checkpoint: byte-level vocab (256 + EOS). */
+  def writeTinyGpt2Model(dir: String, seed: Long = 42L, nEmbd: Int = 16,
+      layers: Int = 2, heads: Int = 2, nPositions: Int = 64): Unit = {
+    val byteToks = Bpe.byteToUnicode.map(_.toString).toSeq
+    val vocabToks = byteToks :+ "<|endoftext|>"
+    val eosId = 256
+    val rnd = new java.util.Random(seed)
+    def gauss(n: Int, scale: Double): Array[Float] =
+      Array.fill(n)((rnd.nextGaussian() * scale).toFloat)
+    def t(shape: Int*)(scale: Double): Tensor =
+      Tensor(shape.toArray, gauss(shape.product, scale))
+    def ones(n: Int): Tensor = Tensor(Array(n), Array.fill(n)(1f))
+    def zeros(n: Int): Tensor = Tensor(Array(n), new Array[Float](n))
+    val ts = scala.collection.mutable.ArrayBuffer.empty[(String, Tensor)]
+    ts += "wte.weight" -> t(vocabToks.length, nEmbd)(0.1)
+    ts += "wpe.weight" -> t(nPositions, nEmbd)(0.02)
+    (0 until layers).foreach { i =>
+      val p = s"h.$i."
+      ts += s"${p}ln_1.weight" -> ones(nEmbd)
+      ts += s"${p}ln_1.bias" -> zeros(nEmbd)
+      ts += s"${p}attn.c_attn.weight" -> t(nEmbd, 3 * nEmbd)(0.08) // Conv1D [in,out]
+      ts += s"${p}attn.c_attn.bias" -> t(3 * nEmbd)(0.02)
+      ts += s"${p}attn.c_proj.weight" -> t(nEmbd, nEmbd)(0.08)
+      ts += s"${p}attn.c_proj.bias" -> t(nEmbd)(0.02)
+      ts += s"${p}ln_2.weight" -> ones(nEmbd)
+      ts += s"${p}ln_2.bias" -> zeros(nEmbd)
+      ts += s"${p}mlp.c_fc.weight" -> t(nEmbd, 4 * nEmbd)(0.08)
+      ts += s"${p}mlp.c_fc.bias" -> t(4 * nEmbd)(0.02)
+      ts += s"${p}mlp.c_proj.weight" -> t(4 * nEmbd, nEmbd)(0.08)
+      ts += s"${p}mlp.c_proj.bias" -> t(nEmbd)(0.02)
+    }
+    ts += "ln_f.weight" -> ones(nEmbd)
+    ts += "ln_f.bias" -> zeros(nEmbd)
+    Files.createDirectories(Paths.get(dir))
+    SafeTensors.write(Paths.get(dir, "model.safetensors").toString, ts.toSeq,
+      Map("format" -> "pt"))
+    val cfgJson =
+      s"""{"model_type":"gpt2","n_embd":$nEmbd,"n_layer":$layers,"n_head":$heads,
+         |"n_positions":$nPositions,"vocab_size":${vocabToks.length},
+         |"eos_token_id":$eosId}""".stripMargin
+    Files.write(Paths.get(dir, "config.json"), cfgJson.getBytes(StandardCharsets.UTF_8))
+    Bpe.writeFiles(Paths.get(dir, "vocab.json").toString,
+      Paths.get(dir, "merges.txt").toString, vocabToks, Seq.empty)
+  }
+
+  def ensureTinyGpt2Model(seed: Long = 42L): String = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_gpt2_s$seed")
+    val marker = dir.resolve("merges.txt")
+    if (!Files.exists(marker)) writeTinyGpt2Model(dir.toString, seed)
+    dir.toString
+  }
+
+  // ---------------------------------------------------------------------
   // Whisper speech-to-text (reference huggingface.py:979)
   // ---------------------------------------------------------------------
 
@@ -462,7 +650,7 @@ object LocalModels {
   def writeTinyModel(dir: String, seed: Long = 42L, hidden: Int = 16,
       layers: Int = 2, heads: Int = 2, intermediate: Int = 32,
       maxPos: Int = 128, numLabels: Int = 0,
-      labels: Seq[String] = Seq.empty): Unit = {
+      labels: Seq[String] = Seq.empty, qaHead: Boolean = false): Unit = {
     val vocab = tinyVocab
     val rnd = new java.util.Random(seed)
     def gauss(n: Int, scale: Double): Array[Float] =
@@ -501,6 +689,10 @@ object LocalModels {
       ts += "classifier.weight" -> t(numLabels, hidden)(0.08)
       ts += "classifier.bias" -> t(numLabels)(0.02)
     }
+    if (qaHead) {
+      ts += "qa_outputs.weight" -> t(2, hidden)(0.08)
+      ts += "qa_outputs.bias" -> t(2)(0.02)
+    }
 
     Files.createDirectories(Paths.get(dir))
     SafeTensors.write(Paths.get(dir, "model.safetensors").toString, ts.toSeq,
@@ -521,11 +713,13 @@ object LocalModels {
     * once under the JVM temp dir, keyed by seed+shape so concurrent
     * sessions agree on content.
     */
-  def ensureTinyModel(seed: Long = 42L, numLabels: Int = 0): String = synchronized {
+  def ensureTinyModel(seed: Long = 42L, numLabels: Int = 0,
+      qaHead: Boolean = false): String = synchronized {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_tiny_model_s${seed}_l$numLabels")
+      s"graft_tiny_model_s${seed}_l${numLabels}${if (qaHead) "_qa" else ""}")
     val marker = dir.resolve("vocab.txt")
-    if (!Files.exists(marker)) writeTinyModel(dir.toString, seed, numLabels = numLabels)
+    if (!Files.exists(marker))
+      writeTinyModel(dir.toString, seed, numLabels = numLabels, qaHead = qaHead)
     dir.toString
   }
 }

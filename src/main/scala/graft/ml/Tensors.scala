@@ -85,6 +85,47 @@ object Tensors {
     }
   }
 
+  /** y[m, out] = x[m, in] · W + b with W stored [in, out] — the GPT-2
+    * `Conv1D` convention (transposed relative to `nn.Linear`).
+    */
+  def linearT(x: Array[Float], m: Int, in: Int, w: Tensor, b: Tensor): Array[Float] = {
+    require(w.rows == in, s"linearT: weight in-dim ${w.rows} != input $in")
+    val out = w.cols
+    require(b.data.length == out, s"linearT: bias ${b.data.length} != out $out")
+    val y = new Array[Float](m * out)
+    val acc = new Array[Double](out)
+    var i = 0
+    while (i < m) {
+      val xOff = i * in
+      val yOff = i * out
+      var o = 0
+      while (o < out) { acc(o) = b.data(o); o += 1 }
+      var k = 0
+      while (k < in) {
+        val xv = x(xOff + k).toDouble
+        val wOff = k * out
+        o = 0
+        while (o < out) { acc(o) += xv * w.data(wOff + o); o += 1 }
+        k += 1
+      }
+      o = 0
+      while (o < out) { y(yOff + o) = acc(o).toFloat; o += 1 }
+      i += 1
+    }
+    y
+  }
+
+  /** GPT-2's `gelu_new`: 0.5x(1 + tanh(√(2/π)(x + 0.044715x³))). */
+  def geluNew(x: Array[Float]): Unit = {
+    val c = math.sqrt(2.0 / math.Pi)
+    var i = 0
+    while (i < x.length) {
+      val v = x(i).toDouble
+      x(i) = (0.5 * v * (1.0 + math.tanh(c * (v + 0.044715 * v * v * v)))).toFloat
+      i += 1
+    }
+  }
+
   /** CLIP's `quick_gelu`: x · sigmoid(1.702 x). */
   def quickGelu(x: Array[Float]): Unit = {
     var i = 0

@@ -84,6 +84,49 @@ final class WordPiece(
 
   def tokenize(text: String): Seq[String] = basicTokenize(text).flatMap(wordpiece)
 
+  /** Like basicTokenize but with original [start, end) char offsets
+    * (lowercasing preserves offsets; stripped controls do not produce
+    * words, so every word maps to a real span).
+    */
+  def basicTokenizeWithOffsets(text: String): Seq[(String, Int, Int)] = {
+    val t = if (lowercase) text.toLowerCase(java.util.Locale.ROOT) else text
+    val words = ArrayBuffer.empty[(String, Int, Int)]
+    val cur = new StringBuilder
+    var curStart = -1
+    def flush(end: Int): Unit =
+      if (cur.nonEmpty) { words += ((cur.toString, curStart, end)); cur.clear(); curStart = -1 }
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (Character.isWhitespace(c)) flush(i)
+      else if (isPunct(c) || isCjk(c.toInt)) { flush(i); words += ((c.toString, i, i + 1)) }
+      else if (Character.isISOControl(c) || c == '�') flush(i)
+      else { if (cur.isEmpty) curStart = i; cur += c }
+      i += 1
+    }
+    flush(t.length)
+    words.toSeq
+  }
+
+  /** Wordpiece tokens with [start, end) char offsets into the original
+    * text (pieces of one word split its span by character counts; an UNK
+    * covers the whole word).
+    */
+  def tokenizeWithOffsets(text: String): Seq[(String, Int, Int)] =
+    basicTokenizeWithOffsets(text).flatMap { case (word, ws, we) =>
+      val pieces = wordpiece(word)
+      if (pieces == Seq(unkToken)) Seq((unkToken, ws, we))
+      else {
+        var pos = ws
+        pieces.map { p =>
+          val len = if (p.startsWith("##")) p.length - 2 else p.length
+          val span = (p, pos, math.min(pos + len, we))
+          pos += len
+          span
+        }
+      }
+    }
+
   /** `[CLS] text [SEP]` token ids, truncated to maxLen. */
   def encode(text: String, maxLen: Int): Array[Int] = {
     val body = tokenize(text).take(maxLen - 2).map(vocab)

@@ -115,5 +115,31 @@ object Ml {
       },
       None, // encoder-decoder greedy decode not SQL-expressible
     ),
+    QueryDef(
+      "q116_text_generation",
+      (s, dir) => {
+        // GPT-2-architecture greedy text generation (reference
+        // huggingface.py:1113): per-doc prompt → deterministic greedy
+        // continuation with the tiny seeded checkpoint. Map-only with
+        // broadcast weights. Self-checks: continuation length bounded by
+        // maxNewTokens (byte-level vocab → ≤1 char per token + UTF-8
+        // joins), deterministic rows-only hash. Forward math pinned by
+        // Gpt2Spec's independent naive reimplementation.
+        val modelDir = graft.ml.LocalModels.ensureTinyGpt2Model(seed = 42L)
+        val docs = T(s, dir, "documents")
+          .filter(col("doc_id") < 30)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("prompt"))
+          .repartition(8, col("doc_id"))
+        val out = graft.ml.LocalModels.textGeneration(docs, "prompt", "generated",
+          modelDir, maxNewTokens = 8)
+        QueryUtil.orderedSmall(
+          out.select(
+            col("doc_id"),
+            length(col("generated")).cast("long").as("n_chars"),
+            col("generated")),
+          col("doc_id"))
+      },
+      None,
+    ),
   )
 }
