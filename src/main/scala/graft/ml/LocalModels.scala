@@ -389,6 +389,117 @@ object LocalModels {
   }
 
   // ---------------------------------------------------------------------
+  // ViT image classification (reference huggingface.py:899)
+  // ---------------------------------------------------------------------
+
+  final class VitBundle(val cfg: VitConfig, val weights: Map[String, Tensor])
+      extends Serializable {
+    @transient lazy val model: VitModel = new VitModel(cfg, weights)
+  }
+
+  def loadVit(modelDir: String): VitBundle = {
+    val cfg = VitConfig.fromJson(new String(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")), StandardCharsets.UTF_8))
+    new VitBundle(cfg,
+      SafeTensors.read(Paths.get(modelDir, "model.safetensors").toString))
+  }
+
+  /** Append `outCol: array<struct<label string, score float>>` — top-k
+    * softmax image classes (reference vit_for_image_classification,
+    * `huggingface.py:899`) of an encoded-image binary column.
+    */
+  def imageClassification(df: DataFrame, imageCol: String, outCol: String,
+      modelDir: String, topK: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadVit(modelDir))
+    val idx = df.schema.fieldIndex(imageCol)
+    val elemType = StructType(Seq(
+      StructField("label", StringType), StructField("score", FloatType)))
+    val schema = StructType(df.schema.fields :+ StructField(outCol, ArrayType(elemType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val logits = bundle.model.classifyLogits(bundle.model.preprocess(
+              graft.functions.Images.decode(r.getAs[Array[Byte]](idx))))
+            Tensors.softmaxRows(logits, 1, logits.length)
+            logits.zipWithIndex.sortBy { case (s, i) => (-s, i) }.take(topK)
+              .map { case (s, i) =>
+                Row(bundle.cfg.id2label.getOrElse(i, s"LABEL_$i"), s)
+              }.toSeq
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Deterministic tiny ViT checkpoint in the HF layout. */
+  def writeTinyVitModel(dir: String, seed: Long = 42L, hidden: Int = 16,
+      layers: Int = 2, heads: Int = 2, intermediate: Int = 32,
+      imageSize: Int = 16, patchSize: Int = 8, numLabels: Int = 4,
+      labels: Seq[String] = Seq.empty): Unit = {
+    val rnd = new java.util.Random(seed)
+    def gauss(n: Int, scale: Double): Array[Float] =
+      Array.fill(n)((rnd.nextGaussian() * scale).toFloat)
+    def t(shape: Int*)(scale: Double): Tensor =
+      Tensor(shape.toArray, gauss(shape.product, scale))
+    def ones(n: Int): Tensor = Tensor(Array(n), Array.fill(n)(1f))
+    def zeros(n: Int): Tensor = Tensor(Array(n), new Array[Float](n))
+    val grid = imageSize / patchSize
+    val l = 1 + grid * grid
+    val ts = scala.collection.mutable.ArrayBuffer.empty[(String, Tensor)]
+    ts += "vit.embeddings.cls_token" -> Tensor(Array(1, 1, hidden), gauss(hidden, 0.1))
+    ts += "vit.embeddings.position_embeddings" ->
+      Tensor(Array(1, l, hidden), gauss(l * hidden, 0.02))
+    ts += "vit.embeddings.patch_embeddings.projection.weight" ->
+      Tensor(Array(hidden, 3, patchSize, patchSize),
+        gauss(hidden * 3 * patchSize * patchSize, 0.05))
+    ts += "vit.embeddings.patch_embeddings.projection.bias" -> t(hidden)(0.02)
+    (0 until layers).foreach { i =>
+      val p = s"vit.encoder.layer.$i."
+      Seq("query", "key", "value").foreach { qkv =>
+        ts += s"${p}attention.attention.$qkv.weight" -> t(hidden, hidden)(0.08)
+        ts += s"${p}attention.attention.$qkv.bias" -> t(hidden)(0.02)
+      }
+      ts += s"${p}attention.output.dense.weight" -> t(hidden, hidden)(0.08)
+      ts += s"${p}attention.output.dense.bias" -> t(hidden)(0.02)
+      ts += s"${p}layernorm_before.weight" -> ones(hidden)
+      ts += s"${p}layernorm_before.bias" -> zeros(hidden)
+      ts += s"${p}intermediate.dense.weight" -> t(intermediate, hidden)(0.08)
+      ts += s"${p}intermediate.dense.bias" -> t(intermediate)(0.02)
+      ts += s"${p}output.dense.weight" -> t(hidden, intermediate)(0.08)
+      ts += s"${p}output.dense.bias" -> t(hidden)(0.02)
+      ts += s"${p}layernorm_after.weight" -> ones(hidden)
+      ts += s"${p}layernorm_after.bias" -> zeros(hidden)
+    }
+    ts += "vit.layernorm.weight" -> ones(hidden)
+    ts += "vit.layernorm.bias" -> zeros(hidden)
+    ts += "classifier.weight" -> t(numLabels, hidden)(0.08)
+    ts += "classifier.bias" -> t(numLabels)(0.02)
+    Files.createDirectories(Paths.get(dir))
+    SafeTensors.write(Paths.get(dir, "model.safetensors").toString, ts.toSeq,
+      Map("format" -> "pt"))
+    val id2label = (0 until numLabels).map(i =>
+      s""""$i":"${labels.lift(i).getOrElse(s"LABEL_$i")}"""").mkString(",")
+    val cfgJson =
+      s"""{"model_type":"vit","hidden_size":$hidden,"num_hidden_layers":$layers,
+         |"num_attention_heads":$heads,"intermediate_size":$intermediate,
+         |"image_size":$imageSize,"patch_size":$patchSize,
+         |"id2label":{$id2label}}""".stripMargin
+    Files.write(Paths.get(dir, "config.json"), cfgJson.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def ensureTinyVitModel(seed: Long = 42L): String = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_vit_s$seed")
+    val marker = dir.resolve("config.json")
+    if (!Files.exists(marker)) writeTinyVitModel(dir.toString, seed)
+    dir.toString
+  }
+
+  // ---------------------------------------------------------------------
   // GPT-2 text generation (reference huggingface.py:1113)
   // ---------------------------------------------------------------------
 
