@@ -307,5 +307,70 @@ object Curation {
              |FROM t LEFT JOIN kept USING (doc_id)
              |ORDER BY t.doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q117_dsir_weights",
+      (s, dir) => {
+        // DSIR data-selection importance weights (Xie et al. 2023,
+        // "Data Selection for Language Models via Importance Resampling"):
+        // hashed unigram+bigram features into K buckets, per-bucket
+        // log-likelihood ratio θ between the TARGET distribution (lang =
+        // 'en' docs) and the RAW corpus, per-doc importance weight =
+        // Σ θ over its features. 100 TB shape: feature explosion is
+        // map-only, one groupBy on the K-bounded bucket key, θ (K rows)
+        // broadcast back, one groupBy on doc_id — no all-pairs, nothing
+        // driver-side. Engine parity: θ is fixed-pointed to integer
+        // micro-units BEFORE the per-doc sum, so the aggregation is
+        // order-independent exact integer math and the gate hash-matches.
+        val k = 1024
+        val docs = T(s, dir, "documents").repartition(32, col("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            split(trim(col("text")), "\\s+").as("w"))
+        val uni = docs.select(col("doc_id"), col("lang"), explode(col("w")).as("f"))
+        val bi = docs.select(col("doc_id"), col("lang"),
+          // sequence(1, n) reverses for n < 1 — null ⇒ explode drops the row
+          explode(when(size(col("w")) >= 2, expr(
+            "transform(sequence(1, size(w) - 1), i -> concat(w[i-1], ' ', w[i]))"))
+            .otherwise(lit(null))).as("f"))
+        val fb = uni.unionByName(bi)
+          .withColumn("bucket",
+            conv(substring(md5(col("f")), 1, 12), 16, 10).cast("long") % k)
+        val cnt = fb.groupBy(col("bucket")).agg(
+          count(lit(1)).as("rc"),
+          count(when(col("lang") === "en", 1)).as("tc"))
+        val tot = cnt.agg(sum("rc").as("rtot"), sum("tc").as("ttot"))
+        val theta = cnt.crossJoin(broadcast(tot))
+          .withColumn("th", round(log(
+            ((col("tc") + 1.0) / (col("ttot") + k.toDouble)) /
+              ((col("rc") + 1.0) / (col("rtot") + k.toDouble))) * 1e6)
+            .cast("long"))
+          .select("bucket", "th")
+        fb.join(broadcast(theta), Seq("bucket"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast("long").as("n_feats"),
+            sum(col("th")).as("dsir_w_micro"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    string_split_regex(trim(text), '\s+') AS w FROM documents),
+             |uni AS (SELECT doc_id, lang, unnest(w) AS f FROM t),
+             |bi AS (SELECT doc_id, lang, w[p] || ' ' || w[p+1] AS f
+             |  FROM (SELECT doc_id, lang, w,
+             |          unnest(generate_series(1, len(w) - 1)) AS p FROM t)),
+             |fb AS (SELECT doc_id, lang,
+             |    ('0x' || substr(md5(f), 1, 12))::BIGINT % 1024 AS bucket
+             |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+             |cnt AS (SELECT bucket, count(*) AS rc,
+             |    count(*) FILTER (WHERE lang = 'en') AS tc
+             |  FROM fb GROUP BY 1),
+             |tot AS (SELECT sum(rc) AS rtot, sum(tc) AS ttot FROM cnt),
+             |theta AS (SELECT bucket,
+             |    CAST(round(ln(((tc + 1.0) / (ttot + 1024.0)) /
+             |      ((rc + 1.0) / (rtot + 1024.0))) * 1000000) AS BIGINT) AS th
+             |  FROM cnt, tot)
+             |SELECT doc_id, count(*)::BIGINT AS n_feats,
+             |  sum(th)::BIGINT AS dsir_w_micro
+             |FROM fb JOIN theta USING (bucket)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
