@@ -225,21 +225,137 @@ final class WhisperModel(val cfg: WhisperConfig, weights: Map[String, Tensor])
     logits
   }
 
+  /** Incremental decoder state: per-layer self-attention KV cache plus
+    * cross-attention K/V computed ONCE from the encoder states (the
+    * dominant per-step cost in full recompute). `stepDecode` is
+    * bit-identical to `decodeStep` on the same prefix (each position's
+    * math reads only earlier K/V, which carry the same float values) —
+    * pinned in WhisperSpec.
+    */
+  final class DecoderState(encStates: Array[Float], encLen: Int) {
+    private[WhisperModel] val selfK =
+      Array.ofDim[Float](cfg.decoderLayers, cfg.maxTargetPositions * cfg.dModel)
+    private[WhisperModel] val selfV =
+      Array.ofDim[Float](cfg.decoderLayers, cfg.maxTargetPositions * cfg.dModel)
+    private[WhisperModel] val crossK = Array.tabulate(cfg.decoderLayers)(l =>
+      lin(encStates, encLen, cfg.dModel, s"model.decoder.layers.$l.encoder_attn.k_proj"))
+    private[WhisperModel] val crossV = Array.tabulate(cfg.decoderLayers)(l =>
+      lin(encStates, encLen, cfg.dModel, s"model.decoder.layers.$l.encoder_attn.v_proj"))
+    private[WhisperModel] val eLen = encLen
+    private[WhisperModel] var len = 0
+  }
+
+  /** Feed one token at position `state.len`; returns its output logits. */
+  def stepDecode(token: Int, state: DecoderState): Array[Float] = {
+    val t = state.len
+    require(t < cfg.maxTargetPositions, s"decode position $t >= max_target_positions")
+    val h = cfg.dModel
+    val tok = w("model.decoder.embed_tokens.weight")
+    val x = new Array[Float](h)
+    var kk = 0
+    while (kk < h) {
+      x(kk) = tok.data(token * h + kk) + w("model.decoder.embed_positions.weight").data(t * h + kk)
+      kk += 1
+    }
+    val heads = cfg.decoderHeads
+    val dh = h / heads
+    val scale = 1.0 / math.sqrt(dh.toDouble)
+    var layer = 0
+    while (layer < cfg.decoderLayers) {
+      val p = s"model.decoder.layers.$layer."
+      // causal self-attention over the cache
+      val n1 = java.util.Arrays.copyOf(x, h)
+      Tensors.layerNorm(n1, 1, h, w(p + "self_attn_layer_norm.weight"),
+        w(p + "self_attn_layer_norm.bias"), cfg.layerNormEps)
+      val q = lin(n1, 1, h, p + "self_attn.q_proj")
+      System.arraycopy(lin(n1, 1, h, p + "self_attn.k_proj"), 0, state.selfK(layer), t * h, h)
+      System.arraycopy(lin(n1, 1, h, p + "self_attn.v_proj"), 0, state.selfV(layer), t * h, h)
+      Tensors.addInPlace(x, lin(attendCached(q, state.selfK(layer), state.selfV(layer),
+        t + 1, heads, scale), 1, h, p + "self_attn.out_proj"))
+      // cross-attention over the precomputed encoder K/V
+      val n2 = java.util.Arrays.copyOf(x, h)
+      Tensors.layerNorm(n2, 1, h, w(p + "encoder_attn_layer_norm.weight"),
+        w(p + "encoder_attn_layer_norm.bias"), cfg.layerNormEps)
+      val q2 = lin(n2, 1, h, p + "encoder_attn.q_proj")
+      Tensors.addInPlace(x, lin(attendCached(q2, state.crossK(layer), state.crossV(layer),
+        state.eLen, heads, scale), 1, h, p + "encoder_attn.out_proj"))
+      // FFN
+      val n3 = java.util.Arrays.copyOf(x, h)
+      Tensors.layerNorm(n3, 1, h, w(p + "final_layer_norm.weight"),
+        w(p + "final_layer_norm.bias"), cfg.layerNormEps)
+      Tensors.addInPlace(x, ffn(n3, 1, p, cfg.decoderFfn))
+      layer += 1
+    }
+    state.len = t + 1
+    Tensors.layerNorm(x, 1, h, w("model.decoder.layer_norm.weight"),
+      w("model.decoder.layer_norm.bias"), cfg.layerNormEps)
+    val logits = new Array[Float](cfg.vocabSize)
+    var vtok = 0
+    while (vtok < cfg.vocabSize) {
+      var acc = 0.0
+      var k2 = 0
+      while (k2 < h) { acc += x(k2).toDouble * tok.data(vtok * h + k2); k2 += 1 }
+      logits(vtok) = acc.toFloat
+      vtok += 1
+    }
+    logits
+  }
+
+  /** One query position attending over `n` cached key/value rows. */
+  private def attendCached(q: Array[Float], kc: Array[Float], vc: Array[Float],
+      n: Int, heads: Int, scale: Double): Array[Float] = {
+    val h = cfg.dModel
+    val dh = h / heads
+    val scores = new Array[Float](n)
+    val ctx = new Array[Float](h)
+    var hd = 0
+    while (hd < heads) {
+      val hOff = hd * dh
+      var j = 0
+      while (j < n) {
+        var acc = 0.0
+        var d = 0
+        while (d < dh) { acc += q(hOff + d).toDouble * kc(j * h + hOff + d); d += 1 }
+        scores(j) = (acc * scale).toFloat
+        j += 1
+      }
+      Tensors.softmaxRows(scores, 1, n)
+      var d = 0
+      while (d < dh) {
+        var acc = 0.0
+        var jj = 0
+        while (jj < n) { acc += scores(jj).toDouble * vc(jj * h + hOff + d); jj += 1 }
+        ctx(hOff + d) = acc.toFloat
+        d += 1
+      }
+      hd += 1
+    }
+    ctx
+  }
+
   /** Greedy transcription: token ids INCLUDING the start token, stopping
-    * at EOS (EOS itself not included) or `maxNewTokens`.
+    * at EOS (EOS itself not included) or `maxNewTokens`. KV-cached with
+    * once-per-utterance cross-attention K/V.
     */
   def transcribe(mel: Array[Array[Float]], maxNewTokens: Int = 64,
       forcedPrefix: Seq[Int] = Seq.empty): Seq[Int] = {
     val (enc, encLen) = encode(mel)
+    val state = new DecoderState(enc, encLen)
     var tokens = cfg.decoderStartTokenId +: forcedPrefix.toVector
+    var logits: Array[Float] = null
+    tokens.foreach(tk => logits = stepDecode(tk, state))
     var done = false
     while (!done && tokens.length < math.min(cfg.maxTargetPositions,
         1 + forcedPrefix.length + maxNewTokens)) {
-      val logits = decodeStep(tokens, enc, encLen)
       var best = 0
       var i = 1
       while (i < logits.length) { if (logits(i) > logits(best)) best = i; i += 1 }
-      if (best == cfg.eosTokenId) done = true else tokens :+= best
+      if (best == cfg.eosTokenId) done = true
+      else {
+        tokens :+= best
+        if (tokens.length < math.min(cfg.maxTargetPositions,
+            1 + forcedPrefix.length + maxNewTokens)) logits = stepDecode(best, state)
+      }
     }
     tokens
   }

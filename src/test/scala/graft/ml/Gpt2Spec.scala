@@ -89,6 +89,18 @@ class Gpt2Spec extends AnyFunSuite {
     assert(fast.zipWithIndex.maxBy(_._1)._2 == slow.zipWithIndex.maxBy(_._1)._2)
   }
 
+  test("KV-cached step logits are bit-identical to full recompute") {
+    val bundle = LocalModels.loadGpt2(gptDir)
+    val m = bundle.model
+    val tokens = bundle.tokenizer.encode("the quick brown fox!")
+    val state = new m.KvState
+    tokens.indices.foreach { i =>
+      val inc = m.step(tokens(i), state)
+      val full = m.lastLogits(tokens.take(i + 1))
+      assert(inc.toSeq == full.toSeq, s"prefix ${i + 1} diverged")
+    }
+  }
+
   test("generate: deterministic, bounded, decodes cleanly") {
     val bundle = LocalModels.loadGpt2(gptDir)
     val prompt = bundle.tokenizer.encode("once upon a time")

@@ -187,6 +187,20 @@ class WhisperSpec extends AnyFunSuite {
     assert(fast.zipWithIndex.maxBy(_._1)._2 == slow.zipWithIndex.maxBy(_._1)._2)
   }
 
+  test("KV-cached stepDecode is bit-identical to full-recompute decodeStep") {
+    val bundle = LocalModels.loadWhisper(whisperDir)
+    val m = bundle.model
+    val mel = testMel(bundle)
+    val (enc, encLen) = m.encode(mel)
+    val state = new m.DecoderState(enc, encLen)
+    val toks = Seq(bundle.cfg.decoderStartTokenId, 72, 105, 33)
+    toks.indices.foreach { i =>
+      val inc = m.stepDecode(toks(i), state)
+      val full = m.decodeStep(toks.take(i + 1), enc, encLen)
+      assert(inc.toSeq == full.toSeq, s"prefix ${i + 1} diverged")
+    }
+  }
+
   test("transcribe: deterministic, bounded, decodes to a string") {
     val bundle = LocalModels.loadWhisper(whisperDir)
     val mel = testMel(bundle)
