@@ -1,0 +1,191 @@
+package graft.ml
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** BART-architecture seq2seq (Lewis et al. 2019) — the reference's
+  * `summarization` (`/root/reference/pixeltable/functions/
+  * huggingface.py:1287`, HF summarization pipeline in-process). HF BART
+  * weight naming: `model.shared` tied embeddings, learned positions
+  * OFFSET BY 2 (the RoBERTa quirk), `layernorm_embedding`, POST-LayerNorm
+  * blocks (x = LN(x + sublayer(x)) — unlike Whisper/CLIP's pre-LN),
+  * `final_logits_bias`. Byte-level BPE in GPT-2 mode with `<s>`/`</s>`
+  * specials. Greedy decode; sequences are short and the parallel unit is
+  * the row, so full recompute per step is acceptable here (the KV-cache
+  * pattern from Whisper/GPT-2 applies identically if needed).
+  */
+final case class BartConfig(
+    dModel: Int, encoderLayers: Int, encoderHeads: Int, decoderLayers: Int,
+    decoderHeads: Int, encoderFfn: Int, decoderFfn: Int, maxPositions: Int,
+    vocabSize: Int, bosTokenId: Int, eosTokenId: Int, decoderStartTokenId: Int,
+    layerNormEps: Double = 1e-5,
+) extends Serializable {
+  require(dModel % encoderHeads == 0 && dModel % decoderHeads == 0)
+}
+
+object BartConfig {
+  def fromJson(json: String): BartConfig = {
+    val n = new ObjectMapper().readTree(json)
+    def i(name: String): Int = {
+      require(n.has(name), s"bart config missing $name"); n.get(name).asInt()
+    }
+    BartConfig(
+      dModel = i("d_model"), encoderLayers = i("encoder_layers"),
+      encoderHeads = i("encoder_attention_heads"), decoderLayers = i("decoder_layers"),
+      decoderHeads = i("decoder_attention_heads"), encoderFfn = i("encoder_ffn_dim"),
+      decoderFfn = i("decoder_ffn_dim"), maxPositions = i("max_position_embeddings"),
+      vocabSize = i("vocab_size"), bosTokenId = i("bos_token_id"),
+      eosTokenId = i("eos_token_id"), decoderStartTokenId = i("decoder_start_token_id"),
+    )
+  }
+}
+
+final class BartModel(val cfg: BartConfig, weights: Map[String, Tensor])
+    extends Serializable {
+
+  private def w(name: String): Tensor = weights.getOrElse(name,
+    throw new IllegalArgumentException(s"bart checkpoint missing tensor $name"))
+
+  private def lnInPlace(x: Array[Float], m: Int, stem: String): Unit =
+    Tensors.layerNorm(x, m, cfg.dModel, w(stem + ".weight"), w(stem + ".bias"),
+      cfg.layerNormEps)
+
+  /** Post-LN residual: x = LN(x + sub). */
+  private def addNorm(x: Array[Float], sub: Array[Float], m: Int, stem: String): Unit = {
+    Tensors.addInPlace(x, sub)
+    lnInPlace(x, m, stem)
+  }
+
+  private def attend(x: Array[Float], lq: Int, kv: Array[Float], lkv: Int,
+      stem: String, heads: Int, causal: Boolean): Array[Float] = {
+    val h = cfg.dModel
+    val dh = h / heads
+    val scale = 1.0 / math.sqrt(dh.toDouble)
+    def pr(n: String) = Tensors.linear(
+      if (n == "q_proj") x else kv, if (n == "q_proj") lq else lkv, h,
+      w(s"$stem.$n.weight"), w(s"$stem.$n.bias"))
+    val q = pr("q_proj"); val k = pr("k_proj"); val v = pr("v_proj")
+    val ctx = new Array[Float](lq * h)
+    val scores = new Array[Float](lkv)
+    var hd = 0
+    while (hd < heads) {
+      val hOff = hd * dh
+      var i = 0
+      while (i < lq) {
+        var j = 0
+        while (j < lkv) {
+          if (causal && j > i) scores(j) = -1e9f
+          else {
+            var acc = 0.0
+            var d = 0
+            while (d < dh) { acc += q(i * h + hOff + d).toDouble * k(j * h + hOff + d); d += 1 }
+            scores(j) = (acc * scale).toFloat
+          }
+          j += 1
+        }
+        Tensors.softmaxRows(scores, 1, lkv)
+        var d = 0
+        while (d < dh) {
+          var acc = 0.0
+          var jj = 0
+          while (jj < lkv) { acc += scores(jj).toDouble * v(jj * h + hOff + d); jj += 1 }
+          ctx(i * h + hOff + d) = acc.toFloat
+          d += 1
+        }
+        i += 1
+      }
+      hd += 1
+    }
+    Tensors.linear(ctx, lq, h, w(s"$stem.out_proj.weight"), w(s"$stem.out_proj.bias"))
+  }
+
+  private def ffn(x: Array[Float], m: Int, p: String, ffnDim: Int): Array[Float] = {
+    val inter = Tensors.linear(x, m, cfg.dModel, w(p + "fc1.weight"), w(p + "fc1.bias"))
+    Tensors.gelu(inter)
+    Tensors.linear(inter, m, ffnDim, w(p + "fc2.weight"), w(p + "fc2.bias"))
+  }
+
+  private def embed(tokens: Seq[Int], side: String): Array[Float] = {
+    val h = cfg.dModel
+    val shared = w("model.shared.weight")
+    val pos = w(s"model.$side.embed_positions.weight")
+    val x = new Array[Float](tokens.length * h)
+    var i = 0
+    while (i < tokens.length) {
+      var k = 0
+      // learned positions are offset by 2 (HF BART/RoBERTa convention)
+      while (k < h) {
+        x(i * h + k) = shared.data(tokens(i) * h + k) + pos.data((i + 2) * h + k)
+        k += 1
+      }
+      i += 1
+    }
+    lnInPlace(x, tokens.length, s"model.$side.layernorm_embedding")
+    x
+  }
+
+  def encode(tokens: Seq[Int]): Array[Float] = {
+    val l = tokens.length
+    require(l > 0 && l + 2 <= cfg.maxPositions, s"source length $l out of range")
+    val x = embed(tokens, "encoder")
+    var layer = 0
+    while (layer < cfg.encoderLayers) {
+      val p = s"model.encoder.layers.$layer."
+      addNorm(x, attend(x, l, x, l, p + "self_attn", cfg.encoderHeads, causal = false),
+        l, p + "self_attn_layer_norm")
+      addNorm(x, ffn(x, l, p, cfg.encoderFfn), l, p + "final_layer_norm")
+      layer += 1
+    }
+    x
+  }
+
+  /** Full-recompute decoder forward → logits of the LAST position
+    * (includes `final_logits_bias`).
+    */
+  def decodeStep(tokens: Seq[Int], encStates: Array[Float], encLen: Int): Array[Float] = {
+    val l = tokens.length
+    require(l + 2 <= cfg.maxPositions, s"decode length $l out of range")
+    val h = cfg.dModel
+    val x = embed(tokens, "decoder")
+    var layer = 0
+    while (layer < cfg.decoderLayers) {
+      val p = s"model.decoder.layers.$layer."
+      addNorm(x, attend(x, l, x, l, p + "self_attn", cfg.decoderHeads, causal = true),
+        l, p + "self_attn_layer_norm")
+      addNorm(x, attend(x, l, encStates, encLen, p + "encoder_attn", cfg.decoderHeads,
+        causal = false), l, p + "encoder_attn_layer_norm")
+      addNorm(x, ffn(x, l, p, cfg.decoderFfn), l, p + "final_layer_norm")
+      layer += 1
+    }
+    val shared = w("model.shared.weight")
+    val bias = weights.get("final_logits_bias")
+    val last = (l - 1) * h
+    val logits = new Array[Float](cfg.vocabSize)
+    var vtok = 0
+    while (vtok < cfg.vocabSize) {
+      var acc: Double = bias.map(_.data(vtok).toDouble).getOrElse(0.0)
+      var k = 0
+      while (k < h) { acc += x(last + k).toDouble * shared.data(vtok * h + k); k += 1 }
+      logits(vtok) = acc.toFloat
+      vtok += 1
+    }
+    logits
+  }
+
+  /** Greedy summary token ids (start token not included; stops at EOS). */
+  def summarize(sourceTokens: Seq[Int], maxNewTokens: Int): Seq[Int] = {
+    val enc = encode(sourceTokens)
+    var tokens = Vector(cfg.decoderStartTokenId)
+    val out = Vector.newBuilder[Int]
+    var n = 0
+    var done = false
+    while (!done && n < maxNewTokens && tokens.length + 2 < cfg.maxPositions) {
+      val logits = decodeStep(tokens, enc, sourceTokens.length)
+      var best = 0
+      var i = 1
+      while (i < logits.length) { if (logits(i) > logits(best)) best = i; i += 1 }
+      if (best == cfg.eosTokenId) done = true
+      else { tokens :+= best; out += best; n += 1 }
+    }
+    out.result()
+  }
+}

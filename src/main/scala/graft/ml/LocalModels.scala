@@ -604,6 +604,118 @@ object LocalModels {
   }
 
   // ---------------------------------------------------------------------
+  // BART summarization (reference huggingface.py:1287)
+  // ---------------------------------------------------------------------
+
+  final class BartBundle(val cfg: BartConfig, val weights: Map[String, Tensor],
+      val vocab: Map[String, Int], val merges: Seq[(String, String)])
+      extends Serializable {
+    @transient lazy val model: BartModel = new BartModel(cfg, weights)
+    @transient lazy val tokenizer: Bpe =
+      new Bpe(vocab, merges, clipMode = false, unkToken = "</s>")
+    def encodeSource(text: String, maxLen: Int): Seq[Int] =
+      cfg.bosTokenId +: tokenizer.encode(text).take(maxLen - 2) :+ cfg.eosTokenId
+  }
+
+  def loadBart(modelDir: String): BartBundle = {
+    val cfg = BartConfig.fromJson(new String(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")), StandardCharsets.UTF_8))
+    val weights = SafeTensors.read(Paths.get(modelDir, "model.safetensors").toString)
+    val node = new ObjectMapper().readTree(
+      Files.readAllBytes(Paths.get(modelDir, "vocab.json")))
+    val vocab = scala.jdk.CollectionConverters.IteratorHasAsScala(node.properties().iterator())
+      .asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
+    new BartBundle(cfg, weights, vocab, readMerges(modelDir))
+  }
+
+  /** Append `outCol: string` — greedy abstractive summary (reference
+    * summarization, `huggingface.py:1287`). Null → null.
+    */
+  def summarization(df: DataFrame, textCol: String, outCol: String,
+      modelDir: String, maxSourceTokens: Int = 256, maxNewTokens: Int = 24): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadBart(modelDir))
+    val idx = df.schema.fieldIndex(textCol)
+    val schema = StructType(df.schema.fields :+ StructField(outCol, StringType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val src = bundle.encodeSource(r.getString(idx), maxSourceTokens)
+            val ids = bundle.model.summarize(src, maxNewTokens)
+            bundle.tokenizer.decode(ids,
+              Set(bundle.cfg.bosTokenId, bundle.cfg.eosTokenId, bundle.cfg.decoderStartTokenId))
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Deterministic tiny BART checkpoint (byte-level vocab + specials). */
+  def writeTinyBartModel(dir: String, seed: Long = 42L, dModel: Int = 16,
+      layers: Int = 2, heads: Int = 2, ffn: Int = 32, maxPos: Int = 64): Unit = {
+    val byteToks = Bpe.byteToUnicode.map(_.toString).toSeq
+    val vocabToks = byteToks ++ Seq("<s>", "</s>", "<pad>")
+    val bosId = 256; val eosId = 257
+    val rnd = new java.util.Random(seed)
+    def gauss(n: Int, scale: Double): Array[Float] =
+      Array.fill(n)((rnd.nextGaussian() * scale).toFloat)
+    def t(shape: Int*)(scale: Double): Tensor =
+      Tensor(shape.toArray, gauss(shape.product, scale))
+    def ones(n: Int): Tensor = Tensor(Array(n), Array.fill(n)(1f))
+    def zeros(n: Int): Tensor = Tensor(Array(n), new Array[Float](n))
+    val ts = scala.collection.mutable.ArrayBuffer.empty[(String, Tensor)]
+    ts += "model.shared.weight" -> t(vocabToks.length, dModel)(0.1)
+    ts += "final_logits_bias" -> t(vocabToks.length)(0.02)
+    for (side <- Seq("encoder", "decoder")) {
+      ts += s"model.$side.embed_positions.weight" -> t(maxPos, dModel)(0.02)
+      ts += s"model.$side.layernorm_embedding.weight" -> ones(dModel)
+      ts += s"model.$side.layernorm_embedding.bias" -> zeros(dModel)
+      for (i <- 0 until layers) {
+        val p = s"model.$side.layers.$i."
+        val attns = if (side == "decoder") Seq("self_attn", "encoder_attn") else Seq("self_attn")
+        attns.foreach { a =>
+          Seq("q_proj", "k_proj", "v_proj", "out_proj").foreach { pr =>
+            ts += s"$p$a.$pr.weight" -> t(dModel, dModel)(0.08)
+            ts += s"$p$a.$pr.bias" -> t(dModel)(0.02)
+          }
+          ts += s"$p${a}_layer_norm.weight" -> ones(dModel)
+          ts += s"$p${a}_layer_norm.bias" -> zeros(dModel)
+        }
+        ts += s"${p}fc1.weight" -> t(ffn, dModel)(0.08)
+        ts += s"${p}fc1.bias" -> t(ffn)(0.02)
+        ts += s"${p}fc2.weight" -> t(dModel, ffn)(0.08)
+        ts += s"${p}fc2.bias" -> t(dModel)(0.02)
+        ts += s"${p}final_layer_norm.weight" -> ones(dModel)
+        ts += s"${p}final_layer_norm.bias" -> zeros(dModel)
+      }
+    }
+    Files.createDirectories(Paths.get(dir))
+    SafeTensors.write(Paths.get(dir, "model.safetensors").toString, ts.toSeq,
+      Map("format" -> "pt"))
+    val cfgJson =
+      s"""{"model_type":"bart","d_model":$dModel,"encoder_layers":$layers,
+         |"encoder_attention_heads":$heads,"decoder_layers":$layers,
+         |"decoder_attention_heads":$heads,"encoder_ffn_dim":$ffn,
+         |"decoder_ffn_dim":$ffn,"max_position_embeddings":$maxPos,
+         |"vocab_size":${vocabToks.length},"bos_token_id":$bosId,
+         |"eos_token_id":$eosId,"decoder_start_token_id":$eosId}""".stripMargin
+    Files.write(Paths.get(dir, "config.json"), cfgJson.getBytes(StandardCharsets.UTF_8))
+    Bpe.writeFiles(Paths.get(dir, "vocab.json").toString,
+      Paths.get(dir, "merges.txt").toString, vocabToks, Seq.empty)
+  }
+
+  def ensureTinyBartModel(seed: Long = 42L): String = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_bart_s$seed")
+    val marker = dir.resolve("merges.txt")
+    if (!Files.exists(marker)) writeTinyBartModel(dir.toString, seed)
+    dir.toString
+  }
+
+  // ---------------------------------------------------------------------
   // Whisper speech-to-text (reference huggingface.py:979)
   // ---------------------------------------------------------------------
 
