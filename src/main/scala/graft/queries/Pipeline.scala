@@ -1161,5 +1161,94 @@ object Pipeline {
              |    AS token_share
              |FROM b ORDER BY len_bucket""".stripMargin),
     ),
+    QueryDef(
+      "q118_pagerank_neardup",
+      (s, dir) => {
+        // PageRank centrality over the near-duplicate graph (q98's exact-
+        // Jaccard edges; LSH banding q33 is the candidate-generation scale
+        // path): which documents sit at the center of duplication
+        // clusters. Five power iterations, each one equi-join (edges ×
+        // ranks) + one groupBy on the destination — the canonical
+        // iterative-shuffle shape; at 100 TB you checkpoint the rank DF
+        // between iterations, the per-round plan is unchanged. Engine
+        // parity: ALL integer math — ranks in micro-units, contributions
+        // via integer division (Spark `div` ≡ DuckDB `//` on
+        // non-negatives), damping as (85·s)//100 + 150000 — so the hash
+        // gate is exact with no float accumulation anywhere.
+        import org.apache.spark.sql.DataFrame
+        val docs = T(s, dir, "documents")
+          .filter(col("n_chars") >= 3 && col("doc_id") < 200)
+          .select(col("doc_id"), array_sort(shingles(col("text"))).as("sh"))
+        val pairs = docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"))
+          .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")),
+            col("doc_a") < col("doc_b") &&
+            size(col("sha")).cast("double") >= lit(0.6) * size(col("shb")) &&
+            size(col("shb")).cast("double") >= lit(0.6) * size(col("sha")))
+          .select(col("doc_a"), col("doc_b"),
+            size(col("sha")).as("_na"), size(col("shb")).as("_nb"),
+            graft.plans.NativeVector.sortedIntersectCount(s,
+              col("sha"), col("shb")).as("_ni"))
+          .filter(col("_ni").cast("double") /
+            (col("_na") + col("_nb") - col("_ni")) >= 0.6)
+          .select(col("doc_a"), col("doc_b"))
+        val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("w"))
+          .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("w")))
+          .distinct().cache()
+        val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        val nodes = edges.select(col("u").as("v")).distinct()
+        var ranks: DataFrame = nodes.select(col("v"), lit(1000000L).as("r"))
+        for (_ <- 1 to 5) {
+          val contrib = edges.join(deg, Seq("u"))
+            .join(ranks.withColumnRenamed("v", "u"), Seq("u"))
+            .select(col("w").as("v"), expr("r div d").as("c"))
+            .groupBy(col("v")).agg(sum(col("c")).as("s"))
+          ranks = nodes.join(contrib, Seq("v"), "left")
+            .select(col("v"),
+              expr("150000L + (85L * coalesce(s, 0L)) div 100L").as("r"))
+        }
+        ranks.join(deg.withColumnRenamed("u", "v"), Seq("v"))
+          .select(col("v").cast("long").as("doc_id"),
+            col("d").cast("long").as("deg"), col("r").as("pr_micro"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some(s"""WITH pairs AS (
+              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM
+              |    (SELECT doc_id, $shinglesSql AS sh FROM documents
+              |     WHERE n_chars >= 3 AND doc_id < 200) a
+              |  JOIN
+              |    (SELECT doc_id, $shinglesSql AS sh FROM documents
+              |     WHERE n_chars >= 3 AND doc_id < 200) b
+              |  ON a.doc_id < b.doc_id
+              |  AND len(list_intersect(a.sh, b.sh))::DOUBLE /
+              |      len(list_distinct(list_concat(a.sh, b.sh))) >= 0.6),
+              |edges AS (SELECT doc_a AS u, doc_b AS w FROM pairs
+              |          UNION SELECT doc_b, doc_a FROM pairs),
+              |deg AS (SELECT u, count(*) AS d FROM edges GROUP BY 1),
+              |n AS (SELECT DISTINCT u AS v FROM edges),
+              |p0 AS (SELECT v, 1000000::BIGINT AS r FROM n),
+              |p1 AS (SELECT n.v, 150000 + (85 * coalesce(c.s, 0)) // 100 AS r
+              |  FROM n LEFT JOIN (SELECT e.w AS v, sum(p.r // d.d) AS s
+              |    FROM edges e JOIN p0 p ON p.v = e.u JOIN deg d ON d.u = e.u
+              |    GROUP BY 1) c ON c.v = n.v),
+              |p2 AS (SELECT n.v, 150000 + (85 * coalesce(c.s, 0)) // 100 AS r
+              |  FROM n LEFT JOIN (SELECT e.w AS v, sum(p.r // d.d) AS s
+              |    FROM edges e JOIN p1 p ON p.v = e.u JOIN deg d ON d.u = e.u
+              |    GROUP BY 1) c ON c.v = n.v),
+              |p3 AS (SELECT n.v, 150000 + (85 * coalesce(c.s, 0)) // 100 AS r
+              |  FROM n LEFT JOIN (SELECT e.w AS v, sum(p.r // d.d) AS s
+              |    FROM edges e JOIN p2 p ON p.v = e.u JOIN deg d ON d.u = e.u
+              |    GROUP BY 1) c ON c.v = n.v),
+              |p4 AS (SELECT n.v, 150000 + (85 * coalesce(c.s, 0)) // 100 AS r
+              |  FROM n LEFT JOIN (SELECT e.w AS v, sum(p.r // d.d) AS s
+              |    FROM edges e JOIN p3 p ON p.v = e.u JOIN deg d ON d.u = e.u
+              |    GROUP BY 1) c ON c.v = n.v),
+              |p5 AS (SELECT n.v, 150000 + (85 * coalesce(c.s, 0)) // 100 AS r
+              |  FROM n LEFT JOIN (SELECT e.w AS v, sum(p.r // d.d) AS s
+              |    FROM edges e JOIN p4 p ON p.v = e.u JOIN deg d ON d.u = e.u
+              |    GROUP BY 1) c ON c.v = n.v)
+              |SELECT p5.v AS doc_id, deg.d::BIGINT AS deg, p5.r AS pr_micro
+              |FROM p5 JOIN deg ON deg.u = p5.v
+              |ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
