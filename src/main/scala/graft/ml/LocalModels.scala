@@ -500,6 +500,119 @@ object LocalModels {
   }
 
   // ---------------------------------------------------------------------
+  // Image captioning: VisionEncoderDecoder (reference huggingface.py:1234)
+  // ---------------------------------------------------------------------
+
+  final class CaptionBundle(val vitCfg: VitConfig, val gptCfg: Gpt2Config,
+      val weights: Map[String, Tensor], val vocab: Map[String, Int],
+      val merges: Seq[(String, String)]) extends Serializable {
+    @transient lazy val model: CaptionModel = new CaptionModel(vitCfg, gptCfg, weights)
+    @transient lazy val tokenizer: Bpe =
+      new Bpe(vocab, merges, clipMode = false, unkToken = "<|endoftext|>")
+  }
+
+  /** Load a combined VisionEncoderDecoder checkpoint: `encoder.*` names
+    * remap to the ViT tower's `vit.*`, `decoder.transformer.*` to bare
+    * GPT-2 names; `decoder.lm_head` is tied and dropped.
+    */
+  def loadCaptioner(modelDir: String): CaptionBundle = {
+    val node = new ObjectMapper().readTree(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")))
+    val m = new ObjectMapper()
+    val vitCfg = VitConfig.fromJson(m.writeValueAsString(node.get("encoder")))
+    val gptCfg = Gpt2Config.fromJson(m.writeValueAsString(node.get("decoder")))
+    val raw = SafeTensors.read(Paths.get(modelDir, "model.safetensors").toString)
+    val weights = raw.flatMap { case (k, v) =>
+      if (k.startsWith("encoder.")) Some(s"vit.${k.substring(8)}" -> v)
+      else if (k.startsWith("decoder.transformer.")) Some(k.substring(20) -> v)
+      else if (k.startsWith("decoder.lm_head")) None // tied to wte
+      else Some(k -> v)
+    }
+    val vnode = new ObjectMapper().readTree(
+      Files.readAllBytes(Paths.get(modelDir, "vocab.json")))
+    val vocab = scala.jdk.CollectionConverters.IteratorHasAsScala(vnode.properties().iterator())
+      .asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
+    new CaptionBundle(vitCfg, gptCfg, weights, vocab, readMerges(modelDir))
+  }
+
+  /** Append `outCol: string` — greedy image caption (reference
+    * image_captioning, `huggingface.py:1234`). Null image → null.
+    */
+  def imageCaptioning(df: DataFrame, imageCol: String, outCol: String,
+      modelDir: String, maxNewTokens: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadCaptioner(modelDir))
+    val idx = df.schema.fieldIndex(imageCol)
+    val schema = StructType(df.schema.fields :+ StructField(outCol, StringType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val pix = bundle.model.preprocess(
+              graft.functions.Images.decode(r.getAs[Array[Byte]](idx)))
+            bundle.tokenizer.decode(bundle.model.caption(pix, maxNewTokens))
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Deterministic tiny ViT-GPT2 captioner in the combined HF layout. */
+  def writeTinyCaptionModel(dir: String, seed: Long = 42L, hidden: Int = 16,
+      layers: Int = 2, heads: Int = 2, imageSize: Int = 16, patchSize: Int = 8,
+      nPositions: Int = 32): Unit = {
+    // encoder: reuse the ViT writer, then remap names into the combined
+    // layout (exercises the load-time remapping path end-to-end)
+    val tmpV = Files.createTempDirectory("cap-vit").toString
+    writeTinyVitModel(tmpV, seed, hidden, layers, heads, hidden * 2, imageSize,
+      patchSize, numLabels = 2)
+    val vitW = SafeTensors.read(Paths.get(tmpV, "model.safetensors").toString)
+      .filter { case (k, _) => !k.startsWith("classifier") }
+      .map { case (k, v) => s"encoder.${k.stripPrefix("vit.")}" -> v }
+    val tmpG = Files.createTempDirectory("cap-gpt").toString
+    writeTinyGpt2Model(tmpG, seed + 1, hidden, layers, heads, nPositions)
+    val gptW = SafeTensors.read(Paths.get(tmpG, "model.safetensors").toString)
+      .map { case (k, v) => s"decoder.transformer.$k" -> v }
+    // cross-attention additions per decoder layer
+    val rnd = new java.util.Random(seed + 2)
+    def gauss(n: Int, scale: Double): Array[Float] =
+      Array.fill(n)((rnd.nextGaussian() * scale).toFloat)
+    val crossW = (0 until layers).flatMap { i =>
+      val p = s"decoder.transformer.h.$i."
+      Seq(
+        s"${p}crossattention.q_attn.weight" -> Tensor(Array(hidden, hidden), gauss(hidden * hidden, 0.08)),
+        s"${p}crossattention.q_attn.bias" -> Tensor(Array(hidden), gauss(hidden, 0.02)),
+        s"${p}crossattention.c_attn.weight" -> Tensor(Array(hidden, 2 * hidden), gauss(2 * hidden * hidden, 0.08)),
+        s"${p}crossattention.c_attn.bias" -> Tensor(Array(2 * hidden), gauss(2 * hidden, 0.02)),
+        s"${p}crossattention.c_proj.weight" -> Tensor(Array(hidden, hidden), gauss(hidden * hidden, 0.08)),
+        s"${p}crossattention.c_proj.bias" -> Tensor(Array(hidden), gauss(hidden, 0.02)),
+        s"${p}ln_cross_attn.weight" -> Tensor(Array(hidden), Array.fill(hidden)(1f)),
+        s"${p}ln_cross_attn.bias" -> Tensor(Array(hidden), new Array[Float](hidden)),
+      )
+    }
+    Files.createDirectories(Paths.get(dir))
+    SafeTensors.write(Paths.get(dir, "model.safetensors").toString,
+      (vitW ++ gptW ++ crossW).toSeq.sortBy(_._1), Map("format" -> "pt"))
+    val vitJson = new String(Files.readAllBytes(Paths.get(tmpV, "config.json")), StandardCharsets.UTF_8)
+    val gptJson = new String(Files.readAllBytes(Paths.get(tmpG, "config.json")), StandardCharsets.UTF_8)
+    Files.write(Paths.get(dir, "config.json"),
+      s"""{"model_type":"vision-encoder-decoder","encoder":$vitJson,"decoder":$gptJson}"""
+        .getBytes(StandardCharsets.UTF_8))
+    Files.copy(Paths.get(tmpG, "vocab.json"), Paths.get(dir, "vocab.json"))
+    Files.copy(Paths.get(tmpG, "merges.txt"), Paths.get(dir, "merges.txt"))
+  }
+
+  def ensureTinyCaptionModel(seed: Long = 42L): String = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_caption_s$seed")
+    val marker = dir.resolve("merges.txt")
+    if (!Files.exists(marker)) writeTinyCaptionModel(dir.toString, seed)
+    dir.toString
+  }
+
+  // ---------------------------------------------------------------------
   // GPT-2 text generation (reference huggingface.py:1113)
   // ---------------------------------------------------------------------
 

@@ -49,9 +49,19 @@ final class VitModel(val cfg: VitConfig, weights: Map[String, Tensor])
     throw new IllegalArgumentException(s"vit checkpoint missing tensor $name"))
 
   /** pix: CHW float array (3·S·S, already resized+normalized) → class
-    * logits.
+    * logits (classifier over the final-layernormed CLS state).
     */
   def classifyLogits(pix: Array[Float]): Array[Float] = {
+    val states = encodeStates(pix)
+    val clsOut = java.util.Arrays.copyOfRange(states, 0, cfg.hiddenSize)
+    Tensors.linear(clsOut, 1, cfg.hiddenSize, w("classifier.weight"), w("classifier.bias"))
+  }
+
+  /** Full encoder: final-layernormed hidden states of ALL positions
+    * ([1+numPatches] · hidden) — the `last_hidden_state` a
+    * VisionEncoderDecoder captioner cross-attends over.
+    */
+  def encodeStates(pix: Array[Float]): Array[Float] = {
     val s = cfg.imageSize; val p = cfg.patchSize; val grid = s / p
     val h = cfg.hiddenSize
     val l = 1 + grid * grid
@@ -151,11 +161,12 @@ final class VitModel(val cfg: VitConfig, weights: Map[String, Tensor])
         w(p0 + "output.dense.weight"), w(p0 + "output.dense.bias")))
       layer += 1
     }
-    val clsOut = java.util.Arrays.copyOfRange(x, 0, h)
-    Tensors.layerNorm(clsOut, 1, h, w("vit.layernorm.weight"),
+    Tensors.layerNorm(x, l, h, w("vit.layernorm.weight"),
       w("vit.layernorm.bias"), cfg.layerNormEps)
-    Tensors.linear(clsOut, 1, h, w("classifier.weight"), w("classifier.bias"))
+    x
   }
+
+  def seqLen: Int = 1 + (cfg.imageSize / cfg.patchSize) * (cfg.imageSize / cfg.patchSize)
 
   /** ViT default preprocessing: bilinear resize, scale to [0,1],
     * normalize mean 0.5 / std 0.5 per channel → CHW.

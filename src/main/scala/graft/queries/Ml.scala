@@ -141,5 +141,43 @@ object Ml {
       },
       None,
     ),
+    QueryDef(
+      "q119_image_caption",
+      (s, dir) => {
+        // VisionEncoderDecoder image captioning (reference
+        // huggingface.py:1234, the vit-gpt2 composition) plus ViT
+        // classification (huggingface.py:899) over per-doc synthesized
+        // PNGs. Both towers broadcast-weights map-only; greedy decode
+        // cross-attends over the full ViT hidden states. Self-checks:
+        // top_score ∈ (0, 1] (softmax head), caption length bounded by
+        // maxNewTokens·4 bytes, deterministic rows-only hash. Decoder
+        // math pinned by CaptionSpec's independent naive cross-check.
+        import graft.functions.Images
+        val capDir = graft.ml.LocalModels.ensureTinyCaptionModel(seed = 42L)
+        val vitDir = graft.ml.LocalModels.ensureTinyVitModel(seed = 42L)
+        val docs = T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(col("doc_id"))
+          .withColumn("png", Images.makeSolidPng(
+            (col("doc_id") % 12 + 8).cast("int"),
+            (col("doc_id") % 6 + 8).cast("int"),
+            (col("doc_id") * 2654435L % 0xffffff).cast("int")))
+          .repartition(8, col("doc_id"))
+        val withCls = graft.ml.LocalModels.imageClassification(
+          docs, "png", "cls", vitDir, topK = 1)
+        val withCap = graft.ml.LocalModels.imageCaptioning(
+          withCls, "png", "cap", capDir, maxNewTokens = 6)
+        QueryUtil.orderedSmall(
+          withCap.select(
+            col("doc_id"),
+            element_at(col("cls"), 1).getField("label").as("top_label"),
+            round(element_at(col("cls"), 1).getField("score").cast("double"), 4)
+              .as("top_score"),
+            length(col("cap")).cast("long").as("cap_chars"),
+            col("cap")),
+          col("doc_id"))
+      },
+      None, // greedy cross-attention decode not SQL-expressible
+    ),
   )
 }
