@@ -1,7 +1,8 @@
 package graft.ml
 
 import com.fasterxml.jackson.databind.ObjectMapper
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{expr, struct}
 import org.apache.spark.sql.types._
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
@@ -496,6 +497,187 @@ object LocalModels {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_vit_s$seed")
     val marker = dir.resolve("config.json")
     if (!Files.exists(marker)) writeTinyVitModel(dir.toString, seed)
+    dir.toString
+  }
+
+  // ---------------------------------------------------------------------
+  // DETR object detection (reference huggingface.py:220)
+  // ---------------------------------------------------------------------
+
+  final class DetrBundle(val cfg: DetrConfig, val weights: Map[String, Tensor])
+      extends Serializable {
+    @transient lazy val model: DetrModel = new DetrModel(cfg, weights)
+  }
+
+  def loadDetr(modelDir: String): DetrBundle = {
+    val cfg = DetrConfig.fromJson(new String(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")), StandardCharsets.UTF_8))
+    new DetrBundle(cfg,
+      SafeTensors.read(Paths.get(modelDir, "model.safetensors").toString))
+  }
+
+  /** Append `outCol: struct<scores array<float>, labels array<int>,
+    * label_text array<string>, boxes array<array<float>>>` — DETR object
+    * detections of an encoded-image binary column, mirroring the
+    * reference's response dict (`huggingface.py:239-255`; boxes are
+    * [x1, y1, x2, y2] in ORIGINAL image pixels, like its
+    * `target_sizes=[(h, w)]` call). Null image → null.
+    */
+  def objectDetection(df: DataFrame, imageCol: String, outCol: String,
+      modelDir: String, threshold: Float = 0.5f, shortestEdge: Int = 800,
+      maxSize: Int = 1333): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadDetr(modelDir))
+    val idx = df.schema.fieldIndex(imageCol)
+    val outType = StructType(Seq(
+      StructField("scores", ArrayType(FloatType)),
+      StructField("labels", ArrayType(IntegerType)),
+      StructField("label_text", ArrayType(StringType)),
+      StructField("boxes", ArrayType(ArrayType(FloatType)))))
+    val schema = StructType(df.schema.fields :+ StructField(outCol, outType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val img = graft.functions.Images.decode(r.getAs[Array[Byte]](idx))
+            val (pix, h, wd) = bundle.model.preprocess(img, shortestEdge, maxSize)
+            val (logits, boxes) = bundle.model.detect(pix, h, wd)
+            val dets = bundle.model.postProcess(logits, boxes, threshold,
+              img.getWidth, img.getHeight)
+            Row(dets.map(_.score), dets.map(_.label), dets.map(_.labelText),
+              dets.map(_.box.toSeq))
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** COCO-format conversion of an `objectDetection` output struct — the
+    * reference's `detr_to_coco` (`huggingface.py:379`): [x1, y1, x2, y2]
+    * boxes become [x, y, w, h] annotations plus the image size. Pure
+    * column expression (codegen'd, no UDF).
+    */
+  def detrToCoco(detCol: String, width: Column, height: Column): Column =
+    struct(
+      struct(width.as("width"), height.as("height")).as("image"),
+      expr(s"transform(arrays_zip($detCol.boxes, $detCol.labels), " +
+        "z -> struct(array(z.boxes[0], z.boxes[1], z.boxes[2] - z.boxes[0], " +
+        "z.boxes[3] - z.boxes[1]) AS bbox, z.labels AS category))")
+        .as("annotations"))
+
+  /** Deterministic tiny DETR checkpoint (bottleneck ResNet backbone) in
+    * the `use_timm_backbone=false` HF layout.
+    */
+  def writeTinyDetrModel(dir: String, seed: Long = 42L, dModel: Int = 16,
+      layers: Int = 2, heads: Int = 2, ffn: Int = 32, numQueries: Int = 8,
+      numLabels: Int = 3, embeddingSize: Int = 4,
+      hiddenSizes: Seq[Int] = Seq(8, 16), depths: Seq[Int] = Seq(1, 2)): Unit = {
+    val rnd = new java.util.Random(seed)
+    def gauss(n: Int, scale: Double): Array[Float] =
+      Array.fill(n)((rnd.nextGaussian() * scale).toFloat)
+    def t(shape: Int*)(scale: Double): Tensor =
+      Tensor(shape.toArray, gauss(shape.product, scale))
+    def ones(n: Int): Tensor = Tensor(Array(n), Array.fill(n)(1f))
+    def zeros(n: Int): Tensor = Tensor(Array(n), new Array[Float](n))
+    val ts = scala.collection.mutable.ArrayBuffer.empty[(String, Tensor)]
+    val BB = "model.backbone.conv_encoder.model."
+    def bn(stem: String, c: Int): Unit = {
+      ts += s"$stem.weight" -> Tensor(Array(c), Array.fill(c)(1f + rnd.nextGaussian().toFloat * 0.05f))
+      ts += s"$stem.bias" -> t(c)(0.05)
+      ts += s"$stem.running_mean" -> t(c)(0.1)
+      ts += s"$stem.running_var" -> Tensor(Array(c),
+        Array.fill(c)(1f + math.abs(rnd.nextGaussian()).toFloat * 0.2f))
+    }
+    ts += BB + "embedder.embedder.convolution.weight" -> t(embeddingSize, 3, 7, 7)(0.08)
+    bn(BB + "embedder.embedder.normalization", embeddingSize)
+    var cin = embeddingSize
+    hiddenSizes.indices.foreach { s =>
+      val out = hiddenSizes(s); val reduces = out / 4
+      (0 until depths(s)).foreach { l =>
+        val p = BB + s"encoder.stages.$s.layers.$l."
+        if (l == 0 && (cin != out || s > 0)) {
+          ts += s"${p}shortcut.convolution.weight" -> t(out, cin, 1, 1)(0.15)
+          bn(s"${p}shortcut.normalization", out)
+        }
+        ts += s"${p}layer.0.convolution.weight" -> t(reduces, cin, 1, 1)(0.15)
+        bn(s"${p}layer.0.normalization", reduces)
+        ts += s"${p}layer.1.convolution.weight" -> t(reduces, reduces, 3, 3)(0.1)
+        bn(s"${p}layer.1.normalization", reduces)
+        ts += s"${p}layer.2.convolution.weight" -> t(out, reduces, 1, 1)(0.15)
+        bn(s"${p}layer.2.normalization", out)
+        cin = out
+      }
+    }
+    ts += "model.input_projection.weight" -> t(dModel, hiddenSizes.last, 1, 1)(0.1)
+    ts += "model.input_projection.bias" -> t(dModel)(0.02)
+    ts += "model.query_position_embeddings.weight" -> t(numQueries, dModel)(0.3)
+    def attn(p: String): Unit = {
+      Seq("q_proj", "k_proj", "v_proj", "out_proj").foreach { proj =>
+        ts += s"$p$proj.weight" -> t(dModel, dModel)(0.1)
+        ts += s"$p$proj.bias" -> t(dModel)(0.02)
+      }
+    }
+    (0 until layers).foreach { i =>
+      val p = s"model.encoder.layers.$i."
+      attn(p + "self_attn.")
+      ts += s"${p}self_attn_layer_norm.weight" -> ones(dModel)
+      ts += s"${p}self_attn_layer_norm.bias" -> zeros(dModel)
+      ts += s"${p}fc1.weight" -> t(ffn, dModel)(0.08)
+      ts += s"${p}fc1.bias" -> t(ffn)(0.02)
+      ts += s"${p}fc2.weight" -> t(dModel, ffn)(0.08)
+      ts += s"${p}fc2.bias" -> t(dModel)(0.02)
+      ts += s"${p}final_layer_norm.weight" -> ones(dModel)
+      ts += s"${p}final_layer_norm.bias" -> zeros(dModel)
+    }
+    (0 until layers).foreach { i =>
+      val p = s"model.decoder.layers.$i."
+      attn(p + "self_attn.")
+      ts += s"${p}self_attn_layer_norm.weight" -> ones(dModel)
+      ts += s"${p}self_attn_layer_norm.bias" -> zeros(dModel)
+      attn(p + "encoder_attn.")
+      ts += s"${p}encoder_attn_layer_norm.weight" -> ones(dModel)
+      ts += s"${p}encoder_attn_layer_norm.bias" -> zeros(dModel)
+      ts += s"${p}fc1.weight" -> t(ffn, dModel)(0.08)
+      ts += s"${p}fc1.bias" -> t(ffn)(0.02)
+      ts += s"${p}fc2.weight" -> t(dModel, ffn)(0.08)
+      ts += s"${p}fc2.bias" -> t(dModel)(0.02)
+      ts += s"${p}final_layer_norm.weight" -> ones(dModel)
+      ts += s"${p}final_layer_norm.bias" -> zeros(dModel)
+    }
+    ts += "model.decoder.layernorm.weight" -> ones(dModel)
+    ts += "model.decoder.layernorm.bias" -> zeros(dModel)
+    ts += "class_labels_classifier.weight" -> t(numLabels + 1, dModel)(0.3)
+    ts += "class_labels_classifier.bias" -> t(numLabels + 1)(0.1)
+    (0 until 3).foreach { i =>
+      val outD = if (i == 2) 4 else dModel
+      ts += s"bbox_predictor.layers.$i.weight" -> t(outD, dModel)(0.15)
+      ts += s"bbox_predictor.layers.$i.bias" -> t(outD)(0.05)
+    }
+    Files.createDirectories(Paths.get(dir))
+    SafeTensors.write(Paths.get(dir, "model.safetensors").toString, ts.toSeq,
+      Map("format" -> "pt"))
+    val id2label = (0 until numLabels).map(i => s""""$i":"OBJ_$i"""").mkString(",")
+    val cfgJson =
+      s"""{"model_type":"detr","d_model":$dModel,"encoder_layers":$layers,
+         |"decoder_layers":$layers,"encoder_attention_heads":$heads,
+         |"decoder_attention_heads":$heads,"encoder_ffn_dim":$ffn,
+         |"decoder_ffn_dim":$ffn,"num_queries":$numQueries,
+         |"use_timm_backbone":false,
+         |"backbone_config":{"model_type":"resnet","layer_type":"bottleneck",
+         |"embedding_size":$embeddingSize,
+         |"hidden_sizes":[${hiddenSizes.mkString(",")}],
+         |"depths":[${depths.mkString(",")}]},
+         |"id2label":{$id2label}}""".stripMargin
+    Files.write(Paths.get(dir, "config.json"), cfgJson.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def ensureTinyDetrModel(seed: Long = 42L): String = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_detr_s$seed")
+    val marker = dir.resolve("config.json")
+    if (!Files.exists(marker)) writeTinyDetrModel(dir.toString, seed)
     dir.toString
   }
 

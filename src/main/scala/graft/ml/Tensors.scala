@@ -186,4 +186,123 @@ object Tensors {
       while (i < v.length) { v(i) = (v(i) * inv).toFloat; i += 1 }
     }
   }
+
+  // -------------------------------------------------------------------
+  // Convolutional kernels (the ResNet backbone a DETR tower sits on)
+  // -------------------------------------------------------------------
+
+  /** 2-D convolution over one CHW image. `w` is the torch layout
+    * [cout, cin, kh, kw]; `b` may be null (HF ResNet convs are
+    * bias-free, batchnorm supplies the shift). Zero padding, Double
+    * accumulation. Returns (out, outH, outW) with out in CHW.
+    */
+  def conv2d(x: Array[Float], cin: Int, h: Int, wIn: Int, w: Tensor,
+      b: Tensor, stride: Int, pad: Int): (Array[Float], Int, Int) = {
+    require(w.rank == 4 && w.shape(1) == cin,
+      s"conv2d: weight ${w.shape.mkString("x")} vs cin $cin")
+    val cout = w.shape(0); val kh = w.shape(2); val kw = w.shape(3)
+    val oh = (h + 2 * pad - kh) / stride + 1
+    val ow = (wIn + 2 * pad - kw) / stride + 1
+    require(oh > 0 && ow > 0, s"conv2d: output ${oh}x$ow empty (input ${h}x$wIn)")
+    val y = new Array[Float](cout * oh * ow)
+    var oc = 0
+    while (oc < cout) {
+      val bias = if (b == null) 0.0 else b.data(oc).toDouble
+      var oy = 0
+      while (oy < oh) {
+        val iy0 = oy * stride - pad
+        var ox = 0
+        while (ox < ow) {
+          val ix0 = ox * stride - pad
+          var acc = bias
+          var ic = 0
+          while (ic < cin) {
+            val xBase = ic * h * wIn
+            val wBase = (oc * cin + ic) * kh * kw
+            var ky = 0
+            while (ky < kh) {
+              val iy = iy0 + ky
+              if (iy >= 0 && iy < h) {
+                val xRow = xBase + iy * wIn
+                val wRow = wBase + ky * kw
+                var kx = 0
+                while (kx < kw) {
+                  val ix = ix0 + kx
+                  if (ix >= 0 && ix < wIn) acc += x(xRow + ix).toDouble * w.data(wRow + kx)
+                  kx += 1
+                }
+              }
+              ky += 1
+            }
+            ic += 1
+          }
+          y(oc * oh * ow + oy * ow + ox) = acc.toFloat
+          ox += 1
+        }
+        oy += 1
+      }
+      oc += 1
+    }
+    (y, oh, ow)
+  }
+
+  /** In-place inference-mode (frozen) batchnorm over a CHW block:
+    * y = (x - mean) / sqrt(var + eps) * gamma + beta per channel — the
+    * DetrFrozenBatchNorm2d semantics.
+    */
+  def batchNorm2d(x: Array[Float], c: Int, hw: Int, gamma: Tensor, beta: Tensor,
+      mean: Tensor, variance: Tensor, eps: Double): Unit = {
+    require(gamma.data.length == c && mean.data.length == c, "batchNorm2d dims")
+    var ch = 0
+    while (ch < c) {
+      val scale = gamma.data(ch) / math.sqrt(variance.data(ch).toDouble + eps)
+      val shift = beta.data(ch) - mean.data(ch) * scale
+      val off = ch * hw
+      var i = 0
+      while (i < hw) { x(off + i) = (x(off + i) * scale + shift).toFloat; i += 1 }
+      ch += 1
+    }
+  }
+
+  def reluInPlace(x: Array[Float]): Unit = {
+    var i = 0
+    while (i < x.length) { if (x(i) < 0f) x(i) = 0f; i += 1 }
+  }
+
+  /** Max-pool one CHW image (zero-pad cells never win: pads are -Inf). */
+  def maxPool2d(x: Array[Float], c: Int, h: Int, w: Int, k: Int, stride: Int,
+      pad: Int): (Array[Float], Int, Int) = {
+    val oh = (h + 2 * pad - k) / stride + 1
+    val ow = (w + 2 * pad - k) / stride + 1
+    val y = new Array[Float](c * oh * ow)
+    var ch = 0
+    while (ch < c) {
+      val base = ch * h * w
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var mx = Float.NegativeInfinity
+          var ky = 0
+          while (ky < k) {
+            val iy = oy * stride - pad + ky
+            if (iy >= 0 && iy < h) {
+              var kx = 0
+              while (kx < k) {
+                val ix = ox * stride - pad + kx
+                if (ix >= 0 && ix < w) { val v = x(base + iy * w + ix); if (v > mx) mx = v }
+                kx += 1
+              }
+            }
+            ky += 1
+          }
+          y(ch * oh * ow + oy * ow + ox) = mx
+          ox += 1
+        }
+        oy += 1
+      }
+      ch += 1
+    }
+    (y, oh, ow)
+  }
 }

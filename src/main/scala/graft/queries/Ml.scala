@@ -179,5 +179,45 @@ object Ml {
       },
       None, // greedy cross-attention decode not SQL-expressible
     ),
+    QueryDef(
+      "q120_object_detect",
+      (s, dir) => {
+        // DETR object detection (reference huggingface.py:220) + the
+        // detr_to_coco conversion (:379) over per-doc synthesized PNGs.
+        // ResNet backbone + transformer run map-only with broadcast
+        // weights; detections post-processed to original-pixel corner
+        // boxes, then converted to COCO [x, y, w, h] annotations as a
+        // pure column expression. Self-checks: n_det bounded by
+        // num_queries, scores ∈ (threshold, 1], coco annotation count
+        // equals n_det. Forward math pinned by DetrSpec's independent
+        // naive conv+transformer cross-check.
+        import graft.functions.Images
+        val modelDir = graft.ml.LocalModels.ensureTinyDetrModel(seed = 42L)
+        val docs = T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(col("doc_id"),
+            (col("doc_id") % 12 + 28).cast("int").as("w0"),
+            (col("doc_id") % 7 + 24).cast("int").as("h0"))
+          .withColumn("png", Images.makeSolidPng(col("w0"), col("h0"),
+            (col("doc_id") * 7654321L % 0xffffff).cast("int")))
+          .repartition(8, col("doc_id"))
+        val det = graft.ml.LocalModels.objectDetection(docs, "png", "det",
+          modelDir, threshold = 0.3f, shortestEdge = 24, maxSize = 48)
+        QueryUtil.orderedSmall(
+          det.withColumn("coco",
+              graft.ml.LocalModels.detrToCoco("det", col("w0"), col("h0")))
+            .select(
+              col("doc_id"),
+              size(col("det.scores")).cast("long").as("n_det"),
+              round(expr("aggregate(det.scores, cast(0.0 as double), (a, x) -> a + x)"), 4)
+                .as("score_sum"),
+              expr("array_join(det.label_text, ',')").as("labels"),
+              size(col("coco.annotations")).cast("long").as("n_coco"),
+              round(expr("aggregate(flatten(coco.annotations.bbox), cast(0.0 as double), (a, x) -> a + x)"), 2)
+                .as("bbox_mass")),
+          col("doc_id"))
+      },
+      None, // conv backbone + transformer not SQL-expressible
+    ),
   )
 }
