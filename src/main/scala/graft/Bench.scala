@@ -35,16 +35,23 @@ object Bench {
     // near-zero while computing nothing); the noop sink forces every
     // output row to be fully produced without driver materialization.
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A throw records a -1.0 sentinel, NOT the elapsed-to-failure time: a
+    // broken query fast-fails in ~0.06 s, which a round-over-round diff
+    // reads as a phantom 20x speedup (this exact failure mode hid the r6
+    // events-loader breakage inside a "faster" number).
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     }
     queries.foreach { case (_, fn) => once(fn) } // warmup pass
     val passes = Seq.fill(3)(queries.map { case (name, fn) => name -> once(fn) })
     val results = queries.map { case (name, _) =>
-      name -> passes.map(_.toMap.apply(name)).min
+      val samples = passes.map(_.toMap.apply(name))
+      val ok = samples.filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     // millisecond precision: full doubles made the line long enough that
     // the driver's tail capture truncated the leading queries out of
@@ -52,8 +59,12 @@ object Bench {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // total sums SUCCESSFUL queries only (a lower bound when errors > 0);
+    // errors are listed by name so a red query is loud, not a fast number
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver captures a bounded log tail, which has truncated the
     // lexically-first queries out of BENCH_rNN.json in past rounds (q100+

@@ -38,16 +38,26 @@ object Tables {
   )
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    // reader rejects outright; read nanos as long and truncate to micros
-    // (DuckDB's reader truncates ns → µs identically).
+    // events.parquet's ts physical type varies by generator version
+    // (TESTDATA.md "events schema contract"): TIMESTAMP(NANOS) — which
+    // Spark's parquet reader rejects unless read as long — or plain
+    // timestamp[us]. Branch on the physical schema rather than assuming.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // cast to NTZ: the corpus stores naive timestamps, and Spark 4 reads
-      // those as TIMESTAMP_NTZ — keep derived columns consistent with that.
-      df.withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
-    else df
+    if (name == "events") df.withColumn("ts", normalizeTs(df)) else df
   }
+
+  /** Normalize the events `ts` column to TIMESTAMP_NTZ regardless of the
+    * generator's physical type. LongType means nanosAsLong kicked in
+    * (TIMESTAMP(NANOS) file): truncate ns → µs exactly as DuckDB's reader
+    * does. Timestamp/NTZ means a µs file: cast only — arithmetic like
+    * `ts div 1000` would analysis-fail on TimestampType.
+    */
+  def normalizeTs(df: DataFrame): org.apache.spark.sql.Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ =>
+        col("ts").cast("timestamp_ntz")
+    }
 }

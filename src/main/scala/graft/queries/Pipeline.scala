@@ -917,9 +917,15 @@ object Pipeline {
         java.nio.file.Files.createSymbolicLink(
           stage.resolve("events.parquet"),
           java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
+        // ts physical type varies by generator version (TESTDATA.md):
+        // LongType means nanosAsLong fired on a TIMESTAMP(NANOS) file.
+        val tsNorm = schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+          case _ => col("ts").cast("timestamp_ntz")
+        }
         val stream = s.readStream.schema(schema).parquet(stage.toString)
-          .withColumn("ts",
-            timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+          .withColumn("ts", tsNorm)
         val agg = stream
           .groupBy(date_trunc("hour", col("ts")).cast("timestamp_ntz").as("hr"),
             col("event_type"))
@@ -1246,7 +1252,8 @@ object Pipeline {
               |  FROM n LEFT JOIN (SELECT e.w AS v, sum(p.r // d.d) AS s
               |    FROM edges e JOIN p4 p ON p.v = e.u JOIN deg d ON d.u = e.u
               |    GROUP BY 1) c ON c.v = n.v)
-              |SELECT p5.v AS doc_id, deg.d::BIGINT AS deg, p5.r AS pr_micro
+              |SELECT p5.v AS doc_id, deg.d::BIGINT AS deg,
+              |  p5.r::BIGINT AS pr_micro
               |FROM p5 JOIN deg ON deg.u = p5.v
               |ORDER BY doc_id""".stripMargin),
     ),

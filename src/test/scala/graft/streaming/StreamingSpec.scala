@@ -30,20 +30,18 @@ class StreamingSpec extends AnyFunSuite {
       Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
 
-  test("real events table drives a windowed stream (nanos timestamps)") {
-    // copy the corpus events file into a stream directory; its ts column is
-    // TIMESTAMP(NANOS), which must go through the nanosAsLong + div-1000
-    // conversion just like the batch path in graft.Tables
+  test("real events table drives a windowed stream (adaptive ts schema)") {
+    // copy the corpus events file into a stream directory; its ts physical
+    // type varies by generator version (TIMESTAMP(NANOS) or timestamp[us] —
+    // TESTDATA.md), so normalize exactly like the batch path in graft.Tables
     val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       dir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string")
-    val stream = spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz").cast("timestamp"))
+    val raw = spark.read.parquet(dir.toString)
+    val stream = spark.readStream.schema(raw.schema).parquet(dir.toString)
+      .withColumn("ts", graft.Tables.normalizeTs(raw).cast("timestamp"))
     val agg = Streaming.windowedCounts(stream, "ts", "event_type", "1 hour", "1 hour")
     val q = agg.writeStream.outputMode("complete")
       .format("memory").queryName("events_win").start()
