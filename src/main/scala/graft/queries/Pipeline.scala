@@ -1175,8 +1175,9 @@ object Pipeline {
         // path): which documents sit at the center of duplication
         // clusters. Five power iterations, each one equi-join (edges ×
         // ranks) + one groupBy on the destination — the canonical
-        // iterative-shuffle shape; at 100 TB you checkpoint the rank DF
-        // between iterations, the per-round plan is unchanged. Engine
+        // iterative-shuffle shape; Iterate.loop truncates lineage with an
+        // eager localCheckpoint per round so plan depth is constant in
+        // the iteration count (PageRankSpec asserts this). Engine
         // parity: ALL integer math — ranks in micro-units, contributions
         // via integer division (Spark `div` ≡ DuckDB `//` on
         // non-negatives), damping as (85·s)//100 + 150000 — so the hash
@@ -1202,13 +1203,13 @@ object Pipeline {
           .distinct().cache()
         val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
         val nodes = edges.select(col("u").as("v")).distinct()
-        var ranks: DataFrame = nodes.select(col("v"), lit(1000000L).as("r"))
-        for (_ <- 1 to 5) {
+        val ranks: DataFrame = graft.operators.Iterate.loop(
+          nodes.select(col("v"), lit(1000000L).as("r")), 5) { prev =>
           val contrib = edges.join(deg, Seq("u"))
-            .join(ranks.withColumnRenamed("v", "u"), Seq("u"))
+            .join(prev.withColumnRenamed("v", "u"), Seq("u"))
             .select(col("w").as("v"), expr("r div d").as("c"))
             .groupBy(col("v")).agg(sum(col("c")).as("s"))
-          ranks = nodes.join(contrib, Seq("v"), "left")
+          nodes.join(contrib, Seq("v"), "left")
             .select(col("v"),
               expr("150000L + (85L * coalesce(s, 0L)) div 100L").as("r"))
         }
