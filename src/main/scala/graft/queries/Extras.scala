@@ -558,7 +558,7 @@ object Extras {
         T(s, dir, "documents")
           .select(col("doc_id"), uuid.as("doc_uuid"),
             substring(h, 1, 8).as("short_id"))
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some("""SELECT doc_id,
              |concat_ws('-', substr(h, 1, 8), substr(h, 9, 4), substr(h, 13, 4),
@@ -679,7 +679,7 @@ object Extras {
             col("meta._1").cast("long").as("rw"),
             col("meta._2").cast("long").as("rh"),
             col("meta._3").as("mode"))
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some("""SELECT doc_id,
              |(doc_id % 16 + 8) * 2 AS rw,
@@ -709,7 +709,7 @@ object Extras {
             max(col("delay_ms")).cast("long").as("delay"),
             max(col("meta._1")).cast("long").as("fw"),
             max(col("meta._2")).cast("long").as("fh"))
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some("""SELECT doc_id, (doc_id % 3 + 2) AS n_frames,
              |(doc_id % 3 + 2) * (doc_id % 3 + 1) // 2 AS idx_sum,
@@ -754,7 +754,7 @@ object Extras {
             col("meta._1").cast("long").as("rate"),
             col("meta._3").cast("long").as("n_samples"),
             col("halfmeta._3").cast("long").as("n_half"))
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some("""SELECT doc_id, 16000 AS rate,
              |(doc_id % 5 + 1) * 1600 AS n_samples,
@@ -777,7 +777,7 @@ object Extras {
           .groupBy(col("doc_id"))
           .agg(round(log(sum(col("n"))) -
             sum(col("n") * log(col("n"))) / sum(col("n")), 6).as("entropy"))
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some("""SELECT doc_id,
              |round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 6) AS entropy
@@ -1107,7 +1107,7 @@ object Extras {
             min(col("fmeta._1")).as("frame_w"),
             min(col("fmeta._2")).as("frame_h"),
           )
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some("""SELECT doc_id,
              |(doc_id % 5 + 2)::INT AS frames,
@@ -1149,7 +1149,7 @@ object Extras {
             col("rme._2").cast("long").as("rh"),
             col("bb")(2).cast("long").as("bb_r"),
             col("bb")(3).cast("long").as("bb_lo"))
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some("""SELECT doc_id,
              |(19595 * ((doc_id*999 % 16777215) // 65536)
@@ -1184,7 +1184,7 @@ object Extras {
             element_at(col("ch.heading"), "h2").as("h2"),
             col("ch.sourceline").as("sourceline"),
             length(col("ch.text")).cast("long").as("chunk_len"))
-          .orderBy(col("doc_id"), col("idx"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id"), col("idx")))
       },
       Some("""SELECT doc_id, i AS idx,
              |'Doc ' || doc_id AS title,
@@ -1228,7 +1228,7 @@ object Extras {
             // speed 2.0 halves the audio: (secs*16000)/2 samples
             col("back._3").cast("long").as("n_samples"),
             col("back._1").cast("long").as("rate"))
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some("""SELECT doc_id,
              |(doc_id % 3 + 6)::INT AS rot_w,
@@ -1307,7 +1307,7 @@ object Extras {
             col("zmm.width").as("zoom_w"),
             col("zmm.height").as("zoom_h"),
             col("om.frames").as("overlay_frames"))
-          .orderBy(col("doc_id"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some("""SELECT doc_id,
              |((doc_id % 4 + 3) + (doc_id % 3 + 2) - 2)::INT AS xfade_frames,
