@@ -47,6 +47,29 @@ object Images {
 
   val makeSolidPng = udf { (w: Int, h: Int, rgb: Int) => solidPng(w, h, rgb) }
 
+  /** deterministic textured PNG (hash-colored 4×4 blocks) — test/demo
+    * image source with real spatial structure, for model gates where a
+    * solid image would make every feature-map token identical.
+    */
+  def texturedPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        var h = seed * 0x9e3779b97f4a7c15L + (y / 4).toLong * 0xc2b2ae3d27d4eb4fL +
+          (x / 4).toLong * 0x165667b19e3779f9L
+        h ^= h >>> 29; h *= 0xbf58476d1ce4e5b9L; h ^= h >>> 32
+        img.setRGB(x, y, (h & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  val makeTexturedPng = udf { (w: Int, h: Int, seed: Long) => texturedPng(w, h, seed) }
+
   /** (width, height, mode) without materializing pixels downstream */
   val getMetadata = udf { (bytes: Array[Byte]) =>
     val img = decode(bytes)

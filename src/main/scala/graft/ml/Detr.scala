@@ -70,6 +70,21 @@ object DetrConfig {
 final case class Detection(score: Float, label: Int, labelText: String,
     box: Array[Float]) // box = [x1, y1, x2, y2] in input-image pixels
 
+/** One backbone stage output: CHW data, channels, height, width. */
+final case class StageOut(data: Array[Float], c: Int, h: Int, w: Int)
+
+/** One panoptic segment: `id` matches pixel values in the segmentation
+  * map (reference `SegmentInfo`, huggingface.py:300-306).
+  */
+final case class PanopticSegment(id: Int, labelId: Int, labelText: String,
+    score: Float, wasFused: Boolean)
+
+/** `detr_for_segmentation` response (huggingface.py:308-310): the (H, W)
+  * segment-id map (−1 = unassigned) plus per-segment metadata.
+  */
+final case class PanopticResult(segmentation: Array[Array[Int]],
+    segments: Seq[PanopticSegment])
+
 final class DetrModel(val cfg: DetrConfig, weights: Map[String, Tensor])
     extends Serializable {
 
@@ -93,12 +108,16 @@ final class DetrModel(val cfg: DetrConfig, weights: Map[String, Tensor])
     (y, oh, ow)
   }
 
-  /** ResNet backbone → (C_last feature map CHW, outH, outW). */
-  def backbone(pix: Array[Float], h0: Int, w0: Int): (Array[Float], Int, Int) = {
+  /** ResNet backbone → every stage's output feature map (HF
+    * DetrConvEncoder returns all stages; detection uses only the last,
+    * the segmentation mask head takes FPN laterals from stages 2, 1, 0).
+    */
+  def backboneStages(pix: Array[Float], h0: Int, w0: Int): Seq[StageOut] = {
     var (x, h, wd) = convBn(pix, 3, h0, w0, BB + "embedder.embedder.", 2, 3, relu = true)
     var c = cfg.backbone.embeddingSize
     val mp = Tensors.maxPool2d(x, c, h, wd, 3, 2, 1)
     x = mp._1; h = mp._2; wd = mp._3
+    val stages = Seq.newBuilder[StageOut]
     var s = 0
     while (s < cfg.backbone.depths.length) {
       val out = cfg.backbone.hiddenSizes(s)
@@ -123,9 +142,16 @@ final class DetrModel(val cfg: DetrConfig, weights: Map[String, Tensor])
         x = y; h = h3; wd = w3; c = out
         l += 1
       }
+      stages += StageOut(x, c, h, wd)
       s += 1
     }
-    (x, h, wd)
+    stages.result()
+  }
+
+  /** ResNet backbone → (C_last feature map CHW, outH, outW). */
+  def backbone(pix: Array[Float], h0: Int, w0: Int): (Array[Float], Int, Int) = {
+    val last = backboneStages(pix, h0, w0).last
+    (last.data, last.h, last.w)
   }
 
   /** DetrSinePositionEmbedding (normalize=true, scale=2π, T=10000) →
@@ -211,15 +237,17 @@ final class DetrModel(val cfg: DetrConfig, weights: Map[String, Tensor])
     Tensors.linear(inter, m, w(p + "fc1.weight").rows, w(p + "fc2.weight"), w(p + "fc2.bias"))
   }
 
-  /** Full forward → (class logits [numQueries·(numLabels+1)], boxes
-    * [numQueries·4] as sigmoid (cx, cy, w, h) in [0,1]).
+  /** Transformer forward over the backbone's last stage: returns
+    * (projected feature map CHW [d·fh·fw], encoder memory [fh·fw, d]
+    * tokens, decoder hidden after final layernorm [nq, d], fh, fw).
     */
-  def detect(pix: Array[Float], h0: Int, w0: Int): (Array[Float], Array[Float]) = {
+  private def transformerForward(stages: Seq[StageOut])
+      : (Array[Float], Array[Float], Array[Float], Int, Int) = {
     val d = cfg.dModel
-    val (feat, fh, fw) = backbone(pix, h0, w0)
-    val cLast = cfg.backbone.hiddenSizes.last
+    val last = stages.last
+    val (fh, fw) = (last.h, last.w)
     // 1×1 input projection, CHW → [HW, d] tokens
-    val (proj, _, _) = Tensors.conv2d(feat, cLast, fh, fw,
+    val (proj, _, _) = Tensors.conv2d(last.data, last.c, fh, fw,
       w("model.input_projection.weight"), w("model.input_projection.bias"), 1, 0)
     val lk = fh * fw
     var src = new Array[Float](lk * d)
@@ -262,6 +290,12 @@ final class DetrModel(val cfg: DetrConfig, weights: Map[String, Tensor])
       li += 1
     }
     lnInPlace(hid, nq, "model.decoder.layernorm")
+    (proj, src, hid, fh, fw)
+  }
+
+  /** Classification + box heads over the decoder hidden states. */
+  private def heads(hid: Array[Float]): (Array[Float], Array[Float]) = {
+    val d = cfg.dModel; val nq = cfg.numQueries
     val logits = Tensors.linear(hid, nq, d,
       w("class_labels_classifier.weight"), w("class_labels_classifier.bias"))
     // 3-layer ReLU MLP box head + sigmoid
@@ -275,9 +309,223 @@ final class DetrModel(val cfg: DetrConfig, weights: Map[String, Tensor])
       if (i < 2) Tensors.reluInPlace(bx)
       i += 1
     }
-    i = 0
-    while (i < bx.length) { bx(i) = (1.0 / (1.0 + math.exp(-bx(i).toDouble))).toFloat; i += 1 }
+    Tensors.sigmoidInPlace(bx)
     (logits, bx)
+  }
+
+  /** Full forward → (class logits [numQueries·(numLabels+1)], boxes
+    * [numQueries·4] as sigmoid (cx, cy, w, h) in [0,1]).
+    */
+  def detect(pix: Array[Float], h0: Int, w0: Int): (Array[Float], Array[Float]) = {
+    val (_, _, hid, _, _) = transformerForward(backboneStages(pix, h0, w0))
+    heads(hid)
+  }
+
+  // ---- panoptic segmentation head (HF DetrForSegmentation) ------------
+
+  /** DetrMHAttentionMap: per-query multi-head 2-D attention over the
+    * encoder memory — q_linear on decoder hidden, k_linear as a 1×1 conv
+    * on the memory map, scores scaled by (d/heads)^-0.5, softmax JOINTLY
+    * over heads × H × W (the flatten(2) in the HF/original-DETR code).
+    * Returns [nq][heads·fh·fw].
+    */
+  def bboxAttention(hid: Array[Float], memory: Array[Float], fh: Int,
+      fw: Int): Array[Array[Float]] = {
+    val d = cfg.dModel; val nq = cfg.numQueries
+    val heads = cfg.numHeads; val dh = cfg.headDim
+    val lk = fh * fw
+    val normalize = 1.0 / math.sqrt(dh.toDouble)
+    val q = Tensors.linear(hid, nq, d,
+      w("bbox_attention.q_linear.weight"), w("bbox_attention.q_linear.bias"))
+    // 1×1 conv with a Linear weight ≡ plain linear on the token axis
+    val k = Tensors.linear(memory, lk, d,
+      w("bbox_attention.k_linear.weight"), w("bbox_attention.k_linear.bias"))
+    Array.tabulate(nq) { qi =>
+      val m = new Array[Float](heads * lk)
+      var hd = 0
+      while (hd < heads) {
+        val off = hd * dh
+        var t = 0
+        while (t < lk) {
+          var acc = 0.0
+          var c = 0
+          while (c < dh) { acc += q(qi * d + off + c).toDouble * normalize * k(t * d + off + c); c += 1 }
+          m(hd * lk + t) = acc.toFloat
+          t += 1
+        }
+        hd += 1
+      }
+      Tensors.softmaxRows(m, 1, heads * lk)
+      m
+    }
+  }
+
+  /** DetrMaskHeadSmallConv: FPN-style conv head. Input per query is the
+    * projected feature map concatenated with that query's attention maps
+    * ([d+heads, fh, fw]); three upsample-add lateral rounds against
+    * backbone stages 2, 1, 0 (the HF hard-coded indices); GroupNorm(8 or
+    * channel count)+ReLU between 3×3 convs; 1-channel logit output at
+    * stage-0 resolution. Returns ([nq · mh · mw] mask logits, mh, mw).
+    */
+  def maskHead(proj: Array[Float], fh: Int, fw: Int,
+      bboxMask: Array[Array[Float]], stages: Seq[StageOut])
+      : (Array[Float], Int, Int) = {
+    require(stages.length >= 3, "mask head needs >= 3 backbone stages")
+    val d = cfg.dModel; val nq = cfg.numQueries; val heads = cfg.numHeads
+    val dim = d + heads
+    def gnRelu(x: Array[Float], c: Int, hw: Int, name: String): Unit = {
+      Tensors.groupNorm(x, c, hw, math.min(8, c), w(s"mask_head.$name.weight"),
+        w(s"mask_head.$name.bias"), 1e-5)
+      Tensors.reluInPlace(x)
+    }
+    def conv3(x: Array[Float], cin: Int, h: Int, wd: Int, name: String): Array[Float] =
+      Tensors.conv2d(x, cin, h, wd, w(s"mask_head.$name.weight"),
+        w(s"mask_head.$name.bias"), 1, 1)._1
+    // lateral adapters are query-independent — compute once
+    val fpns = Seq(stages(2), stages(1), stages(0))
+    val adapted = fpns.zipWithIndex.map { case (st, i) =>
+      val wt = w(s"mask_head.adapter${i + 1}.weight")
+      (Tensors.conv2d(st.data, st.c, st.h, st.w, wt,
+        w(s"mask_head.adapter${i + 1}.bias"), 1, 0)._1, wt.shape(0), st.h, st.w)
+    }
+    val outH = stages(0).h; val outW = stages(0).w
+    val out = new Array[Float](nq * outH * outW)
+    var qi = 0
+    while (qi < nq) {
+      var x = new Array[Float](dim * fh * fw)
+      System.arraycopy(proj, 0, x, 0, d * fh * fw)
+      System.arraycopy(bboxMask(qi), 0, x, d * fh * fw, heads * fh * fw)
+      var (c, h, wd) = (dim, fh, fw)
+      x = conv3(x, c, h, wd, "lay1"); gnRelu(x, dim, h * wd, "gn1")
+      x = conv3(x, dim, h, wd, "lay2")
+      var cOut = w("mask_head.lay2.weight").shape(0)
+      gnRelu(x, cOut, h * wd, "gn2"); c = cOut
+      var i = 0
+      while (i < 3) {
+        val (lat, latC, latH, latW) = adapted(i)
+        require(latC == c, s"mask head adapter${i + 1} channel mismatch")
+        val up = Tensors.resizeNearest(x, c, h, wd, latH, latW)
+        Tensors.addInPlace(up, lat)
+        h = latH; wd = latW
+        x = conv3(up, c, h, wd, s"lay${i + 3}")
+        cOut = w(s"mask_head.lay${i + 3}.weight").shape(0)
+        gnRelu(x, cOut, h * wd, s"gn${i + 3}"); c = cOut
+        i += 1
+      }
+      val logit = Tensors.conv2d(x, c, h, wd, w("mask_head.out_lay.weight"),
+        w("mask_head.out_lay.bias"), 1, 1)._1
+      System.arraycopy(logit, 0, out, qi * outH * outW, outH * outW)
+      qi += 1
+    }
+    (out, outH, outW)
+  }
+
+  /** Full segmentation forward → (class logits, boxes, mask logits
+    * [nq · mh · mw], mh, mw). Requires a checkpoint with the
+    * bbox_attention + mask_head tensors (DetrForSegmentation layout).
+    */
+  def segment(pix: Array[Float], h0: Int, w0: Int)
+      : (Array[Float], Array[Float], Array[Float], Int, Int) = {
+    val stages = backboneStages(pix, h0, w0)
+    val (proj, memory, hid, fh, fw) = transformerForward(stages)
+    val (logits, boxes) = heads(hid)
+    val att = bboxAttention(hid, memory, fh, fw)
+    val (masks, mh, mw) = maskHead(proj, fh, fw, att, stages)
+    (logits, boxes, masks, mh, mw)
+  }
+
+  /** HF post_process_panoptic_segmentation semantics
+    * (DetrImageProcessor → compute_segments, shared with the universal
+    * segmentation post-processors):
+    *  1. per-query softmax over ALL nc classes (INCLUDING no-object) and
+    *     max → (score, label); keep = label ≠ no-object ∧ score > threshold
+    *     (note: unlike detection post-process, the max runs over the
+    *     no-object column too);
+    *  2. kept mask logits → sigmoid → bilinear resize
+    *     (align_corners=false) to the target size → weighted by score;
+    *  3. per-pixel argmax across kept queries → candidate segments;
+    *  4. a segment survives if its claimed area > 0 and
+    *     claimed/original > overlapThreshold, where original =
+    *     #(weighted probs ≥ maskThreshold);
+    *  5. surviving segments get sequential ids (from 1) painted into the
+    *     segmentation map; classes in `labelIdsToFuse` reuse the id of a
+    *     previous segment of the same class ("stuff" fusion; the HF
+    *     current_segment_id reassignment on fusion is mirrored
+    *     bug-for-bug);
+    *  6. no kept queries → a −1-filled map and empty segments.
+    */
+  def postProcessPanoptic(logits: Array[Float], maskLogits: Array[Float],
+      mh: Int, mw: Int, targetH: Int, targetW: Int, threshold: Float = 0.5f,
+      maskThreshold: Float = 0.5f, overlapThreshold: Float = 0.8f,
+      labelIdsToFuse: Set[Int] = Set.empty): PanopticResult = {
+    val nc = cfg.numLabels + 1
+    // 1. keep set
+    val kept = Seq.newBuilder[(Int, Float, Int)] // (query, score, label)
+    var q = 0
+    while (q < cfg.numQueries) {
+      val probs = java.util.Arrays.copyOfRange(logits, q * nc, (q + 1) * nc)
+      Tensors.softmaxRows(probs, 1, nc)
+      var best = 0
+      var c = 1
+      while (c < nc) { if (probs(c) > probs(best)) best = c; c += 1 }
+      if (best != nc - 1 && probs(best) > threshold) kept += ((q, probs(best), best))
+      q += 1
+    }
+    val ks = kept.result()
+    val seg = Array.fill(targetH, targetW)(-1)
+    if (ks.isEmpty) return PanopticResult(seg, Seq.empty)
+    // 2. sigmoid → resize → score-weight
+    val weighted = ks.map { case (qi, score, _) =>
+      val m = java.util.Arrays.copyOfRange(maskLogits, qi * mh * mw, (qi + 1) * mh * mw)
+      Tensors.sigmoidInPlace(m)
+      val r = Tensors.resizeBilinear(m, mh, mw, targetH, targetW)
+      var i = 0
+      while (i < r.length) { r(i) *= score; i += 1 }
+      r
+    }
+    // 3. per-pixel argmax across kept queries
+    val n = targetH * targetW
+    val argmax = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var bk = 0
+      var k = 1
+      while (k < weighted.length) { if (weighted(k)(i) > weighted(bk)(i)) bk = k; k += 1 }
+      argmax(i) = bk
+      i += 1
+    }
+    // 4-5. validity + fusion, in query order
+    val segments = Seq.newBuilder[PanopticSegment]
+    val stuffMemory = scala.collection.mutable.Map.empty[Int, Int]
+    var currentId = 0
+    var k = 0
+    while (k < ks.length) {
+      val (_, score, label) = ks(k)
+      val shouldFuse = labelIdsToFuse.contains(label)
+      var claimed = 0
+      var original = 0
+      i = 0
+      while (i < n) {
+        if (argmax(i) == k) claimed += 1
+        if (weighted(k)(i) >= maskThreshold) original += 1
+        i += 1
+      }
+      if (claimed > 0 && original > 0 &&
+          claimed.toDouble / original > overlapThreshold) {
+        currentId = stuffMemory.getOrElse(label, currentId + 1)
+        i = 0
+        while (i < n) {
+          if (argmax(i) == k) seg(i / targetW)(i % targetW) = currentId
+          i += 1
+        }
+        segments += PanopticSegment(currentId, label,
+          cfg.id2label.getOrElse(label, s"LABEL_$label"),
+          math.rint(score * 1e6).toFloat / 1e6f, shouldFuse)
+        if (shouldFuse) stuffMemory(label) = currentId
+      }
+      k += 1
+    }
+    PanopticResult(seg, segments.result())
   }
 
   /** HF post_process_object_detection: per-query softmax over classes,

@@ -682,6 +682,154 @@ object LocalModels {
   }
 
   // ---------------------------------------------------------------------
+  // DETR panoptic segmentation (reference huggingface.py:313)
+  // ---------------------------------------------------------------------
+
+  /** Load a DetrForSegmentation checkpoint: the HF layout nests the
+    * detection tower under a `detr.` prefix (`detr.model.backbone...`,
+    * `detr.class_labels_classifier...`) with `bbox_attention.*` and
+    * `mask_head.*` at top level; strip the prefix so the detection
+    * weights line up with DetrModel's names.
+    */
+  def loadDetrSeg(modelDir: String): DetrBundle = {
+    val cfg = DetrConfig.fromJson(new String(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")), StandardCharsets.UTF_8))
+    val raw = SafeTensors.read(Paths.get(modelDir, "model.safetensors").toString)
+    val weights = raw.map { case (k, v) =>
+      (if (k.startsWith("detr.")) k.substring(5) else k) -> v
+    }
+    require(weights.contains("mask_head.lay1.weight"),
+      s"$modelDir is not a segmentation checkpoint (no mask_head tensors)")
+    new DetrBundle(cfg, weights)
+  }
+
+  /** Append `outCol: struct<segmentation array<array<int>>, segments_info
+    * array<struct<id, label_id, label_text, score, was_fused>>>` — DETR
+    * panoptic segmentation of an encoded-image binary column, mirroring
+    * the reference's `detr_for_segmentation` response
+    * (huggingface.py:313-395: the (H, W) segment-id array at ORIGINAL
+    * image size plus per-segment metadata). Null image → null.
+    */
+  def panopticSegmentation(df: DataFrame, imageCol: String, outCol: String,
+      modelDir: String, threshold: Float = 0.5f, maskThreshold: Float = 0.5f,
+      overlapThreshold: Float = 0.8f, labelIdsToFuse: Set[Int] = Set.empty,
+      shortestEdge: Int = 800, maxSize: Int = 1333): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadDetrSeg(modelDir))
+    val idx = df.schema.fieldIndex(imageCol)
+    val segInfoType = StructType(Seq(
+      StructField("id", IntegerType), StructField("label_id", IntegerType),
+      StructField("label_text", StringType), StructField("score", FloatType),
+      StructField("was_fused", BooleanType)))
+    val outType = StructType(Seq(
+      StructField("segmentation", ArrayType(ArrayType(IntegerType))),
+      StructField("segments_info", ArrayType(segInfoType))))
+    val schema = StructType(df.schema.fields :+ StructField(outCol, outType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val img = graft.functions.Images.decode(r.getAs[Array[Byte]](idx))
+            val (pix, h, wd) = bundle.model.preprocess(img, shortestEdge, maxSize)
+            val (logits, _, masks, mh, mw) = bundle.model.segment(pix, h, wd)
+            val res = bundle.model.postProcessPanoptic(logits, masks, mh, mw,
+              img.getHeight, img.getWidth, threshold, maskThreshold,
+              overlapThreshold, labelIdsToFuse)
+            Row(res.segmentation.map(_.toSeq).toSeq,
+              res.segments.map(s =>
+                Row(s.id, s.labelId, s.labelText, s.score, s.wasFused)))
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Deterministic tiny DetrForSegmentation checkpoint: the detection
+    * tower (4 backbone stages, as the mask head's hard-coded FPN indices
+    * 2/1/0 require intermediates) re-namespaced under `detr.`, plus
+    * bbox_attention and mask_head tensors. d_model + heads must be
+    * divisible by 8 (GroupNorm(8, dim) in the first mask-head layer).
+    */
+  def writeTinyDetrSegModel(dir: String, seed: Long = 42L): Unit = {
+    val dModel = 16; val heads = 8
+    val tmp = Files.createTempDirectory("detr-seg-det").toString
+    writeTinyDetrModel(tmp, seed, dModel = dModel, layers = 2, heads = heads,
+      ffn = 32, numQueries = 6, numLabels = 3, embeddingSize = 4,
+      hiddenSizes = Seq(8, 12, 16, 16), depths = Seq(1, 1, 1, 1))
+    val rnd = new java.util.Random(seed + 7)
+    def t(shape: Int*)(scale: Double): Tensor =
+      Tensor(shape.toArray, Array.fill(shape.product)((rnd.nextGaussian() * scale).toFloat))
+    // Three targeted overrides so the random checkpoint actually SEGMENTS
+    // (otherwise the post-process keep/paint/fuse path never runs in the
+    // q121 gate): (a) crank query position embeddings so queries diverge
+    // through cross-attention instead of collapsing to the memory mean;
+    // (b) suppress the no-object class bias (a uniformly random class
+    // head lets no-object win every softmax); (c) larger classifier
+    // weights for per-query class variety.
+    val det = SafeTensors.read(Paths.get(tmp, "model.safetensors").toString)
+      .map { case (k, v) => s"detr.$k" -> v } ++ Map(
+      "detr.model.query_position_embeddings.weight" -> t(6, dModel)(1.2)) ++
+      // (d) peaked per-query cross-attention: with 0.1-scale Q/K the
+      // softmax over memory is near-uniform, every query reads the memory
+      // MEAN, and all queries collapse to one output — no per-query masks
+      (0 until 2).flatMap { i =>
+        Seq(
+          s"detr.model.decoder.layers.$i.encoder_attn.q_proj.weight" -> t(dModel, dModel)(0.6),
+          s"detr.model.decoder.layers.$i.encoder_attn.k_proj.weight" -> t(dModel, dModel)(0.6))
+      } ++ Map(
+      "detr.class_labels_classifier.weight" -> t(3 + 1, dModel)(0.9),
+      "detr.class_labels_classifier.bias" -> {
+        val b = Array.fill(3 + 1)((rnd.nextGaussian() * 0.3).toFloat)
+        b(3) = -2.5f // no-object
+        Tensor(Array(3 + 1), b)
+      })
+    def gn(name: String, c: Int): Seq[(String, Tensor)] = Seq(
+      s"mask_head.$name.weight" -> Tensor(Array(c),
+        Array.fill(c)(1f + rnd.nextGaussian().toFloat * 0.05f)),
+      s"mask_head.$name.bias" -> t(c)(0.02))
+    val dim = dModel + heads // 24
+    val inter = Seq(dim, dModel / 2, dModel / 4, dModel / 8, dModel / 16) // 24,8,4,2,1
+    val fpnC = Seq(16, 12, 8) // hidden_sizes[2], [1], [0]
+    val seg = Seq.newBuilder[(String, Tensor)]
+    seg += "bbox_attention.q_linear.weight" -> t(dModel, dModel)(0.12)
+    seg += "bbox_attention.q_linear.bias" -> t(dModel)(0.02)
+    seg += "bbox_attention.k_linear.weight" -> t(dModel, dModel)(0.12)
+    seg += "bbox_attention.k_linear.bias" -> t(dModel)(0.02)
+    seg += "mask_head.lay1.weight" -> t(dim, dim, 3, 3)(0.08)
+    seg += "mask_head.lay1.bias" -> t(dim)(0.02)
+    seg ++= gn("gn1", dim)
+    seg += "mask_head.lay2.weight" -> t(inter(1), dim, 3, 3)(0.08)
+    seg += "mask_head.lay2.bias" -> t(inter(1))(0.02)
+    seg ++= gn("gn2", inter(1))
+    (0 until 3).foreach { i =>
+      seg += s"mask_head.adapter${i + 1}.weight" -> t(inter(i + 1), fpnC(i), 1, 1)(0.15)
+      seg += s"mask_head.adapter${i + 1}.bias" -> t(inter(i + 1))(0.02)
+      seg += s"mask_head.lay${i + 3}.weight" -> t(inter(i + 2), inter(i + 1), 3, 3)(0.12)
+      seg += s"mask_head.lay${i + 3}.bias" -> t(inter(i + 2))(0.02)
+      seg ++= gn(s"gn${i + 3}", inter(i + 2))
+    }
+    // sharp output logits: sigmoid(mask)·score must be able to clear the
+    // post-process maskThreshold, or original_area is always 0
+    seg += "mask_head.out_lay.weight" -> t(1, inter(4), 3, 3)(2.0)
+    seg += "mask_head.out_lay.bias" -> t(1)(0.5)
+    Files.createDirectories(Paths.get(dir))
+    SafeTensors.write(Paths.get(dir, "model.safetensors").toString,
+      (det.toSeq ++ seg.result()).sortBy(_._1), Map("format" -> "pt"))
+    Files.copy(Paths.get(tmp, "config.json"), Paths.get(dir, "config.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def ensureTinyDetrSegModel(seed: Long = 42L): String = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_detrseg_v3_s$seed")
+    val marker = dir.resolve("config.json")
+    if (!Files.exists(marker)) writeTinyDetrSegModel(dir.toString, seed)
+    dir.toString
+  }
+
+  // ---------------------------------------------------------------------
   // Image captioning: VisionEncoderDecoder (reference huggingface.py:1234)
   // ---------------------------------------------------------------------
 

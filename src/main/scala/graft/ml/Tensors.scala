@@ -305,4 +305,99 @@ object Tensors {
     }
     (y, oh, ow)
   }
+
+  /** In-place GroupNorm over a CHW block: channels split into `groups`
+    * contiguous groups, each normalized over (c/groups)·H·W elements,
+    * then scaled/shifted per channel (torch.nn.GroupNorm inference).
+    */
+  def groupNorm(x: Array[Float], c: Int, hw: Int, groups: Int, gamma: Tensor,
+      beta: Tensor, eps: Double): Unit = {
+    require(c % groups == 0, s"groupNorm: $c channels not divisible by $groups")
+    val per = c / groups
+    var g = 0
+    while (g < groups) {
+      val off = g * per * hw
+      val n = per * hw
+      var sum = 0.0
+      var i = 0
+      while (i < n) { sum += x(off + i); i += 1 }
+      val mean = sum / n
+      var vs = 0.0
+      i = 0
+      while (i < n) { val d = x(off + i) - mean; vs += d * d; i += 1 }
+      val inv = 1.0 / math.sqrt(vs / n + eps)
+      var ch = 0
+      while (ch < per) {
+        val cAbs = g * per + ch
+        val scale = gamma.data(cAbs) * inv
+        val shift = beta.data(cAbs) - mean * scale
+        val base = off + ch * hw
+        i = 0
+        while (i < hw) { x(base + i) = (x(base + i) * scale + shift).toFloat; i += 1 }
+        ch += 1
+      }
+      g += 1
+    }
+  }
+
+  /** Nearest-neighbor resize of a CHW block to (oh, ow) — PyTorch
+    * `interpolate(mode="nearest")`: src index = floor(dst · in/out).
+    */
+  def resizeNearest(x: Array[Float], c: Int, h: Int, w: Int, oh: Int,
+      ow: Int): Array[Float] = {
+    val y = new Array[Float](c * oh * ow)
+    val sy = h.toDouble / oh
+    val sx = w.toDouble / ow
+    var ch = 0
+    while (ch < c) {
+      var oy = 0
+      while (oy < oh) {
+        val iy = math.min(h - 1, (oy * sy).toInt)
+        var ox = 0
+        while (ox < ow) {
+          val ix = math.min(w - 1, (ox * sx).toInt)
+          y((ch * oh + oy) * ow + ox) = x((ch * h + iy) * w + ix)
+          ox += 1
+        }
+        oy += 1
+      }
+      ch += 1
+    }
+    y
+  }
+
+  /** Bilinear resize of one HW plane to (oh, ow) — PyTorch
+    * `interpolate(mode="bilinear", align_corners=False)`:
+    * src = (dst + 0.5) · in/out − 0.5, edge-clamped.
+    */
+  def resizeBilinear(x: Array[Float], h: Int, w: Int, oh: Int,
+      ow: Int): Array[Float] = {
+    val y = new Array[Float](oh * ow)
+    val sy = h.toDouble / oh
+    val sx = w.toDouble / ow
+    var oy = 0
+    while (oy < oh) {
+      val fy = math.max(0.0, (oy + 0.5) * sy - 0.5)
+      val y0 = math.min(h - 1, fy.toInt)
+      val y1 = math.min(h - 1, y0 + 1)
+      val wy = fy - y0
+      var ox = 0
+      while (ox < ow) {
+        val fx = math.max(0.0, (ox + 0.5) * sx - 0.5)
+        val x0 = math.min(w - 1, fx.toInt)
+        val x1 = math.min(w - 1, x0 + 1)
+        val wx = fx - x0
+        y(oy * ow + ox) = ((x(y0 * w + x0) * (1 - wx) + x(y0 * w + x1) * wx) * (1 - wy) +
+          (x(y1 * w + x0) * (1 - wx) + x(y1 * w + x1) * wx) * wy).toFloat
+        ox += 1
+      }
+      oy += 1
+    }
+    y
+  }
+
+  def sigmoidInPlace(x: Array[Float]): Unit = {
+    var i = 0
+    while (i < x.length) { x(i) = (1.0 / (1.0 + math.exp(-x(i).toDouble))).toFloat; i += 1 }
+  }
 }

@@ -219,5 +219,45 @@ object Ml {
       },
       None, // conv backbone + transformer not SQL-expressible
     ),
+    QueryDef(
+      "q121_panoptic_segment",
+      (s, dir) => {
+        // DETR panoptic segmentation (reference huggingface.py:313,
+        // detr_for_segmentation + post_process_panoptic_segmentation)
+        // over per-doc synthesized PNGs. The mask head (MHAttentionMap +
+        // FPN small-conv) runs map-only with broadcast weights; the
+        // (H, W) segment-id map comes back at original image size.
+        // Self-checks: segmentation dims equal the source image dims,
+        // every painted pixel id appears in segments_info, scores
+        // ∈ (threshold, 1]. Mask math pinned by DetrSegSpec's
+        // independent naive cross-check.
+        import graft.functions.Images
+        val modelDir = graft.ml.LocalModels.ensureTinyDetrSegModel(seed = 42L)
+        val docs = T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(col("doc_id"),
+            (col("doc_id") % 10 + 34).cast("int").as("w0"),
+            (col("doc_id") % 6 + 33).cast("int").as("h0"))
+          .withColumn("png", Images.makeTexturedPng(col("w0"), col("h0"),
+            col("doc_id") * 1234577L))
+          .repartition(8, col("doc_id"))
+        val seg = graft.ml.LocalModels.panopticSegmentation(docs, "png", "seg",
+          modelDir, threshold = 0.2f, shortestEdge = 32, maxSize = 64)
+        QueryUtil.orderedSmall(
+          seg.select(
+            col("doc_id"),
+            size(col("seg.segmentation")).cast("long").as("seg_h"),
+            size(element_at(col("seg.segmentation"), 1)).cast("long").as("seg_w"),
+            (size(col("seg.segmentation")) === col("h0") &&
+              size(element_at(col("seg.segmentation"), 1)) === col("w0")).as("dims_ok"),
+            size(col("seg.segments_info")).cast("long").as("n_segments"),
+            expr("array_max(flatten(seg.segmentation))").cast("long").as("max_id"),
+            round(expr("aggregate(seg.segments_info.score, cast(0.0 as double), (a, x) -> a + x)"), 4)
+              .as("score_sum"),
+            expr("array_join(seg.segments_info.label_text, ',')").as("labels")),
+          col("doc_id"))
+      },
+      None, // conv mask head + transformer not SQL-expressible
+    ),
   )
 }
