@@ -830,6 +830,216 @@ object LocalModels {
   }
 
   // ---------------------------------------------------------------------
+  // SAM promptable segmentation (reference huggingface.py:419, 557)
+  // ---------------------------------------------------------------------
+
+  final class SamBundle(val cfg: SamConfig, val weights: Map[String, Tensor])
+      extends Serializable {
+    @transient lazy val model: SamModel = new SamModel(cfg, weights)
+  }
+
+  def loadSam(modelDir: String): SamBundle = {
+    val cfg = SamConfig.fromJson(new String(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")), StandardCharsets.UTF_8))
+    new SamBundle(cfg,
+      SafeTensors.read(Paths.get(modelDir, "model.safetensors").toString))
+  }
+
+  /** Append `outCol: struct<scores array<float>, boxes array<array<float>>,
+    * masks array<array<array<boolean>>>>` — SAM promptable segmentation,
+    * mirroring the reference's `SamForSegmentationResponse`
+    * (huggingface.py:404-417: score, [x1,y1,x2,y2] box and binary mask
+    * per instance). Prompts are per-call constants (the reference's UDF
+    * kwargs): `points` as (x, y, label), `boxes` as [x1,y1,x2,y2], both
+    * in fractional [0,1] image coordinates scaled per row to that row's
+    * pixel size. Null image → null.
+    */
+  def samSegmentation(df: DataFrame, imageCol: String, outCol: String,
+      modelDir: String, points: Seq[(Double, Double, Int)] = Seq.empty,
+      boxes: Seq[Seq[Double]] = Seq.empty, multimask: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadSam(modelDir))
+    val idx = df.schema.fieldIndex(imageCol)
+    val outType = StructType(Seq(
+      StructField("scores", ArrayType(FloatType)),
+      StructField("boxes", ArrayType(ArrayType(FloatType))),
+      StructField("masks", ArrayType(ArrayType(ArrayType(BooleanType))))))
+    val schema = StructType(df.schema.fields :+ StructField(outCol, outType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val img = graft.functions.Images.decode(r.getAs[Array[Byte]](idx))
+            val pts = points.map { case (x, y, l) =>
+              (x * img.getWidth, y * img.getHeight, l) }
+            val bxs = boxes.map(b => Array(b(0) * img.getWidth, b(1) * img.getHeight,
+              b(2) * img.getWidth, b(3) * img.getHeight))
+            val inst = bundle.model.segment(img, pts, bxs, multimask)
+            Row(inst.map(_.score), inst.map(_.box.toSeq),
+              inst.map(_.mask.map(_.toSeq).toSeq))
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Append `outCol` with the automatic-mask-generation result (the
+    * reference's `sam_automatic_mask_generation`): point-grid prompts,
+    * IoU + stability filtering, greedy mask NMS.
+    */
+  def samAutomaticMasks(df: DataFrame, imageCol: String, outCol: String,
+      modelDir: String, gridSize: Int = 8, predIouThresh: Float = 0.7f,
+      stabilityThresh: Float = 0.9f, nmsIouThresh: Float = 0.7f): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadSam(modelDir))
+    val idx = df.schema.fieldIndex(imageCol)
+    val outType = StructType(Seq(
+      StructField("scores", ArrayType(FloatType)),
+      StructField("boxes", ArrayType(ArrayType(FloatType))),
+      StructField("masks", ArrayType(ArrayType(ArrayType(BooleanType))))))
+    val schema = StructType(df.schema.fields :+ StructField(outCol, outType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val img = graft.functions.Images.decode(r.getAs[Array[Byte]](idx))
+            val inst = bundle.model.automaticMasks(img, gridSize,
+              predIouThresh, stabilityThresh, 1.0f, nmsIouThresh)
+            Row(inst.map(_.score), inst.map(_.box.toSeq),
+              inst.map(_.mask.map(_.toSeq).toSeq))
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Deterministic tiny SAM checkpoint in the HF SamModel layout:
+    * 2-layer ViTDet (window layer 0, global layer 1, decomposed rel-pos),
+    * random-Fourier prompt encoder, 2-layer two-way mask decoder.
+    */
+  def writeTinySamModel(dir: String, seed: Long = 42L): Unit = {
+    val hid = 8; val heads = 2; val dh = hid / heads // vision
+    val g = 4; val patch = 4; val s = 16 // grid, patch, image size
+    val c = 8 // prompt/decoder hidden = neck output channels
+    val rnd = new java.util.Random(seed)
+    def t(shape: Int*)(scale: Double): Tensor =
+      Tensor(shape.toArray, Array.fill(shape.product)((rnd.nextGaussian() * scale).toFloat))
+    def ones(n: Int): Tensor = Tensor(Array(n), Array.fill(n)(1f))
+    def zeros(n: Int): Tensor = Tensor(Array(n), new Array[Float](n))
+    val ts = scala.collection.mutable.ArrayBuffer.empty[(String, Tensor)]
+    ts += "shared_image_embedding.positional_embedding" -> t(2, c / 2)(1.0)
+    ts += "vision_encoder.patch_embed.projection.weight" -> t(hid, 3, patch, patch)(0.15)
+    ts += "vision_encoder.patch_embed.projection.bias" -> t(hid)(0.02)
+    ts += "vision_encoder.pos_embed" -> t(1, g, g, hid)(0.3)
+    (0 until 2).foreach { i =>
+      val p = s"vision_encoder.layers.$i."
+      val span = if (i == 1) 2 * g - 1 else 2 * 2 - 1 // global vs window 2
+      ts += s"${p}layer_norm1.weight" -> ones(hid)
+      ts += s"${p}layer_norm1.bias" -> zeros(hid)
+      ts += s"${p}attn.qkv.weight" -> t(3 * hid, hid)(0.25)
+      ts += s"${p}attn.qkv.bias" -> t(3 * hid)(0.02)
+      ts += s"${p}attn.proj.weight" -> t(hid, hid)(0.2)
+      ts += s"${p}attn.proj.bias" -> t(hid)(0.02)
+      ts += s"${p}attn.rel_pos_h" -> t(span, dh)(0.2)
+      ts += s"${p}attn.rel_pos_w" -> t(span, dh)(0.2)
+      ts += s"${p}layer_norm2.weight" -> ones(hid)
+      ts += s"${p}layer_norm2.bias" -> zeros(hid)
+      ts += s"${p}mlp.lin1.weight" -> t(2 * hid, hid)(0.2)
+      ts += s"${p}mlp.lin1.bias" -> t(2 * hid)(0.02)
+      ts += s"${p}mlp.lin2.weight" -> t(hid, 2 * hid)(0.2)
+      ts += s"${p}mlp.lin2.bias" -> t(hid)(0.02)
+    }
+    ts += "vision_encoder.neck.conv1.weight" -> t(c, hid, 1, 1)(0.3)
+    ts += "vision_encoder.neck.layer_norm1.weight" -> ones(c)
+    ts += "vision_encoder.neck.layer_norm1.bias" -> zeros(c)
+    ts += "vision_encoder.neck.conv2.weight" -> t(c, c, 3, 3)(0.2)
+    ts += "vision_encoder.neck.layer_norm2.weight" -> ones(c)
+    ts += "vision_encoder.neck.layer_norm2.bias" -> zeros(c)
+    (0 until 4).foreach { i =>
+      ts += s"prompt_encoder.point_embed.$i.weight" -> t(1, c)(0.5)
+    }
+    ts += "prompt_encoder.not_a_point_embed.weight" -> t(1, c)(0.5)
+    ts += "prompt_encoder.no_mask_embed.weight" -> t(1, c)(0.3)
+    ts += "mask_decoder.iou_token.weight" -> t(1, c)(0.5)
+    ts += "mask_decoder.mask_tokens.weight" -> t(4, c)(0.5)
+    def attnW(stem: String, inner: Int): Unit = {
+      ts += s"$stem.q_proj.weight" -> t(inner, c)(0.3)
+      ts += s"$stem.q_proj.bias" -> t(inner)(0.02)
+      ts += s"$stem.k_proj.weight" -> t(inner, c)(0.3)
+      ts += s"$stem.k_proj.bias" -> t(inner)(0.02)
+      ts += s"$stem.v_proj.weight" -> t(inner, c)(0.3)
+      ts += s"$stem.v_proj.bias" -> t(inner)(0.02)
+      ts += s"$stem.out_proj.weight" -> t(c, inner)(0.3)
+      ts += s"$stem.out_proj.bias" -> t(c)(0.02)
+    }
+    (0 until 2).foreach { i =>
+      val p = s"mask_decoder.transformer.layers.$i"
+      attnW(s"$p.self_attn", c)
+      attnW(s"$p.cross_attn_token_to_image", c / 2)
+      attnW(s"$p.cross_attn_image_to_token", c / 2)
+      (1 to 4).foreach { ln =>
+        ts += s"$p.layer_norm$ln.weight" -> ones(c)
+        ts += s"$p.layer_norm$ln.bias" -> zeros(c)
+      }
+      ts += s"$p.mlp.lin1.weight" -> t(2 * c, c)(0.2)
+      ts += s"$p.mlp.lin1.bias" -> t(2 * c)(0.02)
+      ts += s"$p.mlp.lin2.weight" -> t(c, 2 * c)(0.2)
+      ts += s"$p.mlp.lin2.bias" -> t(c)(0.02)
+    }
+    attnW("mask_decoder.transformer.final_attn_token_to_image", c / 2)
+    ts += "mask_decoder.transformer.layer_norm_final_attn.weight" -> ones(c)
+    ts += "mask_decoder.transformer.layer_norm_final_attn.bias" -> zeros(c)
+    ts += "mask_decoder.upscale_conv1.weight" -> t(c, c / 4, 2, 2)(0.4)
+    ts += "mask_decoder.upscale_conv1.bias" -> t(c / 4)(0.05)
+    ts += "mask_decoder.upscale_layer_norm.weight" -> ones(c / 4)
+    ts += "mask_decoder.upscale_layer_norm.bias" -> zeros(c / 4)
+    ts += "mask_decoder.upscale_conv2.weight" -> t(c / 4, c / 8, 2, 2)(0.6)
+    ts += "mask_decoder.upscale_conv2.bias" -> t(c / 8)(0.05)
+    (0 until 4).foreach { i =>
+      val p = s"mask_decoder.output_hypernetworks_mlps.$i"
+      ts += s"$p.proj_in.weight" -> t(c, c)(0.3)
+      ts += s"$p.proj_in.bias" -> t(c)(0.02)
+      ts += s"$p.layers.0.weight" -> t(c, c)(0.3)
+      ts += s"$p.layers.0.bias" -> t(c)(0.02)
+      ts += s"$p.proj_out.weight" -> t(c / 8, c)(0.8)
+      ts += s"$p.proj_out.bias" -> t(c / 8)(0.3)
+    }
+    ts += "mask_decoder.iou_prediction_head.proj_in.weight" -> t(c, c)(0.3)
+    ts += "mask_decoder.iou_prediction_head.proj_in.bias" -> t(c)(0.02)
+    ts += "mask_decoder.iou_prediction_head.layers.0.weight" -> t(c, c)(0.3)
+    ts += "mask_decoder.iou_prediction_head.layers.0.bias" -> t(c)(0.02)
+    ts += "mask_decoder.iou_prediction_head.proj_out.weight" -> t(4, c)(0.5)
+    ts += "mask_decoder.iou_prediction_head.proj_out.bias" -> t(4)(0.3)
+    Files.createDirectories(Paths.get(dir))
+    SafeTensors.write(Paths.get(dir, "model.safetensors").toString, ts.toSeq,
+      Map("format" -> "pt"))
+    val cfgJson =
+      s"""{"model_type":"sam",
+         |"vision_config":{"hidden_size":$hid,"num_hidden_layers":2,
+         |"num_attention_heads":$heads,"patch_size":$patch,"image_size":$s,
+         |"window_size":2,"global_attn_indexes":[1],"output_channels":$c,
+         |"mlp_ratio":2.0},
+         |"prompt_encoder_config":{"hidden_size":$c,"image_embedding_size":$g,
+         |"input_image_size":$s},
+         |"mask_decoder_config":{"num_attention_heads":2,"mlp_dim":${2 * c},
+         |"attention_downsample_rate":2,"num_multimask_outputs":3}}""".stripMargin
+    Files.write(Paths.get(dir, "config.json"), cfgJson.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def ensureTinySamModel(seed: Long = 42L): String = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_sam_s$seed")
+    val marker = dir.resolve("config.json")
+    if (!Files.exists(marker)) writeTinySamModel(dir.toString, seed)
+    dir.toString
+  }
+
+  // ---------------------------------------------------------------------
   // Image captioning: VisionEncoderDecoder (reference huggingface.py:1234)
   // ---------------------------------------------------------------------
 

@@ -259,5 +259,50 @@ object Ml {
       },
       None, // conv mask head + transformer not SQL-expressible
     ),
+    QueryDef(
+      "q122_sam_segment",
+      (s, dir) => {
+        // SAM promptable segmentation (reference huggingface.py:419
+        // sam3_for_segmentation + :557 sam_automatic_mask_generation)
+        // over per-doc textured PNGs: a center-point prompt through the
+        // promptable path (3 ranked multimask instances) and a 4×4
+        // point-grid automatic generation with IoU/stability filtering +
+        // mask NMS. Broadcast weights, map-only; the image embedding is
+        // computed once per row and shared across the grid prompts.
+        // Self-checks: instance masks are exactly (h0, w0), boxes bound
+        // the masks (SamSpec), auto count bounded by grid·3. Tower math
+        // pinned by SamSpec's independent naive cross-checks.
+        import graft.functions.Images
+        val modelDir = graft.ml.LocalModels.ensureTinySamModel(seed = 42L)
+        val docs = T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(col("doc_id"),
+            (col("doc_id") % 9 + 18).cast("int").as("w0"),
+            (col("doc_id") % 5 + 16).cast("int").as("h0"))
+          .withColumn("png", Images.makeTexturedPng(col("w0"), col("h0"),
+            col("doc_id") * 998877L))
+          .repartition(8, col("doc_id"))
+        val seg = graft.ml.LocalModels.samSegmentation(docs, "png", "seg",
+          modelDir, points = Seq((0.5, 0.5, 1)))
+        val auto = graft.ml.LocalModels.samAutomaticMasks(seg, "png", "auto",
+          modelDir, gridSize = 4, predIouThresh = 0.0f,
+          stabilityThresh = 0.0f, nmsIouThresh = 0.7f)
+        QueryUtil.orderedSmall(
+          auto.select(
+            col("doc_id"),
+            size(col("seg.scores")).cast("long").as("n_inst"),
+            round(expr("aggregate(seg.scores, cast(0.0 as double), (a, x) -> a + x)"), 4)
+              .as("score_sum"),
+            // total foreground pixels over all instance masks
+            expr("aggregate(transform(seg.masks, m -> " +
+              "aggregate(m, 0L, (a, row) -> a + size(filter(row, p -> p)))), " +
+              "0L, (a, x) -> a + x)").as("mask_area"),
+            round(expr("aggregate(flatten(seg.boxes), cast(0.0 as double), (a, x) -> a + x)"), 2)
+              .as("box_mass"),
+            size(col("auto.scores")).cast("long").as("n_auto")),
+          col("doc_id"))
+      },
+      None, // promptable two-way transformer not SQL-expressible
+    ),
   )
 }
