@@ -234,6 +234,38 @@ object LocalModels {
       })
   }
 
+  /** Decode-family scalar UDFs, so captions/detections can be STORED
+    * computed columns in the catalog (the reference's
+    * `add_computed_column(caption=image_captioning(tbl.image))` /
+    * `detections=detr_for_object_detection(...)` patterns). Per-row
+    * forward; use the DataFrame surfaces for bulk backfills.
+    */
+  def registerCaptionUdf(spark: SparkSession, name: String, modelDir: String,
+      maxNewTokens: Int = 8): Unit = {
+    val bundle = loadCaptioner(modelDir)
+    spark.udf.register(name, (png: Array[Byte]) =>
+      if (png == null) null
+      else bundle.tokenizer.decode(bundle.model.caption(
+        bundle.model.preprocess(graft.functions.Images.decode(png)), maxNewTokens)))
+  }
+
+  /** Detection labels as a UDF: label_text array of above-threshold
+    * detections (the full struct surface is `objectDetection`).
+    */
+  def registerDetectUdf(spark: SparkSession, name: String, modelDir: String,
+      threshold: Float = 0.3f, shortestEdge: Int = 24, maxSize: Int = 48): Unit = {
+    val bundle = loadDetr(modelDir)
+    spark.udf.register(name, (png: Array[Byte]) =>
+      if (png == null) null
+      else {
+        val img = graft.functions.Images.decode(png)
+        val (pix, h, wd) = bundle.model.preprocess(img, shortestEdge, maxSize)
+        val (logits, boxes) = bundle.model.detect(pix, h, wd)
+        bundle.model.postProcess(logits, boxes, threshold,
+          img.getWidth, img.getHeight).map(_.labelText)
+      })
+  }
+
   // ---------------------------------------------------------------------
   // CLIP joint image/text embedding (reference huggingface.py:127-205)
   // ---------------------------------------------------------------------

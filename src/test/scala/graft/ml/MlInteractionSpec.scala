@@ -89,6 +89,66 @@ class MlInteractionSpec extends AnyFunSuite {
     assert(cos(emb(1L), emb(2L)) > 0.9) // one punct char apart
   }
 
+  test("decode-family computed columns: caption + detection through DML, views, time travel, revert") {
+    // the r6-verdict audit item: caption/detection columns (greedy decode,
+    // conv backbone) through the full catalog lifecycle, not just embed
+    LocalModels.registerCaptionUdf(spark, "tiny_caption_ia",
+      LocalModels.ensureTinyCaptionModel(42L), maxNewTokens = 4)
+    LocalModels.registerDetectUdf(spark, "tiny_detect_ia",
+      LocalModels.ensureTinyDetrModel(42L), threshold = 0.1f)
+    val cat = new Catalog(java.nio.file.Files.createTempDirectory("graft-mlia2").toString)
+    val t = GraftTable.create(spark, cat, "media_ia", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("png", "binary")))
+    def png(i: Int): Array[Byte] =
+      graft.functions.Images.texturedPng(24 + i, 20, i * 31L)
+    t.insert(Seq((1L, png(1)), (2L, png(2))).toDF("id", "png"))
+    // decode columns backfill on add
+    t.addColumn(ColumnDef("caption", "string", Some("tiny_caption_ia(png)")))
+    t.addColumn(ColumnDef("labels", "array<string>", Some("tiny_detect_ia(png)")))
+    val caps1 = t.read().select("id", "caption").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(caps1.size == 2 && caps1.values.forall(c => c != null && c.nonEmpty))
+    // the stored caption equals a fresh forward pass
+    val fresh1 = spark.sql("SELECT tiny_caption_ia(png) c FROM VALUES (X'" +
+      png(1).map("%02x".format(_)).mkString + "') AS t(png)").collect()(0).getString(0)
+    assert(caps1(1L) == fresh1)
+    val v1 = t.currentVersion
+    // inserts flow through both decode columns
+    t.insert(Seq((3L, png(3))).toDF("id", "png"))
+    assert(t.read().where("id = 3").select("caption").collect()(0).getString(0) != null)
+    // a materialized view SELECTING the decode columns maintains incrementally
+    val mv = graft.catalog.Views.createMaterializedView(spark, cat, "cap_view", t,
+      Some("id > 1"), Seq("id" -> "id", "caption" -> "caption", "n_det" -> "size(labels)"))
+    assert(mv.read().count() == 2) // ids 2, 3
+    t.insert(Seq((4L, png(4))).toDF("id", "png"))
+    graft.catalog.Views.syncMaterializedView(mv, t, Some("id > 1"),
+      Seq("id" -> "id", "caption" -> "caption", "n_det" -> "size(labels)"))
+    assert(mv.read().count() == 3)
+    val mvCaps = mv.read().select("id", "caption").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val baseCaps = t.read().select("id", "caption").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mvCaps == baseCaps.filter(_._1 > 1))
+    // time travel: the v1 snapshot still serves the ORIGINAL two captions
+    val tt = t.read(Some(v1)).select("id", "caption").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tt == caps1)
+    // updating the image recomputes both decode columns (cascade)
+    val labelsBefore = t.read().where("id = 2").select("labels").collect()(0).getSeq[String](0)
+    t.batchUpdate(Seq((2L, png(99))).toDF("id", "png"), Seq("id"))
+    val cap2 = t.read().where("id = 2").select("caption").collect()(0).getString(0)
+    val fresh99 = spark.sql("SELECT tiny_caption_ia(png) c FROM VALUES (X'" +
+      png(99).map("%02x".format(_)).mkString + "') AS t(png)").collect()(0).getString(0)
+    assert(cap2 == fresh99)
+    val labelsAfter = t.read().where("id = 2").select("labels").collect()(0).getSeq[String](0)
+    assert(labelsBefore != null && labelsAfter != null)
+    // revert: rows 3/4 disappear, captions restore to the v1 state
+    t.revert(v1)
+    val reverted = t.read().select("id", "caption").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reverted == caps1)
+  }
+
   test("silence-split segments transcribe independently and deterministically") {
     val whisperDir = LocalModels.ensureTinyWhisperModel(seed = 42L)
     // 0.2 s tone, 0.3 s silence, 0.2 s tone at a different pitch
