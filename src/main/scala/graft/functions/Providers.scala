@@ -79,6 +79,10 @@ object Providers {
         b.header("anthropic-version", AnthropicVersion)
       case "goog" => // Gemini API key header
         if (key.nonEmpty) b.header("x-goog-api-key", key)
+      case "x-key" => // BFL FLUX API key header
+        if (key.nonEmpty) b.header("x-key", key)
+      case "fal" => // fal queue "Key" auth scheme
+        if (key.nonEmpty) b.header("Authorization", s"Key $key")
       case "sigv4" => // AWS SigV4 (Bedrock with IAM credentials)
         val u = URI.create(cfg.endpoint + path)
         val hostHeader =
@@ -221,6 +225,161 @@ object Providers {
       (0 until content.size()).map(content.get)
         .filter(_.has("text")).map(_.get("text").asText()).mkString
     }
+
+  // ---- async media-generation wire formats ----------------------------
+  //
+  // Generation vendors don't answer inline: they return a task handle and
+  // the client polls for completion (the reference wraps each vendor SDK:
+  // functions/replicate.py, bfl.py, fal.py, runwayml.py, reve.py). Three
+  // public protocol shapes cover that family:
+  //   1. submit → {id, polling_url} → poll {status: Ready|Pending|…} →
+  //      result.sample URL → download     (BFL FLUX; reve is the same shape)
+  //   2. submit → {id, urls.get} → poll {status: succeeded|processing|…}
+  //      with output inline               (Replicate predictions; runwayml
+  //                                        task API is the same shape)
+  //   3. submit → {request_id, status_url, response_url} → poll status →
+  //      GET response separately          (fal queue)
+  // Execution rides the same AsyncBatcher plumbing (bounded in-flight,
+  // retry, per-cell error capture); polling happens inside the batch fn.
+
+  private def getJson(cfg: ProviderConfig, url: String,
+      headers: Seq[(String, String)]): JsonNode = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(cfg.timeoutMs))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = http.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new ProviderHttpError(resp.statusCode(), 0L, resp.body())
+    mapper.readTree(resp.body())
+  }
+
+  private def getBytes(cfg: ProviderConfig, url: String,
+      headers: Seq[(String, String)]): Array[Byte] = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(cfg.timeoutMs))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = http.send(b.GET().build(), HttpResponse.BodyHandlers.ofByteArray())
+    if (resp.statusCode() / 100 != 2)
+      throw new ProviderHttpError(resp.statusCode(), 0L,
+        new String(resp.body(), java.nio.charset.StandardCharsets.UTF_8))
+    resp.body()
+  }
+
+  /** BFL-style generate: POST `{endpoint}{path}` (x-key auth) with the
+    * per-row payload (a JSON object string, e.g. {"prompt": …}), poll
+    * `polling_url` until `status` leaves Pending, download
+    * `result.sample`, return the image bytes base64-encoded (decode with
+    * `unbase64`). Ready/Pending/moderation/Error statuses follow the
+    * public FLUX API; a poll loop that exceeds `maxWaitMs` throws (lands
+    * in `_errormsg` via AsyncBatcher, never fails the task).
+    */
+  def bflGenerateBatch(cfg: ProviderConfig, path: String,
+      pollMs: Long = 500, maxWaitMs: Long = 300000)
+      (payloads: Seq[String]): Seq[String] =
+    payloads.map { payload =>
+      val hdrs = Seq("x-key" -> cfg.resolvedKey, "Accept" -> "application/json")
+      val sub = post(cfg, path, payload, auth = "x-key")
+      val pollUrl = sub.get("polling_url").asText()
+      val taskId = sub.get("id").asText()
+      val deadline = System.nanoTime() + maxWaitMs * 1000000L
+      var sample: String = null
+      while (sample == null) {
+        val st = getJson(cfg, pollUrl, hdrs)
+        st.get("status").asText() match {
+          case "Ready" => sample = st.get("result").get("sample").asText()
+          case "Request Moderated" | "Content Moderated" =>
+            throw new RuntimeException(s"bfl task $taskId moderated")
+          case "Error" | "Failed" | "Task not found" =>
+            throw new RuntimeException(s"bfl task $taskId failed: " +
+              Option(st.get("error")).map(_.asText()).getOrElse("unknown"))
+          case _ => // Pending or unknown: wait
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException(s"bfl task $taskId timed out")
+            Thread.sleep(pollMs)
+        }
+      }
+      java.util.Base64.getEncoder.encodeToString(
+        getBytes(cfg, sample, Seq.empty))
+    }
+
+  /** Replicate-style prediction: POST `{endpoint}/predictions` with
+    * {"version": model, "input": payload} (bearer auth), poll `urls.get`
+    * until a terminal status, return the `output` JSON verbatim (the
+    * reference's `replicate.run(input, ref=…)` returns the same value).
+    */
+  def replicateRunBatch(cfg: ProviderConfig, pollMs: Long = 500,
+      maxWaitMs: Long = 300000)(payloads: Seq[String]): Seq[String] =
+    payloads.map { payload =>
+      val req = mapper.createObjectNode()
+      req.put("version", cfg.model)
+      req.set[JsonNode]("input", mapper.readTree(payload))
+      val sub = post(cfg, "/predictions", mapper.writeValueAsString(req))
+      val pollUrl = sub.get("urls").get("get").asText()
+      val hdrs = Seq("Authorization" -> s"Bearer ${cfg.resolvedKey}")
+      val deadline = System.nanoTime() + maxWaitMs * 1000000L
+      var out: String = null
+      while (out == null) {
+        val st = getJson(cfg, pollUrl, hdrs)
+        st.get("status").asText() match {
+          case "succeeded" => out = st.get("output").toString
+          case "failed" | "canceled" =>
+            throw new RuntimeException("replicate prediction " +
+              st.get("id").asText() + " " + st.get("status").asText() + ": " +
+              Option(st.get("error")).map(_.asText()).getOrElse(""))
+          case _ => // starting | processing
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("replicate prediction timed out")
+            Thread.sleep(pollMs)
+        }
+      }
+      out
+    }
+
+  /** fal-queue-style run: POST `{endpoint}/{app}` ("Key …" auth scheme)
+    * → {request_id, status_url, response_url}; poll `status_url` until
+    * COMPLETED; GET `response_url` for the output JSON.
+    */
+  def falRunBatch(cfg: ProviderConfig, app: String, pollMs: Long = 500,
+      maxWaitMs: Long = 300000)(payloads: Seq[String]): Seq[String] =
+    payloads.map { payload =>
+      val sub = post(cfg, s"/$app", payload, auth = "fal")
+      val hdrs = Seq("Authorization" -> s"Key ${cfg.resolvedKey}")
+      val statusUrl = sub.get("status_url").asText()
+      val responseUrl = sub.get("response_url").asText()
+      val deadline = System.nanoTime() + maxWaitMs * 1000000L
+      var done = false
+      while (!done) {
+        val st = getJson(cfg, statusUrl, hdrs)
+        st.get("status").asText() match {
+          case "COMPLETED" => done = true
+          case "FAILED" | "CANCELLED" =>
+            throw new RuntimeException(s"fal request failed: $st")
+          case _ => // IN_QUEUE | IN_PROGRESS
+            if (System.nanoTime() > deadline)
+              throw new RuntimeException("fal request timed out")
+            Thread.sleep(pollMs)
+        }
+      }
+      getJson(cfg, responseUrl, hdrs).toString
+    }
+
+  /** df + base64 generated-image column and `<outputCol>_errormsg`. */
+  def withBflImage(df: DataFrame, payloadCol: String, outputCol: String,
+      cfg: ProviderConfig, path: String): DataFrame =
+    AsyncBatcher.mapColumn(df, payloadCol, outputCol,
+      bflGenerateBatch(cfg, path), cfg.batch)
+
+  /** df + prediction-output JSON column and `<outputCol>_errormsg`. */
+  def withReplicateOutput(df: DataFrame, inputCol: String, outputCol: String,
+      cfg: ProviderConfig): DataFrame =
+    AsyncBatcher.mapColumn(df, inputCol, outputCol,
+      replicateRunBatch(cfg), cfg.batch)
+
+  /** df + fal response JSON column and `<outputCol>_errormsg`. */
+  def withFalOutput(df: DataFrame, inputCol: String, outputCol: String,
+      cfg: ProviderConfig, app: String): DataFrame =
+    AsyncBatcher.mapColumn(df, inputCol, outputCol,
+      falRunBatch(cfg, app), cfg.batch)
 
   /** df + JSON-array embedding column (`outputCol`) and
     * `<outputCol>_errormsg` — cast downstream with
