@@ -1460,6 +1460,74 @@ object LocalModels {
     }(enc)
   }
 
+  /** Append `outCol: array<struct<word string, start double, end double>>`
+    * — transcription with WORD-LEVEL timestamps (the reference's
+    * `whisperx.transcribe` surface, `functions/whisperx.py:24`): greedy
+    * decode with cross-attention capture, DTW token↔frame alignment
+    * (WhisperAlign — the whisper-native `word_timestamps=True` algorithm;
+    * whisperx's external wav2vec2 forced aligner is a third-party model
+    * outside this checkpoint family), tokens grouped into words at
+    * whitespace boundaries of their decoded pieces. One encoder frame =
+    * 2 mel hops = 2·hop/sampleRate seconds (0.02 s at Whisper defaults).
+    */
+  def speechToTextWords(df: DataFrame, audioCol: String, outCol: String,
+      modelDir: String, maxNewTokens: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadWhisper(modelDir))
+    val idx = df.schema.fieldIndex(audioCol)
+    val wordType = StructType(Seq(
+      StructField("word", StringType), StructField("start", DoubleType),
+      StructField("end", DoubleType)))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(wordType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      val melCfg = bundle.melConfig
+      val targetSamples = bundle.cfg.maxSourcePositions * 2 * melCfg.hop
+      val secPerFrame = 2.0 * melCfg.hop / melCfg.sampleRate
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val (fmt, pcm) = graft.functions.Audio.decodePcm(r.getAs[Array[Byte]](idx))
+            val f = pcm.map(s => (s / 32768.0f))
+            val at16k = Mel.resample(f, fmt.getSampleRate.toInt, melCfg.sampleRate)
+            val fixed = java.util.Arrays.copyOf(at16k, targetSamples)
+            val mel = Mel.logMelSpectrogram(fixed, melCfg)
+            val (ids, attn) = bundle.model.transcribeAligned(mel, maxNewTokens)
+            val spans = WhisperAlign.dtw(attn)
+            // group tokens into words: a new word starts where the decoded
+            // piece begins with whitespace (byte-level spaces decode via
+            // the Ġ-class byte map, so decode per token and inspect)
+            val words = Seq.newBuilder[Row]
+            var curText = new StringBuilder
+            var curStart = -1
+            var curEnd = -1
+            def flush(): Unit = {
+              val t = curText.toString.trim
+              if (t.nonEmpty && curStart >= 0)
+                words += Row(t, curStart * secPerFrame, curEnd * secPerFrame)
+              curText = new StringBuilder; curStart = -1; curEnd = -1
+            }
+            var i = 1 // skip the start token (span 0 belongs to it)
+            while (i < ids.length) {
+              val piece = bundle.tokenizer.decode(Seq(ids(i)), bundle.specialIds)
+              if (piece.nonEmpty && piece.charAt(0).isWhitespace) flush()
+              val sp = spans(i)
+              if (curStart < 0) curStart = sp.startFrame
+              curEnd = sp.endFrame
+              curText ++= piece
+              i += 1
+            }
+            flush()
+            words.result()
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** Deterministic tiny Whisper checkpoint (HF layout, seeded weights):
     * byte-level token space (256 byte symbols + 2 control tokens), 16 mel
     * bins, 32 encoder/decoder positions — ~0.65 s of 16 kHz audio.

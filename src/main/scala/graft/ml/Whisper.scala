@@ -243,6 +243,9 @@ final class WhisperModel(val cfg: WhisperConfig, weights: Map[String, Tensor])
       lin(encStates, encLen, cfg.dModel, s"model.decoder.layers.$l.encoder_attn.v_proj"))
     private[WhisperModel] val eLen = encLen
     private[WhisperModel] var len = 0
+    // when non-null, stepDecode accumulates this step's cross-attention
+    // (summed over layers and heads) here — the word-timestamp signal
+    private[WhisperModel] var crossAttnSink: Array[Float] = null
   }
 
   /** Feed one token at position `state.len`; returns its output logits. */
@@ -278,7 +281,7 @@ final class WhisperModel(val cfg: WhisperConfig, weights: Map[String, Tensor])
         w(p + "encoder_attn_layer_norm.bias"), cfg.layerNormEps)
       val q2 = lin(n2, 1, h, p + "encoder_attn.q_proj")
       Tensors.addInPlace(x, lin(attendCached(q2, state.crossK(layer), state.crossV(layer),
-        state.eLen, heads, scale), 1, h, p + "encoder_attn.out_proj"))
+        state.eLen, heads, scale, state.crossAttnSink), 1, h, p + "encoder_attn.out_proj"))
       // FFN
       val n3 = java.util.Arrays.copyOf(x, h)
       Tensors.layerNorm(n3, 1, h, w(p + "final_layer_norm.weight"),
@@ -301,9 +304,13 @@ final class WhisperModel(val cfg: WhisperConfig, weights: Map[String, Tensor])
     logits
   }
 
-  /** One query position attending over `n` cached key/value rows. */
+  /** One query position attending over `n` cached key/value rows; when
+    * `attnSink` is non-null each head's softmax row is accumulated into
+    * it (cross-attention capture for word-level alignment).
+    */
   private def attendCached(q: Array[Float], kc: Array[Float], vc: Array[Float],
-      n: Int, heads: Int, scale: Double): Array[Float] = {
+      n: Int, heads: Int, scale: Double,
+      attnSink: Array[Float] = null): Array[Float] = {
     val h = cfg.dModel
     val dh = h / heads
     val scores = new Array[Float](n)
@@ -320,6 +327,10 @@ final class WhisperModel(val cfg: WhisperConfig, weights: Map[String, Tensor])
         j += 1
       }
       Tensors.softmaxRows(scores, 1, n)
+      if (attnSink != null) {
+        var jj = 0
+        while (jj < n) { attnSink(jj) += scores(jj); jj += 1 }
+      }
       var d = 0
       while (d < dh) {
         var acc = 0.0
@@ -331,6 +342,45 @@ final class WhisperModel(val cfg: WhisperConfig, weights: Map[String, Tensor])
       hd += 1
     }
     ctx
+  }
+
+  /** Greedy transcription WITH per-step cross-attention capture, the
+    * word-timestamp signal: returns (tokens incl. start token, one
+    * attention row per fed token — cross-attention averaged over all
+    * layers × heads, encLen columns).
+    */
+  def transcribeAligned(mel: Array[Array[Float]], maxNewTokens: Int = 64)
+      : (Seq[Int], IndexedSeq[Array[Float]]) = {
+    val (enc, encLen) = encode(mel)
+    val state = new DecoderState(enc, encLen)
+    val rows = Vector.newBuilder[Array[Float]]
+    val norm = (cfg.decoderLayers * cfg.decoderHeads).toFloat
+    def step(tk: Int): Array[Float] = {
+      val sink = new Array[Float](encLen)
+      state.crossAttnSink = sink
+      val logits = stepDecode(tk, state)
+      var i = 0
+      while (i < encLen) { sink(i) /= norm; i += 1 }
+      rows += sink
+      logits
+    }
+    var tokens = Vector(cfg.decoderStartTokenId)
+    var logits = step(cfg.decoderStartTokenId)
+    var done = false
+    while (!done && tokens.length < math.min(cfg.maxTargetPositions, 1 + maxNewTokens)) {
+      var best = 0
+      var i = 1
+      while (i < logits.length) { if (logits(i) > logits(best)) best = i; i += 1 }
+      if (best == cfg.eosTokenId) done = true
+      else {
+        tokens :+= best
+        // feed unconditionally (unlike plain transcribe): every token
+        // needs its attention row for alignment
+        if (state.len < cfg.maxTargetPositions) logits = step(best)
+        else done = true
+      }
+    }
+    (tokens, rows.result())
   }
 
   /** Greedy transcription: token ids INCLUDING the start token, stopping
@@ -358,5 +408,76 @@ final class WhisperModel(val cfg: WhisperConfig, weights: Map[String, Tensor])
       }
     }
     tokens
+  }
+}
+
+/** Monotonic token↔frame alignment over a cross-attention matrix — the
+  * whisper-native word-timestamp algorithm (openai/whisper
+  * `word_timestamps=True`: DTW through the attention cost; the
+  * reference's `whisperx.transcribe` solves the same problem with an
+  * external wav2vec2 forced aligner, a third-party model outside this
+  * engine's checkpoint family).
+  */
+object WhisperAlign {
+
+  /** One aligned token: index into the token sequence plus its
+    * [startFrame, endFrame) span on the encoder time axis.
+    */
+  final case class TokenSpan(tokenIdx: Int, startFrame: Int, endFrame: Int)
+
+  /** DTW with the 3 monotonic moves (diag / skip-frame / skip-token) over
+    * cost = −attention. Returns one contiguous frame span per token row;
+    * spans are non-overlapping, ordered, and cover [0, nFrames) jointly.
+    */
+  def dtw(attn: IndexedSeq[Array[Float]]): Seq[TokenSpan] = {
+    val n = attn.length
+    if (n == 0) return Seq.empty
+    val m = attn(0).length
+    val INF = Double.MaxValue / 4
+    // cost[i][j]: best path cost ending at token i, frame j
+    val cost = Array.fill(n + 1, m + 1)(INF)
+    val move = Array.ofDim[Byte](n + 1, m + 1) // 0=diag 1=left(frame) 2=up(token)
+    cost(0)(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = 1
+      while (j <= m) {
+        val c = -attn(i - 1)(j - 1).toDouble
+        val diag = cost(i - 1)(j - 1)
+        val left = cost(i)(j - 1)
+        val up = cost(i - 1)(j)
+        val best = math.min(diag, math.min(left, up))
+        if (best < INF) {
+          cost(i)(j) = c + best
+          move(i)(j) = if (best == diag) 0 else if (best == left) 1 else 2
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // backtrack: collect the frames each token row traverses
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    java.util.Arrays.fill(starts, Int.MaxValue)
+    var ti = n
+    var fj = m
+    while (ti > 0 || fj > 0) {
+      if (ti == 0) fj -= 1
+      else if (fj == 0) ti -= 1
+      else {
+        val t = ti - 1; val f = fj - 1
+        if (f < starts(t)) starts(t) = f
+        if (f + 1 > ends(t)) ends(t) = f + 1
+        move(ti)(fj) match {
+          case 0 => ti -= 1; fj -= 1
+          case 1 => fj -= 1
+          case _ => ti -= 1
+        }
+      }
+    }
+    (0 until n).map { t =>
+      val s = if (starts(t) == Int.MaxValue) 0 else starts(t)
+      TokenSpan(t, s, math.max(ends(t), s + 1))
+    }
   }
 }

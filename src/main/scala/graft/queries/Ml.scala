@@ -304,5 +304,38 @@ object Ml {
       },
       None, // promptable two-way transformer not SQL-expressible
     ),
+    QueryDef(
+      "q123_word_timestamps",
+      (s, dir) => {
+        // Word-level timestamped transcription (the reference's
+        // whisperx.transcribe surface, functions/whisperx.py:24):
+        // greedy Whisper decode with cross-attention capture + DTW
+        // token-frame alignment (the whisper-native word_timestamps
+        // algorithm), words grouped at whitespace boundaries. Map-only,
+        // broadcast weights. Self-checks: spans ordered and inside the
+        // padded audio window, word count bounded by maxNewTokens.
+        // Aligner pinned by WhisperAlignSpec (DTW on hand-built
+        // matrices + capture parity with the plain decode).
+        import graft.functions.Audio
+        val modelDir = graft.ml.LocalModels.ensureTinyWhisperModel(seed = 42L)
+        val docs = T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("wav", Audio.makeSineWav(
+            lit(0.3), (col("doc_id") % 8 * 110.0 + 220.0)))
+          .repartition(8, col("doc_id"))
+        val out = graft.ml.LocalModels.speechToTextWords(docs, "wav", "words",
+          modelDir, maxNewTokens = 6)
+        QueryUtil.orderedSmall(
+          out.select(
+            col("doc_id"),
+            size(col("words")).cast("long").as("n_words"),
+            round(expr("aggregate(words, cast(0.0 as double), (a, w) -> a + w.end - w.start)"), 4)
+              .as("spoken_secs"),
+            expr("cast(forall(words, w -> w.end > w.start) as boolean)").as("spans_ok"),
+            expr("array_join(transform(words, w -> w.word), ' ')").as("text")),
+          col("doc_id"))
+      },
+      None, // attention-DTW alignment not SQL-expressible
+    ),
   )
 }
