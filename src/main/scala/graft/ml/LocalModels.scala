@@ -1072,6 +1072,136 @@ object LocalModels {
   }
 
   // ---------------------------------------------------------------------
+  // YOLOX object detection (reference yolox.py:25)
+  // ---------------------------------------------------------------------
+
+  final class YoloxBundle(val cfg: YoloxConfig, val weights: Map[String, Tensor])
+      extends Serializable {
+    @transient lazy val model: YoloxModel = new YoloxModel(cfg, weights)
+  }
+
+  def loadYolox(modelDir: String): YoloxBundle = {
+    val cfg = YoloxConfig.fromJson(new String(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")), StandardCharsets.UTF_8))
+    new YoloxBundle(cfg,
+      SafeTensors.read(Paths.get(modelDir, "model.safetensors").toString))
+  }
+
+  /** Append `outCol: struct<bboxes array<array<float>>, scores
+    * array<float>, labels array<int>>` — YOLOX detections mirroring the
+    * reference's `YoloxResponse` (yolox.py:18-21); boxes [x1,y1,x2,y2]
+    * in ORIGINAL image pixels (the processor divides by the resize
+    * ratio). Null image → null.
+    */
+  def yoloxDetection(df: DataFrame, imageCol: String, outCol: String,
+      modelDir: String, threshold: Float = 0.5f, inputSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadYolox(modelDir))
+    val idx = df.schema.fieldIndex(imageCol)
+    val outType = StructType(Seq(
+      StructField("bboxes", ArrayType(ArrayType(FloatType))),
+      StructField("scores", ArrayType(FloatType)),
+      StructField("labels", ArrayType(IntegerType))))
+    val schema = StructType(df.schema.fields :+ StructField(outCol, outType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val img = graft.functions.Images.decode(r.getAs[Array[Byte]](idx))
+            val (pix, ratio) = bundle.model.preprocess(img, inputSize)
+            val dets = bundle.model.detect(pix, inputSize, inputSize, threshold)
+            Row(dets.map(_.box.map(_ / ratio).toSeq),
+              dets.map(_.score), dets.map(_.label))
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** `yolo_to_coco` (yolox.py:67): [x1,y1,x2,y2] → rounded
+    * [x, y, w, h] + category, as a pure column expression.
+    */
+  def yoloToCoco(detCol: String): Column =
+    expr(s"transform(arrays_zip($detCol.bboxes, $detCol.labels), " +
+      "z -> struct(array(cast(round(z.bboxes[0]) as int), cast(round(z.bboxes[1]) as int), " +
+      "cast(round(z.bboxes[2] - z.bboxes[0]) as int), cast(round(z.bboxes[3] - z.bboxes[1]) as int)) AS bbox, " +
+      "z.labels AS category))")
+
+  /** Deterministic tiny YOLOX checkpoint in the official module layout
+    * (stem width 4, depth 1 → channels 8/16/32/64, head hidden 16).
+    */
+  def writeTinyYoloxModel(dir: String, seed: Long = 42L): Unit = {
+    val rnd = new java.util.Random(seed)
+    def t(shape: Int*)(scale: Double): Tensor =
+      Tensor(shape.toArray, Array.fill(shape.product)((rnd.nextGaussian() * scale).toFloat))
+    val ts = scala.collection.mutable.ArrayBuffer.empty[(String, Tensor)]
+    def bconv(stem: String, cin: Int, cout: Int, k: Int): Unit = {
+      ts += s"$stem.conv.weight" -> t(cout, cin, k, k)(0.6 / math.sqrt(cin * k * k))
+      ts += s"$stem.bn.weight" -> Tensor(Array(cout),
+        Array.fill(cout)(1f + rnd.nextGaussian().toFloat * 0.05f))
+      ts += s"$stem.bn.bias" -> t(cout)(0.05)
+      ts += s"$stem.bn.running_mean" -> t(cout)(0.05)
+      ts += s"$stem.bn.running_var" -> Tensor(Array(cout),
+        Array.fill(cout)(1f + math.abs(rnd.nextGaussian()).toFloat * 0.2f))
+    }
+    def csp(stem: String, cin: Int, cout: Int, n: Int): Unit = {
+      val hid = cout / 2
+      bconv(s"$stem.conv1", cin, hid, 1)
+      bconv(s"$stem.conv2", cin, hid, 1)
+      (0 until n).foreach { i =>
+        bconv(s"$stem.m.$i.conv1", hid, hid, 1)
+        bconv(s"$stem.m.$i.conv2", hid, hid, 3)
+      }
+      bconv(s"$stem.conv3", 2 * hid, cout, 1)
+    }
+    val w0 = 4; val c2 = 8; val c3 = 16; val c4 = 32; val c5 = 64
+    val B = "backbone.backbone"
+    bconv(s"$B.stem.conv", 12, w0, 3)
+    bconv(s"$B.dark2.0", w0, c2, 3); csp(s"$B.dark2.1", c2, c2, 1)
+    bconv(s"$B.dark3.0", c2, c3, 3); csp(s"$B.dark3.1", c3, c3, 3)
+    bconv(s"$B.dark4.0", c3, c4, 3); csp(s"$B.dark4.1", c4, c4, 3)
+    bconv(s"$B.dark5.0", c4, c5, 3)
+    bconv(s"$B.dark5.1.conv1", c5, c5 / 2, 1)
+    bconv(s"$B.dark5.1.conv2", 2 * c5, c5, 1)
+    csp(s"$B.dark5.2", c5, c5, 1)
+    val P = "backbone"
+    bconv(s"$P.lateral_conv0", c5, c4, 1); csp(s"$P.C3_p4", 2 * c4, c4, 1)
+    bconv(s"$P.reduce_conv1", c4, c3, 1); csp(s"$P.C3_p3", 2 * c3, c3, 1)
+    bconv(s"$P.bu_conv2", c3, c3, 3); csp(s"$P.C3_n3", 2 * c3, c4, 1)
+    bconv(s"$P.bu_conv1", c4, c4, 3); csp(s"$P.C3_n4", 2 * c4, c5, 1)
+    val hid = c3; val nc = 3
+    Seq(c3, c4, c5).zipWithIndex.foreach { case (cin, l) =>
+      bconv(s"head.stems.$l", cin, hid, 1)
+      (0 until 2).foreach { i =>
+        bconv(s"head.cls_convs.$l.$i", hid, hid, 3)
+        bconv(s"head.reg_convs.$l.$i", hid, hid, 3)
+      }
+      ts += s"head.cls_preds.$l.weight" -> t(nc, hid, 1, 1)(0.3)
+      ts += s"head.cls_preds.$l.bias" -> t(nc)(0.3)
+      ts += s"head.reg_preds.$l.weight" -> t(4, hid, 1, 1)(0.2)
+      ts += s"head.reg_preds.$l.bias" -> t(4)(0.2)
+      ts += s"head.obj_preds.$l.weight" -> t(1, hid, 1, 1)(0.3)
+      ts += s"head.obj_preds.$l.bias" -> t(1)(0.5)
+    }
+    Files.createDirectories(Paths.get(dir))
+    SafeTensors.write(Paths.get(dir, "model.safetensors").toString, ts.toSeq,
+      Map("format" -> "pt"))
+    Files.write(Paths.get(dir, "config.json"),
+      s"""{"model_type":"yolox","num_classes":$nc,"stem_width":$w0,"depth":1}"""
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  def ensureTinyYoloxModel(seed: Long = 42L): String = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_yolox_s$seed")
+    val marker = dir.resolve("config.json")
+    if (!Files.exists(marker)) writeTinyYoloxModel(dir.toString, seed)
+    dir.toString
+  }
+
+  // ---------------------------------------------------------------------
   // Image captioning: VisionEncoderDecoder (reference huggingface.py:1234)
   // ---------------------------------------------------------------------
 

@@ -337,5 +337,42 @@ object Ml {
       },
       None, // attention-DTW alignment not SQL-expressible
     ),
+    QueryDef(
+      "q124_yolox_detect",
+      (s, dir) => {
+        // YOLOX anchor-free detection (reference yolox.py:25) + the
+        // yolo_to_coco conversion (:67) over per-doc textured PNGs:
+        // CSPDarknet + PAFPN + decoupled head, score threshold +
+        // per-class NMS, boxes back in original pixels. Broadcast
+        // weights, map-only. Self-checks: coco count equals detection
+        // count, scores ∈ (threshold, 1]. Forward math pinned by
+        // YoloxSpec's independent naive cross-check.
+        import graft.functions.Images
+        val modelDir = graft.ml.LocalModels.ensureTinyYoloxModel(seed = 42L)
+        val docs = T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(col("doc_id"),
+            (col("doc_id") % 11 + 30).cast("int").as("w0"),
+            (col("doc_id") % 7 + 26).cast("int").as("h0"))
+          .withColumn("png", Images.makeTexturedPng(col("w0"), col("h0"),
+            col("doc_id") * 445566L))
+          .repartition(8, col("doc_id"))
+        val det = graft.ml.LocalModels.yoloxDetection(docs, "png", "det",
+          modelDir, threshold = 0.4f)
+        QueryUtil.orderedSmall(
+          det.withColumn("coco", graft.ml.LocalModels.yoloToCoco("det"))
+            .select(
+              col("doc_id"),
+              size(col("det.scores")).cast("long").as("n_det"),
+              round(expr("aggregate(det.scores, cast(0.0 as double), (a, x) -> a + x)"), 4)
+                .as("score_sum"),
+              expr("array_join(transform(det.labels, l -> cast(l as string)), ',')").as("labels"),
+              size(col("coco")).cast("long").as("n_coco"),
+              expr("aggregate(flatten(coco.bbox), 0, (a, x) -> a + x)").cast("long")
+                .as("bbox_mass")),
+          col("doc_id"))
+      },
+      None, // conv backbone + anchor-free decode not SQL-expressible
+    ),
   )
 }
