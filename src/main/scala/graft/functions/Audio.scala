@@ -49,6 +49,17 @@ object Audio {
 
   val makeSineWav = udf { (seconds: Double, freqHz: Double) => sineWav(seconds, freqHz) }
 
+  /** deterministic A-gap-B-gap-A-gap-B two-tone WAV — a two-"speaker"
+    * diarization test source (alternating pitches separated by silence)
+    */
+  val makeTwoToneWav = udf { (freqA: Double, freqB: Double, toneSecs: Double, gapSecs: Double) =>
+    def tone(freq: Double): Array[Short] =
+      Array.tabulate((Rate * toneSecs).toInt)(i =>
+        (math.sin(2 * math.Pi * freq * i / Rate) * 0.5 * Short.MaxValue).toShort)
+    val gap = new Array[Short]((Rate * gapSecs).toInt)
+    encodeWav(tone(freqA) ++ gap ++ tone(freqB) ++ gap ++ tone(freqA) ++ gap ++ tone(freqB))
+  }
+
   /** (sample_rate, channels, n_samples, duration_seconds) */
   val getMetadata = udf { (bytes: Array[Byte]) =>
     val (fmt, samples) = decodePcm(bytes)

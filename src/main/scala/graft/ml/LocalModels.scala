@@ -1658,6 +1658,144 @@ object LocalModels {
     }(enc)
   }
 
+  /** Append `outCol: array<struct<seg_idx int, start double, end double,
+    * speaker int, text string>>` — diarized transcription, the reference's
+    * `whisperx.transcribe(diarize=True)` surface
+    * (`functions/whisperx.py:24`): silence-split segments, per-segment
+    * SPEAKER EMBEDDING, clustering into `numSpeakers`, per-segment
+    * Whisper transcription. The reference delegates speaker embeddings to
+    * the external pyannote pipeline (a gated third-party model); here the
+    * embedding is the log-mel statistics vector (per-bin mean ∥ std, L2
+    * normalized — the classic lightweight speaker feature) and the
+    * clusterer is deterministic local k-means (farthest-point init,
+    * speakers relabeled by first appearance). Spectrally distinct
+    * speakers separate cleanly; same-pitch speakers need a learned
+    * embedding — documented approximation, pinned by DiarizeSpec.
+    */
+  def speechToTextDiarized(df: DataFrame, audioCol: String, outCol: String,
+      modelDir: String, numSpeakers: Int = 2, silenceRms: Double = 0.05,
+      minSilenceSec: Double = 0.1, maxNewTokens: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadWhisper(modelDir))
+    val idx = df.schema.fieldIndex(audioCol)
+    val segType = StructType(Seq(
+      StructField("seg_idx", IntegerType), StructField("start", DoubleType),
+      StructField("end", DoubleType), StructField("speaker", IntegerType),
+      StructField("text", StringType)))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(segType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      val melCfg = bundle.melConfig
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val bytes = r.getAs[Array[Byte]](idx)
+            val (fmt, samples) = graft.functions.Audio.decodePcm(bytes)
+            val rate = fmt.getSampleRate
+            // silence-split (the audioSplitter algorithm, inlined to keep
+            // sample arrays instead of re-encoded WAVs)
+            val win = math.max((rate * 0.02).toInt, 1)
+            val winRms = samples.grouped(win).map { wnd =>
+              math.sqrt(wnd.map(s => (s.toDouble / Short.MaxValue) *
+                (s.toDouble / Short.MaxValue)).sum / wnd.length)
+            }.toArray
+            val minSilentWins = math.max((minSilenceSec / 0.02).toInt, 1)
+            val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+            var segStart = -1
+            var silentRun = 0
+            winRms.indices.foreach { i =>
+              if (winRms(i) < silenceRms) {
+                silentRun += 1
+                if (segStart >= 0 && silentRun >= minSilentWins) {
+                  segs += ((segStart, i - silentRun + 1)); segStart = -1
+                }
+              } else {
+                if (segStart < 0) segStart = i
+                silentRun = 0
+              }
+            }
+            if (segStart >= 0) segs += ((segStart, winRms.length))
+            val pieces = segs.map { case (s, e) =>
+              val pcm = samples.slice(s * win, math.min(e * win, samples.length))
+              (s * win / rate.toDouble,
+                math.min(e * win, samples.length) / rate.toDouble, pcm)
+            }
+            // per-segment embedding: log-mel per-bin mean ∥ std, L2-normed
+            val embs = pieces.map { case (_, _, pcm) =>
+              val f = pcm.map(s => s / 32768.0f)
+              val at16k = Mel.resample(f, rate.toInt, melCfg.sampleRate)
+              val mel = Mel.logMelSpectrogram(at16k, melCfg) // [frames][mels]
+              val nm = melCfg.nMels
+              val v = new Array[Double](2 * nm)
+              if (mel.nonEmpty) {
+                var b = 0
+                while (b < nm) {
+                  var sum = 0.0
+                  mel.foreach(fr => sum += fr(b))
+                  val mean = sum / mel.length
+                  var vs = 0.0
+                  mel.foreach(fr => vs += (fr(b) - mean) * (fr(b) - mean))
+                  v(b) = mean; v(nm + b) = math.sqrt(vs / mel.length)
+                  b += 1
+                }
+              }
+              val n = math.sqrt(v.map(x => x * x).sum)
+              if (n > 0) v.map(_ / n) else v
+            }.toIndexedSeq
+            // deterministic local k-means: farthest-point init from seg 0
+            val k = math.min(numSpeakers, embs.length).max(1)
+            var centroids = IndexedSeq(embs.headOption.getOrElse(Array(0.0)))
+            while (centroids.length < k) {
+              val far = embs.maxBy(e =>
+                centroids.map(c => c.zip(e).map { case (a, b) => (a - b) * (a - b) }.sum).min)
+              centroids :+= far
+            }
+            def assign(): IndexedSeq[Int] = embs.map(e =>
+              centroids.indices.minBy(ci =>
+                centroids(ci).zip(e).map { case (a, b) => (a - b) * (a - b) }.sum))
+            var labels = assign()
+            var iter = 0
+            var moved = true
+            while (moved && iter < 10) {
+              centroids = (0 until k).map { ci =>
+                val members = embs.indices.filter(labels(_) == ci)
+                if (members.isEmpty) centroids(ci)
+                else {
+                  val dim = embs(members.head).length
+                  val c = new Array[Double](dim)
+                  members.foreach(m => (0 until dim).foreach(d => c(d) += embs(m)(d)))
+                  c.map(_ / members.length)
+                }
+              }
+              val next = assign()
+              moved = next != labels
+              labels = next
+              iter += 1
+            }
+            // relabel by first appearance so speaker ids are stable
+            val relabel = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+            labels.foreach(l => if (!relabel.contains(l)) relabel(l) = relabel.size)
+            // transcribe each segment
+            val targetSamples = bundle.cfg.maxSourcePositions * 2 * melCfg.hop
+            val result = pieces.zipWithIndex.map { case ((start, end, pcm), i) =>
+              val f = pcm.map(s => s / 32768.0f)
+              val at16k = Mel.resample(f, rate.toInt, melCfg.sampleRate)
+              val fixed = java.util.Arrays.copyOf(at16k, targetSamples)
+              val mel = Mel.logMelSpectrogram(fixed, melCfg)
+              val ids = bundle.model.transcribe(mel, maxNewTokens)
+              Row(i, start, end, relabel(labels(i)),
+                bundle.tokenizer.decode(ids, bundle.specialIds))
+            }.toSeq
+            result
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** Deterministic tiny Whisper checkpoint (HF layout, seeded weights):
     * byte-level token space (256 byte symbols + 2 control tokens), 16 mel
     * bins, 32 encoder/decoder positions — ~0.65 s of 16 kHz audio.

@@ -374,5 +374,39 @@ object Ml {
       },
       None, // conv backbone + anchor-free decode not SQL-expressible
     ),
+    QueryDef(
+      "q125_diarized_transcribe",
+      (s, dir) => {
+        // Diarized transcription (the reference's whisperx
+        // transcribe(diarize=True), functions/whisperx.py:24): per-doc
+        // synthesized two-tone audio (alternating pitches with silence
+        // gaps = two synthetic speakers) → silence segmentation, mel-stat
+        // speaker embeddings, deterministic k-means, per-segment Whisper
+        // decode. Map-only, broadcast weights. Self-checks: segments
+        // ordered, speakers ∈ {0, 1} labeled in appearance order (first
+        // segment is always speaker 0), every segment transcribed.
+        // Clustering pinned by DiarizeSpec.
+        import graft.functions.Audio
+        val modelDir = graft.ml.LocalModels.ensureTinyWhisperModel(seed = 42L)
+        val docs = T(s, dir, "documents")
+          .filter(col("doc_id") < 30)
+          .withColumn("wav", Audio.makeTwoToneWav(
+            (col("doc_id") % 6 * 60.0 + 240.0), lit(2800.0), lit(0.15), lit(0.15)))
+          .repartition(8, col("doc_id"))
+        val out = graft.ml.LocalModels.speechToTextDiarized(docs, "wav", "diar",
+          modelDir, numSpeakers = 2)
+        QueryUtil.orderedSmall(
+          out.select(
+            col("doc_id"),
+            size(col("diar")).cast("long").as("n_segments"),
+            expr("size(array_distinct(diar.speaker))").cast("long").as("n_speakers"),
+            expr("cast(diar[0].speaker = 0 as boolean)").as("first_is_zero"),
+            expr("array_join(transform(diar, d -> cast(d.speaker as string)), '')").as("speaker_seq"),
+            round(expr("aggregate(diar, cast(0.0 as double), (a, d) -> a + d.end - d.start)"), 3)
+              .as("voiced_secs")),
+          col("doc_id"))
+      },
+      None, // clustering + greedy decode not SQL-expressible
+    ),
   )
 }
