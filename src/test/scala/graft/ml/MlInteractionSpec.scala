@@ -149,6 +149,48 @@ class MlInteractionSpec extends AnyFunSuite {
     assert(reverted == caps1)
   }
 
+  test("vision towers feed the exporters: YOLOX detections to COCO json, SAM masks to labeled media") {
+    // the training-data handoff composition: model columns flow into the
+    // dataset export formats (reference: detr_to_coco + export_coco,
+    // fiftyone-style labeled export)
+    val yoloxDir = LocalModels.ensureTinyYoloxModel(42L)
+    val samDir = LocalModels.ensureTinySamModel(42L)
+    val rows = (1 to 4).map(i =>
+      (i.toLong, s"img_$i.png", graft.functions.Images.texturedPng(36, 28, i * 17L)))
+    val df = rows.toDF("image_id", "file_name", "png")
+    // YOLOX → COCO export: the detection struct's bboxes/labels columns
+    // are exactly what exportCocoJson consumes
+    val det = LocalModels.yoloxDetection(df, "png", "det", yoloxDir, threshold = 0.4f)
+      .select(col("image_id"), col("file_name"),
+        col("det.bboxes").cast("array<array<double>>").as("bboxes"),
+        col("det.labels").as("labels"))
+    val cocoPath = java.nio.file.Files.createTempDirectory("vis-coco").toString + "/coco.json"
+    graft.io.Coco.exportCocoJson(det, cocoPath)
+    val coco = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cocoPath)))
+    assert(coco.get("images").size() == 4)
+    val nDet = det.selectExpr("sum(size(labels))").collect()(0).getLong(0)
+    assert(coco.get("annotations").size() == nDet)
+    // every annotation's bbox is inside its (36, 28) image frame
+    (0 until coco.get("annotations").size()).foreach { i =>
+      val bb = coco.get("annotations").get(i).get("bbox")
+      assert(bb.get(2).asDouble() >= 0 && bb.get(3).asDouble() >= 0)
+    }
+    // SAM masks → labeled-media export: per-instance mask areas ride as a
+    // label column next to content-addressed media
+    val seg = LocalModels.samSegmentation(df, "png", "seg", samDir,
+      points = Seq((0.5, 0.5, 1)))
+      .withColumn("mask_areas", expr("transform(seg.masks, m -> " +
+        "aggregate(m, 0L, (a, row) -> a + size(filter(row, p -> p))))"))
+      .withColumn("seg_scores", col("seg.scores"))
+    val outDir = java.nio.file.Files.createTempDirectory("vis-fo").toString
+    graft.io.Connectors.exportLabeledMedia(seg.select("png", "mask_areas", "seg_scores"),
+      "png", Seq("mask_areas", "seg_scores"), outDir)
+    val manifest = spark.read.json(s"$outDir/samples")
+    assert(manifest.count() == 4)
+    assert(manifest.selectExpr("size(mask_areas)").collect().forall(_.getInt(0) == 3))
+  }
+
   test("silence-split segments transcribe independently and deterministically") {
     val whisperDir = LocalModels.ensureTinyWhisperModel(seed = 42L)
     // 0.2 s tone, 0.3 s silence, 0.2 s tone at a different pitch
