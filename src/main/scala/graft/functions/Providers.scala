@@ -226,6 +226,39 @@ object Providers {
         .filter(_.has("text")).map(_.get("text").asText()).mkString
     }
 
+  /** One rerank POST per (query, documents) row — the reranker wire shape
+    * (reference `functions/jina.py:203` and `functions/voyageai.py:155`;
+    * the public protocol both vendors speak: POST `{endpoint}{path}` with
+    * `{model, query, documents[, top_n]}`, response items each carrying
+    * `{index, relevance_score}` sorted by descending relevance — Jina
+    * nests them under `results`, Voyage under `data`; both are accepted).
+    * Input rows are JSON objects `{"query": …, "documents": [...]}` (see
+    * `withRerank`, which packs them from two columns); output is the
+    * normalized ranked array `[{index, relevance_score}, …]` as JSON —
+    * `from_json(col, "array<struct<index:int,relevance_score:double>>")`
+    * downstream.
+    */
+  def rerankBatch(cfg: ProviderConfig, topN: Int = 0,
+      path: String = "/rerank")(rows: Seq[String]): Seq[String] =
+    rows.map { row =>
+      val in = mapper.readTree(row)
+      val req = mapper.createObjectNode()
+      req.put("model", cfg.model)
+      req.set[JsonNode]("query", in.get("query"))
+      req.set[JsonNode]("documents", in.get("documents"))
+      if (topN > 0) req.put("top_n", topN)
+      val resp = post(cfg, path, mapper.writeValueAsString(req))
+      val items = if (resp.has("results")) resp.get("results") else resp.get("data")
+      val arr = mapper.createArrayNode()
+      (0 until items.size()).foreach { i =>
+        val it = items.get(i)
+        arr.addObject()
+          .put("index", it.get("index").asInt())
+          .put("relevance_score", it.get("relevance_score").asDouble())
+      }
+      arr.toString
+    }
+
   // ---- async media-generation wire formats ----------------------------
   //
   // Generation vendors don't answer inline: they return a task handle and
@@ -394,6 +427,21 @@ object Providers {
       cfg: ProviderConfig, system: Option[String] = None): DataFrame =
     AsyncBatcher.mapColumn(df, promptCol, outputCol, chatBatch(cfg, system),
       cfg.batch)
+
+  /** df + ranked `[{index, relevance_score}]` JSON column (`outputCol`)
+    * and `<outputCol>_errormsg`. `queryCol` is a string column, `docsCol`
+    * an `array<string>` column; each row posts one rerank request.
+    */
+  def withRerank(df: DataFrame, queryCol: String, docsCol: String,
+      outputCol: String, cfg: ProviderConfig, topN: Int = 0,
+      path: String = "/rerank"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val tmp = outputCol + "__rerank_in"
+    val packed = df.withColumn(tmp, to_json(struct(
+      col(queryCol).as("query"), col(docsCol).as("documents"))))
+    AsyncBatcher.mapColumn(packed, tmp, outputCol,
+      rerankBatch(cfg, topN, path), cfg.batch).drop(tmp)
+  }
 
   /** df + Messages-API completion column and `<outputCol>_errormsg`. */
   def withAnthropicCompletion(df: DataFrame, promptCol: String,

@@ -290,6 +290,69 @@ class ProvidersSpec extends AnyFunSuite {
     } finally srv.stop(0)
   }
 
+  test("rerank wire format: jina results / voyage data shapes, top_n, ranked order") {
+    // deterministic reranker: relevance = -(abs(len(doc)-len(query))),
+    // served in the Jina shape at /v1/rerank and the Voyage shape at
+    // /rerank (same request protocol, different response nesting)
+    val srv = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def handleRerank(field: String)(ex: HttpExchange): Unit = {
+      if (ex.getRequestHeaders.getFirst("Authorization") != "Bearer rr-key") {
+        val b = """{"error":"unauthorized"}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(401, b.length); ex.getResponseBody.write(b); ex.close()
+        return
+      }
+      val req = mapper.readTree(ex.getRequestBody)
+      assert(req.get("model").asText() == "test-rr")
+      val q = req.get("query").asText()
+      val docs = req.get("documents")
+      val scored = (0 until docs.size())
+        .map(i => i -> -math.abs(docs.get(i).asText().length - q.length).toDouble)
+        .sortBy { case (i, s) => (-s, i) }
+      val topN = if (req.has("top_n")) req.get("top_n").asInt() else scored.size
+      val arr = mapper.createObjectNode()
+      val items = arr.putArray(field)
+      scored.take(topN).foreach { case (i, s) =>
+        items.addObject().put("index", i).put("relevance_score", s)
+      }
+      val b = arr.toString.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b); ex.close()
+    }
+    srv.createContext("/v1/rerank", handleRerank("results") _)
+    srv.createContext("/rerank", handleRerank("data") _)
+    srv.start()
+    val endpoint = s"http://127.0.0.1:${srv.getAddress.getPort}"
+    try {
+      val cfg = Providers.ProviderConfig(endpoint, "test-rr", apiKey = "rr-key")
+      val df = Seq(
+        ("abcd", Seq("x", "four", "toolong")),     // lens 1,4,7 vs 4
+        ("ab", Seq("ab", "abcdef")),               // lens 2,6 vs 2
+      ).toDF("query", "docs")
+      // Jina nesting, all results
+      val jina = Providers.withRerank(df, "query", "docs", "ranked", cfg,
+          path = "/v1/rerank")
+        .select("query", "ranked", "ranked_errormsg").collect()
+        .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+      assert(jina("abcd")._2 == null)
+      val parsed = mapper.readTree(jina("abcd")._1)
+      assert(parsed.size() == 3 && parsed.get(0).get("index").asInt() == 1)
+      assert(parsed.get(0).get("relevance_score").asDouble() == 0.0)
+      assert(mapper.readTree(jina("ab")._1).get(0).get("index").asInt() == 0)
+      // Voyage nesting + top_n truncation, identical client code
+      val voyage = Providers.withRerank(df, "query", "docs", "ranked", cfg,
+          topN = 1, path = "/rerank")
+        .select("query", "ranked").collect()
+        .map(r => r.getString(0) -> mapper.readTree(r.getString(1))).toMap
+      assert(voyage("abcd").size() == 1 && voyage("abcd").get(0).get("index").asInt() == 1)
+      // auth failure lands per-cell, not as a task failure
+      val bad = Providers.withRerank(df.limit(1), "query", "docs", "ranked",
+          cfg.copy(apiKey = "wrong",
+            batch = graft.operators.AsyncBatcher.Config(maxRetries = 0)),
+          path = "/v1/rerank")
+        .select("ranked", "ranked_errormsg").collect()
+      assert(bad(0).getString(0) == null && bad(0).getString(1).contains("401"))
+    } finally srv.stop(0)
+  }
+
   test("bedrock with SigV4: server-verified signature binds host/date/payload") {
     flaky = new java.util.concurrent.atomic.AtomicInteger(1)
     val (srv, endpoint) = startServer()
