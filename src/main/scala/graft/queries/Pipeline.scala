@@ -1258,5 +1258,56 @@ object Pipeline {
               |FROM p5 JOIN deg ON deg.u = p5.v
               |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q126_hard_negatives",
+      (s, dir) => {
+        // Contrastive hard-negative mining (beyond the reference): for each
+        // probe vector, the k most-similar corpus vectors carrying a
+        // DIFFERENT label — the negative sampler that builds contrastive
+        // training pairs for embedding models. Probes are a broadcast
+        // parameter set (never data-sized); scores are one map-side pass of
+        // the fused native cosine kernel; per-probe top-k uses the
+        // q13/topKPerQuery two-phase salted rank so no task ever sorts the
+        // whole corpus. Ranks are taken over ROUNDED scores with a vec_id
+        // tiebreak (the q110 lesson: raw-double ranks flip on engine ulp
+        // differences).
+        import org.apache.spark.sql.expressions.Window
+        val emb = T(s, dir, "embeddings")
+        val probes = broadcast(emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("probe_id"),
+            col("label").as("probe_label"),
+            col("embedding").cast("array<double>").as("pe")))
+        val scored = emb
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("e"))
+          .join(probes, col("label") =!= col("probe_label"))
+          .select(col("probe_id"), col("vec_id"),
+            round(cosine(s, col("e"), col("pe")), 6).as("cos_sim"))
+        val salt = pmod(crc32(col("vec_id").cast("string")), lit(64))
+        val wPre = Window.partitionBy(col("probe_id"), salt)
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        val w = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        scored
+          .withColumn("_prk", row_number().over(wPre))
+          .filter(col("_prk") <= 5).drop("_prk")
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("probe_id"), col("vec_id"), col("cos_sim"), col("rk"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("probe_id"), col("rk")))
+      },
+      Some("""WITH p AS (SELECT vec_id AS probe_id, label AS probe_label,
+             |    embedding::DOUBLE[] AS pe
+             |  FROM embeddings WHERE vec_id < 8),
+             |s AS (SELECT p.probe_id, e.vec_id, round(
+             |    list_dot_product(e.embedding::DOUBLE[], p.pe) /
+             |    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             |     sqrt(list_dot_product(p.pe, p.pe))), 6) AS cos_sim
+             |  FROM embeddings e JOIN p ON e.label <> p.probe_label)
+             |SELECT probe_id, vec_id, cos_sim, rk FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY probe_id
+             |    ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
+             |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin),
+    ),
   )
 }
