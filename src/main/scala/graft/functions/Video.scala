@@ -197,6 +197,34 @@ object Video {
     Avi.write(frames, w, h, fps)
   }
 
+  /** deterministic multi-block test video: lens(i) identical solid frames
+    * of color rgbs(i) — known scene-cut positions for the scene-detect
+    * oracle gate (within a block consecutive frames are byte-identical
+    * JPEGs, so every content score is exactly 0 off the boundaries).
+    */
+  def makeBlockVideo(lens: Seq[Int], rgbs: Seq[Int], w: Int, h: Int,
+      fps: Int): Array[Byte] = {
+    require(lens.length == rgbs.length, "lens/rgbs length mismatch")
+    val frames = lens.zip(rgbs).flatMap { case (n, rgb) =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb & 0xffffff))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val bytes = bos.toByteArray
+      Seq.fill(n)(bytes)
+    }
+    Avi.write(frames, w, h, fps)
+  }
+
+  val makeBlockVideoUdf = udf {
+    (lens: Seq[Int], rgbs: Seq[Int], w: Int, h: Int, fps: Int) =>
+      makeBlockVideo(lens, rgbs, w, h, fps)
+  }
+
   val makeTestVideoUdf = udf { (n: Int, w: Int, h: Int, rgb: Int, fps: Int) =>
     makeTestVideo(n, w, h, rgb, fps)
   }

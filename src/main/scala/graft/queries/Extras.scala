@@ -1321,6 +1321,48 @@ object Extras {
              |(doc_id % 4 + 3)::INT AS overlay_frames
              |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q127_scene_cuts",
+      (s, dir) => {
+        // scene-detection in the oracle gate (reference
+        // `functions/video/scene_detect.py:133` ContentDetector semantics;
+        // the adaptive/threshold/histogram/hash variants are
+        // SceneDetectSpec-pinned): three solid-color blocks with
+        // doc_id-derived lengths give closed-form cut positions. Within a
+        // block consecutive frames are byte-identical JPEGs (score exactly
+        // 0); at the red→cyan and cyan→white boundaries the weighted HSV
+        // deltas clear the threshold with ≥2× margin. One SceneInfo per
+        // cut, start/duration in seconds at 10 fps (the reference's
+        // `_scene_detect` list semantics — the tail segment after the last
+        // cut is not emitted).
+        import graft.functions.{SceneDetect, Video}
+        val n1 = (col("doc_id") % 4 + 3).cast("int") // 3..6 frames
+        val n2 = (col("doc_id") % 3 + 2).cast("int") // 2..4 frames
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("v", Video.makeBlockVideoUdf(
+            array(n1, n2, lit(3)),
+            array(lit(0xff0000), lit(0x00ffff), lit(0xffffff)),
+            lit(16), lit(12), lit(10)))
+          .select(col("doc_id"),
+            posexplode(SceneDetect.sceneDetectContentUdf(
+              col("v"), lit(15.0), lit(2), lit(false))))
+          .select(col("doc_id"), col("pos").cast("long").as("scene_idx"),
+            col("col.start_time").as("start_time"),
+            col("col.start_pts").as("start_pts"),
+            col("col.duration").as("duration"))
+          .transform(graft.QueryUtil.orderedSmall(_,
+            col("doc_id"), col("scene_idx")))
+      },
+      Some("""SELECT doc_id, 0::BIGINT AS scene_idx, 0.0 AS start_time,
+             |  0::BIGINT AS start_pts, (doc_id % 4 + 3) / 10.0 AS duration
+             |FROM documents WHERE doc_id < 40
+             |UNION ALL
+             |SELECT doc_id, 1::BIGINT, (doc_id % 4 + 3) / 10.0,
+             |  (doc_id % 4 + 3)::BIGINT, (doc_id % 3 + 2) / 10.0
+             |FROM documents WHERE doc_id < 40
+             |ORDER BY doc_id, scene_idx""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
