@@ -495,6 +495,70 @@ object Video {
     }.toSeq
   }
 
+  /** One `video_splitter` output row (reference `functions/video/
+    * iterators.py:345` VideoSegment): the segment clip plus where it falls
+    * in the source. pts are frame indices (the AVI scale-tick timebase).
+    */
+  final case class VideoSegment(segment_start: Double,
+      segment_start_pts: Long, segment_end: Double, segment_end_pts: Long,
+      video_segment: Array[Byte])
+
+  private def sliceSegment(frames: Seq[Array[Byte]], meta: Avi.AviMeta,
+      fps: Double, i0: Int, i1: Int): VideoSegment =
+    VideoSegment(i0 / fps, i0.toLong, i1 / fps, i1.toLong,
+      Avi.write(frames.slice(i0, i1), meta.width, meta.height,
+        math.max(1, fps.round.toInt)))
+
+  /** video_splitter duration mode (reference `functions/video/
+    * iterators.py:361`): segments of `durationS` seconds starting every
+    * `durationS − overlapS`; the LAST segment is dropped when shorter than
+    * `minSegmentS` (only the last can be short — interior segments are
+    * full-length by construction). Frame-snapped on the fixed-fps AVI
+    * timeline, so segment boundaries are exact.
+    */
+  val videoSplitter = udf {
+    (v: Array[Byte], durationS: Double, overlapS: Double, minSegmentS: Double) =>
+      require(durationS > 0, s"bad duration $durationS")
+      require(overlapS >= 0 && overlapS < durationS, s"bad overlap $overlapS")
+      val meta = Avi.readMeta(v)
+      val fps = if (meta.fps > 0) meta.fps else 30.0
+      val frames = Avi.readFrames(v)
+      val step = durationS - overlapS
+      val segs = Iterator.from(0)
+        .map(k => math.round(k * step * fps).toInt)
+        .takeWhile(_ < frames.length)
+        .map { i0 =>
+          val i1 = math.min(frames.length,
+            i0 + math.round(durationS * fps).toInt)
+          sliceSegment(frames, meta, fps, i0, i1)
+        }
+        .toVector
+      // drop test in frame space: (end−start)/fps is exact, a difference
+      // of two rounded times is not
+      if (segs.nonEmpty &&
+          (segs.last.segment_end_pts - segs.last.segment_start_pts) / fps
+            < minSegmentS)
+        segs.dropRight(1)
+      else segs
+  }
+
+  /** video_splitter segment_times mode: split at explicit timestamps
+    * (seconds). Times at/after the video end are ignored; `[]` yields one
+    * whole-video segment — `len(times)+1` segments when all times fall
+    * inside the video, matching the reference contract.
+    */
+  val videoSplitterAt = udf { (v: Array[Byte], times: Seq[Double]) =>
+    val meta = Avi.readMeta(v)
+    val fps = if (meta.fps > 0) meta.fps else 30.0
+    val frames = Avi.readFrames(v)
+    val total = frames.length / fps
+    val bounds = (0.0 +: times.sorted.filter(t => t > 0 && t < total))
+      .map(t => math.ceil(t * fps - 1e-9).toInt) :+ frames.length
+    bounds.sliding(2).collect {
+      case Seq(i0, i1) if i1 > i0 => sliceSegment(frames, meta, fps, i0, i1)
+    }.toVector
+  }
+
   /** scene_detect: frame indices where the mean absolute pixel delta vs the
     * previous frame exceeds `threshold` (0..255 scale).
     */

@@ -1363,6 +1363,44 @@ object Extras {
              |FROM documents WHERE doc_id < 40
              |ORDER BY doc_id, scene_idx""".stripMargin),
     ),
+    QueryDef(
+      "q128_video_segments",
+      (s, dir) => {
+        // the reference's video_splitter iterator view (`functions/video/
+        // iterators.py:361`) in the oracle gate: duration/overlap/
+        // min-duration segmentation of a doc-length video. Boundaries are
+        // frame-snapped on the fixed-fps timeline, so every segment's
+        // start/end/frame-count is a closed form of doc_id: step 0.8 s =
+        // 8 frames, window 1.2 s = 12 frames, last segment dropped under
+        // 0.5 s. The segment_times mode is VideoSpec-pinned.
+        import graft.functions.Video
+        val n = (col("doc_id") % 7 + 17).cast("int") // 17..23 frames @10fps
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("v", Video.makeTestVideoUdf(n, lit(16), lit(12),
+            lit(0x406080), lit(10)))
+          .select(col("doc_id"), posexplode(
+            Video.videoSplitter(col("v"), lit(1.2), lit(0.4), lit(0.5))))
+          .withColumn("m", Video.getMetadata(col("col.video_segment")))
+          .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+            col("col.segment_start").as("segment_start"),
+            col("col.segment_start_pts").as("segment_start_pts"),
+            col("col.segment_end").as("segment_end"),
+            col("m.frames").as("seg_frames"))
+          .transform(graft.QueryUtil.orderedSmall(_,
+            col("doc_id"), col("seg_idx")))
+      },
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 7 + 17)::INT AS n
+             |  FROM documents WHERE doc_id < 40),
+             |k AS (SELECT unnest(generate_series(0, 3)) AS k)
+             |SELECT doc_id, k::BIGINT AS seg_idx,
+             |  (8*k)/10.0 AS segment_start,
+             |  (8*k)::BIGINT AS segment_start_pts,
+             |  least(n, 8*k + 12)/10.0 AS segment_end,
+             |  (least(n, 8*k + 12) - 8*k)::INT AS seg_frames
+             |FROM d JOIN k ON 8*k < n AND least(n, 8*k+12) - 8*k >= 5
+             |ORDER BY doc_id, seg_idx""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

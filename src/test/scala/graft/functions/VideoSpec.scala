@@ -282,6 +282,44 @@ class VideoSpec extends AnyFunSuite {
     assert(err.getMessage != null)
   }
 
+  test("video_splitter: duration/overlap windows, min-duration tail drop, segment_times mode") {
+    // 20 frames @10fps = 2.0s; windows of 1.2s every 0.8s → starts 0, 8, 16
+    val df = Seq(Video.makeTestVideo(20, 16, 12, 0x112233, 10)).toDF("v")
+    val segs = df.select(posexplode(
+        Video.videoSplitter(col("v"), lit(1.2), lit(0.4), lit(0.0))))
+      .select(col("col.segment_start_pts"), col("col.segment_end_pts"),
+        col("col.video_segment"))
+      .collect()
+    assert(segs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 12L), (8L, 20L), (16L, 20L)))
+    // each segment is a playable AVI with the right frame count
+    segs.foreach { r =>
+      val m = Avi.readMeta(r.getAs[Array[Byte]](2))
+      assert(m.frames == (r.getLong(1) - r.getLong(0)).toInt && m.fps == 10.0)
+    }
+    // min_segment_duration drops ONLY the short tail (0.4s < 0.5s)
+    val dropped = df.select(posexplode(
+        Video.videoSplitter(col("v"), lit(1.2), lit(0.4), lit(0.5))))
+      .select(col("col.segment_start_pts")).as[Long].collect().toSeq
+    assert(dropped == Seq(0L, 8L))
+
+    // segment_times mode: [0.5, 1.1] → 3 segments; [] → whole video; times
+    // beyond the end are ignored
+    val at = df.select(posexplode(
+        Video.videoSplitterAt(col("v"), array(lit(0.5), lit(1.1)))))
+      .select(col("col.segment_start_pts"), col("col.segment_end_pts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(at == Seq((0L, 5L), (5L, 11L), (11L, 20L)))
+    val whole = df.select(posexplode(
+        Video.videoSplitterAt(col("v"), array())))
+      .select(col("col.segment_end_pts")).as[Long].collect().toSeq
+    assert(whole == Seq(20L))
+    val clipped = df.select(posexplode(
+        Video.videoSplitterAt(col("v"), array(lit(0.5), lit(9.9)))))
+      .select(col("col.segment_start_pts")).as[Long].collect().toSeq
+    assert(clipped == Seq(0L, 5L))
+  }
+
   test("zoom: static zoom crops the center and keeps resolution") {
     val vid = halfRedBlue(4, 40, 20, 8)
     val df = Seq(Tuple1(vid)).toDF("v")
