@@ -517,6 +517,33 @@ object Images {
     * into a grid of tiles; returns (x, y, w, h, tile_bytes) structs for
     * posexplode into a component view. Edge tiles may be smaller.
     */
+  /** tile_iterator with overlap + black padding (reference
+    * `functions/image.py:473-551`): the grid is
+    * xlen = (w − ow − 1) / (tw − ow) + 1 (same for y), every output tile
+    * is EXACTLY tileW×tileH — out-of-image area is blackspace, like PIL's
+    * crop beyond bounds — and tile_box = (x1, y1, x1+tw, y1+th) is
+    * deliberately unclipped. Row-major (tile_coord = (i, j)) via
+    * posexplode ordering.
+    */
+  val tileIterator = udf {
+    (bytes: Array[Byte], tileW: Int, tileH: Int, overlapW: Int, overlapH: Int) =>
+      require(tileW > 0 && tileH > 0, s"tile_size must be positive: $tileW x $tileH")
+      require(overlapW >= 0 && overlapH >= 0 && overlapW < tileW && overlapH < tileH,
+        s"overlap must be in [0, tile_size): $overlapW x $overlapH")
+      val img = decode(bytes)
+      val xlen = (img.getWidth - overlapW - 1) / (tileW - overlapW) + 1
+      val ylen = (img.getHeight - overlapH - 1) / (tileH - overlapH) + 1
+      for { j <- 0 until ylen; i <- 0 until xlen } yield {
+        val x1 = i * (tileW - overlapW)
+        val y1 = j * (tileH - overlapH)
+        val out = new BufferedImage(tileW, tileH, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics() // TYPE_INT_RGB zero-fills → blackspace
+        g.drawImage(img, -x1, -y1, null)
+        g.dispose()
+        (i, j, x1, y1, x1 + tileW, y1 + tileH, encodePng(out))
+      }
+  }
+
   val tiles = udf { (bytes: Array[Byte], tileW: Int, tileH: Int) =>
     val img = decode(bytes)
     for {

@@ -1401,6 +1401,51 @@ object Extras {
              |FROM d JOIN k ON 8*k < n AND least(n, 8*k+12) - 8*k >= 5
              |ORDER BY doc_id, seg_idx""".stripMargin),
     ),
+    QueryDef(
+      "q129_tile_grid",
+      (s, dir) => {
+        // the reference's overlapping tile_iterator (`functions/image.py:
+        // 473-551`) in the oracle gate: 8×6 tiles with (2,2) overlap over a
+        // doc-sized image. Grid length, row-major order, unclipped boxes
+        // and the all-tiles-exact-size padding contract are closed forms of
+        // doc_id; tile_w/tile_h decode the actual emitted tiles, so the
+        // padded geometry is proven on real images (pixel-level blackspace
+        // is ImagesSpec-pinned).
+        import graft.functions.Images
+        val w = (col("doc_id") % 13 + 20).cast("int") // 20..32
+        val h = (col("doc_id") % 9 + 14).cast("int")  // 14..22
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("img", Images.makeSolidPng(w, h, lit(0x224466)))
+          .select(col("doc_id"), posexplode(
+            Images.tileIterator(col("img"), lit(8), lit(6), lit(2), lit(2))))
+          .select(col("doc_id"), col("pos").cast("long").as("tile_pos"),
+            col("col._1").cast("long").as("tile_i"),
+            col("col._2").cast("long").as("tile_j"),
+            col("col._3").cast("long").as("x1"),
+            col("col._4").cast("long").as("y1"),
+            col("col._5").cast("long").as("x2"),
+            col("col._6").cast("long").as("y2"),
+            Images.width(col("col._7")).cast("long").as("tile_w"),
+            Images.height(col("col._7")).cast("long").as("tile_h"))
+          .transform(graft.QueryUtil.orderedSmall(_,
+            col("doc_id"), col("tile_pos")))
+      },
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 13 + 20)::BIGINT AS w,
+             |    (doc_id % 9 + 14)::BIGINT AS h
+             |  FROM documents WHERE doc_id < 40),
+             |g AS (SELECT i.i, j.j
+             |  FROM (SELECT unnest(generate_series(0, 5)) AS i) i,
+             |       (SELECT unnest(generate_series(0, 5)) AS j) j)
+             |SELECT doc_id,
+             |  (j * ((w - 3) // 6 + 1) + i)::BIGINT AS tile_pos,
+             |  i::BIGINT AS tile_i, j::BIGINT AS tile_j,
+             |  (i * 6)::BIGINT AS x1, (j * 4)::BIGINT AS y1,
+             |  (i * 6 + 8)::BIGINT AS x2, (j * 4 + 6)::BIGINT AS y2,
+             |  8::BIGINT AS tile_w, 6::BIGINT AS tile_h
+             |FROM d JOIN g ON i <= (w - 3) // 6 AND j <= (h - 3) // 4
+             |ORDER BY doc_id, tile_pos""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -185,6 +185,37 @@ class ImagesSpec extends AnyFunSuite {
     assert(px(s1, 3, 3) == Seq(0xAA, 0x55, 0x00)) // solid: displacement invisible
   }
 
+  test("tileIterator: overlap grid, row-major order, exact-size black padding") {
+    // 10×7 image, 4×3 tiles, (1,1) overlap: xlen=(10-2)/3+1=3, ylen=(7-2)/2+1=3
+    val df = Seq(1).toDF("one")
+      .withColumn("img", Images.makeSolidPng(lit(10), lit(7), lit(0xffffff)))
+      .select(posexplode(Images.tileIterator(col("img"), lit(4), lit(3), lit(1), lit(1))))
+      .select(col("pos"), col("col._1").as("i"), col("col._2").as("j"),
+        col("col._3").as("x1"), col("col._4").as("y1"),
+        col("col._5").as("x2"), col("col._6").as("y2"), col("col._7").as("tile"))
+    val rows = df.collect()
+    assert(rows.length == 9)
+    // row-major: pos = j*xlen + i; boxes step by tile−overlap, unclipped
+    rows.foreach { r =>
+      val (pos, i, j) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      assert(pos == j * 3 + i)
+      assert(r.getInt(3) == i * 3 && r.getInt(4) == j * 2)
+      assert(r.getInt(5) == i * 3 + 4 && r.getInt(6) == j * 2 + 3)
+      val img = Images.decode(r.getAs[Array[Byte]](7))
+      assert(img.getWidth == 4 && img.getHeight == 3) // ALWAYS exact size
+      // in-image pixels are the source color; beyond-the-edge = blackspace
+      for (y <- 0 until 3; x <- 0 until 4) {
+        val inside = i * 3 + x < 10 && j * 2 + y < 7
+        val px = img.getRGB(x, y) & 0xffffff
+        assert(px == (if (inside) 0xffffff else 0x000000),
+          s"tile($i,$j) pixel($x,$y) inside=$inside px=$px")
+      }
+    }
+    // overlap pixels: adjacent tiles share a source column (x1 of tile i+1
+    // is x2−overlap of tile i)
+    assert(rows.filter(_.getInt(2) == 0).map(_.getInt(3)).sorted.toSeq == Seq(0, 3, 6))
+  }
+
   test("make_video assembles ordered frames into an AVI") {
     val frames = (0 until 4).map(i => (i, Images.solidPng(16, 8, 0x101010 * i)))
     val df = frames.toDF("pos", "frame")
