@@ -148,6 +148,81 @@ object Audio {
     encodeWav(sa ++ sb, fa.getSampleRate)
   }
 
+  /** One audio_splitter budget-mode output row (reference `audio.py:400`
+    * AudioSegment fields).
+    */
+  final case class AudioSegment(segment_start: Double, segment_end: Double,
+      audio_segment: Array[Byte])
+
+  /** audio_splitter's budget modes (reference `audio.py:400-472`): segments
+    * sized by `durationS` seconds (with optional `overlapS`) or by
+    * `maxSizeBytes` payload bytes — exactly one of the two > 0; bytes map
+    * to samples at 2 B/sample PCM-16 mono, so a max_size segment never
+    * exceeds the byte budget. With `minSilenceSec` > 0 each segment ends at
+    * the LATEST silence (20 ms windows whose RMS < `silenceRms`, run length
+    * ≥ minSilenceSec) at or before its budget — segments don't end
+    * mid-speech; without a qualifying silence the cut lands exactly on the
+    * budget. `trimLeadingSilence` drops silent windows from each segment's
+    * start. Returns AudioSegment structs for posexplode.
+    */
+  val audioSegments = udf { (bytes: Array[Byte], durationS: Double,
+      overlapS: Double, maxSizeBytes: Long, silenceRms: Double,
+      minSilenceSec: Double, trimLeadingSilence: Boolean) =>
+    require((durationS > 0) ^ (maxSizeBytes > 0),
+      "exactly one of duration/maxSize must be set")
+    require(overlapS <= 0 || durationS > 0, "overlap requires duration mode")
+    val (fmt, samples) = decodePcm(bytes)
+    val rate = fmt.getSampleRate
+    val budget =
+      if (durationS > 0) math.max(1, math.round(durationS * rate).toInt)
+      else math.max(1, math.min(maxSizeBytes / 2, Int.MaxValue.toLong).toInt)
+    val overlap =
+      if (overlapS > 0) math.min(math.round(overlapS * rate).toInt, budget - 1)
+      else 0
+    val win = math.max((rate * 0.02).toInt, 1)
+    val silentWin: Array[Boolean] =
+      if (minSilenceSec > 0 || trimLeadingSilence)
+        samples.grouped(win).map { w =>
+          math.sqrt(w.map(s => (s.toDouble / Short.MaxValue) *
+            (s.toDouble / Short.MaxValue)).sum / w.length) < silenceRms
+        }.toArray
+      else Array.empty
+    val minSilentWins = math.max((minSilenceSec / 0.02).toInt, 1)
+    val out = scala.collection.mutable.ArrayBuffer.empty[AudioSegment]
+    var start = 0
+    while (start < samples.length) {
+      var segStart = start
+      if (trimLeadingSilence) {
+        while (segStart / win < silentWin.length &&
+            silentWin(segStart / win) &&
+            segStart + win <= samples.length) segStart += win
+        if (segStart >= samples.length) segStart = start // fully silent tail
+      }
+      val hardEnd = math.min(samples.length, segStart + budget)
+      var end = hardEnd
+      if (minSilenceSec > 0 && hardEnd < samples.length) {
+        // latest window e with a full silent run [e-minSilentWins+1, e]
+        // ending at or before the budget and after the segment start
+        val lastWin = hardEnd / win - 1
+        val firstWin = segStart / win
+        var e = lastWin
+        var found = -1
+        while (e >= firstWin + minSilentWins - 1 && found < 0) {
+          val runOk = (e - minSilentWins + 1 to e).forall(silentWin(_))
+          if (runOk) found = e else e -= 1
+        }
+        if (found >= 0) end = math.min(hardEnd, (found + 1) * win)
+      }
+      if (end <= segStart) end = hardEnd // degenerate: keep progress
+      out += AudioSegment(segStart / rate.toDouble, end / rate.toDouble,
+        encodeWav(samples.slice(segStart, end), rate))
+      val next = end - overlap
+      start = if (next > start) next else end
+      if (end >= samples.length) start = samples.length
+    }
+    out.toSeq
+  }
+
   /** audio_splitter (reference `audio.py:357-763`): split on silence —
     * windows whose RMS falls below `silenceRms` for at least
     * `minSilenceSec` separate segments. Returns (idx, start_sec, end_sec,

@@ -1446,6 +1446,50 @@ object Extras {
              |FROM d JOIN g ON i <= (w - 3) // 6 AND j <= (h - 3) // 4
              |ORDER BY doc_id, tile_pos""".stripMargin),
     ),
+    QueryDef(
+      "q130_audio_segments",
+      (s, dir) => {
+        // the reference audio_splitter's budget mode with silence snapping
+        // (`functions/audio.py:400-472`) in the oracle gate: tone(a) ∥
+        // 0.3 s silence ∥ tone(0.6) at 16 kHz with a ∈ {0.4, 0.8, 1.2} by
+        // doc_id%3, 1.0 s budget, 0.2 s min-silence. Every boundary is a
+        // window-aligned closed form — the snap lands at the silence end
+        // (a=0.4), exactly on a mid-silence budget (a=0.8), or not at all
+        // within the first budget (a=1.2) — so the piecewise segment lists
+        // are literal VALUES in the oracle. seg_seconds decodes the
+        // emitted WAV, proving the segments are real audio.
+        import graft.functions.Audio
+        val a = (col("doc_id") % 3 + 1).cast("double") * lit(0.4)
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("t1", Audio.makeSineWav(a, lit(440.0)))
+          .withColumn("sil", Audio.multiplyVolume(
+            Audio.makeSineWav(lit(0.3), lit(440.0)), lit(0.0)))
+          .withColumn("t2", Audio.makeSineWav(lit(0.6), lit(440.0)))
+          .withColumn("wav", Audio.concatAudio(
+            Audio.concatAudio(col("t1"), col("sil")), col("t2")))
+          .select(col("doc_id"), posexplode(Audio.audioSegments(col("wav"),
+            lit(1.0), lit(0.0), lit(0L), lit(0.01), lit(0.2), lit(false))))
+          .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+            col("col.segment_start").as("segment_start"),
+            col("col.segment_end").as("segment_end"),
+            round(Audio.getMetadata(col("col.audio_segment"))
+              .getField("_4"), 6).as("seg_seconds"))
+          .transform(graft.QueryUtil.orderedSmall(_,
+            col("doc_id"), col("seg_idx")))
+      },
+      Some("""WITH seg(m, seg_idx, segment_start, segment_end) AS (VALUES
+             |  (0, 0, 0.0, 0.7), (0, 1, 0.7, 1.3),
+             |  (1, 0, 0.0, 1.0), (1, 1, 1.0, 1.7),
+             |  (2, 0, 0.0, 1.0), (2, 1, 1.0, 1.5), (2, 2, 1.5, 2.1))
+             |SELECT d.doc_id, seg.seg_idx::BIGINT AS seg_idx,
+             |  seg.segment_start, seg.segment_end,
+             |  round(seg.segment_end - seg.segment_start, 6) AS seg_seconds
+             |FROM (SELECT doc_id, (doc_id % 3)::INT AS m FROM documents
+             |      WHERE doc_id < 40) d
+             |JOIN seg ON seg.m = d.m
+             |ORDER BY doc_id, seg_idx""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

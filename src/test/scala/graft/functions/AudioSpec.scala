@@ -26,6 +26,45 @@ class AudioSpec extends AnyFunSuite {
     assert(math.abs(row.getAs[Double]("half_level") - 0.177) < 0.01)
   }
 
+  test("audioSegments: duration/overlap/max_size budgets, silence snap, leading trim") {
+    // 1.0s tone ∥ 0.3s silence ∥ 1.0s tone ∥ 0.3s silence ∥ 0.4s tone = 3.0s @16k
+    val (_, t1) = Audio.decodePcm(Audio.sineWav(1.0, 440.0))
+    val (_, sil) = Audio.decodePcm(Audio.sineWav(0.3, 440.0, amplitude = 0.0))
+    val (_, t2) = Audio.decodePcm(Audio.sineWav(0.4, 440.0))
+    val df = Seq(Tuple1(Audio.encodeWav(t1 ++ sil ++ t1 ++ sil ++ t2))).toDF("wav")
+    def segs(dur: Double, over: Double, maxB: Long, minSil: Double,
+        trim: Boolean): Seq[(Double, Double)] =
+      df.select(posexplode(Audio.audioSegments(col("wav"), lit(dur), lit(over),
+          lit(maxB), lit(0.01), lit(minSil), lit(trim))))
+        .select(col("col.segment_start"), col("col.segment_end")).collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+
+    // plain duration: exact 1.2 s boundaries, tail keeps the remainder
+    val d = segs(1.2, 0, 0, 0, trim = false)
+    assert(d.map(_._1).zip(Seq(0.0, 1.2, 2.4)).forall((close _).tupled), s"d=$d")
+    assert(close(d.last._2, 3.0))
+
+    // max_size: 2 B/sample → byte budget lands on the same boundaries
+    val m = segs(0, 0, (2 * 16000 * 1.2).toLong, 0, trim = false)
+    assert(m.map(_._1).zip(Seq(0.0, 1.2, 2.4)).forall((close _).tupled), s"m=$m")
+
+    // overlap: each next segment starts duration − overlap after the last
+    val o = segs(1.2, 0.2, 0, 0, trim = false)
+    assert(close(o(0)._2, 1.2) && close(o(1)._1, 1.0), s"o=$o")
+
+    // silence snap: the 1.5 s budget pulls each cut back to a silence end —
+    // segments never end mid-tone
+    val s = segs(1.5, 0, 0, 0.1, trim = false)
+    assert(s.map(_._1).zip(Seq(0.0, 1.3, 2.6)).forall((close _).tupled), s"s=$s")
+    assert(close(s(0)._2, 1.3) && close(s(1)._2, 2.6) && close(s(2)._2, 3.0))
+
+    // leading trim: a budget cut mid-silence starts the next segment where
+    // the tone resumes (1.1 → trimmed to 1.3; 2.4 → trimmed to 2.6)
+    val tr = segs(1.1, 0, 0, 0, trim = true)
+    assert(tr.map(_._1).zip(Seq(0.0, 1.3, 2.6)).forall((close _).tupled), s"tr=$tr")
+  }
+
   test("audioSplitter splits on silence gaps") {
     // 0.5s tone ∥ 0.3s silence ∥ 0.5s tone
     val tone = Audio.sineWav(0.5, 440.0)
