@@ -531,8 +531,12 @@ object Images {
       require(overlapW >= 0 && overlapH >= 0 && overlapW < tileW && overlapH < tileH,
         s"overlap must be in [0, tile_size): $overlapW x $overlapH")
       val img = decode(bytes)
-      val xlen = (img.getWidth - overlapW - 1) / (tileW - overlapW) + 1
-      val ylen = (img.getHeight - overlapH - 1) / (tileH - overlapH) + 1
+      // floorDiv, not Scala's truncating `/`: the reference formula is
+      // Python floor division, and for an image no wider than the overlap
+      // (w − ow − 1 < 0) the two disagree — floor yields an EMPTY grid
+      // (the reference's behavior), truncation would emit one padded tile
+      val xlen = Math.floorDiv(img.getWidth - overlapW - 1, tileW - overlapW) + 1
+      val ylen = Math.floorDiv(img.getHeight - overlapH - 1, tileH - overlapH) + 1
       for { j <- 0 until ylen; i <- 0 until xlen } yield {
         val x1 = i * (tileW - overlapW)
         val y1 = j * (tileH - overlapH)

@@ -173,6 +173,79 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: tileIterator grid covers every source pixel; boxes step uniformly (150 trials)") {
+    import org.apache.spark.sql.functions.{col, lit, posexplode}
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 150) {
+      val w = 3 + rnd.nextInt(40); val h = 3 + rnd.nextInt(30)
+      val tw = 2 + rnd.nextInt(10); val th = 2 + rnd.nextInt(8)
+      val ow = rnd.nextInt(tw); val oh = rnd.nextInt(th)
+      val rows = Seq(1).toDF("one")
+        .select(posexplode(graft.functions.Images.tileIterator(
+          graft.functions.Images.makeSolidPng(lit(w), lit(h), lit(0x123456)),
+          lit(tw), lit(th), lit(ow), lit(oh))))
+        .select(col("col._3"), col("col._4"), col("col._5"), col("col._6"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      // Python floor-div grid (the reference formula); an image no wider
+      // than the overlap legitimately yields an empty grid
+      val xlen = math.max(0, Math.floorDiv(w - ow - 1, tw - ow) + 1)
+      val ylen = math.max(0, Math.floorDiv(h - oh - 1, th - oh) + 1)
+      assert(rows.length == xlen * ylen, s"trial $trial: grid size")
+      if (xlen > 0 && ylen > 0) {
+        // coverage: every source pixel falls inside at least one box
+        val covered = Array.ofDim[Boolean](w, h)
+        rows.foreach { case (x1, y1, x2, y2) =>
+          for (x <- x1 until math.min(x2, w); y <- y1 until math.min(y2, h))
+            covered(x)(y) = true
+        }
+        assert(covered.forall(_.forall(identity)),
+          s"trial $trial: uncovered pixel (w=$w h=$h t=$tw×$th o=$ow×$oh)")
+      }
+    }
+  }
+
+  test("property: videoSplitter/audioSegments partition their timeline when overlap=0 (40 trials)") {
+    import org.apache.spark.sql.functions.{col, lit, posexplode}
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 40) {
+      val n = 2 + rnd.nextInt(30)
+      val durFrames = 1 + rnd.nextInt(12)
+      val segs = Seq(graft.functions.Video.makeTestVideo(n, 8, 6, 0x224466, 10))
+        .toDF("v")
+        .select(posexplode(graft.functions.Video.videoSplitter(
+          col("v"), lit(durFrames / 10.0), lit(0.0), lit(0.0))))
+        .select(col("col.segment_start_pts"), col("col.segment_end_pts"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // contiguous, exhaustive, nonempty: [0,n) exactly
+      assert(segs.head._1 == 0L && segs.last._2 == n.toLong, s"trial $trial")
+      segs.sliding(2).foreach {
+        case Array((_, e), (s, _)) => assert(e == s, s"trial $trial: gap at $e")
+        case _ =>
+      }
+      assert(segs.forall { case (s, e) => e > s }, s"trial $trial: empty segment")
+    }
+    for (trial <- 1 to 40) {
+      val secs = 0.1 + rnd.nextInt(20) * 0.1
+      val budget = 0.1 + rnd.nextInt(8) * 0.05
+      val wav = graft.functions.Audio.sineWav(secs, 330.0)
+      val total = graft.functions.Audio.decodePcm(wav)._2.length
+      val segs = Seq(wav).toDF("wav")
+        .select(posexplode(graft.functions.Audio.audioSegments(
+          col("wav"), lit(budget), lit(0.0), lit(0L), lit(0.01), lit(0.0),
+          lit(false))))
+        .select(col("col.segment_start"), col("col.segment_end"))
+        .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      val rate = 16000.0
+      assert(math.abs(segs.head._1) < 1e-9 &&
+        math.abs(segs.last._2 - total / rate) < 1e-9, s"audio trial $trial")
+      segs.sliding(2).foreach {
+        case Array((_, e), (s, _)) =>
+          assert(math.abs(e - s) < 1e-9, s"audio trial $trial: gap at $e")
+        case _ =>
+      }
+    }
+  }
+
   private implicit class Inspect(s: String) {
     def inspect: String = "\"" + s.replace("\"", "\\\"") + "\""
   }
