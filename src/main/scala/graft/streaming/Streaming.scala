@@ -127,4 +127,57 @@ object Streaming {
           out.iterator
       }
   }
+
+  /** One near-dup verdict: `dup_of` is the id of the FIRST seen document
+    * within `maxHamming` SimHash bits, or −1 when the document is novel.
+    */
+  final case class NearDupVerdict(doc_id: Long, simhash: String, dup_of: Long)
+
+  /** Streaming near-duplicate detection — the crawl-ingest shape: incoming
+    * documents are SimHashed declaratively, then checked against per-bucket
+    * state (`flatMapGroupsWithState`, bucket = the signature's 8-bit
+    * prefix) holding the signatures seen so far. A document within
+    * `maxHamming` bits of ANY prior same-bucket signature reports that
+    * first document in `dup_of`; every signature enters state regardless
+    * (transitive chains keep pointing at the earliest seen copy's bucket
+    * entry). Per-batch processing order is doc_id (deterministic); state
+    * per bucket is FIFO-capped at `maxPerBucket` signatures.
+    *
+    * Scale/fidelity contract: state is O(buckets × maxPerBucket), keyed
+    * shuffle only. Bucketing is the single-pass approximation — a pair
+    * whose differing bits fall inside the 8-bit prefix lands in different
+    * buckets and is missed; the pigeonhole-exact path is the BATCH banded
+    * LSH join (q33/q35), and a production stream would run 4 permuted
+    * passes of this operator to recover the guarantee (documented, not
+    * stacked here: multiple stateful operators in one streaming query are
+    * restricted in append mode).
+    */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, maxPerBucket: Int = 10000): Dataset[NearDupVerdict] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def hamming(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val withSig = docs.select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.TextFunctions.simhash16(
+          split(lower(col(textCol)), "\\s+")).as("sig"))
+      .as[(Long, String)]
+    withSig
+      .groupByKey(_._2.substring(0, 8))
+      .flatMapGroupsWithState[List[(String, Long)], NearDupVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String)],
+         state: GroupState[List[(String, Long)]]) =>
+          var seen = state.getOption.getOrElse(Nil) // newest-first FIFO
+          val out = rows.toSeq.sortBy(_._1).map { case (id, sig) =>
+            // earliest matching doc = LAST match in the newest-first list
+            val hit = seen.reverseIterator
+              .find { case (s, _) => hamming(s, sig) <= maxHamming }
+            seen = (sig, id) :: seen
+            NearDupVerdict(id, sig, hit.map(_._2).getOrElse(-1L))
+          }
+          state.update(seen.take(maxPerBucket))
+          out.iterator
+      }
+  }
 }

@@ -20,7 +20,10 @@ object ScaleCheck {
     "q56_tpch_q3", "q57_tpch_q18", "q66_mean_ap", "q75_percentile_group",
     "q97_gopher_rules", "q99_rolling_window",
     "q103_mixture_sample", "q104_sequence_pack", "q105_charlm_score",
-    "q106_dupspan_stats")
+    "q106_dupspan_stats", "q126_hard_negatives")
+  // q126 under replication: the probe set stays fixed (vec_id < 8, all in
+  // copy 0) while the corpus grows m× — scoring is map-side so the ratio
+  // should track m; replicas tie at equal cosine but k stays constant.
   // q107 is absent like q100: replication makes every document an exact
   // dup of its copies, so covered positions approach 100% and the
   // reassembly output collapses — the ratio would measure the artifact.
@@ -63,8 +66,8 @@ object ScaleCheck {
       replicate("orders", Map("o_orderkey" -> 10000000L))
       replicate("events", Map("event_id" -> 100000000L, "user_id" -> 1000000L))
       replicate("documents", Map("doc_id" -> 10000000L))
-      for (dim <- Seq("region", "nation", "customer", "supplier", "part",
-          "embeddings"))
+      replicate("embeddings", Map("vec_id" -> 10000000L))
+      for (dim <- Seq("region", "nation", "customer", "supplier", "part"))
         spark.read.parquet(s"$base/$dim.parquet")
           .write.mode("overwrite").parquet(s"$bigDir/$dim.parquet")
     }

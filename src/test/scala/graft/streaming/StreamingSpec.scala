@@ -68,6 +68,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").select("key").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("streaming near-dup: per-bucket simhash state matches a batch replay across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup-stream").toString
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark shuffles and joins"),
+      (3L, "the quick brown fox jumps over the lazy dog today"), // near 1
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (4L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (5L, "yet another unrelated piece of text entirely here"),
+    ).toDF("doc_id", "text")
+    batch1.write.mode("overwrite").parquet(dir)
+    val stream = Streaming.fileStream(spark, dir, batch1.schema)
+    val out = Streaming.nearDupStream(stream, "doc_id", "text", maxHamming = 3)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    q.processAllAvailable()
+    batch2.write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardup_out").as[Streaming.NearDupVerdict].collect()
+      .map(v => v.doc_id -> ((v.simhash, v.dup_of))).toMap
+
+    // differential oracle: replay the same per-bucket fold over the SAME
+    // declaratively-computed signatures in micro-batch arrival order
+    val sigs = batch1.unionByName(batch2)
+      .select(col("doc_id"), graft.functions.TextFunctions.simhash16(
+        split(lower(col("text")), "\\s+")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    val state = scala.collection.mutable.Map.empty[String, List[(String, Long)]]
+    val expected = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L)).flatMap { batch =>
+      batch.sorted.map { id =>
+        val sig = sigs(id); val bucket = sig.substring(0, 8)
+        val seen = state.getOrElse(bucket, Nil)
+        val hit = seen.reverse.find { case (s, _) => ham(s, sig) <= 3 }
+        state(bucket) = (sig, id) :: seen
+        id -> ((sig, hit.map(_._2).getOrElse(-1L)))
+      }
+    }.toMap
+    assert(got == expected)
+    // hard pins independent of hash values: an exact duplicate always
+    // reports the ORIGINAL (cross-batch state), unrelated text is novel
+    assert(got(4L)._2 == 1L)
+    assert(got(2L)._2 == -1L && got(5L)._2 == -1L)
+  }
+
   test("stream lands in a versioned table via foreachBatch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream2").toString
     val cp = java.nio.file.Files.createTempDirectory("graft-cp").toString
