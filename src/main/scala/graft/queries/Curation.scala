@@ -372,5 +372,76 @@ object Curation {
              |FROM fb JOIN theta USING (bucket)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q131_bpe_merges",
+      (s, dir) => {
+        // BPE tokenizer TRAINING on the corpus (Sennrich et al. 2016 —
+        // the training side of the GPT-2/CLIP tokenizers graft.ml.Bpe
+        // runs at inference): four unrolled merge rounds over the
+        // word-frequency table. The oracle replays the identical rounds in
+        // SQL using the same parenthesized-symbol encoding, where plain
+        // non-regex replace() IS greedy left-to-right BPE (see
+        // operators/BpeTrain.scala for why a space-separated encoding
+        // would merge only alternate adjacent occurrences).
+        import s.implicits._
+        graft.operators.BpeTrain
+          .learnMerges(T(s, dir, "documents"), "text", nMerges = 4)
+          .toDF()
+          .select(col("merge_rank").cast("long").as("merge_rank"),
+            col("lhs"), col("rhs"), col("pair_count"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("merge_rank")))
+      },
+      Some("""WITH words AS (
+             |  SELECT w, count(*)::BIGINT AS cnt FROM (
+             |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+             |    FROM documents)
+             |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1),
+             |w0 AS (SELECT regexp_replace(w, '(.)', '(\1)', 'g') AS s, cnt
+             |  FROM words),
+             |p1 AS (SELECT l, r, sum(cnt)::BIGINT AS c FROM (
+             |    SELECT cnt,
+             |      unnest(list_slice(syms, 1, len(syms) - 1)) AS l,
+             |      unnest(list_slice(syms, 2, len(syms))) AS r
+             |    FROM (SELECT string_split(trim(s, '()'), ')(') AS syms, cnt
+             |          FROM w0))
+             |  GROUP BY 1, 2),
+             |m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+             |w1 AS (SELECT replace(s, '(' || m1.l || ')(' || m1.r || ')',
+             |         '(' || m1.l || m1.r || ')') AS s, cnt FROM w0, m1),
+             |p2 AS (SELECT l, r, sum(cnt)::BIGINT AS c FROM (
+             |    SELECT cnt,
+             |      unnest(list_slice(syms, 1, len(syms) - 1)) AS l,
+             |      unnest(list_slice(syms, 2, len(syms))) AS r
+             |    FROM (SELECT string_split(trim(s, '()'), ')(') AS syms, cnt
+             |          FROM w1))
+             |  GROUP BY 1, 2),
+             |m2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+             |w2 AS (SELECT replace(s, '(' || m2.l || ')(' || m2.r || ')',
+             |         '(' || m2.l || m2.r || ')') AS s, cnt FROM w1, m2),
+             |p3 AS (SELECT l, r, sum(cnt)::BIGINT AS c FROM (
+             |    SELECT cnt,
+             |      unnest(list_slice(syms, 1, len(syms) - 1)) AS l,
+             |      unnest(list_slice(syms, 2, len(syms))) AS r
+             |    FROM (SELECT string_split(trim(s, '()'), ')(') AS syms, cnt
+             |          FROM w2))
+             |  GROUP BY 1, 2),
+             |m3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1),
+             |w3 AS (SELECT replace(s, '(' || m3.l || ')(' || m3.r || ')',
+             |         '(' || m3.l || m3.r || ')') AS s, cnt FROM w2, m3),
+             |p4 AS (SELECT l, r, sum(cnt)::BIGINT AS c FROM (
+             |    SELECT cnt,
+             |      unnest(list_slice(syms, 1, len(syms) - 1)) AS l,
+             |      unnest(list_slice(syms, 2, len(syms))) AS r
+             |    FROM (SELECT string_split(trim(s, '()'), ')(') AS syms, cnt
+             |          FROM w3))
+             |  GROUP BY 1, 2),
+             |m4 AS (SELECT l, r, c FROM p4 ORDER BY c DESC, l, r LIMIT 1)
+             |SELECT 1::BIGINT AS merge_rank, l AS lhs, r AS rhs,
+             |  c AS pair_count FROM m1
+             |UNION ALL SELECT 2::BIGINT, l, r, c FROM m2
+             |UNION ALL SELECT 3::BIGINT, l, r, c FROM m3
+             |UNION ALL SELECT 4::BIGINT, l, r, c FROM m4
+             |ORDER BY merge_rank""".stripMargin),
+    ),
   )
 }
