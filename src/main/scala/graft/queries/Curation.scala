@@ -443,5 +443,87 @@ object Curation {
              |UNION ALL SELECT 4::BIGINT, l, r, c FROM m4
              |ORDER BY merge_rank""".stripMargin),
     ),
+    QueryDef(
+      "q132_nb_classifier",
+      (s, dir) => {
+        // TRAINABLE document classifier — the fastText/CCNet-style
+        // supervised filter (multinomial Naive Bayes over hashed
+        // bag-of-words): train on the 80% split (doc_id % 5 ≠ 0) with
+        // lang as the label, predict the held-out 20%. Hash-bucketed
+        // features (md5 % 1024, the q117 DSIR trick) make the model a
+        // FIXED k×L grid — broadcastable at any corpus size, and no
+        // unseen-word special case. Per-feature log-likelihoods round to
+        // integer micro-units BEFORE the per-(doc,lang) sum, so scores
+        // are accumulation-order-independent and engine-exact; argmax
+        // tiebreaks (score DESC, lang). Train = one shuffle; scoring =
+        // broadcast join + per-doc aggregate; the argmax window
+        // partitions on the high-cardinality doc_id.
+        val k = 1024
+        val toks = T(s, dir, "documents").select(col("doc_id"), col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("f"))
+        val fb = toks.withColumn("b",
+          conv(substring(md5(col("f")), 1, 12), 16, 10).cast("long") % k)
+        val train = fb.filter(col("doc_id") % 5 =!= 0)
+        val cnt = train.groupBy(col("lang").as("l"), col("b"))
+          .agg(count(lit(1)).as("c"))
+        val tot = cnt.groupBy(col("l")).agg(sum(col("c")).as("tc"))
+        val langs = tot.select(col("l"))
+        val grid = langs
+          .crossJoin(s.range(k).select(col("id").as("b")))
+          .join(tot, Seq("l"))
+          .join(cnt, Seq("l", "b"), "left")
+          .select(col("l"), col("b"),
+            round(log((coalesce(col("c"), lit(0L)) + 1.0) /
+              (col("tc") + k.toDouble)) * 1e6).cast("long").as("llh"))
+        val trainDocs = T(s, dir, "documents").filter(col("doc_id") % 5 =!= 0)
+        val nTrain = trainDocs.count().toDouble
+        val prior = trainDocs.groupBy(col("lang").as("l"))
+          .agg(round(log(count(lit(1)) / nTrain) * 1e6).cast("long").as("pr"))
+        val scores = fb.filter(col("doc_id") % 5 === 0)
+          .join(broadcast(grid), Seq("b"))
+          .join(broadcast(prior), Seq("l"))
+          .groupBy(col("doc_id"), col("l"), col("pr"))
+          .agg(sum(col("llh")).as("sllh"))
+          .select(col("doc_id"), col("l"),
+            (col("pr") + col("sllh")).as("sc"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("sc").desc, col("l"))
+        scores.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+          .join(T(s, dir, "documents").select(col("doc_id"), col("lang")),
+            Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("l").as("pred_lang"),
+            col("sc").as("nb_score_micro"),
+            (col("l") === col("lang")).cast("int").as("correct"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    unnest(string_split_regex(trim(text), '\s+')) AS f
+             |  FROM documents),
+             |fb AS (SELECT doc_id, lang,
+             |    ('0x' || substr(md5(f), 1, 12))::BIGINT % 1024 AS b FROM t),
+             |cnt AS (SELECT lang AS l, b, count(*) AS c FROM fb
+             |  WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+             |tot AS (SELECT l, sum(c) AS tc FROM cnt GROUP BY 1),
+             |grid AS (SELECT tot.l, gb.b,
+             |    CAST(round(ln((coalesce(c, 0) + 1.0) / (tc + 1024.0))
+             |      * 1000000) AS BIGINT) AS llh
+             |  FROM (SELECT l, unnest(generate_series(0, 1023)) AS b
+             |        FROM tot) gb
+             |  JOIN tot ON tot.l = gb.l
+             |  LEFT JOIN cnt ON cnt.l = gb.l AND cnt.b = gb.b),
+             |prior AS (SELECT lang AS l, CAST(round(ln(count(*) /
+             |      (SELECT count(*)::DOUBLE FROM documents
+             |       WHERE doc_id % 5 <> 0)) * 1000000) AS BIGINT) AS pr
+             |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+             |scores AS (SELECT fb.doc_id, g.l, p.pr + sum(g.llh) AS sc
+             |  FROM fb JOIN grid g ON g.b = fb.b JOIN prior p ON p.l = g.l
+             |  WHERE fb.doc_id % 5 = 0 GROUP BY fb.doc_id, g.l, p.pr),
+             |ranked AS (SELECT doc_id, l, sc, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY sc DESC, l) AS rk FROM scores)
+             |SELECT r.doc_id, d.lang, r.l AS pred_lang,
+             |  r.sc AS nb_score_micro, (r.l = d.lang)::INT AS correct
+             |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+             |WHERE rk = 1 ORDER BY r.doc_id""".stripMargin),
+    ),
   )
 }
