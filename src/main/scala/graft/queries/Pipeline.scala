@@ -1309,5 +1309,87 @@ object Pipeline {
              |    ORDER BY cos_sim DESC, vec_id) AS rk FROM s)
              |WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin),
     ),
+    QueryDef(
+      "q133_ndcg",
+      (s, dir) => {
+        // Graded retrieval-quality evaluation beyond q66's mean_ap:
+        // NDCG@{5,10,25} over the q90 BM25 ranking with a synthetic
+        // relevance grade (doc_id % 4). Per-position DCG contributions
+        // round to integer micro-units BEFORE summation (the q117
+        // pattern), so both engines sum identical integers in any order;
+        // NDCG is the ratio of the two integer sums. IDCG is the ideal
+        // reordering of the SAME retrieved set ("local" NDCG). The rank
+        // windows are unpartitioned but run over exactly 25 rows — the
+        // candidate set is already TakeOrderedAndProject-bounded.
+        import org.apache.spark.sql.expressions.Window
+        val cand = graft.functions.Ranking.bm25(
+            T(s, dir, "documents"), "doc_id", "text",
+            query = "spark join vector", topK = 25)
+          .select(col("doc_id"), col("bm25"))
+        val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+        val wI = Window.orderBy(col("rel").desc, col("doc_id"))
+        val graded = cand
+          .withColumn("rel", col("doc_id") % 4)
+          .withColumn("rk", row_number().over(w))
+          .withColumn("irk", row_number().over(wI))
+          .withColumn("gain", pow(lit(2.0), col("rel")) - 1.0)
+          .withColumn("dterm",
+            round(col("gain") / log2(col("rk") + 1.0) * 1e6).cast("long"))
+          .withColumn("iterm",
+            round(col("gain") / log2(col("irk") + 1.0) * 1e6).cast("long"))
+        val ks = s.createDataFrame(Seq(5, 10, 25).map(Tuple1(_))).toDF("k")
+        graded.crossJoin(broadcast(ks))
+          .groupBy(col("k"))
+          .agg(
+            sum(when(col("rk") <= col("k"), col("dterm")).otherwise(0L))
+              .as("dcg_micro"),
+            sum(when(col("irk") <= col("k"), col("iterm")).otherwise(0L))
+              .as("idcg_micro"))
+          .select(col("k").cast("long").as("k"), col("dcg_micro"),
+            col("idcg_micro"),
+            round(col("dcg_micro").cast("double") / col("idcg_micro"), 6)
+              .as("ndcg"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("k")))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+             |  FROM documents),
+             |base2 AS (SELECT doc_id, len(toks) AS dl, toks FROM base),
+             |hits AS (
+             |  SELECT doc_id, dl, term, count(*) AS tf
+             |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base2)
+             |  WHERE term IN ('spark', 'join', 'vector')
+             |  GROUP BY 1, 2, 3),
+             |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM base2),
+             |dft AS (SELECT term, count(*) AS df FROM hits GROUP BY 1),
+             |scored AS (
+             |  SELECT h.doc_id,
+             |    round(sum(
+             |      ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             |      * h.tf * 2.2
+             |      / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * h.dl / s.avgdl))), 4) AS bm25
+             |  FROM hits h
+             |  CROSS JOIN stats s
+             |  JOIN dft d ON h.term = d.term
+             |  GROUP BY 1),
+             |cand AS (SELECT doc_id, bm25 FROM scored
+             |  ORDER BY bm25 DESC, doc_id LIMIT 25),
+             |g AS (SELECT doc_id, doc_id % 4 AS rel,
+             |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk,
+             |    row_number() OVER (ORDER BY (doc_id % 4) DESC, doc_id) AS irk
+             |  FROM cand),
+             |t AS (SELECT *,
+             |    CAST(round((pow(2, rel) - 1) / log2(rk + 1) * 1000000)
+             |      AS BIGINT) AS dterm,
+             |    CAST(round((pow(2, rel) - 1) / log2(irk + 1) * 1000000)
+             |      AS BIGINT) AS iterm FROM g)
+             |SELECT k::BIGINT AS k,
+             |  sum(CASE WHEN rk <= k THEN dterm ELSE 0 END)::BIGINT AS dcg_micro,
+             |  sum(CASE WHEN irk <= k THEN iterm ELSE 0 END)::BIGINT AS idcg_micro,
+             |  round(sum(CASE WHEN rk <= k THEN dterm ELSE 0 END)::DOUBLE /
+             |    sum(CASE WHEN irk <= k THEN iterm ELSE 0 END), 6) AS ndcg
+             |FROM t, (SELECT unnest([5, 10, 25]) AS k) ks
+             |GROUP BY k ORDER BY k""".stripMargin),
+    ),
   )
 }
