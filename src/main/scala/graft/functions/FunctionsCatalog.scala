@@ -18,6 +18,7 @@ object FunctionsCatalog {
     "video" -> Video,
     "audio" -> Audio,
     "vision" -> Vision,
+    "scene" -> SceneDetect,
     "text" -> TextFunctions,
     "html" -> Html,
     "vector" -> VectorFunctions,
@@ -33,7 +34,11 @@ object FunctionsCatalog {
   def functions: Seq[(String, String, Int)] =
     families.flatMap { case (fam, obj) =>
       obj.getClass.getMethods.toSeq
-        .filter(m => m.getReturnType == classOf[Column])
+        .filter(m => m.getReturnType == classOf[Column] ||
+          // scalar UDF members (media/scene kernels are surfaced as
+          // UserDefinedFunction vals rather than Column builders)
+          m.getReturnType ==
+            classOf[org.apache.spark.sql.expressions.UserDefinedFunction])
         .filterNot(m => m.isSynthetic || m.getName.contains("$"))
         .groupBy(_.getName)
         .map { case (n, ms) => (fam, n, ms.map(_.getParameterCount).min) }
