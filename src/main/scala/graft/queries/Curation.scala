@@ -525,5 +525,98 @@ object Curation {
              |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
              |WHERE rk = 1 ORDER BY r.doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q134_bpe_tokenize",
+      (s, dir) => {
+        // APPLY the q131-trained merges corpus-wide: per-document token
+        // counts before/after BPE — the compression statistic a tokenizer
+        // trainer reports. The merges are applied to the DISTINCT-word
+        // table (vocabulary-sized, broadcastable), and per-doc stats come
+        // from joining doc tokens to it — corpus text never re-tokenizes
+        // row by row. The oracle re-learns the same four merges and
+        // replays the application through the same encoding.
+        val docs = T(s, dir, "documents")
+        val merges = graft.operators.BpeTrain.learnMerges(docs, "text", 4)
+        var repr = graft.operators.BpeTrain.wordCounts(docs, "text")
+          .select(col("w"), regexp_replace(col("w"), "(.)", "($1)").as("s"))
+        merges.foreach { m =>
+          repr = repr.select(col("w"), expr(
+            s"replace(s, '(${m.lhs})(${m.rhs})', '(${m.lhs}${m.rhs})')")
+            .as("s"))
+        }
+        val wtoks = repr.select(col("w"),
+          size(split(regexp_replace(col("s"), "^\\(|\\)$", ""), "\\)\\("))
+            .as("n_sym"))
+        docs.select(col("doc_id"),
+            explode(split(lower(col("text")), "\\s+")).as("w"))
+          .filter(col("w").rlike("^[a-z]+$"))
+          .join(broadcast(wtoks), Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_sym")).as("n_bpe_tokens"))
+          .withColumn("bpe_per_word",
+            round(col("n_bpe_tokens").cast("double") / col("n_words"), 6))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH words AS (
+             |  SELECT w, count(*)::BIGINT AS cnt FROM (
+             |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+             |    FROM documents)
+             |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1),
+             |w0 AS (SELECT w, regexp_replace(w, '(.)', '(\1)', 'g') AS s, cnt
+             |  FROM words),
+             |p1 AS (SELECT l, r, sum(cnt)::BIGINT AS c FROM (
+             |    SELECT cnt,
+             |      unnest(list_slice(syms, 1, len(syms) - 1)) AS l,
+             |      unnest(list_slice(syms, 2, len(syms))) AS r
+             |    FROM (SELECT string_split(trim(s, '()'), ')(') AS syms, cnt
+             |          FROM w0))
+             |  GROUP BY 1, 2),
+             |m1 AS (SELECT l, r FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+             |w1 AS (SELECT w, replace(s, '(' || m1.l || ')(' || m1.r || ')',
+             |         '(' || m1.l || m1.r || ')') AS s, cnt FROM w0, m1),
+             |p2 AS (SELECT l, r, sum(cnt)::BIGINT AS c FROM (
+             |    SELECT cnt,
+             |      unnest(list_slice(syms, 1, len(syms) - 1)) AS l,
+             |      unnest(list_slice(syms, 2, len(syms))) AS r
+             |    FROM (SELECT string_split(trim(s, '()'), ')(') AS syms, cnt
+             |          FROM w1))
+             |  GROUP BY 1, 2),
+             |m2 AS (SELECT l, r FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+             |w2 AS (SELECT w, replace(s, '(' || m2.l || ')(' || m2.r || ')',
+             |         '(' || m2.l || m2.r || ')') AS s, cnt FROM w1, m2),
+             |p3 AS (SELECT l, r, sum(cnt)::BIGINT AS c FROM (
+             |    SELECT cnt,
+             |      unnest(list_slice(syms, 1, len(syms) - 1)) AS l,
+             |      unnest(list_slice(syms, 2, len(syms))) AS r
+             |    FROM (SELECT string_split(trim(s, '()'), ')(') AS syms, cnt
+             |          FROM w2))
+             |  GROUP BY 1, 2),
+             |m3 AS (SELECT l, r FROM p3 ORDER BY c DESC, l, r LIMIT 1),
+             |w3 AS (SELECT w, replace(s, '(' || m3.l || ')(' || m3.r || ')',
+             |         '(' || m3.l || m3.r || ')') AS s, cnt FROM w2, m3),
+             |p4 AS (SELECT l, r, sum(cnt)::BIGINT AS c FROM (
+             |    SELECT cnt,
+             |      unnest(list_slice(syms, 1, len(syms) - 1)) AS l,
+             |      unnest(list_slice(syms, 2, len(syms))) AS r
+             |    FROM (SELECT string_split(trim(s, '()'), ')(') AS syms, cnt
+             |          FROM w3))
+             |  GROUP BY 1, 2),
+             |m4 AS (SELECT l, r FROM p4 ORDER BY c DESC, l, r LIMIT 1),
+             |w4 AS (SELECT w, replace(s, '(' || m4.l || ')(' || m4.r || ')',
+             |         '(' || m4.l || m4.r || ')') AS s FROM w3, m4),
+             |wt AS (SELECT w, len(string_split(trim(s, '()'), ')(')) AS n_sym
+             |  FROM w4),
+             |tok AS (SELECT doc_id, w FROM (
+             |    SELECT doc_id,
+             |      unnest(string_split_regex(lower(text), '\s+')) AS w
+             |    FROM documents)
+             |  WHERE regexp_matches(w, '^[a-z]+$'))
+             |SELECT doc_id, count(*)::BIGINT AS n_words,
+             |  sum(n_sym)::BIGINT AS n_bpe_tokens,
+             |  round(sum(n_sym)::DOUBLE / count(*), 6) AS bpe_per_word
+             |FROM tok JOIN wt USING (w)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 }
