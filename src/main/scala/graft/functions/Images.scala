@@ -525,26 +525,36 @@ object Images {
     * deliberately unclipped. Row-major (tile_coord = (i, j)) via
     * posexplode ordering.
     */
+  /** The tile grid as decoded images: (i, j, x1, y1, exact-size padded
+    * tile) — shared by the tileIterator UDF and tiled model inference.
+    */
+  private[graft] def tileImages(img: BufferedImage, tileW: Int, tileH: Int,
+      overlapW: Int, overlapH: Int): Seq[(Int, Int, Int, Int, BufferedImage)] = {
+    require(tileW > 0 && tileH > 0, s"tile_size must be positive: $tileW x $tileH")
+    require(overlapW >= 0 && overlapH >= 0 && overlapW < tileW && overlapH < tileH,
+      s"overlap must be in [0, tile_size): $overlapW x $overlapH")
+    // floorDiv, not Scala's truncating `/`: the reference formula is
+    // Python floor division, and for an image no wider than the overlap
+    // (w − ow − 1 < 0) the two disagree — floor yields an EMPTY grid
+    // (the reference's behavior), truncation would emit one padded tile
+    val xlen = Math.floorDiv(img.getWidth - overlapW - 1, tileW - overlapW) + 1
+    val ylen = Math.floorDiv(img.getHeight - overlapH - 1, tileH - overlapH) + 1
+    for { j <- 0 until ylen; i <- 0 until xlen } yield {
+      val x1 = i * (tileW - overlapW)
+      val y1 = j * (tileH - overlapH)
+      val out = new BufferedImage(tileW, tileH, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics() // TYPE_INT_RGB zero-fills → blackspace
+      g.drawImage(img, -x1, -y1, null)
+      g.dispose()
+      (i, j, x1, y1, out)
+    }
+  }
+
   val tileIterator = udf {
     (bytes: Array[Byte], tileW: Int, tileH: Int, overlapW: Int, overlapH: Int) =>
-      require(tileW > 0 && tileH > 0, s"tile_size must be positive: $tileW x $tileH")
-      require(overlapW >= 0 && overlapH >= 0 && overlapW < tileW && overlapH < tileH,
-        s"overlap must be in [0, tile_size): $overlapW x $overlapH")
-      val img = decode(bytes)
-      // floorDiv, not Scala's truncating `/`: the reference formula is
-      // Python floor division, and for an image no wider than the overlap
-      // (w − ow − 1 < 0) the two disagree — floor yields an EMPTY grid
-      // (the reference's behavior), truncation would emit one padded tile
-      val xlen = Math.floorDiv(img.getWidth - overlapW - 1, tileW - overlapW) + 1
-      val ylen = Math.floorDiv(img.getHeight - overlapH - 1, tileH - overlapH) + 1
-      for { j <- 0 until ylen; i <- 0 until xlen } yield {
-        val x1 = i * (tileW - overlapW)
-        val y1 = j * (tileH - overlapH)
-        val out = new BufferedImage(tileW, tileH, BufferedImage.TYPE_INT_RGB)
-        val g = out.createGraphics() // TYPE_INT_RGB zero-fills → blackspace
-        g.drawImage(img, -x1, -y1, null)
-        g.dispose()
-        (i, j, x1, y1, x1 + tileW, y1 + tileH, encodePng(out))
+      tileImages(decode(bytes), tileW, tileH, overlapW, overlapH).map {
+        case (i, j, x1, y1, tile) =>
+          (i, j, x1, y1, x1 + tileW, y1 + tileH, encodePng(tile))
       }
   }
 

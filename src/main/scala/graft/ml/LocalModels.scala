@@ -1121,6 +1121,76 @@ object LocalModels {
     }(enc)
   }
 
+  /** Greedy per-class NMS over (box[x1,y1,x2,y2], score, label) — the
+    * merge step of tiled inference, exposed for direct unit pinning.
+    */
+  private[graft] def nmsPerClass(dets: Seq[(Array[Float], Float, Int)],
+      iouThr: Float): Seq[(Array[Float], Float, Int)] = {
+    def iou(a: Array[Float], b: Array[Float]): Float = {
+      val ix = math.max(0f, math.min(a(2), b(2)) - math.max(a(0), b(0)))
+      val iy = math.max(0f, math.min(a(3), b(3)) - math.max(a(1), b(1)))
+      val inter = ix * iy
+      val ua = (a(2) - a(0)) * (a(3) - a(1)) + (b(2) - b(0)) * (b(3) - b(1)) - inter
+      if (ua <= 0f) 0f else inter / ua
+    }
+    dets.groupBy(_._3).toSeq.flatMap { case (_, group) =>
+      val sorted = group.sortBy(d => (-d._2, d._1(0), d._1(1)))
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Array[Float], Float, Int)]
+      sorted.foreach { d =>
+        if (!kept.exists(k => iou(k._1, d._1) > iouThr)) kept += d
+      }
+      kept
+    }.sortBy(d => (-d._2, d._3, d._1(0), d._1(1)))
+  }
+
+  /** SAHI-style TILED detection (beyond the reference's whole-image
+    * yolox.py path): the source image fans out over the tile grid
+    * (`Images.tileImages` — exact-size black padding keeps every network
+    * input square), each tile runs a fixed-size YOLOX forward at
+    * ratio 1, boxes shift by their tile origin, and the union merges
+    * with global per-class NMS. Large images cost O(tiles) fixed-size
+    * forwards instead of downscaling small objects away; per-row work
+    * stays on the executor holding the row.
+    */
+  def yoloxTiledDetection(df: DataFrame, imageCol: String, outCol: String,
+      modelDir: String, tileSize: Int, overlap: Int,
+      threshold: Float = 0.5f, nmsIou: Float = 0.45f): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadYolox(modelDir))
+    val idx = df.schema.fieldIndex(imageCol)
+    val outType = StructType(Seq(
+      StructField("bboxes", ArrayType(ArrayType(FloatType))),
+      StructField("scores", ArrayType(FloatType)),
+      StructField("labels", ArrayType(IntegerType))))
+    val schema = StructType(df.schema.fields :+ StructField(outCol, outType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val img = graft.functions.Images.decode(r.getAs[Array[Byte]](idx))
+            val all = graft.functions.Images
+              .tileImages(img, tileSize, tileSize, overlap, overlap)
+              .flatMap { case (_, _, x1, y1, tile) =>
+                // tile == input size → preprocess ratio is exactly 1
+                val (pix, ratio) = bundle.model.preprocess(tile, tileSize)
+                bundle.model.detect(pix, tileSize, tileSize, threshold).map {
+                  d =>
+                    val b = d.box.map(_ / ratio)
+                    (Array(b(0) + x1, b(1) + y1, b(2) + x1, b(3) + y1),
+                      d.score, d.label)
+                }
+              }
+            val merged = nmsPerClass(all, nmsIou)
+            Row(merged.map(_._1.toSeq), merged.map(_._2), merged.map(_._3))
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** `yolo_to_coco` (yolox.py:67): [x1,y1,x2,y2] → rounded
     * [x, y, w, h] + category, as a pure column expression.
     */
