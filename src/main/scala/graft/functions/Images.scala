@@ -525,6 +525,29 @@ object Images {
     * deliberately unclipped. Row-major (tile_coord = (i, j)) via
     * posexplode ordering.
     */
+  /** to_video (reference `functions/image.py:656` — ffmpeg `-loop` there):
+    * a still image repeated for `duration` seconds at `fps` as an
+    * MJPEG-AVI. One JPEG encode, the frame bytes repeated — the container
+    * cost is O(frames), the pixel cost O(1).
+    */
+  val toVideo = udf { (bytes: Array[Byte], duration: Double, fps: Int) =>
+    require(duration > 0 && fps > 0, s"bad duration/fps: $duration/$fps")
+    val img = decode(bytes)
+    val rgb =
+      if (img.getType == BufferedImage.TYPE_INT_RGB) img
+      else {
+        val c = new BufferedImage(img.getWidth, img.getHeight,
+          BufferedImage.TYPE_INT_RGB)
+        val g = c.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+        c
+      }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(rgb, "jpg", bos)
+    val frame = bos.toByteArray
+    val n = math.max(1, math.round(duration * fps).toInt)
+    Avi.write(Seq.fill(n)(frame), img.getWidth, img.getHeight, fps)
+  }
+
   /** The tile grid as decoded images: (i, j, x1, y1, exact-size padded
     * tile) — shared by the tileIterator UDF and tiled model inference.
     */

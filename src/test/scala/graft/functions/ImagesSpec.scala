@@ -185,6 +185,22 @@ class ImagesSpec extends AnyFunSuite {
     assert(px(s1, 3, 3) == Seq(0xAA, 0x55, 0x00)) // solid: displacement invisible
   }
 
+  test("toVideo: still image loops into an MJPEG-AVI with exact frame math") {
+    val row = Seq(1).toDF("one")
+      .withColumn("img", Images.makeSolidPng(lit(20), lit(14), lit(0x336699)))
+      .withColumn("v", Images.toVideo(col("img"), lit(1.5), lit(10)))
+      .select("v").head()
+    val v = row.getAs[Array[Byte]](0)
+    val meta = Avi.readMeta(v)
+    assert(meta.width == 20 && meta.height == 14)
+    assert(meta.frames == 15 && meta.fps == 10.0) // round(1.5 · 10)
+    // all frames are the same JPEG bytes (one encode, repeated)
+    val frames = Avi.readFrames(v)
+    assert(frames.forall(_.sameElements(frames.head)))
+    val img = Images.decode(frames.head)
+    assert(img.getWidth == 20 && img.getHeight == 14)
+  }
+
   test("tileIterator: overlap grid, row-major order, exact-size black padding") {
     // 10×7 image, 4×3 tiles, (1,1) overlap: xlen=(10-2)/3+1=3, ylen=(7-2)/2+1=3
     val df = Seq(1).toDF("one")
