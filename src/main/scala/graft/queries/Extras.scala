@@ -1490,6 +1490,65 @@ object Extras {
              |JOIN seg ON seg.m = d.m
              |ORDER BY doc_id, seg_idx""".stripMargin),
     ),
+    QueryDef(
+      "q135_bbox_geometry",
+      (s, dir) => {
+        // the bbox-geometry family (reference `functions/vision.py:
+        // 460-1426`) in the oracle gate: doc_id-derived integer boxes run
+        // pad → resize_canvas (×2, ×3) → clip_to_canvas(30×40,
+        // min_visibility 0.5). Every step is integer-exact closed-form
+        // arithmetic (floor(x+0.5) on whole inputs is identity), and the
+        // visibility filter nulls out boxes mostly off-canvas — both the
+        // surviving geometry and the null pattern are SQL-derivable.
+        import graft.functions.Vision
+        val x1 = (col("doc_id") % 7 + 2).cast("double")
+        val y1 = (col("doc_id") % 5 + 3).cast("double")
+        val x2 = x1 + lit(10.0) + (col("doc_id") % 3).cast("double")
+        val y2 = y1 + lit(8.0)
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 200)
+          .withColumn("bs", array(array(x1, y1, x2, y2)))
+          .withColumn("padded", Vision.bboxesPad(col("bs"), lit("xyxy"),
+            lit(1.0), lit(2.0), lit(3.0), lit(4.0)))
+          .withColumn("resized", Vision.bboxesResizeCanvas(col("padded"),
+            lit("xyxy"), lit(0.0), lit(0.0), lit(0.0), lit(0.0),
+            lit(2.0), lit(3.0)))
+          .withColumn("clipped", Vision.bboxesClipToCanvas(col("resized"),
+            lit("xyxy"), lit(30.0), lit(40.0), lit(0.5), lit(0.0)))
+          .select(col("doc_id"),
+            col("clipped")(0)(0).cast("long").as("cx1"),
+            col("clipped")(0)(1).cast("long").as("cy1"),
+            col("clipped")(0)(2).cast("long").as("cx2"),
+            col("clipped")(0)(3).cast("long").as("cy2"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    (doc_id % 7 + 2)::BIGINT AS x1, (doc_id % 5 + 3)::BIGINT AS y1,
+             |    (doc_id % 7 + 2 + 10 + doc_id % 3)::BIGINT AS x2,
+             |    (doc_id % 5 + 3 + 8)::BIGINT AS y2
+             |  FROM documents WHERE doc_id < 200),
+             |r AS (SELECT doc_id,
+             |    2 * (x1 - 1) AS rx1, 3 * (y1 - 3) AS ry1,
+             |    2 * (x2 + 2) AS rx2, 3 * (y2 + 4) AS ry2
+             |  FROM b),
+             |c AS (SELECT doc_id,
+             |    greatest(0, least(rx1, 30)) AS cx1,
+             |    greatest(0, least(ry1, 40)) AS cy1,
+             |    greatest(0, least(rx2, 30)) AS cx2,
+             |    greatest(0, least(ry2, 40)) AS cy2,
+             |    (rx2 - rx1) * (ry2 - ry1) AS orig_area
+             |  FROM r)
+             |SELECT doc_id,
+             |  CASE WHEN vis THEN cx1 ELSE NULL END AS cx1,
+             |  CASE WHEN vis THEN cy1 ELSE NULL END AS cy1,
+             |  CASE WHEN vis THEN cx2 ELSE NULL END AS cx2,
+             |  CASE WHEN vis THEN cy2 ELSE NULL END AS cy2
+             |FROM (SELECT *,
+             |    (greatest(cx2 - cx1, 0) * greatest(cy2 - cy1, 0))::DOUBLE
+             |      / orig_area >= 0.5 AS vis
+             |  FROM c)
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
