@@ -43,4 +43,54 @@ object Jsons {
       from_json(b, MapType(StringType, StringType))))
   /** make_list UDA: collect values into a JSON list (deterministic order). */
   def make_list(c: Column): Column = to_json(sort_array(collect_list(c)))
+
+  @transient private lazy val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** list_iterator single-column form (reference `json.py:494`): one
+    * element per row out of a JSON array — each element emitted as its own
+    * JSON string for posexplode into a component view; downstream
+    * `get`/`from_json` pulls the keys (the schema-on-read analog of the
+    * reference's per-key output columns).
+    */
+  val list_iterator = udf { (js: String) =>
+    if (js == null) null
+    else {
+      val n = jm.readTree(js)
+      require(n.isArray, "list_iterator: input is not a JSON array")
+      (0 until n.size()).map(i => n.get(i).toString)
+    }
+  }
+
+  /** list_iterator keyword form (reference `json.py:494`): zip N JSON
+    * arrays positionally into per-row objects keyed by `names`, with the
+    * reference's length semantics — strict (error on mismatch), truncated
+    * (stop at the shortest), padded (nulls for exhausted lists).
+    */
+  val list_iterator_zip = udf { (lists: Seq[String], names: Seq[String],
+      mode: String) =>
+    require(lists != null && names != null && lists.length == names.length,
+      "list_iterator: one name per list")
+    val arrs = lists.map { js =>
+      val n = jm.readTree(js)
+      require(n.isArray, "list_iterator: every input must be a JSON array")
+      (0 until n.size()).map(n.get)
+    }
+    val lens = arrs.map(_.size)
+    val count = mode match {
+      case "strict" =>
+        require(lens.distinct.size <= 1, s"length mismatch: $lens")
+        lens.headOption.getOrElse(0)
+      case "truncated" => if (lens.isEmpty) 0 else lens.min
+      case "padded"    => if (lens.isEmpty) 0 else lens.max
+      case m => throw new IllegalArgumentException(s"invalid mode: $m")
+    }
+    (0 until count).map { i =>
+      val o = jm.createObjectNode()
+      names.zip(arrs).foreach { case (k, a) =>
+        if (i < a.size) o.set[com.fasterxml.jackson.databind.JsonNode](k, a(i))
+        else o.putNull(k)
+      }
+      o.toString
+    }
+  }
 }

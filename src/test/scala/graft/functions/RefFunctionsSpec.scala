@@ -93,6 +93,24 @@ class RefFunctionsSpec extends AnyFunSuite {
     assert(one[String](Jsons.get(obj, "$.b")) == "2")
   }
 
+  test("json list_iterator: element rows, zipped kwargs with strict/truncated/padded") {
+    val objs = lit("""[{"a":1,"b":"x"},{"a":2,"b":"y"}]""")
+    assert(oneSeq(Jsons.list_iterator(objs)) ==
+      Seq("""{"a":1,"b":"x"}""", """{"a":2,"b":"y"}"""))
+    val names = org.apache.spark.sql.functions.array(lit("u"), lit("v"))
+    def zipped(a: String, b: String, mode: String): Seq[String] =
+      oneSeq(Jsons.list_iterator_zip(
+        org.apache.spark.sql.functions.array(lit(a), lit(b)), names, lit(mode)))
+    assert(zipped("[1,2]", """["p","q"]""", "strict") ==
+      Seq("""{"u":1,"v":"p"}""", """{"u":2,"v":"q"}"""))
+    assert(zipped("[1,2,3]", """["p"]""", "truncated") ==
+      Seq("""{"u":1,"v":"p"}"""))
+    assert(zipped("[1,2]", """["p"]""", "padded") ==
+      Seq("""{"u":1,"v":"p"}""", """{"u":2,"v":null}"""))
+    // strict rejects mismatched lengths — per-row failure, surfaced as a throw
+    assertThrows[Exception] { zipped("[1,2]", "[1]", "strict") }
+  }
+
   test("shingles guard on short text") {
     assert(oneSeq(TextFunctions.shingles(lit("abcd"), 3)) == Seq("abc", "bcd"))
     assert(oneSeq(TextFunctions.shingles(lit("ab"), 3)) == Seq.empty)
