@@ -52,6 +52,42 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("r7 media iterators terminate on garbage, truncations, and degenerate inputs") {
+    val real = Video.makeBlockVideo(Seq(3, 2), Seq(0xff0000, 0x0000ff), 8, 6, 10)
+    def survives(f: => Any): Unit =
+      try { f; () } catch { case _: Exception => () } // raise ok; hang/JVM-kill not
+    // every truncation prefix of a real AVI through all five detectors,
+    // the splitter, and the frame reader
+    for (len <- 1 until real.length by 53) {
+      val cut = real.take(len)
+      survives(SceneDetect.detectContent(cut, 27.0, 2, lumaOnly = false))
+      survives(SceneDetect.detectThreshold(cut, 12.0, 2, 0.0,
+        addFinalScene = false, method = "floor"))
+      survives(SceneDetect.detectHash(cut, 0.395, 8, 2, 2))
+      survives(SceneDetect.detectHistogram(cut, 0.05, 16, 2))
+      survives(SceneDetect.detectAdaptive(cut, 3.0, 2, 1, 15.0))
+      survives(Avi.readFrames(cut))
+    }
+    // random garbage with a RIFF header
+    for (_ <- 0 until 100) {
+      val b = new Array[Byte](12 + rnd.nextInt(2000))
+      rnd.nextBytes(b)
+      System.arraycopy("RIFF".getBytes(ISO_8859_1), 0, b, 0, 4)
+      survives(SceneDetect.detectContent(b, 27.0, 2, lumaOnly = false))
+      survives(Avi.readMeta(b))
+    }
+    // single-frame video: every detector returns the degenerate full-span
+    // scene; the splitter returns one segment
+    val one = Video.makeTestVideo(1, 8, 6, 0x123456, 10)
+    assert(SceneDetect.detectContent(one, 27.0, 2, lumaOnly = false) ==
+      Seq(SceneDetect.SceneInfo(0.0, 0L, 0.0)))
+    assert(SceneDetect.detectHash(one, 0.395, 8, 2, 2).length == 1)
+    // audio: truncated WAV prefixes through the PCM decoder
+    val wav = Audio.sineWav(0.5, 440.0)
+    for (len <- 1 until wav.length by 97)
+      survives(Audio.decodePcm(wav.take(len)))
+  }
+
   test("html blocks terminate on adversarial tag soup") {
     val nasty = Seq(
       "<" * 5000,
