@@ -15,8 +15,32 @@ object Jsons {
   private def darr(js: Column): Column = from_json(js, ArrayType(DoubleType))
 
   def dumps(c: Column): Column = to_json(c)
-  def len(js: Column): Column = json_array_length(js).cast("long")
-  def is_empty(js: Column): Column = json_array_length(js) === 0
+
+  /** len over the JSON value's own type (reference semantics, pinned by
+    * `tests/functions/test_json.py:95-135`): array → element count,
+    * object → key count, string → character count, null → NULL; numbers
+    * and booleans raise ("not defined for a JSON scalar").
+    */
+  def len(js: Column): Column = {
+    val t = ltrim(js)
+    when(js.isNull || t === "null", lit(null).cast("long"))
+      .when(t.startsWith("["), json_array_length(js).cast("long"))
+      .when(t.startsWith("{"), size(json_object_keys(js)).cast("long"))
+      .when(t.startsWith("\""), length(get_json_object(js, "$")).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("len() is not defined for a JSON scalar: "), js)).cast("long"))
+  }
+
+  /** is_empty (same reference test): null, [], {} and "" are empty;
+    * numbers/booleans (and anything non-empty) are not.
+    */
+  def is_empty(js: Column): Column = {
+    val t = ltrim(js)
+    js.isNull || t === "null" ||
+      (t.startsWith("[") && json_array_length(js) === 0) ||
+      (t.startsWith("{") && size(json_object_keys(js)) === 0) ||
+      (t.startsWith("\"") && length(get_json_object(js, "$")) === 0)
+  }
   def contains(js: Column, path: String): Column =
     get_json_object(js, path).isNotNull
   def get(js: Column, path: String): Column = get_json_object(js, path)

@@ -93,6 +93,32 @@ class RefFunctionsSpec extends AnyFunSuite {
     assert(one[String](Jsons.get(obj, "$.b")) == "2")
   }
 
+  test("json len/is_empty: the reference's own test fixture (test_json.py:95-135)") {
+    // {[1,2,3]:3, []:0, {a,b}:2, {}:0, "hello":5, "":0, null:NULL}
+    val cases = Seq(
+      ("""[1, 2, 3]""", Some(3L), false),
+      ("""[]""", Some(0L), true),
+      ("""{"a": 1, "b": 2}""", Some(2L), false),
+      ("""{}""", Some(0L), true),
+      ("\"hello\"", Some(5L), false),
+      ("\"\"", Some(0L), true),
+      (null, None, true),
+    )
+    cases.foreach { case (js, wantLen, wantEmpty) =>
+      val c = lit(js).cast("string")
+      val got = Seq(1).toDF("one")
+        .select(Jsons.len(c).as("n"), Jsons.is_empty(c).as("e")).head()
+      assert((if (got.isNullAt(0)) None else Some(got.getLong(0))) == wantLen,
+        s"len($js)")
+      assert(got.getBoolean(1) == wantEmpty, s"is_empty($js)")
+    }
+    // numbers are not empty; len() of a scalar raises cleanly
+    assert(!Seq(1).toDF("one").select(Jsons.is_empty(lit("5"))).head().getBoolean(0))
+    assertThrows[Exception] {
+      Seq(1).toDF("one").select(Jsons.len(lit("5"))).collect()
+    }
+  }
+
   test("json list_iterator: element rows, zipped kwargs with strict/truncated/padded") {
     val objs = lit("""[{"a":1,"b":"x"},{"a":2,"b":"y"}]""")
     assert(oneSeq(Jsons.list_iterator(objs)) ==
