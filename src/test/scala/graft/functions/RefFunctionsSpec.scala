@@ -146,6 +146,16 @@ class RefFunctionsSpec extends AnyFunSuite {
   test("math family") {
     assert(one[Long](Maths.bitwise_xor(lit(6L), lit(3L))) == 5L)
     assert(one[Long](Maths.to_int(lit(3.9))) == 3L)
-    assert(one[Double](Maths.round(lit(2.345), 2)) == 2.35)
+    // CPython builtins.round pins (reference math.round,
+    // tests/functions/test_math.py): half-even over the TRUE binary value
+    assert(one[Double](Maths.round(lit(2.345), 2)) == 2.35)  // binary is 2.345…000195 → up
+    assert(one[Double](Maths.round(lit(2.675), 2)) == 2.67)  // binary is 2.674999… → down
+    assert(one[Double](Maths.round(lit(0.125), 2)) == 0.12)  // exact tie → even
+    assert(one[Double](Maths.round(lit(2.5))) == 2.0)        // no-digits tie → even
+    // ceil/floor keep float semantics; infinities pass through
+    assert(one[Double](Maths.ceil(lit(2.1))) == 3.0)
+    assert(one[Double](Maths.floor(lit(-2.1))) == -3.0)
+    assert(one[Double](Maths.ceil(lit(Double.PositiveInfinity))).isPosInfinity)
+    assert(one[Double](Maths.floor(lit(Double.NegativeInfinity))).isNegInfinity)
   }
 }
