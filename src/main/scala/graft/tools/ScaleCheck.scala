@@ -20,7 +20,11 @@ object ScaleCheck {
     "q56_tpch_q3", "q57_tpch_q18", "q66_mean_ap", "q75_percentile_group",
     "q97_gopher_rules", "q99_rolling_window",
     "q103_mixture_sample", "q104_sequence_pack", "q105_charlm_score",
-    "q106_dupspan_stats", "q126_hard_negatives")
+    "q106_dupspan_stats", "q126_hard_negatives", "q131_bpe_merges",
+    "q132_nb_classifier", "q134_bpe_tokenize")
+  // q131/q134 under replication: the corpus-token shuffle grows m× but the
+  // iterated table stays VOCABULARY-sized (replicas add counts, not
+  // words), so rounds are flat; q132's model grid is fixed k×L.
   // q126 under replication: the probe set stays fixed (vec_id < 8, all in
   // copy 0) while the corpus grows m× — scoring is map-side so the ratio
   // should track m; replicas tie at equal cosine but k stays constant.
