@@ -68,6 +68,27 @@ object Jsons {
   /** make_list UDA: collect values into a JSON list (deterministic order). */
   def make_list(c: Column): Column = to_json(sort_array(collect_list(c)))
 
+  /** The reference's global map/filter/sort HOFs over a JSON array column
+    * (`functions/globals.py:267-420`; sort semantics pinned by
+    * `tests/test_exprs.py:980` — keyless asc/desc plus a per-element key
+    * expression). These typed forms cover the numeric-list case the
+    * reference tests; the fully-untyped path composes `get` with raw
+    * transform/filter HOFs (q27/q58).
+    */
+  def json_map(js: Column, f: Column => Column): Column =
+    to_json(transform(darr(js), f))
+  def json_filter(js: Column, p: Column => Column): Column =
+    to_json(filter(darr(js), p))
+  def json_sort(js: Column, asc: Boolean = true): Column =
+    to_json(sort_array(darr(js), asc))
+  def json_sort_by(js: Column, key: Column => Column,
+      asc: Boolean = true): Column =
+    to_json(array_sort(darr(js), (l, r) => {
+      val cmp = when(key(l) < key(r), -1)
+        .when(key(l) > key(r), 1).otherwise(0)
+      if (asc) cmp else cmp * -1
+    }))
+
   @transient private lazy val jm = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** list_iterator single-column form (reference `json.py:494`): one

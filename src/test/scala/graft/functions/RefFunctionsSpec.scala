@@ -119,6 +119,18 @@ class RefFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("json map/filter/sort HOFs (globals.py; sort pins from test_exprs.py:980)") {
+    val arr = lit("[3.0,1.0,2.0]")
+    assert(one[String](Jsons.json_sort(arr)) == "[1.0,2.0,3.0]")
+    assert(one[String](Jsons.json_sort(arr, asc = false)) == "[3.0,2.0,1.0]")
+    // keyed sort: key = -x reverses, exactly sorted(key=lambda x: -x)
+    assert(one[String](Jsons.json_sort_by(arr, x => -x)) == "[3.0,2.0,1.0]")
+    assert(one[String](Jsons.json_sort_by(arr, x => -x, asc = false)) ==
+      "[1.0,2.0,3.0]")
+    assert(one[String](Jsons.json_map(arr, x => x * 2)) == "[6.0,2.0,4.0]")
+    assert(one[String](Jsons.json_filter(arr, x => x > 1.5)) == "[3.0,2.0]")
+  }
+
   test("json list_iterator: element rows, zipped kwargs with strict/truncated/padded") {
     val objs = lit("""[{"a":1,"b":"x"},{"a":2,"b":"y"}]""")
     assert(oneSeq(Jsons.list_iterator(objs)) ==
