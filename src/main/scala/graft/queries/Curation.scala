@@ -521,7 +521,7 @@ object Curation {
              |ranked AS (SELECT doc_id, l, sc, row_number() OVER (
              |    PARTITION BY doc_id ORDER BY sc DESC, l) AS rk FROM scores)
              |SELECT r.doc_id, d.lang, r.l AS pred_lang,
-             |  r.sc AS nb_score_micro, (r.l = d.lang)::INT AS correct
+             |  r.sc::BIGINT AS nb_score_micro, (r.l = d.lang)::INT AS correct
              |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
              |WHERE rk = 1 ORDER BY r.doc_id""".stripMargin),
     ),
