@@ -39,6 +39,12 @@ object Audio {
     bos.toByteArray
   }
 
+  /** WAVE container overhead of encodeWav (canonical 44-byte RIFF header)
+    * — measured, not assumed, so max_size budgeting stays exact if the
+    * platform writer ever emits extension chunks. */
+  private[graft] lazy val WavHeaderBytes: Long =
+    encodeWav(Array.empty[Short]).length.toLong
+
   /** deterministic mono 16 kHz sine WAV — test/demo audio source */
   def sineWav(seconds: Double, freqHz: Double, amplitude: Double = 0.5): Array[Byte] = {
     val n = (seconds * Rate).toInt
@@ -156,9 +162,11 @@ object Audio {
 
   /** audio_splitter's budget modes (reference `audio.py:400-472`): segments
     * sized by `durationS` seconds (with optional `overlapS`) or by
-    * `maxSizeBytes` payload bytes — exactly one of the two > 0; bytes map
-    * to samples at 2 B/sample PCM-16 mono, so a max_size segment never
-    * exceeds the byte budget. With `minSilenceSec` > 0 each segment ends at
+    * `maxSizeBytes` FILE bytes — exactly one of the two > 0. Like the
+    * reference (audio.py:544, an `overhead_reserve` for the container
+    * header/trailer), the WAV header is subtracted from the byte budget
+    * before mapping to samples at 2 B/sample PCM-16 mono, so the emitted
+    * segment FILE — header included — never exceeds max_size bytes. With `minSilenceSec` > 0 each segment ends at
     * the LATEST silence (20 ms windows whose RMS < `silenceRms`, run length
     * ≥ minSilenceSec) at or before its budget — segments don't end
     * mid-speech; without a qualifying silence the cut lands exactly on the
@@ -175,7 +183,8 @@ object Audio {
     val rate = fmt.getSampleRate
     val budget =
       if (durationS > 0) math.max(1, math.round(durationS * rate).toInt)
-      else math.max(1, math.min(maxSizeBytes / 2, Int.MaxValue.toLong).toInt)
+      else math.max(1, math.min((maxSizeBytes - WavHeaderBytes) / 2,
+        Int.MaxValue.toLong).toInt)
     val overlap =
       if (overlapS > 0) math.min(math.round(overlapS * rate).toInt, budget - 1)
       else 0

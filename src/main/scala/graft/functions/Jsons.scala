@@ -19,10 +19,12 @@ object Jsons {
   /** len over the JSON value's own type (reference semantics, pinned by
     * `tests/functions/test_json.py:95-135`): array → element count,
     * object → key count, string → character count, null → NULL; numbers
-    * and booleans raise ("not defined for a JSON scalar").
+    * and booleans raise ("not defined for a JSON scalar"). Malformed
+    * arrays/objects yield NULL — a state the reference's parsed Json type
+    * cannot represent, so no behavior is pinned there.
     */
   def len(js: Column): Column = {
-    val t = ltrim(js)
+    val t = trim(js)
     when(js.isNull || t === "null", lit(null).cast("long"))
       .when(t.startsWith("["), json_array_length(js).cast("long"))
       .when(t.startsWith("{"), size(json_object_keys(js)).cast("long"))
@@ -32,14 +34,18 @@ object Jsons {
   }
 
   /** is_empty (same reference test): null, [], {} and "" are empty;
-    * numbers/booleans (and anything non-empty) are not.
+    * numbers/booleans (and anything non-empty) are not. Always a required
+    * bool — a malformed array/object (where the parse helpers yield NULL)
+    * coalesces to false rather than propagating NULL.
     */
   def is_empty(js: Column): Column = {
-    val t = ltrim(js)
+    val t = trim(js)
     js.isNull || t === "null" ||
-      (t.startsWith("[") && json_array_length(js) === 0) ||
-      (t.startsWith("{") && size(json_object_keys(js)) === 0) ||
-      (t.startsWith("\"") && length(get_json_object(js, "$")) === 0)
+      coalesce(
+        (t.startsWith("[") && json_array_length(js) === 0) ||
+        (t.startsWith("{") && size(json_object_keys(js)) === 0) ||
+        (t.startsWith("\"") && length(get_json_object(js, "$")) === 0),
+        lit(false))
   }
   def contains(js: Column, path: String): Column =
     get_json_object(js, path).isNotNull

@@ -249,9 +249,15 @@ object Providers {
       if (topN > 0) req.put("top_n", topN)
       val resp = post(cfg, path, mapper.writeValueAsString(req))
       val items = if (resp.has("results")) resp.get("results") else resp.get("data")
+      if (items == null || !items.isArray)
+        throw new IllegalArgumentException(
+          "unrecognized rerank response shape: expected 'results' or 'data' array")
       val arr = mapper.createArrayNode()
       (0 until items.size()).foreach { i =>
         val it = items.get(i)
+        if (it.get("index") == null || it.get("relevance_score") == null)
+          throw new IllegalArgumentException(
+            "unrecognized rerank response shape: item missing index/relevance_score")
         arr.addObject()
           .put("index", it.get("index").asInt())
           .put("relevance_score", it.get("relevance_score").asDouble())

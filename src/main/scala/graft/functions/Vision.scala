@@ -371,19 +371,49 @@ object Vision {
     }
   }
 
-  /** bboxes_draw (vision.py:302): draw xyxy boxes on the image — outline
-    * (alpha-blended) and optional fill; per-box colors cycle through a
-    * fixed palette when not given.
+  /** The reference's per-label color assignment (vision.py:280-296,
+    * `__create_label_colors`): md5(str(label)) as an integer, hue =
+    * (hash % 360)/360, HSV(hue, 0.7, 0.95) → RGB. Deterministic: the
+    * same label always draws in the same color.
+    */
+  private[graft] def labelColor(label: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(label.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hue = new java.math.BigInteger(hex, 16)
+      .mod(java.math.BigInteger.valueOf(360)).intValue() / 360.0
+    // colorsys.hsv_to_rgb + int(c*255) truncation, matching the reference
+    // exactly (Color.getHSBColor would round instead)
+    val h6 = (hue * 6.0); val i = h6.toInt % 6; val f = h6 - h6.toInt
+    val v = 0.95; val s = 0.7
+    val p = v * (1 - s); val q = v * (1 - s * f); val t = v * (1 - s * (1 - f))
+    val (r, gc, b) = i match {
+      case 0 => (v, t, p); case 1 => (q, v, p); case 2 => (p, v, t)
+      case 3 => (p, q, v); case 4 => (t, p, v); case _ => (v, p, q)
+    }
+    ((r * 255).toInt << 16) | ((gc * 255).toInt << 8) | (b * 255).toInt
+  }
+
+  /** bboxes_draw (vision.py:302): draw xyxy boxes on the image. `rgb` >= 0
+    * is the single color for all boxes; `rgb` < 0 assigns each box the
+    * deterministic md5-hash color of its label (vision.py's
+    * `__create_label_colors`; boxes beyond the label list share the null
+    * label's color, mirroring `labels = [None] * num_boxes`). `alpha`
+    * blends the outline, `fillAlpha` the optional fill.
     */
   val bboxesDraw = udf { (png: Array[Byte], bs: Seq[Seq[Double]],
-      rgb: Int, fill: Boolean, fillAlpha: Double, width: Int) =>
+      labels: Seq[String], rgb: Int, alpha: Double, fill: Boolean,
+      fillAlpha: Double, width: Int) =>
     val img = Images.decode(png)
     val out = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     val g = out.createGraphics()
     g.drawImage(img, 0, 0, null)
-    val color = new java.awt.Color(rgb & 0xffffff)
-    bs.filter(_ != null).foreach { b =>
+    val labelList = if (labels == null) Seq.empty else labels
+    bs.filter(_ != null).zipWithIndex.foreach { case (b, bi) =>
+      val boxRgb =
+        if (rgb >= 0) rgb & 0xffffff
+        else labelColor(labelList.lift(bi).map(String.valueOf).getOrElse("None"))
+      val color = new java.awt.Color(boxRgb)
       val x1 = b(0).toInt; val y1 = b(1).toInt
       val w = math.max(1, (b(2) - b(0)).toInt); val h = math.max(1, (b(3) - b(1)).toInt)
       if (fill) {
@@ -391,7 +421,8 @@ object Vision {
           color.getBlue, math.round(255 * fillAlpha).toInt))
         g.fillRect(x1, y1, w, h)
       }
-      g.setColor(color)
+      g.setColor(new java.awt.Color(color.getRed, color.getGreen,
+        color.getBlue, math.round(255 * alpha).toInt))
       g.setStroke(new java.awt.BasicStroke(math.max(1, width).toFloat))
       g.drawRect(x1, y1, w, h)
     }

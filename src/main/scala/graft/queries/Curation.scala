@@ -384,9 +384,14 @@ object Curation {
         // operators/BpeTrain.scala for why a space-separated encoding
         // would merge only alternate adjacent occurrences).
         import s.implicits._
-        graft.operators.BpeTrain
+        val merges = graft.operators.BpeTrain
           .learnMerges(T(s, dir, "documents"), "text", nMerges = 4)
-          .toDF()
+        // the oracle unrolls exactly 4 merge rounds; a corpus yielding
+        // fewer would silently diverge (its comma-joined empty mN CTE
+        // wipes all rows) — fail loudly instead
+        require(merges.length == 4,
+          s"q131 oracle assumes 4 learnable merges, corpus yielded ${merges.length}")
+        merges.toDF()
           .select(col("merge_rank").cast("long").as("merge_rank"),
             col("lhs"), col("rhs"), col("pair_count"))
           .transform(graft.QueryUtil.orderedSmall(_, col("merge_rank")))
@@ -537,6 +542,8 @@ object Curation {
         // replays the application through the same encoding.
         val docs = T(s, dir, "documents")
         val merges = graft.operators.BpeTrain.learnMerges(docs, "text", 4)
+        require(merges.length == 4, // same unrolled-oracle guard as q131
+          s"q134 oracle assumes 4 learnable merges, corpus yielded ${merges.length}")
         var repr = graft.operators.BpeTrain.wordCounts(docs, "text")
           .select(col("w"), regexp_replace(col("w"), "(.)", "($1)").as("s"))
         merges.foreach { m =>

@@ -45,9 +45,17 @@ class AudioSpec extends AnyFunSuite {
     assert(d.map(_._1).zip(Seq(0.0, 1.2, 2.4)).forall((close _).tupled), s"d=$d")
     assert(close(d.last._2, 3.0))
 
-    // max_size: 2 B/sample → byte budget lands on the same boundaries
-    val m = segs(0, 0, (2 * 16000 * 1.2).toLong, 0, trim = false)
+    // max_size budgets the emitted FILE (header included, like the
+    // reference's overhead_reserve): header + 2 B/sample lands the cuts on
+    // the same 1.2 s boundaries, and no emitted file exceeds the budget
+    val maxB = Audio.WavHeaderBytes + (2 * 16000 * 1.2).toLong
+    val m = segs(0, 0, maxB, 0, trim = false)
     assert(m.map(_._1).zip(Seq(0.0, 1.2, 2.4)).forall((close _).tupled), s"m=$m")
+    val mBytes = df.select(posexplode(Audio.audioSegments(col("wav"), lit(0.0),
+        lit(0.0), lit(maxB), lit(0.01), lit(0.0), lit(false))))
+      .select(col("col.audio_segment")).collect()
+      .map(_.getAs[Array[Byte]](0).length)
+    assert(mBytes.forall(_ <= maxB), s"file sizes ${mBytes.toSeq} exceed $maxB")
 
     // overlap: each next segment starts duration − overlap after the last
     val o = segs(1.2, 0.2, 0, 0, trim = false)

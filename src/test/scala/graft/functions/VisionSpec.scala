@@ -93,11 +93,27 @@ class VisionSpec extends AnyFunSuite {
       .withColumn("img", Images.makeSolidPng(lit(20), lit(16), lit(0x000000)))
     // filled red box [4,4,12,10]
     val drawn = df.select(Vision.bboxesDraw(col("img"),
-        typedLit(Seq(Seq(4.0, 4.0, 12.0, 10.0))), lit(0xff0000), lit(true),
+        typedLit(Seq(Seq(4.0, 4.0, 12.0, 10.0))), typedLit(Seq.empty[String]),
+        lit(0xff0000), lit(1.0), lit(true),
         lit(1.0), lit(1))).head().getAs[Array[Byte]](0)
     val img = Images.decode(drawn)
     assert((img.getRGB(8, 7) & 0xffffff) == 0xff0000) // inside: filled
     assert((img.getRGB(1, 1) & 0xffffff) == 0x000000) // outside: untouched
+
+    // per-label md5-hash colors: pinned against the reference's
+    // __create_label_colors (hashlib.md5 → hue → colorsys.hsv_to_rgb with
+    // int() truncation), computed independently in CPython
+    assert(Vision.labelColor("person") == 0x48f248)
+    assert(Vision.labelColor("None") == 0x48c5f2)
+    assert(Vision.labelColor("cat") == 0xa348f2)
+    // rgb < 0 → label-keyed auto colors; box beyond labels gets "None"'s
+    val auto = df.select(Vision.bboxesDraw(col("img"),
+        typedLit(Seq(Seq(2.0, 2.0, 8.0, 8.0), Seq(10.0, 10.0, 14.0, 14.0))),
+        typedLit(Seq("person")), lit(-1), lit(1.0), lit(true),
+        lit(1.0), lit(1))).head().getAs[Array[Byte]](0)
+    val autoImg = Images.decode(auto)
+    assert((autoImg.getRGB(5, 5) & 0xffffff) == 0x48f248)   // "person" fill
+    assert((autoImg.getRGB(12, 12) & 0xffffff) == 0x48c5f2) // null-label fill
 
     // segmentation overlay: mask id 1 over rows 2-5, cols 3-9
     val mask = (0 until 16).map(y => (0 until 20).map(x =>
