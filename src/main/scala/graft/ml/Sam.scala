@@ -667,10 +667,12 @@ final class SamModel(val cfg: SamConfig, weights: Map[String, Tensor])
   }
 
   /** Automatic mask generation (the reference's
-    * `sam_automatic_mask_generation`): a uniform point grid, multimask
-    * predictions per point, filtered by predicted IoU and stability score
-    * (area ratio between the mask binarized at ±offset around the
-    * threshold), then greedy mask-IoU NMS, highest score first.
+    * `sam_automatic_mask_generation`, huggingface.py:557-620, which
+    * delegates to the HF `mask-generation` pipeline): a uniform point
+    * grid, multimask predictions per point, filtered by predicted IoU and
+    * stability score, then greedy mask-IoU NMS — all via `SamAuto`, whose
+    * kernels are independently pinned by SamAutoSpec and oracle-gated by
+    * q136 on closed-form synthetic candidates.
     */
   def automaticMasks(img: BufferedImage, gridSize: Int = 8,
       predIouThresh: Float = 0.7f, stabilityThresh: Float = 0.9f,
@@ -679,54 +681,21 @@ final class SamModel(val cfg: SamConfig, weights: Map[String, Tensor])
     val imgEmb = visionEncoder(pix)
     val g4 = cfg.grid * 4
     val candidates = Seq.newBuilder[(Float, Array[Float])] // (iou, logits)
-    var gy = 0
-    while (gy < gridSize) {
-      var gx = 0
-      while (gx < gridSize) {
-        val px = (gx + 0.5) / gridSize * img.getWidth
-        val py = (gy + 0.5) / gridSize * img.getHeight
-        val scale = rw.toDouble / img.getWidth
-        val sparse = encodePrompts(Seq((px * scale, py * scale, 1)), Seq.empty)
-        val (masks, iou) = maskDecoder(imgEmb, sparse)
-        var m = 1
-        while (m < cfg.numMaskTokens) {
-          if (iou(m) >= predIouThresh) {
-            val lg = java.util.Arrays.copyOfRange(masks, m * g4 * g4, (m + 1) * g4 * g4)
-            var hi = 0; var lo = 0
-            var i = 0
-            while (i < lg.length) {
-              if (lg(i) > stabilityOffset) hi += 1
-              if (lg(i) > -stabilityOffset) lo += 1
-              i += 1
-            }
-            if (lo > 0 && hi.toFloat / lo >= stabilityThresh)
-              candidates += ((iou(m), lg))
-          }
-          m += 1
-        }
-        gx += 1
+    val scale = rw.toDouble / img.getWidth
+    SamAuto.pointGrid(gridSize).foreach { case (nx, ny) =>
+      val px = nx * img.getWidth
+      val py = ny * img.getHeight
+      val sparse = encodePrompts(Seq((px * scale, py * scale, 1)), Seq.empty)
+      val (masks, iou) = maskDecoder(imgEmb, sparse)
+      var m = 1
+      while (m < cfg.numMaskTokens) {
+        candidates += ((iou(m),
+          java.util.Arrays.copyOfRange(masks, m * g4 * g4, (m + 1) * g4 * g4)))
+        m += 1
       }
-      gy += 1
     }
-    // greedy NMS on binarized low-res masks, best predicted IoU first
-    val sorted = candidates.result().sortBy(-_._1)
-    val keptBin = Seq.newBuilder[(Float, Array[Boolean])]
-    var kept = List.empty[Array[Boolean]]
-    sorted.foreach { case (score, lg) =>
-      val bin = lg.map(_ > 0f)
-      val dup = kept.exists { k =>
-        var inter = 0; var union = 0
-        var i = 0
-        while (i < bin.length) {
-          if (bin(i) && k(i)) inter += 1
-          if (bin(i) || k(i)) union += 1
-          i += 1
-        }
-        union > 0 && inter.toFloat / union > nmsIouThresh
-      }
-      if (!dup) { kept ::= bin; keptBin += ((score, bin)) }
-    }
-    keptBin.result().map { case (score, bin) =>
+    SamAuto.filterAndNms(candidates.result(), predIouThresh, stabilityThresh,
+      stabilityOffset, nmsIouThresh).map { case (score, bin) =>
       val lg = Array.tabulate(g4 * g4)(i => if (bin(i)) 1f else -1f)
       val full = postProcessMask(lg, g4, g4, rh, rw, img.getHeight, img.getWidth)
       var x1 = img.getWidth; var y1 = img.getHeight; var x2 = -1; var y2 = -1
@@ -746,5 +715,72 @@ final class SamModel(val cfg: SamConfig, weights: Map[String, Tensor])
         else Array(x1.toFloat, y1.toFloat, (x2 + 1).toFloat, (y2 + 1).toFloat)
       SamInstance(score, box, full)
     }
+  }
+}
+
+/** The model-free kernels of automatic mask generation, factored out so
+  * the filter/dedup math is testable on synthetic candidates (SamAutoSpec)
+  * and oracle-gateable (q136) independently of the neural towers. Mirrors
+  * the public SAM `amg.py` / HF mask-generation pipeline semantics the
+  * reference rides (huggingface.py:557-620).
+  */
+object SamAuto {
+
+  /** `build_point_grid`: n uniformly spaced points per side in normalized
+    * [0,1] with a half-cell offset — ((i+0.5)/n, (j+0.5)/n) — row-major.
+    */
+  def pointGrid(n: Int): Seq[(Double, Double)] =
+    for (gy <- 0 until n; gx <- 0 until n)
+      yield ((gx + 0.5) / n, (gy + 0.5) / n)
+
+  /** `calculate_stability_score`: IoU between the mask binarized at
+    * ±offset around the zero logit threshold. Because thresholding at
+    * +offset yields a subset of thresholding at −offset, that IoU is
+    * exactly area(logits > +offset) / area(logits > −offset).
+    */
+  def stabilityScore(lg: Array[Float], offset: Float): Float = {
+    var hi = 0; var lo = 0; var i = 0
+    while (i < lg.length) {
+      if (lg(i) > offset) hi += 1
+      if (lg(i) > -offset) lo += 1
+      i += 1
+    }
+    if (lo == 0) 0f else hi.toFloat / lo
+  }
+
+  def maskIou(a: Array[Boolean], b: Array[Boolean]): Float = {
+    var inter = 0; var union = 0; var i = 0
+    while (i < a.length) {
+      if (a(i) && b(i)) inter += 1
+      if (a(i) || b(i)) union += 1
+      i += 1
+    }
+    if (union == 0) 0f else inter.toFloat / union
+  }
+
+  /** The candidate filter chain: predicted-IoU threshold, stability-score
+    * threshold, then greedy mask-IoU NMS binarized at logit 0, highest
+    * predicted IoU first. Only KEPT masks suppress — a suppressed mask
+    * never removes later candidates (the greedy-NMS property q136's m=3
+    * branch exercises). Returns kept (score, binary mask) pairs in
+    * descending score order.
+    */
+  def filterAndNms(cands: Seq[(Float, Array[Float])], predIouThresh: Float,
+      stabilityThresh: Float, stabilityOffset: Float,
+      nmsIouThresh: Float): Seq[(Float, Array[Boolean])] = {
+    val filtered = cands.filter { case (score, lg) =>
+      score >= predIouThresh &&
+        stabilityScore(lg, stabilityOffset) >= stabilityThresh
+    }
+    val keptBin = Seq.newBuilder[(Float, Array[Boolean])]
+    var kept = List.empty[Array[Boolean]]
+    filtered.sortBy(-_._1).foreach { case (score, lg) =>
+      val bin = lg.map(_ > 0f)
+      if (!kept.exists(k => maskIou(bin, k) > nmsIouThresh)) {
+        kept ::= bin
+        keptBin += ((score, bin))
+      }
+    }
+    keptBin.result()
   }
 }

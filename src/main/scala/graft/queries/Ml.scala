@@ -408,5 +408,84 @@ object Ml {
       },
       None, // clustering + greedy decode not SQL-expressible
     ),
+    QueryDef(
+      "q136_sam_auto_filter",
+      (s, dir) => {
+        // The model-free half of sam_automatic_mask_generation
+        // (huggingface.py:557-620) in the oracle gate: per-doc synthetic
+        // candidate mask logits (closed forms of m = doc_id % 4 on an 8×8
+        // grid) run through the REAL SamAuto.filterAndNms kernel —
+        // predicted-IoU threshold, ±1.0 stability score, greedy mask NMS
+        // — plus the real SamAuto.pointGrid geometry. Every branch is a
+        // literal VALUES row in the oracle: m=1 kills the top candidate at
+        // the IoU gate, m=2/m=3 kill one at the stability gate, m=0 and
+        // m=3 prove a SUPPRESSED mask never suppresses later candidates
+        // (j4 survives only because its 0.875-IoU rival j1 was itself
+        // dropped). Map-only at any scale; q122 gates the same kernel
+        // behind the neural towers.
+        import graft.ml.SamAuto
+        val autoFilter = udf { (m: Int) =>
+          def band(r0: Int, r1: Int, softRow: Int): Array[Float] =
+            Array.tabulate(64) { i =>
+              val r = i / 8
+              if (r == softRow) 0.5f
+              else if (r >= r0 && r < r1) 2f
+              else -2f
+            }
+          // 21-cell mask: rows 0-1 full + 5 cells of row 2 — inside j1's
+          // band (IoU 21/24 = .875) but only .656 of j0's
+          val j4 = Array.tabulate(64)(i => if (i < 21) 2f else -2f)
+          val cands = Seq[(Float, Array[Float])](
+            (if (m == 1 || m == 3) 0.65f else 0.90f, band(0, 4, -1)),
+            (0.80f, band(0, 3, if (m == 3) 2 else -1)),
+            (0.75f, band(5, 8, if (m == 2) 7 else -1)),
+            (0.70f, band(0, 4, -1)),
+            (0.71f, j4))
+          val kept = SamAuto.filterAndNms(cands, predIouThresh = 0.7f,
+            stabilityThresh = 0.9f, stabilityOffset = 1.0f, nmsIouThresh = 0.7f)
+          val rows = kept.head._2.zipWithIndex.filter(_._1).map(_._2 / 8)
+          (kept.size.toLong,
+            kept.map(_._2.count(identity)).sum.toLong,
+            kept.map(k => math.round(k._1 * 100f).toLong).sum,
+            math.round(kept.head._1 * 100f).toLong,
+            rows.min.toLong, rows.max.toLong + 1L)
+        }
+        val grid = udf { (n: Int) =>
+          val pts = SamAuto.pointGrid(n)
+          (pts.size.toLong, math.round(pts.head._1 * 1000),
+            math.round(pts.last._1 * 1000))
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 160)
+          .withColumn("m", (col("doc_id") % 4).cast("int"))
+          .withColumn("f", autoFilter(col("m")))
+          .withColumn("g", grid(col("m") + lit(2)))
+          .select(col("doc_id"),
+            col("f._1").as("n_masks"), col("f._2").as("total_area"),
+            col("f._3").as("score_sum_centi"), col("f._4").as("top_score_centi"),
+            col("f._5").as("top_y1"), col("f._6").as("top_y2"),
+            col("g._1").as("n_points"), col("g._2").as("first_pt_x_milli"),
+            col("g._3").as("last_pt_x_milli"))
+          .transform(QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH f(m, n_masks, total_area, score_sum_centi,
+             |       top_score_centi, top_y1, top_y2) AS (VALUES
+             |  (0, 3, 77, 236, 90, 0, 4),
+             |  (1, 2, 48, 155, 80, 0, 3),
+             |  (2, 2, 53, 161, 90, 0, 4),
+             |  (3, 3, 77, 216, 75, 5, 8))
+             |SELECT d.doc_id, f.n_masks::BIGINT AS n_masks,
+             |  f.total_area::BIGINT AS total_area,
+             |  f.score_sum_centi::BIGINT AS score_sum_centi,
+             |  f.top_score_centi::BIGINT AS top_score_centi,
+             |  f.top_y1::BIGINT AS top_y1, f.top_y2::BIGINT AS top_y2,
+             |  ((d.m + 2) * (d.m + 2))::BIGINT AS n_points,
+             |  round(500.0 / (d.m + 2))::BIGINT AS first_pt_x_milli,
+             |  round(1000.0 * (d.m + 1.5) / (d.m + 2))::BIGINT AS last_pt_x_milli
+             |FROM (SELECT doc_id, (doc_id % 4)::INT AS m FROM documents
+             |      WHERE doc_id < 160) d
+             |JOIN f ON f.m = d.m
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
   )
 }
