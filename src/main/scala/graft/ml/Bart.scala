@@ -18,6 +18,11 @@ final case class BartConfig(
     decoderHeads: Int, encoderFfn: Int, decoderFfn: Int, maxPositions: Int,
     vocabSize: Int, bosTokenId: Int, eosTokenId: Int, decoderStartTokenId: Int,
     layerNormEps: Double = 1e-5,
+    // Marian (opus-mt) variant knobs, HF config field names; BART defaults.
+    scaleEmbedding: Boolean = false,     // scale_embedding: tokens × √d_model
+    staticPositions: Boolean = false,    // static_position_embeddings: sinusoidal, offset 0
+    normEmbedding: Boolean = true,       // Marian has no layernorm_embedding
+    activation: String = "gelu",         // activation_function ("swish" = SiLU)
 ) extends Serializable {
   require(dModel % encoderHeads == 0 && dModel % decoderHeads == 0)
 }
@@ -28,6 +33,7 @@ object BartConfig {
     def i(name: String): Int = {
       require(n.has(name), s"bart config missing $name"); n.get(name).asInt()
     }
+    val marian = n.has("model_type") && n.get("model_type").asText() == "marian"
     BartConfig(
       dModel = i("d_model"), encoderLayers = i("encoder_layers"),
       encoderHeads = i("encoder_attention_heads"), decoderLayers = i("decoder_layers"),
@@ -35,6 +41,13 @@ object BartConfig {
       decoderFfn = i("decoder_ffn_dim"), maxPositions = i("max_position_embeddings"),
       vocabSize = i("vocab_size"), bosTokenId = i("bos_token_id"),
       eosTokenId = i("eos_token_id"), decoderStartTokenId = i("decoder_start_token_id"),
+      scaleEmbedding =
+        if (n.has("scale_embedding")) n.get("scale_embedding").asBoolean() else marian,
+      staticPositions = if (n.has("static_position_embeddings"))
+        n.get("static_position_embeddings").asBoolean() else marian,
+      normEmbedding = !marian,
+      activation = if (n.has("activation_function"))
+        n.get("activation_function").asText() else "gelu",
     )
   }
 }
@@ -100,26 +113,63 @@ final class BartModel(val cfg: BartConfig, weights: Map[String, Tensor])
 
   private def ffn(x: Array[Float], m: Int, p: String, ffnDim: Int): Array[Float] = {
     val inter = Tensors.linear(x, m, cfg.dModel, w(p + "fc1.weight"), w(p + "fc1.bias"))
-    Tensors.gelu(inter)
+    if (cfg.activation == "swish" || cfg.activation == "silu") {
+      var i = 0
+      while (i < inter.length) {
+        inter(i) = (inter(i) / (1.0 + math.exp(-inter(i).toDouble))).toFloat
+        i += 1
+      }
+    } else Tensors.gelu(inter)
     Tensors.linear(inter, m, ffnDim, w(p + "fc2.weight"), w(p + "fc2.bias"))
+  }
+
+  /** Marian's MarianSinusoidalPositionalEmbedding table: first half sin,
+    * second half cos, frequency 10000^(2i/d) — computed when the
+    * checkpoint doesn't carry `embed_positions.weight` (newer HF Marian
+    * checkpoints drop the buffer since it's deterministic).
+    */
+  private lazy val sinusoidalPositions: Tensor = {
+    val d = cfg.dModel
+    val half = d / 2
+    val data = new Array[Float](cfg.maxPositions * d)
+    var p = 0
+    while (p < cfg.maxPositions) {
+      var i = 0
+      while (i < half) {
+        val angle = p / math.pow(10000.0, 2.0 * i / d)
+        data(p * d + i) = math.sin(angle).toFloat
+        data(p * d + half + i) = math.cos(angle).toFloat
+        i += 1
+      }
+      p += 1
+    }
+    Tensor(Array(cfg.maxPositions, d), data)
   }
 
   private def embed(tokens: Seq[Int], side: String): Array[Float] = {
     val h = cfg.dModel
     val shared = w("model.shared.weight")
-    val pos = w(s"model.$side.embed_positions.weight")
+    val pos =
+      if (cfg.staticPositions)
+        weights.getOrElse(s"model.$side.embed_positions.weight", sinusoidalPositions)
+      else w(s"model.$side.embed_positions.weight")
+    // BART: learned positions offset by 2 (the RoBERTa quirk); Marian:
+    // sinusoidal from position 0, token embeddings scaled by √d_model
+    val off = if (cfg.staticPositions) 0 else 2
+    val tokScale = if (cfg.scaleEmbedding) math.sqrt(h.toDouble).toFloat else 1f
     val x = new Array[Float](tokens.length * h)
     var i = 0
     while (i < tokens.length) {
       var k = 0
-      // learned positions are offset by 2 (HF BART/RoBERTa convention)
       while (k < h) {
-        x(i * h + k) = shared.data(tokens(i) * h + k) + pos.data((i + 2) * h + k)
+        x(i * h + k) = shared.data(tokens(i) * h + k) * tokScale +
+          pos.data((i + off) * h + k)
         k += 1
       }
       i += 1
     }
-    lnInPlace(x, tokens.length, s"model.$side.layernorm_embedding")
+    if (cfg.normEmbedding)
+      lnInPlace(x, tokens.length, s"model.$side.layernorm_embedding")
     x
   }
 
@@ -172,17 +222,31 @@ final class BartModel(val cfg: BartConfig, weights: Map[String, Tensor])
   }
 
   /** Greedy summary token ids (start token not included; stops at EOS). */
-  def summarize(sourceTokens: Seq[Int], maxNewTokens: Int): Seq[Int] = {
+  def summarize(sourceTokens: Seq[Int], maxNewTokens: Int): Seq[Int] =
+    generate(sourceTokens, maxNewTokens, forcedBosTokenId = None)
+
+  /** Greedy seq2seq generation. `forcedBosTokenId` pins the FIRST
+    * generated token (HF's forced_bos_token_id logits processor — how
+    * the reference's `translation` UDF selects the target language on
+    * multilingual checkpoints, huggingface.py:1566-1638).
+    */
+  def generate(sourceTokens: Seq[Int], maxNewTokens: Int,
+      forcedBosTokenId: Option[Int]): Seq[Int] = {
     val enc = encode(sourceTokens)
     var tokens = Vector(cfg.decoderStartTokenId)
     val out = Vector.newBuilder[Int]
     var n = 0
     var done = false
     while (!done && n < maxNewTokens && tokens.length + 2 < cfg.maxPositions) {
-      val logits = decodeStep(tokens, enc, sourceTokens.length)
-      var best = 0
-      var i = 1
-      while (i < logits.length) { if (logits(i) > logits(best)) best = i; i += 1 }
+      val best =
+        if (n == 0 && forcedBosTokenId.isDefined) forcedBosTokenId.get
+        else {
+          val logits = decodeStep(tokens, enc, sourceTokens.length)
+          var b = 0
+          var i = 1
+          while (i < logits.length) { if (logits(i) > logits(b)) b = i; i += 1 }
+          b
+        }
       if (best == cfg.eosTokenId) done = true
       else { tokens :+= best; out += best; n += 1 }
     }

@@ -1601,6 +1601,154 @@ object LocalModels {
   }
 
   // ---------------------------------------------------------------------
+  // Marian translation (reference huggingface.py:1566 `translation` —
+  // MarianMT/opus-mt seq2seq via AutoModelForSeq2SeqLM). Same post-LN
+  // machinery as BART with the Marian variant knobs: sinusoidal positions
+  // (offset 0), √d_model embedding scale, no layernorm_embedding, swish
+  // FFN, decoder_start = pad. Target language: a forced-BOS token from
+  // the tokenizer's lang_code_to_id map when present (the mBART-style
+  // path the reference validates against), else Marian's own `>>code<<`
+  // source-prefix convention — a plain vocab token in the text.
+  // Divergence (documented): greedy decode vs the reference's
+  // num_beams=4, same as the summarization surface.
+
+  final class MarianBundle(val cfg: BartConfig, val weights: Map[String, Tensor],
+      val vocab: Map[String, Int], val merges: Seq[(String, String)],
+      val langCodeToId: Map[String, Int])
+      extends Serializable {
+    @transient lazy val model: BartModel = new BartModel(cfg, weights)
+    @transient lazy val tokenizer: Bpe =
+      new Bpe(vocab, merges, clipMode = false, unkToken = "</s>")
+    /** Marian source encoding: tokens + `</s>` (no BOS). */
+    def encodeSource(text: String, maxLen: Int): Seq[Int] =
+      tokenizer.encode(text).take(maxLen - 1) :+ cfg.eosTokenId
+  }
+
+  def loadMarian(modelDir: String): MarianBundle = {
+    val cfg = BartConfig.fromJson(new String(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")), StandardCharsets.UTF_8))
+    val weights = SafeTensors.read(Paths.get(modelDir, "model.safetensors").toString)
+    val mapper = new ObjectMapper()
+    val node = mapper.readTree(Files.readAllBytes(Paths.get(modelDir, "vocab.json")))
+    val vocab = scala.jdk.CollectionConverters.IteratorHasAsScala(node.properties().iterator())
+      .asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
+    val tokCfgPath = Paths.get(modelDir, "tokenizer_config.json")
+    val langs =
+      if (!Files.exists(tokCfgPath)) Map.empty[String, Int]
+      else {
+        val tc = mapper.readTree(Files.readAllBytes(tokCfgPath))
+        if (!tc.has("lang_code_to_id")) Map.empty[String, Int]
+        else scala.jdk.CollectionConverters.IteratorHasAsScala(
+          tc.get("lang_code_to_id").properties().iterator())
+          .asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
+      }
+    new MarianBundle(cfg, weights, vocab, readMerges(modelDir), langs)
+  }
+
+  /** Append `outCol: string` — greedy translation. `targetLang` resolves
+    * through the checkpoint's lang_code_to_id into a forced-BOS token;
+    * an unknown code errors with the supported list, mirroring the
+    * reference's RequestError (huggingface.py:1612-1623). Null → null.
+    */
+  def translation(df: DataFrame, textCol: String, outCol: String,
+      modelDir: String, targetLang: Option[String] = None,
+      maxSourceTokens: Int = 256, maxNewTokens: Int = 24): DataFrame = {
+    val spark = df.sparkSession
+    val loaded = loadMarian(modelDir)
+    val forcedBos = targetLang.map { code =>
+      loaded.langCodeToId.getOrElse(code, throw new IllegalArgumentException(
+        s"Target language code '$code' is not supported by the model. " +
+          s"Supported languages are: ${loaded.langCodeToId.keys.toSeq.sorted.mkString(", ")}"))
+    }
+    val bc = spark.sparkContext.broadcast(loaded)
+    val idx = df.schema.fieldIndex(textCol)
+    val schema = StructType(df.schema.fields :+ StructField(outCol, StringType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val src = bundle.encodeSource(r.getString(idx), maxSourceTokens)
+            val ids = bundle.model.generate(src, maxNewTokens, forcedBos)
+            bundle.tokenizer.decode(ids,
+              Set(bundle.cfg.eosTokenId, bundle.cfg.decoderStartTokenId) ++
+                bundle.langCodeToId.values)
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Deterministic tiny Marian checkpoint: byte-level vocab + `</s>`/
+    * `<pad>` + two `>>code<<` language tokens, marian-type config
+    * (swish, scale_embedding, static positions, decoder_start = pad),
+    * lang_code_to_id in tokenizer_config.json. The encoder side carries
+    * an explicit (gaussian) embed_positions tensor while the decoder
+    * side omits it — exercising both the checkpoint-buffer and computed-
+    * sinusoidal position paths.
+    */
+  def writeTinyMarianModel(dir: String, seed: Long = 42L, dModel: Int = 16,
+      layers: Int = 2, heads: Int = 2, ffn: Int = 32, maxPos: Int = 64): Unit = {
+    val byteToks = Bpe.byteToUnicode.map(_.toString).toSeq
+    val vocabToks = byteToks ++ Seq("</s>", "<pad>", ">>fra<<", ">>deu<<")
+    val eosId = 256; val padId = 257
+    val rnd = new java.util.Random(seed)
+    def t(shape: Int*)(scale: Double): Tensor =
+      Tensor(shape.toArray, Array.fill(shape.product)((rnd.nextGaussian() * scale).toFloat))
+    val ts = scala.collection.mutable.ArrayBuffer.empty[(String, Tensor)]
+    ts += "model.shared.weight" -> t(vocabToks.length, dModel)(0.1)
+    ts += "final_logits_bias" -> t(vocabToks.length)(0.02)
+    ts += "model.encoder.embed_positions.weight" -> t(maxPos, dModel)(0.02)
+    for (side <- Seq("encoder", "decoder")) {
+      for (i <- 0 until layers) {
+        val p = s"model.$side.layers.$i."
+        val attns = if (side == "decoder") Seq("self_attn", "encoder_attn") else Seq("self_attn")
+        attns.foreach { a =>
+          Seq("q_proj", "k_proj", "v_proj", "out_proj").foreach { pr =>
+            ts += s"$p$a.$pr.weight" -> t(dModel, dModel)(0.08)
+            ts += s"$p$a.$pr.bias" -> t(dModel)(0.02)
+          }
+          ts += s"$p${a}_layer_norm.weight" -> Tensor(Array(dModel), Array.fill(dModel)(1f))
+          ts += s"$p${a}_layer_norm.bias" -> Tensor(Array(dModel), new Array[Float](dModel))
+        }
+        ts += s"${p}fc1.weight" -> t(ffn, dModel)(0.08)
+        ts += s"${p}fc1.bias" -> t(ffn)(0.02)
+        ts += s"${p}fc2.weight" -> t(dModel, ffn)(0.08)
+        ts += s"${p}fc2.bias" -> t(dModel)(0.02)
+        ts += s"${p}final_layer_norm.weight" -> Tensor(Array(dModel), Array.fill(dModel)(1f))
+        ts += s"${p}final_layer_norm.bias" -> Tensor(Array(dModel), new Array[Float](dModel))
+      }
+    }
+    Files.createDirectories(Paths.get(dir))
+    SafeTensors.write(Paths.get(dir, "model.safetensors").toString, ts.toSeq,
+      Map("format" -> "pt"))
+    val cfgJson =
+      s"""{"model_type":"marian","d_model":$dModel,"encoder_layers":$layers,
+         |"encoder_attention_heads":$heads,"decoder_layers":$layers,
+         |"decoder_attention_heads":$heads,"encoder_ffn_dim":$ffn,
+         |"decoder_ffn_dim":$ffn,"max_position_embeddings":$maxPos,
+         |"vocab_size":${vocabToks.length},"bos_token_id":$padId,
+         |"eos_token_id":$eosId,"decoder_start_token_id":$padId,
+         |"scale_embedding":true,"static_position_embeddings":true,
+         |"activation_function":"swish"}""".stripMargin
+    Files.write(Paths.get(dir, "config.json"), cfgJson.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(dir, "tokenizer_config.json"),
+      s"""{"lang_code_to_id":{">>fra<<":258,">>deu<<":259}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    Bpe.writeFiles(Paths.get(dir, "vocab.json").toString,
+      Paths.get(dir, "merges.txt").toString, vocabToks, Seq.empty)
+  }
+
+  def ensureTinyMarianModel(seed: Long = 42L): String = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_marian_s$seed")
+    val marker = dir.resolve("merges.txt")
+    if (!Files.exists(marker)) writeTinyMarianModel(dir.toString, seed)
+    dir.toString
+  }
+
+  // ---------------------------------------------------------------------
   // Whisper speech-to-text (reference huggingface.py:979)
   // ---------------------------------------------------------------------
 

@@ -409,6 +409,42 @@ object Ml {
       None, // clustering + greedy decode not SQL-expressible
     ),
     QueryDef(
+      "q137_translation",
+      (s, dir) => {
+        // Marian/opus-mt translation (reference huggingface.py:1566) with
+        // forced-BOS target-language selection, both >>fra<< and >>deu<<
+        // targets per row. Broadcast weights, map-only. The transcript
+        // content isn't SQL-expressible, so the GATED columns are the
+        // deterministic invariants (every one goes false and hash-fails
+        // if the decode breaks): non-null outputs, byte-tokenizer length
+        // bound (≤ maxNewTokens chars after special stripping), and
+        // language-forcing actually consuming one of the token budget
+        // slots. Forward math pinned by MarianSpec's independent naive
+        // cross-check.
+        val modelDir = graft.ml.LocalModels.ensureTinyMarianModel(seed = 42L)
+        val docs = T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(col("doc_id"), substring(col("text"), 1, 80).as("snippet"))
+          .repartition(8, col("doc_id"))
+        val fr = graft.ml.LocalModels.translation(docs, "snippet", "fr",
+          modelDir, targetLang = Some(">>fra<<"), maxSourceTokens = 48,
+          maxNewTokens = 6)
+        val both = graft.ml.LocalModels.translation(fr, "snippet", "de",
+          modelDir, targetLang = Some(">>deu<<"), maxSourceTokens = 48,
+          maxNewTokens = 6)
+        QueryUtil.orderedSmall(
+          both.select(
+            col("doc_id"),
+            (col("fr").isNotNull && col("de").isNotNull).as("tr_nonnull"),
+            // forced lang token occupies 1 of the 6 new-token slots and
+            // is stripped on decode → at most 5 byte-unicode chars
+            (length(col("fr")) <= 5 && length(col("de")) <= 5).as("len_ok")),
+          col("doc_id"))
+      },
+      Some("""SELECT doc_id, TRUE AS tr_nonnull, TRUE AS len_ok
+             |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
       "q136_sam_auto_filter",
       (s, dir) => {
         // The model-free half of sam_automatic_mask_generation
