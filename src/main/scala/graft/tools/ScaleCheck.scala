@@ -20,8 +20,19 @@ object ScaleCheck {
     "q56_tpch_q3", "q57_tpch_q18", "q66_mean_ap", "q75_percentile_group",
     "q97_gopher_rules", "q99_rolling_window",
     "q103_mixture_sample", "q104_sequence_pack", "q105_charlm_score",
-    "q106_dupspan_stats", "q126_hard_negatives", "q131_bpe_merges",
-    "q132_nb_classifier", "q134_bpe_tokenize")
+    "q106_dupspan_stats", "q109_sample_strat_fraction", "q118_pagerank_neardup",
+    "q126_hard_negatives", "q131_bpe_merges",
+    "q132_nb_classifier", "q133_ndcg", "q134_bpe_tokenize")
+  // r8 additions (VERDICT r7 #8): q109's key-range-bucketed exact-rank
+  // sampling — strata (returnflag) stay fixed under replication while rows
+  // grow m×, so per-stratum offset tables stay tiny and the ratio should
+  // track m. q118's pair join is id-bounded (doc_id < 200, all in copy 0)
+  // so the graph and the 5 checkpointed iterations stay constant — the
+  // ratio measures scan growth plus fixed loop overhead, NOT an edge
+  // blow-up (replication would otherwise square the near-dup pair count,
+  // the same artifact that excludes q100/q107). q133 ranks a fixed query
+  // set over the m×-grown corpus: TakeOrderedAndProject candidates then a
+  // constant-size NDCG aggregate.
   // q131/q134 under replication: the corpus-token shuffle grows m× but the
   // iterated table stays VOCABULARY-sized (replicas add counts, not
   // words), so rounds are flat; q132's model grid is fixed k×L.
