@@ -951,6 +951,64 @@ object LocalModels {
     }(enc)
   }
 
+  /** Append `outCol: array<struct<frame_idx, object_ids, scores, boxes,
+    * masks>>` — per-frame TRACKED segmentation of an AVI video column,
+    * the reference's `sam3_for_video_segmentation` iterator shape
+    * (huggingface.py:680-860): one entry per frame, a stable object id
+    * per mask preserved across motion and ≤ maxAge-frame occlusion.
+    * Posexplode into a component view for the reference's one-row-per-
+    * frame surface. Detection is the automatic-mask-generation loop per
+    * frame (the concept-prompt path needs gated SAM 3 text grounding —
+    * the documented cut); association is `MaskTrack`'s greedy mask-IoU
+    * step, oracle-gated by q138. Weights broadcast once; each video row
+    * is independent, so the pass is map-only at any corpus size.
+    */
+  def samVideoSegmentation(df: DataFrame, videoCol: String, outCol: String,
+      modelDir: String, gridSize: Int = 4, predIouThresh: Float = 0.0f,
+      stabilityThresh: Float = 0.0f, nmsIouThresh: Float = 0.7f,
+      trackIouThresh: Float = 0.4f, maxAge: Int = 2,
+      maxFrames: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadSam(modelDir))
+    val idx = df.schema.fieldIndex(videoCol)
+    val frameType = StructType(Seq(
+      StructField("frame_idx", IntegerType),
+      StructField("object_ids", ArrayType(IntegerType)),
+      StructField("scores", ArrayType(FloatType)),
+      StructField("boxes", ArrayType(ArrayType(FloatType))),
+      StructField("masks", ArrayType(ArrayType(ArrayType(BooleanType))))))
+    val schema = StructType(df.schema.fields :+
+      StructField(outCol, ArrayType(frameType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val payloads = graft.functions.Avi.readFrames(r.getAs[Array[Byte]](idx))
+            val frames =
+              if (maxFrames > 0) payloads.take(maxFrames) else payloads
+            var tracks = Seq.empty[MaskTrack.Track]
+            var nextId = 0
+            frames.zipWithIndex.map { case (jpeg, fi) =>
+              val img = graft.functions.Images.decode(jpeg)
+              val inst = bundle.model.automaticMasks(img, gridSize,
+                predIouThresh, stabilityThresh, 1.0f, nmsIouThresh)
+              val flat = inst.map(i => i.mask.flatten)
+              val step = MaskTrack.step(tracks, flat, trackIouThresh,
+                maxAge, nextId)
+              tracks = step.tracks
+              nextId = step.nextId
+              Row(fi, step.ids, inst.map(_.score), inst.map(_.box.toSeq),
+                inst.map(_.mask.map(_.toSeq).toSeq))
+            }
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** Deterministic tiny SAM checkpoint in the HF SamModel layout:
     * 2-layer ViTDet (window layer 0, global layer 1, decomposed rel-pos),
     * random-Fourier prompt encoder, 2-layer two-way mask decoder.

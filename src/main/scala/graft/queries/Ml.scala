@@ -485,6 +485,62 @@ object Ml {
              |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
+      "q138_mask_track",
+      (s, dir) => {
+        // The association half of sam3_for_video_segmentation
+        // (huggingface.py:680-860) in the oracle gate: per-doc synthetic
+        // frame sequences (band masks on an 8×8 grid, closed forms of
+        // m = doc_id % 3) through the REAL MaskTrack greedy mask-IoU
+        // kernel. Branches: m=0 plain motion (a band drifting one row
+        // per frame keeps id 0 at IoU 0.5 per step), m=1 occlusion —
+        // object B vanishes for one frame and REACQUIRES id 1 through
+        // the maxAge=2 lost buffer, m=2 a new object entering mid-
+        // sequence gets the next fresh id (its 0.25 IoU against the
+        // drifting band stays under the 0.4 gate). Every (m, frame)
+        // cell is a literal VALUES row in the oracle. Map-only; q-gated
+        // kernel runs inside samVideoSegmentation per video row.
+        import graft.ml.MaskTrack
+        val trackUdf = udf { (m: Int) =>
+          def band(r0: Int, r1: Int): Array[Boolean] =
+            Array.tabulate(64)(i => i / 8 >= r0 && i / 8 < r1)
+          val a = Seq(band(0, 3), band(1, 4), band(2, 5), band(3, 6))
+          val b = band(5, 8)
+          val c = band(0, 2)
+          val frames: Seq[Seq[Array[Boolean]]] = Seq(
+            Seq(a(0), b),
+            if (m == 1) Seq(a(1)) else Seq(a(1), b),
+            Seq(a(2), b) ++ (if (m == 2) Seq(c) else Nil),
+            Seq(a(3), b) ++ (if (m == 2) Seq(c) else Nil))
+          MaskTrack.trackSequence(frames, iouThresh = 0.4f, maxAge = 2)
+            .zipWithIndex.map { case (ids, fi) =>
+              (fi, ids.length.toLong, ids.mkString(","))
+            }
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 120)
+          .withColumn("m", (col("doc_id") % 3).cast("int"))
+          .select(col("doc_id"), col("m"), explode(trackUdf(col("m"))).as("f"))
+          .select(col("doc_id"),
+            col("f._1").cast("long").as("frame_idx"),
+            col("f._2").as("n_objects"),
+            col("f._3").as("object_ids"))
+          .transform(QueryUtil.orderedSmall(_, col("doc_id"), col("frame_idx")))
+      },
+      Some("""WITH t(m, frame_idx, n_objects, object_ids) AS (VALUES
+             |  (0, 0, 2, '0,1'), (0, 1, 2, '0,1'),
+             |  (0, 2, 2, '0,1'), (0, 3, 2, '0,1'),
+             |  (1, 0, 2, '0,1'), (1, 1, 1, '0'),
+             |  (1, 2, 2, '0,1'), (1, 3, 2, '0,1'),
+             |  (2, 0, 2, '0,1'), (2, 1, 2, '0,1'),
+             |  (2, 2, 3, '0,1,2'), (2, 3, 3, '0,1,2'))
+             |SELECT d.doc_id, t.frame_idx::BIGINT AS frame_idx,
+             |  t.n_objects::BIGINT AS n_objects, t.object_ids
+             |FROM (SELECT doc_id, (doc_id % 3)::INT AS m FROM documents
+             |      WHERE doc_id < 120) d
+             |JOIN t ON t.m = d.m
+             |ORDER BY d.doc_id, t.frame_idx""".stripMargin),
+    ),
+    QueryDef(
       "q136_sam_auto_filter",
       (s, dir) => {
         // The model-free half of sam_automatic_mask_generation
