@@ -985,28 +985,62 @@ object LocalModels {
       rows.map { r =>
         val out: Any =
           if (r.isNullAt(idx)) null
-          else {
-            val payloads = graft.functions.Avi.readFrames(r.getAs[Array[Byte]](idx))
-            val frames =
-              if (maxFrames > 0) payloads.take(maxFrames) else payloads
-            var tracks = Seq.empty[MaskTrack.Track]
-            var nextId = 0
-            frames.zipWithIndex.map { case (jpeg, fi) =>
-              val img = graft.functions.Images.decode(jpeg)
-              val inst = bundle.model.automaticMasks(img, gridSize,
-                predIouThresh, stabilityThresh, 1.0f, nmsIouThresh)
-              val flat = inst.map(i => i.mask.flatten)
-              val step = MaskTrack.step(tracks, flat, trackIouThresh,
-                maxAge, nextId)
-              tracks = step.tracks
-              nextId = step.nextId
-              Row(fi, step.ids, inst.map(_.score), inst.map(_.box.toSeq),
-                inst.map(_.mask.map(_.toSeq).toSeq))
-            }
-          }
+          else trackVideoFrames(bundle, r.getAs[Array[Byte]](idx), gridSize,
+            predIouThresh, stabilityThresh, nmsIouThresh, trackIouThresh,
+            maxAge, maxFrames).map(f =>
+              Row(f.frame_idx, f.object_ids, f.scores, f.boxes, f.masks))
         Row.fromSeq(r.toSeq :+ out)
       }
     }(enc)
+  }
+
+  /** One tracked frame of `samVideoSegmentation` (the reference's
+    * Sam3VideoSegmentationFrame minus the re-extracted `frame` column —
+    * frames re-extract from the source video by `frame_idx`, mirroring
+    * the unstored-column design).
+    */
+  final case class TrackedFrame(frame_idx: Int, object_ids: Seq[Int],
+      scores: Seq[Float], boxes: Seq[Seq[Float]],
+      masks: Seq[Seq[Seq[Boolean]]])
+
+  private def trackVideoFrames(bundle: SamBundle, video: Array[Byte],
+      gridSize: Int, predIouThresh: Float, stabilityThresh: Float,
+      nmsIouThresh: Float, trackIouThresh: Float, maxAge: Int,
+      maxFrames: Int): Seq[TrackedFrame] = {
+    val payloads = graft.functions.Avi.readFrames(video)
+    val frames = if (maxFrames > 0) payloads.take(maxFrames) else payloads
+    var tracks = Seq.empty[MaskTrack.Track]
+    var nextId = 0
+    frames.zipWithIndex.map { case (jpeg, fi) =>
+      val img = graft.functions.Images.decode(jpeg)
+      val inst = bundle.model.automaticMasks(img, gridSize,
+        predIouThresh, stabilityThresh, 1.0f, nmsIouThresh)
+      val step = MaskTrack.step(tracks, inst.map(_.mask.flatten),
+        trackIouThresh, maxAge, nextId)
+      tracks = step.tracks
+      nextId = step.nextId
+      TrackedFrame(fi, step.ids, inst.map(_.score), inst.map(_.box.toSeq),
+        inst.map(_.mask.map(_.toSeq).toSeq))
+    }
+  }
+
+  /** The same tracked-segmentation pass as a registrable UDF, so it can
+    * drive a COMPONENT VIEW (`create_view(iterator=
+    * sam3_for_video_segmentation(...))`, the reference's flagship use).
+    * The bundle is serialized with the closure — fine for view refresh
+    * batches; the broadcast path is `samVideoSegmentation`.
+    */
+  def samVideoTrackUdf(modelDir: String, gridSize: Int = 4,
+      predIouThresh: Float = 0.0f, stabilityThresh: Float = 0.0f,
+      nmsIouThresh: Float = 0.7f, trackIouThresh: Float = 0.4f,
+      maxAge: Int = 2, maxFrames: Int = 0)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bundle = loadSam(modelDir)
+    org.apache.spark.sql.functions.udf { (video: Array[Byte]) =>
+      if (video == null) null
+      else trackVideoFrames(bundle, video, gridSize, predIouThresh,
+        stabilityThresh, nmsIouThresh, trackIouThresh, maxAge, maxFrames)
+    }
   }
 
   /** Deterministic tiny SAM checkpoint in the HF SamModel layout:

@@ -91,4 +91,57 @@ class MaskTrackSpec extends AnyFunSuite {
     val idSets = frames.map(_.getSeq[Int](1).toSet)
     assert(idSets.forall(_ == idSets.head))
   }
+
+  test("reference workflow: tracked component view → id-map overlay → make_video") {
+    // huggingface.py:733-745's documented example: create_view(iterator=
+    // sam3_for_video_segmentation(...)), overlay_segmentation keyed by
+    // object_ids (consistent colors per object), make_video group_by video
+    val spark = graft.TestSpark.spark
+    import graft.catalog.{Catalog, ColumnDef, GraftTable, Views}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = LocalModels.ensureTinySamModel(seed = 42L)
+    spark.udf.register("sam_video_track",
+      LocalModels.samVideoTrackUdf(dir, gridSize = 2, maxFrames = 4))
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
+    val base = GraftTable.create(spark, cat, "videos", Seq(
+      ColumnDef("vid_id", "bigint"), ColumnDef("v", "binary")))
+    base.insert(Seq(
+      (1L, graft.functions.Video.makeTestVideo(4, 20, 16, 0x336699, 10)))
+      .toDF("vid_id", "v"))
+
+    val tfType = "struct<frame_idx:int,object_ids:array<int>," +
+      "scores:array<float>,boxes:array<array<float>>," +
+      "masks:array<array<array<boolean>>>>"
+    val view = Views.createComponentView(spark, cat, "tracked", base,
+      "sam_video_track(v)", "tf", tfType,
+      keepCols = Seq(ColumnDef("vid_id", "bigint")))
+    assert(view.read().count() == 4) // one row per tracked frame
+
+    // id map: paint object_id + 1 per mask (0 = background) — the
+    // overlay_segmentation contract with consistent per-object coloring
+    val idMap = udf { (masks: Seq[Seq[Seq[Boolean]]], ids: Seq[Int]) =>
+      val h = masks.head.length; val w = masks.head.head.length
+      val m = Array.fill(h, w)(0)
+      for (((mask, id), _) <- masks.zip(ids).zipWithIndex; y <- 0 until h;
+           x <- 0 until w if mask(y)(x)) m(y)(x) = id + 1
+      m.map(_.toSeq).toSeq
+    }
+    val frames = udf { (v: Array[Byte], i: Int) =>
+      graft.functions.Avi.readFrames(v)(i)
+    }
+    val overlaid = view.read()
+      .join(base.read().select(col("vid_id"), col("v")), Seq("vid_id"))
+      .withColumn("frame", frames(col("v"), col("tf.frame_idx")))
+      .withColumn("overlay", graft.functions.Vision.overlaySegmentation(
+        col("frame"), idMap(col("tf.masks"), col("tf.object_ids")),
+        lit(0.5), lit(false), lit(1)))
+    val out = overlaid.groupBy(col("vid_id"))
+      .agg(graft.functions.Video.make_video(
+        col("tf.frame_idx"), col("overlay")).as("annotated"))
+      .head().getAs[Array[Byte]](1)
+    val meta = graft.functions.Avi.readMeta(out)
+    assert(meta.frames == 4 && meta.width == 20 && meta.height == 16)
+  }
 }
