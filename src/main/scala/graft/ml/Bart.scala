@@ -225,6 +225,74 @@ final class BartModel(val cfg: BartConfig, weights: Map[String, Tensor])
   def summarize(sourceTokens: Seq[Int], maxNewTokens: Int): Seq[Int] =
     generate(sourceTokens, maxNewTokens, forcedBosTokenId = None)
 
+  /** Beam-search seq2seq generation with HF `generate` semantics
+    * (`num_beams`, `early_stopping=True`, `length_penalty` — the exact
+    * kwargs the reference's `translation` UDF passes,
+    * huggingface.py:1628): per step each live beam expands by
+    * log-softmax next-token scores; the top 2·numBeams candidates are
+    * scanned in score order, EOS continuations finalize a hypothesis
+    * (score = Σ logprob / len^penalty, length including the start
+    * token, the BeamHypotheses.add convention) and the first numBeams
+    * non-EOS survivors become the next live set; stops early once
+    * numBeams hypotheses are finished. `forcedBosTokenId` masks step 0
+    * to the target-language token (logprob 0 after masking, as HF's
+    * processor renormalizes). numBeams = 1 reduces exactly to greedy.
+    */
+  def generateBeam(sourceTokens: Seq[Int], maxNewTokens: Int,
+      numBeams: Int, forcedBosTokenId: Option[Int] = None,
+      lengthPenalty: Double = 1.0): Seq[Int] = {
+    require(numBeams >= 1, "numBeams must be >= 1")
+    if (numBeams == 1) return generate(sourceTokens, maxNewTokens, forcedBosTokenId)
+    val enc = encode(sourceTokens)
+    val maxLen = math.min(maxNewTokens,
+      cfg.maxPositions - 3) // decode length guard, as in generate()
+    final case class Beam(tokens: Vector[Int], score: Double)
+    def logSoftmax(logits: Array[Float]): Array[Double] = {
+      var mx = Double.NegativeInfinity
+      logits.foreach(l => if (l > mx) mx = l)
+      val exps = logits.map(l => math.exp(l - mx))
+      val lse = mx + math.log(exps.sum)
+      logits.map(_ - lse)
+    }
+    var live = Seq(Beam(Vector(cfg.decoderStartTokenId), 0.0))
+    val finished = scala.collection.mutable.ArrayBuffer.empty[(Vector[Int], Double)]
+    var step = 0
+    while (step < maxLen && finished.size < numBeams && live.nonEmpty) {
+      val cands =
+        if (step == 0 && forcedBosTokenId.isDefined)
+          // forced step: every beam extends only with the target token,
+          // logprob 0 after the processor masks and renormalizes
+          live.map(b => (b, forcedBosTokenId.get, b.score))
+        else
+          live.flatMap { b =>
+            val lp = logSoftmax(decodeStep(b.tokens, enc, sourceTokens.length))
+            lp.indices.map(t => (b, t, b.score + lp(t)))
+          }
+      val top = cands.sortBy(-_._3).take(2 * numBeams)
+      val nextLive = Seq.newBuilder[Beam]
+      var taken = 0
+      top.foreach { case (b, tok, sc) =>
+        if (tok == cfg.eosTokenId) {
+          if (finished.size < numBeams)
+            // length includes the start token (BeamHypotheses convention)
+            finished += ((b.tokens, sc / math.pow(b.tokens.length, lengthPenalty)))
+        } else if (taken < numBeams) {
+          nextLive += Beam(b.tokens :+ tok, sc)
+          taken += 1
+        }
+      }
+      live = nextLive.result()
+      step += 1
+    }
+    // finalize leftover live beams if fewer than numBeams finished
+    live.foreach { b =>
+      if (finished.size < numBeams)
+        finished += ((b.tokens, b.score / math.pow(b.tokens.length, lengthPenalty)))
+    }
+    val best = finished.maxBy(_._2)._1
+    best.drop(1) // strip the decoder start token
+  }
+
   /** Greedy seq2seq generation. `forcedBosTokenId` pins the FIRST
     * generated token (HF's forced_bos_token_id logits processor — how
     * the reference's `translation` UDF selects the target language on

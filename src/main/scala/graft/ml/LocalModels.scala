@@ -1701,8 +1701,9 @@ object LocalModels {
   // the tokenizer's lang_code_to_id map when present (the mBART-style
   // path the reference validates against), else Marian's own `>>code<<`
   // source-prefix convention — a plain vocab token in the text.
-  // Divergence (documented): greedy decode vs the reference's
-  // num_beams=4, same as the summarization surface.
+  // Decode matches the reference's generate kwargs: num_beams=4 beam
+  // search with early stopping (BartModel.generateBeam, HF semantics);
+  // numBeams=1 falls back to greedy.
 
   final class MarianBundle(val cfg: BartConfig, val weights: Map[String, Tensor],
       val vocab: Map[String, Int], val merges: Seq[(String, String)],
@@ -1744,7 +1745,8 @@ object LocalModels {
     */
   def translation(df: DataFrame, textCol: String, outCol: String,
       modelDir: String, targetLang: Option[String] = None,
-      maxSourceTokens: Int = 256, maxNewTokens: Int = 24): DataFrame = {
+      maxSourceTokens: Int = 256, maxNewTokens: Int = 24,
+      numBeams: Int = 4): DataFrame = {
     val spark = df.sparkSession
     val loaded = loadMarian(modelDir)
     val forcedBos = targetLang.map { code =>
@@ -1763,7 +1765,8 @@ object LocalModels {
           if (r.isNullAt(idx)) null
           else {
             val src = bundle.encodeSource(r.getString(idx), maxSourceTokens)
-            val ids = bundle.model.generate(src, maxNewTokens, forcedBos)
+            val ids = bundle.model.generateBeam(src, maxNewTokens, numBeams,
+              forcedBos)
             bundle.tokenizer.decode(ids,
               Set(bundle.cfg.eosTokenId, bundle.cfg.decoderStartTokenId) ++
                 bundle.langCodeToId.values)
