@@ -1859,6 +1859,137 @@ object LocalModels {
     def melConfig: Mel.MelConfig = Mel.MelConfig(nMels = cfg.numMelBins)
   }
 
+  // ---------------------------------------------------------------------
+  // Generic ASR (reference huggingface.py:1932 automatic_speech_recognition
+  // — dispatches on the checkpoint family like the reference dispatches on
+  // model_id: whisper → seq2seq decode, wav2vec2/CTC → per-frame argmax +
+  // CTC collapse). The wav2vec2 tower is graft.ml.Wav2Vec2; the CTC decode
+  // kernel is oracle-gated by q139.
+
+  final class Wav2Vec2Bundle(val cfg: Wav2Vec2Config,
+      val weights: Map[String, Tensor], val idToToken: Map[Int, String])
+      extends Serializable {
+    @transient lazy val model: Wav2Vec2Model = new Wav2Vec2Model(cfg, weights)
+  }
+
+  def loadWav2Vec2(modelDir: String): Wav2Vec2Bundle = {
+    val cfg = Wav2Vec2Config.fromJson(new String(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")), StandardCharsets.UTF_8))
+    val weights = SafeTensors.read(Paths.get(modelDir, "model.safetensors").toString)
+    val node = new ObjectMapper().readTree(
+      Files.readAllBytes(Paths.get(modelDir, "vocab.json")))
+    val idToToken = scala.jdk.CollectionConverters.IteratorHasAsScala(node.properties().iterator())
+      .asScala.map(e => e.getValue.asInt() -> e.getKey).toMap
+    new Wav2Vec2Bundle(cfg, weights, idToToken)
+  }
+
+  /** Append `outCol: string` — generic ASR over a WAV binary column.
+    * Reads the checkpoint's `model_type` and routes: whisper → the
+    * existing seq2seq decode; wav2vec2 → CTC greedy. Null → null.
+    */
+  def automaticSpeechRecognition(df: DataFrame, audioCol: String,
+      outCol: String, modelDir: String, maxNewTokens: Int = 24): DataFrame = {
+    val mt = new ObjectMapper().readTree(
+      Files.readAllBytes(Paths.get(modelDir, "config.json")))
+      .path("model_type").asText("")
+    if (mt == "whisper")
+      return speechToText(df, audioCol, outCol, modelDir, maxNewTokens)
+    require(mt == "wav2vec2", s"unsupported ASR checkpoint model_type '$mt'")
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadWav2Vec2(modelDir))
+    val idx = df.schema.fieldIndex(audioCol)
+    val schema = StructType(df.schema.fields :+ StructField(outCol, StringType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val (_, samples) = graft.functions.Audio.decodePcm(r.getAs[Array[Byte]](idx))
+            val wave = samples.map(_ / 32768.0f)
+            val ids = Ctc.decode(bundle.model.frameIds(wave),
+              blank = bundle.cfg.padTokenId)
+            Ctc.toText(ids, bundle.idToToken)
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
+  /** Deterministic tiny Wav2Vec2 CTC checkpoint (base layout:
+    * feat_extract_norm="group", do_stable_layer_norm=false, weight-normed
+    * even-kernel positional conv exercising the SamePad trim).
+    */
+  def writeTinyWav2Vec2Model(dir: String, seed: Long = 42L): Unit = {
+    val convDims = Seq(8, 8); val convKernels = Seq(4, 3); val convStrides = Seq(2, 2)
+    val hidden = 16; val layers = 2; val heads = 2; val inter = 32
+    val posK = 4; val posGroups = 4
+    val vocabToks = Seq("<pad>", "|") ++ ('a' to 'z').map(_.toString)
+    val rnd = new java.util.Random(seed)
+    def t(shape: Int*)(scale: Double): Tensor =
+      Tensor(shape.toArray, Array.fill(shape.product)((rnd.nextGaussian() * scale).toFloat))
+    def ones(n: Int): Tensor = Tensor(Array(n), Array.fill(n)(1f))
+    def zeros(n: Int): Tensor = Tensor(Array(n), new Array[Float](n))
+    val ts = scala.collection.mutable.ArrayBuffer.empty[(String, Tensor)]
+    convDims.indices.foreach { li =>
+      val cin = if (li == 0) 1 else convDims(li - 1)
+      ts += s"wav2vec2.feature_extractor.conv_layers.$li.conv.weight" ->
+        t(convDims(li), cin, convKernels(li))(0.3)
+    }
+    ts += "wav2vec2.feature_extractor.conv_layers.0.layer_norm.weight" -> ones(convDims(0))
+    ts += "wav2vec2.feature_extractor.conv_layers.0.layer_norm.bias" -> zeros(convDims(0))
+    ts += "wav2vec2.feature_projection.layer_norm.weight" -> ones(convDims.last)
+    ts += "wav2vec2.feature_projection.layer_norm.bias" -> zeros(convDims.last)
+    ts += "wav2vec2.feature_projection.projection.weight" -> t(hidden, convDims.last)(0.2)
+    ts += "wav2vec2.feature_projection.projection.bias" -> t(hidden)(0.02)
+    ts += "wav2vec2.encoder.pos_conv_embed.conv.weight_g" -> t(posK)(0.5)
+    ts += "wav2vec2.encoder.pos_conv_embed.conv.weight_v" ->
+      t(hidden, hidden / posGroups, posK)(0.2)
+    ts += "wav2vec2.encoder.pos_conv_embed.conv.bias" -> t(hidden)(0.02)
+    ts += "wav2vec2.encoder.layer_norm.weight" -> ones(hidden)
+    ts += "wav2vec2.encoder.layer_norm.bias" -> zeros(hidden)
+    (0 until layers).foreach { li =>
+      val p = s"wav2vec2.encoder.layers.$li"
+      Seq("q_proj", "k_proj", "v_proj", "out_proj").foreach { pr =>
+        ts += s"$p.attention.$pr.weight" -> t(hidden, hidden)(0.15)
+        ts += s"$p.attention.$pr.bias" -> t(hidden)(0.02)
+      }
+      ts += s"$p.layer_norm.weight" -> ones(hidden)
+      ts += s"$p.layer_norm.bias" -> zeros(hidden)
+      ts += s"$p.feed_forward.intermediate_dense.weight" -> t(inter, hidden)(0.15)
+      ts += s"$p.feed_forward.intermediate_dense.bias" -> t(inter)(0.02)
+      ts += s"$p.feed_forward.output_dense.weight" -> t(hidden, inter)(0.15)
+      ts += s"$p.feed_forward.output_dense.bias" -> t(hidden)(0.02)
+      ts += s"$p.final_layer_norm.weight" -> ones(hidden)
+      ts += s"$p.final_layer_norm.bias" -> zeros(hidden)
+    }
+    ts += "lm_head.weight" -> t(vocabToks.length, hidden)(0.2)
+    ts += "lm_head.bias" -> t(vocabToks.length)(0.02)
+    Files.createDirectories(Paths.get(dir))
+    SafeTensors.write(Paths.get(dir, "model.safetensors").toString, ts.toSeq,
+      Map("format" -> "pt"))
+    val cfgJson =
+      s"""{"model_type":"wav2vec2","conv_dim":[8,8],"conv_kernel":[4,3],
+         |"conv_stride":[2,2],"hidden_size":$hidden,
+         |"num_hidden_layers":$layers,"num_attention_heads":$heads,
+         |"intermediate_size":$inter,"num_conv_pos_embeddings":$posK,
+         |"num_conv_pos_embedding_groups":$posGroups,
+         |"vocab_size":${vocabToks.length},"pad_token_id":0}""".stripMargin
+    Files.write(Paths.get(dir, "config.json"), cfgJson.getBytes(StandardCharsets.UTF_8))
+    val vocabJson = vocabToks.zipWithIndex
+      .map { case (tok, i) => "\"" + tok.replace("\\", "\\\\") + "\": " + i }
+      .mkString("{", ", ", "}")
+    Files.write(Paths.get(dir, "vocab.json"), vocabJson.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def ensureTinyWav2Vec2Model(seed: Long = 42L): String = synchronized {
+    val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_w2v2_s$seed")
+    val marker = dir.resolve("vocab.json")
+    if (!Files.exists(marker)) writeTinyWav2Vec2Model(dir.toString, seed)
+    dir.toString
+  }
+
   def loadWhisper(modelDir: String): WhisperBundle = {
     val cfg = WhisperConfig.fromJson(new String(
       Files.readAllBytes(Paths.get(modelDir, "config.json")), StandardCharsets.UTF_8))

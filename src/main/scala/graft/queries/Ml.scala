@@ -485,6 +485,76 @@ object Ml {
              |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
+      "q140_wav2vec2_asr",
+      (s, dir) => {
+        // The wav2vec2 route of automatic_speech_recognition end-to-end
+        // (huggingface.py:1932, Wav2Vec2ForCTC): per-doc synthesized sine
+        // WAVs through the conv feature extractor + post-LN encoder +
+        // lm_head + CTC greedy. Broadcast weights, map-only. Gated
+        // invariants: non-null, and every emitted char comes from the
+        // checkpoint's a-z∪space vocab (the `|`→space contract) — both
+        // flip on any decode/vocab break. Tower pinned by Wav2Vec2Spec's
+        // independent naive forward.
+        import graft.functions.Audio
+        val modelDir = graft.ml.LocalModels.ensureTinyWav2Vec2Model(seed = 42L)
+        val docs = T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("wav", Audio.makeSineWav(
+            lit(0.05), (col("doc_id") % 8 * 110.0 + 220.0)))
+          .repartition(8, col("doc_id"))
+        val out = graft.ml.LocalModels.automaticSpeechRecognition(
+          docs, "wav", "transcript", modelDir)
+        QueryUtil.orderedSmall(
+          out.select(
+            col("doc_id"),
+            col("transcript").isNotNull.as("tr_nonnull"),
+            col("transcript").rlike("^[a-z ]*$").as("chars_ok")),
+          col("doc_id"))
+      },
+      Some("""SELECT doc_id, TRUE AS tr_nonnull, TRUE AS chars_ok
+             |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "q139_ctc_decode",
+      (s, dir) => {
+        // The CTC decode kernel of automatic_speech_recognition's
+        // wav2vec2 branch (huggingface.py:1932, Wav2Vec2ForCTC → greedy
+        // CTC) in the oracle gate: closed-form per-frame argmax id
+        // sequences (by m = doc_id % 4) through the REAL Ctc.decode +
+        // Ctc.toText against the tiny checkpoint's vocab. Branches:
+        // blank-separated repeats survive collapse ("aab"), plain
+        // repeats collapse ("ab"), all-blank decodes empty, and the `|`
+        // word delimiter + edge-trim semantics ("c c a"). The neural
+        // tower feeding real frame ids is pinned by Wav2Vec2Spec's
+        // independent naive forward cross-check.
+        val vocab = graft.ml.LocalModels.loadWav2Vec2(
+          graft.ml.LocalModels.ensureTinyWav2Vec2Model(42L)).idToToken
+        val ctcUdf = udf { (m: Int) =>
+          val frames = m match {
+            case 0 => Seq(2, 2, 0, 2, 3, 3)
+            case 1 => Seq(2, 2, 2, 3, 3, 0)
+            case 2 => Seq(0, 0, 0, 0, 0, 0)
+            case _ => Seq(4, 1, 4, 0, 1, 2)
+          }
+          val ids = graft.ml.Ctc.decode(frames, blank = 0)
+          (ids.length.toLong, graft.ml.Ctc.toText(ids, vocab))
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 160)
+          .withColumn("r", ctcUdf((col("doc_id") % 4).cast("int")))
+          .select(col("doc_id"), col("r._1").as("n_ids"),
+            col("r._2").as("text"))
+          .transform(QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH t(m, n_ids, text) AS (VALUES
+             |  (0, 3, 'aab'), (1, 2, 'ab'), (2, 0, ''), (3, 5, 'c c a'))
+             |SELECT d.doc_id, t.n_ids::BIGINT AS n_ids, t.text
+             |FROM (SELECT doc_id, (doc_id % 4)::INT AS m FROM documents
+             |      WHERE doc_id < 160) d
+             |JOIN t ON t.m = d.m
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
+    QueryDef(
       "q138_mask_track",
       (s, dir) => {
         // The association half of sam3_for_video_segmentation
