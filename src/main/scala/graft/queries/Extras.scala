@@ -112,23 +112,26 @@ object Extras {
     QueryDef(
       "q46_approx_distinct",
       (s, dir) => {
-        // HLL sketches differ across engines, so no value oracle — the
-        // driver records the weaker rows-only check. Exact counts ride
-        // along, plus a self-check the rows-only gate still verifies:
-        // `within_tol` must be true (sketch within 5% of exact — HLL's
-        // default rsd is 5%), asserted by ExtrasSpec on real test data.
+        // HLL sketch VALUES differ across engines, so the gated columns
+        // are the exact counts (SQL-derivable) plus the sketch-accuracy
+        // invariant: within_tol flips false — failing the hash gate — if
+        // the sketch drifts past 5% of exact (HLL's default rsd).
         T(s, dir, "lineitem").agg(
           approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           countDistinct(col("l_orderkey")).as("exact_orders"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"),
-        ).withColumn("within_tol",
-          abs(col("approx_orders") - col("exact_orders")) <=
+        ).select(
+          col("exact_orders"), col("exact_parts"),
+          (abs(col("approx_orders") - col("exact_orders")) <=
             col("exact_orders") * 0.05 &&
           abs(col("approx_parts") - col("exact_parts")) <=
-            col("exact_parts") * 0.05)
+            col("exact_parts") * 0.05).as("within_tol"))
       },
-      None,
+      Some("""SELECT count(DISTINCT l_orderkey) AS exact_orders,
+             |  count(DISTINCT l_partkey) AS exact_parts,
+             |  TRUE AS within_tol
+             |FROM lineitem""".stripMargin),
     ),
     QueryDef(
       "q47_uda",
