@@ -2034,6 +2034,53 @@ object LocalModels {
     }(enc)
   }
 
+  /** Append `outCol: struct<text, avg_logprob, compression_ratio,
+    * needs_fallback, is_silence>` — the whisper.py `transcribe` response
+    * metadata (reference `functions/whisper.py:21`; openai-whisper's
+    * DecodingResult fields + decode_with_fallback's decisions at the
+    * first temperature rung, 0.0 = greedy). The higher rungs SAMPLE and
+    * are inherently nondeterministic — here the decision is surfaced
+    * (`needs_fallback`) rather than re-decoded, the documented
+    * divergence. Null audio → null.
+    */
+  def speechToTextQuality(df: DataFrame, audioCol: String, outCol: String,
+      modelDir: String, maxNewTokens: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(loadWhisper(modelDir))
+    val idx = df.schema.fieldIndex(audioCol)
+    val outType = StructType(Seq(
+      StructField("text", StringType),
+      StructField("avg_logprob", DoubleType),
+      StructField("compression_ratio", DoubleType),
+      StructField("needs_fallback", BooleanType),
+      StructField("is_silence", BooleanType)))
+    val schema = StructType(df.schema.fields :+ StructField(outCol, outType))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      val bundle = bc.value
+      val melCfg = bundle.melConfig
+      val targetSamples = bundle.cfg.maxSourcePositions * 2 * melCfg.hop
+      rows.map { r =>
+        val out: Any =
+          if (r.isNullAt(idx)) null
+          else {
+            val (fmt, pcm) = graft.functions.Audio.decodePcm(r.getAs[Array[Byte]](idx))
+            val f = pcm.map(s => (s / 32768.0f))
+            val at16k = Mel.resample(f, fmt.getSampleRate.toInt, melCfg.sampleRate)
+            val fixed = java.util.Arrays.copyOf(at16k, targetSamples)
+            val mel = Mel.logMelSpectrogram(fixed, melCfg)
+            val sc = bundle.model.transcribeScored(mel, maxNewTokens)
+            val text = bundle.tokenizer.decode(sc.tokens, bundle.specialIds)
+            val cr = WhisperQuality.compressionRatio(text)
+            Row(text, sc.avgLogprob, cr,
+              WhisperQuality.needsFallback(sc.avgLogprob, cr, sc.noSpeechProb),
+              WhisperQuality.shouldSkipSilence(sc.avgLogprob, sc.noSpeechProb))
+          }
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc)
+  }
+
   /** Append `outCol: array<struct<word string, start double, end double>>`
     * — transcription with WORD-LEVEL timestamps (the reference's
     * `whisperx.transcribe` surface, `functions/whisperx.py:24`): greedy

@@ -409,6 +409,131 @@ final class WhisperModel(val cfg: WhisperConfig, weights: Map[String, Tensor])
     }
     tokens
   }
+
+  /** Greedy transcription plus the decode-quality metadata of
+    * openai-whisper's DecodingResult (whisper `decoding.py`): avg_logprob
+    * = Σ log-softmax of each SELECTED token (final EOT included) divided
+    * by their count, and no_speech_prob = the no-speech token's softmax
+    * probability at the start-of-transcript step (0.0 when the
+    * checkpoint's vocab carries no such token).
+    */
+  def transcribeScored(mel: Array[Array[Float]], maxNewTokens: Int = 64,
+      noSpeechTokenId: Option[Int] = None): WhisperModel.Scored = {
+    val (enc, encLen) = encode(mel)
+    val state = new DecoderState(enc, encLen)
+    var logits = stepDecode(cfg.decoderStartTokenId, state)
+    def logProbs(a: Array[Float]): Array[Double] = {
+      var mx = Double.NegativeInfinity
+      a.foreach(v => if (v > mx) mx = v)
+      val lse = mx + math.log(a.map(v => math.exp(v - mx)).sum)
+      a.map(_ - lse)
+    }
+    val noSpeech = noSpeechTokenId.map { id =>
+      math.exp(logProbs(logits)(id))
+    }.getOrElse(0.0)
+    var tokens = Vector(cfg.decoderStartTokenId)
+    var sumLp = 0.0
+    var nSel = 0
+    var done = false
+    while (!done && tokens.length < math.min(cfg.maxTargetPositions,
+        1 + maxNewTokens)) {
+      val lp = logProbs(logits)
+      var best = 0
+      var i = 1
+      while (i < lp.length) { if (lp(i) > lp(best)) best = i; i += 1 }
+      sumLp += lp(best)
+      nSel += 1
+      if (best == cfg.eosTokenId) done = true
+      else {
+        tokens :+= best
+        if (tokens.length < math.min(cfg.maxTargetPositions, 1 + maxNewTokens))
+          logits = stepDecode(best, state)
+      }
+    }
+    WhisperModel.Scored(tokens, if (nSel == 0) 0.0 else sumLp / nSel, noSpeech)
+  }
+}
+
+object WhisperModel {
+  /** tokens INCLUDING the start token; avg_logprob over selected tokens
+    * incl. the final EOT; no_speech_prob at the SOT step.
+    */
+  final case class Scored(tokens: Seq[Int], avgLogprob: Double,
+      noSpeechProb: Double)
+}
+
+/** The model-free decode-quality/fallback kernel of openai-whisper's
+  * `transcribe` (whisper `transcribe.py:decode_with_fallback` and the
+  * silence-skip rule; surfaced by the reference through
+  * `functions/whisper.py:21` — the response's per-segment avg_logprob /
+  * compression_ratio / no_speech_prob fields and the temperature ladder).
+  * Oracle-gated by q141.
+  */
+object WhisperQuality {
+
+  /** gzip-deflate compression ratio of the UTF-8 text
+    * (whisper `utils.py:compression_ratio`): repetitive hallucinations
+    * compress far better than real language — ratios above ~2.4 flag a
+    * degenerate decode.
+    */
+  def compressionRatio(text: String): Double = {
+    val bytes = text.getBytes("UTF-8")
+    if (bytes.isEmpty) return 0.0
+    val d = new java.util.zip.Deflater()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](bytes.length * 2 + 64)
+    var n = 0
+    while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+    d.end()
+    bytes.length.toDouble / n
+  }
+
+  /** decode_with_fallback's retry decision: too-compressible OR
+    * too-improbable triggers the next temperature — UNLESS the no-speech
+    * gate says the window is silence (then the result stands).
+    * Thresholds `None` (NaN here) disable their clause, as in the
+    * reference's Optional parameters.
+    */
+  def needsFallback(avgLogprob: Double, compressionRatio: Double,
+      noSpeechProb: Double, compressionRatioThreshold: Double = 2.4,
+      logprobThreshold: Double = -1.0,
+      noSpeechThreshold: Double = 0.6): Boolean = {
+    var fallback = false
+    if (!compressionRatioThreshold.isNaN &&
+      compressionRatio > compressionRatioThreshold) fallback = true
+    if (!logprobThreshold.isNaN && avgLogprob < logprobThreshold)
+      fallback = true
+    if (!noSpeechThreshold.isNaN && noSpeechProb > noSpeechThreshold)
+      fallback = false // silence: accept the empty-ish result as-is
+    fallback
+  }
+
+  /** The main transcribe loop's silence skip: confident no-speech AND
+    * low logprob → the window is treated as silence and its tokens
+    * dropped (both conditions required, transcribe.py).
+    */
+  def shouldSkipSilence(avgLogprob: Double, noSpeechProb: Double,
+      logprobThreshold: Double = -1.0,
+      noSpeechThreshold: Double = 0.6): Boolean =
+    !noSpeechThreshold.isNaN && noSpeechProb > noSpeechThreshold &&
+      !logprobThreshold.isNaN && avgLogprob < logprobThreshold
+
+  /** The temperature ladder (transcribe's default
+    * `(0.0, 0.2, 0.4, 0.6, 0.8, 1.0)`): index of the first rung whose
+    * decode would be accepted, given per-rung quality triples; the last
+    * rung is accepted unconditionally.
+    */
+  def acceptedRung(rungs: Seq[(Double, Double, Double)],
+      compressionRatioThreshold: Double = 2.4,
+      logprobThreshold: Double = -1.0,
+      noSpeechThreshold: Double = 0.6): Int = {
+    val idx = rungs.zipWithIndex.indexWhere { case ((alp, cr, nsp), i) =>
+      i == rungs.length - 1 || !needsFallback(alp, cr, nsp,
+        compressionRatioThreshold, logprobThreshold, noSpeechThreshold)
+    }
+    if (idx < 0) rungs.length - 1 else idx
+  }
 }
 
 /** Monotonic token↔frame alignment over a cross-attention matrix — the

@@ -485,6 +485,63 @@ object Ml {
              |FROM documents WHERE doc_id < 40 ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
+      "q141_whisper_quality",
+      (s, dir) => {
+        // The decode-quality/fallback kernel of whisper.py transcribe
+        // (reference functions/whisper.py:21 → openai-whisper
+        // transcribe.py): compression-ratio hallucination detection,
+        // decode_with_fallback's retry decision (too-compressible OR
+        // too-improbable, overridden by confident no-speech), the
+        // silence-skip rule (both conditions required), and the
+        // temperature-ladder acceptance index — all through the REAL
+        // WhisperQuality kernel on closed-form inputs; every branch is a
+        // VALUES row. The deflate ratio itself isn't SQL-derivable, so
+        // it gates as threshold flags on strings designed far beyond/
+        // below 2.4. transcribeScored's tower-side numbers are pinned by
+        // WhisperQualitySpec.
+        import graft.ml.WhisperQuality
+        val qual = udf { (m: Int) =>
+          val (alp, cr, nsp) = m match {
+            case 0 => (-0.3, 1.1, 0.1)
+            case 1 => (-0.3, 3.0, 0.1)
+            case 2 => (-1.5, 1.1, 0.1)
+            case _ => (-1.5, 3.0, 0.8)
+          }
+          val rungs = m match {
+            case 0 => Seq((-0.3, 1.1, 0.1), (-0.2, 1.0, 0.1))
+            case 1 => Seq((-0.3, 3.0, 0.1), (-0.5, 1.5, 0.1))
+            case 2 => Seq((-1.5, 1.1, 0.1), (-1.2, 1.1, 0.1), (-0.9, 1.1, 0.1))
+            case _ => Seq((-1.5, 3.0, 0.8), (-0.2, 1.0, 0.1))
+          }
+          (WhisperQuality.needsFallback(alp, cr, nsp),
+            WhisperQuality.shouldSkipSilence(alp, nsp),
+            WhisperQuality.acceptedRung(rungs).toLong,
+            WhisperQuality.compressionRatio("x" * 400) > 2.4,
+            WhisperQuality.compressionRatio(
+              "the quick brown fox jumps over the lazy dog 0123456789") < 2.4)
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 160)
+          .withColumn("q", qual((col("doc_id") % 4).cast("int")))
+          .select(col("doc_id"),
+            col("q._1").as("needs_fallback"), col("q._2").as("is_silence"),
+            col("q._3").as("accepted_rung"),
+            col("q._4").as("repetitive_flagged"),
+            col("q._5").as("varied_clean"))
+          .transform(QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH t(m, needs_fallback, is_silence, accepted_rung) AS (VALUES
+             |  (0, FALSE, FALSE, 0), (1, TRUE, FALSE, 1),
+             |  (2, TRUE, FALSE, 2), (3, FALSE, TRUE, 0))
+             |SELECT d.doc_id, t.needs_fallback, t.is_silence,
+             |  t.accepted_rung::BIGINT AS accepted_rung,
+             |  TRUE AS repetitive_flagged, TRUE AS varied_clean
+             |FROM (SELECT doc_id, (doc_id % 4)::INT AS m FROM documents
+             |      WHERE doc_id < 160) d
+             |JOIN t ON t.m = d.m
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
+    QueryDef(
       "q140_wav2vec2_asr",
       (s, dir) => {
         // The wav2vec2 route of automatic_speech_recognition end-to-end
