@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
 
 /** The reference's net family (`/root/reference/pixeltable/functions/
   * net.py:11` presigned_url): time-limited signed URLs for media columns.
@@ -32,6 +33,36 @@ object Net {
       s"$uri${sep}X-Graft-Expires=$expiresEpochS&X-Graft-Signature=$sig"
     }
   }
+
+  /** URL canonicalization for crawl-scale URL-level dedup (the first
+    * dedup stage of the FineWeb/Dolma/CCNet pipelines): lower-cased host
+    * without a leading `www.`, path without its trailing slash, query
+    * string with tracking parameters (`utm_*`, `fbclid`, `gclid`, `ref`)
+    * dropped and the survivors SORTED; scheme and fragment discarded.
+    * Pure Column composition over `parse_url` + array HOFs — whole-stage
+    * codegen, no UDF in the hot path, so the canonical key feeds a plain
+    * hash-partitioned groupBy at any corpus size.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val host = regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+    val path = regexp_replace(coalesce(parse_url(url, lit("PATH")), lit("")), "/$", "")
+    val query = coalesce(parse_url(url, lit("QUERY")), lit(""))
+    val kept = array_join(array_sort(filter(split(query, "&"), p =>
+      !(p.rlike("^(utm_[a-z]+|fbclid|gclid|ref)=") || p === lit("")))), "&")
+    concat(host, path,
+      when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
+  }
+
+  /** Registered-domain heuristic: the last two host labels. The true
+    * boundary needs the public-suffix list (environment data, like the
+    * reference's cloud-SDK surfaces); two-label is the classic
+    * approximation — documented divergence for multi-label suffixes
+    * (`.co.uk`).
+    */
+  def registeredDomain(url: Column): Column =
+    regexp_extract(
+      regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", ""),
+      "([^.]+\\.[^.]+)$", 1)
 
   /** Check a presigned URL's signature and expiry against `nowEpochS`. */
   val verifyPresignedUrl = udf { (signed: String, nowEpochS: Long, secret: String) =>

@@ -34,6 +34,56 @@ object Curation {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
+      "q142_url_dedup",
+      (s, dir) => {
+        // URL-level dedup, the FIRST dedup stage of the FineWeb/Dolma/
+        // CCNet crawl pipelines: canonicalize (scheme/fragment dropped,
+        // host lower-cased and de-www'd, trailing slash stripped,
+        // tracking params removed, survivors sorted), group by the
+        // canonical key, keep the earliest doc. URLs are synthesized as
+        // closed forms of doc_id (the q127-q130 media recipe): four
+        // variants per site — clean https, http+www+trailing-slash,
+        // SHOUTING host+utm tracking, and a param-order probe that stays
+        // distinct — so the canonical strings, groups, and keepers are
+        // all literal SQL derivations. Net.canonicalUrl is pure Column
+        // composition (parse_url + array HOFs): whole-stage codegen, the
+        // groupBy shuffles on the canonical hash — the shape that holds
+        // on a full crawl.
+        import graft.functions.Net
+        val k = (col("doc_id") / 4).cast("long")
+        val url = when(col("doc_id") % 4 === 0,
+            concat(lit("https://site"), k, lit(".example.com/p"), k))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("http://www.site"), k, lit(".example.com/p"), k, lit("/")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("https://SITE"), k, lit(".EXAMPLE.com/p"), k,
+              lit("?utm_source=x&utm_campaign=y")))
+          .otherwise(
+            concat(lit("https://site"), k, lit(".example.com/p"), k,
+              lit("?b=2&a=1")))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canon"))
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 400)
+          .withColumn("url", url)
+          .withColumn("canon", Net.canonicalUrl(col("url")))
+          .withColumn("domain", Net.registeredDomain(col("url")))
+          .withColumn("dup_count", count(lit(1)).over(w))
+          .withColumn("keeper", col("doc_id") === min(col("doc_id")).over(w))
+          .select(col("doc_id"), col("canon"), col("domain"),
+            col("dup_count"), col("keeper"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id,
+             |  'site' || (doc_id // 4) || '.example.com/p' || (doc_id // 4)
+             |    || CASE WHEN doc_id % 4 = 3 THEN '?a=1&b=2' ELSE '' END
+             |    AS canon,
+             |  'example.com' AS domain,
+             |  CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 3 END::BIGINT AS dup_count,
+             |  (doc_id % 4 = 0 OR doc_id % 4 = 3) AS keeper
+             |FROM documents WHERE doc_id < 400
+             |ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
       "q103_mixture_sample",
       (s, dir) => {
         // UniMax/mT5 temperature resampling: per-language sampling rates

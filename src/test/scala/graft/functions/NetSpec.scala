@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL canonicalization (the FineWeb/Dolma/CCNet URL-dedup key): edge
+  * cases beyond q142's closed-form grid.
+  */
+class NetSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(Net.canonicalUrl(col("u"))).collect()
+      .map(_.getString(0)).toSeq
+
+  test("canonicalUrl: scheme/www/case/slash/tracking/param-order") {
+    assert(canon(
+      "https://www.Example.COM/a/b/",
+      "http://example.com/a/b",
+      "https://example.com/a/b?utm_source=x&utm_medium=y",
+      "https://example.com/a/b#frag",
+    ).distinct == Seq("example.com/a/b"))
+    // non-tracking params survive, sorted; tracking interleaved is dropped
+    assert(canon("https://e.com/p?z=1&utm_campaign=c&a=2") ==
+      Seq("e.com/p?a=2&z=1"))
+    // all-tracking query → no '?' at all
+    assert(canon("https://e.com/p?utm_source=a&gclid=b&fbclid=c&ref=d") ==
+      Seq("e.com/p"))
+    // distinct param VALUES stay distinct
+    assert(canon("https://e.com/p?a=1", "https://e.com/p?a=2").distinct.size == 2)
+    // root path: trailing slash strips to bare host
+    assert(canon("https://www.e.com/") == Seq("e.com"))
+  }
+
+  test("registeredDomain: last two labels, www stripped") {
+    val d = Seq("https://www.news.example.com/x", "http://example.com/",
+      "https://a.b.c.example.org/p").toDF("u")
+      .select(Net.registeredDomain(col("u"))).collect().map(_.getString(0))
+    assert(d.toSeq == Seq("example.com", "example.com", "example.org"))
+  }
+
+  test("null url → null canon") {
+    val r = Seq((1, null.asInstanceOf[String])).toDF("i", "u")
+      .select(Net.canonicalUrl(col("u"))).head()
+    assert(r.isNullAt(0))
+  }
+}
