@@ -240,6 +240,45 @@ object LocalModels {
     * `detections=detr_for_object_detection(...)` patterns). Per-row
     * forward; use the DataFrame surfaces for bulk backfills.
     */
+  /** Translation as a registrable UDF (computed-column / component-view
+    * surface for the q137 pipeline): Marian beam-search decode with the
+    * forced-BOS target language.
+    */
+  def registerTranslationUdf(spark: SparkSession, name: String,
+      modelDir: String, targetLang: Option[String] = None,
+      maxSourceTokens: Int = 48, maxNewTokens: Int = 6,
+      numBeams: Int = 4): Unit = {
+    val bundle = loadMarian(modelDir)
+    val forcedBos = targetLang.map(code =>
+      bundle.langCodeToId.getOrElse(code, throw new IllegalArgumentException(
+        s"Target language code '$code' is not supported by the model.")))
+    spark.udf.register(name, (text: String) =>
+      if (text == null) null
+      else {
+        val src = bundle.encodeSource(text, maxSourceTokens)
+        bundle.tokenizer.decode(
+          bundle.model.generateBeam(src, maxNewTokens, numBeams, forcedBos),
+          Set(bundle.cfg.eosTokenId, bundle.cfg.decoderStartTokenId) ++
+            bundle.langCodeToId.values)
+      })
+  }
+
+  /** Wav2Vec2 CTC ASR as a registrable UDF (computed-column surface for
+    * the q140 pipeline).
+    */
+  def registerAsrUdf(spark: SparkSession, name: String,
+      modelDir: String): Unit = {
+    val bundle = loadWav2Vec2(modelDir)
+    spark.udf.register(name, (wav: Array[Byte]) =>
+      if (wav == null) null
+      else {
+        val (_, samples) = graft.functions.Audio.decodePcm(wav)
+        Ctc.toText(Ctc.decode(
+          bundle.model.frameIds(samples.map(_ / 32768.0f)),
+          blank = bundle.cfg.padTokenId), bundle.idToToken)
+      })
+  }
+
   def registerCaptionUdf(spark: SparkSession, name: String, modelDir: String,
       maxNewTokens: Int = 8): Unit = {
     val bundle = loadCaptioner(modelDir)

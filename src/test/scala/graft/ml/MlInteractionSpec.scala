@@ -149,6 +149,47 @@ class MlInteractionSpec extends AnyFunSuite {
     assert(reverted == caps1)
   }
 
+  test("r8 towers as computed columns: translation + CTC ASR through DML, recompute, time travel") {
+    LocalModels.registerTranslationUdf(spark, "tiny_translate_ia",
+      LocalModels.ensureTinyMarianModel(42L), targetLang = Some(">>fra<<"))
+    LocalModels.registerAsrUdf(spark, "tiny_asr_ia",
+      LocalModels.ensureTinyWav2Vec2Model(42L))
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-mlia3").toString)
+    val t = GraftTable.create(spark, cat, "r8media", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("txt", "string"),
+      ColumnDef("wav", "binary")))
+    def wav(i: Int): Array[Byte] =
+      graft.functions.Audio.sineWav(0.02, 200.0 + 35.0 * i)
+    t.insert(Seq((1L, "hello there", wav(1)), (2L, "good morning", wav(2)))
+      .toDF("id", "txt", "wav"))
+    t.addColumn(ColumnDef("fr", "string", Some("tiny_translate_ia(txt)")))
+    t.addColumn(ColumnDef("asr", "string", Some("tiny_asr_ia(wav)")))
+    val v1 = t.currentVersion
+    val r1 = t.read().select("id", "fr", "asr").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(r1.values.forall { case (fr, asr) => fr != null && asr != null })
+    // the stored value equals a fresh forward
+    val fresh = spark.sql("SELECT tiny_translate_ia('hello there')")
+      .head().getString(0)
+    assert(r1(1L)._1 == fresh)
+    // insert flows through both towers; update recomputes the cascade
+    t.insert(Seq((3L, "third row", wav(3))).toDF("id", "txt", "wav"))
+    assert(t.read().where("id = 3").select("fr").head().getString(0) != null)
+    t.batchUpdate(Seq((2L, "changed text", wav(9))).toDF("id", "txt", "wav"),
+      Seq("id"))
+    val upd = t.read().where("id = 2").select("fr").head().getString(0)
+    assert(upd == spark.sql("SELECT tiny_translate_ia('changed text')")
+      .head().getString(0))
+    // time travel serves the pre-update decode; revert restores it
+    assert(t.read(Some(v1)).where("id = 2").select("fr").head().getString(0)
+      == r1(2L)._1)
+    t.revert(v1)
+    val reverted = t.read().select("id", "fr", "asr").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(reverted == r1)
+  }
+
   test("vision towers feed the exporters: YOLOX detections to COCO json, SAM masks to labeled media") {
     // the training-data handoff composition: model columns flow into the
     // dataset export formats (reference: detr_to_coco + export_coco,
