@@ -102,6 +102,17 @@ final case class TableMeta(
     // Incremental views store the epoch they synced at alongside their
     // lastSeen mark; any mismatch forces a rebuild regardless of ordering.
     revertEpoch: Long = 0L,
+    // primary-key unique constraint over live rows (reference
+    // `create_table(primary_key=…)` + the partial unique B-tree index of
+    // index/btree.py: duplicates rejected on insert, a deleted key is
+    // immediately reusable, enforcement survives reload because it lives
+    // here in the persisted meta)
+    primaryKey: Seq[String] = Seq.empty,
+    // reference `create_table(_is_versioned=False)`: no history is
+    // retained — every mutation squashes the version log to the live
+    // image and vacuums superseded files; time travel / revert /
+    // snapshots refuse
+    isVersioned: Boolean = true,
 ) {
   def currentVersion: Long = if (versions.isEmpty) 0L else versions.last.version
 

@@ -85,6 +85,8 @@ final class GraftTable private (
     */
   def read(version: Option[Long] = None): DataFrame = {
     val m = meta
+    require(m.isVersioned || version.forall(_ == m.currentVersion),
+      s"$name is unversioned — no history to time-travel to")
     val v = version.getOrElse(m.currentVersion)
     val colsAtV = m.columnsAt(v) // schema is versioned: later-added columns don't exist at v
     var df = toLogical(storedAt(m, v), m)
@@ -156,7 +158,9 @@ final class GraftTable private (
           segmentThreshold = i.segmentThreshold,
           indexedThrough = i.indexedThrough)
       },
-      snapshots = m.snapshots)
+      snapshots = m.snapshots,
+      primaryKey = m.primaryKey,
+      isVersioned = m.isVersioned)
   }
 
   /** Version log as a DataFrame (reference `t.history()`). */
@@ -195,6 +199,26 @@ final class GraftTable private (
     val v = retryOnConflict {
       val m = meta
       val v = m.currentVersion + 1
+      // primary-key unique constraint (reference partial B-tree index
+      // semantics, index/btree.py: only LIVE rows hold their key, so a
+      // deleted key is immediately reusable). One distributed semi-join
+      // against live keys + one intra-batch groupBy — no driver-side
+      // key sets, so constraint checking scales with the table.
+      if (m.primaryKey.nonEmpty) {
+        val pk = m.primaryKey
+        val batchDup = rows.groupBy(pk.map(col): _*)
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+          .limit(1).collect()
+        if (batchDup.nonEmpty) throw new IllegalArgumentException(
+          s"Duplicate primary key in inserted rows: " +
+            pk.zip(batchDup.head.toSeq).map { case (k, x) => s"$k=$x" }.mkString(", "))
+        val conflict = rows.select(pk.map(col): _*)
+          .join(read().select(pk.map(col): _*), pk, "left_semi")
+          .limit(1).collect()
+        if (conflict.nonEmpty) throw new IllegalArgumentException(
+          s"Duplicate primary key: " +
+            pk.zip(conflict.head.toSeq).map { case (k, x) => s"$k=$x" }.mkString(", "))
+      }
       var df = rows
       m.computedInTopoOrder.filter(_.stored).foreach { c =>
         df = df.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
@@ -220,23 +244,47 @@ final class GraftTable private (
     // outside the retry body: a maintenance-side conflict must never replay
     // an already-committed insert (which would duplicate its rows)
     maintainIndexes()
+    squashIfUnversioned()
     v
+  }
+
+  /** Unversioned tables retain no history: after every mutation the
+    * version log squashes to one entry holding the live file set (the
+    * version NUMBER stays monotonic so incremental views keep their
+    * high-water marks) and superseded files are vacuumed.
+    */
+  private def squashIfUnversioned(): Unit = {
+    if (meta.isVersioned) return
+    retryOnConflict {
+      val m = meta
+      if (m.versions.length > 1) {
+        val cur = m.currentVersion
+        commitMeta(m, m.copy(versions = Seq(VersionEntry(cur, "unversioned",
+          m.activeFiles(cur), Seq.empty, System.currentTimeMillis()))))
+      }
+      0L
+    }
+    vacuum()
   }
 
   /** Delete rows matching a SQL predicate: file-pruned copy-on-write —
     * only files containing matching live rows are rewritten with
     * `_v_max := V+1`; history stays readable via time travel.
     */
-  def delete(predicateSql: String): Long = retryOnConflict {
-    val m = meta
-    val v = m.currentVersion + 1
-    withTouchedFiles(m, expr(predicateSql)) match {
-      case None => noopVersion(m, v, "delete")
-      case Some((touchedDf, touchedFiles)) =>
-        val out = touchedDf.withColumn(VMax,
-          when(col(VMax) === Live && expr(predicateSql), lit(v)).otherwise(col(VMax)))
-        rewrite(m, v, "delete", out, touchedFiles)
+  def delete(predicateSql: String): Long = {
+    val ver = retryOnConflict {
+      val m = meta
+      val v = m.currentVersion + 1
+      withTouchedFiles(m, expr(predicateSql)) match {
+        case None => noopVersion(m, v, "delete")
+        case Some((touchedDf, touchedFiles)) =>
+          val out = touchedDf.withColumn(VMax,
+            when(col(VMax) === Live && expr(predicateSql), lit(v)).otherwise(col(VMax)))
+          rewrite(m, v, "delete", out, touchedFiles)
+      }
     }
+    squashIfUnversioned()
+    ver
   }
 
   /** Delete live rows whose `keyCol` value appears in `keys` (a one-column
@@ -247,7 +295,13 @@ final class GraftTable private (
     * is collected. The join strategy is left to Catalyst/AQE: small key sets
     * broadcast, large ones shuffle.
     */
-  def deleteByKeys(keys: DataFrame, keyCol: String): Long = retryOnConflict {
+  def deleteByKeys(keys: DataFrame, keyCol: String): Long = {
+    val ver = deleteByKeysInner(keys, keyCol)
+    squashIfUnversioned()
+    ver
+  }
+
+  private def deleteByKeysInner(keys: DataFrame, keyCol: String): Long = retryOnConflict {
     val m = meta
     val v = m.currentVersion + 1
     require(keys.columns.length == 1, "deleteByKeys expects a single-column key frame")
@@ -276,6 +330,10 @@ final class GraftTable private (
     val v = retryOnConflict {
       val m = meta
       val v = m.currentVersion + 1
+      m.primaryKey.filter(setExprs.contains).foreach(k =>
+        throw new IllegalArgumentException(
+          s"cannot update primary key column '$k' — the unique constraint " +
+            "is enforced at insert; delete + insert to change a key"))
       withTouchedFiles(m, expr(predicateSql)) match {
         case None => noopVersion(m, v, "update")
         case Some((touchedDf, touchedFiles)) =>
@@ -293,6 +351,7 @@ final class GraftTable private (
     // rewritten rows may carry new values for an indexed embedding column;
     // the catch-up appends them so searchIndex ranks by the NEW vector
     maintainIndexes()
+    squashIfUnversioned()
     v
   }
 
@@ -306,11 +365,15 @@ final class GraftTable private (
   def batchUpdate(updates: DataFrame, keyCols: Seq[String]): Long = {
     val v = batchUpdateInner(updates, keyCols)
     maintainIndexes()
+    squashIfUnversioned()
     v
   }
 
   private def batchUpdateInner(updates: DataFrame, keyCols: Seq[String]): Long = retryOnConflict {
     val m = meta
+    m.primaryKey.filter(k => updates.columns.contains(k) && !keyCols.contains(k))
+      .foreach(k => throw new IllegalArgumentException(
+        s"cannot update primary key column '$k' — match on it instead"))
     val v = m.currentVersion + 1
     val setCols = updates.columns.filterNot(keyCols.contains).toSeq
     require(setCols.nonEmpty, "batchUpdate needs at least one non-key column")
@@ -475,6 +538,8 @@ final class GraftTable private (
     * matching the reference `_revert`'s refusal.
     */
   def revert(toVersion: Long): Unit = retryOnConflict {
+    require(meta.isVersioned,
+      s"$name is unversioned — no history to revert to")
     val m = meta
     require(toVersion <= m.currentVersion, s"cannot revert forward to $toVersion")
     // view-lineage marks (reserved prefixes) hold BASE-table versions, not
@@ -570,6 +635,8 @@ final class GraftTable private (
     require(!snapshot.startsWith(Views.lastSeenPrefix),
       s"snapshot name '$snapshot' uses the reserved prefix '${Views.lastSeenPrefix}'")
     val m = meta
+    require(m.isVersioned,
+      s"$name is unversioned — snapshots would pin history it doesn't keep")
     commitMeta(m, m.copy(snapshots = m.snapshots + (snapshot -> m.currentVersion)))
     m.currentVersion
   }
@@ -932,7 +999,9 @@ object GraftTable {
       nextRowId: Long,
       columns: Seq[ColumnMetadataInfo],
       indices: Seq[IndexMetadataInfo],
-      snapshots: Map[String, Long])
+      snapshots: Map[String, Long],
+      primaryKey: Seq[String] = Seq.empty,
+      isVersioned: Boolean = true)
 
   val RowId = "_rowid"
   val VMin = "_v_min"
@@ -944,13 +1013,20 @@ object GraftTable {
   private val RetryBudgetMs = 120000L
 
   def create(spark: SparkSession, catalog: Catalog, name: String,
-      columns: Seq[ColumnDef]): GraftTable = {
+      columns: Seq[ColumnDef], primaryKey: Seq[String] = Seq.empty,
+      isVersioned: Boolean = true): GraftTable = {
     require(!catalog.exists(name), s"table $name already exists")
     catalog.requireCreatable(name) // valid segments, parent dir exists
+    primaryKey.foreach(k => require(columns.exists(_.name == k),
+      s"primary key column '$k' is not in the schema"))
+    require(primaryKey.forall(k =>
+      !columns.find(_.name == k).flatMap(_.computedExpr).isDefined),
+      "primary key columns cannot be computed")
     catalog.save(TableMeta(name, columns,
       versions = Seq(VersionEntry(0L, "create", Seq.empty, Seq.empty,
         System.currentTimeMillis())),
-      snapshots = Map.empty, nextRowId = 0L))
+      snapshots = Map.empty, nextRowId = 0L,
+      primaryKey = primaryKey, isVersioned = isVersioned))
     new GraftTable(spark, catalog, name)
   }
 
