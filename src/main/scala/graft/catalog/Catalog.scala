@@ -180,7 +180,8 @@ final class Catalog(val warehouse: String) {
 
   private def metaPath(table: String) = Paths.get(warehouse, table, "meta.json")
 
-  def exists(table: String): Boolean = Files.exists(metaPath(table))
+  def exists(table: String): Boolean =
+    Files.exists(metaPath(resolveUserPath(table)))
 
   def load(table: String): TableMeta = {
     val bytes = Files.readAllBytes(metaPath(table))
@@ -277,15 +278,68 @@ final class Catalog(val warehouse: String) {
 
   private def dirMarker(path: String) = Paths.get(warehouse, path, ".dir")
 
+  // ---------- user namespaces ----------
+  // Reference `catalog.create_user` + `Env.user` (tests/test_user.py):
+  // per-user logical roots — the same path names resolve to DISTINCT
+  // tables per user; the default user (None) lives at the warehouse
+  // root. A user's tree lives under the physical root `@<user>`: the
+  // '@' prefix is invalid in normal path segments, so user roots can
+  // never collide with ordinary tables or directories, and an open
+  // table handle (bound to its physical path at create/open time) keeps
+  // working across user switches — exactly the reference's handle
+  // semantics.
+
+  @volatile private var currentUserOpt: Option[String] = None
+
+  def currentUser: Option[String] = currentUserOpt
+
+  /** Switch the active user (None = the default root namespace).
+    * Unknown users refuse, as in the reference.
+    */
+  def setUser(user: Option[String]): Unit = {
+    user.foreach(u => require(userExists(u), s"Unknown user: $u"))
+    currentUserOpt = user
+  }
+
+  def userExists(u: String): Boolean =
+    Files.exists(Paths.get(warehouse, s"@$u", ".dir"))
+
+  /** Create a user root. Idempotent UNDER THE WAREHOUSE CATALOG LOCK, so
+    * the concurrent same-user create race (the reference's PXT-1183
+    * repro: two processes past the exists check) collapses to one marker
+    * write instead of duplicate roots.
+    */
+  def createUser(u: String): Unit = catalogLock {
+    require(u.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"), s"bad user name '$u'")
+    val marker = Paths.get(warehouse, s"@$u", ".dir")
+    Files.createDirectories(marker.getParent)
+    if (!Files.exists(marker)) Files.createFile(marker)
+  }
+
+  /** Logical → physical path under the active user's root. Paths already
+    * under a user root (leading `@`) pass through, so internal recursion
+    * never double-prefixes.
+    */
+  def resolveUserPath(path: String): String =
+    if (path.startsWith("@")) path
+    else currentUserOpt match {
+      case Some(u) => if (path.isEmpty) s"@$u" else s"@$u/$path"
+      case None => path
+    }
+
   /** Validate a table/dir path: slash-separated segments of word chars,
     * dots and dashes, not starting with a dot (reserves `.dir`,
-    * `.catalog.lock`), no empty segments.
+    * `.catalog.lock`), no empty segments. A leading `@user` segment is
+    * the physical form of a user root and is accepted only for users
+    * that exist.
     */
   def validatePath(path: String): Unit = {
     require(path.nonEmpty, "empty path")
     require(!path.startsWith("/") && !path.endsWith("/"), s"bad path '$path'")
-    path.split('/').foreach { seg =>
-      require(seg.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
+    path.split('/').zipWithIndex.foreach { case (seg, i) =>
+      if (i == 0 && seg.startsWith("@"))
+        require(userExists(seg.drop(1)), s"Unknown user: ${seg.drop(1)}")
+      else require(seg.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*"),
         s"bad path segment '$seg' in '$path'")
     }
   }
@@ -308,8 +362,9 @@ final class Catalog(val warehouse: String) {
     * error | ignore | replace (must be empty) | replace_force (drops
     * contents). `parents` creates missing ancestors.
     */
-  def createDir(path: String, ifExists: String = "error",
+  def createDir(path0: String, ifExists: String = "error",
       parents: Boolean = false): Unit = catalogLock {
+    val path = resolveUserPath(path0)
     validatePath(path)
     require(!isTable(path), s"'$path' is a table")
     if (isDir(path)) ifExists match {
@@ -344,7 +399,10 @@ final class Catalog(val warehouse: String) {
         .asScala.filter(Files.isDirectory(_))
         .flatMap { p =>
           val n = p.getFileName.toString
-          if (Files.exists(p.resolve("meta.json"))) Some(n -> true)
+          // user roots (@name) are namespace plumbing, not directory
+          // entries — the default user's root listing doesn't show them
+          if (path.isEmpty && n.startsWith("@")) None
+          else if (Files.exists(p.resolve("meta.json"))) Some(n -> true)
           else if (Files.exists(p.resolve(".dir"))) Some(n -> false)
           else None
         }.toSeq.sortBy(_._1)
@@ -355,8 +413,9 @@ final class Catalog(val warehouse: String) {
   /** Drop a directory (reference `pxt.drop_dir`): refuses non-empty unless
     * `force`, which removes the whole subtree including tables.
     */
-  def dropDir(path: String, force: Boolean = false,
+  def dropDir(path0: String, force: Boolean = false,
       ifNotExists: String = "error"): Unit = catalogLock {
+    val path = resolveUserPath(path0)
     validatePath(path)
     if (!isDir(path)) {
       if (ifNotExists == "ignore") return
@@ -374,7 +433,8 @@ final class Catalog(val warehouse: String) {
   /** Directories under `path` as full paths, sorted (reference
     * `pxt.list_dirs`).
     */
-  def listDirs(path: String = "", recursive: Boolean = true): Seq[String] = {
+  def listDirs(path0: String = "", recursive: Boolean = true): Seq[String] = {
+    val path = resolveUserPath(path0)
     val here = dirEntries(path).collect { case (n, false) =>
       if (path.isEmpty) n else s"$path/$n"
     }
@@ -385,7 +445,8 @@ final class Catalog(val warehouse: String) {
   /** Tables under `path` as full paths, sorted (reference
     * `pxt.list_tables`).
     */
-  def listTablesUnder(path: String = "", recursive: Boolean = true): Seq[String] = {
+  def listTablesUnder(path0: String = "", recursive: Boolean = true): Seq[String] = {
+    val path = resolveUserPath(path0)
     val entries = dirEntries(path)
     val tables = entries.collect { case (n, true) =>
       if (path.isEmpty) n else s"$path/$n"
@@ -419,8 +480,10 @@ final class Catalog(val warehouse: String) {
     * the destination exists; `ifNotExists='ignore'` no-ops when the source
     * doesn't.
     */
-  def move(path: String, newPath: String, ifExists: String = "error",
+  def move(path0: String, newPath0: String, ifExists: String = "error",
       ifNotExists: String = "error"): Unit = catalogLock {
+    val path = resolveUserPath(path0)
+    val newPath = resolveUserPath(newPath0)
     validatePath(path); validatePath(newPath)
     require(path != newPath, "source and destination are identical")
     require(!(newPath + "/").startsWith(path + "/"),
@@ -517,8 +580,9 @@ final class Catalog(val warehouse: String) {
     * first (recursively — views of views cascade too). Missing tables no-op
     * with `ifNotExists='ignore'` (the default, matching prior behavior).
     */
-  def dropTable(table: String, force: Boolean = false,
+  def dropTable(table0: String, force: Boolean = false,
       ifNotExists: String = "ignore"): Unit = {
+    val table = resolveUserPath(table0)
     if (!exists(table)) {
       if (ifNotExists == "ignore") return
       throw new IllegalArgumentException(s"no such table: '$table'")
@@ -538,11 +602,29 @@ final class Catalog(val warehouse: String) {
     }
   }
 
-  /** Tables whose view lineage points at `table` (metadata-only scan). */
+  /** Tables whose view lineage points at `table` (metadata-only scan).
+    * Scans the WHOLE warehouse regardless of the active user — a view can
+    * only reference a base it could resolve, but lineage keys are
+    * physical, so the scan must be too.
+    */
   def dependentViews(table: String): Seq[String] =
-    listTablesUnder("", recursive = true)
-      .filter(t => t != table &&
-        load(t).snapshots.contains(Views.lastSeenPrefix + table))
+    allTablesPhysical.filter(t => t != table &&
+      load(t).snapshots.contains(Views.lastSeenPrefix + table))
+
+  /** Every table in the warehouse by PHYSICAL path (user roots included),
+    * bypassing user-path resolution.
+    */
+  private def allTablesPhysical: Seq[String] = {
+    val w = Paths.get(warehouse)
+    if (!Files.exists(w)) return Seq.empty
+    val s = Files.walk(w)
+    try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      .asScala
+      .filter(p => p.getFileName.toString == "meta.json")
+      .map(p => w.relativize(p.getParent).toString.replace('\\', '/'))
+      .toSeq.sorted
+    finally s.close()
+  }
 
   def listTables(): Seq[String] = {
     val w = Paths.get(warehouse)

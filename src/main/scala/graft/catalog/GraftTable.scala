@@ -1012,9 +1012,12 @@ object GraftTable {
   // (attempts cost seconds of Spark jobs — budget time, not attempts)
   private val RetryBudgetMs = 120000L
 
-  def create(spark: SparkSession, catalog: Catalog, name: String,
+  def create(spark: SparkSession, catalog: Catalog, name0: String,
       columns: Seq[ColumnDef], primaryKey: Seq[String] = Seq.empty,
       isVersioned: Boolean = true): GraftTable = {
+    // logical → physical under the active user; the handle binds to the
+    // physical path, so it keeps working across user switches
+    val name = catalog.resolveUserPath(name0)
     require(!catalog.exists(name), s"table $name already exists")
     catalog.requireCreatable(name) // valid segments, parent dir exists
     primaryKey.foreach(k => require(columns.exists(_.name == k),
@@ -1030,7 +1033,8 @@ object GraftTable {
     new GraftTable(spark, catalog, name)
   }
 
-  def open(spark: SparkSession, catalog: Catalog, name: String): GraftTable = {
+  def open(spark: SparkSession, catalog: Catalog, name0: String): GraftTable = {
+    val name = catalog.resolveUserPath(name0)
     require(catalog.exists(name), s"no such table: $name")
     new GraftTable(spark, catalog, name)
   }
