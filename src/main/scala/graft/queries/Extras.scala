@@ -900,6 +900,55 @@ object Extras {
              |ORDER BY version""".stripMargin),
     ),
     QueryDef(
+      "q143_pk_unversioned",
+      (s, dir) => {
+        // round-8 catalog features in the correctness gate: a PRIMARY-KEY
+        // UNVERSIONED table built from customer — duplicate inserts
+        // rejected (partial-index semantics: the delete frees its keys
+        // for re-insert), the version log squashed to the single live
+        // image after every mutation, time travel refusing. The oracle
+        // recomputes the surviving row set from the raw table; the
+        // behavioral branches gate as flags that flip on any constraint
+        // or squash break.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q143").toString)
+        val t = GraftTable.create(s, cat, "cust_pk", Seq(
+          ColumnDef("c_custkey", "bigint"), ColumnDef("c_acctbal", "double")),
+          primaryKey = Seq("c_custkey"), isVersioned = false)
+        val src = T(s, dir, "customer")
+          .filter(col("c_custkey") <= 200)
+          .select("c_custkey", "c_acctbal")
+        t.insert(src)
+        // duplicate keys rejected, table unchanged
+        val dupRejected =
+          try { t.insert(src.limit(5)); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("Duplicate primary key") }
+        // delete frees the keys; re-insert with updated balances succeeds
+        t.delete("c_custkey <= 50")
+        t.insert(src.filter(col("c_custkey") <= 50)
+          .withColumn("c_acctbal", col("c_acctbal") + 1000.0))
+        // unversioned: single-entry history, time travel refuses
+        val squashed = t.history().count() == 1
+        val ttRefused =
+          try { t.read(Some(t.currentVersion - 1)).count(); false }
+          catch { case e: IllegalArgumentException =>
+            e.getMessage.contains("unversioned") }
+        t.read()
+          .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+          .withColumn("dup_rejected", lit(dupRejected))
+          .withColumn("squashed", lit(squashed))
+          .withColumn("tt_refused", lit(ttRefused))
+          .select("n", "bal", "dup_rejected", "squashed", "tt_refused")
+      },
+      Some("""SELECT count(*) AS n,
+             |  round(sum(c_acctbal + CASE WHEN c_custkey <= 50
+             |        THEN 1000.0 ELSE 0.0 END), 2) AS bal,
+             |  TRUE AS dup_rejected, TRUE AS squashed, TRUE AS tt_refused
+             |FROM customer WHERE c_custkey <= 200""".stripMargin),
+    ),
+    QueryDef(
       "q83_schema_evolution",
       (s, dir) => {
         // round-2 schema DDL in the correctness gate: rename (metadata-only
