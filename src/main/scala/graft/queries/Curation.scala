@@ -34,6 +34,51 @@ object Curation {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
+      "q144_paragraph_dedup",
+      (s, dir) => {
+        // Paragraph-level dedup (Dolma's second dedup stage, between
+        // URL-level and document-level: drop repeated paragraphs
+        // corpus-wide, keeping the FIRST occurrence in (doc, position)
+        // order — Dolma does this approximately with a Bloom filter;
+        // this is the exact deterministic analog). Sentences stand in
+        // for paragraphs on the synthetic corpus. Shape: explode → ONE
+        // shuffle on the normalized-paragraph key (first-occurrence
+        // window partitions on the key, never a global sort) → per-doc
+        // reaggregate. The same plan holds on a full crawl.
+        val parts = T(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), "\\. ")).as(Seq("pos", "p")))
+          .withColumn("norm", lower(trim(col("p"))))
+          .filter(length(col("norm")) > 0)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("norm")).orderBy(col("doc_id"), col("pos"))
+        parts
+          .withColumn("rk", row_number().over(w))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("n_dropped", col("n_parts") - col("n_kept"))
+          .withColumn("kept_ratio",
+            round(col("n_kept").cast("double") / col("n_parts"), 4))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    generate_subscripts(parts, 1) AS pos, unnest(parts) AS part
+             |  FROM (SELECT doc_id, string_split(text, '. ') AS parts
+             |        FROM documents)),
+             |n AS (SELECT doc_id, pos, lower(trim(part)) AS norm FROM p
+             |  WHERE length(lower(trim(part))) > 0),
+             |r AS (SELECT doc_id, row_number() OVER (
+             |    PARTITION BY norm ORDER BY doc_id, pos) AS rk FROM n)
+             |SELECT doc_id, count(*)::BIGINT AS n_parts,
+             |  sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+             |  (count(*) - sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END))::BIGINT
+             |    AS n_dropped,
+             |  round(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)::DOUBLE
+             |    / count(*), 4) AS kept_ratio
+             |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
       "q142_url_dedup",
       (s, dir) => {
         // URL-level dedup, the FIRST dedup stage of the FineWeb/Dolma/
