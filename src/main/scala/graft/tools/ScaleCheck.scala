@@ -22,7 +22,13 @@ object ScaleCheck {
     "q103_mixture_sample", "q104_sequence_pack", "q105_charlm_score",
     "q106_dupspan_stats", "q109_sample_strat_fraction", "q118_pagerank_neardup",
     "q126_hard_negatives", "q131_bpe_merges",
-    "q132_nb_classifier", "q133_ndcg", "q134_bpe_tokenize")
+    "q132_nb_classifier", "q133_ndcg", "q134_bpe_tokenize",
+    "q142_url_dedup", "q144_paragraph_dedup")
+  // r8: q142's canonical-URL groupBy-window and q144's paragraph
+  // first-occurrence window are both one-shuffle-on-a-high-cardinality-key
+  // shapes — the ratios should track m. (Replication with doc_id offsets
+  // regenerates DISTINCT urls per copy and repeats paragraph text across
+  // copies, so q144 also exercises the heavier all-duplicates regime.)
   // r8 additions (VERDICT r7 #8): q109's key-range-bucketed exact-rank
   // sampling — strata (returnflag) stay fixed under replication while rows
   // grow m×, so per-stratum offset tables stay tiny and the ratio should
