@@ -668,6 +668,57 @@ object Pipeline {
              |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
     QueryDef(
+      "q145_bloom_decontam",
+      (s, dir) => {
+        // The q94 decontamination's SCALE PATH: when the "benchmark" side
+        // outgrows an exact broadcast set (corpus-vs-corpus decontam),
+        // its gram set ships as a distributed-built Bloom filter
+        // (operators/Bloom: per-task bit-OR partial aggregation — the
+        // driver holds m/64 longs, never a key set; Kirsch-Mitzenmacher
+        // double hashing). Gate: the exact contamination flags are
+        // SQL-derivable; Bloom guarantees NO false negatives (gated
+        // per-doc) and the measured false-positive rate stays under the
+        // design bound (gated as a global flag; 2^20 bits vs ~10^4 grams
+        // puts the theoretical FPR near zero).
+        import graft.operators.{Bloom, Dedup}
+        val docs = T(s, dir, "documents")
+        val train = docs.where(col("doc_id") % 7 =!= 0)
+          .repartition(32, col("doc_id"))
+        val bench = docs.where(col("doc_id") % 7 === 0)
+        val exact = Dedup.decontaminate(train, bench, "text", "doc_id")
+          .withColumnRenamed("doc_id", "eid")
+        val bloomed = Bloom.decontaminateBloom(train, bench, "text", "doc_id")
+          .withColumnRenamed("doc_id", "bid")
+        val joined = train.select(col("doc_id"))
+          .join(exact, col("doc_id") === col("eid"), "left")
+          .join(bloomed, col("doc_id") === col("bid"), "left")
+          .select(col("doc_id"),
+            col("eid").isNotNull.as("exact_hit"),
+            coalesce(col("bloom_contaminated"), lit(false)).as("bloom_hit"))
+        val fpRate = joined
+          .agg(avg((col("bloom_hit") && !col("exact_hit")).cast("double")))
+          .head().getDouble(0) // ONE scalar on the driver
+        joined.select(col("doc_id"), col("exact_hit"),
+            (col("bloom_hit") || !col("exact_hit")).as("no_false_neg"),
+            lit(fpRate <= 0.05).as("fp_rate_ok"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |pos AS (SELECT doc_id, t,
+             |  unnest(range(1, greatest(len(t) - 11, 1))) AS i FROM toks),
+             |grams AS (SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+             |  FROM pos),
+             |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0),
+             |hits AS (SELECT DISTINCT grams.doc_id FROM grams
+             |  JOIN bench ON grams.g = bench.g WHERE grams.doc_id % 7 <> 0)
+             |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS exact_hit,
+             |  TRUE AS no_false_neg, TRUE AS fp_rate_ok
+             |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+             |WHERE d.doc_id % 7 <> 0 ORDER BY d.doc_id""".stripMargin),
+    ),
+    QueryDef(
       "q95_repetition",
       (s, dir) => {
         // Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
