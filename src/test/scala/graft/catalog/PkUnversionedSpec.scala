@@ -114,6 +114,34 @@ class PkUnversionedSpec extends AnyFunSuite {
     assert(!t2.tableMetadata.isVersioned && t2.read().count() == 2)
   }
 
+  test("concurrent inserts: disjoint keys all land; duplicate key loses exactly once") {
+    val cat = newCat()
+    val t = GraftTable.create(spark, cat, "pkc", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("w", "string")),
+      primaryKey = Seq("id"), isVersioned = false)
+    // 4 writers, disjoint key ranges — the writer lock serializes the
+    // check+write windows, so every batch lands
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 4).map(i => new Thread(() =>
+      try t.insert(Seq((i * 10L, s"a$i"), (i * 10L + 1, s"b$i")).toDF("id", "w"))
+      catch { case e: Throwable => errs.add(e) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"disjoint inserts failed: $errs")
+    assert(t.read().count() == 8)
+    // 3 writers racing on the SAME key — exactly one wins, the rest see
+    // the constraint against committed state inside the lock
+    val dupErrs = new java.util.concurrent.atomic.AtomicInteger()
+    val racers = (0 until 3).map(i => new Thread(() =>
+      try t.insert(Seq((999L, s"racer$i")).toDF("id", "w"))
+      catch { case e: IllegalArgumentException
+        if e.getMessage.contains("Duplicate primary key") =>
+          dupErrs.incrementAndGet() }))
+    racers.foreach(_.start()); racers.foreach(_.join())
+    assert(dupErrs.get() == 2)
+    assert(t.read().where("id = 999").count() == 1)
+    assert(t.history().count() == 1) // squash held throughout
+  }
+
   test("unversioned + primary key compose; computed columns still flow") {
     val cat = newCat()
     val t = GraftTable.create(spark, cat, "uvpk", Seq(
