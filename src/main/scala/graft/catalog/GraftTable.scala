@@ -446,6 +446,7 @@ final class GraftTable private (
     }
     // recomputed rows may carry new values for an indexed embedding column
     maintainIndexes()
+    squashIfUnversioned()
     v
   }
 
@@ -453,7 +454,13 @@ final class GraftTable private (
     * batch rewrite (reference `add_computed_column` backfill,
     * `plan.py:1230-1247`) — schema changes touch every file by nature.
     */
-  def addColumn(c0: ColumnDef): Long = retryOnConflict {
+  def addColumn(c0: ColumnDef): Long = {
+    val ver = addColumnInner(c0)
+    squashIfUnversioned()
+    ver
+  }
+
+  private def addColumnInner(c0: ColumnDef): Long = retryOnConflict {
     val m = meta
     require(!m.columns.exists(_.name == c0.name), s"column ${c0.name} exists")
     val v = m.currentVersion + 1
@@ -580,7 +587,13 @@ final class GraftTable private (
     * streaming/DML versions — O(live data) rewrite, metadata-only for
     * every older version.
     */
-  def compact(targetFiles: Int = 1): Long = retryOnConflict {
+  def compact(targetFiles: Int = 1): Long = {
+    val ver = compactInner(targetFiles)
+    squashIfUnversioned()
+    ver
+  }
+
+  private def compactInner(targetFiles: Int): Long = retryOnConflict {
     val m = meta
     val v = m.currentVersion + 1
     val files = m.activeFiles(m.currentVersion)
