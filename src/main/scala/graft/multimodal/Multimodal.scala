@@ -110,18 +110,23 @@ object Multimodal {
   }
 
   /** `col.localpath` (reference ColumnPropertyRef LOCALPATH) via the
-    * CachePrefetchNode pattern: remote URIs are copied into a local cache
-    * keyed by md5(uri) — concurrently, batch-ahead, with per-cell error
+    * CachePrefetchNode pattern: remote URIs are downloaded into the
+    * executor-local [[FileCache]] — a size-budgeted LRU keyed by sha256(uri)
+    * with lease-protected eviction, mirroring the reference's
+    * `utils/filecache.py` — concurrently, batch-ahead, with per-cell error
     * capture (riding `AsyncBatcher`'s bounded in-flight window). Local
-    * file:// URIs short-circuit to their own path (no copy), exactly like
-    * the reference's cache hit path. Appends `<outCol>` and
-    * `<outCol>_errormsg`.
+    * file:// URIs short-circuit to their own path (no copy, never cached),
+    * exactly like the reference. Appends `<outCol>` and `<outCol>_errormsg`.
+    *
+    * `tblId`/`colId` tag the cache entries for per-column stats and
+    * table-scoped `clear` (defaults for plain DataFrames outside the catalog).
     */
   def withLocalPath(df: DataFrame, uriCol: String, outCol: String,
-      cacheDir: String): DataFrame =
+      cacheDir: String, tblId: String = FileCache.AnonTableId,
+      colId: Int = 0): DataFrame =
     graft.operators.AsyncBatcher.mapColumn(df, uriCol, outCol,
       uris => {
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val fc = FileCache.forDir(cacheDir)
         uris.map { uri =>
           val u = new java.net.URI(uri)
           if (u.getScheme == null || u.getScheme == "file") {
@@ -130,30 +135,10 @@ object Multimodal {
             if (!java.nio.file.Files.exists(p))
               throw new java.io.FileNotFoundException(uri)
             p.toString
-          } else {
-            val digest = java.security.MessageDigest.getInstance("MD5")
-              .digest(uri.getBytes("UTF-8")).map("%02x".format(_)).mkString
-            val ext = uri.reverse.takeWhile(c => c != '.' && c != '/').reverse
-            val target = java.nio.file.Paths.get(cacheDir,
-              if (ext.nonEmpty && ext.length <= 8) s"$digest.$ext" else digest)
-            if (!java.nio.file.Files.exists(target)) { // cache hit → no refetch
-              java.nio.file.Files.createDirectories(target.getParent)
-              val src = new org.apache.hadoop.fs.Path(u)
-              val fs = src.getFileSystem(conf)
-              val tmp = java.nio.file.Files.createTempFile(
-                target.getParent, ".fetch", ".part")
-              val in = fs.open(src)
-              try java.nio.file.Files.copy(in, tmp,
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-              finally in.close()
-              try java.nio.file.Files.move(tmp, target,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              catch { // lost a concurrent race: the winner's copy is fine
-                case _: java.nio.file.FileAlreadyExistsException =>
-                  java.nio.file.Files.deleteIfExists(tmp); ()
-              }
-            }
-            target.toString
+          } else fc.lookup(uri) match {
+            case Some(p) => p.toString // cache hit → no refetch, lease renewed
+            case None    => fc.add(tblId, colId, uri,
+              fetchToTemp(u, fc.dir)).toString
           }
         }
       },
@@ -161,6 +146,47 @@ object Multimodal {
       // concurrent up to maxConcurrent — the CachePrefetchNode shape
       graft.operators.AsyncBatcher.Config(batchSize = 1, maxConcurrent = 4,
         maxRetries = 0))
+
+  /** Download a remote URI to a fresh temp file in `dir` (named so the cache's
+    * directory scan ignores it), preserving the URL path's extension. http(s)
+    * goes through the JDK HTTP client; every other scheme (hdfs://, s3a://…)
+    * through Hadoop FileSystem.
+    */
+  private def fetchToTemp(u: java.net.URI, dir: java.nio.file.Path): java.nio.file.Path = {
+    val path = Option(u.getPath).getOrElse("")
+    val seg = path.substring(path.lastIndexOf('/') + 1)
+    val dot = seg.lastIndexOf('.')
+    val ext = if (dot >= 0 && seg.length - dot <= 9) seg.substring(dot) else ""
+    val tmp = java.nio.file.Files.createTempFile(dir, ".fetch", ext + ".part")
+    // the ".part" suffix keeps a half-written file from ever matching the
+    // cache-entry name pattern; rename to the ext-bearing name when complete
+    val done = tmp.resolveSibling(
+      tmp.getFileName.toString.stripSuffix(".part") match {
+        case n if ext.nonEmpty => n
+        case n                 => n + ".bin"
+      })
+    try {
+      val in = u.getScheme match {
+        case "http" | "https" =>
+          val conn = u.toURL.openConnection()
+          conn.setConnectTimeout(10000); conn.setReadTimeout(60000)
+          conn.getInputStream
+        case _ =>
+          val p = new org.apache.hadoop.fs.Path(u)
+          p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+      }
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      java.nio.file.Files.move(tmp, done,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      done
+    } catch {
+      case e: Exception =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw e
+    }
+  }
 
   /** ObjectStoreSaveNode analog (reference
     * `exec/object_store_save_node.py:21-33`: move each row's media files to
