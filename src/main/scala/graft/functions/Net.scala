@@ -53,16 +53,42 @@ object Net {
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
   }
 
-  /** Registered-domain heuristic: the last two host labels. The true
-    * boundary needs the public-suffix list (environment data, like the
-    * reference's cloud-SDK surfaces); two-label is the classic
-    * approximation — documented divergence for multi-label suffixes
-    * (`.co.uk`).
+  /** Multi-label public suffixes from the bundled PSL snapshot
+    * (publicsuffix.org data, public domain), split by label count so the
+    * longest-match rule is a fixed two-branch check: 3-label suffixes are
+    * tested before 2-label ones, and anything unlisted falls back to the
+    * classic "last label is the suffix" rule.
     */
-  def registeredDomain(url: Column): Column =
-    regexp_extract(
-      regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", ""),
-      "([^.]+\\.[^.]+)$", 1)
+  private lazy val (suffixes3, suffixes2): (Seq[String], Seq[String]) = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.txt")
+    require(in != null, "public_suffix_snapshot.txt missing from resources")
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
+      finally in.close()
+    lines.partition(_.count(_ == '.') == 2)
+  }
+
+  /** Registered domain (public suffix + one label) via the bundled
+    * public-suffix snapshot: `news.bbc.co.uk` → `bbc.co.uk`,
+    * `a.b.example.com` → `example.com`. Longest-match over the snapshot's
+    * 3- then 2-label suffixes; unlisted suffixes fall back to the last-two-
+    * labels rule. IPv4 literals pass through whole (an IP has no registered
+    * domain boundary). Pure Column composition — the suffix sets compile to
+    * `InSet` hash probes inside whole-stage codegen, so the URL-dedup key
+    * stays UDF-free at crawl scale.
+    */
+  def registeredDomain(url: Column): Column = {
+    val host = regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    def lastK(k: Int): Column = array_join(slice(labels, -k, k), ".")
+    when(host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$"), host)
+      .when(n <= lit(1), host)
+      .when(n >= lit(4) && lastK(3).isInCollection(suffixes3), lastK(4))
+      .when(n >= lit(3) && lastK(2).isInCollection(suffixes2), lastK(3))
+      .otherwise(lastK(2))
+  }
 
   /** Check a presigned URL's signature and expiry against `nowEpochS`. */
   val verifyPresignedUrl = udf { (signed: String, nowEpochS: Long, secret: String) =>

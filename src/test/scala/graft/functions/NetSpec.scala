@@ -41,6 +41,28 @@ class NetSpec extends AnyFunSuite {
     assert(d.toSeq == Seq("example.com", "example.com", "example.org"))
   }
 
+  test("registeredDomain: public-suffix list multi-label suffixes") {
+    def dom(urls: String*): Seq[String] =
+      urls.toDF("u").select(Net.registeredDomain(col("u"))).collect()
+        .map(_.getString(0)).toSeq
+    // 2-label ccSLD suffixes: suffix + one label, regardless of depth
+    assert(dom("https://news.bbc.co.uk/x") == Seq("bbc.co.uk"))
+    assert(dom("https://www.shop.example.com.au/") == Seq("example.com.au"))
+    assert(dom("http://a.b.firm.co.jp/p") == Seq("firm.co.jp"))
+    assert(dom("https://portal.gob.mx/") == Seq("portal.gob.mx")) // gob.mx listed
+    // 3-label suffixes beat their 2-label prefix
+    assert(dom("https://school.vic.edu.au/") == Seq("school.vic.edu.au"))
+    assert(dom("https://x.school.vic.edu.au/") == Seq("school.vic.edu.au"))
+    // unlisted suffix → classic last-two-labels fallback
+    assert(dom("https://deep.sub.example.io/") == Seq("example.io"))
+    // IPv4 literal passes through whole
+    assert(dom("http://192.168.10.1/admin") == Seq("192.168.10.1"))
+    // single-label host: returned as-is
+    assert(dom("http://localhost:8080/x") == Seq("localhost"))
+    // host that IS a public suffix: degenerate, returns the suffix
+    assert(dom("https://co.uk/") == Seq("co.uk"))
+  }
+
   test("null url → null canon") {
     val r = Seq((1, null.asInstanceOf[String])).toDF("i", "u")
       .select(Net.canonicalUrl(col("u"))).head()
