@@ -76,15 +76,41 @@ object Bloom {
       .head().getSeq[Long](0).toArray
   }
 
-  /** Membership test as a Column over a broadcast filter (map-only). */
-  def containsColumn(df: DataFrame, keyCol: Column, bloom: Array[Long],
-      mBits: Long, k: Int = 5): Column = {
-    val bc = df.sparkSession.sparkContext.broadcast(bloom)
-    val f = udf { (key: String) =>
-      if (key == null) false else mightContain(bc.value, mBits, k, key)
+  /** A built filter bound to its one Spark broadcast: build (or wrap) once,
+    * test membership in as many stages of a pipeline as needed without
+    * re-shipping the bit array per call. `destroy()` releases executor
+    * copies when the pipeline is done with it.
+    */
+  final case class Handle(bc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      mBits: Long, k: Int) extends Serializable {
+    /** membership as a map-only Column, reusing the shared broadcast */
+    def contains(keyCol: Column): Column = {
+      val (b, m, kk) = (bc, mBits, k) // avoid capturing the Handle in the UDF
+      val f = udf { (key: String) =>
+        if (key == null) false else mightContain(b.value, m, kk, key)
+      }
+      f(keyCol.cast("string"))
     }
-    f(keyCol.cast("string"))
+    def destroy(): Unit = bc.destroy()
   }
+
+  /** Build + broadcast in one step: the handle's broadcast is shared by
+    * every subsequent `contains` call (a pipeline that tests membership in
+    * several stages ships the bit array once, not once per stage).
+    */
+  def buildHandle(keys: DataFrame, keyCol: String, mBits: Long,
+      k: Int = 5): Handle =
+    Handle(keys.sparkSession.sparkContext.broadcast(
+      build(keys, keyCol, mBits, k)), mBits, k)
+
+  /** Membership test as a Column over a broadcast filter (map-only).
+    * Broadcasts `bloom` for this one call — for multi-stage reuse build a
+    * [[Handle]] instead.
+    */
+  def containsColumn(df: DataFrame, keyCol: Column, bloom: Array[Long],
+      mBits: Long, k: Int = 5): Column =
+    Handle(df.sparkSession.sparkContext.broadcast(bloom), mBits, k)
+      .contains(keyCol)
 
   /** Bloom-side decontamination (the Dedup.decontaminate scale variant):
     * flag training docs with ANY n-gram in the filter built from the

