@@ -20,7 +20,7 @@ final class Bpe(
     merges: Seq[(String, String)],
     val clipMode: Boolean = true,
     val unkToken: String = "<|endoftext|>",
-) extends Serializable {
+) extends TextTokenizer {
 
   private val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
   val unkId: Int = vocab.getOrElse(unkToken,

@@ -1746,11 +1746,17 @@ object LocalModels {
 
   final class MarianBundle(val cfg: BartConfig, val weights: Map[String, Tensor],
       val vocab: Map[String, Int], val merges: Seq[(String, String)],
-      val langCodeToId: Map[String, Int])
+      val langCodeToId: Map[String, Int],
+      val spTokenizerJson: Option[String] = None)
       extends Serializable {
     @transient lazy val model: BartModel = new BartModel(cfg, weights)
-    @transient lazy val tokenizer: Bpe =
-      new Bpe(vocab, merges, clipMode = false, unkToken = "</s>")
+    /** SentencePiece when the checkpoint ships a tokenizer.json (the real
+      * opus-mt layout — closes the byte-level stand-in divergence); the
+      * GPT-2-byte BPE otherwise.
+      */
+    @transient lazy val tokenizer: TextTokenizer = spTokenizerJson
+      .map(SentencePiece.fromJsonString)
+      .getOrElse(new Bpe(vocab, merges, clipMode = false, unkToken = "</s>"))
     /** Marian source encoding: tokens + `</s>` (no BOS). */
     def encodeSource(text: String, maxLen: Int): Seq[Int] =
       tokenizer.encode(text).take(maxLen - 1) :+ cfg.eosTokenId
@@ -1774,7 +1780,12 @@ object LocalModels {
           tc.get("lang_code_to_id").properties().iterator())
           .asScala.map(e => e.getKey -> e.getValue.asInt()).toMap
       }
-    new MarianBundle(cfg, weights, vocab, readMerges(modelDir), langs)
+    val spPath = Paths.get(modelDir, "tokenizer.json")
+    val spJson =
+      if (Files.exists(spPath))
+        Some(new String(Files.readAllBytes(spPath), StandardCharsets.UTF_8))
+      else None
+    new MarianBundle(cfg, weights, vocab, readMerges(modelDir), langs, spJson)
   }
 
   /** Append `outCol: string` — greedy translation. `targetLang` resolves
@@ -1815,18 +1826,27 @@ object LocalModels {
     }(enc)
   }
 
-  /** Deterministic tiny Marian checkpoint: byte-level vocab + `</s>`/
-    * `<pad>` + two `>>code<<` language tokens, marian-type config
-    * (swish, scale_embedding, static positions, decoder_start = pad),
+  /** Deterministic tiny Marian checkpoint: a real SentencePiece unigram
+    * tokenizer.json (256 byte-fallback pieces + specials + scored
+    * multi-char pieces, so Viterbi segmentation and byte fallback are both
+    * live), two `>>code<<` language tokens, marian-type config (swish,
+    * scale_embedding, static positions, decoder_start = pad),
     * lang_code_to_id in tokenizer_config.json. The encoder side carries
     * an explicit (gaussian) embed_positions tensor while the decoder
     * side omits it — exercising both the checkpoint-buffer and computed-
-    * sinusoidal position paths.
+    * sinusoidal position paths. vocab.json/merges.txt are still written
+    * for the no-tokenizer.json BPE fallback path.
     */
   def writeTinyMarianModel(dir: String, seed: Long = 42L, dModel: Int = 16,
       layers: Int = 2, heads: Int = 2, ffn: Int = 32, maxPos: Int = 64): Unit = {
-    val byteToks = Bpe.byteToUnicode.map(_.toString).toSeq
-    val vocabToks = byteToks ++ Seq("</s>", "<pad>", ">>fra<<", ">>deu<<")
+    // real SentencePiece unigram vocab: 256 byte-fallback pieces, the
+    // specials, and a handful of scored multi-char pieces so the Viterbi
+    // segmentation is exercised (opus-mt checkpoints ship exactly this
+    // layout via tokenizer.json)
+    val spExtra = Seq("▁the" -> -1.0, "▁and" -> -1.5, "ing" -> -2.0,
+      "er" -> -2.5, "▁" -> -4.0, "he" -> -3.0)
+    val vocabToks = (0 until 256).map(b => f"<0x$b%02X>") ++
+      Seq("</s>", "<pad>", ">>fra<<", ">>deu<<") ++ spExtra.map(_._1)
     val eosId = 256; val padId = 257
     val rnd = new java.util.Random(seed)
     def t(shape: Int*)(scale: Double): Tensor =
@@ -1873,11 +1893,20 @@ object LocalModels {
         .getBytes(StandardCharsets.UTF_8))
     Bpe.writeFiles(Paths.get(dir, "vocab.json").toString,
       Paths.get(dir, "merges.txt").toString, vocabToks, Seq.empty)
+    SentencePiece.writeUnigramJson(
+      Paths.get(dir, "tokenizer.json").toString,
+      pieces = (0 until 256).map(b => f"<0x$b%02X>" -> -10.0) ++
+        Seq("</s>" -> 0.0, "<pad>" -> 0.0, ">>fra<<" -> 0.0, ">>deu<<" -> 0.0) ++
+        spExtra,
+      unkId = 0,
+      addedSpecials = Seq(256 -> "</s>", 257 -> "<pad>",
+        258 -> ">>fra<<", 259 -> ">>deu<<"))
   }
 
   def ensureTinyMarianModel(seed: Long = 42L): String = synchronized {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_marian_s$seed")
-    val marker = dir.resolve("merges.txt")
+    // marker = tokenizer.json so pre-SentencePiece cached dirs regenerate
+    val marker = dir.resolve("tokenizer.json")
     if (!Files.exists(marker)) writeTinyMarianModel(dir.toString, seed)
     dir.toString
   }

@@ -456,11 +456,13 @@ object Ml {
         // targets per row. Broadcast weights, map-only. The transcript
         // content isn't SQL-expressible, so the GATED columns are the
         // deterministic invariants (every one goes false and hash-fails
-        // if the decode breaks): non-null outputs, byte-tokenizer length
-        // bound (≤ maxNewTokens chars after special stripping), and
-        // language-forcing actually consuming one of the token budget
-        // slots. Forward math pinned by MarianSpec's independent naive
-        // cross-check.
+        // if the decode breaks): non-null outputs and a decoded-length
+        // bound from the token budget — the checkpoint's SentencePiece
+        // vocab caps pieces at 4 chars, the forced lang token consumes
+        // one of the 6 new-token slots, so ≤ 5 pieces × 4 chars after
+        // special stripping. Forward math pinned by MarianSpec's
+        // independent naive cross-check; tokenizer semantics by
+        // SentencePieceSpec.
         val modelDir = graft.ml.LocalModels.ensureTinyMarianModel(seed = 42L)
         val docs = T(s, dir, "documents")
           .filter(col("doc_id") < 40)
@@ -477,8 +479,8 @@ object Ml {
             col("doc_id"),
             (col("fr").isNotNull && col("de").isNotNull).as("tr_nonnull"),
             // forced lang token occupies 1 of the 6 new-token slots and
-            // is stripped on decode → at most 5 byte-unicode chars
-            (length(col("fr")) <= 5 && length(col("de")) <= 5).as("len_ok")),
+            // is stripped on decode → ≤ 5 pieces of ≤ 4 chars each
+            (length(col("fr")) <= 20 && length(col("de")) <= 20).as("len_ok")),
           col("doc_id"))
       },
       Some("""SELECT doc_id, TRUE AS tr_nonnull, TRUE AS len_ok

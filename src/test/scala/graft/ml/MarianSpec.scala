@@ -117,7 +117,7 @@ class MarianSpec extends AnyFunSuite {
     val tgt = Seq(bundle.cfg.decoderStartTokenId, 110, 72)
     val fast = bundle.model.decodeStep(tgt, bundle.model.encode(src), src.length)
     val slow = naiveDecodeLogits(bundle, src, tgt)
-    assert(fast.length == slow.length && fast.length == 260)
+    assert(fast.length == slow.length && fast.length == 266)
     fast.zip(slow).foreach { case (f, s) => assert(math.abs(f - s) < 1e-3, s"$f vs $s") }
     assert(fast.zipWithIndex.maxBy(_._1)._2 == slow.zipWithIndex.maxBy(_._1)._2)
   }
