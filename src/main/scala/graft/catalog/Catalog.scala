@@ -19,6 +19,12 @@ final case class ColumnDef(
     addedVersion: Long = 0L,
     droppedVersion: Long = Long.MaxValue, // MaxValue = live
     physicalName: String = "", // "" = same as name; set on rename (Delta-style column mapping)
+    // reference Column special properties (catalog/model.py Column(...):
+    // comment, custom_metadata, media_validation) — carried through the
+    // table model and round-tripped by tableMetadata
+    comment: Option[String] = None,
+    customMetadata: Map[String, String] = Map.empty,
+    mediaValidation: Option[String] = None, // "on_read" | "on_write"
 ) {
   /** name under which the column is stored in parquet files — stable across
     * renames, so rename is metadata-only (no 100 TB rewrite).
@@ -193,7 +199,11 @@ final class Catalog(val warehouse: String) {
       snapshots = m.snapshots.asInstanceOf[Map[String, Any]].map {
         case (k, v) => k -> v.asInstanceOf[Number].longValue()
       },
-      indexes = Option(m.indexes).getOrElse(Seq.empty))
+      indexes = Option(m.indexes).getOrElse(Seq.empty),
+      columns = m.columns.map(c => c.copy(
+        comment = Option(c.comment).flatten,
+        customMetadata = Option(c.customMetadata).getOrElse(Map.empty),
+        mediaValidation = Option(c.mediaValidation).flatten)))
   }
 
   def save(meta: TableMeta): Unit = {

@@ -150,7 +150,10 @@ final class GraftTable private (
           dependsOn = c.computedExpr
             .map(e => ColumnDef.exprReferences(e).toSeq.sorted)
             .getOrElse(Seq.empty),
-          physicalName = c.storeName)
+          physicalName = c.storeName,
+          comment = c.comment,
+          customMetadata = c.customMetadata,
+          mediaValidation = c.mediaValidation)
       },
       indices = m.indexes.map { i =>
         GraftTable.IndexMetadataInfo(i.name, Seq(i.column), i.kind,
@@ -990,7 +993,10 @@ object GraftTable {
       isComputed: Boolean,
       computedWith: Option[String],
       dependsOn: Seq[String],
-      physicalName: String)
+      physicalName: String,
+      comment: Option[String] = None,
+      customMetadata: Map[String, String] = Map.empty,
+      mediaValidation: Option[String] = None)
 
   /** reference IndexMetadata analog */
   final case class IndexMetadataInfo(
