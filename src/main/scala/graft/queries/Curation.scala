@@ -129,6 +129,44 @@ object Curation {
              |ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
+      "q146_psl_domains",
+      (s, dir) => {
+        // Public-suffix-aware registered-domain extraction (the grouping
+        // key of domain-level crawl curation — FineWeb/CCNet aggregate
+        // stats per registered domain, which the two-label rule corrupts
+        // for ccSLD hosts). URLs are closed forms of doc_id spanning the
+        // rule classes: a `.co.uk` ccSLD host, a `.com.au` host with a
+        // subdomain, an unlisted-suffix fallback, an IPv4 literal, and a
+        // 3-label `.vic.edu.au` suffix that must beat its 2-label prefix.
+        // Net.registeredDomain is pure Column composition (the suffix
+        // sets compile to InSet probes inside whole-stage codegen), so
+        // the derivation is map-only at any corpus size.
+        import graft.functions.Net
+        val k = (col("doc_id") / 5).cast("long")
+        val url = when(col("doc_id") % 5 === 0,
+            concat(lit("https://www.news"), k, lit(".co.uk/article")))
+          .when(col("doc_id") % 5 === 1,
+            concat(lit("https://shop.example"), k, lit(".com.au/p")))
+          .when(col("doc_id") % 5 === 2,
+            concat(lit("https://deep.sub.example"), k, lit(".io/x")))
+          .when(col("doc_id") % 5 === 3, lit("http://192.168.0.1/admin"))
+          .otherwise(lit("https://x.school.vic.edu.au/"))
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 500)
+          .withColumn("domain", Net.registeredDomain(url))
+          .select(col("doc_id"), col("domain"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id, CASE CAST(doc_id % 5 AS INT)
+             |  WHEN 0 THEN 'news' || (doc_id // 5) || '.co.uk'
+             |  WHEN 1 THEN 'example' || (doc_id // 5) || '.com.au'
+             |  WHEN 2 THEN 'example' || (doc_id // 5) || '.io'
+             |  WHEN 3 THEN '192.168.0.1'
+             |  ELSE 'school.vic.edu.au' END AS domain
+             |FROM documents WHERE doc_id < 500
+             |ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
       "q103_mixture_sample",
       (s, dir) => {
         // UniMax/mT5 temperature resampling: per-language sampling rates

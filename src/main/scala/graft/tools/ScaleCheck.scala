@@ -58,6 +58,9 @@ object ScaleCheck {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mult = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+    // optional trailing query names: probe a subset (e.g. the 100x depth
+    // run over the cheapest map-only/one-shuffle shapes)
+    val toRun = if (args.length > 2) args.drop(2).toSeq else Queries
     val bigDir = s"/tmp/graft_scale_${mult}x"
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -108,7 +111,7 @@ object ScaleCheck {
 
     println(f"[scale] ${"query"}%-24s ${"1x"}%8s ${mult + "x"}%8s  ratio")
     var worst = ("", 0.0)
-    Queries.foreach { name =>
+    toRun.foreach { name =>
       val t1 = time(base, name)
       val tm = time(bigDir, name)
       val ratio = tm / math.max(t1, 1e-9)
