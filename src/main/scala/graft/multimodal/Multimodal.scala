@@ -123,10 +123,18 @@ object Multimodal {
     */
   def withLocalPath(df: DataFrame, uriCol: String, outCol: String,
       cacheDir: String, tblId: String = FileCache.AnonTableId,
-      colId: Int = 0): DataFrame =
+      colId: Int = 0): DataFrame = {
+    // budget/lease resolve from the session conf ON THE DRIVER and ship in
+    // the closure, so a cluster deploy sets one conf and every executor's
+    // cache obeys it (the reference's file_cache_size_g config knob)
+    val conf = df.sparkSession.conf
+    val capacity = conf.getOption("spark.graft.fileCache.capacityBytes").map(_.toLong)
+    val lease = conf.getOption("spark.graft.fileCache.leaseSeconds").map(_.toDouble)
     graft.operators.AsyncBatcher.mapColumn(df, uriCol, outCol,
       uris => {
         val fc = FileCache.forDir(cacheDir)
+        capacity.foreach(fc.setCapacity)
+        lease.foreach(fc.setLeaseSeconds)
         uris.map { uri =>
           val u = new java.net.URI(uri)
           if (u.getScheme == null || u.getScheme == "file") {
@@ -146,6 +154,7 @@ object Multimodal {
       // concurrent up to maxConcurrent — the CachePrefetchNode shape
       graft.operators.AsyncBatcher.Config(batchSize = 1, maxConcurrent = 4,
         maxRetries = 0))
+  }
 
   /** Download a remote URI to a fresh temp file in `dir` (named so the cache's
     * directory scan ignores it), preserving the URL path's extension. http(s)

@@ -187,6 +187,55 @@ class FileCacheSpec extends AnyFunSuite {
     } finally stop()
   }
 
+  test("concurrent adds and lookups race safely; one file per url survives") {
+    val files = (0 until 8).map(i => s"c$i.bin" -> Array.fill[Byte](512)(i.toByte)).toMap
+    val (base, stop) = serve(files)
+    try {
+      val fc = new FileCache(Files.createTempDirectory("graft-fc6").toString)
+      val tmpDir = Files.createTempDirectory("graft-fc6-dl")
+      // 16 threads × 8 urls: every url downloaded by multiple racers —
+      // the cache must keep exactly one file per url, sizes consistent
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 16).map(t => new Thread(() =>
+        try (0 until 8).foreach { i =>
+          val p = retrieve(fc, base + s"c$i.bin", tmpDir)
+          assert(Files.size(p) == 512)
+        } catch { case e: Throwable => errs.add(e) }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"racers failed: $errs")
+      assert(fc.numFiles() == 8 && fc.totalSize == 8 * 512)
+      fc.validate()
+      // every retrieval was counted; racers that missed concurrently had
+      // their redundant downloads discarded by add() (dedup, not a hit),
+      // so hits are only a lower-bounded subset of the 128 requests
+      assert(fc.numRequests == 16 * 8)
+      assert(fc.numHits >= 8 && fc.numHits <= 16 * 8 - 8)
+    } finally stop()
+  }
+
+  test("withLocalPath honors the spark.graft.fileCache.* session conf") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val files = (0 until 6).map(i => s"m$i.bin" -> Array.fill[Byte](4096)((i + 1).toByte)).toMap
+    val (base, stop) = serve(files)
+    try {
+      val cacheDir = Files.createTempDirectory("graft-fc7").toString
+      spark.conf.set("spark.graft.fileCache.capacityBytes", (10L * 1024).toString)
+      spark.conf.set("spark.graft.fileCache.leaseSeconds", "0")
+      try {
+        val df = (0 until 6).map(i => (i.toLong, base + s"m$i.bin")).toDF("id", "uri")
+        Multimodal.withLocalPath(df, "uri", "localpath", cacheDir).collect()
+        val fc = FileCache.forDir(cacheDir)
+        // 6 × 4 KiB through a 10 KiB budget: at most 2 files survive
+        assert(fc.capacityBytes == 10L * 1024)
+        assert(fc.totalSize <= 10L * 1024 && fc.numEvictions >= 4)
+      } finally {
+        spark.conf.unset("spark.graft.fileCache.capacityBytes")
+        spark.conf.unset("spark.graft.fileCache.leaseSeconds")
+      }
+    } finally stop()
+  }
+
   test("withLocalPath routes remote URLs through the cache; hits skip refetch") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
