@@ -209,10 +209,7 @@ final class SentencePiece(
     parts.toSeq.flatMap {
       case Right(id)   => Seq(id)
       case Left(plain) =>
-        chunks(plain.trim match {
-          case t if t.isEmpty => ""
-          case _              => plain
-        }).flatMap(c =>
+        chunks(plain).flatMap(c =>
           if (modelType == "unigram") unigramChunk(c) else bpeChunk(c))
     }
   }

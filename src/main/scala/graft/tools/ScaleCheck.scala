@@ -23,7 +23,7 @@ object ScaleCheck {
     "q106_dupspan_stats", "q109_sample_strat_fraction", "q118_pagerank_neardup",
     "q126_hard_negatives", "q131_bpe_merges",
     "q132_nb_classifier", "q133_ndcg", "q134_bpe_tokenize",
-    "q142_url_dedup", "q144_paragraph_dedup")
+    "q142_url_dedup", "q144_paragraph_dedup", "q146_psl_domains")
   // r8: q142's canonical-URL groupBy-window and q144's paragraph
   // first-occurrence window are both one-shuffle-on-a-high-cardinality-key
   // shapes — the ratios should track m. (Replication with doc_id offsets
