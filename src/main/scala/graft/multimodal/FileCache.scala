@@ -88,12 +88,17 @@ final class FileCache(dirStr: String) {
 
   def setLeaseSeconds(s: Double): Unit = synchronized { leaseSecondsV = s }
 
+  /** dir listing with the stream closed (Files.list leaks an fd otherwise) */
+  private def listDir(): List[Path] =
+    try {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toList finally s.close()
+    } catch { case _: java.io.IOException => Nil }
+
   /** rebuild the index from the directory's current contents, oldest first */
   private def initIndex(): Unit = synchronized {
     val entries = mutable.ArrayBuffer.empty[(FileTime, CacheEntry)]
-    val listing =
-      try Files.list(dir).iterator().asScala.toList
-      catch { case _: java.io.IOException => Nil }
+    val listing = listDir()
     for (p <- listing) {
       val name = p.getFileName.toString
       name match {
@@ -243,10 +248,7 @@ final class FileCache(dirStr: String) {
     tblId match {
       case None =>
         // remove every cache-entry file on disk, not just tracked ones
-        val listing =
-          try Files.list(dir).iterator().asScala.toList
-          catch { case _: java.io.IOException => Nil }
-        for (p <- listing
+        for (p <- listDir()
              if EntryNameRe.pattern.matcher(p.getFileName.toString).matches())
           tryRemoveFile(p)
         cache.clear()

@@ -109,6 +109,17 @@ class SentencePieceSpec extends AnyFunSuite {
     assert(sp.decode(ids) == "ab é") // bytes reassemble to the exact text
   }
 
+  test("astral code points: surrogate pair stays ONE viterbi cell, 4 byte pieces") {
+    val sp = tinyUnigram("▁x" -> -1.0)
+    val duck = new String(Character.toChars(0x1F986)) // 🦆, outside the BMP
+    val ids = sp.encode("x" + duck)
+    val rev = sp.vocab.map(_.swap)
+    val pieces = ids.map(rev)
+    assert(pieces.head == "▁x")
+    assert(pieces.tail.length == 4 && pieces.tail.forall(_.startsWith("<0x")))
+    assert(sp.decode(ids) == "x" + duck) // exact UTF-8 reassembly
+  }
+
   test("metaspace round-trip and prefix-space stripping") {
     val sp = tinyUnigram("▁hello" -> -1.0, "▁world" -> -1.2, "▁" -> -3.0,
       "hello" -> -5.0)
