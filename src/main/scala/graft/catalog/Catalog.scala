@@ -610,6 +610,11 @@ final class Catalog(val warehouse: String) {
         .forEach(p => { Files.deleteIfExists(p); () })
       finally s.close()
     }
+    // reference FileCache.clear(tbl_id) on drop: purge this table's
+    // cached external media from every JVM-local cache dir (cluster
+    // executors purge lazily via their own LRU budgets)
+    graft.multimodal.FileCache.clearTable(
+      graft.multimodal.FileCache.tableId(table))
   }
 
   /** Tables whose view lineage points at `table` (metadata-only scan).

@@ -331,6 +331,19 @@ object FileCache {
   /** synthetic table id for callers outside the catalog (plain DataFrames) */
   val AnonTableId: String = "0" * 32
 
+  /** 32-hex cache-entry table id for a catalog table name (the analog of
+    * the reference's tbl_id.hex)
+    */
+  def tableId(tableName: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(tableName.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** clear `tblId`'s entries from every cache instance in this JVM —
+    * invoked by Catalog.dropTable (reference drop → FileCache.clear(tbl_id))
+    */
+  def clearTable(tblId: String): Unit =
+    instances.values().forEach(_.clear(Some(tblId)))
+
   private val instances =
     new java.util.concurrent.ConcurrentHashMap[String, FileCache]()
 

@@ -213,6 +213,35 @@ class FileCacheSpec extends AnyFunSuite {
     } finally stop()
   }
 
+  test("dropTable clears the dropped table's cached media, nothing else") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val files = Map(
+      "a.bin" -> Array.fill[Byte](256)(1),
+      "b.bin" -> Array.fill[Byte](256)(2))
+    val (base, stop) = serve(files)
+    try {
+      val cat = new graft.catalog.Catalog(
+        Files.createTempDirectory("graft-fc-drop").toString)
+      val t = graft.catalog.GraftTable.create(spark, cat, "media_tbl",
+        Seq(graft.catalog.ColumnDef("id", "bigint"),
+          graft.catalog.ColumnDef("uri", "string")))
+      t.insert(Seq((1L, base + "a.bin")).toDF("id", "uri"))
+      val cacheDir = Files.createTempDirectory("graft-fc-drop-cache").toString
+      // the table's media cached under ITS id; an unrelated entry alongside
+      Multimodal.withLocalPath(t.read(), "uri", "lp", cacheDir,
+        tblId = FileCache.tableId("media_tbl")).collect()
+      val fc = FileCache.forDir(cacheDir)
+      fc.add(FileCache.tableId("other_tbl"), 0, base + "b.bin",
+        download(base + "b.bin", Files.createTempDirectory("d")))
+      assert(fc.numFiles() == 2)
+      cat.dropTable("media_tbl")
+      assert(fc.numFiles(Some(FileCache.tableId("media_tbl"))) == 0)
+      assert(fc.numFiles(Some(FileCache.tableId("other_tbl"))) == 1)
+      fc.validate()
+    } finally stop()
+  }
+
   test("withLocalPath honors the spark.graft.fileCache.* session conf") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
