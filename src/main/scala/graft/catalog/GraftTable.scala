@@ -198,7 +198,19 @@ final class GraftTable private (
     * at insert time (reference insert plan, `plan.py:255-266`); row ids are
     * assigned distributedly (no single-partition choke point).
     */
-  def insert(rows: DataFrame): Long = {
+  def insert(rows: DataFrame): Long = insertStatus(rows).version
+
+  /** Append rows and report the reference's UpdateStatus counts
+    * (`catalog/update_status.py`): rows inserted and computed cells
+    * evaluated, both from the just-written parquet FOOTERS — driver-side
+    * metadata, no extra Spark job. `colsWithExcs` is always empty here:
+    * computed-expression failures fail the insert (or land per-cell in
+    * error structs via the try_* and AsyncBatcher surfaces), they are
+    * never silently counted.
+    */
+  def insertStatus(rows: DataFrame): GraftTable.UpdateStatus = {
+    var insertedFiles: Seq[String] = Seq.empty
+    var computedCols: Seq[String] = Seq.empty
     val v = retryOnConflict {
       val m = meta
       val v = m.currentVersion + 1
@@ -223,7 +235,9 @@ final class GraftTable private (
             pk.zip(conflict.head.toSeq).map { case (k, x) => s"$k=$x" }.mkString(", "))
       }
       var df = rows
-      m.computedInTopoOrder.filter(_.stored).foreach { c =>
+      val stored = m.computedInTopoOrder.filter(_.stored)
+      computedCols = stored.map(_.name)
+      stored.foreach { c =>
         df = df.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
       }
       df = df
@@ -233,6 +247,7 @@ final class GraftTable private (
       val dir = dataDir(v, "insert")
       toPhysical(df, m).write.mode("overwrite").parquet(dir)
       val files = listParquetFiles(dir)
+      insertedFiles = files
       // rowid max from the just-written files' parquet FOOTERS, read on the
       // driver — no Spark job (the previous footer-aggregate-pushdown read
       // still paid full job scheduling per insert; at a handful of files
@@ -248,7 +263,12 @@ final class GraftTable private (
     // an already-committed insert (which would duplicate its rows)
     maintainIndexes()
     squashIfUnversioned()
-    v
+    // the files just written are live (squash/vacuum never touch them),
+    // so footer counts remain readable after the unversioned squash
+    val n = rowCountFromFooters(insertedFiles)
+    GraftTable.UpdateStatus(v, numRows = n,
+      numComputedValues = n * computedCols.length,
+      updatedCols = computedCols)
   }
 
   /** Unversioned tables retain no history: after every mutation the
@@ -930,6 +950,20 @@ final class GraftTable private (
     * column (never happens for columns Spark itself wrote, but manifests
     * can reference foreign files after an import).
     */
+  /** total row count across `files` from parquet footers — driver-side
+    * metadata only, no Spark job (same basis as maxLongFromFooters)
+    */
+  private def rowCountFromFooters(files: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    }.sum
+  }
+
   private def maxLongFromFooters(files: Seq[String], colName: String): Option[Long] = {
     val conf = spark.sessionState.newHadoopConf()
     try {
@@ -985,6 +1019,17 @@ final class GraftTable private (
 
 object GraftTable {
   /** reference ColumnMetadata analog (`catalog/table_metadata.py`) */
+  /** reference UpdateStatus analog (`catalog/update_status.py`): DML ops
+    * report affected-row and computed-cell counts. Counts derive from
+    * parquet footers (no extra jobs), so the status is free.
+    */
+  final case class UpdateStatus(
+      version: Long,
+      numRows: Long,
+      numComputedValues: Long,
+      updatedCols: Seq[String] = Seq.empty,
+      colsWithExcs: Seq[String] = Seq.empty)
+
   final case class ColumnMetadataInfo(
       name: String,
       dataType: String,

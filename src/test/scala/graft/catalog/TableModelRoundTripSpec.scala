@@ -98,6 +98,27 @@ class TableModelRoundTripSpec extends AnyFunSuite {
     assert(t2.tableMetadata.columns.find(_.name == "n").get.comment.contains("char count"))
   }
 
+  test("insertStatus reports reference UpdateStatus counts from footers") {
+    val cat = newCat()
+    val t = GraftTable.create(spark, cat, "status_tbl", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("x", "double"),
+      ColumnDef("x2", "double", Some("x * 2")),
+      ColumnDef("x3", "double", Some("x2 + 1"))))
+    val st = t.insertStatus(
+      (1 to 7).map(i => (i.toLong, i * 0.5)).toDF("id", "x"))
+    assert(st.numRows == 7)
+    assert(st.numComputedValues == 14) // 7 rows × 2 stored computed cols
+    assert(st.updatedCols == Seq("x2", "x3")) // dependency order
+    assert(st.colsWithExcs.isEmpty)
+    assert(st.version == t.currentVersion)
+    // Long-returning insert still works and agrees
+    assert(t.insert(Seq((8L, 4.0)).toDF("id", "x")) == t.currentVersion)
+    // unversioned squash does not break the footer-count path
+    val u = GraftTable.create(spark, cat, "status_uv", Seq(
+      ColumnDef("id", "bigint")), isVersioned = false)
+    assert(u.insertStatus(Seq(Tuple1(1L), Tuple1(2L)).toDF("id")).numRows == 2)
+  }
+
   test("pre-upgrade meta.json (no column-property fields) loads with defaults") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tm3").toString
     val cat = new Catalog(dir)
