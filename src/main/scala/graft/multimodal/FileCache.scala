@@ -354,4 +354,33 @@ object FileCache {
     val key = Paths.get(dirStr).toAbsolutePath.normalize.toString
     instances.computeIfAbsent(key, _ => new FileCache(key))
   }
+
+  /** existing instance for a dir, without creating one (stats probes) */
+  private def peek(dirStr: String): Option[FileCache] =
+    Option(instances.get(Paths.get(dirStr).toAbsolutePath.normalize.toString))
+
+  /** Cluster-wide cache observability (the reference's user-facing
+    * `FileCache.stats()`): one row per EXECUTOR that holds a cache for
+    * `cacheDir`, collected by a short map-only job that touches every
+    * executor (tasks on the same JVM report identical values and dedupe
+    * by executor id). Executors that never cached under the dir are
+    * absent — the probe never creates caches.
+    */
+  def clusterStats(spark: org.apache.spark.sql.SparkSession,
+      cacheDir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val cores = spark.sparkContext.defaultParallelism
+    spark.range(0, cores.toLong * 4, 1, cores * 4)
+      .mapPartitions { _ =>
+        val execId = org.apache.spark.SparkEnv.get.executorId
+        peek(cacheDir).iterator.map { fc =>
+          val st = fc.stats
+          (execId, st.totalSize, fc.numFiles(), st.numRequests, st.numHits,
+            st.numEvictions, fc.capacityBytes)
+        }
+      }
+      .toDF("executor_id", "total_size", "num_files", "num_requests",
+        "num_hits", "num_evictions", "capacity_bytes")
+      .dropDuplicates("executor_id")
+  }
 }

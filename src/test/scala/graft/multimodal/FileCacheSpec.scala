@@ -213,6 +213,27 @@ class FileCacheSpec extends AnyFunSuite {
     } finally stop()
   }
 
+  test("clusterStats: one row per executor holding the cache, none created by probing") {
+    val spark = graft.TestSpark.spark
+    val files = Map("s.bin" -> Array.fill[Byte](128)(3))
+    val (base, stop) = serve(files)
+    try {
+      val cacheDir = Files.createTempDirectory("graft-fc-stats").toString
+      // probing an unknown dir yields zero rows and creates nothing
+      assert(FileCache.clusterStats(spark,
+        Files.createTempDirectory("graft-fc-none").toString).count() == 0)
+      val fc = FileCache.forDir(cacheDir)
+      fc.add(tblId, 0, base + "s.bin",
+        download(base + "s.bin", Files.createTempDirectory("d2")))
+      fc.lookup(base + "s.bin")
+      val rows = FileCache.clusterStats(spark, cacheDir).collect()
+      assert(rows.length == 1) // local[32] = one executor JVM ("driver")
+      val r = rows.head
+      assert(r.getAs[Long]("total_size") == 128 && r.getAs[Int]("num_files") == 1)
+      assert(r.getAs[Int]("num_hits") >= 1)
+    } finally stop()
+  }
+
   test("dropTable clears the dropped table's cached media, nothing else") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
