@@ -610,21 +610,39 @@ final class GraftTable private (
     * streaming/DML versions — O(live data) rewrite, metadata-only for
     * every older version.
     */
-  def compact(targetFiles: Int = 1): Long = {
-    val ver = compactInner(targetFiles)
+  /** `clusterBy` (the lakehouse OPTIMIZE ... ZORDER/CLUSTER BY analog,
+    * linear form): range-partition the rewrite on the given columns and
+    * sort within each file, so every output file covers a DISJOINT value
+    * range and its parquet footer min/max becomes selective — predicate
+    * scans over the clustered columns then skip whole files/row groups.
+    * At 100 TB this turns a full-corpus point/range query into a
+    * footer-pruned scan without any index structure to maintain.
+    */
+  def compact(targetFiles: Int = 1, clusterBy: Seq[String] = Seq.empty): Long = {
+    val ver = compactInner(targetFiles, clusterBy)
     squashIfUnversioned()
     ver
   }
 
-  private def compactInner(targetFiles: Int): Long = retryOnConflict {
+  private def compactInner(targetFiles: Int,
+      clusterBy: Seq[String] = Seq.empty): Long = retryOnConflict {
     val m = meta
     val v = m.currentVersion + 1
     val files = m.activeFiles(m.currentVersion)
-    if (files.size <= targetFiles) return noopVersion(m, v, "compact")
+    if (files.size <= targetFiles && clusterBy.isEmpty)
+      return noopVersion(m, v, "compact")
     // physical read/write: no logical translation, column mapping and
-    // system columns pass through untouched
-    val raw = spark.read.option("mergeSchema", "true").parquet(files: _*)
-      .repartition(targetFiles)
+    // system columns pass through untouched. clusterBy names are LOGICAL;
+    // the physical files store under storeName (rename mapping).
+    val phys = clusterBy.map { c =>
+      m.liveColumns.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"no such column to cluster by: '$c'")).storeName
+    }
+    val raw0 = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val raw =
+      if (phys.isEmpty) raw0.repartition(targetFiles)
+      else raw0.repartitionByRange(targetFiles, phys.map(col): _*)
+        .sortWithinPartitions(phys.map(col): _*)
     val dir = dataDir(v, "compact")
     raw.write.mode("overwrite").parquet(dir)
     commitMetaOrClean(m, m.copy(versions = m.versions :+
