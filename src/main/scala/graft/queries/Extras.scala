@@ -949,6 +949,64 @@ object Extras {
              |FROM customer WHERE c_custkey <= 200""".stripMargin),
     ),
     QueryDef(
+      "q147_cluster_compact",
+      (s, dir) => {
+        // r9 clustered compaction (OPTIMIZE ... CLUSTER BY, linear form)
+        // in the correctness gate: a lineitem subset inserted in three
+        // interleaved batches (keys scattered across every file), then
+        // compact(4, clusterBy=ok) range-partitions + sorts the rewrite.
+        // The oracle recomputes a range aggregate from the raw table
+        // (content preservation through the clustered rewrite); the
+        // data-skipping contract gates as flags — per-file footer
+        // [min,max] key ranges pairwise DISJOINT, a point key inside
+        // exactly one file's envelope — that flip on any layout break.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q147").toString)
+        val t = GraftTable.create(s, cat, "li_cl", Seq(
+          ColumnDef("ok", "bigint"), ColumnDef("qty", "double")))
+        val src = T(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 1200)
+          .select(col("l_orderkey").as("ok"), col("l_quantity").as("qty"))
+        for (r <- 0 until 3)
+          t.insert(src.filter(pmod(col("ok"), lit(3)) === r).repartition(3))
+        t.compact(targetFiles = 4, clusterBy = Seq("ok"))
+        // footer ranges: driver-side parquet metadata, no Spark job
+        val conf = s.sessionState.newHadoopConf()
+        val ranges = t.meta.activeFiles(t.currentVersion).map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val st = scala.jdk.CollectionConverters
+              .ListHasAsScala(r.getFooter.getBlocks).asScala
+              .flatMap(b => scala.jdk.CollectionConverters
+                .ListHasAsScala(b.getColumns).asScala
+                .filter(_.getPath.toDotString == "ok").map(_.getStatistics))
+            (st.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
+              st.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max)
+          } finally r.close()
+        }.sortBy(_._1)
+        val disjoint = ranges.sliding(2).forall {
+          case Seq((_, hi), (lo, _)) => hi < lo
+          case _ => true
+        }
+        val pointEnvelopes = ranges.count { case (lo, hi) => lo <= 600L && 600L <= hi }
+        t.read()
+          .filter(col("ok") >= 300 && col("ok") < 900)
+          .agg(count(lit(1)).as("n"), round(sum(col("qty")), 2).as("qty_sum"))
+          .withColumn("ranges_disjoint", lit(disjoint))
+          .withColumn("point_one_file", lit(pointEnvelopes <= 1))
+          .withColumn("files_ok", lit(ranges.size <= 4))
+          .select("n", "qty_sum", "ranges_disjoint", "point_one_file", "files_ok")
+      },
+      Some("""SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty_sum,
+             |  TRUE AS ranges_disjoint, TRUE AS point_one_file,
+             |  TRUE AS files_ok
+             |FROM lineitem
+             |WHERE l_orderkey >= 300 AND l_orderkey < 900""".stripMargin),
+    ),
+    QueryDef(
       "q83_schema_evolution",
       (s, dir) => {
         // round-2 schema DDL in the correctness gate: rename (metadata-only
