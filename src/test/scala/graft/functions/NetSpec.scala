@@ -63,6 +63,37 @@ class NetSpec extends AnyFunSuite {
     assert(dom("https://co.uk/") == Seq("co.uk"))
   }
 
+  test("registeredDomain properties over random hosts (one Spark pass)") {
+    val rnd = new scala.util.Random(4171780)
+    val labels = Seq("co", "uk", "com", "au", "example", "deep", "www",
+      "edu", "vic", "school", "x9", "a", "gov", "io", "net", "shop")
+    val hosts = (0 until 200).map { _ =>
+      (0 until (1 + rnd.nextInt(5))).map(_ => labels(rnd.nextInt(labels.length)))
+        .mkString(".")
+    } ++ Seq("10.0.0.1", "255.255.255.255", "localhost")
+    val rows = hosts.map(h => (h, s"https://$h/p")).toDF("host", "u")
+      .select(col("host"), Net.registeredDomain(col("u")).as("dom"))
+      .collect()
+    rows.foreach { r =>
+      val host = r.getString(0)
+      val dom = r.getString(1)
+      val base = host.stripPrefix("www.")
+      val isIp = host.matches("^\\d{1,3}(\\.\\d{1,3}){3}$")
+      if (isIp) assert(dom == host, s"$host → $dom")
+      else if (!base.contains('.')) assert(dom == base, s"$host → $dom")
+      else {
+        // the registered domain is a dot-boundary suffix of the de-www'd
+        // host with 2-4 labels, never the bare public suffix for deeper
+        // hosts, and at least the last two labels
+        assert(base == dom || base.endsWith("." + dom), s"$host → $dom")
+        val n = dom.count(_ == '.') + 1
+        assert(n >= 2 && n <= 4, s"$host → $dom")
+        assert(dom.split("\\.").toSeq ==
+          base.split("\\.").toSeq.takeRight(n), s"$host → $dom")
+      }
+    }
+  }
+
   test("null url → null canon") {
     val r = Seq((1, null.asInstanceOf[String])).toDF("i", "u")
       .select(Net.canonicalUrl(col("u"))).head()
