@@ -294,20 +294,32 @@ final class GraftTable private (
     * only files containing matching live rows are rewritten with
     * `_v_max := V+1`; history stays readable via time travel.
     */
-  def delete(predicateSql: String): Long = {
+  def delete(predicateSql: String): Long = deleteStatus(predicateSql).version
+
+  /** Delete + the reference's UpdateStatus counts. The deleted-row count
+    * rides the rewrite as a Spark `Observation` metric (CollectMetrics on
+    * the write plan) — no extra job, exact.
+    */
+  def deleteStatus(predicateSql: String): GraftTable.UpdateStatus = {
+    var n = 0L
     val ver = retryOnConflict {
       val m = meta
       val v = m.currentVersion + 1
       withTouchedFiles(m, expr(predicateSql)) match {
-        case None => noopVersion(m, v, "delete")
+        case None => n = 0L; noopVersion(m, v, "delete")
         case Some((touchedDf, touchedFiles)) =>
+          val obs = org.apache.spark.sql.Observation()
           val out = touchedDf.withColumn(VMax,
             when(col(VMax) === Live && expr(predicateSql), lit(v)).otherwise(col(VMax)))
-          rewrite(m, v, "delete", out, touchedFiles)
+            .observe(obs, sum(when(col(VMax) === v, 1L)).as("_n"))
+          val res = rewrite(m, v, "delete", out, touchedFiles)
+          n = Option(obs.get("_n")).collect { case x: java.lang.Long => x.longValue() }
+            .getOrElse(0L)
+          res
       }
     }
     squashIfUnversioned()
-    ver
+    GraftTable.UpdateStatus(ver, numRows = n, numComputedValues = 0L)
   }
 
   /** Delete live rows whose `keyCol` value appears in `keys` (a one-column
@@ -349,7 +361,18 @@ final class GraftTable private (
     * recompute transitively (reference update cascade, `plan.py:414-485`).
     * Updated rows keep their `_rowid`. File-pruned like delete.
     */
-  def update(setExprs: Map[String, String], predicateSql: String): Long = {
+  def update(setExprs: Map[String, String], predicateSql: String): Long =
+    updateStatus(setExprs, predicateSql).version
+
+  /** Update + the reference's UpdateStatus counts: updated-row count via
+    * an `Observation` metric on the rewrite (no extra job); updatedCols =
+    * the set columns plus the stored computed columns the cascade
+    * recomputed; numComputedValues = rows × recomputed columns.
+    */
+  def updateStatus(setExprs: Map[String, String],
+      predicateSql: String): GraftTable.UpdateStatus = {
+    var n = 0L
+    var cascaded: Seq[String] = Seq.empty
     val v = retryOnConflict {
       val m = meta
       val v = m.currentVersion + 1
@@ -358,24 +381,44 @@ final class GraftTable private (
           s"cannot update primary key column '$k' — the unique constraint " +
             "is enforced at insert; delete + insert to change a key"))
       withTouchedFiles(m, expr(predicateSql)) match {
-        case None => noopVersion(m, v, "update")
+        case None => n = 0L; noopVersion(m, v, "update")
         case Some((touchedDf, touchedFiles)) =>
           val hit = col(VMax) === Live && expr(predicateSql)
           val closed = touchedDf.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax)))
           var updated = touchedDf.filter(hit)
           setExprs.foreach { case (c, e) => updated = updated.withColumn(c, expr(e)) }
+          cascaded = dependentComputed(m, setExprs.keySet)
           updated = recomputeCascade(updated, setExprs.keySet, m)
             .withColumn(VMin, lit(v))
             .withColumn(VMax, lit(Live))
             .select(closed.columns.map(col): _*)
-          rewrite(m, v, "update", closed.union(updated), touchedFiles)
+          val obs = org.apache.spark.sql.Observation()
+          val out = closed.union(updated)
+            .observe(obs, sum(when(col(VMin) === v, 1L)).as("_n"))
+          val res = rewrite(m, v, "update", out, touchedFiles)
+          n = Option(obs.get("_n")).collect { case x: java.lang.Long => x.longValue() }
+            .getOrElse(0L)
+          res
       }
     }
     // rewritten rows may carry new values for an indexed embedding column;
     // the catch-up appends them so searchIndex ranks by the NEW vector
     maintainIndexes()
     squashIfUnversioned()
-    v
+    GraftTable.UpdateStatus(v, numRows = n,
+      numComputedValues = n * cascaded.length,
+      updatedCols = setExprs.keys.toSeq.sorted ++ cascaded)
+  }
+
+  /** stored computed columns whose transitive dependencies intersect
+    * `changed` — the columns `recomputeCascade` re-evaluates, in order
+    */
+  private def dependentComputed(m: TableMeta, changed: Set[String]): Seq[String] = {
+    var acc = changed
+    m.computedInTopoOrder.filter(_.stored).flatMap { c =>
+      val deps = ColumnDef.exprReferences(c.computedExpr.get)
+      if (deps.exists(acc.contains)) { acc += c.name; Some(c.name) } else None
+    }
   }
 
   /** Apply per-key updates from a DataFrame (reference batch_update:
@@ -385,14 +428,22 @@ final class GraftTable private (
     * columns recompute transitively; unmatched rows and untouched files
     * stay as they are.
     */
-  def batchUpdate(updates: DataFrame, keyCols: Seq[String]): Long = {
-    val v = batchUpdateInner(updates, keyCols)
+  def batchUpdate(updates: DataFrame, keyCols: Seq[String]): Long =
+    batchUpdateStatus(updates, keyCols).version
+
+  /** batchUpdate + the reference's UpdateStatus counts (same Observation
+    * mechanism as updateStatus — no extra job).
+    */
+  def batchUpdateStatus(updates: DataFrame,
+      keyCols: Seq[String]): GraftTable.UpdateStatus = {
+    val st = batchUpdateInner(updates, keyCols)
     maintainIndexes()
     squashIfUnversioned()
-    v
+    st
   }
 
-  private def batchUpdateInner(updates: DataFrame, keyCols: Seq[String]): Long = retryOnConflict {
+  private def batchUpdateInner(updates: DataFrame,
+      keyCols: Seq[String]): GraftTable.UpdateStatus = retryOnConflict {
     val m = meta
     m.primaryKey.filter(k => updates.columns.contains(k) && !keyCols.contains(k))
       .foreach(k => throw new IllegalArgumentException(
@@ -402,7 +453,8 @@ final class GraftTable private (
     require(setCols.nonEmpty, "batchUpdate needs at least one non-key column")
     val renamed = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"_u_$c"))
     val image = storedImage(m)
-    if (image.isEmpty) return noopVersion(m, v, "batch_update")
+    if (image.isEmpty)
+      return GraftTable.UpdateStatus(noopVersion(m, v, "batch_update"), 0L, 0L)
     val joinCond = keyCols.map(k => image(k) === renamed(s"_u_$k")).reduce(_ && _)
     // updates frames are small key-lists: broadcast them
     val joined = image.withColumn(FileCol, input_file_name())
@@ -410,19 +462,28 @@ final class GraftTable private (
     val hit = col(VMax) === Live && col(s"_u_${keyCols.head}").isNotNull
     val hitFiles = joined.filter(hit).select(FileCol).distinct()
       .collect().map(_.getString(0))
-    if (hitFiles.isEmpty) return noopVersion(m, v, "batch_update")
+    if (hitFiles.isEmpty)
+      return GraftTable.UpdateStatus(noopVersion(m, v, "batch_update"), 0L, 0L)
     val touched = joined.filter(col(FileCol).isin(hitFiles.toSeq: _*))
     val dropU = (d: DataFrame) =>
       renamed.columns.foldLeft(d.drop(FileCol))((x, u) => x.drop(u))
     val closed = dropU(touched.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax))))
     var updated = touched.filter(hit)
     setCols.foreach(c => updated = updated.withColumn(c, col(s"_u_$c")))
+    val cascaded = dependentComputed(m, setCols.toSet)
     updated = recomputeCascade(dropU(updated), setCols.toSet, m)
       .withColumn(VMin, lit(v))
       .withColumn(VMax, lit(Live))
       .select(closed.columns.map(col): _*)
-    rewrite(m, v, "batch_update", closed.union(updated),
-      manifestFilesMatching(m, hitFiles))
+    val obs = org.apache.spark.sql.Observation()
+    val out = closed.union(updated)
+      .observe(obs, sum(when(col(VMin) === v, 1L)).as("_n"))
+    val ver = rewrite(m, v, "batch_update", out, manifestFilesMatching(m, hitFiles))
+    val n = Option(obs.get("_n")).collect { case x: java.lang.Long => x.longValue() }
+      .getOrElse(0L)
+    GraftTable.UpdateStatus(ver, numRows = n,
+      numComputedValues = n * cascaded.length,
+      updatedCols = setCols.sorted ++ cascaded)
   }
 
   /** Re-evaluate one or more stored computed columns (reference

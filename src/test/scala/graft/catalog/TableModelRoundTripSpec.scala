@@ -119,6 +119,40 @@ class TableModelRoundTripSpec extends AnyFunSuite {
     assert(u.insertStatus(Seq(Tuple1(1L), Tuple1(2L)).toDF("id")).numRows == 2)
   }
 
+  test("delete/update/batchUpdate statuses: exact counts via Observation, no extra job") {
+    val cat = newCat()
+    val t = GraftTable.create(spark, cat, "status_dml", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("x", "double"),
+      ColumnDef("x2", "double", Some("x * 2")),
+      ColumnDef("y", "string")))
+    t.insert((1 to 10).map(i => (i.toLong, i * 1.0, s"r$i")).toDF("id", "x", "y"))
+
+    val up = t.updateStatus(Map("x" -> "x + 100"), "id <= 3")
+    assert(up.numRows == 3)
+    assert(up.updatedCols == Seq("x", "x2")) // set col + cascaded computed
+    assert(up.numComputedValues == 3) // 3 rows × 1 recomputed column
+    // updating a column nothing depends on cascades nothing
+    val up2 = t.updateStatus(Map("y" -> "concat(y, '!')"), "id = 1")
+    assert(up2.numRows == 1 && up2.updatedCols == Seq("y") &&
+      up2.numComputedValues == 0)
+
+    val bu = t.batchUpdateStatus(
+      Seq((5L, 500.0), (6L, 600.0), (99L, 1.0)).toDF("id", "x"), Seq("id"))
+    assert(bu.numRows == 2) // key 99 matches nothing
+    assert(bu.updatedCols == Seq("x", "x2"))
+    assert(bu.numComputedValues == 2)
+    // no-match batch is a no-op status
+    assert(t.batchUpdateStatus(Seq((77L, 1.0)).toDF("id", "x"), Seq("id"))
+      .numRows == 0)
+
+    val del = t.deleteStatus("id > 8")
+    assert(del.numRows == 2 && del.version == t.currentVersion)
+    assert(t.deleteStatus("id > 800").numRows == 0) // predicate misses
+    assert(t.read().count() == 8)
+    // values actually landed (the statuses weren't just counted)
+    assert(t.read().where("id = 5").select("x2").as[Double].head() == 1000.0)
+  }
+
   test("pre-upgrade meta.json (no column-property fields) loads with defaults") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tm3").toString
     val cat = new Catalog(dir)
