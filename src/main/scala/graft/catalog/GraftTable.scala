@@ -330,18 +330,24 @@ final class GraftTable private (
     * is collected. The join strategy is left to Catalyst/AQE: small key sets
     * broadcast, large ones shuffle.
     */
-  def deleteByKeys(keys: DataFrame, keyCol: String): Long = {
-    val ver = deleteByKeysInner(keys, keyCol)
+  def deleteByKeys(keys: DataFrame, keyCol: String): Long =
+    deleteByKeysStatus(keys, keyCol).version
+
+  /** deleteByKeys + UpdateStatus counts (Observation on the rewrite). */
+  def deleteByKeysStatus(keys: DataFrame, keyCol: String): GraftTable.UpdateStatus = {
+    val st = deleteByKeysInner(keys, keyCol)
     squashIfUnversioned()
-    ver
+    st
   }
 
-  private def deleteByKeysInner(keys: DataFrame, keyCol: String): Long = retryOnConflict {
+  private def deleteByKeysInner(keys: DataFrame,
+      keyCol: String): GraftTable.UpdateStatus = retryOnConflict {
     val m = meta
     val v = m.currentVersion + 1
     require(keys.columns.length == 1, "deleteByKeys expects a single-column key frame")
     val files = m.activeFiles(m.currentVersion)
-    if (files.isEmpty) return noopVersion(m, v, "delete")
+    if (files.isEmpty)
+      return GraftTable.UpdateStatus(noopVersion(m, v, "delete"), 0L, 0L)
     val k = keys.toDF("_k").distinct()
     val df = toLogical(
       spark.read.option("mergeSchema", "true").parquet(files: _*), m)
@@ -350,11 +356,17 @@ final class GraftTable private (
     val hit = col(VMax) === Live && k("_k").isNotNull
     val hitFiles = joined.filter(hit).select(FileCol).distinct()
       .collect().map(_.getString(0))
-    if (hitFiles.isEmpty) return noopVersion(m, v, "delete")
+    if (hitFiles.isEmpty)
+      return GraftTable.UpdateStatus(noopVersion(m, v, "delete"), 0L, 0L)
+    val obs = org.apache.spark.sql.Observation()
     val out = joined.filter(col(FileCol).isin(hitFiles.toSeq: _*))
       .withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax)))
       .drop(FileCol).drop("_k")
-    rewrite(m, v, "delete", out, manifestFilesMatching(m, hitFiles))
+      .observe(obs, sum(when(col(VMax) === v, 1L)).as("_n"))
+    val ver = rewrite(m, v, "delete", out, manifestFilesMatching(m, hitFiles))
+    val n = Option(obs.get("_n")).collect { case x: java.lang.Long => x.longValue() }
+      .getOrElse(0L)
+    GraftTable.UpdateStatus(ver, numRows = n, numComputedValues = 0L)
   }
 
   /** Update columns on rows matching a predicate; dependent computed columns

@@ -68,18 +68,24 @@ object Views {
     * refresh (`_v_min > lastSeen`) and append them to the view store.
     */
   def refreshComponentView(view: GraftTable, base: GraftTable,
-      iteratorExprSql: String, valueCol: String, keepCols: Seq[String]): Long = {
+      iteratorExprSql: String, valueCol: String, keepCols: Seq[String]): Long =
+    refreshComponentViewStatus(view, base, iteratorExprSql, valueCol, keepCols).version
+
+  private def refreshComponentViewStatus(view: GraftTable, base: GraftTable,
+      iteratorExprSql: String, valueCol: String,
+      keepCols: Seq[String]): GraftTable.UpdateStatus = {
     val (lastSeen, epoch) = healAfterRevert(view, base)
     val baseVersion = base.currentVersion
-    if (baseVersion <= lastSeen) return view.currentVersion
+    if (baseVersion <= lastSeen)
+      return GraftTable.UpdateStatus(view.currentVersion, 0L, 0L)
     val fresh = base.readWithSystem()
       .filter(col(GraftTable.VMin) > lastSeen && col(GraftTable.VMax) === GraftTable.Live)
     val expanded = expand(fresh, iteratorExprSql, valueCol)
       .select((Seq(col(GraftTable.RowId).as(BaseRowId), col(Pos), col(valueCol)) ++
         keepCols.map(col)): _*)
-    val v = view.insert(expanded)
+    val st = view.insertStatus(expanded)
     setMark(view, lastSeenKey(base), baseVersion, base, epoch)
-    v
+    st
   }
 
   /** Full incremental sync: propagate base DELETEs and UPDATEs in addition
@@ -89,9 +95,24 @@ object Views {
     * the same `_rowid`) are re-expanded by the insert path.
     */
   def syncComponentView(view: GraftTable, base: GraftTable,
-      iteratorExprSql: String, valueCol: String, keepCols: Seq[String]): Long = {
+      iteratorExprSql: String, valueCol: String, keepCols: Seq[String]): Long =
+    syncComponentViewStatus(view, base, iteratorExprSql, valueCol, keepCols)
+      .viewVersion
+
+  /** One base table's view-maintenance counts — the reference's
+    * cascade_row_count_stats (`catalog/update_status.py`): how many view
+    * rows a sync deleted and inserted, each from the Observation/footer
+    * machinery of the underlying DML (no extra jobs).
+    */
+  final case class SyncStats(viewVersion: Long, rowsDeleted: Long,
+      rowsInserted: Long)
+
+  def syncComponentViewStatus(view: GraftTable, base: GraftTable,
+      iteratorExprSql: String, valueCol: String,
+      keepCols: Seq[String]): SyncStats = {
     val (lastSeen, _) = healAfterRevert(view, base)
     val baseVersion = base.currentVersion
+    var deleted = 0L
     if (baseVersion > lastSeen) {
       // rows closed (deleted or replaced) after the last sync — must read
       // history, not the MVCC-visible image, to see them. The closed-rowid
@@ -102,9 +123,12 @@ object Views {
         .filter(col(GraftTable.VMax) > lastSeen &&
           col(GraftTable.VMax) =!= GraftTable.Live)
         .select(col(GraftTable.RowId))
-      if (!closed.isEmpty) view.deleteByKeys(closed, BaseRowId)
+      if (!closed.isEmpty)
+        deleted = view.deleteByKeysStatus(closed, BaseRowId).numRows
     }
-    refreshComponentView(view, base, iteratorExprSql, valueCol, keepCols)
+    val st = refreshComponentViewStatus(view, base, iteratorExprSql,
+      valueCol, keepCols)
+    SyncStats(st.version, deleted, st.numRows)
   }
 
   // ---------- materialized predicate/select views ----------
@@ -132,21 +156,28 @@ object Views {
     * removed and not re-added).
     */
   def syncMaterializedView(view: GraftTable, base: GraftTable,
-      whereSql: Option[String], selectExprs: Seq[(String, String)]): Long = {
+      whereSql: Option[String], selectExprs: Seq[(String, String)]): Long =
+    syncMaterializedViewStatus(view, base, whereSql, selectExprs).viewVersion
+
+  def syncMaterializedViewStatus(view: GraftTable, base: GraftTable,
+      whereSql: Option[String],
+      selectExprs: Seq[(String, String)]): SyncStats = {
     val (lastSeen, epoch) = healAfterRevert(view, base)
     val baseVersion = base.currentVersion
-    if (baseVersion <= lastSeen) return view.currentVersion
+    if (baseVersion <= lastSeen) return SyncStats(view.currentVersion, 0L, 0L)
     // distributed closed-row propagation — see syncComponentView
     val closed = base.readHistory()
       .filter(col(GraftTable.VMax) > lastSeen &&
         col(GraftTable.VMax) =!= GraftTable.Live)
       .select(col(GraftTable.RowId))
-    if (!closed.isEmpty) view.deleteByKeys(closed, BaseRowId)
+    val deleted =
+      if (closed.isEmpty) 0L
+      else view.deleteByKeysStatus(closed, BaseRowId).numRows
     val fresh = base.readWithSystem()
       .filter(col(GraftTable.VMin) > lastSeen && col(GraftTable.VMax) === GraftTable.Live)
-    val v = view.insert(mvTransform(fresh, whereSql, selectExprs))
+    val st = view.insertStatus(mvTransform(fresh, whereSql, selectExprs))
     setMark(view, lastSeenKey(base), baseVersion, base, epoch)
-    v
+    SyncStats(st.version, deleted, st.numRows)
   }
 
   private def mvTransform(rows: DataFrame, whereSql: Option[String],

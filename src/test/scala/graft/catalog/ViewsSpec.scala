@@ -34,6 +34,40 @@ class ViewsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Int](Views.Pos)).toSeq == Seq(0, 1, 2, 0, 1))
   }
 
+  test("sync statuses report cascade counts (reference cascade_row_count_stats)") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "docs_ss", cols)
+    t.insert(Seq((1L, "a b"), (2L, "x y z")).toDF("id", "text"))
+    val view = Views.createComponentView(spark, cat, "tok_ss", t,
+      "split(text, '\\\\s+')", "token", "string", Seq(ColumnDef("id", "bigint")))
+    // no base change → zero-count no-op
+    val s0 = Views.syncComponentViewStatus(view, t,
+      "split(text, '\\\\s+')", "token", Seq("id"))
+    assert(s0.rowsDeleted == 0 && s0.rowsInserted == 0)
+    // update re-expands: 2 old tokens deleted, 4 new inserted
+    t.update(Map("text" -> "'p q r s'"), "id = 1")
+    val s1 = Views.syncComponentViewStatus(view, t,
+      "split(text, '\\\\s+')", "token", Seq("id"))
+    assert(s1.rowsDeleted == 2 && s1.rowsInserted == 4, s1)
+    // delete cascades: 3 expansions drop, nothing inserted
+    t.delete("id = 2")
+    val s2 = Views.syncComponentViewStatus(view, t,
+      "split(text, '\\\\s+')", "token", Seq("id"))
+    assert(s2.rowsDeleted == 3 && s2.rowsInserted == 0, s2)
+    assert(view.read().count() == 4)
+    // materialized view: same contract
+    val t2 = GraftTable.create(spark, cat, "docs_ss2", cols)
+    t2.insert(Seq((1L, "short"), (2L, "long enough text")).toDF("id", "text"))
+    val mv = Views.createMaterializedView(spark, cat, "mv_ss", t2,
+      Some("length(text) > 10"), Seq("id" -> "id", "up" -> "upper(text)"))
+    t2.insert(Seq((3L, "also long enough")).toDF("id", "text"))
+    t2.delete("id = 2")
+    val ms = Views.syncMaterializedViewStatus(mv, t2,
+      Some("length(text) > 10"), Seq("id" -> "id", "up" -> "upper(text)"))
+    assert(ms.rowsDeleted == 1 && ms.rowsInserted == 1, ms)
+    assert(mv.read().select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("sync propagates base updates and deletes into the view") {
     val cat = freshCatalog()
     val t = GraftTable.create(spark, cat, "docs4", cols)
