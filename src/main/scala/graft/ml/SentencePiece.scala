@@ -85,7 +85,7 @@ final class SentencePiece(
     val t = prependScheme match {
       case "never" => replaced
       case _ => if (replaced.nonEmpty && replaced.charAt(0) == Meta) replaced
-                else Meta + replaced
+                else s"$Meta$replaced"
     }
     if (t.isEmpty) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
