@@ -115,6 +115,23 @@ final class GraftTable private (
     */
   def readHistory(): DataFrame = storedImage(meta)
 
+  /** `col.localpath` through the CATALOG surface: reads the table (at
+    * `version`) and appends `<outCol>`/`<outCol>_errormsg` with
+    * executor-local cached paths for the remote URIs in `uriCol`. Cache
+    * entries are tagged with THIS table's [[graft.multimodal.FileCache.tableId]]
+    * and the column's live ordinal, so `Catalog.dropTable` purges exactly
+    * this table's media from every JVM-local cache (reference
+    * `utils/filecache.py` FileCache.clear(tbl_id) on drop).
+    */
+  def localPath(uriCol: String, outCol: String, cacheDir: String,
+      version: Option[Long] = None): DataFrame = {
+    val m = meta
+    val ord = m.liveColumns.indexWhere(_.name == uriCol)
+    require(ord >= 0, s"no such column on $name: '$uriCol'")
+    graft.multimodal.Multimodal.withLocalPath(read(version), uriCol, outCol,
+      cacheDir, tblId = graft.multimodal.FileCache.tableId(name), colId = ord)
+  }
+
   /** Schema + versioning summary (reference `t.describe()`). */
   def describe(): DataFrame = {
     val m = meta
@@ -702,6 +719,9 @@ final class GraftTable private (
     val m = meta
     val v = m.currentVersion + 1
     val files = m.activeFiles(m.currentVersion)
+    // zero active files: nothing to rewrite regardless of clusterBy —
+    // spark.read.parquet() with no paths would throw instead of noop-ing
+    if (files.isEmpty) return noopVersion(m, v, "compact")
     if (files.size <= targetFiles && clusterBy.isEmpty)
       return noopVersion(m, v, "compact")
     // physical read/write: no logical translation, column mapping and

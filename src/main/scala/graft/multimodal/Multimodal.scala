@@ -145,8 +145,17 @@ object Multimodal {
             p.toString
           } else fc.lookup(uri) match {
             case Some(p) => p.toString // cache hit → no refetch, lease renewed
-            case None    => fc.add(tblId, colId, uri,
-              fetchToTemp(u, fc.dir)).toString
+            case None =>
+              val tmp = fetchToTemp(u, fc.dir)
+              try fc.add(tblId, colId, uri, tmp).toString
+              catch { case e: Throwable =>
+                // add() failed before moving tmp into the cache (e.g.
+                // FILE_CACHE_FULL in ensureCapacity): the '.fetch….part'
+                // name is invisible to scans/clear/budget, so leaving it
+                // would leak disk outside the budget on every retry
+                java.nio.file.Files.deleteIfExists(tmp)
+                throw e
+              }
           }
         }
       },

@@ -78,4 +78,24 @@ class ClusteredCompactSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](t.compact(2, Seq("nope")))
     assert(e.getMessage.contains("no such column"))
   }
+
+  test("compact with clusterBy on a table with no active files is a noop version") {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-clc3").toString)
+    val t = GraftTable.create(spark, cat, "clust3", Seq(
+      ColumnDef("k", "bigint"), ColumnDef("v", "string")))
+    // never inserted: zero active files; clusterBy used to bypass the
+    // noop guard and hit spark.read.parquet() with no paths
+    val v1 = t.compact(targetFiles = 1, clusterBy = Seq("k"))
+    assert(t.read().count() == 0)
+    // same after insert-then-delete-everything (files exist in history,
+    // none active at the current version)
+    t.insert((0 until 10).map(i => (i.toLong, s"r$i")).toDF("k", "v"))
+    t.delete("true")
+    if (t.meta.activeFiles(t.currentVersion).isEmpty) {
+      t.compact(targetFiles = 1, clusterBy = Seq("k"))
+      assert(t.read().count() == 0)
+    }
+    assert(v1 >= 1)
+  }
 }

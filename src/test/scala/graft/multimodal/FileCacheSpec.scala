@@ -249,9 +249,9 @@ class FileCacheSpec extends AnyFunSuite {
           graft.catalog.ColumnDef("uri", "string")))
       t.insert(Seq((1L, base + "a.bin")).toDF("id", "uri"))
       val cacheDir = Files.createTempDirectory("graft-fc-drop-cache").toString
-      // the table's media cached under ITS id; an unrelated entry alongside
-      Multimodal.withLocalPath(t.read(), "uri", "lp", cacheDir,
-        tblId = FileCache.tableId("media_tbl")).collect()
+      // the table's media cached under ITS id — through the catalog
+      // surface, which threads tableId itself; an unrelated entry alongside
+      t.localPath("uri", "lp", cacheDir).collect()
       val fc = FileCache.forDir(cacheDir)
       fc.add(FileCache.tableId("other_tbl"), 0, base + "b.bin",
         download(base + "b.bin", Files.createTempDirectory("d")))
@@ -283,6 +283,36 @@ class FileCacheSpec extends AnyFunSuite {
         spark.conf.unset("spark.graft.fileCache.capacityBytes")
         spark.conf.unset("spark.graft.fileCache.leaseSeconds")
       }
+    } finally stop()
+  }
+
+  test("FILE_CACHE_FULL during withLocalPath does not leak the downloaded temp file") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // 4 KiB file through a 1 KiB budget: ensureCapacity can never fit it,
+    // add throws FILE_CACHE_FULL — the per-cell error must also clean up
+    // the '.fetch…' temp (invisible to scans/clear/budget otherwise)
+    val files = Map("big.bin" -> Array.fill[Byte](4096)(7))
+    val (base, stop) = serve(files)
+    try {
+      val cacheDir = Files.createTempDirectory("graft-fc-leak").toString
+      spark.conf.set("spark.graft.fileCache.capacityBytes", "1024")
+      try {
+        val df = Seq((1L, base + "big.bin"), (2L, base + "big.bin"))
+          .toDF("id", "uri")
+        val out = Multimodal.withLocalPath(df, "uri", "localpath", cacheDir)
+          .collect()
+        assert(out.forall(r => Option(r.getAs[String]("localpath_errormsg"))
+          .exists(_.contains("FILE_CACHE_FULL"))))
+        val s = Files.list(java.nio.file.Paths.get(cacheDir))
+        val leftover = try {
+          val it = s.iterator(); val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().getFileName.toString
+          b.result()
+        } finally s.close()
+        assert(leftover.forall(!_.startsWith(".fetch")),
+          s"leaked temp files: $leftover")
+      } finally spark.conf.unset("spark.graft.fileCache.capacityBytes")
     } finally stop()
   }
 
