@@ -1747,15 +1747,18 @@ object LocalModels {
   final class MarianBundle(val cfg: BartConfig, val weights: Map[String, Tensor],
       val vocab: Map[String, Int], val merges: Seq[(String, String)],
       val langCodeToId: Map[String, Int],
-      val spTokenizerJson: Option[String] = None)
+      val spTokenizerJson: Option[String] = None,
+      val spModelProto: Option[Array[Byte]] = None)
       extends Serializable {
     @transient lazy val model: BartModel = new BartModel(cfg, weights)
     /** SentencePiece when the checkpoint ships a tokenizer.json (the real
-      * opus-mt layout — closes the byte-level stand-in divergence); the
-      * GPT-2-byte BPE otherwise.
+      * opus-mt layout — closes the byte-level stand-in divergence), else
+      * the protobuf `.model`/`source.spm` layout; the GPT-2-byte BPE as
+      * the last resort.
       */
     @transient lazy val tokenizer: TextTokenizer = spTokenizerJson
       .map(SentencePiece.fromJsonString)
+      .orElse(spModelProto.map(SentencePiece.fromModelBytes))
       .getOrElse(new Bpe(vocab, merges, clipMode = false, unkToken = "</s>"))
     /** Marian source encoding: tokens + `</s>` (no BOS). */
     def encodeSource(text: String, maxLen: Int): Seq[Int] =
@@ -1785,7 +1788,16 @@ object LocalModels {
       if (Files.exists(spPath))
         Some(new String(Files.readAllBytes(spPath), StandardCharsets.UTF_8))
       else None
-    new MarianBundle(cfg, weights, vocab, readMerges(modelDir), langs, spJson)
+    // protobuf sentencepiece models, in the names real checkpoint dirs use
+    // (Marian source.spm, XLM-R sentencepiece.bpe.model, T5 spiece.model)
+    val spmBytes =
+      if (spJson.isDefined) None
+      else Seq("source.spm", "sentencepiece.bpe.model", "spiece.model",
+        "tokenizer.model")
+        .map(Paths.get(modelDir, _)).find(Files.exists(_))
+        .map(Files.readAllBytes)
+    new MarianBundle(cfg, weights, vocab, readMerges(modelDir), langs, spJson,
+      spmBytes)
   }
 
   /** Append `outCol: string` — greedy translation. `targetLang` resolves

@@ -42,6 +42,7 @@ final class SentencePiece(
     val byteFallback: Boolean = true,
     val prependScheme: String = "always",
     val specialIds: Set[Int] = Set.empty,
+    val normalizer: SpNormalizer = SpNormalizer.Identity,
 ) extends TextTokenizer {
 
   require(modelType == "unigram" || modelType == "bpe",
@@ -74,6 +75,21 @@ final class SentencePiece(
 
   private val unkScore: Double =
     (if (scoreById.isEmpty) 0.0 else scoreById.min) - 10.0
+
+  /** cost of the unknown-single-codepoint lattice transition: with byte
+    * fallback the segmentation resolves to the cp's `<0xXX>` pieces, so
+    * the transition costs the SUM of those pieces' own scores (matching
+    * the HF/sentencepiece lattice); flat `unkScore` only when the vocab
+    * has no byte pieces to fall back on
+    */
+  private def unkCost(cp: String): Double =
+    if (byteFallback && hasBytePieces) {
+      val bs = cp.getBytes("UTF-8")
+      var s = 0.0
+      var i = 0
+      while (i < bs.length) { s += scoreById(byteIds(bs(i) & 0xff)); i += 1 }
+      s
+    } else unkScore
 
   private val Meta = '▁' // ▁
 
@@ -137,9 +153,12 @@ final class SentencePiece(
         }
         start += 1
       }
-      // the unknown-single-codepoint transition keeps every input tokenizable
-      if (best(end - 1) + unkScore > best(end)) {
-        best(end) = best(end - 1) + unkScore
+      // the unknown-single-codepoint transition keeps every input
+      // tokenizable; inserted only when the cp has no piece of its own
+      // (sentencepiece inserts the unk node iff !has_single_node)
+      if (!vocab.contains(xs(end - 1)) &&
+          best(end - 1) + unkCost(xs(end - 1)) > best(end)) {
+        best(end) = best(end - 1) + unkCost(xs(end - 1))
         backStart(end) = end - 1
         backId(end) = -1
       }
@@ -209,7 +228,9 @@ final class SentencePiece(
     parts.toSeq.flatMap {
       case Right(id)   => Seq(id)
       case Left(plain) =>
-        chunks(plain).flatMap(c =>
+        // normalizer runs on the plain text BETWEEN special tokens (HF
+        // pipeline order for special=true added tokens), then metaspace
+        chunks(normalizer(plain)).flatMap(c =>
           if (modelType == "unigram") unigramChunk(c) else bpeChunk(c))
     }
   }
@@ -261,6 +282,8 @@ object SentencePiece {
       .flatMap(m => Option(m.get("prepend_scheme")).map(_.asText()))
       .getOrElse("always")
 
+    val normalizer = SpNormalizer.parse(root.get("normalizer"))
+
     val (pieces0, merges, unkId0, byteFb) = tpe match {
       case "unigram" =>
         val vocab = model.get("vocab").elements().asScala.map { e =>
@@ -300,7 +323,71 @@ object SentencePiece {
     })
 
     new SentencePiece(if (tpe == "bpe") "bpe" else "unigram", pieces.toSeq,
-      merges, unkId0, byteFb, prepend, special.toSet)
+      merges, unkId0, byteFb, prepend, special.toSet, normalizer)
+  }
+
+  /** Load a sentencepiece protobuf `.model` / `.spm` file (the layout
+    * `source.spm`-shipping checkpoint dirs use — see [[SpModelProto]]).
+    * Mapping to this tokenizer:
+    *  - pieces/scores in id order; CONTROL and USER_DEFINED pieces become
+    *    greedily-matched specials (HF AddedVocabulary behavior);
+    *  - byte fallback from the trainer spec OR the presence of BYTE pieces;
+    *  - `add_dummy_prefix` → prepend scheme; `remove_extra_whitespaces` and
+    *    the `precompiled_charsmap` (exact darts trie — [[PrecompiledCharsMap]])
+    *    become the normalizer chain; a charsmap-less `nfkc`-family name
+    *    approximates as NFKC (+ Nmt for `nmt_*`);
+    *  - BPE models carry no explicit merge list: merges are derived the way
+    *    HF's SentencePieceExtractor does — every (left, right) vocab split
+    *    of a vocab piece, ranked by the merged piece's id.
+    */
+  def fromModelFile(path: String): SentencePiece =
+    fromModelBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  def fromModelBytes(bytes: Array[Byte]): SentencePiece = {
+    val m = SpModelProto.parse(bytes)
+    require(m.modelType == 1 || m.modelType == 2,
+      s"unsupported sentencepiece model_type ${m.modelType} (UNIGRAM/BPE only)")
+    val pieces = m.pieces.map(p => p.piece -> p.score)
+    val ids = pieces.iterator.map(_._1).zipWithIndex.toMap
+    val special = m.pieces.zipWithIndex.collect {
+      case (p, i) if p.tpe == SpModelProto.TypeControl ||
+        p.tpe == SpModelProto.TypeUserDefined ||
+        p.tpe == SpModelProto.TypeUnknown => i // HF marks unk special too
+    }.toSet
+    val byteFb = m.byteFallback ||
+      m.pieces.exists(_.tpe == SpModelProto.TypeByte)
+    val merges =
+      if (m.modelType != 2) Seq.empty[(String, String)]
+      else m.pieces.iterator.zipWithIndex
+        .filter { case (p, i) => p.tpe == SpModelProto.TypeNormal }
+        .flatMap { case (p, mergedId) =>
+          val s = p.piece
+          (1 until s.length).iterator.flatMap { cut =>
+            val (l, r) = (s.substring(0, cut), s.substring(cut))
+            for (li <- ids.get(l); ri <- ids.get(r))
+              yield (mergedId, li, ri, (l, r))
+          }
+        }.toSeq.sortBy(t => (t._1, t._2, t._3)).map(_._4)
+    val steps = Seq.newBuilder[SpNormalizer]
+    if (m.precompiledCharsmap.nonEmpty)
+      steps += SpNormalizer.Precompiled(
+        java.util.Base64.getEncoder.encodeToString(m.precompiledCharsmap))
+    else {
+      val n = m.normalizerName.toLowerCase(java.util.Locale.ROOT)
+      if (n.startsWith("nmt")) steps += SpNormalizer.Nmt
+      if (n.contains("nfkc")) steps += SpNormalizer.Nfx("NFKC")
+    }
+    if (m.removeExtraWhitespaces) steps += SpNormalizer.RemoveExtraWhitespaces
+    val norm = steps.result() match {
+      case Seq()  => SpNormalizer.Identity
+      case Seq(n) => n
+      case ns     => SpNormalizer.Chain(ns)
+    }
+    new SentencePiece(
+      if (m.modelType == 2) "bpe" else "unigram",
+      pieces, merges, m.unkId, byteFb,
+      if (m.addDummyPrefix) "always" else "never",
+      special, norm)
   }
 
   /** Metaspace may sit at top level or inside a Sequence pre-tokenizer */

@@ -19,11 +19,11 @@ class SentencePieceSpec extends AnyFunSuite {
       unkId = 256, byteFallback = true, specialIds = Set(256, 257))
 
   /** brute force: best segmentation of a chunk over the piece set, by total
-    * score, unknown single cp = minScore - 10; ties broken toward fewer
-    * pieces to match "longer piece wins"
+    * score; an unknown single cp (no piece of its own) resolves through
+    * byte fallback at the byte pieces' own scores (-10 each in these
+    * fixtures) — the sentencepiece lattice convention
     */
   private def bruteBest(chunk: String, pieces: Map[String, Double]): Double = {
-    val unk = pieces.values.min - 10.0
     val cps = chunk.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
     val memo = scala.collection.mutable.Map.empty[Int, Double]
     def best(from: Int): Double = memo.getOrElseUpdate(from, {
@@ -33,8 +33,11 @@ class SentencePieceSpec extends AnyFunSuite {
           val s = cps.slice(from, to).mkString
           pieces.get(s).map(_ + best(to))
         }
-        val viaUnk = unk + best(from + 1)
-        (viaPieces :+ viaUnk).max
+        // unknown transition exists only when the cp has no piece of its own
+        val viaUnk =
+          if (pieces.contains(cps(from))) None
+          else Some(-10.0 * cps(from).getBytes("UTF-8").length + best(from + 1))
+        (viaPieces ++ viaUnk).max
       }
     })
     best(0)
@@ -46,7 +49,7 @@ class SentencePieceSpec extends AnyFunSuite {
     val vocabRev = sp.vocab.map(_.swap)
     ids.map { id =>
       val p = vocabRev(id)
-      if (p.startsWith("<0x")) pieces.values.min - 10.0 // byte fallback = unk cost
+      if (p.startsWith("<0x")) -10.0 // byte pieces carry their own score here
       else pieces(p)
     }.sum
   }
@@ -73,9 +76,8 @@ class SentencePieceSpec extends AnyFunSuite {
         while (i < pieces.length) {
           val p = pieces(i)
           if (p.startsWith("<0x")) {
-            // one unknown cp may expand to 1+ byte pieces; these test
-            // strings are ASCII → 1 byte per cp
-            score += scored.values.min - 10.0; i += 1
+            // byte pieces carry their own score (-10 each in this fixture)
+            score += -10.0; i += 1
           } else { score += scored(p); i += 1 }
         }
         score
