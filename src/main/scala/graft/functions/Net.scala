@@ -53,40 +53,103 @@ object Net {
       when(kept === "", lit("")).otherwise(concat(lit("?"), kept)))
   }
 
-  /** Multi-label public suffixes from the bundled PSL snapshot
-    * (publicsuffix.org data, public domain), split by label count so the
-    * longest-match rule is a fixed two-branch check: 3-label suffixes are
-    * tested before 2-label ones, and anything unlisted falls back to the
-    * classic "last label is the suffix" rule.
+  /** The bundled PSL snapshot (publicsuffix.org data, public domain)
+    * parsed into the full rule classes of the public-suffix algorithm:
+    * linear suffixes bucketed by label count (2/3/4), wildcard rules
+    * (`*.ck` → any label under `ck` is a suffix) bucketed by the label
+    * count of their base, and exception rules (`!www.ck` → cancels the
+    * wildcard: `www.ck` IS the registered domain) bucketed by their own
+    * label count. Punycode (`xn--…`) entries are plain ASCII labels and
+    * match through the same probes.
     */
-  private lazy val (suffixes3, suffixes2): (Seq[String], Seq[String]) = {
+  private final case class PslRules(
+      suffixes2: Seq[String], suffixes3: Seq[String], suffixes4: Seq[String],
+      wild1: Seq[String], wild2: Seq[String],
+      exc2: Seq[String], exc3: Seq[String])
+
+  private lazy val psl: PslRules = {
     val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.txt")
     require(in != null, "public_suffix_snapshot.txt missing from resources")
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
       finally in.close()
-    lines.partition(_.count(_ == '.') == 2)
+    def labels(s: String) = s.count(_ == '.') + 1
+    val (excRaw, rest) = lines.partition(_.startsWith("!"))
+    val (wildRaw, linear) = rest.partition(_.startsWith("*."))
+    val exc = excRaw.map(_.substring(1))
+    val wild = wildRaw.map(_.substring(2)) // the base under the '*.'
+    PslRules(
+      suffixes2 = linear.filter(labels(_) == 2),
+      suffixes3 = linear.filter(labels(_) == 3),
+      suffixes4 = linear.filter(labels(_) == 4),
+      wild1 = wild.filter(labels(_) == 1),
+      wild2 = wild.filter(labels(_) == 2),
+      exc2 = exc.filter(labels(_) == 2),
+      exc3 = exc.filter(labels(_) == 3))
   }
 
-  /** Registered domain (public suffix + one label) via the bundled
-    * public-suffix snapshot: `news.bbc.co.uk` → `bbc.co.uk`,
-    * `a.b.example.com` → `example.com`. Longest-match over the snapshot's
-    * 3- then 2-label suffixes; unlisted suffixes fall back to the last-two-
-    * labels rule. IPv4 literals pass through whole (an IP has no registered
-    * domain boundary). Pure Column composition — the suffix sets compile to
-    * `InSet` hash probes inside whole-stage codegen, so the URL-dedup key
-    * stays UDF-free at crawl scale.
+  /** Registered domain (public suffix + one label) via the FULL
+    * public-suffix algorithm over the bundled snapshot:
+    * `news.bbc.co.uk` → `bbc.co.uk`, `a.b.example.com` → `example.com`,
+    * wildcard `foo.bar.ck` → `bar.ck` under `*.ck`, exception
+    * `any.www.ck` → `www.ck` under `!www.ck`, 4-label
+    * `x.pvt.k12.ma.us` → `x.pvt…` stays, punycode `shop.xn--55qx5d.cn` →
+    * itself + one label. Rule precedence is the PSL's: exceptions beat
+    * wildcards beat shorter linear rules; a host that IS a public suffix
+    * returns itself; anything unlisted falls back to the last-two-labels
+    * rule. IPv4 literals pass through whole. Pure Column composition —
+    * the big suffix sets compile to `InSet` hash probes and the small
+    * wildcard/exception sets to short `In` chains, all inside whole-stage
+    * codegen, so the URL-dedup key stays UDF-free at crawl scale.
+    *
+    * `unicodeHosts = true` additionally IDNA-encodes non-ASCII hosts
+    * (`java.net.IDN`) before matching, so unicode-form IDN hosts hit the
+    * punycode rules — this branch is a UDF, so leave it off (the default)
+    * when hosts are already ASCII/punycode, which keeps the plan
+    * UDF-free (asserted in CI by PlanAuditNetSpec).
     */
-  def registeredDomain(url: Column): Column = {
-    val host = regexp_replace(lower(parse_url(url, lit("HOST"))), "^www\\.", "")
+  def registeredDomain(url: Column, unicodeHosts: Boolean = false): Column = {
+    // NO `www.` strip here (unlike canonicalUrl): the PSL walk already
+    // reduces www.example.com to example.com, and stripping would break
+    // the `!www.ck` exception class where `www` IS the registrable label
+    val host = if (!unicodeHosts) lower(parse_url(url, lit("HOST"))) else {
+      // parse_url (java.net.URI) rejects non-ASCII authorities, so fall
+      // back to a regex authority grab, then IDNA-encode the rare
+      // non-ASCII hosts so they match the punycode PSL entries
+      val rawHost = lower(coalesce(parse_url(url, lit("HOST")),
+        nullif(regexp_extract(url,
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)", 1), lit(""))))
+      val idna = udf { (h: String) =>
+        if (h == null) null
+        else try java.net.IDN.toASCII(h).toLowerCase(java.util.Locale.ROOT)
+        catch { case _: IllegalArgumentException => h }
+      }
+      when(rawHost.rlike("^[\\x00-\\x7F]*$"), rawHost).otherwise(idna(rawHost))
+    }
     val labels = split(host, "\\.")
     val n = size(labels)
     def lastK(k: Int): Column = array_join(slice(labels, -k, k), ".")
+    val lastLabel = element_at(labels, -1)
     when(host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$"), host)
       .when(n <= lit(1), host)
-      .when(n >= lit(4) && lastK(3).isInCollection(suffixes3), lastK(4))
-      .when(n >= lit(3) && lastK(2).isInCollection(suffixes2), lastK(3))
+      // exception rules first: they cancel the wildcard below them and
+      // are themselves the registered domain for any host under them
+      .when(lastK(3).isInCollection(psl.exc3), lastK(3))
+      .when(lastK(2).isInCollection(psl.exc2), lastK(2))
+      // longest linear rules next (4-label, e.g. pvt.k12.ma.us)
+      .when(n >= lit(5) && lastK(4).isInCollection(psl.suffixes4), lastK(5))
+      .when(n === lit(4) && lastK(4).isInCollection(psl.suffixes4), host)
+      // 2-label-base wildcards (*.kawasaki.jp → 3-label suffixes)
+      .when(n >= lit(4) && lastK(2).isInCollection(psl.wild2), lastK(4))
+      .when(n === lit(3) && lastK(2).isInCollection(psl.wild2), host)
+      // 3-label linear rules
+      .when(n >= lit(4) && lastK(3).isInCollection(psl.suffixes3), lastK(4))
+      // 1-label-base wildcards (*.ck → 2-label suffixes)
+      .when(n >= lit(3) && lastLabel.isInCollection(psl.wild1), lastK(3))
+      .when(n === lit(2) && lastLabel.isInCollection(psl.wild1), host)
+      // 2-label linear rules, then the classic fallback
+      .when(n >= lit(3) && lastK(2).isInCollection(psl.suffixes2), lastK(3))
       .otherwise(lastK(2))
   }
 

@@ -167,6 +167,47 @@ object Curation {
              |ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
+      "q148_psl_wildcards",
+      (s, dir) => {
+        // The FULL public-suffix algorithm's remaining rule classes over
+        // closed forms of doc_id: a `*.ck` wildcard host, the `!www.ck`
+        // exception that cancels it, the `*.kawasaki.jp` city wildcard,
+        // its `!city.kawasaki.jp` exception, a 4-label `pvt.k12.ma.us`
+        // linear entry, and a punycode `xn--55qx5d.cn` IDN registry.
+        // Still pure Column composition (the wildcard/exception sets are
+        // small `In` chains, the linear sets `InSet` probes), so the
+        // derivation stays map-only whole-stage codegen at crawl scale.
+        import graft.functions.Net
+        val k = (col("doc_id") / 6).cast("long")
+        val url = when(col("doc_id") % 6 === 0,
+            concat(lit("https://shop"), k, lit(".atoll"), k, lit(".ck/p")))
+          .when(col("doc_id") % 6 === 1,
+            concat(lit("https://page"), k, lit(".www.ck/p")))
+          .when(col("doc_id") % 6 === 2,
+            concat(lit("https://ward"), k, lit(".chuo.kawasaki.jp/p")))
+          .when(col("doc_id") % 6 === 3,
+            concat(lit("https://svc"), k, lit(".city.kawasaki.jp/p")))
+          .when(col("doc_id") % 6 === 4,
+            concat(lit("https://sch"), k, lit(".pvt.k12.ma.us/p")))
+          .otherwise(
+            concat(lit("https://brand"), k, lit(".xn--55qx5d.cn/p")))
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 480)
+          .withColumn("domain", Net.registeredDomain(url))
+          .select(col("doc_id"), col("domain"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id, CASE CAST(doc_id % 6 AS INT)
+             |  WHEN 0 THEN 'shop' || (doc_id // 6) || '.atoll' || (doc_id // 6) || '.ck'
+             |  WHEN 1 THEN 'www.ck'
+             |  WHEN 2 THEN 'ward' || (doc_id // 6) || '.chuo.kawasaki.jp'
+             |  WHEN 3 THEN 'city.kawasaki.jp'
+             |  WHEN 4 THEN 'sch' || (doc_id // 6) || '.pvt.k12.ma.us'
+             |  ELSE 'brand' || (doc_id // 6) || '.xn--55qx5d.cn' END AS domain
+             |FROM documents WHERE doc_id < 480
+             |ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
       "q103_mixture_sample",
       (s, dir) => {
         // UniMax/mT5 temperature resampling: per-language sampling rates

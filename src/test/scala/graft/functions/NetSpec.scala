@@ -34,7 +34,7 @@ class NetSpec extends AnyFunSuite {
     assert(canon("https://www.e.com/") == Seq("e.com"))
   }
 
-  test("registeredDomain: last two labels, www stripped") {
+  test("registeredDomain: last two labels; www reduces via the PSL walk") {
     val d = Seq("https://www.news.example.com/x", "http://example.com/",
       "https://a.b.c.example.org/p").toDF("u")
       .select(Net.registeredDomain(col("u"))).collect().map(_.getString(0))
@@ -63,6 +63,44 @@ class NetSpec extends AnyFunSuite {
     assert(dom("https://co.uk/") == Seq("co.uk"))
   }
 
+  test("registeredDomain: wildcard, exception, 4-label and punycode rule classes") {
+    def dom(urls: String*): Seq[String] =
+      urls.toDF("u").select(Net.registeredDomain(col("u"))).collect()
+        .map(_.getString(0)).toSeq
+    // *.ck wildcard: any label under ck is a public suffix
+    assert(dom("https://shop.foo.ck/x") == Seq("shop.foo.ck"))
+    assert(dom("https://a.b.foo.ck/x") == Seq("b.foo.ck"))
+    assert(dom("https://foo.ck/") == Seq("foo.ck")) // host IS the suffix
+    // !www.ck exception cancels the wildcard: www.ck is registrable
+    assert(dom("https://www.ck/") == Seq("www.ck"))
+    assert(dom("https://deep.www.ck/") == Seq("www.ck"))
+    // Japanese city wildcard + its city. exception
+    assert(dom("https://x.chuo.kawasaki.jp/") == Seq("x.chuo.kawasaki.jp"))
+    assert(dom("https://sub.city.kawasaki.jp/") == Seq("city.kawasaki.jp"))
+    assert(dom("https://city.kawasaki.jp/") == Seq("city.kawasaki.jp"))
+    // 4-label linear entries (previously dead data in the 2-label bucket)
+    assert(dom("https://x.pvt.k12.ma.us/") == Seq("x.pvt.k12.ma.us"))
+    assert(dom("https://deep.x.pvt.k12.ma.us/") == Seq("x.pvt.k12.ma.us"))
+    assert(dom("https://pvt.k12.ma.us/") == Seq("pvt.k12.ma.us"))
+    // punycode IDN registries match as plain ASCII labels
+    assert(dom("https://shop.xn--55qx5d.cn/") == Seq("shop.xn--55qx5d.cn"))
+    assert(dom("https://a.shop.xn--55qx5d.cn/") == Seq("shop.xn--55qx5d.cn"))
+    // other wildcard TLDs
+    assert(dom("http://acme.com.np/") == Seq("acme.com.np"))
+    assert(dom("http://x.acme.com.bd/") == Seq("acme.com.bd"))
+  }
+
+  test("registeredDomain unicodeHosts=true: unicode IDN hosts hit punycode rules") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // 公司 = the CJK 'company' registry label; IDNA -> xn--55qx5d
+    val u = "https://shop.\u516C\u53F8.cn/x"
+    val out = Seq(u, "https://plain.example.com/").toDF("u")
+      .select(Net.registeredDomain(col("u"), unicodeHosts = true))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("shop.xn--55qx5d.cn", "example.com"))
+  }
+
   test("registeredDomain properties over random hosts (one Spark pass)") {
     val rnd = new scala.util.Random(4171780)
     val labels = Seq("co", "uk", "com", "au", "example", "deep", "www",
@@ -77,17 +115,18 @@ class NetSpec extends AnyFunSuite {
     rows.foreach { r =>
       val host = r.getString(0)
       val dom = r.getString(1)
-      val base = host.stripPrefix("www.")
+      // no www-strip: under the full PSL algorithm `www` is an ordinary
+      // label (and the registrable one for the !www.ck exception class)
+      val base = host
       val isIp = host.matches("^\\d{1,3}(\\.\\d{1,3}){3}$")
       if (isIp) assert(dom == host, s"$host → $dom")
       else if (!base.contains('.')) assert(dom == base, s"$host → $dom")
       else {
-        // the registered domain is a dot-boundary suffix of the de-www'd
-        // host with 2-4 labels, never the bare public suffix for deeper
-        // hosts, and at least the last two labels
+        // the registered domain is a dot-boundary suffix of the host
+        // with 2-5 labels, and at least the last two labels
         assert(base == dom || base.endsWith("." + dom), s"$host → $dom")
         val n = dom.count(_ == '.') + 1
-        assert(n >= 2 && n <= 4, s"$host → $dom")
+        assert(n >= 2 && n <= 5, s"$host → $dom")
         assert(dom.split("\\.").toSeq ==
           base.split("\\.").toSeq.takeRight(n), s"$host → $dom")
       }

@@ -29,4 +29,21 @@ class PlanAuditNetSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint>"),
       "scan reads more than the single projected column")
   }
+
+  test("q148 executed plan: wildcard/exception classes stay UDF-free Column composition") {
+    assume(new java.io.File("/root/testdata/sf0.001/documents.parquet").exists())
+    val df = graft.SparkEntry.queries("q148_psl_wildcards")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "unexpected UDF in plan")
+    assert(!df.queryExecution.optimizedPlan.toString.contains("ScalaUDF"))
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint>"))
+  }
+
+  test("unicodeHosts=false keeps registeredDomain UDF-free on a plain projection") {
+    import spark.implicits._
+    val df = Seq("https://a.example.co.uk/x").toDF("u")
+      .select(graft.functions.Net.registeredDomain(col("u")))
+    assert(!df.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+  }
 }
