@@ -283,10 +283,22 @@ final class GraftTable private (
     // the files just written are live (squash/vacuum never touch them),
     // so footer counts remain readable after the unversioned squash
     val n = rowCountFromFooters(insertedFiles)
-    GraftTable.UpdateStatus(v, numRows = n,
+    attachCacheWarnings(GraftTable.UpdateStatus(v, numRows = n,
       numComputedValues = n * computedCols.length,
-      updatedCols = computedCols)
+      updatedCols = computedCols))
   }
+
+  /** The reference's `emit_eviction_warnings` (utils/filecache.py:334-338),
+    * fired once per top-level DML op: drain the JVM-local media caches'
+    * working-set re-download warnings onto the returned status. The drain
+    * consumes the "new since last warning" flag, so an op without fresh
+    * re-downloads reports none. (Executor-side caches on a real cluster
+    * surface through `FileCache.clusterStats` instead — a driver can't
+    * synchronously poll remote JVMs at commit time.)
+    */
+  private def attachCacheWarnings(
+      st: GraftTable.UpdateStatus): GraftTable.UpdateStatus =
+    st.copy(cacheWarnings = graft.multimodal.FileCache.drainEvictionWarnings())
 
   /** Unversioned tables retain no history: after every mutation the
     * version log squashes to one entry holding the live file set (the
@@ -354,7 +366,7 @@ final class GraftTable private (
   def deleteByKeysStatus(keys: DataFrame, keyCol: String): GraftTable.UpdateStatus = {
     val st = deleteByKeysInner(keys, keyCol)
     squashIfUnversioned()
-    st
+    attachCacheWarnings(st)
   }
 
   private def deleteByKeysInner(keys: DataFrame,
@@ -383,7 +395,8 @@ final class GraftTable private (
     val ver = rewrite(m, v, "delete", out, manifestFilesMatching(m, hitFiles))
     val n = Option(obs.get("_n")).collect { case x: java.lang.Long => x.longValue() }
       .getOrElse(0L)
-    GraftTable.UpdateStatus(ver, numRows = n, numComputedValues = 0L)
+    attachCacheWarnings(
+      GraftTable.UpdateStatus(ver, numRows = n, numComputedValues = 0L))
   }
 
   /** Update columns on rows matching a predicate; dependent computed columns
@@ -434,9 +447,9 @@ final class GraftTable private (
     // the catch-up appends them so searchIndex ranks by the NEW vector
     maintainIndexes()
     squashIfUnversioned()
-    GraftTable.UpdateStatus(v, numRows = n,
+    attachCacheWarnings(GraftTable.UpdateStatus(v, numRows = n,
       numComputedValues = n * cascaded.length,
-      updatedCols = setExprs.keys.toSeq.sorted ++ cascaded)
+      updatedCols = setExprs.keys.toSeq.sorted ++ cascaded))
   }
 
   /** stored computed columns whose transitive dependencies intersect
@@ -468,7 +481,7 @@ final class GraftTable private (
     val st = batchUpdateInner(updates, keyCols)
     maintainIndexes()
     squashIfUnversioned()
-    st
+    attachCacheWarnings(st)
   }
 
   private def batchUpdateInner(updates: DataFrame,
@@ -1139,7 +1152,10 @@ object GraftTable {
       numRows: Long,
       numComputedValues: Long,
       updatedCols: Seq[String] = Seq.empty,
-      colsWithExcs: Seq[String] = Seq.empty)
+      colsWithExcs: Seq[String] = Seq.empty,
+      // media file-cache working-set warnings drained once per top-level
+      // DML op (reference utils/filecache.py emit_eviction_warnings)
+      cacheWarnings: Seq[String] = Seq.empty)
 
   final case class ColumnMetadataInfo(
       name: String,

@@ -344,6 +344,17 @@ object FileCache {
   def clearTable(tblId: String): Unit =
     instances.values().forEach(_.clear(Some(tblId)))
 
+  /** Drain the pending working-set re-download warnings from every cache
+    * in this JVM (reference `emit_eviction_warnings`) — called by the
+    * catalog's DML surfaces once per top-level op; consumes each cache's
+    * "new since last warning" flag.
+    */
+  def drainEvictionWarnings(): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    instances.values().forEach(fc => fc.evictionWarning().foreach(out += _))
+    out.result()
+  }
+
   private val instances =
     new java.util.concurrent.ConcurrentHashMap[String, FileCache]()
 
@@ -361,17 +372,25 @@ object FileCache {
 
   /** Cluster-wide cache observability (the reference's user-facing
     * `FileCache.stats()`): one row per EXECUTOR that holds a cache for
-    * `cacheDir`, collected by a short map-only job that touches every
-    * executor (tasks on the same JVM report identical values and dedupe
-    * by executor id). Executors that never cached under the dir are
-    * absent — the probe never creates caches.
+    * `cacheDir`. The sweep is a BARRIER stage with exactly
+    * `defaultParallelism` tasks — gang scheduling fills every executor's
+    * task slots simultaneously, so no executor can be silently missing
+    * from the stats (the plain `spark.range` fan-out could skip an
+    * executor under dynamic allocation or locality skew; tasks on the
+    * same JVM report identical values and dedupe by executor id).
+    * Executors that never cached under the dir are absent — the probe
+    * never creates caches. Result size is bounded by executor count.
     */
   def clusterStats(spark: org.apache.spark.sql.SparkSession,
       cacheDir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val cores = spark.sparkContext.defaultParallelism
-    spark.range(0, cores.toLong * 4, 1, cores * 4)
+    val slots = math.max(1, spark.sparkContext.defaultParallelism)
+    val rows = spark.sparkContext.parallelize(0 until slots, slots)
+      .barrier()
       .mapPartitions { _ =>
+        // every task holds its slot until all have reached the barrier →
+        // each executor is occupied by exactly its core count of tasks
+        org.apache.spark.BarrierTaskContext.get().barrier()
         val execId = org.apache.spark.SparkEnv.get.executorId
         peek(cacheDir).iterator.map { fc =>
           val st = fc.stats
@@ -379,6 +398,8 @@ object FileCache {
             st.numEvictions, fc.capacityBytes)
         }
       }
+      .collect() // bounded: ≤ one row per task slot, deduped next
+    rows.toSeq
       .toDF("executor_id", "total_size", "num_files", "num_requests",
         "num_hits", "num_evictions", "capacity_bytes")
       .dropDuplicates("executor_id")

@@ -286,6 +286,36 @@ class FileCacheSpec extends AnyFunSuite {
     } finally stop()
   }
 
+  test("eviction working-set warning surfaces on DML status exactly once per op") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val cacheDir = Files.createTempDirectory("graft-fc-warn").toString
+    val fc = FileCache.forDir(cacheDir)
+    fc.setCapacity(5000)
+    fc.setLeaseSeconds(0)
+    def tmpFile(sz: Int) = {
+      val t = Files.createTempFile(fc.dir, ".fetch", ".bin")
+      Files.write(t, Array.fill[Byte](sz)(1))
+      t
+    }
+    fc.add(FileCache.AnonTableId, 0, "http://warn/a", tmpFile(4096))
+    fc.add(FileCache.AnonTableId, 0, "http://warn/b", tmpFile(4096)) // evicts a
+    assert(fc.lookup("http://warn/a").isEmpty)
+    // downloaded AGAIN after eviction: the working set exceeds the budget
+    fc.add(FileCache.AnonTableId, 0, "http://warn/a", tmpFile(4096))
+    val cat = new graft.catalog.Catalog(
+      Files.createTempDirectory("graft-fc-warn-cat").toString)
+    val t = graft.catalog.GraftTable.create(spark, cat, "warn_tbl",
+      Seq(graft.catalog.ColumnDef("id", "bigint")))
+    // the next top-level DML op drains the warning onto its status…
+    val st1 = t.insertStatus(Seq(1L).toDF("id"))
+    assert(st1.cacheWarnings.exists(_.contains("downloaded multiple times")),
+      s"expected a working-set warning, got ${st1.cacheWarnings}")
+    // …and exactly once: the following op reports none
+    val st2 = t.insertStatus(Seq(2L).toDF("id"))
+    assert(!st2.cacheWarnings.exists(_.contains("downloaded multiple times")))
+  }
+
   test("FILE_CACHE_FULL during withLocalPath does not leak the downloaded temp file") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
