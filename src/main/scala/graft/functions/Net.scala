@@ -62,12 +62,12 @@ object Net {
     * label count. Punycode (`xn--…`) entries are plain ASCII labels and
     * match through the same probes.
     */
-  private final case class PslRules(
+  private[graft] final case class PslRules(
       suffixes2: Seq[String], suffixes3: Seq[String], suffixes4: Seq[String],
       wild1: Seq[String], wild2: Seq[String],
       exc2: Seq[String], exc3: Seq[String])
 
-  private lazy val psl: PslRules = {
+  private[graft] lazy val psl: PslRules = {
     val in = getClass.getResourceAsStream("/graft/public_suffix_snapshot.txt")
     require(in != null, "public_suffix_snapshot.txt missing from resources")
     val lines =
