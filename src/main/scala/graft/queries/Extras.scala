@@ -1007,6 +1007,47 @@ object Extras {
              |WHERE l_orderkey >= 300 AND l_orderkey < 900""".stripMargin),
     ),
     QueryDef(
+      "q149_recompute_columns",
+      (s, dir) => {
+        // recompute_columns (reference catalog/table.py:1025-1060) in the
+        // correctness gate: a computed column materialized under one UDF
+        // definition, the UDF's behavior CHANGED, then a where-restricted
+        // cascading recompute — only matching rows re-evaluate, the
+        // transitive dependent follows, untouched rows keep old values,
+        // and time travel still sees the pre-recompute materialization.
+        // Every output is a closed form of doc_id for the DuckDB oracle.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        s.udf.register("rc149", (x: Double) => x * 2)
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q149").toString)
+        val t = GraftTable.create(s, cat, "rc_docs", Seq(
+          ColumnDef("doc_id", "bigint"),
+          ColumnDef("v", "double"),
+          ColumnDef("d", "double", computedExpr = Some("rc149(v)")),
+          ColumnDef("e", "double", computedExpr = Some("d + 1"))))
+        t.insert(T(s, dir, "documents")
+          .filter(col("doc_id") < 120)
+          .select(col("doc_id"), col("doc_id").cast("double").as("v"))
+          .repartition(4))
+        val vOld = t.currentVersion
+        s.udf.register("rc149", (x: Double) => x * 10) // behavior change
+        t.recomputeColumns(Seq("d"), whereSql = Some("doc_id < 60"))
+        val now = t.read().select(col("doc_id"), col("d"), col("e"))
+        val old = t.read(Some(vOld))
+          .select(col("doc_id"), col("d").as("d_old"))
+        graft.QueryUtil.orderedSmall(
+          now.join(old, Seq("doc_id")), col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  CASE WHEN doc_id < 60 THEN doc_id * 10.0
+             |       ELSE doc_id * 2.0 END AS d,
+             |  CASE WHEN doc_id < 60 THEN doc_id * 10.0 + 1
+             |       ELSE doc_id * 2.0 + 1 END AS e,
+             |  doc_id * 2.0 AS d_old
+             |FROM documents WHERE doc_id < 120
+             |ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
       "q83_schema_evolution",
       (s, dir) => {
         // round-2 schema DDL in the correctness gate: rename (metadata-only
