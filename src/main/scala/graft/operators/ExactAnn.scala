@@ -29,7 +29,7 @@ object ExactAnn {
 
   final case class Ivf(model: KMeans.Model, radii: Map[Int, Double])
 
-  private[operators] def normalized(vec: Column): Column = {
+  private[graft] def normalized(vec: Column): Column = {
     val d = vec.cast("array<double>")
     val n = sqrt(aggregate(zip_with(d, d, (x, y) => x * y), lit(0.0), (a, x) => a + x))
     transform(d, x => x / n)

@@ -56,6 +56,18 @@ object Pipeline {
 
   private def queryVecCol: Column = array(queryVec.map(lit): _*)
 
+  /** second probe direction for q150 (dyadic-exact like queryVec) */
+  private val queryVec2: Seq[Double] = (0 until 64).map(i => ((i * 3 % 11) - 5) * 0.125)
+
+  private def queryVec2Sql: String =
+    queryVec2.mkString("[", ", ", "]::DOUBLE[]")
+
+  /** unit-normalized literal vector column (dot with unit vecs = cosine) */
+  private def unitCol(q: Seq[Double]): Column = {
+    val n = math.sqrt(q.map(x => x * x).sum)
+    array(q.map(x => lit(x / n)): _*)
+  }
+
   private val stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "to", "and"),
     "de" -> Seq("der", "die", "und", "das", "ein"),
@@ -431,6 +443,69 @@ object Pipeline {
              |         THEN 1 ELSE 0 END AS new_s
              |    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)))
              |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin),
+    ),
+    QueryDef(
+      "q150_ann_ivfpq",
+      (s, dir) => {
+        // IVF-PQ (graft.operators.Pq — Jégou et al. 2011, the faiss IVFPQ
+        // layout): bit-deterministic driver-side training on a bounded
+        // md5-ordered sample, map-only 8-byte-per-vector encode (32x
+        // compression — the memory shape that lets a 100 TB embedding
+        // store score off codes), ADC candidate scoring with one M x ks
+        // lookup table, exact cosine re-rank of the bounded candidate
+        // pool. PQ is APPROXIMATE, so the gate is the approximation
+        // CONTRACT, per query vector: the returned rank-1 must equal the
+        // exact nearest neighbor VALUE-EXACTLY (vec_id + cosine — the
+        // re-rank is exact arithmetic, so this hash-fails if the true NN
+        // ever drops out of the candidate pool), recall@10 vs the exact
+        // top-10 must clear 0.7 (measured 0.8-1.0 across sf0.001-0.1),
+        // k rows must come back, and codes must be exactly M=8 bytes.
+        // Exact ranking equivalence on controlled data is pinned by
+        // PqSpec (full-probe degeneracy + separable-cluster exactness).
+        import graft.operators.Pq
+        import s.implicits._
+        val emb = T(s, dir, "embeddings")
+        val model = Pq.build(emb, "embedding", "vec_id", kc = 8, m = 8, ks = 16)
+        val codes = Pq.encode(emb, "embedding", "vec_id", model)
+        val codeBytesOk = codes.agg(max(length(col("code"))).as("mx"),
+          min(length(col("code"))).as("mn")).head() match {
+          case r => r.getInt(0) == 8 && r.getInt(1) == 8
+        }
+        val queries = Seq(1 -> queryVec, 2 -> queryVec2)
+        queries.map { case (qid, q) =>
+          val approx = Pq.search(emb, codes, "embedding", "vec_id", model, q,
+            k = 10, nprobe = 6, rerank = 200).collect()
+          val exact = emb.select(col("vec_id").cast("long").as("vec_id"),
+              aggregate(zip_with(
+                graft.operators.ExactAnn.normalized(col("embedding")),
+                unitCol(q), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+                .as("cos"))
+            .orderBy(col("cos").desc, col("vec_id")).limit(10).collect()
+          val recall = approx.map(_.getLong(0)).toSet
+            .intersect(exact.map(_.getLong(0)).toSet).size / 10.0
+          (qid, approx.head.getLong(0),
+            BigDecimal(approx.head.getDouble(1)).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble,
+            recall >= 0.7, approx.length == 10, codeBytesOk)
+        }.toDF("qid", "nn_vec_id", "nn_cos", "recall_ok", "k_ok", "code_ok")
+          .orderBy("qid")
+      },
+      Some(s"""WITH sc AS (
+              |  SELECT 1 AS qid, $queryVecSql AS q
+              |  UNION ALL SELECT 2, $queryVec2Sql),
+              |ranked AS (
+              |  SELECT qid, vec_id,
+              |    round(list_dot_product(embedding::DOUBLE[], q) /
+              |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              |       sqrt(list_dot_product(q, q))), 6) AS c,
+              |    row_number() OVER (PARTITION BY qid ORDER BY
+              |      list_dot_product(embedding::DOUBLE[], q) /
+              |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              |       sqrt(list_dot_product(q, q))) DESC, vec_id) AS rk
+              |  FROM embeddings, sc)
+              |SELECT qid, vec_id AS nn_vec_id, c AS nn_cos,
+              |  TRUE AS recall_ok, TRUE AS k_ok, TRUE AS code_ok
+              |FROM ranked WHERE rk = 1 ORDER BY qid""".stripMargin),
     ),
     QueryDef(
       "q81_ann_ivf_learned",
