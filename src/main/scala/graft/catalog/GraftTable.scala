@@ -825,6 +825,35 @@ final class GraftTable private (
       indexedThrough = m.currentVersion)))
   }
 
+  /** Declare an IVF-PQ index over `column` (graft.operators.Pq — the
+    * faiss-IVFPQ layout: 8-byte codes, 32× compression at d=64, ADC
+    * candidate scoring off codes only). Maintained by DML like the HNSW
+    * index: inserts ENCODE their rows with the existing model into a
+    * fresh code segment (no retrain — the PQ advantage for streaming
+    * appends), and past `segmentThreshold` segments the model retrains
+    * and all codes rewrite into a fresh dir swapped in via the CAS.
+    * IndexDef field reuse for kind="ivfpq": `shards`=coarse cells,
+    * `m`=subspaces, `efConstruction`=per-subspace codebook size.
+    */
+  def createIvfPqIndex(idxName: String, column: String, idCol: String,
+      cells: Int = 8, pqM: Int = 8, pqKs: Int = 16,
+      segmentThreshold: Int = 16): Unit = retryOnConflict {
+    val m = meta
+    require(!m.indexes.exists(_.name == idxName), s"index $idxName exists on $name")
+    val path = s"${catalog.warehouse}/$name/index/$idxName"
+    val live = read().filter(col(column).isNotNull)
+    val model = graft.operators.Pq.build(live, column, idCol, cells, pqM, pqKs)
+    graft.operators.Pq.saveModel(spark, s"$path/model", model)
+    graft.operators.Pq.encode(live, column, idCol, model)
+      .write.mode("overwrite").parquet(s"$path/codes/seg-init")
+    commitMeta(m, m.copy(indexes = m.indexes :+ IndexDef(idxName, column,
+      idCol, "ivfpq", path, cells, pqM, pqKs, segmentThreshold,
+      indexedThrough = m.currentVersion)))
+  }
+
+  private def readPqCodes(path: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(s"$path/codes")
+
   /** ANN search through a declared index. The graphs supply CANDIDATE ids
     * only; scores come from re-ranking against the LIVE vector column
     * (`Hnsw.searchRerank`'s broadcast-join shape) — so a row whose
@@ -845,26 +874,46 @@ final class GraftTable private (
       .filter(col(ix.column).isNotNull)
       .select(col(ix.idCol).cast("long").as("vec_id"),
         col(ix.column).cast("array<double>").as("_vec"))
-    // total indexed rows, from segment summaries (one row per segment)
-    val totalRow = spark.read.parquet(ix.path).agg(sum(col("n"))).head
-    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    val isPq = ix.kind == "ivfpq"
+    val pqModel =
+      if (isPq) Some(graft.operators.Pq.loadModel(spark, s"${ix.path}/model"))
+      else None
+    val pqCodes = if (isPq) Some(readPqCodes(ix.path)) else None
+    // total indexed rows: code rows (pq) / segment summaries (hnsw)
+    val total =
+      if (isPq) pqCodes.get.count()
+      else {
+        val r = spark.read.parquet(ix.path).agg(sum(col("n"))).head
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
     val score = VectorFunctions.cosineSimilarity(col("_vec"),
       VectorFunctions.vectorLit(query))
     var fetch = math.max(4 * k, k + 8).toLong
+    // pq escalation widens the coarse probe to ALL cells alongside the
+    // candidate over-fetch (first pass probes the better half)
+    var probeAll = false
     while (true) {
       val fi = math.min(fetch, Int.MaxValue.toLong).toInt
-      val cands = graft.operators.Hnsw
-        .search(spark, ix.path, query, fi, math.max(ef, fi))
-        .select(col("vec_id")).dropDuplicates("vec_id")
+      val cands =
+        if (isPq) {
+          val kc = pqModel.get.kc
+          val nprobe = if (probeAll) kc else math.max(1, (kc + 1) / 2)
+          graft.operators.Pq.candidates(pqCodes.get, pqModel.get, query,
+              fi, nprobe, ix.idCol)
+            .withColumnRenamed(ix.idCol, "vec_id")
+        } else graft.operators.Hnsw
+          .search(spark, ix.path, query, fi, math.max(ef, fi))
+          .select(col("vec_id")).dropDuplicates("vec_id")
       val ranked = live.join(broadcast(cands), Seq("vec_id"))
         .withColumn("cos_sim", score)
         .groupBy(col("vec_id")).agg(max(col("cos_sim")).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(k)
-      if (fetch >= total) return ranked
+      if (fetch >= total && (!isPq || probeAll)) return ranked
       val got = ranked.count()
       if (got >= k) return ranked
       fetch = math.min(total, fetch * 4)
+      probeAll = true
     }
     throw new IllegalStateException("unreachable")
   }
@@ -906,18 +955,38 @@ final class GraftTable private (
               .parquet(newFiles: _*), m)
               .filter(col(VMin) > ix.indexedThrough &&
                 col(ix.column).isNotNull)
-            graft.operators.Hnsw.appendToIndex(newRows, ix.column, ix.idCol,
-              ix.path, shards = 1, ix.m, ix.efConstruction)
+            if (ix.kind == "ivfpq") {
+              // encode with the EXISTING model — appends never retrain
+              val model = graft.operators.Pq.loadModel(spark, s"${ix.path}/model")
+              graft.operators.Pq.encode(newRows, ix.column, ix.idCol, model)
+                .write.mode("overwrite").parquet(s"${ix.path}/codes/seg-v$cur")
+            } else
+              graft.operators.Hnsw.appendToIndex(newRows, ix.column, ix.idCol,
+                ix.path, shards = 1, ix.m, ix.efConstruction)
           }
-          // segment count = index-table row count: tiny metadata-style read
-          val segments = spark.read.parquet(ix.path).count()
+          // segment count: code-segment dirs (pq) / index-table rows (hnsw)
+          val segments =
+            if (ix.kind == "ivfpq") {
+              val d = new java.io.File(s"${ix.path}/codes")
+              Option(d.listFiles()).map(_.count(f =>
+                f.isDirectory && f.getName.startsWith("seg-"))).getOrElse(0).toLong
+            } else spark.read.parquet(ix.path).count()
           val path =
             if (segments <= ix.segmentThreshold) ix.path
             else {
               val fresh = s"${catalog.warehouse}/$name/index/${ix.name}@v$cur"
-              graft.operators.Hnsw.buildIndex(
-                read().filter(col(ix.column).isNotNull),
-                ix.column, ix.idCol, fresh, ix.shards, ix.m, ix.efConstruction)
+              val live = read().filter(col(ix.column).isNotNull)
+              if (ix.kind == "ivfpq") {
+                // threshold rebuild RETRAINS: drift between the model and
+                // the appended distribution resets here
+                val model = graft.operators.Pq.build(live, ix.column,
+                  ix.idCol, ix.shards, ix.m, ix.efConstruction)
+                graft.operators.Pq.saveModel(spark, s"$fresh/model", model)
+                graft.operators.Pq.encode(live, ix.column, ix.idCol, model)
+                  .write.mode("overwrite").parquet(s"$fresh/codes/seg-init")
+              } else
+                graft.operators.Hnsw.buildIndex(live,
+                  ix.column, ix.idCol, fresh, ix.shards, ix.m, ix.efConstruction)
               fresh
             }
           ix.copy(path = path, indexedThrough = cur)

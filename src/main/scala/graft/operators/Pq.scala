@@ -182,20 +182,32 @@ object Pq {
       .toDF(idCol, "cell", "code")
   }
 
-  /** ADC search over codes + exact re-rank over the true vectors.
-    * Returns (idCol, cos_sim) rows, exact cosine, ordered desc.
+  /** Persist a model: one parquet row holding the java-serialized bytes —
+    * bit-exact round-trip (JSON would re-parse doubles), tiny (kc·d +
+    * M·ks·d/M doubles of driver metadata).
     */
-  def search(df: DataFrame, codes: DataFrame, vecCol: String, idCol: String,
-      model: Model, queryVec: Seq[Double], k: Int,
-      nprobe: Int = 4, rerank: Int = 100): DataFrame = {
-    val spark = df.sparkSession
-    val q = unit(queryVec.toArray)
+  def saveModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      model: Model): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(model); oos.close()
+    import spark.implicits._
+    Seq(Tuple1(bos.toByteArray)).toDF("model")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val bytes = spark.read.parquet(path).head().getAs[Array[Byte]](0)
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try ois.readObject().asInstanceOf[Model] finally ois.close()
+  }
+
+  /** ADC scores for every code row in the probed cells: (id, adc) */
+  private def adcScores(codes: DataFrame, model: Model, q: Array[Double],
+      cells: Set[Int], idCol: String): DataFrame = {
+    val spark = codes.sparkSession
     val ds = model.subDim
-    // coarse probe order: driver math over kc cells
-    val cells = model.coarse.indices
-      .sortBy(c => -dot(q, model.coarse(c))).take(nprobe).toSet
-    // ADC lookup table: M × ks partial dots of q's subvectors (residual
-    // codebooks are cell-independent, so ONE table serves every cell)
     val lut = Array.tabulate(model.m, model.ks) { (mi, j) =>
       var s = 0.0
       var i = 0
@@ -205,7 +217,7 @@ object Pq {
     val cellDot = model.coarse.map(dot(q, _))
     val bcLut = spark.sparkContext.broadcast((lut, cellDot))
     import spark.implicits._
-    val cand = codes
+    codes
       .where(col("cell").isInCollection(cells))
       .select(col(idCol).cast("long"), col("cell"), col("code"))
       .as[(Long, Int, Array[Byte])]
@@ -219,8 +231,39 @@ object Pq {
         }
       }
       .toDF(idCol, "adc")
+  }
+
+  /** top-`fetch` candidate ids by ADC over the `nprobe` best cells —
+    * the candidate stage the catalog's searchIndex re-ranks against live
+    * vectors (TakeOrdered over codes; no corpus-sized shuffle)
+    */
+  def candidates(codes: DataFrame, model: Model, queryVec: Seq[Double],
+      fetch: Int, nprobe: Int, idCol: String): DataFrame = {
+    val q = unit(queryVec.toArray)
+    val cells = model.coarse.indices
+      .sortBy(c => -dot(q, model.coarse(c))).take(nprobe).toSet
+    adcScores(codes, model, q, cells, idCol)
       .orderBy(col("adc").desc, col(idCol))
-      .limit(rerank) // TakeOrderedAndProject over codes — no full shuffle
+      .limit(fetch)
+      .select(idCol)
+      .dropDuplicates(idCol)
+  }
+
+  /** ADC search over codes + exact re-rank over the true vectors.
+    * Returns (idCol, cos_sim) rows, exact cosine, ordered desc.
+    */
+  def search(df: DataFrame, codes: DataFrame, vecCol: String, idCol: String,
+      model: Model, queryVec: Seq[Double], k: Int,
+      nprobe: Int = 4, rerank: Int = 100): DataFrame = {
+    val q = unit(queryVec.toArray)
+    // coarse probe order is driver math; ADC LUT is M × ks partial dots
+    // (residual codebooks are cell-independent — ONE table serves every
+    // cell); TakeOrderedAndProject over codes — no full shuffle
+    val cells = model.coarse.indices
+      .sortBy(c => -dot(q, model.coarse(c))).take(nprobe).toSet
+    val cand = adcScores(codes, model, q, cells, idCol)
+      .orderBy(col("adc").desc, col(idCol))
+      .limit(rerank)
       .select(idCol)
     // exact cosine re-rank of the bounded candidate set
     val qc = array(q.toSeq.map(lit): _*) // unit query → dot IS cosine on unit vectors
