@@ -466,13 +466,16 @@ object Pipeline {
         import s.implicits._
         val emb = T(s, dir, "embeddings")
         val model = Pq.build(emb, "embedding", "vec_id", kc = 8, m = 8, ks = 16)
-        val codes = Pq.encode(emb, "embedding", "vec_id", model)
+        // persist: the gate drives several actions (2 queries × ADC +
+        // exact re-rank + the byte check) and the map-only encode would
+        // otherwise re-run per action
+        val codes = Pq.encode(emb, "embedding", "vec_id", model).persist()
         val codeBytesOk = codes.agg(max(length(col("code"))).as("mx"),
           min(length(col("code"))).as("mn")).head() match {
           case r => r.getInt(0) == 8 && r.getInt(1) == 8
         }
         val queries = Seq(1 -> queryVec, 2 -> queryVec2)
-        queries.map { case (qid, q) =>
+        try queries.map { case (qid, q) =>
           val approx = Pq.search(emb, codes, "embedding", "vec_id", model, q,
             k = 10, nprobe = 6, rerank = 200).collect()
           val exact = emb.select(col("vec_id").cast("long").as("vec_id"),
@@ -489,6 +492,7 @@ object Pipeline {
             recall >= 0.7, approx.length == 10, codeBytesOk)
         }.toDF("qid", "nn_vec_id", "nn_cos", "recall_ok", "k_ok", "code_ok")
           .orderBy("qid")
+        finally { codes.unpersist(blocking = false); () }
       },
       Some(s"""WITH sc AS (
               |  SELECT 1 AS qid, $queryVecSql AS q
