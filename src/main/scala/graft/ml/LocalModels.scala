@@ -1912,14 +1912,22 @@ object LocalModels {
         spExtra,
       unkId = 0,
       addedSpecials = Seq(256 -> "</s>", 257 -> "<pad>",
-        258 -> ">>fra<<", 259 -> ">>deu<<"))
+        258 -> ">>fra<<", 259 -> ">>deu<<"),
+      // real opus-mt checkpoints normalize before metaspace; NFKC here
+      // puts the normalizer stage on q137's gate path (ASCII corpus text
+      // is unaffected, so the oracle closed forms stand)
+      normalizerTypes = Seq("NFKC"))
   }
 
   def ensureTinyMarianModel(seed: Long = 42L): String = synchronized {
     val dir = Paths.get(System.getProperty("java.io.tmpdir"), s"graft_tiny_marian_s$seed")
-    // marker = tokenizer.json so pre-SentencePiece cached dirs regenerate
+    // marker = a tokenizer.json CARRYING a normalizer block, so cached
+    // dirs from before the SentencePiece/normalizer upgrades regenerate
     val marker = dir.resolve("tokenizer.json")
-    if (!Files.exists(marker)) writeTinyMarianModel(dir.toString, seed)
+    val fresh = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), StandardCharsets.UTF_8)
+        .contains("\"normalizer\"")
+    if (!fresh) writeTinyMarianModel(dir.toString, seed)
     dir.toString
   }
 

@@ -397,13 +397,23 @@ object SentencePiece {
       _.elements().asScala.flatMap(findMetaspace(_).iterator).nextOption())
   }
 
-  /** Write a unigram-model tokenizer.json (fixtures / tiny checkpoints). */
+  /** Write a unigram-model tokenizer.json (fixtures / tiny checkpoints).
+    * `normalizerTypes` emits a `Sequence` of parameterless normalizer
+    * nodes (e.g. Seq("NFKC")) in the HF layout.
+    */
   def writeUnigramJson(path: String, pieces: Seq[(String, Double)],
       unkId: Int, byteFallback: Boolean = true,
       addedSpecials: Seq[(Int, String)] = Seq.empty,
-      prependScheme: String = "always"): Unit = {
+      prependScheme: String = "always",
+      normalizerTypes: Seq[String] = Seq.empty): Unit = {
     val mapper = new ObjectMapper()
     val root = mapper.createObjectNode()
+    if (normalizerTypes.nonEmpty) {
+      val norm = root.putObject("normalizer")
+      norm.put("type", "Sequence")
+      val arr = norm.putArray("normalizers")
+      normalizerTypes.foreach(t => arr.addObject().put("type", t))
+    }
     val added = root.putArray("added_tokens")
     addedSpecials.foreach { case (id, content) =>
       val t = added.addObject()

@@ -204,5 +204,10 @@ class SentencePieceSpec extends AnyFunSuite {
     assert(src2.dropRight(1).endsWith(Seq(0x7a, 0x71)))
     // decode inverts: specials stripped
     assert(bundle.tokenizer.decode(src, Set(bundle.cfg.eosTokenId)) == "the")
+    // the checkpoint ships an NFKC normalizer: the fi-ligature input
+    // tokenizes identically to its folded ASCII form
+    val sp = bundle.tokenizer.asInstanceOf[SentencePiece]
+    assert(sp.normalizer != SpNormalizer.Identity)
+    assert(sp.encode("\uFB01n") == sp.encode("fin"))
   }
 }
