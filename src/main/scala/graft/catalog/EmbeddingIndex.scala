@@ -19,9 +19,24 @@ final class EmbeddingIndex(
     val table: GraftTable,
     val column: String,
     val metric: String,
+    // maps a STRING query into the index's embedding space — the
+    // reference's `similarity("query text")` form, where the index's own
+    // embed fn runs on the query (embedding_index.py similarity());
+    // None = vector-only index
+    val queryEmbedder: Option[String => Seq[Double]] = None,
 ) {
   def search(query: Seq[Double], k: Int): DataFrame =
     VectorFunctions.topK(table.read(), col(column), query, k, metric)
+
+  /** `similarity("text")`: embed the query string with the index's own
+    * embedder (driver-side — ONE vector), then the normal vector search.
+    */
+  def searchText(query: String, k: Int): DataFrame = {
+    val f = queryEmbedder.getOrElse(throw new IllegalArgumentException(
+      s"index over ${table.name}.$column has no query embedder — " +
+        "string similarity() needs one (pass queryEmbedder at create)"))
+    search(f(query), k)
+  }
 
   def searchClustered(clusterCol: String, probe: Seq[Int],
       query: Seq[Double], k: Int): DataFrame =
@@ -53,10 +68,23 @@ object EmbeddingIndex {
     * `array<float>` — at 100 TB this is where a model UDF plugs in.
     */
   def create(table: GraftTable, indexedCol: String, embedExprSql: String,
-      metric: String = "cosine"): EmbeddingIndex = {
+      metric: String = "cosine",
+      queryEmbedder: Option[String => Seq[Double]] = None): EmbeddingIndex = {
     val embCol = s"${indexedCol}_idx_emb"
     if (!table.meta.columns.exists(_.name == embCol))
       table.addColumn(ColumnDef(embCol, "array<float>", Some(embedExprSql)))
-    new EmbeddingIndex(table, embCol, metric)
+    new EmbeddingIndex(table, embCol, metric, queryEmbedder)
+  }
+
+  /** CLIP text-tower query embedder (the reference's clip-indexed
+    * `similarity("text")`): the bundle loads lazily ON THE DRIVER and is
+    * reused across queries — embedding one query string is driver math,
+    * the search itself stays a TakeOrdered over the scan.
+    */
+  def clipTextEmbedder(modelDir: String): String => Seq[Double] = {
+    lazy val bundle = graft.ml.LocalModels.loadClip(modelDir)
+    (q: String) =>
+      bundle.model.textEmbed(Seq(bundle.encodeText(q)))
+        .head.map(_.toDouble).toSeq
   }
 }
