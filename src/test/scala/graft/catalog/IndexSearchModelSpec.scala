@@ -31,9 +31,16 @@ class IndexSearchModelSpec extends AnyFunSuite {
     dot / math.sqrt(na * nb)
   }
 
-  test("random DML + search: exact scores, live-only, valid top-k every step") {
-    for (seed <- 0 until 3) {
-      val rnd = new Random(900 + seed)
+  /** `exactTopK=false` = the approximate-index (ivfpq) contract: returned
+    * rows must still be LIVE with EXACT re-ranked scores and k must fill,
+    * but ADC candidate recall is not exhaustive, so top-k validity (no
+    * better row omitted) only holds for the exhaustive-candidate HNSW
+    * configuration (ef >= table size).
+    */
+  private def runModel(firstSeed: Int,
+      createIndex: GraftTable => Unit, exactTopK: Boolean): Unit = {
+    for (seed <- firstSeed until firstSeed + 3) {
+      val rnd = new Random(seed)
       def randVec(): Seq[Float] = Seq.fill(dim)(rnd.nextGaussian().toFloat)
       val cat = new Catalog(
         java.nio.file.Files.createTempDirectory(s"graft-ism-$seed").toString)
@@ -49,8 +56,7 @@ class IndexSearchModelSpec extends AnyFunSuite {
         live = live ++ rows
       }
       insertBatch(20)
-      t.createHnswIndex("ix", "emb", "vec_id", shards = 2,
-        segmentThreshold = 4)
+      createIndex(t)
 
       val query = Seq.fill(dim)(rnd.nextGaussian())
       def check(tag: String): Unit = {
@@ -65,7 +71,7 @@ class IndexSearchModelSpec extends AnyFunSuite {
           assert(math.abs(s - ms) < 1e-6,
             s"seed=$seed $tag: score for $id is $s, model $ms")
         }
-        if (live.size > k) {
+        if (exactTopK && live.size > k) {
           val kth = modelScores.values.toSeq.sorted(Ordering[Double].reverse)(k - 1)
           got.foreach { case (_, s) =>
             assert(s >= kth - 1e-6, s"seed=$seed $tag: sub-top-k row returned") }
@@ -94,5 +100,15 @@ class IndexSearchModelSpec extends AnyFunSuite {
         check(s"step=$step")
       }
     }
+  }
+
+  test("HNSW: random DML + search — exact scores, live-only, valid top-k every step") {
+    runModel(900, _.createHnswIndex("ix", "emb", "vec_id", shards = 2,
+      segmentThreshold = 4), exactTopK = true)
+  }
+
+  test("IVF-PQ: random DML + search — exact scores, live-only, k filled every step") {
+    runModel(1900, _.createIvfPqIndex("ix", "emb", "vec_id", cells = 3,
+      pqM = 4, pqKs = 8, segmentThreshold = 4), exactTopK = false)
   }
 }
