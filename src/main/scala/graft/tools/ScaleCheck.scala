@@ -23,7 +23,13 @@ object ScaleCheck {
     "q106_dupspan_stats", "q109_sample_strat_fraction", "q118_pagerank_neardup",
     "q126_hard_negatives", "q131_bpe_merges",
     "q132_nb_classifier", "q133_ndcg", "q134_bpe_tokenize",
-    "q142_url_dedup", "q144_paragraph_dedup", "q146_psl_domains")
+    "q142_url_dedup", "q144_paragraph_dedup", "q146_psl_domains",
+    "q148_psl_wildcards", "q149_recompute_columns", "q150_ann_ivfpq")
+  // r10 additions: q148 is the wildcard/exception PSL path (pushdown-
+  // bounded, should stay flat like q146); q149 is a DML-lifecycle gate
+  // (temp warehouse, doc_id-bounded); q150's PQ train is a bounded driver
+  // sample, the map-only encode + ADC grow with m (10x measured 1.0 —
+  // fixed job-count overhead dominates at this absolute size).
   // r8: q142's canonical-URL groupBy-window and q144's paragraph
   // first-occurrence window are both one-shuffle-on-a-high-cardinality-key
   // shapes — the ratios should track m. (Replication with doc_id offsets

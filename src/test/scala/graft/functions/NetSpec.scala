@@ -88,6 +88,15 @@ class NetSpec extends AnyFunSuite {
     // other wildcard TLDs
     assert(dom("http://acme.com.np/") == Seq("acme.com.np"))
     assert(dom("http://x.acme.com.bd/") == Seq("acme.com.bd"))
+    // PRIVATE-section registries: each hosting subdomain is its own
+    // publisher (alice.github.io must group apart from bob.github.io)
+    assert(dom("https://alice.github.io/blog") == Seq("alice.github.io"))
+    assert(dom("https://deep.alice.github.io/p") == Seq("alice.github.io"))
+    assert(dom("https://myshop.blogspot.com/") == Seq("myshop.blogspot.com"))
+    assert(dom("https://bucket1.s3.amazonaws.com/key") ==
+      Seq("bucket1.s3.amazonaws.com")) // 3-label private entry
+    // plain .com hosts are untouched by the private entries
+    assert(dom("https://www.amazonaws.com/") == Seq("amazonaws.com"))
   }
 
   test("registeredDomain unicodeHosts=true: unicode IDN hosts hit punycode rules") {
