@@ -1048,6 +1048,53 @@ object Extras {
              |ORDER BY doc_id""".stripMargin),
     ),
     QueryDef(
+      "q151_catalog_tree",
+      (s, dir) => {
+        // The directory-tree surface (reference pxt.create_dir / move /
+        // drop_table / ls, catalog/dir.py) in the correctness gate: dirs
+        // created, tables created UNDER dirs, a table move, a whole-DIR
+        // move (every nested manifest's absolute URIs rewrite), a drop —
+        // then the full tree listed with per-table version AND row count
+        // (the count proves the moved manifests still resolve their data
+        // files). All closed forms → a VALUES oracle.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        import s.implicits._
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q151").toString)
+        cat.createDir("proj")
+        cat.createDir("proj/raw")
+        cat.createDir("archive")
+        val src = T(s, dir, "documents").filter(col("doc_id") < 25)
+          .select(col("doc_id"), col("lang"))
+        val t1 = GraftTable.create(s, cat, "proj/raw/events_tbl", Seq(
+          ColumnDef("doc_id", "bigint"), ColumnDef("lang", "string")))
+        t1.insert(src)
+        val t2 = GraftTable.create(s, cat, "proj/metrics", Seq(
+          ColumnDef("doc_id", "bigint"), ColumnDef("lang", "string")))
+        t2.insert(src.filter(col("doc_id") < 10))
+        t2.insert(src.filter(col("doc_id") >= 10))
+        cat.move("proj/raw/events_tbl", "proj/events_moved")
+        cat.move("proj", "workspace") // dir move: nested manifests rewrite
+        cat.dropTable("workspace/metrics")
+        val dirs = cat.listDirs().map(p => (p, "dir",
+          None: Option[Long], None: Option[Long]))
+        val tables = cat.listTablesUnder().map { p =>
+          val t = GraftTable.open(s, cat, p)
+          (p, "table", Some(t.currentVersion), Some(t.read().count()))
+        }
+        (dirs ++ tables).toDF("path", "kind", "version", "n_rows")
+          .orderBy("path")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('archive', 'dir', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+             |  ('workspace', 'dir', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+             |  ('workspace/raw', 'dir', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)),
+             |  ('workspace/events_moved', 'table', CAST(1 AS BIGINT),
+             |    (SELECT count(*) FROM documents WHERE doc_id < 25))
+             |) t(path, kind, version, n_rows)
+             |ORDER BY path""".stripMargin),
+    ),
+    QueryDef(
       "q83_schema_evolution",
       (s, dir) => {
         // round-2 schema DDL in the correctness gate: rename (metadata-only
