@@ -220,14 +220,16 @@ final class GraftTable private (
   /** Append rows and report the reference's UpdateStatus counts
     * (`catalog/update_status.py`): rows inserted and computed cells
     * evaluated, both from the just-written parquet FOOTERS — driver-side
-    * metadata, no extra Spark job. `colsWithExcs` is always empty here:
-    * computed-expression failures fail the insert (or land per-cell in
-    * error structs via the try_* and AsyncBatcher surfaces), they are
-    * never silently counted.
+    * metadata, no extra Spark job. `numExcs`/`colsWithExcs` count cells
+    * that landed in error state (non-null errortype in a cellmd struct,
+    * non-null `<col>_errormsg` sidecar — the try_* and AsyncBatcher
+    * capture surfaces), also straight from footer null statistics; hard
+    * computed-expression failures still fail the insert.
     */
   def insertStatus(rows: DataFrame): GraftTable.UpdateStatus = {
     var insertedFiles: Seq[String] = Seq.empty
     var computedCols: Seq[String] = Seq.empty
+    var errLeaves: Seq[(String, String, org.apache.spark.sql.Column)] = Seq.empty
     val v = retryOnConflict {
       val m = meta
       val v = m.currentVersion + 1
@@ -254,6 +256,7 @@ final class GraftTable private (
       var df = rows
       val stored = m.computedInTopoOrder.filter(_.stored)
       computedCols = stored.map(_.name)
+      errLeaves = errorLeafDescriptors(m)
       stored.foreach { c =>
         df = df.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
       }
@@ -283,9 +286,15 @@ final class GraftTable private (
     // the files just written are live (squash/vacuum never touch them),
     // so footer counts remain readable after the unversioned squash
     val n = rowCountFromFooters(insertedFiles)
+    // error-cell counts from the same footers (null stats), also job-free
+    val excs = errLeaves
+      .map { case (nm, leaf, _) => nm -> nonNullCountFromFooters(insertedFiles, leaf) }
+      .filter(_._2 > 0)
     attachCacheWarnings(GraftTable.UpdateStatus(v, numRows = n,
       numComputedValues = n * computedCols.length,
-      updatedCols = computedCols))
+      numExcs = excs.map(_._2).sum,
+      updatedCols = computedCols,
+      colsWithExcs = excs.map(_._1)))
   }
 
   /** The reference's `emit_eviction_warnings` (utils/filecache.py:334-338),
@@ -415,6 +424,7 @@ final class GraftTable private (
       predicateSql: String): GraftTable.UpdateStatus = {
     var n = 0L
     var cascaded: Seq[String] = Seq.empty
+    var excCounts: Seq[(String, Long)] = Seq.empty
     val v = retryOnConflict {
       val m = meta
       val v = m.currentVersion + 1
@@ -434,12 +444,21 @@ final class GraftTable private (
             .withColumn(VMin, lit(v))
             .withColumn(VMax, lit(Live))
             .select(closed.columns.map(col): _*)
+          val leaves = errorLeafDescriptors(m)
           val obs = org.apache.spark.sql.Observation()
-          val out = closed.union(updated)
-            .observe(obs, sum(when(col(VMin) === v, 1L)).as("_n"))
+          // error-cell counts ride the SAME CollectMetrics pass as the
+          // row count — still zero extra jobs for num_excs
+          val metrics = sum(when(col(VMin) === v, 1L)).as("_n") +:
+            leaves.zipWithIndex.map { case ((_, _, isErr), i) =>
+              sum(when(col(VMin) === v && isErr, 1L)).as(s"_exc_$i") }
+          val out = closed.union(updated).observe(obs, metrics.head, metrics.tail: _*)
           val res = rewrite(m, v, "update", out, touchedFiles)
           n = Option(obs.get("_n")).collect { case x: java.lang.Long => x.longValue() }
             .getOrElse(0L)
+          excCounts = leaves.zipWithIndex.map { case ((nm, _, _), i) =>
+            nm -> Option(obs.get(s"_exc_$i"))
+              .collect { case x: java.lang.Long => x.longValue() }.getOrElse(0L)
+          }.filter(_._2 > 0)
           res
       }
     }
@@ -449,7 +468,9 @@ final class GraftTable private (
     squashIfUnversioned()
     attachCacheWarnings(GraftTable.UpdateStatus(v, numRows = n,
       numComputedValues = n * cascaded.length,
-      updatedCols = setExprs.keys.toSeq.sorted ++ cascaded))
+      numExcs = excCounts.map(_._2).sum,
+      updatedCols = setExprs.keys.toSeq.sorted ++ cascaded,
+      colsWithExcs = excCounts.map(_._1)))
   }
 
   /** stored computed columns whose transitive dependencies intersect
@@ -517,15 +538,24 @@ final class GraftTable private (
       .withColumn(VMin, lit(v))
       .withColumn(VMax, lit(Live))
       .select(closed.columns.map(col): _*)
+    val leaves = errorLeafDescriptors(m)
     val obs = org.apache.spark.sql.Observation()
-    val out = closed.union(updated)
-      .observe(obs, sum(when(col(VMin) === v, 1L)).as("_n"))
+    val metrics = sum(when(col(VMin) === v, 1L)).as("_n") +:
+      leaves.zipWithIndex.map { case ((_, _, isErr), i) =>
+        sum(when(col(VMin) === v && isErr, 1L)).as(s"_exc_$i") }
+    val out = closed.union(updated).observe(obs, metrics.head, metrics.tail: _*)
     val ver = rewrite(m, v, "batch_update", out, manifestFilesMatching(m, hitFiles))
     val n = Option(obs.get("_n")).collect { case x: java.lang.Long => x.longValue() }
       .getOrElse(0L)
+    val excCounts = leaves.zipWithIndex.map { case ((nm, _, _), i) =>
+      nm -> Option(obs.get(s"_exc_$i"))
+        .collect { case x: java.lang.Long => x.longValue() }.getOrElse(0L)
+    }.filter(_._2 > 0)
     GraftTable.UpdateStatus(ver, numRows = n,
       numComputedValues = n * cascaded.length,
-      updatedCols = setCols.sorted ++ cascaded)
+      numExcs = excCounts.map(_._2).sum,
+      updatedCols = setCols.sorted ++ cascaded,
+      colsWithExcs = excCounts.map(_._1))
   }
 
   /** Re-evaluate one or more stored computed columns (reference
@@ -1157,6 +1187,65 @@ final class GraftTable private (
     }.sum
   }
 
+  /** Error-carrying cell surfaces of the table, for the reference's
+    * `UpdateStatus.num_excs` and `cols_with_excs` counts
+    * (`catalog/update_status.py`): a stored struct column with an
+    * `errortype` field (the cellmd convention — media metadata, try_*
+    * capture structs) or a stored `<col>_errormsg` string sidecar next to
+    * its value column. Returns (reported column name, parquet footer leaf
+    * dot-path under the PHYSICAL schema, error predicate over a LOGICAL
+    * frame).
+    */
+  private def errorLeafDescriptors(m: TableMeta)
+      : Seq[(String, String, org.apache.spark.sql.Column)] =
+    m.liveColumns.filter(_.stored).flatMap { c =>
+      val dt = try org.apache.spark.sql.types.DataType.fromDDL(c.dataType)
+        catch { case _: Exception => org.apache.spark.sql.types.NullType }
+      dt match {
+        case st: org.apache.spark.sql.types.StructType
+            if st.fieldNames.contains("errortype") =>
+          Some((c.name, s"${c.storeName}.errortype",
+            col(c.name).getField("errortype").isNotNull))
+        case _: org.apache.spark.sql.types.StringType
+            if c.name.endsWith("_errormsg") &&
+              m.liveColumns.exists(_.name == c.name.stripSuffix("_errormsg")) =>
+          Some((c.name.stripSuffix("_errormsg"), c.storeName,
+            col(c.name).isNotNull))
+        case _ => None
+      }
+    }
+
+  /** Non-null count of a leaf column across `files`, from footer null
+    * statistics — driver-side metadata, no Spark job. Falls back to one
+    * counting job if a footer lacks null counts (foreign imported files).
+    */
+  private def nonNullCountFromFooters(files: Seq[String], leafDotPath: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    try {
+      files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFooter.getBlocks.asScala.map { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == leafDotPath) match {
+              case None => 0L // column absent in this file: no cells
+              case Some(leaf) =>
+                val st = leaf.getStatistics
+                require(st != null && !st.isEmpty,
+                  s"no null stats for $leafDotPath in $f")
+                b.getRowCount - st.getNumNulls
+            }
+          }.sum
+        } finally r.close()
+      }.sum
+    } catch {
+      case _: Exception => // dotted path = struct field access on the raw read
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
+          .filter(col(leafDotPath).isNotNull).count()
+    }
+  }
+
   private def maxLongFromFooters(files: Seq[String], colName: String): Option[Long] = {
     val conf = spark.sessionState.newHadoopConf()
     try {
@@ -1220,6 +1309,10 @@ object GraftTable {
       version: Long,
       numRows: Long,
       numComputedValues: Long,
+      // cells of THIS op's rows left in error state (reference num_excs):
+      // non-null errortype in a cellmd-style struct column or a non-null
+      // `<col>_errormsg` sidecar; colsWithExcs names the value columns
+      numExcs: Long = 0L,
       updatedCols: Seq[String] = Seq.empty,
       colsWithExcs: Seq[String] = Seq.empty,
       // media file-cache working-set warnings drained once per top-level
