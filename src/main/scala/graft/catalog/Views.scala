@@ -105,13 +105,18 @@ object Views {
     * machinery of the underlying DML (no extra jobs).
     */
   final case class SyncStats(viewVersion: Long, rowsDeleted: Long,
-      rowsInserted: Long)
+      rowsInserted: Long,
+      // media-cache working-set warnings drained by the sync's own DML ops
+      // (reference emit_eviction_warnings: once per top-level operation —
+      // a backfill that fetched, evicted and re-fetched media reports here)
+      cacheWarnings: Seq[String] = Seq.empty)
 
   def syncComponentViewStatus(view: GraftTable, base: GraftTable,
       iteratorExprSql: String, valueCol: String,
       keepCols: Seq[String]): SyncStats = {
     val (lastSeen, _) = healAfterRevert(view, base)
     val baseVersion = base.currentVersion
+    var delWarnings: Seq[String] = Seq.empty
     var deleted = 0L
     if (baseVersion > lastSeen) {
       // rows closed (deleted or replaced) after the last sync — must read
@@ -123,12 +128,16 @@ object Views {
         .filter(col(GraftTable.VMax) > lastSeen &&
           col(GraftTable.VMax) =!= GraftTable.Live)
         .select(col(GraftTable.RowId))
-      if (!closed.isEmpty)
-        deleted = view.deleteByKeysStatus(closed, BaseRowId).numRows
+      if (!closed.isEmpty) {
+        val delSt = view.deleteByKeysStatus(closed, BaseRowId)
+        deleted = delSt.numRows
+        delWarnings = delSt.cacheWarnings
+      }
     }
     val st = refreshComponentViewStatus(view, base, iteratorExprSql,
       valueCol, keepCols)
-    SyncStats(st.version, deleted, st.numRows)
+    SyncStats(st.version, deleted, st.numRows,
+      cacheWarnings = delWarnings ++ st.cacheWarnings)
   }
 
   // ---------- materialized predicate/select views ----------
@@ -170,14 +179,14 @@ object Views {
       .filter(col(GraftTable.VMax) > lastSeen &&
         col(GraftTable.VMax) =!= GraftTable.Live)
       .select(col(GraftTable.RowId))
-    val deleted =
-      if (closed.isEmpty) 0L
-      else view.deleteByKeysStatus(closed, BaseRowId).numRows
+    val delSt = if (closed.isEmpty) None
+      else Some(view.deleteByKeysStatus(closed, BaseRowId))
     val fresh = base.readWithSystem()
       .filter(col(GraftTable.VMin) > lastSeen && col(GraftTable.VMax) === GraftTable.Live)
     val st = view.insertStatus(mvTransform(fresh, whereSql, selectExprs))
     setMark(view, lastSeenKey(base), baseVersion, base, epoch)
-    SyncStats(st.version, deleted, st.numRows)
+    SyncStats(st.version, delSt.map(_.numRows).getOrElse(0L), st.numRows,
+      cacheWarnings = delSt.toSeq.flatMap(_.cacheWarnings) ++ st.cacheWarnings)
   }
 
   private def mvTransform(rows: DataFrame, whereSql: Option[String],
