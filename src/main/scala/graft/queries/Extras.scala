@@ -1095,6 +1095,64 @@ object Extras {
              |ORDER BY path""".stripMargin),
     ),
     QueryDef(
+      "q152_update_status",
+      (s, dir) => {
+        // The reference's UpdateStatus counts (catalog/update_status.py:
+        // num_rows / num_computed_values / num_excs / cols_with_excs) in
+        // the correctness gate, across all three DML shapes. Error cells
+        // follow graft's capture conventions — a `<col>_errormsg` sidecar
+        // and a cellmd-style struct with errortype — and every count is a
+        // closed form of doc_id for the oracle. Insert counts come from
+        // parquet footer statistics, update counts ride the rewrite's
+        // Observation: the gate also proves those two independent count
+        // paths agree with the data.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        import s.implicits._
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q152").toString)
+        val t = GraftTable.create(s, cat, "status_docs", Seq(
+          ColumnDef("doc_id", "bigint"),
+          ColumnDef("x", "double"),
+          ColumnDef("inv", "double",
+            computedExpr = Some("CASE WHEN x <> 0 THEN 10 / x END")),
+          ColumnDef("inv_errormsg", "string",
+            computedExpr = Some("CASE WHEN x = 0 THEN 'division by zero' END")),
+          ColumnDef("md", "struct<errortype:string,errormsg:string>",
+            computedExpr = Some(
+              "named_struct('errortype', CASE WHEN x < 0 THEN 'ValueError' END," +
+                " 'errormsg', CASE WHEN x < 0 THEN 'negative input' END)"))))
+        // x: 0 on doc_id%7=0 (inv sidecar error), negative on the remaining
+        // doc_id%11=0 (md struct error), clean otherwise
+        val st1 = t.insertStatus(T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .select(col("doc_id"), expr(
+            "CASE WHEN doc_id % 7 = 0 THEN 0.0 " +
+              "WHEN doc_id % 11 = 0 THEN -1.0 " +
+              "ELSE CAST(doc_id AS DOUBLE) END").as("x"))
+          .repartition(3))
+        val st2 = t.updateStatus(Map("x" -> "0.0"),
+          "doc_id >= 10 AND doc_id < 15")
+        val st3 = t.batchUpdateStatus(
+          Seq((1L, -3.0), (2L, -3.0)).toDF("doc_id", "x"), Seq("doc_id"))
+        Seq((st1.numRows, st1.numComputedValues, st1.numExcs,
+          st1.colsWithExcs.sorted.mkString(","),
+          st2.numRows, st2.numExcs, st2.colsWithExcs.sorted.mkString(","),
+          st3.numRows, st3.numExcs, st3.colsWithExcs.sorted.mkString(",")))
+          .toDF("n_ins", "cv_ins", "exc_ins", "cols_ins",
+            "n_upd", "exc_upd", "cols_upd", "n_bu", "exc_bu", "cols_bu")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_ins,
+             |  CAST(count(*) * 3 AS BIGINT) AS cv_ins,
+             |  CAST(count(CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0
+             |                  THEN 1 END) AS BIGINT) AS exc_ins,
+             |  'inv,md' AS cols_ins,
+             |  CAST(5 AS BIGINT) AS n_upd, CAST(5 AS BIGINT) AS exc_upd,
+             |  'inv' AS cols_upd,
+             |  CAST(2 AS BIGINT) AS n_bu, CAST(2 AS BIGINT) AS exc_bu,
+             |  'md' AS cols_bu
+             |FROM documents WHERE doc_id < 40""".stripMargin),
+    ),
+    QueryDef(
       "q83_schema_evolution",
       (s, dir) => {
         // round-2 schema DDL in the correctness gate: rename (metadata-only
