@@ -412,16 +412,19 @@ final class GraftTable private (
     * recompute transitively (reference update cascade, `plan.py:414-485`).
     * Updated rows keep their `_rowid`. File-pruned like delete.
     */
-  def update(setExprs: Map[String, String], predicateSql: String): Long =
-    updateStatus(setExprs, predicateSql).version
+  def update(setExprs: Map[String, String], predicateSql: String,
+      cascade: Boolean = true): Long =
+    updateStatus(setExprs, predicateSql, cascade).version
 
   /** Update + the reference's UpdateStatus counts: updated-row count via
     * an `Observation` metric on the rewrite (no extra job); updatedCols =
     * the set columns plus the stored computed columns the cascade
     * recomputed; numComputedValues = rows × recomputed columns.
+    * `cascade=false` (the reference's `update(..., cascade=False)`)
+    * leaves dependent computed columns stale.
     */
-  def updateStatus(setExprs: Map[String, String],
-      predicateSql: String): GraftTable.UpdateStatus = {
+  def updateStatus(setExprs: Map[String, String], predicateSql: String,
+      cascade: Boolean = true): GraftTable.UpdateStatus = {
     var n = 0L
     var cascaded: Seq[String] = Seq.empty
     var excCounts: Seq[(String, Long)] = Seq.empty
@@ -439,8 +442,9 @@ final class GraftTable private (
           val closed = touchedDf.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax)))
           var updated = touchedDf.filter(hit)
           setExprs.foreach { case (c, e) => updated = updated.withColumn(c, expr(e)) }
-          cascaded = dependentComputed(m, setExprs.keySet)
-          updated = recomputeCascade(updated, setExprs.keySet, m)
+          cascaded = if (cascade) dependentComputed(m, setExprs.keySet) else Seq.empty
+          updated = (if (cascade) recomputeCascade(updated, setExprs.keySet, m)
+                     else updated)
             .withColumn(VMin, lit(v))
             .withColumn(VMax, lit(Live))
             .select(closed.columns.map(col): _*)
@@ -491,22 +495,87 @@ final class GraftTable private (
     * columns recompute transitively; unmatched rows and untouched files
     * stay as they are.
     */
-  def batchUpdate(updates: DataFrame, keyCols: Seq[String]): Long =
-    batchUpdateStatus(updates, keyCols).version
+  def batchUpdate(updates: DataFrame, keyCols: Seq[String],
+      cascade: Boolean = true, ifNotExists: String = "error"): Long =
+    batchUpdateStatus(updates, keyCols, cascade, ifNotExists).version
 
   /** batchUpdate + the reference's UpdateStatus counts (same Observation
-    * mechanism as updateStatus — no extra job).
+    * mechanism as updateStatus — no extra job), with the reference's full
+    * surface (`catalog/table.py:978-1022`, `table_version.py:1160-1206`):
+    *
+    *  - `ifNotExists` decides what happens to update rows whose key matches
+    *    no live row: `"error"` (the reference default) raises with the
+    *    unmatched count, `"ignore"` skips them silently, `"insert"` inserts
+    *    them (upsert) — unprovided stored columns land as typed nulls and
+    *    computed columns evaluate exactly as on `insert`; the returned
+    *    status SUMS the update and insert legs like the reference's
+    *    `result += insert_status.to_cascade()`. The unmatched probe, the
+    *    update rewrite and the insert leg all run under the table writer
+    *    lock (the reference's `begin_xact(for_write=True)`), so no
+    *    concurrent writer can change which rows count as unmatched; like
+    *    the reference, the upsert commits as two versions (update, then
+    *    insert).
+    *  - `cascade=false` leaves dependent computed columns STALE (the
+    *    reference's `cascade` flag): only the set columns change.
+    *  - `returnRows=true` populates `UpdateStatus.rows` with one
+    *    column→value map per affected row (updated AND upserted), read
+    *    back from the committed version — a small-batch surface, like the
+    *    reference's `return_rows`.
     */
-  def batchUpdateStatus(updates: DataFrame,
-      keyCols: Seq[String]): GraftTable.UpdateStatus = {
-    val st = batchUpdateInner(updates, keyCols)
-    maintainIndexes()
-    squashIfUnversioned()
-    attachCacheWarnings(st)
-  }
+  def batchUpdateStatus(updates: DataFrame, keyCols: Seq[String],
+      cascade: Boolean = true, ifNotExists: String = "error",
+      returnRows: Boolean = false): GraftTable.UpdateStatus =
+    catalog.withWriterLock(name) {
+      require(Set("error", "ignore", "insert")(ifNotExists),
+        s"ifNotExists must be one of error|ignore|insert, got '$ifNotExists'")
+      // unmatched update rows, decided against the LIVE image under the
+      // writer lock (updates frames are small key-lists: one tiny job)
+      val toInsert: Option[DataFrame] =
+        if (ifNotExists == "ignore") None
+        else {
+          val m = meta
+          val liveKeys = read().select(keyCols.map(col): _*).distinct()
+          val unmatched = updates.join(liveKeys, keyCols, "left_anti")
+          val nMissing = unmatched.count()
+          if (nMissing == 0L) None
+          else if (ifNotExists == "error")
+            throw new NoSuchElementException(
+              s"batch_update(): $nMissing row(s) not found")
+          else {
+            val inputCols = m.liveColumns.filter(c => c.computedExpr.isEmpty)
+            Some(inputCols.foldLeft(unmatched.toDF()) { (d, c) =>
+              if (d.columns.contains(c.name)) d
+              else d.withColumn(c.name, lit(null).cast(c.dataType))
+            }.select(inputCols.map(c => col(c.name)): _*))
+          }
+        }
+      val st0 = batchUpdateInner(updates, keyCols, cascade)
+      maintainIndexes()
+      squashIfUnversioned()
+      val st = attachCacheWarnings(st0)
+      val merged = toInsert.fold(st) { ins =>
+        val is = insertStatus(ins)
+        GraftTable.UpdateStatus(is.version,
+          numRows = st.numRows + is.numRows,
+          numComputedValues = st.numComputedValues + is.numComputedValues,
+          numExcs = st.numExcs + is.numExcs,
+          updatedCols = (st.updatedCols ++ is.updatedCols).distinct,
+          colsWithExcs = (st.colsWithExcs ++ is.colsWithExcs).distinct,
+          cacheWarnings = st.cacheWarnings ++ is.cacheWarnings)
+      }
+      if (!returnRows) merged
+      else {
+        val touched = read().join(
+          broadcast(updates.select(keyCols.map(col): _*).distinct()),
+          keyCols, "left_semi")
+        val cols = touched.columns
+        merged.copy(rows =
+          Some(touched.collect().toSeq.map(_.getValuesMap[Any](cols))))
+      }
+    }
 
-  private def batchUpdateInner(updates: DataFrame,
-      keyCols: Seq[String]): GraftTable.UpdateStatus = retryOnConflict {
+  private def batchUpdateInner(updates: DataFrame, keyCols: Seq[String],
+      cascade: Boolean): GraftTable.UpdateStatus = retryOnConflict {
     val m = meta
     m.primaryKey.filter(k => updates.columns.contains(k) && !keyCols.contains(k))
       .foreach(k => throw new IllegalArgumentException(
@@ -533,8 +602,9 @@ final class GraftTable private (
     val closed = dropU(touched.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax))))
     var updated = touched.filter(hit)
     setCols.foreach(c => updated = updated.withColumn(c, col(s"_u_$c")))
-    val cascaded = dependentComputed(m, setCols.toSet)
-    updated = recomputeCascade(dropU(updated), setCols.toSet, m)
+    val cascaded = if (cascade) dependentComputed(m, setCols.toSet) else Seq.empty
+    updated = (if (cascade) recomputeCascade(dropU(updated), setCols.toSet, m)
+               else dropU(updated))
       .withColumn(VMin, lit(v))
       .withColumn(VMax, lit(Live))
       .select(closed.columns.map(col): _*)
@@ -564,14 +634,21 @@ final class GraftTable private (
     * materialized — a cascade alone never re-runs the column itself.
     * `whereSql` restricts the rewrite to matching rows (file-pruned COW,
     * like `update`); `cascade` also recomputes transitive dependents.
+    * `errorsOnly=true` (reference `recompute_columns(errors_only=True)`,
+    * `catalog/table.py:1031-1040`) restricts to rows whose single named
+    * column is in error state — non-null `errortype` in its cellmd-style
+    * struct or a non-null `<col>_errormsg` sidecar — and, like the
+    * reference, is only allowed with exactly one column.
     * Produces a normal version: time travel sees the old values.
     */
   def recomputeColumns(columns: Seq[String], whereSql: Option[String] = None,
-      cascade: Boolean = true): Long = {
+      cascade: Boolean = true, errorsOnly: Boolean = false): Long = {
     val v = retryOnConflict {
       val m = meta
       val v = m.currentVersion + 1
       require(columns.nonEmpty, "no columns to recompute")
+      require(!errorsOnly || columns.size == 1,
+        "cannot use errorsOnly=true with multiple columns")
       columns.foreach { c =>
         val cd = m.liveColumns.find(_.name == c)
           .getOrElse(throw new IllegalArgumentException(s"no column $c on $name"))
@@ -579,7 +656,13 @@ final class GraftTable private (
         require(cd.stored,
           s"column $c is unstored — it always evaluates fresh, nothing to recompute")
       }
-      val pred = whereSql.map(expr).getOrElse(lit(true))
+      val basePred = whereSql.map(expr).getOrElse(lit(true))
+      val pred = if (!errorsOnly) basePred else {
+        val leaves = errorLeafDescriptors(m).filter(_._1 == columns.head)
+        require(leaves.nonEmpty, s"column ${columns.head} has no error " +
+          "surface (no errortype struct field or _errormsg sidecar)")
+        basePred && leaves.map(_._3).reduce(_ || _)
+      }
       withTouchedFiles(m, pred) match {
         case None => noopVersion(m, v, "recompute")
         case Some((touchedDf, touchedFiles)) =>
@@ -1317,7 +1400,10 @@ object GraftTable {
       colsWithExcs: Seq[String] = Seq.empty,
       // media file-cache working-set warnings drained once per top-level
       // DML op (reference utils/filecache.py emit_eviction_warnings)
-      cacheWarnings: Seq[String] = Seq.empty)
+      cacheWarnings: Seq[String] = Seq.empty,
+      // reference `return_rows=True`: one column→new-stored-value map per
+      // affected row (updated and upserted); None unless requested
+      rows: Option[Seq[Map[String, Any]]] = None)
 
   final case class ColumnMetadataInfo(
       name: String,

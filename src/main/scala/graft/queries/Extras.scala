@@ -1153,6 +1153,79 @@ object Extras {
              |FROM documents WHERE doc_id < 40""".stripMargin),
     ),
     QueryDef(
+      "q153_batch_upsert",
+      (s, dir) => {
+        // The reference's full batch_update surface in the correctness
+        // gate (catalog/table.py:978-1022, table_version.py:1160-1206):
+        // if_not_exists='insert' upserts (matched rows update + cascade,
+        // unmatched insert with computed columns evaluated), 'error'
+        // raises with nothing committed, cascade=False leaves dependents
+        // stale, and return_rows carries the new stored values. Every
+        // value the gate emits is a closed form of doc_id the oracle
+        // recomputes from the raw table.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q153").toString)
+        val t = GraftTable.create(s, cat, "upsert_docs", Seq(
+          ColumnDef("doc_id", "bigint"),
+          ColumnDef("score", "double"),
+          ColumnDef("score2", "double", computedExpr = Some("score * 2"))))
+        t.insert(T(s, dir, "documents").filter(col("doc_id") < 30)
+          .select(col("doc_id"), col("doc_id").cast("double").as("score"))
+          .repartition(3))
+        // cascade=false: score2 keeps the stale 0.0 while score moves
+        t.update(Map("score" -> "999.0"), "doc_id = 0", cascade = false)
+        val staleOk = t.read().filter(col("doc_id") === 0)
+          .select(col("score"), col("score2")).head() match {
+          case r => r.getDouble(0) == 999.0 && r.getDouble(1) == 0.0
+        }
+        // default mode is the reference's 'error': raises, commits nothing
+        val v0 = t.currentVersion
+        val errRaised =
+          try {
+            import s.implicits._
+            t.batchUpdate(Seq((100L, 5.0)).toDF("doc_id", "score"),
+              Seq("doc_id"))
+            false
+          } catch { case _: NoSuchElementException => true }
+        val verUnchanged = t.currentVersion == v0
+        // the upsert: [20,30) matches (update + cascade), [30,40) inserts
+        val st = t.batchUpdateStatus(
+          T(s, dir, "documents")
+            .filter(col("doc_id") >= 20 && col("doc_id") < 40)
+            .select(col("doc_id"),
+              (col("doc_id") * 10).cast("double").as("score")),
+          Seq("doc_id"), ifNotExists = "insert", returnRows = true)
+        val retRows = st.rows.get
+        val retScore2 = retRows.map(_("score2").asInstanceOf[Double]).sum
+        t.read().agg(
+            count(lit(1)).as("n_final"),
+            round(sum(col("score")), 1).as("score_sum"),
+            round(sum(col("score2")), 1).as("score2_sum"))
+          .withColumn("n_upsert", lit(st.numRows))
+          .withColumn("cv_upsert", lit(st.numComputedValues))
+          .withColumn("rows_returned", lit(retRows.size.toLong))
+          .withColumn("ret_score2_sum", round(lit(retScore2), 1))
+          .withColumn("err_raised", lit(errRaised))
+          .withColumn("ver_unchanged", lit(verUnchanged))
+          .withColumn("stale_ok", lit(staleOk))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_final,
+             |  round(sum(CASE WHEN doc_id = 0 THEN 999.0
+             |    WHEN doc_id < 20 THEN CAST(doc_id AS DOUBLE)
+             |    ELSE doc_id * 10.0 END), 1) AS score_sum,
+             |  round(sum(CASE WHEN doc_id = 0 THEN 0.0
+             |    WHEN doc_id < 20 THEN doc_id * 2.0
+             |    ELSE doc_id * 20.0 END), 1) AS score2_sum,
+             |  CAST(20 AS BIGINT) AS n_upsert,
+             |  CAST(20 AS BIGINT) AS cv_upsert,
+             |  CAST(20 AS BIGINT) AS rows_returned,
+             |  round(sum(CASE WHEN doc_id >= 20 THEN doc_id * 20.0
+             |    ELSE 0.0 END), 1) AS ret_score2_sum,
+             |  TRUE AS err_raised, TRUE AS ver_unchanged, TRUE AS stale_ok
+             |FROM documents WHERE doc_id < 40""".stripMargin),
+    ),
+    QueryDef(
       "q83_schema_evolution",
       (s, dir) => {
         // round-2 schema DDL in the correctness gate: rename (metadata-only

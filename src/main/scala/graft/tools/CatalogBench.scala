@@ -53,7 +53,7 @@ object CatalogBench {
     timed("batchUpdate 100 keys") {
       import spark.implicits._
       t.batchUpdate((1L to 100L).map(k => (k, 99.0)).toDF("l_orderkey", "l_discount"),
-        Seq("l_orderkey"))
+        Seq("l_orderkey"), ifNotExists = "ignore") // orderkeys are sparse
     }
     timed("time-travel read") { assert(t.read(Some(v)).count() == n) }
     timed("current read") { t.read().count() }

@@ -137,12 +137,14 @@ class TableModelRoundTripSpec extends AnyFunSuite {
       up2.numComputedValues == 0)
 
     val bu = t.batchUpdateStatus(
-      Seq((5L, 500.0), (6L, 600.0), (99L, 1.0)).toDF("id", "x"), Seq("id"))
-    assert(bu.numRows == 2) // key 99 matches nothing
+      Seq((5L, 500.0), (6L, 600.0), (99L, 1.0)).toDF("id", "x"), Seq("id"),
+      ifNotExists = "ignore")
+    assert(bu.numRows == 2) // key 99 matches nothing (skipped under ignore)
     assert(bu.updatedCols == Seq("x", "x2"))
     assert(bu.numComputedValues == 2)
     // no-match batch is a no-op status
-    assert(t.batchUpdateStatus(Seq((77L, 1.0)).toDF("id", "x"), Seq("id"))
+    assert(t.batchUpdateStatus(Seq((77L, 1.0)).toDF("id", "x"), Seq("id"),
+        ifNotExists = "ignore")
       .numRows == 0)
 
     val del = t.deleteStatus("id > 8")
