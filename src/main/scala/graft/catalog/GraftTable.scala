@@ -692,18 +692,44 @@ final class GraftTable private (
   /** Add a (possibly computed) column; existing rows are backfilled in one
     * batch rewrite (reference `add_computed_column` backfill,
     * `plan.py:1230-1247`) — schema changes touch every file by nature.
+    * `ifExists` is the reference's directive (`catalog/table.py:363-368`):
+    * `"error"` raises on an existing column, `"ignore"` no-ops (returns
+    * the current version), `"replace"`/`"replace_force"` drop the existing
+    * column first — iff it has no dependents (computed columns or indexes
+    * referencing it raise, exactly like `dropColumn`).
     */
-  def addColumn(c0: ColumnDef): Long = {
-    val ver = addColumnInner(c0)
+  def addColumn(c0: ColumnDef, ifExists: String = "error"): Long = {
+    require(Set("error", "ignore", "replace", "replace_force")(ifExists),
+      s"ifExists must be one of error|ignore|replace|replace_force, got '$ifExists'")
+    val ver = catalog.withWriterLock(name) {
+      if (meta.liveColumns.exists(_.name == c0.name)) ifExists match {
+        case "error" => throw new IllegalArgumentException(
+          s"column ${c0.name} exists")
+        case "ignore" => return meta.currentVersion
+        case _ => dropColumn(c0.name) // raises if the column has dependents
+      }
+      addColumnInner(c0)
+    }
     squashIfUnversioned()
     ver
   }
 
   private def addColumnInner(c0: ColumnDef): Long = retryOnConflict {
     val m = meta
-    require(!m.columns.exists(_.name == c0.name), s"column ${c0.name} exists")
+    require(!m.liveColumns.exists(_.name == c0.name), s"column ${c0.name} exists")
     val v = m.currentVersion + 1
-    val c = c0.copy(addedVersion = v) // stamp for versioned-schema time travel
+    // re-adding a DROPPED name (reference allows it; the if_exists='replace'
+    // path depends on it): the dropped column keeps its store column in
+    // pre-drop files for time travel, so the new column gets a fresh
+    // physical name — Delta-style column mapping, same machinery as rename
+    val clash = m.columns.exists(x => x.name == c0.name || x.storeName == c0.name)
+    val cBase = if (!clash || c0.physicalName.nonEmpty) c0 else {
+      var i = 2
+      while (m.columns.exists(x => x.storeName == s"${c0.name}__r$i" ||
+        x.name == s"${c0.name}__r$i")) i += 1
+      c0.copy(physicalName = s"${c0.name}__r$i")
+    }
+    val c = cBase.copy(addedVersion = v) // stamp for versioned-schema time travel
     val newMeta = m.copy(columns = m.columns :+ c)
     if (c.computedExpr.isDefined && !c.stored) { // purely logical: no rewrite
       commitMeta(m, newMeta.copy(versions =
@@ -1451,13 +1477,34 @@ object GraftTable {
   // (attempts cost seconds of Spark jobs — budget time, not attempts)
   private val RetryBudgetMs = 120000L
 
+  /** `ifExists` is the reference's create_table collision directive
+    * (`catalog/catalog.py:2872-2958` `_handle_path_collision`):
+    * `"error"` raises; `"ignore"` returns the EXISTING table handle
+    * (schema is not compared — only the kind: a view at the path raises);
+    * `"replace"` drops the existing table first and raises if it has
+    * dependent views; `"replace_force"` drops dependent views too.
+    */
   def create(spark: SparkSession, catalog: Catalog, name0: String,
       columns: Seq[ColumnDef], primaryKey: Seq[String] = Seq.empty,
-      isVersioned: Boolean = true): GraftTable = {
+      isVersioned: Boolean = true, ifExists: String = "error"): GraftTable = {
+    require(Set("error", "ignore", "replace", "replace_force")(ifExists),
+      s"ifExists must be one of error|ignore|replace|replace_force, got '$ifExists'")
     // logical → physical under the active user; the handle binds to the
     // physical path, so it keeps working across user switches
     val name = catalog.resolveUserPath(name0)
-    require(!catalog.exists(name), s"table $name already exists")
+    if (catalog.exists(name)) ifExists match {
+      case "error" =>
+        throw new IllegalArgumentException(s"table $name already exists")
+      case "ignore" =>
+        val isView = catalog.load(name).snapshots.keys
+          .exists(_.startsWith(Views.lastSeenPrefix))
+        if (isView) throw new IllegalArgumentException(
+          s"path $name already exists and is not a table (it is a view)")
+        return new GraftTable(spark, catalog, name)
+      case _ => // replace / replace_force; plain replace raises on dependents
+        catalog.dropTable(name, force = ifExists == "replace_force",
+          ifNotExists = "error")
+    }
     catalog.requireCreatable(name) // valid segments, parent dir exists
     primaryKey.foreach(k => require(columns.exists(_.name == k),
       s"primary key column '$k' is not in the schema"))

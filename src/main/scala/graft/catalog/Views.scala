@@ -48,13 +48,46 @@ object Views {
       (baseRows.columns.map(col) :+
         posexplode(expr(iteratorExprSql)).as(Seq(Pos, valueCol))): _*)
 
+  /** Reference `create_view(..., if_exists=...)` collision directive for
+    * both view kinds (`catalog/catalog.py:2872-2958`): `"error"` raises;
+    * `"ignore"` returns the EXISTING view handle, but only when the path
+    * holds a view of the SAME base (anything else raises, like the
+    * reference's type/base check); `"replace"` drops the existing object
+    * first (raising if it has dependent views), `"replace_force"` drops
+    * dependents too. Returns Some(existing) for the ignore short-circuit.
+    */
+  private def resolveViewCollision(spark: SparkSession, catalog: Catalog,
+      name0: String, base: GraftTable, ifExists: String): Option[GraftTable] = {
+    require(Set("error", "ignore", "replace", "replace_force")(ifExists),
+      s"ifExists must be one of error|ignore|replace|replace_force, got '$ifExists'")
+    val name = catalog.resolveUserPath(name0)
+    if (!catalog.exists(name)) return None
+    ifExists match {
+      case "error" =>
+        throw new IllegalArgumentException(s"table $name already exists")
+      case "ignore" =>
+        val m = catalog.load(name)
+        if (!m.snapshots.contains(lastSeenKey(base)))
+          throw new IllegalArgumentException(s"path $name already exists " +
+            s"and is not a view of ${base.name}")
+        Some(GraftTable.open(spark, catalog, name))
+      case _ =>
+        catalog.dropTable(name, force = ifExists == "replace_force",
+          ifNotExists = "error")
+        None
+    }
+  }
+
   /** Create a materialized component view as its own versioned table.
     * The view's schema = (base _rowid as _base_rowid, _pos, valueCol) +
     * `keepCols` carried from the base.
     */
   def createComponentView(spark: SparkSession, catalog: Catalog, name: String,
       base: GraftTable, iteratorExprSql: String, valueCol: String,
-      valueType: String, keepCols: Seq[ColumnDef]): GraftTable = {
+      valueType: String, keepCols: Seq[ColumnDef],
+      ifExists: String = "error"): GraftTable = {
+    resolveViewCollision(spark, catalog, name, base, ifExists)
+      .foreach(existing => return existing)
     val cols = Seq(
       ColumnDef(BaseRowId, "bigint"), ColumnDef(Pos, "int"),
       ColumnDef(valueCol, valueType)) ++ keepCols
@@ -149,7 +182,10 @@ object Views {
     */
   def createMaterializedView(spark: SparkSession, catalog: Catalog, name: String,
       base: GraftTable, whereSql: Option[String],
-      selectExprs: Seq[(String, String)]): GraftTable = {
+      selectExprs: Seq[(String, String)],
+      ifExists: String = "error"): GraftTable = {
+    resolveViewCollision(spark, catalog, name, base, ifExists)
+      .foreach(existing => return existing)
     val sample = mvTransform(base.readWithSystem().limit(0), whereSql, selectExprs)
     val cols = sample.schema.fields.map(f =>
       ColumnDef(f.name, f.dataType.sql.toLowerCase)).toSeq
