@@ -754,8 +754,13 @@ final class GraftTable private (
     * before the drop still shows it; later rewrites of touched files shed the
     * physical data (reference `drop_column`, `catalog/table.py`).
     */
-  def dropColumn(colName: String): Long = retryOnConflict {
+  def dropColumn(colName: String, ifNotExists: String = "error"): Long = retryOnConflict {
+    require(Set("error", "ignore")(ifNotExists),
+      s"ifNotExists must be error|ignore, got '$ifNotExists'")
     val m = meta
+    // reference drop_column(if_not_exists='ignore'): absent column no-ops
+    if (ifNotExists == "ignore" && !m.liveColumns.exists(_.name == colName))
+      return m.currentVersion
     val c = m.liveColumns.find(_.name == colName)
       .getOrElse(throw new IllegalArgumentException(s"no column $colName on $name"))
     val dependents = m.liveColumns.filter(d => d.name != colName &&
@@ -1057,8 +1062,12 @@ final class GraftTable private (
     throw new IllegalStateException("unreachable")
   }
 
-  def dropIndex(idxName: String): Unit = retryOnConflict {
+  def dropIndex(idxName: String, ifNotExists: String = "error"): Unit = retryOnConflict {
+    require(Set("error", "ignore")(ifNotExists),
+      s"ifNotExists must be error|ignore, got '$ifNotExists'")
     val m = meta
+    // reference drop_index(if_not_exists='ignore'): absent index no-ops
+    if (ifNotExists == "ignore" && !m.indexes.exists(_.name == idxName)) return
     require(m.indexes.exists(_.name == idxName), s"no index $idxName on $name")
     commitMeta(m, m.copy(indexes = m.indexes.filterNot(_.name == idxName)))
     deleteIndexDirs(idxName)

@@ -108,6 +108,17 @@ class IfExistsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.addColumn(ColumnDef("x", "double")) }
   }
 
+  test("drop_column / drop_index if_not_exists=ignore no-op; error raises") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "td", cols)
+    t.insert(Seq((1L, 1.0)).toDF("id", "x"))
+    val v0 = t.currentVersion
+    assert(t.dropColumn("nope", ifNotExists = "ignore") == v0)
+    intercept[IllegalArgumentException] { t.dropColumn("nope") }
+    t.dropIndex("noidx", ifNotExists = "ignore") // no-op
+    intercept[IllegalArgumentException] { t.dropIndex("noidx") }
+  }
+
   test("re-add after drop: fresh physical name, time travel reads the old data") {
     val cat = freshCatalog()
     val t = GraftTable.create(spark, cat, "tr", Seq(
