@@ -528,13 +528,22 @@ final class GraftTable private (
     catalog.withWriterLock(name) {
       require(Set("error", "ignore", "insert")(ifNotExists),
         s"ifNotExists must be one of error|ignore|insert, got '$ifNotExists'")
+      // the reference's `_rowid` pseudo-column lookup (local_table.py:973-
+      // 988): rows may be addressed by stable row id instead of a key —
+      // the join itself works unchanged (the stored image carries _rowid),
+      // only the probe/read-back need the system-column view. Upserting a
+      // nonexistent ROW ID is meaningless, so insert mode requires user keys.
+      val hasRowId = keyCols.contains(GraftTable.RowId)
+      require(!(hasRowId && ifNotExists == "insert"),
+        "ifNotExists='insert' requires user key columns, not _rowid")
+      def liveKeyed: DataFrame = if (hasRowId) readWithSystem() else read()
       // unmatched update rows, decided against the LIVE image under the
       // writer lock (updates frames are small key-lists: one tiny job)
       val toInsert: Option[DataFrame] =
         if (ifNotExists == "ignore") None
         else {
           val m = meta
-          val liveKeys = read().select(keyCols.map(col): _*).distinct()
+          val liveKeys = liveKeyed.select(keyCols.map(col): _*).distinct()
           val unmatched = updates.join(liveKeys, keyCols, "left_anti")
           val nMissing = unmatched.count()
           if (nMissing == 0L) None
@@ -565,9 +574,10 @@ final class GraftTable private (
       }
       if (!returnRows) merged
       else {
-        val touched = read().join(
-          broadcast(updates.select(keyCols.map(col): _*).distinct()),
-          keyCols, "left_semi")
+        val touched = liveKeyed
+          .drop(VMin, VMax) // row identity stays, MVCC bookkeeping doesn't
+          .join(broadcast(updates.select(keyCols.map(col): _*).distinct()),
+            keyCols, "left_semi")
         val cols = touched.columns
         merged.copy(rows =
           Some(touched.collect().toSeq.map(_.getValuesMap[Any](cols))))
@@ -995,6 +1005,93 @@ final class GraftTable private (
       indexedThrough = m.currentVersion)))
   }
 
+  /** Declare a MinHash-LSH near-duplicate index over text `column` (ids
+    * from `idCol`) — the INCREMENTAL path of `Dedup.nearDuplicatePairs`:
+    * the batch operator recomputes every signature per run, this index
+    * persists band signatures as DML-maintained segments so (a) all-pairs
+    * dedup reuses them and (b) an incoming batch checks itself against a
+    * 100 TB corpus by signing ONLY its own rows and probing the band join.
+    * Same hash family as the batch operator (`Dedup.bandSignatures`), so
+    * candidates match by construction; results are exact-Jaccard verified
+    * against LIVE text, which is what makes stale segment rows harmless
+    * (an updated row's old bands only donate extra candidates; its new
+    * bands are appended by maintenance; deleted ids drop at the live
+    * join). IndexDef field reuse for kind="minhash": `shards`=bands,
+    * `m`=numHashes, `efConstruction`=shingleSize.
+    */
+  def createMinhashIndex(idxName: String, column: String, idCol: String,
+      numHashes: Int = 8, bands: Int = 2, shingleSize: Int = 3,
+      segmentThreshold: Int = 16): Unit = retryOnConflict {
+    val m = meta
+    require(!m.indexes.exists(_.name == idxName), s"index $idxName exists on $name")
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val path = s"${catalog.warehouse}/$name/index/$idxName"
+    graft.operators.Dedup.bandSignatures(
+        read().filter(col(column).isNotNull), column, idCol,
+        numHashes, bands, shingleSize)
+      .write.mode("overwrite").parquet(s"$path/sigs/seg-init")
+    commitMeta(m, m.copy(indexes = m.indexes :+ IndexDef(idxName, column,
+      idCol, "minhash", path, bands, numHashes, shingleSize, segmentThreshold,
+      indexedThrough = m.currentVersion)))
+  }
+
+  private def minhashIx(idxName: String): IndexDef = {
+    val ix = meta.indexes.find(_.name == idxName)
+      .getOrElse(throw new IllegalArgumentException(s"no index $idxName on $name"))
+    require(ix.kind == "minhash", s"index $idxName is ${ix.kind}, not minhash")
+    ix
+  }
+
+  /** segment rows (_id, _b, _h), ghost-deduped and restricted to LIVE ids */
+  private def liveMinhashSigs(ix: IndexDef): DataFrame = {
+    val segs = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"${ix.path}/sigs").dropDuplicates("_id", "_b", "_h")
+    val liveIds = read().filter(col(ix.column).isNotNull)
+      .select(col(ix.idCol).cast("long").as("_id"))
+    segs.join(liveIds, Seq("_id"), "left_semi")
+  }
+
+  /** All verified near-duplicate pairs among LIVE rows through the index:
+    * band-equality candidates from the persisted segments, exact Jaccard
+    * (≥ `threshold`) against live text. Returns (_ida, _idb, jaccard),
+    * _ida < _idb. Matches `Dedup.nearDuplicatePairs` on the same params.
+    */
+  def indexNearDupPairs(idxName: String, threshold: Double): DataFrame = {
+    val ix = minhashIx(idxName)
+    val sigs = liveMinhashSigs(ix)
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a._b") === col("b._b") && col("a._h") === col("b._h"))
+      .filter(col("a._id") < col("b._id"))
+      .select(col("a._id").as("_ida"), col("b._id").as("_idb"))
+      .distinct()
+    val live = read().filter(col(ix.column).isNotNull)
+    graft.operators.Dedup.verifyJaccardBetween(cand,
+      live, ix.column, ix.idCol, live, ix.column, ix.idCol,
+      ix.efConstruction, threshold)
+  }
+
+  /** Near-duplicates of an INCOMING batch against the indexed corpus — the
+    * crawl-ingest / decontamination shape: sign only `docs`, probe the
+    * band join, exact-verify against live corpus text. Returns
+    * (query_id, doc_id, jaccard). The corpus is never re-signed.
+    */
+  def searchNearDups(idxName: String, docs: DataFrame, docTextCol: String,
+      docIdCol: String, threshold: Double): DataFrame = {
+    val ix = minhashIx(idxName)
+    val qsigs = graft.operators.Dedup.bandSignatures(docs, docTextCol,
+      docIdCol, ix.m, ix.shards, ix.efConstruction)
+    val cand = qsigs.as("q").join(liveMinhashSigs(ix).as("c"),
+        col("q._b") === col("c._b") && col("q._h") === col("c._h"))
+      .select(col("q._id").as("_ida"), col("c._id").as("_idb"))
+      .distinct()
+    val live = read().filter(col(ix.column).isNotNull)
+    graft.operators.Dedup.verifyJaccardBetween(cand,
+        docs, docTextCol, docIdCol, live, ix.column, ix.idCol,
+        ix.efConstruction, threshold)
+      .select(col("_ida").as("query_id"), col("_idb").as("doc_id"),
+        col("jaccard"))
+  }
+
   private def readPqCodes(path: String): DataFrame =
     spark.read.option("recursiveFileLookup", "true").parquet(s"$path/codes")
 
@@ -1013,6 +1110,8 @@ final class GraftTable private (
     val m = meta
     val ix = m.indexes.find(_.name == idxName)
       .getOrElse(throw new IllegalArgumentException(s"no index $idxName on $name"))
+    require(ix.kind != "minhash",
+      s"index $idxName is a near-dup index — use indexNearDupPairs/searchNearDups")
     import graft.functions.VectorFunctions
     val live = read()
       .filter(col(ix.column).isNotNull)
@@ -1108,17 +1207,26 @@ final class GraftTable private (
               val model = graft.operators.Pq.loadModel(spark, s"${ix.path}/model")
               graft.operators.Pq.encode(newRows, ix.column, ix.idCol, model)
                 .write.mode("overwrite").parquet(s"${ix.path}/codes/seg-v$cur")
-            } else
+            } else if (ix.kind == "minhash")
+              // sign ONLY the new rows — the incremental-dedup point
+              graft.operators.Dedup.bandSignatures(newRows, ix.column,
+                  ix.idCol, ix.m, ix.shards, ix.efConstruction)
+                .write.mode("overwrite").parquet(s"${ix.path}/sigs/seg-v$cur")
+            else
               graft.operators.Hnsw.appendToIndex(newRows, ix.column, ix.idCol,
                 ix.path, shards = 1, ix.m, ix.efConstruction)
           }
-          // segment count: code-segment dirs (pq) / index-table rows (hnsw)
+          // segment count: code/sig-segment dirs (pq, minhash) / index-table
+          // rows (hnsw)
+          def segDirCount(sub: String): Long = {
+            val d = new java.io.File(s"${ix.path}/$sub")
+            Option(d.listFiles()).map(_.count(f =>
+              f.isDirectory && f.getName.startsWith("seg-"))).getOrElse(0).toLong
+          }
           val segments =
-            if (ix.kind == "ivfpq") {
-              val d = new java.io.File(s"${ix.path}/codes")
-              Option(d.listFiles()).map(_.count(f =>
-                f.isDirectory && f.getName.startsWith("seg-"))).getOrElse(0).toLong
-            } else spark.read.parquet(ix.path).count()
+            if (ix.kind == "ivfpq") segDirCount("codes")
+            else if (ix.kind == "minhash") segDirCount("sigs")
+            else spark.read.parquet(ix.path).count()
           val path =
             if (segments <= ix.segmentThreshold) ix.path
             else {
@@ -1132,7 +1240,13 @@ final class GraftTable private (
                 graft.operators.Pq.saveModel(spark, s"$fresh/model", model)
                 graft.operators.Pq.encode(live, ix.column, ix.idCol, model)
                   .write.mode("overwrite").parquet(s"$fresh/codes/seg-init")
-              } else
+              } else if (ix.kind == "minhash")
+                // threshold rebuild re-signs the live image: ghost rows
+                // from updates/deletes drop here
+                graft.operators.Dedup.bandSignatures(live, ix.column,
+                    ix.idCol, ix.m, ix.shards, ix.efConstruction)
+                  .write.mode("overwrite").parquet(s"$fresh/sigs/seg-init")
+              else
                 graft.operators.Hnsw.buildIndex(live,
                   ix.column, ix.idCol, fresh, ix.shards, ix.m, ix.efConstruction)
               fresh

@@ -69,6 +69,58 @@ object Dedup {
     labels
   }
 
+  /** LSH band-signature rows `(_id, _b, _h)` — the signature path of
+    * [[nearDuplicatePairs]] factored out (same shingles → minhash → band
+    * md5 family), shared with the DML-maintained minhash index
+    * (`GraftTable.createMinhashIndex`) so index candidates and the batch
+    * operator's candidates are IDENTICAL by construction. Map-only: at
+    * 100 TB each new batch computes signatures for its own rows only.
+    */
+  def bandSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val perBand = numHashes / bands
+    val withSig = df
+      .filter(length(col(textCol)) >= shingleSize)
+      .withColumn("_sh",
+        array_sort(TextFunctions.shingles(col(textCol), shingleSize)))
+      .withColumn("_mh", graft.plans.TextNative.minhashSignature(
+        df.sparkSession, col("_sh"), numHashes = numHashes))
+    withSig.withColumn("_bands", array((0 until bands).map { b =>
+        TextFunctions.bandHash((0 until perBand).map(r =>
+          element_at(col("_mh"), b * perBand + r + 1)))
+      }: _*))
+      .select(col(idCol).cast("long").as("_id"),
+        posexplode(col("_bands")).as(Seq("_b", "_h")))
+  }
+
+  /** Exact-Jaccard verification of candidate `pairs` (`_ida`, `_idb`)
+    * against the CURRENT text of two document frames (same frame twice for
+    * within-corpus pairs): joins each side to its sorted shingle set and
+    * keeps pairs with Jaccard ≥ `threshold`, appending the score. Shape:
+    * two id-keyed joins + the native merge-scan intersect — candidates
+    * only, never all-pairs.
+    */
+  def verifyJaccardBetween(pairs: DataFrame,
+      docsA: DataFrame, textA: String, idA: String,
+      docsB: DataFrame, textB: String, idB: String,
+      shingleSize: Int, threshold: Double): DataFrame = {
+    def sh(d: DataFrame, t: String, i: String, side: String) = d
+      .filter(length(col(t)) >= shingleSize)
+      .select(col(i).cast("long").as(s"_v$side"),
+        array_sort(TextFunctions.shingles(col(t), shingleSize)).as(s"_sh$side"))
+    val spark = pairs.sparkSession
+    pairs
+      .join(sh(docsA, textA, idA, "a"), col("_ida") === col("_va"))
+      .join(sh(docsB, textB, idB, "b"), col("_idb") === col("_vb"))
+      .withColumn("_ni", graft.plans.NativeVector.sortedIntersectCount(
+        spark, col("_sha"), col("_shb")))
+      .withColumn("jaccard", col("_ni").cast("double") /
+        (size(col("_sha")) + size(col("_shb")) - col("_ni")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("_ida"), col("_idb"), col("jaccard"))
+  }
+
   /** LSH candidate pairs verified by exact Jaccard: (_ida, _idb) with
     * _ida < _idb — the edge list of the near-duplicate graph.
     */

@@ -1226,6 +1226,73 @@ object Extras {
              |FROM documents WHERE doc_id < 40""".stripMargin),
     ),
     QueryDef(
+      "q154_minhash_index",
+      (s, dir) => {
+        // DML-maintained MinHash-LSH near-dup index in the correctness
+        // gate. Corpus: 5 duplicate groups keyed by doc_id % 5 (group
+        // words are repeated letters, so cross-group char-trigram Jaccard
+        // sits far below the 0.9 threshold and within-group is exactly
+        // 1.0) — the verified pair count is a CLOSED FORM of the group
+        // sizes after the full lifecycle (index built mid-corpus,
+        // maintenance appends the rest, an update moves a doc between
+        // groups, a delete shrinks one). eq_batch pins the differential
+        // contract: the index's pairs equal the batch operator's
+        // (Dedup.nearDuplicatePairs) on the live image, same hash family.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        import s.implicits._
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q154").toString)
+        val t = GraftTable.create(s, cat, "mh_docs", Seq(
+          ColumnDef("doc_id", "bigint"), ColumnDef("body", "string")))
+        val grpWord = repeat(
+          expr("substr('wxyzv', CAST(doc_id % 5 AS INT) + 1, 1)"), 6)
+        val body = concat_ws(" ", grpWord, lit("aa"), grpWord, lit("bb"),
+          grpWord, lit("cc"), grpWord, lit("dd"), grpWord, lit("ee"))
+        def slice(lo: Long, hi: Long) = T(s, dir, "documents")
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select(col("doc_id"), body.as("body"))
+        t.insert(slice(0, 30).repartition(3))
+        t.createMinhashIndex("nd", "body", "doc_id")
+        t.insert(slice(30, 50).repartition(2)) // maintenance signs only these
+        // doc 1: group 1 → group 0's text; doc 2 (group 2) deleted
+        t.batchUpdate(slice(0, 1).select(lit(1L).as("doc_id"), col("body")),
+          Seq("doc_id"))
+        t.delete("doc_id = 2")
+        val idx = t.indexNearDupPairs("nd", 0.9)
+        val batch = graft.operators.Dedup.nearDuplicatePairs(
+          t.read(), "body", "doc_id",
+          jaccardThreshold = 0.9, numHashes = 8, bands = 2, shingleSize = 3)
+        val idxPairs = idx.select(col("_ida"), col("_idb"))
+        val eqBatch = idxPairs.except(batch).isEmpty &&
+          batch.except(idxPairs).isEmpty
+        val allOne = idx.agg(min(col("jaccard"))).head().getDouble(0) == 1.0
+        // incoming probe: one doc with group 3's text, one unrelated
+        val z = "z" * 6 // group 3's word: substr('wxyzv', 4, 1) repeated
+        val incoming = Seq(
+          (9000L, s"$z aa $z bb $z cc $z dd $z ee"),
+          (9001L, "totally different content with no shared trigram runs"))
+          .toDF("qid", "txt")
+        val hits = t.searchNearDups("nd", incoming, "txt", "qid", 0.9)
+        val nHits = hits.count()
+        val hitsOne = nHits > 0 &&
+          hits.agg(min(col("jaccard"))).head().getDouble(0) == 1.0
+        idx.agg(count(lit(1)).as("n_pairs"))
+          .withColumn("eq_batch", lit(eqBatch))
+          .withColumn("all_jaccard_one", lit(allOne))
+          .withColumn("n_hits", lit(nHits))
+          .withColumn("hits_jaccard_one", lit(hitsOne))
+      },
+      Some("""WITH g AS (SELECT doc_id,
+             |    CASE WHEN doc_id = 1 THEN 0 ELSE doc_id % 5 END AS grp
+             |  FROM documents WHERE doc_id < 50 AND doc_id <> 2),
+             |c AS (SELECT grp, count(*) AS n FROM g GROUP BY 1)
+             |SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) AS n_pairs,
+             |  TRUE AS eq_batch, TRUE AS all_jaccard_one,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM g WHERE grp = 3) AS n_hits,
+             |  TRUE AS hits_jaccard_one
+             |FROM c""".stripMargin),
+    ),
+    QueryDef(
       "q83_schema_evolution",
       (s, dir) => {
         // round-2 schema DDL in the correctness gate: rename (metadata-only

@@ -131,6 +131,29 @@ class BatchUpsertSpec extends AnyFunSuite {
       .rows.isEmpty)
   }
 
+  test("batch update by _rowid pseudo-column: addressed rows update, identity stable") {
+    val t = seeded("ups_rowid")
+    val byId = t.readWithSystem().select(col("id"), col("_rowid"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st = t.batchUpdateStatus(
+      Seq((byId(2L), 22.0)).toDF("_rowid", "score"), Seq("_rowid"),
+      returnRows = true)
+    assert(st.numRows == 1)
+    val r2 = t.read().where(col("id") === 2).head()
+    assert(r2.getAs[Double]("score") == 22.0 && r2.getAs[Double]("score2") == 44.0)
+    // the returned row carries the SAME _rowid (update preserves identity)
+    assert(st.rows.get.head("_rowid") == byId(2L))
+    // a missing rowid raises under the default error mode...
+    intercept[NoSuchElementException] {
+      t.batchUpdate(Seq((999999L, 1.0)).toDF("_rowid", "score"), Seq("_rowid"))
+    }
+    // ...and insert mode refuses rowid keys outright
+    intercept[IllegalArgumentException] {
+      t.batchUpdateStatus(Seq((999999L, 1.0)).toDF("_rowid", "score"),
+        Seq("_rowid"), ifNotExists = "insert")
+    }
+  }
+
   test("recomputeColumns(errorsOnly): only error-state rows rewrite; multi-column refused") {
     val t = GraftTable.create(spark, freshCatalog(), "ups_errs", Seq(
       ColumnDef("id", "bigint"),
