@@ -1258,29 +1258,30 @@ object Extras {
         t.batchUpdate(slice(0, 1).select(lit(1L).as("doc_id"), col("body")),
           Seq("doc_id"))
         t.delete("doc_id = 2")
-        val idx = t.indexNearDupPairs("nd", 0.9)
-        val batch = graft.operators.Dedup.nearDuplicatePairs(
-          t.read(), "body", "doc_id",
-          jaccardThreshold = 0.9, numHashes = 8, bands = 2, shingleSize = 3)
-        val idxPairs = idx.select(col("_ida"), col("_idb"))
-        val eqBatch = idxPairs.except(batch).isEmpty &&
-          batch.except(idxPairs).isEmpty
-        val allOne = idx.agg(min(col("jaccard"))).head().getDouble(0) == 1.0
+        // gate-sized results (hundreds of pairs): ONE action per pipeline,
+        // set comparison on the driver — re-running the band self-join for
+        // each aggregate would cost three extra full pipelines
+        val idxRows = t.indexNearDupPairs("nd", 0.9).collect()
+        val idxSet = idxRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+        val batchSet = graft.operators.Dedup.nearDuplicatePairs(
+            t.read(), "body", "doc_id",
+            jaccardThreshold = 0.9, numHashes = 8, bands = 2, shingleSize = 3)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val eqBatch = idxSet == batchSet
+        val allOne = idxRows.nonEmpty && idxRows.forall(_.getDouble(2) == 1.0)
         // incoming probe: one doc with group 3's text, one unrelated
         val z = "z" * 6 // group 3's word: substr('wxyzv', 4, 1) repeated
         val incoming = Seq(
           (9000L, s"$z aa $z bb $z cc $z dd $z ee"),
           (9001L, "totally different content with no shared trigram runs"))
           .toDF("qid", "txt")
-        val hits = t.searchNearDups("nd", incoming, "txt", "qid", 0.9)
-        val nHits = hits.count()
-        val hitsOne = nHits > 0 &&
-          hits.agg(min(col("jaccard"))).head().getDouble(0) == 1.0
-        idx.agg(count(lit(1)).as("n_pairs"))
-          .withColumn("eq_batch", lit(eqBatch))
-          .withColumn("all_jaccard_one", lit(allOne))
-          .withColumn("n_hits", lit(nHits))
-          .withColumn("hits_jaccard_one", lit(hitsOne))
+        val hitRows = t.searchNearDups("nd", incoming, "txt", "qid", 0.9)
+          .collect()
+        val hitsOne = hitRows.nonEmpty && hitRows.forall(_.getDouble(2) == 1.0)
+        Seq((idxRows.length.toLong, eqBatch, allOne,
+            hitRows.length.toLong, hitsOne))
+          .toDF("n_pairs", "eq_batch", "all_jaccard_one",
+            "n_hits", "hits_jaccard_one")
       },
       Some("""WITH g AS (SELECT doc_id,
              |    CASE WHEN doc_id = 1 THEN 0 ELSE doc_id % 5 END AS grp

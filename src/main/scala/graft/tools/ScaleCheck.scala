@@ -24,7 +24,14 @@ object ScaleCheck {
     "q126_hard_negatives", "q131_bpe_merges",
     "q132_nb_classifier", "q133_ndcg", "q134_bpe_tokenize",
     "q142_url_dedup", "q144_paragraph_dedup", "q146_psl_domains",
-    "q148_psl_wildcards", "q149_recompute_columns", "q150_ann_ivfpq")
+    "q148_psl_wildcards", "q149_recompute_columns", "q150_ann_ivfpq",
+    "q151_catalog_tree", "q152_update_status", "q153_batch_upsert",
+    "q154_minhash_index")
+  // r10 late additions: q151-q154 are DML-lifecycle gates over bounded
+  // doc_id slices (< 40/50) — replication offsets doc_id per copy, so the
+  // gates' inputs stay CONSTANT and the ratio measures pushdown + fixed
+  // job-count overhead (expected ~1). The index/scan shapes behind them
+  // scale via the operators' own rows above (q33 for the minhash family).
   // r10 additions: q148 is the wildcard/exception PSL path (pushdown-
   // bounded, should stay flat like q146); q149 is a DML-lifecycle gate
   // (temp warehouse, doc_id-bounded); q150's PQ train is a bounded driver
