@@ -226,7 +226,8 @@ final class GraftTable private (
     * capture surfaces), also straight from footer null statistics; hard
     * computed-expression failures still fail the insert.
     */
-  def insertStatus(rows: DataFrame): GraftTable.UpdateStatus = {
+  def insertStatus(rows: DataFrame,
+      returnRows: Boolean = false): GraftTable.UpdateStatus = {
     var insertedFiles: Seq[String] = Seq.empty
     var computedCols: Seq[String] = Seq.empty
     var errLeaves: Seq[(String, String, org.apache.spark.sql.Column)] = Seq.empty
@@ -290,11 +291,24 @@ final class GraftTable private (
     val excs = errLeaves
       .map { case (nm, leaf, _) => nm -> nonNullCountFromFooters(insertedFiles, leaf) }
       .filter(_._2 > 0)
+    // reference insert(return_rows=True): the just-written rows' stored
+    // values, read straight from the new files (no table scan)
+    val returned =
+      if (!returnRows || insertedFiles.isEmpty) None
+      else {
+        val m = meta
+        val back = toLogical(spark.read.parquet(insertedFiles: _*), m)
+          .select(m.liveColumns.filter(c => c.computedExpr.isEmpty || c.stored)
+            .map(c => col(c.name)): _*)
+        val cols = back.columns
+        Some(back.collect().toSeq.map(_.getValuesMap[Any](cols)))
+      }
     attachCacheWarnings(GraftTable.UpdateStatus(v, numRows = n,
       numComputedValues = n * computedCols.length,
       numExcs = excs.map(_._2).sum,
       updatedCols = computedCols,
-      colsWithExcs = excs.map(_._1)))
+      colsWithExcs = excs.map(_._1),
+      rows = returned))
   }
 
   /** The reference's `emit_eviction_warnings` (utils/filecache.py:334-338),

@@ -131,6 +131,18 @@ class BatchUpsertSpec extends AnyFunSuite {
       .rows.isEmpty)
   }
 
+  test("insertStatus(returnRows): inserted rows' stored values, computed included") {
+    val t = GraftTable.create(spark, freshCatalog(), "ins_rows", cols)
+    val st = t.insertStatus(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score"),
+      returnRows = true)
+    val rows = st.rows.get.map(m => m("id").asInstanceOf[Long] -> m).toMap
+    assert(rows.keySet == Set(1L, 2L))
+    assert(rows(1L)("score2") == 2.0 && rows(2L)("name") == "b")
+    assert(t.insertStatus(Seq((3L, "c", 3.0)).toDF("id", "name", "score"))
+      .rows.isEmpty)
+  }
+
   test("batch update by _rowid pseudo-column: addressed rows update, identity stable") {
     val t = seeded("ups_rowid")
     val byId = t.readWithSystem().select(col("id"), col("_rowid"))
