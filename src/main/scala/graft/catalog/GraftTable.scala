@@ -1661,4 +1661,13 @@ object GraftTable {
     require(catalog.exists(name), s"no such table: $name")
     new GraftTable(spark, catalog, name)
   }
+
+  /** reference `pxt.get_table(path, if_not_exists='ignore')`
+    * (`globals.py:545`): None when the path doesn't exist.
+    */
+  def openOption(spark: SparkSession, catalog: Catalog,
+      name0: String): Option[GraftTable] = {
+    val name = catalog.resolveUserPath(name0)
+    if (catalog.exists(name)) Some(new GraftTable(spark, catalog, name)) else None
+  }
 }

@@ -108,6 +108,14 @@ class IfExistsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.addColumn(ColumnDef("x", "double")) }
   }
 
+  test("get_table if_not_exists=ignore: openOption is None when absent") {
+    val cat = freshCatalog()
+    assert(GraftTable.openOption(spark, cat, "nope").isEmpty)
+    GraftTable.create(spark, cat, "yes", cols)
+    assert(GraftTable.openOption(spark, cat, "yes").exists(_.read().count() == 0))
+    intercept[IllegalArgumentException] { GraftTable.open(spark, cat, "nope") }
+  }
+
   test("drop_column / drop_index if_not_exists=ignore no-op; error raises") {
     val cat = freshCatalog()
     val t = GraftTable.create(spark, cat, "td", cols)
