@@ -1032,6 +1032,15 @@ final class GraftTable private (
     * bands are appended by maintenance; deleted ids drop at the live
     * join). IndexDef field reuse for kind="minhash": `shards`=bands,
     * `m`=numHashes, `efConstruction`=shingleSize.
+    *
+    * Parameter choice governs CANDIDATE volume, never correctness (verify
+    * is exact): with r = numHashes/bands rows per band, a pair at Jaccard
+    * j band-collides with prob 1−(1−j^r)^bands — pick r so the S-curve
+    * midpoint (1/bands)^(1/r) sits near the query threshold. The defaults
+    * mirror the batch operator's (r=4, selective only on dissimilar
+    * corpora); for a 0.9 threshold over same-domain text use e.g.
+    * numHashes=64, bands=4 (midpoint ≈0.92 — ~1000× fewer candidates on
+    * the synthetic corpus, measured in tools/MinhashScale).
     */
   def createMinhashIndex(idxName: String, column: String, idCol: String,
       numHashes: Int = 8, bands: Int = 2, shingleSize: Int = 3,

@@ -105,14 +105,26 @@ object Dedup {
       docsA: DataFrame, textA: String, idA: String,
       docsB: DataFrame, textB: String, idB: String,
       shingleSize: Int, threshold: Double): DataFrame = {
-    def sh(d: DataFrame, t: String, i: String, side: String) = d
+    // materialize the candidate list ONCE (it feeds three subplans below);
+    // candidate sets are bounded by the band join, never corpus-sized
+    val p = pairs.localCheckpoint(true)
+    // shingle ONLY candidate rows: the broadcast semi-join filters each
+    // side down to ids that appear in a pair BEFORE the (expensive)
+    // shingle projection — verifying k candidates against a 100 TB corpus
+    // must not re-shingle the corpus (that is the cost the minhash index
+    // exists to amortize)
+    def sh(d: DataFrame, t: String, i: String, side: String, idCol: String) = d
       .filter(length(col(t)) >= shingleSize)
-      .select(col(i).cast("long").as(s"_v$side"),
-        array_sort(TextFunctions.shingles(col(t), shingleSize)).as(s"_sh$side"))
+      .select(col(i).cast("long").as(s"_v$side"), col(t).as(s"_t$side"))
+      .join(broadcast(p.select(col(idCol).as(s"_v$side")).distinct()),
+        Seq(s"_v$side"), "left_semi")
+      .select(col(s"_v$side"),
+        array_sort(TextFunctions.shingles(col(s"_t$side"), shingleSize))
+          .as(s"_sh$side"))
     val spark = pairs.sparkSession
-    pairs
-      .join(sh(docsA, textA, idA, "a"), col("_ida") === col("_va"))
-      .join(sh(docsB, textB, idB, "b"), col("_idb") === col("_vb"))
+    p
+      .join(sh(docsA, textA, idA, "a", "_ida"), col("_ida") === col("_va"))
+      .join(sh(docsB, textB, idB, "b", "_idb"), col("_idb") === col("_vb"))
       .withColumn("_ni", graft.plans.NativeVector.sortedIntersectCount(
         spark, col("_sha"), col("_shb")))
       .withColumn("jaccard", col("_ni").cast("double") /
