@@ -979,9 +979,29 @@ final class GraftTable private (
     * rebuilt at `shards` segments so streaming appends keep a bounded
     * search fan-out.
     */
+  /** reference add_embedding_index(if_exists=...) collision directive,
+    * shared by all three index kinds: error raises, ignore keeps the
+    * existing index (kind not compared, like the reference), replace and
+    * replace_force drop it first (identical for indexes — they have no
+    * dependents). Returns true to short-circuit (ignore).
+    */
+  private def indexCollision(idxName: String, ifExists: String): Boolean = {
+    require(Set("error", "ignore", "replace", "replace_force")(ifExists),
+      s"ifExists must be one of error|ignore|replace|replace_force, got '$ifExists'")
+    if (!meta.indexes.exists(_.name == idxName)) false
+    else ifExists match {
+      case "error" =>
+        throw new IllegalArgumentException(s"index $idxName exists on $name")
+      case "ignore" => true
+      case _ => dropIndex(idxName); false
+    }
+  }
+
   def createHnswIndex(idxName: String, column: String, idCol: String,
       shards: Int = 4, hnswM: Int = 16, efConstruction: Int = 100,
-      segmentThreshold: Int = 16): Unit = retryOnConflict {
+      segmentThreshold: Int = 16, ifExists: String = "error"): Unit =
+    retryOnConflict {
+    if (indexCollision(idxName, ifExists)) return
     val m = meta
     require(!m.indexes.exists(_.name == idxName), s"index $idxName exists on $name")
     val path = s"${catalog.warehouse}/$name/index/$idxName"
@@ -1005,7 +1025,9 @@ final class GraftTable private (
     */
   def createIvfPqIndex(idxName: String, column: String, idCol: String,
       cells: Int = 8, pqM: Int = 8, pqKs: Int = 16,
-      segmentThreshold: Int = 16): Unit = retryOnConflict {
+      segmentThreshold: Int = 16, ifExists: String = "error"): Unit =
+    retryOnConflict {
+    if (indexCollision(idxName, ifExists)) return
     val m = meta
     require(!m.indexes.exists(_.name == idxName), s"index $idxName exists on $name")
     val path = s"${catalog.warehouse}/$name/index/$idxName"
@@ -1044,7 +1066,9 @@ final class GraftTable private (
     */
   def createMinhashIndex(idxName: String, column: String, idCol: String,
       numHashes: Int = 8, bands: Int = 2, shingleSize: Int = 3,
-      segmentThreshold: Int = 16): Unit = retryOnConflict {
+      segmentThreshold: Int = 16, ifExists: String = "error"): Unit =
+    retryOnConflict {
+    if (indexCollision(idxName, ifExists)) return
     val m = meta
     require(!m.indexes.exists(_.name == idxName), s"index $idxName exists on $name")
     require(numHashes % bands == 0, "numHashes must divide into bands")

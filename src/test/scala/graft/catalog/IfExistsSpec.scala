@@ -116,6 +116,25 @@ class IfExistsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { GraftTable.open(spark, cat, "nope") }
   }
 
+  test("add_embedding_index if_exists: ignore keeps, replace swaps params") {
+    val cat = freshCatalog()
+    val t = GraftTable.create(spark, cat, "ti", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("emb", "array<double>"),
+      ColumnDef("body", "string")))
+    t.insert((0L until 8L).map(i => (i, Seq(i.toDouble, 1.0), s"doc body $i"))
+      .toDF("id", "emb", "body"))
+    t.createHnswIndex("e", "emb", "id", shards = 2)
+    intercept[IllegalArgumentException] { t.createHnswIndex("e", "emb", "id") }
+    t.createHnswIndex("e", "emb", "id", shards = 4, ifExists = "ignore")
+    assert(t.meta.indexes.find(_.name == "e").get.shards == 2) // kept
+    t.createHnswIndex("e", "emb", "id", shards = 3, ifExists = "replace")
+    assert(t.meta.indexes.find(_.name == "e").get.shards == 3) // swapped
+    assert(t.searchIndex("e", Seq(3.0, 1.0), 2).count() == 2)
+    // replace can change the KIND too (drop + create)
+    t.createMinhashIndex("e", "body", "id", ifExists = "replace_force")
+    assert(t.meta.indexes.find(_.name == "e").get.kind == "minhash")
+  }
+
   test("drop_column / drop_index if_not_exists=ignore no-op; error raises") {
     val cat = freshCatalog()
     val t = GraftTable.create(spark, cat, "td", cols)
