@@ -449,6 +449,11 @@ final class GraftTable private (
         throw new IllegalArgumentException(
           s"cannot update primary key column '$k' — the unique constraint " +
             "is enforced at insert; delete + insert to change a key"))
+      // reference _validate_update_spec (table_version.py:1239-1241)
+      m.liveColumns.filter(c => c.computedExpr.isDefined &&
+          setExprs.contains(c.name))
+        .foreach(c => throw new IllegalArgumentException(
+          s"column ${c.name} is computed and cannot be updated"))
       withTouchedFiles(m, expr(predicateSql)) match {
         case None => n = 0L; noopVersion(m, v, "update")
         case Some((touchedDf, touchedFiles)) =>
@@ -604,6 +609,11 @@ final class GraftTable private (
     m.primaryKey.filter(k => updates.columns.contains(k) && !keyCols.contains(k))
       .foreach(k => throw new IllegalArgumentException(
         s"cannot update primary key column '$k' — match on it instead"))
+    // reference _validate_update_spec (table_version.py:1239-1241)
+    m.liveColumns.filter(c => c.computedExpr.isDefined &&
+        updates.columns.contains(c.name) && !keyCols.contains(c.name))
+      .foreach(c => throw new IllegalArgumentException(
+        s"column ${c.name} is computed and cannot be updated"))
     val v = m.currentVersion + 1
     val setCols = updates.columns.filterNot(keyCols.contains).toSeq
     require(setCols.nonEmpty, "batchUpdate needs at least one non-key column")

@@ -143,6 +143,16 @@ class BatchUpsertSpec extends AnyFunSuite {
       .rows.isEmpty)
   }
 
+  test("updating a computed column directly raises (update and batchUpdate)") {
+    val t = seeded("ups_comp")
+    intercept[IllegalArgumentException] {
+      t.update(Map("score2" -> "1.0"), "id = 1")
+    }
+    intercept[IllegalArgumentException] {
+      t.batchUpdate(Seq((1L, 1.0)).toDF("id", "score2"), Seq("id"))
+    }
+  }
+
   test("batch update by _rowid pseudo-column: addressed rows update, identity stable") {
     val t = seeded("ups_rowid")
     val byId = t.readWithSystem().select(col("id"), col("_rowid"))
