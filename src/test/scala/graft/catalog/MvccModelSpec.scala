@@ -82,6 +82,21 @@ class MvccModelSpec extends AnyFunSuite {
         } else if (op == 8) { // compact: layout-only, image unchanged
           val v = t.compact(targetFiles = 1 + rnd.nextInt(3))
           snaps(v) = live
+        } else if (op == 9 && rnd.nextBoolean()) {
+          // upsert: existing keys update, novel keys insert (two versions;
+          // the model records the FINAL one — intermediates are valid
+          // history but unprobed, like any version the model skips)
+          val existing = rnd.shuffle(live.keys.toSeq).take(rnd.nextInt(3))
+          val novel = (0 until 1 + rnd.nextInt(2)).map { _ =>
+            val id = nextId; nextId += 1; id
+          }
+          val upd = (existing ++ novel).map(id => (id, rnd.nextInt(1000) / 10.0))
+          val st = t.batchUpdateStatus(upd.toDF("id", "x"), Seq("id"),
+            ifNotExists = "insert")
+          assert(st.numRows == upd.size,
+            s"seed=$seed upsert rows ${st.numRows} != ${upd.size}")
+          live = live ++ upd
+          snaps(st.version) = live
         } else { // revert to a random earlier version
           val past = snaps.keys.toSeq.filter(_ < t.currentVersion)
           if (past.nonEmpty) {
