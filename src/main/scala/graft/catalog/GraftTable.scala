@@ -555,14 +555,28 @@ final class GraftTable private (
       val hasRowId = keyCols.contains(GraftTable.RowId)
       require(!(hasRowId && ifNotExists == "insert"),
         "ifNotExists='insert' requires user key columns, not _rowid")
-      def liveKeyed: DataFrame = if (hasRowId) readWithSystem() else read()
+      // batch_update frames are small key-lists by contract (the
+      // reference's SqlLookupNode shape): collect the keys once and turn
+      // them into per-column isin predicates so every probe of the table
+      // is a key-list LOOKUP — the filters reach the parquet scan and
+      // prune row groups, never a full-table scan + distinct. The isin
+      // conjunction over-selects on composite keys (cross products); the
+      // joins below decide exact membership.
+      lazy val updKeyRows = updates.select(keyCols.map(col): _*).distinct().collect()
+      lazy val keyListPred: org.apache.spark.sql.Column =
+        if (updKeyRows.isEmpty) lit(false)
+        else keyCols.zipWithIndex.map { case (k, i) =>
+          col(k).isInCollection(updKeyRows.map(_.get(i)).toSet)
+        }.reduce(_ && _)
+      def liveKeyed: DataFrame =
+        (if (hasRowId) readWithSystem() else read()).filter(keyListPred)
       // unmatched update rows, decided against the LIVE image under the
-      // writer lock (updates frames are small key-lists: one tiny job)
+      // writer lock (a key-list-pruned scan: one tiny job)
       val toInsert: Option[DataFrame] =
         if (ifNotExists == "ignore") None
         else {
           val m = meta
-          val liveKeys = liveKeyed.select(keyCols.map(col): _*).distinct()
+          val liveKeys = liveKeyed.select(keyCols.map(col): _*)
           val unmatched = updates.join(liveKeys, keyCols, "left_anti")
           val nMissing = unmatched.count()
           if (nMissing == 0L) None
