@@ -51,6 +51,15 @@ object Connectors {
   def importParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC import (columnar alternative to parquet; Spark's native vectorized
+    * ORC reader — predicate pushdown and column pruning apply the same way).
+    */
+  def importOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def exportOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** HuggingFace-datasets on-disk layout import (reference
     * `import_huggingface_dataset`, `io/hf_datasets.py:159` — there the
     * `datasets` lib materializes arrow/parquet per split): each
