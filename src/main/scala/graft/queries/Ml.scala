@@ -748,5 +748,71 @@ object Ml {
              |JOIN f ON f.m = d.m
              |ORDER BY d.doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q155_pca_embed",
+      (s, dir) => {
+        // Distributed PCA over the embedding column (operators/Pca): ONE
+        // treeAggregate packs (n, Σx, upper-tri Σxxᵀ) — O(d²) driver
+        // state independent of row count — then cyclic Jacobi solves the
+        // 64×64 covariance and `project` is pure Column composition
+        // (codegen dot products, map-only). The eigen basis itself is
+        // sign/order ambiguous and accumulation-order sensitive, so the
+        // gate is the PCA CONTRACT, tolerance-fenced driver-side:
+        // orthonormal components, descending eigenvalues, Σλ == trace,
+        // per-coordinate projection variance == λⱼ (a full data pass
+        // through `project`, so the transform math is exercised, not
+        // just the fit), plus engine-exact integer-micro sums of x and
+        // x² over the raw table that DuckDB recomputes independently.
+        import graft.operators.Pca
+        import s.implicits._
+        val emb = T(s, dir, "embeddings")
+        val model = Pca.fit(emb, "embedding")
+        val k = 8
+        val d = model.dim
+        val orthoDev = (for { i <- 0 until d; j <- i until d } yield
+          math.abs(Pca.dot(model.components(i), model.components(j)) -
+            (if (i == j) 1.0 else 0.0))).max
+        val orthonormalOk = orthoDev < 1e-8
+        val eigsDescOk = model.eigenvalues.sliding(2)
+          .forall(p => p(0) >= p(1) - 1e-12) && model.eigenvalues.last > -1e-9
+        val traceOk = math.abs(model.eigenvalues.sum - model.trace) <=
+          1e-8 * math.max(1.0, model.trace)
+        val projAggs = (0 until k).flatMap { j =>
+          val c = element_at(col("pca"), j + 1)
+          Seq(sum(c), sum(c * c))
+        }
+        val r = Pca.project(emb, "embedding", model, k)
+          .agg(projAggs.head, projAggs.tail: _*).head()
+        val projVarOk = (0 until k).forall { j =>
+          val vp = r.getDouble(2 * j + 1) / model.n -
+            math.pow(r.getDouble(2 * j) / model.n, 2)
+          math.abs(vp - model.eigenvalues(j)) <=
+            1e-6 * math.max(1.0, model.eigenvalues(j))
+        }
+        val frac = model.varianceFraction(k)
+        val fracOk = frac > 0 && frac <= 1 + 1e-12
+        val micro = emb.select(
+          aggregate(transform(col("embedding").cast("array<double>"),
+            e => round(e * lit(1e6)).cast("long")),
+            lit(0L), (a, x) => a + x).as("m"),
+          aggregate(transform(col("embedding").cast("array<double>"),
+            e => round(e * e * lit(1e6)).cast("long")),
+            lit(0L), (a, x) => a + x).as("m2"))
+          .agg(sum("m"), sum("m2")).head()
+        Seq((model.n, d.toLong, k.toLong, micro.getLong(0), micro.getLong(1),
+          orthonormalOk, eigsDescOk, traceOk, projVarOk, fracOk))
+          .toDF("n", "dim", "k", "sum_micro", "sumsq_micro",
+            "orthonormal_ok", "eigs_desc_ok", "trace_ok", "projvar_ok",
+            "frac_ok")
+      },
+      Some("""SELECT (SELECT count(*) FROM embeddings) AS n,
+             |  64::BIGINT AS dim, 8::BIGINT AS k,
+             |  CAST(sum(CAST(round(e * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro,
+             |  CAST(sum(CAST(round(e * e * 1e6) AS BIGINT)) AS BIGINT) AS sumsq_micro,
+             |  TRUE AS orthonormal_ok, TRUE AS eigs_desc_ok,
+             |  TRUE AS trace_ok, TRUE AS projvar_ok, TRUE AS frac_ok
+             |FROM (SELECT CAST(unnest(embedding) AS DOUBLE) AS e
+             |      FROM embeddings)""".stripMargin),
+    ),
   )
 }
