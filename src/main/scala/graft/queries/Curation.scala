@@ -799,5 +799,104 @@ object Curation {
              |FROM tok JOIN wt USING (w)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q156_sample_priority",
+      (s, dir) => {
+        // Weighted sampling without replacement via PRIORITY SAMPLING
+        // (Duffield/Lund/Thorup 2007): priority qᵢ = wᵢ/uᵢ with uᵢ the
+        // md5-fraction draw, keep the k largest, threshold τ = the
+        // (k+1)-th priority, Horvitz-Thompson weight estimate
+        // ŵᵢ = max(wᵢ, τ) (unbiased for subset sums). Chosen over A-ES
+        // u^(1/w) because it needs NO transcendentals — an md5 fraction
+        // and one IEEE division are bit-identical in any engine, so the
+        // sample is hash-exact, not tolerance-fenced. Shape: the k+1
+        // survivors come from TakeOrderedAndProject (per-partition top-k,
+        // driver merges k·P rows) — no global sort at any scale; weights
+        // here are n_chars (bytes-ish), i.e. sampling proportional to
+        // document cost.
+        val k = 40
+        val docs = T(s, dir, "documents").select(
+          col("doc_id"),
+          col("n_chars").cast("double").as("w"),
+          (col("n_chars").cast("double") /
+            hashFrac("156", col("doc_id"))).as("q"))
+        val top = docs.orderBy(col("q").desc, col("doc_id")).limit(k + 1)
+          .collect()
+        val tau = top(k).getDouble(2)
+        import s.implicits._
+        top.take(k).toSeq
+          .map(r => (r.getLong(0), r.getDouble(1).toLong,
+            BigDecimal(r.getDouble(2)).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble,
+            BigDecimal(math.max(r.getDouble(1), tau)).setScale(4,
+              BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("doc_id", "w", "pri", "est_w")
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id, n_chars::DOUBLE AS w,
+              |    n_chars::DOUBLE / (${hashFracSql("156", "doc_id::VARCHAR")}) AS q
+              |  FROM documents),
+              |r AS (SELECT doc_id, w, q,
+              |    row_number() OVER (ORDER BY q DESC, doc_id) AS rk FROM p)
+              |SELECT doc_id, CAST(w AS BIGINT) AS w, round(q, 6) AS pri,
+              |  round(greatest(w, (SELECT q FROM r WHERE rk = 41)), 4) AS est_w
+              |FROM r WHERE rk <= 40 ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "q157_heavy_hitters",
+      (s, dir) => {
+        // Space-Saving heavy hitters (operators/HeavyHitters): partial-
+        // aggregate summaries of O(m) state per task, pair-merged, O(m)
+        // rows to the driver — the top-k-frequent plan that never
+        // shuffles the raw stream. The stream is a DETERMINISTIC
+        // power-law: key = floor(1/u) with u the md5 fraction of the
+        // lineitem key columns — bit-identical in any engine (no
+        // transcendentals, one IEEE division), with real zipf skew the
+        // 31-token synthetic vocabulary lacks. The sketch is
+        // approximate, so the gate is its CONTRACT: the summary only
+        // NOMINATES candidates, the emitted top-10 is an EXACT recount
+        // over the candidate set (InSet probe, one bounded groupBy) —
+        // if any true top-10 key ever dropped out of the summary, the
+        // rows differ from the oracle's exact top-10 and the gate
+        // hash-fails; `bounds_ok` additionally asserts est ≥ true and
+        // est − err ≤ true for every tracked item (error bound ≪ the
+        // rank-10 frequency by 4× margin at every SF).
+        import s.implicits._
+        val m = 1024
+        val u = greatest(hashFrac("157", concat_ws("_",
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))), lit(1e-12))
+        val stream = T(s, dir, "lineitem")
+          .select(floor(lit(1.0) / u).cast("long").as("k")).persist()
+        try {
+          val summary = stream.select(col("k").cast("string").as("v"))
+            .as[String]
+            .select(new graft.operators.SpaceSavingAgg(m).toColumn).head()
+          val cands = summary.map(_._1.toLong)
+          val exactMap = stream.filter(col("k").isInCollection(cands))
+            .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val boundsOk = summary.forall { case (ks, est, err) =>
+            val t = exactMap(ks.toLong)
+            est >= t && est - err <= t
+          }
+          exactMap.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+            .zipWithIndex
+            .map { case ((k, c), i) => (i + 1L, k, c, boundsOk) }
+            .toDF("rank", "k", "cnt", "bounds_ok")
+            .orderBy(col("rank"))
+        } finally { stream.unpersist(blocking = false); () }
+      },
+      Some(s"""WITH ks AS (SELECT floor(1.0 / greatest(
+              |    ${hashFracSql("157",
+                     "l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR || '_' || " +
+                     "l_partkey::VARCHAR || '_' || l_suppkey::VARCHAR")},
+              |    1e-12))::BIGINT AS k FROM lineitem),
+              |c AS (SELECT k, count(*)::BIGINT AS cnt FROM ks GROUP BY 1),
+              |r AS (SELECT k, cnt,
+              |    row_number() OVER (ORDER BY cnt DESC, k) AS rank FROM c)
+              |SELECT rank::BIGINT AS rank, k, cnt, TRUE AS bounds_ok
+              |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin),
+    ),
   )
 }
