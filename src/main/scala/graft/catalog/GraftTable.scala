@@ -115,6 +115,60 @@ final class GraftTable private (
     */
   def readHistory(): DataFrame = storedImage(meta)
 
+  /** Change data feed (the Delta/Iceberg CDF analog, read straight off the
+    * MVCC row images — no event log to maintain): every row-level change
+    * with commit version in (fromVersion, toVersion] as
+    * `insert` / `delete` / `update_preimage` / `update_postimage` events,
+    * with `_rowid` and `_commit_version` alongside the user columns.
+    *
+    * Opens are images with `_v_min` in the window, closes images with
+    * `_v_max` in the window; an open and a close of the SAME `_rowid` at
+    * the SAME version pair into an update (updates keep their `_rowid`).
+    * Unstored computed columns are inlined from the image, so a
+    * preimage carries the computed value its stored columns implied.
+    *
+    * Scale shape: the open/close filters push to the parquet scan
+    * (footer min/max on `_v_min`/`_v_max` skip files wholly outside the
+    * window — versions correlate with files, so a narrow window reads
+    * few files), and the update pairing is ONE hash shuffle on
+    * (`_rowid`, version). Compaction copies images byte-identical, so a
+    * compact version emits ZERO events by construction.
+    */
+  def changeFeed(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val m = meta
+    require(m.isVersioned, s"$name is unversioned — no change history kept")
+    val hi = toVersion.getOrElse(m.currentVersion)
+    require(fromVersion <= hi,
+      s"empty window: fromVersion $fromVersion > toVersion $hi")
+    require(hi <= m.currentVersion,
+      s"toVersion $hi beyond current ${m.currentVersion}")
+    var img = toLogical(storedImage(m), m)
+    m.computedInTopoOrderAt(hi).filterNot(_.stored).foreach { c =>
+      img = img.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
+    }
+    val userCols = m.columnsAt(hi).map(_.name)
+    val opens = img
+      .filter(col(VMin) > fromVersion && col(VMin) <= hi)
+      .withColumn("_commit_version", col(VMin))
+      .withColumn("_opened", lit(true))
+    val closes = img
+      .filter(col(VMax) > fromVersion && col(VMax) <= hi)
+      .withColumn("_commit_version", col(VMax))
+      .withColumn("_opened", lit(false))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(RowId), col("_commit_version"))
+    opens.select((userCols :+ RowId :+ "_commit_version" :+ "_opened").map(col): _*)
+      .unionByName(closes.select(
+        (userCols :+ RowId :+ "_commit_version" :+ "_opened").map(col): _*))
+      .withColumn("_paired", count(lit(1)).over(w) === 2)
+      .withColumn("_change_type",
+        when(col("_paired") && col("_opened"), lit("update_postimage"))
+          .when(col("_paired"), lit("update_preimage"))
+          .when(col("_opened"), lit("insert"))
+          .otherwise(lit("delete")))
+      .drop("_opened", "_paired")
+  }
+
   /** `col.localpath` through the CATALOG surface: reads the table (at
     * `version`) and appends `<outCol>`/`<outCol>_errormsg` with
     * executor-local cached paths for the remote URIs in `uriCol`. Cache

@@ -1946,6 +1946,58 @@ object Extras {
              |  FROM c)
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q158_change_feed",
+      (s, dir) => {
+        // Change data feed (the Delta/Iceberg CDF analog, read straight
+        // off the MVCC row images — GraftTable.changeFeed) in the
+        // correctness gate: insert / partial update / delete on an orders
+        // subset, then a clustered compaction (which must emit ZERO
+        // events — images copy byte-identical), then the full-window feed
+        // aggregated per change type. Every count and price sum is a
+        // closed form over `orders` for the DuckDB oracle: preimages
+        // carry the pre-update price, postimages the updated one, deletes
+        // the image live at delete time (ok >= 600 rows were never
+        // updated, so their prices are the originals).
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q158").toString)
+        val t = GraftTable.create(s, cat, "cdf_orders", Seq(
+          ColumnDef("ok", "bigint"), ColumnDef("price", "double")))
+        val v0 = t.currentVersion
+        t.insert(T(s, dir, "orders")
+          .filter(col("o_orderkey") < 800)
+          .select(col("o_orderkey").as("ok"), col("o_totalprice").as("price"))
+          .repartition(4))
+        t.update(Map("price" -> "price + 1"), "ok < 400")
+        t.delete("ok >= 600")
+        val vEnd = t.currentVersion
+        t.compact(targetFiles = 2, clusterBy = Seq("ok"))
+        val compactSilent = t.changeFeed(vEnd).count() == 0L
+        t.changeFeed(v0)
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("price_sum"))
+          .withColumn("compact_silent", lit(compactSilent))
+          .repartition(1).sortWithinPartitions(col("change_type"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'delete' AS change_type, count(*) AS n,
+             |    round(sum(o_totalprice), 2) AS price_sum,
+             |    TRUE AS compact_silent
+             |  FROM orders WHERE o_orderkey >= 600 AND o_orderkey < 800
+             |  UNION ALL
+             |  SELECT 'insert', count(*), round(sum(o_totalprice), 2), TRUE
+             |  FROM orders WHERE o_orderkey < 800
+             |  UNION ALL
+             |  SELECT 'update_postimage', count(*),
+             |    round(sum(o_totalprice + 1), 2), TRUE
+             |  FROM orders WHERE o_orderkey < 400
+             |  UNION ALL
+             |  SELECT 'update_preimage', count(*),
+             |    round(sum(o_totalprice), 2), TRUE
+             |  FROM orders WHERE o_orderkey < 400
+             |) ORDER BY change_type""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
