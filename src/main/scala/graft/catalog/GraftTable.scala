@@ -142,7 +142,7 @@ final class GraftTable private (
       s"empty window: fromVersion $fromVersion > toVersion $hi")
     require(hi <= m.currentVersion,
       s"toVersion $hi beyond current ${m.currentVersion}")
-    var img = toLogical(storedImage(m), m)
+    var img = storedImage(m) // already logical-named
     m.computedInTopoOrderAt(hi).filterNot(_.stored).foreach { c =>
       img = img.withColumn(c.name, expr(c.computedExpr.get).cast(c.dataType))
     }

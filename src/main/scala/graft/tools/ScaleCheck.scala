@@ -26,7 +26,16 @@ object ScaleCheck {
     "q142_url_dedup", "q144_paragraph_dedup", "q146_psl_domains",
     "q148_psl_wildcards", "q149_recompute_columns", "q150_ann_ivfpq",
     "q151_catalog_tree", "q152_update_status", "q153_batch_upsert",
-    "q154_minhash_index")
+    "q154_minhash_index", "q155_pca_embed", "q156_sample_priority",
+    "q157_heavy_hitters", "q158_change_feed")
+  // r10 final additions: q155 PCA is one treeAggregate over the m×-grown
+  // embeddings (O(d²) driver state, ratio should track m sub-linearly);
+  // q156 priority sampling is per-partition top-k (TakeOrderedAndProject —
+  // flat-ish, merge cost k·P); q157 Space-Saving is a partial-aggregate
+  // sketch over m× lineitem rows (tracks m, zero shuffle of raw rows);
+  // q158 change feed is a DML-lifecycle gate bounded at o_orderkey < 800
+  // (constant input under key-offset replication — measures the window
+  // pushdown + fixed job overhead, expected ~1 like q151-q154).
   // r10 late additions: q151-q154 are DML-lifecycle gates over bounded
   // doc_id slices (< 40/50) — replication offsets doc_id per copy, so the
   // gates' inputs stay CONSTANT and the ratio measures pushdown + fixed

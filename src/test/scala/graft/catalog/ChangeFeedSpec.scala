@@ -118,6 +118,46 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(after.select("id").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("batch upsert splits into an update pair and a plain insert") {
+    val cat = newCat()
+    val t = GraftTable.create(spark, cat, "cdf5", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("v", "double")))
+    val v0 = t.currentVersion
+    t.insert(Seq((1L, 1.0)).toDF("id", "v"))
+    val v1 = t.currentVersion
+    // upsert: id=1 matches (update), id=2 doesn't (insert leg) — the
+    // reference commits these as TWO versions (update, then insert)
+    t.batchUpdate(Seq((1L, 9.0), (2L, 2.0)).toDF("id", "v"),
+      Seq("id"), ifNotExists = "insert")
+    val feed = t.changeFeed(v1)
+    val got = feed.select(col("id"), col("_change_type"), col("v"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "update_preimage", 1.0),
+      (1L, "update_postimage", 9.0), (2L, "insert", 2.0)), s"$got")
+    // the two legs land at distinct versions, both inside (v1, current]
+    val vs = feed.select("_commit_version").as[Long].collect().toSet
+    assert(vs.size == 2 && vs.forall(v => v > v1 && v <= t.currentVersion))
+    assert(events(t.changeFeed(v0)).count(_._3 == "insert") == 2)
+  }
+
+  test("schema evolution: preimages before add_column carry null for it") {
+    val cat = newCat()
+    val t = GraftTable.create(spark, cat, "cdf6", Seq(
+      ColumnDef("id", "bigint"), ColumnDef("v", "double")))
+    val v0 = t.currentVersion
+    t.insert(Seq((1L, 1.0)).toDF("id", "v"))
+    t.addColumn(ColumnDef("w", "double"))
+    t.update(Map("w" -> "v * 3"), "id = 1")
+    val feed = t.changeFeed(v0)
+    val byType = feed.select(col("_change_type"), col("w"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // the insert image predates `w` (parquet mergeSchema → null); the
+    // update pair straddles it: preimage null, postimage the new value
+    assert(byType == Map("insert" -> None, "update_preimage" -> None,
+      "update_postimage" -> Some(3.0)), s"$byType")
+  }
+
   test("unstored computed columns are inlined into pre/post images") {
     val cat = newCat()
     val t = GraftTable.create(spark, cat, "cdf4", Seq(
