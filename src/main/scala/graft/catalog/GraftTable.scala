@@ -959,22 +959,30 @@ final class GraftTable private (
     * streaming/DML versions — O(live data) rewrite, metadata-only for
     * every older version.
     */
-  /** `clusterBy` (the lakehouse OPTIMIZE ... ZORDER/CLUSTER BY analog,
-    * linear form): range-partition the rewrite on the given columns and
-    * sort within each file, so every output file covers a DISJOINT value
+  /** `clusterBy` (the lakehouse OPTIMIZE ... CLUSTER BY analog, linear
+    * form): range-partition the rewrite on the given columns and sort
+    * within each file, so every output file covers a DISJOINT value
     * range and its parquet footer min/max becomes selective — predicate
     * scans over the clustered columns then skip whole files/row groups.
     * At 100 TB this turns a full-corpus point/range query into a
     * footer-pruned scan without any index structure to maintain.
+    *
+    * `zOrder=true` (with ≥2 cluster columns) interleaves equi-depth rank
+    * bits instead (`operators/ZOrder`) — the `OPTIMIZE ... ZORDER BY`
+    * form: every file covers a small hyper-rectangle of the value space,
+    * so footers prune on ANY clustered column, where the linear form is
+    * only selective on the leading one.
     */
-  def compact(targetFiles: Int = 1, clusterBy: Seq[String] = Seq.empty): Long = {
-    val ver = compactInner(targetFiles, clusterBy)
+  def compact(targetFiles: Int = 1, clusterBy: Seq[String] = Seq.empty,
+      zOrder: Boolean = false): Long = {
+    val ver = compactInner(targetFiles, clusterBy, zOrder)
     squashIfUnversioned()
     ver
   }
 
   private def compactInner(targetFiles: Int,
-      clusterBy: Seq[String] = Seq.empty): Long = retryOnConflict {
+      clusterBy: Seq[String] = Seq.empty,
+      zOrder: Boolean = false): Long = retryOnConflict {
     val m = meta
     val v = m.currentVersion + 1
     val files = m.activeFiles(m.currentVersion)
@@ -990,9 +998,25 @@ final class GraftTable private (
       m.liveColumns.find(_.name == c).getOrElse(throw new IllegalArgumentException(
         s"no such column to cluster by: '$c'")).storeName
     }
+    require(!zOrder || phys.size >= 2,
+      "zOrder clustering needs at least 2 clusterBy columns (use the linear form for 1)")
     val raw0 = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    if (zOrder) phys.foreach { c =>
+      // footer min/max on a hash-bucketed string is not prunable — refuse
+      // unordered domains rather than silently degrade the layout
+      val dt = raw0.schema(c).dataType.typeName
+      require(Set("byte", "short", "integer", "long", "float", "double",
+        "decimal").exists(dt.startsWith),
+        s"z-order column '$c' has unordered-or-unprunable type $dt")
+    }
     val raw =
       if (phys.isEmpty) raw0.repartition(targetFiles)
+      else if (zOrder)
+        // Morton interleave of equi-depth ranks (operators/ZOrder, native
+        // codegen kernel): range-partitioning the z-value gives each file
+        // a small hyper-rectangle of the clustered value space
+        graft.operators.ZOrder.cluster(raw0, phys,
+          numBuckets = 256, partitions = targetFiles)
       else raw0.repartitionByRange(targetFiles, phys.map(col): _*)
         .sortWithinPartitions(phys.map(col): _*)
     val dir = dataDir(v, "compact")

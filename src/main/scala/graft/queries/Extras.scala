@@ -1998,6 +1998,69 @@ object Extras {
              |  FROM orders WHERE o_orderkey < 400
              |) ORDER BY change_type""".stripMargin),
     ),
+    QueryDef(
+      "q159_zorder_compact",
+      (s, dir) => {
+        // Z-order clustered compaction (OPTIMIZE ... ZORDER BY) in the
+        // correctness gate: a 2-key lineitem subset (orderkey x partkey,
+        // decorrelated in the corpus) inserted in three interleaved
+        // batches, then compact(16, zOrder=true) interleaves equi-depth
+        // rank bits so every file covers a hyper-rectangle. The oracle
+        // recomputes a range aggregate from the raw table (content
+        // preservation); the skipping contract gates as flags straight
+        // off the parquet footers: an eighth-of-space window on EITHER
+        // key alone must leave at least a quarter of the files skippable
+        // — the property the linear form cannot give on the second key.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q159").toString)
+        val t = GraftTable.create(s, cat, "li_z", Seq(
+          ColumnDef("ok", "bigint"), ColumnDef("pk", "bigint"),
+          ColumnDef("qty", "double")))
+        val src = T(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 1600)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+            col("l_quantity").as("qty"))
+        for (r <- 0 until 3)
+          t.insert(src.filter(pmod(col("ok"), lit(3)) === r).repartition(3))
+        t.compact(targetFiles = 16, clusterBy = Seq("ok", "pk"), zOrder = true)
+        val conf = s.sessionState.newHadoopConf()
+        def ranges(column: String): Seq[(Long, Long)] =
+          t.meta.activeFiles(t.currentVersion).map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              val st = scala.jdk.CollectionConverters
+                .ListHasAsScala(r.getFooter.getBlocks).asScala
+                .flatMap(b => scala.jdk.CollectionConverters
+                  .ListHasAsScala(b.getColumns).asScala
+                  .filter(_.getPath.toDotString == column).map(_.getStatistics))
+              (st.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
+                st.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max)
+            } finally r.close()
+          }
+        def skippable(rs: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+          rs.count { case (mn, mx) => mx < lo || mn >= hi }
+        val okR = ranges("ok"); val pkR = ranges("pk")
+        val nf = okR.size
+        val okPrunes = skippable(okR, 0L, 200L) * 4 >= nf
+        val pkLo = pkR.map(_._1).min; val pkHi = pkR.map(_._2).max
+        val pkPrunes =
+          skippable(pkR, pkLo, pkLo + (pkHi - pkLo).max(8L) / 8) * 4 >= nf
+        t.read()
+          .filter(col("ok") >= 300 && col("ok") < 900)
+          .agg(count(lit(1)).as("n"), round(sum(col("qty")), 2).as("qty_sum"))
+          .withColumn("ok_prunes", lit(okPrunes))
+          .withColumn("pk_prunes", lit(pkPrunes))
+          .withColumn("files_ok", lit(nf <= 16))
+          .select("n", "qty_sum", "ok_prunes", "pk_prunes", "files_ok")
+      },
+      Some("""SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty_sum,
+             |  TRUE AS ok_prunes, TRUE AS pk_prunes, TRUE AS files_ok
+             |FROM lineitem
+             |WHERE l_orderkey >= 300 AND l_orderkey < 900""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -1,0 +1,117 @@
+package graft.catalog
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order clustered compaction: every output file must cover a small
+  * hyper-rectangle of the (a, b) value space, so parquet footer min/max
+  * prune files for predicates on EITHER column — the property the linear
+  * CLUSTER BY form structurally cannot give on the trailing column. The
+  * assertions read the ranges straight from the parquet footers, like
+  * ClusteredCompactSpec.
+  */
+class ZOrderCompactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def footerRanges(t: GraftTable, column: String): Seq[(Long, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    t.meta.activeFiles(t.currentVersion).map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val st = scala.jdk.CollectionConverters
+          .ListHasAsScala(r.getFooter.getBlocks).asScala
+          .flatMap(b => scala.jdk.CollectionConverters
+            .ListHasAsScala(b.getColumns).asScala
+            .filter(_.getPath.toDotString == column).map(_.getStatistics))
+        (st.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue()).min,
+          st.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue()).max)
+      } finally r.close()
+    }
+  }
+
+  private def pruned(ranges: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+    ranges.count { case (mn, mx) => mx < lo || mn >= hi } // skippable files
+
+  /** 4096 rows over a decorrelated (a, b) grid, inserted scattered. */
+  private def mkTable(name: String): GraftTable = {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory(s"graft-$name").toString)
+    val t = GraftTable.create(spark, cat, name, Seq(
+      ColumnDef("a", "bigint"), ColumnDef("b", "bigint")))
+    val rows = (0L until 4096L).map(i => (i, i * 37 % 4096))
+    for (r <- 0 until 4)
+      t.insert(rows.filter(_._1 % 4 == r).toDF("a", "b").repartition(3))
+    t
+  }
+
+  test("z-order files prune on BOTH dimensions; linear only on the leading one") {
+    val tz = mkTable("zc1")
+    val preCompact = tz.currentVersion
+    tz.compact(targetFiles = 16, clusterBy = Seq("a", "b"), zOrder = true)
+    val za = footerRanges(tz, "a"); val zb = footerRanges(tz, "b")
+    assert(za.size <= 16)
+    // an eighth-of-space window on either column skips at least a quarter
+    // of the files (a 4x4-ish z-grid leaves ~4 of 16 intersecting)
+    assert(pruned(za, 0L, 512L) >= 4, s"a-ranges: $za")
+    assert(pruned(zb, 0L, 512L) >= 4, s"b-ranges: $zb")
+    // content preserved through the rewrite, history intact
+    assert(tz.read().count() == 4096L)
+    assert(tz.read().agg(sum(col("a") + col("b"))).head.getLong(0)
+      == 2L * (0L until 4096L).sum)
+    assert(tz.read(Some(preCompact)).count() == 4096L)
+
+    // the linear form on the same data: selective on `a`, blind on `b`
+    val tl = mkTable("zc2")
+    tl.compact(targetFiles = 16, clusterBy = Seq("a", "b"))
+    assert(pruned(footerRanges(tl, "a"), 0L, 512L) >= 4)
+    assert(pruned(footerRanges(tl, "b"), 0L, 512L) == 0,
+      "lexicographic clustering should not prune the trailing column — " +
+        "if this starts passing, the fixture stopped being decorrelated")
+  }
+
+  test("z-order refuses unordered domains and single columns") {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-zc3").toString)
+    val t = GraftTable.create(spark, cat, "zc3", Seq(
+      ColumnDef("a", "bigint"), ColumnDef("s", "string")))
+    t.insert(Seq((1L, "x"), (2L, "y")).toDF("a", "s"))
+    intercept[IllegalArgumentException] {
+      t.compact(targetFiles = 2, clusterBy = Seq("a"), zOrder = true)
+    }
+    intercept[IllegalArgumentException] {
+      t.compact(targetFiles = 2, clusterBy = Seq("a", "s"), zOrder = true)
+    }
+  }
+
+  test("z-value is a native codegen plan: no UDF, map-side only") {
+    val df = (0L until 256L).map(i => (i, i * 7 % 256)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zc4").toString
+    df.write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val cuts = graft.operators.ZOrder.boundariesFor(src, Seq("x", "y"), numBuckets = 16)
+    val z = src.withColumn("z",
+      graft.operators.ZOrder.zvalue(src, Seq("x", "y"), cuts))
+    val plan = z.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"), plan)
+    assert(!plan.contains("Exchange"), s"z-value must not shuffle:\n$plan")
+    // interleave sanity against a driver-side reference on tiny exact data:
+    // 4-bit ranks of 0..255 in 16 equi-depth buckets ~ value / 16
+    val got = z.select("x", "y", "z").as[(Long, Long, Long)].collect()
+    def interleave(ra: Long, rb: Long): Long =
+      (0 until 4).map(i => (((ra >> i) & 1L) << (2 * i)) | (((rb >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val mism = got.count { case (x, y, zz) =>
+      // boundaries are approximate; allow rank off-by-one per dimension
+      val ra = x / 16; val rb = y / 16
+      val cands = for {
+        da <- -1 to 1; db <- -1 to 1
+        a = (ra + da).max(0).min(15); b = (rb + db).max(0).min(15)
+      } yield interleave(a, b)
+      !cands.contains(zz)
+    }
+    assert(mism == 0, s"$mism rows off the Morton curve")
+  }
+}
