@@ -7,7 +7,9 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
 /** Real audio operations over binary WAV payloads (reference audio family,
   * `/root/reference/pixeltable/functions/audio.py:26-763`), built on the
   * JDK's javax.sound.sampled — no external codec dependency. PCM 16-bit
-  * WAV is the interchange encoding.
+  * WAV is the interchange encoding; compressed/narrow WAV encodings
+  * (G.711 μ-law/A-law, IMA ADPCM, PCM-8/24/32, float32) decode through
+  * `AudioCodecs` transparently in every op below.
   *
   * `audioSplitter` reproduces the reference's silence-detection splitting
   * shape: segments bounded by runs of below-threshold RMS.
@@ -17,6 +19,14 @@ object Audio {
   private val Rate = 16000f
 
   private[graft] def decodePcm(bytes: Array[Byte]): (AudioFormat, Array[Short]) = {
+    // RIFF/WAVE goes through the codec-aware parser (PCM-8/16/24/32,
+    // float32, G.711 a/μ-law, IMA ADPCM — `AudioCodecs`); AIFF/AU and
+    // other JDK-native containers keep the javax.sound path.
+    if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+        bytes(2) == 'F' && bytes(3) == 'F') {
+      val (rate, channels, samples) = AudioCodecs.decodeToPcm16(bytes)
+      return (new AudioFormat(rate.toFloat, 16, channels, true, false), samples)
+    }
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     val fmt = in.getFormat
     require(fmt.getSampleSizeInBits == 16, s"expect 16-bit PCM, got $fmt")
@@ -26,6 +36,49 @@ object Audio {
       else java.nio.ByteOrder.LITTLE_ENDIAN
     java.nio.ByteBuffer.wrap(raw).order(order).asShortBuffer().get(samples)
     (fmt, samples)
+  }
+
+  /** Re-encode a WAV to a named codec (ulaw/alaw/adpcm/pcm8/pcm16) —
+    * `AudioCodecs.transcode`, the format-conversion sink.
+    */
+  val transcodeWav = udf { (bytes: Array[Byte], codec: String) =>
+    AudioCodecs.transcode(bytes, codec)
+  }
+
+  /** Mono 16 kHz WAV whose DATA bytes are exactly `codes` under the named
+    * 8-bit encoding (ulaw/alaw/pcm8) — codec-gate fixture: the decode of a
+    * known code sequence is a closed form a SQL oracle recomputes with bit
+    * arithmetic.
+    */
+  val makeCodedWav = udf { (codes: Seq[Int], codec: String) =>
+    val tag = codec match {
+      case "ulaw" => 7
+      case "alaw" => 6
+      case "pcm8" => 1
+      case other  => throw new IllegalArgumentException(s"makeCodedWav: $other")
+    }
+    AudioCodecs.writeWav(tag, 1, Rate.toInt, 8, 1, codes.length,
+      codes.map(_.toByte).toArray)
+  }
+
+  /** Exact integer sum of the decoded PCM-16 samples — the decode proof
+    * column for codec gates.
+    */
+  val sampleSum = udf { (bytes: Array[Byte]) =>
+    decodePcm(bytes)._2.foldLeft(0L)(_ + _)
+  }
+
+  /** RMS sample difference between two decodable payloads (lossy-codec
+    * round-trip quality metric; deterministic integer decode, so stable).
+    */
+  val pcmRmsDiff = udf { (a: Array[Byte], b: Array[Byte]) =>
+    val sa = decodePcm(a)._2
+    val sb = decodePcm(b)._2
+    require(sa.length == sb.length, s"length mismatch ${sa.length} vs ${sb.length}")
+    if (sa.isEmpty) 0.0
+    else math.sqrt(sa.indices.map { i =>
+      val d = (sa(i) - sb(i)).toDouble; d * d
+    }.sum / sa.length)
   }
 
   private[graft] def encodeWav(samples: Array[Short], rate: Float = Rate): Array[Byte] = {

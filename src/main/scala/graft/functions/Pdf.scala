@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions.udf
   *    Latin PDFs). Content-stream filters cover the text-bearing set:
   *    FlateDecode, LZWDecode (variable-width MSB-first codes with
   *    /EarlyChange per the spec's TIFF variant), ASCIIHexDecode,
-  *    ASCII85Decode, RunLengthDecode — singly or as a /Filter chain.
-  *    Encrypted PDFs, object streams (/ObjStm), and predictor-coded
-  *    streams are out of scope and raise cleanly (the raise is captured
-  *    per-cell by `pdfPagesSafe`).
+  *    ASCII85Decode, RunLengthDecode — singly or as a /Filter chain,
+  *    with PNG/TIFF /DecodeParms predictors;
+  *  - PDF 1.5+ object streams (/ObjStm) and encrypted documents
+  *    (standard security handler: RC4, AES-128, AES-256 R5/R6 — empty or
+  *    supplied user password); whatever remains out of reach raises
+  *    cleanly and `pdfPagesSafe` captures it per cell.
   */
 object Pdf {
 
@@ -226,7 +228,8 @@ object Pdf {
     s.length
   }
 
-  private def parseObjects(bytes: Array[Byte]): Map[Int, Obj] = {
+  private def parseObjects(bytes: Array[Byte],
+      password: String = ""): Map[Int, Obj] = {
     val s = new String(bytes, ISO_8859_1)
     require(s.startsWith("%PDF"), "not a PDF (missing %PDF header)")
     val out = mutable.Map.empty[Int, Obj]
@@ -246,7 +249,7 @@ object Pdf {
     val dictOf = parsed.map { case (n, _, d, _) => n -> d }.toMap
     val crypt: Option[Crypt] =
       if ("""/Encrypt\s+\d+\s+\d+\s+R""".r.findFirstIn(s).isDefined)
-        Some(buildCrypt(s, dictOf))
+        Some(buildCrypt(s, dictOf, password))
       else None
     parsed.foreach { case (num, gen, dict, dEnd) =>
       var i = dEnd
@@ -886,11 +889,13 @@ object Pdf {
 
   // ------------- standard security handler (PDF 32000-1 §7.6.3) -------------
 
-  /** RC4 / AES-128 decryption for the standard security handler with an
-    * EMPTY user password — the ubiquitous "owner-locked" case (viewable by
-    * anyone, permissions flagged). Password-protected files and the
-    * AES-256 (R5/R6) handler raise a clean "encrypted" error that
-    * `pdfPagesSafe` captures per cell.
+  /** RC4 / AES-128 / AES-256 primitives for the standard security
+    * handler. The default (empty) password covers the ubiquitous
+    * "owner-locked" case — viewable by anyone, permissions flagged —
+    * and `extractPages(pdf, password)` authenticates user-password
+    * documents across all revisions (R2-R4 Algorithm 2, R5 SHA-256,
+    * R6 Algorithm 2.B). A wrong password raises a clean "encrypted"
+    * error that `pdfPagesSafe` captures per cell.
     */
   private[functions] object PdfCrypt {
     val Pad: Array[Byte] = Array(0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A,
@@ -1119,9 +1124,12 @@ object Pdf {
     }
 
   /** Build the document decryptor from the trailer's /Encrypt dict, or
-    * raise "encrypted" if the handler/password is out of reach.
+    * raise "encrypted" if the handler is out of reach or the supplied
+    * user password (default empty — the ubiquitous owner-locked case)
+    * does not authenticate.
     */
-  private def buildCrypt(s: String, dictOf: Map[Int, String]): Crypt = {
+  private def buildCrypt(s: String, dictOf: Map[Int, String],
+      password: String = ""): Crypt = {
     val encRef = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException(
@@ -1144,12 +1152,13 @@ object Pdf {
         "encrypted PDF: malformed V5 /U//UE")
       val vSalt = java.util.Arrays.copyOfRange(u, 32, 40)
       val kSalt = java.util.Arrays.copyOfRange(u, 40, 48)
-      val empty = Array.emptyByteArray
+      val pwd = password.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .take(127)
       def pwdHash(salt: Array[Byte]): Array[Byte] =
-        if (r == 6) PdfCrypt.hash2B(empty, salt, empty)
-        else PdfCrypt.sha(256, empty, salt) // R5: plain SHA-256
+        if (r == 6) PdfCrypt.hash2B(pwd, salt, Array.emptyByteArray)
+        else PdfCrypt.sha(256, pwd, salt) // R5: plain SHA-256
       require(java.util.Arrays.equals(pwdHash(vSalt), u.take(32)),
-        "encrypted PDF: password-protected (empty user password does " +
+        "encrypted PDF: password-protected (supplied user password does " +
           "not authenticate)")
       val fileKey = PdfCrypt.aesNoPad(pwdHash(kSalt), ue.take(32),
         encrypt = false)
@@ -1169,20 +1178,23 @@ object Pdf {
     val id0 = """/ID\s*\[\s*<""".r.findFirstMatchIn(s)
       .map(m => parsePdfString(s, m.end - 1)._1)
       .getOrElse(Array.emptyByteArray)
-    val key = PdfCrypt.fileKey(PdfCrypt.Pad, o, p, id0, keyLen, r,
+    val paddedPwd = (password.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1) ++ PdfCrypt.Pad).take(32)
+    val key = PdfCrypt.fileKey(paddedPwd, o, p, id0, keyLen, r,
       encryptMetadata)
     val expectU = PdfCrypt.userValue(key, id0, r)
     val ok =
       if (r == 2) java.util.Arrays.equals(expectU, u)
       else u.length >= 16 &&
         java.util.Arrays.equals(expectU.take(16), u.take(16))
-    require(ok, "encrypted PDF: password-protected (empty user password " +
+    require(ok, "encrypted PDF: password-protected (supplied user password " +
       "does not authenticate)")
     Crypt(key, aes)
   }
 
-  private def pageContents(pdf: Array[Byte]): Seq[Array[Byte]] = {
-    val objs = parseObjects(pdf)
+  private def pageContents(pdf: Array[Byte],
+      password: String = ""): Seq[Array[Byte]] = {
+    val objs = parseObjects(pdf, password)
     pageOrder(objs).map { p =>
       val dict = objs(p).dict
       val contentRefs =
@@ -1196,9 +1208,12 @@ object Pdf {
     }
   }
 
-  /** Per-page extracted text, document order. */
-  def extractPages(pdf: Array[Byte]): Seq[String] =
-    pageContents(pdf).map(extractContentText)
+  /** Per-page extracted text, document order; `password` authenticates
+    * user-password-protected documents (RC4/AES-128 via Algorithm 2,
+    * AES-256 R5/R6 via SHA-256 / Algorithm 2.B).
+    */
+  def extractPages(pdf: Array[Byte], password: String = ""): Seq[String] =
+    pageContents(pdf, password).map(extractContentText)
 
   /** Per-page text + bounding box of the page's shown text (None for a
     * textless page) — the reference's PDF `bounding_box` chunk metadata for
@@ -1265,6 +1280,25 @@ object Pdf {
     if (bytes == null) PdfPagesCell(Seq.empty, null, null)
     else
       try PdfPagesCell(extractPages(bytes), null, null)
+      catch {
+        case e: Exception =>
+          val msg = Option(e.getMessage).getOrElse("")
+          val et =
+            if (msg.contains("encrypted")) "encrypted"
+            else e.getClass.getSimpleName
+          PdfPagesCell(null, et, msg)
+      }
+  }
+
+  /** `pdfPagesSafe` with a user password (beyond the reference, whose
+    * pypdfium2 path has no password surface): same per-cell error capture,
+    * wrong-password documents carry errortype='encrypted'.
+    */
+  val pdfPagesSafePwd = udf { (bytes: Array[Byte], password: String) =>
+    if (bytes == null) PdfPagesCell(Seq.empty, null, null)
+    else
+      try PdfPagesCell(extractPages(bytes, Option(password).getOrElse("")),
+        null, null)
       catch {
         case e: Exception =>
           val msg = Option(e.getMessage).getOrElse("")

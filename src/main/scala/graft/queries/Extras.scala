@@ -2061,6 +2061,69 @@ object Extras {
              |FROM lineitem
              |WHERE l_orderkey >= 300 AND l_orderkey < 900""".stripMargin),
     ),
+    QueryDef(
+      "q160_audio_codecs",
+      (s, dir) => {
+        // WAV codec breadth (G.711 mu-law/A-law, PCM-8, IMA ADPCM) in the
+        // oracle gate: per doc, an 8-code byte sequence derived from
+        // doc_id is wrapped as a mu-law / A-law / PCM-8 WAV container and
+        // decoded through the library; the decoded sample sums are exact
+        // integers DuckDB recomputes INDEPENDENTLY from the ITU
+        // closed-form bit decompositions (u=255-c resp. a=c^0x55, then
+        // seg/mantissa reconstruction with bit arithmetic). The lossy
+        // ADPCM path round-trips a per-doc tone (frequency varies by
+        // doc_id): the decoded sample count is an exact closed form (the
+        // fact chunk + block math) and reconstruction quality rides as a
+        // threshold flag over the deterministic integer codec.
+        import graft.functions.Audio
+        val codes = transform(sequence(lit(0), lit(7)),
+          j => pmod(col("doc_id") * 8 + j, lit(256)).cast("int"))
+        val freq = (col("doc_id") % 8 + 2).cast("double") * lit(100.0)
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 32)
+          .withColumn("codes", codes)
+          .withColumn("tone", Audio.makeSineWav(lit(0.128), freq))
+          .withColumn("adpcm", Audio.transcodeWav(col("tone"), lit("adpcm")))
+          .select(
+            col("doc_id"),
+            Audio.sampleSum(Audio.makeCodedWav(col("codes"), lit("ulaw")))
+              .as("ulaw_sum"),
+            Audio.sampleSum(Audio.makeCodedWav(col("codes"), lit("alaw")))
+              .as("alaw_sum"),
+            Audio.sampleSum(Audio.makeCodedWav(col("codes"), lit("pcm8")))
+              .as("pcm8_sum"),
+            Audio.getMetadata(col("adpcm")).getField("_3").cast("long")
+              .as("adpcm_n"),
+            (Audio.pcmRmsDiff(col("tone"), col("adpcm")) < 1200.0)
+              .as("adpcm_ok"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH codes AS (
+             |  SELECT d.doc_id, ((d.doc_id * 8 + j.j) % 256) AS c
+             |  FROM (SELECT doc_id FROM documents WHERE doc_id < 32) d
+             |  CROSS JOIN generate_series(0, 7) j(j)
+             |), g AS (
+             |  SELECT doc_id, c, 255 - c AS u, xor(c, 85) AS a FROM codes
+             |), dec AS (
+             |  SELECT doc_id,
+             |    CASE WHEN (u & 128) != 0
+             |         THEN 132 - (((u & 15) * 8 + 132) * (1 << ((u & 112) // 16)))
+             |         ELSE (((u & 15) * 8 + 132) * (1 << ((u & 112) // 16))) - 132
+             |    END AS ulaw_v,
+             |    CASE WHEN (a & 128) != 0 THEN al ELSE -al END AS alaw_v,
+             |    (c - 128) * 256 AS pcm8_v
+             |  FROM (SELECT doc_id, u, a, c,
+             |          CASE WHEN (a & 112) = 0 THEN (a & 15) * 16 + 8
+             |               ELSE ((a & 15) * 16 + 264)
+             |                    * (1 << (((a & 112) // 16) - 1)) END AS al
+             |        FROM g) t
+             |)
+             |SELECT doc_id, CAST(sum(ulaw_v) AS BIGINT) AS ulaw_sum,
+             |  CAST(sum(alaw_v) AS BIGINT) AS alaw_sum,
+             |  CAST(sum(pcm8_v) AS BIGINT) AS pcm8_sum,
+             |  CAST(2048 AS BIGINT) AS adpcm_n, TRUE AS adpcm_ok
+             |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

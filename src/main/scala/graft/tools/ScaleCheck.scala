@@ -27,7 +27,12 @@ object ScaleCheck {
     "q148_psl_wildcards", "q149_recompute_columns", "q150_ann_ivfpq",
     "q151_catalog_tree", "q152_update_status", "q153_batch_upsert",
     "q154_minhash_index", "q155_pca_embed", "q156_sample_priority",
-    "q157_heavy_hitters", "q158_change_feed")
+    "q157_heavy_hitters", "q158_change_feed", "q159_zorder_compact",
+    "q160_audio_codecs")
+  // q159 is a bounded DML-lifecycle gate (l_orderkey < 1600 slice →
+  // constant under key-offset replication; measures z-order write + footer
+  // metadata reads, expected ~1); q160 is map-only codec work over a
+  // bounded doc_id slice (< 32), expected ~1.
   // r10 final additions: q155 PCA is one treeAggregate over the m×-grown
   // embeddings (O(d²) driver state, ratio should track m sub-linearly);
   // q156 priority sampling is per-partition top-k (TakeOrderedAndProject —

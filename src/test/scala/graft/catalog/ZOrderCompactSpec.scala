@@ -73,6 +73,41 @@ class ZOrderCompactSpec extends AnyFunSuite {
         "if this starts passing, the fixture stopped being decorrelated")
   }
 
+  test("z-order compaction interop: view sync noop, change-feed silence, DML after") {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-zc5").toString)
+    val t = GraftTable.create(spark, cat, "zc5", Seq(
+      ColumnDef("a", "bigint"), ColumnDef("b", "bigint"),
+      ColumnDef("text", "string")))
+    t.insert((0L until 512L).map(i => (i, i * 37 % 512, s"w$i x"))
+      .toDF("a", "b", "text").repartition(4))
+    val view = Views.createComponentView(spark, cat, "zc5v", t,
+      "split(text, '\\\\s+')", "token", "string", Seq(ColumnDef("a", "bigint")))
+    assert(view.read().count() == 1024)
+    val vBefore = t.currentVersion
+
+    // the z-order rewrite is a physical re-layout only: the change feed
+    // stays silent across it and the view sync sees nothing new
+    t.compact(targetFiles = 8, clusterBy = Seq("a", "b"), zOrder = true)
+    assert(t.changeFeed(vBefore).count() == 0,
+      "z-order compaction must emit no change events")
+    val st = Views.syncComponentViewStatus(view, t,
+      "split(text, '\\\\s+')", "token", Seq("a"))
+    assert(st.rowsDeleted == 0 && st.rowsInserted == 0, s"$st")
+
+    // DML after the rewrite: delete prunes into the clustered files,
+    // feed reports exactly the deleted keys, view cascades
+    val vPreDel = t.currentVersion
+    t.delete("a < 32")
+    assert(t.read().count() == 480)
+    val ev = t.changeFeed(vPreDel)
+    assert(ev.filter(col("_change_type") === "delete").count() == 32)
+    val st2 = Views.syncComponentViewStatus(view, t,
+      "split(text, '\\\\s+')", "token", Seq("a"))
+    assert(st2.rowsDeleted == 64 && st2.rowsInserted == 0, s"$st2")
+    assert(view.read().count() == 960)
+  }
+
   test("z-order refuses unordered domains and single columns") {
     val cat = new Catalog(
       java.nio.file.Files.createTempDirectory("graft-zc3").toString)

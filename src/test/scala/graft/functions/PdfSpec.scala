@@ -195,6 +195,28 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("password-protected PDFs decrypt with the right password, all handlers") {
+    val texts = Seq("secret page one", "secret page two")
+    for (method <- Seq("rc4", "aes", "aes256")) {
+      val locked = Pdf.writePdfEncrypted(texts, method, userPwd = "hunter2")
+      assert(Pdf.extractPages(locked, "hunter2") == texts, s"method $method")
+      // wrong password still raises the clean auth error
+      val e = intercept[IllegalArgumentException](
+        Pdf.extractPages(locked, "wrong"))
+      assert(e.getMessage.contains("password-protected"), s"method $method")
+      // Spark surface: per-cell capture with the password column
+      val rows = Seq((1L, locked, "hunter2"), (2L, locked, "nope"))
+        .toDF("doc_id", "pdf", "pwd")
+        .select(col("doc_id"),
+          Pdf.pdfPagesSafePwd(col("pdf"), col("pwd")).as("cell"))
+        .orderBy("doc_id")
+        .select(col("cell.pages"), col("cell.errortype"))
+        .collect()
+      assert(rows(0).getSeq[String](0) == texts, s"method $method")
+      assert(rows(1).getString(1) == "encrypted", s"method $method")
+    }
+  }
+
   test("object streams (/ObjStm): page tree inside a compressed stream") {
     // PDF 1.5+ layout: catalog/pages/page dicts live inside one
     // Flate-compressed /ObjStm ("objnum offset" pair header, bodies at
