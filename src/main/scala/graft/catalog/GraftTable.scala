@@ -972,17 +972,31 @@ final class GraftTable private (
     * form: every file covers a small hyper-rectangle of the value space,
     * so footers prune on ANY clustered column, where the linear form is
     * only selective on the leading one.
+    *
+    * `bloomFilterCols` writes parquet bloom filters for the named columns
+    * — the data-skipping leg min/max cannot give: equality lookups on
+    * high-cardinality or hash-like columns (ids, digests, urls) whose
+    * value ranges overlap every file. Spark's reader feeds pushed
+    * equality predicates through parquet-mr's BLOOMFILTER row-group
+    * level, so at 100 TB a point lookup on an unclustered digest column
+    * skips the row groups the filter rejects without any index structure.
+    * `bloomFilterNdv` sizes the filter (expected distinct values per
+    * file; 0 = parquet's default sizing).
     */
   def compact(targetFiles: Int = 1, clusterBy: Seq[String] = Seq.empty,
-      zOrder: Boolean = false): Long = {
-    val ver = compactInner(targetFiles, clusterBy, zOrder)
+      zOrder: Boolean = false, bloomFilterCols: Seq[String] = Seq.empty,
+      bloomFilterNdv: Long = 0L): Long = {
+    val ver = compactInner(targetFiles, clusterBy, zOrder, bloomFilterCols,
+      bloomFilterNdv)
     squashIfUnversioned()
     ver
   }
 
   private def compactInner(targetFiles: Int,
       clusterBy: Seq[String] = Seq.empty,
-      zOrder: Boolean = false): Long = retryOnConflict {
+      zOrder: Boolean = false,
+      bloomFilterCols: Seq[String] = Seq.empty,
+      bloomFilterNdv: Long = 0L): Long = retryOnConflict {
     val m = meta
     val v = m.currentVersion + 1
     val files = m.activeFiles(m.currentVersion)
@@ -1020,7 +1034,17 @@ final class GraftTable private (
       else raw0.repartitionByRange(targetFiles, phys.map(col): _*)
         .sortWithinPartitions(phys.map(col): _*)
     val dir = dataDir(v, "compact")
-    raw.write.mode("overwrite").parquet(dir)
+    val bloomPhys = bloomFilterCols.map { c =>
+      m.liveColumns.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"no such column for bloom filter: '$c'")).storeName
+    }
+    val writer = bloomPhys.foldLeft(raw.write.mode("overwrite")) { (w, c) =>
+      val w1 = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      if (bloomFilterNdv > 0)
+        w1.option(s"parquet.bloom.filter.expected.ndv#$c", bloomFilterNdv.toString)
+      else w1
+    }
+    writer.parquet(dir)
     commitMetaOrClean(m, m.copy(versions = m.versions :+
       entry(v, "compact", listParquetFiles(dir), files)), dir)
     v

@@ -2124,6 +2124,95 @@ object Extras {
              |  CAST(2048 AS BIGINT) AS adpcm_n, TRUE AS adpcm_ok
              |FROM dec GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q161_bloom_lookup",
+      (s, dir) => {
+        // Bloom-filter data skipping in the correctness gate: a lineitem
+        // subset keyed by an md5 digest column (hash-like — every file's
+        // min/max spans the full hex range, so footer ranges prune
+        // NOTHING) is compacted with `bloomFilterCols`. The contract
+        // flags read the bloom filters straight from the parquet footers:
+        // present in every row group, no false negative on the probe
+        // digest, and >= 95% of absent probes rejected per row group —
+        // the property that turns a 100 TB point lookup on an unordered
+        // digest into a row-group-skipping scan. The data panel is an
+        // equality lookup DuckDB recomputes with its own md5().
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q161").toString)
+        val t = GraftTable.create(s, cat, "li_bloom", Seq(
+          ColumnDef("k", "bigint"), ColumnDef("pk", "bigint"),
+          ColumnDef("h", "string"), ColumnDef("qty", "double")))
+        val src = T(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 1600)
+          .select(col("l_orderkey").as("k"), col("l_partkey").as("pk"),
+            md5(concat(col("l_orderkey").cast("string"), lit("-"),
+              col("l_partkey").cast("string"))).as("h"),
+            col("l_quantity").as("qty"))
+        for (r <- 0 until 3)
+          t.insert(src.filter(pmod(col("k"), lit(3)) === r).repartition(3))
+        t.compact(targetFiles = 8, bloomFilterCols = Seq("h"),
+          bloomFilterNdv = 4096)
+        // footer bloom contract (driver-side METADATA reads, like q147)
+        val conf = s.sessionState.newHadoopConf()
+        val absent = (0 until 64).map(i => s"absent-$i")
+        val probeRow = t.read().filter(col("k") >= 700)
+          .agg(min(col("k"))).head.getLong(0)
+        val probePk = t.read().filter(col("k") === probeRow)
+          .agg(min(col("pk"))).head.getLong(0)
+        val probeH = org.apache.commons.codec.digest.DigestUtils
+          .md5Hex(s"$probeRow-$probePk")
+        var groups = 0; var withBloom = 0; var absentHits = 0
+        var probeFound = false
+        t.meta.activeFiles(t.currentVersion).foreach { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try scala.jdk.CollectionConverters
+            .ListHasAsScala(r.getFooter.getBlocks).asScala.foreach { b =>
+              groups += 1
+              val cc = scala.jdk.CollectionConverters
+                .ListHasAsScala(b.getColumns).asScala
+                .find(_.getPath.toDotString == "h").get
+              Option(r.getBloomFilterDataReader(b).readBloomFilter(cc))
+                .foreach { bf =>
+                  withBloom += 1
+                  def hit(v: String) = bf.findHash(bf.hash(
+                    org.apache.parquet.io.api.Binary.fromString(v)))
+                  absentHits += absent.count(hit)
+                  if (hit(probeH)) probeFound = true
+                }
+            }
+          finally r.close()
+        }
+        val bloomsPresent = groups > 0 && withBloom == groups
+        val absentRejected = absentHits * 20 <= groups * absent.size
+        t.read().filter(col("h") === probeH)
+          .agg(count(lit(1)).as("n"), round(sum(col("qty")), 2).as("qty_sum"))
+          .withColumn("blooms_present", lit(bloomsPresent))
+          .withColumn("present_found", lit(probeFound))
+          .withColumn("absent_rejected", lit(absentRejected))
+          .select("n", "qty_sum", "blooms_present", "present_found",
+            "absent_rejected")
+      },
+      Some("""WITH pr AS (
+             |  SELECT min(l_orderkey) AS k FROM lineitem
+             |  WHERE l_orderkey >= 700 AND l_orderkey < 1600
+             |), prb AS (
+             |  SELECT md5(CAST(pr.k AS VARCHAR) || '-' || CAST(
+             |    (SELECT min(l_partkey) FROM lineitem
+             |     WHERE l_orderkey = pr.k) AS VARCHAR)) AS h
+             |  FROM pr
+             |)
+             |SELECT CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(l_quantity), 2) AS qty_sum,
+             |  TRUE AS blooms_present, TRUE AS present_found,
+             |  TRUE AS absent_rejected
+             |FROM lineitem l, prb p
+             |WHERE l.l_orderkey < 1600
+             |  AND md5(CAST(l.l_orderkey AS VARCHAR) || '-'
+             |          || CAST(l.l_partkey AS VARCHAR)) = p.h""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
