@@ -79,8 +79,17 @@ class MvccModelSpec extends AnyFunSuite {
           val v = t.batchUpdate(upd.toDF("id", "x"), Seq("id"))
           live = live ++ upd
           snaps(v) = live
-        } else if (op == 8) { // compact: layout-only, image unchanged
-          val v = t.compact(targetFiles = 1 + rnd.nextInt(3))
+        } else if (op == 8) {
+          // compact: layout-only, image unchanged — in any of its flavors
+          // (plain, linear cluster, z-order, bloom filters)
+          val tf = 1 + rnd.nextInt(3)
+          val v = rnd.nextInt(4) match {
+            case 0 => t.compact(targetFiles = tf)
+            case 1 => t.compact(tf, clusterBy = Seq("id"))
+            case 2 => t.compact(tf, clusterBy = Seq("id", "x"), zOrder = true)
+            case _ => t.compact(tf, bloomFilterCols = Seq("id"),
+              bloomFilterNdv = 1024)
+          }
           snaps(v) = live
         } else if (op == 9 && rnd.nextBoolean()) {
           // upsert: existing keys update, novel keys insert (two versions;
