@@ -88,6 +88,20 @@ final case class IndexDef(
     indexedThrough: Long = 0L,
 )
 
+/** Persisted physical-layout policy, applied by `GraftTable.optimize()`
+  * (the Delta `OPTIMIZE` + table-properties analog): how to cluster, which
+  * columns get bloom filters, and a TARGET FILE SIZE instead of a file
+  * count — the scale-honest form, since the right file count at 100 TB is
+  * a function of data volume, not something a caller can know up front.
+  */
+final case class LayoutPolicy(
+    clusterBy: Seq[String] = Seq.empty,
+    zOrder: Boolean = false,
+    bloomFilterCols: Seq[String] = Seq.empty,
+    bloomFilterNdv: Long = 0L,
+    targetFileBytes: Long = 128L * 1024 * 1024,
+)
+
 final case class TableMeta(
     name: String,
     columns: Seq[ColumnDef],
@@ -119,6 +133,8 @@ final case class TableMeta(
     // image and vacuums superseded files; time travel / revert /
     // snapshots refuse
     isVersioned: Boolean = true,
+    // declared physical-layout policy for optimize() (see LayoutPolicy)
+    layout: Option[LayoutPolicy] = None,
 ) {
   def currentVersion: Long = if (versions.isEmpty) 0L else versions.last.version
 
@@ -200,6 +216,7 @@ final class Catalog(val warehouse: String) {
         case (k, v) => k -> v.asInstanceOf[Number].longValue()
       },
       indexes = Option(m.indexes).getOrElse(Seq.empty),
+      layout = Option(m.layout).flatten,
       columns = m.columns.map(c => c.copy(
         comment = Option(c.comment).flatten,
         customMetadata = Option(c.customMetadata).getOrElse(Map.empty),

@@ -981,8 +981,53 @@ final class GraftTable private (
     * level, so at 100 TB a point lookup on an unclustered digest column
     * skips the row groups the filter rejects without any index structure.
     * `bloomFilterNdv` sizes the filter (expected distinct values per
-    * file; 0 = parquet's default sizing).
+    * file; 0 = parquet's default sizing). Note parquet-mr OMITS the bloom
+    * for a chunk that stayed fully dictionary-encoded — the dictionary
+    * page is already an exact membership filter there, so skipping still
+    * works; blooms appear exactly where they matter (high-cardinality
+    * chunks that fell back to plain encoding).
     */
+  /** Declare the table's physical-layout policy (persisted in meta —
+    * survives sessions, applied by `optimize()`). Column names validate
+    * against the live schema here; type constraints (z-order needs
+    * ordered domains) validate at optimize time against the data.
+    */
+  def setLayoutPolicy(policy: LayoutPolicy): Unit = retryOnConflict {
+    val m = meta
+    (policy.clusterBy ++ policy.bloomFilterCols).foreach { c =>
+      require(m.liveColumns.exists(_.name == c), s"no such column: '$c'")
+    }
+    require(!policy.zOrder || policy.clusterBy.size >= 2,
+      "zOrder policy needs at least 2 clusterBy columns")
+    require(policy.targetFileBytes > 0, "targetFileBytes must be positive")
+    commitMeta(m, m.copy(layout = Some(policy)))
+  }
+
+  def layoutPolicy: Option[LayoutPolicy] = meta.layout
+
+  /** Apply the declared layout policy: one clustered/bloom-filtered
+    * rewrite sized by TARGET FILE BYTES — the file count is derived from
+    * the live data volume (driver-side filesystem metadata only), so the
+    * same policy stays right from 60 k rows to 100 TB where any fixed
+    * file count cannot.
+    */
+  def optimize(): Long = {
+    val policy = layoutPolicy.getOrElse(throw new IllegalStateException(
+      s"$name has no layout policy — setLayoutPolicy(...) first"))
+    val m = meta
+    val files = m.activeFiles(m.currentVersion)
+    val conf = spark.sessionState.newHadoopConf()
+    val totalBytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    val targetFiles = math.max(1L,
+      (totalBytes + policy.targetFileBytes - 1) / policy.targetFileBytes)
+      .min(Int.MaxValue.toLong).toInt
+    compact(targetFiles, policy.clusterBy, policy.zOrder,
+      policy.bloomFilterCols, policy.bloomFilterNdv)
+  }
+
   def compact(targetFiles: Int = 1, clusterBy: Seq[String] = Seq.empty,
       zOrder: Boolean = false, bloomFilterCols: Seq[String] = Seq.empty,
       bloomFilterNdv: Long = 0L): Long = {
@@ -1003,7 +1048,8 @@ final class GraftTable private (
     // zero active files: nothing to rewrite regardless of clusterBy —
     // spark.read.parquet() with no paths would throw instead of noop-ing
     if (files.isEmpty) return noopVersion(m, v, "compact")
-    if (files.size <= targetFiles && clusterBy.isEmpty)
+    if (files.size <= targetFiles && clusterBy.isEmpty &&
+        bloomFilterCols.isEmpty)
       return noopVersion(m, v, "compact")
     // physical read/write: no logical translation, column mapping and
     // system columns pass through untouched. clusterBy names are LOGICAL;

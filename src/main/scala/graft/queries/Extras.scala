@@ -2213,6 +2213,103 @@ object Extras {
              |  AND md5(CAST(l.l_orderkey AS VARCHAR) || '-'
              |          || CAST(l.l_partkey AS VARCHAR)) = p.h""".stripMargin),
     ),
+    QueryDef(
+      "q162_optimize_policy",
+      (s, dir) => {
+        // Persisted layout policy + size-targeted optimize() in the gate:
+        // the policy (z-order on two keys + blooms on a digest column +
+        // target FILE SIZE) is declared once, survives a catalog reload
+        // (flag), and optimize() derives the file count from live data
+        // volume — the scale-honest form of OPTIMIZE, where a fixed file
+        // count cannot be right at both 60 k rows and 100 TB. The rewrite
+        // must carry the whole policy: footer hyper-rectangles prune on
+        // EITHER key, blooms present in every row group. Content panel
+        // recomputed by DuckDB from the raw table.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable, LayoutPolicy}
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q162").toString)
+        val t0 = GraftTable.create(s, cat, "li_opt", Seq(
+          ColumnDef("ok", "bigint"), ColumnDef("pk", "bigint"),
+          ColumnDef("h", "string"), ColumnDef("qty", "double")))
+        val src = T(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 1600)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+            // near-unique digest: dictionary encoding falls back to plain,
+            // so parquet writes real blooms (a fully-dictionary chunk gets
+            // none — the dictionary is already an exact filter there)
+            md5(concat(col("l_orderkey").cast("string"), lit("-"),
+              col("l_partkey").cast("string"))).as("h"),
+            col("l_quantity").as("qty"))
+        for (r <- 0 until 3)
+          t0.insert(src.filter(pmod(col("ok"), lit(3)) === r).repartition(3))
+        val policy = LayoutPolicy(clusterBy = Seq("ok", "pk"), zOrder = true,
+          bloomFilterCols = Seq("h"), bloomFilterNdv = 4096,
+          targetFileBytes = 24 * 1024)
+        t0.setLayoutPolicy(policy)
+        val t = GraftTable.open(s, cat, "li_opt") // policy via persisted meta
+        val policyRoundtrip = t.layoutPolicy.contains(policy)
+        val preBytes = t.meta.activeFiles(t.currentVersion).map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(s.sessionState.newHadoopConf())
+            .getFileStatus(p).getLen
+        }.sum
+        val expect = math.max(1L, (preBytes + 24 * 1024 - 1) / (24 * 1024))
+        t.optimize()
+        val files = t.meta.activeFiles(t.currentVersion)
+        val filesSized = files.size >= 2 && files.size <= expect * 2
+        val conf = s.sessionState.newHadoopConf()
+        var groups = 0; var withBloom = 0
+        def ranges(column: String): Seq[(Long, Long)] = files.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val blocks = scala.jdk.CollectionConverters
+              .ListHasAsScala(r.getFooter.getBlocks).asScala
+            if (column == "h") blocks.foreach { b =>
+              groups += 1
+              val cc = scala.jdk.CollectionConverters
+                .ListHasAsScala(b.getColumns).asScala
+                .find(_.getPath.toDotString == "h").get
+              if (r.getBloomFilterDataReader(b).readBloomFilter(cc) != null)
+                withBloom += 1
+            }
+            val st = blocks.flatMap(b => scala.jdk.CollectionConverters
+              .ListHasAsScala(b.getColumns).asScala
+              .filter(_.getPath.toDotString == column).map(_.getStatistics))
+            if (column == "h") (0L, 0L)
+            else (st.map(_.genericGetMin.asInstanceOf[java.lang.Long]
+              .longValue()).min,
+              st.map(_.genericGetMax.asInstanceOf[java.lang.Long]
+                .longValue()).max)
+          } finally r.close()
+        }
+        def skippable(rs: Seq[(Long, Long)], lo: Long, hi: Long): Int =
+          rs.count { case (mn, mx) => mx < lo || mn >= hi }
+        val okR = ranges("ok"); val pkR = ranges("pk"); ranges("h")
+        val nf = files.size
+        val okPrunes = skippable(okR, 0L, 200L) * 4 >= nf
+        val pkLo = pkR.map(_._1).min; val pkHi = pkR.map(_._2).max
+        val pkPrunes =
+          skippable(pkR, pkLo, pkLo + (pkHi - pkLo).max(8L) / 8) * 4 >= nf
+        val bloomsPresent = groups > 0 && withBloom == groups
+        t.read()
+          .filter(col("ok") >= 300 && col("ok") < 900)
+          .agg(count(lit(1)).as("n"), round(sum(col("qty")), 2).as("qty_sum"))
+          .withColumn("policy_roundtrip", lit(policyRoundtrip))
+          .withColumn("files_sized", lit(filesSized))
+          .withColumn("ok_prunes", lit(okPrunes))
+          .withColumn("pk_prunes", lit(pkPrunes))
+          .withColumn("blooms_present", lit(bloomsPresent))
+          .select("n", "qty_sum", "policy_roundtrip", "files_sized",
+            "ok_prunes", "pk_prunes", "blooms_present")
+      },
+      Some("""SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty_sum,
+             |  TRUE AS policy_roundtrip, TRUE AS files_sized,
+             |  TRUE AS ok_prunes, TRUE AS pk_prunes, TRUE AS blooms_present
+             |FROM lineitem
+             |WHERE l_orderkey >= 300 AND l_orderkey < 900""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

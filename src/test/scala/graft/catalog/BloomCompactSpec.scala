@@ -91,6 +91,37 @@ class BloomCompactSpec extends AnyFunSuite {
     assert(bloomProbes(t, "h", Seq("x")).forall(_._1))
   }
 
+  test("bloom request forces a rewrite even when the file count already fits") {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-bl4").toString)
+    val t = GraftTable.create(spark, cat, "bl4", Seq(
+      ColumnDef("k", "bigint"), ColumnDef("h", "string")))
+    t.insert((0L until 256L).map(i => (i, java.util.UUID.nameUUIDFromBytes(
+      s"r$i".getBytes).toString)).toDF("k", "h").repartition(3))
+    // 3 files <= 8 would noop a plain compact — with blooms requested it
+    // must rewrite anyway, or the request silently does nothing
+    t.compact(targetFiles = 8, bloomFilterCols = Seq("h"), bloomFilterNdv = 256)
+    val probes = bloomProbes(t, "h", Seq("x"))
+    assert(probes.nonEmpty && probes.forall(_._1),
+      "bloom-requesting compact must not noop on a small file count")
+  }
+
+  test("fully dictionary-encoded chunks carry no bloom (dictionary is exact)") {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-bl5").toString)
+    val t = GraftTable.create(spark, cat, "bl5", Seq(
+      ColumnDef("k", "bigint"), ColumnDef("h", "string")))
+    // 8 distinct values over 512 rows: dictionary encoding never falls
+    // back, and parquet-mr intentionally omits the bloom — the dictionary
+    // page already gives exact membership skipping
+    t.insert((0L until 512L).map(i => (i, s"cat-${i % 8}"))
+      .toDF("k", "h").repartition(3))
+    t.compact(targetFiles = 2, bloomFilterCols = Seq("h"), bloomFilterNdv = 8)
+    assert(bloomProbes(t, "h", Seq("x")).forall(!_._1),
+      "low-cardinality dictionary chunks should omit the bloom")
+    assert(t.read().count() == 512)
+  }
+
   test("unknown bloom column raises; uncompacted files carry no blooms") {
     val t = mkTable("bl3")
     intercept[IllegalArgumentException] {
