@@ -1062,11 +1062,13 @@ final class GraftTable private (
       "zOrder clustering needs at least 2 clusterBy columns (use the linear form for 1)")
     val raw0 = spark.read.option("mergeSchema", "true").parquet(files: _*)
     if (zOrder) phys.foreach { c =>
-      // footer min/max on a hash-bucketed string is not prunable — refuse
-      // unordered domains rather than silently degrade the layout
+      // numeric domains bucket via the native quantile kernel; strings via
+      // order-preserving sampled cuts (ZOrder.cluster) — both leave the
+      // footer min/max selective. Anything else (binary, nested) has no
+      // prunable footer order — refuse rather than silently degrade.
       val dt = raw0.schema(c).dataType.typeName
-      require(Set("byte", "short", "integer", "long", "float", "double",
-        "decimal").exists(dt.startsWith),
+      require(dt == "string" || Set("byte", "short", "integer", "long",
+        "float", "double", "decimal").exists(dt.startsWith),
         s"z-order column '$c' has unordered-or-unprunable type $dt")
     }
     val raw =

@@ -77,6 +77,28 @@ object ZOrder {
     }
   }
 
+  /** Equi-depth STRING cut points from a bounded sample: ≤ `sampleCap`
+    * values reach the driver regardless of table size (the same
+    * driver-state discipline as approxQuantile), sorted once and sliced
+    * at equal ranks. Heavy skew dedupes into fewer distinct cuts — the
+    * bucket ids just use less of the curve, never break it.
+    */
+  private def stringCuts(df: DataFrame, c: String, numBuckets: Int,
+      sampleCap: Int = 65536): Seq[String] = {
+    val src = df.select(col(c)).na.drop()
+    val n = src.count()
+    val sampled =
+      (if (n <= sampleCap) src
+       else src.sample(withReplacement = false,
+         math.min(1.0, sampleCap * 1.2 / n), seed = 42))
+        .as(org.apache.spark.sql.Encoders.STRING).collect().sorted
+    if (sampled.isEmpty) Seq.fill(numBuckets - 1)("")
+    else (1 until numBuckets).map { i =>
+      sampled(math.min(((i.toLong * sampled.length) / numBuckets).toInt,
+        sampled.length - 1))
+    }
+  }
+
   /** The z-value column for `cols` given `boundariesFor` output. */
   def zvalue(df: DataFrame, cols: Seq[String],
       cuts: Seq[Seq[Double]]): org.apache.spark.sql.Column =
@@ -85,11 +107,37 @@ object ZOrder {
 
   /** Range-partition + sort by the interleaved z-value: files come out
     * tight on every z-column's min/max, so a filter on any of them prunes.
+    *
+    * String columns cluster too (the 100 TB curation case — domains,
+    * urls, digests-with-prefix-structure): their equi-depth bucket id is
+    * `size(filter(<literal cuts>, x -> x <= col))` — a codegen'd HOF over
+    * the broadcast cut array, order-preserving under Spark's binary
+    * string comparison — fed through the same Morton kernel via identity
+    * cut points. Numeric columns keep the native binary-search path on
+    * raw values.
     */
   def cluster(df: DataFrame, cols: Seq[String], numBuckets: Int = 256,
       partitions: Int = 0): DataFrame = {
-    val cuts = boundariesFor(df, cols, numBuckets)
-    val withZ = df.withColumn("_zv", zvalue(df, cols, cuts))
+    import org.apache.spark.sql.types.StringType
+    val resolved = cols.map { c =>
+      df.schema(c).dataType match {
+        case StringType =>
+          val sc = stringCuts(df, c, numBuckets)
+          // bucket id = count of cuts <= value; identity cuts hand the id
+          // through the shared interleave kernel unchanged
+          val id = size(filter(typedlit(sc),
+            x => x <= col(c))).cast("double")
+          ((1 until numBuckets).map(_ - 0.5), id)
+        case _ =>
+          val probs = (1 until numBuckets).map(_.toDouble / numBuckets).toArray
+          val cut = df.select(col(c).cast("double").as("_zc"))
+            .stat.approxQuantile("_zc", probs, 0.001).toSeq
+          (cut, col(c).cast("double"))
+      }
+    }
+    val withZ = df.withColumn("_zv",
+      graft.plans.ZOrderNative.zvalue(df.sparkSession,
+        array(resolved.map(_._2): _*), resolved.map(_._1)))
     val ranged =
       if (partitions > 0) withZ.repartitionByRange(partitions, col("_zv"))
       else withZ.repartitionByRange(col("_zv"))

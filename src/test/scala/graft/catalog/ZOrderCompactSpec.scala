@@ -112,14 +112,62 @@ class ZOrderCompactSpec extends AnyFunSuite {
     val cat = new Catalog(
       java.nio.file.Files.createTempDirectory("graft-zc3").toString)
     val t = GraftTable.create(spark, cat, "zc3", Seq(
-      ColumnDef("a", "bigint"), ColumnDef("s", "string")))
-    t.insert(Seq((1L, "x"), (2L, "y")).toDF("a", "s"))
+      ColumnDef("a", "bigint"), ColumnDef("b", "binary")))
+    t.insert(Seq((1L, Array[Byte](1)), (2L, Array[Byte](2))).toDF("a", "b"))
     intercept[IllegalArgumentException] {
       t.compact(targetFiles = 2, clusterBy = Seq("a"), zOrder = true)
     }
     intercept[IllegalArgumentException] {
-      t.compact(targetFiles = 2, clusterBy = Seq("a", "s"), zOrder = true)
+      t.compact(targetFiles = 2, clusterBy = Seq("a", "b"), zOrder = true)
     }
+  }
+
+  test("z-order on a STRING column: domain windows prune on either dimension") {
+    val cat = new Catalog(
+      java.nio.file.Files.createTempDirectory("graft-zc6").toString)
+    val t = GraftTable.create(spark, cat, "zc6", Seq(
+      ColumnDef("dom", "string"), ColumnDef("k", "bigint")))
+    // 64 domains × 64 keys, decorrelated, inserted scattered — the 100 TB
+    // curation case: cluster by (domain, numeric key)
+    val rows = (0L until 4096L).map { i =>
+      (f"d${i % 64}%03d.example.com", i * 37 % 4096)
+    }
+    for (r <- 0 until 4)
+      t.insert(rows.zipWithIndex.filter(_._2 % 4 == r).map(_._1)
+        .toDF("dom", "k").repartition(3))
+    t.compact(targetFiles = 16, clusterBy = Seq("dom", "k"), zOrder = true)
+    assert(t.read().count() == 4096)
+    // string footer ranges: an eighth-of-space domain window must leave
+    // at least a quarter of the files skippable
+    val conf = spark.sessionState.newHadoopConf()
+    val domRanges: Seq[(String, String)] =
+      t.meta.activeFiles(t.currentVersion).map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val st = scala.jdk.CollectionConverters
+            .ListHasAsScala(r.getFooter.getBlocks).asScala
+            .flatMap(b => scala.jdk.CollectionConverters
+              .ListHasAsScala(b.getColumns).asScala
+              .filter(_.getPath.toDotString == "dom").map(_.getStatistics))
+          (st.map(_.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+            .toStringUsingUTF8).min,
+            st.map(_.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+              .toStringUsingUTF8).max)
+        } finally r.close()
+      }
+    val nf = domRanges.size
+    assert(nf <= 16)
+    val skippableDom = domRanges.count { case (mn, mx) =>
+      mx < "d000" || mn >= "d008" // first 8 of 64 domains
+    }
+    assert(skippableDom * 4 >= nf, s"dom ranges: $domRanges")
+    // and the numeric dimension prunes too (z-property, not lexicographic)
+    val kRanges = footerRanges(t, "k")
+    assert(pruned(kRanges, 0L, 512L) * 4 >= nf, s"k ranges: $kRanges")
+    // correctness of a domain-window query over the clustered layout
+    assert(t.read().filter(col("dom") < "d008").count() == 8 * 64)
   }
 
   test("z-value is a native codegen plan: no UDF, map-side only") {
