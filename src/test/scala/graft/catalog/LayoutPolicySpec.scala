@@ -107,4 +107,32 @@ class LayoutPolicySpec extends AnyFunSuite {
     t.optimize()
     assert(t.read().count() == 1948)
   }
+
+  test("optimize races concurrent inserts: serialized, content exact, layout applied") {
+    val (_, t) = mkTable("lp4")
+    t.setLayoutPolicy(LayoutPolicy(clusterBy = Seq("a", "b"), zOrder = true,
+      bloomFilterCols = Seq("h"), bloomFilterNdv = 4096,
+      targetFileBytes = 64 * 1024))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val inserter = new Thread(() =>
+      try {
+        for (i <- 0 until 6) {
+          val base = 10000L + i * 100
+          t.insert((base until base + 100)
+            .map(j => (j, j % 97, s"x-$j")).toDF("a", "b", "h"))
+        }
+      } catch { case e: Throwable => errs.add(e) })
+    val optimizer = new Thread(() =>
+      try { for (_ <- 0 until 3) t.optimize() }
+      catch { case e: Throwable => errs.add(e) })
+    inserter.start(); optimizer.start()
+    inserter.join(120000); optimizer.join(120000)
+    assert(errs.isEmpty, s"concurrent failure: ${errs.peek()}")
+    // every row exactly once: the 2048 originals + 600 raced inserts
+    assert(t.read().count() == 2048 + 600)
+    assert(t.read().select("a").distinct().count() == 2048 + 600)
+    // a final optimize on the quiesced table applies the full policy
+    t.optimize()
+    assert(t.read().count() == 2648)
+  }
 }
