@@ -2310,6 +2310,81 @@ object Extras {
              |FROM lineitem
              |WHERE l_orderkey >= 300 AND l_orderkey < 900""".stripMargin),
     ),
+    QueryDef(
+      "q163_string_cluster",
+      (s, dir) => {
+        // STRING z-order clustering in the gate — the 100 TB curation
+        // layout (cluster by source/domain + id): documents' source
+        // column buckets via order-preserving sampled cuts, interleaves
+        // with the doc_id rank, and the footer min/max on the STRING
+        // column becomes selective. Flags straight off the parquet
+        // footers: a 2-of-20-sources window AND an eighth-of-space id
+        // window must each leave at least a quarter of the files
+        // skippable. Panel: the source-window aggregate recomputed by
+        // DuckDB from the raw table.
+        import graft.catalog.{Catalog, ColumnDef, GraftTable}
+        val cat = new Catalog(
+          java.nio.file.Files.createTempDirectory("graft-q163").toString)
+        val t = GraftTable.create(s, cat, "doc_sc", Seq(
+          ColumnDef("src", "string"), ColumnDef("id", "bigint"),
+          ColumnDef("nch", "bigint")))
+        val src = T(s, dir, "documents")
+          .filter(col("doc_id") < 480)
+          .select(col("source").as("src"), col("doc_id").as("id"),
+            col("n_chars").as("nch"))
+        for (r <- 0 until 3)
+          t.insert(src.filter(pmod(col("id"), lit(3)) === r).repartition(3))
+        t.compact(targetFiles = 12, clusterBy = Seq("src", "id"),
+          zOrder = true)
+        val conf = s.sessionState.newHadoopConf()
+        val files = t.meta.activeFiles(t.currentVersion)
+        def stats(column: String): Seq[(Comparable[Any], Comparable[Any])] =
+          files.map { f =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              val st = scala.jdk.CollectionConverters
+                .ListHasAsScala(r.getFooter.getBlocks).asScala
+                .flatMap(b => scala.jdk.CollectionConverters
+                  .ListHasAsScala(b.getColumns).asScala
+                  .filter(_.getPath.toDotString == column)
+                  .map(_.getStatistics))
+              (st.map(_.genericGetMin.asInstanceOf[Comparable[Any]]).min,
+                st.map(_.genericGetMax.asInstanceOf[Comparable[Any]]).max)
+            } finally r.close()
+          }
+        val nf = files.size
+        val srcR = stats("src").map { case (mn, mx) =>
+          (mn.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+            mx.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
+        }
+        val srcPrunes = srcR.count { case (mn, mx) =>
+          mx < "src3" || mn >= "src5"
+        } * 4 >= nf
+        val idR = stats("id").map { case (mn, mx) =>
+          (mn.asInstanceOf[java.lang.Long].longValue(),
+            mx.asInstanceOf[java.lang.Long].longValue())
+        }
+        val idPrunes = idR.count { case (mn, mx) =>
+          mx < 0L || mn >= 60L
+        } * 4 >= nf
+        t.read()
+          .filter(col("src") >= "src3" && col("src") < "src5")
+          .agg(count(lit(1)).as("n"),
+            sum(col("nch")).cast("long").as("nch_sum"))
+          .withColumn("src_prunes", lit(srcPrunes))
+          .withColumn("id_prunes", lit(idPrunes))
+          .withColumn("files_ok", lit(nf <= 12))
+          .select("n", "nch_sum", "src_prunes", "id_prunes", "files_ok")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS nch_sum,
+             |  TRUE AS src_prunes, TRUE AS id_prunes, TRUE AS files_ok
+             |FROM documents
+             |WHERE doc_id < 480 AND source >= 'src3' AND source < 'src5'
+             |""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
