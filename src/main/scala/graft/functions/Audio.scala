@@ -20,12 +20,19 @@ object Audio {
 
   private[graft] def decodePcm(bytes: Array[Byte]): (AudioFormat, Array[Short]) = {
     // RIFF/WAVE goes through the codec-aware parser (PCM-8/16/24/32,
-    // float32, G.711 a/μ-law, IMA ADPCM — `AudioCodecs`); AIFF/AU and
-    // other JDK-native containers keep the javax.sound path.
+    // float32, G.711 a/μ-law, IMA ADPCM — `AudioCodecs`); FLAC through
+    // the pure-JVM lossless decoder; AIFF/AU and other JDK-native
+    // containers keep the javax.sound path.
     if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
         bytes(2) == 'F' && bytes(3) == 'F') {
       val (rate, channels, samples) = AudioCodecs.decodeToPcm16(bytes)
       return (new AudioFormat(rate.toFloat, 16, channels, true, false), samples)
+    }
+    if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
+        bytes(2) == 'a' && bytes(3) == 'C') {
+      val fs = Flac.decode(bytes)
+      return (new AudioFormat(fs.sampleRate.toFloat, 16, fs.channels, true,
+        false), fs.samples.map(_.toShort))
     }
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     val fmt = in.getFormat
@@ -59,6 +66,15 @@ object Audio {
     }
     AudioCodecs.writeWav(tag, 1, Rate.toInt, 8, 1, codes.length,
       codes.map(_.toByte).toArray)
+  }
+
+  /** Deterministic integer sawtooth WAV — sample i is
+    * `((i*step + offset) % 8191) - 4095`, a pure-integer closed form a SQL
+    * oracle recomputes exactly (no transcendentals, no float rounding).
+    */
+  val makeSawWav = udf { (n: Int, step: Int, offset: Int) =>
+    encodeWav(Array.tabulate(n)(i =>
+      (((i.toLong * step + offset) % 8191) - 4095).toShort))
   }
 
   /** Exact integer sum of the decoded PCM-16 samples — the decode proof

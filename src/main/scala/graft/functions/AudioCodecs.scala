@@ -362,6 +362,7 @@ object AudioCodecs {
         val raw = new Array[Byte](s.length * 2)
         ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN).asShortBuffer().put(s)
         writeWav(1, channels, rate, 16, 2 * channels, s.length / channels, raw)
+      case "flac" => Flac.encode(s, channels, rate)
       case other => throw new IllegalArgumentException(s"unknown codec '$other'")
     }
   }

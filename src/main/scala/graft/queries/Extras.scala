@@ -2385,6 +2385,42 @@ object Extras {
              |WHERE doc_id < 480 AND source >= 'src3' AND source < 'src5'
              |""".stripMargin),
     ),
+    QueryDef(
+      "q164_flac_roundtrip",
+      (s, dir) => {
+        // Pure-JVM FLAC (the lossless format ASR corpora actually ship)
+        // in the oracle gate: per doc, a deterministic integer sawtooth
+        // WAV transcodes to FLAC and decodes back through the shared
+        // audio surface. Losslessness makes the gate exact — the decoded
+        // sample count and sum are closed forms DuckDB recomputes with
+        // integer arithmetic over generate_series; the lossless flag is
+        // a zero rms difference (not a threshold), and the compressed
+        // flag proves rice coding actually engaged.
+        import graft.functions.Audio
+        val n = (lit(2048) + pmod(col("doc_id"), lit(4)) * 512).cast("int")
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 24)
+          .withColumn("wav", Audio.makeSawWav(n, lit(193),
+            (col("doc_id") * 7).cast("int")))
+          .withColumn("flac", Audio.transcodeWav(col("wav"), lit("flac")))
+          .select(
+            col("doc_id"),
+            Audio.getMetadata(col("flac")).getField("_3").cast("long").as("n"),
+            Audio.sampleSum(col("flac")).as("s_sum"),
+            (Audio.pcmRmsDiff(col("wav"), col("flac")) === 0.0).as("lossless"),
+            (length(col("flac")) < length(col("wav"))).as("compressed"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT d.doc_id, CAST(d.n AS BIGINT) AS n,
+             |  CAST(sum(((j.j * 193 + d.doc_id * 7) % 8191) - 4095) AS BIGINT)
+             |    AS s_sum,
+             |  TRUE AS lossless, TRUE AS compressed
+             |FROM (SELECT doc_id, 2048 + (doc_id % 4) * 512 AS n
+             |      FROM documents WHERE doc_id < 24) d
+             |JOIN generate_series(0, 3583) j(j) ON j.j < d.n
+             |GROUP BY d.doc_id, d.n
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
