@@ -31,8 +31,14 @@ object Audio {
     if (bytes.length >= 4 && bytes(0) == 'f' && bytes(1) == 'L' &&
         bytes(2) == 'a' && bytes(3) == 'C') {
       val fs = Flac.decode(bytes)
+      // widen/narrow to the PCM-16 interchange depth
+      val shift = fs.bitsPerSample - 16
+      val s16 =
+        if (shift == 0) fs.samples.map(_.toShort)
+        else if (shift > 0) fs.samples.map(v => (v >> shift).toShort)
+        else fs.samples.map(v => (v << -shift).toShort)
       return (new AudioFormat(fs.sampleRate.toFloat, 16, fs.channels, true,
-        false), fs.samples.map(_.toShort))
+        false), s16)
     }
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     val fmt = in.getFormat

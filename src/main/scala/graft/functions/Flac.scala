@@ -218,6 +218,73 @@ object Flac {
     */
   final case class LpcSpec(coefs: Array[Int], shift: Int, precision: Int)
 
+  /** Quantized LPC via windowed autocorrelation + Levinson-Durbin — the
+    * encoder's real compression path (FIXED stays the cheap fallback;
+    * round-trip exactness never depends on coefficient quality, only
+    * compression does).
+    */
+  private def analyzeLpc(x: Array[Int], maxOrder: Int = 8,
+      precision: Int = 12): Option[LpcSpec] = {
+    val n = x.length
+    if (n < maxOrder * 4) return None
+    val w = new Array[Double](n)
+    var i = 0
+    while (i < n) { // Welch window
+      val t = (i - (n - 1) / 2.0) / ((n + 1) / 2.0)
+      w(i) = x(i) * (1.0 - t * t)
+      i += 1
+    }
+    val ac = new Array[Double](maxOrder + 1)
+    var lag = 0
+    while (lag <= maxOrder) {
+      var s = 0.0
+      var j = lag
+      while (j < n) { s += w(j) * w(j - lag); j += 1 }
+      ac(lag) = s
+      lag += 1
+    }
+    if (ac(0) <= 0) return None
+    val lpc = new Array[Double](maxOrder)
+    var err = ac(0)
+    var m = 0
+    while (m < maxOrder) {
+      var k = ac(m + 1)
+      var j = 0
+      while (j < m) { k -= lpc(j) * ac(m - j); j += 1 }
+      k /= err
+      val prev = lpc.clone()
+      lpc(m) = k
+      j = 0
+      while (j < m) { lpc(j) = prev(j) - k * prev(m - 1 - j); j += 1 }
+      err *= 1 - k * k
+      if (err <= 0 || err.isNaN) return None
+      m += 1
+    }
+    val maxc = lpc.map(math.abs).max
+    if (maxc == 0 || maxc.isNaN || maxc.isInfinite) return None
+    var shift = 14
+    while (shift > 0 && maxc * (1L << shift) >= (1L << (precision - 1)) - 1)
+      shift -= 1
+    if (shift == 0) return None
+    val q = lpc.map(c => math.max(-(1 << (precision - 1)),
+      math.min((1 << (precision - 1)) - 1, math.round(c * (1L << shift)).toInt)))
+    if (q.forall(_ == 0)) None else Some(LpcSpec(q, shift, precision))
+  }
+
+  private def lpcResiduals(x: Array[Int], spec: LpcSpec): Array[Long] = {
+    val order = spec.coefs.length
+    val res = new Array[Long](math.max(x.length - order, 0))
+    var i = order
+    while (i < x.length) {
+      var pred = 0L
+      var j = 0
+      while (j < order) { pred += spec.coefs(j).toLong * x(i - 1 - j); j += 1 }
+      res(i - order) = x(i) - (pred >> spec.shift)
+      i += 1
+    }
+    res
+  }
+
   /** Encode 16-bit PCM to a FLAC stream. `channels` interleaved in
     * `samples`; mono or independent stereo. `lpc` forces every subframe
     * through the LPC path (test surface for the decoder).
@@ -286,30 +353,26 @@ object Flac {
     out.toByteArray
   }
 
+  private def emitLpcSubframe(w: BitWriter, x: Array[Int],
+      spec: LpcSpec): Unit = {
+    val order = spec.coefs.length
+    w.write(0, 1)
+    w.write((0x20 | (order - 1)).toLong, 6) // LPC, order bits = order-1
+    w.write(0, 1) // no wasted bits
+    var i = 0
+    while (i < order) { w.write(x(i).toLong & 0xffff, 16); i += 1 }
+    w.write((spec.precision - 1).toLong, 4)
+    w.write(spec.shift.toLong, 5)
+    spec.coefs.foreach(c => w.write(c.toLong & ((1L << spec.precision) - 1),
+      spec.precision))
+    writeResiduals(w, lpcResiduals(x, spec))
+  }
+
   private def writeSubframe(w: BitWriter, x: Array[Int],
       lpc: Option[LpcSpec]): Unit = {
     lpc match {
       case Some(spec) if x.length > spec.coefs.length =>
-        val order = spec.coefs.length
-        w.write(0, 1)
-        w.write((0x20 | (order - 1)).toLong, 6) // LPC, order bits = order-1
-        w.write(0, 1) // no wasted bits
-        var i = 0
-        while (i < order) { w.write(x(i).toLong & 0xffff, 16); i += 1 }
-        w.write((spec.precision - 1).toLong, 4)
-        w.write(spec.shift.toLong, 5)
-        spec.coefs.foreach(c => w.write(c.toLong & ((1L << spec.precision) - 1),
-          spec.precision))
-        val res = new Array[Long](x.length - order)
-        i = order
-        while (i < x.length) {
-          var pred = 0L
-          var j = 0
-          while (j < order) { pred += spec.coefs(j).toLong * x(i - 1 - j); j += 1 }
-          res(i - order) = x(i) - (pred >> spec.shift)
-          i += 1
-        }
-        writeResiduals(w, res)
+        emitLpcSubframe(w, x, spec)
       case _ =>
         // constant?
         if (x.forall(_ == x(0))) {
@@ -317,24 +380,33 @@ object Flac {
           w.write(x(0).toLong & 0xffff, 16)
           return
         }
-        // pick FIXED order 0-2 by cost, fall back to VERBATIM
-        val candidates = (0 to 2).filter(_ < x.length).map { o =>
+        // candidates by exact bit cost: FIXED 0-2, analyzed LPC, VERBATIM
+        val fixedCands = (0 to 2).filter(_ < x.length).map { o =>
           val res = fixedResiduals(x, o)
           val p = if (res.isEmpty) 0 else bestRiceParam(res, 0)
           (o, p, 16L * o + riceCost(res, 0, p))
         }
-        val (order, param, cost) = candidates.minBy(_._3)
-        if (cost > 16L * x.length) { // verbatim wins
+        val (order, param, fixedCost) = fixedCands.minBy(_._3)
+        val lpcCand = analyzeLpc(x).map { spec =>
+          val res = lpcResiduals(x, spec)
+          val p = bestRiceParam(res, 0)
+          (spec, 16L * spec.coefs.length + 9L +
+            spec.precision.toLong * spec.coefs.length + riceCost(res, 0, p))
+        }
+        val verbatimCost = 16L * x.length
+        if (lpcCand.exists(c => c._2 < fixedCost && c._2 < verbatimCost)) {
+          emitLpcSubframe(w, x, lpcCand.get._1)
+        } else if (fixedCost > verbatimCost) {
           w.write(0, 1); w.write(1, 6); w.write(0, 1)
           x.foreach(v => w.write(v.toLong & 0xffff, 16))
-          return
+        } else {
+          w.write(0, 1)
+          w.write((0x08 | order).toLong, 6) // FIXED
+          w.write(0, 1)
+          var i = 0
+          while (i < order) { w.write(x(i).toLong & 0xffff, 16); i += 1 }
+          writeResiduals(w, fixedResiduals(x, order), Some(param))
         }
-        w.write(0, 1)
-        w.write((0x08 | order).toLong, 6) // FIXED
-        w.write(0, 1)
-        var i = 0
-        while (i < order) { w.write(x(i).toLong & 0xffff, 16); i += 1 }
-        writeResiduals(w, fixedResiduals(x, order), Some(param))
     }
   }
 
@@ -381,7 +453,7 @@ object Flac {
       pos += 4 + len
     }
     require(sawStreamInfo, "FLAC without STREAMINFO")
-    require(bps == 16, s"only 16-bit FLAC supported, got $bps")
+    require(bps >= 4 && bps <= 32, s"bad FLAC bit depth $bps")
     require(total > 0, "FLAC stream with unknown total samples unsupported")
     val out = new java.io.ByteArrayOutputStream() // little-endian pcm for md5
     val all = new scala.collection.mutable.ArrayBuilder.ofInt
@@ -396,6 +468,17 @@ object Flac {
       val srCode = r.read(4).toInt
       val chanAsgn = r.read(4).toInt
       val ssCode = r.read(3).toInt
+      val frameBps = ssCode match {
+        case 0 => bps
+        case 1 => 8
+        case 2 => 12
+        case 4 => 16
+        case 5 => 20
+        case 6 => 24
+        case 7 => 32
+        case other =>
+          throw new IllegalArgumentException(s"bad sample size code $other")
+      }
       r.read(1)
       readUtf8(r)
       val bs = bsCode match {
@@ -431,7 +514,7 @@ object Flac {
           case 10 => if (ch == 1) 1 else 0 // mid-side
           case _ => 0
         }
-        chanSamples(ch) = readSubframe(r, bs, 16 + extra)
+        chanSamples(ch) = readSubframe(r, bs, frameBps + extra)
         ch += 1
       }
       // undo decorrelation
@@ -462,14 +545,16 @@ object Flac {
       require(fcrc == crc16(bytes, frameStart, frameEnd),
         s"frame CRC-16 mismatch at byte $frameStart")
       pos = r.bytePos
-      // interleave
+      // interleave; MD5 stream is little-endian at the declared bit depth
+      val bytesPer = (bps + 7) / 8
       var i = 0
       while (i < bs) {
         var c = 0
         while (c < channels) {
           val v = pcm(c)(i)
           all += v
-          out.write(v & 0xff); out.write((v >> 8) & 0xff)
+          var bi = 0
+          while (bi < bytesPer) { out.write((v >> (8 * bi)) & 0xff); bi += 1 }
           c += 1
         }
         i += 1
@@ -482,7 +567,7 @@ object Flac {
         java.security.MessageDigest.getInstance("MD5").digest(out.toByteArray),
         md5)
     }
-    FlacStream(sampleRate, channels, 16, total, pcmAll, md5Ok)
+    FlacStream(sampleRate, channels, bps, total, pcmAll, md5Ok)
   }
 
   private def readSubframe(r: BitReader, bs: Int, bps: Int): Array[Int] = {
