@@ -107,6 +107,25 @@ class FlacSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("foreign metadata blocks (padding, vorbis-comment) are skipped") {
+    val enc = encode(saw(3000), 1, 16000)
+    // un-set STREAMINFO's last-metadata flag and splice a PADDING block
+    // (type 1) and a fake VORBIS_COMMENT (type 4) before the frames
+    val headEnd = 4 + 4 + 34 // magic + block header + streaminfo body
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(enc, 0, headEnd)
+    val b = out.toByteArray
+    b(4) = (b(4) & 0x7f).toByte // clear last flag on STREAMINFO
+    out.reset(); out.write(b)
+    out.write(Array[Byte](1, 0, 0, 8)); out.write(new Array[Byte](8)) // padding
+    out.write(Array[Byte](0x84.toByte, 0, 0, 4)) // vorbis, LAST flag set
+    out.write("test".getBytes)
+    out.write(enc, headEnd, enc.length - headEnd)
+    val dec = decode(out.toByteArray)
+    assert(dec.samples.toSeq === saw(3000).map(_.toInt).toSeq)
+    assert(dec.md5Ok)
+  }
+
   test("flac rides the shared audio surface: transcode + ops decode it") {
     val wav = Audio.sineWav(0.25, 440.0)
     val flacBytes = AudioCodecs.transcode(wav, "flac")
