@@ -2421,6 +2421,59 @@ object Extras {
              |GROUP BY d.doc_id, d.n
              |ORDER BY d.doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q165_office_chunks",
+      (s, dir) => {
+        // Office documents (reference utils/documents.py:60-64 — DOCX/
+        // PPTX/XLSX convert to markdown and ride the markdown chunking
+        // pipeline) in the oracle gate: per doc, a DOCX with a parametric
+        // heading tree (1 + (doc_id%3 + 1) sections) synthesizes
+        // in-query, converts via Office.toMarkdown, and chunks through
+        // the SAME headingChunks as any .md document; a PPTX with
+        // doc_id%3 + 2 slides cross-checks the slide→heading path. Every
+        // emitted chunk (text, title, open h2) is a string closed form
+        // DuckDB recomposes with concatenation.
+        import graft.functions.{Iterators, Office}
+        val id = col("doc_id").cast("string")
+        val m = pmod(col("doc_id"), lit(3)).cast("int")
+        val paras = concat(
+          array(concat(lit("1:Doc "), id), concat(lit("0:intro "), id)),
+          flatten(transform(sequence(lit(0), m), j => array(
+            concat(lit("2:Part "), j.cast("string")),
+            concat(lit("0:body "), id, lit(" "), j.cast("string"))))))
+        val slides = transform(sequence(lit(0), m + 1), i =>
+          concat(lit("S"), i.cast("string"), lit(":line "), id,
+            lit(" "), i.cast("string")))
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 24)
+          .withColumn("docx", Office.makeDocx(paras))
+          .withColumn("pptx_chunks", size(Iterators.headingChunks(
+            Office.officeToMarkdown(Office.makePptx(slides)))))
+          .select(col("doc_id"), col("pptx_chunks"),
+            posexplode(Iterators.headingChunks(
+              Office.officeToMarkdown(col("docx")))))
+          .select(col("doc_id"), col("pos").cast("long").as("idx"),
+            col("col.title").as("title"),
+            col("col.heading").getItem("h2").as("h2"),
+            col("col.text").as("text"), col("pptx_chunks"))
+          .transform(graft.QueryUtil.orderedSmall(_,
+            col("doc_id"), col("idx")))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id % 3 AS m FROM documents
+             |  WHERE doc_id < 24
+             |)
+             |SELECT d.doc_id, CAST(j.j AS BIGINT) AS idx,
+             |  'Doc ' || CAST(d.doc_id AS VARCHAR) AS title,
+             |  CASE WHEN j.j = 0 THEN NULL
+             |       ELSE 'Part ' || CAST(j.j - 1 AS VARCHAR) END AS h2,
+             |  CASE WHEN j.j = 0 THEN 'intro ' || CAST(d.doc_id AS VARCHAR)
+             |       ELSE 'body ' || CAST(d.doc_id AS VARCHAR) || ' '
+             |            || CAST(j.j - 1 AS VARCHAR) END AS text,
+             |  CAST(d.m + 2 AS INT) AS pptx_chunks
+             |FROM d JOIN generate_series(0, 3) j(j) ON j.j <= d.m + 1
+             |ORDER BY doc_id, idx""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
