@@ -367,6 +367,30 @@ object Office {
       if (bytes == null) null else toMarkdown(bytes)
   }
 
+  /** Content-sniffed document → chunkable text, the reference's
+    * `get_document_handle` magic fallback (`utils/documents.py:30-44`:
+    * extension first, then puremagic): %PDF → page texts joined by form
+    * feeds (the page-chunker convention), OOXML zips → markdown, HTML →
+    * tag-soup text blocks, anything else UTF-8 text (md/txt/xml are
+    * already what the chunkers eat).
+    */
+  def documentToText(bytes: Array[Byte]): String = {
+    if (bytes == null) return null
+    if (bytes.length >= 4 && bytes(0) == '%' && bytes(1) == 'P' &&
+        bytes(2) == 'D' && bytes(3) == 'F')
+      return Pdf.extractPages(bytes).mkString("\f")
+    if (sniff(bytes).isDefined) return toMarkdown(bytes)
+    val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val head = text.take(2048).toLowerCase
+    if (head.contains("<html") || head.contains("<!doctype html"))
+      Html.htmlToText(text)
+    else text
+  }
+
+  val documentText = org.apache.spark.sql.functions.udf {
+    (bytes: Array[Byte]) => documentToText(bytes)
+  }
+
   /** fixture: build a DOCX from (level, text) pairs packed as
     * `level:text` strings — gate surface for in-query synthesis.
     */

@@ -124,6 +124,20 @@ class OfficeSpec extends AnyFunSuite {
     assert(rows(1).getMap[String, String](2).get("h2").contains("Part A"))
   }
 
+  test("documentToText dispatches by content like the reference's magic fallback") {
+    // PDF → pages joined by form feeds
+    val pdf = Pdf.writePdf(Seq("page one", "page two"))
+    assert(documentToText(pdf) == "page one\fpage two")
+    // office → markdown
+    assert(documentToText(writeDocx(Seq((1, "T"), (0, "b")))) == "# T\n\nb")
+    // html → text blocks
+    val html = "<!DOCTYPE html><html><body><p>hello &amp; bye</p></body></html>"
+    assert(documentToText(html.getBytes("UTF-8")).contains("hello & bye"))
+    // plain text / markdown pass through
+    assert(documentToText("# md\n\nbody".getBytes("UTF-8")) == "# md\n\nbody")
+    assert(documentToText(null) == null)
+  }
+
   test("sniff rejects non-office zips and non-zips") {
     assert(sniff("not a zip".getBytes).isEmpty)
     val out = new java.io.ByteArrayOutputStream()
