@@ -170,6 +170,20 @@ class ZOrderCompactSpec extends AnyFunSuite {
     assert(t.read().filter(col("dom") < "d008").count() == 8 * 64)
   }
 
+  test("string z-order stays UDF-free: bucket HOF + native kernel only") {
+    val df = (0L until 256L).map(i => (f"d${i % 16}%02d", i))
+      .toDF("dom", "k")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zc7").toString
+    df.write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val clustered = graft.operators.ZOrder.cluster(src, Seq("dom", "k"),
+      numBuckets = 16, partitions = 4)
+    val plan = clustered.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"string bucketing must stay codegen Column composition:\n$plan")
+    assert(clustered.count() == 256)
+  }
+
   test("z-value is a native codegen plan: no UDF, map-side only") {
     val df = (0L until 256L).map(i => (i, i * 7 % 256)).toDF("x", "y")
     val dir = java.nio.file.Files.createTempDirectory("graft-zc4").toString
