@@ -374,8 +374,9 @@ object Office {
     * tag-soup text blocks, anything else UTF-8 text (md/txt/xml are
     * already what the chunkers eat).
     */
-  def documentToText(bytes: Array[Byte]): String = {
-    if (bytes == null) return null
+  def documentToText(bytes0: Array[Byte]): String = {
+    if (bytes0 == null) return null
+    val bytes = Compress.decompressAuto(bytes0) // .md.gz / .json.zst / ...
     if (bytes.length >= 4 && bytes(0) == '%' && bytes(1) == 'P' &&
         bytes(2) == 'D' && bytes(3) == 'F')
       return Pdf.extractPages(bytes).mkString("\f")

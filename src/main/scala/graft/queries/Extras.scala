@@ -2474,6 +2474,34 @@ object Extras {
              |FROM d JOIN generate_series(0, 3) j(j) ON j.j <= d.m + 1
              |ORDER BY doc_id, idx""".stripMargin),
     ),
+    QueryDef(
+      "q166_compressed_docs",
+      (s, dir) => {
+        // Compressed document payloads (real corpora ship gzip/zstd
+        // binary documents inside parquet): each document's text
+        // compresses per-cell, and the content-sniffed documentToText
+        // dispatch decompresses transparently before format routing.
+        // Flags assert exact round-trip equality per codec; the panel
+        // (count + n_chars sum) is recomputed by DuckDB from the raw
+        // table, proving the pipeline loses nothing.
+        import graft.functions.{Compress, Office}
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 48)
+          .withColumn("raw", encode(col("text"), "UTF-8"))
+          .select(col("doc_id"), col("n_chars").cast("long").as("nch"),
+            (Office.documentText(Compress.gzipCompress(col("raw")))
+              === col("text")).as("gz_ok"),
+            (Office.documentText(Compress.zstdCompress(col("raw"), lit(3)))
+              === col("text")).as("zs_ok"),
+            (Office.documentText(Compress.lz4Compress(col("raw")))
+              === col("text")).as("lz4_ok"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id, CAST(n_chars AS BIGINT) AS nch,
+             |  TRUE AS gz_ok, TRUE AS zs_ok, TRUE AS lz4_ok
+             |FROM documents WHERE doc_id < 48
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -29,7 +29,8 @@ object ScaleCheck {
     "q154_minhash_index", "q155_pca_embed", "q156_sample_priority",
     "q157_heavy_hitters", "q158_change_feed", "q159_zorder_compact",
     "q160_audio_codecs", "q161_bloom_lookup", "q162_optimize_policy",
-    "q163_string_cluster", "q164_flac_roundtrip", "q165_office_chunks")
+    "q163_string_cluster", "q164_flac_roundtrip", "q165_office_chunks",
+    "q166_compressed_docs")
   // q159 is a bounded DML-lifecycle gate (l_orderkey < 1600 slice →
   // constant under key-offset replication; measures z-order write + footer
   // metadata reads, expected ~1); q160 is map-only codec work over a
