@@ -639,10 +639,16 @@ final class GraftTable private (
               s"batch_update(): $nMissing row(s) not found")
           else {
             val inputCols = m.liveColumns.filter(c => c.computedExpr.isEmpty)
+            // Materialize NOW: this plan reads the pre-update table image,
+            // and on an unversioned table the update+vacuum below deletes
+            // the superseded files before insertStatus() would re-evaluate
+            // it. Bounded by the key-list contract, so eager checkpoint is
+            // one tiny job.
             Some(inputCols.foldLeft(unmatched.toDF()) { (d, c) =>
               if (d.columns.contains(c.name)) d
               else d.withColumn(c.name, lit(null).cast(c.dataType))
-            }.select(inputCols.map(c => col(c.name)): _*))
+            }.select(inputCols.map(c => col(c.name)): _*)
+              .localCheckpoint(true))
           }
         }
       val st0 = batchUpdateInner(updates, keyCols, cascade)

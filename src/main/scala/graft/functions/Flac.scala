@@ -294,6 +294,10 @@ object Flac {
     require(channels == 1 || channels == 2, s"channels=$channels")
     require(samples.nonEmpty, "empty input")
     require(samples.length % channels == 0, "ragged interleave")
+    // bsCode 7 writes (bs-1) as a 16-bit field: larger blocks would
+    // silently truncate and corrupt the stream, so fail fast
+    require(blockSize >= 1 && blockSize <= 65536,
+      s"blockSize must be in [1, 65536], got $blockSize")
     val perChannel = samples.length / channels
     val out = new java.io.ByteArrayOutputStream()
     out.write("fLaC".getBytes)

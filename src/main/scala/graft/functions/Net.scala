@@ -143,8 +143,10 @@ object Net {
       // 2-label-base wildcards (*.kawasaki.jp → 3-label suffixes)
       .when(n >= lit(4) && lastK(2).isInCollection(psl.wild2), lastK(4))
       .when(n === lit(3) && lastK(2).isInCollection(psl.wild2), host)
-      // 3-label linear rules
+      // 3-label linear rules (a host that IS a 3-label suffix returns
+      // itself, e.g. s3.amazonaws.com where amazonaws.com is unlisted)
       .when(n >= lit(4) && lastK(3).isInCollection(psl.suffixes3), lastK(4))
+      .when(n === lit(3) && lastK(3).isInCollection(psl.suffixes3), host)
       // 1-label-base wildcards (*.ck → 2-label suffixes)
       .when(n >= lit(3) && lastLabel.isInCollection(psl.wild1), lastK(3))
       .when(n === lit(2) && lastLabel.isInCollection(psl.wild1), host)

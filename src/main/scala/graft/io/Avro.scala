@@ -35,8 +35,15 @@ object Avro {
 
   private[io] def toSparkType(s: Schema): (DataType, Boolean) = s.getType match {
     case Schema.Type.BOOLEAN => (BooleanType, false)
-    case Schema.Type.INT     => (IntegerType, false)
-    case Schema.Type.LONG    => (LongType, false)
+    case Schema.Type.INT =>
+      if (s.getLogicalType != null && s.getLogicalType.getName == "date")
+        (DateType, false)
+      else (IntegerType, false)
+    case Schema.Type.LONG =>
+      if (s.getLogicalType != null &&
+          s.getLogicalType.getName == "timestamp-micros")
+        (TimestampType, false)
+      else (LongType, false)
     case Schema.Type.FLOAT   => (FloatType, false)
     case Schema.Type.DOUBLE  => (DoubleType, false)
     case Schema.Type.STRING  => (StringType, false)
@@ -74,8 +81,12 @@ object Avro {
         case DoubleType  => Schema.create(Schema.Type.DOUBLE)
         case StringType  => Schema.create(Schema.Type.STRING)
         case BinaryType  => Schema.create(Schema.Type.BYTES)
-        case DateType    => Schema.create(Schema.Type.INT)    // days since epoch
-        case TimestampType => Schema.create(Schema.Type.LONG) // micros since epoch
+        case DateType => // days since epoch, annotated for external readers
+          org.apache.avro.LogicalTypes.date()
+            .addToSchema(Schema.create(Schema.Type.INT))
+        case TimestampType => // micros since epoch
+          org.apache.avro.LogicalTypes.timestampMicros()
+            .addToSchema(Schema.create(Schema.Type.LONG))
         case ArrayType(et, en) => Schema.createArray(field(et, en, s"$path.item"))
         case MapType(StringType, vt, vn) => Schema.createMap(field(vt, vn, s"$path.value"))
         case s: StructType => record(s, path.replace('.', '_'))
@@ -105,6 +116,12 @@ object Avro {
     case (e: org.apache.avro.generic.GenericEnumSymbol[_], StringType) => e.toString
     case (b: ByteBuffer, BinaryType) =>
       val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+    case (days: Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.longValue))
+    case (micros: java.lang.Long, TimestampType) =>
+      val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      ts
     case (f: org.apache.avro.generic.GenericFixed, BinaryType) => f.bytes().clone()
     case (a: java.util.Collection[_], ArrayType(et, _)) =>
       a.asScala.toSeq.map(fromAvro(_, et))

@@ -385,19 +385,35 @@ object FileCache {
       cacheDir: String): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val slots = math.max(1, spark.sparkContext.defaultParallelism)
-    val rows = spark.sparkContext.parallelize(0 until slots, slots)
-      .barrier()
-      .mapPartitions { _ =>
-        // every task holds its slot until all have reached the barrier →
-        // each executor is occupied by exactly its core count of tasks
-        org.apache.spark.BarrierTaskContext.get().barrier()
+    // Barrier stages are rejected under dynamic allocation (and stall when
+    // fewer slots are live than defaultParallelism), so this observability
+    // probe must not insist on gang scheduling there: fall back to an
+    // oversubscribed plain fan-out, which degrades to partial coverage
+    // instead of failing.
+    val dynAlloc = spark.sparkContext.getConf
+      .getBoolean("spark.dynamicAllocation.enabled", defaultValue = false)
+    val statRows: Iterator[Int] => Iterator[(String, Long, Int, Int, Int, Int, Long)] =
+      _ => {
         val execId = org.apache.spark.SparkEnv.get.executorId
-        peek(cacheDir).iterator.map { fc =>
+        FileCache.peek(cacheDir).iterator.map { fc =>
           val st = fc.stats
           (execId, st.totalSize, fc.numFiles(), st.numRequests, st.numHits,
             st.numEvictions, fc.capacityBytes)
         }
       }
+    val rows =
+      (if (dynAlloc)
+        spark.sparkContext.parallelize(0 until slots * 4, slots * 4)
+          .mapPartitions(statRows)
+      else
+        spark.sparkContext.parallelize(0 until slots, slots)
+          .barrier()
+          .mapPartitions { it =>
+            // every task holds its slot until all have reached the barrier →
+            // each executor is occupied by exactly its core count of tasks
+            org.apache.spark.BarrierTaskContext.get().barrier()
+            statRows(it)
+          })
       .collect() // bounded: ≤ one row per task slot, deduped next
     rows.toSeq
       .toDF("executor_id", "total_size", "num_files", "num_requests",

@@ -85,6 +85,26 @@ class BatchUpsertSpec extends AnyFunSuite {
       mid.where(col("id") === 2 && col("score") === 20.0).count() == 1)
   }
 
+  test("upsert on an UNVERSIONED table: insert leg survives the squash-vacuum") {
+    // the update leg rewrites touched files and squashIfUnversioned()
+    // vacuums the superseded ones BEFORE the insert leg runs — the
+    // unmatched rows must be materialized up front, or the insert
+    // re-evaluates a plan over deleted files (FileNotFoundException)
+    val t = GraftTable.create(spark, freshCatalog(), "ups_unver", cols,
+      isVersioned = false)
+    t.insert(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "name", "score"))
+    val st = t.batchUpdateStatus(
+      Seq((2L, 20.0), (8L, 80.0), (9L, 90.0)).toDF("id", "score"), Seq("id"),
+      ifNotExists = "insert")
+    assert(st.numRows == 3)
+    val by = t.read().collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(by.keySet == Set(1L, 2L, 3L, 8L, 9L))
+    assert(by(2L).getAs[Double]("score") == 20.0 && by(2L).getAs[Double]("score2") == 40.0)
+    assert(by(8L).getAs[Double]("score") == 80.0 && by(8L).getAs[Double]("score2") == 160.0)
+    assert(by(9L).getAs[Double]("score") == 90.0)
+  }
+
   test("upsert into an empty table inserts everything") {
     val t = GraftTable.create(spark, freshCatalog(), "ups_empty", cols)
     val st = t.batchUpdateStatus(

@@ -90,6 +90,15 @@ class FlacSpec extends AnyFunSuite {
     assert(dec.md5Ok)
   }
 
+  test("blockSize outside [1, 65536] fails fast (16-bit field would truncate)") {
+    val s = saw(100)
+    intercept[IllegalArgumentException](encode(s, 1, 16000, blockSize = 0))
+    intercept[IllegalArgumentException](encode(s, 1, 16000, blockSize = 65537))
+    // the max legal size still round-trips
+    val dec = decode(encode(s, 1, 16000, blockSize = 65536))
+    assert(dec.samples.toSeq === s.map(_.toInt).toSeq)
+  }
+
   test("silence compresses to CONSTANT subframes and stays exact") {
     val s = new Array[Short](8192)
     val enc = encode(s, 1, 16000)

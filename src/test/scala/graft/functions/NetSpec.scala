@@ -61,6 +61,10 @@ class NetSpec extends AnyFunSuite {
     assert(dom("http://localhost:8080/x") == Seq("localhost"))
     // host that IS a public suffix: degenerate, returns the suffix
     assert(dom("https://co.uk/") == Seq("co.uk"))
+    // ... including a 3-label suffix whose 2-label parent is UNLISTED:
+    // without the n==3 branch this fell to last-two-labels ("amazonaws.com")
+    assert(dom("https://s3.amazonaws.com/") == Seq("s3.amazonaws.com"))
+    assert(dom("https://bucket.s3.amazonaws.com/") == Seq("bucket.s3.amazonaws.com"))
   }
 
   test("registeredDomain: wildcard, exception, 4-label and punycode rule classes") {

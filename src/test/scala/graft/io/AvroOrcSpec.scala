@@ -40,6 +40,34 @@ class AvroOrcSpec extends AnyFunSuite {
     assert(rows(0).getAs[Boolean]("flag"))
   }
 
+  test("avro round-trip: date/timestamp carry logicalType annotations") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-avrots").toString
+    val df = Seq(
+      (1L, java.sql.Date.valueOf("2024-03-15"),
+        java.sql.Timestamp.valueOf("2024-03-15 12:34:56.789123")),
+      (2L, java.sql.Date.valueOf("1969-07-20"),
+        java.sql.Timestamp.valueOf("1969-07-20 20:17:40.0"))
+    ).toDF("id", "d", "ts")
+    Avro.exportAvro(df, s"$tmp/av")
+    // the written schema must carry the logical types (external readers)
+    val avroSchema = Avro.toAvroSchema(df.schema, "row")
+    def lt(field: String) = { // unwrap the nullable union
+      import scala.jdk.CollectionConverters._
+      val s = avroSchema.getField(field).schema()
+      val base = if (s.getType == org.apache.avro.Schema.Type.UNION)
+        s.getTypes.asScala.find(_.getType != org.apache.avro.Schema.Type.NULL).get
+      else s
+      base.getLogicalType
+    }
+    assert(lt("d").getName == "date")
+    assert(lt("ts").getName == "timestamp-micros")
+    // and the import maps them back to DateType/TimestampType with values
+    val back = Avro.importAvro(spark, s"$tmp/av").orderBy("id")
+    assert(back.schema("d").dataType == DateType)
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
   test("avro round-trip: arrays, maps, nested structs") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-avro2").toString
     val schema = StructType(Seq(
