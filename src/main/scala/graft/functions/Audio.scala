@@ -149,6 +149,20 @@ object Audio {
       perChannel.toDouble / fmt.getSampleRate)
   }
 
+  /** MP3 stream metadata (frame walk only — never inflates audio):
+    * exact frame/sample counts, duration, mean bitrate, VBR flag.
+    */
+  val mp3Metadata = udf { (bytes: Array[Byte]) => Mp3.readMeta(bytes) }
+
+  /** audio_splitter's segmentation shape on MP3 WITHOUT PCM decode:
+    * silence-bounded loud runs from the side-info `global_gain`
+    * loudness proxy — (start_s, end_s) pairs.
+    */
+  val mp3LoudSegments = udf { (bytes: Array[Byte], threshold: Double,
+      minFrames: Int) =>
+    Mp3.loudSegments(bytes, threshold, minFrames)
+  }
+
   /** extract [startSec, endSec) as a new WAV (reference `clip`) */
   val clip = udf { (bytes: Array[Byte], startSec: Double, endSec: Double) =>
     val (fmt, samples) = decodePcm(bytes)

@@ -1,0 +1,514 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM ISO-BMFF (MP4) container demux + mux (reference
+  * `functions/video/iterators.py:41-123` and `iterators/video.py` run on
+  * arbitrary containers via pyav; this is the MP4 sibling of the `Avi`
+  * RIFF path, built directly on the public ISO/IEC 14496-12 box grammar —
+  * `ftyp/moov/trak/mdia/minf/stbl` with the classic
+  * `stsd/stts/stsc/stsz/stco|co64` sample-table walk).
+  *
+  * Demux is header-only until samples are pulled: `readMeta` touches just
+  * the `moov` tree (never `mdat`), so metadata over a 100 TB corpus reads
+  * a few KB per file. Codec naming covers the real-world sample entries
+  * (`avc1/hvc1/hev1/vp09/av01/jpeg/mp4v/mp4a/.mp3/sowt/twos/lpcm`, with
+  * `esds` objectTypeIndication resolution for the mp4v/mp4a wrappers);
+  * DECODE support is jpeg (video) + pcm (audio) + the mp3 elementary
+  * stream hand-off — H.264/AAC decode is an explicit COVERAGE
+  * adjudication, not an implicit absence.
+  *
+  * The muxer writes `ftyp | mdat | moov` (offsets known before the moov
+  * tables are emitted) with MJPEG video as a `jpeg` visual sample entry
+  * (one JPEG per sample, the QuickTime MJPEG convention) and audio as
+  * `sowt` PCM-16LE or a `.mp3` track (one MPEG frame per sample) — the
+  * re-mux twin the q167 gate and the AVI interop tests ride.
+  */
+object Mp4 {
+
+  // ----------------------------------------------------------- box reader
+
+  /** (type, payloadFrom, payloadUntil) for each box in [from, until). */
+  private def boxes(b: ByteBuffer, from: Int, until: Int): Seq[(String, Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var pos = from
+    while (pos + 8 <= until) {
+      val size32 = b.getInt(pos).toLong & 0xffffffffL
+      val typ = fourcc(b, pos + 4)
+      val (payload, end) =
+        if (size32 == 1L && pos + 16 <= until) {
+          val size64 = b.getLong(pos + 8)
+          (pos + 16, pos + size64)
+        } else if (size32 == 0L) (pos + 8, until.toLong) // box runs to EOF
+        else (pos + 8, pos + size32)
+      if (size32 != 1L && size32 != 0L && size32 < 8) return out.toSeq // corrupt
+      if (end > until || end < payload) return out.toSeq
+      out += ((typ, payload, end.toInt))
+      pos = end.toInt
+    }
+    out.toSeq
+  }
+
+  private def fourcc(b: ByteBuffer, pos: Int): String = {
+    val a = new Array[Byte](4)
+    var i = 0
+    while (i < 4) { a(i) = b.get(pos + i); i += 1 }
+    new String(a, "US-ASCII")
+  }
+
+  private def child(b: ByteBuffer, from: Int, until: Int,
+      typ: String): Option[(Int, Int)] =
+    boxes(b, from, until).collectFirst { case (t, f, u) if t == typ => (f, u) }
+
+  private def children(b: ByteBuffer, from: Int, until: Int,
+      typ: String): Seq[(Int, Int)] =
+    boxes(b, from, until).collect { case (t, f, u) if t == typ => (f, u) }
+
+  /** `true` for plausible ISO-BMFF payloads (box 0 is `ftyp`/`moov`/
+    * `mdat`/`free`/`wide`/`skip` — real files open with one of these).
+    */
+  def isMp4(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 12) return false
+    val t = new String(bytes, 4, 4, "US-ASCII")
+    Set("ftyp", "moov", "mdat", "free", "wide", "skip")(t)
+  }
+
+  // -------------------------------------------------------- track parsing
+
+  /** One fully resolved media track: identity, codec, geometry/audio
+    * shape, timing, and the absolute (offset, size, delta) of every
+    * sample — everything downstream ops need, computed once.
+    */
+  final case class Track(
+      trackId: Int, handler: String, codec: String, entryFourcc: String,
+      width: Int, height: Int, channels: Int, sampleRate: Int,
+      timescale: Long, mediaDuration: Long,
+      sampleOffsets: Array[Long], sampleSizes: Array[Int],
+      sampleDeltas: Array[Int]) {
+    def nSamples: Int = sampleSizes.length
+    def durationS: Double =
+      if (timescale > 0) mediaDuration.toDouble / timescale else 0.0
+    /** samples/s from the dominant stts delta (fps for video tracks) */
+    def rate: Double = {
+      if (sampleDeltas.isEmpty || timescale == 0) return 0.0
+      val delta = sampleDeltas.groupBy(identity).maxBy(_._2.length)._1
+      if (delta > 0) timescale.toDouble / delta else 0.0
+    }
+  }
+
+  private def fullBoxVersion(b: ByteBuffer, from: Int): Int = b.get(from) & 0xff
+
+  /** map a sample-entry fourcc (+ optional esds OTI) to a codec name */
+  private def codecName(entry: String, oti: Int): String = entry match {
+    case "avc1" | "avc3" => "h264"
+    case "hvc1" | "hev1" => "hevc"
+    case "vp09" => "vp9"
+    case "vp08" => "vp8"
+    case "av01" => "av1"
+    case "jpeg" | "mjpa" => "jpeg"
+    case "sowt" | "twos" | "lpcm" | "raw " => "pcm"
+    case ".mp3" | "mp3 " => "mp3"
+    case "ac-3" => "ac3"
+    case "Opus" => "opus"
+    case "fLaC" => "flac"
+    case "mp4v" => oti match {
+      case 0x6C => "jpeg"
+      case 0x20 => "mpeg4"
+      case 0x61 | 0x60 | 0x62 | 0x63 | 0x64 | 0x65 => "mpeg2"
+      case _ => "mp4v"
+    }
+    case "mp4a" => oti match {
+      case 0x40 | 0x66 | 0x67 | 0x68 => "aac"
+      case 0x69 | 0x6B => "mp3"
+      case _ => "mp4a"
+    }
+    case other => other.trim
+  }
+
+  /** objectTypeIndication out of an `esds` box payload (walks the
+    * MPEG-4 descriptor tags: 0x03 ES → 0x04 DecoderConfig, whose first
+    * byte is the OTI; descriptor lengths are 7-bit big-endian varints).
+    */
+  private def esdsOti(b: ByteBuffer, from: Int, until: Int): Int = {
+    var pos = from + 4 // skip FullBox version/flags
+    def readLen(): Int = {
+      var len = 0; var more = true
+      while (more && pos < until) {
+        val v = b.get(pos) & 0xff; pos += 1
+        len = (len << 7) | (v & 0x7f); more = (v & 0x80) != 0
+      }
+      len
+    }
+    while (pos < until) {
+      val tag = b.get(pos) & 0xff; pos += 1
+      val len = readLen()
+      val bodyEnd = pos + len
+      tag match {
+        case 0x03 => // ES_Descriptor: ES_ID(2) + flags(1), then nested
+          pos += 3
+          val flags = b.get(pos - 1) & 0xff
+          if ((flags & 0x80) != 0) pos += 2 // dependsOn_ES_ID
+          if ((flags & 0x40) != 0) pos += 1 + (b.get(pos) & 0xff) // URL
+          if ((flags & 0x20) != 0) pos += 2 // OCR_ES_ID
+        case 0x04 => return b.get(pos) & 0xff // DecoderConfig: OTI first
+        case _ => pos = bodyEnd
+      }
+    }
+    0
+  }
+
+  /** All media tracks with resolved sample tables. Corrupt/fragmented
+    * tracks (no stco samples) come back with empty sample arrays but
+    * intact identity, so metadata still reports them.
+    */
+  def parseTracks(bytes: Array[Byte]): Seq[Track] = {
+    require(isMp4(bytes), "not an ISO-BMFF (MP4) payload")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val (moovF, moovU) = child(b, 0, bytes.length, "moov")
+      .getOrElse(sys.error("no moov box (fragmented or truncated MP4)"))
+    children(b, moovF, moovU, "trak").flatMap { case (trakF, trakU) =>
+      parseTrak(b, trakF, trakU)
+    }
+  }
+
+  private def parseTrak(b: ByteBuffer, trakF: Int, trakU: Int): Option[Track] = {
+    val (tkhdF, _) = child(b, trakF, trakU, "tkhd").getOrElse(return None)
+    val tkhdV = fullBoxVersion(b, tkhdF)
+    // tkhd v0: v/f(4) create(4) mod(4) id(4) …; v1: 8-byte times
+    val trackId = if (tkhdV == 1) b.getInt(tkhdF + 20) else b.getInt(tkhdF + 12)
+    // width/height: 16.16 fixed, last 8 bytes of the 80/92-byte body
+    val tkhdBodyEnd = tkhdF + (if (tkhdV == 1) 96 else 84)
+    val width = b.getInt(tkhdBodyEnd - 8) >>> 16
+    val height = b.getInt(tkhdBodyEnd - 4) >>> 16
+
+    val (mdiaF, mdiaU) = child(b, trakF, trakU, "mdia").getOrElse(return None)
+    val (mdhdF, _) = child(b, mdiaF, mdiaU, "mdhd").getOrElse(return None)
+    val mdhdV = fullBoxVersion(b, mdhdF)
+    val (timescale, mediaDuration) =
+      if (mdhdV == 1) (b.getInt(mdhdF + 20).toLong & 0xffffffffL, b.getLong(mdhdF + 24))
+      else (b.getInt(mdhdF + 12).toLong & 0xffffffffL,
+        b.getInt(mdhdF + 16).toLong & 0xffffffffL)
+    val handler = child(b, mdiaF, mdiaU, "hdlr")
+      .map { case (f, _) => fourcc(b, f + 8) }.getOrElse("????")
+
+    val (minfF, minfU) = child(b, mdiaF, mdiaU, "minf").getOrElse(return None)
+    val (stblF, stblU) = child(b, minfF, minfU, "stbl").getOrElse(return None)
+
+    // stsd: first sample entry decides the codec
+    val (stsdF, stsdU) = child(b, stblF, stblU, "stsd").getOrElse(return None)
+    val entries = boxes(b, stsdF + 8, stsdU)
+    if (entries.isEmpty) return None
+    val (entryTyp, entF, entU) = entries.head
+    // sample-entry body: 6 reserved + 2 data_reference_index, then
+    // visual (70 bytes to the optional child boxes) or audio (20 bytes)
+    val (channels, sampleRate, childBoxFrom) =
+      if (handler == "soun") {
+        val ch = b.getShort(entF + 16) & 0xffff
+        val sr = b.getInt(entF + 24) >>> 16
+        (ch, sr, entF + 28)
+      } else (0, 0, entF + 78)
+    val oti =
+      if (childBoxFrom < entU)
+        child(b, childBoxFrom, entU, "esds")
+          .map { case (f, u) => esdsOti(b, f, u) }.getOrElse(0)
+      else 0
+    val codec = codecName(entryTyp, oti)
+
+    // sample timing: stts runs → per-sample deltas
+    val deltas: Array[Int] = child(b, stblF, stblU, "stts").map { case (f, _) =>
+      val n = b.getInt(f + 4)
+      val out = Array.newBuilder[Int]
+      var i = 0
+      while (i < n) {
+        val count = b.getInt(f + 8 + i * 8)
+        val delta = b.getInt(f + 12 + i * 8)
+        var j = 0
+        while (j < count) { out += delta; j += 1 }
+        i += 1
+      }
+      out.result()
+    }.getOrElse(Array.empty)
+
+    // sample sizes: stsz (uniform or per-sample)
+    val sizes: Array[Int] = child(b, stblF, stblU, "stsz").map { case (f, _) =>
+      val uniform = b.getInt(f + 4)
+      val n = b.getInt(f + 8)
+      if (uniform != 0) Array.fill(n)(uniform)
+      else Array.tabulate(n)(i => b.getInt(f + 12 + i * 4))
+    }.getOrElse(Array.empty)
+
+    // chunk offsets: stco (u32) or co64 (u64)
+    val chunkOffsets: Array[Long] =
+      child(b, stblF, stblU, "stco").map { case (f, _) =>
+        val n = b.getInt(f + 4)
+        Array.tabulate(n)(i => b.getInt(f + 8 + i * 4).toLong & 0xffffffffL)
+      }.orElse(child(b, stblF, stblU, "co64").map { case (f, _) =>
+        val n = b.getInt(f + 4)
+        Array.tabulate(n)(i => b.getLong(f + 8 + i * 8))
+      }).getOrElse(Array.empty)
+
+    // stsc runs → samples-per-chunk for each chunk, then absolute offsets
+    val offsets: Array[Long] = {
+      val stsc: Seq[(Int, Int)] = child(b, stblF, stblU, "stsc").map { case (f, _) =>
+        val n = b.getInt(f + 4)
+        (0 until n).map(i =>
+          (b.getInt(f + 8 + i * 12), b.getInt(f + 12 + i * 12)))
+      }.getOrElse(Seq.empty)
+      val out = new Array[Long](sizes.length)
+      var sample = 0
+      var run = 0
+      var chunk = 1 // 1-based
+      while (chunk <= chunkOffsets.length && sample < sizes.length) {
+        while (run + 1 < stsc.length && stsc(run + 1)._1 <= chunk) run += 1
+        val perChunk = if (stsc.isEmpty) sizes.length else stsc(run)._2
+        var off = chunkOffsets(chunk - 1)
+        var j = 0
+        while (j < perChunk && sample < sizes.length) {
+          out(sample) = off
+          off += sizes(sample)
+          sample += 1; j += 1
+        }
+        chunk += 1
+      }
+      out
+    }
+
+    Some(Track(trackId, handler, codec, entryTyp, width, height, channels,
+      sampleRate, timescale, mediaDuration, offsets, sizes, deltas))
+  }
+
+  // ------------------------------------------------------------ demux API
+
+  /** Video-track metadata in the shared `AviMeta` shape (format="MP4") —
+    * moov-only, never touches `mdat`. Audio-only files report the audio
+    * track's rate/duration with zero geometry.
+    */
+  def readMeta(bytes: Array[Byte]): Avi.AviMeta = {
+    val tracks = parseTracks(bytes)
+    tracks.find(_.handler == "vide") match {
+      case Some(v) =>
+        Avi.AviMeta(v.width, v.height, v.rate, v.nSamples, v.durationS,
+          v.codec.toUpperCase, "MP4")
+      case None =>
+        val a = tracks.find(_.handler == "soun")
+          .getOrElse(sys.error("MP4 has no video or audio track"))
+        Avi.AviMeta(0, 0, 0.0, a.nSamples, a.durationS,
+          a.codec.toUpperCase, "MP4")
+    }
+  }
+
+  private def samplesOf(bytes: Array[Byte], t: Track): Seq[Array[Byte]] =
+    (0 until t.nSamples).map { i =>
+      val off = t.sampleOffsets(i).toInt
+      java.util.Arrays.copyOfRange(bytes, off, off + t.sampleSizes(i))
+    }
+
+  /** JPEG payloads of the video track (requires the jpeg codec — the
+    * decode boundary; H.264 etc. fail fast with the codec named).
+    */
+  def readFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val v = parseTracks(bytes).find(_.handler == "vide")
+      .getOrElse(sys.error("MP4 has no video track"))
+    require(v.codec == "jpeg",
+      s"unsupported video decode codec '${v.codec}' (jpeg/MJPEG only; " +
+        "see COVERAGE adjudication)")
+    samplesOf(bytes, v)
+  }
+
+  /** PCM-16 samples of the first audio track: `sowt` (LE) / `twos` (BE) /
+    * `lpcm`/`raw ` decode natively; an mp3 track returns None here (use
+    * `extractAudioStream` for the elementary stream).
+    */
+  def readAudio(bytes: Array[Byte]): Option[(Array[Short], Int)] = {
+    val a = parseTracks(bytes).find(_.handler == "soun").getOrElse(return None)
+    if (a.codec != "pcm") return None
+    // coalesce contiguous sample runs (PCM samples are 2 bytes each —
+    // per-sample copies would allocate one tiny array per audio sample)
+    val raw = {
+      val out = new ByteArrayOutputStream()
+      var i = 0
+      while (i < a.nSamples) {
+        val start = a.sampleOffsets(i)
+        var end = start + a.sampleSizes(i)
+        while (i + 1 < a.nSamples && a.sampleOffsets(i + 1) == end) {
+          i += 1; end += a.sampleSizes(i)
+        }
+        out.write(bytes, start.toInt, (end - start).toInt)
+        i += 1
+      }
+      out.toByteArray
+    }
+    // sowt is LE, twos is BE; lpcm defaults LE here
+    val order = if (a.entryFourcc == "twos") ByteOrder.BIG_ENDIAN
+      else ByteOrder.LITTLE_ENDIAN
+    val samples = new Array[Short](raw.length / 2)
+    ByteBuffer.wrap(raw).order(order).asShortBuffer().get(samples)
+    Some((samples, a.sampleRate))
+  }
+
+  /** (codec, concatenated elementary stream) of the first NON-pcm audio
+    * track — the mp3 hand-off (`Mp3` parses/decodes the result), and the
+    * honest boundary for aac/opus (stream extraction works; decode is
+    * adjudicated).
+    */
+  def extractAudioStream(bytes: Array[Byte]): Option[(String, Array[Byte])] =
+    parseTracks(bytes).find(t => t.handler == "soun" && t.codec != "pcm")
+      .map(t => (t.codec, samplesOf(bytes, t).toArray.flatten))
+
+  // -------------------------------------------------------------- muxer
+
+  private def u32(i: Long): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(i.toInt).array()
+  private def u16(i: Int): Array[Byte] =
+    ByteBuffer.allocate(2).putShort(i.toShort).array()
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.foldLeft(Array.empty[Byte])(_ ++ _)
+    u32(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+  }
+  private def fullBox(typ: String, version: Int, flags: Int,
+      payload: Array[Byte]*): Array[Byte] =
+    box(typ, Array[Byte](version.toByte,
+      ((flags >> 16) & 0xff).toByte, ((flags >> 8) & 0xff).toByte,
+      (flags & 0xff).toByte) ++
+      payload.foldLeft(Array.empty[Byte])(_ ++ _))
+
+  /** One track's mux inputs with the sample table spelled out:
+    * `chunkData` is the single chunk's payload, `sttsRuns` the
+    * (count, delta) timing runs, `sizes` per-sample byte sizes (or
+    * Left(uniform) for constant-size samples like PCM-16).
+    */
+  private final case class MuxTrack(
+      handler: String, entry: Array[Byte], timescale: Long,
+      chunkData: Array[Byte], nSamples: Int,
+      sttsRuns: Seq[(Int, Int)], sizes: Either[Int, Seq[Int]],
+      width: Int, height: Int) {
+    def mediaDuration: Long = sttsRuns.map { case (n, d) => n.toLong * d }.sum
+  }
+
+  /** Assemble an MP4: MJPEG frames (all `w`×`h` at `fps`) and/or a
+    * PCM-16 mono track and/or an MP3 track (one MPEG frame per sample,
+    * `mp3SamplesPerFrame` media samples each at `mp3Rate`).
+    */
+  def write(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
+      audio: Option[(Array[Short], Int)] = None,
+      mp3: Option[(Seq[Array[Byte]], Int, Int)] = None): Array[Byte] = {
+    require(frames.nonEmpty || audio.isDefined || mp3.isDefined,
+      "empty MP4: no video frames and no audio")
+    require(frames.isEmpty || fps > 0, s"bad fps $fps")
+
+    val videoTrack = if (frames.isEmpty) None else Some {
+      // VisualSampleEntry 'jpeg': QuickTime MJPEG — one JPEG per sample
+      val entry = box("jpeg",
+        Array.fill[Byte](6)(0), u16(1), // reserved + data_reference_index
+        u16(0), u16(0), Array.fill[Byte](12)(0), // pre_defined/reserved
+        u16(w), u16(h),
+        u32(0x00480000L), u32(0x00480000L), // 72 dpi
+        u32(0), u16(1), // reserved, frame_count
+        Array.fill[Byte](32)(0), // compressorname
+        u16(24), u16(0xffff)) // depth, pre_defined(-1)
+      MuxTrack("vide", entry, fps.toLong,
+        frames.foldLeft(Array.empty[Byte])(_ ++ _), frames.length,
+        Seq((frames.length, 1)), Right(frames.map(_.length)), w, h)
+    }
+    val pcmTrack = audio.map { case (samples, rate) =>
+      val entry = box("sowt",
+        Array.fill[Byte](6)(0), u16(1),
+        Array.fill[Byte](8)(0), // reserved
+        u16(1), u16(16), // channels, samplesize
+        u16(0), u16(0), // pre_defined, reserved
+        u32(rate.toLong << 16)) // 16.16 sample rate
+      val raw = new Array[Byte](samples.length * 2)
+      ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        .asShortBuffer().put(samples)
+      // one media sample per PCM sample: uniform size 2, delta 1
+      MuxTrack("soun", entry, rate.toLong, raw, samples.length,
+        Seq((samples.length, 1)), Left(2), 0, 0)
+    }
+    val mp3Track = mp3.map { case (mpegFrames, rate, samplesPerFrame) =>
+      val entry = box(".mp3",
+        Array.fill[Byte](6)(0), u16(1),
+        Array.fill[Byte](8)(0),
+        u16(1), u16(16), u16(0), u16(0),
+        u32(rate.toLong << 16))
+      MuxTrack("soun", entry, rate.toLong,
+        mpegFrames.foldLeft(Array.empty[Byte])(_ ++ _), mpegFrames.length,
+        Seq((mpegFrames.length, samplesPerFrame)),
+        Right(mpegFrames.map(_.length)), 0, 0)
+    }
+    val tracks = Seq(videoTrack, pcmTrack, mp3Track).flatten
+
+    val ftyp = box("ftyp", "isom".getBytes, u32(0x200L),
+      "isom".getBytes, "mp42".getBytes)
+
+    // mdat: one chunk per track; remember each track's chunk offset
+    val mdatHeaderAt = ftyp.length
+    val mdatPayload = new ByteArrayOutputStream()
+    val chunkOffsets: Seq[Long] = tracks.map { t =>
+      val off = mdatHeaderAt + 8L + mdatPayload.size()
+      mdatPayload.write(t.chunkData)
+      off
+    }
+    val mdat = box("mdat", mdatPayload.toByteArray)
+
+    val movieTimescale = 1000L
+    val movieDuration = tracks.map { t =>
+      if (t.timescale > 0) t.mediaDuration * movieTimescale / t.timescale
+      else 0L
+    }.foldLeft(0L)(math.max)
+
+    val mvhd = fullBox("mvhd", 0, 0,
+      u32(0), u32(0), // creation/modification (epoch: deterministic)
+      u32(movieTimescale), u32(movieDuration),
+      u32(0x00010000L), u16(0x0100), u16(0), u32(0), u32(0),
+      u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L), u32(0),
+      u32(0), u32(0), u32(0x40000000L), // identity matrix
+      Array.fill[Byte](24)(0), // pre_defined
+      u32(tracks.length + 1L)) // next_track_ID
+
+    val traks = tracks.zipWithIndex.map { case (t, ti) =>
+      val mediaDur = t.mediaDuration
+      val tkDur = if (t.timescale > 0)
+        mediaDur * movieTimescale / t.timescale else 0L
+      val tkhd = fullBox("tkhd", 0, 7, // enabled|in-movie|in-preview
+        u32(0), u32(0), u32(ti + 1L), u32(0), u32(tkDur),
+        u32(0), u32(0), u16(0), u16(0),
+        u16(if (t.handler == "soun") 0x0100 else 0), u16(0),
+        u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L), u32(0),
+        u32(0), u32(0), u32(0x40000000L),
+        u32(t.width.toLong << 16), u32(t.height.toLong << 16))
+      val mdhd = fullBox("mdhd", 0, 0,
+        u32(0), u32(0), u32(t.timescale), u32(mediaDur),
+        u16(0x55c4), u16(0)) // language 'und'
+      val hdlr = fullBox("hdlr", 0, 0,
+        u32(0), t.handler.getBytes("US-ASCII"),
+        u32(0), u32(0), u32(0), Array[Byte](0)) // empty name, NUL
+      val smhd = fullBox("smhd", 0, 0, u16(0), u16(0))
+      val vmhd = fullBox("vmhd", 0, 1, u16(0), u16(0), u16(0), u16(0))
+      val dinf = box("dinf", fullBox("dref", 0, 0, u32(1),
+        fullBox("url ", 0, 1))) // self-contained
+      val stsd = fullBox("stsd", 0, 0, u32(1), t.entry)
+      val stts = fullBox("stts", 0, 0,
+        (u32(t.sttsRuns.length.toLong) +: t.sttsRuns.flatMap {
+          case (n, d) => Seq(u32(n.toLong), u32(d.toLong))
+        }): _*)
+      val stsc = fullBox("stsc", 0, 0, u32(1),
+        u32(1), u32(t.nSamples.toLong), u32(1)) // one chunk, all samples
+      val stszBody = t.sizes match {
+        case Left(uniform) => Seq(u32(uniform.toLong), u32(t.nSamples.toLong))
+        case Right(sizes) =>
+          u32(0L) +: u32(t.nSamples.toLong) +: sizes.map(s => u32(s.toLong))
+      }
+      val stsz = fullBox("stsz", 0, 0, stszBody: _*)
+      val stco = fullBox("stco", 0, 0, u32(1), u32(chunkOffsets(ti)))
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val minf = box("minf",
+        (if (t.handler == "vide") vmhd else smhd), dinf, stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      box("trak", tkhd, mdia)
+    }
+
+    val moov = box("moov", (mvhd +: traks): _*)
+    ftyp ++ mdat ++ moov
+  }
+}

@@ -51,9 +51,9 @@ object SceneDetect {
   // ---- frame features -------------------------------------------------
 
   private def frames(v: Array[Byte]): (IndexedSeq[BufferedImage], Double) = {
-    val meta = Avi.readMeta(v)
+    val meta = Video.readMetaAny(v)
     val fps = if (meta.fps > 0) meta.fps else 30.0
-    (Avi.readFrames(v).map(Images.decode).toIndexedSeq, fps)
+    (Video.readFramesAny(v).map(Images.decode).toIndexedSeq, fps)
   }
 
   /** OpenCV-convention HSV planes: H ∈ [0,180), S,V ∈ [0,255]. */

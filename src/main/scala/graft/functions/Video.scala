@@ -229,16 +229,46 @@ object Video {
     makeTestVideo(n, w, h, rgb, fps)
   }
 
+  /** Content-sniffed container dispatch (the get_document_handle pattern
+    * applied to video): every read-side op below accepts both RIFF-AVI
+    * and ISO-BMFF/MP4 payloads — the reference's pyav opens either
+    * (`functions/video/iterators.py:41`). Edit/encode outputs stay
+    * MJPEG-AVI: decode-any, encode-one.
+    */
+  private[graft] def readMetaAny(bytes: Array[Byte]): Avi.AviMeta =
+    if (Mp4.isMp4(bytes)) Mp4.readMeta(bytes) else Avi.readMeta(bytes)
+  private[graft] def readFramesAny(bytes: Array[Byte]): Seq[Array[Byte]] =
+    if (Mp4.isMp4(bytes)) Mp4.readFrames(bytes) else Avi.readFrames(bytes)
+  private[graft] def readAudioAny(bytes: Array[Byte]): Option[(Array[Short], Int)] =
+    if (Mp4.isMp4(bytes)) Mp4.readAudio(bytes) else Avi.readAudio(bytes)
+
+  /** Transcode to MP4 (re-mux: same JPEG frame payloads, same PCM
+    * audio, ISO-BMFF sample tables) — the MP4 sink twin of the AVI
+    * default, so MP4-in/MP4-out pipelines exist end to end.
+    */
+  val toMp4 = udf { (v: Array[Byte]) =>
+    val meta = readMetaAny(v)
+    Mp4.write(readFramesAny(v), meta.width, meta.height,
+      math.max(meta.fps.round.toInt, 1), readAudioAny(v))
+  }
+
+  /** Transcode to MJPEG-AVI (the inverse re-mux). */
+  val toAvi = udf { (v: Array[Byte]) =>
+    val meta = readMetaAny(v)
+    Avi.write(readFramesAny(v), meta.width, meta.height,
+      math.max(meta.fps.round.toInt, 1), readAudioAny(v))
+  }
+
   /** get_metadata (reference `functions/video/metadata.py`): header-only. */
-  val getMetadata = udf { (bytes: Array[Byte]) => Avi.readMeta(bytes) }
+  val getMetadata = udf { (bytes: Array[Byte]) => readMetaAny(bytes) }
 
-  val frameCount = udf { (bytes: Array[Byte]) => Avi.readMeta(bytes).frames }
+  val frameCount = udf { (bytes: Array[Byte]) => readMetaAny(bytes).frames }
 
-  val duration = udf { (bytes: Array[Byte]) => Avi.readMeta(bytes).duration_s }
+  val duration = udf { (bytes: Array[Byte]) => readMetaAny(bytes).duration_s }
 
   /** extract_frame (reference `editing.py`): the i-th frame as JPEG bytes. */
   val extractFrame = udf { (bytes: Array[Byte], i: Int) =>
-    val fs = Avi.readFrames(bytes)
+    val fs = readFramesAny(bytes)
     require(i >= 0 && i < fs.length, s"frame $i out of range 0..${fs.length - 1}")
     fs(i)
   }
@@ -248,9 +278,9 @@ object Video {
     * `everyNth` subsamples (the reference's fps arg reduced to stride).
     */
   val frameIterator = udf { (bytes: Array[Byte], everyNth: Int) =>
-    val meta = Avi.readMeta(bytes)
+    val meta = readMetaAny(bytes)
     val step = math.max(everyNth, 1)
-    Avi.readFrames(bytes).zipWithIndex.collect {
+    readFramesAny(bytes).zipWithIndex.collect {
       case (f, i) if i % step == 0 =>
         (i, if (meta.fps > 0) i / meta.fps else 0.0, f)
     }
@@ -260,8 +290,8 @@ object Video {
     * new video with the same dimensions/fps.
     */
   val clip = udf { (bytes: Array[Byte], startFrame: Int, endFrame: Int) =>
-    val meta = Avi.readMeta(bytes)
-    val fs = Avi.readFrames(bytes)
+    val meta = readMetaAny(bytes)
+    val fs = readFramesAny(bytes)
     val lo = math.max(startFrame, 0)
     val hi = math.min(endFrame, fs.length)
     require(lo < hi, s"empty clip [$startFrame, $endFrame) of ${fs.length} frames")
@@ -312,11 +342,11 @@ object Video {
     * video's geometry — here geometry must already agree).
     */
   val concatVideos = udf { (a: Array[Byte], b: Array[Byte]) =>
-    val ma = Avi.readMeta(a)
-    val mb = Avi.readMeta(b)
+    val ma = readMetaAny(a)
+    val mb = readMetaAny(b)
     require(ma.width == mb.width && ma.height == mb.height,
       s"geometry mismatch: ${ma.width}x${ma.height} vs ${mb.width}x${mb.height}")
-    Avi.write(Avi.readFrames(a) ++ Avi.readFrames(b), ma.width, ma.height,
+    Avi.write(readFramesAny(a) ++ readFramesAny(b), ma.width, ma.height,
       math.max(ma.fps.round.toInt, 1))
   }
 
@@ -345,15 +375,15 @@ object Video {
   /** apply an image transform to every frame, keeping fps and audio */
   private def mapFrames(bytes: Array[Byte])(
       f: (java.awt.image.BufferedImage, Int, Int) => java.awt.image.BufferedImage): Array[Byte] = {
-    val meta = Avi.readMeta(bytes)
-    val frames = Avi.readFrames(bytes)
+    val meta = readMetaAny(bytes)
+    val frames = readFramesAny(bytes)
     val n = frames.length
     val out = frames.zipWithIndex.map { case (fb, i) =>
       toJpeg(f(Images.decode(fb), i, n))
     }
     val first = Images.decode(out.head)
     Avi.write(out, first.getWidth, first.getHeight,
-      math.max(meta.fps.round.toInt, 1), Avi.readAudio(bytes))
+      math.max(meta.fps.round.toInt, 1), readAudioAny(bytes))
   }
 
   val cropVideo = udf { (v: Array[Byte], l: Int, u: Int, r: Int, lo: Int) =>
@@ -458,10 +488,10 @@ object Video {
     * the audio track reverses sample-wise.
     */
   val reverseVideo = udf { (v: Array[Byte]) =>
-    val meta = Avi.readMeta(v)
-    Avi.write(Avi.readFrames(v).reverse, meta.width, meta.height,
+    val meta = readMetaAny(v)
+    Avi.write(readFramesAny(v).reverse, meta.width, meta.height,
       math.max(meta.fps.round.toInt, 1),
-      Avi.readAudio(v).map { case (s, r) => (s.reverse, r) })
+      readAudioAny(v).map { case (s, r) => (s.reverse, r) })
   }
 
   /** speed: retime by changing fps (frames untouched); audio resamples
@@ -469,9 +499,9 @@ object Video {
     */
   val speed = udf { (v: Array[Byte], factor: Double) =>
     require(factor > 0, s"bad speed $factor")
-    val meta = Avi.readMeta(v)
+    val meta = readMetaAny(v)
     val newFps = math.max((meta.fps * factor).round.toInt, 1)
-    val audio = Avi.readAudio(v).map { case (s, r) =>
+    val audio = readAudioAny(v).map { case (s, r) =>
       val outLen = math.max((s.length / factor).toInt, 1)
       (Array.tabulate(outLen) { i =>
         val pos = i * factor
@@ -481,7 +511,7 @@ object Video {
         (s(j) * (1 - frac) + s(k) * frac).toShort
       }, r)
     }
-    Avi.write(Avi.readFrames(v), meta.width, meta.height, newFps, audio)
+    Avi.write(readFramesAny(v), meta.width, meta.height, newFps, audio)
   }
 
   /** segment_video: split into ceil(n / framesPerSegment) clips (array of
@@ -489,8 +519,8 @@ object Video {
     */
   val segmentVideo = udf { (v: Array[Byte], framesPerSegment: Int) =>
     require(framesPerSegment > 0)
-    val meta = Avi.readMeta(v)
-    Avi.readFrames(v).grouped(framesPerSegment).map { seg =>
+    val meta = readMetaAny(v)
+    readFramesAny(v).grouped(framesPerSegment).map { seg =>
       Avi.write(seg, meta.width, meta.height, math.max(meta.fps.round.toInt, 1))
     }.toSeq
   }
@@ -520,9 +550,9 @@ object Video {
     (v: Array[Byte], durationS: Double, overlapS: Double, minSegmentS: Double) =>
       require(durationS > 0, s"bad duration $durationS")
       require(overlapS >= 0 && overlapS < durationS, s"bad overlap $overlapS")
-      val meta = Avi.readMeta(v)
+      val meta = readMetaAny(v)
       val fps = if (meta.fps > 0) meta.fps else 30.0
-      val frames = Avi.readFrames(v)
+      val frames = readFramesAny(v)
       val step = durationS - overlapS
       val segs = Iterator.from(0)
         .map(k => math.round(k * step * fps).toInt)
@@ -548,9 +578,9 @@ object Video {
     * inside the video, matching the reference contract.
     */
   val videoSplitterAt = udf { (v: Array[Byte], times: Seq[Double]) =>
-    val meta = Avi.readMeta(v)
+    val meta = readMetaAny(v)
     val fps = if (meta.fps > 0) meta.fps else 30.0
-    val frames = Avi.readFrames(v)
+    val frames = readFramesAny(v)
     val total = frames.length / fps
     val bounds = (0.0 +: times.sorted.filter(t => t > 0 && t < total))
       .map(t => math.ceil(t * fps - 1e-9).toInt) :+ frames.length
@@ -563,7 +593,7 @@ object Video {
     * previous frame exceeds `threshold` (0..255 scale).
     */
   val sceneDetect = udf { (v: Array[Byte], threshold: Double) =>
-    val frames = Avi.readFrames(v).map(Images.decode)
+    val frames = readFramesAny(v).map(Images.decode)
     (1 until frames.length).filter { i =>
       val (a, b) = (frames(i - 1), frames(i))
       val n = math.min(a.getWidth, b.getWidth) * math.min(a.getHeight, b.getHeight)
@@ -584,24 +614,33 @@ object Video {
 
   /** with_audio: attach a mono PCM-16 WAV as the AVI's audio track. */
   val withAudio = udf { (v: Array[Byte], wav: Array[Byte]) =>
-    val meta = Avi.readMeta(v)
+    val meta = readMetaAny(v)
     val (fmt, samples) = Audio.decodePcm(wav)
-    Avi.write(Avi.readFrames(v), meta.width, meta.height,
+    Avi.write(readFramesAny(v), meta.width, meta.height,
       math.max(meta.fps.round.toInt, 1), Some((samples, fmt.getSampleRate.toInt)))
+  }
+
+  /** (codec, elementary-stream bytes) of an MP4's compressed audio
+    * track (mp3/aac/opus — `Mp4.extractAudioStream`); null for PCM
+    * tracks (those land in `extractAudio` as WAV) and AVI inputs.
+    */
+  val extractAudioStream = udf { (v: Array[Byte]) =>
+    if (!Mp4.isMp4(v)) null
+    else Mp4.extractAudioStream(v).orNull
   }
 
   /** extract_audio: the AVI's audio track as a WAV (null if none). */
   val extractAudio = udf { (v: Array[Byte]) =>
-    Avi.readAudio(v).map { case (samples, rate) =>
+    readAudioAny(v).map { case (samples, rate) =>
       Audio.encodeWav(samples, rate.toFloat)
     }.orNull
   }
 
   /** mix_audio: average the existing track with a WAV (or adopt it). */
   val mixAudio = udf { (v: Array[Byte], wav: Array[Byte]) =>
-    val meta = Avi.readMeta(v)
+    val meta = readMetaAny(v)
     val (fmt, incoming) = Audio.decodePcm(wav)
-    val mixed = Avi.readAudio(v) match {
+    val mixed = readAudioAny(v) match {
       case Some((existing, rate)) =>
         require(rate == fmt.getSampleRate.toInt, "sample-rate mismatch")
         val n = math.max(existing.length, incoming.length)
@@ -612,7 +651,7 @@ object Video {
         }, rate)
       case None => (incoming, fmt.getSampleRate.toInt)
     }
-    Avi.write(Avi.readFrames(v), meta.width, meta.height,
+    Avi.write(readFramesAny(v), meta.width, meta.height,
       math.max(meta.fps.round.toInt, 1), Some(mixed))
   }
 
@@ -630,7 +669,7 @@ object Video {
       hMargin: Int, vAlign: String, vMargin: Int, scale: Double,
       opacity: Double, startSec: Double, endSec: Double) =>
     require(opacity >= 0.0 && opacity <= 1.0, s"bad opacity $opacity")
-    val meta = Avi.readMeta(v)
+    val meta = readMetaAny(v)
     val fps = math.max(meta.fps, 1e-9)
     val raw = Images.decode(img)
     val over =
@@ -710,13 +749,13 @@ object Video {
     */
   val transition = udf { (a: Array[Byte], b: Array[Byte], effect: String,
       durationSec: Double) =>
-    val ma = Avi.readMeta(a)
-    val mb = Avi.readMeta(b)
+    val ma = readMetaAny(a)
+    val mb = readMetaAny(b)
     require(ma.width == mb.width && ma.height == mb.height,
       s"geometry mismatch: ${ma.width}x${ma.height} vs ${mb.width}x${mb.height}")
     val fps = math.max(ma.fps.round.toInt, 1)
-    val fa = Avi.readFrames(a)
-    val fb = Avi.readFrames(b)
+    val fa = readFramesAny(a)
+    val fb = readFramesAny(b)
     val overlap = math.max(0, math.min(math.min(fa.length, fb.length),
       math.round(durationSec * fps).toInt))
     val (w, h) = (ma.width, ma.height)
@@ -768,7 +807,7 @@ object Video {
     */
   val scroll = udf { (v: Array[Byte], w: Int, h: Int, xSpeed: Double,
       ySpeed: Double, xStart: Int, yStart: Int) =>
-    val meta = Avi.readMeta(v)
+    val meta = readMetaAny(v)
     val vw = if (w <= 0) meta.width else w
     val vh = if (h <= 0) meta.height else h
     require(vw <= meta.width && vh <= meta.height,
@@ -789,7 +828,7 @@ object Video {
   val pan = udf { (v: Array[Byte], xSign: Int, ySign: Int, cropPct: Double) =>
     require(xSign != 0 || ySign != 0, "at least one of x_sign/y_sign must be nonzero")
     require(cropPct > 0.0 && cropPct < 1.0, s"bad crop_pct $cropPct")
-    val meta = Avi.readMeta(v)
+    val meta = readMetaAny(v)
     val vw = math.floor(meta.width * (1 - cropPct * math.abs(xSign))).toInt
     val vh = math.floor(meta.height * (1 - cropPct * math.abs(ySign))).toInt
     val (rangeX, rangeY) = (meta.width - vw, meta.height - vh)

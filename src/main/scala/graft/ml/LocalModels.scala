@@ -1046,7 +1046,7 @@ object LocalModels {
       gridSize: Int, predIouThresh: Float, stabilityThresh: Float,
       nmsIouThresh: Float, trackIouThresh: Float, maxAge: Int,
       maxFrames: Int): Seq[TrackedFrame] = {
-    val payloads = graft.functions.Avi.readFrames(video)
+    val payloads = graft.functions.Video.readFramesAny(video)
     val frames = if (maxFrames > 0) payloads.take(maxFrames) else payloads
     var tracks = Seq.empty[MaskTrack.Track]
     var nextId = 0

@@ -2502,6 +2502,74 @@ object Extras {
              |FROM documents WHERE doc_id < 48
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q167_mp4_container",
+      (s, dir) => {
+        // ISO-BMFF (MP4) demux in the oracle gate (reference media
+        // iterators open MP4 via pyav — `functions/video/iterators.py:
+        // 41-123`): per doc, (1) an MJPEG+PCM MP4 muxed from closed-form
+        // fixtures round-trips through the sniffed video surface —
+        // header-only metadata, bit-exact frame payloads, sample-exact
+        // PCM extraction; (2) an MPEG1-L3 stream's frame walk yields
+        // exact frame/sample counts and the side-info global_gain
+        // loudness profile segments it without PCM decode. Every output
+        // is a closed form of doc_id the oracle recomputes in SQL.
+        import graft.functions.{Audio, Avi, Mp3, Mp4, Video}
+        val mkMp4 = udf { (n: Int, nSamples: Int) =>
+          val frames = Avi.readFrames(Video.makeTestVideo(n, 16, 12, 0x336699, 10))
+          val samples = Array.tabulate(nSamples)(i => (i % 100).toShort)
+          Mp4.write(frames, 16, 12, 10, Some((samples, 8000)))
+        }
+        val framesOk = udf { (v: Array[Byte], n: Int) =>
+          val fs = Mp4.readFrames(v)
+          val src = Avi.readFrames(Video.makeTestVideo(n, 16, 12, 0x336699, 10))
+          fs.length == n && fs.zip(src).forall(p => p._1.sameElements(p._2))
+        }
+        val mkMp3 = udf { (a: Int) =>
+          Mp3.writeTestStream(Seq.fill(a)(200) ++ Seq.fill(3)(5) ++
+            Seq.fill(4)(200))
+        }
+        val n = (col("doc_id") % 5 + 2).cast("int")  // 2..6 frames
+        val ns = ((col("doc_id") % 4 + 1) * 800).cast("int") // PCM samples
+        val a = (col("doc_id") % 3 + 3).cast("int")  // first loud run
+        val dt = lit(1152.0 / 44100)                 // seconds per L3 frame
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("v", mkMp4(n, ns))
+          .withColumn("m", Video.getMetadata(col("v")))
+          .withColumn("es", mkMp3(a))
+          .withColumn("mm", Audio.mp3Metadata(col("es")))
+          .withColumn("segs", Audio.mp3LoudSegments(col("es"), lit(50.0), lit(3)))
+          .select(col("doc_id"),
+            col("m.width").as("w"), col("m.height").as("h"),
+            col("m.fps").as("fps"), col("m.frames").as("n_frames"),
+            col("m.duration_s").as("dur_s"),
+            col("m.codec").as("codec"), col("m.format").as("format"),
+            framesOk(col("v"), n).as("frames_ok"),
+            Audio.sampleSum(Video.extractAudio(col("v"))).as("pcm_sum"),
+            col("mm.frames").as("mp3_frames"),
+            col("mm.samples").as("mp3_samples"),
+            col("mm.vbr").as("mp3_vbr"),
+            size(col("segs")).cast("long").as("seg_count"),
+            round(element_at(col("segs"), 1)("_2") / dt)
+              .cast("long").as("seg0_frames"),
+            round(element_at(col("segs"), 2)("_1") / dt)
+              .cast("long").as("seg1_start"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id, 16 AS w, 12 AS h, 10.0::DOUBLE AS fps,
+             |  (doc_id % 5 + 2)::INT AS n_frames,
+             |  (doc_id % 5 + 2)::DOUBLE / 10.0::DOUBLE AS dur_s,
+             |  'JPEG' AS codec, 'MP4' AS format, TRUE AS frames_ok,
+             |  (4950 * (doc_id % 4 + 1) * 8)::BIGINT AS pcm_sum,
+             |  (doc_id % 3 + 10)::INT AS mp3_frames,
+             |  ((doc_id % 3 + 10) * 1152)::BIGINT AS mp3_samples,
+             |  FALSE AS mp3_vbr, 2::BIGINT AS seg_count,
+             |  (doc_id % 3 + 3)::BIGINT AS seg0_frames,
+             |  (doc_id % 3 + 6)::BIGINT AS seg1_start
+             |FROM documents WHERE doc_id < 40
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
