@@ -24,6 +24,9 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // SIMD GEMM (ml/Tensors vector path); the kernels probe availability
+  // reflectively and fall back to scalar when the module is absent
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 32 concurrent local tasks over media/kmeans workloads need headroom;

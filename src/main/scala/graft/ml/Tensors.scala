@@ -23,13 +23,113 @@ final case class Tensor(shape: Array[Int], data: Array[Float]) extends Serializa
 
 object Tensors {
 
+  /** SIMD tile kernel if the incubator vector module is loadable (the
+    * build passes --add-modules; a JVM without it just runs scalar).
+    * The LinkageError guard keeps `Tensors` loadable either way.
+    */
+  private val vectorTile: VectorGemm =
+    try { val v = new VectorGemm; if (v.usable) v else null }
+    catch { case _: LinkageError => null }
+
+  /** Which GEMM path is active — surfaced for diagnostics/COVERAGE. */
+  def gemmBackend: String =
+    if (vectorTile != null) "vector-api" else "scalar-blocked"
+
   /** y[m, out] = x[m, in] · Wᵀ + b, with W stored [out, in] — the
     * torch/HF `nn.Linear` weight convention, so safetensors load untransposed.
+    *
+    * Row-blocked (8-row tiles, one accumulator per row): each (row, out)
+    * pair still accumulates over k STRICTLY sequentially in Double, so
+    * results are bit-identical to the naive triple loop for any batch
+    * size/padding (the ml specs pin this) — but the eight independent
+    * accumulator chains break the FP-add latency dependency (the naive
+    * loop's real bottleneck) and each weight row is streamed once per
+    * 8 input rows instead of once per row, an 8× cut in W traffic when
+    * W exceeds cache (production-sized checkpoints).
     */
   def linear(x: Array[Float], m: Int, in: Int, w: Tensor, b: Tensor): Array[Float] = {
     require(w.cols == in, s"linear: weight in-dim ${w.cols} != input ${in}")
     val out = w.rows
     require(b.data.length == out, s"linear: bias ${b.data.length} != out ${out}")
+    val y = new Array[Float](m * out)
+    val wd = w.data
+    // packed tile: xt(k*8 + r) = row r's k-th input, pre-widened — the 8
+    // per-k loads become one contiguous 64-byte run and the float→double
+    // conversion happens once per element instead of once per output
+    val xt = new Array[Double](in * 8)
+    var i = 0
+    while (i + 8 <= m) {
+      var r = 0
+      while (r < 8) {
+        val xOff = (i + r) * in
+        var k = 0
+        while (k < in) { xt(k * 8 + r) = x(xOff + k).toDouble; k += 1 }
+        r += 1
+      }
+      var o = 0
+      if (vectorTile != null) {
+        val acc = new Array[Double](8)
+        while (o < out) {
+          vectorTile.tile8(xt, wd, o * in, in, b.data(o).toDouble, acc)
+          val yOff = i * out + o
+          var r = 0
+          while (r < 8) { y(yOff + r * out) = acc(r).toFloat; r += 1 }
+          o += 1
+        }
+      } else while (o < out) {
+        val wOff = o * in
+        val bias = b.data(o).toDouble
+        var a0 = bias; var a1 = bias; var a2 = bias; var a3 = bias
+        var a4 = bias; var a5 = bias; var a6 = bias; var a7 = bias
+        var k = 0
+        var kk = 0
+        while (k < in) {
+          val wv = wd(wOff + k).toDouble
+          a0 += xt(kk) * wv
+          a1 += xt(kk + 1) * wv
+          a2 += xt(kk + 2) * wv
+          a3 += xt(kk + 3) * wv
+          a4 += xt(kk + 4) * wv
+          a5 += xt(kk + 5) * wv
+          a6 += xt(kk + 6) * wv
+          a7 += xt(kk + 7) * wv
+          k += 1; kk += 8
+        }
+        val yOff = i * out + o
+        y(yOff) = a0.toFloat; y(yOff + out) = a1.toFloat
+        y(yOff + 2 * out) = a2.toFloat; y(yOff + 3 * out) = a3.toFloat
+        y(yOff + 4 * out) = a4.toFloat; y(yOff + 5 * out) = a5.toFloat
+        y(yOff + 6 * out) = a6.toFloat; y(yOff + 7 * out) = a7.toFloat
+        o += 1
+      }
+      i += 8
+    }
+    // remainder rows: the reference naive loop (same per-element order)
+    while (i < m) {
+      val xOff = i * in
+      var o = 0
+      while (o < out) {
+        val wOff = o * in
+        var acc: Double = b.data(o)
+        var k = 0
+        while (k < in) {
+          acc += x(xOff + k).toDouble * wd(wOff + k)
+          k += 1
+        }
+        y(i * out + o) = acc.toFloat
+        o += 1
+      }
+      i += 1
+    }
+    y
+  }
+
+  /** The pre-blocking triple loop, kept PRIVATE as the bit-identity and
+    * speedup reference for TensorsGemmSpec — not called by models.
+    */
+  private[ml] def linearNaive(x: Array[Float], m: Int, in: Int, w: Tensor,
+      b: Tensor): Array[Float] = {
+    val out = w.rows
     val y = new Array[Float](m * out)
     var i = 0
     while (i < m) {
@@ -87,11 +187,115 @@ object Tensors {
 
   /** y[m, out] = x[m, in] · W + b with W stored [in, out] — the GPT-2
     * `Conv1D` convention (transposed relative to `nn.Linear`).
+    *
+    * Row-blocked like `linear` (4-row tiles here — the per-row state is
+    * a full `out`-sized Double accumulator array, so the tile is kept
+    * small to stay inside L2): per (row, out) accumulation remains
+    * strictly k-sequential (bit-identical to the naive loop), while W
+    * streams once per 4 rows instead of once per row.
     */
   def linearT(x: Array[Float], m: Int, in: Int, w: Tensor, b: Tensor): Array[Float] = {
     require(w.rows == in, s"linearT: weight in-dim ${w.rows} != input $in")
     val out = w.cols
     require(b.data.length == out, s"linearT: bias ${b.data.length} != out $out")
+    val y = new Array[Float](m * out)
+    val wd = w.data
+    val useVec = vectorTile != null && vectorTile.usableT
+    val a0 = new Array[Double](if (useVec) 32 else out)
+    val a1 = new Array[Double](if (useVec) 0 else out)
+    val a2 = new Array[Double](if (useVec) 0 else out)
+    val a3 = new Array[Double](if (useVec) 0 else out)
+    var i = 0
+    while (i + 4 <= m) {
+      val x0 = i * in; val x1 = x0 + in; val x2 = x1 + in; val x3 = x2 + in
+      if (useVec) {
+        // 8-column chunks, accumulators in vector registers
+        var o = 0
+        while (o + 8 <= out) {
+          vectorTile.tileT4x8(x, x0, x1, x2, x3, wd, in, out, o, b.data, a0)
+          val yOff = i * out + o
+          var j = 0
+          while (j < 8) {
+            y(yOff + j) = a0(j).toFloat
+            y(yOff + out + j) = a0(8 + j).toFloat
+            y(yOff + 2 * out + j) = a0(16 + j).toFloat
+            y(yOff + 3 * out + j) = a0(24 + j).toFloat
+            j += 1
+          }
+          o += 8
+        }
+        while (o < out) { // column remainder, scalar
+          var r = 0
+          while (r < 4) {
+            val xOff = (i + r) * in
+            var acc: Double = b.data(o)
+            var k = 0
+            while (k < in) { acc += x(xOff + k).toDouble * wd(k * out + o); k += 1 }
+            y((i + r) * out + o) = acc.toFloat
+            r += 1
+          }
+          o += 1
+        }
+      } else {
+        var o = 0
+        while (o < out) {
+          val bias = b.data(o).toDouble
+          a0(o) = bias; a1(o) = bias; a2(o) = bias; a3(o) = bias
+          o += 1
+        }
+        var k = 0
+        while (k < in) {
+          val v0 = x(x0 + k).toDouble; val v1 = x(x1 + k).toDouble
+          val v2 = x(x2 + k).toDouble; val v3 = x(x3 + k).toDouble
+          val wOff = k * out
+          o = 0
+          while (o < out) {
+            val wv = wd(wOff + o).toDouble
+            a0(o) += v0 * wv; a1(o) += v1 * wv
+            a2(o) += v2 * wv; a3(o) += v3 * wv
+            o += 1
+          }
+          k += 1
+        }
+        val yOff = i * out
+        o = 0
+        while (o < out) {
+          y(yOff + o) = a0(o).toFloat
+          y(yOff + out + o) = a1(o).toFloat
+          y(yOff + 2 * out + o) = a2(o).toFloat
+          y(yOff + 3 * out + o) = a3(o).toFloat
+          o += 1
+        }
+      }
+      i += 4
+    }
+    if (i < m) { // row remainder: the naive per-row loop
+      val acc = new Array[Double](out)
+      while (i < m) {
+        val xOff = i * in
+        val yOff = i * out
+        var o = 0
+        while (o < out) { acc(o) = b.data(o); o += 1 }
+        var k = 0
+        while (k < in) {
+          val xv = x(xOff + k).toDouble
+          val wOff = k * out
+          o = 0
+          while (o < out) { acc(o) += xv * wd(wOff + o); o += 1 }
+          k += 1
+        }
+        o = 0
+        while (o < out) { y(yOff + o) = acc(o).toFloat; o += 1 }
+        i += 1
+      }
+    }
+    y
+  }
+
+  /** Pre-blocking linearT, private speedup/bit-identity reference. */
+  private[ml] def linearTNaive(x: Array[Float], m: Int, in: Int, w: Tensor,
+      b: Tensor): Array[Float] = {
+    val out = w.cols
     val y = new Array[Float](m * out)
     val acc = new Array[Double](out)
     var i = 0
