@@ -561,6 +561,71 @@ object Pipeline {
               |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin),
     ),
     QueryDef(
+      "q168_hnsw_recall",
+      (s, dir) => {
+        // TRUE HNSW graph traversal under a measured contract (the q150
+        // shape): unlike q84's structurally-exhaustive rerank, here ef
+        // (32) is strictly below every shard size, so results come from
+        // the greedy-descent + layer-0 beam search alone — and the gate
+        // asserts that path actually ran (graph_path_ok compares ef to
+        // the smallest shard). Contract per query vector: the returned
+        // 10 ids, re-scored EXACTLY, must contain the global exact NN at
+        // rank 1 (hash-fails if traversal ever misses it), recall@10 vs
+        // the exact top-10 must clear 0.7 (measured 0.9-1.0 across the
+        // three SFs), and k rows must come back.
+        import graft.operators.{ExactAnn, Hnsw}
+        import s.implicits._
+        val idx = java.nio.file.Files.createTempDirectory("graft-hnswr")
+          .resolve("idx").toString
+        val emb = T(s, dir, "embeddings")
+        Hnsw.buildIndex(emb, "embedding", "vec_id", idx, shards = 4)
+        val minShard = s.read.parquet(idx).select(col("graph"))
+          .as[Array[Byte]].collect().map(Hnsw.deserialize(_).size).min
+        val efUsed = 32
+        Seq(1 -> queryVec, 2 -> queryVec2).map { case (qid, q) =>
+          val ids = Hnsw.search(s, idx, q, k = 10, ef = efUsed)
+            .collect().map(_.getLong(0))
+          // exact re-score of the traversal's candidates (double cosine)
+          val rescored = emb
+            .filter(col("vec_id").cast("long").isInCollection(ids.toSet))
+            .select(col("vec_id").cast("long").as("vec_id"),
+              aggregate(zip_with(ExactAnn.normalized(col("embedding")),
+                unitCol(q), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+                .as("cos"))
+            .orderBy(col("cos").desc, col("vec_id")).collect()
+          val exact = emb.select(col("vec_id").cast("long").as("vec_id"),
+              aggregate(zip_with(ExactAnn.normalized(col("embedding")),
+                unitCol(q), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+                .as("cos"))
+            .orderBy(col("cos").desc, col("vec_id")).limit(10).collect()
+          val recall = ids.toSet
+            .intersect(exact.map(_.getLong(0)).toSet).size / 10.0
+          (qid, rescored.head.getLong(0),
+            BigDecimal(rescored.head.getDouble(1)).setScale(6,
+              BigDecimal.RoundingMode.HALF_UP).toDouble,
+            recall >= 0.7, ids.length == 10, efUsed < minShard)
+        }.toDF("qid", "nn_vec_id", "nn_cos", "recall_ok", "k_ok",
+            "graph_path_ok")
+          .orderBy("qid")
+      },
+      Some(s"""WITH sc AS (
+              |  SELECT 1 AS qid, $queryVecSql AS q
+              |  UNION ALL SELECT 2, $queryVec2Sql),
+              |ranked AS (
+              |  SELECT qid, vec_id,
+              |    round(list_dot_product(embedding::DOUBLE[], q) /
+              |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              |       sqrt(list_dot_product(q, q))), 6) AS c,
+              |    row_number() OVER (PARTITION BY qid ORDER BY
+              |      list_dot_product(embedding::DOUBLE[], q) /
+              |      (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+              |       sqrt(list_dot_product(q, q))) DESC, vec_id) AS rk
+              |  FROM embeddings, sc)
+              |SELECT qid, vec_id AS nn_vec_id, c AS nn_cos,
+              |  TRUE AS recall_ok, TRUE AS k_ok, TRUE AS graph_path_ok
+              |FROM ranked WHERE rk = 1 ORDER BY qid""".stripMargin),
+    ),
+    QueryDef(
       "q90_bm25",
       (s, dir) => {
         // BM25 keyword search over the corpus (graft.functions.Ranking):
