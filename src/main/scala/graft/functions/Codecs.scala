@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 object Codecs {
 
-  private val ImageFormats = Set("png", "jpeg", "gif", "bmp", "tiff", "wbmp")
+  private val ImageFormats = Set("png", "jpeg", "gif", "bmp", "tiff", "wbmp", "webp")
 
   /** Re-encode image bytes into another container (PIL `save(format=...)`).
     * Formats without alpha (jpeg/bmp/wbmp) get flattened first; wbmp is
@@ -33,6 +33,12 @@ object Codecs {
     val f = format.toLowerCase
     require(ImageFormats(f), s"unsupported image format $f")
     val img = Images.decode(bytes)
+    if (f == "webp") return Webp.encode { // VP8L lossless sink
+      val argb = new BufferedImage(img.getWidth, img.getHeight,
+        BufferedImage.TYPE_INT_ARGB)
+      val g = argb.createGraphics(); g.drawImage(img, 0, 0, null); g.dispose()
+      argb
+    }
     val prepared = f match {
       case "jpeg" | "bmp" =>
         val out = new BufferedImage(img.getWidth, img.getHeight,
@@ -57,6 +63,7 @@ object Codecs {
 
   /** Container format of image bytes (PIL `Image.format`, lowercased). */
   private[graft] def imageFormatOf(bytes: Array[Byte]): String = {
+    if (Webp.isWebp(bytes)) return "webp" // ImageIO has no webp reader
     val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(in)

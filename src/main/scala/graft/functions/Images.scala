@@ -18,6 +18,7 @@ object Images {
 
   private[graft] def decode(bytes: Array[Byte]): BufferedImage = {
     if (bytes == null) throw new IllegalArgumentException("null payload")
+    if (Webp.isWebp(bytes)) return Webp.decode(bytes) // VP8L lossless
     val img = ImageIO.read(new ByteArrayInputStream(bytes))
     if (img == null) throw new IllegalArgumentException("not a decodable image")
     img

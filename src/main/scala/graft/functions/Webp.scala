@@ -1,0 +1,717 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+/** Pure-JVM WebP support (crawl corpora are WebP-heavy; the reference
+  * decodes it for free through PIL). Container walk (RIFF/WEBP with
+  * VP8L / VP8 / VP8X+ANIM/ALPH chunks), full **VP8L lossless decode** —
+  * canonical prefix codes (simple + code-length-coded), meta prefix
+  * images, color cache, LZ77 with the 2D distance map, and all four
+  * transforms (predictor, color, subtract-green, color-indexing with
+  * pixel packing) per the public "WebP Lossless Bitstream Specification"
+  * — plus a VP8L ENCODER used for fixtures and as the lossless sink.
+  * Lossy VP8 decode is an explicit COVERAGE adjudication (full DCT +
+  * boolean-coder transform decode); its frame header IS parsed so
+  * `getMetadata` works on real lossy files.
+  */
+object Webp {
+
+  // ------------------------------------------------------------ container
+
+  def isWebp(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 16 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'E' && bytes(10) == 'B' && bytes(11) == 'P'
+
+  /** (fourcc, payloadFrom, payloadUntil) for each top-level chunk. */
+  private def chunks(bytes: Array[Byte]): Seq[(String, Int, Int)] = {
+    require(isWebp(bytes), "not a WebP (RIFF/WEBP) payload")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val len = (bytes(pos + 4) & 0xff) | ((bytes(pos + 5) & 0xff) << 8) |
+        ((bytes(pos + 6) & 0xff) << 16) | ((bytes(pos + 7) & 0xff) << 24)
+      if (len < 0 || pos + 8 + len > bytes.length) return out.toSeq
+      out += ((id, pos + 8, pos + 8 + len))
+      pos += 8 + len + (len % 2) // chunks are even-aligned
+    }
+    out.toSeq
+  }
+
+  final case class WebpMeta(width: Int, height: Int, lossless: Boolean,
+      hasAlpha: Boolean, animated: Boolean, format: String = "WEBP")
+
+  /** Header-only metadata for lossless (VP8L), lossy (VP8 keyframe
+    * header) and extended (VP8X) files.
+    */
+  def readMeta(bytes: Array[Byte]): WebpMeta = {
+    val cs = chunks(bytes)
+    cs.collectFirst { case ("VP8X", f, u) => (f, u) } match {
+      case Some((f, _)) =>
+        val flags = bytes(f) & 0xff
+        val w = 1 + ((bytes(f + 4) & 0xff) | ((bytes(f + 5) & 0xff) << 8) |
+          ((bytes(f + 6) & 0xff) << 16))
+        val h = 1 + ((bytes(f + 7) & 0xff) | ((bytes(f + 8) & 0xff) << 8) |
+          ((bytes(f + 9) & 0xff) << 16))
+        WebpMeta(w, h, lossless = cs.exists(_._1 == "VP8L"),
+          hasAlpha = (flags & 0x10) != 0, animated = (flags & 0x02) != 0)
+      case None =>
+        cs.collectFirst { case ("VP8L", f, u) => (f, u) } match {
+          case Some((f, _)) =>
+            require((bytes(f) & 0xff) == 0x2f, "bad VP8L signature")
+            val b = new BitReader(bytes, f + 1)
+            val w = b.bits(14) + 1
+            val h = b.bits(14) + 1
+            val alpha = b.bits(1) == 1
+            WebpMeta(w, h, lossless = true, hasAlpha = alpha, animated = false)
+          case None =>
+            val (f, u) = cs.collectFirst { case ("VP8 ", a, b2) => (a, b2) }
+              .getOrElse(sys.error("WebP has no VP8/VP8L/VP8X chunk"))
+            // lossy keyframe: 3-byte frame tag, sync 9D 01 2A, 14-bit dims
+            require(u - f >= 10 && (bytes(f) & 1) == 0, "not a VP8 keyframe")
+            require((bytes(f + 3) & 0xff) == 0x9d &&
+              (bytes(f + 4) & 0xff) == 0x01 && (bytes(f + 5) & 0xff) == 0x2a,
+              "bad VP8 start code")
+            val w = ((bytes(f + 6) & 0xff) | ((bytes(f + 7) & 0xff) << 8)) & 0x3fff
+            val h = ((bytes(f + 8) & 0xff) | ((bytes(f + 9) & 0xff) << 8)) & 0x3fff
+            WebpMeta(w, h, lossless = false, hasAlpha = false, animated = false)
+        }
+    }
+  }
+
+  // ------------------------------------------------------------ bitstream
+
+  /** VP8L bit reader: LSB-first within each byte, bytes in order. */
+  private[functions] final class BitReader(val bytes: Array[Byte], start: Int) {
+    private var bytePos = start
+    private var bitPos = 0
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val bit = (bytes(bytePos) >> bitPos) & 1
+        v |= bit << i
+        bitPos += 1
+        if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+        i += 1
+      }
+      v
+    }
+    def bit(): Int = bits(1)
+  }
+
+  private[functions] final class BitWriter {
+    private val buf = new ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def write(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >> i) & 1) << nBits
+        nBits += 1
+        if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+        i += 1
+      }
+    }
+    def toBytes: Array[Byte] = {
+      if (nBits > 0) { buf.write(cur); cur = 0; nBits = 0 }
+      buf.toByteArray
+    }
+  }
+
+  // --------------------------------------------------------- prefix codes
+
+  /** Canonical prefix code as parallel (symbol, codeLen) with a bit-walk
+    * decoder (deflate-style canonical assignment; codes descend bit by
+    * bit MSB-of-code first). `lens(sym) == 0` means unused.
+    */
+  private[functions] final class PrefixCode(lens: Array[Int]) {
+    // build canonical codes
+    private val maxLen = lens.max
+    // count per length
+    val singleSymbol: Int =
+      if (lens.count(_ > 0) == 1) lens.indexWhere(_ > 0) else -1
+    private val (codes: Array[Int], _) = {
+      val codesA = new Array[Int](lens.length)
+      var code = 0
+      var l = 1
+      while (l <= maxLen) {
+        var s = 0
+        while (s < lens.length) {
+          if (lens(s) == l) { codesA(s) = code; code += 1 }
+          s += 1
+        }
+        code <<= 1
+        l += 1
+      }
+      (codesA, 0)
+    }
+    // decode table: map (len, code) → symbol via nested lookup
+    private val bySym = (0 until lens.length).filter(lens(_) > 0)
+    private val lookup: Map[(Int, Int), Int] =
+      bySym.map(s => (lens(s), codes(s)) -> s).toMap
+    def decode(b: BitReader): Int = {
+      if (singleSymbol >= 0) return singleSymbol // 0-bit code
+      var code = 0
+      var len = 0
+      while (len <= maxLen) {
+        code = (code << 1) | b.bit()
+        len += 1
+        lookup.get((len, code)) match {
+          case Some(s) => return s
+          case None =>
+        }
+      }
+      sys.error("invalid prefix code in VP8L stream")
+    }
+    /** (code, nBits); single-symbol codes are ZERO bits on the wire. */
+    def codeOf(sym: Int): (Int, Int) =
+      if (singleSymbol >= 0) (0, 0) else (codes(sym), lens(sym))
+    def lenOf(sym: Int): Int = lens(sym)
+  }
+
+  /** Order in which code-length-code lengths are stored (spec §5.2.2). */
+  private[functions] val CodeLengthCodeOrder = Array(
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** Read one prefix code (simple or code-length-coded) for an alphabet
+    * of `alphabetSize` symbols.
+    */
+  private[functions] def readPrefixCode(b: BitReader, alphabetSize: Int): PrefixCode = {
+    val simple = b.bit() == 1
+    val lens = new Array[Int](alphabetSize)
+    if (simple) {
+      val nSym = b.bit() + 1
+      val firstIs8 = b.bit() == 1
+      val s0 = if (firstIs8) b.bits(8) else b.bits(1)
+      lens(s0) = 1
+      if (nSym == 2) {
+        val s1 = b.bits(8)
+        lens(s1) = 1
+      } else lens(s0) = 1 // single symbol: zero-bit code (decode shortcut)
+      new PrefixCode(lens)
+    } else {
+      // code lengths for the code-length alphabet (19 symbols)
+      val numCodes = b.bits(4) + 4
+      val clLens = new Array[Int](19)
+      var i = 0
+      while (i < numCodes) {
+        clLens(CodeLengthCodeOrder(i)) = b.bits(3)
+        i += 1
+      }
+      val clCode = new PrefixCode(clLens)
+      // optional explicit total count of symbols to read
+      val maxSymbols =
+        if (b.bit() == 1) {
+          val lengthNBits = 2 + 2 * b.bits(3)
+          2 + b.bits(lengthNBits)
+        } else alphabetSize
+      var sym = 0
+      var prevLen = 8
+      var read = 0
+      while (sym < alphabetSize && read < maxSymbols) {
+        val c = clCode.decode(b)
+        read += 1
+        c match {
+          case n if n < 16 =>
+            lens(sym) = n; sym += 1
+            if (n != 0) prevLen = n
+          case 16 =>
+            val rep = 3 + b.bits(2)
+            var j = 0
+            while (j < rep && sym < alphabetSize) {
+              lens(sym) = prevLen; sym += 1; j += 1
+            }
+          case 17 =>
+            sym += 3 + b.bits(3)
+          case 18 =>
+            sym += 11 + b.bits(7)
+        }
+      }
+      new PrefixCode(lens)
+    }
+  }
+
+  // --------------------------------------------------- LZ77 value coding
+
+  /** Decode a length/distance prefix value: 0..3 literal, else extra
+    * bits (spec §4.2.2).
+    */
+  private def lz77Value(b: BitReader, code: Int): Int =
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extra
+      offset + b.bits(extra) + 1
+    }
+
+  /** 2D distance map for distance codes 1..120 (spec §4.2.2): (dx, dy)
+    * pairs scanning the 8 previous rows, nearest first.
+    */
+  private val DistanceMap: Array[(Int, Int)] = Array(
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+
+  private def planeDistance(code: Int, xsize: Int): Int =
+    if (code > 120) code - 120
+    else {
+      val (dx, dy) = DistanceMap(code - 1)
+      math.max(1, dy * xsize + dx)
+    }
+
+  // ----------------------------------------------------------- transforms
+
+  private final case class Transform(kind: Int, bits: Int, data: Array[Int])
+
+  // ------------------------------------------------------------- decoder
+
+  /** Decode a VP8L payload (`bytes[from, until)`, past the 0x2f
+    * signature handled by caller) — actually takes the whole WebP and
+    * locates the chunk itself. Returns TYPE_INT_ARGB.
+    */
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    val cs = chunks(bytes)
+    val (f, _) = cs.collectFirst { case ("VP8L", a, u) => (a, u) }
+      .getOrElse {
+        if (cs.exists(_._1 == "VP8 "))
+          throw new IllegalArgumentException(
+            "lossy VP8 decode unsupported (see COVERAGE adjudication)")
+        else sys.error("WebP has no VP8L chunk")
+      }
+    require((bytes(f) & 0xff) == 0x2f, "bad VP8L signature")
+    val b = new BitReader(bytes, f + 1)
+    val width = b.bits(14) + 1
+    val height = b.bits(14) + 1
+    b.bit() // alpha hint
+    require(b.bits(3) == 0, "unknown VP8L version")
+
+    // transforms (at most one of each kind, in stream order)
+    var xsize = width
+    val transforms = scala.collection.mutable.ArrayBuffer.empty[Transform]
+    var done = false
+    while (!done && b.bit() == 1) {
+      val kind = b.bits(2)
+      kind match {
+        case 0 | 1 => // predictor / color: tile-coded subimage
+          val tileBits = b.bits(3) + 2
+          val tw = (xsize + (1 << tileBits) - 1) >> tileBits
+          val th = (height + (1 << tileBits) - 1) >> tileBits
+          val sub = decodeImageData(b, tw, th, isMain = false)
+          transforms += Transform(kind, tileBits, sub)
+        case 2 => // subtract-green
+          transforms += Transform(2, 0, Array.empty)
+        case 3 => // color indexing
+          val paletteSize = b.bits(8) + 1
+          val pal = decodeImageData(b, paletteSize, 1, isMain = false)
+          // palette entries are delta-coded left to right
+          var i = 1
+          while (i < paletteSize) {
+            pal(i) = addPixels(pal(i), pal(i - 1))
+            i += 1
+          }
+          transforms += Transform(3, paletteSize, pal)
+          val widthBits =
+            if (paletteSize <= 2) 3
+            else if (paletteSize <= 4) 2
+            else if (paletteSize <= 16) 1
+            else 0
+          xsize = (xsize + (1 << widthBits) - 1) >> widthBits
+      }
+      done = transforms.length == 4
+    }
+
+    val argb0 = decodeImageData(b, xsize, height, isMain = true)
+
+    // apply transforms in REVERSE stream order
+    var argb = argb0
+    var w = xsize
+    transforms.reverseIterator.foreach { t =>
+      t.kind match {
+        case 3 =>
+          val paletteSize = t.bits
+          val widthBits =
+            if (paletteSize <= 2) 3
+            else if (paletteSize <= 4) 2
+            else if (paletteSize <= 16) 1
+            else 0
+          val out = new Array[Int](width * height)
+          val perPacked = 1 << widthBits
+          val idxBits = 8 >> widthBits
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) {
+              val packed = (argb(y * w + (x >> widthBits)) >> 8) & 0xff
+              val idx =
+                if (widthBits == 0) packed
+                else (packed >> ((x % perPacked) * idxBits)) &
+                  ((1 << idxBits) - 1)
+              out(y * width + x) =
+                if (idx < paletteSize) t.data(idx) else 0
+              x += 1
+            }
+            y += 1
+          }
+          argb = out; w = width
+        case 2 =>
+          var i = 0
+          while (i < argb.length) {
+            val p = argb(i)
+            val g = (p >> 8) & 0xff
+            val r = (((p >> 16) & 0xff) + g) & 0xff
+            val bl = ((p & 0xff) + g) & 0xff
+            argb(i) = (p & 0xff00ff00) | (r << 16) | bl
+            i += 1
+          }
+        case 1 => // color transform: per-tile deltas, inverse
+          val tb = t.bits
+          val tw = (w + (1 << tb) - 1) >> tb
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < w) {
+              val cte = t.data((y >> tb) * tw + (x >> tb))
+              val g2r = (cte >> 16) & 0xff // stored in red channel
+              val g2b = (cte >> 8) & 0xff  // stored in green channel
+              val r2b = cte & 0xff         // stored in blue channel
+              val p = argb(y * w + x)
+              val g = (p >> 8) & 0xff
+              var r = (p >> 16) & 0xff
+              var bl = p & 0xff
+              r = (r + cDelta(g2r, g)) & 0xff
+              bl = (bl + cDelta(g2b, g) + cDelta(r2b, r)) & 0xff
+              argb(y * w + x) = (p & 0xff00ff00) | (r << 16) | bl
+              x += 1
+            }
+            y += 1
+          }
+        case 0 => // predictor transform, inverse (top-left to bottom-right)
+          val tb = t.bits
+          val tw = (w + (1 << tb) - 1) >> tb
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < w) {
+              val mode =
+                if (x == 0 && y == 0) 0
+                else if (x == 0) 2 // T
+                else if (y == 0) 1 // L
+                else (t.data((y >> tb) * tw + (x >> tb)) >> 8) & 0xff
+              val i = y * w + x
+              val L = if (x > 0) argb(i - 1) else 0xff000000
+              val T = if (y > 0) argb(i - w) else 0xff000000
+              val TL = if (x > 0 && y > 0) argb(i - w - 1)
+                else if (y > 0) 0xff000000 else 0xff000000
+              val TR = if (y > 0 && x + 1 < w) argb(i - w + 1) else T
+              val pred = predict(mode, L, T, TL, TR)
+              argb(i) = addPixels(argb(i), pred)
+              x += 1
+            }
+            y += 1
+          }
+      }
+    }
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_ARGB)
+    img.setRGB(0, 0, width, height, argb, 0, width)
+    img
+  }
+
+  private def cDelta(t: Int, c: Int): Int = {
+    // transform elements are SIGNED 3.5 fixed point stored in a byte
+    val st = if (t >= 128) t - 256 else t
+    val sc = if (c >= 128) c - 256 else c // channel treated as signed too
+    (st * sc) >> 5
+  }
+
+  private def avg2(a: Int, b: Int): Int = {
+    // per-channel (a + b) / 2
+    (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+  }
+
+  private def addPixels(a: Int, p: Int): Int = {
+    val aA = ((a >>> 24) + (p >>> 24)) & 0xff
+    val rA = (((a >> 16) & 0xff) + ((p >> 16) & 0xff)) & 0xff
+    val gA = (((a >> 8) & 0xff) + ((p >> 8) & 0xff)) & 0xff
+    val bA = ((a & 0xff) + (p & 0xff)) & 0xff
+    (aA << 24) | (rA << 16) | (gA << 8) | bA
+  }
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def predict(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int =
+    mode match {
+      case 0 => 0xff000000
+      case 1 => l
+      case 2 => t
+      case 3 => tr
+      case 4 => tl
+      case 5 => avg2(avg2(l, tr), t)
+      case 6 => avg2(l, tl)
+      case 7 => avg2(l, t)
+      case 8 => avg2(tl, t)
+      case 9 => avg2(t, tr)
+      case 10 => avg2(avg2(l, tl), avg2(t, tr))
+      case 11 => // select: pick L or T by gradient estimate
+        val pA = math.abs(((t >>> 24) - (tl >>> 24))) +
+          math.abs((((t >> 16) & 0xff) - ((tl >> 16) & 0xff))) +
+          math.abs((((t >> 8) & 0xff) - ((tl >> 8) & 0xff))) +
+          math.abs(((t & 0xff) - (tl & 0xff)))
+        val pB = math.abs(((l >>> 24) - (tl >>> 24))) +
+          math.abs((((l >> 16) & 0xff) - ((tl >> 16) & 0xff))) +
+          math.abs((((l >> 8) & 0xff) - ((tl >> 8) & 0xff))) +
+          math.abs(((l & 0xff) - (tl & 0xff)))
+        if (pA <= pB) l else t
+      case 12 => // clamp-add-subtract-full, per channel
+        def ch(sh: Int): Int = clamp255(((l >> sh) & 0xff) +
+          ((t >> sh) & 0xff) - ((tl >> sh) & 0xff))
+        (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+      case 13 => // clamp-add-subtract-half
+        def ch(sh: Int): Int = {
+          val a = (((l >> sh) & 0xff) + ((t >> sh) & 0xff)) / 2
+          clamp255(a + (a - ((tl >> sh) & 0xff)) / 2)
+        }
+        (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+      case _ => sys.error(s"bad predictor mode $mode")
+    }
+
+  /** Decode one spatially-coded image (entropy image, transform data, or
+    * the main image). Main images may carry a color cache + meta prefix
+    * codes; auxiliary images never do (spec §5).
+    */
+  private def decodeImageData(b: BitReader, xsize: Int, ysize: Int,
+      isMain: Boolean): Array[Int] = {
+    // color cache
+    val cacheBits = if (b.bit() == 1) b.bits(4) else 0
+    require(cacheBits <= 11, s"bad color-cache bits $cacheBits")
+    val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
+    // meta prefix image (main image only)
+    var metaBits = 0
+    var metaImage: Array[Int] = null
+    var nGroups = 1
+    if (isMain && b.bit() == 1) {
+      metaBits = b.bits(3) + 2
+      val mw = (xsize + (1 << metaBits) - 1) >> metaBits
+      val mh = (ysize + (1 << metaBits) - 1) >> metaBits
+      metaImage = decodeImageData(b, mw, mh, isMain = false)
+      nGroups = metaImage.map(p => ((p >> 8) & 0xffff)).max + 1
+    }
+    val greenAlphabet = 256 + 24 + (if (cacheBits > 0) 1 << cacheBits else 0)
+    val groups = Array.fill(nGroups) {
+      Array(readPrefixCode(b, greenAlphabet), readPrefixCode(b, 256),
+        readPrefixCode(b, 256), readPrefixCode(b, 256),
+        readPrefixCode(b, 40))
+    }
+    val out = new Array[Int](xsize * ysize)
+    var pos = 0
+    val n = out.length
+    def cacheInsert(p: Int): Unit =
+      if (cache != null)
+        cache(((0x1e35a7bd * p) >>> (32 - cacheBits)) & ((1 << cacheBits) - 1)) = p
+    while (pos < n) {
+      val x = pos % xsize
+      val y = pos / xsize
+      val g =
+        if (metaImage == null) groups(0)
+        else {
+          val mw = (xsize + (1 << metaBits) - 1) >> metaBits
+          val gi = (metaImage((y >> metaBits) * mw + (x >> metaBits)) >> 8) & 0xffff
+          groups(gi)
+        }
+      val code = g(0).decode(b)
+      if (code < 256) { // literal: G then R, B, A
+        val red = g(1).decode(b)
+        val blue = g(2).decode(b)
+        val alpha = g(3).decode(b)
+        val p = (alpha << 24) | (red << 16) | (code << 8) | blue
+        out(pos) = p
+        cacheInsert(p)
+        pos += 1
+      } else if (code < 256 + 24) { // LZ77 backref
+        val length = lz77Value(b, code - 256)
+        val distCode = g(4).decode(b)
+        val distVal = lz77Value(b, distCode)
+        val dist = planeDistance(distVal, xsize)
+        require(dist <= pos, "LZ77 distance before image start")
+        var j = 0
+        while (j < length && pos < n) {
+          out(pos) = out(pos - dist)
+          cacheInsert(out(pos))
+          pos += 1; j += 1
+        }
+      } else { // color-cache hit
+        out(pos) = cache(code - 256 - 24)
+        pos += 1
+      }
+    }
+    out
+  }
+
+  // ------------------------------------------------------------- encoder
+
+  /** Lossless VP8L encoder (the fixture/sink path): no transforms, no
+    * LZ77, no color cache — per-channel canonical prefix codes built
+    * from the image's literal histogram (simple codes when a channel
+    * has ≤2 distinct values, code-length-coded otherwise). Compression
+    * is real for low-cardinality images (the common chart/screenshot
+    * shape) and correctness holds for any ARGB input.
+    */
+  def encode(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    require(w >= 1 && w <= 16384 && h >= 1 && h <= 16384, s"size ${w}x$h")
+    val argb = img.getRGB(0, 0, w, h, null, 0, w)
+    val b = new BitWriter
+    b.write(0x2f, 8)
+    b.write(w - 1, 14)
+    b.write(h - 1, 14)
+    val hasAlpha = argb.exists(p => (p >>> 24) != 0xff)
+    b.write(if (hasAlpha) 1 else 0, 1)
+    b.write(0, 3) // version
+    b.write(0, 1) // no transforms
+    b.write(0, 1) // no color cache
+    b.write(0, 1) // no meta prefix image
+
+    // histograms per channel
+    val greenAlphabet = 256 + 24
+    val histG = new Array[Long](greenAlphabet)
+    val histR = new Array[Long](256)
+    val histB = new Array[Long](256)
+    val histA = new Array[Long](256)
+    argb.foreach { p =>
+      histG((p >> 8) & 0xff) += 1
+      histR((p >> 16) & 0xff) += 1
+      histB(p & 0xff) += 1
+      histA(p >>> 24) += 1
+    }
+    val codeG = writePrefixCode(b, histG)
+    val codeR = writePrefixCode(b, histR)
+    val codeB = writePrefixCode(b, histB)
+    val codeA = writePrefixCode(b, histA)
+    val histD = new Array[Long](40); histD(0) = 1
+    writePrefixCode(b, histD) // distance code: unused single symbol
+
+    argb.foreach { p =>
+      writeSym(b, codeG, (p >> 8) & 0xff)
+      writeSym(b, codeR, (p >> 16) & 0xff)
+      writeSym(b, codeB, p & 0xff)
+      writeSym(b, codeA, p >>> 24)
+    }
+    val body = b.toBytes
+    // assemble RIFF container
+    val out = new ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val chunkLen = body.length
+    val riffLen = 4 + 8 + chunkLen + (chunkLen % 2)
+    out.write("RIFF".getBytes); out.write(le32(riffLen))
+    out.write("WEBP".getBytes)
+    out.write("VP8L".getBytes); out.write(le32(chunkLen))
+    out.write(body)
+    if (chunkLen % 2 == 1) out.write(0)
+    out.toByteArray
+  }
+
+  private[functions] def writeSym(b: BitWriter, c: PrefixCode, sym: Int): Unit = {
+    val (code, len) = c.codeOf(sym)
+    if (len == 0) return // single-symbol code: zero bits
+    // canonical codes are written MSB first
+    var i = len - 1
+    while (i >= 0) { b.write((code >> i) & 1, 1); i -= 1 }
+  }
+
+  /** Build lengths from a histogram (bounded package-merge-lite: plain
+    * Huffman with depth clamp + canonicalization), write the code to the
+    * stream (simple when ≤2 symbols, else code-length-coded with no
+    * repeat ops — correctness over density), return it for payload use.
+    */
+  private[functions] def writePrefixCode(b: BitWriter, hist: Array[Long]): PrefixCode = {
+    val used = hist.indices.filter(hist(_) > 0)
+    if (used.length <= 2 && used.forall(_ < 256)) {
+      b.write(1, 1) // simple
+      b.write(used.length - 1, 1)
+      if (used.length == 1) {
+        val s = used.head
+        if (s < 2) { b.write(0, 1); b.write(s, 1) }
+        else { b.write(1, 1); b.write(s, 8) }
+        val lens = new Array[Int](hist.length); lens(s) = 1
+        new PrefixCode(lens)
+      } else {
+        // first symbol: 8-bit form keeps it general
+        b.write(1, 1); b.write(used(0), 8); b.write(used(1), 8)
+        val lens = new Array[Int](hist.length)
+        lens(used(0)) = 1; lens(used(1)) = 1
+        new PrefixCode(lens)
+      }
+    } else {
+      val lens = huffmanLengths(hist, maxLen = 15)
+      b.write(0, 1) // not simple
+      // code-length code: huffman over the length values used (0..15
+      // literals only — no 16/17/18 repeat ops: correctness over
+      // density for the fixture/sink path)
+      val clHist = new Array[Long](19)
+      lens.foreach(l => clHist(l) += 1)
+      val clLens = huffmanLengths(clHist, maxLen = 7)
+      b.write(19 - 4, 4) // write all 19 code-length-code entries
+      CodeLengthCodeOrder.foreach(s => b.write(clLens(s), 3))
+      b.write(0, 1) // no max_symbols limit: lengths for every symbol
+      val clCode = new PrefixCode(clLens)
+      lens.foreach(l => writeSym(b, clCode, l))
+      new PrefixCode(lens)
+    }
+  }
+
+  /** Huffman code lengths from a histogram, depth-bounded by iterative
+    * weight flattening: rebuild with halved weights until the deepest
+    * leaf fits (converges to a balanced tree, depth ≤ ceil(log2 n) ≤
+    * maxLen for every alphabet here).
+    */
+  private[functions] def huffmanLengths(hist: Array[Long], maxLen: Int): Array[Int] = {
+    val lens = new Array[Int](hist.length)
+    val used = hist.indices.filter(hist(_) > 0)
+    if (used.isEmpty) return lens
+    if (used.length == 1) { lens(used.head) = 1; return lens }
+    var weights = used.map(hist(_)).toArray
+    var depths: Array[Int] = null
+    var ok = false
+    while (!ok) {
+      // heap of (weight, tieBreak) → tree; compute leaf depths
+      final case class Node(w: Long, leaf: Int, l: Node, r: Node)
+      val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Int, Node)](
+        Ordering.by { case (w2, t, _) => (-w2, -t) })
+      var tie = 0
+      used.indices.foreach { i =>
+        pq.enqueue((weights(i), tie, Node(weights(i), i, null, null))); tie += 1
+      }
+      while (pq.size > 1) {
+        val (wa, _, a) = pq.dequeue()
+        val (wb, _, b2) = pq.dequeue()
+        pq.enqueue((wa + wb, tie, Node(wa + wb, -1, a, b2))); tie += 1
+      }
+      val root = pq.dequeue()._3
+      depths = new Array[Int](used.length)
+      def walk(n: Node, d: Int): Unit =
+        if (n.leaf >= 0) depths(n.leaf) = math.max(d, 1)
+        else { walk(n.l, d + 1); walk(n.r, d + 1) }
+      walk(root, 0)
+      if (depths.max <= maxLen) ok = true
+      else weights = weights.map(w2 => (w2 + 1) / 2)
+    }
+    used.indices.foreach(i => lens(used(i)) = depths(i))
+    lens
+  }
+}

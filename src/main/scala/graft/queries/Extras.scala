@@ -2570,6 +2570,47 @@ object Extras {
              |FROM documents WHERE doc_id < 40
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q169_webp_pipeline",
+      (s, dir) => {
+        // WebP (VP8L lossless) in the oracle gate: per doc, an id-derived
+        // solid PNG re-encodes to WebP through the codec sink, the sniff
+        // reports 'webp', and the EXISTING image pipeline decodes it
+        // (dimensions, alpha mode, exact pixel channels) — lossless makes
+        // every output a closed form of doc_id. px_ok pins pixel-level
+        // equality between the PNG and WebP decodes of the same image.
+        import graft.functions.{Codecs, Images}
+        val w0 = (col("doc_id") % 12 + 5).cast("int")
+        val h0 = (col("doc_id") % 7 + 4).cast("int")
+        val rgb = (col("doc_id") * 2000 % 0xffffff).cast("int")
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("png", Images.makeSolidPng(w0, h0, rgb))
+          .withColumn("webp", Codecs.reencode(col("png"), "webp"))
+          .withColumn("meta", Images.getMetadata(col("webp")))
+          .select(col("doc_id"),
+            Codecs.imageFormat(col("webp")).as("fmt"),
+            col("meta._1").cast("long").as("w"),
+            col("meta._2").cast("long").as("h"),
+            col("meta._3").as("mode"),
+            Images.getPixel(col("webp"), lit(0), lit(0))
+              .getItem(0).cast("long").as("r0"),
+            Images.getPixel(col("webp"), w0 - 1, h0 - 1)
+              .getItem(2).cast("long").as("b_last"),
+            (Images.getPixel(col("webp"), lit(0), lit(0))
+              === Images.getPixel(col("png"), lit(0), lit(0))).as("px_ok"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id, 'webp' AS fmt,
+             |  (doc_id % 12 + 5)::BIGINT AS w,
+             |  (doc_id % 7 + 4)::BIGINT AS h,
+             |  'RGBA' AS mode,
+             |  ((doc_id * 2000 % 16777215) // 65536)::BIGINT AS r0,
+             |  ((doc_id * 2000 % 16777215) % 256)::BIGINT AS b_last,
+             |  TRUE AS px_ok
+             |FROM documents WHERE doc_id < 50
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
