@@ -66,12 +66,24 @@ object Mp4 {
     boxes(b, from, until).collect { case (t, f, u) if t == typ => (f, u) }
 
   /** `true` for plausible ISO-BMFF payloads (box 0 is `ftyp`/`moov`/
-    * `mdat`/`free`/`wide`/`skip` — real files open with one of these).
+    * `mdat`/`free`/`wide`/`skip` — real files open with one of these —
+    * or the DASH media-segment leaders `styp`/`moof`/`sidx`, so a raw
+    * segment without its init segment reaches the informative error
+    * rather than "not an MP4").
     */
   def isMp4(bytes: Array[Byte]): Boolean = {
     if (bytes == null || bytes.length < 12) return false
     val t = new String(bytes, 4, 4, "US-ASCII")
-    Set("ftyp", "moov", "mdat", "free", "wide", "skip")(t)
+    Set("ftyp", "moov", "mdat", "free", "wide", "skip",
+      "styp", "moof", "sidx")(t)
+  }
+
+  /** Top-level box types in file order (`ftyp moov moof mdat …`) — the
+    * container-layout fingerprint (flat vs fragmented is visible here).
+    */
+  def topLevelBoxTypes(bytes: Array[Byte]): Seq[String] = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    boxes(b, 0, bytes.length).map(_._1)
   }
 
   // -------------------------------------------------------- track parsing
@@ -158,17 +170,126 @@ object Mp4 {
     0
   }
 
-  /** All media tracks with resolved sample tables. Corrupt/fragmented
-    * tracks (no stco samples) come back with empty sample arrays but
+  /** All media tracks with resolved sample tables. Fragmented files
+    * (CMAF/DASH: `moov` holds empty sample tables + `mvex` defaults,
+    * samples live in `moof`/`traf`/`trun` runs) are resolved by walking
+    * every top-level `moof` and merging its runs into the track arrays,
+    * so downstream ops see one uniform Track shape either way. Corrupt
+    * tracks (no samples anywhere) come back with empty sample arrays but
     * intact identity, so metadata still reports them.
     */
   def parseTracks(bytes: Array[Byte]): Seq[Track] = {
     require(isMp4(bytes), "not an ISO-BMFF (MP4) payload")
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
-    val (moovF, moovU) = child(b, 0, bytes.length, "moov")
-      .getOrElse(sys.error("no moov box (fragmented or truncated MP4)"))
-    children(b, moovF, moovU, "trak").flatMap { case (trakF, trakU) =>
-      parseTrak(b, trakF, trakU)
+    val top = boxes(b, 0, bytes.length)
+    val (moovF, moovU) = top.collectFirst { case ("moov", f, u) => (f, u) }
+      .getOrElse(sys.error(
+        if (top.exists(_._1 == "moof"))
+          "media segment without an init segment (moof but no moov)"
+        else "no moov box (truncated MP4)"))
+    val base = children(b, moovF, moovU, "trak").flatMap {
+      case (trakF, trakU) => parseTrak(b, trakF, trakU)
+    }
+    val moofs = top.collect { case ("moof", f, u) => (f, u) }
+    if (moofs.isEmpty) base
+    else mergeFragments(b, base, trexDefaults(b, moovF, moovU), moofs)
+  }
+
+  // -------------------------------------------------- fragmented (CMAF)
+
+  /** trackId → (default_sample_duration, default_sample_size) out of
+    * `moov/mvex/trex` (ISO 14496-12 §8.8.3).
+    */
+  private def trexDefaults(b: ByteBuffer, moovF: Int,
+      moovU: Int): Map[Int, (Int, Int)] =
+    child(b, moovF, moovU, "mvex").map { case (f, u) =>
+      children(b, f, u, "trex").map { case (tf, _) =>
+        (b.getInt(tf + 4), (b.getInt(tf + 12), b.getInt(tf + 16)))
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** Walk every `moof`, resolve each `traf`'s runs to absolute
+    * (offset, size, delta) triples, and append them to the matching
+    * track. Base-data-offset handling covers the three real-world
+    * layouts: explicit `base_data_offset` (tfhd flag 0x01),
+    * `default-base-is-moof` (0x020000 — CMAF's required shape), and the
+    * spec default (first traf: moof start; later trafs: end of the
+    * previous traf's data).
+    */
+  private def mergeFragments(b: ByteBuffer, base: Seq[Track],
+      trex: Map[Int, (Int, Int)],
+      moofs: Seq[(Int, Int)]): Seq[Track] = {
+    val offs = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Long]]
+    val sizes = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    val deltas = scala.collection.mutable.Map.empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    def buf[T](m: scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[T]],
+        id: Int) = m.getOrElseUpdate(id, scala.collection.mutable.ArrayBuffer.empty[T])
+
+    moofs.foreach { case (moofF, moofU) =>
+      val moofStart = moofF - 8L // box header precedes the payload
+      var prevTrafEnd = -1L      // spec-default base for traf n+1
+      children(b, moofF, moofU, "traf").foreach { case (trafF, trafU) =>
+        val (tfhdF, _) = child(b, trafF, trafU, "tfhd")
+          .getOrElse(sys.error("traf without tfhd"))
+        val tfFlags = b.getInt(tfhdF) & 0xffffff
+        val trackId = b.getInt(tfhdF + 4)
+        var p = tfhdF + 8
+        val explicitBase =
+          if ((tfFlags & 0x01) != 0) { val v = b.getLong(p); p += 8; Some(v) }
+          else None
+        if ((tfFlags & 0x02) != 0) p += 4 // sample_description_index
+        val defDur =
+          if ((tfFlags & 0x08) != 0) { val v = b.getInt(p); p += 4; v }
+          else trex.get(trackId).map(_._1).getOrElse(0)
+        val defSize =
+          if ((tfFlags & 0x10) != 0) { val v = b.getInt(p); p += 4; v }
+          else trex.get(trackId).map(_._2).getOrElse(0)
+        val baseDataOffset = explicitBase.getOrElse {
+          if ((tfFlags & 0x020000) != 0) moofStart            // default-base-is-moof
+          else if (prevTrafEnd >= 0) prevTrafEnd              // after prior traf
+          else moofStart                                      // first traf default
+        }
+        var cursor = baseDataOffset
+        children(b, trafF, trafU, "trun").foreach { case (trunF, _) =>
+          val trFlags = b.getInt(trunF) & 0xffffff
+          val n = b.getInt(trunF + 4)
+          var q = trunF + 8
+          if ((trFlags & 0x01) != 0) { cursor = baseDataOffset + b.getInt(q); q += 4 }
+          if ((trFlags & 0x04) != 0) q += 4 // first_sample_flags
+          var i = 0
+          while (i < n) {
+            val dur =
+              if ((trFlags & 0x100) != 0) { val v = b.getInt(q); q += 4; v }
+              else defDur
+            val sz =
+              if ((trFlags & 0x200) != 0) { val v = b.getInt(q); q += 4; v }
+              else defSize
+            if ((trFlags & 0x400) != 0) q += 4 // sample_flags
+            if ((trFlags & 0x800) != 0) q += 4 // composition offset
+            buf(offs, trackId) += cursor
+            buf(sizes, trackId) += sz
+            buf(deltas, trackId) += dur
+            cursor += sz
+            i += 1
+          }
+        }
+        prevTrafEnd = cursor
+      }
+    }
+
+    base.map { t =>
+      offs.get(t.trackId) match {
+        case None => t
+        case Some(o) =>
+          val d = deltas(t.trackId)
+          val fragDur = d.foldLeft(0L)(_ + _)
+          t.copy(
+            sampleOffsets = t.sampleOffsets ++ o,
+            sampleSizes = t.sampleSizes ++ sizes(t.trackId),
+            sampleDeltas = t.sampleDeltas ++ d,
+            mediaDuration = math.max(t.mediaDuration,
+              t.sampleDeltas.foldLeft(0L)(_ + _) + fragDur))
+      }
     }
   }
 
@@ -510,5 +631,163 @@ object Mp4 {
 
     val moov = box("moov", (mvhd +: traks): _*)
     ftyp ++ mdat ++ moov
+  }
+
+  // -------------------------------------------------- fragmented muxer
+
+  /** Assemble a fragmented MP4 (CMAF shape: `ftyp | moov(mvex) |
+    * (moof mdat)*`): MJPEG video cut into `framesPerFragment`-frame
+    * fragments, PCM-16 audio split proportionally so each fragment
+    * covers the same wall-clock span. The moov carries EMPTY sample
+    * tables plus `mvex/trex` defaults; every fragment uses
+    * `default-base-is-moof` + an explicit trun data offset — the layout
+    * DASH/CMAF packagers emit.
+    */
+  def writeFragmented(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
+      audio: Option[(Array[Short], Int)] = None,
+      framesPerFragment: Int = 8): Array[Byte] = {
+    require(frames.nonEmpty, "fragmented mux needs a video track")
+    require(fps > 0, s"bad fps $fps")
+    require(framesPerFragment > 0, s"bad framesPerFragment $framesPerFragment")
+
+    val ftyp = box("ftyp", "iso5".getBytes, u32(0x200L),
+      "iso5".getBytes, "cmfc".getBytes, "mp42".getBytes)
+
+    val videoEntry = box("jpeg",
+      Array.fill[Byte](6)(0), u16(1),
+      u16(0), u16(0), Array.fill[Byte](12)(0),
+      u16(w), u16(h),
+      u32(0x00480000L), u32(0x00480000L),
+      u32(0), u16(1),
+      Array.fill[Byte](32)(0),
+      u16(24), u16(0xffff))
+    val audioEntry = audio.map { case (_, rate) =>
+      box("sowt",
+        Array.fill[Byte](6)(0), u16(1),
+        Array.fill[Byte](8)(0),
+        u16(1), u16(16), u16(0), u16(0),
+        u32(rate.toLong << 16))
+    }
+
+    val movieTimescale = 1000L
+    val totalDurMs = frames.length.toLong * 1000L / fps
+
+    def emptyStbl(entry: Array[Byte]): Array[Byte] = box("stbl",
+      fullBox("stsd", 0, 0, u32(1), entry),
+      fullBox("stts", 0, 0, u32(0)),
+      fullBox("stsc", 0, 0, u32(0)),
+      fullBox("stsz", 0, 0, u32(0), u32(0)),
+      fullBox("stco", 0, 0, u32(0)))
+
+    def trak(trackId: Int, handler: String, entry: Array[Byte],
+        timescale: Long, width: Int, height: Int): Array[Byte] = {
+      val tkhd = fullBox("tkhd", 0, 7,
+        u32(0), u32(0), u32(trackId.toLong), u32(0), u32(totalDurMs),
+        u32(0), u32(0), u16(0), u16(0),
+        u16(if (handler == "soun") 0x0100 else 0), u16(0),
+        u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L), u32(0),
+        u32(0), u32(0), u32(0x40000000L),
+        u32(width.toLong << 16), u32(height.toLong << 16))
+      val mdhd = fullBox("mdhd", 0, 0,
+        u32(0), u32(0), u32(timescale), u32(0), // duration unknown: in moofs
+        u16(0x55c4), u16(0))
+      val hdlr = fullBox("hdlr", 0, 0,
+        u32(0), handler.getBytes("US-ASCII"),
+        u32(0), u32(0), u32(0), Array[Byte](0))
+      val dinf = box("dinf", fullBox("dref", 0, 0, u32(1),
+        fullBox("url ", 0, 1)))
+      val minf = box("minf",
+        (if (handler == "vide") fullBox("vmhd", 0, 1, u16(0), u16(0), u16(0), u16(0))
+         else fullBox("smhd", 0, 0, u16(0), u16(0))),
+        dinf, emptyStbl(entry))
+      box("trak", tkhd, box("mdia", mdhd, hdlr, minf))
+    }
+
+    val trex = (1 to (if (audio.isDefined) 2 else 1)).map { id =>
+      fullBox("trex", 0, 0, u32(id.toLong), u32(1), u32(0), u32(0), u32(0))
+    }
+    val mvhd = fullBox("mvhd", 0, 0,
+      u32(0), u32(0), u32(movieTimescale), u32(totalDurMs),
+      u32(0x00010000L), u16(0x0100), u16(0), u32(0), u32(0),
+      u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L), u32(0),
+      u32(0), u32(0), u32(0x40000000L),
+      Array.fill[Byte](24)(0),
+      u32(if (audio.isDefined) 3L else 2L))
+    val traks = Seq(
+      Some(trak(1, "vide", videoEntry, fps.toLong, w, h)),
+      audioEntry.map(e => trak(2, "soun", e, audio.get._2.toLong, 0, 0))
+    ).flatten
+    val moov = box("moov",
+      (mvhd +: traks :+ box("mvex", trex: _*)): _*)
+
+    // fragments: video frames [i, i+k) + the matching PCM slice
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov)
+    val nFrags = (frames.length + framesPerFragment - 1) / framesPerFragment
+    var seq = 1
+    var frame = 0
+    var pcmPos = 0
+    while (frame < frames.length) {
+      val fragFrames = frames.slice(frame, frame + framesPerFragment)
+      val pcmEndFrame = frame + fragFrames.length
+      val (pcmSlice, pcmNext) = audio match {
+        case Some((samples, rate)) =>
+          val end =
+            if (pcmEndFrame >= frames.length) samples.length
+            else (pcmEndFrame.toLong * rate / fps).toInt.min(samples.length)
+          (samples.slice(pcmPos, end), end)
+        case None => (Array.empty[Short], 0)
+      }
+
+      val mfhd = fullBox("mfhd", 0, 0, u32(seq.toLong))
+      // trun data offsets are relative to moof start; mdat payload
+      // begins at moof.length + 8. Build the moof with placeholder
+      // offsets first to learn its length, then rebuild — box sizes
+      // don't depend on the offset VALUES, so one rebuild is exact.
+      // PCM samples are uniform (2 bytes, delta 1): carried as tfhd
+      // default_sample_duration/size so the trun is offset-only.
+      def moofWith(videoOff: Long, audioOff: Long): Array[Byte] = {
+        val vTraf = box("traf",
+          fullBox("tfhd", 0, 0x020000, u32(1)),
+          fullBox("tfdt", 1, 0,
+            ByteBuffer.allocate(8).putLong(frame.toLong).array()),
+          fullBox("trun", 0, 0x301,
+            (u32(fragFrames.length.toLong) +: u32(videoOff) +:
+              fragFrames.flatMap(f => Seq(u32(1L), u32(f.length.toLong)))): _*))
+        val aTraf =
+          if (pcmSlice.isEmpty) None
+          else Some(box("traf",
+            // default-base-is-moof | default-duration | default-size
+            fullBox("tfhd", 0, 0x020018, u32(2), u32(1), u32(2)),
+            fullBox("tfdt", 1, 0,
+              ByteBuffer.allocate(8).putLong(pcmPos.toLong).array()),
+            fullBox("trun", 0, 0x001, // data-offset only; defaults fill in
+              u32(pcmSlice.length.toLong), u32(audioOff))))
+        box("moof", (Seq(mfhd, vTraf) ++ aTraf): _*)
+      }
+      val probe = moofWith(0L, 0L)
+      val videoBytes = fragFrames.map(_.length.toLong).sum
+      val videoOff = probe.length + 8L // past mdat header
+      val audioOff = videoOff + videoBytes
+      val moof = moofWith(videoOff, audioOff)
+      require(moof.length == probe.length, "moof size drifted on rebuild")
+
+      val mdat = new ByteArrayOutputStream()
+      fragFrames.foreach(mdat.write)
+      if (pcmSlice.nonEmpty) {
+        val raw = new Array[Byte](pcmSlice.length * 2)
+        ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+          .asShortBuffer().put(pcmSlice)
+        mdat.write(raw)
+      }
+      out.write(moof)
+      out.write(box("mdat", mdat.toByteArray))
+
+      frame += fragFrames.length
+      pcmPos = pcmNext
+      seq += 1
+    }
+    require(seq - 1 == nFrags, s"fragment count drifted: ${seq - 1} vs $nFrags")
+    out.toByteArray
   }
 }

@@ -252,6 +252,18 @@ object Video {
       math.max(meta.fps.round.toInt, 1), readAudioAny(v))
   }
 
+  /** Transcode to fragmented MP4 (CMAF `moov(mvex) | (moof mdat)*`
+    * layout, `framesPerFragment` video frames per fragment with the
+    * PCM slice time-aligned) — the streaming-delivery sink twin;
+    * `readMetaAny`/`readFramesAny`/`readAudioAny` sniff it like any
+    * other MP4.
+    */
+  val toFmp4 = udf { (v: Array[Byte], framesPerFragment: Int) =>
+    val meta = readMetaAny(v)
+    Mp4.writeFragmented(readFramesAny(v), meta.width, meta.height,
+      math.max(meta.fps.round.toInt, 1), readAudioAny(v), framesPerFragment)
+  }
+
   /** Transcode to MJPEG-AVI (the inverse re-mux). */
   val toAvi = udf { (v: Array[Byte]) =>
     val meta = readMetaAny(v)

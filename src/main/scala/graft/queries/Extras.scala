@@ -2611,6 +2611,132 @@ object Extras {
              |FROM documents WHERE doc_id < 50
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q170_fmp4_container",
+      (s, dir) => {
+        // Fragmented MP4 (CMAF `moov(mvex) | (moof mdat)*`) in the oracle
+        // gate: per doc, the q167 flat fixture re-muxes through the
+        // `toFmp4` sink at an id-derived fragment size, and the SAME
+        // sniffed surface reads it back — layout fingerprint (moof
+        // count), header-only metadata, bit-exact frame payloads, and
+        // sample-exact PCM re-assembled across fragment boundaries.
+        // Every output is a closed form of doc_id.
+        import graft.functions.{Audio, Avi, Mp4, Video}
+        val mkMp4 = udf { (n: Int, nSamples: Int) =>
+          val frames = Avi.readFrames(Video.makeTestVideo(n, 16, 12, 0x336699, 10))
+          val samples = Array.tabulate(nSamples)(i => (i % 100).toShort)
+          Mp4.write(frames, 16, 12, 10, Some((samples, 8000)))
+        }
+        val framesOk = udf { (v: Array[Byte], n: Int) =>
+          val fs = Mp4.readFrames(v)
+          val src = Avi.readFrames(Video.makeTestVideo(n, 16, 12, 0x336699, 10))
+          fs.length == n && fs.zip(src).forall(p => p._1.sameElements(p._2))
+        }
+        val nMoofs = udf { (v: Array[Byte]) =>
+          Mp4.topLevelBoxTypes(v).count(_ == "moof")
+        }
+        val n = (col("doc_id") % 5 + 2).cast("int")  // 2..6 frames
+        val ns = ((col("doc_id") % 4 + 1) * 800).cast("int") // PCM samples
+        val fpf = (col("doc_id") % 3 + 1).cast("int") // frames/fragment
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("v", Video.toFmp4(mkMp4(n, ns), fpf))
+          .withColumn("m", Video.getMetadata(col("v")))
+          .select(col("doc_id"),
+            nMoofs(col("v")).cast("long").as("n_frags"),
+            col("m.width").as("w"), col("m.height").as("h"),
+            col("m.fps").as("fps"), col("m.frames").as("n_frames"),
+            col("m.duration_s").as("dur_s"),
+            col("m.codec").as("codec"), col("m.format").as("format"),
+            framesOk(col("v"), n).as("frames_ok"),
+            Audio.sampleSum(Video.extractAudio(col("v"))).as("pcm_sum"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id,
+             |  ((doc_id % 5 + 2 + doc_id % 3) // (doc_id % 3 + 1))::BIGINT
+             |    AS n_frags,
+             |  16 AS w, 12 AS h, 10.0::DOUBLE AS fps,
+             |  (doc_id % 5 + 2)::INT AS n_frames,
+             |  (doc_id % 5 + 2)::DOUBLE / 10.0::DOUBLE AS dur_s,
+             |  'JPEG' AS codec, 'MP4' AS format, TRUE AS frames_ok,
+             |  (4950 * (doc_id % 4 + 1) * 8)::BIGINT AS pcm_sum
+             |FROM documents WHERE doc_id < 40
+             |ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "q171_subtitles",
+      (s, dir) => {
+        // SRT/WebVTT in the oracle gate (reference transcription
+        // response formats — `functions/openai.py:326-364`): per doc,
+        // id-derived word timings over the doc's own tokens format to a
+        // FULL SRT document the oracle rebuilds byte-for-byte in SQL
+        // (clock arithmetic is integer-exact: word i spans
+        // [i*250 ms, i*250+200 ms]); the VTT twin is length-checked, the
+        // tolerant parser round-trips the cues, and markup stripping is
+        // pinned on a decorated cue.
+        import graft.functions.Subtitles
+        val k = (col("doc_id") % 6 + 4).cast("int") // 4..9 cues
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("toks",
+            slice(split(trim(col("text")), "\\s+"), lit(1), k))
+          .withColumn("cues", expr(
+            """transform(sequence(0, size(toks) - 1),
+              |  i -> struct(cast(i * 0.25 as double) as start,
+              |              cast(i * 0.25 + 0.2 as double) as end,
+              |              element_at(toks, i + 1) as text))""".stripMargin))
+          .withColumn("srt", Subtitles.toSrt(col("cues")))
+          .withColumn("vtt", Subtitles.toVtt(col("cues")))
+          .withColumn("parsed", Subtitles.parseCues(col("srt")))
+          .select(col("doc_id"),
+            size(col("cues")).cast("long").as("n_cues"),
+            col("srt"),
+            length(col("vtt")).cast("long").as("vtt_len"),
+            expr("""transform(parsed,
+                   |  p -> named_struct('s', p.start, 'e', p.end,
+                   |                    't', p.text)) =
+                   |transform(cues,
+                   |  c -> named_struct('s', c.start, 'e', c.end,
+                   |                    't', c.text))""".stripMargin)
+              .as("rt_ok"),
+            (Subtitles.cleanText(
+              concat(lit("<i>"), element_at(col("toks"), 1), lit("</i>")))
+              === element_at(col("toks"), 1)).as("clean_ok"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH cues AS (
+             |  SELECT doc_id,
+             |    list_slice(string_split_regex(trim(text), '\s+'),
+             |      1, doc_id % 6 + 4) AS toks
+             |  FROM documents WHERE doc_id < 50
+             |), built AS (
+             |  SELECT doc_id, len(toks) AS n_cues,
+             |    list_transform(range(0, len(toks)), i ->
+             |      printf('%d', i + 1) || chr(10) ||
+             |      printf('%02d:%02d:%02d,%03d --> %02d:%02d:%02d,%03d',
+             |        (i*250) // 3600000, ((i*250) // 60000) % 60,
+             |        ((i*250) // 1000) % 60, (i*250) % 1000,
+             |        (i*250+200) // 3600000, ((i*250+200) // 60000) % 60,
+             |        ((i*250+200) // 1000) % 60, (i*250+200) % 1000) ||
+             |      chr(10) || toks[i + 1]) AS blocks,
+             |    list_transform(range(0, len(toks)), i ->
+             |      printf('%02d:%02d:%02d.%03d --> %02d:%02d:%02d.%03d',
+             |        (i*250) // 3600000, ((i*250) // 60000) % 60,
+             |        ((i*250) // 1000) % 60, (i*250) % 1000,
+             |        (i*250+200) // 3600000, ((i*250+200) // 60000) % 60,
+             |        ((i*250+200) // 1000) % 60, (i*250+200) % 1000) ||
+             |      chr(10) || toks[i + 1]) AS vblocks
+             |  FROM cues
+             |)
+             |SELECT doc_id, n_cues::BIGINT AS n_cues,
+             |  list_aggregate(blocks, 'string_agg', chr(10) || chr(10))
+             |    || chr(10) AS srt,
+             |  length('WEBVTT' || chr(10) || chr(10) ||
+             |    list_aggregate(vblocks, 'string_agg', chr(10) || chr(10))
+             |    || chr(10))::BIGINT AS vtt_len,
+             |  TRUE AS rt_ok, TRUE AS clean_ok
+             |FROM built ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
