@@ -96,6 +96,143 @@ object Mp3 {
     10 + size + (if ((bytes(5) & 0x10) != 0) 10 else 0) // footer flag
   }
 
+  // ------------------------------------------------------------ ID3 tags
+
+  /** Friendly name for the well-known ID3v2.3/2.4 (4-char) and v2.2
+    * (3-char) text-frame ids; other `T…` frames keep their raw id.
+    */
+  private val FrameNames = Map(
+    "TIT2" -> "title", "TT2" -> "title",
+    "TPE1" -> "artist", "TP1" -> "artist",
+    "TALB" -> "album", "TAL" -> "album",
+    "TDRC" -> "date", "TYER" -> "date", "TYE" -> "date",
+    "TCON" -> "genre", "TCO" -> "genre",
+    "TRCK" -> "track", "TRK" -> "track",
+    "TSSE" -> "encoder", "TSS" -> "encoder")
+
+  private def decodeText(raw: Array[Byte]): String = {
+    if (raw.isEmpty) return ""
+    val enc = raw(0) & 0xff
+    val body = java.util.Arrays.copyOfRange(raw, 1, raw.length)
+    val cs = enc match {
+      case 0 => java.nio.charset.StandardCharsets.ISO_8859_1
+      case 1 => java.nio.charset.StandardCharsets.UTF_16 // BOM-aware
+      case 2 => java.nio.charset.StandardCharsets.UTF_16BE
+      case _ => java.nio.charset.StandardCharsets.UTF_8
+    }
+    new String(body, cs).takeWhile(_ != '\u0000').trim
+  }
+
+  /** (name, value) text tags out of the leading ID3v2 tag (v2.2 3-char
+    * and v2.3/2.4 4-char frames, unsynchronization undone, extended
+    * header skipped), falling back to a trailing 128-byte ID3v1 block
+    * when no v2 text frames exist. Missing/absent tags → empty.
+    */
+  def readTags(bytes: Array[Byte]): Seq[(String, String)] = {
+    if (bytes == null || bytes.length < 10) return readId3v1(bytes)
+    if (!(bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3'))
+      return readId3v1(bytes)
+    val major = bytes(3) & 0xff
+    val flags = bytes(5) & 0xff
+    val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+      ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+    var body = java.util.Arrays.copyOfRange(bytes, 10,
+      math.min(10 + size, bytes.length))
+    if ((flags & 0x80) != 0) { // unsynchronization: FF 00 → FF
+      val out = new ByteArrayOutputStream(body.length)
+      var i = 0
+      while (i < body.length) {
+        out.write(body(i))
+        if ((body(i) & 0xff) == 0xff && i + 1 < body.length &&
+          body(i + 1) == 0) i += 1
+        i += 1
+      }
+      body = out.toByteArray
+    }
+    val idLen = if (major <= 2) 3 else 4
+    val szLen = if (major <= 2) 3 else 4
+    val flagLen = if (major <= 2) 0 else 2
+    var pos = 0
+    if (major >= 3 && (flags & 0x40) != 0 && body.length >= 4) {
+      // extended header: leading 32-bit size (v2.3 excludes, v2.4
+      // includes, its own 4 bytes — both advance past the block)
+      val ehSize = ((body(0) & 0xff) << 24) | ((body(1) & 0xff) << 16) |
+        ((body(2) & 0xff) << 8) | (body(3) & 0xff)
+      pos = if (major == 3) 4 + ehSize else ehSize
+    }
+    val out = Seq.newBuilder[(String, String)]
+    while (pos + idLen + szLen + flagLen <= body.length &&
+      body(pos) != 0) {
+      val id = new String(body, pos, idLen, "US-ASCII")
+      val fsz =
+        if (major <= 2)
+          ((body(pos + 3) & 0xff) << 16) | ((body(pos + 4) & 0xff) << 8) |
+            (body(pos + 5) & 0xff)
+        else if (major == 3)
+          ((body(pos + 4) & 0xff) << 24) | ((body(pos + 5) & 0xff) << 16) |
+            ((body(pos + 6) & 0xff) << 8) | (body(pos + 7) & 0xff)
+        else // v2.4: syncsafe
+          ((body(pos + 4) & 0x7f) << 21) | ((body(pos + 5) & 0x7f) << 14) |
+            ((body(pos + 6) & 0x7f) << 7) | (body(pos + 7) & 0x7f)
+      val at = pos + idLen + szLen + flagLen
+      if (fsz < 0 || at + fsz > body.length) pos = body.length
+      else {
+        if (id.startsWith("T") && fsz > 0)
+          out += ((FrameNames.getOrElse(id, id),
+            decodeText(java.util.Arrays.copyOfRange(body, at, at + fsz))))
+        pos = at + fsz
+      }
+    }
+    val v2 = out.result().filter(_._2.nonEmpty)
+    if (v2.nonEmpty) v2 else readId3v1(bytes)
+  }
+
+  /** Trailing 128-byte ID3v1 block (title/artist/album/year). */
+  private def readId3v1(bytes: Array[Byte]): Seq[(String, String)] = {
+    if (bytes == null || bytes.length < 128) return Seq.empty
+    val at = bytes.length - 128
+    if (!(bytes(at) == 'T' && bytes(at + 1) == 'A' && bytes(at + 2) == 'G'))
+      return Seq.empty
+    def field(off: Int, len: Int): String =
+      new String(bytes, at + off, len,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+        .takeWhile(_ != '\u0000').trim
+    Seq("title" -> field(3, 30), "artist" -> field(33, 30),
+      "album" -> field(63, 30), "date" -> field(93, 4))
+      .filter(_._2.nonEmpty)
+  }
+
+  /** An ID3v2.3 tag block holding the given text tags (friendly names
+    * from `FrameNames` or raw 4-char frame ids), UTF-8 encoded — the
+    * fixture writer `readTags` round-trips against.
+    */
+  def writeId3v2(tags: Seq[(String, String)]): Array[Byte] = {
+    val inv = FrameNames.collect { case (id, nm) if id.length == 4 => nm -> id }
+    val frames = new ByteArrayOutputStream()
+    tags.foreach { case (name, value) =>
+      val id = inv.getOrElse(name,
+        { require(name.length == 4 && name.startsWith("T"),
+            s"unknown tag '$name' (use a friendly name or a T… frame id)")
+          name })
+      val text = value.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      frames.write(id.getBytes("US-ASCII"))
+      val fsz = text.length + 1 // encoding byte
+      frames.write((fsz >> 24) & 0xff); frames.write((fsz >> 16) & 0xff)
+      frames.write((fsz >> 8) & 0xff); frames.write(fsz & 0xff)
+      frames.write(0); frames.write(0) // frame flags
+      frames.write(3) // UTF-8
+      frames.write(text)
+    }
+    val body = frames.toByteArray
+    val out = new ByteArrayOutputStream()
+    out.write("ID3".getBytes); out.write(3); out.write(0); out.write(0)
+    val sz = body.length
+    out.write((sz >> 21) & 0x7f); out.write((sz >> 14) & 0x7f)
+    out.write((sz >> 7) & 0x7f); out.write(sz & 0x7f)
+    out.write(body)
+    out.toByteArray
+  }
+
   /** Every frame in stream order (ID3v2 skipped; resyncs across junk;
     * an ID3v1 'TAG' trailer is ignored).
     */

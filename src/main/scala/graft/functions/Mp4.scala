@@ -54,7 +54,8 @@ object Mp4 {
     val a = new Array[Byte](4)
     var i = 0
     while (i < 4) { a(i) = b.get(pos + i); i += 1 }
-    new String(a, "US-ASCII")
+    // ISO-8859-1, not ASCII: iTunes-style tag atoms use © (0xA9)
+    new String(a, "ISO-8859-1")
   }
 
   private def child(b: ByteBuffer, from: Int, until: Int,
@@ -399,6 +400,80 @@ object Mp4 {
       sampleRate, timescale, mediaDuration, offsets, sizes, deltas))
   }
 
+  // ------------------------------------------------------------ tag atoms
+
+  /** iTunes-style tag atom ↔ friendly name (the subset ffprobe surfaces
+    * as format tags; © is 0xA9).
+    */
+  private val TagAtoms = Seq(
+    "©nam" -> "title", "©ART" -> "artist", "©alb" -> "album",
+    "©day" -> "date", "©gen" -> "genre", "©cmt" -> "comment",
+    "©too" -> "encoder", "trkn" -> "track")
+  private val TagAtomByName = TagAtoms.map(_.swap).toMap
+
+  /** (name, value) tags out of `moov/udta/meta/ilst` (the iTunes-style
+    * metadata the reference surfaces via ffprobe's format tags). `meta`
+    * is a FullBox, so its children start 4 bytes in; each ilst item
+    * holds a `data` box whose payload is type(4) + locale(4) + value.
+    * Text types (1 = UTF-8) decode directly; `trkn`'s binary pair
+    * becomes "track" / "track/total". Absent tree → empty.
+    */
+  def readTags(bytes: Array[Byte]): Seq[(String, String)] = {
+    require(isMp4(bytes), "not an ISO-BMFF (MP4) payload")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val atomName = TagAtoms.toMap
+    (for {
+      (moovF, moovU) <- child(b, 0, bytes.length, "moov").toSeq
+      (udtaF, udtaU) <- children(b, moovF, moovU, "udta")
+      (metaF, metaU) <- children(b, udtaF, udtaU, "meta")
+      (itemTyp, itemF, itemU) <- boxes(b, metaF + 4, metaU)
+        .collectFirst { case ("ilst", f, u) => boxes(b, f, u) }
+        .getOrElse(Seq.empty)
+      (dataF, dataU) <- child(b, itemF, itemU, "data").toSeq
+      if dataU - dataF >= 8
+    } yield {
+      val dtype = b.getInt(dataF)
+      val value =
+        if (dtype == 1) { // UTF-8 text
+          val raw = new Array[Byte](dataU - dataF - 8)
+          var i = 0
+          while (i < raw.length) { raw(i) = b.get(dataF + 8 + i); i += 1 }
+          new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+        } else if (itemTyp == "trkn" && dataU - dataF >= 14) {
+          val track = b.getShort(dataF + 10) & 0xffff
+          val total = b.getShort(dataF + 12) & 0xffff
+          if (total > 0) s"$track/$total" else s"$track"
+        } else ""
+      (atomName.getOrElse(itemTyp, itemTyp), value)
+    }).filter(_._2.nonEmpty)
+  }
+
+  /** A `udta(meta(hdlr, ilst))` box for the muxer: friendly tag names
+    * (see `TagAtoms`) plus "track" (as `trkn`, "n" or "n/total").
+    */
+  private def udtaBox(tags: Seq[(String, String)]): Array[Byte] = {
+    val items = tags.map { case (name, value) =>
+      if (name == "track") {
+        val parts = value.split('/')
+        val track = parts(0).trim.toInt
+        val total = if (parts.length > 1) parts(1).trim.toInt else 0
+        box("trkn", box("data", u32(0), u32(0),
+          u16(0), u16(track), u16(total), u16(0)))
+      } else {
+        val atom = TagAtomByName.getOrElse(name,
+          sys.error(s"unknown tag '$name' (use: " +
+            s"${TagAtomByName.keys.toSeq.sorted.mkString("/")}/track)"))
+        box(atom, box("data", u32(1), u32(0),
+          value.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+    }
+    val hdlr = fullBox("hdlr", 0, 0,
+      u32(0), "mdir".getBytes("ISO-8859-1"), "appl".getBytes("ISO-8859-1"),
+      u32(0), u32(0), Array[Byte](0))
+    box("udta", fullBox("meta", 0, 0, hdlr,
+      box("ilst", items: _*)))
+  }
+
   // ------------------------------------------------------------ demux API
 
   /** Video-track metadata in the shared `AviMeta` shape (format="MP4") —
@@ -485,7 +560,8 @@ object Mp4 {
     ByteBuffer.allocate(2).putShort(i.toShort).array()
   private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
     val body = payload.foldLeft(Array.empty[Byte])(_ ++ _)
-    u32(8L + body.length) ++ typ.getBytes("US-ASCII") ++ body
+    // ISO-8859-1: tag atoms (©nam …) carry 0xA9 in the type field
+    u32(8L + body.length) ++ typ.getBytes("ISO-8859-1") ++ body
   }
   private def fullBox(typ: String, version: Int, flags: Int,
       payload: Array[Byte]*): Array[Byte] =
@@ -513,7 +589,8 @@ object Mp4 {
     */
   def write(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
       audio: Option[(Array[Short], Int)] = None,
-      mp3: Option[(Seq[Array[Byte]], Int, Int)] = None): Array[Byte] = {
+      mp3: Option[(Seq[Array[Byte]], Int, Int)] = None,
+      tags: Seq[(String, String)] = Seq.empty): Array[Byte] = {
     require(frames.nonEmpty || audio.isDefined || mp3.isDefined,
       "empty MP4: no video frames and no audio")
     require(frames.isEmpty || fps > 0, s"bad fps $fps")
@@ -629,7 +706,9 @@ object Mp4 {
       box("trak", tkhd, mdia)
     }
 
-    val moov = box("moov", (mvhd +: traks): _*)
+    val moov = box("moov",
+      ((mvhd +: traks) ++
+        (if (tags.isEmpty) Seq.empty else Seq(udtaBox(tags)))): _*)
     ftyp ++ mdat ++ moov
   }
 

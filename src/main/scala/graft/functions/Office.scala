@@ -385,8 +385,26 @@ object Office {
     val head = text.take(2048).toLowerCase
     if (head.contains("<html") || head.contains("<!doctype html"))
       Html.htmlToText(text)
+    else if (isSubtitle(text))
+      // captions → transcript: cue text with presentation markup
+      // stripped, one line per cue (the caption-as-document shape the
+      // curation pipeline consumes)
+      Subtitles.parse(text)
+        .map(c => Subtitles.stripMarkup(c.text)).filter(_.nonEmpty)
+        .mkString("\n")
     else text
   }
+
+  /** WebVTT (header magic) or SRT (cue number + clock line shape). */
+  private def isSubtitle(text: String): Boolean = {
+    val head = text.stripPrefix("﻿").linesIterator
+      .map(_.trim).filter(_.nonEmpty).take(2).toSeq
+    head.headOption.exists(_.startsWith("WEBVTT")) ||
+      (head.length == 2 && head.head.forall(_.isDigit) &&
+        SrtClockLine.findFirstIn(head(1)).isDefined)
+  }
+  private val SrtClockLine =
+    """^\d{1,3}:\d{2}:\d{2},\d{3}\s*-->\s*\d{1,3}:\d{2}:\d{2},\d{3}""".r
 
   val documentText = org.apache.spark.sql.functions.udf {
     (bytes: Array[Byte]) => documentToText(bytes)

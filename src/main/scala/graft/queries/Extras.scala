@@ -2737,6 +2737,58 @@ object Extras {
              |  TRUE AS rt_ok, TRUE AS clean_ok
              |FROM built ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q172_media_tags",
+      (s, dir) => {
+        // Media tags in the oracle gate (the ffprobe-format-tags dict
+        // the reference's get_metadata surfaces): per doc, an MP4 muxed
+        // with iTunes-style `udta/meta/ilst` atoms and an MP3 with an
+        // ID3v2.3 tag — both derived from the doc's own tokens — read
+        // back through the content-sniffed `mediaTags` surface; tag
+        // presence does not disturb demux (frame counts still parse).
+        import graft.functions.{Audio, Avi, Mp3, Mp4, Video}
+        val mkMp4Tagged = udf { (title: String, artist: String, trk: Int) =>
+          val frames = Avi.readFrames(Video.makeTestVideo(1, 16, 12, 0x336699, 10))
+          Mp4.write(frames, 16, 12, 10, tags = Seq(
+            "title" -> title, "artist" -> artist, "track" -> s"$trk/12"))
+        }
+        val mkMp3Tagged = udf { (title: String, album: String, nf: Int) =>
+          Mp3.writeId3v2(Seq("title" -> title, "album" -> album)) ++
+            Mp3.writeTestStream(Seq.fill(nf)(100))
+        }
+        val nMp3Frames = udf { (b: Array[Byte]) => Mp3.frames(b).length }
+        val toks = split(trim(col("text")), "\\s+")
+        val trk = (col("doc_id") % 9 + 1).cast("int")
+        val nf = (col("doc_id") % 4 + 1).cast("int")
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("v", mkMp4Tagged(
+            element_at(toks, 1), element_at(toks, 2), trk))
+          .withColumn("a", mkMp3Tagged(
+            element_at(toks, 3), element_at(toks, 4), nf))
+          .withColumn("vt", Audio.mediaTags(col("v")))
+          .withColumn("at", Audio.mediaTags(col("a")))
+          .select(col("doc_id"),
+            element_at(col("vt"), "title").as("mp4_title"),
+            element_at(col("vt"), "artist").as("mp4_artist"),
+            element_at(col("vt"), "track").as("mp4_track"),
+            element_at(col("at"), "title").as("mp3_title"),
+            element_at(col("at"), "album").as("mp3_album"),
+            nMp3Frames(col("a")).cast("long").as("mp3_frames"),
+            Video.frameCount(col("v")).cast("long").as("mp4_frames"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id,
+             |  toks[1] AS mp4_title, toks[2] AS mp4_artist,
+             |  printf('%d/12', doc_id % 9 + 1) AS mp4_track,
+             |  toks[3] AS mp3_title, toks[4] AS mp3_album,
+             |  (doc_id % 4 + 1)::BIGINT AS mp3_frames,
+             |  1::BIGINT AS mp4_frames
+             |FROM (SELECT doc_id,
+             |        string_split_regex(trim(text), '\s+') AS toks
+             |      FROM documents WHERE doc_id < 40)
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
