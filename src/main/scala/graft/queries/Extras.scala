@@ -2789,6 +2789,73 @@ object Extras {
              |      FROM documents WHERE doc_id < 40)
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q173_container_meta",
+      (s, dir) => {
+        // get_metadata parity (reference `functions/util.py:40-110`
+        // ContainerMetadata/StreamMetadata): per doc, the sniffed
+        // containerMetadata struct over an MP4 (tagged, video+audio), a
+        // WAV and an MP3 — per-stream type/codec/geometry/frame counts
+        // and the container tag dict, all closed forms of doc_id.
+        import graft.functions.{Audio, Avi, Mp3, Mp4, Multimedia, Video}
+        val mkMp4 = udf { (n: Int, nSamples: Int, title: String) =>
+          val frames = Avi.readFrames(Video.makeTestVideo(n, 16, 12, 0x336699, 10))
+          val samples = Array.tabulate(nSamples)(i => (i % 100).toShort)
+          Mp4.write(frames, 16, 12, 10, Some((samples, 8000)),
+            tags = Seq("title" -> title))
+        }
+        val mkWav = udf { (n: Int) =>
+          Audio.encodeWav(Array.tabulate(n)(i => (i % 40).toShort), 1000f)
+        }
+        val mkMp3 = udf { (nf: Int) => Mp3.writeTestStream(Seq.fill(nf)(100)) }
+        val n = (col("doc_id") % 5 + 2).cast("int")
+        val ns = ((col("doc_id") % 4 + 1) * 800).cast("int")
+        val nw = ((col("doc_id") % 4 + 1) * 500).cast("int")
+        val nf = (col("doc_id") % 3 + 2).cast("int")
+        val toks = split(trim(col("text")), "\\s+")
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("vm", Multimedia.containerMetadata(
+            mkMp4(n, ns, element_at(toks, 1))))
+          .withColumn("wm", Multimedia.containerMetadata(mkWav(nw)))
+          .withColumn("am", Multimedia.containerMetadata(mkMp3(nf)))
+          .select(col("doc_id"),
+            col("vm.format").as("mp4_fmt"),
+            size(col("vm.streams")).cast("long").as("mp4_n_streams"),
+            col("vm.streams")(0)("type").as("s0_type"),
+            col("vm.streams")(0)("frames").cast("long").as("v_frames"),
+            col("vm.streams")(0)("width").cast("long").as("v_w"),
+            col("vm.streams")(0)("average_rate").as("v_rate"),
+            col("vm.streams")(0)("duration_seconds").as("v_dur"),
+            col("vm.streams")(1)("frames").cast("long").as("a_frames"),
+            col("vm.streams")(1)("codec_context")("sample_rate")
+              .cast("long").as("a_rate"),
+            element_at(col("vm.metadata"), "title").as("mp4_title"),
+            col("wm.streams")(0)("codec_context")("name").as("wav_codec"),
+            col("wm.streams")(0)("frames").cast("long").as("wav_frames"),
+            col("wm.streams")(0)("duration_seconds").as("wav_dur"),
+            col("am.streams")(0)("codec_context")("name").as("mp3_codec"),
+            col("am.streams")(0)("frames").cast("long").as("mp3_frames"),
+            col("am.streams")(0)("duration").cast("long").as("mp3_samples"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id, 'MP4' AS mp4_fmt, 2::BIGINT AS mp4_n_streams,
+             |  'video' AS s0_type,
+             |  (doc_id % 5 + 2)::BIGINT AS v_frames, 16::BIGINT AS v_w,
+             |  10.0::DOUBLE AS v_rate,
+             |  (doc_id % 5 + 2)::DOUBLE / 10.0 AS v_dur,
+             |  ((doc_id % 4 + 1) * 800)::BIGINT AS a_frames,
+             |  8000::BIGINT AS a_rate,
+             |  list_extract(string_split_regex(trim(text), '\s+'), 1)
+             |    AS mp4_title,
+             |  'pcm_s16le' AS wav_codec,
+             |  ((doc_id % 4 + 1) * 500)::BIGINT AS wav_frames,
+             |  ((doc_id % 4 + 1) * 500)::DOUBLE / 1000.0 AS wav_dur,
+             |  'mp3_l3' AS mp3_codec, (doc_id % 3 + 2)::BIGINT AS mp3_frames,
+             |  ((doc_id % 3 + 2) * 1152)::BIGINT AS mp3_samples
+             |FROM documents WHERE doc_id < 40
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
