@@ -125,6 +125,9 @@ object Mp4 {
     case "ac-3" => "ac3"
     case "Opus" => "opus"
     case "fLaC" => "flac"
+    case "wvtt" => "webvtt"
+    case "tx3g" => "mov_text"
+    case "stpp" => "ttml"
     case "mp4v" => oti match {
       case 0x6C => "jpeg"
       case 0x20 => "mpeg4"
@@ -329,7 +332,8 @@ object Mp4 {
         val ch = b.getShort(entF + 16) & 0xffff
         val sr = b.getInt(entF + 24) >>> 16
         (ch, sr, entF + 28)
-      } else (0, 0, entF + 78)
+      } else if (handler == "vide") (0, 0, entF + 78)
+      else (0, 0, entF + 8) // plain sample entry (text/subtitle tracks)
     val oti =
       if (childBoxFrom < entU)
         child(b, childBoxFrom, entU, "esds")
@@ -552,6 +556,38 @@ object Mp4 {
     parseTracks(bytes).find(t => t.handler == "soun" && t.codec != "pcm")
       .map(t => (t.codec, samplesOf(bytes, t).toArray.flatten))
 
+  /** Cues of the first WebVTT subtitle track (ISO 14496-30: `wvtt`
+    * sample entry; each sample is a `vttc(payl)` cue box or a `vtte`
+    * empty-gap box, timed by the stts deltas). Returns
+    * (start_s, end_s, text) in timeline order; no such track → empty.
+    */
+  def readSubtitles(bytes: Array[Byte]): Seq[(Double, Double, String)] = {
+    val track = parseTracks(bytes).find(t =>
+      Set("text", "sbtl", "subt")(t.handler) && t.codec == "webvtt")
+      .getOrElse(return Seq.empty)
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val ts = math.max(1L, track.timescale).toDouble
+    val out = Seq.newBuilder[(Double, Double, String)]
+    var time = 0L
+    var i = 0
+    while (i < track.nSamples) {
+      val off = track.sampleOffsets(i).toInt
+      val delta = if (i < track.sampleDeltas.length) track.sampleDeltas(i) else 0
+      boxes(b, off, off + track.sampleSizes(i)).foreach {
+        case ("vttc", f, u) =>
+          child(b, f, u, "payl").foreach { case (pf, pu) =>
+            val text = new String(bytes, pf, pu - pf,
+              java.nio.charset.StandardCharsets.UTF_8)
+            out += ((time / ts, (time + delta) / ts, text))
+          }
+        case _ => () // vtte gaps and foreign boxes
+      }
+      time += delta
+      i += 1
+    }
+    out.result()
+  }
+
   // -------------------------------------------------------------- muxer
 
   private def u32(i: Long): Array[Byte] =
@@ -585,12 +621,16 @@ object Mp4 {
 
   /** Assemble an MP4: MJPEG frames (all `w`×`h` at `fps`) and/or a
     * PCM-16 mono track and/or an MP3 track (one MPEG frame per sample,
-    * `mp3SamplesPerFrame` media samples each at `mp3Rate`).
+    * `mp3SamplesPerFrame` media samples each at `mp3Rate`) and/or a
+    * WebVTT subtitle track (ISO 14496-30 — (start_s, end_s, text) cues
+    * become `vttc(payl)` samples with `vtte` gap fillers on a 1 kHz
+    * timescale).
     */
   def write(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int,
       audio: Option[(Array[Short], Int)] = None,
       mp3: Option[(Seq[Array[Byte]], Int, Int)] = None,
-      tags: Seq[(String, String)] = Seq.empty): Array[Byte] = {
+      tags: Seq[(String, String)] = Seq.empty,
+      subtitles: Seq[(Double, Double, String)] = Seq.empty): Array[Byte] = {
     require(frames.nonEmpty || audio.isDefined || mp3.isDefined,
       "empty MP4: no video frames and no audio")
     require(frames.isEmpty || fps > 0, s"bad fps $fps")
@@ -634,7 +674,35 @@ object Mp4 {
         Seq((mpegFrames.length, samplesPerFrame)),
         Right(mpegFrames.map(_.length)), 0, 0)
     }
-    val tracks = Seq(videoTrack, pcmTrack, mp3Track).flatten
+    val textTrack = if (subtitles.isEmpty) None else Some {
+      val sorted = subtitles.sortBy(_._1)
+      val entry = box("wvtt",
+        Array.fill[Byte](6)(0), u16(1), // reserved + data_reference_index
+        box("vttC", "WEBVTT".getBytes("UTF-8")))
+      val data = new ByteArrayOutputStream()
+      val runs = Seq.newBuilder[(Int, Int)]
+      val sizes = Seq.newBuilder[Int]
+      var t = 0L
+      sorted.foreach { case (s, e, text) =>
+        val sMs = math.round(s * 1000.0)
+        val eMs = math.round(e * 1000.0)
+        require(eMs > sMs, s"empty cue [$s,$e)")
+        require(sMs >= t, s"overlapping cue at ${s}s")
+        if (sMs > t) { // gap: one empty vtte sample
+          val gap = box("vtte")
+          data.write(gap); sizes += gap.length
+          runs += ((1, (sMs - t).toInt))
+        }
+        val cue = box("vttc", box("payl", text.getBytes("UTF-8")))
+        data.write(cue); sizes += cue.length
+        runs += ((1, (eMs - sMs).toInt))
+        t = eMs
+      }
+      val sz = sizes.result()
+      MuxTrack("text", entry, 1000L, data.toByteArray, sz.length,
+        runs.result(), Right(sz), 0, 0)
+    }
+    val tracks = Seq(videoTrack, pcmTrack, mp3Track, textTrack).flatten
 
     val ftyp = box("ftyp", "isom".getBytes, u32(0x200L),
       "isom".getBytes, "mp42".getBytes)
@@ -683,6 +751,7 @@ object Mp4 {
         u32(0), u32(0), u32(0), Array[Byte](0)) // empty name, NUL
       val smhd = fullBox("smhd", 0, 0, u16(0), u16(0))
       val vmhd = fullBox("vmhd", 0, 1, u16(0), u16(0), u16(0), u16(0))
+      val nmhd = fullBox("nmhd", 0, 0) // text/subtitle null media header
       val dinf = box("dinf", fullBox("dref", 0, 0, u32(1),
         fullBox("url ", 0, 1))) // self-contained
       val stsd = fullBox("stsd", 0, 0, u32(1), t.entry)
@@ -701,7 +770,9 @@ object Mp4 {
       val stco = fullBox("stco", 0, 0, u32(1), u32(chunkOffsets(ti)))
       val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
       val minf = box("minf",
-        (if (t.handler == "vide") vmhd else smhd), dinf, stbl)
+        (if (t.handler == "vide") vmhd
+         else if (t.handler == "soun") smhd
+         else nmhd), dinf, stbl)
       val mdia = box("mdia", mdhd, hdlr, minf)
       box("trak", tkhd, mdia)
     }

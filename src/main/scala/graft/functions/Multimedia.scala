@@ -58,7 +58,8 @@ object Multimedia {
       val kind = t.handler match {
         case "vide" => "video"
         case "soun" => "audio"
-        case other => other.trim // text/subt/meta tracks keep their handler
+        case "text" | "sbtl" | "subt" => "subtitle"
+        case other => other.trim // meta/hint tracks keep their handler
       }
       StreamMeta(kind,
         duration = Some(t.mediaDuration),

@@ -264,6 +264,25 @@ object Video {
       math.max(meta.fps.round.toInt, 1), readAudioAny(v), framesPerFragment)
   }
 
+  /** WebVTT subtitle track of an MP4 as (start, end, text) cue structs
+    * (ISO 14496-30 `wvtt` samples; the reference surfaces/copies
+    * subtitle streams — `utils/av.py:289`). AVI/absent track → empty.
+    */
+  val extractSubtitles = udf { (v: Array[Byte]) =>
+    if (Mp4.isMp4(v)) Mp4.readSubtitles(v) else Seq.empty[(Double, Double, String)]
+  }
+
+  /** Re-mux with a WebVTT subtitle track added from cue structs
+    * (`array<struct<start double, end double, text string>>`).
+    */
+  val muxSubtitles = udf { (v: Array[Byte], cues: Seq[org.apache.spark.sql.Row]) =>
+    val meta = readMetaAny(v)
+    Mp4.write(readFramesAny(v), meta.width, meta.height,
+      math.max(meta.fps.round.toInt, 1), readAudioAny(v),
+      subtitles = cues.map(r =>
+        (r.getDouble(0), r.getDouble(1), r.getString(2))))
+  }
+
   /** Transcode to MJPEG-AVI (the inverse re-mux). */
   val toAvi = udf { (v: Array[Byte]) =>
     val meta = readMetaAny(v)

@@ -2856,6 +2856,62 @@ object Extras {
              |FROM documents WHERE doc_id < 40
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q174_mp4_subtitles",
+      (s, dir) => {
+        // WebVTT-in-MP4 subtitle tracks (ISO 14496-30) in the oracle
+        // gate: per doc, id-derived cues over the doc's own tokens mux
+        // into an MP4 text track alongside the video, extract back
+        // through the sniffed surface, and flow into the caption
+        // pipeline (markup-free transcript). Cue clocks sit on a ms
+        // grid, so every output is a closed form the oracle recomputes.
+        import graft.functions.{Multimedia, Subtitles, Video}
+        val k = (col("doc_id") % 6 + 4).cast("int") // 4..9 cues
+        val toks = split(trim(col("text")), "\\s+")
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("toks", slice(toks, lit(1), k))
+          .withColumn("cues", expr(
+            """transform(sequence(0, size(toks) - 1),
+              |  i -> struct(cast(i * 0.25 as double) as start,
+              |              cast(i * 0.25 + 0.2 as double) as end,
+              |              element_at(toks, i + 1) as text))""".stripMargin))
+          .withColumn("v", Video.muxSubtitles(
+            Video.makeTestVideoUdf(lit(2), lit(16), lit(12),
+              lit(0x336699), lit(4)), col("cues")))
+          .withColumn("back", Video.extractSubtitles(col("v")))
+          .withColumn("cm", Multimedia.containerMetadata(col("v")))
+          .select(col("doc_id"),
+            size(col("back")).cast("long").as("n_cues"),
+            element_at(col("back"), 1)("_3").as("first_text"),
+            round(element_at(col("back"), -1)("_2") * 1000)
+              .cast("long").as("last_end_ms"),
+            expr("""transform(back,
+                   |  b -> named_struct('s', round(b._1 * 1000),
+                   |                    'e', round(b._2 * 1000),
+                   |                    't', b._3)) =
+                   |transform(cues,
+                   |  c -> named_struct('s', round(c.start * 1000),
+                   |                    'e', round(c.end * 1000),
+                   |                    't', c.text))""".stripMargin)
+              .as("rt_ok"),
+            col("cm.streams")(1)("type").as("s1_type"),
+            col("cm.streams")(1)("codec_context")("name").as("s1_codec"),
+            col("cm.streams")(0)("frames").cast("long").as("v_frames"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |    list_slice(string_split_regex(trim(text), '\s+'),
+             |      1, doc_id % 6 + 4) AS toks
+             |  FROM documents WHERE doc_id < 50)
+             |SELECT doc_id, len(toks)::BIGINT AS n_cues,
+             |  toks[1] AS first_text,
+             |  ((len(toks) - 1) * 250 + 200)::BIGINT AS last_end_ms,
+             |  TRUE AS rt_ok, 'subtitle' AS s1_type,
+             |  'webvtt' AS s1_codec, 2::BIGINT AS v_frames
+             |FROM c ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
