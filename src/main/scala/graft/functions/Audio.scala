@@ -90,6 +90,11 @@ object Audio {
     decodePcm(bytes)._2.foldLeft(0L)(_ + _)
   }
 
+  /** Decoded PCM-16 sample count (clip-length proof column). */
+  val sampleCount = udf { (bytes: Array[Byte]) =>
+    decodePcm(bytes)._2.length.toLong
+  }
+
   /** RMS sample difference between two decodable payloads (lossy-codec
     * round-trip quality metric; deterministic integer decode, so stable).
     */

@@ -556,14 +556,17 @@ object Mp4 {
     parseTracks(bytes).find(t => t.handler == "soun" && t.codec != "pcm")
       .map(t => (t.codec, samplesOf(bytes, t).toArray.flatten))
 
-  /** Cues of the first WebVTT subtitle track (ISO 14496-30: `wvtt`
-    * sample entry; each sample is a `vttc(payl)` cue box or a `vtte`
-    * empty-gap box, timed by the stts deltas). Returns
-    * (start_s, end_s, text) in timeline order; no such track → empty.
+  /** Cues of the first subtitle track — WebVTT (ISO 14496-30: `wvtt`
+    * entry; each sample is a `vttc(payl)` cue box or a `vtte` gap box)
+    * or QuickTime/iTunes `tx3g` mov_text (each sample is a 16-bit text
+    * length + UTF-8 text; empty text = gap), timed by the stts deltas.
+    * Returns (start_s, end_s, text) in timeline order; no subtitle
+    * track → empty.
     */
   def readSubtitles(bytes: Array[Byte]): Seq[(Double, Double, String)] = {
     val track = parseTracks(bytes).find(t =>
-      Set("text", "sbtl", "subt")(t.handler) && t.codec == "webvtt")
+      Set("text", "sbtl", "subt")(t.handler) &&
+        Set("webvtt", "mov_text")(t.codec))
       .getOrElse(return Seq.empty)
     val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
     val ts = math.max(1L, track.timescale).toDouble
@@ -572,20 +575,63 @@ object Mp4 {
     var i = 0
     while (i < track.nSamples) {
       val off = track.sampleOffsets(i).toInt
+      val sz = track.sampleSizes(i)
       val delta = if (i < track.sampleDeltas.length) track.sampleDeltas(i) else 0
-      boxes(b, off, off + track.sampleSizes(i)).foreach {
-        case ("vttc", f, u) =>
-          child(b, f, u, "payl").foreach { case (pf, pu) =>
-            val text = new String(bytes, pf, pu - pf,
-              java.nio.charset.StandardCharsets.UTF_8)
-            out += ((time / ts, (time + delta) / ts, text))
-          }
-        case _ => () // vtte gaps and foreign boxes
+      if (track.codec == "webvtt") {
+        boxes(b, off, off + sz).foreach {
+          case ("vttc", f, u) =>
+            child(b, f, u, "payl").foreach { case (pf, pu) =>
+              val text = new String(bytes, pf, pu - pf,
+                java.nio.charset.StandardCharsets.UTF_8)
+              out += ((time / ts, (time + delta) / ts, text))
+            }
+          case _ => () // vtte gaps and foreign boxes
+        }
+      } else if (sz >= 2) { // mov_text: u16 length + UTF-8 (+ style boxes)
+        val len = math.min(b.getShort(off) & 0xffff, sz - 2)
+        if (len > 0) {
+          val text = new String(bytes, off + 2, len,
+            java.nio.charset.StandardCharsets.UTF_8)
+          out += ((time / ts, (time + delta) / ts, text))
+        }
       }
       time += delta
       i += 1
     }
     out.result()
+  }
+
+  /** One `sidx` segment reference: byte size of the referenced
+    * (moof+mdat) span, its duration in seconds, and whether it starts
+    * with a stream access point.
+    */
+  final case class SegmentRef(sizeBytes: Long, durationS: Double,
+      startsWithSap: Boolean)
+
+  /** The `sidx` segment index of a fragmented file (ISO 14496-12
+    * §8.16.3) — the byte-range map DASH players (and a 100 TB range-read
+    * planner) use to fetch one media segment without scanning the file.
+    * Empty when the file carries no sidx.
+    */
+  def segmentIndex(bytes: Array[Byte]): Seq[SegmentRef] = {
+    require(isMp4(bytes), "not an ISO-BMFF (MP4) payload")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    boxes(b, 0, bytes.length).collectFirst { case ("sidx", f, u) =>
+      val version = fullBoxVersion(b, f)
+      val timescale = b.getInt(f + 8).toLong & 0xffffffffL
+      // earliest_presentation_time + first_offset: 32-bit (v0) / 64-bit
+      val refsAt = f + (if (version == 0) 20 else 28) + 4
+      val n = b.getShort(refsAt - 2) & 0xffff
+      (0 until n).map { i =>
+        val at = refsAt + i * 12
+        val sizeWord = b.getInt(at)
+        val dur = b.getInt(at + 4).toLong & 0xffffffffL
+        val sap = b.getInt(at + 8)
+        SegmentRef(sizeWord & 0x7fffffffL,
+          if (timescale > 0) dur.toDouble / timescale else 0.0,
+          (sap >>> 31) == 1)
+      }
+    }.getOrElse(Seq.empty)
   }
 
   // -------------------------------------------------------------- muxer
@@ -870,9 +916,10 @@ object Mp4 {
     val moov = box("moov",
       (mvhd +: traks :+ box("mvex", trex: _*)): _*)
 
-    // fragments: video frames [i, i+k) + the matching PCM slice
-    val out = new ByteArrayOutputStream()
-    out.write(ftyp); out.write(moov)
+    // fragments: video frames [i, i+k) + the matching PCM slice.
+    // Accumulated first so the sidx segment index (byte-range map for
+    // DASH-style range reads) can be emitted BEFORE the first moof.
+    val segments = Seq.newBuilder[(Array[Byte], Int)] // (moof+mdat, frames)
     val nFrags = (frames.length + framesPerFragment - 1) / framesPerFragment
     var seq = 1
     var frame = 0
@@ -930,14 +977,31 @@ object Mp4 {
           .asShortBuffer().put(pcmSlice)
         mdat.write(raw)
       }
-      out.write(moof)
-      out.write(box("mdat", mdat.toByteArray))
+      segments += ((moof ++ box("mdat", mdat.toByteArray), fragFrames.length))
 
       frame += fragFrames.length
       pcmPos = pcmNext
       seq += 1
     }
     require(seq - 1 == nFrags, s"fragment count drifted: ${seq - 1} vs $nFrags")
+    val segs = segments.result()
+
+    // sidx over the video timescale: one reference per fragment,
+    // first_offset 0 (the index sits immediately before the first moof)
+    val sidx = fullBox("sidx", 0, 0,
+      (Seq(
+        u32(1), u32(fps.toLong), // reference_ID (video), timescale
+        u32(0), u32(0), // earliest_presentation_time, first_offset
+        u16(0), u16(segs.length)) ++ // reserved, reference_count
+        segs.flatMap { case (seg, nf) => Seq(
+          u32(seg.length.toLong & 0x7fffffffL), // type 0 (media) + size
+          u32(nf.toLong), // subsegment_duration (delta 1 per frame)
+          u32(0x90000000L)) // starts_with_SAP, SAP type 1
+        }): _*)
+
+    val out = new ByteArrayOutputStream()
+    out.write(ftyp); out.write(moov); out.write(sidx)
+    segs.foreach { case (seg, _) => out.write(seg) }
     out.toByteArray
   }
 }

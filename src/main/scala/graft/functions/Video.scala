@@ -330,6 +330,40 @@ object Video {
       math.max(meta.fps.round.toInt, 1))
   }
 
+  /** Time-range clip that KEEPS every stream (the reference clips with
+    * stream copy — video + audio + subtitles survive, `utils/av.py:289`):
+    * video frames in [startSec, endSec), the PCM slice, and subtitle
+    * cues intersected with the range and re-based to 0. MP4 in, MP4 out.
+    */
+  val clipMp4 = udf { (v: Array[Byte], startSec: Double, endSec: Double) =>
+    clipMp4Bytes(v, startSec, endSec)
+  }
+
+  private[graft] def clipMp4Bytes(v: Array[Byte], startSec: Double,
+      endSec: Double): Array[Byte] = {
+    require(endSec > startSec, s"empty clip [$startSec, $endSec)")
+    val meta = readMetaAny(v)
+    val fps = math.max(meta.fps.round.toInt, 1)
+    val fs = readFramesAny(v)
+    val lo = math.max(math.round(startSec * fps).toInt, 0)
+    val hi = math.min(math.round(endSec * fps).toInt, fs.length)
+    require(lo < hi, s"clip [$startSec, $endSec) holds no frames at $fps fps")
+    val audio = readAudioAny(v).map { case (samples, rate) =>
+      val a = math.max(math.round(startSec * rate).toInt, 0)
+      val b = math.min(math.round(endSec * rate).toInt, samples.length)
+      (samples.slice(a, b), rate)
+    }.filter(_._1.nonEmpty)
+    val subs =
+      (if (Mp4.isMp4(v)) Mp4.readSubtitles(v) else Seq.empty)
+        .filter { case (s, e, _) => e > startSec && s < endSec }
+        .map { case (s, e, text) =>
+          (math.max(s, startSec) - startSec,
+            math.min(e, endSec) - startSec, text)
+        }
+    Mp4.write(fs.slice(lo, hi), meta.width, meta.height, fps, audio,
+      subtitles = subs)
+  } // clipMp4Bytes
+
   /** make_video UDA (reference `functions/video/__init__.py` make_video,
     * an order-sensitive aggregate): collect (pos, jpegFrame) pairs and
     * assemble them into one MJPEG-AVI. Position metadata makes it

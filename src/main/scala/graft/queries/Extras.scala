@@ -2912,6 +2912,54 @@ object Extras {
              |  'webvtt' AS s1_codec, 2::BIGINT AS v_frames
              |FROM c ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q175_clip_streams",
+      (s, dir) => {
+        // Stream-preserving clip in the oracle gate (the reference clips
+        // with stream COPY — `utils/av.py:289`): per doc, an MP4 with
+        // video+PCM+subtitles clips to [0.5 s, 1.75 s); the clip keeps
+        // the frame range, the sample-exact audio slice, and the cue set
+        // intersected + re-based to zero — every output a closed form.
+        import graft.functions.{Audio, Avi, Mp4, Video}
+        val k = (col("doc_id") % 6 + 4).cast("int")
+        val toks = split(trim(col("text")), "\\s+")
+        val mkFull = udf { (k: Int, words: Seq[String]) =>
+          val frames = Avi.readFrames(Video.makeTestVideo(4, 16, 12, 0x336699, 2))
+          val samples = Array.tabulate(1600)(i => (i % 100).toShort)
+          val cues = (0 until math.min(k, words.length)).map(i =>
+            (i * 0.25, i * 0.25 + 0.2, words(i)))
+          Mp4.write(frames, 16, 12, 2, Some((samples, 800)),
+            subtitles = cues)
+        }
+        val clipped = udf { (v: Array[Byte]) =>
+          Video.clipMp4Bytes(v, 0.5, 1.75)
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("toks", slice(toks, lit(1), k))
+          .withColumn("c", clipped(mkFull(k, col("toks"))))
+          .withColumn("subs", Video.extractSubtitles(col("c")))
+          .select(col("doc_id"),
+            Video.frameCount(col("c")).cast("long").as("n_frames"),
+            Audio.sampleCount(Video.extractAudio(col("c")))
+              .cast("long").as("a_len"),
+            size(col("subs")).cast("long").as("n_cues"),
+            element_at(col("subs"), 1)("_3").as("first_text"),
+            round(element_at(col("subs"), 1)("_1") * 1000)
+              .cast("long").as("first_start_ms"),
+            round(element_at(col("subs"), -1)("_2") * 1000)
+              .cast("long").as("last_end_ms"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id, 3::BIGINT AS n_frames, 1000::BIGINT AS a_len,
+             |  (least(doc_id % 6 + 4, 7) - 2)::BIGINT AS n_cues,
+             |  list_extract(string_split_regex(trim(text), '\s+'), 3)
+             |    AS first_text,
+             |  0::BIGINT AS first_start_ms,
+             |  (least(doc_id % 6 + 3, 6) * 250 - 300)::BIGINT AS last_end_ms
+             |FROM documents WHERE doc_id < 50
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
