@@ -112,6 +112,12 @@ object Mp4 {
 
   private def fullBoxVersion(b: ByteBuffer, from: Int): Int = b.get(from) & 0xff
 
+  /** Upper bound on any expanded sample count — far above real files
+    * (100M+ samples) but small enough that a corrupt count field fails
+    * fast instead of driving an uncatchable multi-GB allocation.
+    */
+  private val MaxSamples = 1 << 27
+
   /** map a sample-entry fourcc (+ optional esds OTI) to a codec name */
   private def codecName(entry: String, oti: Int): String = entry match {
     case "avc1" | "avc3" => "h264"
@@ -254,9 +260,16 @@ object Mp4 {
           else moofStart                                      // first traf default
         }
         var cursor = baseDataOffset
-        children(b, trafF, trafU, "trun").foreach { case (trunF, _) =>
+        children(b, trafF, trafU, "trun").foreach { case (trunF, trunU) =>
           val trFlags = b.getInt(trunF) & 0xffffff
           val n = b.getInt(trunF + 4)
+          // corrupt-count guard: per-sample fields must fit in the box
+          // (4 bytes/field; an all-defaults trun is bounded separately)
+          val perSample = Seq(0x100, 0x200, 0x400, 0x800)
+            .count(f => (trFlags & f) != 0) * 4
+          require(n >= 0 && n <= MaxSamples &&
+            (perSample == 0 || 8L + n.toLong * perSample <= trunU - trunF),
+            s"corrupt trun: $n samples in ${trunU - trunF} bytes")
           var q = trunF + 8
           if ((trFlags & 0x01) != 0) { cursor = baseDataOffset + b.getInt(q); q += 4 }
           if ((trFlags & 0x04) != 0) q += 4 // first_sample_flags
@@ -341,11 +354,29 @@ object Mp4 {
       else 0
     val codec = codecName(entryTyp, oti)
 
+    // Corrupt-input guard for every count-prefixed table below: a
+    // flipped byte in a count field must fail fast, not drive a
+    // multi-GB allocation (OOM is not catchable) — each count must be
+    // JUSTIFIED by the bytes that follow it, and expanded run totals
+    // are capped.
+    def sane(n: Int, f: Int, u: Int, bytesPer: Int, header: Int): Int = {
+      require(n >= 0 && header + n.toLong * bytesPer <= u - f,
+        s"corrupt sample table: $n entries in ${u - f} bytes")
+      n
+    }
+
     // sample timing: stts runs → per-sample deltas
-    val deltas: Array[Int] = child(b, stblF, stblU, "stts").map { case (f, _) =>
-      val n = b.getInt(f + 4)
-      val out = Array.newBuilder[Int]
+    val deltas: Array[Int] = child(b, stblF, stblU, "stts").map { case (f, u) =>
+      val n = sane(b.getInt(f + 4), f, u, 8, 8)
+      var total = 0L
       var i = 0
+      while (i < n) {
+        total += math.max(b.getInt(f + 8 + i * 8), 0); i += 1
+      }
+      require(total <= MaxSamples, s"corrupt stts: $total samples")
+      val out = Array.newBuilder[Int]
+      out.sizeHint(total.toInt)
+      i = 0
       while (i < n) {
         val count = b.getInt(f + 8 + i * 8)
         val delta = b.getInt(f + 12 + i * 8)
@@ -357,20 +388,25 @@ object Mp4 {
     }.getOrElse(Array.empty)
 
     // sample sizes: stsz (uniform or per-sample)
-    val sizes: Array[Int] = child(b, stblF, stblU, "stsz").map { case (f, _) =>
+    val sizes: Array[Int] = child(b, stblF, stblU, "stsz").map { case (f, u) =>
       val uniform = b.getInt(f + 4)
       val n = b.getInt(f + 8)
-      if (uniform != 0) Array.fill(n)(uniform)
-      else Array.tabulate(n)(i => b.getInt(f + 12 + i * 4))
+      if (uniform != 0) {
+        require(n >= 0 && n <= MaxSamples, s"corrupt stsz: $n samples")
+        Array.fill(n)(uniform)
+      } else {
+        sane(n, f, u, 4, 12)
+        Array.tabulate(n)(i => b.getInt(f + 12 + i * 4))
+      }
     }.getOrElse(Array.empty)
 
     // chunk offsets: stco (u32) or co64 (u64)
     val chunkOffsets: Array[Long] =
-      child(b, stblF, stblU, "stco").map { case (f, _) =>
-        val n = b.getInt(f + 4)
+      child(b, stblF, stblU, "stco").map { case (f, u) =>
+        val n = sane(b.getInt(f + 4), f, u, 4, 8)
         Array.tabulate(n)(i => b.getInt(f + 8 + i * 4).toLong & 0xffffffffL)
-      }.orElse(child(b, stblF, stblU, "co64").map { case (f, _) =>
-        val n = b.getInt(f + 4)
+      }.orElse(child(b, stblF, stblU, "co64").map { case (f, u) =>
+        val n = sane(b.getInt(f + 4), f, u, 8, 8)
         Array.tabulate(n)(i => b.getLong(f + 8 + i * 8))
       }).getOrElse(Array.empty)
 

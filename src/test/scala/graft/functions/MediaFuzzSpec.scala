@@ -69,6 +69,62 @@ class MediaFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupt inputs fail fast: truncations and bit flips never hang") {
+    val rnd = new scala.util.Random(55511)
+    def jpeg(): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 6,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val samples = Array.tabulate(800)(i => (i % 90).toShort)
+    val files = Seq(
+      Mp4.write(Seq(jpeg(), jpeg()), 8, 6, 2, Some((samples, 800)),
+        tags = Seq("title" -> "t"),
+        subtitles = Seq((0.0, 0.5, "cue"))),
+      Mp4.writeFragmented(Seq(jpeg(), jpeg(), jpeg()), 8, 6, 3,
+        Some((samples, 800)), framesPerFragment = 2))
+    def poke(f: => Any): Unit =
+      try { f; () } catch { case _: Exception => () } // graceful error is fine
+    files.foreach { v =>
+      // truncate at 60 random byte lengths (incl. mid-box boundaries)
+      for (_ <- 0 until 60) {
+        val cut = rnd.nextInt(v.length)
+        val t = v.take(cut)
+        poke(Mp4.parseTracks(t)); poke(Mp4.readMeta(t))
+        poke(Mp4.readFrames(t)); poke(Mp4.readAudio(t))
+        poke(Mp4.readTags(t)); poke(Mp4.readSubtitles(t))
+        poke(Mp4.segmentIndex(t))
+      }
+      // flip 60 random bytes in place
+      for (_ <- 0 until 60) {
+        val c = v.clone()
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        poke(Mp4.parseTracks(c)); poke(Mp4.readMeta(c))
+        poke(Mp4.readFrames(c)); poke(Mp4.readAudio(c))
+        poke(Mp4.readTags(c)); poke(Mp4.readSubtitles(c))
+        poke(Mp4.segmentIndex(c))
+      }
+    }
+    // subtitle parser on mangled documents
+    val srt = Subtitles.formatSrt(Seq((0.0, 1.0, "a"), (2.0, 3.0, "b")))
+    for (_ <- 0 until 120) {
+      val chars = srt.toCharArray
+      chars(rnd.nextInt(chars.length)) = (rnd.nextInt(94) + 33).toChar
+      poke(Subtitles.parse(new String(chars)))
+      poke(Subtitles.parse(new String(chars).take(rnd.nextInt(srt.length))))
+    }
+    // id3/ilst readers on mangled tag blocks
+    val mp3 = Mp3.writeId3v2(Seq("title" -> "x", "artist" -> "y")) ++
+      Mp3.writeTestStream(Seq(80))
+    for (_ <- 0 until 60) {
+      val c = mp3.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      poke(Mp3.readTags(c)); poke(Mp3.readMeta(c)); poke(Mp3.frames(c))
+    }
+  }
+
   test("100 random fragment shapes round-trip payloads and audio") {
     val rnd = new scala.util.Random(9917)
     def jpeg(seed: Int): Array[Byte] = {
