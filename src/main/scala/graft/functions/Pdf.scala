@@ -79,8 +79,18 @@ object Pdf {
       method: String = "rc4", userPwd: String = ""): Array[Byte] =
     writePdfImpl(pages, Seq("FlateDecode"), Some((method, userPwd)))
 
+  /** Fixture writer with embedded raster images: `images` maps 0-based
+    * page index → image payload (JPEG embeds as a DCTDecode passthrough
+    * XObject; anything ImageIO reads embeds as Flate-compressed
+    * DeviceRGB samples) — the twin `extractImages` round-trips against.
+    */
+  def writePdfWithImages(pages: Seq[String],
+      images: Map[Int, Array[Byte]]): Array[Byte] =
+    writePdfImpl(pages, Seq("FlateDecode"), None, images)
+
   private def writePdfImpl(pages: Seq[String], filters: Seq[String],
-      enc: Option[(String, String)]): Array[Byte] = {
+      enc: Option[(String, String)],
+      images: Map[Int, Array[Byte]] = Map.empty): Array[Byte] = {
     val objs = mutable.ArrayBuffer.empty[String] // 1-based object bodies
     def add(body: String): Int = { objs += body; objs.length }
     val filterEntry = filters match {
@@ -137,7 +147,41 @@ object Pdf {
       }
 
     val fontId = add("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    val pageIds = pages.map { text =>
+    val pageIds = pages.zipWithIndex.map { case (text, pageIdx) =>
+      // optional embedded image XObject for this page
+      val imageId = images.get(pageIdx).map { bytes =>
+        val isJpeg = bytes.length > 2 && (bytes(0) & 0xff) == 0xff &&
+          (bytes(1) & 0xff) == 0xd8
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        require(img != null, "unreadable image payload for embedding")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (filterName, payload) =
+          if (isJpeg) ("DCTDecode", bytes) // the stream IS the JPEG
+          else {
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val px = img.getRGB(x, y)
+                val at = (y * w + x) * 3
+                rgb(at) = ((px >> 16) & 0xff).toByte
+                rgb(at + 1) = ((px >> 8) & 0xff).toByte
+                rgb(at + 2) = (px & 0xff).toByte
+                x += 1
+              }
+              y += 1
+            }
+            ("FlateDecode", deflate(rgb))
+          }
+        val z = encryptStream(objs.length + 1, payload)
+        val id = add("<< /Type /XObject /Subtype /Image " +
+          s"/Width $w /Height $h /ColorSpace /DeviceRGB " +
+          s"/BitsPerComponent 8 /Filter /$filterName /Length ${z.length} >>" +
+          "\nstream\n" + new String(z, ISO_8859_1) + "\nendstream")
+        (id, w, h)
+      }
       val lines = text.split("\n", -1)
       val content = new StringBuilder("BT /F1 12 Tf 72 720 Td\n")
       lines.zipWithIndex.foreach { case (l, i) =>
@@ -145,12 +189,19 @@ object Pdf {
         content.append(literal(l)).append(" Tj\n")
       }
       content.append("ET")
+      imageId.foreach { case (_, w, h) =>
+        content.append(s"\nq $w 0 0 $h 72 ${400 - h} cm /Im0 Do Q")
+      }
       val raw = content.toString.getBytes(UTF_8)
       val z = encryptStream(objs.length + 1, encodeFilters(raw, filters))
       val cId = add(s"<< /Length ${z.length}$filterEntry >>" +
         "\nstream\n" + new String(z, ISO_8859_1) + "\nendstream")
+      val xobjEntry = imageId
+        .map { case (id, _, _) => s" /XObject << /Im0 $id 0 R >>" }
+        .getOrElse("")
       add("<< /Type /Page /MediaBox [0 0 612 792] " +
-        s"/Resources << /Font << /F1 $fontId 0 R >> >> /Contents $cId 0 R >>")
+        s"/Resources << /Font << /F1 $fontId 0 R >>$xobjEntry >> " +
+        s"/Contents $cId 0 R >>")
     }
     // group pages under inner /Pages nodes (exercises nested-tree walking)
     val groups = pageIds.grouped(8).toSeq
@@ -648,13 +699,13 @@ object Pdf {
     }
   }
 
-  private def decodedStream(o: Obj): Array[Byte] = {
-    val raw = o.stream.getOrElse(Array.emptyByteArray)
+  private def applyStreamFilters(raw: Array[Byte], filters: Seq[String],
+      dict: String): Array[Byte] = {
     def parm(name: String, dflt: Int): Int =
-      (name + """\s+(\d+)""").r.findFirstMatchIn(o.dict)
+      (name + """\s+(\d+)""").r.findFirstMatchIn(dict)
         .map(_.group(1).toInt).getOrElse(dflt)
     val earlyChange = parm("/EarlyChange", 1)
-    val decoded = streamFilters(o.dict).foldLeft(raw) { (data, f) =>
+    filters.foldLeft(raw) { (data, f) =>
       f match {
         case "FlateDecode" | "Fl" => inflate(data)
         case "LZWDecode" | "LZW" => lzwDecode(data, earlyChange)
@@ -665,6 +716,14 @@ object Pdf {
           s"unsupported stream filter /$other")
       }
     }
+  }
+
+  private def decodedStream(o: Obj): Array[Byte] = {
+    val raw = o.stream.getOrElse(Array.emptyByteArray)
+    def parm(name: String, dflt: Int): Int =
+      (name + """\s+(\d+)""").r.findFirstMatchIn(o.dict)
+        .map(_.group(1).toInt).getOrElse(dflt)
+    val decoded = applyStreamFilters(raw, streamFilters(o.dict), o.dict)
     applyPredictor(decoded, parm("/Predictor", 1), parm("/Columns", 1),
       parm("/Colors", 1), parm("/BitsPerComponent", 8))
   }
@@ -1215,6 +1274,95 @@ object Pdf {
   def extractPages(pdf: Array[Byte], password: String = ""): Seq[String] =
     pageContents(pdf, password).map(extractContentText)
 
+  // ---------------- embedded images ----------------
+
+  /** One embedded raster image: 1-based page, resource name, pixel
+    * geometry, and the extracted payload. `format` is `png` (raw
+    * Flate/LZW samples re-encoded losslessly), `jpeg` (DCTDecode
+    * passthrough — the stream IS the JPEG file), or the passthrough
+    * names `jpx`/`ccitt` for codecs whose decode is out of scope.
+    */
+  final case class PdfImage(page: Int, name: String, width: Int,
+      height: Int, format: String, data: Array[Byte])
+
+  /** Embedded images (XObject `/Subtype /Image`) of every page, document
+    * order — the reference's `elements=['image']` document-splitter
+    * surface restricted to EMBEDDED rasters (figure extraction). Full
+    * page RASTERIZATION (text+vector rendering to pixels) needs a PDF
+    * renderer and stays an explicit adjudication; embedded-image
+    * extraction is what a figure-mining pipeline needs and is exact.
+    */
+  def extractImages(pdf: Array[Byte],
+      password: String = ""): Seq[PdfImage] = {
+    val objs = parseObjects(pdf, password)
+    def iparm(dict: String, name: String): Int =
+      (name + """\s+(\d+)""").r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).getOrElse(0)
+    val out = mutable.ArrayBuffer.empty[PdfImage]
+    pageOrder(objs).zipWithIndex.foreach { case (p, pi) =>
+      val pageDict = objs(p).dict
+      val res = """/Resources\s+(\d+)\s+\d+\s+R""".r
+        .findFirstMatchIn(pageDict)
+        .flatMap(m => objs.get(m.group(1).toInt).map(_.dict))
+        .getOrElse(pageDict)
+      val xobjs = """/XObject\s*<<([^>]*)>>""".r.findFirstMatchIn(res)
+        .map(_.group(1)).getOrElse("")
+      """/(\w+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(xobjs).foreach { m =>
+        objs.get(m.group(2).toInt)
+          .filter(_.dict.contains("/Image")).foreach { o =>
+            val w = iparm(o.dict, "/Width")
+            val h = iparm(o.dict, "/Height")
+            val filters = streamFilters(o.dict)
+            val raw = o.stream.getOrElse(Array.emptyByteArray)
+            val (format, data) = filters.lastOption match {
+              case Some("DCTDecode") | Some("DCT") =>
+                ("jpeg", applyStreamFilters(raw, filters.dropRight(1), o.dict))
+              case Some("JPXDecode") =>
+                ("jpx", applyStreamFilters(raw, filters.dropRight(1), o.dict))
+              case Some("CCITTFaxDecode") | Some("CCF") =>
+                ("ccitt", applyStreamFilters(raw, filters.dropRight(1), o.dict))
+              case _ => // fully decodable: re-encode samples as PNG
+                val samples = decodedStream(o)
+                val bpc = math.max(iparm(o.dict, "/BitsPerComponent"), 1)
+                val gray = o.dict.contains("/DeviceGray")
+                require(o.dict.contains("/DeviceRGB") || gray,
+                  "unsupported image colorspace (DeviceRGB/DeviceGray only)")
+                val img = new java.awt.image.BufferedImage(w, h,
+                  if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+                  else java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    if (gray && bpc == 1) {
+                      val bit = y * ((w + 7) / 8) * 8 + x
+                      val v = (samples(bit >> 3) >> (7 - (bit & 7))) & 1
+                      img.getRaster.setSample(x, y, 0, v * 255)
+                    } else if (gray) {
+                      img.getRaster.setSample(x, y, 0,
+                        samples(y * w + x) & 0xff)
+                    } else {
+                      val at = (y * w + x) * 3
+                      img.setRGB(x, y,
+                        ((samples(at) & 0xff) << 16) |
+                          ((samples(at + 1) & 0xff) << 8) |
+                          (samples(at + 2) & 0xff))
+                    }
+                    x += 1
+                  }
+                  y += 1
+                }
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "png", bos)
+                ("png", bos.toByteArray)
+            }
+            out += PdfImage(pi + 1, m.group(1), w, h, format, data)
+          }
+      }
+    }
+    out.toSeq
+  }
+
   /** Per-page text + bounding box of the page's shown text (None for a
     * textless page) — the reference's PDF `bounding_box` chunk metadata for
     * page mode (`document.py` BoundingBox x1/y1/x2/y2, PDF user space).
@@ -1223,6 +1371,16 @@ object Pdf {
     pageContents(pdf).map(extractContentRuns)
 
   // ---------------- Spark surface ----------------
+
+  /** Embedded images as (page, name, width, height, format, data)
+    * structs — the `elements=['image']` figure-extraction column op.
+    */
+  val embeddedImages = org.apache.spark.sql.functions.udf {
+    (pdf: Array[Byte]) =>
+      if (pdf == null) null
+      else extractImages(pdf).map(i =>
+        (i.page, i.name, i.width, i.height, i.format, i.data))
+  }
 
   /** text → single-column PDF, `charsPerPage` characters per page (the
     * SQL-reproducible pagination q96's oracle mirrors with substr()).

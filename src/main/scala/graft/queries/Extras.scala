@@ -2960,6 +2960,55 @@ object Extras {
              |FROM documents WHERE doc_id < 50
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q176_pdf_images",
+      (s, dir) => {
+        // Embedded-image extraction from PDFs in the oracle gate (the
+        // document_splitter `elements=['image']` surface,
+        // `functions/document.py:120-146`): per doc, a 2-page PDF embeds
+        // an id-derived solid PNG on page 2 (Flate/DeviceRGB XObject);
+        // extraction reports page/geometry/format and the decoded pixels
+        // — lossless, so every channel is a closed form; page text
+        // survives alongside the image.
+        import graft.functions.{Images, Pdf}
+        val mkPdf = udf { (first: String, w: Int, h: Int, rgb: Int) =>
+          Pdf.writePdfWithImages(Seq(first, "figure page"),
+            Map(1 -> Images.solidPng(w, h, rgb)))
+        }
+        val w0 = (col("doc_id") % 9 + 4).cast("int")
+        val h0 = (col("doc_id") % 5 + 3).cast("int")
+        val rgb = (col("doc_id") * 3000 % 0xffffff).cast("int")
+        val toks = split(trim(col("text")), "\\s+")
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("pdf", mkPdf(element_at(toks, 1), w0, h0, rgb))
+          .withColumn("imgs", Pdf.embeddedImages(col("pdf")))
+          .withColumn("i0", element_at(col("imgs"), 1))
+          .select(col("doc_id"),
+            size(col("imgs")).cast("long").as("n_images"),
+            col("i0._1").cast("long").as("page"),
+            col("i0._3").cast("long").as("w"),
+            col("i0._4").cast("long").as("h"),
+            col("i0._5").as("fmt"),
+            Images.getPixel(col("i0._6"), lit(0), lit(0))
+              .getItem(0).cast("long").as("r0"),
+            Images.getPixel(col("i0._6"), w0 - 1, h0 - 1)
+              .getItem(2).cast("long").as("b_last"),
+            udf { (pdf: Array[Byte]) => Pdf.extractPages(pdf).head }
+              .apply(col("pdf")).as("p1_text"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id, 1::BIGINT AS n_images, 2::BIGINT AS page,
+             |  (doc_id % 9 + 4)::BIGINT AS w,
+             |  (doc_id % 5 + 3)::BIGINT AS h,
+             |  'png' AS fmt,
+             |  ((doc_id * 3000 % 16777215) // 65536)::BIGINT AS r0,
+             |  ((doc_id * 3000 % 16777215) % 256)::BIGINT AS b_last,
+             |  list_extract(string_split_regex(trim(text), '\s+'), 1)
+             |    AS p1_text
+             |FROM documents WHERE doc_id < 50
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
