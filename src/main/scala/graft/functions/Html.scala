@@ -157,6 +157,75 @@ object Html {
   def htmlToText(html: String): String =
     if (html == null) null else blocks(html).map(_.text).mkString("\n")
 
+  // ---------------- image-text pairs ----------------
+
+  /** One `<img>` occurrence: the `src` URL plus its `alt`/`title` text
+    * (entity-decoded) — the image-text pair unit a multimodal corpus
+    * build mines from crawl HTML (alt-text pairing).
+    */
+  final case class ImgRef(src: String, alt: String, title: String)
+
+  private val attrRe =
+    """([a-zA-Z-]+)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""".r
+
+  /** Every `<img>` with a non-empty `src`, document order; images inside
+    * script/style/template/noscript are skipped. Map-only at corpus
+    * scale — the extraction step ahead of URL fetch + CLIP filtering.
+    */
+  def imageRefs(html: String): Seq[ImgRef] = {
+    if (html == null) return Seq.empty
+    val out = mutable.ArrayBuffer.empty[ImgRef]
+    var dropTag = ""
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && (html.charAt(i + 1).isLetter ||
+            html.charAt(i + 1) == '/')) {
+          var j = i + 1
+          var quote = 0.toChar
+          while (j < n && (quote != 0 || html.charAt(j) != '>')) {
+            val ch = html.charAt(j)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            j += 1
+          }
+          val tagBody = html.substring(i + 1, math.min(j, n))
+          val closing = tagBody.startsWith("/")
+          val name = tagBody.dropWhile(_ == '/')
+            .takeWhile(_.isLetterOrDigit).toLowerCase
+          if (dropTag.nonEmpty) {
+            if (closing && name == dropTag) dropTag = ""
+          } else if (!closing && dropTags.contains(name) &&
+              !tagBody.endsWith("/")) {
+            dropTag = name
+          } else if (!closing && name == "img") {
+            val attrs = attrRe.findAllMatchIn(tagBody).map { m =>
+              m.group(1).toLowerCase ->
+                Option(m.group(2)).orElse(Option(m.group(3)))
+                  .getOrElse(m.group(4))
+            }.toMap
+            val src = attrs.getOrElse("src", "").trim
+            if (src.nonEmpty)
+              out += ImgRef(src,
+                decodeEntities(attrs.getOrElse("alt", "")).trim,
+                decodeEntities(attrs.getOrElse("title", "")).trim)
+          }
+          i = if (j < n) j + 1 else n
+        } else i += 1
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** `<img>` pairs as (src, alt, title) structs. */
+  val imagePairs = org.apache.spark.sql.functions.udf {
+    (html: String) => imageRefs(html)
+  }
+
   /** Main-content text: blocks whose link density exceeds `maxLinkDensity`
     * AND whose length is below `minChars` are dropped — the classic
     * boilerplate heuristic (nav bars, footers, related-links farms are

@@ -3009,6 +3009,53 @@ object Extras {
              |FROM documents WHERE doc_id < 50
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q177_html_imgpairs",
+      (s, dir) => {
+        // Image-text pair mining from crawl HTML (the alt-text pairing
+        // step of a multimodal corpus build): per doc, synthesized HTML
+        // embeds k <img> tags whose alt texts are the doc's own tokens
+        // and whose srcs are id-derived URLs, plus decoys in
+        // script/comment blocks; extraction yields exactly the real
+        // pairs, in order — all closed forms of doc_id and the text.
+        import graft.functions.Html
+        val k = (col("doc_id") % 5 + 2).cast("int") // 2..6 pairs
+        val toks = split(trim(col("text")), "\\s+")
+        val mkHtml = udf { (id: Long, words: Seq[String]) =>
+          val real = words.zipWithIndex.map { case (w, i) =>
+            s"""<p>para $i</p><img src="https://img.example/$id/$i.jpg" alt="$w">"""
+          }.mkString("\n")
+          s"""<html><head><script>var fake = '<img src="no.png">';</script>
+             |</head><body>
+             |<!-- <img src="also-no.png"> -->
+             |$real
+             |<template><img src="tpl-no.png"></template>
+             |</body></html>""".stripMargin
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("toks", slice(toks, lit(1), k))
+          .withColumn("pairs",
+            Html.imagePairs(mkHtml(col("doc_id"), col("toks"))))
+          .select(col("doc_id"),
+            size(col("pairs")).cast("long").as("n_pairs"),
+            element_at(col("pairs"), 1)("src").as("first_src"),
+            element_at(col("pairs"), 1)("alt").as("first_alt"),
+            element_at(col("pairs"), -1)("alt").as("last_alt"),
+            expr("transform(pairs, p -> p.alt) = toks").as("alts_ok"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH c AS (
+             |  SELECT doc_id,
+             |    list_slice(string_split_regex(trim(text), '\s+'),
+             |      1, doc_id % 5 + 2) AS toks
+             |  FROM documents WHERE doc_id < 50)
+             |SELECT doc_id, len(toks)::BIGINT AS n_pairs,
+             |  'https://img.example/' || doc_id || '/0.jpg' AS first_src,
+             |  toks[1] AS first_alt, toks[len(toks)] AS last_alt,
+             |  TRUE AS alts_ok
+             |FROM c ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

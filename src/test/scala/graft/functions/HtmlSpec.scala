@@ -77,4 +77,43 @@ class HtmlSpec extends AnyFunSuite {
     assert(!df(1).getString(1).contains("x y"))
     assert(df(2).isNullAt(1))
   }
+
+  test("imageRefs: src/alt/title attributes, quote styles, entity decode") {
+    val html = """<html><body>
+      |<img src="https://a.example/cat.jpg" alt="A &amp; cat" title='Le chat'>
+      |<p>text</p>
+      |<img alt="no src, skipped">
+      |<img src='rel/dog.png' alt=unquoted />
+      |<IMG SRC="UPPER.webp" ALT="caps tag">
+      |<img src=" spaced.gif ">
+      |</body></html>""".stripMargin
+    val refs = Html.imageRefs(html)
+    assert(refs.map(_.src) == Seq("https://a.example/cat.jpg",
+      "rel/dog.png", "UPPER.webp", "spaced.gif"))
+    assert(refs.head.alt == "A & cat" && refs.head.title == "Le chat")
+    assert(refs(1).alt == "unquoted")
+    assert(refs(3).alt == "")
+    assert(Html.imageRefs(null).isEmpty)
+    assert(Html.imageRefs("no images at all").isEmpty)
+  }
+
+  test("imageRefs: script/template/comment images skipped; '>' in quotes ok") {
+    val html = """<script>var x = '<img src="fake.js.png">';</script>
+      |<template><img src="tpl.png"></template>
+      |<!-- <img src="commented.png"> -->
+      |<img src="real.png" alt="a > b still one tag">
+      |<noscript><img src="ns.png"></noscript>""".stripMargin
+    val refs = Html.imageRefs(html)
+    assert(refs.map(_.src) == Seq("real.png"))
+    assert(refs.head.alt == "a > b still one tag")
+  }
+
+  test("imageRefs: Spark surface yields struct pairs") {
+    val rows = Seq((1L, "<img src='s1.png' alt='one'><img src='s2.png' alt='two'>"))
+      .toDF("id", "html")
+      .select(col("id"), explode(Html.imagePairs(col("html"))).as("p"))
+      .select(col("p.src"), col("p.alt")).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("s1.png", "one"), ("s2.png", "two")))
+  }
 }
