@@ -65,6 +65,63 @@ object Office {
     case _ => throw new IllegalArgumentException("not an office document")
   }
 
+  // ---------------- embedded media ----------------
+
+  /** Embedded media parts (everything under `word/media`, `ppt/media`
+    * or `xl/media`) as (path, extension, bytes), package order — figure
+    * extraction from office documents, the DOCX/PPTX/XLSX counterpart
+    * of `Pdf.extractImages` (payloads pass through bit-exact;
+    * downstream image ops sniff the format by magic as usual).
+    */
+  def extractMedia(bytes: Array[Byte]): Seq[(String, String, Array[Byte])] = {
+    require(sniff(bytes).isDefined, "not an office document")
+    val in = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = Seq.newBuilder[(String, String, Array[Byte])]
+    var e = in.getNextEntry
+    while (e != null) {
+      val name = e.getName
+      if (!e.isDirectory && MediaPart.pattern.matcher(name).matches()) {
+        val ext = name.substring(name.lastIndexOf('.') + 1).toLowerCase match {
+          case n if n == name.toLowerCase => "" // no extension
+          case n => n
+        }
+        out += ((name, ext, in.readAllBytes()))
+      }
+      in.closeEntry(); e = in.getNextEntry
+    }
+    out.result()
+  }
+
+  private val MediaPart = "(word|ppt|xl)/media/.+".r
+
+  /** Re-zip an office package with media parts added under its media
+    * directory — the fixture twin `extractMedia` round-trips against.
+    * `media` names are bare file names (e.g. `fig1.png`).
+    */
+  def addMedia(pkg: Array[Byte],
+      media: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val prefix = sniff(pkg) match {
+      case Some("docx") => "word/media/"
+      case Some("pptx") => "ppt/media/"
+      case Some("xlsx") => "xl/media/"
+      case _ => throw new IllegalArgumentException("not an office document")
+    }
+    val in = new ZipInputStream(new ByteArrayInputStream(pkg))
+    val existing = Seq.newBuilder[(String, Array[Byte])]
+    var e = in.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) existing += ((e.getName, in.readAllBytes()))
+      in.closeEntry(); e = in.getNextEntry
+    }
+    zip(existing.result() ++ media.map { case (n, d) => (prefix + n, d) })
+  }
+
+  /** Embedded media as (path, ext, data) structs. */
+  val embeddedMedia = org.apache.spark.sql.functions.udf {
+    (bytes: Array[Byte]) =>
+      if (bytes == null) null else extractMedia(bytes)
+  }
+
   // ---------------- DOCX ----------------
 
   /** word/document.xml → markdown: Heading<N> styles become `#`-headings,

@@ -3056,6 +3056,49 @@ object Extras {
              |  TRUE AS alts_ok
              |FROM c ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q178_office_media",
+      (s, dir) => {
+        // Embedded-media extraction from office packages in the oracle
+        // gate (the DOCX counterpart of q176's PDF figures): per doc, a
+        // DOCX with an id-derived solid PNG under word/media extracts
+        // bit-exact — path/extension/pixels all closed forms — and the
+        // heading→markdown pipeline is undisturbed by the media part.
+        import graft.functions.{Images, Office}
+        val mkDocx = udf { (title: String, w: Int, h: Int, rgb: Int, n: Int) =>
+          Office.addMedia(
+            Office.writeDocx(Seq((1, title), (0, "body text"))),
+            (0 until n).map(i =>
+              s"fig$i.png" -> Images.solidPng(w, h, rgb)))
+        }
+        val w0 = (col("doc_id") % 8 + 3).cast("int")
+        val h0 = (col("doc_id") % 6 + 2).cast("int")
+        val rgb = (col("doc_id") * 5000 % 0xffffff).cast("int")
+        val n = (col("doc_id") % 3 + 1).cast("int")
+        val toks = split(trim(col("text")), "\\s+")
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("docx", mkDocx(element_at(toks, 1), w0, h0, rgb, n))
+          .withColumn("media", Office.embeddedMedia(col("docx")))
+          .withColumn("m0", element_at(col("media"), 1))
+          .select(col("doc_id"),
+            size(col("media")).cast("long").as("n_media"),
+            col("m0._1").as("path"),
+            col("m0._2").as("ext"),
+            Images.getPixel(col("m0._3"), lit(0), lit(0))
+              .getItem(1).cast("long").as("g0"),
+            udf { (b: Array[Byte]) => Office.documentToText(b) }
+              .apply(col("docx")).startsWith(concat(lit("# "),
+                element_at(toks, 1))).as("md_ok"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id, (doc_id % 3 + 1)::BIGINT AS n_media,
+             |  'word/media/fig0.png' AS path, 'png' AS ext,
+             |  ((doc_id * 5000 % 16777215) % 65536 // 256)::BIGINT AS g0,
+             |  TRUE AS md_ok
+             |FROM documents WHERE doc_id < 50
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -65,6 +65,37 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(Pdf.extractImages(Pdf.writePdf(Seq("plain", "text"))).isEmpty)
   }
 
+  test("office embedded media: docx/pptx/xlsx round-trip bit-exact") {
+    val p1 = png(5, 4, 0x112233)
+    val j1 = jpeg(6, 3, 0x445566)
+    val docx = Office.addMedia(
+      Office.writeDocx(Seq((1, "Title"), (0, "body"))),
+      Seq("fig1.png" -> p1, "photo.jpeg" -> j1))
+    val m = Office.extractMedia(docx)
+    assert(m.map(x => (x._1, x._2)) ==
+      Seq("word/media/fig1.png" -> "png", "word/media/photo.jpeg" -> "jpeg"))
+    assert(m.head._3.sameElements(p1) && m(1)._3.sameElements(j1))
+    // markdown conversion is undisturbed by the media parts
+    assert(Office.docxToMarkdown(docx).contains("# Title"))
+    // pptx and xlsx prefixes
+    val pptx = Office.addMedia(Office.writePptx(Seq(("s", Seq("l")))),
+      Seq("img.png" -> p1))
+    assert(Office.extractMedia(pptx).map(_._1) == Seq("ppt/media/img.png"))
+    val minimalXlsx = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("xl/workbook.xml"))
+      z.write("<workbook/>".getBytes("UTF-8")); z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    val xlsx = Office.addMedia(minimalXlsx, Seq("chart.png" -> p1))
+    assert(Office.extractMedia(xlsx).map(_._1) == Seq("xl/media/chart.png"))
+    // no media → empty; non-office rejected
+    assert(Office.extractMedia(Office.writeDocx(Seq((0, "x")))).isEmpty)
+    intercept[IllegalArgumentException](
+      Office.extractMedia("not a zip".getBytes))
+  }
+
   test("hand-built gray and 1-bit images decode through the raster path") {
     def miniPdf(imgDict: String, samples: Array[Byte]): Array[Byte] = {
       val s = new StringBuilder("%PDF-1.4\n")
