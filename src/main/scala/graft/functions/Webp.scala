@@ -81,6 +81,138 @@ object Webp {
     }
   }
 
+  // ------------------------------------------------------------ animation
+
+  /** One animation frame: canvas placement, duration, decoded pixels. */
+  final case class WebpFrame(x: Int, y: Int, width: Int, height: Int,
+      durationMs: Int, image: java.awt.image.BufferedImage)
+
+  private def u24le(bytes: Array[Byte], o: Int): Int =
+    (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16)
+
+  private def wrapRiff(chunk: Array[Byte]): Array[Byte] = {
+    val padded = if (chunk.length % 2 == 1) chunk :+ 0.toByte else chunk
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    val total = 4 + padded.length
+    out.write(total & 0xff); out.write((total >> 8) & 0xff)
+    out.write((total >> 16) & 0xff); out.write((total >> 24) & 0xff)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write(padded)
+    out.toByteArray
+  }
+
+  /** (loopCount, backgroundBgra) from the `ANIM` chunk; None when the
+    * file is not animated.
+    */
+  def animInfo(bytes: Array[Byte]): Option[(Int, Long)] =
+    chunks(bytes).collectFirst { case ("ANIM", f, u) if u - f >= 6 =>
+      (((bytes(f + 4) & 0xff) | ((bytes(f + 5) & 0xff) << 8)),
+        (u24le(bytes, f).toLong | ((bytes(f + 3) & 0xffL) << 24)))
+    }
+
+  /** Frames of an animated WebP (`VP8X`+`ANIM`+`ANMF` with lossless
+    * VP8L frame payloads), in order: canvas placement (x/y are stored
+    * halved in ANMF), per-frame duration, decoded pixels. A
+    * non-animated file yields its single frame with duration 0 — the
+    * animated-GIF iterator shape on WebP.
+    */
+  def readAnimFrames(bytes: Array[Byte]): Seq[WebpFrame] = {
+    val anmf = chunks(bytes).filter(_._1 == "ANMF")
+    if (anmf.isEmpty) {
+      val img = decode(bytes)
+      return Seq(WebpFrame(0, 0, img.getWidth, img.getHeight, 0, img))
+    }
+    anmf.map { case (_, f, u) =>
+      require(u - f >= 16, "truncated ANMF header")
+      val x = u24le(bytes, f) * 2
+      val y = u24le(bytes, f + 3) * 2
+      val w = u24le(bytes, f + 6) + 1
+      val h = u24le(bytes, f + 9) + 1
+      val dur = u24le(bytes, f + 12)
+      // frame data: subchunks after the 16-byte header (ALPH skipped;
+      // lossy VP8 frames hit the standing decode adjudication)
+      var pos = f + 16
+      var img: java.awt.image.BufferedImage = null
+      while (pos + 8 <= u && img == null) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val len = (bytes(pos + 4) & 0xff) | ((bytes(pos + 5) & 0xff) << 8) |
+          ((bytes(pos + 6) & 0xff) << 16) | ((bytes(pos + 7) & 0xff) << 24)
+        require(len >= 0 && pos + 8 + len <= u, "corrupt ANMF subchunk")
+        if (id == "VP8L")
+          img = decode(wrapRiff(
+            java.util.Arrays.copyOfRange(bytes, pos, pos + 8 + len)))
+        else if (id == "VP8 ")
+          throw new IllegalArgumentException(
+            "lossy VP8 frame decode unsupported (see COVERAGE adjudication)")
+        pos += 8 + len + (len % 2)
+      }
+      require(img != null, "ANMF frame without VP8L data")
+      require(img.getWidth == w && img.getHeight == h,
+        s"frame dims ${img.getWidth}x${img.getHeight} != ANMF ${w}x$h")
+      WebpFrame(x, y, w, h, dur, img)
+    }
+  }
+
+  /** Assemble an animated WebP: `VP8X(anim)` + `ANIM(loop)` + one
+    * lossless `ANMF(VP8L)` per (frame, durationMs), all placed at the
+    * canvas origin with the canvas sized to the largest frame — the
+    * fixture twin `readAnimFrames` round-trips against.
+    */
+  def encodeAnimation(frames: Seq[(java.awt.image.BufferedImage, Int)],
+      loopCount: Int = 0): Array[Byte] = {
+    require(frames.nonEmpty, "animation needs at least one frame")
+    val cw = frames.map(_._1.getWidth).max
+    val ch = frames.map(_._1.getHeight).max
+    def u24b(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(id.getBytes("US-ASCII"))
+      val n = payload.length
+      out.write(n & 0xff); out.write((n >> 8) & 0xff)
+      out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+      out.write(payload)
+      if (n % 2 == 1) out.write(0)
+      out.toByteArray
+    }
+    val hasAlpha = frames.exists { case (img, _) =>
+      img.getColorModel.hasAlpha }
+    val vp8x = chunk("VP8X",
+      Array[Byte]((0x02 | (if (hasAlpha) 0x10 else 0)).toByte, 0, 0, 0) ++
+        u24b(cw - 1) ++ u24b(ch - 1))
+    val anim = chunk("ANIM", Array[Byte](0, 0, 0, 0) ++ // background
+      Array((loopCount & 0xff).toByte, ((loopCount >> 8) & 0xff).toByte))
+    val anmfs = frames.map { case (img, dur) =>
+      // reuse the still encoder; its VP8L chunk is the frame payload
+      val still = encode(img)
+      val (vf, vu) = chunks(still).collectFirst {
+        case ("VP8L", a, b) => (a, b) }.getOrElse(sys.error("encode: no VP8L"))
+      val vp8l = java.util.Arrays.copyOfRange(still, vf - 8, vu)
+      chunk("ANMF",
+        u24b(0) ++ u24b(0) ++ // x/2, y/2
+          u24b(img.getWidth - 1) ++ u24b(img.getHeight - 1) ++
+          u24b(dur) ++ Array[Byte](0) ++ vp8l)
+    }
+    wrapRiff((Seq(vp8x, anim) ++ anmfs)
+      .foldLeft(Array.empty[Byte])(_ ++ _))
+  }
+
+  /** Animation frames as (x, y, w, h, duration_ms, png) structs — the
+    * frame-iterator column op (PNG re-encode keeps pixels lossless).
+    */
+  val animFrames = org.apache.spark.sql.functions.udf {
+    (bytes: Array[Byte]) =>
+      if (bytes == null) null
+      else readAnimFrames(bytes).map { fr =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(fr.image, "png", bos)
+        (fr.x, fr.y, fr.width, fr.height, fr.durationMs, bos.toByteArray)
+      }
+  }
+
   // ------------------------------------------------------------ bitstream
 
   /** VP8L bit reader: LSB-first within each byte, bytes in order. */

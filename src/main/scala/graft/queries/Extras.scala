@@ -3099,6 +3099,54 @@ object Extras {
              |FROM documents WHERE doc_id < 50
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q179_webp_anim",
+      (s, dir) => {
+        // Animated WebP (VP8X+ANIM+ANMF, lossless frames) in the oracle
+        // gate — the animated-GIF iterator shape (q85) on the crawl-era
+        // format: per doc, an id-derived animation (frame i is a solid
+        // color, duration (i+1)*30 ms) round-trips through
+        // encodeAnimation → readAnimFrames; counts, timing sums, loop
+        // count and frame pixels are all closed forms (lossless).
+        import graft.functions.{Images, Webp}
+        val mkAnim = udf { (id: Long, n: Int) =>
+          Webp.encodeAnimation((0 until n).map { i =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(
+                Images.solidPng(6, 4, ((id * 999 + i * 37) % 0xffffff).toInt)))
+            (img: java.awt.image.BufferedImage, (i + 1) * 30)
+          }, loopCount = (id % 5).toInt)
+        }
+        val loops = udf { (b: Array[Byte]) =>
+          Webp.animInfo(b).map(_._1).getOrElse(-1)
+        }
+        val animated = udf { (b: Array[Byte]) => Webp.readMeta(b).animated }
+        val n = (col("doc_id") % 4 + 2).cast("int") // 2..5 frames
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("w", mkAnim(col("doc_id"), n))
+          .withColumn("fs", Webp.animFrames(col("w")))
+          .select(col("doc_id"),
+            size(col("fs")).cast("long").as("n_frames"),
+            animated(col("w")).as("is_anim"),
+            loops(col("w")).cast("long").as("loops"),
+            expr("aggregate(fs, 0L, (a, f) -> a + f._5)").as("total_ms"),
+            Images.getPixel(element_at(col("fs"), 1)("_6"), lit(0), lit(0))
+              .getItem(0).cast("long").as("f0_r"),
+            Images.getPixel(element_at(col("fs"), -1)("_6"), lit(5), lit(3))
+              .getItem(2).cast("long").as("flast_b"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id, (doc_id % 4 + 2)::BIGINT AS n_frames,
+             |  TRUE AS is_anim, (doc_id % 5)::BIGINT AS loops,
+             |  (30 * (doc_id % 4 + 2) * (doc_id % 4 + 3) / 2)::BIGINT
+             |    AS total_ms,
+             |  ((doc_id * 999 % 16777215) // 65536)::BIGINT AS f0_r,
+             |  (((doc_id * 999 + (doc_id % 4 + 1) * 37) % 16777215) % 256)
+             |    ::BIGINT AS flast_b
+             |FROM documents WHERE doc_id < 50
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -117,4 +117,54 @@ class WebpSpec extends AnyFunSuite {
     assert(m.width == 5 && m.height == 4)
     assert(m.hasAlpha && m.animated && m.lossless)
   }
+
+  test("animation: encode → readAnimFrames round-trips frames and timing") {
+    def solid(w: Int, h: Int, rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb & 0xffffff)); g.fillRect(0, 0, w, h)
+      g.dispose(); img
+    }
+    val frames = Seq((solid(8, 6, 0xAA1122), 40), (solid(8, 6, 0x22BB33), 70),
+      (solid(5, 4, 0x3344CC), 120))
+    val anim = Webp.encodeAnimation(frames, loopCount = 3)
+    assert(Webp.isWebp(anim))
+    val meta = Webp.readMeta(anim)
+    assert(meta.animated && meta.width == 8 && meta.height == 6)
+    assert(Webp.animInfo(anim).map(_._1).contains(3))
+    val back = Webp.readAnimFrames(anim)
+    assert(back.map(_.durationMs) == Seq(40, 70, 120))
+    assert(back.map(f => (f.width, f.height)) == Seq((8, 6), (8, 6), (5, 4)))
+    assert((back(0).image.getRGB(3, 3) & 0xffffff) == 0xAA1122)
+    assert((back(1).image.getRGB(7, 5) & 0xffffff) == 0x22BB33)
+    assert((back(2).image.getRGB(0, 0) & 0xffffff) == 0x3344CC)
+    // still image degrades to a single zero-duration frame
+    val still = Webp.encode(solid(4, 4, 0x555555))
+    val one = Webp.readAnimFrames(still)
+    assert(one.length == 1 && one.head.durationMs == 0)
+    assert((one.head.image.getRGB(1, 1) & 0xffffff) == 0x555555)
+  }
+
+  test("animation: 50 random frame sets round-trip pixel-exact") {
+    val r = new scala.util.Random(179)
+    for (case_ <- 0 until 50) {
+      val n = r.nextInt(5) + 1
+      val frames = (0 until n).map { _ =>
+        val w = r.nextInt(12) + 1; val h = r.nextInt(10) + 1
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_ARGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, r.nextInt())
+        (img: java.awt.image.BufferedImage, r.nextInt(1000) + 1)
+      }
+      val back = Webp.readAnimFrames(Webp.encodeAnimation(frames))
+      assert(back.length == n, s"case $case_")
+      back.zip(frames).foreach { case (got, (img, dur)) =>
+        assert(got.durationMs == dur, s"case $case_")
+        for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+          assert(got.image.getRGB(x, y) == img.getRGB(x, y),
+            s"case $case_ pixel $x,$y")
+      }
+    }
+  }
 }
