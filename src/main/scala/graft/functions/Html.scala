@@ -165,8 +165,10 @@ object Html {
     */
   final case class ImgRef(src: String, alt: String, title: String)
 
+  // Unquoted-value branch must not swallow the '/' of an XHTML-style
+  // self-closing tag (`<img src=foo.jpg/>` → "foo.jpg", not "foo.jpg/").
   private val attrRe =
-    """([a-zA-Z-]+)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""".r
+    """([a-zA-Z-]+)\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]*[^\s>/]|[^\s>/]))""".r
 
   /** Every `<img>` with a non-empty `src`, document order; images inside
     * script/style/template/noscript are skipped. Map-only at corpus

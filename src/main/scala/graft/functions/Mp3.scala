@@ -154,10 +154,16 @@ object Mp3 {
     val flagLen = if (major <= 2) 0 else 2
     var pos = 0
     if (major >= 3 && (flags & 0x40) != 0 && body.length >= 4) {
-      // extended header: leading 32-bit size (v2.3 excludes, v2.4
-      // includes, its own 4 bytes — both advance past the block)
-      val ehSize = ((body(0) & 0xff) << 24) | ((body(1) & 0xff) << 16) |
-        ((body(2) & 0xff) << 8) | (body(3) & 0xff)
+      // extended header: leading 32-bit size. v2.3 stores it plain
+      // big-endian and EXCLUDES its own 4 bytes; v2.4 stores it
+      // SYNCSAFE and includes them — both advance past the block.
+      val ehSize =
+        if (major == 3)
+          ((body(0) & 0xff) << 24) | ((body(1) & 0xff) << 16) |
+            ((body(2) & 0xff) << 8) | (body(3) & 0xff)
+        else
+          ((body(0) & 0x7f) << 21) | ((body(1) & 0x7f) << 14) |
+            ((body(2) & 0x7f) << 7) | (body(3) & 0x7f)
       pos = if (major == 3) 4 + ehSize else ehSize
     }
     val out = Seq.newBuilder[(String, String)]

@@ -236,7 +236,13 @@ object Mp4 {
         id: Int) = m.getOrElseUpdate(id, scala.collection.mutable.ArrayBuffer.empty[T])
 
     moofs.foreach { case (moofF, moofU) =>
-      val moofStart = moofF - 8L // box header precedes the payload
+      // True box start: normally payload-8, but a largesize header puts
+      // the payload at boxStart+16 (size32==1, type, size64) — detect it
+      // so default-base-is-moof offsets aren't 8 bytes off.
+      val moofStart: Long =
+        if (moofF >= 16 && b.getInt(moofF - 16) == 1 &&
+            fourcc(b, moofF - 12) == "moof") moofF - 16L
+        else moofF - 8L
       var prevTrafEnd = -1L      // spec-default base for traf n+1
       children(b, moofF, moofU, "traf").foreach { case (trafF, trafU) =>
         val (tfhdF, _) = child(b, trafF, trafU, "tfhd")
@@ -412,8 +418,8 @@ object Mp4 {
 
     // stsc runs → samples-per-chunk for each chunk, then absolute offsets
     val offsets: Array[Long] = {
-      val stsc: Seq[(Int, Int)] = child(b, stblF, stblU, "stsc").map { case (f, _) =>
-        val n = b.getInt(f + 4)
+      val stsc: Seq[(Int, Int)] = child(b, stblF, stblU, "stsc").map { case (f, u) =>
+        val n = sane(b.getInt(f + 4), f, u, 12, 8)
         (0 until n).map(i =>
           (b.getInt(f + 8 + i * 12), b.getInt(f + 12 + i * 12)))
       }.getOrElse(Seq.empty)
@@ -534,9 +540,19 @@ object Mp4 {
     }
   }
 
+  /** Fail fast on out-of-file sample spans (a corrupt co64 entry or
+    * tfhd base_data_offset must not wrap through `.toInt` into a
+    * plausible-but-wrong index).
+    */
+  private def checkedOffset(off: Long, size: Int, fileLen: Int): Int = {
+    require(off >= 0 && size >= 0 && off + size <= fileLen,
+      s"corrupt sample span: [$off, ${off + size}) in $fileLen-byte file")
+    off.toInt
+  }
+
   private def samplesOf(bytes: Array[Byte], t: Track): Seq[Array[Byte]] =
     (0 until t.nSamples).map { i =>
-      val off = t.sampleOffsets(i).toInt
+      val off = checkedOffset(t.sampleOffsets(i), t.sampleSizes(i), bytes.length)
       java.util.Arrays.copyOfRange(bytes, off, off + t.sampleSizes(i))
     }
 
@@ -570,7 +586,8 @@ object Mp4 {
         while (i + 1 < a.nSamples && a.sampleOffsets(i + 1) == end) {
           i += 1; end += a.sampleSizes(i)
         }
-        out.write(bytes, start.toInt, (end - start).toInt)
+        out.write(bytes, checkedOffset(start, (end - start).toInt, bytes.length),
+          (end - start).toInt)
         i += 1
       }
       out.toByteArray
@@ -610,8 +627,8 @@ object Mp4 {
     var time = 0L
     var i = 0
     while (i < track.nSamples) {
-      val off = track.sampleOffsets(i).toInt
       val sz = track.sampleSizes(i)
+      val off = checkedOffset(track.sampleOffsets(i), sz, bytes.length)
       val delta = if (i < track.sampleDeltas.length) track.sampleDeltas(i) else 0
       if (track.codec == "webvtt") {
         boxes(b, off, off + sz).foreach {
@@ -658,6 +675,9 @@ object Mp4 {
       // earliest_presentation_time + first_offset: 32-bit (v0) / 64-bit
       val refsAt = f + (if (version == 0) 20 else 28) + 4
       val n = b.getShort(refsAt - 2) & 0xffff
+      // corrupt-count guard: the 12-byte references must fit in the box
+      require(refsAt + n.toLong * 12 <= u,
+        s"corrupt sidx: $n references in ${u - f}-byte box")
       (0 until n).map { i =>
         val at = refsAt + i * 12
         val sizeWord = b.getInt(at)

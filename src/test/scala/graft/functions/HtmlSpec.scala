@@ -108,6 +108,15 @@ class HtmlSpec extends AnyFunSuite {
     assert(refs.head.alt == "a > b still one tag")
   }
 
+  test("imageRefs: unquoted value in a self-closing tag keeps the URL clean") {
+    // real crawl HTML mixes unquoted attributes with XHTML-style `/>` —
+    // the slash closes the tag, it is not part of the URL
+    val refs = Html.imageRefs(
+      """<img src=foo.jpg/><img alt=x src=bar.png /><img src="q.png"/>""")
+    assert(refs.map(_.src) == Seq("foo.jpg", "bar.png", "q.png"))
+    assert(refs(1).alt == "x")
+  }
+
   test("imageRefs: Spark surface yields struct pairs") {
     val rows = Seq((1L, "<img src='s1.png' alt='one'><img src='s2.png' alt='two'>"))
       .toDF("id", "html")

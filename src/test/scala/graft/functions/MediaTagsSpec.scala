@@ -59,6 +59,32 @@ class MediaTagsSpec extends AnyFunSuite {
       Map("title" -> "t4", "artist" -> "a4"))
   }
 
+  test("id3v2.4 extended header size is syncsafe (>=128 bytes)") {
+    // v2.4 stores the ext-header size syncsafe and self-inclusive; a
+    // 160-byte ext header is (0,0,1,32) syncsafe but 288 read plain —
+    // the plain read would start the frame loop mid-header
+    def frame4(id: String, text: String): Array[Byte] = {
+      val body = Array[Byte](0) ++ text.getBytes("ISO-8859-1")
+      id.getBytes("US-ASCII") ++
+        Array[Byte](0, 0, ((body.length >> 7) & 0x7f).toByte,
+          (body.length & 0x7f).toByte) ++ Array[Byte](0, 0) ++ body
+    }
+    val ehLen = 160
+    val eh = new Array[Byte](ehLen)
+    eh(0) = 0; eh(1) = 0; eh(2) = ((ehLen >> 7) & 0x7f).toByte
+    eh(3) = (ehLen & 0x7f).toByte
+    eh(4) = 1 // one flag byte
+    val frames = frame4("TIT2", "ext-ok")
+    val body = eh ++ frames
+    val out = new ByteArrayOutputStream()
+    out.write("ID3".getBytes); out.write(4); out.write(0); out.write(0x40)
+    out.write((body.length >> 21) & 0x7f); out.write((body.length >> 14) & 0x7f)
+    out.write((body.length >> 7) & 0x7f); out.write(body.length & 0x7f)
+    out.write(body)
+    val tagged = out.toByteArray ++ Mp3.writeTestStream(Seq(80))
+    assert(Mp3.readTags(tagged).toMap == Map("title" -> "ext-ok"))
+  }
+
   test("id3v2.2 three-char frames parse") {
     // hand-build: TT2 (title) + TP1 (artist), ISO-8859-1 encoding byte 0
     def frame22(id: String, text: String): Array[Byte] = {
