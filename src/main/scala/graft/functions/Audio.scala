@@ -160,13 +160,15 @@ object Audio {
   val mp3Metadata = udf { (bytes: Array[Byte]) => Mp3.readMeta(bytes) }
 
   /** Content-sniffed media TAGS (title/artist/album/date/…): MP4
-    * `udta/meta/ilst` atoms or MP3 ID3v2 (ID3v1 fallback) — the tag
-    * dict the reference surfaces through ffprobe's format metadata.
-    * Header-only either way; unknown formats → empty map.
+    * `udta/meta/ilst` atoms, Matroska `Tags`, or MP3 ID3v2 (ID3v1
+    * fallback) — the tag dict the reference surfaces through ffprobe's
+    * format metadata. Header-only either way; unknown formats → empty
+    * map.
     */
   val mediaTags = udf { (bytes: Array[Byte]) =>
     if (bytes == null) Map.empty[String, String]
     else if (Mp4.isMp4(bytes)) Mp4.readTags(bytes).toMap
+    else if (Mkv.isMkv(bytes)) Mkv.readTags(bytes).toMap
     else if (Mp3.isMp3(bytes)) Mp3.readTags(bytes).toMap
     else Map.empty[String, String]
   }

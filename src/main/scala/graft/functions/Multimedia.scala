@@ -34,12 +34,13 @@ object Multimedia {
   def containerMeta(bytes: Array[Byte]): ContainerMeta = {
     require(bytes != null && bytes.length >= 12, "not a media payload")
     if (Mp4.isMp4(bytes)) mp4Meta(bytes)
+    else if (Mkv.isMkv(bytes)) mkvMeta(bytes)
     else if (isRiff(bytes, "AVI ")) aviMeta(bytes)
     else if (isRiff(bytes, "WAVE")) wavMeta(bytes)
     else if (isFlac(bytes)) flacMeta(bytes)
     else if (Mp3.isMp3(bytes)) mp3Meta(bytes)
     else sys.error("unrecognized media container " +
-      "(expected MP4/AVI/WAV/FLAC/MP3)")
+      "(expected MP4/Matroska/AVI/WAV/FLAC/MP3)")
   }
 
   private def isRiff(b: Array[Byte], kind: String): Boolean =
@@ -76,6 +77,31 @@ object Multimedia {
     val dur = streams.flatMap(_.duration_seconds).foldLeft(0.0)(math.max)
     ContainerMeta("MP4", bytes.length, bitRate(bytes.length, dur),
       Mp4.readTags(bytes).toMap, streams)
+  }
+
+  private def mkvMeta(bytes: Array[Byte]): ContainerMeta = {
+    val mkv = Mkv.parse(bytes)
+    val streams = mkv.tracks.map { t =>
+      val kind = t.kind
+      StreamMeta(kind,
+        // Matroska timestamps are in timestamp-scale units (default 1 ms)
+        duration = Some(math.round(
+          t.durationS * 1e9 / mkv.timestampScaleNs)),
+        time_base = Some(mkv.timestampScaleNs / 1e9),
+        duration_seconds = Some(t.durationS),
+        frames = t.nBlocks,
+        codec_context = CodecMeta(t.codec, t.codecId,
+          channels = if (kind == "audio") Some(t.channels) else None,
+          sample_rate =
+            if (kind == "audio") Some(math.round(t.sampleRate).toInt)
+            else None),
+        width = if (kind == "video") Some(t.width) else None,
+        height = if (kind == "video") Some(t.height) else None,
+        average_rate = if (kind == "video") Some(t.rate) else None)
+    }
+    val fmt = if (mkv.docType == "webm") "WEBM" else "MKV"
+    ContainerMeta(fmt, bytes.length, bitRate(bytes.length, mkv.durationS),
+      Mkv.readTags(bytes).toMap, streams)
   }
 
   private def aviMeta(bytes: Array[Byte]): ContainerMeta = {

@@ -236,11 +236,21 @@ object Video {
     * MJPEG-AVI: decode-any, encode-one.
     */
   private[graft] def readMetaAny(bytes: Array[Byte]): Avi.AviMeta =
-    if (Mp4.isMp4(bytes)) Mp4.readMeta(bytes) else Avi.readMeta(bytes)
+    if (Mp4.isMp4(bytes)) Mp4.readMeta(bytes)
+    else if (Mkv.isMkv(bytes)) Mkv.readMeta(bytes)
+    else Avi.readMeta(bytes)
   private[graft] def readFramesAny(bytes: Array[Byte]): Seq[Array[Byte]] =
-    if (Mp4.isMp4(bytes)) Mp4.readFrames(bytes) else Avi.readFrames(bytes)
+    if (Mp4.isMp4(bytes)) Mp4.readFrames(bytes)
+    else if (Mkv.isMkv(bytes)) Mkv.readFrames(bytes)
+    else Avi.readFrames(bytes)
   private[graft] def readAudioAny(bytes: Array[Byte]): Option[(Array[Short], Int)] =
-    if (Mp4.isMp4(bytes)) Mp4.readAudio(bytes) else Avi.readAudio(bytes)
+    if (Mp4.isMp4(bytes)) Mp4.readAudio(bytes)
+    else if (Mkv.isMkv(bytes)) Mkv.readAudio(bytes)
+    else Avi.readAudio(bytes)
+  private[graft] def readSubtitlesAny(bytes: Array[Byte]): Seq[(Double, Double, String)] =
+    if (Mp4.isMp4(bytes)) Mp4.readSubtitles(bytes)
+    else if (Mkv.isMkv(bytes)) Mkv.readSubtitles(bytes)
+    else Seq.empty
 
   /** Transcode to MP4 (re-mux: same JPEG frame payloads, same PCM
     * audio, ISO-BMFF sample tables) — the MP4 sink twin of the AVI
@@ -264,12 +274,22 @@ object Video {
       math.max(meta.fps.round.toInt, 1), readAudioAny(v), framesPerFragment)
   }
 
-  /** WebVTT subtitle track of an MP4 as (start, end, text) cue structs
-    * (ISO 14496-30 `wvtt` samples; the reference surfaces/copies
-    * subtitle streams — `utils/av.py:289`). AVI/absent track → empty.
+  /** Subtitle track as (start, end, text) cue structs — WebVTT-in-MP4
+    * (ISO 14496-30 `wvtt` samples) or Matroska `S_TEXT/UTF8` blocks
+    * (the reference surfaces/copies subtitle streams —
+    * `utils/av.py:289`). AVI/absent track → empty.
     */
-  val extractSubtitles = udf { (v: Array[Byte]) =>
-    if (Mp4.isMp4(v)) Mp4.readSubtitles(v) else Seq.empty[(Double, Double, String)]
+  val extractSubtitles = udf { (v: Array[Byte]) => readSubtitlesAny(v) }
+
+  /** Transcode to Matroska (re-mux: same JPEG frame payloads, same PCM
+    * audio, same subtitle cues, EBML clusters + cues) — the MKV sink
+    * twin; `docType` "webm" writes the WebM flavor.
+    */
+  val toMkv = udf { (v: Array[Byte], docType: String) =>
+    val meta = readMetaAny(v)
+    Mkv.write(readFramesAny(v), meta.width, meta.height,
+      math.max(meta.fps.round.toInt, 1), readAudioAny(v),
+      subtitles = readSubtitlesAny(v), docType = docType)
   }
 
   /** Re-mux with a WebVTT subtitle track added from cue structs
@@ -354,7 +374,7 @@ object Video {
       (samples.slice(a, b), rate)
     }.filter(_._1.nonEmpty)
     val subs =
-      (if (Mp4.isMp4(v)) Mp4.readSubtitles(v) else Seq.empty)
+      readSubtitlesAny(v)
         .filter { case (s, e, _) => e > startSec && s < endSec }
         .map { case (s, e, text) =>
           (math.max(s, startSec) - startSec,
@@ -685,13 +705,15 @@ object Video {
       math.max(meta.fps.round.toInt, 1), Some((samples, fmt.getSampleRate.toInt)))
   }
 
-  /** (codec, elementary-stream bytes) of an MP4's compressed audio
-    * track (mp3/aac/opus — `Mp4.extractAudioStream`); null for PCM
+  /** (codec, elementary-stream bytes) of an MP4's or Matroska's
+    * compressed audio track (mp3/aac/opus/vorbis —
+    * `Mp4.extractAudioStream` / `Mkv.extractAudioStream`); null for PCM
     * tracks (those land in `extractAudio` as WAV) and AVI inputs.
     */
   val extractAudioStream = udf { (v: Array[Byte]) =>
-    if (!Mp4.isMp4(v)) null
-    else Mp4.extractAudioStream(v).orNull
+    if (Mp4.isMp4(v)) Mp4.extractAudioStream(v).orNull
+    else if (Mkv.isMkv(v)) Mkv.extractAudioStream(v).orNull
+    else null
   }
 
   /** extract_audio: the AVI's audio track as a WAV (null if none). */

@@ -3147,6 +3147,78 @@ object Extras {
              |FROM documents WHERE doc_id < 50
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q180_mkv_container",
+      (s, dir) => {
+        // Matroska/WebM (EBML) demux in the oracle gate (the reference's
+        // flagship iterators run on WebM via pyav —
+        // `functions/video/iterators.py:41-123`): per doc, an MJPEG+PCM+
+        // SRT+tags MKV (webm doctype on odd ids) muxed from closed-form
+        // fixtures round-trips through the SAME sniffed video surface as
+        // MP4/AVI — header-only metadata, bit-exact frame payloads,
+        // sample-exact PCM across ~100 ms block boundaries, subtitle
+        // cues on the ms grid, Matroska Tags, and per-cluster CuePoints
+        // (the sidx analog; cluster count is a closed form of the
+        // subtitle spread). Every output is a closed form of doc_id.
+        import graft.functions.{Audio, Avi, Mkv, Video}
+        val mkMkv = udf { (id: Long, n: Int, ns: Int, k: Int) =>
+          val frames = Avi.readFrames(Video.makeTestVideo(n, 16, 12, 0x336699, 10))
+          val samples = Array.tabulate(ns)(i => (i % 100).toShort)
+          val cues = (0 until k).map(i => (i * 4.0, i * 4.0 + 1.0, "s" + i))
+          Mkv.write(frames, 16, 12, 10, Some((samples, 8000)),
+            subtitles = cues, tags = Seq("title" -> ("T" + id)),
+            docType = if (id % 2 == 0) "matroska" else "webm")
+        }
+        val framesOk = udf { (v: Array[Byte], n: Int) =>
+          val fs = Mkv.readFrames(v)
+          val src = Avi.readFrames(Video.makeTestVideo(n, 16, 12, 0x336699, 10))
+          fs.length == n && fs.zip(src).forall(p => p._1.sameElements(p._2))
+        }
+        val nCues = udf { (v: Array[Byte]) => Mkv.segmentCues(v).length }
+        val n = (col("doc_id") % 5 + 2).cast("int")  // 2..6 frames
+        val ns = ((col("doc_id") % 4 + 1) * 800).cast("int") // PCM samples
+        val k = (col("doc_id") % 6 + 4).cast("int")  // 4..9 subtitle cues
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("v", mkMkv(col("doc_id"), n, ns, k))
+          .withColumn("m", Video.getMetadata(col("v")))
+          .withColumn("subs", Video.extractSubtitles(col("v")))
+          .withColumn("k", k)
+          .select(col("doc_id"),
+            col("m.width").as("w"), col("m.height").as("h"),
+            col("m.fps").as("fps"), col("m.frames").as("n_frames"),
+            col("m.duration_s").as("dur_s"),
+            col("m.codec").as("codec"), col("m.format").as("format"),
+            framesOk(col("v"), n).as("frames_ok"),
+            Audio.sampleSum(Video.extractAudio(col("v"))).as("pcm_sum"),
+            size(col("subs")).cast("long").as("n_subs"),
+            expr("""transform(subs, c -> named_struct(
+                   |  's', c._1, 'e', c._2, 't', c._3)) =
+                   |transform(sequence(0, k - 1), i -> named_struct(
+                   |  's', cast(i * 4.0 as double),
+                   |  'e', cast(i * 4.0 + 1.0 as double),
+                   |  't', concat('s', cast(i as string))))""".stripMargin)
+              .as("subs_ok"),
+            element_at(col("subs"), -1)("_3").as("last_sub"),
+            Audio.mediaTags(col("v")).getItem("title").as("title"),
+            nCues(col("v")).cast("long").as("n_cues"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id, 16 AS w, 12 AS h, 10.0::DOUBLE AS fps,
+             |  (doc_id % 5 + 2)::INT AS n_frames,
+             |  (doc_id % 5 + 2)::DOUBLE / 10.0::DOUBLE AS dur_s,
+             |  'JPEG' AS codec,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'MKV' ELSE 'WEBM' END AS format,
+             |  TRUE AS frames_ok,
+             |  (4950 * (doc_id % 4 + 1) * 8)::BIGINT AS pcm_sum,
+             |  (doc_id % 6 + 4)::BIGINT AS n_subs,
+             |  TRUE AS subs_ok,
+             |  's' || (doc_id % 6 + 3)::VARCHAR AS last_sub,
+             |  'T' || doc_id::VARCHAR AS title,
+             |  (((doc_id % 6 + 3) * 4000) // 10000 + 1)::BIGINT AS n_cues
+             |FROM documents WHERE doc_id < 40
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

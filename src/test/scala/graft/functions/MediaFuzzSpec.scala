@@ -123,6 +123,20 @@ class MediaFuzzSpec extends AnyFunSuite {
       c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
       poke(Mp3.readTags(c)); poke(Mp3.readMeta(c)); poke(Mp3.frames(c))
     }
+    // EBML/Matroska walk on truncations and bit flips
+    val mkv = Mkv.write(Seq(jpeg(), jpeg()), 8, 6, 2, Some((samples, 800)),
+      subtitles = Seq((0.0, 0.5, "cue")), tags = Seq("title" -> "t"))
+    for (_ <- 0 until 60) {
+      val t = mkv.take(rnd.nextInt(mkv.length))
+      poke(Mkv.parse(t)); poke(Mkv.readMeta(t)); poke(Mkv.readFrames(t))
+      poke(Mkv.readAudio(t)); poke(Mkv.readTags(t))
+      poke(Mkv.readSubtitles(t)); poke(Mkv.segmentCues(t))
+      val c = mkv.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      poke(Mkv.parse(c)); poke(Mkv.readMeta(c)); poke(Mkv.readFrames(c))
+      poke(Mkv.readAudio(c)); poke(Mkv.readTags(c))
+      poke(Mkv.readSubtitles(c)); poke(Mkv.segmentCues(c))
+    }
   }
 
   test("100 random fragment shapes round-trip payloads and audio") {
