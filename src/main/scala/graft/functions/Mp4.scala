@@ -30,7 +30,7 @@ object Mp4 {
   // ----------------------------------------------------------- box reader
 
   /** (type, payloadFrom, payloadUntil) for each box in [from, until). */
-  private def boxes(b: ByteBuffer, from: Int, until: Int): Seq[(String, Int, Int)] = {
+  private[functions] def boxes(b: ByteBuffer, from: Int, until: Int): Seq[(String, Int, Int)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
     var pos = from
     while (pos + 8 <= until) {
@@ -50,7 +50,7 @@ object Mp4 {
     out.toSeq
   }
 
-  private def fourcc(b: ByteBuffer, pos: Int): String = {
+  private[functions] def fourcc(b: ByteBuffer, pos: Int): String = {
     val a = new Array[Byte](4)
     var i = 0
     while (i < 4) { a(i) = b.get(pos + i); i += 1 }
@@ -58,11 +58,11 @@ object Mp4 {
     new String(a, "ISO-8859-1")
   }
 
-  private def child(b: ByteBuffer, from: Int, until: Int,
+  private[functions] def child(b: ByteBuffer, from: Int, until: Int,
       typ: String): Option[(Int, Int)] =
     boxes(b, from, until).collectFirst { case (t, f, u) if t == typ => (f, u) }
 
-  private def children(b: ByteBuffer, from: Int, until: Int,
+  private[functions] def children(b: ByteBuffer, from: Int, until: Int,
       typ: String): Seq[(Int, Int)] =
     boxes(b, from, until).collect { case (t, f, u) if t == typ => (f, u) }
 
@@ -110,7 +110,7 @@ object Mp4 {
     }
   }
 
-  private def fullBoxVersion(b: ByteBuffer, from: Int): Int = b.get(from) & 0xff
+  private[functions] def fullBoxVersion(b: ByteBuffer, from: Int): Int = b.get(from) & 0xff
 
   /** Upper bound on any expanded sample count — far above real files
     * (100M+ samples) but small enough that a corrupt count field fails

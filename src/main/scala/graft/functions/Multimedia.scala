@@ -33,14 +33,16 @@ object Multimedia {
 
   def containerMeta(bytes: Array[Byte]): ContainerMeta = {
     require(bytes != null && bytes.length >= 12, "not a media payload")
-    if (Mp4.isMp4(bytes)) mp4Meta(bytes)
+    if (Heif.isHeif(bytes)) heifMeta(bytes) // ftyp brand — before isMp4
+    else if (Mp4.isMp4(bytes)) mp4Meta(bytes)
     else if (Mkv.isMkv(bytes)) mkvMeta(bytes)
+    else if (Ogg.isOgg(bytes)) oggMeta(bytes)
     else if (isRiff(bytes, "AVI ")) aviMeta(bytes)
     else if (isRiff(bytes, "WAVE")) wavMeta(bytes)
     else if (isFlac(bytes)) flacMeta(bytes)
     else if (Mp3.isMp3(bytes)) mp3Meta(bytes)
     else sys.error("unrecognized media container " +
-      "(expected MP4/Matroska/AVI/WAV/FLAC/MP3)")
+      "(expected MP4/Matroska/Ogg/AVIF/AVI/WAV/FLAC/MP3)")
   }
 
   private def isRiff(b: Array[Byte], kind: String): Boolean =
@@ -77,6 +79,32 @@ object Multimedia {
     val dur = streams.flatMap(_.duration_seconds).foldLeft(0.0)(math.max)
     ContainerMeta("MP4", bytes.length, bitRate(bytes.length, dur),
       Mp4.readTags(bytes).toMap, streams)
+  }
+
+  private def oggMeta(bytes: Array[Byte]): ContainerMeta = {
+    val m = Ogg.readMeta(bytes)
+    // Opus granules run at 48 kHz regardless of the declared input rate
+    val granuleRate = if (m.codec == "opus") 48000 else m.sampleRate
+    ContainerMeta("OGG", bytes.length, bitRate(bytes.length, m.durationS),
+      Map.empty, Seq(StreamMeta("audio",
+        duration = Some(m.totalSamples),
+        time_base = if (granuleRate > 0) Some(1.0 / granuleRate) else None,
+        duration_seconds = Some(m.durationS), frames = m.nPages,
+        codec_context = CodecMeta(m.codec, "OggS",
+          Some(m.channels), Some(m.sampleRate)),
+        width = None, height = None, average_rate = None)))
+  }
+
+  private def heifMeta(bytes: Array[Byte]): ContainerMeta = {
+    val m = Heif.readMeta(bytes)
+    ContainerMeta(m.format, bytes.length, None, Map.empty,
+      Seq(StreamMeta("image",
+        duration = None, time_base = None, duration_seconds = None,
+        frames = m.items,
+        codec_context = CodecMeta(m.codec, m.format.toLowerCase,
+          None, None),
+        width = Some(m.width), height = Some(m.height),
+        average_rate = None)))
   }
 
   private def mkvMeta(bytes: Array[Byte]): ContainerMeta = {

@@ -3219,6 +3219,69 @@ object Extras {
              |FROM documents WHERE doc_id < 40
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q181_ogg_heif_meta",
+      (s, dir) => {
+        // Ogg (RFC 3533 page walk + OpusHead/Vorbis-ident detection) and
+        // AVIF/HEIF (ISO-BMFF meta/iinf/iprp/ipco/ispe walk) in the
+        // `get_metadata` oracle gate (reference surfaces both via
+        // pyav/PIL — `functions/util.py:40-110`): per doc, id-derived
+        // fixtures (real OpusHead/vorbis headers with CRC'd pages whose
+        // granules advance closed-form; a real ftyp/meta item tree)
+        // report identity, geometry and timing through the SAME sniffed
+        // containerMetadata struct as MP4/MKV/WAV. Opus duration proves
+        // the 48 kHz granule rate + preskip subtraction; every column is
+        // a closed form of doc_id.
+        import graft.functions.{Heif, Multimedia, Ogg}
+        val mkOgg = udf { (id: Long) =>
+          val codec = if (id % 2 == 0) "opus" else "vorbis"
+          Ogg.writeTestOgg(codec, (id % 2 + 1).toInt,
+            (8000 * (id % 3 + 1)).toInt, (id % 4 + 2).toInt, 800,
+            preSkip = if (codec == "opus") 312 else 0)
+        }
+        val mkImg = udf { (id: Long) =>
+          Heif.writeTest(if (id % 2 == 0) "AVIF" else "HEIF",
+            (id % 9 + 10).toInt, (id % 5 + 8).toInt, (id % 3 + 1).toInt)
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("am", Multimedia.containerMetadata(mkOgg(col("doc_id"))))
+          .withColumn("im", Multimedia.containerMetadata(mkImg(col("doc_id"))))
+          .withColumn("as0", element_at(col("am.streams"), 1))
+          .withColumn("is0", element_at(col("im.streams"), 1))
+          .select(col("doc_id"),
+            col("am.format").as("afmt"),
+            col("as0.codec_context.name").as("acodec"),
+            col("as0.codec_context.channels").cast("int").as("ch"),
+            col("as0.codec_context.sample_rate").cast("int").as("rate"),
+            col("as0.duration").cast("long").as("samples"),
+            col("as0.duration_seconds").as("dur_s"),
+            col("as0.frames").cast("int").as("n_pages"),
+            col("im.format").as("ifmt"),
+            col("is0.codec_context.name").as("icodec"),
+            col("is0.width").cast("int").as("iw"),
+            col("is0.height").cast("int").as("ih"),
+            col("is0.frames").cast("int").as("n_items"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id, 'OGG' AS afmt,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END
+             |    AS acodec,
+             |  (doc_id % 2 + 1)::INT AS ch,
+             |  (8000 * (doc_id % 3 + 1))::INT AS rate,
+             |  ((doc_id % 4 + 2) * 800)::BIGINT AS samples,
+             |  ((doc_id % 4 + 2) * 800)::DOUBLE /
+             |    (CASE WHEN doc_id % 2 = 0 THEN 48000
+             |          ELSE 8000 * (doc_id % 3 + 1) END) AS dur_s,
+             |  (doc_id % 4 + 3)::INT AS n_pages,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'AVIF' ELSE 'HEIF' END AS ifmt,
+             |  CASE WHEN doc_id % 2 = 0 THEN 'av1' ELSE 'hevc' END AS icodec,
+             |  (doc_id % 9 + 10)::INT AS iw,
+             |  (doc_id % 5 + 8)::INT AS ih,
+             |  (doc_id % 3 + 1)::INT AS n_items
+             |FROM documents WHERE doc_id < 40
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
