@@ -23,7 +23,7 @@ import java.io.ByteArrayOutputStream
 object Mp3 {
 
   /** kbps by (versionRow, layerRow, bitrateIndex 1..14); row 0 = MPEG1. */
-  private val BitrateKbps: Array[Array[Array[Int]]] = Array(
+  private[functions] val BitrateKbps: Array[Array[Array[Int]]] = Array(
     Array( // MPEG1: L1, L2, L3
       Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
       Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
@@ -33,7 +33,7 @@ object Mp3 {
       Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
       Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)))
 
-  private val SampleRates: Map[Int, Array[Int]] = Map(
+  private[functions] val SampleRates: Map[Int, Array[Int]] = Map(
     3 -> Array(44100, 48000, 32000), // MPEG1
     2 -> Array(22050, 24000, 16000), // MPEG2
     0 -> Array(11025, 12000, 8000))  // MPEG2.5

@@ -119,7 +119,7 @@ object Mp4 {
   private val MaxSamples = 1 << 27
 
   /** map a sample-entry fourcc (+ optional esds OTI) to a codec name */
-  private def codecName(entry: String, oti: Int): String = entry match {
+  private[functions] def codecName(entry: String, oti: Int): String = entry match {
     case "avc1" | "avc3" => "h264"
     case "hvc1" | "hev1" => "hevc"
     case "vp09" => "vp9"

@@ -382,7 +382,7 @@ object Webp {
   /** 2D distance map for distance codes 1..120 (spec §4.2.2): (dx, dy)
     * pairs scanning the 8 previous rows, nearest first.
     */
-  private val DistanceMap: Array[(Int, Int)] = Array(
+  private[functions] val DistanceMap: Array[(Int, Int)] = Array(
     (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
     (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
     (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
