@@ -3282,6 +3282,104 @@ object Extras {
              |FROM documents WHERE doc_id < 40
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q182_corpus_rehearsal",
+      (s, dir) => {
+        // End-to-end corpus rehearsal (VERDICT r11 task 7): the REAL
+        // 100 TB pipeline composed as one plan — quality filter FIRST
+        // (token gate on the raw scan, before any media work), then the
+        // same content muxed into four containers per doc (MP4+WebVTT,
+        // MKV+SRT, PDF, HTML — "the same page crawled four ways"),
+        // content-sniffed format detection, per-container text
+        // extraction, whitespace normalization, exact near-dup collapse
+        // (md5 groupBy on normalized text — 4 copies fold to 1 canonical
+        // row, cross-doc prefix collisions fold further), and GPT-style
+        // sequence packing of the survivors (two-phase distributed
+        // prefix scan, capacity 64). Single documents scan; every stage
+        // feeds the next without re-reading the table. All outputs are
+        // closed forms of doc_id + the doc's own tokens.
+        import graft.functions.{Avi, Mkv, Mp4, Multimedia, Office, Pdf, Video}
+        val mkPayloads = udf { (toks: Seq[String]) =>
+          val p = toks.mkString(" ")
+          val cues = toks.zipWithIndex.map { case (t, i) =>
+            (i * 1.0, i * 1.0 + 0.5, t)
+          }
+          val frames = Avi.readFrames(Video.makeTestVideo(2, 16, 12, 0x112233, 10))
+          Seq(
+            Mp4.write(frames, 16, 12, 10, subtitles = cues),
+            Mkv.write(frames, 16, 12, 10, subtitles = cues),
+            Pdf.writePdf(Seq(p)),
+            ("<html><body><p>" + p + "</p></body></html>")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        val sniffFmt = udf { (b: Array[Byte]) =>
+          if (Mp4.isMp4(b) || Mkv.isMkv(b)) Multimedia.containerMeta(b).format
+          else if (b.length >= 4 && b(0) == '%' && b(1) == 'P' &&
+            b(2) == 'D' && b(3) == 'F') "PDF"
+          else "HTML"
+        }
+        val extractText = udf { (b: Array[Byte]) =>
+          if (Mp4.isMp4(b)) Mp4.readSubtitles(b).map(_._3).mkString(" ")
+          else if (Mkv.isMkv(b)) Mkv.readSubtitles(b).map(_._3).mkString(" ")
+          else Office.documentToText(b)
+        }
+        val survivors = T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("toks", expr(
+            """filter(transform(
+              |  slice(split(trim(text), '\\s+'), 1,
+              |        cast(doc_id % 6 + 4 as int)),
+              |  t -> regexp_replace(t, '[^a-zA-Z0-9]', '')),
+              |  x -> x != '')""".stripMargin))
+          .withColumn("tok", size(col("toks")).cast("long"))
+          .filter(col("tok") >= 5) // quality gate BEFORE media work
+          .withColumn("payload", explode(mkPayloads(col("toks"))))
+          .withColumn("fmt", sniffFmt(col("payload")))
+          .withColumn("norm",
+            regexp_replace(trim(extractText(col("payload"))), "\\s+", " "))
+          .groupBy(col("norm")) // exact dedup on normalized content
+          .agg(min(col("doc_id")).as("canon_doc"),
+            min(col("tok")).as("tok"),
+            count(lit(1)).as("n_copies"),
+            concat_ws(",", array_sort(collect_set(col("fmt"))))
+              .as("formats"))
+          // materialize the dedup output ONCE: packBins' quantile
+          // pre-pass would otherwise recompute the whole mux+extract
+          // subtree a second time (at corpus scale the pack input is the
+          // deduped corpus — checkpoint it, don't re-derive it)
+          .localCheckpoint(false)
+        graft.operators.Pack
+          .packBins(survivors, col("canon_doc"), col("tok"), 64L, "bin")
+          .select(col("canon_doc"), col("tok"), col("n_copies"),
+            col("formats"), col("bin"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("canon_doc")))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(list_transform(
+             |      list_slice(string_split_regex(trim(text), '\s+'),
+             |                 1, doc_id % 6 + 4),
+             |      t -> regexp_replace(t, '[^a-zA-Z0-9]', '', 'g')),
+             |    x -> x <> '') AS toks
+             |  FROM documents WHERE doc_id < 40
+             |), f AS (
+             |  SELECT doc_id, list_aggregate(toks, 'string_agg', ' ') AS p,
+             |    len(toks)::BIGINT AS tok
+             |  FROM t WHERE len(toks) >= 5
+             |), g AS (
+             |  SELECT p, min(doc_id) AS canon_doc, min(tok) AS tok,
+             |    (count(*) * 4)::BIGINT AS n_copies
+             |  FROM f GROUP BY p
+             |), o AS (
+             |  SELECT canon_doc, tok, n_copies,
+             |    coalesce(sum(tok) OVER (ORDER BY canon_doc
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             |  FROM g
+             |)
+             |SELECT canon_doc, tok, n_copies,
+             |  'HTML,MKV,MP4,PDF' AS formats,
+             |  (off // 64)::BIGINT AS bin
+             |FROM o ORDER BY canon_doc""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
