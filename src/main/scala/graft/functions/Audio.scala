@@ -169,6 +169,9 @@ object Audio {
     if (bytes == null) Map.empty[String, String]
     else if (Mp4.isMp4(bytes)) Mp4.readTags(bytes).toMap
     else if (Mkv.isMkv(bytes)) Mkv.readTags(bytes).toMap
+    else if (Ogg.isOgg(bytes)) Ogg.readTags(bytes).toMap
+    else if (bytes.length > 8 && bytes(0) == 'f' && bytes(1) == 'L' &&
+      bytes(2) == 'a' && bytes(3) == 'C') Flac.readTags(bytes).toMap
     else if (Mp3.isMp3(bytes)) Mp3.readTags(bytes).toMap
     else Map.empty[String, String]
   }

@@ -641,4 +641,63 @@ object Flac {
     }
     out
   }
+
+  // ---------------- metadata blocks (tags) ----------------
+
+  /** (lastFlag, type, bodyFrom, bodyUntil) for each metadata block. */
+  private def metadataBlocks(bytes: Array[Byte]): Seq[(Boolean, Int, Int, Int)] = {
+    val out = Seq.newBuilder[(Boolean, Int, Int, Int)]
+    var pos = 4
+    var last = false
+    while (!last && pos + 4 <= bytes.length) {
+      val hdr = bytes(pos) & 0xff
+      last = (hdr & 0x80) != 0
+      val len = ((bytes(pos + 1) & 0xff) << 16) |
+        ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      if (pos + 4 + len > bytes.length) return out.result()
+      out += ((last, hdr & 0x7f, pos + 4, pos + 4 + len))
+      pos += 4 + len
+    }
+    out.result()
+  }
+
+  /** Friendly-named tags from the VORBIS_COMMENT metadata block (type 4,
+    * the FLAC tag standard); no block → empty.
+    */
+  def readTags(bytes: Array[Byte]): Seq[(String, String)] = {
+    require(bytes.length > 8 && new String(bytes, 0, 4) == "fLaC",
+      "not a FLAC stream")
+    metadataBlocks(bytes).collectFirst { case (_, 4, f, u) =>
+      VorbisComments.parse(bytes, f, u)
+    }.getOrElse(Seq.empty)
+  }
+
+  /** Splice a VORBIS_COMMENT block after the existing metadata (clears
+    * the previous last-block flag) — the tagging twin of `Mp3.writeId3v2`
+    * and the MP4 ilst writer.
+    */
+  def withTags(bytes: Array[Byte], tags: Seq[(String, String)]): Array[Byte] = {
+    require(bytes.length > 8 && new String(bytes, 0, 4) == "fLaC",
+      "not a FLAC stream")
+    val blocks = metadataBlocks(bytes)
+    require(blocks.nonEmpty, "FLAC without metadata blocks")
+    val (_, _, _, lastEnd) = blocks.last
+    val body = VorbisComments.write(tags)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes, 0, lastEnd)
+    // clear the last-block flag on what was the final block
+    val patched = out.toByteArray
+    blocks.foreach { case (wasLast, _, f, _) =>
+      if (wasLast) patched(f - 4) = (patched(f - 4) & 0x7f).toByte
+    }
+    val out2 = new java.io.ByteArrayOutputStream()
+    out2.write(patched, 0, patched.length)
+    out2.write(0x80 | 4) // last + VORBIS_COMMENT
+    out2.write((body.length >> 16) & 0xff)
+    out2.write((body.length >> 8) & 0xff)
+    out2.write(body.length & 0xff)
+    out2.write(body, 0, body.length)
+    out2.write(bytes, lastEnd, bytes.length - lastEnd) // audio frames
+    out2.toByteArray
+  }
 }

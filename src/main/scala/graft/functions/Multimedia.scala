@@ -86,7 +86,7 @@ object Multimedia {
     // Opus granules run at 48 kHz regardless of the declared input rate
     val granuleRate = if (m.codec == "opus") 48000 else m.sampleRate
     ContainerMeta("OGG", bytes.length, bitRate(bytes.length, m.durationS),
-      Map.empty, Seq(StreamMeta("audio",
+      Ogg.readTags(bytes).toMap, Seq(StreamMeta("audio",
         duration = Some(m.totalSamples),
         time_base = if (granuleRate > 0) Some(1.0 / granuleRate) else None,
         duration_seconds = Some(m.durationS), frames = m.nPages,
@@ -204,7 +204,7 @@ object Multimedia {
       (u(at + 15) << 16) | (u(at + 16) << 8) | u(at + 17)
     val durS = if (rate > 0) total.toDouble / rate else 0.0
     ContainerMeta("FLAC", bytes.length, bitRate(bytes.length, durS),
-      Map.empty, Seq(StreamMeta("audio",
+      Flac.readTags(bytes).toMap, Seq(StreamMeta("audio",
         duration = Some(total),
         time_base = if (rate > 0) Some(1.0 / rate) else None,
         duration_seconds = Some(durS), frames = total.toInt,

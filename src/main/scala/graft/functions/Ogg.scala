@@ -100,6 +100,28 @@ object Ogg {
       stream.length)
   }
 
+  /** Friendly-named tags from the comment header packet — `OpusTags`
+    * (RFC 7845 §5.2) or the Vorbis comment header (`vorbis`),
+    * both carrying the shared Xiph comment struct. The comment packet
+    * lives on the granule-0 pages after BOS; absent → empty.
+    */
+  def readTags(bytes: Array[Byte]): Seq[(String, String)] = {
+    val ps = pages(bytes)
+    if (ps.isEmpty) return Seq.empty
+    val bos = ps.find(p => (p.headerType & 0x02) != 0).getOrElse(ps.head)
+    ps.filter(p => p.serial == bos.serial && p.granule == 0 &&
+      (p.headerType & 0x02) == 0).flatMap { p =>
+      val len = p.payloadUntil - p.payloadFrom
+      if (len >= 8 &&
+        new String(bytes, p.payloadFrom, 8, "US-ASCII") == "OpusTags")
+        VorbisComments.parse(bytes, p.payloadFrom + 8, p.payloadUntil)
+      else if (len >= 7 && (bytes(p.payloadFrom) & 0xff) == 3 &&
+        new String(bytes, p.payloadFrom + 1, 6, "US-ASCII") == "vorbis")
+        VorbisComments.parse(bytes, p.payloadFrom + 7, p.payloadUntil)
+      else Seq.empty
+    }
+  }
+
   /** Concatenated packet payload bytes of the identified stream past
     * the two header packets' pages — the codec hand-off twin of
     * `Mp4.extractAudioStream` (Opus/Vorbis decode is adjudicated).
@@ -176,7 +198,8 @@ object Ogg {
     * page-walking reader to report identity and timing.
     */
   def writeTestOgg(codec: String, channels: Int, sampleRate: Int,
-      nPages: Int, samplesPerPage: Int, preSkip: Int = 0): Array[Byte] = {
+      nPages: Int, samplesPerPage: Int, preSkip: Int = 0,
+      tags: Seq[(String, String)] = Seq.empty): Array[Byte] = {
     val serial = 0x67726166 // 'graf'
     val header: Array[Byte] = codec match {
       case "opus" =>
@@ -193,14 +216,24 @@ object Ogg {
         b.array()
       case other => sys.error(s"unsupported test codec $other")
     }
+    // comment header packet: OpusTags (RFC 7845 §5.2) or the type-3
+    // vorbis comment header (with its trailing framing bit)
+    val comment: Array[Byte] = codec match {
+      case "opus" =>
+        "OpusTags".getBytes("US-ASCII") ++ VorbisComments.write(tags)
+      case _ =>
+        Array[Byte](3) ++ "vorbis".getBytes("US-ASCII") ++
+          VorbisComments.write(tags) ++ Array[Byte](1)
+    }
     val out = new ByteArrayOutputStream()
     out.write(page(0x02, 0L, serial, 0, header)) // BOS, no audio yet
+    out.write(page(0x00, 0L, serial, 1, comment)) // header packets end here
     val rnd = new scala.util.Random(serial)
     (1 to nPages).foreach { i =>
       val payload = Array.fill((samplesPerPage / 16 + 8).min(4000))(
         rnd.nextInt(256).toByte)
       val granule = preSkip.toLong + i.toLong * samplesPerPage
-      out.write(page(if (i == nPages) 0x04 else 0x00, granule, serial, i,
+      out.write(page(if (i == nPages) 0x04 else 0x00, granule, serial, i + 1,
         payload))
     }
     out.toByteArray

@@ -3273,7 +3273,7 @@ object Extras {
              |  ((doc_id % 4 + 2) * 800)::DOUBLE /
              |    (CASE WHEN doc_id % 2 = 0 THEN 48000
              |          ELSE 8000 * (doc_id % 3 + 1) END) AS dur_s,
-             |  (doc_id % 4 + 3)::INT AS n_pages,
+             |  (doc_id % 4 + 4)::INT AS n_pages,
              |  CASE WHEN doc_id % 2 = 0 THEN 'AVIF' ELSE 'HEIF' END AS ifmt,
              |  CASE WHEN doc_id % 2 = 0 THEN 'av1' ELSE 'hevc' END AS icodec,
              |  (doc_id % 9 + 10)::INT AS iw,
@@ -3379,6 +3379,58 @@ object Extras {
              |  'HTML,MKV,MP4,PDF' AS formats,
              |  (off // 64)::BIGINT AS bin
              |FROM o ORDER BY canon_doc""".stripMargin),
+    ),
+    QueryDef(
+      "q183_vorbis_tags",
+      (s, dir) => {
+        // Vorbis-comment tags (the Xiph tag standard shared by FLAC's
+        // VORBIS_COMMENT block, Ogg Vorbis comment headers and Opus's
+        // OpusTags — the format-metadata dict the reference surfaces via
+        // pyav, `functions/util.py:40-110`) in the oracle gate: per doc,
+        // an id-derived FLAC gets tags spliced in (`Flac.withTags`, the
+        // ID3v2/ilst twin) and an Ogg fixture carries a real comment
+        // header; both round-trip through the SAME content-sniffed
+        // `mediaTags` surface as MP4/MKV/MP3, the FLAC still decodes
+        // sample-exact after the splice (pcm proof column), and the
+        // containerMetadata tag dict carries the same values. All
+        // closed forms of doc_id.
+        import graft.functions.{Audio, Flac, Multimedia, Ogg}
+        val mkFlac = udf { (id: Long) =>
+          Flac.withTags(
+            Flac.encode(Array.tabulate(800)(i => (i % 50).toShort), 1, 8000),
+            Seq("title" -> ("F" + id), "artist" -> ("fa" + (id % 7))))
+        }
+        val mkOgg = udf { (id: Long) =>
+          Ogg.writeTestOgg(if (id % 2 == 0) "opus" else "vorbis", 1, 16000,
+            2, 800, tags = Seq("title" -> ("O" + id),
+              "track" -> String.valueOf(id % 9)))
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("f", mkFlac(col("doc_id")))
+          .withColumn("o", mkOgg(col("doc_id")))
+          .withColumn("ft", Audio.mediaTags(col("f")))
+          .withColumn("ot", Audio.mediaTags(col("o")))
+          .select(col("doc_id"),
+            col("ft").getItem("title").as("f_title"),
+            col("ft").getItem("artist").as("f_artist"),
+            Audio.sampleSum(col("f")).as("f_pcm_sum"),
+            col("ot").getItem("title").as("o_title"),
+            col("ot").getItem("track").as("o_track"),
+            element_at(
+              Multimedia.containerMetadata(col("o"))("metadata"), "title")
+              .as("o_meta_title"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id,
+             |  'F' || doc_id::VARCHAR AS f_title,
+             |  'fa' || (doc_id % 7)::VARCHAR AS f_artist,
+             |  19600::BIGINT AS f_pcm_sum,
+             |  'O' || doc_id::VARCHAR AS o_title,
+             |  (doc_id % 9)::VARCHAR AS o_track,
+             |  'O' || doc_id::VARCHAR AS o_meta_title
+             |FROM documents WHERE doc_id < 40
+             |ORDER BY doc_id""".stripMargin),
     ),
   )
 

@@ -15,7 +15,7 @@ class OggHeifSpec extends AnyFunSuite {
     assert(m.codec == "opus" && m.channels == 2 && m.sampleRate == 48000)
     assert(m.totalSamples == 5 * 960) // last granule minus preskip
     assert(math.abs(m.durationS - 5 * 960 / 48000.0) < 1e-12)
-    assert(m.nPages == 6) // BOS + 5 audio pages
+    assert(m.nPages == 7) // BOS + comment header + 5 audio pages
     // EOS flag only on the last page
     val ps = Ogg.pages(ogg)
     assert(ps.count(p => (p.headerType & 0x04) != 0) == 1 &&
@@ -67,6 +67,34 @@ class OggHeifSpec extends AnyFunSuite {
     assert(im.streams.head.codec_context.name == "hevc")
   }
 
+  test("vorbis-comment tags: ogg comment header + flac splice round-trip") {
+    // Ogg: OpusTags and vorbis comment headers through the sniffed reader
+    val opus = Ogg.writeTestOgg("opus", 1, 48000, 2, 960,
+      tags = Seq("title" -> "Tïtle", "artist" -> "A", "CUSTOM" -> "x"))
+    assert(Ogg.readTags(opus).toMap ==
+      Map("title" -> "Tïtle", "artist" -> "A", "CUSTOM" -> "x"))
+    val vorb = Ogg.writeTestOgg("vorbis", 2, 16000, 2, 800,
+      tags = Seq("album" -> "Al", "track" -> "7"))
+    assert(Ogg.readTags(vorb).toMap == Map("album" -> "Al", "track" -> "7"))
+    // tagless stream still parses clean
+    assert(Ogg.readTags(Ogg.writeTestOgg("opus", 1, 48000, 1, 960)).isEmpty)
+    // metadata dict carries them
+    assert(Multimedia.containerMeta(opus).metadata("title") == "Tïtle")
+
+    // FLAC: withTags splices a VORBIS_COMMENT block; the stream still
+    // decodes bit-exact and STREAMINFO-based metadata is unchanged
+    val samples = Array.tabulate(1200)(i => ((i * 7) % 300 - 150).toShort)
+    val flac = Flac.encode(samples, 1, 8000)
+    val tagged = Flac.withTags(flac, Seq("title" -> "FT", "genre" -> "g"))
+    assert(Flac.readTags(tagged).toMap == Map("title" -> "FT", "genre" -> "g"))
+    assert(Flac.readTags(flac).isEmpty)
+    val dec = Flac.decode(tagged)
+    assert(dec.md5Ok && dec.samples.map(_.toShort).sameElements(samples))
+    assert(Multimedia.containerMeta(tagged).metadata("title") == "FT")
+    assert(Multimedia.containerMeta(tagged).streams.head
+      .codec_context.sample_rate.contains(8000))
+  }
+
   test("corrupt inputs fail fast: truncations and bit flips never hang") {
     val rnd = new scala.util.Random(77)
     val ogg = Ogg.writeTestOgg("opus", 2, 48000, 4, 960, preSkip = 100)
@@ -75,9 +103,9 @@ class OggHeifSpec extends AnyFunSuite {
       try { f; () } catch { case _: Exception => () }
     (0 until 80).foreach { _ =>
       val t1 = ogg.take(rnd.nextInt(ogg.length))
-      poke(Ogg.pages(t1)); poke(Ogg.readMeta(t1)); poke(Ogg.extractPackets(t1))
+      poke(Ogg.pages(t1)); poke(Ogg.readMeta(t1)); poke(Ogg.extractPackets(t1)); poke(Ogg.readTags(t1))
       val c1 = ogg.clone(); c1(rnd.nextInt(c1.length)) = rnd.nextInt(256).toByte
-      poke(Ogg.pages(c1)); poke(Ogg.readMeta(c1)); poke(Ogg.extractPackets(c1))
+      poke(Ogg.pages(c1)); poke(Ogg.readMeta(c1)); poke(Ogg.extractPackets(c1)); poke(Ogg.readTags(c1))
       val t2 = heif.take(rnd.nextInt(heif.length))
       poke(Heif.isHeif(t2)); poke(Heif.readMeta(t2))
       val c2 = heif.clone(); c2(rnd.nextInt(c2.length)) = rnd.nextInt(256).toByte

@@ -98,7 +98,7 @@ class TableConformanceSpec extends AnyFunSuite {
     // (recompute over the page with the CRC zeroed; RFC 3533 §6)
     val ogg = Ogg.writeTestOgg("opus", 1, 48000, 2, 960)
     val p0 = Ogg.pages(ogg)
-    assert(p0.length == 3)
+    assert(p0.length == 4)
     // Matroska/EBML: element ids used by the muxer must round-trip the
     // demux (structural identity check across the id table)
     val mkv = Mkv.write(Seq.empty, 0, 0, 0,
