@@ -17,7 +17,96 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
     ext.injectResolutionRule(GraftRelationRule(_))
+    ext.injectPreCBORule(_ => PruneRedundantUdfGeneratorFilters)
   }
+}
+
+/** Removes inferred null/empty pre-filters that re-evaluate an expensive
+  * UDF feeding a non-outer `Generate`.
+  *
+  * Spark's `InferFiltersFromGenerate` deliberately only fires when the
+  * generator input is already an Attribute (to avoid re-evaluating
+  * expensive inputs), so `explode(udf(x))` is safe out of the box. But the
+  * equally common *projected* idiom
+  *
+  * {{{ df.withColumn("arr", udf(x)).select(explode($"arr")) }}}
+  *
+  * gets `isnotnull(arr) AND size(arr) > 0` inferred on the attribute, and
+  * `PushDownPredicates` then substitutes the alias while pushing the
+  * filter below the defining Project — leaving
+  * `Filter(size(UDF(x)) > 0 AND isnotnull(UDF(x)))` under
+  * `Project(UDF(x) AS arr)`: the UDF runs THREE times per input row
+  * (measured on Spark 4.1.2; see PruneRedundantUdfGeneratorFiltersSpec).
+  * graft's flagship explode inputs are expensive media UDFs (mux a
+  * container, chunk a document, split an audio stream), where 3× the UDF
+  * is 3× the corpus cost at 100 TB.
+  *
+  * Dropping those conjuncts is semantics-preserving: everything between
+  * the Filter and the Generate is a Project (row-1:1), and a non-outer
+  * Generate emits nothing for rows whose generator input is null or
+  * empty — the extra admitted rows die in the Generate. It is also
+  * strictly cheaper: matching rows evaluate the UDF once instead of three
+  * times, and non-matching rows once instead of twice. Runs as a pre-CBO
+  * rule, i.e. after the operator-optimization fixed point that runs
+  * InferFiltersFromGenerate + PushDownPredicates, so nothing re-infers the
+  * dropped conjuncts afterwards.
+  */
+object PruneRedundantUdfGeneratorFilters
+    extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, GreaterThan, IsNotNull, Literal, Size, UserDefinedExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Project}
+
+  private def hasUdf(e: Expression): Boolean =
+    e.exists(_.isInstanceOf[UserDefinedExpression])
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case g @ Generate(gen, _, false, _, _, _) =>
+      // resolve attribute generator inputs to their defining expressions
+      // through the Project/Filter chain below; only UDF-bearing ones
+      // make the inferred pre-filter worth (and safe to) drop
+      val targets = gen.children.collect {
+        case a: Attribute => definition(a, g.child)
+      }.flatten.filter(hasUdf)
+      if (targets.isEmpty) g else g.withNewChildren(
+        Seq(dropConjuncts(g.child, targets)))
+  }
+
+  /** The expression a generator-input attribute is an alias of, looked up
+    * through row-preserving Project/Filter nodes only.
+    */
+  private def definition(a: Attribute, plan: LogicalPlan): Option[Expression] =
+    plan match {
+      case Project(projectList, child) =>
+        projectList.collectFirst { case al: Alias if al.exprId == a.exprId => al.child }
+          .orElse(definition(a, child))
+      case Filter(_, child) => definition(a, child)
+      case _ => None
+    }
+
+  /** Drops `isnotnull(E)` / `size(E) > 0` conjuncts over the target
+    * expressions from Filters in the Project/Filter chain; everything
+    * between those Filters and the Generate is row-1:1, and the non-outer
+    * Generate drops the admitted null/empty rows itself.
+    */
+  private def dropConjuncts(plan: LogicalPlan, targets: Seq[Expression]): LogicalPlan =
+    plan match {
+      case p @ Project(_, child) =>
+        p.withNewChildren(Seq(dropConjuncts(child, targets)))
+      case f @ Filter(cond, child) =>
+        val conjuncts = splitConjunctivePredicates(cond)
+        val kept = conjuncts.filterNot {
+          case IsNotNull(e) => targets.exists(_.semanticEquals(e))
+          case GreaterThan(s: Size, Literal(0, _)) =>
+            targets.exists(_.semanticEquals(s.child))
+          case _ => false
+        }
+        val newChild = dropConjuncts(child, targets)
+        if (kept.size == conjuncts.size) f.withNewChildren(Seq(newChild))
+        else if (kept.isEmpty) newChild
+        else Filter(kept.reduce(And), newChild)
+      case other => other
+    }
 }
 
 /** Analyzer rule resolving `graft`-namespace relations in plain Spark SQL

@@ -22,8 +22,15 @@ object ClusterStatsProbeMain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       // executors are forked JVMs: give them this JVM's classpath and the
-      // JDK17 add-opens flags sbt injects for the parent
-      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      // JDK17 add-opens flags sbt injects for the parent. Absolutized:
+      // executors start in their own work dir, where a relative entry
+      // resolves to nothing and every shipped lambda dies with a
+      // misleading SerializedLambda ClassCastException (see
+      // ClusterSweepMain).
+      .config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path").split(java.io.File.pathSeparator)
+          .map(p => new java.io.File(p).getAbsolutePath)
+          .mkString(java.io.File.pathSeparator))
       .config("spark.executor.extraJavaOptions",
         sys.props.get("graft.probe.addOpens").getOrElse(""))
       .getOrCreate()

@@ -33,10 +33,23 @@ object ClusterSweepMain {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       // executors are forked JVMs: hand them this JVM's classpath + the
-      // JDK17 add-opens / vector-module flags
-      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      // JDK17 add-opens / vector-module flags. Entries MUST be
+      // absolutized: the standalone worker starts executors in their own
+      // work dir, so a relative `target/scala-2.13/classes` silently
+      // resolves to nothing there. The resulting failure is NOT a clear
+      // ClassNotFoundException but `ClassCastException: cannot assign
+      // instance of SerializedLambda to field ...` on every shipped
+      // lambda — ObjectInputStream swallows the lookup failure inside
+      // SerializedLambda.readResolve and the raw proxy object surfaces at
+      // field assignment (round-12 finding; cost half a day, hence this
+      // comment).
+      .config("spark.executor.extraClassPath",
+        System.getProperty("java.class.path").split(java.io.File.pathSeparator)
+          .map(p => new java.io.File(p).getAbsolutePath)
+          .mkString(java.io.File.pathSeparator))
       .config("spark.executor.extraJavaOptions", execJavaOpts)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
