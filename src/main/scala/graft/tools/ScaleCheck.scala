@@ -30,7 +30,11 @@ object ScaleCheck {
     "q157_heavy_hitters", "q158_change_feed", "q159_zorder_compact",
     "q160_audio_codecs", "q161_bloom_lookup", "q162_optimize_policy",
     "q163_string_cluster", "q164_flac_roundtrip", "q165_office_chunks",
-    "q166_compressed_docs")
+    "q166_compressed_docs",
+    // r12 media gates: all doc_id-bounded map-only container work —
+    // flat-under-replication expected, like the r11 media gates
+    "q180_mkv_container", "q181_ogg_heif_meta", "q182_corpus_rehearsal",
+    "q183_vorbis_tags")
   // q159 is a bounded DML-lifecycle gate (l_orderkey < 1600 slice →
   // constant under key-offset replication; measures z-order write + footer
   // metadata reads, expected ~1); q160 is map-only codec work over a

@@ -137,6 +137,33 @@ class MediaFuzzSpec extends AnyFunSuite {
       poke(Mkv.readAudio(c)); poke(Mkv.readTags(c))
       poke(Mkv.readSubtitles(c)); poke(Mkv.segmentCues(c))
     }
+    // Ogg page walk on truncations and bit flips (CRC-protected pages:
+    // flips must degrade to fewer pages/empty meta, never to throws
+    // outside IllegalArgumentException or misallocation)
+    for (codec <- Seq("opus", "vorbis")) {
+      val ogg = Ogg.writeTestOgg(codec, 2, 16000, 3, 1600,
+        tags = Seq("title" -> "t", "artist" -> "a"))
+      for (_ <- 0 until 60) {
+        val t = ogg.take(rnd.nextInt(ogg.length))
+        poke(Ogg.pages(t)); poke(Ogg.readMeta(t)); poke(Ogg.readTags(t))
+        poke(Ogg.extractPackets(t))
+        val c = ogg.clone()
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        poke(Ogg.pages(c)); poke(Ogg.readMeta(c)); poke(Ogg.readTags(c))
+        poke(Ogg.extractPackets(c))
+      }
+    }
+    // HEIF/AVIF meta-box walk on truncations and bit flips
+    for (fmt <- Seq("AVIF", "HEIF")) {
+      val heif = Heif.writeTest(fmt, 12, 9, 2)
+      for (_ <- 0 until 60) {
+        val t = heif.take(rnd.nextInt(heif.length))
+        poke(Heif.isHeif(t)); poke(Heif.readMeta(t))
+        val c = heif.clone()
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+        poke(Heif.isHeif(c)); poke(Heif.readMeta(c))
+      }
+    }
   }
 
   test("100 random fragment shapes round-trip payloads and audio") {
