@@ -3432,6 +3432,147 @@ object Extras {
              |FROM documents WHERE doc_id < 40
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q184_stream_neardup",
+      (s, dir) => {
+        // Streaming near-dup ORACLE gate: `Streaming.nearDupStream` (the
+        // flatMapGroupsWithState simhash-bucket operator, previously
+        // spec-only) replayed over a staged corpus with maxHamming = 0 —
+        // exact-signature semantics, so the DuckDB oracle reproduces the
+        // ENTIRE operator bit-for-bit: simhash16 is a per-token md5-bit
+        // vote (TextFunctions.simhash16), recomputed in SQL from the same
+        // md5 hex digits, and dup_of is the earliest prior doc with the
+        // same 16-bit signature (a window over sig). Duplicates exist by
+        // construction (every doc_id % 3 == 2 doc streams doc_id-2's
+        // text); signature collisions across different texts are NOT a
+        // gate hazard because the oracle models the signature itself, not
+        // text equality. Scale shape: state is O(buckets x cap), keyed
+        // shuffle only — the streaming form of q35's batch simhash dedup.
+        import org.apache.spark.sql.streaming.Trigger
+        val base = T(s, dir, "documents")
+          .filter(col("doc_id") < 60)
+          .withColumn("norm", expr(
+            """array_join(filter(transform(
+              |  slice(split(trim(lower(text)), '\\s+'), 1,
+              |        cast(doc_id % 5 + 6 as int)),
+              |  t -> regexp_replace(t, '[^a-z0-9]', '')),
+              |  x -> x != ''), ' ')""".stripMargin))
+          .select(col("doc_id"), col("norm"))
+        val staged = base.alias("a")
+          .join(base.alias("b"), col("b.doc_id") === col("a.doc_id") - 2,
+            "left")
+          .select(col("a.doc_id").as("doc_id"),
+            when(col("a.doc_id") % 3 === 2 && col("b.norm").isNotNull,
+              col("b.norm")).otherwise(col("a.norm")).as("text"))
+        val stage = java.nio.file.Files.createTempDirectory("q184_in").toString
+        staged.coalesce(1).write.mode("overwrite").parquet(stage)
+        val stream = s.readStream
+          .schema(s.read.parquet(stage).schema).parquet(stage)
+        val verdicts = graft.streaming.Streaming
+          .nearDupStream(stream, "doc_id", "text", maxHamming = 0)
+        val qname = "q184_mem_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val ck = java.nio.file.Files.createTempDirectory("q184_ck").toString
+        val sq = verdicts.toDF().writeStream.format("memory")
+          .queryName(qname).outputMode("append")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+        s.table(qname)
+          .select(col("doc_id"), col("simhash").as("sig"),
+            (col("dup_of") =!= -1L).as("is_dup"), col("dup_of"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_aggregate(list_filter(list_transform(
+             |      list_slice(string_split_regex(trim(lower(text)), '\s+'),
+             |                 1, doc_id % 5 + 6),
+             |      t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+             |    x -> x <> ''), 'string_agg', ' ') AS norm
+             |  FROM documents WHERE doc_id < 60
+             |), st AS (
+             |  SELECT a.doc_id,
+             |    CASE WHEN a.doc_id % 3 = 2 AND b.norm IS NOT NULL
+             |         THEN b.norm ELSE a.norm END AS text
+             |  FROM t a LEFT JOIN t b ON b.doc_id = a.doc_id - 2
+             |), tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(text), '\s+')) AS tk
+             |  FROM st
+             |), bit AS (
+             |  SELECT doc_id, g.i,
+             |    CASE WHEN sum(CASE WHEN substr(md5(tk), g.i::INT, 1) >= '8'
+             |                       THEN 1 ELSE -1 END) > 0
+             |         THEN '1' ELSE '0' END AS b
+             |  FROM tok, generate_series(1, 16) AS g(i)
+             |  GROUP BY doc_id, g.i
+             |), sg AS (
+             |  SELECT doc_id, string_agg(b, '' ORDER BY i) AS sig
+             |  FROM bit GROUP BY doc_id
+             |), o AS (
+             |  SELECT doc_id, sig,
+             |    min(doc_id) OVER (PARTITION BY sig ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+             |  FROM sg
+             |)
+             |SELECT doc_id, sig, prior IS NOT NULL AS is_dup,
+             |  coalesce(prior, -1)::BIGINT AS dup_of
+             |FROM o ORDER BY doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "q185_stream_decontam",
+      (s, dir) => {
+        // Stream-static decontamination: q94's 13-gram benchmark check run
+        // as a CONTINUOUS INGESTION filter — the training docs arrive as a
+        // stream, the benchmark gram set is a static broadcast side, and
+        // the per-doc contamination count aggregates in complete mode
+        // (bounded replay; the unbounded form uses watermarked update
+        // mode). Same DuckDB oracle shape as q94 gates both engines, so
+        // this is batch-stream equivalence gate #3 (q101 windowed agg,
+        // q184 stateful dedup, q185 stream-static join). Scale shape:
+        // map-only gram explosion on the stream, benchmark grams broadcast
+        // (eval suites are MBs vs a 100 TB feed), one keyed state shuffle.
+        import graft.functions.TextFunctions
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = T(s, dir, "documents")
+        val benchGrams = docs.where(col("doc_id") % 7 === 0)
+          .select(explode(TextFunctions.wordNgrams(
+            TextFunctions.tokens(lower(col("text"))), 13)).as("g"))
+          .distinct()
+        val stage = java.nio.file.Files.createTempDirectory("q185_in").toString
+        docs.where(col("doc_id") % 7 =!= 0).select("doc_id", "text")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val stream = s.readStream
+          .schema(s.read.parquet(stage).schema).parquet(stage)
+        val hits = stream
+          .select(col("doc_id"), explode(TextFunctions.wordNgrams(
+            TextFunctions.tokens(lower(col("text"))), 13)).as("g"))
+          .join(broadcast(benchGrams), "g")
+          .groupBy(col("doc_id"))
+          .agg(size(collect_set(col("g"))).cast("long").as("n_contaminated"))
+        val qname = "q185_mem_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val ck = java.nio.file.Files.createTempDirectory("q185_ck").toString
+        val sq = hits.writeStream.format("memory").queryName(qname)
+          .outputMode("complete").option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+        s.table(qname)
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+             |  FROM documents),
+             |pos AS (SELECT doc_id, t,
+             |  unnest(range(1, greatest(len(t) - 11, 1))) AS i FROM toks),
+             |grams AS (SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+             |  FROM pos),
+             |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
+             |SELECT g.doc_id, count(DISTINCT g.g)::BIGINT AS n_contaminated
+             |FROM grams g JOIN bench b ON g.g = b.g
+             |WHERE g.doc_id % 7 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
