@@ -3464,10 +3464,30 @@ object Extras {
           .select(col("a.doc_id").as("doc_id"),
             when(col("a.doc_id") % 3 === 2 && col("b.norm").isNotNull,
               col("b.norm")).otherwise(col("a.norm")).as("text"))
-        val stage = java.nio.file.Files.createTempDirectory("q184_in").toString
-        staged.coalesce(1).write.mode("overwrite").parquet(stage)
+        // stage as SIX mtime-ordered files replayed one per micro-batch
+        // (maxFilesPerTrigger=1): dup state must SURVIVE the batch
+        // boundary — cross-batch pairs like (18, 20) only resolve through
+        // the persisted state store, which a single-batch replay would
+        // never exercise. File order = doc_id order (the oracle's
+        // processing-order assumption) via explicit modification times.
+        val stage = java.nio.file.Files.createTempDirectory("q184_in")
+        (0 until 6).foreach { k =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory(s"q184_b$k").toString
+          staged.filter(col("doc_id") >= k * 10 && col("doc_id") < (k + 1) * 10)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = stage.resolve(f"b$k%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1_000_000_000_000L + k * 60_000L))
+        }
         val stream = s.readStream
-          .schema(s.read.parquet(stage).schema).parquet(stage)
+          .schema(s.read.parquet(stage.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
         val verdicts = graft.streaming.Streaming
           .nearDupStream(stream, "doc_id", "text", maxHamming = 0)
         val qname = "q184_mem_" +
