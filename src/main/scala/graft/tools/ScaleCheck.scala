@@ -34,7 +34,11 @@ object ScaleCheck {
     // r12 media gates: all doc_id-bounded map-only container work —
     // flat-under-replication expected, like the r11 media gates
     "q180_mkv_container", "q181_ogg_heif_meta", "q182_corpus_rehearsal",
-    "q183_vorbis_tags")
+    "q183_vorbis_tags",
+    // streaming gates: q184 is doc_id-bounded (flat expected); q185 reads
+    // the FULL corpus through the stream-static gram join, so its ratio
+    // measures the streaming path's data-proportional scaling
+    "q184_stream_neardup", "q185_stream_decontam")
   // q159 is a bounded DML-lifecycle gate (l_orderkey < 1600 slice →
   // constant under key-offset replication; measures z-order write + footer
   // metadata reads, expected ~1); q160 is map-only codec work over a
