@@ -3593,6 +3593,84 @@ object Extras {
              |WHERE g.doc_id % 7 <> 0
              |GROUP BY 1 ORDER BY 1""".stripMargin),
     ),
+    QueryDef(
+      "q186_stream_watermark",
+      (s, dir) => {
+        // Watermarked APPEND-mode event-time windows with real late-data
+        // drops — the semantics q101's complete-mode gate deliberately
+        // punted on. Controlled replay: four mtime-ordered files, one per
+        // micro-batch; docs carry ts = epoch + 30s * doc_id EXCEPT file
+        // b2 (docs 40-49), which arrives in batch 3 carrying STALE event
+        // times (ts = 30s * (doc_id - 40), inside b0's era). By then the
+        // watermark (60 s delay) has passed those windows' ends, their
+        // state is emitted-and-evicted, so every late row must be DROPPED
+        // from the appended output. The emission cutoff is Spark's
+        // documented watermark timing (watermark computed at batch end
+        // applies from the NEXT batch; AvailableNow runs a final no-data
+        // batch to flush): windows with end <= max_event_time - delay
+        // emit, the trailing open windows never do. sum_doc pins WHICH
+        // docs were counted, not just how many.
+        import org.apache.spark.sql.streaming.Trigger
+        val base = T(s, dir, "documents").filter(col("doc_id") < 60)
+          .withColumn("ts", timestamp_seconds(lit(1000000000L) +
+            when(col("doc_id").between(40, 49),
+              (col("doc_id") - 40) * 30).otherwise(col("doc_id") * 30)))
+          .select(col("doc_id"), col("ts"))
+        val stage = java.nio.file.Files.createTempDirectory("q186_in")
+        val fileDocs = Seq(0L -> 20L, 20L -> 40L, 40L -> 50L, 50L -> 60L)
+        fileDocs.zipWithIndex.foreach { case ((lo, hi), k) =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory(s"q186_b$k").toString
+          base.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = stage.resolve(f"b$k%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1_000_000_000_000L + k * 60_000L))
+        }
+        val stream = s.readStream
+          .schema(s.read.parquet(stage.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
+        val agg = stream
+          .withWatermark("ts", "60 seconds")
+          .groupBy(window(col("ts"), "120 seconds"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_doc"))
+        val qname = "q186_mem_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val ck = java.nio.file.Files.createTempDirectory("q186_ck").toString
+        val sq = agg.writeStream.format("memory").queryName(qname)
+          .outputMode("append").option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+        s.table(qname)
+          .select(unix_timestamp(col("window.start")).as("w_start"),
+            col("n"), col("sum_doc"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("w_start")))
+      },
+      Some("""WITH ontime AS (
+             |  -- late docs (40-49) never appear: their windows were
+             |  -- emitted-and-evicted before the stale file arrived
+             |  SELECT doc_id, 1000000000 + 30 * doc_id AS ts
+             |  FROM documents
+             |  WHERE doc_id < 60 AND doc_id NOT BETWEEN 40 AND 49
+             |), w AS (
+             |  -- Spark tumbling windows align to the unix epoch, not to
+             |  -- the stream's first event
+             |  SELECT (ts // 120 * 120)::BIGINT AS w_start,
+             |    count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS sum_doc
+             |  FROM ontime GROUP BY 1
+             |)
+             |-- append mode emits windows whose end has passed the final
+             |-- watermark = max on-time event (1000001770) - 60 s delay;
+             |-- the trailing open windows never emit
+             |SELECT w_start, n, sum_doc FROM w
+             |WHERE w_start + 120 <= 1000001770 - 60
+             |ORDER BY w_start""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
