@@ -3671,6 +3671,104 @@ object Extras {
              |WHERE w_start + 120 <= 1000001770 - 60
              |ORDER BY w_start""".stripMargin),
     ),
+    QueryDef(
+      "q187_stream_sessionize",
+      (s, dir) => {
+        // Streaming gap sessionization (Streaming.sessionizeStream —
+        // flatMapGroupsWithState with an EVENT-TIME timeout; q40's batch
+        // semantics on an unbounded stream) oracle-gated. Real events for
+        // 8 users, ms-truncated up front (the operator's per-key state is
+        // epoch-millis), replayed as four TIME-ORDERED slices consumed
+        // one per micro-batch, so sessions span batch boundaries and
+        // close all three ways: a gap inside a batch, a later batch's
+        // event exceeding the gap, and the event-time timeout when the
+        // final watermark passes session_end + gap. The oracle is q40's
+        // session assembly plus the emission rule: every non-final
+        // session per user emits; a user's FINAL session emits iff the
+        // final watermark (global max event time - 30 min delay) passed
+        // its end + 30 min gap — the trailing open sessions never emit.
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.streaming.Trigger
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = s.read.parquet(s"$dir/events.parquet").schema
+        val tsNorm = schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            timestamp_micros(expr("ts div 1000"))
+          case _ => col("ts").cast("timestamp")
+        }
+        val ev = s.read.parquet(s"$dir/events.parquet")
+          .filter(col("user_id") < 8)
+          .select(col("user_id").cast("long").as("user_id"),
+            timestamp_millis(unix_millis(tsNorm)).as("ts"))
+        val n = ev.count()
+        // four time-ordered slices (534 rows at sf0.01 — the
+        // no-partition window is construction-time, oracle-sized)
+        val rn = row_number().over(Window.orderBy(col("ts"), col("user_id")))
+        val sliced = ev.withColumn("rn", rn)
+        val stage = java.nio.file.Files.createTempDirectory("q187_in")
+        (0 until 4).foreach { k =>
+          val lo = k * n / 4
+          val hi = (k + 1) * n / 4
+          val tmp = java.nio.file.Files
+            .createTempDirectory(s"q187_b$k").toString
+          sliced.filter(col("rn") > lo && col("rn") <= hi)
+            .drop("rn").coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = stage.resolve(f"b$k%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1_000_000_000_000L + k * 60_000L))
+        }
+        val stream = s.readStream
+          .schema(s.read.parquet(stage.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
+        val sessions = graft.streaming.Streaming
+          .sessionizeStream(stream, 30L * 60L * 1000L, "30 minutes")
+        val qname = "q187_mem_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val ck = java.nio.file.Files.createTempDirectory("q187_ck").toString
+        val sq = sessions.toDF().writeStream.format("memory")
+          .queryName(qname).outputMode("append")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+        s.table(qname)
+          .select(col("user_id"),
+            col("session_start").cast("timestamp_ntz").as("session_start"),
+            col("session_end").cast("timestamp_ntz").as("session_end"),
+            col("n_events"))
+          .transform(graft.QueryUtil.orderedSmall(_,
+            col("user_id"), col("session_start")))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, make_timestamp(epoch_ms(ts) * 1000) AS ts
+             |  FROM events WHERE user_id < 8
+             |), marks AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+             |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+             |), sess AS (
+             |  SELECT user_id, ts,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM marks
+             |), agg AS (
+             |  SELECT user_id, sid, min(ts) AS session_start,
+             |    max(ts) AS session_end, count(*)::BIGINT AS n_events
+             |  FROM sess GROUP BY 1, 2
+             |), mx AS (SELECT max(epoch_ms(ts)) AS m FROM e)
+             |SELECT user_id, session_start, session_end, n_events
+             |FROM agg, mx
+             |WHERE sid < (SELECT max(sid) FROM agg a2
+             |             WHERE a2.user_id = agg.user_id)
+             |   OR epoch_ms(session_end) + 1800000 < m - 1800000
+             |ORDER BY user_id, session_start""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
