@@ -243,9 +243,92 @@ object Pdf {
     out.toString.getBytes(ISO_8859_1)
   }
 
+  /** Low-level PDF authoring: arbitrary objects, streams, and pages with
+    * caller-supplied content streams and resource dictionaries. This is
+    * the vector/text/image fixture surface for the page RASTERIZER
+    * (`PdfRender`) — `writePdf`/`writePdfWithImages` only emit the fixed
+    * one-font text layout. Object ids are 1-based and returned by the
+    * `add*` methods so resource dicts can reference earlier objects.
+    */
+  final class PdfBuilder {
+    private val objs =
+      mutable.ArrayBuffer.empty[(String, Option[Array[Byte]])]
+    private val pages = mutable.ArrayBuffer.empty[Int] // page object ids
+
+    /** Add a dict-only (or array/number) object; returns its id. */
+    def addObj(body: String): Int = { objs += ((body, None)); objs.length }
+
+    /** Add a stream object: `dict` WITHOUT the surrounding << >> and
+      * WITHOUT /Length (added here). `compress` Flate-encodes the payload
+      * and appends /Filter /FlateDecode.
+      */
+    def addStream(dict: String, payload: Array[Byte],
+        compress: Boolean = false): Int = {
+      val data = if (compress) deflate(payload) else payload
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      objs += ((s"<< $dict /Length ${data.length}$filter >>", Some(data)))
+      objs.length
+    }
+
+    /** Add a page: `content` is the raw content stream, `resources` the
+      * body of the /Resources dict (without << >>), `mediaBox` in points.
+      */
+    def addPage(content: String, mediaBox: (Double, Double),
+        resources: String = ""): Int =
+      addPageBox(content, (0, 0, mediaBox._1, mediaBox._2), resources)
+
+    /** Full-control page: explicit /MediaBox corners plus extra page-dict
+      * entries (e.g. `/Rotate 90`).
+      */
+    def addPageBox(content: String,
+        box: (Double, Double, Double, Double), resources: String = "",
+        extraEntries: String = ""): Int = {
+      val cId = addStream("", content.getBytes(ISO_8859_1))
+      def fmt(d: Double) =
+        if (d == d.floor && d.abs < 1e9) d.toLong.toString else d.toString
+      val pid = addObj(
+        s"<< /Type /Page /MediaBox [${fmt(box._1)} ${fmt(box._2)} " +
+          s"${fmt(box._3)} ${fmt(box._4)}] " +
+          s"/Resources << $resources >> /Contents $cId 0 R" +
+          s"$extraEntries /Parent PAGES 0 R >>")
+      pages += pid
+      pid
+    }
+
+    def build(): Array[Byte] = {
+      val pagesId = objs.length + 1
+      val catId = pagesId + 1
+      val bodies = objs.map { case (d, _) =>
+        d.replace("PAGES 0 R", s"$pagesId 0 R")
+      } :+
+        s"<< /Type /Pages /Kids [${pages.map(i => s"$i 0 R").mkString(" ")}] /Count ${pages.length} >>" :+
+        s"<< /Type /Catalog /Pages $pagesId 0 R >>"
+      val streams = objs.map(_._2) :+ None :+ None
+      val out = new java.io.ByteArrayOutputStream()
+      def w(t: String): Unit = out.write(t.getBytes(ISO_8859_1))
+      w("%PDF-1.4\n")
+      val offsets = new Array[Int](bodies.length + 1)
+      bodies.zipWithIndex.foreach { case (body, i) =>
+        offsets(i + 1) = out.size()
+        w(s"${i + 1} 0 obj\n")
+        w(body)
+        streams(i).foreach { z =>
+          w("\nstream\n"); out.write(z); w("\nendstream")
+        }
+        w("\nendobj\n")
+      }
+      val xref = out.size()
+      w(s"xref\n0 ${bodies.length + 1}\n0000000000 65535 f \n")
+      (1 to bodies.length).foreach(i => w(f"${offsets(i)}%010d 00000 n \n"))
+      w(s"trailer\n<< /Size ${bodies.length + 1} /Root $catId 0 R >>\n")
+      w(s"startxref\n$xref\n%%EOF")
+      out.toByteArray
+    }
+  }
+
   // ---------------- parser ----------------
 
-  private final case class Obj(dict: String, stream: Option[Array[Byte]])
+  private[functions] final case class Obj(dict: String, stream: Option[Array[Byte]])
 
   private val objStart = """(\d+)\s+(\d+)\s+obj""".r
   private val lengthDirect = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
@@ -279,7 +362,7 @@ object Pdf {
     s.length
   }
 
-  private def parseObjects(bytes: Array[Byte],
+  private[functions] def parseObjects(bytes: Array[Byte],
       password: String = ""): Map[Int, Obj] = {
     val s = new String(bytes, ISO_8859_1)
     require(s.startsWith("%PDF"), "not a PDF (missing %PDF header)")
@@ -294,7 +377,13 @@ object Pdf {
       if (i + 1 < s.length && s.charAt(i) == '<' && s.charAt(i + 1) == '<') {
         val e = dictEnd(s, i)
         (num, gen, s.substring(i, e), e)
-      } else (num, gen, "", i)
+      } else {
+        // non-dict top-level object (array/number, e.g. an indirect
+        // /Widths or /Length target): keep the raw body so consumers
+        // (the renderer's value resolver, /Length refs) can parse it
+        val e = s.indexOf("endobj", i)
+        (num, gen, if (e < 0) "" else s.substring(i, e).trim, i)
+      }
     }
     val parsed = starts.map(parseAt)
     val dictOf = parsed.map { case (n, _, d, _) => n -> d }.toMap
@@ -370,7 +459,7 @@ object Pdf {
     }
   }
 
-  private def inflate(data: Array[Byte]): Array[Byte] = {
+  private[functions] def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
     val bos = new ByteArrayOutputStream()
@@ -384,7 +473,7 @@ object Pdf {
     bos.toByteArray
   }
 
-  private def deflate(raw: Array[Byte]): Array[Byte] = {
+  private[functions] def deflate(raw: Array[Byte]): Array[Byte] = {
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw); deflater.finish()
     val buf = new Array[Byte](8192)
@@ -699,7 +788,7 @@ object Pdf {
     }
   }
 
-  private def applyStreamFilters(raw: Array[Byte], filters: Seq[String],
+  private[functions] def applyStreamFilters(raw: Array[Byte], filters: Seq[String],
       dict: String): Array[Byte] = {
     def parm(name: String, dflt: Int): Int =
       (name + """\s+(\d+)""").r.findFirstMatchIn(dict)
@@ -718,7 +807,7 @@ object Pdf {
     }
   }
 
-  private def decodedStream(o: Obj): Array[Byte] = {
+  private[functions] def decodedStream(o: Obj): Array[Byte] = {
     val raw = o.stream.getOrElse(Array.emptyByteArray)
     def parm(name: String, dflt: Int): Int =
       (name + """\s+(\d+)""").r.findFirstMatchIn(o.dict)
@@ -731,7 +820,7 @@ object Pdf {
   private val refPat = """(\d+)\s+\d+\s+R""".r
 
   /** page object numbers in document order, via the page tree */
-  private def pageOrder(objs: Map[Int, Obj]): Seq[Int] = {
+  private[functions] def pageOrder(objs: Map[Int, Obj]): Seq[Int] = {
     def typeOf(d: String) =
       """/Type\s*/(\w+)""".r.findFirstMatchIn(d).map(_.group(1)).getOrElse("")
     val root = objs.values.find(o => typeOf(o.dict) == "Catalog")
@@ -1127,7 +1216,7 @@ object Pdf {
   /** Parse a PDF string at `i` (must point at '(' or '<'): raw bytes +
     * end index. The dict-context twin of the content-stream reader.
     */
-  private def parsePdfString(s: String, i0: Int): (Array[Byte], Int) = {
+  private[functions] def parsePdfString(s: String, i0: Int): (Array[Byte], Int) = {
     val out = new ByteArrayOutputStream()
     var i = i0
     if (s.charAt(i) == '<') {
@@ -1251,7 +1340,7 @@ object Pdf {
     Crypt(key, aes)
   }
 
-  private def pageContents(pdf: Array[Byte],
+  private[functions] def pageContents(pdf: Array[Byte],
       password: String = ""): Seq[Array[Byte]] = {
     val objs = parseObjects(pdf, password)
     pageOrder(objs).map { p =>

@@ -1,0 +1,452 @@
+package graft.functions
+
+import java.awt.image.BufferedImage
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PDF page rasterization (the reference's `page.render().to_pil()`
+  * surface): every assertion is a CLOSED-FORM pixel count or sample on a
+  * fixture whose geometry is pixel-aligned — antialiasing has no freedom
+  * on integer-boundary rectangles, so counts are exact.
+  */
+class PdfRenderSpec extends AnyFunSuite {
+
+  private def pdf(build: Pdf.PdfBuilder => Unit): Array[Byte] = {
+    val b = new Pdf.PdfBuilder
+    build(b)
+    b.build()
+  }
+
+  private def render(bytes: Array[Byte], page: Int = 0,
+      scale: Double = 1.0): BufferedImage = {
+    val pages = PdfRender.renderPageImages(bytes, scale)
+    javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pages(page).png))
+  }
+
+  private def count(im: BufferedImage, rgb: Int): Int = {
+    var n = 0
+    var y = 0
+    while (y < im.getHeight) {
+      var x = 0
+      while (x < im.getWidth) {
+        if ((im.getRGB(x, y) & 0xffffff) == rgb) n += 1
+        x += 1
+      }
+      y += 1
+    }
+    n
+  }
+
+  private def px(im: BufferedImage, x: Int, y: Int): Int =
+    im.getRGB(x, y) & 0xffffff
+
+  private val Red = 0xff0000
+  private val Green = 0x00ff00
+  private val Blue = 0x0000ff
+  private val Black = 0x000000
+  private val White = 0xffffff
+
+  // ---------------- paths, fills, transforms ----------------
+
+  test("rectangle fill is pixel-exact: geometry, color, count") {
+    val im = render(pdf(_.addPage("1 0 0 rg 10 20 30 40 re f", (200, 100))))
+    assert(im.getWidth == 200 && im.getHeight == 100)
+    // user rect [10,40]x[20,60] → device rows 40..79, cols 10..39
+    assert(count(im, Red) == 1200)
+    assert(px(im, 10, 40) == Red && px(im, 39, 79) == Red)
+    assert(px(im, 9, 50) == White && px(im, 40, 50) == White)
+    assert(px(im, 20, 39) == White && px(im, 20, 80) == White)
+  }
+
+  test("nonzero winding fills nested same-direction rects solid") {
+    val im = render(pdf(_.addPage(
+      "0 g 10 10 40 40 re 20 20 20 20 re f", (100, 100))))
+    assert(count(im, Black) == 1600)
+  }
+
+  test("even-odd winding leaves the nested rect as a hole") {
+    val im = render(pdf(_.addPage(
+      "0 g 10 10 40 40 re 20 20 20 20 re f*", (100, 100))))
+    assert(count(im, Black) == 1200)
+    assert(px(im, 30, 70) == White) // inside the hole (user (30,30))
+  }
+
+  test("cm concatenates onto the CTM") {
+    val im = render(pdf(_.addPage(
+      "q 2 0 0 2 0 0 cm 1 0 0 rg 10 10 20 10 re f Q", (200, 100))))
+    assert(count(im, Red) == 800) // 40 x 20 device pixels
+    assert(px(im, 21, 65) == Red && px(im, 59, 79) == Red)
+  }
+
+  test("q/Q restores color and CTM") {
+    val im = render(pdf(_.addPage(
+      "1 0 0 rg q 0 1 0 rg 2 0 0 2 0 0 cm Q 10 10 10 10 re f",
+      (100, 100))))
+    assert(count(im, Red) == 100)
+    assert(count(im, Green) == 0)
+  }
+
+  test("W n intersects the clip path") {
+    val im = render(pdf(_.addPage(
+      "10 10 30 30 re W n 0 0 1 rg 0 0 200 100 re f", (200, 100))))
+    assert(count(im, Blue) == 900)
+    assert(px(im, 20, 70) == Blue && px(im, 50, 70) == White)
+  }
+
+  test("clip survives inside q/Q and is restored by Q") {
+    val im = render(pdf(_.addPage(
+      "q 10 10 10 10 re W n 0 0 1 rg 0 0 100 100 re f Q " +
+        "1 0 0 rg 50 50 10 10 re f", (100, 100))))
+    assert(count(im, Blue) == 100) // clipped fill
+    assert(count(im, Red) == 100) // unclipped after Q
+  }
+
+  test("stroke: butt-capped horizontal line, width in user space") {
+    val im = render(pdf(_.addPage(
+      "4 w 0 0 1 RG 20 50 m 120 50 l S", (200, 100))))
+    assert(count(im, Blue) == 400) // 100 long x 4 wide
+    assert(px(im, 60, 48) == Blue && px(im, 60, 51) == Blue)
+    assert(px(im, 60, 47) == White && px(im, 60, 52) == White)
+  }
+
+  test("stroke width scales with the CTM") {
+    val im = render(pdf(_.addPage(
+      "q 2 0 0 2 0 0 cm 4 w 0 0 1 RG 10 25 m 60 25 l S Q", (200, 100))))
+    assert(count(im, Blue) == 800) // 100 long x 8 wide in device space
+  }
+
+  test("cmyk fill converts per (1-c)(1-k)") {
+    val im = render(pdf(_.addPage("0 1 1 0 k 10 10 10 10 re f", (100, 100))))
+    assert(count(im, Red) == 100)
+  }
+
+  test("bezier curve fill covers the expected interior samples") {
+    val im = render(pdf(_.addPage(
+      "0 g 20 20 m 80 20 l 80 20 80 80 50 80 c 20 80 20 20 20 20 c h f",
+      (100, 100))))
+    assert(px(im, 50, 50) == Black) // deep interior
+    assert(px(im, 5, 5) == White && px(im, 95, 95) == White)
+  }
+
+  // ---------------- scale / page geometry ----------------
+
+  test("scale=2 doubles the raster and quadruples areas") {
+    val im = render(pdf(_.addPage("0 g 10 20 30 40 re f", (200, 100))),
+      scale = 2.0)
+    assert(im.getWidth == 400 && im.getHeight == 200)
+    assert(count(im, Black) == 4800)
+  }
+
+  test("MediaBox origin offsets translate content") {
+    // box [20,30 .. 220,130]: a rect at user (20,30) lands at device (0, bottom)
+    val im = render(pdf(_.addPageBox("0 g 20 30 10 10 re f",
+      (20, 30, 220, 130))))
+    assert(im.getWidth == 200 && im.getHeight == 100)
+    assert(count(im, Black) == 100)
+    assert(px(im, 0, 99) == Black && px(im, 9, 90) == Black)
+  }
+
+  test("/Rotate 90 swaps raster dimensions and turns content") {
+    val im = render(pdf(_.addPageBox("0 g 0 0 30 10 re f",
+      (0, 0, 200, 100), extraEntries = " /Rotate 90")))
+    assert(im.getWidth == 100 && im.getHeight == 200)
+    // the 30x10 rect at the user origin must render as a 10x30 device rect
+    assert(count(im, Black) == 300)
+  }
+
+  test("multi-page documents render per-page sizes") {
+    val pages = PdfRender.renderPageImages(pdf { b =>
+      b.addPage("0 g 0 0 10 10 re f", (100, 50))
+      b.addPage("0 g 0 0 20 10 re f", (300, 200))
+    })
+    assert(pages.map(p => (p.page, p.width, p.height)) ==
+      Seq((1, 100, 50), (2, 300, 200)))
+  }
+
+  // ---------------- images ----------------
+
+  test("image XObject: unit-square placement, nearest-neighbor samples") {
+    val im = render(pdf { b =>
+      val img = b.addStream(
+        "/Type /XObject /Subtype /Image /Width 2 /Height 1 " +
+          "/ColorSpace /DeviceRGB /BitsPerComponent 8",
+        Array(0xff, 0, 0, 0, 0xff, 0).map(_.toByte))
+      b.addPage("q 40 0 0 20 30 60 cm /ImX Do Q", (200, 100),
+        s"/XObject << /ImX $img 0 R >>")
+    })
+    // user rect [30,70]x[60,80] → device y 20..39; left half red
+    assert(px(im, 35, 30) == Red && px(im, 45, 30) == Red)
+    assert(px(im, 55, 30) == Green && px(im, 65, 30) == Green)
+    assert(px(im, 29, 30) == White && px(im, 71, 30) == White)
+    assert(count(im, Red) == 400 && count(im, Green) == 400)
+  }
+
+  test("image XObject: FlateDecode samples decode identically") {
+    val raw = Array(0xff, 0, 0, 0, 0xff, 0).map(_.toByte)
+    val z = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](64)
+      val n = d.deflate(buf)
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val im = render(pdf { b =>
+      val img = b.addStream(
+        "/Type /XObject /Subtype /Image /Width 2 /Height 1 " +
+          "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode",
+        z)
+      b.addPage("q 20 0 0 20 0 0 cm /I Do Q", (100, 100),
+        s"/XObject << /I $img 0 R >>")
+    })
+    assert(count(im, Red) == 200 && count(im, Green) == 200)
+  }
+
+  test("ImageMask stencils the fill color through set bits") {
+    // 2x2, 1bpc, rows 0x80 0x40: sample==0 paints (spec default Decode)
+    val im = render(pdf { b =>
+      val msk = b.addStream(
+        "/Type /XObject /Subtype /Image /Width 2 /Height 2 " +
+          "/ImageMask true /BitsPerComponent 1",
+        Array(0x80, 0x40).map(_.toByte))
+      b.addPage("1 0 0 rg q 20 0 0 20 50 40 cm /M Do Q", (200, 100),
+        s"/XObject << /M $msk 0 R >>")
+    })
+    assert(count(im, Red) == 200)
+    // top row of image = user upper half: painted where bit==0 → (1,0)
+    assert(px(im, 65, 45) == Red && px(im, 55, 45) == White)
+    assert(px(im, 55, 55) == Red && px(im, 65, 55) == White)
+  }
+
+  test("ImageMask /Decode [1 0] inverts the stencil") {
+    val im = render(pdf { b =>
+      val msk = b.addStream(
+        "/Type /XObject /Subtype /Image /Width 2 /Height 2 " +
+          "/ImageMask true /BitsPerComponent 1 /Decode [1 0]",
+        Array(0x80, 0x40).map(_.toByte))
+      b.addPage("1 0 0 rg q 20 0 0 20 50 40 cm /M Do Q", (200, 100),
+        s"/XObject << /M $msk 0 R >>")
+    })
+    assert(count(im, Red) == 200)
+    assert(px(im, 55, 45) == Red && px(im, 65, 45) == White)
+  }
+
+  test("inline image (BI/ID/EI) with abbreviated keys") {
+    val im = render(pdf(_.addPage(
+      "q 20 0 0 20 10 10 cm BI /W 1 /H 1 /CS /G /BPC 8 ID " +
+        "\u0000 EI Q", (100, 100))))
+    assert(count(im, Black) == 400)
+    assert(px(im, 15, 75) == Black)
+  }
+
+  test("inline image honors explicit /L payload length") {
+    val im = render(pdf(_.addPage(
+      "q 10 0 0 10 0 0 cm BI /W 2 /H 1 /CS /RGB /BPC 8 /L 6 ID " +
+        "\u00ff\u0000\u0000\u0000\u00ff\u0000 EI Q 0 g 50 50 5 5 re f",
+      (100, 100))))
+    assert(count(im, Red) == 50 && count(im, Green) == 50)
+    assert(count(im, Black) == 25) // the op after EI still executed
+  }
+
+  test("indexed color space images map palette entries") {
+    val im = render(pdf { b =>
+      // palette: 0→red 1→blue, 1bpc 2x1: bits 10 → left red, right blue
+      val img = b.addStream(
+        "/Type /XObject /Subtype /Image /Width 2 /Height 1 " +
+          "/ColorSpace [/Indexed /DeviceRGB 1 <ff00000000ff>] " +
+          "/BitsPerComponent 1",
+        Array(0x40).map(_.toByte)) // bit7=0 → red, bit6=1 → blue
+      b.addPage("q 20 0 0 10 0 0 cm /I Do Q", (100, 100),
+        s"/XObject << /I $img 0 R >>")
+    })
+    assert(count(im, Red) == 100 && count(im, Blue) == 100)
+  }
+
+  test("SMask drives per-pixel alpha over the page background") {
+    val im = render(pdf { b =>
+      val sm = b.addStream(
+        "/Type /XObject /Subtype /Image /Width 2 /Height 1 " +
+          "/ColorSpace /DeviceGray /BitsPerComponent 8",
+        Array(0xff, 0x00).map(_.toByte)) // left opaque, right transparent
+      val img = b.addStream(
+        "/Type /XObject /Subtype /Image /Width 2 /Height 1 " +
+          "/ColorSpace /DeviceRGB /BitsPerComponent 8 " +
+          s"/SMask $sm 0 R",
+        Array(0xff, 0, 0, 0xff, 0, 0).map(_.toByte))
+      b.addPage("q 40 0 0 20 0 0 cm /I Do Q", (100, 100),
+        s"/XObject << /I $img 0 R >>")
+    })
+    assert(count(im, Red) == 400) // left half painted
+    assert(px(im, 30, 90) == White) // right half fully transparent
+  }
+
+  // ---------------- form XObjects ----------------
+
+  test("form XObject applies /Matrix and restores state") {
+    val im = render(pdf { b =>
+      val form = b.addStream(
+        "/Type /XObject /Subtype /Form /BBox [0 0 10 10] " +
+          "/Matrix [1 0 0 1 100 50]",
+        "0 g 0 0 10 10 re f".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      b.addPage("1 0 0 rg q /F Do Q 0 0 5 5 re f", (200, 100),
+        s"/XObject << /F $form 0 R >>")
+    })
+    assert(count(im, Black) == 100) // at user (100..110, 50..60)
+    assert(px(im, 105, 45) == Black)
+    assert(count(im, Red) == 25) // fill color restored after Do
+  }
+
+  test("form XObject /BBox clips its own content") {
+    val im = render(pdf { b =>
+      val form = b.addStream(
+        "/Type /XObject /Subtype /Form /BBox [0 0 10 10]",
+        "0 g 0 0 30 30 re f".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      b.addPage("/F Do", (100, 100), s"/XObject << /F $form 0 R >>")
+    })
+    assert(count(im, Black) == 100)
+  }
+
+  // ---------------- Type3 text (the exact tier) ----------------
+
+  private def type3Page(b: Pdf.PdfBuilder, content: String,
+      mediaBox: (Double, Double) = (200, 100),
+      widths: String = "[1200]"): Unit = {
+    val proc = b.addStream("",
+      "1200 0 d0 0 0 1000 1000 re f"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val font = b.addObj(
+      "<< /Type /Font /Subtype /Type3 /FontMatrix [0.001 0 0 0.001 0 0] " +
+        s"/CharProcs << /box $proc 0 R >> " +
+        "/Encoding << /Type /Encoding /Differences [65 /box] >> " +
+        s"/FirstChar 65 /LastChar 65 /Widths $widths >>")
+    b.addPage(content, mediaBox, s"/Font << /T3 $font 0 R >>")
+  }
+
+  test("Type3 glyphs render exactly: position, size, advance") {
+    val im = render(pdf(b => type3Page(b,
+      "BT /T3 10 Tf 20 30 Td (AAA) Tj ET")))
+    // three 10x10 boxes at x=20,32,44 (advance 12), baseline y=30
+    assert(count(im, Black) == 300)
+    assert(px(im, 25, 65) == Black && px(im, 37, 65) == Black &&
+      px(im, 49, 65) == Black)
+    assert(px(im, 31, 65) == White) // 2pt gap between boxes
+    assert(px(im, 25, 71) == White && px(im, 25, 59) == White)
+  }
+
+  test("TJ adjustments shift the pen by -adj/1000*size") {
+    val im = render(pdf(b => type3Page(b,
+      "BT /T3 10 Tf 0 50 Td [(A) -500 (A)] TJ ET")))
+    assert(count(im, Black) == 200)
+    // second box starts at 12 + 5 = 17
+    assert(px(im, 5, 45) == Black && px(im, 16, 45) == White &&
+      px(im, 18, 45) == Black)
+  }
+
+  test("Tm applies a full text matrix (scale 2)") {
+    val im = render(pdf(b => type3Page(b,
+      "BT /T3 10 Tf 2 0 0 2 10 20 Tm (A) Tj ET")))
+    assert(count(im, Black) == 400) // 20x20 box, user (10..30, 20..40)
+    assert(px(im, 15, 65) == Black && px(im, 29, 61) == Black)
+    assert(px(im, 15, 81) == White && px(im, 31, 70) == White)
+  }
+
+  test("T* advances by the leading; Tc adds char spacing") {
+    val im = render(pdf(b => type3Page(b,
+      "BT /T3 10 Tf 14 TL 3 Tc 10 60 Td (AA) Tj T* (A) Tj ET")))
+    // line 1: boxes at x=10 and x=25 (advance 12+3); line 2 at y=46
+    assert(count(im, Black) == 300)
+    assert(px(im, 15, 35) == Black && px(im, 30, 35) == Black)
+    assert(px(im, 15, 49) == Black) // second line, 14pt lower
+  }
+
+  test("Tr 3 (invisible, the OCR-layer mode) suppresses painting") {
+    val im = render(pdf(b => type3Page(b,
+      "BT /T3 10 Tf 3 Tr 20 30 Td (AAA) Tj ET")))
+    assert(count(im, Black) == 0)
+  }
+
+  test("Type3 glyph procs inherit the current fill color") {
+    val im = render(pdf(b => type3Page(b,
+      "0 0 1 rg BT /T3 10 Tf 20 30 Td (A) Tj ET")))
+    assert(count(im, Blue) == 100)
+  }
+
+  // ---------------- ExtGState / alpha ----------------
+
+  test("gs /ca blends the fill against the white page") {
+    val im = render(pdf { b =>
+      val gs = b.addObj("<< /Type /ExtGState /ca 0.5 >>")
+      b.addPage("/G1 gs 1 0 0 rg 10 10 10 10 re f", (100, 100),
+        s"/ExtGState << /G1 $gs 0 R >>")
+    })
+    val c = px(im, 15, 85)
+    val (r, g2, b2) = ((c >> 16) & 0xff, (c >> 8) & 0xff, c & 0xff)
+    assert(r == 255 && math.abs(g2 - 127) <= 1 && math.abs(b2 - 127) <= 1)
+  }
+
+  // ---------------- end-to-end with the existing writer ----------------
+
+  test("writePdf text pages render with substituted fonts") {
+    val bytes = Pdf.writePdf(Seq("Hello graft renderer"))
+    val pages = PdfRender.renderPageImages(bytes)
+    assert(pages.head.width == 612 && pages.head.height == 792)
+    assert(pages.head.unsupported.contains("font-substituted"))
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pages.head.png))
+    // text band: baseline at user y=720, 12pt → device rows ~60..72
+    var ink = 0
+    for (y <- 56 to 76; x <- 72 to 300)
+      if ((im.getRGB(x, y) & 0xffffff) != White) ink += 1
+    assert(ink > 50, s"expected glyph ink in the text band, got $ink")
+  }
+
+  test("writePdfWithImages embedded figure renders at its cm placement") {
+    val bytes = Pdf.writePdfWithImages(Seq("page one"),
+      Map(0 -> Images.solidPng(8, 6, 0x123456)))
+    val im = render(bytes)
+    // content: q 8 0 0 6 72 394 cm → device y = 792-400..792-394
+    assert(px(im, 75, 395) == 0x123456)
+    assert(count(im, 0x123456) == 48)
+  }
+
+  // ---------------- robustness ----------------
+
+  test("garbage bytes fail fast as IllegalArgumentException") {
+    intercept[IllegalArgumentException] {
+      PdfRender.renderPageImages("not a pdf at all".getBytes)
+    }
+  }
+
+  test("oversized page rasters are refused with byte justification") {
+    val e = intercept[IllegalArgumentException] {
+      PdfRender.renderPageImages(
+        pdf(_.addPage("", (20000, 20000))), scale = 1.0)
+    }
+    assert(e.getMessage.contains("too large"))
+  }
+
+  test("unsupported constructs are named, not silent") {
+    val pages = PdfRender.renderPageImages(
+      pdf(_.addPage("/Sh1 sh 0 g 0 0 5 5 re f", (100, 100))))
+    assert(pages.head.unsupported.contains("shading-skipped"))
+    // and the rest of the page still rendered
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pages.head.png))
+    assert(count(im, Black) == 25)
+  }
+
+  test("renderPagesSafe captures per-document errors (Spark surface)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      ("ok", pdf(_.addPage("0 g 0 0 5 5 re f", (50, 50)))),
+      ("bad", "junk".getBytes)).toDF("id", "pdf")
+    val out = df.select($"id",
+      PdfRender.renderPagesSafe($"pdf").as("r")).collect()
+    val okRow = out.find(_.getString(0) == "ok").get.getStruct(1)
+    val badRow = out.find(_.getString(0) == "bad").get.getStruct(1)
+    assert(okRow.getSeq[org.apache.spark.sql.Row](0).length == 1)
+    assert(okRow.isNullAt(1))
+    assert(badRow.isNullAt(0) && badRow.getString(1).nonEmpty)
+  }
+}
