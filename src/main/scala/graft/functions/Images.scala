@@ -144,6 +144,25 @@ object Images {
     java.util.Base64.getEncoder.encodeToString(bytes)
   }
 
+  /** Pixels exactly equal to `rgb` (0xRRGGBB) — the closed-form gate
+    * primitive for renderer oracles (pixel-aligned fixture geometry makes
+    * exact-match counts deterministic even under antialiasing).
+    */
+  val countColor = udf { (bytes: Array[Byte], rgb: Int) =>
+    val img = decode(bytes)
+    var n = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        if ((img.getRGB(x, y) & 0xffffff) == rgb) n += 1
+        x += 1
+      }
+      y += 1
+    }
+    n
+  }
+
   // ---- PIL-mirror completion (reference `functions/image.py:28-726`) ----
 
   private def rgbAt(img: BufferedImage, x: Int, y: Int): (Int, Int, Int) = {

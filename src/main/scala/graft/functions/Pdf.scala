@@ -1376,10 +1376,10 @@ object Pdf {
 
   /** Embedded images (XObject `/Subtype /Image`) of every page, document
     * order — the reference's `elements=['image']` document-splitter
-    * surface restricted to EMBEDDED rasters (figure extraction). Full
-    * page RASTERIZATION (text+vector rendering to pixels) needs a PDF
-    * renderer and stays an explicit adjudication; embedded-image
-    * extraction is what a figure-mining pipeline needs and is exact.
+    * surface restricted to EMBEDDED rasters (figure extraction, exact
+    * bytes). Full page RASTERIZATION (text+vector rendering to pixels)
+    * is `PdfRender.renderPages` — the round-12 implementation that
+    * closed this adjudication.
     */
   def extractImages(pdf: Array[Byte],
       password: String = ""): Seq[PdfImage] = {

@@ -3769,6 +3769,95 @@ object Extras {
              |   OR epoch_ms(session_end) + 1800000 < m - 1800000
              |ORDER BY user_id, session_start""".stripMargin),
     ),
+    QueryDef(
+      "q188_pdf_render",
+      (s, dir) => {
+        // PDF page RASTERIZATION in the oracle gate (the reference's
+        // document_splitter elements=['image'] surface: document.py:488
+        // `page.render().to_pil()`): per doc, a 2-page fixture exercises
+        // vector fills, Type3 text (the interpreter-exact tier), an image
+        // XObject, a clip path, and 2x-scale rendering. Every column is a
+        // closed-form pixel count on PIXEL-ALIGNED geometry — integer
+        // boundaries leave antialiasing zero freedom, so exact-match
+        // counts are deterministic. Layout is y-disjoint by construction
+        // (text 5..15, rect 20..40, clip band ph-35..ph-25, image
+        // ph-20..ph-10 with ph >= 80).
+        import graft.functions.{Images, Pdf, PdfRender}
+        import java.nio.charset.StandardCharsets.ISO_8859_1
+        val mk = udf { (id: Long) =>
+          val b = new Pdf.PdfBuilder
+          val pw = 100 + (id % 7) * 10
+          val ph = 80 + (id % 5) * 10
+          val rx = 10 + id % 4
+          val rw = 10 + id % 9
+          val rh = 15 + id % 6
+          val rgb = (id * 2500 + 7) % 0xffffff
+          val k = (id % 3 + 1).toInt
+          val cw = 5 + id % 4
+          val proc = b.addStream("",
+            "1200 0 d0 0 0 1000 1000 re f".getBytes(ISO_8859_1))
+          val font = b.addObj(
+            "<< /Type /Font /Subtype /Type3 " +
+              "/FontMatrix [0.001 0 0 0.001 0 0] " +
+              s"/CharProcs << /box $proc 0 R >> " +
+              "/Encoding << /Differences [65 /box] >> " +
+              "/FirstChar 65 /LastChar 65 /Widths [1200] >>")
+          val img = b.addStream(
+            "/Type /XObject /Subtype /Image /Width 2 /Height 1 " +
+              "/ColorSpace /DeviceRGB /BitsPerComponent 8",
+            Array(0xff, 0, 0, 0, 0xff, 0).map(_.toByte))
+          def f(v: Long) = (v / 255.0).toString
+          val content =
+            s"${f((rgb >> 16) & 0xff)} ${f((rgb >> 8) & 0xff)} " +
+              s"${f(rgb & 0xff)} rg $rx 20 $rw $rh re f " +
+              s"0 g BT /T3 10 Tf 5 5 Td (${"A" * k}) Tj ET " +
+              s"q 20 0 0 10 60 ${ph - 20} cm /I Do Q " +
+              s"q 0 0 $cw $ph re W n 0 0 1 rg 0 ${ph - 35} 30 10 re f Q"
+          b.addPage(content, (pw, ph),
+            s"/Font << /T3 $font 0 R >> /XObject << /I $img 0 R >>")
+          b.addPage(s"0 g 2 2 8 ${id % 5 + 3} re f",
+            (60 + (id % 4) * 10, 50 + (id % 3) * 10))
+          b.build()
+        }
+        val rgbCol = ((col("doc_id") * 2500 + 7) % 0xffffff).cast("int")
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("pdf", mk(col("doc_id")))
+          .withColumn("pages", PdfRender.renderPages(col("pdf")))
+          .withColumn("pages2x", PdfRender.renderPages(col("pdf"), 2.0))
+          .withColumn("p1", element_at(col("pages"), 1))
+          .withColumn("p2", element_at(col("pages"), 2))
+          .select(col("doc_id"),
+            size(col("pages")).cast("long").as("n_pages"),
+            col("p1._2").cast("long").as("w1"),
+            col("p1._3").cast("long").as("h1"),
+            col("p2._2").cast("long").as("w2"),
+            col("p2._3").cast("long").as("h2"),
+            graft.functions.Images.countColor(col("p1._4"), rgbCol)
+              .as("rect_px"),
+            Images.countColor(col("p1._4"), lit(0)).as("text_px"),
+            Images.countColor(col("p1._4"), lit(0xff0000)).as("img_red"),
+            Images.countColor(col("p1._4"), lit(0x0000ff)).as("clip_px"),
+            Images.countColor(element_at(col("pages2x"), 1)("_4"), rgbCol)
+              .as("rect2x_px"),
+            Images.countColor(col("p2._4"), lit(0)).as("p2_black"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id, 2::BIGINT AS n_pages,
+             |  (100 + doc_id % 7 * 10)::BIGINT AS w1,
+             |  (80 + doc_id % 5 * 10)::BIGINT AS h1,
+             |  (60 + doc_id % 4 * 10)::BIGINT AS w2,
+             |  (50 + doc_id % 3 * 10)::BIGINT AS h2,
+             |  ((10 + doc_id % 9) * (15 + doc_id % 6))::BIGINT AS rect_px,
+             |  ((doc_id % 3 + 1) * 100)::BIGINT AS text_px,
+             |  100::BIGINT AS img_red,
+             |  ((5 + doc_id % 4) * 10)::BIGINT AS clip_px,
+             |  (4 * (10 + doc_id % 9) * (15 + doc_id % 6))::BIGINT
+             |    AS rect2x_px,
+             |  (8 * (doc_id % 5 + 3))::BIGINT AS p2_black
+             |FROM documents WHERE doc_id < 50
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -204,4 +204,47 @@ class MediaFuzzSpec extends AnyFunSuite {
         s"case $case_ meta")
     }
   }
+
+  test("PDF renderer: truncations and bit flips fail fast, never hang") {
+    // STRICTER than poke: only IllegalArgumentException may escape — the
+    // renderer normalizes parse/interpret slips (index, number-format,
+    // zip, match errors) and caps page rasters, image pixels, op count,
+    // and recursion depth, so corrupt bytes can neither hang nor
+    // misallocate.
+    val rnd = new scala.util.Random(771188)
+    val b = new Pdf.PdfBuilder
+    val proc = b.addStream("",
+      "1200 0 d0 0 0 1000 1000 re f"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val font = b.addObj(
+      "<< /Type /Font /Subtype /Type3 /FontMatrix [0.001 0 0 0.001 0 0] " +
+        s"/CharProcs << /box $proc 0 R >> " +
+        "/Encoding << /Differences [65 /box] >> " +
+        "/FirstChar 65 /LastChar 65 /Widths [1200] >>")
+    val img = b.addStream(
+      "/Type /XObject /Subtype /Image /Width 2 /Height 1 " +
+        "/ColorSpace /DeviceRGB /BitsPerComponent 8",
+      Array(0xff, 0, 0, 0, 0xff, 0).map(_.toByte))
+    val form = b.addStream(
+      "/Type /XObject /Subtype /Form /BBox [0 0 10 10]",
+      "0 g 0 0 10 10 re f"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    b.addPage(
+      "0.2 0.4 0.6 rg 10 20 30 15 re f 0 g BT /T3 10 Tf 5 5 Td (AA) Tj ET " +
+        "q 20 0 0 10 60 60 cm /I Do Q /F Do " +
+        "q 0 0 8 100 re W n 0 0 1 rg 0 45 30 10 re f Q " +
+        "BI /W 1 /H 1 /CS /G /BPC 8 ID   EI",
+      (120, 100),
+      s"/Font << /T3 $font 0 R >> /XObject << /I $img 0 R /F $form 0 R >>")
+    val doc = b.build()
+    def poke(f: => Any): Unit =
+      try { f; () } catch { case _: IllegalArgumentException => () }
+    for (_ <- 0 until 120) {
+      val t = doc.take(rnd.nextInt(doc.length))
+      poke(PdfRender.renderPageImages(t))
+      val c = doc.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      poke(PdfRender.renderPageImages(c))
+    }
+  }
 }
