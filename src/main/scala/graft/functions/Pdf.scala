@@ -801,6 +801,20 @@ object Pdf {
         case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
         case "ASCII85Decode" | "A85" => ascii85Decode(data)
         case "RunLengthDecode" | "RL" => runLengthDecode(data)
+        case "CCITTFaxDecode" | "CCF" =>
+          // scanned-fax images (ITU-T T.4/T.6); params live in
+          // /DecodeParms (or the inline-image dict): signed /K selects
+          // the coding discipline, /Rows falls back to the image /Height
+          val k = """/K\s+(-?\d+)""".r.findFirstMatchIn(dict)
+            .map(_.group(1).toInt).getOrElse(0)
+          val columns = parm("/Columns", 1728)
+          val rows = Seq("/Rows", "/Height", "/H")
+            .map(parm(_, 0)).find(_ > 0).getOrElse(0)
+          val blackIs1 = """/BlackIs1\s+true""".r
+            .findFirstIn(dict).isDefined
+          val byteAlign = """/EncodedByteAlign\s+true""".r
+            .findFirstIn(dict).isDefined
+          CcittFax.decode(data, k, columns, rows, blackIs1, byteAlign)
         case other => throw new IllegalArgumentException(
           s"unsupported stream filter /$other")
       }
@@ -1408,9 +1422,7 @@ object Pdf {
                 ("jpeg", applyStreamFilters(raw, filters.dropRight(1), o.dict))
               case Some("JPXDecode") =>
                 ("jpx", applyStreamFilters(raw, filters.dropRight(1), o.dict))
-              case Some("CCITTFaxDecode") | Some("CCF") =>
-                ("ccitt", applyStreamFilters(raw, filters.dropRight(1), o.dict))
-              case _ => // fully decodable: re-encode samples as PNG
+              case _ => // fully decodable (incl. CCITT): re-encode as PNG
                 val samples = decodedStream(o)
                 val bpc = math.max(iparm(o.dict, "/BitsPerComponent"), 1)
                 val gray = o.dict.contains("/DeviceGray")

@@ -694,7 +694,7 @@ object PdfRender {
       case "DCT" => "DCTDecode"
       case other => other
     }
-    if (full.contains("JPXDecode") || full.contains("CCITTFaxDecode")) {
+    if (full.contains("JPXDecode")) {
       notes += "image-codec-skipped"
       return None
     }
@@ -711,7 +711,22 @@ object PdfRender {
     }
     val data = obj match {
       case Some(o) => Pdf.decodedStream(o) // handles /DecodeParms predictors
-      case None => Pdf.applyStreamFilters(raw, full, "")
+      case None =>
+        // inline image: re-serialize /DP params (plus /Height as the
+        // /Rows fallback) so the CCITT branch sees its K/Columns/etc.
+        val parmStr = (ik("DecodeParms", "DP") match {
+          case Some(PDict(m)) => m.toSeq.map { case (key, v) =>
+            "/" + key + " " + (doc.resolve(v) match {
+              case PNum(n) =>
+                if (n == n.floor) n.toLong.toString else n.toString
+              case PBool(b) => b.toString
+              case PName(nm) => "/" + nm
+              case _ => "0"
+            })
+          }.mkString(" ")
+          case _ => ""
+        }) + s" /Height $h"
+        Pdf.applyStreamFilters(raw, full, parmStr)
     }
     val decodeArr = ik("Decode", "D") match {
       case Some(PArr(a)) => a.map(num)

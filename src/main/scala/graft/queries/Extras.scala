@@ -3858,6 +3858,107 @@ object Extras {
              |FROM documents WHERE doc_id < 50
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q189_ccitt_fax",
+      (s, dir) => {
+        // CCITT G3/G4 fax decode (PDF CCITTFaxDecode — the dominant
+        // scanned-PDF image encoding; ITU-T T.4/T.6): per doc a 3-page
+        // scanned-document fixture built with the encoder twin. Page 1:
+        // G4 (/K -1) black rectangle; page 2: G3 1-D (/K 0) with
+        // /EncodedByteAlign, black stripes every 3rd row; page 3: the
+        // page-1 geometry as /BlackIs1 true + /Decode [1 0] (must render
+        // IDENTICALLY). Images drawn at exact pixel size → closed-form
+        // pixel counts; extractImages must decode all three to PNG.
+        import graft.functions.{CcittFax, Images, Pdf, PdfRender}
+        def bitmap(cols: Int, rows: Int)(
+            black: (Int, Int) => Boolean): Array[Byte] = {
+          val rowBytes = (cols + 7) / 8
+          val out = Array.fill[Byte](rows * rowBytes)(0)
+          for (y <- 0 until rows; x <- 0 until cols)
+            if (!black(x, y)) {
+              val i = y * rowBytes * 8 + x
+              out(i >> 3) = (out(i >> 3) | (1 << (7 - (i & 7)))).toByte
+            }
+          out
+        }
+        val mk = udf { (id: Long) =>
+          val cw = (24 + (id % 5) * 8).toInt
+          val chh = (20 + (id % 4) * 6).toInt
+          val bx = (3 + id % 6).toInt
+          val by = (2 + id % 5).toInt
+          val bw = (5 + id % 7).toInt
+          val bh = (4 + id % 6).toInt
+          val cw2 = (16 + (id % 3) * 8).toInt
+          val chh2 = (9 + id % 5).toInt
+          val rect = bitmap(cw, chh)((x, y) =>
+            x >= bx && x < bx + bw && y >= by && y < by + bh)
+          val b = new Pdf.PdfBuilder
+          def img(w: Int, h: Int, k: Int, payload: Array[Byte],
+              extra: String): Int =
+            b.addStream(
+              "/Type /XObject /Subtype /Image " +
+                s"/Width $w /Height $h /ColorSpace /DeviceGray " +
+                "/BitsPerComponent 1 /Filter /CCITTFaxDecode " +
+                s"/DecodeParms << /K $k /Columns $w /Rows $h$extra >>",
+              payload)
+          val i1 = img(cw, chh, -1,
+            CcittFax.encode(rect, -1, cw, chh, blackIs1 = false,
+              byteAlign = false), "")
+          val stripes = bitmap(cw2, chh2)((_, y) => y % 3 == 0)
+          val i2 = img(cw2, chh2, 0,
+            CcittFax.encode(stripes, 0, cw2, chh2, blackIs1 = false,
+              byteAlign = true), " /EncodedByteAlign true")
+          val i3raw = b.addStream(
+            "/Type /XObject /Subtype /Image " +
+              s"/Width $cw /Height $chh /ColorSpace /DeviceGray " +
+              "/BitsPerComponent 1 /Decode [1 0] " +
+              "/Filter /CCITTFaxDecode " +
+              s"/DecodeParms << /K -1 /Columns $cw /Rows $chh " +
+              "/BlackIs1 true >>",
+            CcittFax.encode(rect.map(v => (~v).toByte), -1, cw, chh,
+              blackIs1 = true, byteAlign = false))
+          b.addPage(s"q $cw 0 0 $chh 0 0 cm /I Do Q", (cw, chh),
+            s"/XObject << /I $i1 0 R >>")
+          b.addPage(s"q $cw2 0 0 $chh2 0 0 cm /I Do Q", (cw2, chh2),
+            s"/XObject << /I $i2 0 R >>")
+          b.addPage(s"q $cw 0 0 $chh 0 0 cm /I Do Q", (cw, chh),
+            s"/XObject << /I $i3raw 0 R >>")
+          b.build()
+        }
+        val extracted = udf { (pdf: Array[Byte]) =>
+          val imgs = Pdf.extractImages(pdf)
+          (imgs.count(_.format == "png"), imgs.head.width)
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("pdf", mk(col("doc_id")))
+          .withColumn("pages", PdfRender.renderPages(col("pdf")))
+          .withColumn("ex", extracted(col("pdf")))
+          .select(col("doc_id"),
+            Images.countColor(element_at(col("pages"), 1)("_4"), lit(0))
+              .as("p1_black"),
+            Images.countColor(element_at(col("pages"), 1)("_4"),
+              lit(0xffffff)).as("p1_white"),
+            Images.countColor(element_at(col("pages"), 2)("_4"), lit(0))
+              .as("p2_black"),
+            Images.countColor(element_at(col("pages"), 3)("_4"), lit(0))
+              .as("p3_black"),
+            col("ex._1").cast("long").as("n_imgs"),
+            col("ex._2").cast("long").as("img1_w"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id,
+             |  ((5 + doc_id % 7) * (4 + doc_id % 6))::BIGINT AS p1_black,
+             |  ((24 + doc_id % 5 * 8) * (20 + doc_id % 4 * 6)
+             |    - (5 + doc_id % 7) * (4 + doc_id % 6))::BIGINT AS p1_white,
+             |  ((16 + doc_id % 3 * 8) * ((9 + doc_id % 5 + 2) // 3))::BIGINT
+             |    AS p2_black,
+             |  ((5 + doc_id % 7) * (4 + doc_id % 6))::BIGINT AS p3_black,
+             |  3::BIGINT AS n_imgs,
+             |  (24 + doc_id % 5 * 8)::BIGINT AS img1_w
+             |FROM documents WHERE doc_id < 40
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

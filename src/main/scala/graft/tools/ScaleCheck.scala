@@ -39,9 +39,10 @@ object ScaleCheck {
     // the FULL corpus through the stream-static gram join, so its ratio
     // measures the streaming path's data-proportional scaling
     "q184_stream_neardup", "q185_stream_decontam",
-    // q188: map-only page rasterization over doc_id-bounded fixtures —
-    // the pushed predicate keeps replicas unscanned (flat expected)
-    "q188_pdf_render")
+    // q188/q189: map-only page rasterization / CCITT fax decode over
+    // doc_id-bounded fixtures — the pushed predicate keeps replicas
+    // unscanned (flat expected)
+    "q188_pdf_render", "q189_ccitt_fax")
   // q159 is a bounded DML-lifecycle gate (l_orderkey < 1600 slice →
   // constant under key-offset replication; measures z-order write + footer
   // metadata reads, expected ~1); q160 is map-only codec work over a
