@@ -3959,6 +3959,61 @@ object Extras {
              |FROM documents WHERE doc_id < 40
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q190_hll_sketch",
+      (s, dir) => {
+        // HyperLogLog distinct-count sketch as plain codegen'd
+        // aggregations (operators/Hll.scala): per-lang registers over
+        // md5 hex digits, so the oracle recomputes the IDENTICAL sketch
+        // state in SQL (the q184 simhash idiom) — integer register
+        // functionals compare exactly, the float estimate gates as a
+        // relative-error boolean against the exact distinct count.
+        import graft.operators.Hll
+        val docs = T(s, dir, "documents")
+        val sk = Hll.distinctSketch(docs, Seq("lang"), col("doc_id"))
+        val exact = docs.groupBy("lang")
+          .agg(countDistinct("doc_id").cast("long").as("exact_distinct"))
+        sk.join(exact, "lang")
+          .select(col("lang"), col("n_hit"), col("sum_rho"),
+            col("max_rho"), col("exact_distinct"),
+            (abs(col("estimate") / col("exact_distinct") - 1) < 0.2)
+              .as("est_ok"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("lang")))
+      },
+      Some("""WITH h AS (
+             |  SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS hx
+             |  FROM documents
+             |), zt AS (
+             |  SELECT lang, hx,
+             |    length(regexp_extract(substr(hx, 3, 13), '^0*')) AS z
+             |  FROM h
+             |), br AS (
+             |  SELECT lang,
+             |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1
+             |      AS bucket,
+             |    CASE WHEN z = 13 THEN 53
+             |      ELSE 4 * z + CASE WHEN dv >= 8 THEN 0
+             |        WHEN dv >= 4 THEN 1 WHEN dv >= 2 THEN 2 ELSE 3 END
+             |        + 1 END AS rho
+             |  FROM (SELECT lang, hx, z,
+             |          strpos('0123456789abcdef', substr(hx, 3 + z, 1))
+             |            - 1 AS dv
+             |        FROM zt)
+             |), regs AS (
+             |  SELECT lang, bucket, MAX(rho) AS m FROM br GROUP BY 1, 2
+             |), ex AS (
+             |  SELECT lang, COUNT(DISTINCT doc_id)::BIGINT
+             |    AS exact_distinct
+             |  FROM documents GROUP BY 1
+             |)
+             |SELECT r.lang, COUNT(*)::BIGINT AS n_hit,
+             |  SUM(m)::BIGINT AS sum_rho, MAX(m)::BIGINT AS max_rho,
+             |  ex.exact_distinct, TRUE AS est_ok
+             |FROM regs r JOIN ex ON r.lang = ex.lang
+             |GROUP BY r.lang, ex.exact_distinct
+             |ORDER BY r.lang""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

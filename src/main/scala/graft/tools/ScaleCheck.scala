@@ -42,7 +42,12 @@ object ScaleCheck {
     // q188/q189: map-only page rasterization / CCITT fax decode over
     // doc_id-bounded fixtures — the pushed predicate keeps replicas
     // unscanned (flat expected)
-    "q188_pdf_render", "q189_ccitt_fax")
+    "q188_pdf_render", "q189_ccitt_fax",
+    // q190: full-corpus HLL sketch — linear map-side hash work, but the
+    // partial aggregate caps shuffle traffic at groups×256 rows per
+    // partition, so the ratio should track m sub-linearly (the exact
+    // countDistinct verification side is the data-proportional part)
+    "q190_hll_sketch")
   // q159 is a bounded DML-lifecycle gate (l_orderkey < 1600 slice →
   // constant under key-offset replication; measures z-order write + footer
   // metadata reads, expected ~1); q160 is map-only codec work over a
