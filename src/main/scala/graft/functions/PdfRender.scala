@@ -31,13 +31,16 @@ import org.apache.spark.sql.functions.{lit, udf}
   *    and Type1 (FontFile, re-wrapped as PFB): loaded via
   *    `java.awt.Font.createFont`; positioning always uses the PDF
   *    /Widths//W arrays (authoritative), not the font's own metrics.
-  *  - Non-embedded / CFF-only fonts: substituted with a JDK logical
-  *    family chosen from the BaseFont name (the poppler/pdfium
-  *    substitution strategy); recorded in `unsupported`.
+  *  - Embedded CFF (FontFile3: Type1C / CIDFontType0C): EXACT — Type 2
+  *    charstrings interpret directly to `Path2D` via `Cff`, the same
+  *    interpreter-exact tier as Type3.
+  *  - Non-embedded fonts: substituted with a JDK logical family chosen
+  *    from the BaseFont name (the poppler/pdfium substitution
+  *    strategy); recorded in `unsupported`.
   *
   * Out-of-scope constructs never fail a page: shading patterns, tiling
-  * patterns and JPX/CCITT image payloads render as a skip and are named
-  * in the page's `unsupported` list.
+  * patterns and JPX image payloads render as a skip and are named in
+  * the page's `unsupported` list (CCITT decodes via `CcittFax`).
   */
 object PdfRender {
 
@@ -342,7 +345,9 @@ object PdfRender {
       twoByte: Boolean,
       toUnicode: Map[Int, Int],
       diffNames: Map[Int, String],
-      symbolic: Boolean) extends FontRec
+      symbolic: Boolean,
+      cff: Option[Cff.Font] = None // FontFile3: interpreter-exact path
+  ) extends FontRec
 
   /** Small Adobe-Glyph-List subset: the names /Differences arrays use in
     * practice for Latin text (letters map to themselves; the rest is the
@@ -509,15 +514,18 @@ object PdfRender {
       val toUni = fd.m.get("ToUnicode").flatMap(doc.streamOf)
         .map(parseToUnicode).getOrElse(Map.empty)
       val fontDesc = dDict(doc, desc, "FontDescriptor")
-      val awt = fontDesc.flatMap(loadEmbedded(doc, _, notes))
-      val sub = awt.isEmpty
+      val cff = fontDesc.flatMap(loadCff(doc, _, notes))
+      val awt =
+        if (cff.isDefined) None else fontDesc.flatMap(loadEmbedded(doc, _, notes))
+      val sub = cff.isEmpty && awt.isEmpty
       if (sub) notes += "font-substituted"
       OutlineFont(
         awt.orElse(Some(substituteFont(
           dName(doc, fd, "BaseFont").getOrElse("")))),
         byGlyphId = !sub, // Identity-H codes are glyph ids in the embedded file
         widths = w, defaultWidth = dw, twoByte = true,
-        toUnicode = toUni, diffNames = Map.empty, symbolic = false)
+        toUnicode = toUni, diffNames = Map.empty, symbolic = false,
+        cff = cff)
     } else { // Type1 / TrueType / MMType1
       val first = dNum(doc, fd, "FirstChar", 0).toInt
       val widths = dArr(doc, fd, "Widths").map { a =>
@@ -535,14 +543,16 @@ object PdfRender {
       }
       val toUni = fd.m.get("ToUnicode").flatMap(doc.streamOf)
         .map(parseToUnicode).getOrElse(Map.empty)
-      val awt = fontDesc.flatMap(loadEmbedded(doc, _, notes))
-      if (awt.isEmpty) notes += "font-substituted"
+      val cff = fontDesc.flatMap(loadCff(doc, _, notes))
+      val awt =
+        if (cff.isDefined) None else fontDesc.flatMap(loadEmbedded(doc, _, notes))
+      if (cff.isEmpty && awt.isEmpty) notes += "font-substituted"
       OutlineFont(
         awt.orElse(Some(substituteFont(
           dName(doc, fd, "BaseFont").getOrElse("")))),
         byGlyphId = false, widths = widths, defaultWidth = mw,
         twoByte = false, toUnicode = toUni, diffNames = diffs,
-        symbolic = (flags & 4) != 0 && awt.nonEmpty)
+        symbolic = (flags & 4) != 0 && awt.nonEmpty, cff = cff)
     }
   }
 
@@ -564,10 +574,24 @@ object PdfRender {
         catch { case _: Exception => notes += "font-load-failed"; None }
       }
     }).orElse {
-      if (fontDesc.m.contains("FontFile3")) notes += "cff-substituted"
+      if (fontDesc.m.contains("FontFile3")) notes += "cff-load-failed"
       None
     }
   }
+
+  /** `/FontFile3` (bare CFF: Type1C / CIDFontType0C) via the direct
+    * Type 2 interpreter in `Cff` — the interpreter-exact glyph tier.
+    */
+  private def loadCff(doc: Doc, fontDesc: PDict,
+      notes: mutable.Set[String]): Option[Cff.Font] =
+    fontDesc.m.get("FontFile3").flatMap { ref =>
+      doc.streamOf(ref).flatMap { bytes =>
+        try Some(Cff.parse(bytes))
+        catch {
+          case _: Exception => notes += "cff-load-failed"; None
+        }
+      }
+    }
 
   // ===================== images =====================
 
@@ -1083,29 +1107,53 @@ object PdfRender {
               else of.awt.map(f =>
                 f.getStringBounds(" ", frc).getWidth / 1000.0).getOrElse(0.5))
             if (st.renderMode != 3 && st.renderMode != 7) {
-              of.awt.foreach { f =>
-                val gv =
-                  if (of.byGlyphId)
-                    f.createGlyphVector(frc, Array(code))
-                  else {
-                    val cp = of.toUnicode.get(code)
-                      .orElse(of.diffNames.get(code).flatMap(glyphNameCp))
-                      .getOrElse(
-                        if (of.symbolic && f.canDisplay(0xF000 + code))
-                          0xF000 + code
-                        else code)
-                    f.createGlyphVector(frc,
-                      new String(Character.toChars(
-                        if (Character.isValidCodePoint(cp)) cp else 0x20)))
+              val textM = new AffineTransform(st.ctm)
+              textM.concatenate(tm)
+              textM.concatenate(new AffineTransform(
+                st.fontSize * st.hscale, 0, 0, st.fontSize, 0, st.rise))
+              val shapeOpt: Option[java.awt.Shape] = of.cff match {
+                case Some(cf) =>
+                  // FontFile3: interpreter-exact Type 2 outlines (y-UP
+                  // in charstring units; FontMatrix maps to text space)
+                  val gid: Option[Int] =
+                    if (of.byGlyphId) {
+                      // Type0/Identity-H code = CID; CID-keyed charset
+                      // maps CID → GID, plain CFF uses GID directly
+                      if (cf.isCid) cf.cidToGid.get(code) else Some(code)
+                    } else {
+                      of.diffNames.get(code).flatMap(cf.nameToGid.get)
+                        .orElse(cf.codeToGid.get(code))
+                    }
+                  gid.filter(gd => gd >= 0 && gd < cf.nGlyphs).map { gd =>
+                    val m = new AffineTransform(textM)
+                    val fm = cf.fontMatrix
+                    m.concatenate(new AffineTransform(
+                      fm(0), fm(1), fm(2), fm(3), fm(4), fm(5)))
+                    m.createTransformedShape(cf.outline(gd))
                   }
-                val outline = gv.getOutline(0f, 0f) // y-down, 1000 upem
-                val m = new AffineTransform(st.ctm)
-                m.concatenate(tm)
-                m.concatenate(new AffineTransform(
-                  st.fontSize * st.hscale, 0, 0, st.fontSize, 0, st.rise))
-                m.concatenate(AffineTransform.getScaleInstance(
-                  1 / 1000.0, -1 / 1000.0))
-                val shape = m.createTransformedShape(outline)
+                case None => of.awt.map { f =>
+                  val gv =
+                    if (of.byGlyphId)
+                      f.createGlyphVector(frc, Array(code))
+                    else {
+                      val cp = of.toUnicode.get(code)
+                        .orElse(of.diffNames.get(code).flatMap(glyphNameCp))
+                        .getOrElse(
+                          if (of.symbolic && f.canDisplay(0xF000 + code))
+                            0xF000 + code
+                          else code)
+                      f.createGlyphVector(frc,
+                        new String(Character.toChars(
+                          if (Character.isValidCodePoint(cp)) cp else 0x20)))
+                    }
+                  val outline = gv.getOutline(0f, 0f) // y-down, 1000 upem
+                  val m = new AffineTransform(textM)
+                  m.concatenate(AffineTransform.getScaleInstance(
+                    1 / 1000.0, -1 / 1000.0))
+                  m.createTransformedShape(outline)
+                }
+              }
+              shapeOpt.foreach { shape =>
                 applyClip(g, st)
                 if (st.renderMode == 0 || st.renderMode == 2 ||
                   st.renderMode == 4 || st.renderMode == 6) {

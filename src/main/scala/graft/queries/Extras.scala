@@ -3817,6 +3817,23 @@ object Extras {
             s"/Font << /T3 $font 0 R >> /XObject << /I $img 0 R >>")
           b.addPage(s"0 g 2 2 8 ${id % 5 + 3} re f",
             (60 + (id % 4) * 10, 50 + (id % 3) * 10))
+          // page 3: embedded CFF (FontFile3/Type1C) text — the Type 2
+          // charstring interpreter tier; k2 10x5pt glyph rects
+          val k2 = (id % 4 + 1).toInt
+          val cffStream = b.addStream("/Subtype /Type1C",
+            graft.functions.Cff.write(Seq("A" ->
+              graft.functions.Cff.charstring(Seq(0, 0, "rmoveto",
+                100, "hlineto", 50, "vlineto", -100, "hlineto",
+                "endchar"))), Seq(65)))
+          val cffDesc = b.addObj("<< /Type /FontDescriptor /FontName " +
+            s"/Fx /Flags 4 /FontFile3 $cffStream 0 R >>")
+          val cffFont = b.addObj(
+            "<< /Type /Font /Subtype /Type1 /BaseFont /Fx " +
+              "/Encoding << /Differences [65 /A] >> " +
+              "/FirstChar 65 /LastChar 65 /Widths [1000] " +
+              s"/FontDescriptor $cffDesc 0 R >>")
+          b.addPage(s"BT /F1 100 Tf 10 20 Td (${"A" * k2}) Tj ET",
+            (420, 60), s"/Font << /F1 $cffFont 0 R >>")
           b.build()
         }
         val rgbCol = ((col("doc_id") * 2500 + 7) % 0xffffff).cast("int")
@@ -3840,10 +3857,12 @@ object Extras {
             Images.countColor(col("p1._4"), lit(0x0000ff)).as("clip_px"),
             Images.countColor(element_at(col("pages2x"), 1)("_4"), rgbCol)
               .as("rect2x_px"),
-            Images.countColor(col("p2._4"), lit(0)).as("p2_black"))
+            Images.countColor(col("p2._4"), lit(0)).as("p2_black"),
+            Images.countColor(element_at(col("pages"), 3)("_4"), lit(0))
+              .as("cff_px"))
           .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
-      Some("""SELECT doc_id, 2::BIGINT AS n_pages,
+      Some("""SELECT doc_id, 3::BIGINT AS n_pages,
              |  (100 + doc_id % 7 * 10)::BIGINT AS w1,
              |  (80 + doc_id % 5 * 10)::BIGINT AS h1,
              |  (60 + doc_id % 4 * 10)::BIGINT AS w2,
@@ -3854,7 +3873,8 @@ object Extras {
              |  ((5 + doc_id % 4) * 10)::BIGINT AS clip_px,
              |  (4 * (10 + doc_id % 9) * (15 + doc_id % 6))::BIGINT
              |    AS rect2x_px,
-             |  (8 * (doc_id % 5 + 3))::BIGINT AS p2_black
+             |  (8 * (doc_id % 5 + 3))::BIGINT AS p2_black,
+             |  ((doc_id % 4 + 1) * 50)::BIGINT AS cff_px
              |FROM documents WHERE doc_id < 50
              |ORDER BY doc_id""".stripMargin),
     ),

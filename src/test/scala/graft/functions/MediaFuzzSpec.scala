@@ -229,13 +229,25 @@ class MediaFuzzSpec extends AnyFunSuite {
       "/Type /XObject /Subtype /Form /BBox [0 0 10 10]",
       "0 g 0 0 10 10 re f"
         .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val cffStream = b.addStream("/Subtype /Type1C",
+      Cff.write(Seq("A" -> Cff.charstring(Seq(0, 0, "rmoveto",
+        100, "hlineto", 50, "vlineto", -100, "hlineto", "endchar"))),
+        Seq(65)))
+    val cffDesc = b.addObj("<< /Type /FontDescriptor /FontName /Fx " +
+      s"/FontFile3 $cffStream 0 R >>")
+    val cffFont = b.addObj(
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Fx " +
+        "/FirstChar 65 /LastChar 65 /Widths [1000] " +
+        s"/FontDescriptor $cffDesc 0 R >>")
     b.addPage(
       "0.2 0.4 0.6 rg 10 20 30 15 re f 0 g BT /T3 10 Tf 5 5 Td (AA) Tj ET " +
+        "BT /FC 40 Tf 5 80 Td (A) Tj ET " +
         "q 20 0 0 10 60 60 cm /I Do Q /F Do " +
         "q 0 0 8 100 re W n 0 0 1 rg 0 45 30 10 re f Q " +
         "BI /W 1 /H 1 /CS /G /BPC 8 ID   EI",
       (120, 100),
-      s"/Font << /T3 $font 0 R >> /XObject << /I $img 0 R /F $form 0 R >>")
+      s"/Font << /T3 $font 0 R /FC $cffFont 0 R >> " +
+        s"/XObject << /I $img 0 R /F $form 0 R >>")
     val doc = b.build()
     def poke(f: => Any): Unit =
       try { f; () } catch { case _: IllegalArgumentException => () }

@@ -449,4 +449,81 @@ class PdfRenderSpec extends AnyFunSuite {
     assert(okRow.isNullAt(1))
     assert(badRow.isNullAt(0) && badRow.getString(1).nonEmpty)
   }
+
+  // ---------------- CFF / FontFile3 text (the exact tier) ----------------
+
+  private def cffBytes(): Array[Byte] =
+    Cff.write(Seq("A" -> Cff.charstring(Seq(0, 0, "rmoveto",
+      100, "hlineto", 50, "vlineto", -100, "hlineto", "endchar"))),
+      Seq(65))
+
+  test("embedded CFF (Type1C): glyphs interpret to exact pixel rects") {
+    val im = render(pdf { b =>
+      val ff = b.addStream("/Subtype /Type1C", cffBytes())
+      val fd = b.addObj(
+        s"<< /Type /FontDescriptor /FontName /Fx /Flags 4 /FontFile3 $ff 0 R >>")
+      val font = b.addObj(
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Fx " +
+          "/Encoding << /Differences [65 /A] >> " +
+          s"/FirstChar 65 /LastChar 65 /Widths [1000] /FontDescriptor $fd 0 R >>")
+      b.addPage("BT /F1 100 Tf 20 30 Td (AA) Tj ET", (300, 100),
+        s"/Font << /F1 $font 0 R >>")
+    })
+    // glyph rect 100x50 units x FontMatrix 0.001 x Tf 100 = 10x5 pt;
+    // advance 1000/1000*100 = 100 pt -> rects at x 20..30 and 120..130
+    assert(count(im, Black) == 100)
+    assert(px(im, 25, 67) == Black && px(im, 125, 67) == Black)
+    assert(px(im, 25, 71) == White && px(im, 31, 67) == White)
+    assert(px(im, 119, 67) == White && px(im, 130, 67) == White)
+  }
+
+  test("embedded CFF falls back to the built-in encoding without Differences") {
+    val im = render(pdf { b =>
+      val ff = b.addStream("/Subtype /Type1C", cffBytes())
+      val fd = b.addObj(
+        s"<< /Type /FontDescriptor /FontName /Fx /FontFile3 $ff 0 R >>")
+      val font = b.addObj(
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Fx " +
+          s"/FirstChar 65 /LastChar 65 /Widths [1000] /FontDescriptor $fd 0 R >>")
+      b.addPage("BT /F1 100 Tf 20 30 Td (A) Tj ET", (200, 100),
+        s"/Font << /F1 $font 0 R >>")
+    })
+    assert(count(im, Black) == 50)
+    assert(px(im, 25, 67) == Black)
+  }
+
+  test("Type0/Identity-H over CFF: 2-byte codes address glyph ids") {
+    val im = render(pdf { b =>
+      val ff = b.addStream("/Subtype /CIDFontType0C", cffBytes())
+      val fd = b.addObj(
+        s"<< /Type /FontDescriptor /FontName /Fx /FontFile3 $ff 0 R >>")
+      val cidFont = b.addObj(
+        "<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Fx " +
+          "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) " +
+          s"/Supplement 0 >> /DW 1000 /W [1 [1000]] /FontDescriptor $fd 0 R >>")
+      val font = b.addObj(
+        "<< /Type /Font /Subtype /Type0 /BaseFont /Fx " +
+          s"/Encoding /Identity-H /DescendantFonts [$cidFont 0 R] >>")
+      b.addPage("BT /F1 100 Tf 20 30 Td <0001> Tj ET", (200, 100),
+        s"/Font << /F1 $font 0 R >>")
+    })
+    assert(count(im, Black) == 50)
+    assert(px(im, 25, 67) == Black && px(im, 19, 67) == White)
+  }
+
+  test("corrupt FontFile3 degrades to substitution, never fails the page") {
+    val bad = cffBytes().take(20)
+    val pages = PdfRender.renderPageImages(pdf { b =>
+      val ff = b.addStream("/Subtype /Type1C", bad)
+      val fd = b.addObj(
+        s"<< /Type /FontDescriptor /FontName /Fx /FontFile3 $ff 0 R >>")
+      val font = b.addObj(
+        "<< /Type /Font /Subtype /Type1 /BaseFont /Fx " +
+          s"/FirstChar 65 /LastChar 65 /Widths [1000] /FontDescriptor $fd 0 R >>")
+      b.addPage("BT /F1 100 Tf 20 30 Td (A) Tj ET", (200, 100),
+        s"/Font << /F1 $font 0 R >>")
+    })
+    assert(pages.length == 1)
+    assert(pages.head.unsupported.contains("cff-load-failed"))
+  }
 }
