@@ -4034,6 +4034,94 @@ object Extras {
              |GROUP BY r.lang, ex.exact_distinct
              |ORDER BY r.lang""".stripMargin),
     ),
+    QueryDef(
+      "q191_stream_hll",
+      (s, dir) => {
+        // Streaming HLL: the q190 register aggregation as a STREAMING
+        // complete-mode groupBy over four mtime-ordered micro-batches
+        // (maxFilesPerTrigger=1) — register state must survive batch
+        // boundaries through the state store and converge to exactly the
+        // batch sketch, which the oracle recomputes from md5 hex digits
+        // (same construction as q190, doc_id < 1200 slice). This is the
+        // streaming telemetry form: per-batch distinct-count registers
+        // with bounded state (groups x 256 rows).
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.operators.Hll
+        val base = T(s, dir, "documents")
+          .filter(col("doc_id") < 1200)
+          .select(col("doc_id"), col("lang"))
+        val stage = java.nio.file.Files.createTempDirectory("q191_in")
+        (0 until 4).foreach { k =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory(s"q191_b$k").toString
+          base.filter(col("doc_id") >= k * 300 &&
+              col("doc_id") < (k + 1) * 300)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = stage.resolve(f"b$k%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1_500_000_000_000L + k * 60_000L))
+        }
+        val stream = s.readStream
+          .schema(s.read.parquet(stage.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
+        val regs = Hll.registers(stream, Seq("lang"), col("doc_id"))
+        val qname = "q191_mem_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val ck = java.nio.file.Files.createTempDirectory("q191_ck").toString
+        val sq = regs.writeStream.format("memory")
+          .queryName(qname).outputMode("complete")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+        val exact = base.groupBy("lang")
+          .agg(countDistinct("doc_id").cast("long").as("exact_distinct"))
+        Hll.estimate(s.table(qname), Seq("lang"))
+          .join(exact, "lang")
+          .select(col("lang"), col("n_hit"), col("sum_rho"),
+            col("max_rho"), col("exact_distinct"),
+            (abs(col("estimate") / col("exact_distinct") - 1) < 0.2)
+              .as("est_ok"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("lang")))
+      },
+      Some("""WITH h AS (
+             |  SELECT lang, md5(CAST(doc_id AS VARCHAR)) AS hx
+             |  FROM documents WHERE doc_id < 1200
+             |), zt AS (
+             |  SELECT lang, hx,
+             |    length(regexp_extract(substr(hx, 3, 13), '^0*')) AS z
+             |  FROM h
+             |), br AS (
+             |  SELECT lang,
+             |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1
+             |      AS bucket,
+             |    CASE WHEN z = 13 THEN 53
+             |      ELSE 4 * z + CASE WHEN dv >= 8 THEN 0
+             |        WHEN dv >= 4 THEN 1 WHEN dv >= 2 THEN 2 ELSE 3 END
+             |        + 1 END AS rho
+             |  FROM (SELECT lang, hx, z,
+             |          strpos('0123456789abcdef', substr(hx, 3 + z, 1))
+             |            - 1 AS dv
+             |        FROM zt)
+             |), regs AS (
+             |  SELECT lang, bucket, MAX(rho) AS m FROM br GROUP BY 1, 2
+             |), ex AS (
+             |  SELECT lang, COUNT(DISTINCT doc_id)::BIGINT
+             |    AS exact_distinct
+             |  FROM documents WHERE doc_id < 1200 GROUP BY 1
+             |)
+             |SELECT r.lang, COUNT(*)::BIGINT AS n_hit,
+             |  SUM(m)::BIGINT AS sum_rho, MAX(m)::BIGINT AS max_rho,
+             |  ex.exact_distinct, TRUE AS est_ok
+             |FROM regs r JOIN ex ON r.lang = ex.lang
+             |GROUP BY r.lang, ex.exact_distinct
+             |ORDER BY r.lang""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -46,8 +46,10 @@ object ScaleCheck {
     // q190: full-corpus HLL sketch — linear map-side hash work, but the
     // partial aggregate caps shuffle traffic at groups×256 rows per
     // partition, so the ratio should track m sub-linearly (the exact
-    // countDistinct verification side is the data-proportional part)
-    "q190_hll_sketch")
+    // countDistinct verification side is the data-proportional part);
+    // measured ~1 at both 10x and 100x (overhead-dominated). q191 is
+    // its streaming twin over a doc_id-bounded slice (flat expected)
+    "q190_hll_sketch", "q191_stream_hll")
   // q159 is a bounded DML-lifecycle gate (l_orderkey < 1600 slice →
   // constant under key-offset replication; measures z-order write + footer
   // metadata reads, expected ~1); q160 is map-only codec work over a
