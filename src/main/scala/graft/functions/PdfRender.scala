@@ -856,8 +856,11 @@ object PdfRender {
 
   private final class GState {
     var ctm = new AffineTransform()
+    var baseCtm = new AffineTransform() // page device←default space (patterns)
     var fill: Color = Color.BLACK
     var stroke: Color = Color.BLACK
+    var fillPaint: Option[java.awt.Paint] = None // pattern paint overrides
+    var strokePaint: Option[java.awt.Paint] = None
     var fillCs: Cs = CsGray
     var strokeCs: Cs = CsGray
     var fillAlpha = 1.0f
@@ -881,7 +884,9 @@ object PdfRender {
     def copyState(): GState = {
       val g = new GState
       g.ctm = new AffineTransform(ctm)
+      g.baseCtm = new AffineTransform(baseCtm)
       g.fill = fill; g.stroke = stroke
+      g.fillPaint = fillPaint; g.strokePaint = strokePaint
       g.fillCs = fillCs; g.strokeCs = strokeCs
       g.fillAlpha = fillAlpha; g.strokeAlpha = strokeAlpha
       g.lineWidth = lineWidth; g.cap = cap; g.join = join; g.miter = miter
@@ -899,7 +904,150 @@ object PdfRender {
     def seg(): Unit = { segs -= 1; require(segs > 0, "path segment budget exceeded") }
   }
 
+  // ===================== functions & shading =====================
+
+  /** PDF function object (dict types 2/3, or an array of them acting
+    * component-wise) → evaluator over the 1-D input domain. Sampled (0)
+    * and PostScript (4) functions are not supported → None.
+    */
+  private def pdfFunction(doc: Doc,
+      v: PVal): Option[Double => Seq[Double]] = doc.resolve(v) match {
+    case PArr(fs) =>
+      val evals = fs.map(pdfFunction(doc, _))
+      if (evals.nonEmpty && evals.forall(_.isDefined))
+        Some(t => evals.flatMap(_.get(t)))
+      else None
+    case d: PDict => dNum(doc, d, "FunctionType", -1).toInt match {
+      case 2 => // exponential interpolation: C0 + t^N (C1 − C0)
+        val c0 = dArr(doc, d, "C0").map(_.map(x => num(doc.resolve(x))))
+          .getOrElse(Vector(0.0))
+        val c1 = dArr(doc, d, "C1").map(_.map(x => num(doc.resolve(x))))
+          .getOrElse(Vector(1.0))
+        val n = dNum(doc, d, "N", 1.0)
+        Some { t0 =>
+          val t = math.max(0.0, math.min(1.0, t0))
+          c0.zip(c1).map { case (a, b) => a + math.pow(t, n) * (b - a) }
+        }
+      case 3 => // stitching
+        val dom = dArr(doc, d, "Domain").map(_.map(x => num(doc.resolve(x))))
+          .filter(_.length == 2).getOrElse(Vector(0.0, 1.0))
+        val bounds = dArr(doc, d, "Bounds")
+          .map(_.map(x => num(doc.resolve(x)))).getOrElse(Vector.empty)
+        val enc = dArr(doc, d, "Encode")
+          .map(_.map(x => num(doc.resolve(x)))).getOrElse(Vector.empty)
+        val subs = dArr(doc, d, "Functions")
+          .map(_.map(pdfFunction(doc, _))).getOrElse(Vector.empty)
+        if (subs.isEmpty || subs.exists(_.isEmpty) ||
+          bounds.length != subs.length - 1) None
+        else Some { t0 =>
+          val t = math.max(dom(0), math.min(dom(1), t0))
+          val cuts = dom(0) +: bounds :+ dom(1)
+          var i = bounds.indexWhere(t < _)
+          if (i < 0) i = subs.length - 1
+          val (lo, hi) = (cuts(i), cuts(i + 1))
+          val (e0, e1) =
+            if (enc.length >= 2 * i + 2) (enc(2 * i), enc(2 * i + 1))
+            else (0.0, 1.0)
+          val tt =
+            if (hi > lo) e0 + (t - lo) / (hi - lo) * (e1 - e0) else e0
+          subs(i).get(tt)
+        }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Gradient stop positions for the /Function: a linear (N = 1) type-2
+    * function needs only its endpoints; stitching contributes its bound
+    * positions (normalized); anything non-linear is sampled.
+    */
+  private def fnStops(doc: Doc, v: PVal): Seq[Double] = doc.resolve(v) match {
+    case PArr(fs) => fs.flatMap(fnStops(doc, _))
+    case d: PDict => dNum(doc, d, "FunctionType", -1).toInt match {
+      case 2 =>
+        if (dNum(doc, d, "N", 1.0) == 1.0) Seq(0.0, 1.0)
+        else (0 to 16).map(_ / 16.0)
+      case 3 =>
+        val dom = dArr(doc, d, "Domain").map(_.map(x => num(doc.resolve(x))))
+          .filter(_.length == 2).getOrElse(Vector(0.0, 1.0))
+        val bounds = dArr(doc, d, "Bounds")
+          .map(_.map(x => num(doc.resolve(x)))).getOrElse(Vector.empty)
+        val span = math.max(dom(1) - dom(0), 1e-12)
+        val cuts = (dom(0) +: bounds :+ dom(1)).map(c =>
+          math.max(0.0, math.min(1.0, (c - dom(0)) / span)))
+        // sample inside each piece too (sub-functions may be non-linear)
+        cuts.sliding(2).flatMap { p =>
+          (0 to 8).map(k => p(0) + (p(1) - p(0)) * k / 8.0)
+        }.toSeq
+      case _ => (0 to 16).map(_ / 16.0)
+    }
+    case _ => Seq(0.0, 1.0)
+  }
+
+  /** Axial (type 2) / radial (type 3) shading dict → AWT gradient paint
+    * in DEVICE space (`base` maps shading space to device). Stops come
+    * from the function's natural breakpoints, so piecewise-linear
+    * functions reproduce exactly. /Extend is approximated by NO_CYCLE's
+    * terminal-color padding (the common extend-true case).
+    */
+  private def shadingPaint(doc: Doc, sh: PDict, base: AffineTransform,
+      notes: mutable.Set[String]): Option[java.awt.Paint] = {
+    val cs = dGet(doc, sh, "ColorSpace")
+      .map(colorSpaceOf(doc, _, PDict(Map.empty), notes)).getOrElse(CsRgb)
+    val fnV = sh.m.get("Function").getOrElse(return None)
+    val fn = pdfFunction(doc, fnV).getOrElse {
+      notes += "shading-function-skipped"; return None
+    }
+    val stops0 = fnStops(doc, fnV).map(t => math.max(0.0, math.min(1.0, t)))
+      .distinct.sorted
+    // strictly increasing floats for MultipleGradientPaint
+    val stops = stops0.foldLeft(Vector.empty[Double]) { (acc, t) =>
+      if (acc.nonEmpty && t - acc.last < 1e-6) acc else acc :+ t
+    } match {
+      case v if v.length >= 2 => v
+      case _ => Vector(0.0, 1.0)
+    }
+    val fracs = stops.map(_.toFloat).toArray
+    val colors = stops.map(t => colorFrom(cs, fn(t))).toArray
+    val coords = dArr(doc, sh, "Coords")
+      .map(_.map(x => num(doc.resolve(x)))).getOrElse(return None)
+    def devPt(x: Double, y: Double): java.awt.geom.Point2D.Double = {
+      val p = new java.awt.geom.Point2D.Double(x, y)
+      base.transform(p, p)
+      p
+    }
+    dNum(doc, sh, "ShadingType", 0).toInt match {
+      case 2 if coords.length >= 4 =>
+        val p0 = devPt(coords(0), coords(1))
+        val p1 = devPt(coords(2), coords(3))
+        if (p0.distance(p1) < 1e-9) None
+        else Some(new java.awt.LinearGradientPaint(p0, p1, fracs, colors,
+          java.awt.MultipleGradientPaint.CycleMethod.NO_CYCLE))
+      case 3 if coords.length >= 6 =>
+        // approximate the two-circle blend with AWT's focus model
+        val focus = devPt(coords(0), coords(1))
+        val center = devPt(coords(3), coords(4))
+        val r = coords(5) * math.abs(base.getScaleX)
+        if (r <= 0) None
+        else {
+          if (coords(2) != 0.0) notes += "radial-r0-approximated"
+          Some(new java.awt.RadialGradientPaint(center, r.toFloat, focus,
+            fracs, colors,
+            java.awt.MultipleGradientPaint.CycleMethod.NO_CYCLE))
+        }
+      case other =>
+        notes += s"shading-type-$other-skipped"
+        None
+    }
+  }
+
   // ===================== interpreter =====================
+
+  private def csByArity(n: Int): Cs = n match {
+    case 1 => CsGray
+    case 4 => CsCmyk
+    case _ => CsRgb
+  }
 
   private def colorFrom(cs: Cs, comps: Seq[Double]): Color = {
     def c(v: Double) = math.max(0f, math.min(1f, v.toFloat))
@@ -1018,12 +1166,12 @@ object PdfRender {
         path.setWindingRule(
           if (evenOdd) Path2D.WIND_EVEN_ODD else Path2D.WIND_NON_ZERO)
         g.setComposite(alphaComposite(st.fillAlpha))
-        g.setColor(st.fill)
+        g.setPaint(st.fillPaint.getOrElse(st.fill))
         g.fill(path)
       }
       if (doStroke) {
         g.setComposite(alphaComposite(st.strokeAlpha))
-        g.setColor(st.stroke)
+        g.setPaint(st.strokePaint.getOrElse(st.stroke))
         g.setStroke(strokeFor(st))
         g.draw(path)
       }
@@ -1058,6 +1206,106 @@ object PdfRender {
     }
 
     val frc = new java.awt.font.FontRenderContext(null, true, true)
+
+    /** `/Pattern` entry → AWT paint. Tiling (PatternType 1): the cell
+      * content renders through THIS interpreter into an offscreen tile,
+      * anchored in device space (axis-aligned pattern matrices only —
+      * TexturePaint cannot rotate; rotated patterns degrade to a named
+      * skip). Shading (PatternType 2): gradient paint via shadingPaint.
+      * Pattern space anchors to the PAGE's default space (st.baseCtm),
+      * independent of the current CTM, per the spec.
+      */
+    def resolvePattern(nm: String): Option[java.awt.Paint] = {
+      val (pd, cellBytes): (PDict, Option[Array[Byte]]) =
+        resDict("Pattern", nm) match {
+          case Some(PRef(n)) => doc.objs.get(n) match {
+            case Some(o) =>
+              val d = parseValue(o.dict) match {
+                case x: PDict => x
+                case _ => PDict(Map.empty)
+              }
+              (d, if (o.stream.isDefined) Some(Pdf.decodedStream(o))
+              else None)
+            case None => return None
+          }
+          case Some(d: PDict) => (d, None)
+          case _ => return None
+        }
+      val mat = dArr(doc, pd, "Matrix").filter(_.length == 6).map { a =>
+        new AffineTransform(num(a(0)), num(a(1)), num(a(2)), num(a(3)),
+          num(a(4)), num(a(5)))
+      }.getOrElse(new AffineTransform())
+      val dTrans = new AffineTransform(st.baseCtm)
+      dTrans.concatenate(mat)
+      dNum(doc, pd, "PatternType", 1).toInt match {
+        case 2 =>
+          dGet(doc, pd, "Shading") match {
+            case Some(sd: PDict) => shadingPaint(doc, sd, dTrans, notes)
+            case _ => None
+          }
+        case 1 =>
+          val content = cellBytes.getOrElse(return None)
+          if (math.abs(dTrans.getShearX) > 1e-9 ||
+            math.abs(dTrans.getShearY) > 1e-9) {
+            notes += "pattern-rotated-skipped"
+            return None
+          }
+          val bbox = dArr(doc, pd, "BBox").filter(_.length == 4)
+            .map(_.map(x => num(doc.resolve(x)))).getOrElse(return None)
+          val xs = dNum(doc, pd, "XStep", bbox(2) - bbox(0))
+          val ys = dNum(doc, pd, "YStep", bbox(3) - bbox(1))
+          val cellW = math.round(math.abs(xs * dTrans.getScaleX)).toInt
+          val cellH = math.round(math.abs(ys * dTrans.getScaleY)).toInt
+          if (cellW < 1 || cellH < 1 || cellW.toLong * cellH > (1 << 22)) {
+            notes += "pattern-cell-skipped"
+            return None
+          }
+          // device anchor rect of the pattern-space tile [0,xs)x[0,ys)
+          val c0 = new java.awt.geom.Point2D.Double(0, 0)
+          val c1 = new java.awt.geom.Point2D.Double(xs, ys)
+          dTrans.transform(c0, c0); dTrans.transform(c1, c1)
+          val ax = math.min(c0.getX, c1.getX)
+          val ay = math.min(c0.getY, c1.getY)
+          val tile = new BufferedImage(cellW, cellH,
+            BufferedImage.TYPE_INT_ARGB)
+          val cg = tile.createGraphics()
+          try {
+            cg.setRenderingHint(RenderingHints.KEY_ANTIALIASING,
+              RenderingHints.VALUE_ANTIALIAS_ON)
+            cg.setRenderingHint(RenderingHints.KEY_STROKE_CONTROL,
+              RenderingHints.VALUE_STROKE_PURE)
+            val cst = new GState
+            cst.baseCtm = new AffineTransform(dTrans)
+            val cm = new AffineTransform()
+            cm.translate(-ax, -ay)
+            cm.concatenate(dTrans)
+            cst.ctm = cm
+            val pres = dDict(doc, pd, "Resources").getOrElse(res)
+            execContent(content, pres, cg, cst, doc, depth + 1, budget,
+              notes)
+          } finally cg.dispose()
+          // PaintType 2 (uncolored): the cell is a stencil in the
+          // CURRENT fill color; keep coverage, replace color
+          if (dNum(doc, pd, "PaintType", 1).toInt == 2) {
+            val rgb = st.fill.getRGB & 0xffffff
+            var y = 0
+            while (y < cellH) {
+              var x = 0
+              while (x < cellW) {
+                val a = tile.getRGB(x, y) >>> 24
+                tile.setRGB(x, y, (a << 24) | rgb)
+                x += 1
+              }
+              y += 1
+            }
+          }
+          Some(new java.awt.TexturePaint(tile,
+            new java.awt.geom.Rectangle2D.Double(ax, ay, cellW, cellH)))
+        case other =>
+          notes += s"pattern-type-$other-skipped"
+          None
+      }
+    }
 
     def showText(bytes: Array[Byte]): Unit = {
       if (st.font == null || st.fontSize == 0) {
@@ -1158,13 +1406,13 @@ object PdfRender {
                 if (st.renderMode == 0 || st.renderMode == 2 ||
                   st.renderMode == 4 || st.renderMode == 6) {
                   g.setComposite(alphaComposite(st.fillAlpha))
-                  g.setColor(st.fill)
+                  g.setPaint(st.fillPaint.getOrElse(st.fill))
                   g.fill(shape)
                 }
                 if (st.renderMode == 1 || st.renderMode == 2 ||
                   st.renderMode == 5 || st.renderMode == 6) {
                   g.setComposite(alphaComposite(st.strokeAlpha))
-                  g.setColor(st.stroke)
+                  g.setPaint(st.strokePaint.getOrElse(st.stroke))
                   g.setStroke(strokeFor(st))
                   g.draw(shape)
                 }
@@ -1355,46 +1603,65 @@ object PdfRender {
             // ---- color ----
             case "rg" =>
               val c = popN(3); st.fillCs = CsRgb; st.fill = colorFrom(CsRgb, c)
+              st.fillPaint = None
             case "RG" =>
               val c = popN(3); st.strokeCs = CsRgb
-              st.stroke = colorFrom(CsRgb, c)
+              st.stroke = colorFrom(CsRgb, c); st.strokePaint = None
             case "g" =>
               val c = popN(1); st.fillCs = CsGray
-              st.fill = colorFrom(CsGray, c)
+              st.fill = colorFrom(CsGray, c); st.fillPaint = None
             case "G" =>
               val c = popN(1); st.strokeCs = CsGray
-              st.stroke = colorFrom(CsGray, c)
+              st.stroke = colorFrom(CsGray, c); st.strokePaint = None
             case "k" =>
               val c = popN(4); st.fillCs = CsCmyk
-              st.fill = colorFrom(CsCmyk, c)
+              st.fill = colorFrom(CsCmyk, c); st.fillPaint = None
             case "K" =>
               val c = popN(4); st.strokeCs = CsCmyk
-              st.stroke = colorFrom(CsCmyk, c)
+              st.stroke = colorFrom(CsCmyk, c); st.strokePaint = None
             case "cs" => operands.lastOption match {
               case Some(v) =>
                 st.fillCs = colorSpaceOf(doc, v, res, notes)
-                st.fill = Color.BLACK
+                st.fill = Color.BLACK; st.fillPaint = None
               case _ =>
             }
             case "CS" => operands.lastOption match {
               case Some(v) =>
                 st.strokeCs = colorSpaceOf(doc, v, res, notes)
-                st.stroke = Color.BLACK
+                st.stroke = Color.BLACK; st.strokePaint = None
               case _ =>
             }
             case "sc" | "scn" =>
               operands.lastOption match {
-                case Some(PName(_)) => notes += "pattern-fill-skipped"
+                case Some(PName(pn)) =>
+                  // uncolored (PaintType 2) patterns carry the stencil
+                  // color as leading operands in the underlying space
+                  val nums = operands.collect { case PNum(v) => v }.toSeq
+                  if (nums.nonEmpty)
+                    st.fill = colorFrom(csByArity(nums.length), nums)
+                  resolvePattern(pn) match {
+                    case Some(paint) => st.fillPaint = Some(paint)
+                    case None => notes += "pattern-fill-skipped"
+                  }
                 case _ =>
                   val nums = operands.collect { case PNum(v) => v }.toSeq
                   if (nums.nonEmpty) st.fill = colorFrom(st.fillCs, nums)
+                  st.fillPaint = None
               }
             case "SC" | "SCN" =>
               operands.lastOption match {
-                case Some(PName(_)) => notes += "pattern-stroke-skipped"
+                case Some(PName(pn)) =>
+                  val nums = operands.collect { case PNum(v) => v }.toSeq
+                  if (nums.nonEmpty)
+                    st.stroke = colorFrom(csByArity(nums.length), nums)
+                  resolvePattern(pn) match {
+                    case Some(paint) => st.strokePaint = Some(paint)
+                    case None => notes += "pattern-stroke-skipped"
+                  }
                 case _ =>
                   val nums = operands.collect { case PNum(v) => v }.toSeq
                   if (nums.nonEmpty) st.stroke = colorFrom(st.strokeCs, nums)
+                  st.strokePaint = None
               }
             // ---- text ----
             case "BT" => tm = new AffineTransform(); tlm = new AffineTransform()
@@ -1465,7 +1732,27 @@ object PdfRender {
             // constrains color (we already inherit fill from the text op)
             // ---- marked content / compatibility ----
             case "BMC" | "BDC" | "EMC" | "MP" | "DP" | "BX" | "EX" =>
-            case "sh" => notes += "shading-skipped"
+            case "sh" => operands.lastOption match {
+              case Some(PName(shn)) =>
+                resDict("Shading", shn).map(doc.resolve) match {
+                  case Some(sd: PDict) =>
+                    shadingPaint(doc, sd, st.baseCtm, notes) match {
+                      case Some(paint) =>
+                        applyClip(g, st)
+                        g.setComposite(alphaComposite(st.fillAlpha))
+                        g.setPaint(paint)
+                        // paint the full device surface through the clip
+                        // (Java2D clips fills to the raster, so an
+                        // oversized rect floods exactly the visible area)
+                        g.fill(st.clip.map(_.getBounds2D).getOrElse(
+                          new java.awt.geom.Rectangle2D.Double(
+                            -1e6, -1e6, 2e6, 2e6)))
+                      case None => notes += "shading-skipped"
+                    }
+                  case _ => notes += "shading-skipped"
+                }
+              case _ => notes += "shading-skipped"
+            }
             case other => notes += s"op-$other"
           }
           operands.clear()
@@ -1577,6 +1864,7 @@ object PdfRender {
         base.scale(scale, -scale)
         base.translate(-mb._1, -mb._4)
         st.ctm = base
+        st.baseCtm = new AffineTransform(base) // pattern-space anchor
         val res = inherited(doc, pageDict, "Resources") match {
           case Some(d: PDict) => d
           case _ => PDict(Map.empty)

@@ -4122,6 +4122,93 @@ object Extras {
              |GROUP BY r.lang, ex.exact_distinct
              |ORDER BY r.lang""".stripMargin),
     ),
+    QueryDef(
+      "q192_pdf_patterns",
+      (s, dir) => {
+        // PDF tiling patterns and shadings (the constructs that were
+        // named render-skips before round 12): per doc, page 1 fills a
+        // region with a colored tiling pattern (closed-form: tiles x
+        // cell-rect area), page 2 an UNCOLORED (PaintType 2) pattern
+        // stenciling the scn color, page 3 floods a pixel-aligned clip
+        // with a constant axial shading via the sh operator, page 4 a
+        // shading PATTERN with a two-piece stitching step function whose
+        // constant plateaus are asserted per-pixel (step_ok).
+        import graft.functions.{Images, Pdf, PdfRender}
+        val mk = udf { (id: Long) =>
+          val rw = (2 + id % 4).toInt
+          val rh = (2 + id % 3).toInt
+          val tx = (2 + id % 3).toInt // tiles in x
+          val ty = (1 + id % 2).toInt // tiles in y
+          val cw = (10 + id % 7).toInt
+          val ch = (5 + id % 5).toInt
+          val b = new Pdf.PdfBuilder
+          val cellOps = s"0 g 0 0 $rw $rh re f"
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          val pat1 = b.addStream(
+            "/PatternType 1 /PaintType 1 /TilingType 1 " +
+              "/BBox [0 0 10 10] /XStep 10 /YStep 10 /Resources << >>",
+            cellOps)
+          b.addPage(s"/Pattern cs /P1 scn 0 0 ${tx * 10} ${ty * 10} re f",
+            (tx * 10, ty * 10), s"/Pattern << /P1 $pat1 0 R >>")
+          val pat2 = b.addStream(
+            "/PatternType 1 /PaintType 2 /TilingType 1 " +
+              "/BBox [0 0 10 10] /XStep 10 /YStep 10 /Resources << >>",
+            s"0 0 $rw $rh re f"
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+          b.addPage(
+            s"/Pattern cs 0 1 0 /P2 scn 0 0 ${tx * 10} ${ty * 10} re f",
+            (tx * 10, ty * 10), s"/Pattern << /P2 $pat2 0 R >>")
+          val shd = b.addObj(
+            "<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 40 0] " +
+              "/Function << /FunctionType 2 /C0 [1 0 0] /C1 [1 0 0] " +
+              "/N 1 >> /Extend [true true] >>")
+          b.addPage(s"q 2 2 $cw $ch re W n /S1 sh Q", (44, 14),
+            s"/Shading << /S1 $shd 0 R >>")
+          val pat3 = b.addObj(
+            "<< /PatternType 2 /Shading << /ShadingType 2 " +
+              "/ColorSpace /DeviceRGB /Coords [0 0 80 0] " +
+              "/Function << /FunctionType 3 " +
+              "/Functions [<< /FunctionType 2 /C0 [1 0 0] /C1 [1 0 0] " +
+              "/N 1 >> << /FunctionType 2 /C0 [0 0 1] /C1 [0 0 1] " +
+              "/N 1 >>] /Bounds [0.5] /Encode [0 1 0 1] " +
+              "/Domain [0 1] >> /Extend [true true] >> >>")
+          b.addPage("/Pattern cs /P3 scn 0 0 80 10 re f", (80, 10),
+            s"/Pattern << /P3 $pat3 0 R >>")
+          b.build()
+        }
+        val stepOk = udf { (png: Array[Byte]) =>
+          val im = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          def p(x: Int) = im.getRGB(x, 5) & 0xffffff
+          p(10) == 0xff0000 && p(30) == 0xff0000 &&
+            p(45) == 0x0000ff && p(75) == 0x0000ff
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("pdf", mk(col("doc_id")))
+          .withColumn("pages", PdfRender.renderPages(col("pdf")))
+          .select(col("doc_id"),
+            Images.countColor(element_at(col("pages"), 1)("_4"), lit(0))
+              .as("tile_black"),
+            Images.countColor(element_at(col("pages"), 2)("_4"),
+              lit(0x00ff00)).as("stencil_green"),
+            Images.countColor(element_at(col("pages"), 3)("_4"),
+              lit(0xff0000)).as("sh_red"),
+            stepOk(element_at(col("pages"), 4)("_4")).as("step_ok"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""SELECT doc_id,
+             |  ((2 + doc_id % 3) * (1 + doc_id % 2)
+             |    * (2 + doc_id % 4) * (2 + doc_id % 3))::BIGINT
+             |    AS tile_black,
+             |  ((2 + doc_id % 3) * (1 + doc_id % 2)
+             |    * (2 + doc_id % 4) * (2 + doc_id % 3))::BIGINT
+             |    AS stencil_green,
+             |  ((10 + doc_id % 7) * (5 + doc_id % 5))::BIGINT AS sh_red,
+             |  TRUE AS step_ok
+             |FROM documents WHERE doc_id < 40
+             |ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -49,7 +49,9 @@ object ScaleCheck {
     // countDistinct verification side is the data-proportional part);
     // measured ~1 at both 10x and 100x (overhead-dominated). q191 is
     // its streaming twin over a doc_id-bounded slice (flat expected)
-    "q190_hll_sketch", "q191_stream_hll")
+    "q190_hll_sketch", "q191_stream_hll",
+    // q192: map-only pattern/shading rendering over bounded fixtures
+    "q192_pdf_patterns")
   // q159 is a bounded DML-lifecycle gate (l_orderkey < 1600 slice →
   // constant under key-offset replication; measures z-order write + footer
   // metadata reads, expected ~1); q160 is map-only codec work over a

@@ -526,4 +526,120 @@ class PdfRenderSpec extends AnyFunSuite {
     assert(pages.length == 1)
     assert(pages.head.unsupported.contains("cff-load-failed"))
   }
+
+  // ---------------- patterns & shading ----------------
+
+  test("tiling pattern: cell content tiles with exact per-tile counts") {
+    val im = render(pdf { b =>
+      val pat = b.addStream(
+        "/PatternType 1 /PaintType 1 /TilingType 1 /BBox [0 0 10 10] " +
+          "/XStep 10 /YStep 10 /Resources << >>",
+        "0 g 0 0 4 4 re f"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      b.addPage("/Pattern cs /P1 scn 0 0 40 20 re f", (40, 20),
+        s"/Pattern << /P1 $pat 0 R >>")
+    })
+    // 4x2 tiles, 16 black px each, anywhere the fill rect covers
+    assert(count(im, Black) == 128)
+    // pattern space anchors at page origin (bottom-left): the cell rect
+    // [0,4)x[0,4) sits at the BOTTOM of each 10x10 tile
+    assert(px(im, 1, 17) == Black && px(im, 11, 17) == Black)
+    assert(px(im, 1, 7) == Black) // tile row above
+    assert(px(im, 5, 17) == White && px(im, 1, 12) == White)
+  }
+
+  test("uncolored tiling pattern (PaintType 2) stencils the scn color") {
+    val im = render(pdf { b =>
+      val pat = b.addStream(
+        "/PatternType 1 /PaintType 2 /TilingType 1 /BBox [0 0 10 10] " +
+          "/XStep 10 /YStep 10 /Resources << >>",
+        "0 0 4 4 re f"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      b.addPage("/Pattern cs 0 1 0 /P1 scn 0 0 40 20 re f", (40, 20),
+        s"/Pattern << /P1 $pat 0 R >>")
+    })
+    assert(count(im, Green) == 128)
+    assert(count(im, Black) == 0)
+  }
+
+  test("sh: constant axial shading floods the clip exactly") {
+    val im = render(pdf { b =>
+      val shd = b.addObj(
+        "<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 40 0] " +
+          "/Function << /FunctionType 2 /C0 [1 0 0] /C1 [1 0 0] /N 1 >> " +
+          "/Extend [true true] >>")
+      b.addPage("q 5 5 20 10 re W n /S1 sh Q", (40, 20),
+        s"/Shading << /S1 $shd 0 R >>")
+    })
+    // constant function => exact flood of the 20x10 clip
+    assert(count(im, Red) == 200)
+    assert(px(im, 5, 14) == Red && px(im, 24, 5) == Red)
+    assert(px(im, 4, 10) == White && px(im, 25, 10) == White)
+  }
+
+  test("axial gradient: endpoint colors at the axis ends") {
+    val im = render(pdf { b =>
+      val shd = b.addObj(
+        "<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 80 0] " +
+          "/Function << /FunctionType 2 /C0 [1 0 0] /C1 [0 0 1] /N 1 >> " +
+          "/Extend [true true] >>")
+      b.addPage("/S1 sh", (80, 10), s"/Shading << /S1 $shd 0 R >>")
+    })
+    val left = im.getRGB(0, 5)
+    val right = im.getRGB(79, 5)
+    assert(((left >> 16) & 0xff) > 240 && (left & 0xff) < 15)
+    assert(((right >> 16) & 0xff) < 15 && (right & 0xff) > 240)
+    // midpoint is an even blend (within rounding)
+    val mid = im.getRGB(40, 5)
+    assert(math.abs(((mid >> 16) & 0xff) - (mid & 0xff)) <= 8)
+  }
+
+  test("shading PATTERN (scn) with a stitching step function") {
+    val im = render(pdf { b =>
+      val pat = b.addObj(
+        "<< /PatternType 2 /Shading << /ShadingType 2 " +
+          "/ColorSpace /DeviceRGB /Coords [0 0 80 0] " +
+          "/Function << /FunctionType 3 " +
+          "/Functions [<< /FunctionType 2 /C0 [1 0 0] /C1 [1 0 0] /N 1 >> " +
+          "<< /FunctionType 2 /C0 [0 0 1] /C1 [0 0 1] /N 1 >>] " +
+          "/Bounds [0.5] /Encode [0 1 0 1] /Domain [0 1] >> " +
+          "/Extend [true true] >> >>")
+      b.addPage("/Pattern cs /P1 scn 0 0 80 10 re f", (80, 10),
+        s"/Pattern << /P1 $pat 0 R >>")
+    })
+    // constant pieces are exact away from the 0.4375..0.5 blend band
+    assert(px(im, 10, 5) == Red && px(im, 30, 5) == Red)
+    assert(px(im, 45, 5) == Blue && px(im, 70, 5) == Blue)
+    assert(count(im, Red) >= 34 * 10 && count(im, Blue) >= 39 * 10)
+  }
+
+  test("radial shading: center and far-field colors") {
+    val im = render(pdf { b =>
+      val shd = b.addObj(
+        "<< /ShadingType 3 /ColorSpace /DeviceRGB " +
+          "/Coords [30 30 0 30 30 20] " +
+          "/Function << /FunctionType 2 /C0 [0 1 0] /C1 [0 0 1] /N 1 >> " +
+          "/Extend [true true] >>")
+      b.addPage("/S1 sh", (60, 60), s"/Shading << /S1 $shd 0 R >>")
+    })
+    val c = im.getRGB(30, 30)
+    assert(((c >> 8) & 0xff) > 240) // center: green
+    val corner = im.getRGB(1, 1) // beyond radius: padded end color
+    assert((corner & 0xff) > 240)
+  }
+
+  test("numeric color after a pattern clears the pattern paint") {
+    val im = render(pdf { b =>
+      val pat = b.addStream(
+        "/PatternType 1 /PaintType 1 /TilingType 1 /BBox [0 0 10 10] " +
+          "/XStep 10 /YStep 10 /Resources << >>",
+        "0 g 0 0 4 4 re f"
+          .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      b.addPage(
+        "/Pattern cs /P1 scn 0 0 20 20 re f 1 0 0 rg 20 0 20 20 re f",
+        (40, 20), s"/Pattern << /P1 $pat 0 R >>")
+    })
+    assert(count(im, Red) == 400) // solid right half
+    assert(count(im, Black) == 64) // 2x2 tiles on the left half
+  }
 }
