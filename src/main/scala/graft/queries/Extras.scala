@@ -4209,6 +4209,81 @@ object Extras {
              |FROM documents WHERE doc_id < 40
              |ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q193_countmin",
+      (s, dir) => {
+        // Count-Min sketch (operators/CountMin.scala): per-lang token
+        // frequency counters over md5 hex digits — the oracle recomputes
+        // the IDENTICAL counter table and min-estimates in SQL, so the
+        // whole sketch state and every probe estimate compare
+        // integer-exactly; the no-undercount guarantee gates as a
+        // boolean. Probes are the true top-5 tokens per lang.
+        import graft.operators.CountMin
+        import org.apache.spark.sql.expressions.Window
+        val toks = T(s, dir, "documents")
+          .filter(col("doc_id") < 400)
+          .select(col("lang"),
+            explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val truth = toks.groupBy("lang", "tok")
+          .agg(count(lit(1)).cast("long").as("true_cnt"))
+        val probes = truth.withColumn("rn", row_number().over(
+            Window.partitionBy("lang")
+              .orderBy(col("true_cnt").desc, col("tok"))))
+          .filter(col("rn") <= 5).drop("rn")
+        val ctr = CountMin.counters(toks, Seq("lang"), col("tok"))
+        CountMin.estimate(ctr, probes.select("lang", "tok"),
+            Seq("lang"), "tok")
+          .join(probes, Seq("lang", "tok"))
+          .select(col("lang"), col("tok"), col("estimate"),
+            col("true_cnt"),
+            (col("estimate") >= col("true_cnt")).as("ge_ok"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("lang"),
+            col("tok")))
+      },
+      Some("""WITH tok AS (
+             |  SELECT lang, t AS tok FROM (
+             |    SELECT lang,
+             |      unnest(string_split_regex(lower(text), '\s+')) AS t
+             |    FROM documents WHERE doc_id < 400)
+             |  WHERE t <> ''
+             |), truth AS (
+             |  SELECT lang, tok, COUNT(*)::BIGINT AS true_cnt
+             |  FROM tok GROUP BY 1, 2
+             |), probes AS (
+             |  SELECT lang, tok, true_cnt FROM (
+             |    SELECT lang, tok, true_cnt, row_number() OVER (
+             |      PARTITION BY lang ORDER BY true_cnt DESC, tok) AS rn
+             |    FROM truth) WHERE rn <= 5
+             |), hashed AS (
+             |  SELECT lang, g.i AS row,
+             |    (strpos('0123456789abcdef',
+             |       substr(md5(g.i::VARCHAR || ':' || tok), 1, 1)) - 1)
+             |     * 16 + strpos('0123456789abcdef',
+             |       substr(md5(g.i::VARCHAR || ':' || tok), 2, 1)) - 1
+             |     AS bucket
+             |  FROM tok, generate_series(0, 3) AS g(i)
+             |), ctr AS (
+             |  SELECT lang, row, bucket, COUNT(*)::BIGINT AS cnt
+             |  FROM hashed GROUP BY 1, 2, 3
+             |), ph AS (
+             |  SELECT p.lang, p.tok, p.true_cnt, g.i AS row,
+             |    (strpos('0123456789abcdef',
+             |       substr(md5(g.i::VARCHAR || ':' || p.tok), 1, 1)) - 1)
+             |     * 16 + strpos('0123456789abcdef',
+             |       substr(md5(g.i::VARCHAR || ':' || p.tok), 2, 1)) - 1
+             |     AS bucket
+             |  FROM probes p, generate_series(0, 3) AS g(i)
+             |)
+             |SELECT p.lang, p.tok,
+             |  MIN(coalesce(c.cnt, 0))::BIGINT AS estimate,
+             |  p.true_cnt, TRUE AS ge_ok
+             |FROM ph p LEFT JOIN ctr c
+             |  ON c.lang = p.lang AND c.row = p.row
+             |  AND c.bucket = p.bucket
+             |GROUP BY p.lang, p.tok, p.true_cnt
+             |ORDER BY p.lang, p.tok""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

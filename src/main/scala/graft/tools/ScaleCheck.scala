@@ -51,7 +51,11 @@ object ScaleCheck {
     // its streaming twin over a doc_id-bounded slice (flat expected)
     "q190_hll_sketch", "q191_stream_hll",
     // q192: map-only pattern/shading rendering over bounded fixtures
-    "q192_pdf_patterns")
+    "q192_pdf_patterns",
+    // q193: CMS counters over a doc_id-bounded token stream — the
+    // explode grows rows 4x but the partial aggregate caps shuffle at
+    // d*w rows per partition (flat-ish expected at this bound)
+    "q193_countmin")
   // q159 is a bounded DML-lifecycle gate (l_orderkey < 1600 slice →
   // constant under key-offset replication; measures z-order write + footer
   // metadata reads, expected ~1); q160 is map-only codec work over a
