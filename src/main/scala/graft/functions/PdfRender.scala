@@ -906,12 +906,77 @@ object PdfRender {
 
   // ===================== functions & shading =====================
 
-  /** PDF function object (dict types 2/3, or an array of them acting
-    * component-wise) → evaluator over the 1-D input domain. Sampled (0)
-    * and PostScript (4) functions are not supported → None.
+  /** Type 0 (sampled) function, 1-D input: linear interpolation over
+    * the big-endian bit-packed sample grid, /Encode to sample space and
+    * /Decode to range per the spec. Multi-input sampled functions (2-D+
+    * /Size) are out of scope → None.
+    */
+  private def sampledFunction(doc: Doc, d: PDict,
+      data: Array[Byte]): Option[Double => Seq[Double]] = {
+    val sizeArr = dArr(doc, d, "Size").map(_.map(x => num(doc.resolve(x))))
+      .getOrElse(return None)
+    if (sizeArr.length != 1) return None
+    val n = sizeArr.head.toInt
+    val bps = dNum(doc, d, "BitsPerSample", 8).toInt
+    if (n < 2 || !Seq(1, 2, 4, 8, 16, 24, 32).contains(bps)) return None
+    val range = dArr(doc, d, "Range").map(_.map(x => num(doc.resolve(x))))
+      .getOrElse(return None)
+    val m = range.length / 2
+    if (m < 1 || data.length.toLong * 8 < n.toLong * m * bps) return None
+    val dom = dArr(doc, d, "Domain").map(_.map(x => num(doc.resolve(x))))
+      .filter(_.length == 2).getOrElse(Vector(0.0, 1.0))
+    val enc = dArr(doc, d, "Encode").map(_.map(x => num(doc.resolve(x))))
+      .filter(_.length == 2).getOrElse(Vector(0.0, (n - 1).toDouble))
+    val dec = dArr(doc, d, "Decode").map(_.map(x => num(doc.resolve(x))))
+      .filter(_.length == range.length).getOrElse(range)
+    val maxV = (1L << bps) - 1
+    def rawSample(i: Int, j: Int): Double = {
+      val bit = (i.toLong * m + j) * bps
+      var v = 0L
+      var k = 0L
+      while (k < bps) {
+        val b = bit + k
+        v = (v << 1) |
+          ((data((b >> 3).toInt) >> (7 - (b & 7))) & 1)
+        k += 1
+      }
+      v.toDouble / maxV
+    }
+    Some { t0 =>
+      val t = math.max(dom(0), math.min(dom(1), t0))
+      val span = math.max(dom(1) - dom(0), 1e-12)
+      val e0 = enc(0) + (t - dom(0)) / span * (enc(1) - enc(0))
+      val e = math.max(0.0, math.min((n - 1).toDouble, e0))
+      val i0 = math.min(n - 2, e.toInt)
+      val frac = e - i0
+      (0 until m).map { j =>
+        val s = rawSample(i0, j) * (1 - frac) + rawSample(i0 + 1, j) * frac
+        dec(2 * j) + s * (dec(2 * j + 1) - dec(2 * j))
+      }
+    }
+  }
+
+  /** PDF function object (dict types 0/2/3, or an array of them acting
+    * component-wise) → evaluator over the 1-D input domain. PostScript
+    * (4) functions are not supported → None.
     */
   private def pdfFunction(doc: Doc,
-      v: PVal): Option[Double => Seq[Double]] = doc.resolve(v) match {
+      v: PVal): Option[Double => Seq[Double]] = (v match {
+    case ref: PRef => doc.rawObj(ref) match {
+      case Some(o) if o.stream.isDefined => // sampled (stream) function
+        val d = parseValue(o.dict) match {
+          case x: PDict => x
+          case _ => PDict(Map.empty)
+        }
+        if (dNum(doc, d, "FunctionType", -1).toInt == 0)
+          return sampledFunction(doc, d,
+            try Pdf.decodedStream(o)
+            catch { case _: Exception => return None })
+        doc.resolve(ref)
+      case _ => doc.resolve(ref)
+    }
+    case other => other
+  }) match {
     case PArr(fs) =>
       val evals = fs.map(pdfFunction(doc, _))
       if (evals.nonEmpty && evals.forall(_.isDefined))
@@ -964,6 +1029,13 @@ object PdfRender {
   private def fnStops(doc: Doc, v: PVal): Seq[Double] = doc.resolve(v) match {
     case PArr(fs) => fs.flatMap(fnStops(doc, _))
     case d: PDict => dNum(doc, d, "FunctionType", -1).toInt match {
+      case 0 => // sampled: stops at the sample grid → exact piecewise-
+        // linear reproduction through the gradient paint
+        val n = dArr(doc, d, "Size")
+          .flatMap(_.headOption).map(x => num(doc.resolve(x)).toInt)
+          .getOrElse(0)
+        if (n >= 2 && n <= 256) (0 until n).map(_ / (n - 1).toDouble)
+        else (0 to 16).map(_ / 16.0)
       case 2 =>
         if (dNum(doc, d, "N", 1.0) == 1.0) Seq(0.0, 1.0)
         else (0 to 16).map(_ / 16.0)

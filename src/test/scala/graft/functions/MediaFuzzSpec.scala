@@ -239,14 +239,28 @@ class MediaFuzzSpec extends AnyFunSuite {
       "<< /Type /Font /Subtype /Type1 /BaseFont /Fx " +
         "/FirstChar 65 /LastChar 65 /Widths [1000] " +
         s"/FontDescriptor $cffDesc 0 R >>")
+    val pat = b.addStream(
+      "/PatternType 1 /PaintType 1 /TilingType 1 /BBox [0 0 10 10] " +
+        "/XStep 10 /YStep 10 /Resources << >>",
+      "0 g 0 0 4 4 re f"
+        .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val sfn = b.addStream(
+      "/FunctionType 0 /Domain [0 1] /Range [0 1 0 1 0 1] " +
+        "/Size [3] /BitsPerSample 8",
+      Array(0xff, 0, 0, 0xff, 0, 0, 0, 0, 0xff).map(_.toByte))
+    val shd = b.addObj(
+      "<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 80 0] " +
+        s"/Function $sfn 0 R /Extend [true true] >>")
     b.addPage(
       "0.2 0.4 0.6 rg 10 20 30 15 re f 0 g BT /T3 10 Tf 5 5 Td (AA) Tj ET " +
         "BT /FC 40 Tf 5 80 Td (A) Tj ET " +
         "q 20 0 0 10 60 60 cm /I Do Q /F Do " +
         "q 0 0 8 100 re W n 0 0 1 rg 0 45 30 10 re f Q " +
+        "/Pattern cs /PT scn 90 0 20 20 re f q 0 80 30 15 re W n /SH sh Q " +
         "BI /W 1 /H 1 /CS /G /BPC 8 ID   EI",
       (120, 100),
       s"/Font << /T3 $font 0 R /FC $cffFont 0 R >> " +
+        s"/Pattern << /PT $pat 0 R >> /Shading << /SH $shd 0 R >> " +
         s"/XObject << /I $img 0 R /F $form 0 R >>")
     val doc = b.build()
     def poke(f: => Any): Unit =

@@ -642,4 +642,24 @@ class PdfRenderSpec extends AnyFunSuite {
     assert(count(im, Red) == 400) // solid right half
     assert(count(im, Black) == 64) // 2x2 tiles on the left half
   }
+
+  test("sampled (Type 0) function shading: grid stops reproduce exactly") {
+    val im = render(pdf { b =>
+      // 3 samples: red, red, blue -> constant red on [0,0.5], then blend
+      val fn = b.addStream(
+        "/FunctionType 0 /Domain [0 1] /Range [0 1 0 1 0 1] " +
+          "/Size [3] /BitsPerSample 8",
+        Array(0xff, 0, 0, 0xff, 0, 0, 0, 0, 0xff).map(_.toByte))
+      val shd = b.addObj(
+        "<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 80 0] " +
+          s"/Function $fn 0 R /Extend [true true] >>")
+      b.addPage("/S1 sh", (80, 10), s"/Shading << /S1 $shd 0 R >>")
+    })
+    // plateau between the two identical samples is exactly red
+    assert(px(im, 10, 5) == Red && px(im, 30, 5) == Red)
+    val right = im.getRGB(79, 5)
+    assert((right & 0xff) > 240 && ((right >> 16) & 0xff) < 15)
+    val mid = im.getRGB(60, 5) // midpoint of the second segment
+    assert(math.abs(((mid >> 16) & 0xff) - (mid & 0xff)) <= 8)
+  }
 }
