@@ -251,6 +251,9 @@ object Pdf {
     * `add*` methods so resource dicts can reference earlier objects.
     */
   final class PdfBuilder {
+    // NUL-delimited so a caller-supplied dict body can never collide
+    // with the deferred Pages object reference patched in build().
+    private val PagesPlaceholder = "\u0000PAGES\u0000"
     private val objs =
       mutable.ArrayBuffer.empty[(String, Option[Array[Byte]])]
     private val pages = mutable.ArrayBuffer.empty[Int] // page object ids
@@ -290,7 +293,7 @@ object Pdf {
         s"<< /Type /Page /MediaBox [${fmt(box._1)} ${fmt(box._2)} " +
           s"${fmt(box._3)} ${fmt(box._4)}] " +
           s"/Resources << $resources >> /Contents $cId 0 R" +
-          s"$extraEntries /Parent PAGES 0 R >>")
+          s"$extraEntries /Parent $PagesPlaceholder 0 R >>")
       pages += pid
       pid
     }
@@ -299,7 +302,7 @@ object Pdf {
       val pagesId = objs.length + 1
       val catId = pagesId + 1
       val bodies = objs.map { case (d, _) =>
-        d.replace("PAGES 0 R", s"$pagesId 0 R")
+        d.replace(s"$PagesPlaceholder 0 R", s"$pagesId 0 R")
       } :+
         s"<< /Type /Pages /Kids [${pages.map(i => s"$i 0 R").mkString(" ")}] /Count ${pages.length} >>" :+
         s"<< /Type /Catalog /Pages $pagesId 0 R >>"

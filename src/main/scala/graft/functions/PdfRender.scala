@@ -833,14 +833,15 @@ object PdfRender {
         val mh = dNum(doc, md, "Height", 0).toInt
         if (mw > 0 && mh > 0 && mw.toLong * mh <= MaxImagePixels) {
           val mdata = Pdf.decodedStream(o)
-          val mBits = ((mw * 8 + 7) / 8) * 8
+          val mBpc = math.max(1, dNum(doc, md, "BitsPerComponent", 8).toInt)
+          val mBits = ((mw * mBpc + 7) / 8) * 8
           var yy = 0
           while (yy < h) {
             var xx = 0
             val sy = math.min(mh - 1, yy * mh / h)
             while (xx < w) {
               val sx = math.min(mw - 1, xx * mw / w)
-              val a = sampleAt(mdata, mBits, sx, sy, 8, 0, 1)
+              val a = sampleAt(mdata, mBits, sx, sy, mBpc, 0, 1)
               out.setRGB(xx, yy, (out.getRGB(xx, yy) & 0xffffff) | (a << 24))
               xx += 1
             }
@@ -1099,10 +1100,16 @@ object PdfRender {
         // approximate the two-circle blend with AWT's focus model
         val focus = devPt(coords(0), coords(1))
         val center = devPt(coords(3), coords(4))
-        val r = coords(5) * math.abs(base.getScaleX)
+        // isotropic scale factor sqrt(|det|) survives rotation and is
+        // the geometric mean under anisotropy (matching strokeFor)
+        val r = coords(5) * math.sqrt(math.abs(base.getDeterminant))
         if (r <= 0) None
         else {
           if (coords(2) != 0.0) notes += "radial-r0-approximated"
+          if (math.abs(math.abs(base.getScaleX) -
+              math.abs(base.getScaleY)) > 1e-9 * math.abs(base.getScaleX) ||
+              base.getShearX != 0.0 || base.getShearY != 0.0)
+            notes += "radial-anisotropic-approximated"
           Some(new java.awt.RadialGradientPaint(center, r.toFloat, focus,
             fracs, colors,
             java.awt.MultipleGradientPaint.CycleMethod.NO_CYCLE))
@@ -1808,7 +1815,11 @@ object PdfRender {
               case Some(PName(shn)) =>
                 resDict("Shading", shn).map(doc.resolve) match {
                   case Some(sd: PDict) =>
-                    shadingPaint(doc, sd, st.baseCtm, notes) match {
+                    // ISO 32000-1 §8.7.4.2: `sh` coordinates are in the
+                    // CURRENT user space (CTM at invocation), unlike
+                    // pattern dictionaries which anchor to default space.
+                    shadingPaint(doc, sd, new AffineTransform(st.ctm),
+                        notes) match {
                       case Some(paint) =>
                         applyClip(g, st)
                         g.setComposite(alphaComposite(st.fillAlpha))

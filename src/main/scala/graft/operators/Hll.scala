@@ -63,7 +63,11 @@ object Hll {
   def registers(df: DataFrame, keys: Seq[String],
       value: Column): DataFrame = {
     val (bucket, rho) = hashCols(value)
-    df.select(keys.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+    // HLL semantics ignore nulls; without the filter a null value
+    // yields a null-bucket register whose m is skipped by sum() but
+    // counted by n_hit, skewing V = M − n_hit by one.
+    df.where(value.isNotNull)
+      .select(keys.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
       .groupBy((keys :+ "bucket").map(col): _*)
       .agg(max("rho").as("m"))
   }

@@ -4029,6 +4029,9 @@ object Extras {
              |)
              |SELECT r.lang, COUNT(*)::BIGINT AS n_hit,
              |  SUM(m)::BIGINT AS sum_rho, MAX(m)::BIGINT AS max_rho,
+             |  -- not a tautology: the Spark side COMPUTES est_ok as
+             |  -- a relative-error bound check; hash-match forces it
+             |  -- to equal this literal TRUE
              |  ex.exact_distinct, TRUE AS est_ok
              |FROM regs r JOIN ex ON r.lang = ex.lang
              |GROUP BY r.lang, ex.exact_distinct
@@ -4117,6 +4120,9 @@ object Extras {
              |)
              |SELECT r.lang, COUNT(*)::BIGINT AS n_hit,
              |  SUM(m)::BIGINT AS sum_rho, MAX(m)::BIGINT AS max_rho,
+             |  -- not a tautology: the Spark side COMPUTES est_ok as
+             |  -- a relative-error bound check; hash-match forces it
+             |  -- to equal this literal TRUE
              |  ex.exact_distinct, TRUE AS est_ok
              |FROM regs r JOIN ex ON r.lang = ex.lang
              |GROUP BY r.lang, ex.exact_distinct

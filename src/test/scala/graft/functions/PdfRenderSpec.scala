@@ -594,6 +594,26 @@ class PdfRenderSpec extends AnyFunSuite {
     assert(math.abs(((mid >> 16) & 0xff) - (mid & 0xff)) <= 8)
   }
 
+  test("sh honors the current CTM (cm before sh repositions the axis)") {
+    // ISO 32000-1 §8.7.4.2: sh coordinates live in CURRENT user space.
+    // Translate user space by +40 before sh: the red→blue axis
+    // [0 0 20 0] must land at device x=40..60, not 0..20.
+    val im = render(pdf { b =>
+      val shd = b.addObj(
+        "<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 20 0] " +
+          "/Function << /FunctionType 2 /C0 [1 0 0] /C1 [0 0 1] /N 1 >> " +
+          "/Extend [true true] >>")
+      b.addPage("q 1 0 0 1 40 0 cm /S1 sh Q", (80, 10),
+        s"/Shading << /S1 $shd 0 R >>")
+    })
+    val left = im.getRGB(10, 5)   // well before the translated axis
+    val right = im.getRGB(75, 5)  // well past it
+    val mid = im.getRGB(50, 5)    // translated midpoint
+    assert(((left >> 16) & 0xff) > 240 && (left & 0xff) < 15, "left red")
+    assert(((right >> 16) & 0xff) < 15 && (right & 0xff) > 240, "right blue")
+    assert(math.abs(((mid >> 16) & 0xff) - (mid & 0xff)) <= 8, "mid blend")
+  }
+
   test("shading PATTERN (scn) with a stitching step function") {
     val im = render(pdf { b =>
       val pat = b.addObj(

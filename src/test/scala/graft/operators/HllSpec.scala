@@ -85,4 +85,19 @@ class HllSpec extends AnyFunSuite {
       col("v"))
     assert(dups.except(dedup).isEmpty && dedup.except(dups).isEmpty)
   }
+
+  test("null values are ignored (no null-bucket register, V unchanged)") {
+    val clean = (0 until 50).map(i => ("g", s"n$i")).toDF("k", "v")
+    val withNulls = clean.union(
+      Seq(("g", null), ("g", null)).toDF("k", "v"))
+    val ra = Hll.registers(clean, Seq("k"), col("v"))
+    val rb = Hll.registers(withNulls, Seq("k"), col("v"))
+    assert(rb.where(col("bucket").isNull).isEmpty)
+    assert(ra.except(rb).isEmpty && rb.except(ra).isEmpty)
+    val ea = Hll.distinctSketch(clean, Seq("k"), col("v"))
+      .select("estimate").as[Double].head()
+    val eb = Hll.distinctSketch(withNulls, Seq("k"), col("v"))
+      .select("estimate").as[Double].head()
+    assert(ea == eb && !eb.isNaN)
+  }
 }
