@@ -40,6 +40,18 @@ object Audio {
       return (new AudioFormat(fs.sampleRate.toFloat, 16, fs.channels, true,
         false), s16)
     }
+    if (Ogg.isOgg(bytes) && Ogg.readMeta(bytes).codec == "vorbis") {
+      val d = Vorbis.decodeOgg(bytes)
+      return (new AudioFormat(d.info.sampleRate.toFloat, 16,
+        d.info.channels, true, false), Vorbis.toPcm16(d.pcm))
+    }
+    if (Mkv.isMkv(bytes)) {
+      Mkv.vorbisPackets(bytes).foreach { pkts =>
+        val d = Vorbis.decode(pkts)
+        return (new AudioFormat(d.info.sampleRate.toFloat, 16,
+          d.info.channels, true, false), Vorbis.toPcm16(d.pcm))
+      }
+    }
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
     val fmt = in.getFormat
     require(fmt.getSampleSizeInBits == 16, s"expect 16-bit PCM, got $fmt")

@@ -187,7 +187,8 @@ object Mkv {
       width: Int, height: Int, channels: Int, sampleRate: Double,
       bitDepth: Int, defaultDurationNs: Long,
       blockOffsets: Array[Int], blockSizes: Array[Int],
-      blockTsNs: Array[Long], blockDurNs: Array[Long]) {
+      blockTsNs: Array[Long], blockDurNs: Array[Long],
+      codecPrivateFrom: Int = -1, codecPrivateUntil: Int = -1) {
     def nBlocks: Int = blockSizes.length
     def kind: String = trackType match {
       case 1 => "video"
@@ -284,16 +285,19 @@ object Mkv {
     // ---- track entries (identity only; blocks attached below)
     final case class Entry(number: Long, trackType: Int, codecId: String,
         name: String, language: String, width: Int, height: Int,
-        channels: Int, sampleRate: Double, bitDepth: Int, defDurNs: Long)
+        channels: Int, sampleRate: Double, bitDepth: Int, defDurNs: Long,
+        cpFrom: Int, cpUntil: Int)
     val entries = seg.collect { case (IdTracks, f, u) =>
       elements(bytes, f, u).collect { case (IdTrackEntry, tf, tu) =>
         var num = 0L; var typ = 0; var codecId = ""; var name = ""
         var lang = "eng"; var w = 0; var h = 0; var ch = 0
         var rate = 0.0; var bits = 0; var defDur = 0L
+        var cpF = -1; var cpU = -1
         elements(bytes, tf, tu).foreach {
           case (IdTrackNumber, ef, eu) => num = uint(bytes, ef, eu)
           case (IdTrackType, ef, eu) => typ = uint(bytes, ef, eu).toInt
           case (IdCodecId, ef, eu) => codecId = str(bytes, ef, eu)
+          case (IdCodecPrivate, ef, eu) => cpF = ef; cpU = eu
           case (IdName, ef, eu) => name = str(bytes, ef, eu)
           case (IdLanguage, ef, eu) => lang = str(bytes, ef, eu)
           case (IdDefaultDuration, ef, eu) => defDur = uint(bytes, ef, eu)
@@ -312,7 +316,8 @@ object Mkv {
             }
           case _ => ()
         }
-        Entry(num, typ, codecId, name, lang, w, h, ch, rate, bits, defDur)
+        Entry(num, typ, codecId, name, lang, w, h, ch, rate, bits, defDur,
+          cpF, cpU)
       }
     }.flatten
 
@@ -430,7 +435,8 @@ object Mkv {
         offs.get(e.number).map(_.toArray).getOrElse(Array.empty),
         sizes.get(e.number).map(_.toArray).getOrElse(Array.empty),
         tss.get(e.number).map(_.toArray).getOrElse(Array.empty),
-        durs.get(e.number).map(_.toArray).getOrElse(Array.empty))
+        durs.get(e.number).map(_.toArray).getOrElse(Array.empty),
+        e.cpFrom, e.cpUntil)
     }
 
     // ---- cues (CueTime in ts-scale units; position relative to segment)
@@ -557,6 +563,100 @@ object Mkv {
   def extractAudioStream(bytes: Array[Byte]): Option[(String, Array[Byte])] =
     parse(bytes).tracks.find(t => t.trackType == 2 && t.codec != "pcm")
       .map(t => (t.codec, blocksOf(bytes, t).toArray.flatten))
+
+  /** Vorbis stream carried per the Matroska codec mapping: CodecPrivate
+    * holds the three header packets under Xiph lacing (count byte = 2,
+    * then the first two packet lengths as 255-sums), and each
+    * SimpleBlock payload is one audio packet. Returns headers ++ audio
+    * packets in decode order — the exact input `Vorbis.decode` takes.
+    */
+  def vorbisPackets(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    val t = parse(bytes).tracks
+      .find(t => t.trackType == 2 && t.codec == "vorbis")
+      .getOrElse(return None)
+    if (t.codecPrivateFrom < 0) return None
+    var p = t.codecPrivateFrom
+    val nMinus1 = bytes(p) & 0xff; p += 1
+    val lens = (0 until nMinus1).map { _ =>
+      var len = 0
+      while (p < t.codecPrivateUntil && (bytes(p) & 0xff) == 255) {
+        len += 255; p += 1
+      }
+      if (p < t.codecPrivateUntil) { len += bytes(p) & 0xff; p += 1 }
+      len
+    }
+    val headers = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    lens.foreach { len =>
+      if (p + len <= t.codecPrivateUntil) {
+        headers += java.util.Arrays.copyOfRange(bytes, p, p + len)
+        p += len
+      }
+    }
+    headers += java.util.Arrays.copyOfRange(bytes, p, t.codecPrivateUntil)
+    Some(headers.toSeq ++ blocksOf(bytes, t))
+  }
+
+  /** Mux a Vorbis stream (3 header packets + audio packets of
+    * `samplesPerPacket` each) as a Matroska/WebM audio track —
+    * CodecPrivate Xiph lacing per the Matroska codec mapping.
+    */
+  def writeVorbis(headers: Seq[Array[Byte]], audioPackets: Seq[Array[Byte]],
+      rate: Int, channels: Int, samplesPerPacket: Int,
+      docType: String = "webm",
+      tags: Seq[(String, String)] = Seq.empty): Array[Byte] = {
+    require(headers.length == 3, "vorbis CodecPrivate needs 3 header packets")
+    val lace = (len: Int) =>
+      Array.fill(len / 255)(255.toByte) :+ (len % 255).toByte
+    val codecPrivate = Array[Byte](2) ++ lace(headers(0).length) ++
+      lace(headers(1).length) ++ headers(0) ++ headers(1) ++ headers(2)
+    // first audio packet primes the MDCT overlap and emits nothing
+    val outSamples = (i: Int) => math.max(0L, (i.toLong - 1) * samplesPerPacket)
+    val blocks = audioPackets.zipWithIndex.map { case (pkt, i) =>
+      MuxBlock(1, outSamples(i) * 1000 / rate,
+        samplesPerPacket.toLong * 1000 / rate, pkt, group = false)
+    }
+    val durMs = outSamples(audioPackets.length) * 1000 / rate
+    val info = el(IdInfo,
+      el(IdTimestampScale, uintBytes(1000000L)),
+      el(IdMuxingApp, strBytes("graft")),
+      el(IdWritingApp, strBytes("graft")),
+      el(IdDuration, floatBytes(durMs.toDouble)))
+    val tracksEl = el(IdTracks, el(IdTrackEntry,
+      el(IdTrackNumber, uintBytes(1L)),
+      el(IdTrackUid, uintBytes(1L)),
+      el(IdTrackType, uintBytes(2L)),
+      el(IdFlagLacing, uintBytes(0L)),
+      el(IdCodecId, strBytes("A_VORBIS")),
+      el(IdCodecPrivate, codecPrivate),
+      el(IdAudio,
+        el(IdSamplingFrequency, floatBytes(rate.toDouble)),
+        el(IdChannels, uintBytes(channels.toLong)),
+        el(IdBitDepth, uintBytes(16L)))))
+    val tagsEl =
+      if (tags.isEmpty) Array.empty[Byte]
+      else el(IdTags, el(IdTag,
+        tags.map { case (name, v) =>
+          el(IdSimpleTag,
+            el(IdTagName, strBytes(TagByFriendly.getOrElse(name, name))),
+            el(IdTagString, strBytes(v)))
+        }: _*))
+    val clusters = blocks.groupBy(_.tsMs / 10000).toSeq.sortBy(_._1).map {
+      case (ci, bs) =>
+        val base = ci * 10000
+        val els = bs.map { b =>
+          val rel = (b.tsMs - base).toInt
+          el(IdSimpleBlock, vint(1L) ++
+            Array[Byte]((rel >> 8).toByte, rel.toByte, 0x80.toByte) ++ b.data)
+        }
+        el(IdCluster, el(IdTimestamp, uintBytes(base)) +: els: _*)
+    }
+    val ebml = el(IdEbml,
+      el(0x4286L, uintBytes(1L)), el(0x42F7L, uintBytes(1L)),
+      el(0x42F2L, uintBytes(4L)), el(0x42F3L, uintBytes(8L)),
+      el(IdDocType, strBytes(docType)),
+      el(0x4287L, uintBytes(4L)), el(0x4285L, uintBytes(2L)))
+    ebml ++ el(IdSegment, (info ++ tracksEl ++ tagsEl) +: clusters: _*)
+  }
 
   /** Cues of the first subtitle track (S_TEXT/UTF8 — block payload is
     * the cue text, BlockDuration the span) as (start_s, end_s, text).

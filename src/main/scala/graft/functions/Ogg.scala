@@ -139,6 +139,47 @@ object Ogg {
     (codec, out.toByteArray)
   }
 
+  /** Logical packets of the identified (BOS-serial) stream, split by the
+    * segment-table lacing walk (RFC 3533 §5: a packet is a run of
+    * segments ending with one < 255 bytes, continuing across pages when
+    * a page ends on a 255 segment). This is the loss-free hand-off the
+    * Vorbis decoder needs — `extractPackets` concatenates payloads and
+    * drops boundaries. Corrupt headers end the walk (partial results).
+    */
+  def packetsOf(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var cur = new ByteArrayOutputStream()
+    var serial = -1L
+    var pos = 0
+    while (pos + 27 <= bytes.length &&
+      bytes(pos) == 'O' && bytes(pos + 1) == 'g' &&
+      bytes(pos + 2) == 'g' && bytes(pos + 3) == 'S' && bytes(pos + 4) == 0) {
+      val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val pSerial = b.getInt(pos + 14).toLong & 0xffffffffL
+      val nSegs = bytes(pos + 26) & 0xff
+      if (pos + 27 + nSegs > bytes.length) return out.toSeq
+      if (serial < 0 && (bytes(pos + 5) & 0x02) != 0) serial = pSerial
+      var segAt = pos + 27 + nSegs
+      var i = 0
+      var ok = true
+      while (i < nSegs && ok) {
+        val segLen = bytes(pos + 27 + i) & 0xff
+        if (segAt + segLen > bytes.length) ok = false
+        else {
+          if (serial < 0 || pSerial == serial) {
+            cur.write(bytes, segAt, segLen)
+            if (segLen < 255) { out += cur.toByteArray; cur = new ByteArrayOutputStream() }
+          }
+          segAt += segLen
+          i += 1
+        }
+      }
+      if (!ok) return out.toSeq
+      pos = segAt
+    }
+    out.toSeq
+  }
+
   // --------------------------------------------------------------- writer
 
   /** Ogg page CRC-32: poly 0x04C11DB7, init 0, no reflection, no final
@@ -171,11 +212,22 @@ object Ogg {
   }
 
   private def page(headerType: Int, granule: Long, serial: Int, seq: Int,
-      payload: Array[Byte]): Array[Byte] = {
-    require(payload.length <= 255 * 255, "page payload too large")
-    val nSegs = payload.length / 255 + 1
-    val segTable = Array.tabulate(nSegs)(i =>
-      if (i < nSegs - 1) 255.toByte else (payload.length % 255).toByte)
+      payload: Array[Byte]): Array[Byte] =
+    pageOfPackets(headerType, granule, serial, seq, Seq(payload))
+
+  /** One page carrying whole `packets` (each laced per RFC 3533 §5:
+    * 255-segments then a final < 255 one). Multi-packet pages are how
+    * Vorbis ships its comment + setup headers on one page.
+    */
+  private[functions] def pageOfPackets(headerType: Int, granule: Long,
+      serial: Int, seq: Int, packets: Seq[Array[Byte]]): Array[Byte] = {
+    val segTable = packets.flatMap { p =>
+      val full = Array.fill(p.length / 255)(255.toByte)
+      full :+ (p.length % 255).toByte
+    }.toArray
+    require(segTable.length <= 255, "page payload too large")
+    val nSegs = segTable.length
+    val payload = packets.toArray.flatten
     val head = ByteBuffer.allocate(27 + nSegs).order(ByteOrder.LITTLE_ENDIAN)
     head.put("OggS".getBytes("US-ASCII")).put(0.toByte)
       .put(headerType.toByte).putLong(granule).putInt(serial).putInt(seq)
