@@ -4290,6 +4290,161 @@ object Extras {
              |GROUP BY p.lang, p.tok, p.true_cnt
              |ORDER BY p.lang, p.tok""".stripMargin),
     ),
+    QueryDef(
+      "q194_vorbis_decode",
+      (s, dir) => {
+        // Vorbis I PCM decode in the oracle gate (reference decodes via
+        // pyav — `functions/audio.py`, `functions/video/iterators.py:
+        // 41-123`): per doc, closed-form coded residue vectors go
+        // through the REAL encoder twin (in-stream codebooks, floor1,
+        // type-2 residue, square-polar coupling on stereo docs) into an
+        // Ogg stream (even docs) or a WebM/Matroska track with
+        // Xiph-laced CodecPrivate (odd docs), then through the full
+        // decoder. The oracle recomputes the post-coupling residue
+        // integer sums in SQL — inverse coupling modeled as CASE
+        // arithmetic, never assumed — and the PCM gates as a dual-path
+        // exact-equality boolean (bitstream decode vs direct synthesis
+        // of the same closed-form spectra). audio_splitter runs on an
+        // encodePcm tone∥silence∥tone fixture whose interior silence
+        // frames quantize to exact zeros, making the segment count a
+        // closed form. Scale shape: map-only per document.
+        import graft.functions.{Audio, Mkv, Ogg, Vorbis}
+        def codedVec(doc: Long, ch: Int, p: Int): Array[Int] =
+          Array.tabulate(ch * 128) { i =>
+            if ((i / 8 + p) % 3 == 0) 0
+            else ((doc * 5 + p * 3 + i) % 9).toInt - 4
+          }
+        val mk = udf { (doc: Long) =>
+          val ch = (doc % 2 + 1).toInt
+          val np = (doc % 4 + 3).toInt
+          val rate = (8000 * (doc % 3 + 1)).toInt
+          val pkts = Vorbis.encodePackets(ch, rate,
+            (0 until np).map(p => codedVec(doc, ch, p)))
+          if (doc % 2 == 0) Vorbis.muxOgg(pkts)
+          else Mkv.writeVorbis(pkts.take(3), pkts.drop(3), rate, ch, 128)
+        }
+        val dec = udf { (bytes: Array[Byte], doc: Long) =>
+          val d =
+            if (Ogg.isOgg(bytes)) Vorbis.decodeOgg(bytes)
+            else Vorbis.decode(Mkv.vorbisPackets(bytes).get)
+          val ch = d.info.channels
+          // dual path: direct synthesis from the closed-form spectra
+          // (floor is exactly 1.0) must equal the bitstream decode
+          // bit-for-bit — same float ops, so exact equality is the gate
+          val w = Vorbis.window(256)
+          val exp = Array.fill(ch)(
+            scala.collection.mutable.ArrayBuffer.empty[Float])
+          var prev: Array[Array[Float]] = null
+          (0 until d.nAudioPackets).foreach { p =>
+            val coded = codedVec(doc, ch, p)
+            val chans = Array.fill(ch)(new Array[Float](128))
+            var i = 0
+            while (i < ch * 128) {
+              chans(i % ch)(i / ch) = coded(i).toFloat
+              i += 1
+            }
+            if (ch == 2) {
+              var b = 0
+              while (b < 128) {
+                val m = chans(0)(b); val a = chans(1)(b)
+                if (m > 0) {
+                  if (a > 0) chans(1)(b) = m - a
+                  else { chans(1)(b) = m; chans(0)(b) = m + a }
+                } else {
+                  if (a > 0) chans(1)(b) = m + a
+                  else { chans(1)(b) = m; chans(0)(b) = m - a }
+                }
+                b += 1
+              }
+            }
+            val rights = chans.map { cv =>
+              val y = Vorbis.imdct(cv, 256)
+              var j = 0
+              while (j < 256) { y(j) *= w(j); j += 1 }
+              y
+            }
+            if (prev != null)
+              (0 until ch).foreach(j =>
+                (0 until 128).foreach(k => exp(j) += prev(j)(128 + k) +
+                  rights(j)(k)))
+            prev = rights
+          }
+          val pcmOk = (0 until ch).forall(j =>
+            exp(j).toArray.sameElements(d.pcm(j)))
+          (d.info.channels, d.info.sampleRate, d.pcm(0).length,
+            Audio.decodePcm(bytes)._2.length, d.residueSums(0),
+            if (ch == 2) d.residueSums(1) else 0L, pcmOk)
+        }
+        val mkTone = udf { (doc: Long) =>
+          val bin = (doc % 20 + 5).toInt
+          val freq = (bin + 0.5) * 8000 / 256.0
+          def tone(n: Int) = Array.tabulate(n)(i =>
+            (0.45 * math.sin(2 * math.Pi * freq * i / 8000)).toFloat)
+          val src = tone(1024) ++ Array.fill(1600)(0f) ++ tone(1024)
+          val pkts = Vorbis.encodePcm(src, 8000)
+          if (doc % 2 == 0) Vorbis.muxOgg(pkts)
+          else Mkv.writeVorbis(pkts.take(3), pkts.drop(3), 8000, 1, 128)
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("r", dec(mk(col("doc_id")), col("doc_id")))
+          .withColumn("n_split",
+            size(Audio.audioSplitter(mkTone(col("doc_id")), lit(0.05),
+              lit(0.1))).cast("int"))
+          .select(col("doc_id"), lit("vorbis").as("codec"),
+            col("r._1").as("ch"), col("r._2").as("rate"),
+            col("r._3").cast("long").as("n_samples"),
+            col("r._4").cast("long").as("pcm16_len"),
+            col("r._5").as("res_sum_l"), col("r._6").as("res_sum_r"),
+            col("r._7").as("pcm_ok"), col("n_split"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, (doc_id % 2 + 1)::INT AS ch,
+             |    (doc_id % 4 + 3)::INT AS np,
+             |    (8000 * (doc_id % 3 + 1))::INT AS rate
+             |  FROM documents WHERE doc_id < 40
+             |), v AS (
+             |  SELECT d.doc_id, d.ch, p.p, i.i,
+             |    CASE WHEN ((i.i // 8) + p.p) % 3 = 0 THEN 0
+             |         ELSE ((d.doc_id * 5 + p.p * 3 + i.i) % 9) - 4
+             |    END AS val
+             |  FROM d
+             |  JOIN generate_series(0, 5) AS p(p) ON p.p < d.np
+             |  JOIN generate_series(0, 255) AS i(i) ON i.i < d.ch * 128
+             |), mono AS (
+             |  SELECT doc_id, SUM(val)::BIGINT AS sl, 0::BIGINT AS sr
+             |  FROM v WHERE ch = 1 GROUP BY doc_id
+             |), pairs AS (
+             |  SELECT doc_id, p, i // 2 AS b,
+             |    SUM(CASE WHEN i % 2 = 0 THEN val ELSE 0 END) AS m,
+             |    SUM(CASE WHEN i % 2 = 1 THEN val ELSE 0 END) AS a
+             |  FROM v WHERE ch = 2 GROUP BY doc_id, p, i // 2
+             |), coup AS (
+             |  -- spec §4.3.5 inverse square-polar coupling, modeled
+             |  SELECT doc_id,
+             |    SUM(CASE WHEN m > 0
+             |          THEN CASE WHEN a > 0 THEN m ELSE m + a END
+             |          ELSE CASE WHEN a > 0 THEN m ELSE m - a END
+             |        END)::BIGINT AS sl,
+             |    SUM(CASE WHEN m > 0
+             |          THEN CASE WHEN a > 0 THEN m - a ELSE m END
+             |          ELSE CASE WHEN a > 0 THEN m + a ELSE m END
+             |        END)::BIGINT AS sr
+             |  FROM pairs GROUP BY doc_id
+             |), sums AS (
+             |  SELECT * FROM mono UNION ALL SELECT * FROM coup
+             |)
+             |SELECT d.doc_id, 'vorbis' AS codec, d.ch, d.rate,
+             |  ((d.np - 1) * 128)::BIGINT AS n_samples,
+             |  (d.ch * (d.np - 1) * 128)::BIGINT AS pcm16_len,
+             |  s.sl AS res_sum_l, s.sr AS res_sum_r,
+             |  -- computed Spark-side as exact dual-path PCM equality;
+             |  -- hash-match forces it to equal this literal TRUE
+             |  TRUE AS pcm_ok, 2::INT AS n_split
+             |FROM d JOIN sums s USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

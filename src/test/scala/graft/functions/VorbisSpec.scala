@@ -245,6 +245,23 @@ class VorbisSpec extends AnyFunSuite {
     }
   }
 
+  test("whisper transcription consumes compressed vorbis audio") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val modelDir = graft.ml.LocalModels.ensureTinyWhisperModel(seed = 42L)
+    val src = Array.tabulate(2048)(i =>
+      (0.4 * math.sin(2 * math.Pi * 440 * i / 16000)).toFloat)
+    val ogg = Vorbis.muxOgg(Vorbis.encodePcm(src, 16000))
+    val webm = {
+      val pkts = Vorbis.encodePcm(src, 16000)
+      Mkv.writeVorbis(pkts.take(3), pkts.drop(3), 16000, 1, 128)
+    }
+    val df = Seq((1L, ogg), (2L, webm)).toDF("id", "audio")
+    val out = graft.ml.LocalModels.speechToText(df, "audio", "t", modelDir,
+      maxNewTokens = 3).select("t").collect()
+    assert(out.length == 2 && out.forall(_.getString(0) != null))
+  }
+
   test("decodePcm integration: ogg/vorbis and webm/vorbis to PCM-16") {
     val src = Array.tabulate(1024)(i =>
       (0.4 * math.sin(2 * math.Pi * 328.125 * i / 8000)).toFloat)
