@@ -1,0 +1,509 @@
+package graft.functions
+
+/** JBIG2 (ITU-T T.88) generic-region decode — the other half of the
+  * scanned-PDF corpus (CCITT G3/G4 is `CcittFax`; real-world scanned
+  * PDFs split between the two; the reference renders them via pdfium,
+  * `/root/reference/pixeltable/functions/document.py:488`).
+  *
+  * Scope: the arithmetic (MQ) entropy coder of Annex E with the 47-row
+  * Qe state table (dual-transcribed and structurally pinned in
+  * TableConformanceSpec), generic region decoding (§6.2) for all four
+  * GBTEMPLATEs with arbitrary adaptive (AT) pixels and TPGDON typical
+  * prediction, and the embedded-stream segment layer (§7.2) a PDF
+  * `JBIG2Decode` filter carries (page info + immediate generic region
+  * segments). Symbol/text/halftone/refinement regions and MMR remain
+  * named skips (they require the symbol-dictionary machinery; the
+  * `unsupported` channel reports them).
+  *
+  * Context labels: T.88 assigns each template pixel a fixed bit slot;
+  * the decoder forms CONTEXT MSB-first over rows top-to-bottom, left to
+  * right (row −2, then −1, then 0) with AT pixels in their nominal
+  * slots. TPGDON's pseudo-pixel uses the spec's per-template constants
+  * (0x9B25/0x0795/0x00E5/0x0195), which live in THIS labeling — the
+  * labeling is load-bearing, not a free choice.
+  *
+  * The encoder twin emits spec-conformant embedded streams via the
+  * Annex E encoder procedures (CODEMPS/CODELPS/BYTEOUT/FLUSH) so gates
+  * decode closed-form bitmaps bit-exactly (the q189 CCITT pattern).
+  */
+object Jbig2 {
+
+  /** Annex E Table E.1 — the MQ-coder probability state machine:
+    * (Qe, NMPS, NLPS, SWITCH) per state index. Transcribed twice
+    * (here and packed in TableConformanceSpec) with structural
+    * invariants pinned there.
+    */
+  val QeTable: Array[(Int, Int, Int, Int)] = Array(
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0))
+
+  private val Qe = QeTable.map(_._1)
+  private val Nmps = QeTable.map(_._2)
+  private val Nlps = QeTable.map(_._3)
+  private val Switch = QeTable.map(_._4)
+
+  /** Adaptive context bank: per context value, (state index, MPS). */
+  final class Contexts(size: Int) {
+    val i = new Array[Byte](size)
+    val mps = new Array[Byte](size)
+  }
+
+  /** MQ arithmetic decoder (Annex E.3.2-E.3.4). Bytes past the end of
+    * the data feed 0xFF (the marker rule then supplies 1-bits forever),
+    * so truncated streams fail soft, never out-of-bounds.
+    */
+  final class ArithDecoder(data: Array[Byte], from: Int, until: Int) {
+    def this(data: Array[Byte]) = this(data, 0, data.length)
+    private def byteAt(i: Int): Int =
+      if (i >= from && i < until) data(i) & 0xff else 0xff
+    private var bp = from
+    private var c: Long = byteAt(from).toLong << 16
+    private var ct = 0
+    byteIn()
+    c = (c << 7) & 0xffffffffL
+    ct -= 7
+    private var a = 0x8000L
+
+    private def byteIn(): Unit = {
+      if (byteAt(bp) == 0xff) {
+        if (byteAt(bp + 1) > 0x8f) { c += 0xff00; ct = 8 }
+        else { bp += 1; c += byteAt(bp).toLong << 9; ct = 7 }
+      } else { bp += 1; c += byteAt(bp).toLong << 8; ct = 8 }
+    }
+
+    def decode(cx: Contexts, label: Int): Int = {
+      val st = cx.i(label) & 0xff
+      val qe = Qe(st)
+      a -= qe
+      var d = 0
+      if (((c >>> 16) & 0xffff) < qe) {
+        // LPS exchange (E.3.4)
+        if (a < qe) { d = cx.mps(label); cx.i(label) = Nmps(st).toByte }
+        else {
+          d = 1 - cx.mps(label)
+          if (Switch(st) == 1) cx.mps(label) = (1 - cx.mps(label)).toByte
+          cx.i(label) = Nlps(st).toByte
+        }
+        a = qe
+        renorm()
+      } else {
+        c -= qe.toLong << 16
+        if ((a & 0x8000L) == 0) {
+          // MPS exchange (E.3.3)
+          if (a < qe) {
+            d = 1 - cx.mps(label)
+            if (Switch(st) == 1) cx.mps(label) = (1 - cx.mps(label)).toByte
+            cx.i(label) = Nlps(st).toByte
+          } else { d = cx.mps(label); cx.i(label) = Nmps(st).toByte }
+          renorm()
+        } else d = cx.mps(label)
+      }
+      d
+    }
+
+    private def renorm(): Unit = {
+      while ({
+        if (ct == 0) byteIn()
+        a = (a << 1) & 0xffffL
+        c = (c << 1) & 0xffffffffL
+        ct -= 1
+        (a & 0x8000L) == 0
+      }) ()
+    }
+  }
+
+  /** MQ arithmetic encoder (Annex E.3.5-E.3.8) — the twin. A leading
+    * dummy byte absorbs the (never-occurring) carry past the first
+    * output byte; it is asserted zero and stripped at flush.
+    */
+  final class ArithEncoder {
+    private val bytes = scala.collection.mutable.ArrayBuffer[Int](0)
+    private var a = 0x8000L
+    private var c = 0L
+    private var ct = 12
+
+    def encode(cx: Contexts, label: Int, d: Int): Unit = {
+      val st = cx.i(label) & 0xff
+      val qe = Qe(st)
+      if (d == cx.mps(label)) {
+        // CODEMPS
+        a -= qe
+        if ((a & 0x8000L) == 0) {
+          if (a < qe) a = qe else c += qe
+          cx.i(label) = Nmps(st).toByte
+          renorm()
+        } else c += qe
+      } else {
+        // CODELPS
+        a -= qe
+        if (a < qe) c += qe else a = qe
+        if (Switch(st) == 1) cx.mps(label) = (1 - cx.mps(label)).toByte
+        cx.i(label) = Nlps(st).toByte
+        renorm()
+      }
+    }
+
+    private def renorm(): Unit = {
+      while ({
+        a = (a << 1) & 0xffffL
+        c = (c << 1) & 0xfffffffL
+        ct -= 1
+        if (ct == 0) byteOut()
+        (a & 0x8000L) == 0
+      }) ()
+    }
+
+    private def byteOut(): Unit = {
+      if (bytes.last == 0xff) {
+        bytes += ((c >> 20) & 0xff).toInt
+        c &= 0xfffffL
+        ct = 7
+      } else if (c < 0x8000000L) {
+        bytes += ((c >> 19) & 0xff).toInt
+        c &= 0x7ffffL
+        ct = 8
+      } else {
+        bytes(bytes.length - 1) += 1
+        if (bytes.last == 0xff) {
+          c &= 0x7ffffffL
+          bytes += ((c >> 20) & 0xff).toInt
+          c &= 0xfffffL
+          ct = 7
+        } else {
+          bytes += ((c >> 19) & 0xff).toInt
+          c &= 0x7ffffL
+          ct = 8
+        }
+      }
+    }
+
+    def flush(): Array[Byte] = {
+      // SETBITS (E.3.8)
+      val tempC = (c + a - 1) & 0xffff0000L
+      c = if (c < tempC) tempC else tempC + 0x8000L
+      c = (c << ct) & 0xfffffffL
+      byteOut()
+      c = (c << ct) & 0xfffffffL
+      byteOut()
+      require(bytes.head == 0, "carry escaped the coded interval")
+      bytes.drop(1).map(_.toByte).toArray
+    }
+  }
+
+  // --------------------------------------------------------- generic region
+
+  /** Template pixel slots, MSB-first (rows top to bottom, left to
+    * right), with `null` marking AT slots in nominal position order
+    * A1..A4 replaced by the actual AT coordinates at decode time.
+    */
+  private def templateSlots(template: Int,
+      at: Array[(Int, Int)]): Array[(Int, Int)] = template match {
+    case 0 => Array(
+      at(3), (-1, -2), (0, -2), (1, -2), at(2),
+      at(1), (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1), at(0),
+      (-4, 0), (-3, 0), (-2, 0), (-1, 0))
+    case 1 => Array(
+      (-1, -2), (0, -2), (1, -2), (2, -2),
+      (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1), at(0),
+      (-3, 0), (-2, 0), (-1, 0))
+    case 2 => Array(
+      (-1, -2), (0, -2), (1, -2),
+      (-2, -1), (-1, -1), (0, -1), (1, -1), at(0),
+      (-2, 0), (-1, 0))
+    case 3 => Array(
+      (-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1), at(0),
+      (-4, 0), (-3, 0), (-2, 0), (-1, 0))
+    case other => throw new IllegalArgumentException(s"GBTEMPLATE $other")
+  }
+
+  /** Nominal AT pixel positions per template (§6.2.5.3). */
+  def nominalAt(template: Int): Array[(Int, Int)] = template match {
+    case 0 => Array((3, -1), (-3, -1), (2, -2), (-2, -2))
+    case _ => Array((2, -1))
+  }
+
+  /** TPGDON pseudo-pixel contexts (§6.2.5.7) — valid in the MSB-first
+    * slot labeling above.
+    */
+  private val SltpContext = Array(0x9B25, 0x0795, 0x00E5, 0x0195)
+
+  /** Packed bitmap: MSB-first rows, 1 = black (the JBIG2 convention). */
+  final case class Bitmap(width: Int, height: Int, data: Array[Byte]) {
+    val stride: Int = (width + 7) / 8
+    def get(x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || x >= width || y >= height) 0
+      else (data(y * stride + (x >> 3)) >> (7 - (x & 7))) & 1
+    def set(x: Int, y: Int): Unit = {
+      val i = y * stride + (x >> 3)
+      data(i) = (data(i) | (1 << (7 - (x & 7)))).toByte
+    }
+    def blackCount: Int =
+      (0 until height).map(y => (0 until width).count(get(_, y) == 1)).sum
+  }
+  object Bitmap {
+    def empty(w: Int, h: Int): Bitmap =
+      Bitmap(w, h, new Array[Byte](((w + 7) / 8) * h))
+  }
+
+  /** §6.2.5.7 generic region decoding procedure (arithmetic variant). */
+  def decodeGeneric(ad: ArithDecoder, cx: Contexts, w: Int, h: Int,
+      template: Int, at: Array[(Int, Int)], tpgdon: Boolean): Bitmap = {
+    val bm = Bitmap.empty(w, h)
+    val slots = templateSlots(template, at)
+    var ltp = false
+    var y = 0
+    while (y < h) {
+      if (tpgdon && ad.decode(cx, SltpContext(template)) == 1) ltp = !ltp
+      if (tpgdon && ltp) {
+        // typical row: copy the row above (zeros for row 0)
+        if (y > 0)
+          System.arraycopy(bm.data, (y - 1) * bm.stride, bm.data,
+            y * bm.stride, bm.stride)
+      } else {
+        var x = 0
+        while (x < w) {
+          var ctx = 0
+          var s = 0
+          while (s < slots.length) {
+            ctx = (ctx << 1) | bm.get(x + slots(s)._1, y + slots(s)._2)
+            s += 1
+          }
+          if (ad.decode(cx, ctx) == 1) bm.set(x, y)
+          x += 1
+        }
+      }
+      y += 1
+    }
+    bm
+  }
+
+  /** Encoder twin of `decodeGeneric` — identical context walk through
+    * the Annex E encoder. With TPGDON, a row equal to its predecessor
+    * is coded as typical (SLTP toggles the LTP state).
+    */
+  def encodeGeneric(bm: Bitmap, template: Int, at: Array[(Int, Int)],
+      tpgdon: Boolean): Array[Byte] = {
+    val enc = new ArithEncoder
+    val cx = new Contexts(1 << 16)
+    val slots = templateSlots(template, at)
+    var ltp = false
+    var y = 0
+    while (y < bm.height) {
+      if (tpgdon) {
+        val typical = y > 0 && java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(bm.data, (y - 1) * bm.stride,
+            y * bm.stride),
+          java.util.Arrays.copyOfRange(bm.data, y * bm.stride,
+            (y + 1) * bm.stride))
+        val sltp = if (typical != ltp) 1 else 0
+        enc.encode(cx, SltpContext(template), sltp)
+        if (sltp == 1) ltp = !ltp
+      }
+      if (!(tpgdon && ltp)) {
+        var x = 0
+        while (x < bm.width) {
+          var ctx = 0
+          var s = 0
+          while (s < slots.length) {
+            ctx = (ctx << 1) | bm.get(x + slots(s)._1, y + slots(s)._2)
+            s += 1
+          }
+          enc.encode(cx, ctx, bm.get(x, y))
+          x += 1
+        }
+      }
+      y += 1
+    }
+    enc.flush()
+  }
+
+  // --------------------------------------------------------- segment layer
+
+  private def u32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  final case class Segment(number: Long, segType: Int, page: Long,
+      dataFrom: Int, dataUntil: Int)
+
+  /** Walk an embedded-organization segment stream (§7.2 headers; the
+    * form PDF JBIG2Decode carries — no file header, explicit data
+    * lengths). Corrupt headers end the walk.
+    */
+  def segments(data: Array[Byte]): Seq[Segment] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Segment]
+    var p = 0
+    while (p + 11 <= data.length) {
+      val number = u32(data, p)
+      val flags = data(p + 4) & 0xff
+      val segType = flags & 0x3f
+      val pageAssoc4 = (flags & 0x40) != 0
+      var q = p + 5
+      val rts = data(q) & 0xff
+      var refCount = rts >> 5
+      if (refCount == 7) {
+        if (q + 4 > data.length) return out.toSeq
+        refCount = (u32(data, q) & 0x1fffffffL).toInt
+        q += 4 + (refCount + 8) / 8 // long form + retain bits
+      } else q += 1
+      val refSize = if (number <= 256) 1 else if (number <= 65536) 2 else 4
+      q += refCount * refSize
+      val page = if (pageAssoc4) {
+        if (q + 4 > data.length) return out.toSeq
+        val v = u32(data, q); q += 4; v
+      } else {
+        if (q + 1 > data.length) return out.toSeq
+        val v = (data(q) & 0xff).toLong; q += 1; v
+      }
+      if (q + 4 > data.length) return out.toSeq
+      val len = u32(data, q)
+      q += 4
+      if (len == 0xffffffffL || q + len > data.length) return out.toSeq
+      out += Segment(number, segType, page, q, (q + len).toInt)
+      p = (q + len).toInt
+    }
+    out.toSeq
+  }
+
+  /** Decode an embedded JBIG2 stream's immediate generic regions
+    * (types 36/38/39) composited (OR) at their region offsets. The page
+    * canvas sizes from the page-info segment when present, else from
+    * the union of regions. Unsupported region types are reported, not
+    * guessed.
+    */
+  def decodeEmbedded(data: Array[Byte]): (Bitmap, Seq[String]) = {
+    val segs = segments(data)
+    val notes = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pageW = 0
+    var pageH = 0
+    segs.find(_.segType == 48).foreach { s =>
+      if (s.dataUntil - s.dataFrom >= 8) {
+        pageW = u32(data, s.dataFrom).toInt
+        pageH = u32(data, s.dataFrom + 4).toInt
+        if (pageH == -1) pageH = 0 // 0xFFFFFFFF = unknown height
+        // bound BEFORE any allocation: corrupt page dims fall back to
+        // the regions' union rather than sizing the canvas
+        if (pageW < 0 || pageH < 0 ||
+          pageW.toLong * math.max(pageH, 1) > (1L << 26)) {
+          notes += "jbig2-page-dims"
+          pageW = 0; pageH = 0
+        }
+      }
+    }
+    val regions = segs.filter(s =>
+      s.segType == 36 || s.segType == 38 || s.segType == 39).flatMap { s =>
+      val p = s.dataFrom
+      if (s.dataUntil - p < 18) { notes += "jbig2-truncated-region"; None }
+      else {
+        val w = u32(data, p).toInt
+        val h = u32(data, p + 4).toInt
+        val x = u32(data, p + 8).toInt
+        val y = u32(data, p + 12).toInt
+        // p+16: external combination operator (1 byte)
+        val gflags = data(p + 17) & 0xff
+        val mmr = (gflags & 1) != 0
+        val template = (gflags >> 1) & 3
+        val tpgdon = (gflags & 8) != 0
+        if (mmr) { notes += "jbig2-mmr-skipped"; None }
+        else if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
+          x < 0 || y < 0 || (x.toLong + w) * (y.toLong + h) > (1L << 26)) {
+          // offsets bound the COMPOSED canvas, checked before allocating
+          notes += "jbig2-region-dims"; None
+        } else {
+          var q = p + 18
+          val nAt = if (template == 0) 4 else 1
+          val at = Array.tabulate(nAt)(i =>
+            (data(q + 2 * i).toInt, data(q + 2 * i + 1).toInt))
+          q += 2 * nAt
+          val ad = new ArithDecoder(data, q, s.dataUntil)
+          val cx = new Contexts(1 << 16)
+          Some((x, y, decodeGeneric(ad, cx, w, h, template, at, tpgdon)))
+        }
+      }
+    }
+    segs.filter(s => !Set(36, 38, 39, 48, 49, 50, 51, 62).contains(s.segType))
+      .foreach(s => notes += s"jbig2-segtype-${s.segType}-skipped")
+    if (regions.isEmpty) {
+      notes += "jbig2-no-regions"
+      return (Bitmap.empty(math.max(pageW, 1), math.max(pageH, 1)),
+        notes.toSeq)
+    }
+    val w = math.max(pageW, regions.map(r => r._1 + r._3.width).max)
+    val h = math.max(pageH, regions.map(r => r._2 + r._3.height).max)
+    val page = Bitmap.empty(w, h)
+    regions.foreach { case (ox, oy, bm) =>
+      var y = 0
+      while (y < bm.height) {
+        var x = 0
+        while (x < bm.width) {
+          if (bm.get(x, y) == 1 && ox + x < w && oy + y < h)
+            page.set(ox + x, oy + y)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    (page, notes.toSeq)
+  }
+
+  /** Encoder twin for the embedded organization: page info (type 48) +
+    * one immediate lossless generic region (type 39).
+    */
+  def writeEmbedded(bm: Bitmap, template: Int = 0,
+      tpgdon: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
+      out.write(((v >> 8) & 0xff).toInt); out.write((v & 0xff).toInt)
+    }
+    def header(number: Long, segType: Int, dataLen: Int): Unit = {
+      w32(number)
+      out.write(segType) // flags: 1-byte page assoc, not deferred
+      out.write(0) // zero referred-to segments, short form
+      out.write(1) // page 1
+      w32(dataLen.toLong)
+    }
+    // page info (type 48): W, H, Xres, Yres, flags, striping
+    header(0, 48, 19)
+    w32(bm.width.toLong); w32(bm.height.toLong); w32(0); w32(0)
+    out.write(0); out.write(0); out.write(0)
+    // immediate lossless generic region (type 39)
+    val at = nominalAt(template)
+    val mq = encodeGeneric(bm, template, at, tpgdon)
+    val nAt = if (template == 0) 4 else 1
+    header(1, 39, 17 + 1 + 2 * nAt + mq.length)
+    w32(bm.width.toLong); w32(bm.height.toLong); w32(0); w32(0)
+    out.write(0) // external combination op: OR
+    out.write((template << 1) | (if (tpgdon) 8 else 0)) // flags, MMR=0
+    at.foreach { case (x, y) => out.write(x & 0xff); out.write(y & 0xff) }
+    out.write(mq, 0, mq.length)
+    (out.toByteArray)
+  }
+
+  /** PDF JBIG2Decode filter surface: decode the embedded stream and
+    * return 1-bpc packed rows in the PDF DeviceGray convention
+    * (0 = black) — i.e. the JBIG2 bitmap INVERTED, the pdf.js-compatible
+    * presentation. Globals streams are not supported (named skip at the
+    * call site).
+    */
+  def pdfFilterDecode(data: Array[Byte]): Array[Byte] = {
+    val (bm, notes) = decodeEmbedded(data)
+    require(!notes.exists(_.startsWith("jbig2-no-regions")),
+      s"JBIG2 stream with no decodable region: ${notes.mkString(",")}")
+    bm.data.map(b => (~b).toByte)
+  }
+}

@@ -818,6 +818,15 @@ object Pdf {
           val byteAlign = """/EncodedByteAlign\s+true""".r
             .findFirstIn(dict).isDefined
           CcittFax.decode(data, k, columns, rows, blackIs1, byteAlign)
+        case "JBIG2Decode" =>
+          // bi-level scanned images (ITU-T T.88, embedded organization);
+          // output follows the PDF presentation (0 = black, the
+          // inverted JBIG2 convention). Globals streams carry symbol
+          // dictionaries — outside the generic-region scope.
+          if (dict.contains("/JBIG2Globals"))
+            throw new UnsupportedOperationException(
+              "JBIG2Decode with /JBIG2Globals (symbol dictionaries)")
+          Jbig2.pdfFilterDecode(data)
         case other => throw new IllegalArgumentException(
           s"unsupported stream filter /$other")
       }

@@ -38,9 +38,11 @@ import org.apache.spark.sql.functions.{lit, udf}
   *    from the BaseFont name (the poppler/pdfium substitution
   *    strategy); recorded in `unsupported`.
   *
-  * Out-of-scope constructs never fail a page: shading patterns, tiling
-  * patterns and JPX image payloads render as a skip and are named in
-  * the page's `unsupported` list (CCITT decodes via `CcittFax`).
+  * Out-of-scope constructs never fail a page: JPX image payloads and
+  * JBIG2 symbol-dictionary (globals) streams render as a skip and are
+  * named in the page's `unsupported` list. Scanned bi-level images
+  * decode for real: CCITT G3/G4 via `CcittFax`, JBIG2 generic regions
+  * (all templates, TPGDON) via `Jbig2`.
   */
 object PdfRender {
 
@@ -720,6 +722,13 @@ object PdfRender {
     }
     if (full.contains("JPXDecode")) {
       notes += "image-codec-skipped"
+      return None
+    }
+    if (full.contains("JBIG2Decode") &&
+      obj.exists(_.dict.contains("/JBIG2Globals"))) {
+      // symbol-dictionary streams (text regions) are outside the
+      // generic-region scope — named skip, never a guess
+      notes += "jbig2-globals-skipped"
       return None
     }
     if (full.lastOption.contains("DCTDecode")) {

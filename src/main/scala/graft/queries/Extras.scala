@@ -4445,6 +4445,87 @@ object Extras {
              |FROM d JOIN sums s USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q195_jbig2",
+      (s, dir) => {
+        // JBIG2 generic-region decode (PDF JBIG2Decode — the other half
+        // of the scanned-PDF corpus next to q189's CCITT; ITU-T T.88;
+        // reference renders via pdfium `functions/document.py:488`): per
+        // doc a 2-page scanned fixture built with the MQ encoder twin.
+        // Page 1: diagonal-stripe pattern, template = doc%4, embedded
+        // page-info + immediate lossless generic region segments; page
+        // 2: repeated-row stripes under TPGDON typical prediction.
+        // Images draw at exact pixel size → closed-form pixel counts
+        // the oracle recomputes with modular arithmetic; extractImages
+        // must decode both to PNG through the same filter chain.
+        import graft.functions.{Images, Jbig2, Pdf, PdfRender}
+        val mk = udf { (id: Long) =>
+          val cw = (17 + id % 16).toInt
+          val ch = (9 + id % 8).toInt
+          val ch2 = (16 + id % 4).toInt
+          val bm1 = Jbig2.Bitmap.empty(cw, ch)
+          for (y <- 0 until ch; x <- 0 until cw)
+            if ((x + 2 * y + id) % 7 < 3) bm1.set(x, y)
+          val bm2 = Jbig2.Bitmap.empty(24, ch2)
+          for (y <- 0 until ch2; x <- 2 until 22)
+            if (y % 4 < 2) bm2.set(x, y)
+          val b = new Pdf.PdfBuilder
+          def img(bm: Jbig2.Bitmap, template: Int, tpgdon: Boolean): Int =
+            b.addStream(
+              "/Type /XObject /Subtype /Image " +
+                s"/Width ${bm.width} /Height ${bm.height} " +
+                "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+                "/Filter /JBIG2Decode",
+              Jbig2.writeEmbedded(bm, template, tpgdon))
+          val i1 = img(bm1, (id % 4).toInt, tpgdon = false)
+          val i2 = img(bm2, 0, tpgdon = true)
+          b.addPage(s"q $cw 0 0 $ch 0 0 cm /I Do Q", (cw, ch),
+            s"/XObject << /I $i1 0 R >>")
+          b.addPage(s"q 24 0 0 $ch2 0 0 cm /I Do Q", (24, ch2),
+            s"/XObject << /I $i2 0 R >>")
+          b.build()
+        }
+        val extracted = udf { (pdf: Array[Byte]) =>
+          val imgs = Pdf.extractImages(pdf)
+          (imgs.count(_.format == "png"), imgs.head.width)
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("pdf", mk(col("doc_id")))
+          .withColumn("pages", PdfRender.renderPages(col("pdf")))
+          .withColumn("ex", extracted(col("pdf")))
+          .select(col("doc_id"),
+            Images.countColor(element_at(col("pages"), 1)("_4"), lit(0))
+              .as("p1_black"),
+            Images.countColor(element_at(col("pages"), 1)("_4"),
+              lit(0xffffff)).as("p1_white"),
+            Images.countColor(element_at(col("pages"), 2)("_4"), lit(0))
+              .as("p2_black"),
+            col("ex._1").cast("long").as("n_imgs"),
+            col("ex._2").cast("long").as("img1_w"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, (17 + doc_id % 16)::INT AS cw,
+             |    (9 + doc_id % 8)::INT AS ch,
+             |    (16 + doc_id % 4)::INT AS ch2
+             |  FROM documents WHERE doc_id < 40
+             |), p1 AS (
+             |  SELECT d.doc_id, COUNT(*)::BIGINT AS black
+             |  FROM d
+             |  JOIN generate_series(0, 32) AS x(x) ON x.x < d.cw
+             |  JOIN generate_series(0, 16) AS y(y) ON y.y < d.ch
+             |  WHERE (x.x + 2 * y.y + d.doc_id) % 7 < 3
+             |  GROUP BY d.doc_id
+             |)
+             |SELECT d.doc_id, p1.black AS p1_black,
+             |  (d.cw * d.ch - p1.black)::BIGINT AS p1_white,
+             |  ((2 * (d.ch2 // 4) + LEAST(d.ch2 % 4, 2)) * 20)::BIGINT
+             |    AS p2_black,
+             |  2::BIGINT AS n_imgs, d.cw::BIGINT AS img1_w
+             |FROM d JOIN p1 USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

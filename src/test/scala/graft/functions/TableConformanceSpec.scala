@@ -182,4 +182,46 @@ class TableConformanceSpec extends AnyFunSuite {
     assert(asMap(CcittFax.BlackCodes) == black2)
     assert(asMap(CcittFax.ExtMakeupCodes) == ext2)
   }
+
+  test("JBIG2 MQ-coder Qe table: independent transcription + invariants") {
+    // ITU-T T.88 Table E.1, re-transcribed as packed qe:nmps:nlps:sw
+    // rows (the same 47-state machine T.800/JPEG2000 Annex C uses)
+    val packed = ("5601:1:1:1 3401:2:6:0 1801:3:9:0 0AC1:4:12:0 " +
+      "0521:5:29:0 0221:38:33:0 5601:7:6:1 5401:8:14:0 4801:9:14:0 " +
+      "3801:10:14:0 3001:11:17:0 2401:12:18:0 1C01:13:20:0 " +
+      "1601:29:21:0 5601:15:14:1 5401:16:14:0 5101:17:15:0 " +
+      "4801:18:16:0 3801:19:17:0 3401:20:18:0 3001:21:19:0 " +
+      "2801:22:19:0 2401:23:20:0 2201:24:21:0 1C01:25:22:0 " +
+      "1801:26:23:0 1601:27:24:0 1401:28:25:0 1201:29:26:0 " +
+      "1101:30:27:0 0AC1:31:28:0 09C1:32:29:0 08A1:33:30:0 " +
+      "0521:34:31:0 0441:35:32:0 02A1:36:33:0 0221:37:34:0 " +
+      "0141:38:35:0 0111:39:36:0 0085:40:37:0 0049:41:38:0 " +
+      "0025:42:39:0 0015:43:40:0 0009:44:41:0 0005:45:42:0 " +
+      "0001:45:43:0 5601:46:46:0").split(" ").map { row =>
+      val p = row.split(":")
+      (Integer.parseInt(p(0), 16), p(1).toInt, p(2).toInt, p(3).toInt)
+    }
+    assert(Jbig2.QeTable.length == 47)
+    assert(Jbig2.QeTable.toSeq == packed.toSeq)
+    // structural invariants: SWITCH only on the three 0x5601 entry
+    // states; all targets in range; the fast-adaptation chain 0..5 and
+    // the steady-state chain 14..45 have strictly decreasing Qe; state
+    // 46 is the self-looping non-adaptive state; all Qe odd
+    val sw = Jbig2.QeTable.zipWithIndex.filter(_._1._4 == 1).map(_._2)
+    assert(sw.toSeq == Seq(0, 6, 14))
+    sw.foreach(i => assert(Jbig2.QeTable(i)._1 == 0x5601))
+    Jbig2.QeTable.foreach { case (qe, nmps, nlps, s) =>
+      assert(qe > 0 && qe <= 0x5601 && qe % 2 == 1)
+      assert(nmps >= 0 && nmps <= 46 && nlps >= 0 && nlps <= 46)
+      assert(s == 0 || s == 1)
+    }
+    (1 to 5).foreach(i =>
+      assert(Jbig2.QeTable(i)._1 < Jbig2.QeTable(i - 1)._1))
+    (15 to 45).foreach(i =>
+      assert(Jbig2.QeTable(i)._1 <= Jbig2.QeTable(i - 1)._1))
+    assert(Jbig2.QeTable(46) == ((0x5601, 46, 46, 0)))
+    // NMPS advances monotonically toward smaller Qe in steady state
+    (14 to 44).foreach(i => assert(Jbig2.QeTable(i)._2 == i + 1))
+    assert(Jbig2.QeTable(45)._2 == 45)
+  }
 }
