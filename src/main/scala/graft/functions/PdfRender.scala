@@ -610,6 +610,13 @@ object PdfRender {
   private case object CsCmyk extends Cs { val comps = 4 }
   private final case class CsIndexed(base: Cs, palette: Array[Byte])
       extends Cs { val comps = 1 }
+  /** Separation/DeviceN: tint components map through the tint-transform
+    * function (types 0/2/3/4) into the alternate space.
+    */
+  private final case class CsTint(nIn: Int,
+      fn: Seq[Double] => Seq[Double], alt: Cs) extends Cs {
+    val comps: Int = nIn
+  }
 
   private def colorSpaceOf(doc: Doc, v: PVal, res: PDict,
       notes: mutable.Set[String]): Cs = doc.resolve(v) match {
@@ -642,6 +649,19 @@ object PdfRender {
             case _ => doc.streamOf(items(3)).getOrElse(Array.emptyByteArray)
           }
           CsIndexed(base, lookup)
+        case PName("Separation") | PName("DeviceN") if items.length >= 4 =>
+          // [/Separation name alt fn] | [/DeviceN [names] alt fn]
+          val nIn = doc.resolve(items(1)) match {
+            case PArr(names) => names.length
+            case _ => 1
+          }
+          val alt = colorSpaceOf(doc, items(2), res, notes)
+          pdfFunctionN(doc, items(3)) match {
+            case Some(fn) => CsTint(nIn, fn, alt)
+            case None =>
+              notes += "tint-transform-skipped"
+              CsGray
+          }
         case PName("Separation") | PName("DeviceN") => CsGray
         case _ => notes += "colorspace-exotic"; CsRgb
       }
@@ -916,83 +936,147 @@ object PdfRender {
 
   // ===================== functions & shading =====================
 
-  /** Type 0 (sampled) function, 1-D input: linear interpolation over
-    * the big-endian bit-packed sample grid, /Encode to sample space and
-    * /Decode to range per the spec. Multi-input sampled functions (2-D+
-    * /Size) are out of scope → None.
+  /** Type 0 (sampled) function, m-D input: MULTILINEAR interpolation
+    * over the big-endian bit-packed sample grid (§7.10.2 — first input
+    * dimension varies fastest), /Encode to sample space per dimension,
+    * /Decode to range.
     */
   private def sampledFunction(doc: Doc, d: PDict,
-      data: Array[Byte]): Option[Double => Seq[Double]] = {
-    val sizeArr = dArr(doc, d, "Size").map(_.map(x => num(doc.resolve(x))))
-      .getOrElse(return None)
-    if (sizeArr.length != 1) return None
-    val n = sizeArr.head.toInt
+      data: Array[Byte]): Option[Seq[Double] => Seq[Double]] = {
+    val sizes = dArr(doc, d, "Size").map(_.map(x =>
+      num(doc.resolve(x)).toInt)).getOrElse(return None)
+    val mIn = sizes.length
+    if (mIn < 1 || mIn > 4 || sizes.exists(_ < 1)) return None
     val bps = dNum(doc, d, "BitsPerSample", 8).toInt
-    if (n < 2 || !Seq(1, 2, 4, 8, 16, 24, 32).contains(bps)) return None
+    if (!Seq(1, 2, 4, 8, 16, 24, 32).contains(bps)) return None
     val range = dArr(doc, d, "Range").map(_.map(x => num(doc.resolve(x))))
       .getOrElse(return None)
-    val m = range.length / 2
-    if (m < 1 || data.length.toLong * 8 < n.toLong * m * bps) return None
+    val nOut = range.length / 2
+    val totalSamples = sizes.map(_.toLong).product
+    if (nOut < 1 || totalSamples > (1L << 24) ||
+      data.length.toLong * 8 < totalSamples * nOut * bps) return None
     val dom = dArr(doc, d, "Domain").map(_.map(x => num(doc.resolve(x))))
-      .filter(_.length == 2).getOrElse(Vector(0.0, 1.0))
+      .filter(_.length == 2 * mIn)
+      .getOrElse(Vector.fill(mIn)(Vector(0.0, 1.0)).flatten)
     val enc = dArr(doc, d, "Encode").map(_.map(x => num(doc.resolve(x))))
-      .filter(_.length == 2).getOrElse(Vector(0.0, (n - 1).toDouble))
+      .filter(_.length == 2 * mIn)
+      .getOrElse(sizes.flatMap(s => Vector(0.0, (s - 1).toDouble)))
     val dec = dArr(doc, d, "Decode").map(_.map(x => num(doc.resolve(x))))
       .filter(_.length == range.length).getOrElse(range)
     val maxV = (1L << bps) - 1
-    def rawSample(i: Int, j: Int): Double = {
-      val bit = (i.toLong * m + j) * bps
+    // grid index (first dim fastest) → raw sample j, normalized [0,1]
+    def rawSample(idx: Array[Int], j: Int): Double = {
+      var flat = 0L
+      var k = mIn - 1
+      while (k >= 0) { flat = flat * sizes(k) + idx(k); k -= 1 }
+      val bit = (flat * nOut + j) * bps
       var v = 0L
-      var k = 0L
-      while (k < bps) {
-        val b = bit + k
-        v = (v << 1) |
-          ((data((b >> 3).toInt) >> (7 - (b & 7))) & 1)
-        k += 1
+      var b = bit
+      while (b < bit + bps) {
+        v = (v << 1) | ((data((b >> 3).toInt) >> (7 - (b & 7))) & 1)
+        b += 1
       }
       v.toDouble / maxV
     }
-    Some { t0 =>
-      val t = math.max(dom(0), math.min(dom(1), t0))
-      val span = math.max(dom(1) - dom(0), 1e-12)
-      val e0 = enc(0) + (t - dom(0)) / span * (enc(1) - enc(0))
-      val e = math.max(0.0, math.min((n - 1).toDouble, e0))
-      val i0 = math.min(n - 2, e.toInt)
-      val frac = e - i0
-      (0 until m).map { j =>
-        val s = rawSample(i0, j) * (1 - frac) + rawSample(i0 + 1, j) * frac
-        dec(2 * j) + s * (dec(2 * j + 1) - dec(2 * j))
+    Some { xs0 =>
+      val base = new Array[Int](mIn)
+      val frac = new Array[Double](mIn)
+      var k = 0
+      while (k < mIn) {
+        val x0 = if (k < xs0.length) xs0(k) else dom(2 * k)
+        val x = math.max(dom(2 * k), math.min(dom(2 * k + 1), x0))
+        val span = math.max(dom(2 * k + 1) - dom(2 * k), 1e-12)
+        val e0 = enc(2 * k) +
+          (x - dom(2 * k)) / span * (enc(2 * k + 1) - enc(2 * k))
+        val e = math.max(0.0, math.min((sizes(k) - 1).toDouble, e0))
+        base(k) = math.min(math.max(sizes(k) - 2, 0), e.toInt)
+        frac(k) = if (sizes(k) > 1) e - base(k) else 0.0
+        k += 1
+      }
+      (0 until nOut).map { j =>
+        // multilinear blend over the 2^m hypercube corners
+        var acc = 0.0
+        var corner = 0
+        val idx = new Array[Int](mIn)
+        while (corner < (1 << mIn)) {
+          var w = 1.0
+          var k2 = 0
+          while (k2 < mIn) {
+            val hi = (corner >> k2) & 1
+            idx(k2) = math.min(sizes(k2) - 1, base(k2) + hi)
+            w *= (if (hi == 1) frac(k2) else 1 - frac(k2))
+            k2 += 1
+          }
+          if (w > 0) acc += w * rawSample(idx, j)
+          corner += 1
+        }
+        dec(2 * j) + acc * (dec(2 * j + 1) - dec(2 * j))
       }
     }
   }
 
-  /** PDF function object (dict types 0/2/3, or an array of them acting
-    * component-wise) → evaluator over the 1-D input domain. PostScript
-    * (4) functions are not supported → None.
+  /** PDF function object → m-in/n-out evaluator. Types 0 (sampled,
+    * multilinear), 2 (exponential), 3 (stitching), 4 (PostScript
+    * calculator via `PsCalc`) and arrays of functions acting
+    * component-wise.
     */
-  private def pdfFunction(doc: Doc,
-      v: PVal): Option[Double => Seq[Double]] = (v match {
+  private def pdfFunctionN(doc: Doc,
+      v: PVal): Option[Seq[Double] => Seq[Double]] = (v match {
     case ref: PRef => doc.rawObj(ref) match {
-      case Some(o) if o.stream.isDefined => // sampled (stream) function
+      case Some(o) if o.stream.isDefined => // sampled or calculator stream
         val d = parseValue(o.dict) match {
           case x: PDict => x
           case _ => PDict(Map.empty)
         }
-        if (dNum(doc, d, "FunctionType", -1).toInt == 0)
-          return sampledFunction(doc, d,
-            try Pdf.decodedStream(o)
-            catch { case _: Exception => return None })
+        val data =
+          try Pdf.decodedStream(o)
+          catch { case _: Exception => return None }
+        dNum(doc, d, "FunctionType", -1).toInt match {
+          case 0 => return sampledFunction(doc, d, data)
+          case 4 =>
+            val range = dArr(doc, d, "Range")
+              .map(_.map(x => num(doc.resolve(x)))).getOrElse(return None)
+            val dom = dArr(doc, d, "Domain")
+              .map(_.map(x => num(doc.resolve(x)))).getOrElse(Vector.empty)
+            val nOut = range.length / 2
+            val inner = PsCalc.compile(
+              new String(data, java.nio.charset.StandardCharsets.ISO_8859_1),
+              nOut).getOrElse(return None)
+            return Some { xs =>
+              val clamped = xs.zipWithIndex.map { case (x, i) =>
+                if (dom.length >= 2 * i + 2)
+                  math.max(dom(2 * i), math.min(dom(2 * i + 1), x))
+                else x
+              }
+              inner(clamped).zipWithIndex.map { case (y, j) =>
+                math.max(range(2 * j), math.min(range(2 * j + 1), y))
+              }
+            }
+          case _ => ()
+        }
         doc.resolve(ref)
       case _ => doc.resolve(ref)
     }
     case other => other
   }) match {
     case PArr(fs) =>
-      val evals = fs.map(pdfFunction(doc, _))
+      val evals = fs.map(pdfFunctionN(doc, _))
       if (evals.nonEmpty && evals.forall(_.isDefined))
-        Some(t => evals.flatMap(_.get(t)))
+        Some(xs => evals.flatMap(_.get(xs)))
       else None
-    case d: PDict => dNum(doc, d, "FunctionType", -1).toInt match {
+    case d: PDict => pdfFunction1Dict(doc, d).map(f => xs =>
+      f(xs.headOption.getOrElse(0.0)))
+    case _ => None
+  }
+
+  /** 1-D-input view (shading/transfer functions). */
+  private def pdfFunction(doc: Doc,
+      v: PVal): Option[Double => Seq[Double]] =
+    pdfFunctionN(doc, v).map(f => (t: Double) => f(Seq(t)))
+
+  private def pdfFunction1Dict(doc: Doc,
+      d: PDict): Option[Double => Seq[Double]] =
+    dNum(doc, d, "FunctionType", -1).toInt match {
       case 2 => // exponential interpolation: C0 + t^N (C1 − C0)
         val c0 = dArr(doc, d, "C0").map(_.map(x => num(doc.resolve(x))))
           .getOrElse(Vector(0.0))
@@ -1029,8 +1113,6 @@ object PdfRender {
         }
       case _ => None
     }
-    case _ => None
-  }
 
   /** Gradient stop positions for the /Function: a linear (N = 1) type-2
     * function needs only its endpoints; stitching contributes its bound
@@ -1156,7 +1238,15 @@ object PdfRender {
             val v = pal(idx) & 0xff; new Color(v, v, v)
           case _ => Color.BLACK
         }
-      case _ if comps.nonEmpty => // Separation and friends: 1 - tint gray
+      case CsTint(_, fn, alt) if comps.nonEmpty =>
+        // real tint transform (type 0/2/3/4) into the alternate space;
+        // a failing program falls back to the 1−tint gray convention
+        try colorFrom(alt, fn(comps))
+        catch {
+          case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
+            val v = c(1.0 - comps(0)); new Color(v, v, v)
+        }
+      case _ if comps.nonEmpty => // Separation without transform: 1 - tint
         val v = c(1.0 - comps(0)); new Color(v, v, v)
       case _ => Color.BLACK
     }

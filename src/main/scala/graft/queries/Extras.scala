@@ -4180,7 +4180,41 @@ object Extras {
               "/Domain [0 1] >> /Extend [true true] >> >>")
           b.addPage("/Pattern cs /P3 scn 0 0 80 10 re f", (80, 10),
             s"/Pattern << /P3 $pat3 0 R >>")
+          // page 5 (r13): type 4 (PostScript calculator) shading
+          // function f(t) = (t, 1-t, 0) — linear, so the gradient paint
+          // reproduces it exactly; endpoints + midpoint gate as t4_ok
+          val fn4 = b.addStream(
+            "/FunctionType 4 /Domain [0 1] /Range [0 1 0 1 0 1]",
+            "{ dup 1 exch sub 0 }"
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+          val shd4 = b.addObj(
+            "<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 80 0] " +
+              s"/Function $fn4 0 R /Extend [true true] >>")
+          b.addPage("/S4 sh", (80, 10), s"/Shading << /S4 $shd4 0 R >>")
+          // page 6 (r13): DeviceN with a 2-D multi-input sampled (type
+          // 0) tint transform — f(a,b) = a XOR b at the corners into
+          // DeviceGray; (1,1) paints black, (1,0) paints white
+          val fn0 = b.addStream(
+            "/FunctionType 0 /Domain [0 1 0 1] /Range [0 1] " +
+              "/Size [2 2] /BitsPerSample 8",
+            Array(0x00.toByte, 0xff.toByte, 0xff.toByte, 0x00.toByte))
+          val dw = (4 + id % 5).toInt
+          val dh = (4 + id % 4).toInt
+          b.addPage(
+            s"/CS0 cs 1 1 scn 0 0 $dw $dh re f 1 0 scn 10 0 4 4 re f",
+            (16, 12),
+            "/ColorSpace << /CS0 [/DeviceN [/A /B] /DeviceGray " +
+              s"$fn0 0 R] >>")
           b.build()
+        }
+        val t4Ok = udf { (png: Array[Byte]) =>
+          val im = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(png))
+          def p(x: Int) = im.getRGB(x, 5) & 0xffffff
+          val l = p(2); val r = p(77); val m = p(40)
+          ((l >> 8) & 0xff) > 230 && ((l >> 16) & 0xff) < 25 &&
+            ((r >> 16) & 0xff) > 230 && ((r >> 8) & 0xff) < 25 &&
+            math.abs(((m >> 16) & 0xff) - ((m >> 8) & 0xff)) <= 16
         }
         val stepOk = udf { (png: Array[Byte]) =>
           val im = javax.imageio.ImageIO.read(
@@ -4200,7 +4234,10 @@ object Extras {
               lit(0x00ff00)).as("stencil_green"),
             Images.countColor(element_at(col("pages"), 3)("_4"),
               lit(0xff0000)).as("sh_red"),
-            stepOk(element_at(col("pages"), 4)("_4")).as("step_ok"))
+            stepOk(element_at(col("pages"), 4)("_4")).as("step_ok"),
+            t4Ok(element_at(col("pages"), 5)("_4")).as("t4_ok"),
+            Images.countColor(element_at(col("pages"), 6)("_4"), lit(0))
+              .as("devn_black"))
           .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
       Some("""SELECT doc_id,
@@ -4211,7 +4248,8 @@ object Extras {
              |    * (2 + doc_id % 4) * (2 + doc_id % 3))::BIGINT
              |    AS stencil_green,
              |  ((10 + doc_id % 7) * (5 + doc_id % 5))::BIGINT AS sh_red,
-             |  TRUE AS step_ok
+             |  TRUE AS step_ok, TRUE AS t4_ok,
+             |  ((4 + doc_id % 5) * (4 + doc_id % 4))::BIGINT AS devn_black
              |FROM documents WHERE doc_id < 40
              |ORDER BY doc_id""".stripMargin),
     ),

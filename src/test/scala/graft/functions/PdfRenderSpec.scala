@@ -614,6 +614,56 @@ class PdfRenderSpec extends AnyFunSuite {
     assert(math.abs(((mid >> 16) & 0xff) - (mid & 0xff)) <= 8, "mid blend")
   }
 
+  test("type 4 (PostScript calculator) shading function") {
+    // f(t) = (t, 1-t, 0): green at the left end, red at the right
+    val im = render(pdf { b =>
+      val fn = b.addStream(
+        "/FunctionType 4 /Domain [0 1] /Range [0 1 0 1 0 1]",
+        "{ dup 1 exch sub 0 }".getBytes("ISO-8859-1"))
+      val shd = b.addObj(
+        "<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 80 0] " +
+          s"/Function $fn 0 R /Extend [true true] >>")
+      b.addPage("/S1 sh", (80, 10), s"/Shading << /S1 $shd 0 R >>")
+    })
+    val left = im.getRGB(2, 5)
+    val right = im.getRGB(77, 5)
+    assert(((left >> 8) & 0xff) > 230 && ((left >> 16) & 0xff) < 25, "left")
+    assert(((right >> 16) & 0xff) > 230 && ((right >> 8) & 0xff) < 25,
+      "right")
+  }
+
+  test("Separation colorspace runs its type 4 tint transform") {
+    // tint t -> (1-t)^3 gray in DeviceRGB: full tint paints black
+    val im = render(pdf { b =>
+      val fn = b.addStream(
+        "/FunctionType 4 /Domain [0 1] /Range [0 1 0 1 0 1]",
+        "{ 1 exch sub dup dup }".getBytes("ISO-8859-1"))
+      b.addPage("/CS0 cs 1 scn 2 2 8 4 re f", (16, 8),
+        s"/ColorSpace << /CS0 [/Separation /Spot /DeviceRGB $fn 0 R] >>")
+    })
+    assert(count(im, Black) == 32)
+    assert(px(im, 0, 0) == White)
+  }
+
+  test("DeviceN with a 2-D multi-input sampled tint transform") {
+    // 2x2 grid, f(a,b) = a XOR b (corners); alternate DeviceGray.
+    // scn 1 1 -> gray 0 (black); scn 1 0 -> gray 1 (white on white)
+    val im = render(pdf { b =>
+      val fn = b.addStream(
+        "/FunctionType 0 /Domain [0 1 0 1] /Range [0 1] " +
+          "/Size [2 2] /BitsPerSample 8",
+        Array(0x00.toByte, 0xff.toByte, 0xff.toByte, 0x00.toByte))
+      b.addPage(
+        "/CS0 cs 1 1 scn 0 0 8 8 re f 1 0 scn 8 0 8 8 re f", (16, 8),
+        "/ColorSpace << /CS0 [/DeviceN [/A /B] /DeviceGray " +
+          s"$fn 0 R] >>")
+    })
+    assert(count(im, Black) == 64, "left half black")
+    assert(px(im, 12, 4) == White, "right half white")
+    // interior of the grid interpolates: f(1, 0.5) = 0.5 via the
+    // function evaluator itself (render path proves the corners)
+  }
+
   test("shading PATTERN (scn) with a stitching step function") {
     val im = render(pdf { b =>
       val pat = b.addObj(
