@@ -4564,6 +4564,250 @@ object Extras {
              |FROM d JOIN p1 USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q196_stream_update",
+      (s, dir) => {
+        // UPDATE-mode watermarked windowed HLL — the unbounded
+        // production form of q185/q191 (which gate complete-mode bounded
+        // replays) on the q186 late-data machinery: four mtime-ordered
+        // files, one per micro-batch; file b2 carries docs 40-49 with
+        // STALE event times (b0's era). By batch 2 the 60 s watermark
+        // passed those windows, so update mode must DROP every stale row
+        // (watermark filtering), while — unlike append mode — trailing
+        // open windows DO emit. foreachBatch captures every emission
+        // with its batch id, so three laws gate as booleans: late rows
+        // produce no emission after batch 0 for the early windows,
+        // per-register emissions are monotone non-decreasing, and the
+        // LAST emission per (window, bucket) equals the batch HLL
+        // register the oracle recomputes from md5 hex digits over
+        // on-time rows only.
+        import org.apache.spark.sql.streaming.Trigger
+        import graft.operators.Hll
+        val base = T(s, dir, "documents").filter(col("doc_id") < 60)
+          .withColumn("ts", timestamp_seconds(lit(1000000000L) +
+            when(col("doc_id").between(40, 49),
+              (col("doc_id") - 40) * 30).otherwise(col("doc_id") * 30)))
+          .select(col("doc_id"), col("ts"))
+        val stage = java.nio.file.Files.createTempDirectory("q196_in")
+        val fileDocs = Seq(0L -> 20L, 20L -> 40L, 40L -> 50L, 50L -> 60L)
+        fileDocs.zipWithIndex.foreach { case ((lo, hi), k) =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory(s"q196_b$k").toString
+          base.filter(col("doc_id") >= lo && col("doc_id") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = stage.resolve(f"b$k%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1_100_000_000_000L + k * 60_000L))
+        }
+        val stream = s.readStream
+          .schema(s.read.parquet(stage.toString).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(stage.toString)
+        val (bucket, rho) = Hll.hashCols(col("doc_id"))
+        val regs = stream
+          .withWatermark("ts", "60 seconds")
+          .select(col("ts"), bucket.as("bucket"), rho.as("rho"))
+          .groupBy(window(col("ts"), "120 seconds"), col("bucket"))
+          .agg(max("rho").as("m"))
+          .select(unix_timestamp(col("window.start")).as("w_start"),
+            col("bucket"), col("m"))
+        val emitted =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
+        val ck = java.nio.file.Files.createTempDirectory("q196_ck").toString
+        val sq = regs.writeStream.outputMode("update")
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val rows = b.collect().map(r =>
+              (id, r.getLong(0), r.getInt(1), r.getInt(2)))
+            emitted.synchronized { emitted ++= rows }
+            ()
+          }.start()
+        sq.awaitTermination()
+        val all = emitted.toSeq
+        val lateDropped =
+          !all.exists(e => e._2 <= 1000000200L && e._1 >= 1)
+        val monotone = all.groupBy(e => (e._2, e._3)).values.forall { es =>
+          val ms = es.sortBy(_._1).map(_._4)
+          ms.zip(ms.drop(1)).forall { case (a, b) => a <= b }
+        }
+        val finals = all.groupBy(e => (e._2, e._3)).map { case (k, es) =>
+          (k._1, k._2, es.maxBy(_._1)._4)
+        }.toSeq
+        import s.implicits._
+        finals.toDF("w_start", "bucket", "m")
+          .groupBy("w_start")
+          .agg(count(lit(1)).cast("long").as("n_buckets"),
+            sum("m").cast("long").as("sum_m"),
+            max("m").cast("long").as("max_m"))
+          .withColumn("monotone_ok", lit(monotone))
+          .withColumn("late_dropped", lit(lateDropped))
+          .transform(graft.QueryUtil.orderedSmall(_, col("w_start")))
+      },
+      Some("""WITH ontime AS (
+             |  -- stale docs 40-49 never land: update mode drops rows
+             |  -- older than the watermark; unlike append mode (q186),
+             |  -- EVERY on-time window appears — no emission cutoff
+             |  SELECT doc_id, 1000000000 + 30 * doc_id AS ts
+             |  FROM documents
+             |  WHERE doc_id < 60 AND doc_id NOT BETWEEN 40 AND 49
+             |), h AS (
+             |  SELECT ts, md5(CAST(doc_id AS VARCHAR)) AS hx FROM ontime
+             |), zt AS (
+             |  SELECT ts, hx,
+             |    length(regexp_extract(substr(hx, 3, 13), '^0*')) AS z
+             |  FROM h
+             |), br AS (
+             |  SELECT (ts // 120 * 120)::BIGINT AS w_start,
+             |    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+             |      + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1
+             |      AS bucket,
+             |    CASE WHEN z = 13 THEN 53
+             |      ELSE 4 * z + CASE WHEN dv >= 8 THEN 0
+             |        WHEN dv >= 4 THEN 1 WHEN dv >= 2 THEN 2 ELSE 3 END
+             |        + 1 END AS rho
+             |  FROM (SELECT ts, hx, z,
+             |          strpos('0123456789abcdef', substr(hx, 3 + z, 1))
+             |            - 1 AS dv
+             |        FROM zt)
+             |), regs AS (
+             |  SELECT w_start, bucket, MAX(rho) AS m FROM br GROUP BY 1, 2
+             |)
+             |SELECT w_start, COUNT(*)::BIGINT AS n_buckets,
+             |  SUM(m)::BIGINT AS sum_m, MAX(m)::BIGINT AS max_m,
+             |  -- computed Spark-side from the captured per-batch
+             |  -- emissions; hash-match forces them to equal TRUE
+             |  TRUE AS monotone_ok, TRUE AS late_dropped
+             |FROM regs GROUP BY w_start
+             |ORDER BY w_start""".stripMargin),
+    ),
+    QueryDef(
+      "q197_stream_multipass",
+      (s, dir) => {
+        // The 4-permuted-pass near-dup COMPOSITION (previously only
+        // documented at Streaming.nearDupStream) gated end-to-end: four
+        // streaming passes over the same mtime-ordered replay, each
+        // bucketing on a disjoint 4-char signature band (0/4/8/12), each
+        // with its own state store; min-combining their verdicts equals
+        // the full-hamming batch answer by pigeonhole (<= 3 differing
+        // chars over 4 disjoint bands leaves some band identical) — the
+        // oracle recomputes simhash16 from md5 hex digits (q184 idiom)
+        // and takes each doc's EARLIEST prior within hamming 3 via a
+        // quadratic join, so recall is proven, not sampled. The corpus
+        // plants near-dup structure: groups of 4 docs share 24 base
+        // tokens with one position mutated per variant.
+        import org.apache.spark.sql.streaming.Trigger
+        val base = T(s, dir, "documents")
+          .filter(col("doc_id") < 80)
+          .withColumn("grp", (col("doc_id") / 4).cast("long") * 4)
+        val toks = T(s, dir, "documents")
+          .filter(col("doc_id") < 80 && col("doc_id") % 4 === 0)
+          .select(col("doc_id").as("grp"), expr(
+            """filter(transform(
+              |  slice(split(trim(lower(text)), '\\s+'), 1, 24),
+              |  t -> regexp_replace(t, '[^a-z0-9]', '')), x -> x != '')
+              |""".stripMargin).as("toks"))
+        val staged = base.join(toks, "grp")
+          .withColumn("p", (col("doc_id") % 4).cast("int"))
+          .select(col("doc_id"), expr(
+            """array_join(CASE WHEN p = 0 THEN toks ELSE
+              |  concat(slice(toks, 1, p * 4 - 1), array('mutx'),
+              |         slice(toks, p * 4 + 1,
+              |               greatest(size(toks) - p * 4, 0)))
+              |END, ' ')""".stripMargin).as("text"))
+        val stage = java.nio.file.Files.createTempDirectory("q197_in")
+        (0 until 4).foreach { k =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory(s"q197_b$k").toString
+          staged.filter(col("doc_id") >= k * 20 &&
+              col("doc_id") < (k + 1) * 20)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = stage.resolve(f"b$k%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1_200_000_000_000L + k * 60_000L))
+        }
+        val passes = Seq(0, 4, 8, 12).map { r =>
+          val stream = s.readStream
+            .schema(s.read.parquet(stage.toString).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage.toString)
+          val verdicts = graft.streaming.Streaming.nearDupStream(
+            stream, "doc_id", "text", maxHamming = 3,
+            bucketFrom = r, bucketLen = 4)
+          val qname = s"q197_mem_${r}_" +
+            java.util.UUID.randomUUID().toString.replace("-", "")
+          val ck = java.nio.file.Files
+            .createTempDirectory(s"q197_ck$r").toString
+          val sq = verdicts.toDF().writeStream.format("memory")
+            .queryName(qname).outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow()).start()
+          sq.awaitTermination()
+          s.table(qname).select(col("doc_id"), col("simhash"),
+            col("dup_of"))
+        }
+        passes.reduce(_.union(_))
+          .groupBy("doc_id")
+          .agg(first("simhash").as("sig"),
+            min(when(col("dup_of") =!= -1L, col("dup_of"))).as("hit"))
+          .select(col("doc_id"), col("sig"),
+            col("hit").isNotNull.as("is_dup"),
+            coalesce(col("hit"), lit(-1L)).as("dup_of"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id AS grp, list_filter(list_transform(
+             |      list_slice(string_split_regex(trim(lower(text)), '\s+'),
+             |                 1, 24),
+             |      t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+             |    x -> x <> '') AS toks
+             |  FROM documents WHERE doc_id < 80 AND doc_id % 4 = 0
+             |), st AS (
+             |  SELECT d.doc_id,
+             |    CASE WHEN d.doc_id % 4 = 0 THEN t.toks
+             |         ELSE list_concat(list_concat(
+             |           t.toks[1:(d.doc_id % 4) * 4 - 1], ['mutx']),
+             |           t.toks[(d.doc_id % 4) * 4 + 1:len(t.toks)])
+             |    END AS toks
+             |  FROM documents d
+             |  JOIN t ON t.grp = (d.doc_id // 4) * 4
+             |  WHERE d.doc_id < 80
+             |), tok AS (
+             |  SELECT doc_id, unnest(toks) AS tk FROM st
+             |), bit AS (
+             |  SELECT doc_id, g.i,
+             |    CASE WHEN sum(CASE WHEN substr(md5(tk), g.i::INT, 1) >= '8'
+             |                       THEN 1 ELSE -1 END) > 0
+             |         THEN '1' ELSE '0' END AS b
+             |  FROM tok, generate_series(1, 16) AS g(i)
+             |  GROUP BY doc_id, g.i
+             |), sg AS (
+             |  SELECT doc_id, string_agg(b, '' ORDER BY i) AS sig
+             |  FROM bit GROUP BY doc_id
+             |), prior AS (
+             |  -- earliest prior within hamming 3 — the full-hamming
+             |  -- batch answer the 4-band composition must equal
+             |  SELECT a.doc_id, MIN(b.doc_id) AS hit
+             |  FROM sg a JOIN sg b ON b.doc_id < a.doc_id
+             |  WHERE (SELECT SUM(CASE WHEN substr(a.sig, g.i::INT, 1)
+             |                         <> substr(b.sig, g.i::INT, 1)
+             |                    THEN 1 ELSE 0 END)
+             |         FROM generate_series(1, 16) AS g(i)) <= 3
+             |  GROUP BY a.doc_id
+             |)
+             |SELECT s.doc_id, s.sig, p.hit IS NOT NULL AS is_dup,
+             |  coalesce(p.hit, -1)::BIGINT AS dup_of
+             |FROM sg s LEFT JOIN prior p ON p.doc_id = s.doc_id
+             |ORDER BY s.doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

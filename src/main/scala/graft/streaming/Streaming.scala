@@ -145,15 +145,19 @@ object Streaming {
     *
     * Scale/fidelity contract: state is O(buckets × maxPerBucket), keyed
     * shuffle only. Bucketing is the single-pass approximation — a pair
-    * whose differing bits fall inside the 8-bit prefix lands in different
-    * buckets and is missed; the pigeonhole-exact path is the BATCH banded
-    * LSH join (q33/q35), and a production stream would run 4 permuted
-    * passes of this operator to recover the guarantee (documented, not
-    * stacked here: multiple stateful operators in one streaming query are
-    * restricted in append mode).
+    * whose differing bits fall inside the bucket band lands in different
+    * buckets and is missed. The pigeonhole-exact composition runs FOUR
+    * passes of this operator with disjoint 4-char bands (`bucketFrom` =
+    * 0/4/8/12, `bucketLen` = 4): any pair within 3 signature chars has
+    * an identical band, so min-combining the passes' verdicts equals the
+    * batch banded-LSH answer exactly — gated end-to-end by q197 against
+    * a full-hamming SQL oracle. Multiple stateful operators can't stack
+    * in one append-mode query, so the passes run as separate streams
+    * over the same source and combine in batch.
     */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, maxPerBucket: Int = 10000): Dataset[NearDupVerdict] = {
+      maxHamming: Int, maxPerBucket: Int = 10000,
+      bucketFrom: Int = 0, bucketLen: Int = 8): Dataset[NearDupVerdict] = {
     val spark = docs.sparkSession
     import spark.implicits._
     def hamming(a: String, b: String): Int =
@@ -163,7 +167,7 @@ object Streaming {
           split(lower(col(textCol)), "\\s+")).as("sig"))
       .as[(Long, String)]
     withSig
-      .groupByKey(_._2.substring(0, 8))
+      .groupByKey(_._2.substring(bucketFrom, bucketFrom + bucketLen))
       .flatMapGroupsWithState[List[(String, Long)], NearDupVerdict](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: String, rows: Iterator[(Long, String)],
