@@ -119,11 +119,22 @@ final case class Query(df: DataFrame, keyCols: Seq[String]) {
     val withS = df.select(
       (df.columns.map(col) ++ stratifyBy.zip(sCols).map { case (e, n) => e.as(n) }): _*)
     val key = sampleKey(seed)
+    // (r13 profile note: replacing the _sk string sort key with its
+    // exact numeric decomposition — 2+15+15 hex as bucket + two longs —
+    // was tested at 60M rows and NOT kept: Spark's 8-byte sort prefix
+    // already resolves most string comparisons, and the three conv()
+    // evaluations per row offset the narrower shuffle.)
     val keyed = withS.withColumn("_sk", key)
       .withColumn("_sb", conv(substring(col("_sk"), 1, 2), 16, 10).cast("int"))
     val wLocal = Window.partitionBy((sCols :+ "_sb").map(col): _*).orderBy(col("_sk"))
     val ranked = keyed.withColumn("_lr", row_number().over(wLocal).cast("long"))
-    // tiny: |strata| × 256 rows; prefix offsets + totals windowed over it
+    // tiny: |strata| × 256 rows; a SEPARATE column-pruned pass (key +
+    // strata columns only — parquet reads nothing else) with map-side
+    // partial aggregation, so its shuffle is 256·|strata| rows per
+    // upstream partition, never the table. (Deriving counts from the
+    // ranked side instead was profiled in r13 and is WORSE: column
+    // pruning makes the two exchanges non-identical, ReuseExchange
+    // cannot fire, and the tiny side inherits a full-width shuffle.)
     val counts = keyed.groupBy((sCols :+ "_sb").map(col): _*)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("_bc"))
     val wOff = Window.partitionBy(sCols.map(col): _*).orderBy(col("_sb"))
@@ -136,8 +147,13 @@ final case class Query(df: DataFrame, keyCols: Seq[String]) {
       .select((sCols :+ "_sb").map(col) ++ Seq(col("_off"), col("_tot")): _*)
     // null-safe equi-join (strata values may be null, reference joins with
     // IS NOT DISTINCT FROM); the counts side is broadcast-size by design
+    // _sb is null-safe-joined although it can never be null (md5 of a
+    // concat_ws is non-null): a plain equi-join makes Catalyst push an
+    // inferred isnotnull(_sb) filter BELOW the window projection, where
+    // it inlines and re-evaluates md5 a second time for every row of
+    // the big side (profiled r13: 3 → 2 md5 evals per row)
     val joinCond = (sCols.map(c => ranked(c) <=> offs(c)) :+
-      (ranked("_sb") === offs("_sb"))).reduce(_ && _)
+      (ranked("_sb") <=> offs("_sb"))).reduce(_ && _)
     val out = ranked.join(broadcast(offs), joinCond)
       .filter(col("_off") + col("_lr") <=
         ceil(lit(fraction) * col("_tot")).cast("long"))

@@ -115,7 +115,10 @@ object ScaleCheck {
     // optional trailing query names: probe a subset (e.g. the 100x depth
     // run over the cheapest map-only/one-shuffle shapes)
     val toRun = if (args.length > 2) args.drop(2).toSeq else Queries
-    val bigDir = s"/tmp/graft_scale_${mult}x"
+    // keyed by BASE as well as mult: a replica built from sf0.01 must
+    // never silently serve an sf0.1 probe (r13 found exactly that —
+    // r12's q109 "100x" figure was measured against a 6M-row leftover)
+    val bigDir = s"/tmp/graft_scale_${new java.io.File(base).getName}_${mult}x"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

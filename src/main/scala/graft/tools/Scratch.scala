@@ -2,44 +2,69 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{Skew, ZOrder}
 
-/** Throwaway z-order layout probe (delete freely). */
+/** Throwaway q109 (stratified-fraction sample) profiler: per-stage wall
+  * breakdown + plan-shape counters (md5 evaluations, exchanges) at a
+  * chosen input scale (delete freely).
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(1)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-    val df = (1L to 200000L).map(i => (i, (i * 48271L) % 200003L, s"p$i"))
-      .toDF("x", "y", "v")
-    val dir = "/tmp/zprobe"
-    ZOrder.cluster(df.repartition(64), Seq("x", "y"), numBuckets = 256,
-        partitions = 64)
-      .write.mode("overwrite").parquet(s"$dir/zorder")
-    Skew.clusterForPruning(df.repartition(64), "x")
-      .write.mode("overwrite").parquet(s"$dir/xonly")
-    // report per-file x/y min-max for the first few z files
-    val zfiles = new java.io.File(s"$dir/zorder").listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).take(6)
-    zfiles.foreach { f =>
-      val r = spark.read.parquet(f.getAbsolutePath)
-        .agg(min("x"), max("x"), min("y"), max("y")).collect().head
-      println(s"[scratch] ${f.getName.take(12)} x=[${r.get(0)},${r.get(1)}] y=[${r.get(2)},${r.get(3)}]")
+    val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val df =
+      if (scale == 1) base
+      else if (scale == -1) // pre-built replica dir (real file scan)
+        spark.read.parquet("/tmp/graft_scale_100x/lineitem.parquet")
+      else (0 until scale).map(i => base.withColumn("l_orderkey",
+        col("l_orderkey") + lit(i.toLong * 100000000L)))
+        .reduce(_.union(_))
+    println(s"[scratch] rows = ${df.count()} (scale $scale)")
+    def time[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
     }
-    def filesRead(path: String, c: String, v: Long): Long = {
-      val scan = spark.read.parquet(path).filter(col(c) === v)
-      scan.collect()
-      val leaf = scan.queryExecution.executedPlan.collectLeaves().head
-      leaf.metrics.get("numFiles").map(_.value).getOrElse(-1L)
-    }
-    println(s"[scratch] zorder x-filter files=${filesRead(s"$dir/zorder", "x", 123456L)}")
-    println(s"[scratch] zorder y-filter files=${filesRead(s"$dir/zorder", "y", 123456L)}")
-    println(s"[scratch] xonly x-filter files=${filesRead(s"$dir/xonly", "x", 123456L)}")
-    println(s"[scratch] xonly y-filter files=${filesRead(s"$dir/xonly", "y", 123456L)}")
+    val q = graft.api.Query(df, Seq("l_orderkey", "l_linenumber"))
+      .sampleStratifiedFraction(0.1, Seq(col("l_returnflag")), seed = 7).df
+    def noop(d: org.apache.spark.sql.DataFrame): Unit =
+      d.write.format("noop").mode("overwrite").save()
+    time("full sample (run 1)")(noop(q))
+    time("full sample (run 2)")(noop(q))
+    time("full sample (run 3)")(noop(q))
+    val plan = q.queryExecution.executedPlan.toString
+    println(s"[scratch] reused exchanges: " +
+      "ReusedExchange".r.findAllIn(plan).length)
+    println(s"[scratch] plan:\n" + plan.linesIterator.map(l =>
+      "[scratch]   " + l.take(110)).mkString("\n"))
+    println(s"[scratch] md5 mentions in plan: " +
+      "md5".r.findAllIn(plan).length)
+    println(s"[scratch] exchanges: " +
+      "Exchange".r.findAllIn(plan).length)
+    println(s"[scratch] scans: " +
+      "Scan parquet".r.findAllIn(plan).length)
+    // stage isolation
+    val key = md5(concat_ws("___", lit("7"), col("l_orderkey").cast("string"),
+      col("l_linenumber").cast("string")))
+    val keyed = df.withColumn("_sk", key)
+      .withColumn("_sb", conv(substring(col("_sk"), 1, 2), 16, 10).cast("int"))
+    time("scan+md5 only")(keyed.select(max("_sb")).collect())
+    time("counts agg only")(
+      keyed.groupBy(col("l_returnflag"), col("_sb"))
+        .agg(count(lit(1))).collect())
+    import org.apache.spark.sql.expressions.Window
+    val wLocal = Window.partitionBy(col("l_returnflag"), col("_sb"))
+      .orderBy(col("_sk"))
+    time("window rank only")(
+      keyed.withColumn("_lr", row_number().over(wLocal))
+        .select(max("_lr")).collect())
     spark.stop()
   }
 }
