@@ -722,6 +722,35 @@ object Vorbis {
   private val windowCache =
     new java.util.concurrent.ConcurrentHashMap[Int, Array[Float]]()
 
+  /** Rising lap slope of length L (§4.3.9): the first half of the
+    * full-size window generalized to any lap length —
+    * s(j) = sin(π/2 · sin²(π(j+0.5)/(2L))).
+    */
+  def slope(j: Int, L: Int): Float = {
+    val s = math.sin(math.Pi * (j + 0.5) / (2 * L))
+    math.sin(math.Pi / 2 * s * s).toFloat
+  }
+
+  /** §4.3.8 piecewise window in place: zero before `leftStart`, rising
+    * slope over [leftStart, leftEnd), 1 over [leftEnd, rightStart),
+    * falling slope over [rightStart, rightEnd), zero after. A
+    * fixed-blocksize frame (ls=0, le=n/2, rs=n/2, re=n) reproduces
+    * `window(n)` exactly; a long block next to a short one uses the
+    * SHORT slope centered in its half.
+    */
+  def applyPiecewiseWindow(y: Array[Float], leftStart: Int, leftEnd: Int,
+      rightStart: Int, rightEnd: Int): Unit = {
+    val n = y.length
+    val lLen = leftEnd - leftStart
+    val rLen = rightEnd - rightStart
+    var i = 0
+    while (i < leftStart) { y(i) = 0f; i += 1 }
+    while (i < leftEnd) { y(i) *= slope(i - leftStart, lLen); i += 1 }
+    i = rightStart
+    while (i < rightEnd) { y(i) *= slope(rightEnd - 1 - i, rLen); i += 1 }
+    while (i < n) { y(i) = 0f; i += 1 }
+  }
+
   /** §4.3.6 inverse MDCT, exactly the spec formula:
     * y(j) = Σ_{k<n/2} X(k)·cos(π/(2n)·(2j+1+n/2)·(2k+1)). Direct
     * evaluation over a cached cos table — O(n²) per block, cached
@@ -751,15 +780,22 @@ object Vorbis {
     * VorbisSpec).
     */
   def mdct(frame: Array[Float], n: Int): Array[Float] = {
-    val n2 = n / 2
     val w = window(n)
+    mdctRaw(Array.tabulate(n)(j => w(j) * frame(j)), n)
+  }
+
+  /** Forward MDCT of an ALREADY-WINDOWED frame (mixed-blocksize
+    * analysis applies the piecewise window first).
+    */
+  def mdctRaw(windowed: Array[Float], n: Int): Array[Float] = {
+    val n2 = n / 2
     val tab = cosTable(n)
     val out = new Array[Float](n2)
     var k = 0
     while (k < n2) {
       var acc = 0.0
       var j = 0
-      while (j < n) { acc += w(j) * frame(j) * tab(j)(k); j += 1 }
+      while (j < n) { acc += windowed(j) * tab(j)(k); j += 1 }
       out(k) = (4.0 / n * acc).toFloat
       k += 1
     }
@@ -802,10 +838,23 @@ object Vorbis {
         val modeN = br.readBits(ilog(setup.modes.length - 1))
         val mode = setup.modes(modeN)
         val n = if (mode.blockflag == 1) info.blocksize1 else info.blocksize0
-        if (mode.blockflag == 1 && info.blocksize0 != info.blocksize1) {
-          br.readBit(); br.readBit() // prev/next window shape flags
+        var prevFlag = 1
+        var nextFlag = 1
+        if (mode.blockflag == 1) {
+          // window shape flags (§4.3.1): 0 = the adjacent block is
+          // short, so that lap uses the SHORT slope centered in this
+          // half (§4.3.8)
+          prevFlag = br.readBit()
+          nextFlag = br.readBit()
         }
         val n2 = n / 2
+        val n0 = info.blocksize0
+        val isLong = mode.blockflag == 1 && n != n0
+        val leftStart = if (isLong && prevFlag == 0) (n - n0) / 4 else 0
+        val leftEnd = if (isLong && prevFlag == 0) (n + n0) / 4 else n2
+        val rightStart =
+          if (isLong && nextFlag == 0) (3 * n - n0) / 4 else n2
+        val rightEnd = if (isLong && nextFlag == 0) (3 * n + n0) / 4 else n
         val mapping = setup.mappings(mode.mapping)
         // floors
         val floorCurves = new Array[Option[Array[Float]]](ch)
@@ -868,8 +917,10 @@ object Vorbis {
           }
           j += 1
         }
-        // dot product + IMDCT + window + overlap-add
-        val w = window(n)
+        // dot product + IMDCT + piecewise window + overlap-add
+        // (§4.3.8: add the previous frame's saved tail at this frame's
+        // left lap; finished samples span [leftStart, rightStart); the
+        // new tail is [rightStart, rightEnd))
         val rights = new Array[Array[Float]](ch)
         j = 0
         while (j < ch) {
@@ -881,17 +932,18 @@ object Vorbis {
             case None => // spectral zeros
           }
           val y = imdct(spec, n)
-          var i = 0
-          while (i < n) { y(i) *= w(i); i += 1 }
+          applyPiecewiseWindow(y, leftStart, leftEnd, rightStart, rightEnd)
           if (prevRight != null) {
-            // fixed-blocksize lap (the encoder twin's shape); mixed
-            // sizes overlap the shorter region centered in the longer
             val pr = prevRight(j)
-            val lap = math.min(pr.length, n2)
             var k = 0
-            while (k < lap) { pcmOut(j) += pr(k) + y(k); k += 1 }
+            while (k < pr.length && leftStart + k < n) {
+              y(leftStart + k) += pr(k)
+              k += 1
+            }
+            k = leftStart
+            while (k < rightStart) { pcmOut(j) += y(k); k += 1 }
           }
-          rights(j) = java.util.Arrays.copyOfRange(y, n2, n)
+          rights(j) = java.util.Arrays.copyOfRange(y, rightStart, rightEnd)
           j += 1
         }
         prevRight = rights
@@ -967,7 +1019,8 @@ object Vorbis {
   }
 
   /** Identification header packet. */
-  def identPacket(channels: Int, rate: Int): Array[Byte] = {
+  def identPacket(channels: Int, rate: Int, bs0Exp: Int = 8,
+      bs1Exp: Int = 8): Array[Byte] = {
     val bw = new BitWriter
     bw.writeBits(1, 8)
     "vorbis".getBytes("US-ASCII").foreach(b => bw.writeBits(b & 0xffL, 8))
@@ -975,8 +1028,8 @@ object Vorbis {
     bw.writeBits(channels, 8)
     bw.writeBits(rate.toLong, 32)
     bw.writeBits(0, 32); bw.writeBits(0, 32); bw.writeBits(0, 32)
-    bw.writeBits(8, 4) // blocksize_0 = 2^8
-    bw.writeBits(8, 4) // blocksize_1 = 2^8
+    bw.writeBits(bs0Exp, 4)
+    bw.writeBits(bs1Exp, 4)
     bw.writeBit(1) // framing
     bw.toBytes
   }
@@ -991,7 +1044,8 @@ object Vorbis {
     * (partition 8, class 0 = zero-cascade silence, class 1 = pass-0
     * coded), one mapping (square-polar coupled for stereo), one mode.
     */
-  def setupPacket(channels: Int, scale: Float): Array[Byte] = {
+  def setupPacket(channels: Int, scale: Float,
+      mixed: Boolean = false): Array[Byte] = {
     val bw = new BitWriter
     bw.writeBits(5, 8)
     "vorbis".getBytes("US-ASCII").foreach(b => bw.writeBits(b & 0xffL, 8))
@@ -1036,11 +1090,16 @@ object Vorbis {
     bw.writeBits(0, 8) // time config (discarded)
     bw.writeBits(0, 8) // floor 0
     bw.writeBits(0, 8) // residue 0
-    // ---- mode
-    bw.writeBits(0, 6) // mode_count - 1
+    // ---- modes: mode 0 short; with `mixed`, mode 1 long (same mapping)
+    bw.writeBits(if (mixed) 1 else 0, 6) // mode_count - 1
     bw.writeBit(0) // blockflag
     bw.writeBits(0, 16); bw.writeBits(0, 16) // window/transform type
     bw.writeBits(0, 8) // mapping
+    if (mixed) {
+      bw.writeBit(1) // blockflag (long)
+      bw.writeBits(0, 16); bw.writeBits(0, 16)
+      bw.writeBits(0, 8)
+    }
     bw.writeBit(1) // framing
     bw.toBytes
   }
@@ -1051,14 +1110,20 @@ object Vorbis {
     * Partitions that are all-zero take class 0 and cost no value
     * codewords — the real-Vorbis silence shape.
     */
-  def audioPacket(channels: Int, coded: Array[Int], scale: Float = 1f):
-      Array[Byte] = {
+  def audioPacket(channels: Int, coded: Array[Int], scale: Float = 1f,
+      nModes: Int = 1, blockflag: Int = 0, prevFlag: Int = 1,
+      nextFlag: Int = 1): Array[Byte] = {
     require(coded.length == channels * N2, "coded vector size mismatch")
     require(coded.forall(v => v >= -4 && v <= 4), "coded value off-grid")
     val (classbook, valueBook) = twinBooks(scale)
     val bw = new BitWriter
     bw.writeBit(0) // audio packet
-    // mode number: ilog(0) = 0 bits
+    // mode number (mode index == blockflag in the twin's mode table);
+    // long blocks carry the two window-shape flags (§4.3.1)
+    if (nModes > 1) {
+      bw.writeBits(blockflag, ilog(nModes - 1))
+      if (blockflag == 1) { bw.writeBit(prevFlag); bw.writeBit(nextFlag) }
+    }
     var c = 0
     while (c < channels) { // floor per channel: flat at exactly 1.0
       bw.writeBit(1) // nonzero

@@ -245,6 +245,116 @@ class VorbisSpec extends AnyFunSuite {
     }
   }
 
+  private def lapGeom(blockflag: Int, prevFlag: Int, nextFlag: Int,
+      n: Int, n0: Int): (Int, Int, Int, Int) = {
+    val isLong = blockflag == 1 && n != n0
+    (if (isLong && prevFlag == 0) (n - n0) / 4 else 0,
+      if (isLong && prevFlag == 0) (n + n0) / 4 else n / 2,
+      if (isLong && nextFlag == 0) (3 * n - n0) / 4 else n / 2,
+      if (isLong && nextFlag == 0) (3 * n + n0) / 4 else n)
+  }
+
+  test("mixed long/short blocks: exact dual-path decode equality") {
+    // schedule exercises all four flag cases: S S L(p0,n1) L(p1,n0) S L
+    val n0 = 256; val n1 = 1024
+    val flags = Seq(0, 0, 1, 1, 0, 1)
+    val rnd = new scala.util.Random(5)
+    val coded = flags.indices.map(_ =>
+      Array.tabulate(128)(i => rnd.nextInt(9) - 4))
+    val pkts = Seq(Vorbis.identPacket(1, 8000, 8, 10),
+      Vorbis.commentPacket(Nil), Vorbis.setupPacket(1, 1f, mixed = true)) ++
+      flags.zipWithIndex.map { case (bf, t) =>
+        val pf = if (t == 0) 1 else flags(t - 1)
+        val nf = if (t == flags.length - 1) 1 else flags(t + 1)
+        Vorbis.audioPacket(1, coded(t), 1f, nModes = 2, blockflag = bf,
+          prevFlag = pf, nextFlag = nf)
+      }
+    val d = Vorbis.decode(pkts)
+    assert(d.info.blocksize0 == n0 && d.info.blocksize1 == n1)
+    // independent synthesis: same spectra, §4.3.8 lap arithmetic inline
+    val out = scala.collection.mutable.ArrayBuffer.empty[Float]
+    var prevTail: Array[Float] = null
+    flags.zipWithIndex.foreach { case (bf, t) =>
+      val n = if (bf == 1) n1 else n0
+      val pf = if (t == 0) 1 else flags(t - 1)
+      val nf = if (t == flags.length - 1) 1 else flags(t + 1)
+      val (ls, le, rs, re) = lapGeom(bf, pf, nf, n, n0)
+      val spec = new Array[Float](n / 2)
+      (0 until 128).foreach(i => spec(i) = coded(t)(i).toFloat)
+      val y = Vorbis.imdct(spec, n)
+      Vorbis.applyPiecewiseWindow(y, ls, le, rs, re)
+      if (prevTail != null) {
+        prevTail.indices.foreach(k => y(ls + k) += prevTail(k))
+        (ls until rs).foreach(k => out += y(k))
+      }
+      prevTail = java.util.Arrays.copyOfRange(y, rs, re)
+    }
+    val outArr: Array[Float] = out.toArray
+    assert(d.pcm(0).length == outArr.length)
+    assert(d.pcm(0).sameElements(outArr),
+      "bitstream decode must equal direct synthesis bit-for-bit")
+    // residue integers still exact through the mixed-mode packets
+    assert(d.residueSums(0) == coded.map(_.map(_.toLong).sum).sum)
+  }
+
+  test("mixed-blocksize TDAC: analysis + bitstream round-trip on a tone") {
+    val n0 = 256; val n1 = 1024
+    val flags = Seq(0, 0, 1, 1, 1, 0, 0, 1, 0, 0, 1, 1, 0, 1, 0, 0)
+    val rate = 8000
+    val freq = 328.125 // bin-centered for n0; low enough for bin<128 in n1
+    // frame offsets per the lap law: o(t+1) = o(t) + rs(t) - ls(t+1)
+    val geom = flags.indices.map { t =>
+      val bf = flags(t)
+      val n = if (bf == 1) n1 else n0
+      val pf = if (t == 0) 1 else flags(t - 1)
+      val nf = if (t == flags.length - 1) 1 else flags(t + 1)
+      (n, lapGeom(bf, pf, nf, n, n0))
+    }
+    val offsets = geom.indices.scanLeft(0) { (o, t) =>
+      if (t == geom.length - 1) o
+      else o + geom(t)._2._3 - geom(t + 1)._2._1
+    }
+    val total = offsets.last + geom.last._1
+    val src = Array.tabulate(total)(i =>
+      (0.4 * math.sin(2 * math.Pi * freq * i / rate)).toFloat)
+    // analysis: piecewise-window each frame, MDCT, quantize to the grid
+    val specs = geom.zipWithIndex.map { case ((n, (ls, le, rs, re)), t) =>
+      val fr = Array.tabulate(n) { j =>
+        val s = offsets(t) + j
+        if (s >= 0 && s < total) src(s) else 0f
+      }
+      Vorbis.applyPiecewiseWindow(fr, ls, le, rs, re)
+      Vorbis.mdctRaw(fr, n)
+    }
+    val peak = specs.flatMap(_.take(128)).map(math.abs).max
+    val scale = math.pow(2.0,
+      math.ceil(math.log(peak / 4.0) / math.log(2.0))).toFloat
+    val pkts = Seq(Vorbis.identPacket(1, rate, 8, 10),
+      Vorbis.commentPacket(Nil),
+      Vorbis.setupPacket(1, scale, mixed = true)) ++
+      specs.zipWithIndex.map { case (sp, t) =>
+        val q = Array.tabulate(128)(i =>
+          math.max(-4, math.min(4, math.round(sp(i) / scale))))
+        val pf = if (t == 0) 1 else flags(t - 1)
+        val nf = if (t == flags.length - 1) 1 else flags(t + 1)
+        Vorbis.audioPacket(1, q, scale, nModes = 2, blockflag = flags(t),
+          prevFlag = pf, nextFlag = nf)
+      }
+    val d = Vorbis.decode(pkts)
+    val out = d.pcm(0)
+    // decoded sample i corresponds to src[firstEmit + i]
+    val firstEmit = offsets(1) + geom(1)._2._1
+    // interior comparison (skip the unprimed head and trailing pad)
+    val n = math.min(out.length, total - firstEmit) - n1
+    assert(n > 2000, s"too few comparable samples: $n")
+    val err = (0 until n).map(i =>
+      math.abs(out(i) - src(firstEmit + i))).max
+    assert(err < 0.25f, s"mixed-block reconstruction error $err")
+    val rms = math.sqrt(
+      (0 until n).map(i => out(i) * out(i).toDouble).sum / n)
+    assert(rms > 0.2 && rms < 0.4, s"rms $rms")
+  }
+
   test("whisper transcription consumes compressed vorbis audio") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
