@@ -42,7 +42,9 @@ import org.apache.spark.sql.functions.{lit, udf}
   * JBIG2 symbol-dictionary (globals) streams render as a skip and are
   * named in the page's `unsupported` list. Scanned bi-level images
   * decode for real: CCITT G3/G4 via `CcittFax`, JBIG2 generic regions
-  * (all templates, TPGDON) via `Jbig2`.
+  * (all templates, TPGDON) via `Jbig2`. Tiling patterns tile under
+  * ARBITRARY matrices (rotation/shear via `TiledPatternPaint`); the
+  * remaining radial approximation (r0 > 0, anisotropy) stays noted.
   */
 object PdfRender {
 
@@ -882,6 +884,62 @@ object PdfRender {
     Some(out)
   }
 
+  /** Custom Paint tiling a PATTERN-SPACE cell raster under an ARBITRARY
+    * pattern→device transform: each device pixel inverse-maps into
+    * pattern space, wraps modulo (XStep, YStep) and samples the cell
+    * (rendered y-up at `res` device px per pattern unit). TexturePaint
+    * only tiles axis-aligned rectangles; this closes rotated/sheared
+    * tiling matrices.
+    */
+  private final class TiledPatternPaint(tile: BufferedImage, xs: Double,
+      ys: Double, res: Double, patToDev: AffineTransform)
+      extends java.awt.Paint {
+    def getTransparency: Int = java.awt.Transparency.TRANSLUCENT
+    def createContext(cm: java.awt.image.ColorModel,
+        deviceBounds: java.awt.Rectangle,
+        userBounds: java.awt.geom.Rectangle2D,
+        xform: AffineTransform,
+        hints: RenderingHints): java.awt.PaintContext = {
+      val full = new AffineTransform(xform)
+      full.concatenate(patToDev)
+      val inv =
+        try full.createInverse()
+        catch {
+          case _: java.awt.geom.NoninvertibleTransformException =>
+            new AffineTransform()
+        }
+      new java.awt.PaintContext {
+        private val model = java.awt.image.ColorModel.getRGBdefault
+        def dispose(): Unit = ()
+        def getColorModel: java.awt.image.ColorModel = model
+        def getRaster(x: Int, y: Int, w: Int,
+            h: Int): java.awt.image.Raster = {
+          val out = model.createCompatibleWritableRaster(w, h)
+          val data = new Array[Int](w * h)
+          val p = new java.awt.geom.Point2D.Double()
+          var j = 0
+          while (j < h) {
+            var i = 0
+            while (i < w) {
+              p.setLocation(x + i + 0.5, y + j + 0.5)
+              inv.transform(p, p)
+              var u = p.getX % xs; if (u < 0) u += xs
+              var v = p.getY % ys; if (v < 0) v += ys
+              val tx = math.min(tile.getWidth - 1, (u * res).toInt)
+              val ty = math.max(0, math.min(tile.getHeight - 1,
+                tile.getHeight - 1 - (v * res).toInt))
+              data(j * w + i) = tile.getRGB(tx, ty)
+              i += 1
+            }
+            j += 1
+          }
+          out.setDataElements(0, 0, w, h, data)
+          out
+        }
+      }
+    }
+  }
+
   // ===================== graphics state =====================
 
   private final class GState {
@@ -1386,12 +1444,16 @@ object PdfRender {
     val frc = new java.awt.font.FontRenderContext(null, true, true)
 
     /** `/Pattern` entry → AWT paint. Tiling (PatternType 1): the cell
-      * content renders through THIS interpreter into an offscreen tile,
-      * anchored in device space (axis-aligned pattern matrices only —
-      * TexturePaint cannot rotate; rotated patterns degrade to a named
-      * skip). Shading (PatternType 2): gradient paint via shadingPaint.
-      * Pattern space anchors to the PAGE's default space (st.baseCtm),
-      * independent of the current CTM, per the spec.
+      * content renders through THIS interpreter into an offscreen tile.
+      * Axis-aligned pattern matrices use a device-anchored TexturePaint
+      * (fast path); ROTATED/SHEARED matrices use `TiledPatternPaint`, a
+      * custom java.awt.Paint whose context inverse-maps every device
+      * pixel into pattern space and samples a pattern-space cell raster
+      * with modular wraparound — closing the former
+      * "pattern-rotated-skipped" render skip. Shading (PatternType 2):
+      * gradient paint via shadingPaint. Pattern space anchors to the
+      * PAGE's default space (st.baseCtm), independent of the current
+      * CTM, per the spec.
       */
     def resolvePattern(nm: String): Option[java.awt.Paint] = {
       val (pd, cellBytes): (PDict, Option[Array[Byte]]) =
@@ -1415,6 +1477,60 @@ object PdfRender {
       }.getOrElse(new AffineTransform())
       val dTrans = new AffineTransform(st.baseCtm)
       dTrans.concatenate(mat)
+      def recolorStencil(tile: BufferedImage): Unit =
+        if (dNum(doc, pd, "PaintType", 1).toInt == 2) {
+          val rgb = st.fill.getRGB & 0xffffff
+          var y = 0
+          while (y < tile.getHeight) {
+            var x = 0
+            while (x < tile.getWidth) {
+              val a = tile.getRGB(x, y) >>> 24
+              tile.setRGB(x, y, (a << 24) | rgb)
+              x += 1
+            }
+            y += 1
+          }
+        }
+      def rotatedTilingPaint(content: Array[Byte]): Option[java.awt.Paint] = {
+        val bbox = dArr(doc, pd, "BBox").filter(_.length == 4)
+          .map(_.map(x => num(doc.resolve(x)))).getOrElse(return None)
+        val xs = dNum(doc, pd, "XStep", bbox(2) - bbox(0))
+        val ys = dNum(doc, pd, "YStep", bbox(3) - bbox(1))
+        // device px per pattern unit: the isotropic scale of dTrans
+        val s = math.sqrt(math.abs(dTrans.getDeterminant))
+        if (xs <= 0 || ys <= 0 || s <= 0) {
+          notes += "pattern-cell-skipped"
+          return None
+        }
+        val cellW = math.max(1, math.ceil(xs * s).toInt)
+        val cellH = math.max(1, math.ceil(ys * s).toInt)
+        if (cellW.toLong * cellH > (1 << 22)) {
+          notes += "pattern-cell-skipped"
+          return None
+        }
+        val tile = new BufferedImage(cellW, cellH,
+          BufferedImage.TYPE_INT_ARGB)
+        val cg = tile.createGraphics()
+        try {
+          cg.setRenderingHint(RenderingHints.KEY_ANTIALIASING,
+            RenderingHints.VALUE_ANTIALIAS_ON)
+          cg.setRenderingHint(RenderingHints.KEY_STROKE_CONTROL,
+            RenderingHints.VALUE_STROKE_PURE)
+          val cst = new GState
+          // pattern-space raster: (u,v) → (u·s, cellH − v·s), y-up → y-down
+          val cm2 = new AffineTransform()
+          cm2.translate(0, cellH)
+          cm2.scale(s, -s)
+          cst.ctm = cm2
+          cst.baseCtm = new AffineTransform(cm2)
+          val pres = dDict(doc, pd, "Resources").getOrElse(res)
+          execContent(content, pres, cg, cst, doc, depth + 1, budget,
+            notes)
+        } finally cg.dispose()
+        recolorStencil(tile)
+        Some(new TiledPatternPaint(tile, xs, ys, s,
+          new AffineTransform(dTrans)))
+      }
       dNum(doc, pd, "PatternType", 1).toInt match {
         case 2 =>
           dGet(doc, pd, "Shading") match {
@@ -1425,8 +1541,9 @@ object PdfRender {
           val content = cellBytes.getOrElse(return None)
           if (math.abs(dTrans.getShearX) > 1e-9 ||
             math.abs(dTrans.getShearY) > 1e-9) {
-            notes += "pattern-rotated-skipped"
-            return None
+            // rotated/sheared matrix: pattern-space cell raster sampled
+            // through the inverse device→pattern map per pixel
+            return rotatedTilingPaint(content)
           }
           val bbox = dArr(doc, pd, "BBox").filter(_.length == 4)
             .map(_.map(x => num(doc.resolve(x)))).getOrElse(return None)
@@ -1464,19 +1581,7 @@ object PdfRender {
           } finally cg.dispose()
           // PaintType 2 (uncolored): the cell is a stencil in the
           // CURRENT fill color; keep coverage, replace color
-          if (dNum(doc, pd, "PaintType", 1).toInt == 2) {
-            val rgb = st.fill.getRGB & 0xffffff
-            var y = 0
-            while (y < cellH) {
-              var x = 0
-              while (x < cellW) {
-                val a = tile.getRGB(x, y) >>> 24
-                tile.setRGB(x, y, (a << 24) | rgb)
-                x += 1
-              }
-              y += 1
-            }
-          }
+          recolorStencil(tile)
           Some(new java.awt.TexturePaint(tile,
             new java.awt.geom.Rectangle2D.Double(ax, ay, cellW, cellH)))
         case other =>

@@ -614,6 +614,49 @@ class PdfRenderSpec extends AnyFunSuite {
     assert(math.abs(((mid >> 16) & 0xff) - (mid & 0xff)) <= 8, "mid blend")
   }
 
+  test("ROTATED tiling pattern: 90-degree matrix paints exact pixels") {
+    // cell: black 6x2 rect at the cell origin of a 10x10 cell; pattern
+    // /Matrix [0 1 -1 0 20 0] rotates 90° — under rotation the rect
+    // covers 2x6 device pixels per tile, 4 tiles on a 20x20 page
+    val im = render(pdf { b =>
+      val pat = b.addStream(
+        "/PatternType 1 /PaintType 1 /TilingType 1 " +
+          "/BBox [0 0 10 10] /XStep 10 /YStep 10 /Resources << >> " +
+          "/Matrix [0 1 -1 0 20 0]",
+        "0 g 0 0 6 2 re f".getBytes("ISO-8859-1"))
+      b.addPage("/Pattern cs /P1 scn 0 0 20 20 re f", (20, 20),
+        s"/Pattern << /P1 $pat 0 R >>")
+    })
+    assert(count(im, Black) == 4 * 12, s"black=${count(im, Black)}")
+  }
+
+  test("ROTATED tiling pattern: arbitrary angle tiles with coverage") {
+    // 30° rotation: counts aren't closed-form at pixel granularity, but
+    // the former named skip must be gone and coverage must be periodic
+    // (roughly area-proportional: 12/100 of the page, wide tolerance)
+    val im = render(pdf { b =>
+      val pat = b.addStream(
+        "/PatternType 1 /PaintType 1 /TilingType 1 " +
+          "/BBox [0 0 10 10] /XStep 10 /YStep 10 /Resources << >> " +
+          "/Matrix [0.866 0.5 -0.5 0.866 10 0]",
+        "0 g 0 0 6 2 re f".getBytes("ISO-8859-1"))
+      b.addPage("/Pattern cs /P1 scn 0 0 40 40 re f", (40, 40),
+        s"/Pattern << /P1 $pat 0 R >>")
+    })
+    val black = count(im, Black)
+    assert(black > 100 && black < 300, s"black=$black (expect ~192)")
+    val pages = PdfRender.renderPageImages(pdf { b =>
+      val pat = b.addStream(
+        "/PatternType 1 /PaintType 1 /TilingType 1 " +
+          "/BBox [0 0 10 10] /XStep 10 /YStep 10 /Resources << >> " +
+          "/Matrix [0.866 0.5 -0.5 0.866 10 0]",
+        "0 g 0 0 6 2 re f".getBytes("ISO-8859-1"))
+      b.addPage("/Pattern cs /P1 scn 0 0 40 40 re f", (40, 40),
+        s"/Pattern << /P1 $pat 0 R >>")
+    })
+    assert(!pages.head.unsupported.exists(_.contains("pattern-rotated")))
+  }
+
   test("type 4 (PostScript calculator) shading function") {
     // f(t) = (t, 1-t, 0): green at the left end, red at the right
     val im = render(pdf { b =>
