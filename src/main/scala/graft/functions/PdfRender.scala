@@ -940,6 +940,86 @@ object PdfRender {
     }
   }
 
+  /** Exact PDF type-3 (radial) shading paint: per device pixel, the
+    * largest s with |p − c(s)| = r(s) where c(s) = c0 + s·(c1−c0) and
+    * r(s) = r0 + s·(r1−r0) — the closed-form quadratic of ISO 32000-1
+    * §8.7.4.5.4. s outside [0,1] honors /Extend (transparent when not
+    * extended); circles with r(s) < 0 never paint.
+    */
+  private final class RadialShadingPaint(c0x: Double, c0y: Double,
+      r0: Double, c1x: Double, c1y: Double, r1: Double,
+      lut: Array[Int], extend0: Boolean, extend1: Boolean)
+      extends java.awt.Paint {
+    def getTransparency: Int = java.awt.Transparency.TRANSLUCENT
+    def createContext(cm: java.awt.image.ColorModel,
+        deviceBounds: java.awt.Rectangle,
+        userBounds: java.awt.geom.Rectangle2D,
+        xform: AffineTransform,
+        hints: RenderingHints): java.awt.PaintContext = {
+      val inv =
+        try xform.createInverse()
+        catch {
+          case _: java.awt.geom.NoninvertibleTransformException =>
+            new AffineTransform()
+        }
+      val dcx = c1x - c0x
+      val dcy = c1y - c0y
+      val dr = r1 - r0
+      val a = dcx * dcx + dcy * dcy - dr * dr
+      new java.awt.PaintContext {
+        private val model = java.awt.image.ColorModel.getRGBdefault
+        def dispose(): Unit = ()
+        def getColorModel: java.awt.image.ColorModel = model
+        def getRaster(x: Int, y: Int, w: Int,
+            h: Int): java.awt.image.Raster = {
+          val out = model.createCompatibleWritableRaster(w, h)
+          val data = new Array[Int](w * h)
+          val p = new java.awt.geom.Point2D.Double()
+          var j = 0
+          while (j < h) {
+            var i = 0
+            while (i < w) {
+              p.setLocation(x + i + 0.5, y + j + 0.5)
+              inv.transform(p, p)
+              val dx = p.getX - c0x
+              val dy = p.getY - c0y
+              val b = -2.0 * (dx * dcx + dy * dcy + r0 * dr)
+              val c = dx * dx + dy * dy - r0 * r0
+              // largest root with r(s) >= 0
+              var s = Double.NaN
+              if (math.abs(a) < 1e-12) {
+                if (math.abs(b) > 1e-12) {
+                  val cand = -c / b
+                  if (r0 + cand * dr >= 0) s = cand
+                }
+              } else {
+                val disc = b * b - 4 * a * c
+                if (disc >= 0) {
+                  val sq = math.sqrt(disc)
+                  val s1 = (-b + sq) / (2 * a)
+                  val s2 = (-b - sq) / (2 * a)
+                  val hi = math.max(s1, s2)
+                  val lo = math.min(s1, s2)
+                  if (r0 + hi * dr >= 0) s = hi
+                  else if (r0 + lo * dr >= 0) s = lo
+                }
+              }
+              data(j * w + i) =
+                if (s.isNaN) 0 // outside the circle family: transparent
+                else if (s < 0) { if (extend0) lut(0) else 0 }
+                else if (s > 1) { if (extend1) lut(255) else 0 }
+                else lut(math.min(255, (s * 255).round.toInt))
+              i += 1
+            }
+            j += 1
+          }
+          out.setDataElements(0, 0, w, h, data)
+          out
+        }
+      }
+    }
+  }
+
   // ===================== graphics state =====================
 
   private final class GState {
@@ -1246,22 +1326,43 @@ object PdfRender {
         else Some(new java.awt.LinearGradientPaint(p0, p1, fracs, colors,
           java.awt.MultipleGradientPaint.CycleMethod.NO_CYCLE))
       case 3 if coords.length >= 6 =>
-        // approximate the two-circle blend with AWT's focus model
-        val focus = devPt(coords(0), coords(1))
-        val center = devPt(coords(3), coords(4))
-        // isotropic scale factor sqrt(|det|) survives rotation and is
-        // the geometric mean under anisotropy (matching strokeFor)
-        val r = coords(5) * math.sqrt(math.abs(base.getDeterminant))
-        if (r <= 0) None
+        // EXACT two-circle blend (ISO 32000-1 §8.7.4.5.4): per device
+        // pixel, the largest s with |p − c(s)| = r(s) solves a
+        // quadratic in closed form — r0 > 0 included, no AWT focus
+        // approximation. Circles map to circles under rotation+uniform
+        // scale; anisotropy (circle → ellipse) remains the one noted
+        // approximation (radii via sqrt|det|).
+        val p0 = devPt(coords(0), coords(1))
+        val p1 = devPt(coords(3), coords(4))
+        val sDet = math.sqrt(math.abs(base.getDeterminant))
+        val r0 = coords(2) * sDet
+        val r1 = coords(5) * sDet
+        if (math.abs(math.abs(base.getScaleX) -
+            math.abs(base.getScaleY)) > 1e-9 * math.abs(base.getScaleX) ||
+            base.getShearX != 0.0 || base.getShearY != 0.0)
+          notes += "radial-anisotropic-approximated"
+        if (r1 <= 0 && r0 <= 0) None
         else {
-          if (coords(2) != 0.0) notes += "radial-r0-approximated"
-          if (math.abs(math.abs(base.getScaleX) -
-              math.abs(base.getScaleY)) > 1e-9 * math.abs(base.getScaleX) ||
-              base.getShearX != 0.0 || base.getShearY != 0.0)
-            notes += "radial-anisotropic-approximated"
-          Some(new java.awt.RadialGradientPaint(center, r.toFloat, focus,
-            fracs, colors,
-            java.awt.MultipleGradientPaint.CycleMethod.NO_CYCLE))
+          val ext = dArr(doc, sh, "Extend").map(_.map(doc.resolve))
+            .getOrElse(Vector.empty)
+          def extAt(i: Int): Boolean = ext.lift(i).contains(PBool(true))
+          // 256-entry color LUT over t∈[0,1] via the gradient stops
+          val lut = Array.tabulate(256) { i =>
+            val t = i / 255.0
+            var k = 0
+            while (k < fracs.length - 1 && t > fracs(k + 1)) k += 1
+            val f0 = fracs(k); val f1 = fracs(math.min(k + 1, fracs.length - 1))
+            val c0 = colors(k)
+            val c1 = colors(math.min(k + 1, colors.length - 1))
+            val u = if (f1 > f0) ((t - f0) / (f1 - f0)).min(1.0).max(0.0)
+              else 0.0
+            def mix(a: Int, b: Int) = (a + (b - a) * u).round.toInt
+            (0xff << 24) | (mix(c0.getRed, c1.getRed) << 16) |
+              (mix(c0.getGreen, c1.getGreen) << 8) |
+              mix(c0.getBlue, c1.getBlue)
+          }
+          Some(new RadialShadingPaint(p0.getX, p0.getY, r0,
+            p1.getX, p1.getY, r1, lut, extAt(0), extAt(1)))
         }
       case other =>
         notes += s"shading-type-$other-skipped"

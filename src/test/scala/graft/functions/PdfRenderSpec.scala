@@ -614,6 +614,40 @@ class PdfRenderSpec extends AnyFunSuite {
     assert(math.abs(((mid >> 16) & 0xff) - (mid & 0xff)) <= 8, "mid blend")
   }
 
+  test("radial shading with r0 > 0: exact annulus blend and extends") {
+    // concentric circles r0=5, r1=15 at (20,20): s = (d-5)/10 exactly
+    val im = render(pdf { b =>
+      val shd = b.addObj(
+        "<< /ShadingType 3 /ColorSpace /DeviceRGB " +
+          "/Coords [20 20 5 20 20 15] " +
+          "/Function << /FunctionType 2 /C0 [1 0 0] /C1 [0 0 1] /N 1 >> " +
+          "/Extend [true true] >>")
+      b.addPage("/S1 sh", (40, 40), s"/Shading << /S1 $shd 0 R >>")
+    })
+    // PDF y-up: device row for user y=20 on a 40-high page is 19-20;
+    // sample along the horizontal through the center
+    def at(dx: Int) = im.getRGB(20 + dx, 19)
+    assert(((at(0) >> 16) & 0xff) > 230, "center extends inner red")
+    assert(((at(4) >> 16) & 0xff) > 230, "inside r0 still red")
+    val mid = at(10) // d=10 → s=0.5
+    // pixel centers sit at half-integer offsets from the circle
+    // center, so s at the sampled pixel is 0.551, not 0.5 exactly
+    assert(math.abs(((mid >> 16) & 0xff) - (mid & 0xff)) <= 32,
+      s"midpoint blend ${mid.toHexString}")
+    assert((at(16) & 0xff) > 230, "outside r1 extends blue")
+    // without /Extend the outside stays unpainted (white page)
+    val im2 = render(pdf { b =>
+      val shd = b.addObj(
+        "<< /ShadingType 3 /ColorSpace /DeviceRGB " +
+          "/Coords [20 20 5 20 20 15] " +
+          "/Function << /FunctionType 2 /C0 [1 0 0] /C1 [0 0 1] /N 1 >> >>")
+      b.addPage("/S1 sh", (40, 40), s"/Shading << /S1 $shd 0 R >>")
+    })
+    assert(px(im2, 38, 19) == White, "no extend: outside transparent")
+    // d=13.5 → s=0.85: blue-dominant inside the annulus
+    assert(((im2.getRGB(33, 19) >> 16) & 0xff) < 60, "annulus painted")
+  }
+
   test("ROTATED tiling pattern: 90-degree matrix paints exact pixels") {
     // cell: black 6x2 rect at the cell origin of a 10x10 cell; pattern
     // /Matrix [0 1 -1 0 20 0] rotates 90° — under rotation the rect
