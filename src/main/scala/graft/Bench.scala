@@ -24,18 +24,27 @@ object Bench {
     try SparkEntry.queries.head._2(spark, sfDir).collect()
     catch { case _: Throwable => () }
     // One warmup pass over the whole suite (pays per-query codegen), then
-    // THREE full timed passes with the per-query MIN reported. The repeats
-    // are INTERLEAVED across queries — suite pass 1, then pass 2, then
-    // pass 3 — rather than back-to-back per query: host-level stalls on
-    // this VM showed 2-30x one-off inflation lasting multiple seconds, so
-    // three consecutive runs of one query can all land inside a stall and
-    // produce phantom 12x cross-round swings. Spreading the repeats ~400 s
-    // apart makes the min a true steady-state sample.
+    // TWO full timed passes with the per-query MIN reported. The repeats
+    // are INTERLEAVED across queries — suite pass 1, then pass 2 —
+    // rather than back-to-back per query: host-level stalls on this VM
+    // showed 2-30x one-off inflation lasting multiple seconds, so
+    // consecutive runs of one query can all land inside a stall and
+    // produce phantom 12x cross-round swings. Spreading the repeats
+    // hundreds of seconds apart makes the min a true steady-state sample.
+    // Two passes (down from three in r13): the r13 driver bench hit its
+    // ~1,500 s wall-clock budget (BENCH_r13.json rc=124, no numbers); one
+    // pass of ~211 s was pure margin the budget no longer affords.
     // noop sink, NOT count(): count() lets Catalyst prune computed columns
     // and aggregate expressions wholesale (a minhash/UDAF query times
     // near-zero while computing nothing); the noop sink forces every
     // output row to be fully produced without driver materialization.
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Streaming gates (fixture staging + checkpointed state stores per
+    // invocation, 4.5-16 s each in r13) are dominated by fixed replay
+    // machinery, not codegen, so min-of-N buys nothing: time them ONCE
+    // (no warmup run, single sample) and spend the saved ~150 s on the
+    // driver budget instead.
+    def isStreaming(name: String): Boolean = name.contains("_stream")
     // A throw records a -1.0 sentinel, NOT the elapsed-to-failure time: a
     // broken query fast-fails in ~0.06 s, which a round-over-round diff
     // reads as a phantom 20x speedup (this exact failure mode hid the r6
@@ -47,8 +56,14 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
-    queries.foreach { case (_, fn) => once(fn) } // warmup pass
-    val passes = Seq.fill(3)(queries.map { case (name, fn) => name -> once(fn) })
+    queries.foreach { case (name, fn) =>
+      if (!isStreaming(name)) once(fn) // warmup pass skips streaming gates
+    }
+    val pass1 = queries.map { case (name, fn) => name -> once(fn) }
+    val pass2 = queries.map { case (name, fn) =>
+      name -> (if (isStreaming(name)) -2.0 else once(fn)) // -2 = not re-run
+    }
+    val passes = Seq(pass1, pass2)
     val results = queries.map { case (name, _) =>
       val samples = passes.map(_.toMap.apply(name))
       val ok = samples.filter(_ >= 0)

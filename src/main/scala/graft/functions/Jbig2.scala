@@ -230,9 +230,15 @@ object Jbig2 {
     case other => throw new IllegalArgumentException(s"GBTEMPLATE $other")
   }
 
-  /** Nominal AT pixel positions per template (§6.2.5.3). */
+  /** Nominal AT pixel positions per template (§6.2.5.3): A1 is (3,-1)
+    * for templates 0 and 1, (2,-1) for templates 2 and 3 (template 1's
+    * fixed pixels already cover (2,-1), so a (2,-1) A1 would waste a
+    * context bit). Decode always takes AT from the stream; these are
+    * only the encoder-twin defaults.
+    */
   def nominalAt(template: Int): Array[(Int, Int)] = template match {
     case 0 => Array((3, -1), (-3, -1), (2, -2), (-2, -2))
+    case 1 => Array((3, -1))
     case _ => Array((2, -1))
   }
 
@@ -358,9 +364,15 @@ object Jbig2 {
       if (refCount == 7) {
         if (q + 4 > data.length) return out.toSeq
         refCount = (u32(data, q) & 0x1fffffffL).toInt
-        q += 4 + (refCount + 8) / 8 // long form + retain bits
+        // long form + retain bits — refCount can be up to 2^29-1, so
+        // bound in Long BEFORE advancing q (a hostile header must not
+        // overflow q into a negative u32 index)
+        val retainBytes = (refCount.toLong + 8) / 8
+        if (q + 4L + retainBytes > data.length) return out.toSeq
+        q += 4 + retainBytes.toInt
       } else q += 1
       val refSize = if (number <= 256) 1 else if (number <= 65536) 2 else 4
+      if (q.toLong + refCount.toLong * refSize > data.length) return out.toSeq
       q += refCount * refSize
       val page = if (pageAssoc4) {
         if (q + 4 > data.length) return out.toSeq
@@ -418,20 +430,34 @@ object Jbig2 {
         val mmr = (gflags & 1) != 0
         val template = (gflags >> 1) & 3
         val tpgdon = (gflags & 8) != 0
-        if (mmr) { notes += "jbig2-mmr-skipped"; None }
-        else if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
           x < 0 || y < 0 || (x.toLong + w) * (y.toLong + h) > (1L << 26)) {
           // offsets bound the COMPOSED canvas, checked before allocating
           notes += "jbig2-region-dims"; None
+        } else if (mmr) {
+          // T.88 §6.2.6: MMR coding IS T.6 (G4) — reuse the CCITT
+          // decoder (blackIs1 matches JBIG2's 1=black convention; both
+          // sides pack MSB-first byte-aligned rows). No AT bytes follow
+          // the flags when MMR=1.
+          try Some((x, y, Bitmap(w, h, CcittFax.decode(
+            java.util.Arrays.copyOfRange(data, p + 18, s.dataUntil),
+            k = -1, columns = w, rows = h,
+            blackIs1 = true, byteAlign = false))))
+          catch { case _: Exception => notes += "jbig2-mmr-corrupt"; None }
         } else {
           var q = p + 18
           val nAt = if (template == 0) 4 else 1
-          val at = Array.tabulate(nAt)(i =>
-            (data(q + 2 * i).toInt, data(q + 2 * i + 1).toInt))
-          q += 2 * nAt
-          val ad = new ArithDecoder(data, q, s.dataUntil)
-          val cx = new Contexts(1 << 16)
-          Some((x, y, decodeGeneric(ad, cx, w, h, template, at, tpgdon)))
+          if (s.dataUntil - q < 2 * nAt) {
+            // AT bytes themselves truncated — a named note, not an AIOOBE
+            notes += "jbig2-truncated-region"; None
+          } else {
+            val at = Array.tabulate(nAt)(i =>
+              (data(q + 2 * i).toInt, data(q + 2 * i + 1).toInt))
+            q += 2 * nAt
+            val ad = new ArithDecoder(data, q, s.dataUntil)
+            val cx = new Contexts(1 << 16)
+            Some((x, y, decodeGeneric(ad, cx, w, h, template, at, tpgdon)))
+          }
         }
       }
     }
@@ -442,8 +468,22 @@ object Jbig2 {
       return (Bitmap.empty(math.max(pageW, 1), math.max(pageH, 1)),
         notes.toSeq)
     }
-    val w = math.max(pageW, regions.map(r => r._1 + r._3.width).max)
-    val h = math.max(pageH, regions.map(r => r._2 + r._3.height).max)
+    var w = math.max(pageW, regions.map(r => r._1 + r._3.width).max)
+    var h = math.max(pageH, regions.map(r => r._2 + r._3.height).max)
+    // The per-region bound is per-region only: one wide region at y=0
+    // plus one tall region at x=0 each pass (x+w)*(y+h) <= 2^26 yet
+    // union to a canvas whose w*h (and byte size) overflows Int. Bound
+    // the COMPOSED canvas in Long before allocating; fall back to sane
+    // page-info dims, else clip to the first region.
+    if (w.toLong * h > (1L << 26)) {
+      notes += "jbig2-canvas-dims"
+      if (pageW > 0 && pageH > 0 && pageW.toLong * pageH <= (1L << 26)) {
+        w = pageW; h = pageH
+      } else {
+        w = regions.head._1 + regions.head._3.width
+        h = regions.head._2 + regions.head._3.height
+      }
+    }
     val page = Bitmap.empty(w, h)
     regions.foreach { case (ox, oy, bm) =>
       var y = 0
@@ -461,10 +501,11 @@ object Jbig2 {
   }
 
   /** Encoder twin for the embedded organization: page info (type 48) +
-    * one immediate lossless generic region (type 39).
+    * one immediate lossless generic region (type 39), MQ-coded or (with
+    * `mmr`) T.6-coded.
     */
   def writeEmbedded(bm: Bitmap, template: Int = 0,
-      tpgdon: Boolean = false): Array[Byte] = {
+      tpgdon: Boolean = false, mmr: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w32(v: Long): Unit = {
       out.write(((v >> 24) & 0xff).toInt); out.write(((v >> 16) & 0xff).toInt)
@@ -482,15 +523,25 @@ object Jbig2 {
     w32(bm.width.toLong); w32(bm.height.toLong); w32(0); w32(0)
     out.write(0); out.write(0); out.write(0)
     // immediate lossless generic region (type 39)
-    val at = nominalAt(template)
-    val mq = encodeGeneric(bm, template, at, tpgdon)
-    val nAt = if (template == 0) 4 else 1
-    header(1, 39, 17 + 1 + 2 * nAt + mq.length)
-    w32(bm.width.toLong); w32(bm.height.toLong); w32(0); w32(0)
-    out.write(0) // external combination op: OR
-    out.write((template << 1) | (if (tpgdon) 8 else 0)) // flags, MMR=0
-    at.foreach { case (x, y) => out.write(x & 0xff); out.write(y & 0xff) }
-    out.write(mq, 0, mq.length)
+    if (mmr) {
+      val g4 = CcittFax.encode(bm.data, k = -1, columns = bm.width,
+        rows = bm.height, blackIs1 = true, byteAlign = false)
+      header(1, 39, 17 + 1 + g4.length)
+      w32(bm.width.toLong); w32(bm.height.toLong); w32(0); w32(0)
+      out.write(0) // external combination op: OR
+      out.write(1) // flags: MMR=1 (no AT bytes follow)
+      out.write(g4, 0, g4.length)
+    } else {
+      val at = nominalAt(template)
+      val mq = encodeGeneric(bm, template, at, tpgdon)
+      val nAt = if (template == 0) 4 else 1
+      header(1, 39, 17 + 1 + 2 * nAt + mq.length)
+      w32(bm.width.toLong); w32(bm.height.toLong); w32(0); w32(0)
+      out.write(0) // external combination op: OR
+      out.write((template << 1) | (if (tpgdon) 8 else 0)) // flags, MMR=0
+      at.foreach { case (x, y) => out.write(x & 0xff); out.write(y & 0xff) }
+      out.write(mq, 0, mq.length)
+    }
     (out.toByteArray)
   }
 

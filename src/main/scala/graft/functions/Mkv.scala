@@ -592,7 +592,12 @@ object Mkv {
         p += len
       }
     }
-    headers += java.util.Arrays.copyOfRange(bytes, p, t.codecPrivateUntil)
+    // corrupt lacing can leave p past the end (the laced-length walk
+    // advances p even when the copy above is skipped) — guard the
+    // trailing header and require all 3 Vorbis headers, else None
+    if (p <= t.codecPrivateUntil)
+      headers += java.util.Arrays.copyOfRange(bytes, p, t.codecPrivateUntil)
+    if (headers.length < 3) return None
     Some(headers.toSeq ++ blocksOf(bytes, t))
   }
 
