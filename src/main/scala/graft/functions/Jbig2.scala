@@ -9,11 +9,15 @@ package graft.functions
   * Qe state table (dual-transcribed and structurally pinned in
   * TableConformanceSpec), generic region decoding (§6.2) for all four
   * GBTEMPLATEs with arbitrary adaptive (AT) pixels and TPGDON typical
-  * prediction, and the embedded-stream segment layer (§7.2) a PDF
-  * `JBIG2Decode` filter carries (page info + immediate generic region
-  * segments). Symbol/text/halftone/refinement regions and MMR remain
-  * named skips (they require the symbol-dictionary machinery; the
-  * `unsupported` channel reports them).
+  * prediction (MMR generic regions route through the T.6 decoder in
+  * `CcittFax`, per §6.2.6), the arithmetic integer decoding procedures
+  * of Annex A (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT/IAID), symbol
+  * dictionaries (§6.5) and text regions (§6.4) — the segments real
+  * scanner output predominantly uses — and the embedded-stream segment
+  * layer (§7.2) a PDF `JBIG2Decode` filter carries, including
+  * /JBIG2Globals streams holding shared dictionaries. Huffman-coded
+  * dictionaries/regions, refinement, and halftone regions remain named
+  * skips (the `unsupported` channel reports them).
   *
   * Context labels: T.88 assigns each template pixel a fixed bit slot;
   * the decoder forms CONTEXT MSB-first over rows top-to-bottom, left to
@@ -192,9 +196,14 @@ object Jbig2 {
     }
 
     def flush(): Array[Byte] = {
-      // SETBITS (E.3.8)
-      val tempC = (c + a - 1) & 0xffff0000L
-      c = if (c < tempC) tempC else tempC + 0x8000L
+      // SETBITS (E.3.8): set as many LOW bits of C to 1 as the interval
+      // [C, C+A) allows — the decoder 1-fills past the stream end, so a
+      // flushed value sitting at the interval's zero-padded top decodes
+      // out of range on short streams (A >= 0x8000 always, so -0x8000
+      // stays inside the interval when the |0xffff overshoots).
+      val tempC = c + a
+      c |= 0xffffL
+      if (c >= tempC) c -= 0x8000L
       c = (c << ct) & 0xfffffffL
       byteOut()
       c = (c << ct) & 0xfffffffL
@@ -257,6 +266,11 @@ object Jbig2 {
       val i = y * stride + (x >> 3)
       data(i) = (data(i) | (1 << (7 - (x & 7)))).toByte
     }
+    def put(x: Int, y: Int, v: Int): Unit = {
+      val i = y * stride + (x >> 3)
+      val m = 1 << (7 - (x & 7))
+      data(i) = (if (v == 1) data(i) | m else data(i) & ~m).toByte
+    }
     def blackCount: Int =
       (0 until height).map(y => (0 until width).count(get(_, y) == 1)).sum
   }
@@ -305,6 +319,16 @@ object Jbig2 {
       tpgdon: Boolean): Array[Byte] = {
     val enc = new ArithEncoder
     val cx = new Contexts(1 << 16)
+    encodeGenericInto(enc, cx, bm, template, at, tpgdon)
+    enc.flush()
+  }
+
+  /** Generic-region encode through a SHARED encoder + context bank —
+    * the form symbol dictionaries use (§6.5.8.1 codes every symbol's
+    * bitmap through one arithmetic coder and one GB bank).
+    */
+  def encodeGenericInto(enc: ArithEncoder, cx: Contexts, bm: Bitmap,
+      template: Int, at: Array[(Int, Int)], tpgdon: Boolean): Unit = {
     val slots = templateSlots(template, at)
     var ltp = false
     var y = 0
@@ -334,7 +358,410 @@ object Jbig2 {
       }
       y += 1
     }
-    enc.flush()
+  }
+
+  // ------------------------------------------- integer arithmetic (Annex A)
+
+  /** One arithmetic-integer context bank (IADH/IADW/IAEX/IADT/IAFS/...):
+    * a 512-slot PREV tree per Annex A.2.
+    */
+  final class IntCtx { val cx = new Contexts(512) }
+
+  /** A.2 arithmetic integer decoding. Returns None for OOB (the S=1,
+    * V=0 codeword IADS uses to end a strip). Magnitudes in the 32-bit
+    * bucket saturate at Int.MaxValue rather than wrapping.
+    */
+  def decodeInt(ad: ArithDecoder, c: IntCtx): Option[Int] = {
+    var prev = 1
+    def bit(): Int = {
+      val d = ad.decode(c.cx, prev)
+      prev =
+        if (prev < 256) (prev << 1) | d
+        else ((((prev << 1) | d) & 511) | 256)
+      d
+    }
+    def bits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    val s = bit()
+    val v: Long =
+      if (bit() == 0) bits(2)
+      else if (bit() == 0) bits(4) + 4
+      else if (bit() == 0) bits(6) + 20
+      else if (bit() == 0) bits(8) + 84
+      else if (bit() == 0) bits(12) + 340
+      else bits(32) + 4436
+    val m = math.min(v, Int.MaxValue.toLong).toInt
+    if (s == 1 && m == 0) None else Some(if (s == 1) -m else m)
+  }
+
+  /** Encoder twin of `decodeInt` (None = OOB = the S=1,V=0 codeword). */
+  def encodeInt(enc: ArithEncoder, c: IntCtx, value: Option[Int]): Unit = {
+    val (s, m) = value match {
+      case None => (1, 0)
+      case Some(x) => (if (x < 0) 1 else 0, math.abs(x))
+    }
+    var prev = 1
+    def bit(d: Int): Unit = {
+      enc.encode(c.cx, prev, d)
+      prev =
+        if (prev < 256) (prev << 1) | d
+        else ((((prev << 1) | d) & 511) | 256)
+    }
+    def bits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { bit(((v >> i) & 1L).toInt); i -= 1 }
+    }
+    bit(s)
+    if (m <= 3) { bit(0); bits(m, 2) }
+    else if (m <= 19) { bit(1); bit(0); bits(m - 4L, 4) }
+    else if (m <= 83) { bit(1); bit(1); bit(0); bits(m - 20L, 6) }
+    else if (m <= 339) { bit(1); bit(1); bit(1); bit(0); bits(m - 84L, 8) }
+    else if (m <= 4435) {
+      bit(1); bit(1); bit(1); bit(1); bit(0); bits(m - 340L, 12)
+    } else {
+      bit(1); bit(1); bit(1); bit(1); bit(1); bits(m - 4436L, 32)
+    }
+  }
+
+  /** A.3 symbol-ID decoding: `symCodeLen` raw bits through a PREV tree
+    * over a bank of 1 << (symCodeLen+1) contexts.
+    */
+  def decodeIaid(ad: ArithDecoder, cx: Contexts, symCodeLen: Int): Int = {
+    var prev = 1
+    var i = 0
+    while (i < symCodeLen) {
+      prev = (prev << 1) | ad.decode(cx, prev)
+      i += 1
+    }
+    prev - (1 << symCodeLen)
+  }
+
+  /** Encoder twin of `decodeIaid`. */
+  def encodeIaid(enc: ArithEncoder, cx: Contexts, symCodeLen: Int,
+      id: Int): Unit = {
+    var prev = 1
+    var i = symCodeLen - 1
+    while (i >= 0) {
+      val d = (id >> i) & 1
+      enc.encode(cx, prev, d)
+      prev = (prev << 1) | d
+      i -= 1
+    }
+  }
+
+  // ------------------------------------------- symbol dictionary (§6.5)
+
+  /** Decode an arithmetic symbol-dictionary segment's data (§6.5.5,
+    * flags layout §7.4.3.1.1) and return the EXPORTED symbol list
+    * (input symbols from referred dictionaries prepended per §6.5.10's
+    * run-length export flags). Huffman (SDHUFF) and refinement
+    * (SDREFAGG) dictionaries return a named skip.
+    */
+  def decodeSymbolDict(data: Array[Byte], from: Int, until: Int,
+      inSyms: IndexedSeq[Bitmap]): Either[String, IndexedSeq[Bitmap]] = {
+    if (until - from < 2 + 8) return Left("jbig2-symdict-truncated")
+    var p = from
+    val flags = ((data(p) & 0xff) << 8) | (data(p + 1) & 0xff)
+    p += 2
+    val sdhuff = (flags & 1) != 0
+    val sdrefagg = (flags & 2) != 0
+    val template = (flags >> 10) & 3
+    if (sdhuff) return Left("jbig2-sdhuff-skipped")
+    if (sdrefagg) return Left("jbig2-refagg-skipped")
+    val nAt = if (template == 0) 4 else 1
+    if (until - p < 2 * nAt + 8) return Left("jbig2-symdict-truncated")
+    val at = Array.tabulate(nAt)(i =>
+      (data(p + 2 * i).toInt, data(p + 2 * i + 1).toInt))
+    p += 2 * nAt
+    val numEx = u32(data, p)
+    val numNew = u32(data, p + 4)
+    p += 8
+    // bound symbol count and cumulative pixel area BEFORE decoding —
+    // both arrive attacker-controlled in a PDF stream
+    if (numNew > (1 << 16) || numEx > numNew + inSyms.length ||
+      numEx < 0 || numNew < 0)
+      return Left("jbig2-symdict-bounds")
+    val ad = new ArithDecoder(data, p, until)
+    val iadh = new IntCtx; val iadw = new IntCtx; val iaex = new IntCtx
+    val gb = new Contexts(1 << 16)
+    val newSyms = scala.collection.mutable.ArrayBuffer.empty[Bitmap]
+    var hcHeight = 0
+    var area = 0L
+    while (newSyms.length < numNew) {
+      val dh = decodeInt(ad, iadh).getOrElse(
+        return Left("jbig2-symdict-oob-height"))
+      hcHeight += dh
+      if (hcHeight <= 0 || hcHeight > (1 << 14))
+        return Left("jbig2-symdict-bounds")
+      var symWidth = 0
+      var classOpen = true
+      while (classOpen) {
+        decodeInt(ad, iadw) match {
+          case None => classOpen = false // OOB: height class complete —
+          // ALWAYS consumed, even for the final class (the export runs
+          // that follow read a different bank; an unconsumed OOB would
+          // shift every later decode)
+          case Some(dw) =>
+            if (newSyms.length >= numNew) return Left("jbig2-symdict-count")
+            symWidth += dw
+            area += symWidth.toLong * hcHeight
+            if (symWidth <= 0 || symWidth > (1 << 14) || area > (1L << 26))
+              return Left("jbig2-symdict-bounds")
+            newSyms += decodeGeneric(ad, gb, symWidth, hcHeight, template,
+              at, tpgdon = false)
+        }
+      }
+    }
+    // §6.5.10 export flags: alternating run lengths over input ++ new
+    val all = inSyms ++ newSyms
+    val exported = scala.collection.mutable.ArrayBuffer.empty[Bitmap]
+    var exIndex = 0
+    var curFlag = false
+    var guard = 0
+    while (exIndex < all.length && guard <= 2 * all.length + 2) {
+      guard += 1
+      val run = decodeInt(ad, iaex).getOrElse(0)
+      if (run < 0 || exIndex + run > all.length)
+        return Left("jbig2-symdict-export")
+      if (curFlag) exported ++= all.slice(exIndex, exIndex + run)
+      exIndex += run
+      curFlag = !curFlag
+    }
+    if (exported.length != numEx) return Left("jbig2-symdict-export")
+    Right(exported.toIndexedSeq)
+  }
+
+  /** Encoder twin of `decodeSymbolDict`: all symbols new, all exported.
+    * Symbols MUST be ordered by non-decreasing height (the spec's
+    * height-class order); a text region's symbol IDs index this order.
+    * Returns the segment DATA payload (no header).
+    */
+  def encodeSymbolDict(syms: Seq[Bitmap], template: Int = 0): Array[Byte] = {
+    require(syms.nonEmpty, "empty symbol dictionary")
+    require(syms.zip(syms.drop(1)).forall { case (a, b) =>
+      a.height <= b.height }, "symbols must be height-class ordered")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit = { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+    w16(template << 10) // flags: SDHUFF=0, SDREFAGG=0
+    val at = nominalAt(template)
+    at.foreach { case (x, y) => out.write(x & 0xff); out.write(y & 0xff) }
+    w32(syms.length.toLong) // SDNUMEXSYMS
+    w32(syms.length.toLong) // SDNUMNEWSYMS
+    val enc = new ArithEncoder
+    val iadh = new IntCtx; val iadw = new IntCtx; val iaex = new IntCtx
+    val gb = new Contexts(1 << 16)
+    var hcHeight = 0
+    var i = 0
+    while (i < syms.length) {
+      val h = syms(i).height
+      encodeInt(enc, iadh, Some(h - hcHeight))
+      hcHeight = h
+      var symWidth = 0
+      while (i < syms.length && syms(i).height == h) {
+        encodeInt(enc, iadw, Some(syms(i).width - symWidth))
+        symWidth = syms(i).width
+        encodeGenericInto(enc, gb, syms(i), template, at, tpgdon = false)
+        i += 1
+      }
+      encodeInt(enc, iadw, None) // OOB ends the height class
+    }
+    encodeInt(enc, iaex, Some(0)) // first run: not-exported prefix, empty
+    encodeInt(enc, iaex, Some(syms.length)) // export all new symbols
+    val mq = enc.flush()
+    out.write(mq, 0, mq.length)
+    out.toByteArray
+  }
+
+  // ----------------------------------------------- text region (§6.4)
+
+  /** SYMCODELEN for arithmetic text regions: max(1, ceil(log2 n)) per
+    * the T.88 amendment (n=1 still codes one bit).
+    */
+  def symCodeLen(numSyms: Int): Int =
+    math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(numSyms - 1, 1)))
+
+  /** Decode an arithmetic text-region segment's data (§6.4.5, flags
+    * §7.4.4.1.1): region info + placement stream drawing symbols from
+    * `syms` (the referred dictionaries' exports, in referral order).
+    * Returns (x, y, bitmap) for page composition. Huffman text regions
+    * and refinement instances are named skips via `notes`.
+    */
+  def decodeTextRegion(data: Array[Byte], from: Int, until: Int,
+      syms: IndexedSeq[Bitmap],
+      notes: scala.collection.mutable.ArrayBuffer[String])
+      : Option[(Int, Int, Bitmap)] = {
+    if (until - from < 17 + 2 + 4) { notes += "jbig2-truncated-region"; return None }
+    var p = from
+    val w = u32(data, p).toInt
+    val h = u32(data, p + 4).toInt
+    val x = u32(data, p + 8).toInt
+    val y = u32(data, p + 12).toInt
+    p += 17 // region info incl. external combination operator byte
+    val flags = ((data(p) & 0xff) << 8) | (data(p + 1) & 0xff)
+    p += 2
+    val sbhuff = (flags & 1) != 0
+    val refine = (flags & 2) != 0
+    val logStrips = (flags >> 2) & 3
+    val strips = 1 << logStrips
+    val refCorner = (flags >> 4) & 3 // 0=BL 1=TL 2=BR 3=TR
+    val transposed = (flags >> 6) & 1
+    val combOp = (flags >> 7) & 3
+    val defPixel = (flags >> 9) & 1
+    val dsOffset = (flags << 17) >> 27 // signed 5-bit, bits 10-14
+    val rTemplate = (flags >> 15) & 1
+    if (sbhuff) { notes += "jbig2-sbhuff-skipped"; return None }
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) || x < 0 || y < 0 ||
+      (x.toLong + w) * (y.toLong + h) > (1L << 26)) {
+      notes += "jbig2-region-dims"; return None
+    }
+    if (refine && rTemplate == 0) p += 4 // refinement AT pixels (2 pairs)
+    if (until - p < 4) { notes += "jbig2-truncated-region"; return None }
+    val numInstances = u32(data, p)
+    p += 4
+    if (numInstances < 0 || numInstances > (1 << 20) || syms.isEmpty) {
+      notes += "jbig2-textregion-bounds"; return None
+    }
+    val scl = symCodeLen(syms.length)
+    val ad = new ArithDecoder(data, p, until)
+    val iadt = new IntCtx; val iafs = new IntCtx; val iads = new IntCtx
+    val iait = new IntCtx; val iari = new IntCtx
+    val iaid = new Contexts(1 << (scl + 1))
+    val region = Bitmap.empty(w, h)
+    if (defPixel == 1) java.util.Arrays.fill(region.data, 0xff.toByte)
+    def draw(sym: Bitmap, x0: Int, y0: Int): Unit = {
+      var sy = 0
+      while (sy < sym.height) {
+        var sx = 0
+        while (sx < sym.width) {
+          val rx = x0 + sx; val ry = y0 + sy
+          if (rx >= 0 && ry >= 0 && rx < w && ry < h) {
+            val s = sym.get(sx, sy)
+            val o = region.get(rx, ry)
+            val v = combOp match {
+              case 0 => o | s
+              case 1 => o & s
+              case 2 => o ^ s
+              case _ => 1 - (o ^ s) // XNOR
+            }
+            region.put(rx, ry, v)
+          }
+          sx += 1
+        }
+        sy += 1
+      }
+    }
+    var stripT = -decodeInt(ad, iadt).getOrElse(0) * strips
+    var firstS = 0
+    var n = 0L
+    var steps = 0L
+    val maxSteps = numInstances * 4 + 1024
+    while (n < numInstances && steps < maxSteps) {
+      steps += 1
+      stripT += decodeInt(ad, iadt).getOrElse(0) * strips
+      firstS += decodeInt(ad, iafs).getOrElse(0)
+      var curS = firstS
+      var stripOpen = true
+      var firstSym = true
+      while (stripOpen && n < numInstances && steps < maxSteps) {
+        steps += 1
+        if (!firstSym) {
+          decodeInt(ad, iads) match {
+            case None => stripOpen = false // OOB ends the strip
+            case Some(ids) => curS += ids + dsOffset
+          }
+        }
+        if (stripOpen) {
+          firstSym = false
+          val curT =
+            if (strips == 1) 0
+            else decodeInt(ad, iait).getOrElse(0)
+          val ti = stripT + curT
+          val id = decodeIaid(ad, iaid, scl)
+          if (id < 0 || id >= syms.length) {
+            notes += "jbig2-textregion-symid"
+            return Some((x, y, region))
+          }
+          if (refine && decodeInt(ad, iari).exists(_ != 0))
+            notes += "jbig2-refine-skipped" // place unrefined
+          val sym = syms(id)
+          if (transposed == 0) {
+            // symbol spans curS..curS+w-1 horizontally; top edge at TI
+            // for the TOP corners, bottom edge at TI for the BOTTOM ones
+            val top = if (refCorner == 1 || refCorner == 3) ti
+              else ti - sym.height + 1
+            draw(sym, curS, top)
+            curS += sym.width - 1
+          } else {
+            val left = if (refCorner == 0 || refCorner == 1) ti
+              else ti - sym.width + 1
+            draw(sym, left, curS)
+            curS += sym.height - 1
+          }
+          n += 1
+        }
+      }
+    }
+    Some((x, y, region))
+  }
+
+  /** One symbol placement for the text-region encoder twin:
+    * `id` indexes the dictionary's export order, `s` is the horizontal
+    * (non-transposed) coordinate of the symbol's LEFT edge, `t` the TOP
+    * edge. Instances must be grouped by t (strip) with non-decreasing s
+    * inside a strip (SBSTRIPS=1, REFCORNER=TOPLEFT, no transpose).
+    */
+  final case class TextInstance(id: Int, s: Int, t: Int)
+
+  /** Encoder twin of `decodeTextRegion`: SBSTRIPS=1, TOPLEFT corner,
+    * OR composition, no transpose/refinement. Returns the segment DATA
+    * payload (region info included).
+    */
+  def encodeTextRegion(w: Int, h: Int, x: Int, y: Int,
+      syms: Seq[Bitmap], instances: Seq[TextInstance]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit = { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+    w32(w.toLong); w32(h.toLong); w32(x.toLong); w32(y.toLong)
+    out.write(0) // external combination operator: OR
+    w16(1 << 4) // flags: REFCORNER=TOPLEFT, SBSTRIPS=1, OR, no transpose
+    w32(instances.length.toLong)
+    val scl = symCodeLen(syms.length)
+    val enc = new ArithEncoder
+    val iadt = new IntCtx; val iafs = new IntCtx; val iads = new IntCtx
+    val iaid = new Contexts(1 << (scl + 1))
+    encodeInt(enc, iadt, Some(0)) // STRIPT starts at 0
+    var stripT = 0
+    var firstS = 0
+    var first = true
+    instances.groupBy(_.t).toSeq.sortBy(_._1).foreach { case (t, insts) =>
+      require(t >= stripT || first, "strips must be in increasing t order")
+      encodeInt(enc, iadt, Some(t - stripT))
+      stripT = t
+      val sorted = insts.sortBy(_.s)
+      encodeInt(enc, iafs, Some(sorted.head.s - firstS))
+      firstS = sorted.head.s
+      var curS = firstS
+      sorted.zipWithIndex.foreach { case (inst, i) =>
+        if (i > 0) {
+          // IDS is signed: negative deltas (overlapping glyphs, kerning)
+          // are legal; OOB alone ends the strip
+          encodeInt(enc, iads, Some(inst.s - curS))
+          curS = inst.s
+        }
+        encodeIaid(enc, iaid, scl, inst.id)
+        curS += syms(inst.id).width - 1
+      }
+      encodeInt(enc, iads, None) // OOB ends the strip
+      first = false
+    }
+    val mq = enc.flush()
+    out.write(mq, 0, mq.length)
+    out.toByteArray
   }
 
   // --------------------------------------------------------- segment layer
@@ -344,7 +771,7 @@ object Jbig2 {
       ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
 
   final case class Segment(number: Long, segType: Int, page: Long,
-      dataFrom: Int, dataUntil: Int)
+      dataFrom: Int, dataUntil: Int, refs: Seq[Long] = Seq.empty)
 
   /** Walk an embedded-organization segment stream (§7.2 headers; the
     * form PDF JBIG2Decode carries — no file header, explicit data
@@ -373,6 +800,14 @@ object Jbig2 {
       } else q += 1
       val refSize = if (number <= 256) 1 else if (number <= 65536) 2 else 4
       if (q.toLong + refCount.toLong * refSize > data.length) return out.toSeq
+      val refs = (0 until refCount).map { i =>
+        val r = q + i * refSize
+        refSize match {
+          case 1 => (data(r) & 0xff).toLong
+          case 2 => (((data(r) & 0xff) << 8) | (data(r + 1) & 0xff)).toLong
+          case _ => u32(data, r)
+        }
+      }
       q += refCount * refSize
       val page = if (pageAssoc4) {
         if (q + 4 > data.length) return out.toSeq
@@ -385,21 +820,40 @@ object Jbig2 {
       val len = u32(data, q)
       q += 4
       if (len == 0xffffffffL || q + len > data.length) return out.toSeq
-      out += Segment(number, segType, page, q, (q + len).toInt)
+      out += Segment(number, segType, page, q, (q + len).toInt, refs)
       p = (q + len).toInt
     }
     out.toSeq
   }
 
-  /** Decode an embedded JBIG2 stream's immediate generic regions
-    * (types 36/38/39) composited (OR) at their region offsets. The page
-    * canvas sizes from the page-info segment when present, else from
-    * the union of regions. Unsupported region types are reported, not
-    * guessed.
+  /** Decode an embedded JBIG2 stream's regions — immediate generic
+    * regions (types 36/38/39) and text regions (types 4/6/7) drawing
+    * symbols from symbol-dictionary segments (type 0) — composited (OR)
+    * at their region offsets. `globals` carries a PDF /JBIG2Globals
+    * stream's segments (shared symbol dictionaries), processed first
+    * under the same numbering. The page canvas sizes from the page-info
+    * segment when present, else from the union of regions. Unsupported
+    * region types are reported, not guessed.
     */
-  def decodeEmbedded(data: Array[Byte]): (Bitmap, Seq[String]) = {
+  def decodeEmbedded(data: Array[Byte],
+      globals: Array[Byte] = Array.emptyByteArray): (Bitmap, Seq[String]) = {
     val segs = segments(data)
     val notes = scala.collection.mutable.ArrayBuffer.empty[String]
+    // symbol dictionaries by segment number, in stream order (globals
+    // first); a dictionary's inputs are its referred dicts' exports
+    val dicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Bitmap]]
+    def runDict(bytes: Array[Byte], s: Segment): Unit = {
+      val inSyms = s.refs.flatMap(dicts.get).flatten.toIndexedSeq
+      decodeSymbolDict(bytes, s.dataFrom, s.dataUntil, inSyms) match {
+        case Right(syms) => dicts(s.number) = syms
+        case Left(note) => notes += note
+      }
+    }
+    segments(globals).foreach { s =>
+      if (s.segType == 0) runDict(globals, s)
+      else if (s.segType != 48 && s.segType != 51 && s.segType != 62)
+        notes += s"jbig2-globals-segtype-${s.segType}-skipped"
+    }
     var pageW = 0
     var pageH = 0
     segs.find(_.segType == 48).foreach { s =>
@@ -416,7 +870,13 @@ object Jbig2 {
         }
       }
     }
-    val regions = segs.filter(s =>
+    segs.filter(_.segType == 0).foreach(runDict(data, _))
+    val textRegions = segs.filter(s =>
+      s.segType == 4 || s.segType == 6 || s.segType == 7).flatMap { s =>
+      val syms = s.refs.flatMap(dicts.get).flatten.toIndexedSeq
+      decodeTextRegion(data, s.dataFrom, s.dataUntil, syms, notes)
+    }
+    val genericRegions = segs.filter(s =>
       s.segType == 36 || s.segType == 38 || s.segType == 39).flatMap { s =>
       val p = s.dataFrom
       if (s.dataUntil - p < 18) { notes += "jbig2-truncated-region"; None }
@@ -461,7 +921,9 @@ object Jbig2 {
         }
       }
     }
-    segs.filter(s => !Set(36, 38, 39, 48, 49, 50, 51, 62).contains(s.segType))
+    val regions = textRegions ++ genericRegions
+    segs.filter(s =>
+        !Set(0, 4, 6, 7, 36, 38, 39, 48, 49, 50, 51, 62).contains(s.segType))
       .foreach(s => notes += s"jbig2-segtype-${s.segType}-skipped")
     if (regions.isEmpty) {
       notes += "jbig2-no-regions"
@@ -545,14 +1007,59 @@ object Jbig2 {
     (out.toByteArray)
   }
 
-  /** PDF JBIG2Decode filter surface: decode the embedded stream and
-    * return 1-bpc packed rows in the PDF DeviceGray convention
-    * (0 = black) — i.e. the JBIG2 bitmap INVERTED, the pdf.js-compatible
-    * presentation. Globals streams are not supported (named skip at the
-    * call site).
+  /** Full embedded-stream twin for symbol/text coding: page info +
+    * symbol dictionary (type 0) + immediate text region (type 6)
+    * referring to it. With `splitGlobals` the dictionary segment moves
+    * to a separate stream — the PDF /JBIG2Globals carriage — and the
+    * returned pair is (page data, globals).
     */
-  def pdfFilterDecode(data: Array[Byte]): Array[Byte] = {
-    val (bm, notes) = decodeEmbedded(data)
+  def writeEmbeddedText(pageW: Int, pageH: Int, syms: Seq[Bitmap],
+      instances: Seq[TextInstance], splitGlobals: Boolean = false)
+      : (Array[Byte], Array[Byte]) = {
+    def seg(number: Long, segType: Int, refs: Seq[Long],
+        payload: Array[Byte]): Array[Byte] = {
+      require(refs.length <= 4 && refs.forall(_ <= 256))
+      val o = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit = {
+        o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+        o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+      }
+      w32(number)
+      o.write(segType) // flags: 1-byte page assoc, not deferred
+      o.write(refs.length << 5) // short-form referred-to count
+      refs.foreach(r => o.write(r.toInt & 0xff)) // 1-byte ref numbers
+      o.write(1) // page 1
+      w32(payload.length.toLong)
+      o.write(payload, 0, payload.length)
+      o.toByteArray
+    }
+    val pageInfo = {
+      val o = new java.io.ByteArrayOutputStream()
+      def w32(v: Long): Unit = {
+        o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+        o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+      }
+      w32(pageW.toLong); w32(pageH.toLong); w32(0); w32(0)
+      o.write(0); o.write(0); o.write(0)
+      o.toByteArray
+    }
+    val dict = seg(1, 0, Seq.empty, encodeSymbolDict(syms))
+    val text = seg(2, 6, Seq(1L),
+      encodeTextRegion(pageW, pageH, 0, 0, syms, instances))
+    val page = seg(0, 48, Seq.empty, pageInfo)
+    if (splitGlobals) (page ++ text, dict)
+    else (page ++ dict ++ text, Array.emptyByteArray)
+  }
+
+  /** PDF JBIG2Decode filter surface: decode the embedded stream (plus
+    * an optional /JBIG2Globals stream carrying shared symbol
+    * dictionaries) and return 1-bpc packed rows in the PDF DeviceGray
+    * convention (0 = black) — i.e. the JBIG2 bitmap INVERTED, the
+    * pdf.js-compatible presentation.
+    */
+  def pdfFilterDecode(data: Array[Byte],
+      globals: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val (bm, notes) = decodeEmbedded(data, globals)
     require(!notes.exists(_.startsWith("jbig2-no-regions")),
       s"JBIG2 stream with no decodable region: ${notes.mkString(",")}")
     bm.data.map(b => (~b).toByte)

@@ -791,8 +791,23 @@ object Pdf {
     }
   }
 
+  /** Decoded bytes of the /JBIG2Globals stream a JBIG2 image's
+    * DecodeParms reference (shared symbol dictionaries), empty when
+    * absent. The globals stream's own filters (e.g. Flate) apply.
+    */
+  private[functions] def jbig2Globals(dict: String,
+      objs: Map[Int, Obj]): Array[Byte] =
+    """/JBIG2Globals\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(dict)
+      .flatMap(m => objs.get(m.group(1).toInt))
+      .map(o => decodedStream(o))
+      .getOrElse(Array.emptyByteArray)
+
   private[functions] def applyStreamFilters(raw: Array[Byte], filters: Seq[String],
-      dict: String): Array[Byte] = {
+      dict: String): Array[Byte] =
+    applyStreamFilters(raw, filters, dict, Array.emptyByteArray)
+
+  private[functions] def applyStreamFilters(raw: Array[Byte], filters: Seq[String],
+      dict: String, globals: Array[Byte]): Array[Byte] = {
     def parm(name: String, dflt: Int): Int =
       (name + """\s+(\d+)""").r.findFirstMatchIn(dict)
         .map(_.group(1).toInt).getOrElse(dflt)
@@ -821,24 +836,30 @@ object Pdf {
         case "JBIG2Decode" =>
           // bi-level scanned images (ITU-T T.88, embedded organization);
           // output follows the PDF presentation (0 = black, the
-          // inverted JBIG2 convention). Globals streams carry symbol
-          // dictionaries — outside the generic-region scope.
-          if (dict.contains("/JBIG2Globals"))
+          // inverted JBIG2 convention). /JBIG2Globals streams carry
+          // shared symbol dictionaries — the caller resolves them to
+          // bytes (the dict string only holds an indirect ref).
+          if (dict.contains("/JBIG2Globals") && globals.isEmpty)
             throw new UnsupportedOperationException(
-              "JBIG2Decode with /JBIG2Globals (symbol dictionaries)")
-          Jbig2.pdfFilterDecode(data)
+              "JBIG2Decode /JBIG2Globals stream unresolved")
+          Jbig2.pdfFilterDecode(data, globals)
         case other => throw new IllegalArgumentException(
           s"unsupported stream filter /$other")
       }
     }
   }
 
-  private[functions] def decodedStream(o: Obj): Array[Byte] = {
+  private[functions] def decodedStream(o: Obj): Array[Byte] =
+    decodedStream(o, Array.emptyByteArray)
+
+  private[functions] def decodedStream(o: Obj,
+      globals: Array[Byte]): Array[Byte] = {
     val raw = o.stream.getOrElse(Array.emptyByteArray)
     def parm(name: String, dflt: Int): Int =
       (name + """\s+(\d+)""").r.findFirstMatchIn(o.dict)
         .map(_.group(1).toInt).getOrElse(dflt)
-    val decoded = applyStreamFilters(raw, streamFilters(o.dict), o.dict)
+    val decoded =
+      applyStreamFilters(raw, streamFilters(o.dict), o.dict, globals)
     applyPredictor(decoded, parm("/Predictor", 1), parm("/Columns", 1),
       parm("/Colors", 1), parm("/BitsPerComponent", 8))
   }
@@ -1435,7 +1456,7 @@ object Pdf {
               case Some("JPXDecode") =>
                 ("jpx", applyStreamFilters(raw, filters.dropRight(1), o.dict))
               case _ => // fully decodable (incl. CCITT): re-encode as PNG
-                val samples = decodedStream(o)
+                val samples = decodedStream(o, jbig2Globals(o.dict, objs))
                 val bpc = math.max(iparm(o.dict, "/BitsPerComponent"), 1)
                 val gray = o.dict.contains("/DeviceGray")
                 require(o.dict.contains("/DeviceRGB") || gray,

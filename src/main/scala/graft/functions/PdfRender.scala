@@ -746,13 +746,13 @@ object PdfRender {
       notes += "image-codec-skipped"
       return None
     }
-    if (full.contains("JBIG2Decode") &&
-      obj.exists(_.dict.contains("/JBIG2Globals"))) {
-      // symbol-dictionary streams (text regions) are outside the
-      // generic-region scope — named skip, never a guess
-      notes += "jbig2-globals-skipped"
-      return None
-    }
+    // /JBIG2Globals (shared symbol dictionaries) resolve to bytes here —
+    // the filter layer only sees strings and can't chase the indirect ref
+    val jbGlobals =
+      if (full.contains("JBIG2Decode"))
+        obj.map(o => Pdf.jbig2Globals(o.dict, doc.objs))
+          .getOrElse(Array.emptyByteArray)
+      else Array.emptyByteArray
     if (full.lastOption.contains("DCTDecode")) {
       // passthrough: strip prefix filters, let ImageIO decode the JPEG
       val jpeg = Pdf.applyStreamFilters(raw, full.dropRight(1), "")
@@ -765,7 +765,8 @@ object PdfRender {
       return Some(out)
     }
     val data = obj match {
-      case Some(o) => Pdf.decodedStream(o) // handles /DecodeParms predictors
+      case Some(o) => // handles /DecodeParms predictors
+        Pdf.decodedStream(o, jbGlobals)
       case None =>
         // inline image: re-serialize /DP params (plus /Height as the
         // /Rows fallback) so the CCITT branch sees its K/Columns/etc.

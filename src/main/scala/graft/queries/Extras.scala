@@ -4808,6 +4808,122 @@ object Extras {
              |FROM sg s LEFT JOIN prior p ON p.doc_id = s.doc_id
              |ORDER BY s.doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q198_jbig2_text",
+      (s, dir) => {
+        // JBIG2 symbol dictionaries + text regions (ITU-T T.88 §6.5 +
+        // §6.4 — the segments real scanner output predominantly uses;
+        // q195 covers generic regions only) end-to-end through the PDF
+        // surface: per doc a 2-page scanned fixture. Page 1: a 3-glyph
+        // font placed 8 times across two strips, the dictionary carried
+        // in a separate /JBIG2Globals stream (the PDF sharing form);
+        // page 2: an MMR (T.6-coded) generic region. Glyph patterns and
+        // placements are closed forms of doc_id the oracle recomputes;
+        // strip2_black (pixels below the first strip) proves PLACEMENT,
+        // not just total ink. extractImages must re-encode both to PNG
+        // through the same filter chain.
+        import graft.functions.{Images, Jbig2, Pdf, PdfRender}
+        val mk = udf { (id: Long) =>
+          val h0 = (6 + id % 3).toInt
+          def glyph(g: Int): Jbig2.Bitmap = {
+            val w = (4 + (id + g) % 3).toInt
+            val h = h0 + (if (g == 2) 2 else 0)
+            val bm = Jbig2.Bitmap.empty(w, h)
+            for (y <- 0 until h; x <- 0 until w)
+              if ((x + 2 * y + g + id) % 5 < 2) bm.set(x, y)
+            bm
+          }
+          val syms = Seq(glyph(0), glyph(1), glyph(2))
+          val insts = (0 until 8).map(i =>
+            Jbig2.TextInstance(i % 3, (i % 4) * 8, (i / 4) * (h0 + 4)))
+          val pageH = 2 * h0 + 6
+          val (data, globals) =
+            Jbig2.writeEmbeddedText(32, pageH, syms, insts,
+              splitGlobals = true)
+          // placement proof: black ink strictly below the first strip
+          val (decoded, _) = Jbig2.decodeEmbedded(data, globals)
+          var strip2 = 0L
+          for (y <- h0 + 4 until decoded.height; x <- 0 until decoded.width)
+            if (decoded.get(x, y) == 1) strip2 += 1
+          val ch2 = (16 + id % 4).toInt
+          val bm2 = Jbig2.Bitmap.empty(24, ch2)
+          for (y <- 0 until ch2; x <- 2 until 22)
+            if (y % 4 < 2) bm2.set(x, y)
+          val b = new Pdf.PdfBuilder
+          val gRef = b.addStream("", globals)
+          val i1 = b.addStream(
+            "/Type /XObject /Subtype /Image " +
+              s"/Width 32 /Height $pageH " +
+              "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+              "/Filter /JBIG2Decode " +
+              s"/DecodeParms << /JBIG2Globals $gRef 0 R >>", data)
+          val i2 = b.addStream(
+            "/Type /XObject /Subtype /Image " +
+              s"/Width 24 /Height $ch2 " +
+              "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+              "/Filter /JBIG2Decode",
+            Jbig2.writeEmbedded(bm2, mmr = true))
+          b.addPage(s"q 32 0 0 $pageH 0 0 cm /I Do Q", (32, pageH),
+            s"/XObject << /I $i1 0 R >>")
+          b.addPage(s"q 24 0 0 $ch2 0 0 cm /I Do Q", (24, ch2),
+            s"/XObject << /I $i2 0 R >>")
+          (b.build(), strip2)
+        }
+        val extracted = udf { (pdf: Array[Byte]) =>
+          val imgs = Pdf.extractImages(pdf)
+          (imgs.count(_.format == "png"), imgs.head.width)
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("built", mk(col("doc_id")))
+          .withColumn("pages", PdfRender.renderPages(col("built")("_1")))
+          .withColumn("ex", extracted(col("built")("_1")))
+          .select(col("doc_id"),
+            Images.countColor(element_at(col("pages"), 1)("_4"), lit(0))
+              .as("p1_black"),
+            Images.countColor(element_at(col("pages"), 1)("_4"),
+              lit(0xffffff)).as("p1_white"),
+            col("built")("_2").cast("long").as("strip2_black"),
+            Images.countColor(element_at(col("pages"), 2)("_4"), lit(0))
+              .as("p2_black"),
+            col("ex._1").cast("long").as("n_imgs"),
+            col("ex._2").cast("long").as("img1_w"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, (6 + doc_id % 3)::INT AS h0,
+             |    (16 + doc_id % 4)::INT AS ch2
+             |  FROM documents WHERE doc_id < 40
+             |), gb AS (
+             |  -- per-glyph black counts from the closed-form pattern
+             |  SELECT d.doc_id, g.g, COUNT(*)::BIGINT AS black
+             |  FROM d
+             |  CROSS JOIN generate_series(0, 2) AS g(g)
+             |  JOIN generate_series(0, 6) AS x(x)
+             |    ON x.x < 4 + (d.doc_id + g.g) % 3
+             |  JOIN generate_series(0, 10) AS y(y)
+             |    ON y.y < d.h0 + CASE WHEN g.g = 2 THEN 2 ELSE 0 END
+             |  WHERE (x.x + 2 * y.y + g.g + d.doc_id) % 5 < 2
+             |  GROUP BY d.doc_id, g.g
+             |), sums AS (
+             |  -- 8 instances cycle glyphs 0..2: strip 1 gets glyphs
+             |  -- 0,1,2,0 and strip 2 gets 1,2,0,1; placements disjoint
+             |  SELECT doc_id,
+             |    SUM(CASE g WHEN 2 THEN 2 * black ELSE 3 * black END)
+             |      AS p1_black,
+             |    SUM(CASE g WHEN 1 THEN 2 * black ELSE black END)
+             |      AS strip2_black
+             |  FROM gb GROUP BY doc_id
+             |)
+             |SELECT d.doc_id, s.p1_black::BIGINT AS p1_black,
+             |  (32 * (2 * d.h0 + 6) - s.p1_black)::BIGINT AS p1_white,
+             |  s.strip2_black::BIGINT AS strip2_black,
+             |  ((2 * (d.ch2 // 4) + LEAST(d.ch2 % 4, 2)) * 20)::BIGINT
+             |    AS p2_black,
+             |  2::BIGINT AS n_imgs, 32::BIGINT AS img1_w
+             |FROM d JOIN sums s USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

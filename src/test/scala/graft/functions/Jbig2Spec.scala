@@ -132,18 +132,194 @@ class Jbig2Spec extends AnyFunSuite {
     assert(black == 6 * 5, s"black=$black")
   }
 
-  test("globals-referencing streams are a named render skip") {
+  test("integer arithmetic coding (Annex A): values + OOB round-trip") {
+    // every bucket boundary, signs, OOB interleaved, shared banks
+    val vals: Seq[Option[Int]] = Seq(
+      Some(0), Some(1), Some(3), Some(4), Some(19), Some(20), Some(83),
+      Some(84), Some(339), Some(340), Some(4435), Some(4436), Some(70000),
+      Some(-1), Some(-3), Some(-4), Some(-20), Some(-84), Some(-340),
+      Some(-4436), Some(-123456), None, Some(7), None, Some(-7))
+    val rnd = new scala.util.Random(41)
+    val mixed = vals ++ Seq.fill(300)(Some(rnd.nextInt(9000) - 4500))
+    val enc = new Jbig2.ArithEncoder
+    val e1 = new Jbig2.IntCtx; val e2 = new Jbig2.IntCtx
+    mixed.zipWithIndex.foreach { case (v, i) =>
+      Jbig2.encodeInt(enc, if (i % 2 == 0) e1 else e2, v)
+    }
+    val data = enc.flush()
+    val ad = new Jbig2.ArithDecoder(data)
+    val d1 = new Jbig2.IntCtx; val d2 = new Jbig2.IntCtx
+    mixed.zipWithIndex.foreach { case (v, i) =>
+      assert(Jbig2.decodeInt(ad, if (i % 2 == 0) d1 else d2) == v, s"at $i")
+    }
+  }
+
+  test("IAID symbol-id coding round-trips at every code length") {
+    for (n <- Seq(1, 2, 3, 5, 8, 17, 300)) {
+      val scl = Jbig2.symCodeLen(n)
+      assert((1 << scl) >= n && scl >= 1, s"n=$n scl=$scl")
+      val enc = new Jbig2.ArithEncoder
+      val ecx = new Jbig2.Contexts(1 << (scl + 1))
+      val ids = (0 until n) ++ Seq(0, n - 1, n / 2)
+      ids.foreach(Jbig2.encodeIaid(enc, ecx, scl, _))
+      val ad = new Jbig2.ArithDecoder(enc.flush())
+      val dcx = new Jbig2.Contexts(1 << (scl + 1))
+      ids.foreach(id => assert(Jbig2.decodeIaid(ad, dcx, scl) == id))
+    }
+  }
+
+  private def glyphs(seed: Int): Seq[Jbig2.Bitmap] = {
+    val rnd = new scala.util.Random(seed)
+    // three height classes (two symbols share a height) in
+    // non-decreasing height order, varied widths
+    Seq((5, 6), (7, 6), (4, 8), (6, 9), (9, 9)).map { case (w, h) =>
+      mkBitmap(w, h)((x, y) =>
+        (x + y * 2 + seed) % 4 < 2 || rnd.nextInt(6) == 0)
+    }
+  }
+
+  test("symbol dictionary: encode -> decode round-trips exactly") {
+    for (template <- 0 to 3; seed <- Seq(1, 9)) {
+      val syms = glyphs(seed + template)
+      val payload = Jbig2.encodeSymbolDict(syms, template)
+      val got = Jbig2.decodeSymbolDict(payload, 0, payload.length,
+        IndexedSeq.empty)
+      assert(got.isRight, s"t$template: $got")
+      val dec = got.toOption.get
+      assert(dec.length == syms.length)
+      syms.zip(dec).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a.width == b.width && a.height == b.height, s"sym $i dims")
+        assert(a.data.sameElements(b.data), s"sym $i pixels (t$template)")
+      }
+    }
+  }
+
+  test("text region: multi-strip placement composes the exact page") {
+    val syms = glyphs(3)
+    // two strips (t=2 and t=14), varied symbols, disjoint and
+    // overlapping (OR) placements
+    val insts = Seq(
+      Jbig2.TextInstance(0, 1, 2), Jbig2.TextInstance(2, 8, 2),
+      Jbig2.TextInstance(4, 14, 2), Jbig2.TextInstance(1, 26, 2),
+      Jbig2.TextInstance(3, 2, 14), Jbig2.TextInstance(3, 6, 14),
+      Jbig2.TextInstance(0, 20, 14))
+    val (data, globals) = Jbig2.writeEmbeddedText(40, 26, syms, insts)
+    assert(globals.isEmpty)
+    val (page, notes) = Jbig2.decodeEmbedded(data)
+    assert(notes.isEmpty, notes.mkString(","))
+    assert(page.width == 40 && page.height == 26)
+    val want = Jbig2.Bitmap.empty(40, 26)
+    insts.foreach { i =>
+      val g = syms(i.id)
+      for (y <- 0 until g.height; x <- 0 until g.width)
+        if (g.get(x, y) == 1 && i.s + x < 40 && i.t + y < 26)
+          want.set(i.s + x, i.t + y)
+    }
+    assert(page.data.sameElements(want.data))
+  }
+
+  test("text region: symbols from a /JBIG2Globals stream render in PDF") {
+    val syms = glyphs(5)
+    val insts = Seq(Jbig2.TextInstance(0, 0, 0), Jbig2.TextInstance(1, 7, 0),
+      Jbig2.TextInstance(4, 16, 0))
+    val (data, globals) =
+      Jbig2.writeEmbeddedText(30, 10, syms, insts, splitGlobals = true)
+    assert(globals.nonEmpty)
+    // direct filter surface
+    val viaFilter = Jbig2.pdfFilterDecode(data, globals)
+    val (direct, notes) = Jbig2.decodeEmbedded(data, globals)
+    assert(notes.isEmpty, notes.mkString(","))
+    assert(viaFilter.sameElements(direct.data.map(b => (~b).toByte)))
+    // through a rendered PDF page with the globals as its own stream obj
     val b = new Pdf.PdfBuilder
-    val bm = mkBitmap(8, 8)((x, y) => x == y)
+    val gRef = b.addStream("", globals)
     val img = b.addStream(
-      "/Type /XObject /Subtype /Image /Width 8 /Height 8 " +
+      "/Type /XObject /Subtype /Image /Width 30 /Height 10 " +
         "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
-        "/Filter /JBIG2Decode /DecodeParms << /JBIG2Globals 99 0 R >>",
-      Jbig2.writeEmbedded(bm))
-    b.addPage("q 8 0 0 8 0 0 cm /I Do Q", (8, 8),
+        s"/Filter /JBIG2Decode /DecodeParms << /JBIG2Globals $gRef 0 R >>",
+      data)
+    b.addPage("q 30 0 0 10 0 0 cm /I Do Q", (30, 10),
       s"/XObject << /I $img 0 R >>")
-    val rendered = PdfRender.renderPageImages(b.build())
-    assert(rendered.head.unsupported.exists(_.contains("jbig2-globals")))
+    val pdf = b.build()
+    val pages = PdfRender.renderPageImages(pdf)
+    assert(pages.head.unsupported.isEmpty,
+      pages.head.unsupported.mkString(","))
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pages.head.png))
+    var black = 0
+    for (y <- 0 until im.getHeight; x <- 0 until im.getWidth)
+      if ((im.getRGB(x, y) & 0xffffff) == 0) black += 1
+    assert(black == direct.blackCount, s"render black=$black")
+    // and through extractImages' PNG re-encode
+    val imgs = Pdf.extractImages(pdf)
+    assert(imgs.length == 1 && imgs.head.format == "png")
+  }
+
+  test("MMR generic region routes through the T.6 decoder") {
+    val bm = mkBitmap(37, 22)((x, y) => (x / 3 + y / 2) % 3 == 0)
+    val stream = Jbig2.writeEmbedded(bm, mmr = true)
+    val (page, notes) = Jbig2.decodeEmbedded(stream)
+    assert(notes.isEmpty, notes.mkString(","))
+    assert(page.data.sameElements(bm.data))
+  }
+
+  test("dictionaries chaining via referred segments export through") {
+    // dict A exports 2 symbols; a text region referring to A draws both
+    val syms = glyphs(7).take(2)
+    val insts = Seq(Jbig2.TextInstance(0, 0, 0), Jbig2.TextInstance(1, 9, 3))
+    val (data, _) = Jbig2.writeEmbeddedText(20, 12, syms, insts)
+    val segs = Jbig2.segments(data)
+    assert(segs.map(_.segType) == Seq(48, 0, 6))
+    assert(segs(2).refs == Seq(1L))
+  }
+
+  test("corrupt symbol/text streams fail soft: no crash, no OOM") {
+    val syms = glyphs(11)
+    val insts = Seq(Jbig2.TextInstance(0, 1, 1), Jbig2.TextInstance(3, 9, 1),
+      Jbig2.TextInstance(2, 4, 12))
+    val (stream, _) = Jbig2.writeEmbeddedText(30, 24, syms, insts)
+    val rnd = new scala.util.Random(23)
+    (0 until 200).foreach { _ =>
+      val mut = stream.clone()
+      val at = rnd.nextInt(mut.length)
+      mut(at) = (mut(at) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val (page, _) = Jbig2.decodeEmbedded(mut)
+        assert(page.width.toLong * page.height <= (1L << 26))
+      } catch {
+        case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+          _: UnsupportedOperationException => ()
+      }
+    }
+    (0 to stream.length by 5).foreach { cut =>
+      try Jbig2.decodeEmbedded(stream.take(cut))
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  test("hostile canvas: two in-bound regions cannot compose an overflow") {
+    // one wide region at y=0 and one tall region at x=0, each passing
+    // the per-region (x+w)*(y+h) bound, union to w*h >> 2^26 — the
+    // composed-canvas bound must fall back, not overflow Bitmap.empty
+    val wide = Jbig2.writeEmbedded(mkBitmap(8, 8)((x, y) => x == y))
+    def patch(stream: Array[Byte], x: Long, y: Long): Array[Byte] = {
+      // region segment starts after page info (11 + 19 bytes header+data)
+      val m = stream.clone()
+      val base = 11 + 19 + 11 // second segment's data: w,h,x,y
+      def put32(at: Int, v: Long): Unit = {
+        m(at) = ((v >> 24) & 0xff).toByte; m(at + 1) = ((v >> 16) & 0xff).toByte
+        m(at + 2) = ((v >> 8) & 0xff).toByte; m(at + 3) = (v & 0xff).toByte
+      }
+      put32(base + 8, x); put32(base + 12, y)
+      m
+    }
+    val a = patch(wide, 8000000L, 0L) // x huge: (x+w)*(y+h) ~ 2^26 ok
+    val b = patch(wide, 0L, 8000000L)
+    val combined = a ++ Jbig2.segments(b).filter(_.segType == 39).map(s =>
+      b.slice(s.dataFrom - 11, s.dataUntil)).head // re-append region seg
+    val (page, notes) = Jbig2.decodeEmbedded(combined)
+    assert(page.width.toLong * page.height <= (1L << 26),
+      s"${page.width}x${page.height} notes=${notes.mkString(",")}")
   }
 
   test("corrupt streams fail soft: no crash, no OOM") {
