@@ -941,15 +941,16 @@ object PdfRender {
     }
   }
 
-  /** Exact PDF type-3 (radial) shading paint: per device pixel, the
-    * largest s with |p − c(s)| = r(s) where c(s) = c0 + s·(c1−c0) and
-    * r(s) = r0 + s·(r1−r0) — the closed-form quadratic of ISO 32000-1
-    * §8.7.4.5.4. s outside [0,1] honors /Extend (transparent when not
-    * extended); circles with r(s) < 0 never paint.
+  /** Exact PDF type-2 (axial) shading paint solved in SHADING space:
+    * each device pixel inverse-maps through xform∘shadeToDev, then
+    * s = (p−p0)·d / d·d (ISO 32000-1 §8.7.4.5.3) — exact under ANY
+    * affine base transform (AWT's LinearGradientPaint keeps iso-lines
+    * perpendicular in DEVICE space, which shear breaks) and honoring
+    * /Extend (transparent when not extended, where NO_CYCLE clamps).
     */
-  private final class RadialShadingPaint(c0x: Double, c0y: Double,
-      r0: Double, c1x: Double, c1y: Double, r1: Double,
-      lut: Array[Int], extend0: Boolean, extend1: Boolean)
+  private final class AxialShadingPaint(x0: Double, y0: Double,
+      x1: Double, y1: Double, lut: Array[Int],
+      extend0: Boolean, extend1: Boolean, shadeToDev: AffineTransform)
       extends java.awt.Paint {
     def getTransparency: Int = java.awt.Transparency.TRANSLUCENT
     def createContext(cm: java.awt.image.ColorModel,
@@ -957,8 +958,72 @@ object PdfRender {
         userBounds: java.awt.geom.Rectangle2D,
         xform: AffineTransform,
         hints: RenderingHints): java.awt.PaintContext = {
+      val full = new AffineTransform(xform)
+      full.concatenate(shadeToDev)
       val inv =
-        try xform.createInverse()
+        try full.createInverse()
+        catch {
+          case _: java.awt.geom.NoninvertibleTransformException =>
+            new AffineTransform()
+        }
+      val dx = x1 - x0
+      val dy = y1 - y0
+      val dd = dx * dx + dy * dy
+      new java.awt.PaintContext {
+        private val model = java.awt.image.ColorModel.getRGBdefault
+        def dispose(): Unit = ()
+        def getColorModel: java.awt.image.ColorModel = model
+        def getRaster(x: Int, y: Int, w: Int,
+            h: Int): java.awt.image.Raster = {
+          val out = model.createCompatibleWritableRaster(w, h)
+          val data = new Array[Int](w * h)
+          val p = new java.awt.geom.Point2D.Double()
+          var j = 0
+          while (j < h) {
+            var i = 0
+            while (i < w) {
+              p.setLocation(x + i + 0.5, y + j + 0.5)
+              inv.transform(p, p)
+              val s = ((p.getX - x0) * dx + (p.getY - y0) * dy) / dd
+              data(j * w + i) =
+                if (s < 0) { if (extend0) lut(0) else 0 }
+                else if (s > 1) { if (extend1) lut(255) else 0 }
+                else lut(math.min(255, (s * 255).round.toInt))
+              i += 1
+            }
+            j += 1
+          }
+          out.setDataElements(0, 0, w, h, data)
+          out
+        }
+      }
+    }
+  }
+
+  /** Exact PDF type-3 (radial) shading paint solved in SHADING space:
+    * each device pixel inverse-maps through xform∘shadeToDev (so
+    * anisotropic/rotated/sheared base transforms — circle → ellipse in
+    * device space — stay exact), then the largest s with |p − c(s)| =
+    * r(s), c(s) = c0 + s·(c1−c0), r(s) = r0 + s·(r1−r0) — the
+    * closed-form quadratic of ISO 32000-1 §8.7.4.5.4. s outside [0,1]
+    * honors /Extend (transparent when not extended); circles with
+    * r(s) < 0 never paint.
+    */
+  private final class RadialShadingPaint(c0x: Double, c0y: Double,
+      r0: Double, c1x: Double, c1y: Double, r1: Double,
+      lut: Array[Int], extend0: Boolean, extend1: Boolean,
+      shadeToDev: AffineTransform)
+      extends java.awt.Paint {
+    def getTransparency: Int = java.awt.Transparency.TRANSLUCENT
+    def createContext(cm: java.awt.image.ColorModel,
+        deviceBounds: java.awt.Rectangle,
+        userBounds: java.awt.geom.Rectangle2D,
+        xform: AffineTransform,
+        hints: RenderingHints): java.awt.PaintContext = {
+      val full = new AffineTransform(xform)
+      full.concatenate(shadeToDev)
+      val inv =
+        try full.createInverse()
         catch {
           case _: java.awt.geom.NoninvertibleTransformException =>
             new AffineTransform()
@@ -1319,52 +1384,47 @@ object PdfRender {
       base.transform(p, p)
       p
     }
+    val ext = dArr(doc, sh, "Extend").map(_.map(doc.resolve))
+      .getOrElse(Vector.empty)
+    def extAt(i: Int): Boolean = ext.lift(i).contains(PBool(true))
+    // 256-entry color LUT over t∈[0,1] via the gradient stops
+    lazy val lut = Array.tabulate(256) { i =>
+      val t = i / 255.0
+      var k = 0
+      while (k < fracs.length - 1 && t > fracs(k + 1)) k += 1
+      val f0 = fracs(k); val f1 = fracs(math.min(k + 1, fracs.length - 1))
+      val c0 = colors(k)
+      val c1 = colors(math.min(k + 1, colors.length - 1))
+      val u = if (f1 > f0) ((t - f0) / (f1 - f0)).min(1.0).max(0.0)
+        else 0.0
+      def mix(a: Int, b: Int) = (a + (b - a) * u).round.toInt
+      (0xff << 24) | (mix(c0.getRed, c1.getRed) << 16) |
+        (mix(c0.getGreen, c1.getGreen) << 8) |
+        mix(c0.getBlue, c1.getBlue)
+    }
     dNum(doc, sh, "ShadingType", 0).toInt match {
       case 2 if coords.length >= 4 =>
+        // EXACT axial blend solved in shading space — exact under shear
+        // (AWT LinearGradientPaint keeps iso-lines perpendicular in
+        // device space) and honoring /Extend false as unpainted (AWT
+        // NO_CYCLE clamps to the end colors)
         val p0 = devPt(coords(0), coords(1))
         val p1 = devPt(coords(2), coords(3))
         if (p0.distance(p1) < 1e-9) None
-        else Some(new java.awt.LinearGradientPaint(p0, p1, fracs, colors,
-          java.awt.MultipleGradientPaint.CycleMethod.NO_CYCLE))
+        else Some(new AxialShadingPaint(coords(0), coords(1),
+          coords(2), coords(3), lut, extAt(0), extAt(1),
+          new AffineTransform(base)))
       case 3 if coords.length >= 6 =>
-        // EXACT two-circle blend (ISO 32000-1 §8.7.4.5.4): per device
-        // pixel, the largest s with |p − c(s)| = r(s) solves a
-        // quadratic in closed form — r0 > 0 included, no AWT focus
-        // approximation. Circles map to circles under rotation+uniform
-        // scale; anisotropy (circle → ellipse) remains the one noted
-        // approximation (radii via sqrt|det|).
-        val p0 = devPt(coords(0), coords(1))
-        val p1 = devPt(coords(3), coords(4))
-        val sDet = math.sqrt(math.abs(base.getDeterminant))
-        val r0 = coords(2) * sDet
-        val r1 = coords(5) * sDet
-        if (math.abs(math.abs(base.getScaleX) -
-            math.abs(base.getScaleY)) > 1e-9 * math.abs(base.getScaleX) ||
-            base.getShearX != 0.0 || base.getShearY != 0.0)
-          notes += "radial-anisotropic-approximated"
-        if (r1 <= 0 && r0 <= 0) None
-        else {
-          val ext = dArr(doc, sh, "Extend").map(_.map(doc.resolve))
-            .getOrElse(Vector.empty)
-          def extAt(i: Int): Boolean = ext.lift(i).contains(PBool(true))
-          // 256-entry color LUT over t∈[0,1] via the gradient stops
-          val lut = Array.tabulate(256) { i =>
-            val t = i / 255.0
-            var k = 0
-            while (k < fracs.length - 1 && t > fracs(k + 1)) k += 1
-            val f0 = fracs(k); val f1 = fracs(math.min(k + 1, fracs.length - 1))
-            val c0 = colors(k)
-            val c1 = colors(math.min(k + 1, colors.length - 1))
-            val u = if (f1 > f0) ((t - f0) / (f1 - f0)).min(1.0).max(0.0)
-              else 0.0
-            def mix(a: Int, b: Int) = (a + (b - a) * u).round.toInt
-            (0xff << 24) | (mix(c0.getRed, c1.getRed) << 16) |
-              (mix(c0.getGreen, c1.getGreen) << 8) |
-              mix(c0.getBlue, c1.getBlue)
-          }
-          Some(new RadialShadingPaint(p0.getX, p0.getY, r0,
-            p1.getX, p1.getY, r1, lut, extAt(0), extAt(1)))
-        }
+        // EXACT two-circle blend (ISO 32000-1 §8.7.4.5.4) solved in
+        // shading space: per inverse-mapped pixel, the largest s with
+        // |p − c(s)| = r(s) solves a quadratic in closed form — r0 > 0
+        // included (no AWT focus approximation), and anisotropic /
+        // rotated / sheared base transforms (circle → ellipse in device
+        // space) exact by construction.
+        if (coords(5) <= 0 && coords(2) <= 0) None
+        else Some(new RadialShadingPaint(coords(0), coords(1), coords(2),
+          coords(3), coords(4), coords(5), lut, extAt(0), extAt(1),
+          new AffineTransform(base)))
       case other =>
         notes += s"shading-type-$other-skipped"
         None

@@ -611,7 +611,9 @@ class PdfRenderSpec extends AnyFunSuite {
     val mid = im.getRGB(50, 5)    // translated midpoint
     assert(((left >> 16) & 0xff) > 240 && (left & 0xff) < 15, "left red")
     assert(((right >> 16) & 0xff) < 15 && (right & 0xff) > 240, "right blue")
-    assert(math.abs(((mid >> 16) & 0xff) - (mid & 0xff)) <= 8, "mid blend")
+    // the exact paint samples pixel CENTERS (x=50 → s=0.525), where
+    // AWT's LinearGradientPaint used to land nearer 0.5
+    assert(math.abs(((mid >> 16) & 0xff) - (mid & 0xff)) <= 16, "mid blend")
   }
 
   test("radial shading with r0 > 0: exact annulus blend and extends") {
@@ -646,6 +648,51 @@ class PdfRenderSpec extends AnyFunSuite {
     assert(px(im2, 38, 19) == White, "no extend: outside transparent")
     // d=13.5 → s=0.85: blue-dominant inside the annulus
     assert(((im2.getRGB(33, 19) >> 16) & 0xff) < 60, "annulus painted")
+  }
+
+  test("radial shading under ANISOTROPIC cm: exact device ellipse") {
+    // 2x horizontal stretch before sh: circle r=8 at (10,20) in shading
+    // space is a device ellipse, semi-axes 16 x 8 at (20,20). The old
+    // sqrt|det| approximation drew a circle of r = 8*sqrt(2) ~ 11.3 —
+    // the probe at device x=34 (inside the ellipse, outside that
+    // circle) separates them.
+    val im = render(pdf { b =>
+      val shd = b.addObj(
+        "<< /ShadingType 3 /ColorSpace /DeviceRGB " +
+          "/Coords [10 20 0 10 20 8] " +
+          "/Function << /FunctionType 2 /C0 [1 0 0] /C1 [0 0 1] /N 1 >> >>")
+      b.addPage("q 2 0 0 1 0 0 cm /S1 sh Q", (40, 40),
+        s"/Shading << /S1 $shd 0 R >>")
+    })
+    // device row 19 = user y 20.5 (dy = 0.5 from the center)
+    assert(px(im, 34, 19) != White, "inside ellipse (outside sqrt-det circle)")
+    assert((im.getRGB(34, 19) & 0xff) > 200, "s~0.91: blue-dominant")
+    assert(px(im, 37, 19) == White, "beyond the ellipse: unpainted")
+    assert(px(im, 20, 12) != White, "minor axis inside (dy=7.5 < 8)")
+    assert(px(im, 20, 8) == White, "minor axis outside (dy=11.5 > 8)")
+    assert(((im.getRGB(20, 19) >> 16) & 0xff) > 230, "center red")
+  }
+
+  test("axial shading under SHEAR: iso-lines follow shading space") {
+    // shear [1 0 1 1 0 0] before sh; axis (0,0)->(10,0) in shading
+    // space, no /Extend. Inverse map: x_s = x_d - y_d, so s at device
+    // (x, row 19 = user y 20.5) is (x+0.5-20.5)/10. AWT's
+    // LinearGradientPaint would keep iso-lines vertical in DEVICE space
+    // (s_old = x/10: clamped blue at x=25) and clamp /Extend-false ends.
+    val im = render(pdf { b =>
+      val shd = b.addObj(
+        "<< /ShadingType 2 /ColorSpace /DeviceRGB " +
+          "/Coords [0 0 10 0] " +
+          "/Function << /FunctionType 2 /C0 [1 0 0] /C1 [0 0 1] /N 1 >> >>")
+      b.addPage("q 1 0 1 1 0 0 cm /S1 sh Q", (40, 40),
+        s"/Shading << /S1 $shd 0 R >>")
+    })
+    val mid = im.getRGB(25, 19) // s = 0.5: an even red/blue blend
+    assert(math.abs(((mid >> 16) & 0xff) - (mid & 0xff)) <= 16,
+      s"sheared midpoint ${mid.toHexString}")
+    assert(px(im, 5, 19) == White, "s < 0 with no extend: unpainted")
+    assert(px(im, 33, 19) == White, "s > 1 with no extend: unpainted")
+    assert(((im.getRGB(21, 19) >> 16) & 0xff) >= 229, "s=0.1: red end")
   }
 
   test("ROTATED tiling pattern: 90-degree matrix paints exact pixels") {
