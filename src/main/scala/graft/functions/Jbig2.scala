@@ -208,8 +208,11 @@ object Jbig2 {
       byteOut()
       c = (c << ct) & 0xfffffffL
       byteOut()
-      require(bytes.head == 0, "carry escaped the coded interval")
-      bytes.drop(1).map(_.toByte).toArray
+      // the dummy absorbs a carry when the FIRST byteOut happens at
+      // flush time with code-value bit 27 set (possible on tiny
+      // streams) — a nonzero dummy is then real data, not an error
+      (if (bytes.head == 0) bytes.drop(1) else bytes.toSeq)
+        .map(_.toByte).toArray
     }
   }
 

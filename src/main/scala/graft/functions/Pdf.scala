@@ -1454,7 +1454,43 @@ object Pdf {
               case Some("DCTDecode") | Some("DCT") =>
                 ("jpeg", applyStreamFilters(raw, filters.dropRight(1), o.dict))
               case Some("JPXDecode") =>
-                ("jpx", applyStreamFilters(raw, filters.dropRight(1), o.dict))
+                // decode the JPEG 2000 codestream (T.800 baseline) and
+                // re-encode as PNG like the other full-decode paths; an
+                // out-of-scope codestream falls back to passthrough
+                try {
+                  val jpx = Jpeg2000.decode(
+                    applyStreamFilters(raw, filters.dropRight(1), o.dict))
+                  val img = new java.awt.image.BufferedImage(jpx.width,
+                    jpx.height,
+                    if (jpx.comps.length >= 3)
+                      java.awt.image.BufferedImage.TYPE_INT_RGB
+                    else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                  var y = 0
+                  while (y < jpx.height) {
+                    var x = 0
+                    while (x < jpx.width) {
+                      val i = y * jpx.width + x
+                      val sh = math.max(jpx.depth - 8, 0)
+                      if (jpx.comps.length >= 3)
+                        img.setRGB(x, y,
+                          ((jpx.comps(0)(i) >> sh) << 16) |
+                            ((jpx.comps(1)(i) >> sh) << 8) |
+                            (jpx.comps(2)(i) >> sh))
+                      else img.getRaster.setSample(x, y, 0,
+                        jpx.comps(0)(i) >> sh)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(img, "png", bos)
+                  ("png", bos.toByteArray)
+                } catch {
+                  case _: IllegalArgumentException |
+                      _: IndexOutOfBoundsException =>
+                    ("jpx",
+                      applyStreamFilters(raw, filters.dropRight(1), o.dict))
+                }
               case _ => // fully decodable (incl. CCITT): re-encode as PNG
                 val samples = decodedStream(o, jbig2Globals(o.dict, objs))
                 val bpc = math.max(iparm(o.dict, "/BitsPerComponent"), 1)

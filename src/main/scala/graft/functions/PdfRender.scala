@@ -38,13 +38,14 @@ import org.apache.spark.sql.functions.{lit, udf}
   *    from the BaseFont name (the poppler/pdfium substitution
   *    strategy); recorded in `unsupported`.
   *
-  * Out-of-scope constructs never fail a page: JPX image payloads and
-  * JBIG2 symbol-dictionary (globals) streams render as a skip and are
-  * named in the page's `unsupported` list. Scanned bi-level images
-  * decode for real: CCITT G3/G4 via `CcittFax`, JBIG2 generic regions
-  * (all templates, TPGDON) via `Jbig2`. Tiling patterns tile under
-  * ARBITRARY matrices (rotation/shear via `TiledPatternPaint`); the
-  * remaining radial approximation (r0 > 0, anisotropy) stays noted.
+  * Scanned/compressed images decode for real: CCITT G3/G4 via
+  * `CcittFax`, JBIG2 generic + symbol/text regions (incl. /JBIG2Globals
+  * dictionaries) via `Jbig2`, JPEG 2000 lossless via `Jpeg2000`
+  * (irreversible 9/7 and other out-of-scope codestream features render
+  * as a named `jpx-...` skip in the page's `unsupported` list, never a
+  * page failure). Tiling patterns tile under ARBITRARY matrices
+  * (rotation/shear via `TiledPatternPaint`); axial and radial shadings
+  * solve exactly in shading space under any affine base transform.
   */
 object PdfRender {
 
@@ -711,6 +712,40 @@ object PdfRender {
 
   private val MaxImagePixels = 1 << 26
 
+  /** JPEG 2000 component planes → ARGB (gray for 1 component, RGB for
+    * 3+; a 2nd/4th component is ignored — alpha channels in PDF ride
+    * /SMask, not the JPX opacity box, which is a named non-goal).
+    */
+  private def jpxToArgb(img: Jpeg2000.JpxImage): BufferedImage = {
+    val out = new BufferedImage(img.width, img.height,
+      BufferedImage.TYPE_INT_ARGB)
+    val shift = math.max(img.depth - 8, 0)
+    val scale = if (img.depth < 8) 255.0 / ((1 << img.depth) - 1) else 1.0
+    def to8(v: Int): Int =
+      if (img.depth == 8) v
+      else if (img.depth > 8) v >> shift
+      else math.round(v * scale).toInt
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val i = y * img.width + x
+        val rgb =
+          if (img.comps.length >= 3)
+            (to8(img.comps(0)(i)) << 16) | (to8(img.comps(1)(i)) << 8) |
+              to8(img.comps(2)(i))
+          else {
+            val v = to8(img.comps(0)(i))
+            (v << 16) | (v << 8) | v
+          }
+        out.setRGB(x, y, 0xff000000 | rgb)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Decode an image XObject (or inline image dict + payload) to ARGB.
     * `obj` (for XObjects) routes sample decoding through
     * `Pdf.decodedStream` so /DecodeParms predictors apply; inline images
@@ -742,8 +777,26 @@ object PdfRender {
       case "DCT" => "DCTDecode"
       case other => other
     }
+    if (full.lastOption.contains("JPXDecode")) {
+      // JPEG 2000: the codestream self-describes geometry, depth and
+      // component count (PDF 32000-1 §7.4.9 says the dict entries are
+      // advisory for JPX) — decode via the in-repo T.800 baseline
+      val cs = Pdf.applyStreamFilters(raw, full.dropRight(1), "")
+      try {
+        val img = Jpeg2000.decode(cs)
+        return Some(jpxToArgb(img))
+      } catch {
+        case e: IllegalArgumentException =>
+          notes += (if (e.getMessage != null && e.getMessage.startsWith("jpx-"))
+            e.getMessage else "jpx-decode-failed")
+          return None
+        case _: IndexOutOfBoundsException =>
+          notes += "jpx-decode-failed"
+          return None
+      }
+    }
     if (full.contains("JPXDecode")) {
-      notes += "image-codec-skipped"
+      notes += "image-codec-skipped" // JPX under a suffix filter: unseen
       return None
     }
     // /JBIG2Globals (shared symbol dictionaries) resolve to bytes here —

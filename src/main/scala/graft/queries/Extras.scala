@@ -5056,6 +5056,87 @@ object Extras {
              |  TRUE AS restart_ok
              |FROM o ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q200_jpx",
+      (s, dir) => {
+        // JPEG 2000 (PDF JPXDecode — the last named PDF image-codec
+        // skip; reference decodes via pdfium): per doc a 2-page
+        // fixture through the in-repo T.800 baseline encoder twin.
+        // Page 1: grayscale modular pattern, doc-varied geometry,
+        // decomposition levels and code-block size (multiple code
+        // blocks + tag trees at cbExp 2-3); page 2: RGB halves under
+        // the reversible color transform. Lossless 5/3 means pixel
+        // counts are CLOSED FORMS of doc_id the oracle recomputes;
+        // extractImages must re-encode both to PNG.
+        import graft.functions.{Images, Jpeg2000, Pdf, PdfRender}
+        val mk = udf { (id: Long) =>
+          val w1 = (24 + id % 8).toInt
+          val h1 = (14 + id % 5).toInt
+          val gray = Array.tabulate(w1 * h1) { i =>
+            if ((i % w1 + 3 * (i / w1) + id) % 7 < 3) 0 else 255
+          }
+          val cs1 = Jpeg2000.encode(Array(gray), w1, h1, 8,
+            levels = 2 + (id % 3).toInt, cbExp = 2 + (id % 4).toInt)
+          val h2 = (10 + id % 4).toInt
+          val planes = Array(
+            Array.tabulate(16 * h2)(i => if (i % 16 < 8) 255 else 0),
+            Array.fill(16 * h2)(0),
+            Array.tabulate(16 * h2)(i => if (i % 16 < 8) 0 else 255))
+          val cs2 = Jpeg2000.encode(planes, 16, h2, 8, levels = 1,
+            cbExp = 4, useRct = true)
+          val b = new Pdf.PdfBuilder
+          val i1 = b.addStream(
+            "/Type /XObject /Subtype /Image " +
+              s"/Width $w1 /Height $h1 /ColorSpace /DeviceGray " +
+              "/BitsPerComponent 8 /Filter /JPXDecode", cs1)
+          val i2 = b.addStream(
+            "/Type /XObject /Subtype /Image " +
+              s"/Width 16 /Height $h2 /ColorSpace /DeviceRGB " +
+              "/BitsPerComponent 8 /Filter /JPXDecode", cs2)
+          b.addPage(s"q $w1 0 0 $h1 0 0 cm /I Do Q", (w1, h1),
+            s"/XObject << /I $i1 0 R >>")
+          b.addPage(s"q 16 0 0 $h2 0 0 cm /I Do Q", (16, h2),
+            s"/XObject << /I $i2 0 R >>")
+          b.build()
+        }
+        val extracted = udf { (pdf: Array[Byte]) =>
+          Pdf.extractImages(pdf).count(_.format == "png")
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("pdf", mk(col("doc_id")))
+          .withColumn("pages", PdfRender.renderPages(col("pdf")))
+          .select(col("doc_id"),
+            Images.countColor(element_at(col("pages"), 1)("_4"), lit(0))
+              .as("p1_black"),
+            Images.countColor(element_at(col("pages"), 1)("_4"),
+              lit(0xffffff)).as("p1_white"),
+            Images.countColor(element_at(col("pages"), 2)("_4"),
+              lit(0xff0000)).as("p2_red"),
+            Images.countColor(element_at(col("pages"), 2)("_4"),
+              lit(0x0000ff)).as("p2_blue"),
+            extracted(col("pdf")).cast("long").as("n_imgs"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, (24 + doc_id % 8)::INT AS w1,
+             |    (14 + doc_id % 5)::INT AS h1, (10 + doc_id % 4)::INT AS h2
+             |  FROM documents WHERE doc_id < 40
+             |), p1 AS (
+             |  SELECT d.doc_id, COUNT(*)::BIGINT AS black
+             |  FROM d
+             |  JOIN generate_series(0, 31) AS x(x) ON x.x < d.w1
+             |  JOIN generate_series(0, 18) AS y(y) ON y.y < d.h1
+             |  WHERE (x.x + 3 * y.y + d.doc_id) % 7 < 3
+             |  GROUP BY d.doc_id
+             |)
+             |SELECT d.doc_id, p1.black AS p1_black,
+             |  (d.w1 * d.h1 - p1.black)::BIGINT AS p1_white,
+             |  (8 * d.h2)::BIGINT AS p2_red, (8 * d.h2)::BIGINT AS p2_blue,
+             |  2::BIGINT AS n_imgs
+             |FROM d JOIN p1 USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

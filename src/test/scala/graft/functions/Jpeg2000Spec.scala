@@ -1,0 +1,253 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JPEG 2000 (ITU-T T.800) baseline: Tier-1 pass-walk roundtrips,
+  * 5/3 DWT perfect reconstruction, tag trees, full codestream
+  * encode→decode lossless identity across geometries / levels /
+  * code-block sizes / components, JP2 box unwrap, and corruption
+  * behavior (fail soft, never OOM).
+  */
+class Jpeg2000Spec extends AnyFunSuite {
+
+  private def roundtrip(planes: Array[Array[Int]], w: Int, h: Int,
+      levels: Int, cbExp: Int, rct: Boolean, clue: String): Unit = {
+    val cs = Jpeg2000.encode(planes, w, h, 8, levels, cbExp, rct)
+    val img = Jpeg2000.decode(cs)
+    assert(img.width == w && img.height == h, clue)
+    assert(img.comps.length == planes.length, clue)
+    planes.zip(img.comps).zipWithIndex.foreach { case ((want, got), c) =>
+      assert(got.sameElements(want), s"$clue comp $c")
+    }
+  }
+
+  test("T1 code block: random coefficients round-trip, all bands") {
+    val rnd = new scala.util.Random(7)
+    for (band <- 0 to 3; trial <- 0 until 4) {
+      val w = 1 + rnd.nextInt(40) // off-stripe heights exercise sh < 4
+      val h = 1 + rnd.nextInt(37)
+      val coeffs = Array.fill(w * h)(
+        if (rnd.nextInt(3) == 0) 0
+        else rnd.nextInt(2000) - 1000)
+      val (bytes, planes, passes) = Jpeg2000.t1Encode(coeffs, w, h, band)
+      if (coeffs.forall(_ == 0)) assert(passes == 0)
+      else {
+        val (mags, negs) =
+          Jpeg2000.t1Decode(bytes, 0, bytes.length, w, h, band, planes,
+            passes)
+        coeffs.zipWithIndex.foreach { case (want, i) =>
+          val got = if (negs(i)) -mags(i) else mags(i)
+          assert(got == want, s"band $band trial $trial at $i")
+        }
+      }
+    }
+  }
+
+  test("T1 sparse blocks exercise run-length coding") {
+    // a mostly-zero block with isolated spikes: cleanup RL columns
+    val w = 16; val h = 16
+    val coeffs = new Array[Int](w * h)
+    coeffs(5 * w + 3) = 7
+    coeffs(12 * w + 9) = -300
+    coeffs(15 * w + 15) = 1
+    val (bytes, planes, passes) = Jpeg2000.t1Encode(coeffs, w, h, 3)
+    val (mags, negs) =
+      Jpeg2000.t1Decode(bytes, 0, bytes.length, w, h, 3, planes, passes)
+    coeffs.zipWithIndex.foreach { case (want, i) =>
+      assert((if (negs(i)) -mags(i) else mags(i)) == want, s"at $i")
+    }
+  }
+
+  test("5/3 DWT: forward then inverse is the identity") {
+    val rnd = new scala.util.Random(11)
+    for ((cw, ch) <- Seq((1, 1), (2, 3), (5, 1), (7, 7), (64, 33), (17, 50))) {
+      val a = Array.fill(cw * ch)(rnd.nextInt(512) - 256)
+      val want = a.clone()
+      Jpeg2000.fwdDwtLevel(a, cw, cw, ch)
+      Jpeg2000.invDwtLevel(a, cw, cw, ch)
+      assert(a.sameElements(want), s"${cw}x$ch")
+    }
+  }
+
+  test("RCT: forward then inverse is the identity") {
+    val rnd = new scala.util.Random(13)
+    val r = Array.fill(100)(rnd.nextInt(256) - 128)
+    val g = Array.fill(100)(rnd.nextInt(256) - 128)
+    val b = Array.fill(100)(rnd.nextInt(256) - 128)
+    val (wr, wg, wb) = (r.clone(), g.clone(), b.clone())
+    Jpeg2000.fwdRct(r, g, b)
+    Jpeg2000.invRct(r, g, b)
+    assert(r.sameElements(wr) && g.sameElements(wg) && b.sameElements(wb))
+  }
+
+  test("tag tree: encode -> decode across thresholds") {
+    val rnd = new scala.util.Random(17)
+    for ((w, h) <- Seq((1, 1), (3, 2), (5, 5), (8, 1))) {
+      val enc = new Jpeg2000.TagTree(w, h)
+      val vals = Array.fill(w * h)(rnd.nextInt(6))
+      vals.zipWithIndex.foreach { case (v, i) => enc.value(i) = v }
+      enc.buildUp()
+      val bw = new Jpeg2000.HdrBitWriter
+      for (y <- 0 until h; x <- 0 until w) enc.encodeValue(bw, x, y)
+      val bytes = bw.alignEnd()
+      val dec = new Jpeg2000.TagTree(w, h)
+      val br = new Jpeg2000.HdrBitReader(bytes, 0)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(dec.decodeValue(br, x, y) == vals(y * w + x),
+          s"${w}x$h at ($x,$y)")
+    }
+  }
+
+  test("header bit I/O: 0xFF stuffing round-trips") {
+    val rnd = new scala.util.Random(19)
+    // long 1-runs force 0xFF bytes and the 7-bit stuffing rule
+    val bits = Array.fill(400)(if (rnd.nextInt(5) == 0) 0 else 1)
+    val bw = new Jpeg2000.HdrBitWriter
+    bits.foreach(bw.bit)
+    val bytes = bw.alignEnd()
+    assert(!bytes.lastOption.contains(0xff.toByte))
+    val br = new Jpeg2000.HdrBitReader(bytes, 0)
+    bits.foreach(b => assert(br.bit() == b))
+  }
+
+  test("full codestream: lossless identity across geometries") {
+    val rnd = new scala.util.Random(23)
+    for (((w, h), levels, cbExp) <- Seq(
+      ((1, 1), 0, 2), ((5, 7), 1, 2), ((16, 16), 2, 4),
+      ((64, 64), 3, 6), ((100, 81), 5, 4), ((37, 3), 2, 5))) {
+      val plane = Array.fill(w * h)(rnd.nextInt(256))
+      roundtrip(Array(plane), w, h, levels, cbExp,
+        rct = false, s"${w}x$h l$levels cb$cbExp")
+    }
+  }
+
+  test("full codestream: 3-component RGB with and without RCT") {
+    val rnd = new scala.util.Random(29)
+    val w = 50; val h = 23
+    val planes = Array.fill(3)(Array.fill(w * h)(rnd.nextInt(256)))
+    roundtrip(planes, w, h, 3, 4, rct = true, "rct")
+    roundtrip(planes, w, h, 3, 4, rct = false, "no-rct")
+  }
+
+  test("structured images (gradients, tiles) stay lossless") {
+    val w = 48; val h = 32
+    val grad = Array.tabulate(w * h)(i => (i % w) * 255 / (w - 1))
+    val tiles = Array.tabulate(w * h)(i =>
+      if (((i % w) / 8 + (i / w) / 8) % 2 == 0) 16 else 240)
+    roundtrip(Array(grad), w, h, 4, 6, rct = false, "gradient")
+    roundtrip(Array(tiles), w, h, 2, 4, rct = false, "tiles")
+  }
+
+  test("JP2 box wrapper unwraps to the codestream") {
+    val plane = Array.tabulate(8 * 8)(i => i * 3 % 256)
+    val cs = Jpeg2000.encode(Array(plane), 8, 8, 8, 1, 2)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val len = payload.length + 8
+      Array[Byte](((len >> 24) & 0xff).toByte, ((len >> 16) & 0xff).toByte,
+        ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++
+        typ.getBytes("ISO-8859-1") ++ payload
+    }
+    val jp2 = box("jP  ", Array[Byte](13, 10, -121, 10)) ++
+      box("ftyp", "jp2 ".getBytes("ISO-8859-1") ++ new Array[Byte](8)) ++
+      box("jp2c", cs)
+    val img = Jpeg2000.decode(jp2)
+    assert(img.comps.head.sameElements(plane))
+  }
+
+  test("rendered PDF page: JPXDecode image paints the exact pixels") {
+    val w = 20; val h = 12
+    // two-tone tile pattern: exact pixel counts survive lossless coding
+    val plane = Array.tabulate(w * h)(i =>
+      if ((i % w) < 8 && (i / w) < 5) 0 else 255)
+    val cs = Jpeg2000.encode(Array(plane), w, h, 8, 2, 4)
+    val b = new Pdf.PdfBuilder
+    val img = b.addStream(
+      "/Type /XObject /Subtype /Image " +
+        s"/Width $w /Height $h /ColorSpace /DeviceGray " +
+        "/BitsPerComponent 8 /Filter /JPXDecode", cs)
+    b.addPage(s"q $w 0 0 $h 0 0 cm /I Do Q", (w, h),
+      s"/XObject << /I $img 0 R >>")
+    val pdf = b.build()
+    val pages = PdfRender.renderPageImages(pdf)
+    assert(pages.head.unsupported.isEmpty,
+      pages.head.unsupported.mkString(","))
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pages.head.png))
+    var black = 0
+    for (y <- 0 until im.getHeight; x <- 0 until im.getWidth)
+      if ((im.getRGB(x, y) & 0xffffff) == 0) black += 1
+    assert(black == 8 * 5, s"black=$black")
+    // extractImages re-encodes to PNG through the same decode
+    val imgs = Pdf.extractImages(pdf)
+    assert(imgs.length == 1 && imgs.head.format == "png")
+    val ex = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(imgs.head.data))
+    assert(ex.getRaster.getSample(0, 0, 0) == 0)
+    assert(ex.getRaster.getSample(8, 0, 0) == 255)
+  }
+
+  test("3-component RCT JPX renders as RGB in a PDF page") {
+    val w = 10; val h = 10
+    val planes = Array(
+      Array.tabulate(w * h)(i => if (i % w < 5) 255 else 0), // red left
+      Array.fill(w * h)(0),
+      Array.tabulate(w * h)(i => if (i % w < 5) 0 else 255)) // blue right
+    val cs = Jpeg2000.encode(planes, w, h, 8, 1, 4, useRct = true)
+    val b = new Pdf.PdfBuilder
+    val img = b.addStream(
+      "/Type /XObject /Subtype /Image " +
+        s"/Width $w /Height $h /ColorSpace /DeviceRGB " +
+        "/BitsPerComponent 8 /Filter /JPXDecode", cs)
+    b.addPage(s"q $w 0 0 $h 0 0 cm /I Do Q", (w, h),
+      s"/XObject << /I $img 0 R >>")
+    val pages = PdfRender.renderPageImages(b.build())
+    assert(pages.head.unsupported.isEmpty)
+    val im = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pages.head.png))
+    assert((im.getRGB(2, 5) & 0xffffff) == 0xff0000, "left red")
+    assert((im.getRGB(7, 5) & 0xffffff) == 0x0000ff, "right blue")
+  }
+
+  test("out-of-scope codestreams are a named render skip") {
+    val plane = Array.fill(8 * 8)(128)
+    val cs = Jpeg2000.encode(Array(plane), 8, 8, 8, 1, 2)
+    // flip the COD transform byte to 0 (9/7 irreversible): named skip
+    val i = cs.indexOfSlice(Array(0xff.toByte, 0x52.toByte))
+    val mut = cs.clone()
+    mut(i + 13) = 0
+    val b = new Pdf.PdfBuilder
+    val img = b.addStream(
+      "/Type /XObject /Subtype /Image /Width 8 /Height 8 " +
+        "/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /JPXDecode",
+      mut)
+    b.addPage("q 8 0 0 8 0 0 cm /I Do Q", (8, 8),
+      s"/XObject << /I $img 0 R >>")
+    val pages = PdfRender.renderPageImages(b.build())
+    assert(pages.head.unsupported.exists(_.startsWith("jpx-")),
+      pages.head.unsupported.mkString(","))
+  }
+
+  test("corrupt codestreams fail soft: no crash, no OOM") {
+    val rnd = new scala.util.Random(31)
+    val plane = Array.fill(24 * 18)(rnd.nextInt(256))
+    val cs = Jpeg2000.encode(Array(plane), 24, 18, 8, 2, 4)
+    (0 until 200).foreach { _ =>
+      val mut = cs.clone()
+      val at = rnd.nextInt(mut.length)
+      mut(at) = (mut(at) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val img = Jpeg2000.decode(mut)
+        assert(img.width.toLong * img.height <= (1L << 26))
+      } catch {
+        case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+          _: NegativeArraySizeException | _: MatchError => ()
+      }
+    }
+    (0 to cs.length by 7).foreach { cut =>
+      try Jpeg2000.decode(cs.take(cut))
+      catch {
+        case _: IllegalArgumentException | _: IndexOutOfBoundsException => ()
+      }
+    }
+  }
+}
