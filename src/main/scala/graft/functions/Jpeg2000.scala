@@ -7,14 +7,16 @@ package graft.functions
   * shared with JBIG2 (`Jbig2.ArithDecoder`/`ArithEncoder` — T.88 Annex E
   * and T.800 Annex C define the identical state machine).
   *
-  * Scope (decode): reversible 5/3 wavelet (lossless), single tile at
+  * Scope (decode): reversible 5/3 wavelet (lossless) AND the
+  * irreversible 9/7 path (float lifting, scalar-expounded or no-quant
+  * dequantization with midpoint reconstruction, ICT), single tile at
   * the canvas origin, LRCP/RLCP progression, default precincts
   * (PPx = 15, one precinct per resolution), arbitrary decomposition
   * levels and code-block sizes, 1..4 components with the reversible
   * multiple-component transform (RCT), any number of quality layers
   * (per-block segments concatenate into one MQ codeword segment — the
-  * default no-termination mode). Named skips: the irreversible 9/7
-  * path, tiled images, precinct partitioning, SOP/EPH, and coding-style
+  * default no-termination mode). Named skips: tiled images, derived
+  * quantization, precinct partitioning, SOP/EPH, and coding-style
   * extensions (bypass/termination/causal/segmentation symbols) — each
   * raises with a `jpx-...` message the callers surface as notes.
   *
@@ -693,6 +695,101 @@ object Jpeg2000 {
     }
   }
 
+  // ============== irreversible 9/7 wavelet + ICT (F.4.8, G.3) ========
+
+  private val A97 = -1.586134342059924
+  private val B97 = -0.052980118572961
+  private val G97 = 0.882911075530934
+  private val D97 = 0.443506852043971
+  private val K97 = 1.230174104914001
+
+  private def fwd97(n: Int, get: Int => Double,
+      set: (Int, Double) => Unit): Unit = {
+    if (n <= 1) return
+    def at(i: Int): Double = get(reflect(i, n))
+    def lift(phase: Int, c: Double): Unit = {
+      var i = phase
+      while (i < n) { set(i, get(i) + c * (at(i - 1) + at(i + 1))); i += 2 }
+    }
+    lift(1, A97); lift(0, B97); lift(1, G97); lift(0, D97)
+    var i = 0
+    while (i < n) { set(i, get(i) / K97); i += 2 }
+    i = 1
+    while (i < n) { set(i, get(i) * K97); i += 2 }
+  }
+
+  private def inv97(n: Int, get: Int => Double,
+      set: (Int, Double) => Unit): Unit = {
+    if (n <= 1) return
+    def at(i: Int): Double = get(reflect(i, n))
+    var i = 0
+    while (i < n) { set(i, get(i) * K97); i += 2 }
+    i = 1
+    while (i < n) { set(i, get(i) / K97); i += 2 }
+    def lift(phase: Int, c: Double): Unit = {
+      var j = phase
+      while (j < n) { set(j, get(j) - c * (at(j - 1) + at(j + 1))); j += 2 }
+    }
+    lift(0, D97); lift(1, G97); lift(0, B97); lift(1, A97)
+  }
+
+  def fwdDwt97Level(a: Array[Double], stride: Int, cw: Int,
+      ch: Int): Unit = {
+    var x = 0
+    while (x < cw) {
+      val c = x
+      fwd97(ch, i => a(i * stride + c), (i, v) => a(i * stride + c) = v)
+      x += 1
+    }
+    var y = 0
+    while (y < ch) {
+      val r = y * stride
+      fwd97(cw, i => a(r + i), (i, v) => a(r + i) = v)
+      y += 1
+    }
+  }
+
+  def invDwt97Level(a: Array[Double], stride: Int, cw: Int,
+      ch: Int): Unit = {
+    var y = 0
+    while (y < ch) {
+      val r = y * stride
+      inv97(cw, i => a(r + i), (i, v) => a(r + i) = v)
+      y += 1
+    }
+    var x = 0
+    while (x < cw) {
+      val c = x
+      inv97(ch, i => a(i * stride + c), (i, v) => a(i * stride + c) = v)
+      x += 1
+    }
+  }
+
+  /** Irreversible color transform (G.3): RGB → YCbCr, floats. */
+  def fwdIct(c0: Array[Double], c1: Array[Double],
+      c2: Array[Double]): Unit = {
+    var i = 0
+    while (i < c0.length) {
+      val r = c0(i); val g = c1(i); val b = c2(i)
+      c0(i) = 0.299 * r + 0.587 * g + 0.114 * b
+      c1(i) = -0.16875 * r - 0.33126 * g + 0.5 * b
+      c2(i) = 0.5 * r - 0.41869 * g - 0.08131 * b
+      i += 1
+    }
+  }
+
+  def invIct(c0: Array[Double], c1: Array[Double],
+      c2: Array[Double]): Unit = {
+    var i = 0
+    while (i < c0.length) {
+      val y = c0(i); val cb = c1(i); val cr = c2(i)
+      c0(i) = y + 1.402 * cr
+      c1(i) = y - 0.34413 * cb - 0.71414 * cr
+      c2(i) = y + 1.772 * cb
+      i += 1
+    }
+  }
+
   // ===================== codestream (Annex A/B) ======================
 
   /** Band geometry: orientation (0 LL / 1 HL / 2 LH / 3 HH), width,
@@ -754,7 +851,9 @@ object Jpeg2000 {
     var nl = -1; var cbw = 0; var cbh = 0; var layers = 1; var mct = 0
     var prog = 0
     var guard = 0
+    var irrev = false
     var exps: Array[Int] = null
+    var mus: Array[Int] = null
     var sotAt = -1
     var tileEnd = -1
     while (sotAt < 0) {
@@ -798,15 +897,28 @@ object Jpeg2000 {
           cbh = 1 << ((data(p + 11) & 0x0f) + 2)
           if (cbw.toLong * cbh > 4096) fail("cb-size")
           if ((data(p + 12) & 0xff) != 0) fail("cb-style")
-          if ((data(p + 13) & 0xff) != 1) fail("97-irreversible")
+          irrev = (data(p + 13) & 0xff) match {
+            case 0 => true // 9/7 irreversible
+            case 1 => false // 5/3 reversible
+            case other => fail(s"wavelet-$other")
+          }
           p += 2 + len
         case 0xff5c => // QCD
           val len = u16(p + 2)
           val sq = data(p + 4) & 0xff
-          if ((sq & 0x1f) != 0) fail("quantized") // 5/3 is never quantized
           guard = sq >> 5
-          exps = (0 until len - 3).map(i => (data(p + 5 + i) & 0xff) >> 3)
-            .toArray
+          (sq & 0x1f) match {
+            case 0 => // no quantization (reversible): 1-byte exponents
+              exps = (0 until len - 3)
+                .map(i => (data(p + 5 + i) & 0xff) >> 3).toArray
+              mus = Array.fill(exps.length)(0)
+            case 2 => // scalar expounded: 16-bit (exp, mantissa) pairs
+              val n = (len - 3) / 2
+              exps = (0 until n).map(i => u16(p + 5 + 2 * i) >> 11).toArray
+              mus = (0 until n).map(i => u16(p + 5 + 2 * i) & 0x7ff).toArray
+            case 1 => fail("quant-derived")
+            case other => fail(s"quant-style-$other")
+          }
           p += 2 + len
         case 0xff53 | 0xff5d => fail("per-component-coding") // COC/QCC
         case 0xff90 => // SOT
@@ -941,35 +1053,99 @@ object Jpeg2000 {
           (band, coeffs)
         }
       }
-      // iterative synthesis: LL_nl + level bands -> full plane
-      var cur = bandCoeffs(0).head._2
-      var lvl = nl
-      while (lvl >= 1) {
-        val r = nl - lvl + 1
-        val cw = dimAt(w, lvl - 1); val ch = dimAt(h, lvl - 1)
-        val a = new Array[Int](cw * ch)
-        val Seq((_, hl), (_, lh), (_, hh)) = bandCoeffs(r)
-        interleave(a, cw, cw, ch, cur, hl, lh, hh)
-        invDwtLevel(a, cw, cw, ch)
-        cur = a
-        lvl -= 1
+      if (!irrev) {
+        // iterative synthesis: LL_nl + level bands -> full plane
+        var cur = bandCoeffs(0).head._2
+        var lvl = nl
+        while (lvl >= 1) {
+          val r = nl - lvl + 1
+          val cw = dimAt(w, lvl - 1); val ch = dimAt(h, lvl - 1)
+          val a = new Array[Int](cw * ch)
+          val Seq((_, hl), (_, lh), (_, hh)) = bandCoeffs(r)
+          interleave(a, cw, cw, ch, cur, hl, lh, hh)
+          invDwtLevel(a, cw, cw, ch)
+          cur = a
+          lvl -= 1
+        }
+        Right(cur)
+      } else {
+        // 9/7: dequantize (midpoint reconstruction) to doubles, then
+        // float synthesis
+        def dequant(r: Int, orient: Int, q: Array[Int]): Array[Double] = {
+          val bi = if (orient == 0) 0 else orient - 1
+          val gain = orient match {
+            case 0 => 0
+            case 3 => 2
+            case _ => 1
+          }
+          val qi = if (r == 0) 0 else 1 + 3 * (r - 1) + bi
+          val delta = math.pow(2.0, (depth + gain) - exps(qi)) *
+            (1.0 + mus(qi) / 2048.0)
+          q.map { v =>
+            if (v == 0) 0.0
+            else if (v > 0) (v + 0.5) * delta
+            else (v - 0.5) * delta
+          }
+        }
+        var cur = dequant(0, 0, bandCoeffs(0).head._2)
+        var lvl = nl
+        while (lvl >= 1) {
+          val r = nl - lvl + 1
+          val cw = dimAt(w, lvl - 1); val ch = dimAt(h, lvl - 1)
+          val a = new Array[Double](cw * ch)
+          val Seq((b1, hlQ), (b2, lhQ), (b3, hhQ)) = bandCoeffs(r)
+          val hl = dequant(r, b1.orient, hlQ)
+          val lh = dequant(r, b2.orient, lhQ)
+          val hh = dequant(r, b3.orient, hhQ)
+          val lw = (cw + 1) / 2
+          val hw = cw / 2
+          var y = 0
+          while (y < ch) {
+            var x = 0
+            while (x < cw) {
+              a(y * cw + x) =
+                if ((x & 1) == 0 && (y & 1) == 0) cur((y / 2) * lw + x / 2)
+                else if ((x & 1) == 1 && (y & 1) == 0)
+                  hl((y / 2) * hw + x / 2)
+                else if ((x & 1) == 0) lh((y / 2) * lw + x / 2)
+                else hh((y / 2) * hw + x / 2)
+              x += 1
+            }
+            y += 1
+          }
+          invDwt97Level(a, cw, cw, ch)
+          cur = a
+          lvl -= 1
+        }
+        Left(cur)
       }
-      cur
-    }
-    if (mct == 1) {
-      if (comps < 3) fail("mct-components")
-      invRct(out(0), out(1), out(2))
     }
     val off = 1 << (depth - 1)
     val maxV = (1 << depth) - 1
-    out.foreach { plane =>
+    val planesOut: Array[Array[Int]] =
+      if (!irrev) {
+        val ints = out.map(_.toOption.get)
+        if (mct == 1) {
+          if (comps < 3) fail("mct-components")
+          invRct(ints(0), ints(1), ints(2))
+        }
+        ints
+      } else {
+        val dbls = out.map(_.swap.toOption.get)
+        if (mct == 1) {
+          if (comps < 3) fail("mct-components")
+          invIct(dbls(0), dbls(1), dbls(2))
+        }
+        dbls.map(_.map(v => math.round(v).toInt))
+      }
+    planesOut.foreach { plane =>
       var i = 0
       while (i < plane.length) {
         plane(i) = math.max(0, math.min(maxV, plane(i) + off))
         i += 1
       }
     }
-    JpxImage(w, h, depth, out)
+    JpxImage(w, h, depth, planesOut)
   }
 
   /** A PDF JPXDecode stream may carry the raw codestream or a JP2 box
@@ -1014,7 +1190,6 @@ object Jpeg2000 {
     require(!useRct || planes.length == 3)
     require(levels >= 0 && levels <= 16 && cbExp >= 2 && cbExp <= 6)
     val comps = planes.length
-    val cb = 1 << cbExp
     val off = 1 << (depth - 1)
     val work = planes.map(_.map(_ - off))
     if (useRct) fwdRct(work(0), work(1), work(2))
@@ -1036,7 +1211,111 @@ object Jpeg2000 {
       }
       (cur, perLevel.toSeq) // (LL_levels, bands for level 1..levels)
     }
-    // Tier-1 encode all code blocks; compute per-band max planes
+    val bands = (0 until comps).map { c =>
+      (0 to levels).map { r =>
+        if (r == 0) Seq(bandCoeffs(c)._1)
+        else {
+          val (hl, lh, hh) = bandCoeffs(c)._2(levels - r)
+          Seq(hl, lh, hh)
+        }
+      }
+    }
+    emitCodestream(w, h, depth, comps, levels, cbExp,
+      mct = if (useRct) 1 else 0, irrev = false, bands, eps = null)
+  }
+
+  /** Encode component planes as a single-tile, single-layer
+    * IRREVERSIBLE 9/7 codestream (scalar-expounded quantization with a
+    * fine step ~1/4, so round trips are near-lossless but not exact).
+    * `useIct` applies the irreversible color transform.
+    */
+  def encode97(planes: Array[Array[Int]], w: Int, h: Int, depth: Int,
+      levels: Int, cbExp: Int = 6, useIct: Boolean = false): Array[Byte] = {
+    require(planes.nonEmpty && planes.forall(_.length == w * h))
+    require(!useIct || planes.length == 3)
+    require(levels >= 0 && levels <= 16 && cbExp >= 2 && cbExp <= 6)
+    val comps = planes.length
+    val off = 1 << (depth - 1)
+    val work = planes.map(_.map(v => (v - off).toDouble))
+    if (useIct) fwdIct(work(0), work(1), work(2))
+    val eps = (0 to levels).map { r =>
+      (0 until (if (r == 0) 1 else 3)).map { bi =>
+        val gain = if (r == 0) 0 else bi match {
+          case 2 => 2 // HH
+          case _ => 1 // HL / LH
+        }
+        // delta = 2^(R_b - eps)(1 + mu/2^11); mu = 0, eps = R_b + 2
+        // gives a fixed fine step of 1/4 in every band
+        depth + gain + 2
+      }
+    }
+    def deltaAt(r: Int, bi: Int): Double = {
+      val gain = if (r == 0) 0 else (if (bi == 2) 2 else 1)
+      math.pow(2.0, (depth + gain) - eps(r)(bi))
+    }
+    val bands = (0 until comps).map { c =>
+      var cur = work(c)
+      var cw = w; var ch = h
+      val perLevel = scala.collection.mutable.ArrayBuffer
+        .empty[(Array[Double], Array[Double], Array[Double])]
+      var l = 1
+      while (l <= levels) {
+        fwdDwt97Level(cur, cw, cw, ch)
+        // reuse the int de-interleave by shape: do it inline for doubles
+        val lw = (cw + 1) / 2; val lh = (ch + 1) / 2
+        val hw = cw / 2; val hhh = ch / 2
+        val ll = new Array[Double](lw * lh)
+        val hl = new Array[Double](hw * lh)
+        val lhB = new Array[Double](lw * hhh)
+        val hhB = new Array[Double](hw * hhh)
+        var y = 0
+        while (y < ch) {
+          var x = 0
+          while (x < cw) {
+            val v = cur(y * cw + x)
+            if ((x & 1) == 0 && (y & 1) == 0) ll((y / 2) * lw + x / 2) = v
+            else if ((x & 1) == 1 && (y & 1) == 0) hl((y / 2) * hw + x / 2) = v
+            else if ((x & 1) == 0) lhB((y / 2) * lw + x / 2) = v
+            else hhB((y / 2) * hw + x / 2) = v
+            x += 1
+          }
+          y += 1
+        }
+        perLevel += ((hl, lhB, hhB))
+        // repack LL densely for the next level
+        cur = ll
+        cw = lw; ch = lh
+        l += 1
+      }
+      def quant(a: Array[Double], r: Int, bi: Int): Array[Int] = {
+        val d = deltaAt(r, bi)
+        a.map { v =>
+          val m = (math.abs(v) / d).toInt
+          if (v < 0) -m else m
+        }
+      }
+      (0 to levels).map { r =>
+        if (r == 0) Seq(quant(cur, 0, 0))
+        else {
+          val (hl, lh, hh) = perLevel(levels - r)
+          Seq(quant(hl, r, 0), quant(lh, r, 1), quant(hh, r, 2))
+        }
+      }
+    }
+    emitCodestream(w, h, depth, comps, levels, cbExp,
+      mct = if (useIct) 1 else 0, irrev = true, bands, eps)
+  }
+
+  /** Shared codestream emitter: Tier-1 codes every band's blocks and
+    * writes SOC..EOC. `eps` null → reversible (1-byte SPqcd, exponents
+    * derived from actual magnitudes); non-null → irreversible
+    * scalar-expounded (2-byte SPqcd entries, mu = 0).
+    */
+  private def emitCodestream(w: Int, h: Int, depth: Int, comps: Int,
+      levels: Int, cbExp: Int, mct: Int, irrev: Boolean,
+      bands: IndexedSeq[IndexedSeq[Seq[Array[Int]]]],
+      eps: IndexedSeq[IndexedSeq[Int]]): Array[Byte] = {
+    val cb = 1 << cbExp
     final case class CodedBlock(bx: Int, by: Int, bytes: Array[Byte],
       planes: Int, passes: Int)
     final case class CodedBand(orient: Int, bw: Int, bh: Int,
@@ -1066,25 +1345,33 @@ object Jpeg2000 {
       (0 to levels).map { r =>
         if (r == 0) {
           val bw = dimAt(w, levels); val bh = dimAt(h, levels)
-          Seq(codeBand(0, bw, bh, bandCoeffs(c)._1))
+          Seq(codeBand(0, bw, bh, bands(c)(r).head))
         } else {
-          val l = levels - r + 1
-          val (hl, lh, hh) = bandCoeffs(c)._2(l - 1)
-          bandsOf(w, h, levels, r).zip(Seq(hl, lh, hh)).map {
+          bandsOf(w, h, levels, r).zip(bands(c)(r)).map {
             case (b, arr) => codeBand(b.orient, b.w, b.h, arr)
           }
         }
       }
     }
-    val guard = 2
+    def maxPlanesAt(r: Int, bi: Int): Int =
+      (0 until comps).map(c => coded(c)(r)(bi).maxPlanes).max
+    val guard =
+      if (!irrev) 2
+      else {
+        var g = 2
+        for (r <- 0 to levels; bi <- 0 until (if (r == 0) 1 else 3))
+          g = math.max(g, maxPlanesAt(r, bi) + 1 - eps(r)(bi))
+        math.min(g, 7)
+      }
     // per band-position exponent so Mb = guard + exp - 1 >= maxPlanes,
     // maxed across components (QCD is codestream-global)
-    val expAt = (0 to levels).map { r =>
-      (0 until (if (r == 0) 1 else 3)).map { bi =>
-        val mp = (0 until comps).map(c => coded(c)(r)(bi).maxPlanes).max
-        math.max(1, mp + 1 - guard + 1) // +1 slack keeps zbp >= 0 honest
+    val expAt =
+      if (irrev) eps
+      else (0 to levels).map { r =>
+        (0 until (if (r == 0) 1 else 3)).map { bi =>
+          math.max(1, maxPlanesAt(r, bi) + 1 - guard + 1) // +1 slack
+        }
       }
-    }
     def mbAt(r: Int, bi: Int): Int = guard + expAt(r)(bi) - 1
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
@@ -1099,17 +1386,25 @@ object Jpeg2000 {
     w16(0xff52); w16(12); w8(0) // COD, Scod=0
     w8(0) // LRCP
     w16(1) // layers
-    w8(if (useRct) 1 else 0)
+    w8(mct)
     w8(levels)
     w8(cbExp - 2); w8(cbExp - 2)
     w8(0) // code-block style
-    w8(1) // 5/3 reversible
+    w8(if (irrev) 0 else 1) // wavelet: 0 = 9/7, 1 = 5/3
     val nb = 3 * levels + 1
-    w16(0xff5c); w16(3 + nb) // QCD
-    w8(guard << 5)
-    w8(expAt(0)(0) << 3)
-    (1 to levels).foreach(r => (0 until 3).foreach(bi =>
-      w8(expAt(r)(bi) << 3)))
+    if (irrev) {
+      w16(0xff5c); w16(3 + 2 * nb) // QCD, scalar expounded
+      w8((guard << 5) | 2)
+      def entry(r: Int, bi: Int): Unit = w16(expAt(r)(bi) << 11) // mu = 0
+      entry(0, 0)
+      (1 to levels).foreach(r => (0 until 3).foreach(entry(r, _)))
+    } else {
+      w16(0xff5c); w16(3 + nb) // QCD, no quantization
+      w8(guard << 5)
+      w8(expAt(0)(0) << 3)
+      (1 to levels).foreach(r => (0 until 3).foreach(bi =>
+        w8(expAt(r)(bi) << 3)))
+    }
     // tile part: emit packets first to learn Psot
     val body = new java.io.ByteArrayOutputStream()
     for (r <- 0 to levels; c <- 0 until comps) {

@@ -10,13 +10,18 @@ import org.apache.spark.sql.functions._
   * difference. q182 itself stays doc_id-bounded for the oracle; this
   * tool is the 100× scale claim behind it (VERDICT r12 task 6).
   *
-  * Usage: runMain graft.tools.Rehearse <docsParquetDir> [label]
+  * Usage: runMain graft.tools.Rehearse <docsParquetDir> [label] [payloadScale]
+  * payloadScale > 1 fattens every payload (r14 probe: 10x the tokens
+  * per doc and a 9x-pixel video track) at the SAME doc count — pins
+  * that the dominant extraction stage is payload-proportional, not
+  * super-linear.
   */
 object Rehearse {
   def main(args: Array[String]): Unit = {
     val docsPath = args.headOption
       .getOrElse("/root/testdata/sf0.1/documents.parquet")
     val label = args.drop(1).headOption.getOrElse("1x")
+    val payloadScale = args.drop(2).headOption.map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -26,12 +31,13 @@ object Rehearse {
     spark.sparkContext.setLogLevel("WARN")
     import graft.functions.{Avi, Mkv, Mp4, Multimedia, Office, Pdf, Video}
 
+    val (vw, vh) = if (payloadScale > 1) (48, 36) else (16, 12)
     val mkPayloads = udf { (toks: Seq[String]) =>
       val p = toks.mkString(" ")
       val cues = toks.zipWithIndex.map { case (t, i) =>
         (i * 1.0, i * 1.0 + 0.5, t)
       }
-      val frames = Avi.readFrames(Video.makeTestVideo(2, 16, 12, 0x112233, 10))
+      val frames = Avi.readFrames(Video.makeTestVideo(2, vw, vh, 0x112233, 10))
       Seq(
         Mp4.write(frames, 16, 12, 10, subtitles = cues),
         Mkv.write(frames, 16, 12, 10, subtitles = cues),
@@ -53,9 +59,9 @@ object Rehearse {
 
     def gated: DataFrame = spark.read.parquet(docsPath)
       .withColumn("toks", expr(
-        """filter(transform(
-          |  slice(split(trim(text), '\\s+'), 1,
-          |        cast(doc_id % 6 + 4 as int)),
+        s"""filter(transform(
+          |  slice(split(trim(text), '\\\\s+'), 1,
+          |        cast((doc_id % 6 + 4) * $payloadScale as int)),
           |  t -> regexp_replace(t, '[^a-zA-Z0-9]', '')),
           |  x -> x != '')""".stripMargin))
       .withColumn("tok", size(col("toks")).cast("long"))

@@ -208,13 +208,44 @@ class Jpeg2000Spec extends AnyFunSuite {
     assert((im.getRGB(7, 5) & 0xffffff) == 0x0000ff, "right blue")
   }
 
+  test("9/7 irreversible: near-lossless at the fine quantizer") {
+    val rnd = new scala.util.Random(37)
+    for ((w, h, levels, cbExp) <- Seq((40, 28, 3, 4), (17, 9, 1, 2),
+      (64, 64, 5, 6))) {
+      val plane = Array.fill(w * h)(rnd.nextInt(256))
+      val cs = Jpeg2000.encode97(Array(plane), w, h, 8, levels, cbExp)
+      val img = Jpeg2000.decode(cs)
+      assert(img.width == w && img.height == h)
+      val errs = plane.zip(img.comps.head).map { case (a, b) =>
+        math.abs(a - b)
+      }
+      // quantizer step 1/4 + midpoint reconstruction + float synthesis:
+      // every sample within 2, average well under half a level
+      assert(errs.max <= 2, s"${w}x$h maxErr=${errs.max}")
+      assert(errs.sum.toDouble / errs.length < 0.5,
+        s"${w}x$h meanErr=${errs.sum.toDouble / errs.length}")
+    }
+  }
+
+  test("9/7 with ICT: RGB decodes within tolerance") {
+    val rnd = new scala.util.Random(41)
+    val w = 24; val h = 20
+    val planes = Array.fill(3)(Array.fill(w * h)(rnd.nextInt(256)))
+    val cs = Jpeg2000.encode97(planes, w, h, 8, 2, 4, useIct = true)
+    val img = Jpeg2000.decode(cs)
+    planes.zip(img.comps).zipWithIndex.foreach { case ((want, got), c) =>
+      val maxErr = want.zip(got).map { case (a, b) => math.abs(a - b) }.max
+      assert(maxErr <= 3, s"comp $c maxErr=$maxErr") // ICT adds rounding
+    }
+  }
+
   test("out-of-scope codestreams are a named render skip") {
     val plane = Array.fill(8 * 8)(128)
     val cs = Jpeg2000.encode(Array(plane), 8, 8, 8, 1, 2)
-    // flip the COD transform byte to 0 (9/7 irreversible): named skip
+    // flip the COD progression byte to 4 (CPRL, unsupported): named skip
     val i = cs.indexOfSlice(Array(0xff.toByte, 0x52.toByte))
     val mut = cs.clone()
-    mut(i + 13) = 0
+    mut(i + 5) = 4
     val b = new Pdf.PdfBuilder
     val img = b.addStream(
       "/Type /XObject /Subtype /Image /Width 8 /Height 8 " +

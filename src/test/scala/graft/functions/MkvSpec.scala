@@ -180,4 +180,25 @@ class MkvSpec extends AnyFunSuite {
       } catch { case _: Exception => () }
     }
   }
+
+  test("vorbisPackets: corrupt Xiph lacing returns None, never throws") {
+    val hdrs = Seq(Array.fill(30)(1.toByte), Array.fill(8)(3.toByte),
+      Array.fill(60)(5.toByte))
+    val webm = Mkv.writeVorbis(hdrs, Seq(Array.fill(12)(9.toByte)),
+      8000, 1, 128)
+    assert(Mkv.vorbisPackets(webm).exists(_.length == 4))
+    // CodecPrivate data = [count 2, lace 30, lace 8, headers...] —
+    // corrupt the laced LENGTH bytes so the walk runs past the end:
+    // every mutation must yield None or a valid packet list, no IAE
+    // from the trailing copyOfRange (the EBML structure is untouched)
+    val at = webm.indexOfSlice(Array[Byte](2, 30, 8))
+    assert(at > 0)
+    val rnd = new scala.util.Random(7)
+    (0 until 120).foreach { _ =>
+      val m = webm.clone()
+      m(at + rnd.nextInt(3)) = rnd.nextInt(256).toByte
+      try Mkv.vorbisPackets(m).foreach(p => assert(p.length >= 3))
+      catch { case _: Exception => fail("vorbisPackets threw") }
+    }
+  }
 }
