@@ -15,9 +15,15 @@ package graft.functions
   * dictionaries (§6.5) and text regions (§6.4) — the segments real
   * scanner output predominantly uses — and the embedded-stream segment
   * layer (§7.2) a PDF `JBIG2Decode` filter carries, including
-  * /JBIG2Globals streams holding shared dictionaries. Huffman-coded
-  * dictionaries/regions, refinement, and halftone regions remain named
-  * skips (the `unsupported` channel reports them).
+  * /JBIG2Globals streams holding shared dictionaries. Generic
+  * refinement regions (§6.3, both GRTEMPLATEs with AT pixels) serve
+  * refined text-region instances (§6.4.11) and single-instance
+  * refinement/aggregate symbol dictionaries (§6.5.8.2). Halftone
+  * regions (§6.6) decode their Annex C gray-coded bitplanes over the
+  * referred pattern dictionary (§6.7). Huffman-coded
+  * dictionaries/regions, multi-instance aggregates, TPGRON,
+  * MMR-coded halftone planes, and HENABLESKIP remain named skips (the
+  * `unsupported` channel reports them).
   *
   * Context labels: T.88 assigns each template pixel a fixed bit slot;
   * the decoder forms CONTEXT MSB-first over rows top-to-bottom, left to
@@ -456,13 +462,315 @@ object Jbig2 {
     }
   }
 
+  // ---------------------------------- generic refinement region (§6.3)
+
+  /** Refinement template pixel slots: (plane, dx, dy) with plane 0 =
+    * the bitmap being decoded (causal neighbors only) and plane 1 =
+    * the reference bitmap (shifted by the refinement offset). Slot
+    * order is the context bit order (MSB first), matching the
+    * public-web pdf.js transcription of T.88 figures 12/14; AT slots
+    * (A1 in the current plane, A2 in the reference plane — nominal
+    * (-1,-1) both) complete template 0's 13 bits.
+    */
+  private def refineSlots(template: Int, at: Array[(Int, Int)])
+      : Array[(Int, Int, Int)] = template match {
+    case 0 => Array(
+      (0, 0, -1), (0, 1, -1), (0, -1, 0), (0, at(0)._1, at(0)._2),
+      (1, 0, -1), (1, 1, -1), (1, -1, 0), (1, 0, 0), (1, 1, 0),
+      (1, -1, 1), (1, 0, 1), (1, 1, 1), (1, at(1)._1, at(1)._2))
+    case 1 => Array(
+      (0, -1, -1), (0, 0, -1), (0, 1, -1), (0, -1, 0),
+      (1, 0, -1), (1, -1, 0), (1, 0, 0), (1, 1, 0), (1, 0, 1), (1, 1, 1))
+    case other => throw new IllegalArgumentException(s"GRTEMPLATE $other")
+  }
+
+  /** Nominal refinement AT pixels (§6.3.5.3). */
+  def nominalRefineAt: Array[(Int, Int)] = Array((-1, -1), (-1, -1))
+
+  /** §6.3 generic refinement region decoding: decode a w×h bitmap
+    * against `ref` shifted by (dx, dy) — the reference pixel for
+    * output (x, y) is ref(x − dx, y − dy). TPGRON is out of scope
+    * (callers reject it with a named note before reaching here).
+    */
+  def decodeRefinement(ad: ArithDecoder, cx: Contexts, w: Int, h: Int,
+      template: Int, at: Array[(Int, Int)], ref: Bitmap, dx: Int,
+      dy: Int): Bitmap = {
+    val bm = Bitmap.empty(w, h)
+    val slots = refineSlots(template, at)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var ctx = 0
+        var s = 0
+        while (s < slots.length) {
+          val (plane, sx, sy) = slots(s)
+          val bit =
+            if (plane == 0) bm.get(x + sx, y + sy)
+            else ref.get(x - dx + sx, y - dy + sy)
+          ctx = (ctx << 1) | bit
+          s += 1
+        }
+        if (ad.decode(cx, ctx) == 1) bm.set(x, y)
+        x += 1
+      }
+      y += 1
+    }
+    bm
+  }
+
+  /** Encoder twin of `decodeRefinement`. */
+  def encodeRefinementInto(enc: ArithEncoder, cx: Contexts, bm: Bitmap,
+      template: Int, at: Array[(Int, Int)], ref: Bitmap, dx: Int,
+      dy: Int): Unit = {
+    val slots = refineSlots(template, at)
+    var y = 0
+    while (y < bm.height) {
+      var x = 0
+      while (x < bm.width) {
+        var ctx = 0
+        var s = 0
+        while (s < slots.length) {
+          val (plane, sx, sy) = slots(s)
+          val bit =
+            if (plane == 0) bm.get(x + sx, y + sy)
+            else ref.get(x - dx + sx, y - dy + sy)
+          ctx = (ctx << 1) | bit
+          s += 1
+        }
+        enc.encode(cx, ctx, bm.get(x, y))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  // ------------------------------- pattern dictionary + halftone (§6.7/§6.6)
+
+  /** §6.7 pattern dictionary: one collective generic region of width
+    * (GRAYMAX+1)·HDPW split into GRAYMAX+1 patterns. The AT pixels are
+    * the SPEC-FIXED values of §6.7.5 (A1 = (−HDPW, 0) reaches the same
+    * pixel of the previous pattern — the collective bitmap's own
+    * horizontal periodicity); they are implicit, never in the stream.
+    */
+  def decodePatternDict(data: Array[Byte], from: Int, until: Int)
+      : Either[String, IndexedSeq[Bitmap]] = {
+    if (until - from < 7) return Left("jbig2-patdict-truncated")
+    var p = from
+    val flags = data(p) & 0xff
+    val hdmmr = (flags & 1) != 0
+    val template = (flags >> 1) & 3
+    val hdpw = data(p + 1) & 0xff
+    val hdph = data(p + 2) & 0xff
+    val grayMax = u32(data, p + 3)
+    p += 7
+    if (hdpw <= 0 || hdph <= 0 || grayMax < 0 || grayMax > (1 << 16) ||
+      (grayMax + 1) * hdpw.toLong * hdph > (1L << 26))
+      return Left("jbig2-patdict-bounds")
+    val cw = ((grayMax + 1) * hdpw).toInt
+    val collective =
+      if (hdmmr)
+        try Bitmap(cw, hdph, CcittFax.decode(
+          java.util.Arrays.copyOfRange(data, p, until),
+          k = -1, columns = cw, rows = hdph,
+          blackIs1 = true, byteAlign = false))
+        catch { case _: Exception => return Left("jbig2-patdict-mmr") }
+      else {
+        val at = Array((-hdpw, 0)) ++
+          (if (template == 0) Array((-3, -1), (2, -2), (-2, -2))
+           else Array.empty[(Int, Int)])
+        decodeGeneric(new ArithDecoder(data, p, until),
+          new Contexts(1 << 16), cw, hdph, template, at, tpgdon = false)
+      }
+    Right((0 to grayMax.toInt).map { i =>
+      val bm = Bitmap.empty(hdpw, hdph)
+      for (y <- 0 until hdph; x <- 0 until hdpw)
+        if (collective.get(i * hdpw + x, y) == 1) bm.set(x, y)
+      bm
+    })
+  }
+
+  /** Encoder twin of `decodePatternDict`: patterns must share dims. */
+  def encodePatternDict(patterns: Seq[Bitmap], template: Int = 0)
+      : Array[Byte] = {
+    require(patterns.nonEmpty && patterns.forall(p =>
+      p.width == patterns.head.width && p.height == patterns.head.height))
+    val hdpw = patterns.head.width; val hdph = patterns.head.height
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(template << 1) // HDMMR=0
+    out.write(hdpw); out.write(hdph)
+    val gm = patterns.length - 1
+    out.write((gm >> 24) & 0xff); out.write((gm >> 16) & 0xff)
+    out.write((gm >> 8) & 0xff); out.write(gm & 0xff)
+    val collective = Bitmap.empty(patterns.length * hdpw, hdph)
+    patterns.zipWithIndex.foreach { case (pat, i) =>
+      for (y <- 0 until hdph; x <- 0 until hdpw)
+        if (pat.get(x, y) == 1) collective.set(i * hdpw + x, y)
+    }
+    val at = Array((-hdpw, 0)) ++
+      (if (template == 0) Array((-3, -1), (2, -2), (-2, -2))
+       else Array.empty[(Int, Int)])
+    val mq = encodeGeneric(collective, template, at, tpgdon = false)
+    out.write(mq, 0, mq.length)
+    out.toByteArray
+  }
+
+  /** §6.6 halftone region: an Annex C gray-scale image (gray-coded
+    * bitplanes MSB→LSB over ONE shared MQ decoder + context bank)
+    * indexes the referred pattern dictionary; each cell's pattern is
+    * composed at the §6.6.5.2 fixed-point grid position
+    * ((HGX + mg·HRY + ng·HRX) >> 8, (HGY + mg·HRX − ng·HRY) >> 8).
+    * MMR-coded planes and HENABLESKIP are named skips.
+    */
+  def decodeHalftoneRegion(data: Array[Byte], from: Int, until: Int,
+      patterns: IndexedSeq[Bitmap],
+      notes: scala.collection.mutable.ArrayBuffer[String])
+      : Option[(Int, Int, Bitmap)] = {
+    if (until - from < 17 + 1 + 20) {
+      notes += "jbig2-truncated-region"; return None
+    }
+    var p = from
+    val w = u32(data, p).toInt
+    val h = u32(data, p + 4).toInt
+    val x = u32(data, p + 8).toInt
+    val y = u32(data, p + 12).toInt
+    p += 17
+    val flags = data(p) & 0xff; p += 1
+    val hmmr = (flags & 1) != 0
+    val template = (flags >> 1) & 3
+    val enableSkip = (flags & 8) != 0
+    val combOp = (flags >> 4) & 7
+    val defPixel = (flags >> 7) & 1
+    if (hmmr) { notes += "jbig2-halftone-mmr-skipped"; return None }
+    if (enableSkip) { notes += "jbig2-halftone-skip-skipped"; return None }
+    if (patterns.isEmpty) { notes += "jbig2-halftone-nopatterns"; return None }
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) || x < 0 || y < 0 ||
+      (x.toLong + w) * (y.toLong + h) > (1L << 26)) {
+      notes += "jbig2-region-dims"; return None
+    }
+    val hgw = u32(data, p).toInt
+    val hgh = u32(data, p + 4).toInt
+    val hgx = u32(data, p + 8).toInt // signed 1/256-pixel units
+    val hgy = u32(data, p + 12).toInt
+    val hrx = ((data(p + 16) & 0xff) << 8) | (data(p + 17) & 0xff)
+    val hry = ((data(p + 18) & 0xff) << 8) | (data(p + 19) & 0xff)
+    p += 20
+    // bound BOTH the plane-decode work (bits × cells) and the compose
+    // work (cells × pattern area) BEFORE any decoding — all three
+    // factors arrive attacker-controlled
+    val patArea = patterns.head.width.toLong * patterns.head.height
+    if (hgw <= 0 || hgh <= 0 || hgw.toLong * hgh > (1L << 20) ||
+      hgw.toLong * hgh * patArea > (1L << 27)) {
+      notes += "jbig2-halftone-grid"; return None
+    }
+    val bits = math.max(1,
+      32 - Integer.numberOfLeadingZeros(math.max(patterns.length - 1, 1)))
+    val at = Array((if (template <= 1) 3 else 2, -1)) ++
+      (if (template == 0) Array((-3, -1), (2, -2), (-2, -2))
+       else Array.empty[(Int, Int)])
+    val ad = new ArithDecoder(data, p, until)
+    val cx = new Contexts(1 << 16)
+    val planes = new Array[Bitmap](bits)
+    var j = bits - 1
+    while (j >= 0) { // MSB first, one shared coder + bank (§C.5)
+      planes(j) = decodeGeneric(ad, cx, hgw, hgh, template, at,
+        tpgdon = false)
+      j -= 1
+    }
+    val region = Bitmap.empty(w, h)
+    if (defPixel == 1) java.util.Arrays.fill(region.data, 0xff.toByte)
+    var mg = 0
+    while (mg < hgh) {
+      var ng = 0
+      while (ng < hgw) {
+        // gray decode: bit_j = plane_j ^ bit_{j+1}
+        var bit = 0; var value = 0; var k = bits - 1
+        while (k >= 0) {
+          bit = planes(k).get(ng, mg) ^ bit
+          value = (value << 1) | bit
+          k -= 1
+        }
+        val pat = patterns(math.min(value, patterns.length - 1))
+        val px = (hgx + mg * hry + ng * hrx) >> 8
+        val py = (hgy + mg * hrx - ng * hry) >> 8
+        var sy = 0
+        while (sy < pat.height) {
+          var sx = 0
+          while (sx < pat.width) {
+            val rx = px + sx; val ry = py + sy
+            if (rx >= 0 && ry >= 0 && rx < w && ry < h) {
+              val s = pat.get(sx, sy)
+              val o = region.get(rx, ry)
+              val v = combOp match {
+                case 0 => o | s
+                case 1 => o & s
+                case 2 => o ^ s
+                case 3 => 1 - (o ^ s) // XNOR
+                case _ => s // REPLACE
+              }
+              region.put(rx, ry, v)
+            }
+            sx += 1
+          }
+          sy += 1
+        }
+        ng += 1
+      }
+      mg += 1
+    }
+    Some((x, y, region))
+  }
+
+  /** Encoder twin of `decodeHalftoneRegion`: square pitch equal to the
+    * pattern width (HRX = 256·HDPW, HRY = 0, zero grid offsets), OR
+    * composition. `grid` is HGH rows × HGW pattern indices.
+    */
+  def encodeHalftoneRegion(w: Int, h: Int, x: Int, y: Int,
+      patterns: Seq[Bitmap], grid: Array[Array[Int]],
+      template: Int = 0): Array[Byte] = {
+    val hgh = grid.length; val hgw = grid.head.length
+    require(grid.forall(_.length == hgw))
+    require(grid.forall(_.forall(v => v >= 0 && v < patterns.length)))
+    val hdpw = patterns.head.width
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit = { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+    w32(w.toLong); w32(h.toLong); w32(x.toLong); w32(y.toLong)
+    out.write(0) // external combination operator: OR
+    out.write(template << 1) // flags: HMMR=0, skip=0, HCOMBOP=OR, def=0
+    w32(hgw.toLong); w32(hgh.toLong); w32(0L); w32(0L) // HGW HGH HGX HGY
+    w16(256 * hdpw); w16(0) // HRX HRY
+    val bits = math.max(1,
+      32 - Integer.numberOfLeadingZeros(math.max(patterns.length - 1, 1)))
+    val at = Array((if (template <= 1) 3 else 2, -1)) ++
+      (if (template == 0) Array((-3, -1), (2, -2), (-2, -2))
+       else Array.empty[(Int, Int)])
+    val enc = new ArithEncoder
+    val cx = new Contexts(1 << 16)
+    var j = bits - 1
+    while (j >= 0) { // plane_j = v_j ^ v_{j+1}, MSB first
+      val plane = Bitmap.empty(hgw, hgh)
+      for (mg <- 0 until hgh; ng <- 0 until hgw) {
+        val v = grid(mg)(ng)
+        if ((((v >> j) & 1) ^ ((v >> (j + 1)) & 1)) == 1) plane.set(ng, mg)
+      }
+      encodeGenericInto(enc, cx, plane, template, at, tpgdon = false)
+      j -= 1
+    }
+    val mq = enc.flush()
+    out.write(mq, 0, mq.length)
+    out.toByteArray
+  }
+
   // ------------------------------------------- symbol dictionary (§6.5)
 
   /** Decode an arithmetic symbol-dictionary segment's data (§6.5.5,
     * flags layout §7.4.3.1.1) and return the EXPORTED symbol list
     * (input symbols from referred dictionaries prepended per §6.5.10's
-    * run-length export flags). Huffman (SDHUFF) and refinement
-    * (SDREFAGG) dictionaries return a named skip.
+    * run-length export flags). SDREFAGG dictionaries decode via the
+    * single-instance refinement path of §6.5.8.2 (the form real
+    * encoders emit); Huffman (SDHUFF) dictionaries and multi-instance
+    * aggregates return a named skip.
     */
   def decodeSymbolDict(data: Array[Byte], from: Int, until: Int,
       inSyms: IndexedSeq[Bitmap]): Either[String, IndexedSeq[Bitmap]] = {
@@ -473,13 +781,21 @@ object Jbig2 {
     val sdhuff = (flags & 1) != 0
     val sdrefagg = (flags & 2) != 0
     val template = (flags >> 10) & 3
+    val rTemplate = (flags >> 12) & 1
     if (sdhuff) return Left("jbig2-sdhuff-skipped")
-    if (sdrefagg) return Left("jbig2-refagg-skipped")
     val nAt = if (template == 0) 4 else 1
     if (until - p < 2 * nAt + 8) return Left("jbig2-symdict-truncated")
     val at = Array.tabulate(nAt)(i =>
       (data(p + 2 * i).toInt, data(p + 2 * i + 1).toInt))
     p += 2 * nAt
+    val refAt =
+      if (sdrefagg && rTemplate == 0) {
+        if (until - p < 4 + 8) return Left("jbig2-symdict-truncated")
+        val a = Array((data(p).toInt, data(p + 1).toInt),
+          (data(p + 2).toInt, data(p + 3).toInt))
+        p += 4
+        a
+      } else nominalRefineAt
     val numEx = u32(data, p)
     val numNew = u32(data, p + 4)
     p += 8
@@ -490,7 +806,11 @@ object Jbig2 {
       return Left("jbig2-symdict-bounds")
     val ad = new ArithDecoder(data, p, until)
     val iadh = new IntCtx; val iadw = new IntCtx; val iaex = new IntCtx
+    val iaai = new IntCtx; val iardx = new IntCtx; val iardy = new IntCtx
     val gb = new Contexts(1 << 16)
+    val grCx = new Contexts(1 << 13)
+    val scl = symCodeLen((inSyms.length + numNew).toInt)
+    val iaid = new Contexts(1 << (scl + 1))
     val newSyms = scala.collection.mutable.ArrayBuffer.empty[Bitmap]
     var hcHeight = 0
     var area = 0L
@@ -514,8 +834,25 @@ object Jbig2 {
             area += symWidth.toLong * hcHeight
             if (symWidth <= 0 || symWidth > (1 << 14) || area > (1L << 26))
               return Left("jbig2-symdict-bounds")
-            newSyms += decodeGeneric(ad, gb, symWidth, hcHeight, template,
-              at, tpgdon = false)
+            if (!sdrefagg)
+              newSyms += decodeGeneric(ad, gb, symWidth, hcHeight, template,
+                at, tpgdon = false)
+            else {
+              // §6.5.8.2: refinement/aggregate symbol — only the
+              // single-instance form (the common one); an aggregate of
+              // several text-placed instances is a named skip
+              val nInst = decodeInt(ad, iaai).getOrElse(0)
+              if (nInst != 1) return Left("jbig2-refagg-multi-skipped")
+              val id = decodeIaid(ad, iaid, scl)
+              val rdx = decodeInt(ad, iardx).getOrElse(0)
+              val rdy = decodeInt(ad, iardy).getOrElse(0)
+              if (id < 0 || id >= inSyms.length + newSyms.length)
+                return Left("jbig2-refagg-symid")
+              val ref = if (id < inSyms.length) inSyms(id)
+                else newSyms(id - inSyms.length)
+              newSyms += decodeRefinement(ad, grCx, symWidth, hcHeight,
+                rTemplate, refAt, ref, rdx, rdy)
+            }
         }
       }
     }
@@ -580,6 +917,70 @@ object Jbig2 {
     out.toByteArray
   }
 
+  /** Encoder twin of the SDREFAGG single-instance path of
+    * `decodeSymbolDict` (§6.5.8.2): every new symbol is coded as a §6.3
+    * refinement of an already-available symbol. `newSyms` pairs the
+    * reference id — indexing `inSyms ++ <new symbols decoded so far>` —
+    * with the target bitmap; targets MUST be height-class ordered.
+    * Everything (input + new) is exported, so text-region symbol IDs
+    * index `inSyms ++ newSyms`. Returns the segment DATA payload.
+    */
+  def encodeSymbolDictRefAgg(inSyms: Seq[Bitmap],
+      newSyms: Seq[(Int, Bitmap)], rTemplate: Int = 1): Array[Byte] = {
+    require(newSyms.nonEmpty, "empty symbol dictionary")
+    require(newSyms.map(_._2).zip(newSyms.map(_._2).drop(1)).forall {
+      case (a, b) => a.height <= b.height },
+      "symbols must be height-class ordered")
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def w32(v: Long): Unit = { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+    val template = 0
+    w16(2 | (template << 10) | (rTemplate << 12)) // SDHUFF=0, SDREFAGG=1
+    val at = nominalAt(template)
+    at.foreach { case (x, y) => out.write(x & 0xff); out.write(y & 0xff) }
+    if (rTemplate == 0) nominalRefineAt.foreach { case (x, y) =>
+      out.write(x & 0xff); out.write(y & 0xff) }
+    val total = inSyms.length + newSyms.length
+    w32(total.toLong) // SDNUMEXSYMS: export inputs + new, in order
+    w32(newSyms.length.toLong) // SDNUMNEWSYMS
+    val enc = new ArithEncoder
+    val iadh = new IntCtx; val iadw = new IntCtx; val iaex = new IntCtx
+    val iaai = new IntCtx; val iardx = new IntCtx; val iardy = new IntCtx
+    val grCx = new Contexts(1 << 13)
+    val scl = symCodeLen(total)
+    val iaid = new Contexts(1 << (scl + 1))
+    val all = scala.collection.mutable.ArrayBuffer.empty[Bitmap]
+    all ++= inSyms
+    var hcHeight = 0
+    var i = 0
+    while (i < newSyms.length) {
+      val h = newSyms(i)._2.height
+      encodeInt(enc, iadh, Some(h - hcHeight))
+      hcHeight = h
+      var symWidth = 0
+      while (i < newSyms.length && newSyms(i)._2.height == h) {
+        val (refId, target) = newSyms(i)
+        require(refId >= 0 && refId < all.length, s"refId $refId")
+        encodeInt(enc, iadw, Some(target.width - symWidth))
+        symWidth = target.width
+        encodeInt(enc, iaai, Some(1)) // single-instance refinement form
+        encodeIaid(enc, iaid, scl, refId)
+        encodeInt(enc, iardx, Some(0))
+        encodeInt(enc, iardy, Some(0))
+        encodeRefinementInto(enc, grCx, target, rTemplate, nominalRefineAt,
+          all(refId), 0, 0)
+        all += target
+        i += 1
+      }
+      encodeInt(enc, iadw, None) // OOB ends the height class
+    }
+    encodeInt(enc, iaex, Some(0)) // not-exported prefix: empty
+    encodeInt(enc, iaex, Some(total)) // export inputs + new symbols
+    val mq = enc.flush()
+    out.write(mq, 0, mq.length)
+    out.toByteArray
+  }
+
   // ----------------------------------------------- text region (§6.4)
 
   /** SYMCODELEN for arithmetic text regions: max(1, ceil(log2 n)) per
@@ -591,8 +992,9 @@ object Jbig2 {
   /** Decode an arithmetic text-region segment's data (§6.4.5, flags
     * §7.4.4.1.1): region info + placement stream drawing symbols from
     * `syms` (the referred dictionaries' exports, in referral order).
-    * Returns (x, y, bitmap) for page composition. Huffman text regions
-    * and refinement instances are named skips via `notes`.
+    * Returns (x, y, bitmap) for page composition. Refined instances
+    * (§6.4.11) decode via the §6.3 generic refinement procedure;
+    * Huffman text regions are a named skip via `notes`.
     */
   def decodeTextRegion(data: Array[Byte], from: Int, until: Int,
       syms: IndexedSeq[Bitmap],
@@ -622,7 +1024,14 @@ object Jbig2 {
       (x.toLong + w) * (y.toLong + h) > (1L << 26)) {
       notes += "jbig2-region-dims"; return None
     }
-    if (refine && rTemplate == 0) p += 4 // refinement AT pixels (2 pairs)
+    val refAt =
+      if (refine && rTemplate == 0) {
+        if (until - p < 4) { notes += "jbig2-truncated-region"; return None }
+        val a = Array((data(p).toInt, data(p + 1).toInt),
+          (data(p + 2).toInt, data(p + 3).toInt))
+        p += 4
+        a
+      } else nominalRefineAt
     if (until - p < 4) { notes += "jbig2-truncated-region"; return None }
     val numInstances = u32(data, p)
     p += 4
@@ -633,7 +1042,10 @@ object Jbig2 {
     val ad = new ArithDecoder(data, p, until)
     val iadt = new IntCtx; val iafs = new IntCtx; val iads = new IntCtx
     val iait = new IntCtx; val iari = new IntCtx
+    val iardw = new IntCtx; val iardh = new IntCtx
+    val iardx = new IntCtx; val iardy = new IntCtx
     val iaid = new Contexts(1 << (scl + 1))
+    val grCx = new Contexts(1 << 13) // one bank across all refinements
     val region = Bitmap.empty(w, h)
     if (defPixel == 1) java.util.Arrays.fill(region.data, 0xff.toByte)
     def draw(sym: Bitmap, x0: Int, y0: Int): Unit = {
@@ -689,9 +1101,25 @@ object Jbig2 {
             notes += "jbig2-textregion-symid"
             return Some((x, y, region))
           }
-          if (refine && decodeInt(ad, iari).exists(_ != 0))
-            notes += "jbig2-refine-skipped" // place unrefined
-          val sym = syms(id)
+          val sym: Bitmap =
+            if (refine && decodeInt(ad, iari).exists(_ != 0)) {
+              // §6.4.11: refined instance — deltas reshape the symbol
+              // and the reference anchors at floor(rdw/2)+rdx etc.
+              val rdw = decodeInt(ad, iardw).getOrElse(0)
+              val rdh = decodeInt(ad, iardh).getOrElse(0)
+              val rdx = decodeInt(ad, iardx).getOrElse(0)
+              val rdy = decodeInt(ad, iardy).getOrElse(0)
+              val base = syms(id)
+              val wR = base.width + rdw
+              val hR = base.height + rdh
+              if (wR <= 0 || hR <= 0 || wR > (1 << 14) || hR > (1 << 14) ||
+                wR.toLong * hR > (1L << 26)) {
+                notes += "jbig2-refine-bounds"
+                return Some((x, y, region))
+              }
+              decodeRefinement(ad, grCx, wR, hR, rTemplate, refAt, base,
+                Math.floorDiv(rdw, 2) + rdx, Math.floorDiv(rdh, 2) + rdy)
+            } else syms(id)
           if (transposed == 0) {
             // symbol spans curS..curS+w-1 horizontally; top edge at TI
             // for the TOP corners, bottom edge at TI for the BOTTOM ones
@@ -717,25 +1145,37 @@ object Jbig2 {
     * (non-transposed) coordinate of the symbol's LEFT edge, `t` the TOP
     * edge. Instances must be grouped by t (strip) with non-decreasing s
     * inside a strip (SBSTRIPS=1, REFCORNER=TOPLEFT, no transpose).
+    * `refined` carries the exact bitmap to draw INSTEAD of syms(id),
+    * coded as a §6.4.11 refinement of it (reference anchored at the
+    * refined bitmap's origin).
     */
-  final case class TextInstance(id: Int, s: Int, t: Int)
+  final case class TextInstance(id: Int, s: Int, t: Int,
+      refined: Option[Bitmap] = None)
 
   /** Encoder twin of `decodeTextRegion`: SBSTRIPS=1, TOPLEFT corner,
-    * OR composition, no transpose/refinement. Returns the segment DATA
-    * payload (region info included).
+    * OR composition, no transpose; refinement via GRTEMPLATE 1 when
+    * any instance carries one. Returns the segment DATA payload
+    * (region info included).
     */
   def encodeTextRegion(w: Int, h: Int, x: Int, y: Int,
       syms: Seq[Bitmap], instances: Seq[TextInstance]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     def w32(v: Long): Unit = { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+    val refine = instances.exists(_.refined.isDefined)
     w32(w.toLong); w32(h.toLong); w32(x.toLong); w32(y.toLong)
     out.write(0) // external combination operator: OR
-    w16(1 << 4) // flags: REFCORNER=TOPLEFT, SBSTRIPS=1, OR, no transpose
+    // flags: REFCORNER=TOPLEFT, SBSTRIPS=1, OR, no transpose;
+    // SBREFINE bit 1 + SBRTEMPLATE=1 (bit 15, no AT bytes) if refining
+    w16((1 << 4) | (if (refine) (1 << 1) | (1 << 15) else 0))
     w32(instances.length.toLong)
     val scl = symCodeLen(syms.length)
     val enc = new ArithEncoder
     val iadt = new IntCtx; val iafs = new IntCtx; val iads = new IntCtx
+    val iari = new IntCtx
+    val iardw = new IntCtx; val iardh = new IntCtx
+    val iardx = new IntCtx; val iardy = new IntCtx
+    val grCx = new Contexts(1 << 13)
     val iaid = new Contexts(1 << (scl + 1))
     encodeInt(enc, iadt, Some(0)) // STRIPT starts at 0
     var stripT = 0
@@ -757,7 +1197,26 @@ object Jbig2 {
           curS = inst.s
         }
         encodeIaid(enc, iaid, scl, inst.id)
-        curS += syms(inst.id).width - 1
+        val drawn = inst.refined match {
+          case None =>
+            if (refine) encodeInt(enc, iari, Some(0))
+            syms(inst.id)
+          case Some(target) =>
+            val base = syms(inst.id)
+            val rdw = target.width - base.width
+            val rdh = target.height - base.height
+            encodeInt(enc, iari, Some(1))
+            encodeInt(enc, iardw, Some(rdw))
+            encodeInt(enc, iardh, Some(rdh))
+            // choose RDX/RDY so the decode-side anchor
+            // floor(rdw/2)+RDX lands at 0 (reference at the origin)
+            encodeInt(enc, iardx, Some(-Math.floorDiv(rdw, 2)))
+            encodeInt(enc, iardy, Some(-Math.floorDiv(rdh, 2)))
+            encodeRefinementInto(enc, grCx, target, 1, nominalRefineAt,
+              base, 0, 0)
+            target
+        }
+        curS += drawn.width - 1
       }
       encodeInt(enc, iads, None) // OOB ends the strip
       first = false
@@ -852,8 +1311,15 @@ object Jbig2 {
         case Left(note) => notes += note
       }
     }
+    val patDicts = scala.collection.mutable.Map.empty[Long, IndexedSeq[Bitmap]]
+    def runPatDict(bytes: Array[Byte], s: Segment): Unit =
+      decodePatternDict(bytes, s.dataFrom, s.dataUntil) match {
+        case Right(pats) => patDicts(s.number) = pats
+        case Left(note) => notes += note
+      }
     segments(globals).foreach { s =>
       if (s.segType == 0) runDict(globals, s)
+      else if (s.segType == 16) runPatDict(globals, s)
       else if (s.segType != 48 && s.segType != 51 && s.segType != 62)
         notes += s"jbig2-globals-segtype-${s.segType}-skipped"
     }
@@ -874,10 +1340,16 @@ object Jbig2 {
       }
     }
     segs.filter(_.segType == 0).foreach(runDict(data, _))
+    segs.filter(_.segType == 16).foreach(runPatDict(data, _))
     val textRegions = segs.filter(s =>
       s.segType == 4 || s.segType == 6 || s.segType == 7).flatMap { s =>
       val syms = s.refs.flatMap(dicts.get).flatten.toIndexedSeq
       decodeTextRegion(data, s.dataFrom, s.dataUntil, syms, notes)
+    }
+    val halftoneRegions = segs.filter(s =>
+      s.segType == 20 || s.segType == 22 || s.segType == 23).flatMap { s =>
+      val pats = s.refs.flatMap(patDicts.get).flatten.toIndexedSeq
+      decodeHalftoneRegion(data, s.dataFrom, s.dataUntil, pats, notes)
     }
     val genericRegions = segs.filter(s =>
       s.segType == 36 || s.segType == 38 || s.segType == 39).flatMap { s =>
@@ -924,9 +1396,10 @@ object Jbig2 {
         }
       }
     }
-    val regions = textRegions ++ genericRegions
+    val regions = textRegions ++ halftoneRegions ++ genericRegions
     segs.filter(s =>
-        !Set(0, 4, 6, 7, 36, 38, 39, 48, 49, 50, 51, 62).contains(s.segType))
+        !Set(0, 4, 6, 7, 16, 20, 22, 23, 36, 38, 39, 48, 49, 50, 51, 62)
+          .contains(s.segType))
       .foreach(s => notes += s"jbig2-segtype-${s.segType}-skipped")
     if (regions.isEmpty) {
       notes += "jbig2-no-regions"
@@ -1010,6 +1483,54 @@ object Jbig2 {
     (out.toByteArray)
   }
 
+  /** One embedded segment: header (1-byte page assoc, short-form refs)
+    * + payload.
+    */
+  private def seg(number: Long, segType: Int, refs: Seq[Long],
+      payload: Array[Byte]): Array[Byte] = {
+    require(refs.length <= 4 && refs.forall(_ <= 256))
+    val o = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+      o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    w32(number)
+    o.write(segType) // flags: 1-byte page assoc, not deferred
+    o.write(refs.length << 5) // short-form referred-to count
+    refs.foreach(r => o.write(r.toInt & 0xff)) // 1-byte ref numbers
+    o.write(1) // page 1
+    w32(payload.length.toLong)
+    o.write(payload, 0, payload.length)
+    o.toByteArray
+  }
+
+  private def pageInfoBytes(pageW: Int, pageH: Int): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
+      o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
+    }
+    w32(pageW.toLong); w32(pageH.toLong); w32(0); w32(0)
+    o.write(0); o.write(0); o.write(0)
+    o.toByteArray
+  }
+
+  /** Full embedded-stream twin for halftone coding: page info +
+    * pattern dictionary (type 16) + immediate lossless halftone region
+    * (type 23) referring to it. With `splitGlobals` the pattern
+    * dictionary moves to the /JBIG2Globals stream.
+    */
+  def writeEmbeddedHalftone(pageW: Int, pageH: Int,
+      patterns: Seq[Bitmap], grid: Array[Array[Int]],
+      splitGlobals: Boolean = false): (Array[Byte], Array[Byte]) = {
+    val page = seg(0, 48, Seq.empty, pageInfoBytes(pageW, pageH))
+    val dict = seg(1, 16, Seq.empty, encodePatternDict(patterns))
+    val region = seg(2, 23, Seq(1L),
+      encodeHalftoneRegion(pageW, pageH, 0, 0, patterns, grid))
+    if (splitGlobals) (page ++ region, dict)
+    else (page ++ dict ++ region, Array.emptyByteArray)
+  }
+
   /** Full embedded-stream twin for symbol/text coding: page info +
     * symbol dictionary (type 0) + immediate text region (type 6)
     * referring to it. With `splitGlobals` the dictionary segment moves
@@ -1017,41 +1538,25 @@ object Jbig2 {
     * returned pair is (page data, globals).
     */
   def writeEmbeddedText(pageW: Int, pageH: Int, syms: Seq[Bitmap],
-      instances: Seq[TextInstance], splitGlobals: Boolean = false)
+      instances: Seq[TextInstance], splitGlobals: Boolean = false,
+      refined: Seq[(Int, Bitmap)] = Nil)
       : (Array[Byte], Array[Byte]) = {
-    def seg(number: Long, segType: Int, refs: Seq[Long],
-        payload: Array[Byte]): Array[Byte] = {
-      require(refs.length <= 4 && refs.forall(_ <= 256))
-      val o = new java.io.ByteArrayOutputStream()
-      def w32(v: Long): Unit = {
-        o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
-        o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
-      }
-      w32(number)
-      o.write(segType) // flags: 1-byte page assoc, not deferred
-      o.write(refs.length << 5) // short-form referred-to count
-      refs.foreach(r => o.write(r.toInt & 0xff)) // 1-byte ref numbers
-      o.write(1) // page 1
-      w32(payload.length.toLong)
-      o.write(payload, 0, payload.length)
-      o.toByteArray
-    }
-    val pageInfo = {
-      val o = new java.io.ByteArrayOutputStream()
-      def w32(v: Long): Unit = {
-        o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt)
-        o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt)
-      }
-      w32(pageW.toLong); w32(pageH.toLong); w32(0); w32(0)
-      o.write(0); o.write(0); o.write(0)
-      o.toByteArray
-    }
+    val pageInfo = pageInfoBytes(pageW, pageH)
     val dict = seg(1, 0, Seq.empty, encodeSymbolDict(syms))
-    val text = seg(2, 6, Seq(1L),
-      encodeTextRegion(pageW, pageH, 0, 0, syms, instances))
+    // a non-empty `refined` chains a SECOND dictionary segment coded
+    // SDREFAGG over the first one's exports; the text region then
+    // draws from `syms ++ refined targets` (the refagg dict's export
+    // order: inputs first, new symbols after)
+    val dicts =
+      if (refined.isEmpty) Array(dict)
+      else Array(dict, seg(2, 0, Seq(1L), encodeSymbolDictRefAgg(syms, refined)))
+    val textSyms = syms ++ refined.map(_._2)
+    val text = seg(dicts.length + 1L, 6, Seq(dicts.length.toLong),
+      encodeTextRegion(pageW, pageH, 0, 0, textSyms, instances))
     val page = seg(0, 48, Seq.empty, pageInfo)
-    if (splitGlobals) (page ++ text, dict)
-    else (page ++ dict ++ text, Array.emptyByteArray)
+    val dictBytes = dicts.flatten
+    if (splitGlobals) (page ++ text, dictBytes)
+    else (page ++ dictBytes ++ text, Array.emptyByteArray)
   }
 
   /** PDF JBIG2Decode filter surface: decode the embedded stream (plus

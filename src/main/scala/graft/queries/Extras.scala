@@ -5137,6 +5137,196 @@ object Extras {
              |FROM d JOIN p1 USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q201_jbig2_refine",
+      (s, dir) => {
+        // JBIG2 generic refinement (T.88 §6.3) end-to-end — the decode
+        // path real scanner output uses for touched-up glyphs: a
+        // refinement/aggregate symbol dictionary (§6.5.8.2) CHAINED
+        // over a generic dictionary inside /JBIG2Globals, plus an
+        // inline refined text instance (§6.4.11), rendered through the
+        // PDF surface. Every drawn bitmap is a closed form of doc_id
+        // the oracle recomputes — counts match ONLY if
+        // decodeRefinement reproduces each target bit-exactly;
+        // strip2_black proves placement below the first strip.
+        import graft.functions.{Images, Jbig2, Pdf, PdfRender}
+        val mk = udf { (id: Long) =>
+          val h0 = (6 + id % 3).toInt; val h1 = h0 + 2
+          val w0 = (4 + id % 3).toInt; val w1 = (5 + id % 2).toInt
+          def bm(w: Int, h: Int)(f: (Int, Int) => Boolean): Jbig2.Bitmap = {
+            val b = Jbig2.Bitmap.empty(w, h)
+            for (y <- 0 until h; x <- 0 until w) if (f(x, y)) b.set(x, y)
+            b
+          }
+          val g0 = bm(w0, h0)((x, y) => (x + 2 * y + id) % 5 < 2)
+          val g1 = bm(w1, h1)((x, y) => (2 * x + y + id) % 5 < 2)
+          // dictionary-refined symbol: its own closed form, so the
+          // oracle needs no knowledge of the refinement prediction
+          val r0 = bm(w0 + 1, h0)((x, y) => (x + y + id) % 3 == 0)
+          // inline-refined instance (reshapes g1 by +1 in each dim)
+          val v = bm(w1 + 1, h1 + 1)((x, y) => (2 * x + y + id) % 4 < 2)
+          val pageH = 2 * h0 + 8
+          val insts = Seq(
+            Jbig2.TextInstance(0, 0, 0), Jbig2.TextInstance(2, 8, 0),
+            Jbig2.TextInstance(1, 18, 0),
+            Jbig2.TextInstance(1, 2, h1 + 2, refined = Some(v)),
+            Jbig2.TextInstance(0, 14, h1 + 2))
+          val (data, globals) = Jbig2.writeEmbeddedText(40, pageH,
+            Seq(g0, g1), insts, splitGlobals = true, refined = Seq((0, r0)))
+          val (decoded, notes) = Jbig2.decodeEmbedded(data, globals)
+          require(notes.isEmpty, notes.mkString(","))
+          var strip2 = 0L
+          for (y <- h1 + 2 until decoded.height; x <- 0 until decoded.width)
+            if (decoded.get(x, y) == 1) strip2 += 1
+          val b = new Pdf.PdfBuilder
+          val gRef = b.addStream("", globals)
+          val img = b.addStream(
+            "/Type /XObject /Subtype /Image " +
+              s"/Width 40 /Height $pageH " +
+              "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+              "/Filter /JBIG2Decode " +
+              s"/DecodeParms << /JBIG2Globals $gRef 0 R >>", data)
+          b.addPage(s"q 40 0 0 $pageH 0 0 cm /I Do Q", (40, pageH),
+            s"/XObject << /I $img 0 R >>")
+          (b.build(), strip2)
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("built", mk(col("doc_id")))
+          .withColumn("pages", PdfRender.renderPages(col("built")("_1")))
+          .select(col("doc_id"),
+            Images.countColor(element_at(col("pages"), 1)("_4"), lit(0))
+              .as("p1_black"),
+            Images.countColor(element_at(col("pages"), 1)("_4"),
+              lit(0xffffff)).as("p1_white"),
+            col("built")("_2").cast("long").as("strip2_black"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, (6 + doc_id % 3)::INT AS h0,
+             |    (8 + doc_id % 3)::INT AS h1,
+             |    (4 + doc_id % 3)::INT AS w0, (5 + doc_id % 2)::INT AS w1
+             |  FROM documents WHERE doc_id < 40
+             |), g0 AS (
+             |  SELECT d.doc_id, COUNT(*)::BIGINT AS c FROM d
+             |  JOIN generate_series(0, 6) AS x(x) ON x.x < d.w0
+             |  JOIN generate_series(0, 8) AS y(y) ON y.y < d.h0
+             |  WHERE (x.x + 2 * y.y + d.doc_id) % 5 < 2 GROUP BY d.doc_id
+             |), g1 AS (
+             |  SELECT d.doc_id, COUNT(*)::BIGINT AS c FROM d
+             |  JOIN generate_series(0, 6) AS x(x) ON x.x < d.w1
+             |  JOIN generate_series(0, 10) AS y(y) ON y.y < d.h1
+             |  WHERE (2 * x.x + y.y + d.doc_id) % 5 < 2 GROUP BY d.doc_id
+             |), r0 AS (
+             |  SELECT d.doc_id, COUNT(*)::BIGINT AS c FROM d
+             |  JOIN generate_series(0, 7) AS x(x) ON x.x <= d.w0
+             |  JOIN generate_series(0, 8) AS y(y) ON y.y < d.h0
+             |  WHERE (x.x + y.y + d.doc_id) % 3 = 0 GROUP BY d.doc_id
+             |), v AS (
+             |  SELECT d.doc_id, COUNT(*)::BIGINT AS c FROM d
+             |  JOIN generate_series(0, 6) AS x(x) ON x.x <= d.w1
+             |  JOIN generate_series(0, 11) AS y(y) ON y.y <= d.h1
+             |  WHERE (2 * x.x + y.y + d.doc_id) % 4 < 2 GROUP BY d.doc_id
+             |)
+             |SELECT d.doc_id,
+             |  (2 * g0.c + g1.c + r0.c + v.c)::BIGINT AS p1_black,
+             |  (40 * (2 * d.h0 + 8)
+             |    - (2 * g0.c + g1.c + r0.c + v.c))::BIGINT AS p1_white,
+             |  (g0.c + v.c)::BIGINT AS strip2_black
+             |FROM d JOIN g0 USING (doc_id) JOIN g1 USING (doc_id)
+             |JOIN r0 USING (doc_id) JOIN v USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
+    QueryDef(
+      "q202_jbig2_halftone",
+      (s, dir) => {
+        // JBIG2 halftone regions (T.88 §6.6) + pattern dictionaries
+        // (§6.7) — the remaining region family: per doc 4 closed-form
+        // P×P patterns (2 gray-coded bitplanes over one shared MQ
+        // coder), a 6×4 grid whose index is a closed form of
+        // (mg, ng, doc_id), the dictionary carried in /JBIG2Globals,
+        // rendered through the PDF surface. p1_black matches ONLY if
+        // every plane gray-decodes and every cell indexes the right
+        // pattern; row0_black pins the grid GEOMETRY (row 0 cells land
+        // in rows 0..P-1), not just totals.
+        import graft.functions.{Images, Jbig2, Pdf, PdfRender}
+        val mk = udf { (id: Long) =>
+          val pSz = (4 + id % 2).toInt
+          def pat(k: Int): Jbig2.Bitmap = {
+            val b = Jbig2.Bitmap.empty(pSz, pSz)
+            for (y <- 0 until pSz; x <- 0 until pSz)
+              if ((x + 2 * y + k + id) % 5 < 2) b.set(x, y)
+            b
+          }
+          val pats = (0 until 4).map(pat)
+          val grid = Array.tabulate(4, 6)((mg, ng) =>
+            ((mg * 2 + ng + id) % 4).toInt)
+          val w = 6 * pSz; val h = 4 * pSz
+          val (data, globals) =
+            Jbig2.writeEmbeddedHalftone(w, h, pats, grid,
+              splitGlobals = true)
+          val (decoded, notes) = Jbig2.decodeEmbedded(data, globals)
+          require(notes.isEmpty, notes.mkString(","))
+          var row0 = 0L
+          for (y <- 0 until pSz; x <- 0 until decoded.width)
+            if (decoded.get(x, y) == 1) row0 += 1
+          val b = new Pdf.PdfBuilder
+          val gRef = b.addStream("", globals)
+          val img = b.addStream(
+            "/Type /XObject /Subtype /Image " +
+              s"/Width $w /Height $h " +
+              "/ColorSpace /DeviceGray /BitsPerComponent 1 " +
+              "/Filter /JBIG2Decode " +
+              s"/DecodeParms << /JBIG2Globals $gRef 0 R >>", data)
+          b.addPage(s"q $w 0 0 $h 0 0 cm /I Do Q", (w, h),
+            s"/XObject << /I $img 0 R >>")
+          (b.build(), row0)
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("built", mk(col("doc_id")))
+          .withColumn("pages", PdfRender.renderPages(col("built")("_1")))
+          .select(col("doc_id"),
+            Images.countColor(element_at(col("pages"), 1)("_4"), lit(0))
+              .as("p1_black"),
+            Images.countColor(element_at(col("pages"), 1)("_4"),
+              lit(0xffffff)).as("p1_white"),
+            col("built")("_2").cast("long").as("row0_black"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, (4 + doc_id % 2)::INT AS p
+             |  FROM documents WHERE doc_id < 40
+             |), pc AS (
+             |  -- per-pattern black counts from the closed form
+             |  SELECT d.doc_id, k.k, COUNT(*)::BIGINT AS c
+             |  FROM d
+             |  CROSS JOIN generate_series(0, 3) AS k(k)
+             |  JOIN generate_series(0, 4) AS x(x) ON x.x < d.p
+             |  JOIN generate_series(0, 4) AS y(y) ON y.y < d.p
+             |  WHERE (x.x + 2 * y.y + k.k + d.doc_id) % 5 < 2
+             |  GROUP BY d.doc_id, k.k
+             |), cells AS (
+             |  SELECT d.doc_id, mg.mg, ng.ng,
+             |    (mg.mg * 2 + ng.ng + d.doc_id) % 4 AS idx
+             |  FROM d
+             |  CROSS JOIN generate_series(0, 3) AS mg(mg)
+             |  CROSS JOIN generate_series(0, 5) AS ng(ng)
+             |), sums AS (
+             |  SELECT c.doc_id,
+             |    SUM(pc.c)::BIGINT AS p1_black,
+             |    SUM(CASE WHEN c.mg = 0 THEN pc.c ELSE 0 END)::BIGINT
+             |      AS row0_black
+             |  FROM cells c
+             |  JOIN pc ON pc.doc_id = c.doc_id AND pc.k = c.idx
+             |  GROUP BY c.doc_id
+             |)
+             |SELECT d.doc_id, s.p1_black,
+             |  (24 * d.p * d.p - s.p1_black)::BIGINT AS p1_white,
+             |  s.row0_black
+             |FROM d JOIN sums s USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -255,6 +255,221 @@ class Jbig2Spec extends AnyFunSuite {
     assert(imgs.length == 1 && imgs.head.format == "png")
   }
 
+  test("refinement region (§6.3): both templates round-trip exactly") {
+    val rnd = new scala.util.Random(29)
+    for (template <- 0 to 1; trial <- 0 until 3) {
+      val rw = 6 + rnd.nextInt(30); val rh = 5 + rnd.nextInt(20)
+      val ref = mkBitmap(rw, rh)((x, y) => (x + 2 * y + trial) % 5 < 2)
+      // target reshapes the reference (different dims) and flips pixels
+      val w = rw + rnd.nextInt(5) - 2; val h = rh + rnd.nextInt(5) - 2
+      val dx = rnd.nextInt(5) - 2; val dy = rnd.nextInt(5) - 2
+      val target = mkBitmap(math.max(w, 1), math.max(h, 1))((x, y) =>
+        ref.get(x - dx, y - dy) == 1 ^ (rnd.nextInt(12) == 0))
+      val at = if (template == 0 && trial == 2) Array((-2, -1), (1, -1))
+        else Jbig2.nominalRefineAt
+      val enc = new Jbig2.ArithEncoder
+      val ecx = new Jbig2.Contexts(1 << 13)
+      Jbig2.encodeRefinementInto(enc, ecx, target, template, at, ref, dx, dy)
+      val dec = Jbig2.decodeRefinement(new Jbig2.ArithDecoder(enc.flush()),
+        new Jbig2.Contexts(1 << 13), target.width, target.height,
+        template, at, ref, dx, dy)
+      assert(dec.data.sameElements(target.data), s"t$template/$trial")
+      // near-identical targets must code much smaller than from scratch
+      if (w == rw && h == rh) {
+        val enc2 = new Jbig2.ArithEncoder
+        Jbig2.encodeRefinementInto(enc2, new Jbig2.Contexts(1 << 13),
+          target, template, at, ref, dx, dy)
+        val plain = Jbig2.encodeGeneric(target, 0, Jbig2.nominalAt(0),
+          tpgdon = false)
+        assert(enc2.flush().length <= plain.length + 2,
+          s"refinement didn't pay (t$template/$trial)")
+      }
+    }
+  }
+
+  test("refagg symbol dictionary: refined exports decode exactly") {
+    for (rTemplate <- 0 to 1) {
+      val base = glyphs(13)
+      // refine inputs AND a previously-decoded new symbol (chained id
+      // >= inSyms.length), height-class ordered targets
+      val t0 = mkBitmap(6, 6)((x, y) => base(0).get(x, y) == 1 ^ (x == y))
+      val t1 = mkBitmap(7, 7)((x, y) => base(2).get(x, y) == 1 || y == 6)
+      val t2 = mkBitmap(7, 7)((x, y) => t1.get(x, y) == 1 ^ (x == 3))
+      val refined = Seq((0, t0), (2, t1), (base.length + 1, t2))
+      val payload = Jbig2.encodeSymbolDictRefAgg(base, refined, rTemplate)
+      val got = Jbig2.decodeSymbolDict(payload, 0, payload.length,
+        base.toIndexedSeq)
+      assert(got.isRight, s"rt$rTemplate: $got")
+      val dec = got.toOption.get
+      assert(dec.length == base.length + refined.length)
+      (base ++ Seq(t0, t1, t2)).zip(dec).zipWithIndex.foreach {
+        case ((a, b), i) =>
+          assert(a.width == b.width && a.height == b.height, s"sym $i dims")
+          assert(a.data.sameElements(b.data), s"sym $i pixels (rt$rTemplate)")
+      }
+    }
+  }
+
+  test("refined text instances compose the exact page (§6.4.11)") {
+    val syms = glyphs(19)
+    // instance 1 and 3 are refined: reshaped + pixel-flipped variants
+    val v0 = mkBitmap(6, 6)((x, y) => syms(0).get(x, y) == 1 ^ (x + y == 5))
+    val v3 = mkBitmap(8, 9)((x, y) => syms(3).get(x, y) == 1 || x == 7)
+    val insts = Seq(
+      Jbig2.TextInstance(2, 1, 1),
+      Jbig2.TextInstance(0, 7, 1, refined = Some(v0)),
+      Jbig2.TextInstance(4, 15, 1),
+      Jbig2.TextInstance(3, 3, 12, refined = Some(v3)),
+      Jbig2.TextInstance(1, 13, 12))
+    val (data, _) = Jbig2.writeEmbeddedText(30, 24, syms, insts)
+    val (page, notes) = Jbig2.decodeEmbedded(data)
+    assert(notes.isEmpty, notes.mkString(","))
+    val want = Jbig2.Bitmap.empty(30, 24)
+    insts.foreach { i =>
+      val g = i.refined.getOrElse(syms(i.id))
+      for (y <- 0 until g.height; x <- 0 until g.width)
+        if (g.get(x, y) == 1 && i.s + x < 30 && i.t + y < 24)
+          want.set(i.s + x, i.t + y)
+    }
+    assert(page.data.sameElements(want.data))
+  }
+
+  test("refagg dictionary chains through the embedded stream + PDF") {
+    val base = glyphs(23).take(3) // heights 6,6,8
+    val bold0 = mkBitmap(5, 6)((x, y) =>
+      base(0).get(x, y) == 1 || base(0).get(x - 1, y) == 1)
+    val bold2 = mkBitmap(4, 8)((x, y) =>
+      base(2).get(x, y) == 1 || base(2).get(x - 1, y) == 1)
+    val refined = Seq((0, bold0), (2, bold2))
+    // text symbols index base ++ refined-targets (export order)
+    val insts = Seq(Jbig2.TextInstance(3, 0, 0), // bold0
+      Jbig2.TextInstance(1, 7, 0), Jbig2.TextInstance(4, 14, 0)) // bold2
+    val (data, globals) = Jbig2.writeEmbeddedText(22, 10, base, insts,
+      splitGlobals = true, refined = refined)
+    assert(Jbig2.segments(globals).count(_.segType == 0) == 2)
+    val (page, notes) = Jbig2.decodeEmbedded(data, globals)
+    assert(notes.isEmpty, notes.mkString(","))
+    val drawn = Seq((bold0, 0), (base(1), 7), (bold2, 14))
+    val want = Jbig2.Bitmap.empty(22, 10)
+    drawn.foreach { case (g, s) =>
+      for (y <- 0 until g.height; x <- 0 until g.width)
+        if (g.get(x, y) == 1 && s + x < 22) want.set(s + x, y)
+    }
+    assert(page.data.sameElements(want.data))
+    // and the PDF filter surface resolves the two-dict globals chain
+    val out = Jbig2.pdfFilterDecode(data, globals)
+    assert(out.sameElements(page.data.map(b => (~b).toByte)))
+  }
+
+  test("pattern dictionary (§6.7): encode -> decode round-trips exactly") {
+    for (template <- 0 to 3; n <- Seq(2, 4, 7)) {
+      val pats = (0 until n).map(k =>
+        mkBitmap(5, 4)((x, y) => (x + 2 * y + k) % (k + 2) == 0))
+      val payload = Jbig2.encodePatternDict(pats, template)
+      val got = Jbig2.decodePatternDict(payload, 0, payload.length)
+      assert(got.isRight, s"t$template n$n: $got")
+      val dec = got.toOption.get
+      assert(dec.length == n)
+      pats.zip(dec).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(a.data.sameElements(b.data), s"pattern $i (t$template n$n)")
+      }
+    }
+  }
+
+  test("halftone region (§6.6): gray-coded planes compose the page") {
+    // 6 patterns -> 3 bitplanes; 5x5 square pitch; grid indices a
+    // closed form; the decoded page must equal direct composition
+    val pats = (0 until 6).map(k =>
+      mkBitmap(5, 5)((x, y) => (x * 2 + y * 3 + k) % 6 < k + 1))
+    val hgw = 6; val hgh = 4
+    val grid = Array.tabulate(hgh, hgw)((mg, ng) => (mg * 3 + ng) % 6)
+    val (data, globals) =
+      Jbig2.writeEmbeddedHalftone(30, 20, pats, grid)
+    assert(globals.isEmpty)
+    val (page, notes) = Jbig2.decodeEmbedded(data)
+    assert(notes.isEmpty, notes.mkString(","))
+    assert(page.width == 30 && page.height == 20)
+    val want = Jbig2.Bitmap.empty(30, 20)
+    for (mg <- 0 until hgh; ng <- 0 until hgw) {
+      val pat = pats(grid(mg)(ng))
+      for (y <- 0 until 5; x <- 0 until 5)
+        if (pat.get(x, y) == 1) want.set(ng * 5 + x, mg * 5 + y)
+    }
+    assert(page.data.sameElements(want.data))
+  }
+
+  test("halftone: pattern dict via /JBIG2Globals + PDF filter surface") {
+    val pats = (0 until 4).map(k =>
+      mkBitmap(4, 4)((x, y) => (x + y + k) % 4 <= k % 3))
+    val grid = Array.tabulate(3, 5)((mg, ng) => (mg + 2 * ng) % 4)
+    val (data, globals) =
+      Jbig2.writeEmbeddedHalftone(20, 12, pats, grid, splitGlobals = true)
+    assert(globals.nonEmpty)
+    assert(Jbig2.segments(globals).map(_.segType) == Seq(16))
+    val (direct, notes) = Jbig2.decodeEmbedded(data, globals)
+    assert(notes.isEmpty, notes.mkString(","))
+    val viaFilter = Jbig2.pdfFilterDecode(data, globals)
+    assert(viaFilter.sameElements(direct.data.map(b => (~b).toByte)))
+  }
+
+  test("corrupt halftone streams fail soft: no crash, no OOM") {
+    val pats = (0 until 5).map(k =>
+      mkBitmap(4, 4)((x, y) => (x * 3 + y + k) % 5 < 2))
+    val grid = Array.tabulate(4, 4)((mg, ng) => (mg * 2 + ng) % 5)
+    val (stream, _) = Jbig2.writeEmbeddedHalftone(16, 16, pats, grid)
+    val rnd = new scala.util.Random(43)
+    (0 until 200).foreach { _ =>
+      val mut = stream.clone()
+      val at = rnd.nextInt(mut.length)
+      mut(at) = (mut(at) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val (page, _) = Jbig2.decodeEmbedded(mut)
+        assert(page.width.toLong * page.height <= (1L << 26))
+      } catch {
+        case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+          _: UnsupportedOperationException => ()
+      }
+    }
+    (0 to stream.length by 5).foreach { cut =>
+      try Jbig2.decodeEmbedded(stream.take(cut))
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  test("corrupt refagg/refined streams fail soft: no crash, no OOM") {
+    val base = glyphs(31).take(3)
+    val v = mkBitmap(6, 6)((x, y) => base(0).get(x, y) == 1 ^ (x == 2))
+    val insts = Seq(Jbig2.TextInstance(3, 0, 0),
+      Jbig2.TextInstance(1, 8, 0, refined = Some(v)))
+    val (stream, globals) = Jbig2.writeEmbeddedText(20, 12, base, insts,
+      splitGlobals = true, refined = Seq((0, v)))
+    val rnd = new scala.util.Random(37)
+    (0 until 150).foreach { _ =>
+      val mutG = globals.clone()
+      val at = rnd.nextInt(mutG.length)
+      mutG(at) = (mutG(at) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val (page, _) = Jbig2.decodeEmbedded(stream, mutG)
+        assert(page.width.toLong * page.height <= (1L << 26))
+      } catch {
+        case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+          _: UnsupportedOperationException => ()
+      }
+    }
+    (0 until 150).foreach { _ =>
+      val mut = stream.clone()
+      val at = rnd.nextInt(mut.length)
+      mut(at) = (mut(at) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val (page, _) = Jbig2.decodeEmbedded(mut, globals)
+        assert(page.width.toLong * page.height <= (1L << 26))
+      } catch {
+        case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+          _: UnsupportedOperationException => ()
+      }
+    }
+  }
+
   test("MMR generic region routes through the T.6 decoder") {
     val bm = mkBitmap(37, 22)((x, y) => (x / 3 + y / 2) % 3 == 0)
     val stream = Jbig2.writeEmbedded(bm, mmr = true)
