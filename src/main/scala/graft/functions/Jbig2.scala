@@ -17,11 +17,15 @@ package graft.functions
   * layer (§7.2) a PDF `JBIG2Decode` filter carries, including
   * /JBIG2Globals streams holding shared dictionaries. Generic
   * refinement regions (§6.3, both GRTEMPLATEs with AT pixels) serve
-  * refined text-region instances (§6.4.11) and single-instance
-  * refinement/aggregate symbol dictionaries (§6.5.8.2). Halftone
-  * regions (§6.6) decode their Annex C gray-coded bitplanes over the
-  * referred pattern dictionary (§6.7). Huffman-coded
-  * dictionaries/regions, multi-instance aggregates, TPGRON,
+  * refined text-region instances (§6.4.11), single-instance
+  * refinement/aggregate symbol dictionaries (§6.5.8.2), and standalone
+  * refinement region segments (§7.4.7, types 40/42/43) that refine the
+  * page content composed so far — with TPGRON typical prediction and
+  * the REPLACE external combination operator; regions compose onto the
+  * page in stream order honoring each segment's external combination
+  * operator (§8.2). Halftone regions (§6.6) decode their Annex C
+  * gray-coded bitplanes over the referred pattern dictionary (§6.7).
+  * Huffman-coded dictionaries/regions, multi-instance aggregates,
   * MMR-coded halftone planes, and HENABLESKIP remain named skips (the
   * `unsupported` channel reports them).
   *
@@ -487,31 +491,66 @@ object Jbig2 {
   /** Nominal refinement AT pixels (§6.3.5.3). */
   def nominalRefineAt: Array[(Int, Int)] = Array((-1, -1), (-1, -1))
 
+  /** TPGRON pseudo-pixel contexts (§6.3.5.6), in THIS slot labeling:
+    * template 0 coding 000+0, reference 00010000+0; template 1 coding
+    * 0000, reference 001000.
+    */
+  private def sltpRefineContext(template: Int): Int =
+    if (template == 0) 0x0020 else 0x0008
+
+  /** §6.3.5.6: a pixel is "typical" when its 3×3 reference
+    * neighborhood is uniform; under LTP such pixels take the uniform
+    * value without a decision. Returns -1 (not typical) or the value.
+    */
+  private def typicalValue(ref: Bitmap, rx: Int, ry: Int): Int = {
+    val first = ref.get(rx - 1, ry - 1)
+    var dy = -1
+    while (dy <= 1) {
+      var dx = -1
+      while (dx <= 1) {
+        if (ref.get(rx + dx, ry + dy) != first) return -1
+        dx += 1
+      }
+      dy += 1
+    }
+    first
+  }
+
   /** §6.3 generic refinement region decoding: decode a w×h bitmap
     * against `ref` shifted by (dx, dy) — the reference pixel for
-    * output (x, y) is ref(x − dx, y − dy). TPGRON is out of scope
-    * (callers reject it with a named note before reaching here).
+    * output (x, y) is ref(x − dx, y − dy). With `tpgron`, each row
+    * decodes an LTP flip first; while LTP is set, pixels whose 3×3
+    * reference neighborhood is uniform take that value with no
+    * decision (§6.3.5.6).
     */
   def decodeRefinement(ad: ArithDecoder, cx: Contexts, w: Int, h: Int,
       template: Int, at: Array[(Int, Int)], ref: Bitmap, dx: Int,
-      dy: Int): Bitmap = {
+      dy: Int, tpgron: Boolean = false): Bitmap = {
     val bm = Bitmap.empty(w, h)
     val slots = refineSlots(template, at)
+    var ltp = false
     var y = 0
     while (y < h) {
+      if (tpgron && ad.decode(cx, sltpRefineContext(template)) == 1)
+        ltp = !ltp
       var x = 0
       while (x < w) {
-        var ctx = 0
-        var s = 0
-        while (s < slots.length) {
-          val (plane, sx, sy) = slots(s)
-          val bit =
-            if (plane == 0) bm.get(x + sx, y + sy)
-            else ref.get(x - dx + sx, y - dy + sy)
-          ctx = (ctx << 1) | bit
-          s += 1
+        val tv = if (ltp) typicalValue(ref, x - dx, y - dy) else -1
+        if (tv >= 0) {
+          if (tv == 1) bm.set(x, y)
+        } else {
+          var ctx = 0
+          var s = 0
+          while (s < slots.length) {
+            val (plane, sx, sy) = slots(s)
+            val bit =
+              if (plane == 0) bm.get(x + sx, y + sy)
+              else ref.get(x - dx + sx, y - dy + sy)
+            ctx = (ctx << 1) | bit
+            s += 1
+          }
+          if (ad.decode(cx, ctx) == 1) bm.set(x, y)
         }
-        if (ad.decode(cx, ctx) == 1) bm.set(x, y)
         x += 1
       }
       y += 1
@@ -519,26 +558,45 @@ object Jbig2 {
     bm
   }
 
-  /** Encoder twin of `decodeRefinement`. */
+  /** Encoder twin of `decodeRefinement`. With `tpgron`, a row is
+    * marked typical exactly when every uniform-neighborhood pixel
+    * already equals its prediction — LTP then skips those decisions.
+    */
   def encodeRefinementInto(enc: ArithEncoder, cx: Contexts, bm: Bitmap,
       template: Int, at: Array[(Int, Int)], ref: Bitmap, dx: Int,
-      dy: Int): Unit = {
+      dy: Int, tpgron: Boolean = false): Unit = {
     val slots = refineSlots(template, at)
+    var ltp = false
     var y = 0
     while (y < bm.height) {
+      if (tpgron) {
+        var rowTypical = true
+        var x = 0
+        while (rowTypical && x < bm.width) {
+          val tv = typicalValue(ref, x - dx, y - dy)
+          if (tv >= 0 && tv != bm.get(x, y)) rowTypical = false
+          x += 1
+        }
+        enc.encode(cx, sltpRefineContext(template),
+          if (rowTypical != ltp) 1 else 0)
+        ltp = rowTypical
+      }
       var x = 0
       while (x < bm.width) {
-        var ctx = 0
-        var s = 0
-        while (s < slots.length) {
-          val (plane, sx, sy) = slots(s)
-          val bit =
-            if (plane == 0) bm.get(x + sx, y + sy)
-            else ref.get(x - dx + sx, y - dy + sy)
-          ctx = (ctx << 1) | bit
-          s += 1
+        val tv = if (ltp) typicalValue(ref, x - dx, y - dy) else -1
+        if (tv < 0) {
+          var ctx = 0
+          var s = 0
+          while (s < slots.length) {
+            val (plane, sx, sy) = slots(s)
+            val bit =
+              if (plane == 0) bm.get(x + sx, y + sy)
+              else ref.get(x - dx + sx, y - dy + sy)
+            ctx = (ctx << 1) | bit
+            s += 1
+          }
+          enc.encode(cx, ctx, bm.get(x, y))
         }
-        enc.encode(cx, ctx, bm.get(x, y))
         x += 1
       }
       y += 1
@@ -1341,73 +1399,106 @@ object Jbig2 {
     }
     segs.filter(_.segType == 0).foreach(runDict(data, _))
     segs.filter(_.segType == 16).foreach(runPatDict(data, _))
-    val textRegions = segs.filter(s =>
-      s.segType == 4 || s.segType == 6 || s.segType == 7).flatMap { s =>
-      val syms = s.refs.flatMap(dicts.get).flatten.toIndexedSeq
-      decodeTextRegion(data, s.dataFrom, s.dataUntil, syms, notes)
-    }
-    val halftoneRegions = segs.filter(s =>
-      s.segType == 20 || s.segType == 22 || s.segType == 23).flatMap { s =>
-      val pats = s.refs.flatMap(patDicts.get).flatten.toIndexedSeq
-      decodeHalftoneRegion(data, s.dataFrom, s.dataUntil, pats, notes)
-    }
-    val genericRegions = segs.filter(s =>
-      s.segType == 36 || s.segType == 38 || s.segType == 39).flatMap { s =>
-      val p = s.dataFrom
-      if (s.dataUntil - p < 18) { notes += "jbig2-truncated-region"; None }
-      else {
-        val w = u32(data, p).toInt
-        val h = u32(data, p + 4).toInt
-        val x = u32(data, p + 8).toInt
-        val y = u32(data, p + 12).toInt
-        // p+16: external combination operator (1 byte)
-        val gflags = data(p + 17) & 0xff
-        val mmr = (gflags & 1) != 0
-        val template = (gflags >> 1) & 3
-        val tpgdon = (gflags & 8) != 0
-        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
-          x < 0 || y < 0 || (x.toLong + w) * (y.toLong + h) > (1L << 26)) {
-          // offsets bound the COMPOSED canvas, checked before allocating
-          notes += "jbig2-region-dims"; None
-        } else if (mmr) {
-          // T.88 §6.2.6: MMR coding IS T.6 (G4) — reuse the CCITT
-          // decoder (blackIs1 matches JBIG2's 1=black convention; both
-          // sides pack MSB-first byte-aligned rows). No AT bytes follow
-          // the flags when MMR=1.
-          try Some((x, y, Bitmap(w, h, CcittFax.decode(
-            java.util.Arrays.copyOfRange(data, p + 18, s.dataUntil),
-            k = -1, columns = w, rows = h,
-            blackIs1 = true, byteAlign = false))))
-          catch { case _: Exception => notes += "jbig2-mmr-corrupt"; None }
-        } else {
-          var q = p + 18
-          val nAt = if (template == 0) 4 else 1
-          if (s.dataUntil - q < 2 * nAt) {
-            // AT bytes themselves truncated — a named note, not an AIOOBE
-            notes += "jbig2-truncated-region"; None
-          } else {
-            val at = Array.tabulate(nAt)(i =>
-              (data(q + 2 * i).toInt, data(q + 2 * i + 1).toInt))
-            q += 2 * nAt
-            val ad = new ArithDecoder(data, q, s.dataUntil)
-            val cx = new Contexts(1 << 16)
-            Some((x, y, decodeGeneric(ad, cx, w, h, template, at, tpgdon)))
+    // Region segments decode here, then compose in STREAM ORDER (§8.2)
+    // honoring each segment's external combination operator: refinement
+    // region segments (40/42/43) take the page content composed SO FAR
+    // as their §6.3 reference, so composition cannot be batched. A
+    // Left entry is a refinement segment's declared box (decoded at
+    // composition time); a Right entry is an already-decoded region.
+    val regionTypes = Set(4, 6, 7, 20, 22, 23, 36, 38, 39, 40, 42, 43)
+    val entries: Seq[(Segment, Either[(Int, Int, Int, Int), (Int, Int, Bitmap)])] =
+      segs.filter(s => regionTypes.contains(s.segType)).flatMap { s =>
+        val decoded: Option[Either[(Int, Int, Int, Int), (Int, Int, Bitmap)]] =
+          s.segType match {
+            case 4 | 6 | 7 =>
+              val syms = s.refs.flatMap(dicts.get).flatten.toIndexedSeq
+              decodeTextRegion(data, s.dataFrom, s.dataUntil, syms, notes)
+                .map(Right(_))
+            case 20 | 22 | 23 =>
+              val pats = s.refs.flatMap(patDicts.get).flatten.toIndexedSeq
+              decodeHalftoneRegion(data, s.dataFrom, s.dataUntil, pats, notes)
+                .map(Right(_))
+            case 40 | 42 | 43 =>
+              val p = s.dataFrom
+              if (s.dataUntil - p < 18) {
+                notes += "jbig2-truncated-region"; None
+              } else {
+                val w = u32(data, p).toInt
+                val h = u32(data, p + 4).toInt
+                val x = u32(data, p + 8).toInt
+                val y = u32(data, p + 12).toInt
+                if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
+                  x < 0 || y < 0 ||
+                  (x.toLong + w) * (y.toLong + h) > (1L << 26)) {
+                  notes += "jbig2-region-dims"; None
+                } else Some(Left((x, y, w, h)))
+              }
+            case _ => // 36 | 38 | 39
+              val p = s.dataFrom
+              if (s.dataUntil - p < 18) {
+                notes += "jbig2-truncated-region"; None
+              } else {
+                val w = u32(data, p).toInt
+                val h = u32(data, p + 4).toInt
+                val x = u32(data, p + 8).toInt
+                val y = u32(data, p + 12).toInt
+                // p+16: external combination operator (1 byte)
+                val gflags = data(p + 17) & 0xff
+                val mmr = (gflags & 1) != 0
+                val template = (gflags >> 1) & 3
+                val tpgdon = (gflags & 8) != 0
+                if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
+                  x < 0 || y < 0 ||
+                  (x.toLong + w) * (y.toLong + h) > (1L << 26)) {
+                  // offsets bound the COMPOSED canvas, before allocating
+                  notes += "jbig2-region-dims"; None
+                } else if (mmr) {
+                  // T.88 §6.2.6: MMR coding IS T.6 (G4) — reuse the CCITT
+                  // decoder (blackIs1 matches JBIG2's 1=black convention;
+                  // both sides pack MSB-first byte-aligned rows). No AT
+                  // bytes follow the flags when MMR=1.
+                  try Some(Right((x, y, Bitmap(w, h, CcittFax.decode(
+                    java.util.Arrays.copyOfRange(data, p + 18, s.dataUntil),
+                    k = -1, columns = w, rows = h,
+                    blackIs1 = true, byteAlign = false)))))
+                  catch {
+                    case _: Exception => notes += "jbig2-mmr-corrupt"; None
+                  }
+                } else {
+                  var q = p + 18
+                  val nAt = if (template == 0) 4 else 1
+                  if (s.dataUntil - q < 2 * nAt) {
+                    // AT bytes truncated — a named note, not an AIOOBE
+                    notes += "jbig2-truncated-region"; None
+                  } else {
+                    val at = Array.tabulate(nAt)(i =>
+                      (data(q + 2 * i).toInt, data(q + 2 * i + 1).toInt))
+                    q += 2 * nAt
+                    val ad = new ArithDecoder(data, q, s.dataUntil)
+                    val cx = new Contexts(1 << 16)
+                    Some(Right((x, y,
+                      decodeGeneric(ad, cx, w, h, template, at, tpgdon))))
+                  }
+                }
+              }
           }
-        }
+        decoded.map(s -> _)
       }
-    }
-    val regions = textRegions ++ halftoneRegions ++ genericRegions
     segs.filter(s =>
-        !Set(0, 4, 6, 7, 16, 20, 22, 23, 36, 38, 39, 48, 49, 50, 51, 62)
-          .contains(s.segType))
+        !(regionTypes ++ Set(0, 16, 48, 49, 50, 51, 62)).contains(s.segType))
       .foreach(s => notes += s"jbig2-segtype-${s.segType}-skipped")
-    if (regions.isEmpty) {
+    if (entries.isEmpty) {
       notes += "jbig2-no-regions"
       return (Bitmap.empty(math.max(pageW, 1), math.max(pageH, 1)),
         notes.toSeq)
     }
-    var w = math.max(pageW, regions.map(r => r._1 + r._3.width).max)
-    var h = math.max(pageH, regions.map(r => r._2 + r._3.height).max)
+    def extent(e: Either[(Int, Int, Int, Int), (Int, Int, Bitmap)])
+        : (Int, Int) = e match {
+      case Left((x, y, rw, rh)) => (x + rw, y + rh)
+      case Right((x, y, bm)) => (x + bm.width, y + bm.height)
+    }
+    var w = math.max(pageW, entries.map(e => extent(e._2)._1).max)
+    var h = math.max(pageH, entries.map(e => extent(e._2)._2).max)
     // The per-region bound is per-region only: one wide region at y=0
     // plus one tall region at x=0 each pass (x+w)*(y+h) <= 2^26 yet
     // union to a canvas whose w*h (and byte size) overflows Int. Bound
@@ -1418,21 +1509,70 @@ object Jbig2 {
       if (pageW > 0 && pageH > 0 && pageW.toLong * pageH <= (1L << 26)) {
         w = pageW; h = pageH
       } else {
-        w = regions.head._1 + regions.head._3.width
-        h = regions.head._2 + regions.head._3.height
+        val (ew, eh) = extent(entries.head._2)
+        w = ew; h = eh
       }
     }
     val page = Bitmap.empty(w, h)
-    regions.foreach { case (ox, oy, bm) =>
+    def compose(ox: Int, oy: Int, bm: Bitmap, comb: Int): Unit = {
       var y = 0
       while (y < bm.height) {
         var x = 0
         while (x < bm.width) {
-          if (bm.get(x, y) == 1 && ox + x < w && oy + y < h)
-            page.set(ox + x, oy + y)
+          val rx = ox + x; val ry = oy + y
+          if (rx >= 0 && ry >= 0 && rx < w && ry < h) {
+            val s = bm.get(x, y)
+            val o = page.get(rx, ry)
+            val v = comb match {
+              case 0 => o | s
+              case 1 => o & s
+              case 2 => o ^ s
+              case 3 => 1 - (o ^ s) // XNOR
+              case _ => s // REPLACE (refinement regions only, §7.4.8.5)
+            }
+            page.put(rx, ry, v)
+          }
           x += 1
         }
         y += 1
+      }
+    }
+    entries.foreach { case (s, entry) =>
+      val comb = data(s.dataFrom + 16) & 7
+      entry match {
+        case Right((ox, oy, bm)) => compose(ox, oy, bm, comb)
+        case Left((x0, y0, rw, rh)) =>
+          // §7.4.7: flags byte (bit 0 GRTEMPLATE, bit 1 TPGRON) + AT
+          // pixels (template 0 only), then the MQ stream; the §6.3
+          // reference is the page content composed so far in the box
+          var q = s.dataFrom + 17
+          if (s.dataUntil - q < 1) notes += "jbig2-truncated-region"
+          else {
+            val rflags = data(q) & 0xff; q += 1
+            val template = rflags & 1
+            val tpgron = (rflags & 2) != 0
+            val at =
+              if (template == 0) {
+                if (s.dataUntil - q < 4) {
+                  notes += "jbig2-truncated-region"; null
+                } else {
+                  val a = Array((data(q).toInt, data(q + 1).toInt),
+                    (data(q + 2).toInt, data(q + 3).toInt))
+                  q += 4
+                  a
+                }
+              } else nominalRefineAt
+            if (at != null) {
+              val ref = Bitmap.empty(rw, rh)
+              for (yy <- 0 until rh; xx <- 0 until rw)
+                if (page.get(x0 + xx, y0 + yy) == 1) ref.set(xx, yy)
+              val bm = decodeRefinement(
+                new ArithDecoder(data, q, s.dataUntil),
+                new Contexts(1 << 13), rw, rh, template, at, ref, 0, 0,
+                tpgron)
+              compose(x0, y0, bm, comb)
+            }
+          }
       }
     }
     (page, notes.toSeq)
@@ -1529,6 +1669,41 @@ object Jbig2 {
       encodeHalftoneRegion(pageW, pageH, 0, 0, patterns, grid))
     if (splitGlobals) (page ++ region, dict)
     else (page ++ dict ++ region, Array.emptyByteArray)
+  }
+
+  /** Full embedded-stream twin for a refinement region segment: page
+    * info + an immediate lossless generic region carrying `base` +
+    * an immediate lossless refinement region (type 43, REPLACE
+    * combination per §7.4.8.5) refining the page box at (x, y) to
+    * `target` — the §6.3 reference is the page content itself, so the
+    * refinement can both add AND CLEAR ink.
+    */
+  def writeEmbeddedRefine(base: Bitmap, target: Bitmap, x: Int, y: Int,
+      template: Int = 0, tpgron: Boolean = false): Array[Byte] = {
+    val payload = {
+      val o = new java.io.ByteArrayOutputStream()
+      def w16(v: Int): Unit = { o.write((v >> 8) & 0xff); o.write(v & 0xff) }
+      def w32(v: Long): Unit = { w16(((v >> 16) & 0xffff).toInt); w16((v & 0xffff).toInt) }
+      w32(target.width.toLong); w32(target.height.toLong)
+      w32(x.toLong); w32(y.toLong)
+      o.write(4) // external combination operator: REPLACE
+      o.write((template & 1) | (if (tpgron) 2 else 0))
+      if (template == 0) nominalRefineAt.foreach { case (ax, ay) =>
+        o.write(ax & 0xff); o.write(ay & 0xff) }
+      val ref = Bitmap.empty(target.width, target.height)
+      for (yy <- 0 until target.height; xx <- 0 until target.width)
+        if (base.get(x + xx, y + yy) == 1) ref.set(xx, yy)
+      val enc = new ArithEncoder
+      encodeRefinementInto(enc, new Contexts(1 << 13), target,
+        template & 1, nominalRefineAt, ref, 0, 0, tpgron)
+      val mq = enc.flush()
+      o.write(mq, 0, mq.length)
+      o.toByteArray
+    }
+    seg(0, 48, Seq.empty,
+      pageInfoBytes(base.width, base.height)) ++
+      writeEmbedded(base).drop(11 + 19) ++ // the generic region segment
+      seg(2, 43, Seq.empty, payload)
   }
 
   /** Full embedded-stream twin for symbol/text coding: page info +

@@ -361,6 +361,77 @@ class Jbig2Spec extends AnyFunSuite {
     assert(out.sameElements(page.data.map(b => (~b).toByte)))
   }
 
+  test("refinement region segment refines the composed page (REPLACE)") {
+    for (template <- 0 to 1; tpgron <- Seq(false, true)) {
+      val base = mkBitmap(24, 16)((x, y) => (x + 2 * y) % 5 < 2)
+      // target both ADDS ink and CLEARS base ink inside the box — only
+      // REPLACE composition + true refinement decode can produce it
+      val bx = 4; val by = 3
+      val target = mkBitmap(14, 9)((x, y) =>
+        base.get(bx + x, by + y) == 1 ^ ((x + y) % 7 == 0))
+      val stream = Jbig2.writeEmbeddedRefine(base, target, bx, by,
+        template, tpgron)
+      val (page, notes) = Jbig2.decodeEmbedded(stream)
+      assert(notes.isEmpty, notes.mkString(","))
+      val want = Jbig2.Bitmap.empty(24, 16)
+      for (y <- 0 until 16; x <- 0 until 24) {
+        val in = x >= bx && x < bx + 14 && y >= by && y < by + 9
+        val v = if (in) target.get(x - bx, y - by) else base.get(x, y)
+        if (v == 1) want.set(x, y)
+      }
+      assert(page.data.sameElements(want.data), s"t$template tp=$tpgron")
+      // the cleared pixels must actually exist (REPLACE is load-bearing)
+      assert((0 until 9).exists(y => (0 until 14).exists(x =>
+        base.get(bx + x, by + y) == 1 && target.get(x, y) == 0)))
+    }
+  }
+
+  test("TPGRON typical rows must pay on identity-like refinements") {
+    // solid reference: every interior pixel has a uniform 3x3
+    // neighborhood, so typical rows skip ~90% of decisions; the target
+    // deviates only at border pixels (non-uniform neighborhoods via
+    // the out-of-bounds zeros), keeping every row typical
+    val ref = mkBitmap(300, 200)((_, _) => true)
+    val target = mkBitmap(300, 200)((x, y) =>
+      !(x == 0 && y % 7 == 0))
+    for (template <- 0 to 1) {
+      def sz(tp: Boolean): Int = {
+        val enc = new Jbig2.ArithEncoder
+        Jbig2.encodeRefinementInto(enc, new Jbig2.Contexts(1 << 13),
+          target, template, Jbig2.nominalRefineAt, ref, 0, 0, tp)
+        enc.flush().length
+      }
+      val dec = Jbig2.decodeRefinement(
+        new Jbig2.ArithDecoder({
+          val enc = new Jbig2.ArithEncoder
+          Jbig2.encodeRefinementInto(enc, new Jbig2.Contexts(1 << 13),
+            target, template, Jbig2.nominalRefineAt, ref, 0, 0,
+            tpgron = true)
+          enc.flush()
+        }),
+        new Jbig2.Contexts(1 << 13), 300, 200, template,
+        Jbig2.nominalRefineAt, ref, 0, 0, tpgron = true)
+      assert(dec.data.sameElements(target.data), s"t$template")
+      assert(sz(true) < sz(false), s"t$template: tpgron didn't pay")
+    }
+  }
+
+  test("external combination operators compose in stream order") {
+    // two overlapping generic regions with XOR: overlap cancels
+    val a = mkBitmap(12, 8)((x, y) => true)
+    val b = mkBitmap(12, 8)((x, y) => x < 6)
+    val sa = Jbig2.writeEmbedded(a) // full stream: page info + region
+    val sb = Jbig2.writeEmbedded(b)
+    // re-point region b's comb op to XOR and append its region segment
+    val regB = Jbig2.segments(sb).find(_.segType == 39).get
+    val regBytes = sb.slice(regB.dataFrom - 11, regB.dataUntil)
+    regBytes(11 + 16) = 2 // external comb op byte inside region info
+    val (page, notes) = Jbig2.decodeEmbedded(sa ++ regBytes)
+    assert(notes.isEmpty, notes.mkString(","))
+    for (y <- 0 until 8; x <- 0 until 12)
+      assert(page.get(x, y) == (if (x < 6) 0 else 1), s"($x,$y)")
+  }
+
   test("pattern dictionary (§6.7): encode -> decode round-trips exactly") {
     for (template <- 0 to 3; n <- Seq(2, 4, 7)) {
       val pats = (0 until n).map(k =>

@@ -41,6 +41,18 @@ def main():
                    cwd=repo, capture_output=True)
     run(["git", "worktree", "add", "--force", wt, prev_commit], repo)
 
+    # Overlay the CURRENT bench harness onto the prev side so both
+    # sides measure identically (r14: the harness switched streaming
+    # gates to a single cold sample; comparing that against the old
+    # min-of-3-warm numbers mislabeled the methodology change as a 3-10x
+    # code regression on every streaming gate). Bench.scala depends only
+    # on SparkEntry, so it compiles against any round's tree.
+    bench_src = "src/main/scala/graft/Bench.scala"
+    with open(os.path.join(repo, bench_src), "rb") as f:
+        cur_bench = f.read()
+    with open(os.path.join(wt, bench_src), "wb") as f:
+        f.write(cur_bench)
+
     # compile both sides up front so measured runs are compile-free
     for cwd in (wt, repo):
         run(["sbt", "-batch", "compile"], cwd)
