@@ -5327,6 +5327,152 @@ object Extras {
              |FROM d JOIN sums s USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q203_stream_rocksdb",
+      (s, dir) => {
+        // RocksDB state store gate — the PRODUCTION streaming backend
+        // at scale (HDFSBackedStateStoreProvider keeps every key on the
+        // executor heap; a 100 TB dedup state lives in RocksDB with
+        // changelog checkpointing). The q184 operator (exact-signature
+        // streaming near-dup) runs under RocksDB + changelog
+        // checkpointing as TWO incarnations over one checkpoint — run 1
+        // sees docs 0-19, the planted pair (18, 21) crosses the restart
+        // so doc 21's verdict can only come from RocksDB state recovered
+        // off the changelog — then an HDFS-provider control run from
+        // scratch must match row-for-row (backend parity), and both
+        // must equal the batch SQL oracle.
+        import org.apache.spark.sql.streaming.Trigger
+        val base = T(s, dir, "documents")
+          .filter(col("doc_id") < 50)
+          .withColumn("norm", expr(
+            """array_join(filter(transform(
+              |  slice(split(trim(lower(text)), '\\s+'), 1,
+              |        cast(doc_id % 4 + 5 as int)),
+              |  t -> regexp_replace(t, '[^a-z0-9]', '')),
+              |  x -> x != ''), ' ')""".stripMargin))
+          .select(col("doc_id"), col("norm"))
+        val staged = base.alias("a")
+          .join(base.alias("b"), col("b.doc_id") === col("a.doc_id") - 3,
+            "left")
+          .select(col("a.doc_id").as("doc_id"),
+            when(col("a.doc_id") % 4 === 1 && col("b.norm").isNotNull,
+              col("b.norm")).otherwise(col("a.norm")).as("text"))
+        val stage = java.nio.file.Files.createTempDirectory("q203_in")
+        def addFile(k: Int): Unit = {
+          val tmp = java.nio.file.Files
+            .createTempDirectory(s"q203_b$k").toString
+          staged.filter(col("doc_id") >= k * 10 &&
+              col("doc_id") < (k + 1) * 10)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = stage.resolve(f"b$k%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime
+              .fromMillis(1_400_000_000_000L + k * 60_000L))
+        }
+        val schema = staged.schema
+        val ck = java.nio.file.Files.createTempDirectory("q203_ck").toString
+        val outDir =
+          java.nio.file.Files.createTempDirectory("q203_out").toString
+        val provKey = "spark.sql.streaming.stateStore.providerClass"
+        val clogKey = "spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled"
+        val oldProv = s.conf.getOption(provKey)
+        val oldClog = s.conf.getOption(clogKey)
+        def runOnce(): Unit = {
+          val stream = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+          val sq = graft.streaming.Streaming
+            .nearDupStream(stream, "doc_id", "text", maxHamming = 0)
+            .toDF().writeStream.format("parquet")
+            .option("path", outDir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow()).start()
+          sq.awaitTermination()
+        }
+        val restarted =
+          try {
+            s.conf.set(provKey, "org.apache.spark.sql.execution." +
+              "streaming.state.RocksDBStateStoreProvider")
+            s.conf.set(clogKey, "true")
+            (0 until 2).foreach(addFile) // docs 0-19 visible to run 1
+            runOnce() // incarnation 1 under RocksDB, stops
+            (2 until 5).foreach(addFile) // docs 20-49 land while "down"
+            runOnce() // incarnation 2: recovers RocksDB off the changelog
+            s.read.parquet(outDir)
+              .select(col("doc_id"), col("simhash"), col("dup_of"))
+          } finally {
+            oldProv.fold(s.conf.unset(provKey))(s.conf.set(provKey, _))
+            oldClog.fold(s.conf.unset(clogKey))(s.conf.set(clogKey, _))
+          }
+        // control: DEFAULT (HDFS-backed) provider, fresh checkpoint,
+        // all files from go — backend parity, not just recovery
+        val qname = "q203_mem_" +
+          java.util.UUID.randomUUID().toString.replace("-", "")
+        val ck2 = java.nio.file.Files.createTempDirectory("q203_ck2")
+          .toString
+        val stream2 = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+        val sq2 = graft.streaming.Streaming
+          .nearDupStream(stream2, "doc_id", "text", maxHamming = 0)
+          .toDF().writeStream.format("memory").queryName(qname)
+          .outputMode("append").option("checkpointLocation", ck2)
+          .trigger(Trigger.AvailableNow()).start()
+        sq2.awaitTermination()
+        val control = s.table(qname)
+          .select(col("doc_id"), col("simhash"), col("dup_of"))
+        val equal = restarted.count() == 50 &&
+          restarted.exceptAll(control).isEmpty &&
+          control.exceptAll(restarted).isEmpty
+        restarted
+          .select(col("doc_id"), col("simhash").as("sig"),
+            (col("dup_of") =!= -1L).as("is_dup"), col("dup_of"))
+          .withColumn("rocksdb_ok", lit(equal))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_aggregate(list_filter(list_transform(
+             |      list_slice(string_split_regex(trim(lower(text)), '\s+'),
+             |                 1, doc_id % 4 + 5),
+             |      t -> regexp_replace(t, '[^a-z0-9]', '', 'g')),
+             |    x -> x <> ''), 'string_agg', ' ') AS norm
+             |  FROM documents WHERE doc_id < 50
+             |), st AS (
+             |  SELECT a.doc_id,
+             |    CASE WHEN a.doc_id % 4 = 1 AND b.norm IS NOT NULL
+             |         THEN b.norm ELSE a.norm END AS text
+             |  FROM t a LEFT JOIN t b ON b.doc_id = a.doc_id - 3
+             |), tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(text), '\s+')) AS tk
+             |  FROM st
+             |), bit AS (
+             |  SELECT doc_id, g.i,
+             |    CASE WHEN sum(CASE WHEN substr(md5(tk), g.i::INT, 1) >= '8'
+             |                       THEN 1 ELSE -1 END) > 0
+             |         THEN '1' ELSE '0' END AS b
+             |  FROM tok, generate_series(1, 16) AS g(i)
+             |  GROUP BY doc_id, g.i
+             |), sg AS (
+             |  SELECT doc_id, string_agg(b, '' ORDER BY i) AS sig
+             |  FROM bit GROUP BY doc_id
+             |), o AS (
+             |  SELECT doc_id, sig,
+             |    min(doc_id) OVER (PARTITION BY sig ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      AS prior
+             |  FROM sg
+             |)
+             |SELECT doc_id, sig, prior IS NOT NULL AS is_dup,
+             |  coalesce(prior, -1)::BIGINT AS dup_of,
+             |  -- computed Spark-side from the two runs' sinks;
+             |  -- hash-match forces it TRUE
+             |  TRUE AS rocksdb_ok
+             |FROM o ORDER BY doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
