@@ -9,20 +9,24 @@ package graft.functions
   *
   * Scope (decode): reversible 5/3 wavelet (lossless) AND the
   * irreversible 9/7 path (float lifting, scalar-expounded or no-quant
-  * dequantization with midpoint reconstruction, ICT), single tile at
-  * the canvas origin, LRCP/RLCP progression, default precincts
+  * dequantization with midpoint reconstruction, ICT), MULTI-TILE
+  * images on a grid anchored at the canvas origin (each tile an
+  * independent DWT/packet space, one tile-part per tile, raster SOT
+  * order not required), LRCP/RLCP progression, default precincts
   * (PPx = 15, one precinct per resolution), arbitrary decomposition
   * levels and code-block sizes, 1..4 components with the reversible
   * multiple-component transform (RCT), any number of quality layers
   * (per-block segments concatenate into one MQ codeword segment — the
-  * default no-termination mode). Named skips: tiled images, derived
-  * quantization, precinct partitioning, SOP/EPH, and coding-style
-  * extensions (bypass/termination/causal/segmentation symbols) — each
-  * raises with a `jpx-...` message the callers surface as notes.
+  * default no-termination mode). Named skips: multiple tile-parts per
+  * tile (TPsot > 0), derived quantization, precinct partitioning,
+  * SOP/EPH, and coding-style extensions (bypass/termination/causal/
+  * segmentation symbols) — each raises with a `jpx-...` message the
+  * callers surface as notes.
   *
-  * The encoder twin emits the same restricted codestream (single tile,
-  * one layer, all passes included, 5/3 + optional RCT) so gates decode
-  * synthesized images bit-exactly (the q189/q195 fixture pattern).
+  * The encoder twin emits the same restricted codestream (one layer,
+  * all passes included, 5/3 + optional RCT; `encodeTiled` for the
+  * multi-tile form) so gates decode synthesized images bit-exactly
+  * (the q189/q195 fixture pattern).
   */
 object Jpeg2000 {
   import Jbig2.{ArithDecoder, ArithEncoder, Contexts}
@@ -855,7 +859,7 @@ object Jpeg2000 {
     var exps: Array[Int] = null
     var mus: Array[Int] = null
     var sotAt = -1
-    var tileEnd = -1
+    var xtSiz = 0; var ytSiz = 0
     while (sotAt < 0) {
       val mk = u16(p)
       mk match {
@@ -868,8 +872,10 @@ object Jpeg2000 {
           comps = u16(p + 38)
           if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) fail("dims")
           if (xo != 0 || yo != 0 || xto != 0 || yto != 0) fail("grid-offset")
-          if (xt < w || yt < h) fail("tiled")
+          if (xt <= 0 || yt <= 0) fail("tile-size")
+          xtSiz = xt; ytSiz = yt
           if (comps < 1 || comps > 4) fail("components")
+          if (p + 40 + 3 * comps > data.length) fail("truncated")
           val ssiz = data(p + 40) & 0xff
           if ((ssiz & 0x80) != 0) fail("signed-samples")
           depth = (ssiz & 0x7f) + 1
@@ -884,6 +890,7 @@ object Jpeg2000 {
           p += 2 + len
         case 0xff52 => // COD
           val len = u16(p + 2)
+          if (p + 14 > data.length) fail("truncated")
           val scod = data(p + 4) & 0xff
           if ((scod & 1) != 0) fail("precincts")
           if ((scod & 6) != 0) fail("sop-eph")
@@ -905,6 +912,7 @@ object Jpeg2000 {
           p += 2 + len
         case 0xff5c => // QCD
           val len = u16(p + 2)
+          if (len < 3 || p + 2 + len > data.length) fail("truncated")
           val sq = data(p + 4) & 0xff
           guard = sq >> 5
           (sq & 0x1f) match {
@@ -921,13 +929,8 @@ object Jpeg2000 {
           }
           p += 2 + len
         case 0xff53 | 0xff5d => fail("per-component-coding") // COC/QCC
-        case 0xff90 => // SOT
-          val psot = u32(p + 6)
-          if (u16(p + 4) != 0 || (data(p + 11) & 0xff) > 1) fail("tiled")
-          tileEnd =
-            if (psot == 0) data.length else (p + psot).toInt
+        case 0xff90 => // SOT: main header complete; tile loop takes over
           sotAt = p
-          p += 2 + u16(p + 2)
         case 0xff64 | 0xff55 | 0xff57 | 0xff58 | 0xff60 | 0xff61 |
             0xff63 => // COM/TLM/PLM/PLT/PPM/PPT/CRG: skip by length
           if (mk == 0xff60 || mk == 0xff61) fail("packed-headers")
@@ -936,16 +939,45 @@ object Jpeg2000 {
       }
     }
     if (nl < 0 || exps == null) fail("missing-cod-qcd")
-    if (u16(p) != 0xff93) fail("no-sod")
-    p += 2
-    val end = math.min(
-      if (tileEnd > 0) tileEnd else data.length,
+    if (exps.length < 3 * nl + 1) fail("qcd-bands")
+    val nbands = 3 * nl + 1
+    val xTiles = ((w.toLong + xtSiz - 1) / xtSiz).toInt
+    val yTiles = ((h.toLong + ytSiz - 1) / ytSiz).toInt
+    if (xTiles.toLong * yTiles > 4096) fail("tile-count")
+    // collect tile-parts in stream order: one part per tile (TPsot > 0
+    // is a named skip), each SOT..SOD header directly followed by its
+    // packet body, terminated by the next SOT or EOC
+    val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    p = sotAt
+    var more = true
+    while (more) {
+      if (p + 12 > data.length || u16(p) != 0xff90) fail("no-sot")
+      val lsot = u16(p + 2)
+      val isot = u16(p + 4)
+      val psot = u32(p + 6)
+      if ((data(p + 10) & 0xff) != 0 || (data(p + 11) & 0xff) > 1)
+        fail("tile-parts")
+      if (isot >= xTiles * yTiles) fail("tile-index")
+      val tEnd: Int =
+        if (psot == 0) data.length
+        else if (psot < 14 || p + psot > data.length) fail("tile-length")
+        else (p + psot).toInt
+      val q = p + 2 + lsot
+      if (q + 2 > data.length || u16(q) != 0xff93) fail("no-sod")
+      parts += ((isot, q + 2, tEnd))
+      p = tEnd
+      more = p + 2 <= data.length && u16(p) == 0xff90
+    }
+    // ------- per-tile decode: the parameters SHADOW the image dims so
+    // the band/packet/T1/DWT machinery below operates on the tile grid
+    def decodeTile(w: Int, h: Int, pFrom: Int, pUntil: Int)
+        : Array[Either[Array[Double], Array[Int]]] = {
+    var p = pFrom
+    val end = math.min(pUntil,
       // EOC terminates; packet bodies never contain FF D9 (bit stuffing
       // keeps coded bytes <= FF8F after FF)
       data.length - 2)
     // per component/band/block decode state
-    if (exps.length < 3 * nl + 1) fail("qcd-bands")
-    val nbands = 3 * nl + 1
     def expOf(r: Int, bi: Int): Int =
       exps(if (r == 0) 0 else 1 + 3 * (r - 1) + bi)
     val state = Array.tabulate(comps) { _ =>
@@ -1017,7 +1049,7 @@ object Jpeg2000 {
       }
     }
     // Tier-1 decode + assemble subbands, then inverse DWT per component
-    val out = Array.tabulate(comps) { c =>
+    val out = Array.tabulate[Either[Array[Double], Array[Int]]](comps) { c =>
       val bandCoeffs = (0 to nl).map { r =>
         state(c)(r).map { case (band, blocks, _, _) =>
           val coeffs = new Array[Int](math.max(band.w * band.h, 0))
@@ -1120,6 +1152,41 @@ object Jpeg2000 {
         Left(cur)
       }
     }
+    out
+    } // decodeTile
+    // assemble tiles into full-image planes (missing tiles stay zero →
+    // mid-gray after the DC shift, fail-soft for truncated streams)
+    val out: Array[Either[Array[Double], Array[Int]]] =
+      Array.tabulate(comps) { _ =>
+        if (irrev) Left(new Array[Double](w * h))
+        else Right(new Array[Int](w * h))
+      }
+    parts.foreach { case (isot, from, until) =>
+      val ti = isot % xTiles; val tj = isot / xTiles
+      val tx0 = ti * xtSiz; val ty0 = tj * ytSiz
+      val tw = math.min(xtSiz, w - tx0); val th = math.min(ytSiz, h - ty0)
+      if (tw <= 0 || th <= 0) fail("tile-index")
+      val tileOut = decodeTile(tw, th, from, until)
+      var c = 0
+      while (c < comps) {
+        (out(c), tileOut(c)) match {
+          case (Right(dst), Right(src)) =>
+            var y = 0
+            while (y < th) {
+              System.arraycopy(src, y * tw, dst, (ty0 + y) * w + tx0, tw)
+              y += 1
+            }
+          case (Left(dst), Left(src)) =>
+            var y = 0
+            while (y < th) {
+              System.arraycopy(src, y * tw, dst, (ty0 + y) * w + tx0, tw)
+              y += 1
+            }
+          case _ => fail("tile-mix")
+        }
+        c += 1
+      }
+    }
     val off = 1 << (depth - 1)
     val maxV = (1 << depth) - 1
     val planesOut: Array[Array[Int]] =
@@ -1193,7 +1260,14 @@ object Jpeg2000 {
     val off = 1 << (depth - 1)
     val work = planes.map(_.map(_ - off))
     if (useRct) fwdRct(work(0), work(1), work(2))
-    // forward DWT; collect per-resolution band coefficient arrays
+    emitCodestream(w, h, depth, comps, levels, cbExp,
+      mct = if (useRct) 1 else 0, irrev = false,
+      bands53(work, w, h, levels), eps = null)
+  }
+
+  /** Forward 5/3 DWT per component → per-resolution band arrays. */
+  private def bands53(work: Array[Array[Int]], w: Int, h: Int,
+      levels: Int): IndexedSeq[IndexedSeq[Seq[Array[Int]]]] = {
     val bandCoeffs = work.map { plane =>
       var cur = plane
       var cw = w; var ch = h
@@ -1211,7 +1285,7 @@ object Jpeg2000 {
       }
       (cur, perLevel.toSeq) // (LL_levels, bands for level 1..levels)
     }
-    val bands = (0 until comps).map { c =>
+    work.indices.map { c =>
       (0 to levels).map { r =>
         if (r == 0) Seq(bandCoeffs(c)._1)
         else {
@@ -1220,8 +1294,43 @@ object Jpeg2000 {
         }
       }
     }
-    emitCodestream(w, h, depth, comps, levels, cbExp,
-      mct = if (useRct) 1 else 0, irrev = false, bands, eps = null)
+  }
+
+  /** Encode component planes as a MULTI-TILE lossless 5/3 codestream:
+    * the image splits on a (tileW, tileH) grid anchored at the origin,
+    * each tile DWT-coded independently (raster-order SOT tile-parts),
+    * QCD exponents global. The DC shift and RCT are pointwise, so they
+    * apply before tiling.
+    */
+  def encodeTiled(planes: Array[Array[Int]], w: Int, h: Int, depth: Int,
+      levels: Int, tileW: Int, tileH: Int, cbExp: Int = 6,
+      useRct: Boolean = false): Array[Byte] = {
+    require(planes.nonEmpty && planes.forall(_.length == w * h))
+    require(!useRct || planes.length == 3)
+    require(levels >= 0 && levels <= 16 && cbExp >= 2 && cbExp <= 6)
+    require(tileW > 0 && tileH > 0)
+    val comps = planes.length
+    val off = 1 << (depth - 1)
+    val work = planes.map(_.map(_ - off))
+    if (useRct) fwdRct(work(0), work(1), work(2))
+    val xTiles = (w + tileW - 1) / tileW
+    val yTiles = (h + tileH - 1) / tileH
+    val tiles = (for (tj <- 0 until yTiles; ti <- 0 until xTiles) yield {
+      val tx0 = ti * tileW; val ty0 = tj * tileH
+      val tw = math.min(tileW, w - tx0); val th = math.min(tileH, h - ty0)
+      val sub = work.map { pl =>
+        val a = new Array[Int](tw * th)
+        var y = 0
+        while (y < th) {
+          System.arraycopy(pl, (ty0 + y) * w + tx0, a, y * tw, tw)
+          y += 1
+        }
+        a
+      }
+      (tw, th, bands53(sub, tw, th, levels))
+    }).toIndexedSeq
+    emitCodestreamTiled(w, h, tileW, tileH, depth, comps, levels, cbExp,
+      mct = if (useRct) 1 else 0, irrev = false, tiles, eps = null)
   }
 
   /** Encode component planes as a single-tile, single-layer
@@ -1314,6 +1423,19 @@ object Jpeg2000 {
   private def emitCodestream(w: Int, h: Int, depth: Int, comps: Int,
       levels: Int, cbExp: Int, mct: Int, irrev: Boolean,
       bands: IndexedSeq[IndexedSeq[Seq[Array[Int]]]],
+      eps: IndexedSeq[IndexedSeq[Int]]): Array[Byte] =
+    emitCodestreamTiled(w, h, w, h, depth, comps, levels, cbExp, mct,
+      irrev, IndexedSeq((w, h, bands)), eps)
+
+  /** Multi-tile emitter: `tiles` carries (tw, th, per-comp bands) in
+    * raster order over the (xt, yt) tile grid; QCD exponents are
+    * codestream-global (maxed across tiles AND components), each tile
+    * gets one SOT..SOD tile-part.
+    */
+  private def emitCodestreamTiled(w: Int, h: Int, xt: Int, yt: Int,
+      depth: Int, comps: Int,
+      levels: Int, cbExp: Int, mct: Int, irrev: Boolean,
+      tiles: IndexedSeq[(Int, Int, IndexedSeq[IndexedSeq[Seq[Array[Int]]]])],
       eps: IndexedSeq[IndexedSeq[Int]]): Array[Byte] = {
     val cb = 1 << cbExp
     final case class CodedBlock(bx: Int, by: Int, bytes: Array[Byte],
@@ -1340,21 +1462,24 @@ object Jpeg2000 {
       CodedBand(orient, bw, bh, blocks,
         if (blocks.isEmpty) 0 else blocks.map(_.planes).max)
     }
-    // resolution r bands per component
-    val coded = (0 until comps).map { c =>
-      (0 to levels).map { r =>
-        if (r == 0) {
-          val bw = dimAt(w, levels); val bh = dimAt(h, levels)
-          Seq(codeBand(0, bw, bh, bands(c)(r).head))
-        } else {
-          bandsOf(w, h, levels, r).zip(bands(c)(r)).map {
-            case (b, arr) => codeBand(b.orient, b.w, b.h, arr)
+    // resolution r bands per tile per component
+    val codedTiles = tiles.map { case (tw, th, bands) =>
+      (0 until comps).map { c =>
+        (0 to levels).map { r =>
+          if (r == 0) {
+            val bw = dimAt(tw, levels); val bh = dimAt(th, levels)
+            Seq(codeBand(0, bw, bh, bands(c)(r).head))
+          } else {
+            bandsOf(tw, th, levels, r).zip(bands(c)(r)).map {
+              case (b, arr) => codeBand(b.orient, b.w, b.h, arr)
+            }
           }
         }
       }
     }
     def maxPlanesAt(r: Int, bi: Int): Int =
-      (0 until comps).map(c => coded(c)(r)(bi).maxPlanes).max
+      codedTiles.flatMap(coded =>
+        (0 until comps).map(c => coded(c)(r)(bi).maxPlanes)).max
     val guard =
       if (!irrev) 2
       else {
@@ -1380,7 +1505,7 @@ object Jpeg2000 {
     w16(0xff4f) // SOC
     w16(0xff51); w16(38 + 3 * comps); w16(0) // SIZ
     w32(w.toLong); w32(h.toLong); w32(0); w32(0)
-    w32(w.toLong); w32(h.toLong); w32(0); w32(0)
+    w32(xt.toLong); w32(yt.toLong); w32(0); w32(0)
     w16(comps)
     (0 until comps).foreach { _ => w8(depth - 1); w8(1); w8(1) }
     w16(0xff52); w16(12); w8(0) // COD, Scod=0
@@ -1405,7 +1530,8 @@ object Jpeg2000 {
       (1 to levels).foreach(r => (0 until 3).foreach(bi =>
         w8(expAt(r)(bi) << 3)))
     }
-    // tile part: emit packets first to learn Psot
+    // tile parts: emit each tile's packets first to learn its Psot
+    codedTiles.zipWithIndex.foreach { case (coded, tileIdx) =>
     val body = new java.io.ByteArrayOutputStream()
     for (r <- 0 to levels; c <- 0 until comps) {
       val bw = new HdrBitWriter
@@ -1452,11 +1578,12 @@ object Jpeg2000 {
       bodies.foreach(b => body.write(b, 0, b.length))
     }
     val bodyBytes = body.toByteArray
-    w16(0xff90); w16(10); w16(0) // SOT, tile 0
-    w32(12L + 2 + bodyBytes.length) // Psot: SOT..before EOC
+    w16(0xff90); w16(10); w16(tileIdx) // SOT, tile index raster order
+    w32(12L + 2 + bodyBytes.length) // Psot: SOT..next SOT/EOC
     w8(0); w8(1) // TPsot 0 of 1
     w16(0xff93) // SOD
     out.write(bodyBytes, 0, bodyBytes.length)
+    } // codedTiles loop
     w16(0xffd9) // EOC
     out.toByteArray
   }

@@ -5473,6 +5473,77 @@ object Extras {
              |  TRUE AS rocksdb_ok
              |FROM o ORDER BY doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q204_jpx_tiled",
+      (s, dir) => {
+        // Multi-tile JPEG 2000 (T.800 tile grid — how real encoders
+        // bound memory on large scans; q200 covers single-tile only):
+        // per doc a grayscale page on a doc-varied ragged tile grid
+        // (edge tiles narrower/shorter), each tile an independent
+        // DWT/packet space, rendered through the PDF JPXDecode surface.
+        // Lossless 5/3 means pixel counts are closed forms; tiles_n is
+        // the grid arithmetic; roundtrip_ok directly compares the
+        // decoded planes to the source pattern (hash-forced TRUE).
+        import graft.functions.{Images, Jpeg2000, Pdf, PdfRender}
+        val mk = udf { (id: Long) =>
+          val w = (30 + id % 6).toInt; val h = (20 + id % 4).toInt
+          val tw = (11 + id % 3).toInt; val th = (8 + id % 2).toInt
+          val gray = Array.tabulate(w * h) { i =>
+            if ((2 * (i % w) + i / w + id) % 7 < 3) 0 else 255
+          }
+          val cs = Jpeg2000.encodeTiled(Array(gray), w, h, 8,
+            levels = 2, tileW = tw, tileH = th, cbExp = 3)
+          val dec = Jpeg2000.decode(cs)
+          val ok = dec.width == w && dec.height == h &&
+            dec.comps.head.sameElements(gray)
+          val tilesN = (((w + tw - 1) / tw) * ((h + th - 1) / th)).toLong
+          val b = new Pdf.PdfBuilder
+          val img = b.addStream(
+            "/Type /XObject /Subtype /Image " +
+              s"/Width $w /Height $h /ColorSpace /DeviceGray " +
+              "/BitsPerComponent 8 /Filter /JPXDecode", cs)
+          b.addPage(s"q $w 0 0 $h 0 0 cm /I Do Q", (w, h),
+            s"/XObject << /I $img 0 R >>")
+          (b.build(), ok, tilesN)
+        }
+        val extracted = udf { (pdf: Array[Byte]) =>
+          Pdf.extractImages(pdf).count(_.format == "png")
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("built", mk(col("doc_id")))
+          .withColumn("pages", PdfRender.renderPages(col("built")("_1")))
+          .select(col("doc_id"),
+            Images.countColor(element_at(col("pages"), 1)("_4"), lit(0))
+              .as("p1_black"),
+            Images.countColor(element_at(col("pages"), 1)("_4"),
+              lit(0xffffff)).as("p1_white"),
+            col("built")("_2").as("roundtrip_ok"),
+            extracted(col("built")("_1")).cast("long").as("n_imgs"),
+            col("built")("_3").as("tiles_n"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, (30 + doc_id % 6)::INT AS w,
+             |    (20 + doc_id % 4)::INT AS h,
+             |    (11 + doc_id % 3)::INT AS tw, (8 + doc_id % 2)::INT AS th
+             |  FROM documents WHERE doc_id < 40
+             |), p1 AS (
+             |  SELECT d.doc_id, COUNT(*)::BIGINT AS black
+             |  FROM d
+             |  JOIN generate_series(0, 35) AS x(x) ON x.x < d.w
+             |  JOIN generate_series(0, 23) AS y(y) ON y.y < d.h
+             |  WHERE (2 * x.x + y.y + d.doc_id) % 7 < 3
+             |  GROUP BY d.doc_id
+             |)
+             |SELECT d.doc_id, p1.black AS p1_black,
+             |  (d.w * d.h - p1.black)::BIGINT AS p1_white,
+             |  TRUE AS roundtrip_ok, 1::BIGINT AS n_imgs,
+             |  (((d.w + d.tw - 1) // d.tw)
+             |    * ((d.h + d.th - 1) // d.th))::BIGINT AS tiles_n
+             |FROM d JOIN p1 USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -138,6 +138,61 @@ class Jpeg2000Spec extends AnyFunSuite {
     roundtrip(Array(tiles), w, h, 2, 4, rct = false, "tiles")
   }
 
+  test("multi-tile codestreams: lossless identity across tile grids") {
+    val rnd = new scala.util.Random(31)
+    // (image, tile grid, levels, cbExp): edge tiles narrower/shorter
+    // than the grid pitch, tile dims below/above the code-block size,
+    // levels deep enough that small tiles bottom out early
+    for (((w, h), (tw, th), levels, cbExp) <- Seq(
+      ((40, 24), (16, 16), 2, 4), ((33, 17), (10, 8), 1, 3),
+      ((64, 64), (32, 32), 3, 5), ((21, 30), (21, 7), 2, 2),
+      ((50, 50), (17, 23), 4, 6))) {
+      val plane = Array.fill(w * h)(rnd.nextInt(256))
+      val cs = Jpeg2000.encodeTiled(Array(plane), w, h, 8, levels,
+        tw, th, cbExp)
+      val img = Jpeg2000.decode(cs)
+      assert(img.width == w && img.height == h)
+      assert(img.comps.head.sameElements(plane),
+        s"${w}x$h tiles ${tw}x$th l$levels cb$cbExp")
+    }
+  }
+
+  test("multi-tile RGB with RCT stays lossless") {
+    val rnd = new scala.util.Random(37)
+    val w = 40; val h = 28
+    val planes = Array.fill(3)(Array.fill(w * h)(rnd.nextInt(256)))
+    val cs = Jpeg2000.encodeTiled(planes, w, h, 8, 2, 16, 12, 4,
+      useRct = true)
+    val img = Jpeg2000.decode(cs)
+    planes.zip(img.comps).zipWithIndex.foreach { case ((want, got), c) =>
+      assert(got.sameElements(want), s"comp $c")
+    }
+    // the stream must really be tiled (one SOT per tile: 3x3 grid)
+    var sots = 0
+    for (i <- 0 until cs.length - 1)
+      if ((cs(i) & 0xff) == 0xff && (cs(i + 1) & 0xff) == 0x90) sots += 1
+    assert(sots == 9, s"sots=$sots")
+  }
+
+  test("corrupt multi-tile codestreams fail soft") {
+    val rnd = new scala.util.Random(41)
+    val plane = Array.fill(30 * 20)(rnd.nextInt(256))
+    val cs = Jpeg2000.encodeTiled(Array(plane), 30, 20, 8, 2, 11, 9, 3)
+    (0 until 200).foreach { _ =>
+      val mut = cs.clone()
+      val at = rnd.nextInt(mut.length)
+      mut(at) = (mut(at) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val img = Jpeg2000.decode(mut)
+        assert(img.width.toLong * img.height <= (1L << 26))
+      } catch { case _: IllegalArgumentException => () }
+    }
+    (0 to cs.length by 7).foreach { cut =>
+      try Jpeg2000.decode(cs.take(cut))
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("JP2 box wrapper unwraps to the codestream") {
     val plane = Array.tabulate(8 * 8)(i => i * 3 % 256)
     val cs = Jpeg2000.encode(Array(plane), 8, 8, 8, 1, 2)
