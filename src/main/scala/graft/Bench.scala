@@ -59,6 +59,25 @@ object Bench {
     queries.foreach { case (name, fn) =>
       if (!isStreaming(name)) once(fn) // warmup pass skips streaming gates
     }
+    // Streaming gates are timed once, so their single sample would pay
+    // the JVM-wide first-stream costs (micro-batch planner, state-store
+    // provider classes, streaming codegen) on top of their own work —
+    // the r14 A/B measured 3-10x cold inflation from exactly this. One
+    // tiny throwaway stream pays those costs before anything is timed.
+    try {
+      val warmDir = java.nio.file.Files.createTempDirectory("bench_swu")
+      import spark.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(warmDir.toString)
+      val q = spark.readStream
+        .schema("id LONG, v STRING").parquet(warmDir.toString)
+        .groupBy("v").count()
+        .writeStream.format("memory")
+        .queryName("bench_stream_warmup").outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } catch { case _: Throwable => () }
     val pass1 = queries.map { case (name, fn) => name -> once(fn) }
     val pass2 = queries.map { case (name, fn) =>
       name -> (if (isStreaming(name)) -2.0 else once(fn)) // -2 = not re-run

@@ -55,7 +55,14 @@ object ScaleCheck {
     // q193: CMS counters over a doc_id-bounded token stream — the
     // explode grows rows 4x but the partial aggregate caps shuffle at
     // d*w rows per partition (flat-ish expected at this bound)
-    "q193_countmin")
+    "q193_countmin",
+    // r14 gates: q201/q202/q204 are doc_id-bounded (< 40) map-only
+    // codec fixtures (JBIG2 refinement/halftone, tiled JPX) — the
+    // pushed predicate keeps replicas unscanned, flat expected like
+    // q188/q189/q192; q203 is the RocksDB streaming gate over a
+    // doc_id-bounded slice (flat expected like q184)
+    "q201_jbig2_refine", "q202_jbig2_halftone", "q203_stream_rocksdb",
+    "q204_jpx_tiled")
   // q159 is a bounded DML-lifecycle gate (l_orderkey < 1600 slice →
   // constant under key-offset replication; measures z-order write + footer
   // metadata reads, expected ~1); q160 is map-only codec work over a
