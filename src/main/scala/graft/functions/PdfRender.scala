@@ -1405,16 +1405,486 @@ object PdfRender {
     case _ => Seq(0.0, 1.0)
   }
 
-  /** Axial (type 2) / radial (type 3) shading dict → AWT gradient paint
-    * in DEVICE space (`base` maps shading space to device). Stops come
-    * from the function's natural breakpoints, so piecewise-linear
-    * functions reproduce exactly. /Extend is approximated by NO_CYCLE's
-    * terminal-color padding (the common extend-true case).
+  /** One Gouraud triangle in SHADING space with per-vertex ARGB. */
+  private final case class MeshTri(ax: Double, ay: Double, bx: Double,
+      by: Double, cx: Double, cy: Double, ca: Int, cb: Int, cc: Int)
+
+  /** Per-pixel Gouraud paint for mesh shadings (types 4-7): each
+    * device pixel inverse-maps to shading space, a uniform grid index
+    * narrows the candidate triangles, barycentric interpolation mixes
+    * the vertex colors. Pixels outside every triangle stay transparent
+    * (mesh shadings paint only their own area); when triangles overlap
+    * the LATER one in data order wins (§8.7.4.5.5 paint order).
     */
-  private def shadingPaint(doc: Doc, sh: PDict, base: AffineTransform,
+  private final class MeshShadingPaint(tris: Array[MeshTri],
+      shadeToDev: AffineTransform) extends java.awt.Paint {
+    private val minX = tris.iterator.map(t =>
+      math.min(t.ax, math.min(t.bx, t.cx))).min
+    private val minY = tris.iterator.map(t =>
+      math.min(t.ay, math.min(t.by, t.cy))).min
+    private val maxX = tris.iterator.map(t =>
+      math.max(t.ax, math.max(t.bx, t.cx))).max
+    private val maxY = tris.iterator.map(t =>
+      math.max(t.ay, math.max(t.by, t.cy))).max
+    private val gridN = 32
+    private val spanX = math.max(maxX - minX, 1e-12)
+    private val spanY = math.max(maxY - minY, 1e-12)
+    private val bins: Array[Array[Int]] = {
+      val b = Array.fill(gridN * gridN)(
+        new scala.collection.mutable.ArrayBuffer[Int])
+      def binOf(v: Double, lo: Double, span: Double): Int =
+        math.max(0, math.min(gridN - 1, ((v - lo) / span * gridN).toInt))
+      tris.indices.foreach { i =>
+        val t = tris(i)
+        val x0 = binOf(math.min(t.ax, math.min(t.bx, t.cx)), minX, spanX)
+        val x1 = binOf(math.max(t.ax, math.max(t.bx, t.cx)), minX, spanX)
+        val y0 = binOf(math.min(t.ay, math.min(t.by, t.cy)), minY, spanY)
+        val y1 = binOf(math.max(t.ay, math.max(t.by, t.cy)), minY, spanY)
+        for (gy <- y0 to y1; gx <- x0 to x1) b(gy * gridN + gx) += i
+      }
+      b.map(_.toArray)
+    }
+    def getTransparency: Int = java.awt.Transparency.TRANSLUCENT
+    def createContext(cm: java.awt.image.ColorModel,
+        deviceBounds: java.awt.Rectangle,
+        userBounds: java.awt.geom.Rectangle2D,
+        xform: AffineTransform,
+        hints: RenderingHints): java.awt.PaintContext = {
+      val full = new AffineTransform(xform)
+      full.concatenate(shadeToDev)
+      val inv =
+        try full.createInverse()
+        catch {
+          case _: java.awt.geom.NoninvertibleTransformException =>
+            new AffineTransform()
+        }
+      new java.awt.PaintContext {
+        private val model = java.awt.image.ColorModel.getRGBdefault
+        def dispose(): Unit = ()
+        def getColorModel: java.awt.image.ColorModel = model
+        def getRaster(x: Int, y: Int, w: Int,
+            h: Int): java.awt.image.Raster = {
+          val out = model.createCompatibleWritableRaster(w, h)
+          val data = new Array[Int](w * h)
+          val p = new java.awt.geom.Point2D.Double()
+          var j = 0
+          while (j < h) {
+            var i = 0
+            while (i < w) {
+              p.setLocation(x + i + 0.5, y + j + 0.5)
+              inv.transform(p, p)
+              val px = p.getX; val py = p.getY
+              var argb = 0
+              if (px >= minX && px <= maxX && py >= minY && py <= maxY) {
+                val gx = math.max(0, math.min(gridN - 1,
+                  ((px - minX) / spanX * gridN).toInt))
+                val gy = math.max(0, math.min(gridN - 1,
+                  ((py - minY) / spanY * gridN).toInt))
+                val cand = bins(gy * gridN + gx)
+                var k = cand.length - 1 // later triangles paint on top
+                while (k >= 0 && argb == 0) {
+                  val t = tris(cand(k))
+                  val den = (t.by - t.cy) * (t.ax - t.cx) +
+                    (t.cx - t.bx) * (t.ay - t.cy)
+                  if (math.abs(den) > 1e-12) {
+                    val l1 = ((t.by - t.cy) * (px - t.cx) +
+                      (t.cx - t.bx) * (py - t.cy)) / den
+                    val l2 = ((t.cy - t.ay) * (px - t.cx) +
+                      (t.ax - t.cx) * (py - t.cy)) / den
+                    val l3 = 1.0 - l1 - l2
+                    val eps = -1e-9
+                    if (l1 >= eps && l2 >= eps && l3 >= eps) {
+                      def ch(sh: Int): Int = {
+                        val v = l1 * ((t.ca >> sh) & 0xff) +
+                          l2 * ((t.cb >> sh) & 0xff) +
+                          l3 * ((t.cc >> sh) & 0xff)
+                        math.max(0, math.min(255, v.round.toInt))
+                      }
+                      argb = (0xff << 24) | (ch(16) << 16) |
+                        (ch(8) << 8) | ch(0)
+                    }
+                  }
+                  k -= 1
+                }
+              }
+              data(j * w + i) = argb
+              i += 1
+            }
+            j += 1
+          }
+          out.setDataElements(0, 0, w, h, data)
+          out
+        }
+      }
+    }
+  }
+
+  /** Type 1 (function-based) shading: color(s, t) = fn over /Domain in
+    * the space mapped by /Matrix; outside the domain is unpainted.
+    */
+  private final class FunctionShadingPaint(
+      fn: Seq[Double] => Seq[Double], cs: Cs, dom: Array[Double],
+      mtx: AffineTransform, shadeToDev: AffineTransform)
+      extends java.awt.Paint {
+    def getTransparency: Int = java.awt.Transparency.TRANSLUCENT
+    def createContext(cm: java.awt.image.ColorModel,
+        deviceBounds: java.awt.Rectangle,
+        userBounds: java.awt.geom.Rectangle2D,
+        xform: AffineTransform,
+        hints: RenderingHints): java.awt.PaintContext = {
+      val full = new AffineTransform(xform)
+      full.concatenate(shadeToDev)
+      full.concatenate(mtx) // device → shading → function space
+      val inv =
+        try full.createInverse()
+        catch {
+          case _: java.awt.geom.NoninvertibleTransformException =>
+            new AffineTransform()
+        }
+      new java.awt.PaintContext {
+        private val model = java.awt.image.ColorModel.getRGBdefault
+        def dispose(): Unit = ()
+        def getColorModel: java.awt.image.ColorModel = model
+        def getRaster(x: Int, y: Int, w: Int,
+            h: Int): java.awt.image.Raster = {
+          val out = model.createCompatibleWritableRaster(w, h)
+          val data = new Array[Int](w * h)
+          val p = new java.awt.geom.Point2D.Double()
+          var j = 0
+          while (j < h) {
+            var i = 0
+            while (i < w) {
+              p.setLocation(x + i + 0.5, y + j + 0.5)
+              inv.transform(p, p)
+              val s = p.getX; val t = p.getY
+              data(j * w + i) =
+                if (s < dom(0) || s > dom(1) || t < dom(2) || t > dom(3)) 0
+                else {
+                  val c =
+                    try colorFrom(cs, fn(Seq(s, t)))
+                    catch { case _: Exception => Color.BLACK }
+                  c.getRGB | 0xff000000
+                }
+              i += 1
+            }
+            j += 1
+          }
+          out.setDataElements(0, 0, w, h, data)
+          out
+        }
+      }
+    }
+  }
+
+  /** Big-endian bit reader for mesh vertex/patch streams (§8.7.4.5.5:
+    * each vertex/patch row is padded to a byte boundary).
+    */
+  private final class MeshBitReader(data: Array[Byte]) {
+    private var pos = 0L
+    def bits(n: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < n) {
+        val byteAt = (pos >> 3).toInt
+        val bit =
+          if (byteAt < data.length)
+            (data(byteAt) >> (7 - (pos & 7).toInt)) & 1
+          else 0
+        v = (v << 1) | bit
+        pos += 1
+        k += 1
+      }
+      v
+    }
+    def align(): Unit = pos = (pos + 7) & ~7L
+    def hasBits(n: Long): Boolean = pos + n <= data.length.toLong * 8
+  }
+
+  /** Parse a mesh shading stream (types 4-7) into Gouraud triangles in
+    * shading space. Free-form (4) honors strip/fan edge flags; lattice
+    * (5) triangulates consecutive rows; Coons (6) and tensor (7)
+    * patches honor edge-sharing flags, convert Coons to tensor via the
+    * §8.7.4.5.7 internal-point formulas, and tessellate the bicubic
+    * surface on an 8×8 parameter grid (colors interpolate BILINEARLY
+    * in (u,v) per spec, so patch colors are exact at every grid
+    * point; only the geometry of curved edges is approximated).
+    */
+  private def parseMeshTriangles(doc: Doc, sh: PDict, shType: Int,
+      data: Array[Byte], cs: Cs, notes: mutable.Set[String])
+      : Option[Array[MeshTri]] = {
+    val bpc = dNum(doc, sh, "BitsPerCoordinate", 16).toInt
+    val bpcomp = dNum(doc, sh, "BitsPerComponent", 8).toInt
+    val bpf = dNum(doc, sh, "BitsPerFlag", 8).toInt
+    if (!Set(1, 2, 4, 8, 12, 16, 24, 32).contains(bpc) ||
+      !Set(1, 2, 4, 8, 12, 16).contains(bpcomp) ||
+      !Set(2, 4, 8).contains(bpf)) {
+      notes += "shading-mesh-bits"; return None
+    }
+    val fn = sh.m.get("Function").map { v =>
+      pdfFunctionN(doc, v).getOrElse {
+        notes += "shading-function-skipped"; return None
+      }
+    }
+    val nc = if (fn.isDefined) 1 else cs.comps
+    val dec = dArr(doc, sh, "Decode").map(_.map(x => num(doc.resolve(x))))
+      .getOrElse(Vector.empty)
+    if (dec.length < 4 + 2 * nc) {
+      notes += "shading-mesh-decode"; return None
+    }
+    val r = new MeshBitReader(data)
+    val coordMax = ((1L << bpc) - 1).toDouble
+    val compMax = ((1L << bpcomp) - 1).toDouble
+    def readPt(): (Double, Double) = {
+      val xr = r.bits(bpc); val yr = r.bits(bpc)
+      (dec(0) + xr * (dec(1) - dec(0)) / coordMax,
+        dec(2) + yr * (dec(3) - dec(2)) / coordMax)
+    }
+    def readColor(): Int = {
+      val comps = (0 until nc).map { i =>
+        val v = r.bits(bpcomp)
+        dec(4 + 2 * i) + v * (dec(5 + 2 * i) - dec(4 + 2 * i)) / compMax
+      }
+      val c =
+        try fn.map(f => colorFrom(cs, f(comps)))
+          .getOrElse(colorFrom(cs, comps))
+        catch { case _: Exception => Color.BLACK }
+      c.getRGB | 0xff000000
+    }
+    val tris = scala.collection.mutable.ArrayBuffer.empty[MeshTri]
+    val MaxTris = 1 << 18
+    def tri(a: ((Double, Double), Int), b: ((Double, Double), Int),
+        c: ((Double, Double), Int)): Unit =
+      tris += MeshTri(a._1._1, a._1._2, b._1._1, b._1._2,
+        c._1._1, c._1._2, a._2, b._2, c._2)
+    shType match {
+      case 4 =>
+        val vBits = 2L * bpc + nc.toLong * bpcomp
+        def readVertex(): ((Double, Double), Int) = {
+          val p = readPt(); val c = readColor(); r.align(); (p, c)
+        }
+        var va: ((Double, Double), Int) = null
+        var vb: ((Double, Double), Int) = null
+        var vc: ((Double, Double), Int) = null
+        var bad = false
+        while (!bad && r.hasBits(bpf + vBits) && tris.length < MaxTris) {
+          val flag = r.bits(bpf).toInt
+          val v = readVertex()
+          flag match {
+            case 0 =>
+              if (!r.hasBits(2 * (bpf + vBits))) bad = true
+              else {
+                r.bits(bpf); val v2 = readVertex() // flags of the 2nd and
+                r.bits(bpf); val v3 = readVertex() // 3rd vertex are 0
+                va = v; vb = v2; vc = v3
+                tri(va, vb, vc)
+              }
+            case 1 if va != null =>
+              va = vb; vb = vc; vc = v; tri(va, vb, vc)
+            case 2 if va != null =>
+              vb = vc; vc = v; tri(va, vb, vc)
+            case _ =>
+              notes += "shading-mesh-flag"; bad = true
+          }
+        }
+      case 5 =>
+        val k = dNum(doc, sh, "VerticesPerRow", 0).toInt
+        if (k < 2 || k > (1 << 16)) {
+          notes += "shading-mesh-vpr"; return None
+        }
+        val vBits = 2L * bpc + nc.toLong * bpcomp
+        var prev: Array[((Double, Double), Int)] = null
+        while (r.hasBits(k * vBits) && tris.length < MaxTris) {
+          val row = Array.fill(k) {
+            val p = readPt(); val c = readColor(); r.align(); (p, c)
+          }
+          if (prev != null) {
+            var i = 0
+            while (i < k - 1) {
+              tri(prev(i), prev(i + 1), row(i))
+              tri(prev(i + 1), row(i + 1), row(i))
+              i += 1
+            }
+          }
+          prev = row
+        }
+      case _ => // 6 = Coons, 7 = tensor
+        val newPts = if (shType == 6) 12 else 16
+        val contPts = if (shType == 6) 8 else 12
+        // canonical state: boundary p1..p12 (indices 0-11) and corner
+        // colors c1..c4; type 7 appends internals p13..p16 (12-15)
+        var prevP: Array[(Double, Double)] = null
+        var prevC: Array[Int] = null
+        var bad = false
+        while (!bad && r.hasBits(bpf + contPts * 2L * bpc +
+          2L * nc * bpcomp) && tris.length < MaxTris) {
+          val flag = r.bits(bpf).toInt
+          val (pts, cols): (Array[(Double, Double)], Array[Int]) =
+            if (flag == 0) {
+              if (!r.hasBits(newPts * 2L * bpc + 4L * nc * bpcomp)) {
+                bad = true; (null, null)
+              } else {
+                val ps = Array.fill(newPts)(readPt())
+                val csr = Array.fill(4)(readColor())
+                (ps, csr)
+              }
+            } else if (prevP == null || flag > 3) {
+              notes += "shading-mesh-flag"; bad = true; (null, null)
+            } else {
+              // shared edge of the PREVIOUS patch becomes p1..p4
+              val (e, c01) = flag match {
+                case 1 => (Array(prevP(3), prevP(4), prevP(5), prevP(6)),
+                  Array(prevC(1), prevC(2)))
+                case 2 => (Array(prevP(6), prevP(7), prevP(8), prevP(9)),
+                  Array(prevC(2), prevC(3)))
+                case _ => (Array(prevP(9), prevP(10), prevP(11), prevP(0)),
+                  Array(prevC(3), prevC(0)))
+              }
+              val rest = Array.fill(contPts)(readPt())
+              val c23 = Array.fill(2)(readColor())
+              (e ++ rest, c01 ++ c23)
+            }
+          if (!bad) {
+            r.align()
+            // tensor control grid P(i)(j): i advances toward corner c4
+            // (p10), j toward c2 (p4); boundary mapping per Figure 46/47
+            val P = Array.ofDim[(Double, Double)](4, 4)
+            P(0)(0) = pts(0); P(0)(1) = pts(1); P(0)(2) = pts(2)
+            P(0)(3) = pts(3); P(1)(3) = pts(4); P(2)(3) = pts(5)
+            P(3)(3) = pts(6); P(3)(2) = pts(7); P(3)(1) = pts(8)
+            P(3)(0) = pts(9); P(2)(0) = pts(10); P(1)(0) = pts(11)
+            if (shType == 7) {
+              P(1)(1) = pts(12); P(1)(2) = pts(13)
+              P(2)(2) = pts(14); P(2)(1) = pts(15)
+            } else {
+              // §8.7.4.5.7 Coons → tensor internal points
+              def lc(terms: ((Double, Double), Double)*): (Double, Double) =
+                (terms.map(t => t._1._1 * t._2).sum / 9.0,
+                  terms.map(t => t._1._2 * t._2).sum / 9.0)
+              P(1)(1) = lc((P(0)(0), -4), (P(0)(1), 6), (P(1)(0), 6),
+                (P(0)(3), -2), (P(3)(0), -2), (P(3)(1), 3), (P(1)(3), 3),
+                (P(3)(3), -1))
+              P(1)(2) = lc((P(0)(3), -4), (P(0)(2), 6), (P(1)(3), 6),
+                (P(0)(0), -2), (P(3)(3), -2), (P(3)(2), 3), (P(1)(0), 3),
+                (P(3)(0), -1))
+              P(2)(1) = lc((P(3)(0), -4), (P(3)(1), 6), (P(2)(0), 6),
+                (P(3)(3), -2), (P(0)(0), -2), (P(0)(1), 3), (P(2)(3), 3),
+                (P(0)(3), -1))
+              P(2)(2) = lc((P(3)(3), -4), (P(3)(2), 6), (P(2)(3), 6),
+                (P(3)(0), -2), (P(0)(3), -2), (P(0)(2), 3), (P(2)(0), 3),
+                (P(0)(0), -1))
+            }
+            def bez(t: Double, a: Double, b: Double, c: Double,
+                d: Double): Double = {
+              val m = 1 - t
+              m * m * m * a + 3 * m * m * t * b + 3 * m * t * t * c +
+                t * t * t * d
+            }
+            def surf(u: Double, v: Double): (Double, Double) = {
+              val rx = (0 to 3).map(i => bez(v, P(i)(0)._1, P(i)(1)._1,
+                P(i)(2)._1, P(i)(3)._1))
+              val ry = (0 to 3).map(i => bez(v, P(i)(0)._2, P(i)(1)._2,
+                P(i)(2)._2, P(i)(3)._2))
+              (bez(u, rx(0), rx(1), rx(2), rx(3)),
+                bez(u, ry(0), ry(1), ry(2), ry(3)))
+            }
+            def mix(a: Int, b: Int, t: Double): Int = {
+              def ch(sh: Int): Int = {
+                val v = ((a >> sh) & 0xff) +
+                  (((b >> sh) & 0xff) - ((a >> sh) & 0xff)) * t
+                math.max(0, math.min(255, v.round.toInt))
+              }
+              (0xff << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+            }
+            // bilinear corner colors: c1 at (u,v)=(0,0), c2 at (0,1),
+            // c3 at (1,1), c4 at (1,0)
+            def colAt(u: Double, v: Double): Int =
+              mix(mix(cols(0), cols(1), v), mix(cols(3), cols(2), v), u)
+            val n = 8
+            var a = 0
+            while (a < n) {
+              var b = 0
+              while (b < n) {
+                val u0 = a.toDouble / n; val u1 = (a + 1).toDouble / n
+                val v0 = b.toDouble / n; val v1 = (b + 1).toDouble / n
+                val q00 = (surf(u0, v0), colAt(u0, v0))
+                val q01 = (surf(u0, v1), colAt(u0, v1))
+                val q10 = (surf(u1, v0), colAt(u1, v0))
+                val q11 = (surf(u1, v1), colAt(u1, v1))
+                tri(q00, q01, q10)
+                tri(q01, q11, q10)
+                b += 1
+              }
+              a += 1
+            }
+            prevP = pts; prevC = cols
+          }
+        }
+    }
+    if (tris.isEmpty) { notes += "shading-mesh-empty"; None }
+    else Some(tris.toArray)
+  }
+
+  /** Fixture twin: big-endian bit packer for mesh shading streams
+    * (tests and oracle gates synthesize vertex/patch data with it).
+    */
+  final class MeshBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var nb = 0
+    def bits(v: Long, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((v >> k) & 1L)
+        nb += 1
+        if (nb == 8) { out.write(acc.toInt & 0xff); acc = 0; nb = 0 }
+        k -= 1
+      }
+    }
+    def align(): Unit = if (nb > 0) bits(0L, 8 - nb)
+    def bytes: Array[Byte] = { align(); out.toByteArray }
+  }
+
+  /** Shading → AWT paint in DEVICE space (`base` maps shading space to
+    * device). Type 1 evaluates its 2-in function per inverse-mapped
+    * pixel (unpainted outside /Domain); types 2/3 are the exact
+    * axial/radial paints with stops from the function's natural
+    * breakpoints; types 4-7 parse the mesh vertex/patch STREAM
+    * (`shRaw` must be the un-resolved reference so the stream data is
+    * reachable) into Gouraud triangles — Coons/tensor patches
+    * tessellate the bicubic surface on a parameter grid with the
+    * spec's exact bilinear corner-color interpolation.
+    */
+  private def shadingPaint(doc: Doc, shRaw: PVal, base: AffineTransform,
       notes: mutable.Set[String]): Option[java.awt.Paint] = {
+    val sh = doc.resolve(shRaw) match {
+      case d: PDict => d
+      case _ => return None
+    }
     val cs = dGet(doc, sh, "ColorSpace")
       .map(colorSpaceOf(doc, _, PDict(Map.empty), notes)).getOrElse(CsRgb)
+    dNum(doc, sh, "ShadingType", 0).toInt match {
+      case 1 =>
+        // function-based shading: color(s, t) over /Domain via /Matrix
+        val fn = sh.m.get("Function").flatMap(pdfFunctionN(doc, _))
+          .getOrElse { notes += "shading-function-skipped"; return None }
+        val dom = dArr(doc, sh, "Domain").filter(_.length == 4)
+          .map(_.map(x => num(doc.resolve(x))))
+          .getOrElse(Vector(0.0, 1.0, 0.0, 1.0))
+        val mtx = dArr(doc, sh, "Matrix").filter(_.length == 6)
+          .map(_.map(x => num(doc.resolve(x))))
+          .map(m => new AffineTransform(m(0), m(1), m(2), m(3), m(4), m(5)))
+          .getOrElse(new AffineTransform())
+        return Some(new FunctionShadingPaint(fn, cs, dom.toArray, mtx,
+          new AffineTransform(base)))
+      case t if t >= 4 && t <= 7 =>
+        val bytes = doc.streamOf(shRaw).getOrElse {
+          notes += "shading-mesh-data-missing"; return None
+        }
+        return parseMeshTriangles(doc, sh, t, bytes, cs, notes)
+          .map(tris =>
+            new MeshShadingPaint(tris, new AffineTransform(base)))
+      case _ => // types 2/3 fall through to the gradient machinery
+    }
     val fnV = sh.m.get("Function").getOrElse(return None)
     val fn = pdfFunction(doc, fnV).getOrElse {
       notes += "shading-function-skipped"; return None
@@ -1748,8 +2218,10 @@ object PdfRender {
       }
       dNum(doc, pd, "PatternType", 1).toInt match {
         case 2 =>
-          dGet(doc, pd, "Shading") match {
-            case Some(sd: PDict) => shadingPaint(doc, sd, dTrans, notes)
+          // pass the RAW value: mesh shadings (4-7) are stream objects
+          // and the paint needs their data, not just the dict
+          pd.m.get("Shading") match {
+            case Some(sv) => shadingPaint(doc, sv, dTrans, notes)
             case _ => None
           }
         case 1 =>
@@ -2232,12 +2704,13 @@ object PdfRender {
             case "BMC" | "BDC" | "EMC" | "MP" | "DP" | "BX" | "EX" =>
             case "sh" => operands.lastOption match {
               case Some(PName(shn)) =>
-                resDict("Shading", shn).map(doc.resolve) match {
-                  case Some(sd: PDict) =>
+                resDict("Shading", shn) match {
+                  case Some(sv) =>
                     // ISO 32000-1 §8.7.4.2: `sh` coordinates are in the
                     // CURRENT user space (CTM at invocation), unlike
                     // pattern dictionaries which anchor to default space.
-                    shadingPaint(doc, sd, new AffineTransform(st.ctm),
+                    // RAW value: mesh shadings are stream objects.
+                    shadingPaint(doc, sv, new AffineTransform(st.ctm),
                         notes) match {
                       case Some(paint) =>
                         applyClip(g, st)

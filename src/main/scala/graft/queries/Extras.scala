@@ -5544,6 +5544,95 @@ object Extras {
              |FROM d JOIN p1 USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q205_pdf_mesh",
+      (s, dir) => {
+        // Mesh + function shadings (ISO 32000-1 §8.7.4.5.5-8 types
+        // 1/4/6 — Illustrator-class gradient meshes; q192 covers only
+        // the axial/radial types): per doc three pages with
+        // INTEGER-EXACT coverage oracles. Page 1: a flat free-form
+        // triangle mesh whose leg lengths (a, a+3) make a+b odd, so no
+        // pixel center ever lands exactly on the hypotenuse — the
+        // painted count is pure integer arithmetic. Page 2: a flat
+        // Coons patch square (straight edges at thirds). Page 3: a
+        // type-1 PostScript-function shading painting exactly its
+        // /Domain image, leaving a closed-form white strip.
+        import graft.functions.{Images, Pdf, PdfRender}
+        val mk = udf { (id: Long) =>
+          val a = (10 + id % 5).toInt; val bb = a + 3
+          val w1 = new PdfRender.MeshBitWriter
+          def vtx(x: Int, y: Int): Unit = {
+            w1.bits(0L, 8); w1.bits(x.toLong, 16); w1.bits(y.toLong, 16)
+            w1.bits(255L, 8); w1.bits(0L, 8); w1.bits(0L, 8) // red
+            w1.align()
+          }
+          vtx(0, 0); vtx(a, 0); vtx(0, bb)
+          val sSq = (12 + id % 4).toInt
+          val w2 = new PdfRender.MeshBitWriter
+          w2.bits(0L, 8)
+          val t = sSq // straight-edge square via control points at thirds
+          Seq((0, 0), (0, t / 3), (0, 2 * t / 3), (0, t), (t / 3, t),
+            (2 * t / 3, t), (t, t), (t, 2 * t / 3), (t, t / 3), (t, 0),
+            (2 * t / 3, 0), (t / 3, 0)).foreach { case (x, y) =>
+            w2.bits(x.toLong, 16); w2.bits(y.toLong, 16)
+          }
+          (0 until 4).foreach { _ => // flat blue corners
+            w2.bits(0L, 8); w2.bits(0L, 8); w2.bits(255L, 8)
+          }
+          w2.align()
+          val d = (16 + id % 4).toInt
+          val b = new Pdf.PdfBuilder
+          val meshCommon = "/ColorSpace /DeviceRGB /BitsPerCoordinate 16 " +
+            "/BitsPerComponent 8 /BitsPerFlag 8 " +
+            "/Decode [0 65535 0 65535 0 1 0 1 0 1] "
+          val sh1 = b.addStream("/ShadingType 4 " + meshCommon, w1.bytes)
+          val sh2 = b.addStream("/ShadingType 6 " + meshCommon, w2.bytes)
+          val fn = b.addStream(
+            "/FunctionType 4 /Domain [0 1 0 1] /Range [0 1 0 1 0 1]",
+            "{ 0 }".getBytes("ISO-8859-1"))
+          val sh3 = b.addObj(
+            "<< /ShadingType 1 /ColorSpace /DeviceRGB " +
+              s"/Matrix [$d 0 0 $d 0 0] /Function $fn 0 R >>")
+          b.addPage("/S1 sh", (a, bb), s"/Shading << /S1 $sh1 0 R >>")
+          b.addPage("/S2 sh", (sSq, sSq), s"/Shading << /S2 $sh2 0 R >>")
+          b.addPage("/S3 sh", (d + 6, d), s"/Shading << /S3 $sh3 0 R >>")
+          b.build()
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("pdf", mk(col("doc_id")))
+          .withColumn("pages", PdfRender.renderPages(col("pdf")))
+          .select(col("doc_id"),
+            Images.countColor(element_at(col("pages"), 1)("_4"),
+              lit(0xff0000)).as("tri_red"),
+            Images.countColor(element_at(col("pages"), 2)("_4"),
+              lit(0x0000ff)).as("sq_blue"),
+            Images.countColor(element_at(col("pages"), 3)("_4"),
+              lit(0xffffff)).as("fn_white"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, (10 + doc_id % 5)::INT AS a,
+             |    (13 + doc_id % 5)::INT AS b,
+             |    (12 + doc_id % 4)::INT AS sq, (16 + doc_id % 4)::INT AS fd
+             |  FROM documents WHERE doc_id < 40
+             |), tri AS (
+             |  -- pixel centers strictly inside the right triangle with
+             |  -- legs (a, b): (2x+1)b + (2y+1)a < 2ab; a+b odd means no
+             |  -- center ever sits exactly on the hypotenuse
+             |  SELECT d.doc_id, COUNT(*)::BIGINT AS c
+             |  FROM d
+             |  JOIN generate_series(0, 14) AS x(x) ON x.x < d.a
+             |  JOIN generate_series(0, 17) AS y(y) ON y.y < d.b
+             |  WHERE (2 * x.x + 1) * d.b + (2 * y.y + 1) * d.a < 2 * d.a * d.b
+             |  GROUP BY d.doc_id
+             |)
+             |SELECT d.doc_id, tri.c AS tri_red,
+             |  (d.sq * d.sq)::BIGINT AS sq_blue,
+             |  (6 * d.fd)::BIGINT AS fn_white
+             |FROM d JOIN tri USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

@@ -650,6 +650,158 @@ class PdfRenderSpec extends AnyFunSuite {
     assert(((im2.getRGB(33, 19) >> 16) & 0xff) < 60, "annulus painted")
   }
 
+  // mesh stream packing: bpc=16 with Decode [0 65535 ...] keeps
+  // coordinates integer-exact; bpcomp=8 with Decode [0 1] per channel
+  // round-trips any 0-255 color byte exactly
+  private def meshDict(shType: Int, extra: String = ""): String =
+    s"/ShadingType $shType /ColorSpace /DeviceRGB " +
+      "/BitsPerCoordinate 16 /BitsPerComponent 8 /BitsPerFlag 8 " +
+      "/Decode [0 65535 0 65535 0 1 0 1 0 1] " + extra
+
+  private def vtx(w: PdfRender.MeshBitWriter, flag: Int, x: Int, y: Int,
+      rgb: Int): Unit = {
+    if (flag >= 0) w.bits(flag.toLong, 8)
+    w.bits(x.toLong, 16); w.bits(y.toLong, 16)
+    w.bits(((rgb >> 16) & 0xff).toLong, 8)
+    w.bits(((rgb >> 8) & 0xff).toLong, 8)
+    w.bits((rgb & 0xff).toLong, 8)
+    w.align()
+  }
+
+  test("type 4 free-form mesh: flag-1 strip covers the rect exactly") {
+    val w = new PdfRender.MeshBitWriter
+    // triangle (0,0)(40,0)(0,20) then strip continuation to (40,20)
+    vtx(w, 0, 0, 0, Red); vtx(w, 0, 40, 0, Red); vtx(w, 0, 0, 20, Red)
+    vtx(w, 1, 40, 20, Red)
+    val im = render(pdf { b =>
+      val shd = b.addStream(meshDict(4), w.bytes)
+      b.addPage("/S1 sh", (40, 20), s"/Shading << /S1 $shd 0 R >>")
+    })
+    assert(count(im, Red) == 800, s"red=${count(im, Red)}")
+  }
+
+  test("type 4 Gouraud interpolation matches barycentric closed form") {
+    val w = new PdfRender.MeshBitWriter
+    vtx(w, 0, 0, 0, Red); vtx(w, 0, 40, 0, Green); vtx(w, 0, 0, 20, Blue)
+    val im = render(pdf { b =>
+      val shd = b.addStream(meshDict(4), w.bytes)
+      b.addPage("/S1 sh", (40, 20), s"/Shading << /S1 $shd 0 R >>")
+    })
+    // device pixel (x, y) center -> user (x+0.5, 19.5-y); barycentric
+    // on (0,0)R (40,0)G (0,20)B: l2 = ux/40, l3 = uy/20
+    for ((x, y) <- Seq((10, 5), (4, 16), (20, 12))) {
+      val ux = x + 0.5; val uy = 19.5 - y
+      val l2 = ux / 40; val l3 = uy / 20; val l1 = 1 - l2 - l3
+      if (l1 >= 0) {
+        val want = ((l1 * 255).round.toInt << 16) |
+          ((l2 * 255).round.toInt << 8) | (l3 * 255).round.toInt
+        assert(px(im, x, y) == want,
+          f"($x,$y) got ${px(im, x, y)}%06x want $want%06x")
+      }
+    }
+  }
+
+  test("type 5 lattice mesh covers the rect exactly") {
+    val w = new PdfRender.MeshBitWriter
+    // 2 rows x 3 vertices spanning [0,40]x[0,20], flat green
+    for (y <- Seq(0, 20); x <- Seq(0, 20, 40)) vtx(w, -1, x, y, Green)
+    val im = render(pdf { b =>
+      val shd = b.addStream(meshDict(5, "/VerticesPerRow 3 "), w.bytes)
+      b.addPage("/S1 sh", (40, 20), s"/Shading << /S1 $shd 0 R >>")
+    })
+    assert(count(im, Green) == 800, s"green=${count(im, Green)}")
+  }
+
+  private def coonsPatch(w: PdfRender.MeshBitWriter, flag: Int,
+      pts: Seq[(Int, Int)], cols: Seq[Int]): Unit = {
+    w.bits(flag.toLong, 8)
+    pts.foreach { case (x, y) =>
+      w.bits(x.toLong, 16); w.bits(y.toLong, 16)
+    }
+    cols.foreach { rgb =>
+      w.bits(((rgb >> 16) & 0xff).toLong, 8)
+      w.bits(((rgb >> 8) & 0xff).toLong, 8)
+      w.bits((rgb & 0xff).toLong, 8)
+    }
+    w.align()
+  }
+
+  test("type 6 Coons patch: affine square, bilinear corner colors") {
+    // straight-edge square [0,30]^2 (control points at thirds) with
+    // c3 = c2 + c4 - c1 so the bilinear color field is LINEAR and any
+    // triangulation of the affine patch reproduces it exactly
+    val w = new PdfRender.MeshBitWriter
+    coonsPatch(w, 0, Seq((0, 0), (0, 10), (0, 20), (0, 30), (10, 30),
+      (20, 30), (30, 30), (30, 20), (30, 10), (30, 0), (20, 0), (10, 0)),
+      Seq(Black, Green, 0xffff00, Red)) // c1..c4; c3 = c2 + c4
+    val im = render(pdf { b =>
+      val shd = b.addStream(meshDict(6), w.bytes)
+      b.addPage("/S1 sh", (30, 30), s"/Shading << /S1 $shd 0 R >>")
+    })
+    assert(count(im, White) == 0, s"white=${count(im, White)}")
+    // color field: r = 255u, g = 255v with u = ux/30, v = uy/30
+    for ((x, y) <- Seq((3, 3), (15, 20), (27, 6))) {
+      val u = (x + 0.5) / 30; val v = (29.5 - y) / 30
+      val got = px(im, x, y)
+      def ch(sh: Int) = (got >> sh) & 0xff
+      assert(math.abs(ch(16) - (255 * u).round.toInt) <= 2 &&
+        math.abs(ch(8) - (255 * v).round.toInt) <= 2 && ch(0) == 0,
+        f"($x,$y) got $got%06x u=$u v=$v")
+    }
+  }
+
+  test("type 6 edge flags chain patches; type 7 tensor renders") {
+    // patch A [0,30]x[0,30] flat red; flag-2 continuation shares A's
+    // RIGHT edge (p7..p10) and extends to [30,60] flat red
+    val w = new PdfRender.MeshBitWriter
+    coonsPatch(w, 0, Seq((0, 0), (0, 10), (0, 20), (0, 30), (10, 30),
+      (20, 30), (30, 30), (30, 20), (30, 10), (30, 0), (20, 0), (10, 0)),
+      Seq(Red, Red, Red, Red))
+    // shared edge = A's p7..p10, i.e. new p1 = (30,30) ... p4 = (30,0);
+    // the boundary then continues FROM p4 along the bottom
+    coonsPatch(w, 2, Seq((40, 0), (50, 0), (60, 0), (60, 10),
+      (60, 20), (60, 30), (50, 30), (40, 30)), Seq(Red, Red))
+    val im = render(pdf { b =>
+      val shd = b.addStream(meshDict(6), w.bytes)
+      b.addPage("/S1 sh", (60, 30), s"/Shading << /S1 $shd 0 R >>")
+    })
+    assert(count(im, Red) == 1800, s"red=${count(im, Red)}")
+    // tensor (type 7): same affine square with interior points at the
+    // affine positions — must cover and color like the Coons case
+    val w7 = new PdfRender.MeshBitWriter
+    coonsPatch(w7, 0, Seq((0, 0), (0, 10), (0, 20), (0, 30), (10, 30),
+      (20, 30), (30, 30), (30, 20), (30, 10), (30, 0), (20, 0), (10, 0),
+      (10, 10), (10, 20), (20, 20), (20, 10)),
+      Seq(Blue, Blue, Blue, Blue))
+    val im7 = render(pdf { b =>
+      val shd = b.addStream(meshDict(7), w7.bytes)
+      b.addPage("/S1 sh", (30, 30), s"/Shading << /S1 $shd 0 R >>")
+    })
+    assert(count(im7, Blue) == 900, s"blue=${count(im7, Blue)}")
+  }
+
+  test("type 1 function shading paints fn(s,t) inside /Domain only") {
+    val im = render(pdf { b =>
+      // PostScript { 0 }: stack (s, t) -> (s, t, 0) = (r, g, b)
+      val fn = b.addStream(
+        "/FunctionType 4 /Domain [0 1 0 1] /Range [0 1 0 1 0 1]",
+        "{ 0 }".getBytes("ISO-8859-1"))
+      val shd = b.addObj(
+        "<< /ShadingType 1 /ColorSpace /DeviceRGB " +
+          s"/Matrix [30 0 0 30 0 0] /Function $fn 0 R >>")
+      b.addPage("/S1 sh", (40, 30), s"/Shading << /S1 $shd 0 R >>")
+    })
+    // x >= 30 maps outside the domain: unpainted white strip
+    assert(count(im, White) == 10 * 30, s"white=${count(im, White)}")
+    for ((x, y) <- Seq((10, 15), (0, 29), (29, 0))) {
+      val s = (x + 0.5) / 30; val t = (29.5 - y) / 30
+      val got = px(im, x, y)
+      assert(math.abs(((got >> 16) & 0xff) - (255 * s).round.toInt) <= 1 &&
+        math.abs(((got >> 8) & 0xff) - (255 * t).round.toInt) <= 1 &&
+        (got & 0xff) == 0, f"($x,$y) got $got%06x")
+    }
+  }
+
   test("radial shading under ANISOTROPIC cm: exact device ellipse") {
     // 2x horizontal stretch before sh: circle r=8 at (10,20) in shading
     // space is a device ellipse, semi-axes 16 x 8 at (20,20). The old
