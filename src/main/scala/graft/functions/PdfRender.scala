@@ -1844,6 +1844,65 @@ object PdfRender {
     def bytes: Array[Byte] = { align(); out.toByteArray }
   }
 
+  /** Shading-dict area semantics over any shading paint: /BBox clips
+    * in SHADING space (nothing paints outside it, §8.7.4.3), and
+    * /Background fills pixels the shading itself leaves unpainted —
+    * pattern fills only; ignored for `sh` (spec).
+    */
+  private final class ShadingAreaPaint(inner: java.awt.Paint,
+      bbox: Option[Vector[Double]], bgArgb: Int,
+      shadeToDev: AffineTransform) extends java.awt.Paint {
+    def getTransparency: Int = java.awt.Transparency.TRANSLUCENT
+    def createContext(cm: java.awt.image.ColorModel,
+        deviceBounds: java.awt.Rectangle,
+        userBounds: java.awt.geom.Rectangle2D,
+        xform: AffineTransform,
+        hints: RenderingHints): java.awt.PaintContext = {
+      val ic = inner.createContext(cm, deviceBounds, userBounds, xform,
+        hints)
+      val full = new AffineTransform(xform)
+      full.concatenate(shadeToDev)
+      val inv =
+        try full.createInverse()
+        catch {
+          case _: java.awt.geom.NoninvertibleTransformException =>
+            new AffineTransform()
+        }
+      new java.awt.PaintContext {
+        private val model = java.awt.image.ColorModel.getRGBdefault
+        def dispose(): Unit = ic.dispose()
+        def getColorModel: java.awt.image.ColorModel = model
+        def getRaster(x: Int, y: Int, w: Int,
+            h: Int): java.awt.image.Raster = {
+          val src = ic.getRaster(x, y, w, h)
+          val data = new Array[Int](w * h)
+          src.getDataElements(src.getMinX, src.getMinY, w, h, data)
+          val out = model.createCompatibleWritableRaster(w, h)
+          val p = new java.awt.geom.Point2D.Double()
+          var j = 0
+          while (j < h) {
+            var i = 0
+            while (i < w) {
+              p.setLocation(x + i + 0.5, y + j + 0.5)
+              inv.transform(p, p)
+              val in = bbox.forall(b => p.getX >= b(0) && p.getX <= b(2)
+                && p.getY >= b(1) && p.getY <= b(3))
+              val v = data(j * w + i)
+              data(j * w + i) =
+                if (!in) 0
+                else if (v == 0) bgArgb // 0 = no background
+                else v
+              i += 1
+            }
+            j += 1
+          }
+          out.setDataElements(0, 0, w, h, data)
+          out
+        }
+      }
+    }
+  }
+
   /** Shading → AWT paint in DEVICE space (`base` maps shading space to
     * device). Type 1 evaluates its 2-in function per inverse-mapped
     * pixel (unpainted outside /Domain); types 2/3 are the exact
@@ -1855,11 +1914,37 @@ object PdfRender {
     * spec's exact bilinear corner-color interpolation.
     */
   private def shadingPaint(doc: Doc, shRaw: PVal, base: AffineTransform,
-      notes: mutable.Set[String]): Option[java.awt.Paint] = {
-    val sh = doc.resolve(shRaw) match {
+      notes: mutable.Set[String], isPattern: Boolean = false)
+      : Option[java.awt.Paint] = {
+    val shd = doc.resolve(shRaw) match {
       case d: PDict => d
       case _ => return None
     }
+    shadingPaintInner(doc, shRaw, shd, base, notes).map { inner =>
+      val bbox = dArr(doc, shd, "BBox").filter(_.length == 4)
+        .map(_.map(x => num(doc.resolve(x))))
+        .map(b => Vector(math.min(b(0), b(2)), math.min(b(1), b(3)),
+          math.max(b(0), b(2)), math.max(b(1), b(3))))
+      // /Background applies to pattern fills only, never to `sh`
+      val bg =
+        if (!isPattern) 0
+        else dArr(doc, shd, "Background") match {
+          case Some(comps) =>
+            val cs = dGet(doc, shd, "ColorSpace")
+              .map(colorSpaceOf(doc, _, PDict(Map.empty), notes))
+              .getOrElse(CsRgb)
+            colorFrom(cs, comps.map(x => num(doc.resolve(x)))).getRGB |
+              0xff000000
+          case None => 0
+        }
+      if (bbox.isEmpty && bg == 0) inner
+      else new ShadingAreaPaint(inner, bbox, bg, new AffineTransform(base))
+    }
+  }
+
+  private def shadingPaintInner(doc: Doc, shRaw: PVal, sh: PDict,
+      base: AffineTransform,
+      notes: mutable.Set[String]): Option[java.awt.Paint] = {
     val cs = dGet(doc, sh, "ColorSpace")
       .map(colorSpaceOf(doc, _, PDict(Map.empty), notes)).getOrElse(CsRgb)
     dNum(doc, sh, "ShadingType", 0).toInt match {
@@ -2221,7 +2306,8 @@ object PdfRender {
           // pass the RAW value: mesh shadings (4-7) are stream objects
           // and the paint needs their data, not just the dict
           pd.m.get("Shading") match {
-            case Some(sv) => shadingPaint(doc, sv, dTrans, notes)
+            case Some(sv) =>
+              shadingPaint(doc, sv, dTrans, notes, isPattern = true)
             case _ => None
           }
         case 1 =>

@@ -780,6 +780,41 @@ class PdfRenderSpec extends AnyFunSuite {
     assert(count(im7, Blue) == 900, s"blue=${count(im7, Blue)}")
   }
 
+  test("shading /BBox clips the painted area in shading space") {
+    val im = render(pdf { b =>
+      val shd = b.addObj(
+        "<< /ShadingType 2 /ColorSpace /DeviceRGB /Coords [0 0 40 0] " +
+          "/Function << /FunctionType 2 /C0 [1 0 0] /C1 [1 0 0] /N 1 >> " +
+          "/Extend [true true] /BBox [5 5 25 15] >>")
+      b.addPage("/S1 sh", (40, 20), s"/Shading << /S1 $shd 0 R >>")
+    })
+    // extend-true axial would flood the page; /BBox keeps 20x10
+    assert(count(im, Red) == 200, s"red=${count(im, Red)}")
+  }
+
+  test("shading pattern /Background fills the unpainted area; sh ignores it") {
+    // triangle (0,0)(20,0)(0,20): pixel centers with x <= y are inside
+    // (user-space flip), so exactly 210 of the 20x20 fill
+    val w = new PdfRender.MeshBitWriter
+    vtx(w, 0, 0, 0, Red); vtx(w, 0, 20, 0, Red); vtx(w, 0, 0, 20, Red)
+    val mesh = w.bytes
+    val im = render(pdf { b =>
+      val shd = b.addStream(meshDict(4, "/Background [0 0 1] "), mesh)
+      val pat = b.addObj(s"<< /PatternType 2 /Shading $shd 0 R >>")
+      b.addPage("/Pattern cs /P1 scn 0 0 20 20 re f", (20, 20),
+        s"/Pattern << /P1 $pat 0 R >>")
+    })
+    assert(count(im, Red) == 210, s"red=${count(im, Red)}")
+    assert(count(im, Blue) == 190, s"blue=${count(im, Blue)}")
+    // `sh` must IGNORE /Background (ISO 32000-1 §8.7.4.3)
+    val im2 = render(pdf { b =>
+      val shd = b.addStream(meshDict(4, "/Background [0 0 1] "), mesh)
+      b.addPage("/S1 sh", (20, 20), s"/Shading << /S1 $shd 0 R >>")
+    })
+    assert(count(im2, Blue) == 0, s"blue=${count(im2, Blue)}")
+    assert(count(im2, Red) == 210)
+  }
+
   test("type 1 function shading paints fn(s,t) inside /Domain only") {
     val im = render(pdf { b =>
       // PostScript { 0 }: stack (s, t) -> (s, t, 0) = (r, g, b)
