@@ -65,7 +65,7 @@ object Bench {
     // the r14 A/B measured 3-10x cold inflation from exactly this. One
     // tiny throwaway stream pays those costs before anything is timed.
     try {
-      val warmDir = java.nio.file.Files.createTempDirectory("bench_swu")
+      val warmDir = graft.QueryUtil.tempDir("bench_swu")
       import spark.implicits._
       Seq((1L, "a"), (2L, "b")).toDF("id", "v")
         .coalesce(1).write.mode("overwrite").parquet(warmDir.toString)

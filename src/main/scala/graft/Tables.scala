@@ -28,6 +28,43 @@ object QueryUtil {
   def orderedSmall(df: org.apache.spark.sql.DataFrame,
       cols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** Temp fixture dir that a JVM shutdown hook deletes recursively.
+    * Registry gates stage parquet fixtures, checkpoints and sinks per
+    * invocation; `Files.createTempDirectory` alone leaked them — the
+    * driver host accumulated thousands of dirs (11 GB of /tmp by round
+    * 14) across repeated verify/bench runs. Deletion at JVM exit keeps
+    * the dirs alive for the whole run (streams re-read their staging
+    * late), then reclaims them.
+    */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    cleanupAtExit(p)
+    p
+  }
+
+  private val toDelete =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = toDelete.poll()
+      while (p != null) {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(p).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+              catch { case _: Exception => () })
+        } catch { case _: Exception => () }
+        p = toDelete.poll()
+      }
+    }))
+
+  /** Register an existing path for recursive deletion at JVM exit. */
+  def cleanupAtExit(p: java.nio.file.Path): Unit = {
+    hookInstalled
+    toDelete.add(p)
+  }
 }
 
 /** Loaders for the driver-provided parquet corpus (TESTDATA.md). */

@@ -876,7 +876,7 @@ object Extras {
         // recomputes what each version must contain from the raw table.
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q74").toString)
+          graft.QueryUtil.tempDir("graft-q74").toString)
         val t = GraftTable.create(s, cat, "li_v", Seq(
           ColumnDef("l_orderkey", "bigint"), ColumnDef("l_linenumber", "int"),
           ColumnDef("l_quantity", "double")))
@@ -912,7 +912,7 @@ object Extras {
         // or squash break.
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q143").toString)
+          graft.QueryUtil.tempDir("graft-q143").toString)
         val t = GraftTable.create(s, cat, "cust_pk", Seq(
           ColumnDef("c_custkey", "bigint"), ColumnDef("c_acctbal", "double")),
           primaryKey = Seq("c_custkey"), isVersioned = false)
@@ -962,7 +962,7 @@ object Extras {
         // exactly one file's envelope — that flip on any layout break.
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q147").toString)
+          graft.QueryUtil.tempDir("graft-q147").toString)
         val t = GraftTable.create(s, cat, "li_cl", Seq(
           ColumnDef("ok", "bigint"), ColumnDef("qty", "double")))
         val src = T(s, dir, "lineitem")
@@ -1019,7 +1019,7 @@ object Extras {
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         s.udf.register("rc149", (x: Double) => x * 2)
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q149").toString)
+          graft.QueryUtil.tempDir("graft-q149").toString)
         val t = GraftTable.create(s, cat, "rc_docs", Seq(
           ColumnDef("doc_id", "bigint"),
           ColumnDef("v", "double"),
@@ -1060,7 +1060,7 @@ object Extras {
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         import s.implicits._
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q151").toString)
+          graft.QueryUtil.tempDir("graft-q151").toString)
         cat.createDir("proj")
         cat.createDir("proj/raw")
         cat.createDir("archive")
@@ -1109,7 +1109,7 @@ object Extras {
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         import s.implicits._
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q152").toString)
+          graft.QueryUtil.tempDir("graft-q152").toString)
         val t = GraftTable.create(s, cat, "status_docs", Seq(
           ColumnDef("doc_id", "bigint"),
           ColumnDef("x", "double"),
@@ -1165,7 +1165,7 @@ object Extras {
         // recomputes from the raw table.
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q153").toString)
+          graft.QueryUtil.tempDir("graft-q153").toString)
         val t = GraftTable.create(s, cat, "upsert_docs", Seq(
           ColumnDef("doc_id", "bigint"),
           ColumnDef("score", "double"),
@@ -1241,7 +1241,7 @@ object Extras {
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         import s.implicits._
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q154").toString)
+          graft.QueryUtil.tempDir("graft-q154").toString)
         val t = GraftTable.create(s, cat, "mh_docs", Seq(
           ColumnDef("doc_id", "bigint"), ColumnDef("body", "string")))
         val grpWord = repeat(
@@ -1303,7 +1303,7 @@ object Extras {
         // from the raw table.
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q83").toString)
+          graft.QueryUtil.tempDir("graft-q83").toString)
         val t = GraftTable.create(s, cat, "li_s", Seq(
           ColumnDef("l_orderkey", "bigint"), ColumnDef("l_linenumber", "int"),
           ColumnDef("l_quantity", "double"), ColumnDef("l_tax", "double")))
@@ -1344,7 +1344,7 @@ object Extras {
         // recomputing the predicate over the surviving base rows.
         import graft.catalog.{Catalog, ColumnDef, GraftTable, Views}
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q86").toString)
+          graft.QueryUtil.tempDir("graft-q86").toString)
         val base = GraftTable.create(s, cat, "li_b", Seq(
           ColumnDef("l_orderkey", "bigint"), ColumnDef("l_linenumber", "int"),
           ColumnDef("l_quantity", "double")))
@@ -1378,7 +1378,7 @@ object Extras {
         // values. The oracle recomputes both from raw lineitem.
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q87").toString)
+          graft.QueryUtil.tempDir("graft-q87").toString)
         val t = GraftTable.create(s, cat, "li_u", Seq(
           ColumnDef("l_orderkey", "bigint"), ColumnDef("l_linenumber", "int"),
           ColumnDef("qty", "double")))
@@ -1417,7 +1417,7 @@ object Extras {
         // on lineitem. Exercises schema mapping, snapshot resolution and
         // type inference end-to-end, not just the happy write path.
         import graft.io.{Excel, Iceberg}
-        val tmp = java.nio.file.Files.createTempDirectory("graft-q88")
+        val tmp = graft.QueryUtil.tempDir("graft-q88")
         val src = T(s, dir, "lineitem")
           .select("l_orderkey", "l_linenumber", "l_quantity")
         Iceberg.exportIceberg(src.filter(col("l_orderkey") < 300),
@@ -1961,7 +1961,7 @@ object Extras {
         // updated, so their prices are the originals).
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q158").toString)
+          graft.QueryUtil.tempDir("graft-q158").toString)
         val t = GraftTable.create(s, cat, "cdf_orders", Seq(
           ColumnDef("ok", "bigint"), ColumnDef("price", "double")))
         val v0 = t.currentVersion
@@ -2013,7 +2013,7 @@ object Extras {
         // — the property the linear form cannot give on the second key.
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q159").toString)
+          graft.QueryUtil.tempDir("graft-q159").toString)
         val t = GraftTable.create(s, cat, "li_z", Seq(
           ColumnDef("ok", "bigint"), ColumnDef("pk", "bigint"),
           ColumnDef("qty", "double")))
@@ -2139,7 +2139,7 @@ object Extras {
         // equality lookup DuckDB recomputes with its own md5().
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q161").toString)
+          graft.QueryUtil.tempDir("graft-q161").toString)
         val t = GraftTable.create(s, cat, "li_bloom", Seq(
           ColumnDef("k", "bigint"), ColumnDef("pk", "bigint"),
           ColumnDef("h", "string"), ColumnDef("qty", "double")))
@@ -2227,7 +2227,7 @@ object Extras {
         // recomputed by DuckDB from the raw table.
         import graft.catalog.{Catalog, ColumnDef, GraftTable, LayoutPolicy}
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q162").toString)
+          graft.QueryUtil.tempDir("graft-q162").toString)
         val t0 = GraftTable.create(s, cat, "li_opt", Seq(
           ColumnDef("ok", "bigint"), ColumnDef("pk", "bigint"),
           ColumnDef("h", "string"), ColumnDef("qty", "double")))
@@ -2324,7 +2324,7 @@ object Extras {
         // DuckDB from the raw table.
         import graft.catalog.{Catalog, ColumnDef, GraftTable}
         val cat = new Catalog(
-          java.nio.file.Files.createTempDirectory("graft-q163").toString)
+          graft.QueryUtil.tempDir("graft-q163").toString)
         val t = GraftTable.create(s, cat, "doc_sc", Seq(
           ColumnDef("src", "string"), ColumnDef("id", "bigint"),
           ColumnDef("nch", "bigint")))
@@ -3470,10 +3470,10 @@ object Extras {
         // the persisted state store, which a single-batch replay would
         // never exercise. File order = doc_id order (the oracle's
         // processing-order assumption) via explicit modification times.
-        val stage = java.nio.file.Files.createTempDirectory("q184_in")
+        val stage = graft.QueryUtil.tempDir("q184_in")
         (0 until 6).foreach { k =>
-          val tmp = java.nio.file.Files
-            .createTempDirectory(s"q184_b$k").toString
+          val tmp = graft.QueryUtil
+            .tempDir(s"q184_b$k").toString
           staged.filter(col("doc_id") >= k * 10 && col("doc_id") < (k + 1) * 10)
             .coalesce(1).write.mode("overwrite").parquet(tmp)
           val part = new java.io.File(tmp).listFiles()
@@ -3492,7 +3492,7 @@ object Extras {
           .nearDupStream(stream, "doc_id", "text", maxHamming = 0)
         val qname = "q184_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val ck = java.nio.file.Files.createTempDirectory("q184_ck").toString
+        val ck = graft.QueryUtil.tempDir("q184_ck").toString
         val sq = verdicts.toDF().writeStream.format("memory")
           .queryName(qname).outputMode("append")
           .option("checkpointLocation", ck)
@@ -3559,7 +3559,7 @@ object Extras {
           .select(explode(TextFunctions.wordNgrams(
             TextFunctions.tokens(lower(col("text"))), 13)).as("g"))
           .distinct()
-        val stage = java.nio.file.Files.createTempDirectory("q185_in").toString
+        val stage = graft.QueryUtil.tempDir("q185_in").toString
         docs.where(col("doc_id") % 7 =!= 0).select("doc_id", "text")
           .coalesce(1).write.mode("overwrite").parquet(stage)
         val stream = s.readStream
@@ -3572,7 +3572,7 @@ object Extras {
           .agg(size(collect_set(col("g"))).cast("long").as("n_contaminated"))
         val qname = "q185_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val ck = java.nio.file.Files.createTempDirectory("q185_ck").toString
+        val ck = graft.QueryUtil.tempDir("q185_ck").toString
         val sq = hits.writeStream.format("memory").queryName(qname)
           .outputMode("complete").option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
@@ -3616,11 +3616,11 @@ object Extras {
             when(col("doc_id").between(40, 49),
               (col("doc_id") - 40) * 30).otherwise(col("doc_id") * 30)))
           .select(col("doc_id"), col("ts"))
-        val stage = java.nio.file.Files.createTempDirectory("q186_in")
+        val stage = graft.QueryUtil.tempDir("q186_in")
         val fileDocs = Seq(0L -> 20L, 20L -> 40L, 40L -> 50L, 50L -> 60L)
         fileDocs.zipWithIndex.foreach { case ((lo, hi), k) =>
-          val tmp = java.nio.file.Files
-            .createTempDirectory(s"q186_b$k").toString
+          val tmp = graft.QueryUtil
+            .tempDir(s"q186_b$k").toString
           base.filter(col("doc_id") >= lo && col("doc_id") < hi)
             .coalesce(1).write.mode("overwrite").parquet(tmp)
           val part = new java.io.File(tmp).listFiles()
@@ -3641,7 +3641,7 @@ object Extras {
           .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_doc"))
         val qname = "q186_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val ck = java.nio.file.Files.createTempDirectory("q186_ck").toString
+        val ck = graft.QueryUtil.tempDir("q186_ck").toString
         val sq = agg.writeStream.format("memory").queryName(qname)
           .outputMode("append").option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow()).start()
@@ -3705,12 +3705,12 @@ object Extras {
         // no-partition window is construction-time, oracle-sized)
         val rn = row_number().over(Window.orderBy(col("ts"), col("user_id")))
         val sliced = ev.withColumn("rn", rn)
-        val stage = java.nio.file.Files.createTempDirectory("q187_in")
+        val stage = graft.QueryUtil.tempDir("q187_in")
         (0 until 4).foreach { k =>
           val lo = k * n / 4
           val hi = (k + 1) * n / 4
-          val tmp = java.nio.file.Files
-            .createTempDirectory(s"q187_b$k").toString
+          val tmp = graft.QueryUtil
+            .tempDir(s"q187_b$k").toString
           sliced.filter(col("rn") > lo && col("rn") <= hi)
             .drop("rn").coalesce(1).write.mode("overwrite").parquet(tmp)
           val part = new java.io.File(tmp).listFiles()
@@ -3729,7 +3729,7 @@ object Extras {
           .sessionizeStream(stream, 30L * 60L * 1000L, "30 minutes")
         val qname = "q187_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val ck = java.nio.file.Files.createTempDirectory("q187_ck").toString
+        val ck = graft.QueryUtil.tempDir("q187_ck").toString
         val sq = sessions.toDF().writeStream.format("memory")
           .queryName(qname).outputMode("append")
           .option("checkpointLocation", ck)
@@ -4053,10 +4053,10 @@ object Extras {
         val base = T(s, dir, "documents")
           .filter(col("doc_id") < 1200)
           .select(col("doc_id"), col("lang"))
-        val stage = java.nio.file.Files.createTempDirectory("q191_in")
+        val stage = graft.QueryUtil.tempDir("q191_in")
         (0 until 4).foreach { k =>
-          val tmp = java.nio.file.Files
-            .createTempDirectory(s"q191_b$k").toString
+          val tmp = graft.QueryUtil
+            .tempDir(s"q191_b$k").toString
           base.filter(col("doc_id") >= k * 300 &&
               col("doc_id") < (k + 1) * 300)
             .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -4075,7 +4075,7 @@ object Extras {
         val regs = Hll.registers(stream, Seq("lang"), col("doc_id"))
         val qname = "q191_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val ck = java.nio.file.Files.createTempDirectory("q191_ck").toString
+        val ck = graft.QueryUtil.tempDir("q191_ck").toString
         val sq = regs.writeStream.format("memory")
           .queryName(qname).outputMode("complete")
           .option("checkpointLocation", ck)
@@ -4588,11 +4588,11 @@ object Extras {
             when(col("doc_id").between(40, 49),
               (col("doc_id") - 40) * 30).otherwise(col("doc_id") * 30)))
           .select(col("doc_id"), col("ts"))
-        val stage = java.nio.file.Files.createTempDirectory("q196_in")
+        val stage = graft.QueryUtil.tempDir("q196_in")
         val fileDocs = Seq(0L -> 20L, 20L -> 40L, 40L -> 50L, 50L -> 60L)
         fileDocs.zipWithIndex.foreach { case ((lo, hi), k) =>
-          val tmp = java.nio.file.Files
-            .createTempDirectory(s"q196_b$k").toString
+          val tmp = graft.QueryUtil
+            .tempDir(s"q196_b$k").toString
           base.filter(col("doc_id") >= lo && col("doc_id") < hi)
             .coalesce(1).write.mode("overwrite").parquet(tmp)
           val part = new java.io.File(tmp).listFiles()
@@ -4617,7 +4617,7 @@ object Extras {
             col("bucket"), col("m"))
         val emitted =
           scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
-        val ck = java.nio.file.Files.createTempDirectory("q196_ck").toString
+        val ck = graft.QueryUtil.tempDir("q196_ck").toString
         val sq = regs.writeStream.outputMode("update")
           .option("checkpointLocation", ck)
           .trigger(Trigger.AvailableNow())
@@ -4719,10 +4719,10 @@ object Extras {
               |         slice(toks, p * 4 + 1,
               |               greatest(size(toks) - p * 4, 0)))
               |END, ' ')""".stripMargin).as("text"))
-        val stage = java.nio.file.Files.createTempDirectory("q197_in")
+        val stage = graft.QueryUtil.tempDir("q197_in")
         (0 until 4).foreach { k =>
-          val tmp = java.nio.file.Files
-            .createTempDirectory(s"q197_b$k").toString
+          val tmp = graft.QueryUtil
+            .tempDir(s"q197_b$k").toString
           staged.filter(col("doc_id") >= k * 20 &&
               col("doc_id") < (k + 1) * 20)
             .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -4744,8 +4744,8 @@ object Extras {
             bucketFrom = r, bucketLen = 4)
           val qname = s"q197_mem_${r}_" +
             java.util.UUID.randomUUID().toString.replace("-", "")
-          val ck = java.nio.file.Files
-            .createTempDirectory(s"q197_ck$r").toString
+          val ck = graft.QueryUtil
+            .tempDir(s"q197_ck$r").toString
           val sq = verdicts.toDF().writeStream.format("memory")
             .queryName(qname).outputMode("append")
             .option("checkpointLocation", ck)
@@ -4955,10 +4955,10 @@ object Extras {
           .select(col("a.doc_id").as("doc_id"),
             when(col("a.doc_id") % 3 === 2 && col("b.norm").isNotNull,
               col("b.norm")).otherwise(col("a.norm")).as("text"))
-        val stage = java.nio.file.Files.createTempDirectory("q199_in")
+        val stage = graft.QueryUtil.tempDir("q199_in")
         def addFile(k: Int): Unit = {
-          val tmp = java.nio.file.Files
-            .createTempDirectory(s"q199_b$k").toString
+          val tmp = graft.QueryUtil
+            .tempDir(s"q199_b$k").toString
           staged.filter(col("doc_id") >= k * 10 &&
               col("doc_id") < (k + 1) * 10)
             .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -4971,9 +4971,9 @@ object Extras {
               .fromMillis(1_300_000_000_000L + k * 60_000L))
         }
         val schema = staged.schema
-        val ck = java.nio.file.Files.createTempDirectory("q199_ck").toString
+        val ck = graft.QueryUtil.tempDir("q199_ck").toString
         val outDir =
-          java.nio.file.Files.createTempDirectory("q199_out").toString
+          graft.QueryUtil.tempDir("q199_out").toString
         def runOnce(): Unit = {
           val stream = s.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(stage.toString)
@@ -4993,7 +4993,7 @@ object Extras {
         val restarted = s.read.parquet(outDir)
           .select(col("doc_id"), col("simhash"), col("dup_of"))
         // uninterrupted control: fresh checkpoint, all files from go
-        val ck2 = java.nio.file.Files.createTempDirectory("q199_ck2")
+        val ck2 = graft.QueryUtil.tempDir("q199_ck2")
           .toString
         val qname = "q199_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
@@ -5357,10 +5357,10 @@ object Extras {
           .select(col("a.doc_id").as("doc_id"),
             when(col("a.doc_id") % 4 === 1 && col("b.norm").isNotNull,
               col("b.norm")).otherwise(col("a.norm")).as("text"))
-        val stage = java.nio.file.Files.createTempDirectory("q203_in")
+        val stage = graft.QueryUtil.tempDir("q203_in")
         def addFile(k: Int): Unit = {
-          val tmp = java.nio.file.Files
-            .createTempDirectory(s"q203_b$k").toString
+          val tmp = graft.QueryUtil
+            .tempDir(s"q203_b$k").toString
           staged.filter(col("doc_id") >= k * 10 &&
               col("doc_id") < (k + 1) * 10)
             .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -5373,9 +5373,9 @@ object Extras {
               .fromMillis(1_400_000_000_000L + k * 60_000L))
         }
         val schema = staged.schema
-        val ck = java.nio.file.Files.createTempDirectory("q203_ck").toString
+        val ck = graft.QueryUtil.tempDir("q203_ck").toString
         val outDir =
-          java.nio.file.Files.createTempDirectory("q203_out").toString
+          graft.QueryUtil.tempDir("q203_out").toString
         val provKey = "spark.sql.streaming.stateStore.providerClass"
         val clogKey = "spark.sql.streaming.stateStore.rocksdb." +
           "changelogCheckpointing.enabled"
@@ -5412,7 +5412,7 @@ object Extras {
         // all files from go — backend parity, not just recovery
         val qname = "q203_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val ck2 = java.nio.file.Files.createTempDirectory("q203_ck2")
+        val ck2 = graft.QueryUtil.tempDir("q203_ck2")
           .toString
         val stream2 = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(stage.toString)

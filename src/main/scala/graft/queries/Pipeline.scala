@@ -545,7 +545,7 @@ object Pipeline {
         // arithmetic, so the result equals the brute-force oracle
         // hash-for-hash (the q81 SQL verbatim).
         import graft.operators.Hnsw
-        val idx = java.nio.file.Files.createTempDirectory("graft-hnsw")
+        val idx = graft.QueryUtil.tempDir("graft-hnsw")
           .resolve("idx").toString
         val emb = T(s, dir, "embeddings")
         Hnsw.buildIndex(emb, "embedding", "vec_id", idx, shards = 4)
@@ -575,7 +575,7 @@ object Pipeline {
         // three SFs), and k rows must come back.
         import graft.operators.{ExactAnn, Hnsw}
         import s.implicits._
-        val idx = java.nio.file.Files.createTempDirectory("graft-hnswr")
+        val idx = graft.QueryUtil.tempDir("graft-hnswr")
           .resolve("idx").toString
         val emb = T(s, dir, "embeddings")
         Hnsw.buildIndex(emb, "embedding", "vec_id", idx, shards = 4)
@@ -1108,7 +1108,7 @@ object Pipeline {
         val schema = s.read.parquet(s"$dir/events.parquet").schema
         // the file source ingests DIRECTORIES (files arriving over time);
         // the corpus table is one file — stage it via symlink, zero copy
-        val stage = java.nio.file.Files.createTempDirectory("q101_in")
+        val stage = graft.QueryUtil.tempDir("q101_in")
         java.nio.file.Files.createSymbolicLink(
           stage.resolve("events.parquet"),
           java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
@@ -1128,7 +1128,7 @@ object Pipeline {
             round(round(sum(col("value")), 2) / count(lit(1)), 6).as("avg_v"))
         val qname = "q101_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val ck = java.nio.file.Files.createTempDirectory("q101_ck").toString
+        val ck = graft.QueryUtil.tempDir("q101_ck").toString
         val sq = agg.writeStream.format("memory").queryName(qname)
           .outputMode("complete")
           .option("checkpointLocation", ck)
