@@ -41,10 +41,16 @@ object Bench {
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
     // Streaming gates (fixture staging + checkpointed state stores per
     // invocation, 4.5-16 s each in r13) are dominated by fixed replay
-    // machinery, not codegen, so min-of-N buys nothing: time them ONCE
-    // (no warmup run, single sample) and spend the saved ~150 s on the
-    // driver budget instead.
-    def isStreaming(name: String): Boolean = name.contains("_stream")
+    // machinery, not codegen, so a full warmup pass buys nothing — but
+    // the r14 single-sample policy let one host stall land permanently
+    // in the official record (q184: 77.5 s driver vs 24.6 s controlled).
+    // Streaming gates therefore skip the warmup pass but ARE timed in
+    // both measured passes (min-of-2, interleaved like everything else);
+    // the ~120 s this costs fits the r14 driver headroom (~400 s).
+    // "_stream_" with trailing underscore: "_stream" also matched the
+    // BATCH query q175_clip_streams, denying it warmup + min-of-2 and
+    // turning cold-codegen jitter into phantom cross-round swings.
+    def isStreaming(name: String): Boolean = name.contains("_stream_")
     // A throw records a -1.0 sentinel, NOT the elapsed-to-failure time: a
     // broken query fast-fails in ~0.06 s, which a round-over-round diff
     // reads as a phantom 20x speedup (this exact failure mode hid the r6
@@ -59,13 +65,26 @@ object Bench {
     queries.foreach { case (name, fn) =>
       if (!isStreaming(name)) once(fn) // warmup pass skips streaming gates
     }
-    // Streaming gates are timed once, so their single sample would pay
-    // the JVM-wide first-stream costs (micro-batch planner, state-store
-    // provider classes, streaming codegen) on top of their own work —
-    // the r14 A/B measured 3-10x cold inflation from exactly this. One
-    // tiny throwaway stream pays those costs before anything is timed.
+    // Streaming gates skip the suite warmup pass, so their first sample
+    // would pay the JVM-wide first-stream costs (micro-batch planner,
+    // state-store provider classes, streaming codegen) on top of their
+    // own work — the r14 A/B measured 3-10x cold inflation from exactly
+    // this. One tiny throwaway stream pays those costs before anything
+    // is timed. Temp-dir handling is inlined (not QueryUtil.tempDir) so
+    // this file stays overlay-portable: tools/bench_ab.py copies the
+    // CURRENT Bench.scala into the prev-commit worktree, which may
+    // predate helpers elsewhere in the tree.
     try {
-      val warmDir = graft.QueryUtil.tempDir("bench_swu")
+      val warmDir = java.nio.file.Files.createTempDirectory("bench_swu")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(warmDir).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+              catch { case _: Exception => () })
+        } catch { case _: Exception => () }
+      }))
       import spark.implicits._
       Seq((1L, "a"), (2L, "b")).toDF("id", "v")
         .coalesce(1).write.mode("overwrite").parquet(warmDir.toString)
@@ -79,9 +98,7 @@ object Bench {
       q.awaitTermination()
     } catch { case _: Throwable => () }
     val pass1 = queries.map { case (name, fn) => name -> once(fn) }
-    val pass2 = queries.map { case (name, fn) =>
-      name -> (if (isStreaming(name)) -2.0 else once(fn)) // -2 = not re-run
-    }
+    val pass2 = queries.map { case (name, fn) => name -> once(fn) }
     val passes = Seq(pass1, pass2)
     val results = queries.map { case (name, _) =>
       val samples = passes.map(_.toMap.apply(name))

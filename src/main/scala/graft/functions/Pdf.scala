@@ -1465,19 +1465,29 @@ object Pdf {
                     if (jpx.comps.length >= 3)
                       java.awt.image.BufferedImage.TYPE_INT_RGB
                     else java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                  // depth<8 components must be SCALED to full range
+                  // (255/(2^depth-1)), not right-shifted by max(d-8,0)=0
+                  // unscaled — that renders a 1-bit image as 0/1 gray,
+                  // i.e. near-black (mirrors PdfRender.jpxToArgb)
+                  val sh = math.max(jpx.depth - 8, 0)
+                  val scale =
+                    if (jpx.depth < 8) 255.0 / ((1 << jpx.depth) - 1) else 1.0
+                  def to8(v: Int): Int =
+                    if (jpx.depth == 8) v
+                    else if (jpx.depth > 8) v >> sh
+                    else math.round(v * scale).toInt
                   var y = 0
                   while (y < jpx.height) {
                     var x = 0
                     while (x < jpx.width) {
                       val i = y * jpx.width + x
-                      val sh = math.max(jpx.depth - 8, 0)
                       if (jpx.comps.length >= 3)
                         img.setRGB(x, y,
-                          ((jpx.comps(0)(i) >> sh) << 16) |
-                            ((jpx.comps(1)(i) >> sh) << 8) |
-                            (jpx.comps(2)(i) >> sh))
+                          (to8(jpx.comps(0)(i)) << 16) |
+                            (to8(jpx.comps(1)(i)) << 8) |
+                            to8(jpx.comps(2)(i)))
                       else img.getRaster.setSample(x, y, 0,
-                        jpx.comps(0)(i) >> sh)
+                        to8(jpx.comps(0)(i)))
                       x += 1
                     }
                     y += 1

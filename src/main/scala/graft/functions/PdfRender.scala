@@ -1693,11 +1693,23 @@ object PdfRender {
         }
         val vBits = 2L * bpc + nc.toLong * bpcomp
         var prev: Array[((Double, Double), Int)] = null
-        while (r.hasBits(k * vBits) && tris.length < MaxTris) {
-          val row = Array.fill(k) {
-            val p = readPt(); val c = readColor(); r.align(); (p, c)
+        // hasBits is re-checked before EVERY vertex, not once per row:
+        // each vertex is byte-aligned after reading, so a row's true bit
+        // cost exceeds k*vBits and a k*vBits row-size check would let a
+        // truncated stream fabricate a final row of zero-filled vertices.
+        // A partially-readable row is discarded, not emitted.
+        var truncated = false
+        while (!truncated && r.hasBits(k * vBits) && tris.length < MaxTris) {
+          val row = new Array[((Double, Double), Int)](k)
+          var vi = 0
+          while (vi < k && !truncated) {
+            if (!r.hasBits(vBits)) truncated = true
+            else {
+              val p = readPt(); val c = readColor(); r.align()
+              row(vi) = (p, c); vi += 1
+            }
           }
-          if (prev != null) {
+          if (!truncated && prev != null) {
             var i = 0
             while (i < k - 1) {
               tri(prev(i), prev(i + 1), row(i))

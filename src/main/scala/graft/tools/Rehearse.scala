@@ -39,8 +39,8 @@ object Rehearse {
       }
       val frames = Avi.readFrames(Video.makeTestVideo(2, vw, vh, 0x112233, 10))
       Seq(
-        Mp4.write(frames, 16, 12, 10, subtitles = cues),
-        Mkv.write(frames, 16, 12, 10, subtitles = cues),
+        Mp4.write(frames, vw, vh, 10, subtitles = cues),
+        Mkv.write(frames, vw, vh, 10, subtitles = cues),
         Pdf.writePdf(Seq(p)),
         ("<html><body><p>" + p + "</p></body></html>")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -45,8 +45,11 @@ def main():
     # sides measure identically (r14: the harness switched streaming
     # gates to a single cold sample; comparing that against the old
     # min-of-3-warm numbers mislabeled the methodology change as a 3-10x
-    # code regression on every streaming gate). Bench.scala depends only
-    # on SparkEntry, so it compiles against any round's tree.
+    # code regression on every streaming gate). Bench.scala must stay
+    # self-contained — depending ONLY on SparkEntry, no other graft
+    # helpers — so it compiles against any round's tree (r15: a
+    # QueryUtil.tempDir call added in r14 would have broken compilation
+    # of every pre-r14 prev side; it is now inlined).
     bench_src = "src/main/scala/graft/Bench.scala"
     with open(os.path.join(repo, bench_src), "rb") as f:
         cur_bench = f.read()
