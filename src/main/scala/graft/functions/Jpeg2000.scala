@@ -11,22 +11,29 @@ package graft.functions
   * irreversible 9/7 path (float lifting, scalar-expounded or no-quant
   * dequantization with midpoint reconstruction, ICT), MULTI-TILE
   * images on a grid anchored at the canvas origin (each tile an
-  * independent DWT/packet space, one tile-part per tile, raster SOT
-  * order not required), LRCP/RLCP progression, default precincts
-  * (PPx = 15, one precinct per resolution), arbitrary decomposition
-  * levels and code-block sizes, 1..4 components with the reversible
-  * multiple-component transform (RCT), any number of quality layers
-  * (per-block segments concatenate into one MQ codeword segment — the
-  * default no-termination mode). Named skips: multiple tile-parts per
-  * tile (TPsot > 0), derived quantization, precinct partitioning,
-  * SOP/EPH, and coding-style extensions (bypass/termination/causal/
-  * segmentation symbols) — each raises with a `jpx-...` message the
-  * callers surface as notes.
+  * independent DWT/packet space, raster SOT order not required),
+  * MULTIPLE TILE-PARTS per tile (TPsot > 0 — a tile's packet stream
+  * is the concatenation of its tile-part bodies in TPsot order; tile
+  * headers may carry PLT/COM), PER-COMPONENT coding and quantization
+  * via main-header COC/QCC (decomposition levels, code-block size,
+  * bypass flag, exponents all per component), SELECTIVE ARITHMETIC
+  * BYPASS (cbstyle bit 0: raw SPP/MRP segments from the 5th bitplane,
+  * per-segment lengths in the packet header, D.6 termination split),
+  * LRCP/RLCP progression, default precincts (PPx = 15, one precinct
+  * per resolution), arbitrary decomposition levels and code-block
+  * sizes, 1..4 components with the reversible multiple-component
+  * transform (RCT), any number of quality layers. Named skips:
+  * derived quantization, precinct partitioning, SOP/EPH, packed
+  * headers (PPM/PPT), tile-header COD/COC/QCD/QCC/POC, subsampled
+  * components, and the remaining coding-style extensions (RESET/
+  * TERMALL/causal/predictable-termination/segsym) — each raises with
+  * a `jpx-...` message the callers surface as notes.
   *
-  * The encoder twin emits the same restricted codestream (one layer,
-  * all passes included, 5/3 + optional RCT; `encodeTiled` for the
-  * multi-tile form) so gates decode synthesized images bit-exactly
-  * (the q189/q195 fixture pattern).
+  * The encoder twin emits the same codestream family (one layer, all
+  * passes included, 5/3 + optional RCT; `encodeTiled` for the
+  * multi-tile form, `encodeAdvanced` for COC/QCC + bypass +
+  * multi-tile-part forms) so gates decode synthesized images
+  * bit-exactly (the q189/q195 fixture pattern).
   */
 object Jpeg2000 {
   import Jbig2.{ArithDecoder, ArithEncoder, Contexts}
@@ -38,15 +45,21 @@ object Jpeg2000 {
 
   /** MSB-first bit reader with JPEG 2000 header bit-stuffing: after a
     * consumed 0xFF byte, the next byte carries only 7 bits (its MSB is
-    * a stuffed 0).
+    * a stuffed 0). The same stuffing rule governs RAW (arithmetic-
+    * bypass) codeword segments (D.6), which pass an explicit `limit`
+    * so a segment never reads its neighbour's bytes; past the limit
+    * the reader feeds 0 bits (fail-soft on truncation).
     */
-  final class HdrBitReader(data: Array[Byte], var pos: Int) {
+  final class HdrBitReader(data: Array[Byte], var pos: Int,
+      limit: Int = -1) {
+    private val lim =
+      if (limit < 0) data.length else math.min(limit, data.length)
     private var buf = 0
     private var cnt = 0
     private var lastByte = 0
     def bit(): Int = {
       if (cnt == 0) {
-        val b = if (pos < data.length) data(pos) & 0xff else 0
+        val b = if (pos < lim) data(pos) & 0xff else 0
         pos += 1
         if (lastByte == 0xff) { buf = b; cnt = 7 } // MSB is the stuffed 0
         else { buf = b; cnt = 8 }
@@ -302,17 +315,62 @@ object Jpeg2000 {
       else 14
   }
 
+  // ---- coding-pass taxonomy shared by coder, decoder and the packet
+  // header's segment-length chunking (selective arithmetic bypass,
+  // D.6): global pass index 0 is the cleanup of the MSB plane, then
+  // (SPP, MRP, CUP) triplets per plane. With BYPASS set, SPP/MRP of
+  // the 5th-and-later planes (pass index >= 10) are raw-coded; the MQ
+  // coder terminates after the CUP at index 9 and after every later
+  // MRP and CUP, so codeword segments alternate MQ | raw(SPP+MRP) |
+  // MQ(CUP) | ... Each boundary is derivable from the pass index
+  // alone, which is what lets the packet header signal one length per
+  // segment and both sides agree on the split.
+  @inline private def passKind(i: Int): Int =
+    if (i == 0) 2 else (i - 1) % 3 // 0 = SPP, 1 = MRP, 2 = CUP
+  @inline private def passIsRaw(bypass: Boolean, i: Int): Boolean =
+    bypass && i >= 10 && passKind(i) != 2
+  @inline private def termAfter(bypass: Boolean, i: Int): Boolean =
+    bypass && i >= 9 && passKind(i) != 0
+
   /** Decode `numPasses` coding passes of a code block whose most
     * significant magnitude bitplane is `planes - 1`. Returns
-    * (magnitudes, negative flags).
+    * (magnitudes, negative flags). Single MQ codeword segment
+    * (cbstyle 0) — the bypass form goes through `t1DecodeSegs`.
     */
   def t1Decode(data: Array[Byte], from: Int, until: Int, w: Int, h: Int,
       band: Int, planes: Int, numPasses: Int)
-      : (Array[Int], Array[Boolean]) = {
+      : (Array[Int], Array[Boolean]) =
+    t1DecodeSegs(data, from, Seq(until - from), w, h, band, planes,
+      numPasses, bypass = false)
+
+  /** Segment-aware Tier-1 decode: `segLens` lists each codeword
+    * segment's byte length in pass order starting at `base`. MQ
+    * segments each get a fresh MQ decoder (contexts persist across
+    * segments — BYPASS does not imply RESET); raw segments are
+    * bit-unstuffed reads (significance bit, then the sign bit
+    * directly, no prediction; refinement bits likewise).
+    */
+  def t1DecodeSegs(data: Array[Byte], base: Int, segLens: Seq[Int],
+      w: Int, h: Int, band: Int, planes: Int, numPasses: Int,
+      bypass: Boolean): (Array[Int], Array[Boolean]) = {
     val t = new T1Block(w, h, band)
-    val ad = new ArithDecoder(data, from, until)
     val cx = freshT1Contexts()
-    var passes = 0
+    val bounds = segLens.scanLeft(base)(_ + _).toArray
+    var segIdx = 0
+    var ad: ArithDecoder = null
+    var raw: HdrBitReader = null
+    def openSeg(isRaw: Boolean): Unit = {
+      val from =
+        if (segIdx < bounds.length) math.min(bounds(segIdx), data.length)
+        else data.length
+      val until =
+        if (segIdx + 1 < bounds.length)
+          math.min(bounds(segIdx + 1), data.length)
+        else data.length
+      if (isRaw) { raw = new HdrBitReader(data, from, until); ad = null }
+      else { ad = new ArithDecoder(data, from, until); raw = null }
+      segIdx += 1
+    }
     var p = planes - 1
     def decodeSign(x: Int, y: Int): Unit = {
       val (ctx, xor) = t.scAt(x, y)
@@ -332,12 +390,33 @@ object Jpeg2000 {
         }
       }
     }
+    def sppRaw(): Unit = stripes { (x, y) =>
+      val i = y * w + x
+      if (!t.sig(i)) {
+        if (t.zcAt(x, y) != 0) {
+          if (raw.bit() == 1) {
+            t.neg(i) = raw.bit() == 1
+            t.sig(i) = true
+            t.mag(i) = 1 << p
+          }
+          t.visited(i) = true
+        }
+      }
+    }
     def mrp(): Unit = stripes { (x, y) =>
       val i = y * w + x
       if (t.sig(i) && !t.visited(i)) {
         val bit = ad.decode(cx, t.mrCtx(x, y))
         t.refined(i) = true
         t.mag(i) |= bit << p
+        t.visited(i) = true
+      }
+    }
+    def mrpRaw(): Unit = stripes { (x, y) =>
+      val i = y * w + x
+      if (t.sig(i) && !t.visited(i)) {
+        t.refined(i) = true
+        t.mag(i) |= raw.bit() << p
         t.visited(i) = true
       }
     }
@@ -399,12 +478,21 @@ object Jpeg2000 {
       }
     }
     if (planes > 0 && numPasses > 0) {
-      cup(); passes += 1 // the first pass of the MSB plane is a cleanup
-      while (passes < numPasses && p > 0) {
-        p -= 1
-        if (passes < numPasses) { spp(); passes += 1 }
-        if (passes < numPasses) { mrp(); passes += 1 }
-        if (passes < numPasses) { cup(); passes += 1 }
+      openSeg(passIsRaw(bypass, 0))
+      var passIdx = 0
+      var done = false
+      while (!done && passIdx < numPasses) {
+        passKind(passIdx) match {
+          case 0 => if (passIsRaw(bypass, passIdx)) sppRaw() else spp()
+          case 1 => if (passIsRaw(bypass, passIdx)) mrpRaw() else mrp()
+          case _ => cup() // pass 0 is the cleanup of the MSB plane
+        }
+        if (passKind(passIdx) == 2) {
+          if (p == 0) done = true else p -= 1
+        }
+        passIdx += 1
+        if (!done && passIdx < numPasses && termAfter(bypass, passIdx - 1))
+          openSeg(passIsRaw(bypass, passIdx))
       }
     }
     (t.mag, t.neg)
@@ -416,6 +504,22 @@ object Jpeg2000 {
     */
   def t1Encode(coeffs: Array[Int], w: Int, h: Int, band: Int)
       : (Array[Byte], Int, Int) = {
+    val (segs, planes, passes) =
+      t1EncodeSegs(coeffs, w, h, band, bypass = false)
+    val bytes =
+      if (segs.isEmpty) Array.emptyByteArray
+      else segs.map(_._1).reduce(_ ++ _)
+    (bytes, planes, passes)
+  }
+
+  /** Segment-emitting encoder twin of `t1DecodeSegs`: codes every pass
+    * of every nonzero bitplane and returns the codeword segments in
+    * pass order as (bytes, passesInSegment) pairs plus (planes,
+    * totalPasses). cbstyle 0 yields one MQ segment; `bypass` yields
+    * the alternating MQ / raw split of `termAfter`.
+    */
+  def t1EncodeSegs(coeffs: Array[Int], w: Int, h: Int, band: Int,
+      bypass: Boolean): (Seq[(Array[Byte], Int)], Int, Int) = {
     val t = new T1Block(w, h, band)
     var i = 0
     var maxMag = 0
@@ -426,14 +530,15 @@ object Jpeg2000 {
       i += 1
     }
     val planes = 32 - Integer.numberOfLeadingZeros(maxMag)
-    if (planes == 0) return (Array.emptyByteArray, 0, 0)
+    if (planes == 0) return (Seq.empty, 0, 0)
     // live significance/visited state rebuilt during the pass walk;
     // t.mag/t.neg hold the TRUTH the passes reveal
     val truthMag = t.mag.clone()
     val truthNeg = t.neg.clone()
     java.util.Arrays.fill(t.mag, 0)
     java.util.Arrays.fill(t.neg, false)
-    val enc = new ArithEncoder
+    var enc = new ArithEncoder
+    var rawW: HdrBitWriter = null
     val cx = freshT1Contexts()
     var p = planes - 1
     def encodeSign(x: Int, y: Int): Unit = {
@@ -462,6 +567,31 @@ object Jpeg2000 {
       val i = y * w + x
       if (t.sig(i) && !t.visited(i)) {
         enc.encode(cx, t.mrCtx(x, y), bitAt(i))
+        t.refined(i) = true
+        t.mag(i) |= bitAt(i) << p
+        t.visited(i) = true
+      }
+    }
+    def sppRaw(): Unit = stripes { (x, y) =>
+      val i = y * w + x
+      if (!t.sig(i)) {
+        if (t.zcAt(x, y) != 0) {
+          val b = bitAt(i)
+          rawW.bit(b)
+          if (b == 1) {
+            rawW.bit(if (truthNeg(i)) 1 else 0)
+            t.neg(i) = truthNeg(i)
+            t.sig(i) = true
+            t.mag(i) = 1 << p
+          }
+          t.visited(i) = true
+        }
+      }
+    }
+    def mrpRaw(): Unit = stripes { (x, y) =>
+      val i = y * w + x
+      if (t.sig(i) && !t.visited(i)) {
+        rawW.bit(bitAt(i))
         t.refined(i) = true
         t.mag(i) |= bitAt(i) << p
         t.visited(i) = true
@@ -534,14 +664,48 @@ object Jpeg2000 {
         y0 += 4
       }
     }
-    cup()
-    var passes = 1
-    while (p > 0) {
-      p -= 1
-      spp(); mrp(); cup()
-      passes += 3
+    val numPasses = 1 + 3 * (planes - 1)
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(Array[Byte], Int)]
+    var segStartPass = 0
+    def closeSeg(lastPass: Int): Unit = {
+      val bytes =
+        if (rawW != null) rawW.alignEnd()
+        else {
+          // a terminated MQ segment must not end with 0xFF (the byte
+          // would fuse with the next segment's first byte under the
+          // decoder's stuffing rule); the decoder 0xFF-fills past the
+          // segment end, so the trailing 0xFF is redundant — drop it
+          val b = enc.flush()
+          if (b.nonEmpty && (b(b.length - 1) & 0xff) == 0xff)
+            java.util.Arrays.copyOf(b, b.length - 1)
+          else b
+        }
+      segs += ((bytes, lastPass - segStartPass + 1))
+      segStartPass = lastPass + 1
+      enc = null; rawW = null
     }
-    (enc.flush(), planes, passes)
+    def openSeg(firstPass: Int): Unit =
+      if (passIsRaw(bypass, firstPass)) { rawW = new HdrBitWriter; enc = null }
+      else { enc = new ArithEncoder; rawW = null }
+    var passIdx = 0
+    var done = false
+    while (!done && passIdx < numPasses) {
+      passKind(passIdx) match {
+        case 0 => if (passIsRaw(bypass, passIdx)) sppRaw() else spp()
+        case 1 => if (passIsRaw(bypass, passIdx)) mrpRaw() else mrp()
+        case _ => cup()
+      }
+      if (passKind(passIdx) == 2) {
+        if (p == 0) done = true else p -= 1
+      }
+      passIdx += 1
+      if (done || passIdx >= numPasses) closeSeg(passIdx - 1)
+      else if (termAfter(bypass, passIdx - 1)) {
+        closeSeg(passIdx - 1)
+        openSeg(passIdx)
+      }
+    }
+    (segs.toSeq, planes, numPasses)
   }
 
   // ================= reversible 5/3 wavelet (Annex F) ================
@@ -830,9 +994,22 @@ object Jpeg2000 {
     var lblock = 3
     var zbp = 0
     var passes = 0
-    val segs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    // codeword-segment byte lengths in pass order (one entry per MQ or
+    // raw segment, growing across layers); segOpen marks the last
+    // entry unterminated, so a later packet's contribution extends it
+    // instead of starting a new segment (B.10.7)
+    val segLens = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var segOpen = false
     val bytes = new java.io.ByteArrayOutputStream()
   }
+
+  /** Per-component coding parameters: COD defaults, COC overrides. */
+  private final case class CompCod(nl: Int, cbw: Int, cbh: Int,
+      irrev: Boolean, bypass: Boolean)
+
+  /** Per-component quantization: QCD defaults, QCC overrides. */
+  private final case class CompQcd(guard: Int, exps: Array[Int],
+      mus: Array[Int])
 
   /** Decode a raw JPEG 2000 codestream (SOC..EOC — the form a PDF
     * JPXDecode stream carries directly or inside a JP2 wrapper, which
@@ -852,14 +1029,53 @@ object Jpeg2000 {
     if (u16(0) != 0xff4f) fail("no-soc")
     p = 2
     var w = 0; var h = 0; var comps = 0; var depth = 0
-    var nl = -1; var cbw = 0; var cbh = 0; var layers = 1; var mct = 0
+    var layers = 1; var mct = 0
     var prog = 0
-    var guard = 0
-    var irrev = false
-    var exps: Array[Int] = null
-    var mus: Array[Int] = null
+    var codDefault: CompCod = null
+    var qcdDefault: CompQcd = null
+    val cocMap = scala.collection.mutable.Map.empty[Int, CompCod]
+    val qccMap = scala.collection.mutable.Map.empty[Int, CompQcd]
     var sotAt = -1
     var xtSiz = 0; var ytSiz = 0
+    // SPcod/SPcoc: decomposition levels, code-block size, style,
+    // transform — byte layout shared by COD and COC (A.6.1/A.6.2)
+    def parseCodSp(at: Int): CompCod = {
+      if (at + 5 > data.length) fail("truncated")
+      val nlv = data(at) & 0xff
+      if (nlv > 16) fail("levels")
+      val cw = 1 << ((data(at + 1) & 0x0f) + 2)
+      val chh = 1 << ((data(at + 2) & 0x0f) + 2)
+      if (cw.toLong * chh > 4096) fail("cb-size")
+      val style = data(at + 3) & 0xff
+      // bit 0 = selective arithmetic bypass (supported); RESET/TERMALL/
+      // causal/predictable-termination/segsym remain named skips
+      if ((style & ~0x01) != 0) fail(f"cb-style-$style%02x")
+      val irr = (data(at + 4) & 0xff) match {
+        case 0 => true // 9/7 irreversible
+        case 1 => false // 5/3 reversible
+        case other => fail(s"wavelet-$other")
+      }
+      CompCod(nlv, cw, chh, irr, (style & 1) != 0)
+    }
+    // Sqcd/Sqcc + SPqcd/SPqcc: guard bits + per-band exponents
+    def parseQuant(at: Int, segEnd: Int): CompQcd = {
+      if (at >= segEnd || segEnd > data.length) fail("truncated")
+      val sq = data(at) & 0xff
+      val g = sq >> 5
+      (sq & 0x1f) match {
+        case 0 => // no quantization (reversible): 1-byte exponents
+          val es = (0 until segEnd - at - 1)
+            .map(i => (data(at + 1 + i) & 0xff) >> 3).toArray
+          CompQcd(g, es, Array.fill(es.length)(0))
+        case 2 => // scalar expounded: 16-bit (exp, mantissa) pairs
+          val n = (segEnd - at - 1) / 2
+          CompQcd(g,
+            (0 until n).map(i => u16(at + 1 + 2 * i) >> 11).toArray,
+            (0 until n).map(i => u16(at + 1 + 2 * i) & 0x7ff).toArray)
+        case 1 => fail("quant-derived")
+        case other => fail(s"quant-style-$other")
+      }
+    }
     while (sotAt < 0) {
       val mk = u16(p)
       mk match {
@@ -898,37 +1114,33 @@ object Jpeg2000 {
           if (prog > 1) fail(s"progression-$prog")
           layers = u16(p + 6)
           mct = data(p + 8) & 0xff
-          nl = data(p + 9) & 0xff
-          if (nl > 16) fail("levels")
-          cbw = 1 << ((data(p + 10) & 0x0f) + 2)
-          cbh = 1 << ((data(p + 11) & 0x0f) + 2)
-          if (cbw.toLong * cbh > 4096) fail("cb-size")
-          if ((data(p + 12) & 0xff) != 0) fail("cb-style")
-          irrev = (data(p + 13) & 0xff) match {
-            case 0 => true // 9/7 irreversible
-            case 1 => false // 5/3 reversible
-            case other => fail(s"wavelet-$other")
-          }
+          codDefault = parseCodSp(p + 9)
+          p += 2 + len
+        case 0xff53 => // COC: per-component coding-style override
+          val len = u16(p + 2)
+          if (comps == 0) fail("coc-before-siz")
+          if (p + 2 + len > data.length) fail("truncated")
+          val cLen = if (comps < 257) 1 else 2
+          val c = if (cLen == 1) data(p + 4) & 0xff else u16(p + 4)
+          if (c >= comps) fail("coc-component")
+          val scoc = data(p + 4 + cLen) & 0xff
+          if ((scoc & 1) != 0) fail("precincts")
+          cocMap(c) = parseCodSp(p + 5 + cLen)
           p += 2 + len
         case 0xff5c => // QCD
           val len = u16(p + 2)
           if (len < 3 || p + 2 + len > data.length) fail("truncated")
-          val sq = data(p + 4) & 0xff
-          guard = sq >> 5
-          (sq & 0x1f) match {
-            case 0 => // no quantization (reversible): 1-byte exponents
-              exps = (0 until len - 3)
-                .map(i => (data(p + 5 + i) & 0xff) >> 3).toArray
-              mus = Array.fill(exps.length)(0)
-            case 2 => // scalar expounded: 16-bit (exp, mantissa) pairs
-              val n = (len - 3) / 2
-              exps = (0 until n).map(i => u16(p + 5 + 2 * i) >> 11).toArray
-              mus = (0 until n).map(i => u16(p + 5 + 2 * i) & 0x7ff).toArray
-            case 1 => fail("quant-derived")
-            case other => fail(s"quant-style-$other")
-          }
+          qcdDefault = parseQuant(p + 4, p + 2 + len)
           p += 2 + len
-        case 0xff53 | 0xff5d => fail("per-component-coding") // COC/QCC
+        case 0xff5d => // QCC: per-component quantization override
+          val len = u16(p + 2)
+          if (comps == 0) fail("qcc-before-siz")
+          if (p + 2 + len > data.length) fail("truncated")
+          val cLen = if (comps < 257) 1 else 2
+          val c = if (cLen == 1) data(p + 4) & 0xff else u16(p + 4)
+          if (c >= comps) fail("qcc-component")
+          qccMap(c) = parseQuant(p + 4 + cLen, p + 2 + len)
+          p += 2 + len
         case 0xff90 => // SOT: main header complete; tile loop takes over
           sotAt = p
         case 0xff64 | 0xff55 | 0xff57 | 0xff58 | 0xff60 | 0xff61 |
@@ -938,16 +1150,30 @@ object Jpeg2000 {
         case other => fail(f"marker-$other%04x")
       }
     }
-    if (nl < 0 || exps == null) fail("missing-cod-qcd")
-    if (exps.length < 3 * nl + 1) fail("qcd-bands")
-    val nbands = 3 * nl + 1
+    if (codDefault == null || qcdDefault == null) fail("missing-cod-qcd")
+    val cod = Array.tabulate(comps)(c => cocMap.getOrElse(c, codDefault))
+    val qcd = Array.tabulate(comps)(c => qccMap.getOrElse(c, qcdDefault))
+    var ci = 0
+    while (ci < comps) {
+      if (qcd(ci).exps.length < 3 * cod(ci).nl + 1) fail("qcd-bands")
+      ci += 1
+    }
+    if (mct == 1) {
+      if (comps < 3) fail("mct-components")
+      if (cod(1).irrev != cod(0).irrev || cod(2).irrev != cod(0).irrev)
+        fail("mct-mixed")
+    }
+    val maxNl = cod.map(_.nl).max
     val xTiles = ((w.toLong + xtSiz - 1) / xtSiz).toInt
     val yTiles = ((h.toLong + ytSiz - 1) / ytSiz).toInt
     if (xTiles.toLong * yTiles > 4096) fail("tile-count")
-    // collect tile-parts in stream order: one part per tile (TPsot > 0
-    // is a named skip), each SOT..SOD header directly followed by its
-    // packet body, terminated by the next SOT or EOC
-    val parts = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    // collect tile-parts in stream order; a tile's packet stream is the
+    // CONCATENATION of its tile-part bodies in TPsot order (TPsot > 0
+    // supported — multiple tile-parts per tile). Tile headers may carry
+    // PLT/COM (skipped by length); in-tile COD/COC/QCD/QCC/POC remain
+    // named skips.
+    val partsByTile = Array.fill(xTiles * yTiles)(
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Int)])
     p = sotAt
     var more = true
     while (more) {
@@ -955,256 +1181,307 @@ object Jpeg2000 {
       val lsot = u16(p + 2)
       val isot = u16(p + 4)
       val psot = u32(p + 6)
-      if ((data(p + 10) & 0xff) != 0 || (data(p + 11) & 0xff) > 1)
-        fail("tile-parts")
+      val tpsot = data(p + 10) & 0xff
+      val tnsot = data(p + 11) & 0xff
       if (isot >= xTiles * yTiles) fail("tile-index")
+      if (tpsot != partsByTile(isot).length) fail("tile-part-order")
+      if (tnsot != 0 && tpsot >= tnsot) fail("tile-part-count")
       val tEnd: Int =
-        if (psot == 0) data.length
-        else if (psot < 14 || p + psot > data.length) fail("tile-length")
+        if (psot == 0) {
+          // Psot 0: the (single, last) tile-part extends to EOC
+          if (data.length < 2) fail("truncated")
+          data.length - 2
+        } else if (psot < 14 || p + psot > data.length) fail("tile-length")
         else (p + psot).toInt
-      val q = p + 2 + lsot
-      if (q + 2 > data.length || u16(q) != 0xff93) fail("no-sod")
-      parts += ((isot, q + 2, tEnd))
+      var q = p + 2 + lsot
+      var sod = false
+      while (!sod) {
+        if (q + 2 > data.length) fail("no-sod")
+        u16(q) match {
+          case 0xff93 => sod = true
+          case 0xff58 | 0xff64 => q += 2 + u16(q + 2) // PLT / COM
+          case 0xff52 | 0xff53 | 0xff5c | 0xff5d =>
+            fail("tile-header-coding")
+          case 0xff5f => fail("tile-poc")
+          case 0xff61 => fail("packed-headers") // PPT
+          case other => fail(f"tile-marker-$other%04x")
+        }
+      }
+      partsByTile(isot) +=
+        ((q + 2, math.max(q + 2, math.min(tEnd, data.length))))
       p = tEnd
       more = p + 2 <= data.length && u16(p) == 0xff90
     }
-    // ------- per-tile decode: the parameters SHADOW the image dims so
-    // the band/packet/T1/DWT machinery below operates on the tile grid
-    def decodeTile(w: Int, h: Int, pFrom: Int, pUntil: Int)
+    // ------- per-tile decode over the concatenated tile-part body; the
+    // tile dims SHADOW the image dims so the band/packet/T1/DWT
+    // machinery operates on the tile grid
+    def decodeTile(tw: Int, th: Int, body: Array[Byte])
         : Array[Either[Array[Double], Array[Int]]] = {
-    var p = pFrom
-    val end = math.min(pUntil,
-      // EOC terminates; packet bodies never contain FF D9 (bit stuffing
-      // keeps coded bytes <= FF8F after FF)
-      data.length - 2)
-    // per component/band/block decode state
-    def expOf(r: Int, bi: Int): Int =
-      exps(if (r == 0) 0 else 1 + 3 * (r - 1) + bi)
-    val state = Array.tabulate(comps) { _ =>
-      (0 to nl).map { r =>
-        bandsOf(w, h, nl, r).map { b =>
-          val nbx = if (b.w == 0) 0 else (b.w + cbw - 1) / cbw
-          val nby = if (b.h == 0) 0 else (b.h + cbh - 1) / cbh
-          (b, Array.fill(nby, nbx)(new BlockState),
-            new TagTree(math.max(nbx, 1), math.max(nby, 1)),
-            new TagTree(math.max(nbx, 1), math.max(nby, 1)))
+      var bp = 0
+      val end = body.length
+      // per component/band/block decode state
+      val state = Array.tabulate(comps) { c =>
+        val pc = cod(c)
+        (0 to pc.nl).map { r =>
+          bandsOf(tw, th, pc.nl, r).map { b =>
+            val nbx = if (b.w == 0) 0 else (b.w + pc.cbw - 1) / pc.cbw
+            val nby = if (b.h == 0) 0 else (b.h + pc.cbh - 1) / pc.cbh
+            (b, Array.fill(nby, nbx)(new BlockState),
+              new TagTree(math.max(nbx, 1), math.max(nby, 1)),
+              new TagTree(math.max(nbx, 1), math.max(nby, 1)))
+          }
         }
       }
-    }
-    // packet walk: LRCP or RLCP — identical inner packet structure
-    val order =
-      if (prog == 0)
-        for (l <- 0 until layers; r <- 0 to nl; c <- 0 until comps)
-          yield (l, r, c)
-      else
-        for (r <- 0 to nl; l <- 0 until layers; c <- 0 until comps)
-          yield (l, r, c)
-    order.foreach { case (layer, r, c) =>
-      if (p < end) {
-        val br = new HdrBitReader(data, p)
-        if (br.bit() == 1) {
-          val bodies =
-            scala.collection.mutable.ArrayBuffer.empty[(BlockState, Int)]
-          state(c)(r).foreach { case (band, blocks, incl, zb) =>
-            for (by <- blocks.indices; bx <- blocks(by).indices) {
-              val st = blocks(by)(bx)
-              val included =
-                if (!st.included) incl.decodeLess(br, bx, by, layer + 1)
-                else br.bit() == 1
-              if (included) {
-                if (!st.included) {
-                  st.zbp = zb.decodeValue(br, bx, by)
-                  st.included = true
-                }
-                val np = {
-                  if (br.bit() == 0) 1
-                  else if (br.bit() == 0) 2
-                  else {
-                    val v = br.bits(2)
-                    if (v < 3) 3 + v
+      // packet walk: LRCP or RLCP — with per-component decomposition
+      // levels, resolution r > nl(c) contributes no packet for c
+      val order =
+        if (prog == 0)
+          for (l <- 0 until layers; r <- 0 to maxNl; c <- 0 until comps
+               if r <= cod(c).nl) yield (l, r, c)
+        else
+          for (r <- 0 to maxNl; l <- 0 until layers; c <- 0 until comps
+               if r <= cod(c).nl) yield (l, r, c)
+      order.foreach { case (layer, r, c) =>
+        if (bp < end) {
+          val bypass = cod(c).bypass
+          val br = new HdrBitReader(body, bp)
+          if (br.bit() == 1) {
+            val bodies =
+              scala.collection.mutable.ArrayBuffer.empty[(BlockState, Int)]
+            state(c)(r).foreach { case (band, blocks, incl, zb) =>
+              for (by <- blocks.indices; bx <- blocks(by).indices) {
+                val st = blocks(by)(bx)
+                val included =
+                  if (!st.included) incl.decodeLess(br, bx, by, layer + 1)
+                  else br.bit() == 1
+                if (included) {
+                  if (!st.included) {
+                    st.zbp = zb.decodeValue(br, bx, by)
+                    st.included = true
+                  }
+                  val np = {
+                    if (br.bit() == 0) 1
+                    else if (br.bit() == 0) 2
                     else {
-                      val v2 = br.bits(5)
-                      if (v2 < 31) 6 + v2 else 37 + br.bits(7)
+                      val v = br.bits(2)
+                      if (v < 3) 3 + v
+                      else {
+                        val v2 = br.bits(5)
+                        if (v2 < 31) 6 + v2 else 37 + br.bits(7)
+                      }
                     }
                   }
+                  while (br.bit() == 1) st.lblock += 1
+                  // segment-length signalling (B.10.7): the new passes
+                  // split at termination boundaries; one length per
+                  // segment contribution, bits = lblock +
+                  // floor(log2(passes in the contribution))
+                  var first = st.passes
+                  var remaining = np
+                  while (remaining > 0) {
+                    var cp = 0
+                    var term = false
+                    while (!term && cp < remaining) {
+                      term = termAfter(bypass, first + cp)
+                      cp += 1
+                    }
+                    val lenBits = st.lblock +
+                      (31 - Integer.numberOfLeadingZeros(cp))
+                    if (lenBits > 31) fail("seg-length")
+                    val byteLen = br.bits(lenBits)
+                    if (byteLen < 0 || byteLen > (1 << 24))
+                      fail("seg-length")
+                    if (st.segOpen && st.segLens.nonEmpty)
+                      st.segLens(st.segLens.length - 1) += byteLen
+                    else st.segLens += byteLen
+                    st.segOpen = !term
+                    bodies += ((st, byteLen))
+                    first += cp
+                    remaining -= cp
+                  }
+                  st.passes += np
                 }
-                while (br.bit() == 1) st.lblock += 1
-                val lenBits = st.lblock +
-                  (31 - Integer.numberOfLeadingZeros(np))
-                val byteLen = br.bits(lenBits)
-                if (byteLen < 0 || byteLen > (1 << 24)) fail("seg-length")
-                st.passes += np
-                st.segs += ((np, byteLen))
-                bodies += ((st, byteLen))
               }
             }
-          }
-          p = br.alignEnd()
-          bodies.foreach { case (st, len) =>
-            if (p + len > data.length) fail("truncated-body")
-            st.bytes.write(data, p, len)
-            p += len
-          }
-        } else p = br.alignEnd()
+            bp = br.alignEnd()
+            bodies.foreach { case (st, len) =>
+              if (bp + len > end) fail("truncated-body")
+              st.bytes.write(body, bp, len)
+              bp += len
+            }
+          } else bp = br.alignEnd()
+        }
       }
-    }
-    // Tier-1 decode + assemble subbands, then inverse DWT per component
-    val out = Array.tabulate[Either[Array[Double], Array[Int]]](comps) { c =>
-      val bandCoeffs = (0 to nl).map { r =>
-        state(c)(r).map { case (band, blocks, _, _) =>
-          val coeffs = new Array[Int](math.max(band.w * band.h, 0))
-          for (by <- blocks.indices; bx <- blocks(by).indices) {
-            val st = blocks(by)(bx)
-            val x0 = bx * cbw; val y0 = by * cbh
-            val bw = math.min(cbw, band.w - x0)
-            val bh = math.min(cbh, band.h - y0)
-            if (st.included && st.passes > 0) {
-              val mb = guard + expOf(r, band.orient match {
-                case 0 => 0
-                case o => o - 1
-              }) - 1
-              val planes = mb - st.zbp
-              if (planes < 0 || planes > 31) fail("planes")
-              val seg = st.bytes.toByteArray
-              val (mags, negs) =
-                t1Decode(seg, 0, seg.length, bw, bh, band.orient, planes,
-                  st.passes)
-              var yy = 0
-              while (yy < bh) {
-                var xx = 0
-                while (xx < bw) {
-                  val m = mags(yy * bw + xx)
-                  coeffs((y0 + yy) * band.w + x0 + xx) =
-                    if (negs(yy * bw + xx)) -m else m
-                  xx += 1
+      // Tier-1 decode + assemble subbands, then inverse DWT per comp
+      Array.tabulate[Either[Array[Double], Array[Int]]](comps) { c =>
+        val pc = cod(c)
+        val qc = qcd(c)
+        def expOf(r: Int, bi: Int): Int =
+          qc.exps(if (r == 0) 0 else 1 + 3 * (r - 1) + bi)
+        val bandCoeffs = (0 to pc.nl).map { r =>
+          state(c)(r).map { case (band, blocks, _, _) =>
+            val coeffs = new Array[Int](math.max(band.w * band.h, 0))
+            for (by <- blocks.indices; bx <- blocks(by).indices) {
+              val st = blocks(by)(bx)
+              val x0 = bx * pc.cbw; val y0 = by * pc.cbh
+              val bw = math.min(pc.cbw, band.w - x0)
+              val bh = math.min(pc.cbh, band.h - y0)
+              if (st.included && st.passes > 0) {
+                val mb = qc.guard + expOf(r, band.orient match {
+                  case 0 => 0
+                  case o => o - 1
+                }) - 1
+                val planes = mb - st.zbp
+                if (planes < 0 || planes > 31) fail("planes")
+                val seg = st.bytes.toByteArray
+                val (mags, negs) = t1DecodeSegs(seg, 0, st.segLens.toSeq,
+                  bw, bh, band.orient, planes, st.passes, pc.bypass)
+                var yy = 0
+                while (yy < bh) {
+                  var xx = 0
+                  while (xx < bw) {
+                    val m = mags(yy * bw + xx)
+                    coeffs((y0 + yy) * band.w + x0 + xx) =
+                      if (negs(yy * bw + xx)) -m else m
+                    xx += 1
+                  }
+                  yy += 1
                 }
-                yy += 1
               }
             }
-          }
-          (band, coeffs)
-        }
-      }
-      if (!irrev) {
-        // iterative synthesis: LL_nl + level bands -> full plane
-        var cur = bandCoeffs(0).head._2
-        var lvl = nl
-        while (lvl >= 1) {
-          val r = nl - lvl + 1
-          val cw = dimAt(w, lvl - 1); val ch = dimAt(h, lvl - 1)
-          val a = new Array[Int](cw * ch)
-          val Seq((_, hl), (_, lh), (_, hh)) = bandCoeffs(r)
-          interleave(a, cw, cw, ch, cur, hl, lh, hh)
-          invDwtLevel(a, cw, cw, ch)
-          cur = a
-          lvl -= 1
-        }
-        Right(cur)
-      } else {
-        // 9/7: dequantize (midpoint reconstruction) to doubles, then
-        // float synthesis
-        def dequant(r: Int, orient: Int, q: Array[Int]): Array[Double] = {
-          val bi = if (orient == 0) 0 else orient - 1
-          val gain = orient match {
-            case 0 => 0
-            case 3 => 2
-            case _ => 1
-          }
-          val qi = if (r == 0) 0 else 1 + 3 * (r - 1) + bi
-          val delta = math.pow(2.0, (depth + gain) - exps(qi)) *
-            (1.0 + mus(qi) / 2048.0)
-          q.map { v =>
-            if (v == 0) 0.0
-            else if (v > 0) (v + 0.5) * delta
-            else (v - 0.5) * delta
+            (band, coeffs)
           }
         }
-        var cur = dequant(0, 0, bandCoeffs(0).head._2)
-        var lvl = nl
-        while (lvl >= 1) {
-          val r = nl - lvl + 1
-          val cw = dimAt(w, lvl - 1); val ch = dimAt(h, lvl - 1)
-          val a = new Array[Double](cw * ch)
-          val Seq((b1, hlQ), (b2, lhQ), (b3, hhQ)) = bandCoeffs(r)
-          val hl = dequant(r, b1.orient, hlQ)
-          val lh = dequant(r, b2.orient, lhQ)
-          val hh = dequant(r, b3.orient, hhQ)
-          val lw = (cw + 1) / 2
-          val hw = cw / 2
-          var y = 0
-          while (y < ch) {
-            var x = 0
-            while (x < cw) {
-              a(y * cw + x) =
-                if ((x & 1) == 0 && (y & 1) == 0) cur((y / 2) * lw + x / 2)
-                else if ((x & 1) == 1 && (y & 1) == 0)
-                  hl((y / 2) * hw + x / 2)
-                else if ((x & 1) == 0) lh((y / 2) * lw + x / 2)
-                else hh((y / 2) * hw + x / 2)
-              x += 1
+        if (!pc.irrev) {
+          // iterative synthesis: LL_nl + level bands -> full plane
+          var cur = bandCoeffs(0).head._2
+          var lvl = pc.nl
+          while (lvl >= 1) {
+            val r = pc.nl - lvl + 1
+            val cw = dimAt(tw, lvl - 1); val ch = dimAt(th, lvl - 1)
+            val a = new Array[Int](cw * ch)
+            val Seq((_, hl), (_, lh), (_, hh)) = bandCoeffs(r)
+            interleave(a, cw, cw, ch, cur, hl, lh, hh)
+            invDwtLevel(a, cw, cw, ch)
+            cur = a
+            lvl -= 1
+          }
+          Right(cur)
+        } else {
+          // 9/7: dequantize (midpoint reconstruction) to doubles, then
+          // float synthesis
+          def dequant(r: Int, orient: Int, q: Array[Int]): Array[Double] = {
+            val bi = if (orient == 0) 0 else orient - 1
+            val gain = orient match {
+              case 0 => 0
+              case 3 => 2
+              case _ => 1
             }
-            y += 1
+            val qi = if (r == 0) 0 else 1 + 3 * (r - 1) + bi
+            val delta = math.pow(2.0, (depth + gain) - qc.exps(qi)) *
+              (1.0 + qc.mus(qi) / 2048.0)
+            q.map { v =>
+              if (v == 0) 0.0
+              else if (v > 0) (v + 0.5) * delta
+              else (v - 0.5) * delta
+            }
           }
-          invDwt97Level(a, cw, cw, ch)
-          cur = a
-          lvl -= 1
+          var cur = dequant(0, 0, bandCoeffs(0).head._2)
+          var lvl = pc.nl
+          while (lvl >= 1) {
+            val r = pc.nl - lvl + 1
+            val cw = dimAt(tw, lvl - 1); val ch = dimAt(th, lvl - 1)
+            val a = new Array[Double](cw * ch)
+            val Seq((b1, hlQ), (b2, lhQ), (b3, hhQ)) = bandCoeffs(r)
+            val hl = dequant(r, b1.orient, hlQ)
+            val lh = dequant(r, b2.orient, lhQ)
+            val hh = dequant(r, b3.orient, hhQ)
+            val lw = (cw + 1) / 2
+            val hw = cw / 2
+            var y = 0
+            while (y < ch) {
+              var x = 0
+              while (x < cw) {
+                a(y * cw + x) =
+                  if ((x & 1) == 0 && (y & 1) == 0) cur((y / 2) * lw + x / 2)
+                  else if ((x & 1) == 1 && (y & 1) == 0)
+                    hl((y / 2) * hw + x / 2)
+                  else if ((x & 1) == 0) lh((y / 2) * lw + x / 2)
+                  else hh((y / 2) * hw + x / 2)
+                x += 1
+              }
+              y += 1
+            }
+            invDwt97Level(a, cw, cw, ch)
+            cur = a
+            lvl -= 1
+          }
+          Left(cur)
         }
-        Left(cur)
       }
-    }
-    out
     } // decodeTile
-    // assemble tiles into full-image planes (missing tiles stay zero →
+    // assemble tiles into full-image planes (missing tiles stay zero ->
     // mid-gray after the DC shift, fail-soft for truncated streams)
     val out: Array[Either[Array[Double], Array[Int]]] =
-      Array.tabulate(comps) { _ =>
-        if (irrev) Left(new Array[Double](w * h))
+      Array.tabulate(comps) { c =>
+        if (cod(c).irrev) Left(new Array[Double](w * h))
         else Right(new Array[Int](w * h))
       }
-    parts.foreach { case (isot, from, until) =>
-      val ti = isot % xTiles; val tj = isot / xTiles
-      val tx0 = ti * xtSiz; val ty0 = tj * ytSiz
-      val tw = math.min(xtSiz, w - tx0); val th = math.min(ytSiz, h - ty0)
-      if (tw <= 0 || th <= 0) fail("tile-index")
-      val tileOut = decodeTile(tw, th, from, until)
-      var c = 0
-      while (c < comps) {
-        (out(c), tileOut(c)) match {
-          case (Right(dst), Right(src)) =>
-            var y = 0
-            while (y < th) {
-              System.arraycopy(src, y * tw, dst, (ty0 + y) * w + tx0, tw)
-              y += 1
-            }
-          case (Left(dst), Left(src)) =>
-            var y = 0
-            while (y < th) {
-              System.arraycopy(src, y * tw, dst, (ty0 + y) * w + tx0, tw)
-              y += 1
-            }
-          case _ => fail("tile-mix")
+    var tIdx = 0
+    while (tIdx < xTiles * yTiles) {
+      val parts = partsByTile(tIdx)
+      if (parts.nonEmpty) {
+        val ti = tIdx % xTiles; val tj = tIdx / xTiles
+        val tx0 = ti * xtSiz; val ty0 = tj * ytSiz
+        val tw = math.min(xtSiz, w - tx0)
+        val th = math.min(ytSiz, h - ty0)
+        if (tw <= 0 || th <= 0) fail("tile-index")
+        val totalLen = parts.map { case (f, u) => math.max(u - f, 0) }.sum
+        if (totalLen > (1 << 26)) fail("tile-body")
+        val body = new Array[Byte](totalLen)
+        var o = 0
+        parts.foreach { case (f, u) =>
+          val n = math.max(u - f, 0)
+          System.arraycopy(data, f, body, o, n)
+          o += n
         }
-        c += 1
+        val tileOut = decodeTile(tw, th, body)
+        var c = 0
+        while (c < comps) {
+          (out(c), tileOut(c)) match {
+            case (Right(dst), Right(src)) =>
+              var y = 0
+              while (y < th) {
+                System.arraycopy(src, y * tw, dst, (ty0 + y) * w + tx0, tw)
+                y += 1
+              }
+            case (Left(dst), Left(src)) =>
+              var y = 0
+              while (y < th) {
+                System.arraycopy(src, y * tw, dst, (ty0 + y) * w + tx0, tw)
+                y += 1
+              }
+            case _ => fail("tile-mix")
+          }
+          c += 1
+        }
       }
+      tIdx += 1
     }
     val off = 1 << (depth - 1)
     val maxV = (1 << depth) - 1
-    val planesOut: Array[Array[Int]] =
-      if (!irrev) {
-        val ints = out.map(_.toOption.get)
-        if (mct == 1) {
-          if (comps < 3) fail("mct-components")
-          invRct(ints(0), ints(1), ints(2))
-        }
-        ints
-      } else {
-        val dbls = out.map(_.swap.toOption.get)
-        if (mct == 1) {
-          if (comps < 3) fail("mct-components")
-          invIct(dbls(0), dbls(1), dbls(2))
-        }
-        dbls.map(_.map(v => math.round(v).toInt))
-      }
+    if (mct == 1) {
+      if (!cod(0).irrev)
+        invRct(out(0).toOption.get, out(1).toOption.get,
+          out(2).toOption.get)
+      else
+        invIct(out(0).swap.toOption.get, out(1).swap.toOption.get,
+          out(2).swap.toOption.get)
+    }
+    val planesOut: Array[Array[Int]] = out.map {
+      case Right(ints) => ints
+      case Left(dbls) => dbls.map(v => math.round(v).toInt)
+    }
     planesOut.foreach { plane =>
       var i = 0
       while (i < plane.length) {
@@ -1329,8 +1606,11 @@ object Jpeg2000 {
       }
       (tw, th, bands53(sub, tw, th, levels))
     }).toIndexedSeq
-    emitCodestreamTiled(w, h, tileW, tileH, depth, comps, levels, cbExp,
-      mct = if (useRct) 1 else 0, irrev = false, tiles, eps = null)
+    emitCodestreamTiled(w, h, tileW, tileH, depth, comps,
+      Array.fill(comps)(levels), Array.fill(comps)(cbExp),
+      Array.fill(comps)(false),
+      mct = if (useRct) 1 else 0, irrev = false, tiles, eps = null,
+      perComp = false, tileParts = 1)
   }
 
   /** Encode component planes as a single-tile, single-layer
@@ -1424,26 +1704,85 @@ object Jpeg2000 {
       levels: Int, cbExp: Int, mct: Int, irrev: Boolean,
       bands: IndexedSeq[IndexedSeq[Seq[Array[Int]]]],
       eps: IndexedSeq[IndexedSeq[Int]]): Array[Byte] =
-    emitCodestreamTiled(w, h, w, h, depth, comps, levels, cbExp, mct,
-      irrev, IndexedSeq((w, h, bands)), eps)
+    emitCodestreamTiled(w, h, w, h, depth, comps,
+      Array.fill(comps)(levels), Array.fill(comps)(cbExp),
+      Array.fill(comps)(false), mct, irrev,
+      IndexedSeq((w, h, bands)), eps, perComp = false, tileParts = 1)
+
+  /** Encode component planes as a lossless 5/3 codestream exercising
+    * the real-encoder forms the decoder supports: PER-COMPONENT
+    * decomposition levels / code-block sizes / selective arithmetic
+    * bypass (COC + QCC markers for every component whose parameters or
+    * exponents differ from component 0), an optional tile grid, and
+    * each tile's packet stream split into `tileParts` tile-parts
+    * (TPsot 0..n-1 of TNsot = n, split at packet boundaries).
+    */
+  def encodeAdvanced(planes: Array[Array[Int]], w: Int, h: Int,
+      depth: Int, levels: Array[Int], cbExps: Array[Int],
+      bypass: Array[Boolean], tileW: Int = 0, tileH: Int = 0,
+      tileParts: Int = 1, useRct: Boolean = false): Array[Byte] = {
+    val comps = planes.length
+    require(comps >= 1 && planes.forall(_.length == w * h))
+    require(!useRct || comps == 3)
+    require(levels.length == comps && cbExps.length == comps &&
+      bypass.length == comps)
+    require(levels.forall(l => l >= 0 && l <= 16))
+    require(cbExps.forall(e => e >= 2 && e <= 6))
+    require(tileParts >= 1)
+    val off = 1 << (depth - 1)
+    val work = planes.map(_.map(_ - off))
+    if (useRct) fwdRct(work(0), work(1), work(2))
+    val tw0 = if (tileW <= 0) w else tileW
+    val th0 = if (tileH <= 0) h else tileH
+    val xTiles = (w + tw0 - 1) / tw0
+    val yTiles = (h + th0 - 1) / th0
+    val tiles = (for (tj <- 0 until yTiles; ti <- 0 until xTiles) yield {
+      val tx0 = ti * tw0; val ty0 = tj * th0
+      val tw = math.min(tw0, w - tx0); val th = math.min(th0, h - ty0)
+      val sub = work.map { pl =>
+        val a = new Array[Int](tw * th)
+        var y = 0
+        while (y < th) {
+          System.arraycopy(pl, (ty0 + y) * w + tx0, a, y * tw, tw)
+          y += 1
+        }
+        a
+      }
+      // per-component decomposition: bands53 per comp with its levels
+      val bands = (0 until comps).map { c =>
+        bands53(Array(sub(c)), tw, th, levels(c)).head
+      }
+      (tw, th, bands)
+    }).toIndexedSeq
+    emitCodestreamTiled(w, h, tw0, th0, depth, comps, levels, cbExps,
+      bypass, mct = if (useRct) 1 else 0, irrev = false, tiles,
+      eps = null, perComp = true, tileParts = tileParts)
+  }
 
   /** Multi-tile emitter: `tiles` carries (tw, th, per-comp bands) in
-    * raster order over the (xt, yt) tile grid; QCD exponents are
-    * codestream-global (maxed across tiles AND components), each tile
-    * gets one SOT..SOD tile-part.
+    * raster order over the (xt, yt) tile grid. With `perComp` false,
+    * QCD exponents are codestream-global (maxed across tiles AND
+    * components — the historical uniform form); with `perComp` true,
+    * exponents are per-component and every component > 0 gets a QCC
+    * (plus a COC when its coding parameters differ from component 0).
+    * Each tile's packets are split into `tileParts` SOT..SOD parts.
     */
   private def emitCodestreamTiled(w: Int, h: Int, xt: Int, yt: Int,
       depth: Int, comps: Int,
-      levels: Int, cbExp: Int, mct: Int, irrev: Boolean,
+      levelsA: Array[Int], cbExpA: Array[Int], bypassA: Array[Boolean],
+      mct: Int, irrev: Boolean,
       tiles: IndexedSeq[(Int, Int, IndexedSeq[IndexedSeq[Seq[Array[Int]]]])],
-      eps: IndexedSeq[IndexedSeq[Int]]): Array[Byte] = {
-    val cb = 1 << cbExp
-    final case class CodedBlock(bx: Int, by: Int, bytes: Array[Byte],
-      planes: Int, passes: Int)
+      eps: IndexedSeq[IndexedSeq[Int]], perComp: Boolean,
+      tileParts: Int): Array[Byte] = {
+    require(!(perComp && irrev), "per-component 9/7 not emitted")
+    val maxNl = levelsA.max
+    final case class CodedBlock(bx: Int, by: Int,
+      segs: Seq[(Array[Byte], Int)], planes: Int, passes: Int)
     final case class CodedBand(orient: Int, bw: Int, bh: Int,
       blocks: Seq[CodedBlock], maxPlanes: Int)
-    def codeBand(orient: Int, bw: Int, bh: Int,
+    def codeBand(c: Int, orient: Int, bw: Int, bh: Int,
         coeffs: Array[Int]): CodedBand = {
+      val cb = 1 << cbExpA(c)
       val blocks =
         for (by <- 0 until math.max((bh + cb - 1) / cb, 0);
              bx <- 0 until math.max((bw + cb - 1) / cb, 0)) yield {
@@ -1456,8 +1795,9 @@ object Jpeg2000 {
               cbw2)
             yy += 1
           }
-          val (bytes, pl, np) = t1Encode(sub, cbw2, cbh2, orient)
-          CodedBlock(bx, by, bytes, pl, np)
+          val (segs, pl, np) = t1EncodeSegs(sub, cbw2, cbh2, orient,
+            bypassA(c))
+          CodedBlock(bx, by, segs, pl, np)
         }
       CodedBand(orient, bw, bh, blocks,
         if (blocks.isEmpty) 0 else blocks.map(_.planes).max)
@@ -1465,39 +1805,43 @@ object Jpeg2000 {
     // resolution r bands per tile per component
     val codedTiles = tiles.map { case (tw, th, bands) =>
       (0 until comps).map { c =>
-        (0 to levels).map { r =>
+        (0 to levelsA(c)).map { r =>
           if (r == 0) {
-            val bw = dimAt(tw, levels); val bh = dimAt(th, levels)
-            Seq(codeBand(0, bw, bh, bands(c)(r).head))
+            val bw = dimAt(tw, levelsA(c)); val bh = dimAt(th, levelsA(c))
+            Seq(codeBand(c, 0, bw, bh, bands(c)(r).head))
           } else {
-            bandsOf(tw, th, levels, r).zip(bands(c)(r)).map {
-              case (b, arr) => codeBand(b.orient, b.w, b.h, arr)
+            bandsOf(tw, th, levelsA(c), r).zip(bands(c)(r)).map {
+              case (b, arr) => codeBand(c, b.orient, b.w, b.h, arr)
             }
           }
         }
       }
     }
-    def maxPlanesAt(r: Int, bi: Int): Int =
-      codedTiles.flatMap(coded =>
-        (0 until comps).map(c => coded(c)(r)(bi).maxPlanes)).max
+    // max planes per band position: across tiles, and across components
+    // too unless perComp (QCC then carries per-component exponents)
+    def maxPlanesAt(cSel: Int, r: Int, bi: Int): Int =
+      codedTiles.flatMap { coded =>
+        val cs = if (perComp) Seq(cSel) else 0 until comps
+        cs.filter(c => r <= levelsA(c)).map(c => coded(c)(r)(bi).maxPlanes)
+      }.foldLeft(0)(math.max)
     val guard =
       if (!irrev) 2
       else {
         var g = 2
-        for (r <- 0 to levels; bi <- 0 until (if (r == 0) 1 else 3))
-          g = math.max(g, maxPlanesAt(r, bi) + 1 - eps(r)(bi))
+        for (r <- 0 to maxNl; bi <- 0 until (if (r == 0) 1 else 3))
+          g = math.max(g, maxPlanesAt(0, r, bi) + 1 - eps(r)(bi))
         math.min(g, 7)
       }
-    // per band-position exponent so Mb = guard + exp - 1 >= maxPlanes,
-    // maxed across components (QCD is codestream-global)
-    val expAt =
+    // per band-position exponent so Mb = guard + exp - 1 >= maxPlanes
+    def expArr(c: Int): IndexedSeq[IndexedSeq[Int]] =
       if (irrev) eps
-      else (0 to levels).map { r =>
+      else (0 to levelsA(c)).map { r =>
         (0 until (if (r == 0) 1 else 3)).map { bi =>
-          math.max(1, maxPlanesAt(r, bi) + 1 - guard + 1) // +1 slack
+          math.max(1, maxPlanesAt(c, r, bi) + 1 - guard + 1) // +1 slack
         }
       }
-    def mbAt(r: Int, bi: Int): Int = guard + expAt(r)(bi) - 1
+    val expAt = (0 until comps).map(expArr)
+    def mbAt(c: Int, r: Int, bi: Int): Int = guard + expAt(c)(r)(bi) - 1
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
@@ -1508,81 +1852,125 @@ object Jpeg2000 {
     w32(xt.toLong); w32(yt.toLong); w32(0); w32(0)
     w16(comps)
     (0 until comps).foreach { _ => w8(depth - 1); w8(1); w8(1) }
+    def codSp(c: Int): Unit = {
+      w8(levelsA(c))
+      w8(cbExpA(c) - 2); w8(cbExpA(c) - 2)
+      w8(if (bypassA(c)) 1 else 0) // code-block style: bit 0 = bypass
+      w8(if (irrev) 0 else 1) // wavelet: 0 = 9/7, 1 = 5/3
+    }
     w16(0xff52); w16(12); w8(0) // COD, Scod=0
     w8(0) // LRCP
     w16(1) // layers
     w8(mct)
-    w8(levels)
-    w8(cbExp - 2); w8(cbExp - 2)
-    w8(0) // code-block style
-    w8(if (irrev) 0 else 1) // wavelet: 0 = 9/7, 1 = 5/3
-    val nb = 3 * levels + 1
-    if (irrev) {
-      w16(0xff5c); w16(3 + 2 * nb) // QCD, scalar expounded
-      w8((guard << 5) | 2)
-      def entry(r: Int, bi: Int): Unit = w16(expAt(r)(bi) << 11) // mu = 0
-      entry(0, 0)
-      (1 to levels).foreach(r => (0 until 3).foreach(entry(r, _)))
-    } else {
-      w16(0xff5c); w16(3 + nb) // QCD, no quantization
-      w8(guard << 5)
-      w8(expAt(0)(0) << 3)
-      (1 to levels).foreach(r => (0 until 3).foreach(bi =>
-        w8(expAt(r)(bi) << 3)))
-    }
-    // tile parts: emit each tile's packets first to learn its Psot
-    codedTiles.zipWithIndex.foreach { case (coded, tileIdx) =>
-    val body = new java.io.ByteArrayOutputStream()
-    for (r <- 0 to levels; c <- 0 until comps) {
-      val bw = new HdrBitWriter
-      bw.bit(1) // non-empty packet
-      val bodies = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-      coded(c)(r).zipWithIndex.foreach { case (band, bi) =>
-        val nbx = math.max((band.bw + cb - 1) / cb, 0)
-        val nby = math.max((band.bh + cb - 1) / cb, 0)
-        val incl = new TagTree(math.max(nbx, 1), math.max(nby, 1))
-        val zb = new TagTree(math.max(nbx, 1), math.max(nby, 1))
-        band.blocks.foreach { blk =>
-          val leaf = blk.by * math.max(nbx, 1) + blk.bx
-          incl.value(leaf) = if (blk.passes > 0) 0 else 1
-          zb.value(leaf) = math.max(mbAt(r, bi) - blk.planes, 0)
-        }
-        incl.buildUp(); zb.buildUp()
-        band.blocks.foreach { blk =>
-          incl.encodeLess(bw, blk.bx, blk.by, 1)
-          if (blk.passes > 0) {
-            zb.encodeValue(bw, blk.bx, blk.by)
-            val np = blk.passes
-            if (np == 1) bw.bit(0)
-            else if (np == 2) { bw.bit(1); bw.bit(0) }
-            else if (np <= 5) { bw.bits(3L, 2); bw.bits((np - 3).toLong, 2) }
-            else if (np <= 36) {
-              bw.bits(3L, 2); bw.bits(3L, 2); bw.bits((np - 6).toLong, 5)
-            } else {
-              bw.bits(3L, 2); bw.bits(3L, 2); bw.bits(31L, 5)
-              bw.bits((np - 37).toLong, 7)
-            }
-            var lblock = 3
-            val needed = math.max(1,
-              32 - Integer.numberOfLeadingZeros(
-                math.max(blk.bytes.length, 1)))
-            val base = 31 - Integer.numberOfLeadingZeros(np)
-            while (lblock + base < needed) { bw.bit(1); lblock += 1 }
-            bw.bit(0)
-            bw.bits(blk.bytes.length.toLong, lblock + base)
-            bodies += blk.bytes
-          }
+    codSp(0)
+    if (perComp) {
+      // COC for components whose coding parameters differ from comp 0
+      (1 until comps).foreach { c =>
+        if (levelsA(c) != levelsA(0) || cbExpA(c) != cbExpA(0) ||
+          bypassA(c) != bypassA(0)) {
+          w16(0xff53); w16(9) // Lcoc: Ccoc(1) + Scoc(1) + SPcoc(5)
+          w8(c); w8(0) // single-byte Ccoc (comps <= 4), no precincts
+          codSp(c)
         }
       }
-      body.write(bw.alignEnd())
-      bodies.foreach(b => body.write(b, 0, b.length))
     }
-    val bodyBytes = body.toByteArray
-    w16(0xff90); w16(10); w16(tileIdx) // SOT, tile index raster order
-    w32(12L + 2 + bodyBytes.length) // Psot: SOT..next SOT/EOC
-    w8(0); w8(1) // TPsot 0 of 1
-    w16(0xff93) // SOD
-    out.write(bodyBytes, 0, bodyBytes.length)
+    def quantBody(c: Int): Unit = {
+      val nb = 3 * levelsA(c) + 1
+      if (irrev) {
+        w8((guard << 5) | 2)
+        def entry(r: Int, bi: Int): Unit = w16(expAt(c)(r)(bi) << 11)
+        entry(0, 0)
+        (1 to levelsA(c)).foreach(r => (0 until 3).foreach(entry(r, _)))
+      } else {
+        w8(guard << 5)
+        w8(expAt(c)(0)(0) << 3)
+        (1 to levelsA(c)).foreach(r => (0 until 3).foreach(bi =>
+          w8(expAt(c)(r)(bi) << 3)))
+      }
+    }
+    val nb0 = 3 * levelsA(0) + 1
+    if (irrev) { w16(0xff5c); w16(3 + 2 * nb0) }
+    else { w16(0xff5c); w16(3 + nb0) }
+    quantBody(0)
+    if (perComp) (1 until comps).foreach { c =>
+      val nbC = 3 * levelsA(c) + 1
+      w16(0xff5d); w16(4 + nbC) // Lqcc: Cqcc(1) + Sqcc(1) + SPqcc(nbC)
+      w8(c)
+      quantBody(c)
+    }
+    // tile parts: emit each tile's packets, then split at packet
+    // boundaries into `tileParts` SOT..SOD parts
+    codedTiles.zipWithIndex.foreach { case (coded, tileIdx) =>
+      val packets = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      for (r <- 0 to maxNl; c <- 0 until comps; if r <= levelsA(c)) {
+        val cb = 1 << cbExpA(c)
+        val pkt = new java.io.ByteArrayOutputStream()
+        val bw = new HdrBitWriter
+        bw.bit(1) // non-empty packet
+        val bodies = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        coded(c)(r).zipWithIndex.foreach { case (band, bi) =>
+          val nbx = math.max((band.bw + cb - 1) / cb, 0)
+          val nby = math.max((band.bh + cb - 1) / cb, 0)
+          val incl = new TagTree(math.max(nbx, 1), math.max(nby, 1))
+          val zb = new TagTree(math.max(nbx, 1), math.max(nby, 1))
+          band.blocks.foreach { blk =>
+            val leaf = blk.by * math.max(nbx, 1) + blk.bx
+            incl.value(leaf) = if (blk.passes > 0) 0 else 1
+            zb.value(leaf) = math.max(mbAt(c, r, bi) - blk.planes, 0)
+          }
+          incl.buildUp(); zb.buildUp()
+          band.blocks.foreach { blk =>
+            incl.encodeLess(bw, blk.bx, blk.by, 1)
+            if (blk.passes > 0) {
+              zb.encodeValue(bw, blk.bx, blk.by)
+              val np = blk.passes
+              if (np == 1) bw.bit(0)
+              else if (np == 2) { bw.bit(1); bw.bit(0) }
+              else if (np <= 5) { bw.bits(3L, 2); bw.bits((np - 3).toLong, 2) }
+              else if (np <= 36) {
+                bw.bits(3L, 2); bw.bits(3L, 2); bw.bits((np - 6).toLong, 5)
+              } else {
+                bw.bits(3L, 2); bw.bits(3L, 2); bw.bits(31L, 5)
+                bw.bits((np - 37).toLong, 7)
+              }
+              // one lblock per block, sized for EVERY segment's length
+              var lblock = 3
+              blk.segs.foreach { case (bs, snp) =>
+                val needed = math.max(1,
+                  32 - Integer.numberOfLeadingZeros(
+                    math.max(bs.length, 1)))
+                val base = 31 - Integer.numberOfLeadingZeros(snp)
+                while (lblock + base < needed) lblock += 1
+              }
+              var sig = 3
+              while (sig < lblock) { bw.bit(1); sig += 1 }
+              bw.bit(0)
+              blk.segs.foreach { case (bs, snp) =>
+                val base = 31 - Integer.numberOfLeadingZeros(snp)
+                bw.bits(bs.length.toLong, lblock + base)
+                bodies += bs
+              }
+            }
+          }
+        }
+        pkt.write(bw.alignEnd())
+        bodies.foreach(b => pkt.write(b, 0, b.length))
+        packets += pkt.toByteArray
+      }
+      val nParts = math.max(1, math.min(tileParts, packets.length))
+      val cuts = (0 to nParts).map(k => k * packets.length / nParts)
+      (0 until nParts).foreach { k =>
+        val body = new java.io.ByteArrayOutputStream()
+        (cuts(k) until cuts(k + 1)).foreach { i =>
+          body.write(packets(i), 0, packets(i).length)
+        }
+        val bodyBytes = body.toByteArray
+        w16(0xff90); w16(10); w16(tileIdx) // SOT, tile index raster order
+        w32(12L + 2 + bodyBytes.length) // Psot: SOT..next SOT/EOC
+        w8(k); w8(nParts) // TPsot k of TNsot
+        w16(0xff93) // SOD
+        out.write(bodyBytes, 0, bodyBytes.length)
+      }
     } // codedTiles loop
     w16(0xffd9) // EOC
     out.toByteArray

@@ -5633,6 +5633,136 @@ object Extras {
              |FROM d JOIN tri USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin),
     ),
+    QueryDef(
+      "q206_jpx_advanced",
+      (s, dir) => {
+        // JPEG 2000 real-encoder forms (T.800 — what Kakadu/OpenJPEG
+        // output in scanned PDFs actually uses beyond the q200/q204
+        // baseline): per doc two pages. Page 1: grayscale on a ragged
+        // tile grid with MULTIPLE TILE-PARTS per tile (TPsot 0..n-1)
+        // and SELECTIVE ARITHMETIC BYPASS (raw SPP/MRP segments from
+        // the 5th bitplane, per-segment lengths in the packet header).
+        // Page 2: RGB with PER-COMPONENT coding via COC/QCC markers
+        // (decomposition levels 2/0/3, code-block exponents 3/5/4,
+        // bypass on the red component only). Lossless 5/3 keeps pixel
+        // counts closed forms; forms_ok asserts the codestream REALLY
+        // carries TPsot>0, COC, QCC and the bypass style bit (so the
+        // gate cannot silently degrade to the baseline form), and
+        // roundtrip_ok compares decoded planes to the source pattern
+        // (both hash-forced TRUE in the oracle).
+        import graft.functions.{Images, Jpeg2000, Pdf, PdfRender}
+        val mk = udf { (id: Long) =>
+          val w1 = (32 + id % 6).toInt; val h1 = (22 + id % 4).toInt
+          val tw = (13 + id % 3).toInt; val th = (9 + id % 2).toInt
+          val nParts = (2 + id % 2).toInt
+          val gray = Array.tabulate(w1 * h1) { i =>
+            if ((3 * (i % w1) + i / w1 + id) % 8 < 3) 0 else 255
+          }
+          val cs1 = Jpeg2000.encodeAdvanced(Array(gray), w1, h1, 8,
+            Array(2), Array(3), Array(true), tw, th, nParts)
+          val h2 = (12 + id % 4).toInt
+          val planes = Array(
+            Array.tabulate(18 * h2)(i => if (i % 18 < 9) 255 else 0),
+            Array.fill(18 * h2)(0),
+            Array.tabulate(18 * h2)(i => if (i % 18 < 9) 0 else 255))
+          val cs2 = Jpeg2000.encodeAdvanced(planes, 18, h2, 8,
+            Array(2, 0, 3), Array(3, 5, 4), Array(true, false, false))
+          // structural assertions on the emitted codestreams: TPsot>0
+          // tile-parts on page 1; COC+QCC+bypass-style on page 2
+          def hdrMarkers(cs: Array[Byte]): (Int, Int, Int) = {
+            def u16(i: Int) = ((cs(i) & 0xff) << 8) | (cs(i + 1) & 0xff)
+            var p = 2; var coc = 0; var qcc = 0; var styleOr = 0
+            while (u16(p) != 0xff90) {
+              u16(p) match {
+                case 0xff52 => styleOr |= cs(p + 12) & 0xff
+                case 0xff53 => coc += 1; styleOr |= cs(p + 8) & 0xff
+                case 0xff5d => qcc += 1
+                case _ => ()
+              }
+              p += 2 + u16(p + 2)
+            }
+            (coc, qcc, styleOr)
+          }
+          def sotParts(cs: Array[Byte]): (Int, Int) = {
+            var maxTp = 0; var n = 0
+            var i = 0
+            while (i < cs.length - 12) {
+              if ((cs(i) & 0xff) == 0xff && (cs(i + 1) & 0xff) == 0x90) {
+                maxTp = math.max(maxTp, cs(i + 10) & 0xff)
+                n += 1
+                val psot = ((cs(i + 6) & 0xffL) << 24) |
+                  ((cs(i + 7) & 0xffL) << 16) |
+                  ((cs(i + 8) & 0xffL) << 8) | (cs(i + 9) & 0xffL)
+                i += math.max(psot.toInt, 12)
+              } else i += 1
+            }
+            (maxTp, n)
+          }
+          val (maxTp, nSot) = sotParts(cs1)
+          val tilesN = ((w1 + tw - 1) / tw) * ((h1 + th - 1) / th)
+          val (coc, qcc, styleOr) = hdrMarkers(cs2)
+          val (_, _, style1) = hdrMarkers(cs1)
+          val formsOk = maxTp == nParts - 1 && nSot == tilesN * nParts &&
+            coc == 2 && qcc == 2 && (styleOr & 1) == 1 && (style1 & 1) == 1
+          val d1 = Jpeg2000.decode(cs1)
+          val d2 = Jpeg2000.decode(cs2)
+          val rtOk = d1.comps.head.sameElements(gray) &&
+            d2.comps.zip(planes).forall { case (g, wnt) => g.sameElements(wnt) }
+          val b = new Pdf.PdfBuilder
+          val i1 = b.addStream(
+            "/Type /XObject /Subtype /Image " +
+              s"/Width $w1 /Height $h1 /ColorSpace /DeviceGray " +
+              "/BitsPerComponent 8 /Filter /JPXDecode", cs1)
+          val i2 = b.addStream(
+            "/Type /XObject /Subtype /Image " +
+              s"/Width 18 /Height $h2 /ColorSpace /DeviceRGB " +
+              "/BitsPerComponent 8 /Filter /JPXDecode", cs2)
+          b.addPage(s"q $w1 0 0 $h1 0 0 cm /I Do Q", (w1, h1),
+            s"/XObject << /I $i1 0 R >>")
+          b.addPage(s"q 18 0 0 $h2 0 0 cm /I Do Q", (18, h2),
+            s"/XObject << /I $i2 0 R >>")
+          (b.build(), formsOk, rtOk)
+        }
+        val extracted = udf { (pdf: Array[Byte]) =>
+          Pdf.extractImages(pdf).count(_.format == "png")
+        }
+        T(s, dir, "documents")
+          .filter(col("doc_id") < 40)
+          .withColumn("built", mk(col("doc_id")))
+          .withColumn("pages", PdfRender.renderPages(col("built")("_1")))
+          .select(col("doc_id"),
+            Images.countColor(element_at(col("pages"), 1)("_4"), lit(0))
+              .as("p1_black"),
+            Images.countColor(element_at(col("pages"), 1)("_4"),
+              lit(0xffffff)).as("p1_white"),
+            Images.countColor(element_at(col("pages"), 2)("_4"),
+              lit(0xff0000)).as("p2_red"),
+            Images.countColor(element_at(col("pages"), 2)("_4"),
+              lit(0x0000ff)).as("p2_blue"),
+            col("built")("_2").as("forms_ok"),
+            col("built")("_3").as("roundtrip_ok"),
+            extracted(col("built")("_1")).cast("long").as("n_imgs"))
+          .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, (32 + doc_id % 6)::INT AS w1,
+             |    (22 + doc_id % 4)::INT AS h1, (12 + doc_id % 4)::INT AS h2
+             |  FROM documents WHERE doc_id < 40
+             |), p1 AS (
+             |  SELECT d.doc_id, COUNT(*)::BIGINT AS black
+             |  FROM d
+             |  JOIN generate_series(0, 37) AS x(x) ON x.x < d.w1
+             |  JOIN generate_series(0, 25) AS y(y) ON y.y < d.h1
+             |  WHERE (3 * x.x + y.y + d.doc_id) % 8 < 3
+             |  GROUP BY d.doc_id
+             |)
+             |SELECT d.doc_id, p1.black AS p1_black,
+             |  (d.w1 * d.h1 - p1.black)::BIGINT AS p1_white,
+             |  (9 * d.h2)::BIGINT AS p2_red, (9 * d.h2)::BIGINT AS p2_blue,
+             |  TRUE AS forms_ok, TRUE AS roundtrip_ok, 2::BIGINT AS n_imgs
+             |FROM d JOIN p1 USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin),
+    ),
   )
 
   private def try_cast_long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

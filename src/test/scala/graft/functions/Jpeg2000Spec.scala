@@ -336,4 +336,139 @@ class Jpeg2000Spec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- real-encoder tier: bypass / COC-QCC / multi-tile-parts ------
+
+  private def roundtripAdv(planes: Array[Array[Int]], w: Int, h: Int,
+      levels: Array[Int], cbExps: Array[Int], bypass: Array[Boolean],
+      tileW: Int, tileH: Int, tileParts: Int, rct: Boolean,
+      clue: String): Array[Byte] = {
+    val cs = Jpeg2000.encodeAdvanced(planes, w, h, 8, levels, cbExps,
+      bypass, tileW, tileH, tileParts, rct)
+    val img = Jpeg2000.decode(cs)
+    assert(img.width == w && img.height == h, clue)
+    planes.zip(img.comps).zipWithIndex.foreach { case ((want, got), c) =>
+      assert(got.sameElements(want), s"$clue comp $c")
+    }
+    cs
+  }
+
+  /** Count a marker by scanning the codestream byte-pairwise. Only
+    * safe for markers >= 0xFF90 (SOT/SOD/EOC): MQ stuffing keeps coded
+    * bytes after 0xFF at <= 0x8F, so lower marker codes CAN occur
+    * inside packet bodies — count those with countHeaderMarker.
+    */
+  private def countMarker(cs: Array[Byte], mk: Int): Int =
+    (0 until cs.length - 1).count(i =>
+      (cs(i) & 0xff) == 0xff && (cs(i + 1) & 0xff) == (mk & 0xff))
+
+  /** Count a marker by WALKING the main header (marker-length hops
+    * from SIZ to the first SOT) — correct for COC/QCC/COD/QCD. */
+  private def countHeaderMarker(cs: Array[Byte], mk: Int): Int = {
+    def u16(i: Int) = ((cs(i) & 0xff) << 8) | (cs(i + 1) & 0xff)
+    var p = 2
+    var n = 0
+    while (u16(p) != 0xff90) {
+      if (u16(p) == mk) n += 1
+      p += 2 + u16(p + 2)
+    }
+    n
+  }
+
+  test("T1 bypass: raw SPP/MRP segments round-trip, all bands") {
+    val rnd = new scala.util.Random(77)
+    for (band <- 0 to 3; trial <- 0 until 4) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(37)
+      // magnitudes up to ~2000 give ~11 planes, well past the 4-plane
+      // MQ prefix, so raw segments really run
+      val coeffs = Array.fill(w * h)(
+        if (rnd.nextInt(3) == 0) 0 else rnd.nextInt(4000) - 2000)
+      val (segs, planes, passes) =
+        Jpeg2000.t1EncodeSegs(coeffs, w, h, band, bypass = true)
+      if (!coeffs.forall(_ == 0)) {
+        if (planes > 4)
+          assert(segs.length > 1, s"bypass must split segments ($planes planes)")
+        val data = segs.map(_._1).foldLeft(Array.emptyByteArray)(_ ++ _)
+        val (mags, negs) = Jpeg2000.t1DecodeSegs(data, 0,
+          segs.map(_._1.length), w, h, band, planes, passes, bypass = true)
+        coeffs.zipWithIndex.foreach { case (want, i) =>
+          val got = if (negs(i)) -mags(i) else mags(i)
+          assert(got == want, s"band $band trial $trial at $i")
+        }
+      }
+    }
+  }
+
+  test("bypass codestream: lossless identity, cb-style bit set") {
+    val rnd = new scala.util.Random(78)
+    val w = 37; val h = 29
+    val plane = Array.fill(w * h)(rnd.nextInt(256))
+    val cs = roundtripAdv(Array(plane), w, h, Array(3), Array(4),
+      Array(true), 0, 0, 1, rct = false, "bypass gray")
+    // SPcod code-block style byte (COD at SIZ end) must carry bit 0
+    val codAt = (0 until cs.length - 1).indexWhere(i =>
+      (cs(i) & 0xff) == 0xff && (cs(i + 1) & 0xff) == 0x52)
+    assert((cs(codAt + 12) & 0xff) == 1, "bypass bit in COD SPcod")
+  }
+
+  test("COC/QCC: per-component levels and code-block sizes round-trip") {
+    val rnd = new scala.util.Random(79)
+    val w = 41; val h = 33
+    val planes = Array.fill(3)(Array.fill(w * h)(rnd.nextInt(256)))
+    val cs = roundtripAdv(planes, w, h, Array(2, 0, 4), Array(4, 6, 5),
+      Array(false, false, true), 0, 0, 1, rct = false, "per-comp")
+    assert(countHeaderMarker(cs, 0xff53) == 2, "COC for comps 1 and 2")
+    assert(countHeaderMarker(cs, 0xff5d) == 2, "QCC for comps 1 and 2")
+  }
+
+  test("multi-tile-parts: TPsot > 0 round-trips, SOT count checks out") {
+    val rnd = new scala.util.Random(80)
+    val w = 50; val h = 38
+    val plane = Array.fill(w * h)(rnd.nextInt(256))
+    val cs = roundtripAdv(Array(plane), w, h, Array(2), Array(4),
+      Array(false), 23, 17, 3, rct = false, "tile-parts")
+    // 3x3 tiles, up to 3 parts each (levels 2 -> 3 packets per tile)
+    val tiles = 3 * 3
+    assert(countMarker(cs, 0x90) == tiles * 3, "3 tile-parts per tile")
+  }
+
+  test("kitchen sink: tiles + parts + per-comp + bypass + RCT") {
+    val rnd = new scala.util.Random(81)
+    val w = 61; val h = 47
+    val planes = Array.fill(3)(Array.fill(w * h)(rnd.nextInt(256)))
+    val cs = roundtripAdv(planes, w, h, Array(3, 1, 2), Array(4, 5, 3),
+      Array(true, false, true), 29, 21, 2, rct = true, "kitchen sink")
+    assert(countHeaderMarker(cs, 0xff53) == 2 &&
+      countHeaderMarker(cs, 0xff5d) == 2)
+    assert(countMarker(cs, 0x90) > 6, "multiple tile-parts emitted")
+  }
+
+  test("corrupt advanced codestreams fail soft: no crash, no OOM") {
+    val rnd = new scala.util.Random(82)
+    val w = 40; val h = 30
+    val planes = Array.fill(3)(Array.fill(w * h)(rnd.nextInt(256)))
+    val cs = Jpeg2000.encodeAdvanced(planes, w, h, 8,
+      Array(3, 1, 2), Array(4, 5, 3), Array(true, false, true),
+      19, 13, 2, useRct = true)
+    (0 until 400).foreach { _ =>
+      val mut = cs.clone()
+      val at = rnd.nextInt(mut.length)
+      mut(at) = (mut(at) ^ (1 << rnd.nextInt(8))).toByte
+      try {
+        val img = Jpeg2000.decode(mut)
+        assert(img.width.toLong * img.height <= (1L << 26))
+      } catch {
+        case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
+          ()
+      }
+    }
+    (0 to cs.length by 11).foreach { cut =>
+      try Jpeg2000.decode(cs.take(cut))
+      catch {
+        case _: IllegalArgumentException | _: IndexOutOfBoundsException =>
+          ()
+      }
+    }
+  }
 }
