@@ -65,6 +65,89 @@ object QueryUtil {
     hookInstalled
     toDelete.add(p)
   }
+
+  /** Stage a gate fixture frame as `nFiles` mtime-ordered single-file
+    * parquet drops in ONE write job. The previous per-gate pattern ran one
+    * `filter(...).coalesce(1).write` job per slice, re-executing the whole
+    * staging subplan (scan + join/window + exprs) `nFiles` times — measured
+    * 1.7-3.8 s per gate vs 0.5-1.1 s for this single partitionBy write
+    * (r15 Scratch capture). `fileIdx` must evaluate to an int in
+    * [0, nFiles); a slice with no rows gets an empty single-file parquet
+    * (schema-only), exactly what the per-slice writes produced, so the
+    * replay's micro-batch structure is unchanged.
+    */
+  def stageStreamFiles(df: org.apache.spark.sql.DataFrame,
+      fileIdx: org.apache.spark.sql.Column, nFiles: Int, prefix: String,
+      mtimeBase: Long): java.nio.file.Path = {
+    import org.apache.spark.sql.functions.col
+    val stage = tempDir(prefix)
+    val tmp = tempDir(prefix + "_w")
+    val withK = df.withColumn("_k", fileIdx.cast("int"))
+    withK
+      .repartition(col("_k")) // all rows of one k in one task → one file per k
+      .write.mode("overwrite").partitionBy("_k").parquet(tmp.toString)
+    // empty slices produce no _k=<k> dir; one empty single-file write is
+    // copied into each hole (bounded: only fires at small SFs where a
+    // gate's id range overruns the corpus)
+    lazy val emptySrc = {
+      val e = tempDir(prefix + "_e")
+      withK.drop("_k").limit(0).coalesce(1)
+        .write.mode("overwrite").parquet(e.toString)
+      new java.io.File(e.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get.toPath
+    }
+    (0 until nFiles).foreach { k =>
+      val dir = new java.io.File(tmp.resolve(s"_k=$k").toString)
+      val dst = stage.resolve(f"b$k%02d.parquet")
+      if (dir.isDirectory)
+        java.nio.file.Files.move(
+          dir.listFiles().find(_.getName.endsWith(".parquet")).get.toPath, dst)
+      else
+        java.nio.file.Files.copy(emptySrc, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeBase + k * 60_000L))
+    }
+    stage
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` set to the gate-stream
+    * value (conf `graft.gate.streamPartitions`, default 4), restoring the
+    * previous value after. A streaming query fixes its STATE-STORE
+    * partition count from this conf at first start; the bench session's 32
+    * local-mode partitions mean every micro-batch of every gate stream
+    * commits 32 state-store partitions (plus 32-task stateful stages) for
+    * fixtures of <100 rows and ≤256 state keys — measured 25 s/stream at
+    * 32 partitions vs 5 s at 4 on q184's shape (r15 Scratch capture).
+    * State-partition count is a state-size/key-cardinality decision, not a
+    * core-count one: production deployments of the same operators size it
+    * to their key space via the same conf at their own stream start; the
+    * gates size it to their fixture. Same set/restore discipline as
+    * q203's provider override.
+    */
+  def withGateStreamPartitions[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val n = s.conf.getOption("graft.gate.streamPartitions").getOrElse("4")
+    val old = s.conf.getOption(key)
+    s.conf.set(key, n)
+    try body finally old.fold(s.conf.unset(key))(s.conf.set(key, _))
+  }
+
+  /** Run independent thunks concurrently and return their results in
+    * order (guide §2.6: Spark's scheduler overlaps jobs submitted from
+    * several threads — a streaming gate's independent passes otherwise
+    * serialize their fixed micro-batch machinery; measured 17.2 s → 5.5 s
+    * for four q184-shaped streams, r15 Scratch capture).
+    */
+  def inParallel[A](bodies: Seq[() => A]): Seq[A] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(bodies.length)
+    try {
+      val futs = bodies.map(b =>
+        pool.submit(new java.util.concurrent.Callable[A] { def call(): A = b() }))
+      futs.map(f =>
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+    } finally pool.shutdown()
+  }
 }
 
 /** Loaders for the driver-provided parquet corpus (TESTDATA.md). */

@@ -3470,34 +3470,27 @@ object Extras {
         // the persisted state store, which a single-batch replay would
         // never exercise. File order = doc_id order (the oracle's
         // processing-order assumption) via explicit modification times.
-        val stage = graft.QueryUtil.tempDir("q184_in")
-        (0 until 6).foreach { k =>
-          val tmp = graft.QueryUtil
-            .tempDir(s"q184_b$k").toString
-          staged.filter(col("doc_id") >= k * 10 && col("doc_id") < (k + 1) * 10)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = stage.resolve(f"b$k%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime
-              .fromMillis(1_000_000_000_000L + k * 60_000L))
-        }
-        val stream = s.readStream
-          .schema(s.read.parquet(stage.toString).schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(stage.toString)
-        val verdicts = graft.streaming.Streaming
-          .nearDupStream(stream, "doc_id", "text", maxHamming = 0)
+        // Staged in ONE partitionBy job; stream runs under the gate
+        // state-partition override (r15, see QueryUtil for both).
+        val stage = graft.QueryUtil.stageStreamFiles(staged,
+          (col("doc_id") / 10).cast("int"), 6, "q184_in",
+          1_000_000_000_000L)
         val qname = "q184_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val ck = graft.QueryUtil.tempDir("q184_ck").toString
-        val sq = verdicts.toDF().writeStream.format("memory")
-          .queryName(qname).outputMode("append")
-          .option("checkpointLocation", ck)
-          .trigger(Trigger.AvailableNow()).start()
-        sq.awaitTermination()
+        graft.QueryUtil.withGateStreamPartitions(s) {
+          val stream = s.readStream
+            .schema(s.read.parquet(stage.toString).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage.toString)
+          val verdicts = graft.streaming.Streaming
+            .nearDupStream(stream, "doc_id", "text", maxHamming = 0)
+          val ck = graft.QueryUtil.tempDir("q184_ck").toString
+          val sq = verdicts.toDF().writeStream.format("memory")
+            .queryName(qname).outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow()).start()
+          sq.awaitTermination()
+        }
         s.table(qname)
           .select(col("doc_id"), col("simhash").as("sig"),
             (col("dup_of") =!= -1L).as("is_dup"), col("dup_of"))
@@ -3562,21 +3555,23 @@ object Extras {
         val stage = graft.QueryUtil.tempDir("q185_in").toString
         docs.where(col("doc_id") % 7 =!= 0).select("doc_id", "text")
           .coalesce(1).write.mode("overwrite").parquet(stage)
-        val stream = s.readStream
-          .schema(s.read.parquet(stage).schema).parquet(stage)
-        val hits = stream
-          .select(col("doc_id"), explode(TextFunctions.wordNgrams(
-            TextFunctions.tokens(lower(col("text"))), 13)).as("g"))
-          .join(broadcast(benchGrams), "g")
-          .groupBy(col("doc_id"))
-          .agg(size(collect_set(col("g"))).cast("long").as("n_contaminated"))
         val qname = "q185_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val ck = graft.QueryUtil.tempDir("q185_ck").toString
-        val sq = hits.writeStream.format("memory").queryName(qname)
-          .outputMode("complete").option("checkpointLocation", ck)
-          .trigger(Trigger.AvailableNow()).start()
-        sq.awaitTermination()
+        graft.QueryUtil.withGateStreamPartitions(s) {
+          val stream = s.readStream
+            .schema(s.read.parquet(stage).schema).parquet(stage)
+          val hits = stream
+            .select(col("doc_id"), explode(TextFunctions.wordNgrams(
+              TextFunctions.tokens(lower(col("text"))), 13)).as("g"))
+            .join(broadcast(benchGrams), "g")
+            .groupBy(col("doc_id"))
+            .agg(size(collect_set(col("g"))).cast("long").as("n_contaminated"))
+          val ck = graft.QueryUtil.tempDir("q185_ck").toString
+          val sq = hits.writeStream.format("memory").queryName(qname)
+            .outputMode("complete").option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow()).start()
+          sq.awaitTermination()
+        }
         s.table(qname)
           .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
       },
@@ -3616,36 +3611,29 @@ object Extras {
             when(col("doc_id").between(40, 49),
               (col("doc_id") - 40) * 30).otherwise(col("doc_id") * 30)))
           .select(col("doc_id"), col("ts"))
-        val stage = graft.QueryUtil.tempDir("q186_in")
-        val fileDocs = Seq(0L -> 20L, 20L -> 40L, 40L -> 50L, 50L -> 60L)
-        fileDocs.zipWithIndex.foreach { case ((lo, hi), k) =>
-          val tmp = graft.QueryUtil
-            .tempDir(s"q186_b$k").toString
-          base.filter(col("doc_id") >= lo && col("doc_id") < hi)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = stage.resolve(f"b$k%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime
-              .fromMillis(1_000_000_000_000L + k * 60_000L))
-        }
-        val stream = s.readStream
-          .schema(s.read.parquet(stage.toString).schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(stage.toString)
-        val agg = stream
-          .withWatermark("ts", "60 seconds")
-          .groupBy(window(col("ts"), "120 seconds"))
-          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_doc"))
+        // slices (0-20)(20-40)(40-50)(50-60) → one partitionBy staging job
+        val fileIdx = when(col("doc_id") < 20, 0)
+          .when(col("doc_id") < 40, 1)
+          .when(col("doc_id") < 50, 2).otherwise(3)
+        val stage = graft.QueryUtil.stageStreamFiles(base, fileIdx, 4,
+          "q186_in", 1_000_000_000_000L)
         val qname = "q186_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val ck = graft.QueryUtil.tempDir("q186_ck").toString
-        val sq = agg.writeStream.format("memory").queryName(qname)
-          .outputMode("append").option("checkpointLocation", ck)
-          .trigger(Trigger.AvailableNow()).start()
-        sq.awaitTermination()
+        graft.QueryUtil.withGateStreamPartitions(s) {
+          val stream = s.readStream
+            .schema(s.read.parquet(stage.toString).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage.toString)
+          val agg = stream
+            .withWatermark("ts", "60 seconds")
+            .groupBy(window(col("ts"), "120 seconds"))
+            .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_doc"))
+          val ck = graft.QueryUtil.tempDir("q186_ck").toString
+          val sq = agg.writeStream.format("memory").queryName(qname)
+            .outputMode("append").option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow()).start()
+          sq.awaitTermination()
+        }
         s.table(qname)
           .select(unix_timestamp(col("window.start")).as("w_start"),
             col("n"), col("sum_doc"))
@@ -3705,36 +3693,32 @@ object Extras {
         // no-partition window is construction-time, oracle-sized)
         val rn = row_number().over(Window.orderBy(col("ts"), col("user_id")))
         val sliced = ev.withColumn("rn", rn)
-        val stage = graft.QueryUtil.tempDir("q187_in")
-        (0 until 4).foreach { k =>
-          val lo = k * n / 4
-          val hi = (k + 1) * n / 4
-          val tmp = graft.QueryUtil
-            .tempDir(s"q187_b$k").toString
-          sliced.filter(col("rn") > lo && col("rn") <= hi)
-            .drop("rn").coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = stage.resolve(f"b$k%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime
-              .fromMillis(1_000_000_000_000L + k * 60_000L))
-        }
-        val stream = s.readStream
-          .schema(s.read.parquet(stage.toString).schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(stage.toString)
-        val sessions = graft.streaming.Streaming
-          .sessionizeStream(stream, 30L * 60L * 1000L, "30 minutes")
+        // same quartile boundaries as the old per-slice filters
+        // (rn in (k*n/4, (k+1)*n/4], Long division) as one staging job
+        val fileIdx = when(col("rn") <= n / 4, 0)
+          .when(col("rn") <= 2 * n / 4, 1)
+          .when(col("rn") <= 3 * n / 4, 2).otherwise(3)
+        // _k is computed from rn BEFORE rn is dropped; the helper's
+        // partitionBy("_k") keeps it out of the staged data files
+        val stage = graft.QueryUtil.stageStreamFiles(
+          sliced.withColumn("_k", fileIdx).drop("rn"), col("_k"), 4,
+          "q187_in", 1_000_000_000_000L)
         val qname = "q187_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val ck = graft.QueryUtil.tempDir("q187_ck").toString
-        val sq = sessions.toDF().writeStream.format("memory")
-          .queryName(qname).outputMode("append")
-          .option("checkpointLocation", ck)
-          .trigger(Trigger.AvailableNow()).start()
-        sq.awaitTermination()
+        graft.QueryUtil.withGateStreamPartitions(s) {
+          val stream = s.readStream
+            .schema(s.read.parquet(stage.toString).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage.toString)
+          val sessions = graft.streaming.Streaming
+            .sessionizeStream(stream, 30L * 60L * 1000L, "30 minutes")
+          val ck = graft.QueryUtil.tempDir("q187_ck").toString
+          val sq = sessions.toDF().writeStream.format("memory")
+            .queryName(qname).outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow()).start()
+          sq.awaitTermination()
+        }
         s.table(qname)
           .select(col("user_id"),
             col("session_start").cast("timestamp_ntz").as("session_start"),
@@ -4053,34 +4037,24 @@ object Extras {
         val base = T(s, dir, "documents")
           .filter(col("doc_id") < 1200)
           .select(col("doc_id"), col("lang"))
-        val stage = graft.QueryUtil.tempDir("q191_in")
-        (0 until 4).foreach { k =>
-          val tmp = graft.QueryUtil
-            .tempDir(s"q191_b$k").toString
-          base.filter(col("doc_id") >= k * 300 &&
-              col("doc_id") < (k + 1) * 300)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = stage.resolve(f"b$k%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime
-              .fromMillis(1_500_000_000_000L + k * 60_000L))
-        }
-        val stream = s.readStream
-          .schema(s.read.parquet(stage.toString).schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(stage.toString)
-        val regs = Hll.registers(stream, Seq("lang"), col("doc_id"))
+        val stage = graft.QueryUtil.stageStreamFiles(base,
+          (col("doc_id") / 300).cast("int"), 4, "q191_in",
+          1_500_000_000_000L)
         val qname = "q191_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val ck = graft.QueryUtil.tempDir("q191_ck").toString
-        val sq = regs.writeStream.format("memory")
-          .queryName(qname).outputMode("complete")
-          .option("checkpointLocation", ck)
-          .trigger(Trigger.AvailableNow()).start()
-        sq.awaitTermination()
+        graft.QueryUtil.withGateStreamPartitions(s) {
+          val stream = s.readStream
+            .schema(s.read.parquet(stage.toString).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage.toString)
+          val regs = Hll.registers(stream, Seq("lang"), col("doc_id"))
+          val ck = graft.QueryUtil.tempDir("q191_ck").toString
+          val sq = regs.writeStream.format("memory")
+            .queryName(qname).outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow()).start()
+          sq.awaitTermination()
+        }
         val exact = base.groupBy("lang")
           .agg(countDistinct("doc_id").cast("long").as("exact_distinct"))
         Hll.estimate(s.table(qname), Seq("lang"))
@@ -4588,46 +4562,38 @@ object Extras {
             when(col("doc_id").between(40, 49),
               (col("doc_id") - 40) * 30).otherwise(col("doc_id") * 30)))
           .select(col("doc_id"), col("ts"))
-        val stage = graft.QueryUtil.tempDir("q196_in")
-        val fileDocs = Seq(0L -> 20L, 20L -> 40L, 40L -> 50L, 50L -> 60L)
-        fileDocs.zipWithIndex.foreach { case ((lo, hi), k) =>
-          val tmp = graft.QueryUtil
-            .tempDir(s"q196_b$k").toString
-          base.filter(col("doc_id") >= lo && col("doc_id") < hi)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = stage.resolve(f"b$k%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime
-              .fromMillis(1_100_000_000_000L + k * 60_000L))
-        }
-        val stream = s.readStream
-          .schema(s.read.parquet(stage.toString).schema)
-          .option("maxFilesPerTrigger", "1")
-          .parquet(stage.toString)
-        val (bucket, rho) = Hll.hashCols(col("doc_id"))
-        val regs = stream
-          .withWatermark("ts", "60 seconds")
-          .select(col("ts"), bucket.as("bucket"), rho.as("rho"))
-          .groupBy(window(col("ts"), "120 seconds"), col("bucket"))
-          .agg(max("rho").as("m"))
-          .select(unix_timestamp(col("window.start")).as("w_start"),
-            col("bucket"), col("m"))
+        val fileIdx = when(col("doc_id") < 20, 0)
+          .when(col("doc_id") < 40, 1)
+          .when(col("doc_id") < 50, 2).otherwise(3)
+        val stage = graft.QueryUtil.stageStreamFiles(base, fileIdx, 4,
+          "q196_in", 1_100_000_000_000L)
         val emitted =
           scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int, Int)]
-        val ck = graft.QueryUtil.tempDir("q196_ck").toString
-        val sq = regs.writeStream.outputMode("update")
-          .option("checkpointLocation", ck)
-          .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-            val rows = b.collect().map(r =>
-              (id, r.getLong(0), r.getInt(1), r.getInt(2)))
-            emitted.synchronized { emitted ++= rows }
-            ()
-          }.start()
-        sq.awaitTermination()
+        graft.QueryUtil.withGateStreamPartitions(s) {
+          val stream = s.readStream
+            .schema(s.read.parquet(stage.toString).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stage.toString)
+          val (bucket, rho) = Hll.hashCols(col("doc_id"))
+          val regs = stream
+            .withWatermark("ts", "60 seconds")
+            .select(col("ts"), bucket.as("bucket"), rho.as("rho"))
+            .groupBy(window(col("ts"), "120 seconds"), col("bucket"))
+            .agg(max("rho").as("m"))
+            .select(unix_timestamp(col("window.start")).as("w_start"),
+              col("bucket"), col("m"))
+          val ck = graft.QueryUtil.tempDir("q196_ck").toString
+          val sq = regs.writeStream.outputMode("update")
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              val rows = b.collect().map(r =>
+                (id, r.getLong(0), r.getInt(1), r.getInt(2)))
+              emitted.synchronized { emitted ++= rows }
+              ()
+            }.start()
+          sq.awaitTermination()
+        }
         val all = emitted.toSeq
         val lateDropped =
           !all.exists(e => e._2 <= 1000000200L && e._1 >= 1)
@@ -4719,40 +4685,35 @@ object Extras {
               |         slice(toks, p * 4 + 1,
               |               greatest(size(toks) - p * 4, 0)))
               |END, ' ')""".stripMargin).as("text"))
-        val stage = graft.QueryUtil.tempDir("q197_in")
-        (0 until 4).foreach { k =>
-          val tmp = graft.QueryUtil
-            .tempDir(s"q197_b$k").toString
-          staged.filter(col("doc_id") >= k * 20 &&
-              col("doc_id") < (k + 1) * 20)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = stage.resolve(f"b$k%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime
-              .fromMillis(1_200_000_000_000L + k * 60_000L))
-        }
-        val passes = Seq(0, 4, 8, 12).map { r =>
-          val stream = s.readStream
-            .schema(s.read.parquet(stage.toString).schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(stage.toString)
-          val verdicts = graft.streaming.Streaming.nearDupStream(
-            stream, "doc_id", "text", maxHamming = 3,
-            bucketFrom = r, bucketLen = 4)
-          val qname = s"q197_mem_${r}_" +
-            java.util.UUID.randomUUID().toString.replace("-", "")
-          val ck = graft.QueryUtil
-            .tempDir(s"q197_ck$r").toString
-          val sq = verdicts.toDF().writeStream.format("memory")
-            .queryName(qname).outputMode("append")
-            .option("checkpointLocation", ck)
-            .trigger(Trigger.AvailableNow()).start()
-          sq.awaitTermination()
-          s.table(qname).select(col("doc_id"), col("simhash"),
-            col("dup_of"))
+        val stage = graft.QueryUtil.stageStreamFiles(staged,
+          (col("doc_id") / 20).cast("int"), 4, "q197_in",
+          1_200_000_000_000L)
+        // the four band passes are INDEPENDENT streams (own state store,
+        // own checkpoint) combined only afterwards — run them overlapped
+        // from a thread pool (guide §2.6) instead of serializing four
+        // rounds of fixed micro-batch machinery
+        val streamSchema = s.read.parquet(stage.toString).schema
+        val passes = graft.QueryUtil.withGateStreamPartitions(s) {
+          graft.QueryUtil.inParallel(Seq(0, 4, 8, 12).map { r => () =>
+            val stream = s.readStream
+              .schema(streamSchema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(stage.toString)
+            val verdicts = graft.streaming.Streaming.nearDupStream(
+              stream, "doc_id", "text", maxHamming = 3,
+              bucketFrom = r, bucketLen = 4)
+            val qname = s"q197_mem_${r}_" +
+              java.util.UUID.randomUUID().toString.replace("-", "")
+            val ck = graft.QueryUtil
+              .tempDir(s"q197_ck$r").toString
+            val sq = verdicts.toDF().writeStream.format("memory")
+              .queryName(qname).outputMode("append")
+              .option("checkpointLocation", ck)
+              .trigger(Trigger.AvailableNow()).start()
+            sq.awaitTermination()
+            s.table(qname).select(col("doc_id"), col("simhash"),
+              col("dup_of"))
+          })
         }
         passes.reduce(_.union(_))
           .groupBy("doc_id")
@@ -4955,20 +4916,17 @@ object Extras {
           .select(col("a.doc_id").as("doc_id"),
             when(col("a.doc_id") % 3 === 2 && col("b.norm").isNotNull,
               col("b.norm")).otherwise(col("a.norm")).as("text"))
+        // all six drop files are produced by ONE partitionBy staging job
+        // into a side dir; each incarnation then sees exactly the files
+        // MOVED into the live dir before it starts (mtimes preserved, so
+        // replay order is unchanged)
+        val side = graft.QueryUtil.stageStreamFiles(staged,
+          (col("doc_id") / 10).cast("int"), 6, "q199_side",
+          1_300_000_000_000L)
         val stage = graft.QueryUtil.tempDir("q199_in")
         def addFile(k: Int): Unit = {
-          val tmp = graft.QueryUtil
-            .tempDir(s"q199_b$k").toString
-          staged.filter(col("doc_id") >= k * 10 &&
-              col("doc_id") < (k + 1) * 10)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = stage.resolve(f"b$k%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime
-              .fromMillis(1_300_000_000_000L + k * 60_000L))
+          val name = f"b$k%02d.parquet"
+          java.nio.file.Files.move(side.resolve(name), stage.resolve(name))
         }
         val schema = staged.schema
         val ck = graft.QueryUtil.tempDir("q199_ck").toString
@@ -4986,25 +4944,32 @@ object Extras {
             .trigger(Trigger.AvailableNow()).start()
           sq.awaitTermination()
         }
-        (0 until 2).foreach(addFile) // docs 0-19 visible to run 1
-        runOnce() // incarnation 1: commits offsets + state, stops
-        (2 until 6).foreach(addFile) // docs 20-59 land while "down"
-        runOnce() // incarnation 2: resumes from the checkpoint
-        val restarted = s.read.parquet(outDir)
-          .select(col("doc_id"), col("simhash"), col("dup_of"))
-        // uninterrupted control: fresh checkpoint, all files from go
-        val ck2 = graft.QueryUtil.tempDir("q199_ck2")
-          .toString
         val qname = "q199_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val stream2 = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-        val sq2 = graft.streaming.Streaming
-          .nearDupStream(stream2, "doc_id", "text", maxHamming = 0)
-          .toDF().writeStream.format("memory").queryName(qname)
-          .outputMode("append").option("checkpointLocation", ck2)
-          .trigger(Trigger.AvailableNow()).start()
-        sq2.awaitTermination()
+        graft.QueryUtil.withGateStreamPartitions(s) {
+          (0 until 2).foreach(addFile) // docs 0-19 visible to run 1
+          runOnce() // incarnation 1: commits offsets + state, stops
+          (2 until 6).foreach(addFile) // docs 20-59 land while "down"
+          // incarnation 2 (resumes from the checkpoint) and the
+          // uninterrupted control (fresh checkpoint, all files from go)
+          // are independent streams — overlapped (guide §2.6)
+          graft.QueryUtil.inParallel(Seq(
+            () => runOnce(),
+            () => {
+              val ck2 = graft.QueryUtil.tempDir("q199_ck2")
+                .toString
+              val stream2 = s.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+              val sq2 = graft.streaming.Streaming
+                .nearDupStream(stream2, "doc_id", "text", maxHamming = 0)
+                .toDF().writeStream.format("memory").queryName(qname)
+                .outputMode("append").option("checkpointLocation", ck2)
+                .trigger(Trigger.AvailableNow()).start()
+              sq2.awaitTermination()
+            }))
+        }
+        val restarted = s.read.parquet(outDir)
+          .select(col("doc_id"), col("simhash"), col("dup_of"))
         val control = s.table(qname)
           .select(col("doc_id"), col("simhash"), col("dup_of"))
         val equal = restarted.count() == 60 &&
@@ -5357,32 +5322,35 @@ object Extras {
           .select(col("a.doc_id").as("doc_id"),
             when(col("a.doc_id") % 4 === 1 && col("b.norm").isNotNull,
               col("b.norm")).otherwise(col("a.norm")).as("text"))
+        // all five drop files from ONE partitionBy staging job into a side
+        // dir, moved into the live dir per incarnation (mtimes preserved)
+        val side = graft.QueryUtil.stageStreamFiles(staged,
+          (col("doc_id") / 10).cast("int"), 5, "q203_side",
+          1_400_000_000_000L)
         val stage = graft.QueryUtil.tempDir("q203_in")
         def addFile(k: Int): Unit = {
-          val tmp = graft.QueryUtil
-            .tempDir(s"q203_b$k").toString
-          staged.filter(col("doc_id") >= k * 10 &&
-              col("doc_id") < (k + 1) * 10)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = stage.resolve(f"b$k%02d.parquet")
-          java.nio.file.Files.move(part.toPath, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime
-              .fromMillis(1_400_000_000_000L + k * 60_000L))
+          val name = f"b$k%02d.parquet"
+          java.nio.file.Files.move(side.resolve(name), stage.resolve(name))
         }
         val schema = staged.schema
         val ck = graft.QueryUtil.tempDir("q203_ck").toString
         val outDir =
           graft.QueryUtil.tempDir("q203_out").toString
-        val provKey = "spark.sql.streaming.stateStore.providerClass"
-        val clogKey = "spark.sql.streaming.stateStore.rocksdb." +
-          "changelogCheckpointing.enabled"
-        val oldProv = s.conf.getOption(provKey)
-        val oldClog = s.conf.getOption(clogKey)
+        // the RocksDB incarnations run on a CHILD session carrying the
+        // provider + changelog + gate state-partition confs — session
+        // confs are session-scoped, so the shared session is never
+        // mutated and the HDFS-provider control can run CONCURRENTLY
+        // with incarnation 2 (they are independent streams)
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution." +
+            "streaming.state.RocksDBStateStoreProvider")
+        s2.conf.set("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
+        s2.conf.set("spark.sql.shuffle.partitions",
+          s.conf.getOption("graft.gate.streamPartitions").getOrElse("4"))
         def runOnce(): Unit = {
-          val stream = s.readStream.schema(schema)
+          val stream = s2.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(stage.toString)
           val sq = graft.streaming.Streaming
             .nearDupStream(stream, "doc_id", "text", maxHamming = 0)
@@ -5393,35 +5361,30 @@ object Extras {
             .trigger(Trigger.AvailableNow()).start()
           sq.awaitTermination()
         }
-        val restarted =
-          try {
-            s.conf.set(provKey, "org.apache.spark.sql.execution." +
-              "streaming.state.RocksDBStateStoreProvider")
-            s.conf.set(clogKey, "true")
-            (0 until 2).foreach(addFile) // docs 0-19 visible to run 1
-            runOnce() // incarnation 1 under RocksDB, stops
-            (2 until 5).foreach(addFile) // docs 20-49 land while "down"
-            runOnce() // incarnation 2: recovers RocksDB off the changelog
-            s.read.parquet(outDir)
-              .select(col("doc_id"), col("simhash"), col("dup_of"))
-          } finally {
-            oldProv.fold(s.conf.unset(provKey))(s.conf.set(provKey, _))
-            oldClog.fold(s.conf.unset(clogKey))(s.conf.set(clogKey, _))
-          }
+        (0 until 2).foreach(addFile) // docs 0-19 visible to run 1
+        runOnce() // incarnation 1 under RocksDB, stops
+        (2 until 5).foreach(addFile) // docs 20-49 land while "down"
         // control: DEFAULT (HDFS-backed) provider, fresh checkpoint,
-        // all files from go — backend parity, not just recovery
+        // all files from go — backend parity, not just recovery;
+        // independent of incarnation 2, so the two run overlapped
         val qname = "q203_mem_" +
           java.util.UUID.randomUUID().toString.replace("-", "")
-        val ck2 = graft.QueryUtil.tempDir("q203_ck2")
-          .toString
-        val stream2 = s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-        val sq2 = graft.streaming.Streaming
-          .nearDupStream(stream2, "doc_id", "text", maxHamming = 0)
-          .toDF().writeStream.format("memory").queryName(qname)
-          .outputMode("append").option("checkpointLocation", ck2)
-          .trigger(Trigger.AvailableNow()).start()
-        sq2.awaitTermination()
+        graft.QueryUtil.inParallel(Seq(
+          () => runOnce(), // incarnation 2: recovers RocksDB off the changelog
+          () => graft.QueryUtil.withGateStreamPartitions(s) {
+            val ck2 = graft.QueryUtil.tempDir("q203_ck2")
+              .toString
+            val stream2 = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+            val sq2 = graft.streaming.Streaming
+              .nearDupStream(stream2, "doc_id", "text", maxHamming = 0)
+              .toDF().writeStream.format("memory").queryName(qname)
+              .outputMode("append").option("checkpointLocation", ck2)
+              .trigger(Trigger.AvailableNow()).start()
+            sq2.awaitTermination()
+          }))
+        val restarted = s.read.parquet(outDir)
+          .select(col("doc_id"), col("simhash"), col("dup_of"))
         val control = s.table(qname)
           .select(col("doc_id"), col("simhash"), col("dup_of"))
         val equal = restarted.count() == 50 &&
