@@ -595,12 +595,19 @@ final class GraftTable private (
     *    back from the committed version — a small-batch surface, like the
     *    reference's `return_rows`.
     */
-  def batchUpdateStatus(updates: DataFrame, keyCols: Seq[String],
+  def batchUpdateStatus(updates0: DataFrame, keyCols: Seq[String],
       cascade: Boolean = true, ifNotExists: String = "error",
       returnRows: Boolean = false): GraftTable.UpdateStatus =
     catalog.withWriterLock(name) {
       require(Set("error", "ignore", "insert")(ifNotExists),
         s"ifNotExists must be one of error|ignore|insert, got '$ifNotExists'")
+      // batch_update frames are small key-lists by contract — but the
+      // CALLER's frame may be an arbitrary subplan (scan + filter + exprs)
+      // and it is referenced 3-4 times below (key-list probe, unmatched
+      // anti-join, COW join, return_rows probe), re-executing that subplan
+      // each time. One eager localCheckpoint bounds it to one execution
+      // (r15, guide §1.2).
+      val updates = updates0.localCheckpoint(true)
       // the reference's `_rowid` pseudo-column lookup (local_table.py:973-
       // 988): rows may be addressed by stable row id instead of a key —
       // the join itself works unchanged (the stored image carries _rowid),
