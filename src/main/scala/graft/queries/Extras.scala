@@ -3560,7 +3560,14 @@ object Extras {
         graft.QueryUtil.withGateStreamPartitions(s) {
           val stream = s.readStream
             .schema(s.read.parquet(stage).schema).parquet(stage)
+          // single staged file → the file source gives the micro-batch ONE
+          // input partition, so the 13-gram explosion ran on one task; fan
+          // it out exactly like the batch twin q94 does on the same
+          // single-row-group corpus (explicit width, not the gate
+          // state-partition override — the explosion is map work, the tiny
+          // agg after it is what the override sizes)
           val hits = stream
+            .repartition(32, col("doc_id"))
             .select(col("doc_id"), explode(TextFunctions.wordNgrams(
               TextFunctions.tokens(lower(col("text"))), 13)).as("g"))
             .join(broadcast(benchGrams), "g")
