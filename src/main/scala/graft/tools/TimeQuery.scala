@@ -18,6 +18,10 @@ object TimeQuery {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // MUST match Bench's session: without the extensions the measured
+      // plans differ (UDF-triple-evaluation pruning rule, native exprs) and
+      // TimeQuery numbers read systematically hotter than the bench's
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

