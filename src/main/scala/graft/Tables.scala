@@ -107,6 +107,22 @@ object QueryUtil {
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(mtimeBase + k * 60_000L))
     }
+    // The [0, nFiles) contract on fileIdx was docstring-only (r15 ADVICE):
+    // a null or out-of-range index lands rows in a partition dir the move
+    // loop never visits (_k=<k> outside the range, or
+    // __HIVE_DEFAULT_PARTITION__ for null) and the old per-slice filters
+    // would have silently dropped them too. Fail loudly instead: a
+    // partition dir still HOLDING a parquet file after the move loop is
+    // data the replay would lose (in-range dirs remain as empty husks —
+    // Files.move relocates only the file).
+    val leftovers = Option(new java.io.File(tmp.toString).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory &&
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .exists(_.getName.endsWith(".parquet")))
+    require(leftovers.isEmpty,
+      s"stageStreamFiles: fileIdx produced values outside [0, $nFiles): " +
+        leftovers.map(_.getName).mkString(", "))
     stage
   }
 
@@ -132,6 +148,24 @@ object QueryUtil {
     try body finally old.fold(s.conf.unset(key))(s.conf.set(key, _))
   }
 
+  /** Fan-out width for map-heavy work fed by a SINGLE-file staged fixture
+    * (one parquet row group → one scan partition → one task does all the
+    * gram/decode work). Conf `graft.gate.fanoutPartitions`, default 32.
+    *
+    * Deliberately a FIXED default rather than `defaultParallelism` (guide
+    * §2.2 wants no core-count literals in query paths — this is the
+    * parameterized replacement for the old bare `repartition(32, ...)`):
+    * the driver verifies and benches the SAME queries at 32, 8 and 4
+    * cores, and a width that floats with the session would change the
+    * row→partition assignment and therefore the accumulation order of
+    * every rounded double aggregate downstream — a correctness hazard for
+    * oracle hash checks, not a tuning choice. Production sizes the conf to
+    * its own cluster; at real scale the input is many files and the scan
+    * parallelizes without this fan-out anyway.
+    */
+  def fanout(s: SparkSession): Int =
+    s.conf.getOption("graft.gate.fanoutPartitions").map(_.toInt).getOrElse(32)
+
   /** Run independent thunks concurrently and return their results in
     * order (guide §2.6: Spark's scheduler overlaps jobs submitted from
     * several threads — a streaming gate's independent passes otherwise
@@ -143,9 +177,23 @@ object QueryUtil {
     try {
       val futs = bodies.map(b =>
         pool.submit(new java.util.concurrent.Callable[A] { def call(): A = b() }))
-      futs.map(f =>
-        try f.get()
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      try
+        futs.map(f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      catch {
+        case e: Throwable =>
+          // Fail-fast must not leak siblings (r15 ADVICE): without this a
+          // failed gate pass left the remaining bodies running detached —
+          // orphan streams surviving into the next timed query, and a
+          // set/restore conf wrapper could restore before a late sibling
+          // started. Cancel everything not yet running, interrupt what is,
+          // and WAIT for the bodies to actually exit before rethrowing.
+          futs.foreach(_.cancel(true))
+          pool.shutdownNow()
+          pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+          throw e
+      }
     } finally pool.shutdown()
   }
 }
