@@ -601,13 +601,6 @@ final class GraftTable private (
     catalog.withWriterLock(name) {
       require(Set("error", "ignore", "insert")(ifNotExists),
         s"ifNotExists must be one of error|ignore|insert, got '$ifNotExists'")
-      // batch_update frames are small key-lists by contract — but the
-      // CALLER's frame may be an arbitrary subplan (scan + filter + exprs)
-      // and it is referenced 3-4 times below (key-list probe, unmatched
-      // anti-join, COW join, return_rows probe), re-executing that subplan
-      // each time. One eager localCheckpoint bounds it to one execution
-      // (r15, guide §1.2).
-      val updates = updates0.localCheckpoint(true)
       // the reference's `_rowid` pseudo-column lookup (local_table.py:973-
       // 988): rows may be addressed by stable row id instead of a key —
       // the join itself works unchanged (the stored image carries _rowid),
@@ -617,64 +610,73 @@ final class GraftTable private (
       require(!(hasRowId && ifNotExists == "insert"),
         "ifNotExists='insert' requires user key columns, not _rowid")
       // batch_update frames are small key-lists by contract (the
-      // reference's SqlLookupNode shape): collect the keys once and turn
-      // them into per-column isin predicates so every probe of the table
-      // is a key-list LOOKUP — the filters reach the parquet scan and
-      // prune row groups, never a full-table scan + distinct. The isin
-      // conjunction over-selects on composite keys (cross products); the
-      // joins below decide exact membership.
-      lazy val updKeyRows = updates.select(keyCols.map(col): _*).distinct().collect()
-      lazy val keyListPred: org.apache.spark.sql.Column =
-        if (updKeyRows.isEmpty) lit(false)
-        else keyCols.zipWithIndex.map { case (k, i) =>
-          col(k).isInCollection(updKeyRows.map(_.get(i)).toSet)
-        }.reduce(_ && _)
-      def liveKeyed: DataFrame =
-        (if (hasRowId) readWithSystem() else read()).filter(keyListPred)
-      // unmatched update rows, decided against the LIVE image under the
-      // writer lock (a key-list-pruned scan: one tiny job)
-      val toInsert: Option[DataFrame] =
-        if (ifNotExists == "ignore") None
-        else {
-          val m = meta
-          val liveKeys = liveKeyed.select(keyCols.map(col): _*)
-          val unmatched = updates.join(liveKeys, keyCols, "left_anti")
-          val nMissing = unmatched.count()
-          if (nMissing == 0L) None
-          else if (ifNotExists == "error")
-            throw new NoSuchElementException(
-              s"batch_update(): $nMissing row(s) not found")
-          else {
-            val inputCols = m.liveColumns.filter(c => c.computedExpr.isEmpty)
-            // Materialize NOW: this plan reads the pre-update table image,
-            // and on an unversioned table the update+vacuum below deletes
-            // the superseded files before insertStatus() would re-evaluate
-            // it. Bounded by the key-list contract, so eager checkpoint is
-            // one tiny job.
-            Some(inputCols.foldLeft(unmatched.toDF()) { (d, c) =>
-              if (d.columns.contains(c.name)) d
-              else d.withColumn(c.name, lit(null).cast(c.dataType))
-            }.select(inputCols.map(c => col(c.name)): _*)
-              .localCheckpoint(true))
-          }
-        }
-      val st0 = batchUpdateInner(updates, keyCols, cascade)
+      // reference's SqlLookupNode shape): collect the caller's frame ONCE
+      // to the driver and rebuild it as a local relation. One execution of
+      // the caller's arbitrary subplan where r15's localCheckpoint spent a
+      // job materializing plus a job per probe (key list, unmatched
+      // anti-join, isEmpty) — those probes are now driver-side set lookups
+      // with ZERO Spark jobs — and no executor-storage pin: localCheckpoint
+      // blocks are non-reliable, so an executor loss on a real cluster
+      // failed the update (r15 ADVICE). Key columns are cast to the
+      // TABLE's declared key types first, so driver-side tuple equality
+      // matches the join's coercion semantics (int update keys against a
+      // bigint column compare widened, exactly as `===` would).
+      val mTypes = meta
+      val keyType: Map[String, String] =
+        (mTypes.liveColumns.map(c => c.name -> c.dataType) :+
+          (GraftTable.RowId -> "bigint")).toMap
+      val aligned = keyCols.foldLeft(updates0) { (d, k) =>
+        keyType.get(k).fold(d)(t => d.withColumn(k, col(k).cast(t)))
+      }
+      val updSchema = aligned.schema
+      val updRows: Seq[org.apache.spark.sql.Row] = aligned.collect().toSeq
+      val updates = { // LocalRelation: probes/joins below re-execute nothing
+        val list = new java.util.ArrayList[org.apache.spark.sql.Row](updRows.size)
+        updRows.foreach(list.add)
+        spark.createDataFrame(list, updSchema)
+      }
+      val keyIdx = keyCols.map(updSchema.fieldIndex)
+      val updKeyTuples: Seq[Seq[Any]] =
+        updRows.map(r => keyIdx.map(i => r.get(i)))
+      val (st0, matchedKeys) =
+        batchUpdateInner(updates, updKeyTuples, keyCols, cascade, ifNotExists)
       maintainIndexes()
       squashIfUnversioned()
       val st = attachCacheWarnings(st0)
-      val merged = toInsert.fold(st) { ins =>
-        val is = insertStatus(ins)
-        GraftTable.UpdateStatus(is.version,
-          numRows = st.numRows + is.numRows,
-          numComputedValues = st.numComputedValues + is.numComputedValues,
-          numExcs = st.numExcs + is.numExcs,
-          updatedCols = (st.updatedCols ++ is.updatedCols).distinct,
-          colsWithExcs = (st.colsWithExcs ++ is.colsWithExcs).distinct,
-          cacheWarnings = st.cacheWarnings ++ is.cacheWarnings)
-      }
+      // upsert leg: unmatched rows come straight from the driver-held rows
+      // (decided against the live image inside the inner probe, all under
+      // the writer lock) — no anti-join job, no stale-plan hazard on
+      // unversioned tables. Commits as its own version, like the reference.
+      val missingRows =
+        if (ifNotExists != "insert") Seq.empty
+        else updRows.filter(r => !matchedKeys.contains(keyIdx.map(i => r.get(i))))
+      val merged =
+        if (missingRows.isEmpty) st
+        else {
+          val m = meta
+          val inputCols = m.liveColumns.filter(c => c.computedExpr.isEmpty)
+          val list = new java.util.ArrayList[org.apache.spark.sql.Row](missingRows.size)
+          missingRows.foreach(list.add)
+          val ins = inputCols.foldLeft(spark.createDataFrame(list, updSchema)) {
+            (d, c) =>
+              if (d.columns.contains(c.name)) d
+              else d.withColumn(c.name, lit(null).cast(c.dataType))
+          }.select(inputCols.map(c => col(c.name)): _*)
+          val is = insertStatus(ins)
+          GraftTable.UpdateStatus(is.version,
+            numRows = st.numRows + is.numRows,
+            numComputedValues = st.numComputedValues + is.numComputedValues,
+            numExcs = st.numExcs + is.numExcs,
+            updatedCols = (st.updatedCols ++ is.updatedCols).distinct,
+            colsWithExcs = (st.colsWithExcs ++ is.colsWithExcs).distinct,
+            cacheWarnings = st.cacheWarnings ++ is.cacheWarnings)
+        }
       if (!returnRows) merged
       else {
-        val touched = liveKeyed
+        // read-back of the committed rows: one key-list-pruned scan (the
+        // isin predicates push to the parquet footers)
+        val touched = (if (hasRowId) readWithSystem() else read())
+          .filter(keyListPredicate(keyCols, updKeyTuples))
           .drop(VMin, VMax) // row identity stays, MVCC bookkeeping doesn't
           .join(broadcast(updates.select(keyCols.map(col): _*).distinct()),
             keyCols, "left_semi")
@@ -684,8 +686,32 @@ final class GraftTable private (
       }
     }
 
-  private def batchUpdateInner(updates: DataFrame, keyCols: Seq[String],
-      cascade: Boolean): GraftTable.UpdateStatus = retryOnConflict {
+  /** per-column isin conjunction over the driver-held key tuples: pushes to
+    * the parquet scan (row-group pruning) so every table probe is a key-list
+    * LOOKUP, never a full scan. Over-selects on composite keys (cross
+    * products) — callers decide exact membership by tuple.
+    */
+  private def keyListPredicate(keyCols: Seq[String],
+      tuples: Seq[Seq[Any]]): org.apache.spark.sql.Column = {
+    val distinctTuples = tuples.distinct
+    if (distinctTuples.isEmpty) lit(false)
+    else keyCols.zipWithIndex.map { case (k, i) =>
+      // nulls never equi-match; dropping them from the isin set changes
+      // nothing (a null-keyed update row stays unmatched either way)
+      val vals = distinctTuples.map(_(i)).filter(_ != null).distinct
+      if (vals.isEmpty) lit(false) else col(k).isInCollection(vals)
+    }.reduce(_ && _)
+  }
+
+  /** Runs the COW update. Returns the status plus the set of update key
+    * tuples that matched a live row (the upsert leg's complement). The ONE
+    * probe scan inside answers both the `ifNotExists` decision and the COW
+    * file pruning — r15 ran a separate job for each (unmatched anti-join,
+    * image.isEmpty, hitFiles collect).
+    */
+  private def batchUpdateInner(updates: DataFrame, updKeyTuples: Seq[Seq[Any]],
+      keyCols: Seq[String], cascade: Boolean, ifNotExists: String)
+      : (GraftTable.UpdateStatus, Set[Seq[Any]]) = retryOnConflict {
     val m = meta
     m.primaryKey.filter(k => updates.columns.contains(k) && !keyCols.contains(k))
       .foreach(k => throw new IllegalArgumentException(
@@ -698,22 +724,45 @@ final class GraftTable private (
     val v = m.currentVersion + 1
     val setCols = updates.columns.filterNot(keyCols.contains).toSeq
     require(setCols.nonEmpty, "batchUpdate needs at least one non-key column")
+    val distinctTuples = updKeyTuples.distinct.toSet
+    val files = m.activeFiles(m.currentVersion)
+    // ONE key-list-pruned probe: live rows matching the per-column isin
+    // predicates, with their exact key tuple and containing file
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (files.isEmpty || distinctTuples.isEmpty) Array.empty
+      else toLogical(
+          spark.read.option("mergeSchema", "true").parquet(files: _*), m)
+        .filter(col(VMax) === Live && keyListPredicate(keyCols, updKeyTuples))
+        .select((input_file_name().as(FileCol) +: keyCols.map(col)): _*)
+        .collect()
+    // exact tuple membership decided here (the isin conjunction over-
+    // selects composite keys)
+    val exact = probe.iterator
+      .map(r => (r.getString(0), Seq.tabulate(keyCols.length)(i => r.get(i + 1))))
+      .filter { case (_, t) => distinctTuples.contains(t) }
+      .toSeq
+    val matchedKeys = exact.map(_._2).toSet
+    if (ifNotExists == "error") {
+      val nMissing = updKeyTuples.count(t => !matchedKeys.contains(t))
+      if (nMissing > 0) throw new NoSuchElementException(
+        s"batch_update(): $nMissing row(s) not found")
+    }
+    val hitFiles = exact.map(_._1).distinct
+    if (hitFiles.isEmpty)
+      return (GraftTable.UpdateStatus(noopVersion(m, v, "batch_update"), 0L, 0L),
+        matchedKeys)
+    // the rewrite reads ONLY the touched files (the old path scanned every
+    // active file again and filtered on input_file_name, which prunes
+    // nothing at the scan)
     val renamed = updates.columns.foldLeft(updates)((d, c) => d.withColumnRenamed(c, s"_u_$c"))
-    val image = storedImage(m)
-    if (image.isEmpty)
-      return GraftTable.UpdateStatus(noopVersion(m, v, "batch_update"), 0L, 0L)
+    val image = toLogical(
+      spark.read.option("mergeSchema", "true").parquet(hitFiles: _*), m)
     val joinCond = keyCols.map(k => image(k) === renamed(s"_u_$k")).reduce(_ && _)
     // updates frames are small key-lists: broadcast them
-    val joined = image.withColumn(FileCol, input_file_name())
-      .join(broadcast(renamed), joinCond, "left_outer")
+    val touched = image.join(broadcast(renamed), joinCond, "left_outer")
     val hit = col(VMax) === Live && col(s"_u_${keyCols.head}").isNotNull
-    val hitFiles = joined.filter(hit).select(FileCol).distinct()
-      .collect().map(_.getString(0))
-    if (hitFiles.isEmpty)
-      return GraftTable.UpdateStatus(noopVersion(m, v, "batch_update"), 0L, 0L)
-    val touched = joined.filter(col(FileCol).isin(hitFiles.toSeq: _*))
     val dropU = (d: DataFrame) =>
-      renamed.columns.foldLeft(d.drop(FileCol))((x, u) => x.drop(u))
+      renamed.columns.foldLeft(d)((x, u) => x.drop(u))
     val closed = dropU(touched.withColumn(VMax, when(hit, lit(v)).otherwise(col(VMax))))
     var updated = touched.filter(hit)
     setCols.foreach(c => updated = updated.withColumn(c, col(s"_u_$c")))
@@ -736,11 +785,11 @@ final class GraftTable private (
       nm -> Option(obs.get(s"_exc_$i"))
         .collect { case x: java.lang.Long => x.longValue() }.getOrElse(0L)
     }.filter(_._2 > 0)
-    GraftTable.UpdateStatus(ver, numRows = n,
+    (GraftTable.UpdateStatus(ver, numRows = n,
       numComputedValues = n * cascaded.length,
       numExcs = excCounts.map(_._2).sum,
       updatedCols = setCols.sorted ++ cascaded,
-      colsWithExcs = excCounts.map(_._1))
+      colsWithExcs = excCounts.map(_._1)), matchedKeys)
   }
 
   /** Re-evaluate one or more stored computed columns (reference
