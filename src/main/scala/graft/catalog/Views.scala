@@ -111,6 +111,13 @@ object Views {
     val baseVersion = base.currentVersion
     if (baseVersion <= lastSeen)
       return GraftTable.UpdateStatus(view.currentVersion, 0L, 0L)
+    if (!mightHaveFreshRows(base, lastSeen)) {
+      // delete-only / metadata-only window, proven from the version log:
+      // skip the empty expand+insert job (it minted an empty-file view
+      // version for nothing) and just advance the high-water mark
+      setMark(view, lastSeenKey(base), baseVersion, base, epoch)
+      return GraftTable.UpdateStatus(view.currentVersion, 0L, 0L)
+    }
     val fresh = base.readWithSystem()
       .filter(col(GraftTable.VMin) > lastSeen && col(GraftTable.VMax) === GraftTable.Live)
     val expanded = expand(fresh, iteratorExprSql, valueCol)
@@ -151,7 +158,7 @@ object Views {
     val baseVersion = base.currentVersion
     var delWarnings: Seq[String] = Seq.empty
     var deleted = 0L
-    if (baseVersion > lastSeen) {
+    if (baseVersion > lastSeen && mightHaveClosedRows(base, lastSeen)) {
       // rows closed (deleted or replaced) after the last sync — must read
       // history, not the MVCC-visible image, to see them. The closed-rowid
       // set stays distributed: one anti-join-style rewrite, one view version
@@ -161,7 +168,7 @@ object Views {
         .filter(col(GraftTable.VMax) > lastSeen &&
           col(GraftTable.VMax) =!= GraftTable.Live)
         .select(col(GraftTable.RowId))
-      if (!closed.isEmpty) {
+      if (hasClosedRowsCertainly(base, lastSeen) || !closed.isEmpty) {
         val delSt = view.deleteByKeysStatus(closed, BaseRowId)
         deleted = delSt.numRows
         delWarnings = delSt.cacheWarnings
@@ -210,16 +217,29 @@ object Views {
     val (lastSeen, epoch) = healAfterRevert(view, base)
     val baseVersion = base.currentVersion
     if (baseVersion <= lastSeen) return SyncStats(view.currentVersion, 0L, 0L)
-    // distributed closed-row propagation — see syncComponentView
-    val closed = base.readHistory()
-      .filter(col(GraftTable.VMax) > lastSeen &&
-        col(GraftTable.VMax) =!= GraftTable.Live)
-      .select(col(GraftTable.RowId))
-    val delSt = if (closed.isEmpty) None
-      else Some(view.deleteByKeysStatus(closed, BaseRowId))
-    val fresh = base.readWithSystem()
-      .filter(col(GraftTable.VMin) > lastSeen && col(GraftTable.VMax) === GraftTable.Live)
-    val st = view.insertStatus(mvTransform(fresh, whereSql, selectExprs))
+    // distributed closed-row propagation — see syncComponentView. The
+    // version-log guards skip the probe/insert JOBS for windows the log
+    // proves one-sided (insert-only syncs ran a closed-row scan and
+    // delete-only syncs an empty expand+insert, one job each for nothing).
+    val delSt =
+      if (!mightHaveClosedRows(base, lastSeen)) None
+      else {
+        val closed = base.readHistory()
+          .filter(col(GraftTable.VMax) > lastSeen &&
+            col(GraftTable.VMax) =!= GraftTable.Live)
+          .select(col(GraftTable.RowId))
+        if (!hasClosedRowsCertainly(base, lastSeen) && closed.isEmpty) None
+        else Some(view.deleteByKeysStatus(closed, BaseRowId))
+      }
+    val st =
+      if (!mightHaveFreshRows(base, lastSeen))
+        GraftTable.UpdateStatus(view.currentVersion, 0L, 0L)
+      else {
+        val fresh = base.readWithSystem()
+          .filter(col(GraftTable.VMin) > lastSeen &&
+            col(GraftTable.VMax) === GraftTable.Live)
+        view.insertStatus(mvTransform(fresh, whereSql, selectExprs))
+      }
     setMark(view, lastSeenKey(base), baseVersion, base, epoch)
     SyncStats(st.version, delSt.map(_.numRows).getOrElse(0L), st.numRows,
       cacheWarnings = delSt.toSeq.flatMap(_.cacheWarnings) ++ st.cacheWarnings)
@@ -232,6 +252,39 @@ object Views {
     df.select((col(GraftTable.RowId).as(BaseRowId) +:
       selectExprs.map { case (alias, e) => expr(e).as(alias) }): _*)
   }
+
+  // ---------- version-log guards (driver-side, zero Spark jobs) ----------
+  // A sync window (lastSeen, current] can only contain CLOSED rows if some
+  // version in it is a row-closing rewrite (delete/update/batch_update/
+  // recompute with files added), and can only contain FRESH rows (_v_min in
+  // the window) if some version is a row-opening write (insert, or the
+  // rewritten halves of update/batch_update/recompute). compact copies rows
+  // byte-identical (no new _v_min/_v_max values beyond what their own ops
+  // already put in the window) and add/drop/rename_column never touch row
+  // visibility. Unversioned bases squash their log, so the guards stay
+  // conservatively permissive there and the data probes run as before.
+
+  private val closingOps = Set("delete", "update", "batch_update", "recompute")
+  private val openingOps = Set("insert", "update", "batch_update", "recompute")
+
+  private def opsIn(base: GraftTable, lastSeen: Long,
+      ops: Set[String]): Boolean = {
+    val m = base.meta
+    m.versions.exists(e => e.version > lastSeen &&
+      e.version <= m.currentVersion && e.added.nonEmpty && ops(e.op))
+  }
+
+  /** false ⇒ provably no closed rows in the window (skip the history scan) */
+  private def mightHaveClosedRows(base: GraftTable, lastSeen: Long): Boolean =
+    !base.meta.isVersioned || opsIn(base, lastSeen, closingOps)
+
+  /** true ⇒ provably SOME closed rows (skip the isEmpty probe job) */
+  private def hasClosedRowsCertainly(base: GraftTable, lastSeen: Long): Boolean =
+    base.meta.isVersioned && opsIn(base, lastSeen, closingOps)
+
+  /** false ⇒ provably no rows with `_v_min` in the window (skip the insert) */
+  private def mightHaveFreshRows(base: GraftTable, lastSeen: Long): Boolean =
+    !base.meta.isVersioned || opsIn(base, lastSeen, openingOps)
 
   private def lastSeenKey(base: GraftTable) = s"__last_seen_base_${base.name}"
   private def epochKey(base: GraftTable) = s"__revert_epoch_base_${base.name}"

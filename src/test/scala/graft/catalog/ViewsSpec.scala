@@ -125,9 +125,11 @@ class ViewsSpec extends AnyFunSuite {
     t.delete("id % 2 = 0") // closes 60k base rows
     Views.syncMaterializedView(mv, t, None, Seq("id" -> "id", "text" -> "text"))
     assert(mv.read().count() == 60000)
-    // exactly 2 new view versions: ONE distributed delete + one insert
-    // (the old chunked-IN path minted one version per 10k rowids)
-    assert(mv.history().count() == versionsBefore + 2)
+    // exactly 1 new view version: ONE distributed delete (the old
+    // chunked-IN path minted one version per 10k rowids, and until r16 a
+    // delete-only sync also minted an empty insert version — the version
+    // log now proves the window has no fresh rows and skips that job)
+    assert(mv.history().count() == versionsBefore + 1)
   }
 
   test("incremental refresh processes only new base rows") {
