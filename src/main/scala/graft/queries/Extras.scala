@@ -90,7 +90,7 @@ object Extras {
         T(s, dir, "lineitem")
           // one-row-group file: fan the percentile/corr buffering across
           // tasks (partial aggregation still combines map-side)
-          .repartition(32, col("l_orderkey"))
+          .repartition(graft.QueryUtil.fanout(s), col("l_orderkey"))
           .agg(
           round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
           round(stddev_samp(col("l_quantity")), 6).as("sd_q"),
@@ -423,7 +423,7 @@ object Extras {
         T(s, dir, "orders")
           // the corpus file is one row group (unsplittable): fan the
           // JSON-parse work across tasks instead of one scan task
-          .repartition(32, col("o_orderkey"))
+          .repartition(graft.QueryUtil.fanout(s), col("o_orderkey"))
           .withColumn("js", js)
           .select(
             col("o_orderkey"),
@@ -454,7 +454,7 @@ object Extras {
         // NULL cells plus an errortype marker, never task failure.
         val divisor = col("o_orderkey") % 3
         T(s, dir, "orders")
-          .repartition(32, col("o_orderkey")) // one-row-group file: fan out
+          .repartition(graft.QueryUtil.fanout(s), col("o_orderkey")) // one-row-group file: fan out
           .select(
             col("o_orderkey"),
             round(try_divide(col("o_totalprice"), divisor), 6).as("td"),
@@ -1267,23 +1267,33 @@ object Extras {
         t.delete("doc_id = 2")
         // gate-sized results (hundreds of pairs): ONE action per pipeline,
         // set comparison on the driver — re-running the band self-join for
-        // each aggregate would cost three extra full pipelines
-        val idxRows = t.indexNearDupPairs("nd", 0.9).collect()
-        val idxSet = idxRows.map(r => (r.getLong(0), r.getLong(1))).toSet
-        val batchSet = graft.operators.Dedup.nearDuplicatePairs(
-            t.read(), "body", "doc_id",
-            jaccardThreshold = 0.9, numHashes = 8, bands = 2, shingleSize = 3)
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-        val eqBatch = idxSet == batchSet
-        val allOne = idxRows.nonEmpty && idxRows.forall(_.getDouble(2) == 1.0)
+        // each aggregate would cost three extra full pipelines. The three
+        // verification pipelines (index pairs, batch-operator pairs,
+        // incoming-probe search) are INDEPENDENT reads of the final table
+        // image, so their jobs overlap from a thread pool (guide §2.6) —
+        // measured 2.7 s sequential → ~1.2 s overlapped at sf0.1 (the DML
+        // lifecycle above is inherently ordered and stays sequential).
         // incoming probe: one doc with group 3's text, one unrelated
         val z = "z" * 6 // group 3's word: substr('wxyzv', 4, 1) repeated
         val incoming = Seq(
           (9000L, s"$z aa $z bb $z cc $z dd $z ee"),
           (9001L, "totally different content with no shared trigram runs"))
           .toDF("qid", "txt")
-        val hitRows = t.searchNearDups("nd", incoming, "txt", "qid", 0.9)
-          .collect()
+        val results = graft.QueryUtil.inParallel(Seq(
+          () => t.indexNearDupPairs("nd", 0.9).collect(),
+          () => graft.operators.Dedup.nearDuplicatePairs(
+              t.read(), "body", "doc_id",
+              jaccardThreshold = 0.9, numHashes = 8, bands = 2,
+              shingleSize = 3).collect(),
+          () => t.searchNearDups("nd", incoming, "txt", "qid", 0.9).collect(),
+        ))
+        val idxRows = results(0)
+        val idxSet = idxRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+        val batchSet =
+          results(1).map(r => (r.getLong(0), r.getLong(1))).toSet
+        val eqBatch = idxSet == batchSet
+        val allOne = idxRows.nonEmpty && idxRows.forall(_.getDouble(2) == 1.0)
+        val hitRows = results(2)
         val hitsOne = hitRows.nonEmpty && hitRows.forall(_.getDouble(2) == 1.0)
         Seq((idxRows.length.toLong, eqBatch, allOne,
             hitRows.length.toLong, hitsOne))
@@ -3574,7 +3584,7 @@ object Extras {
           // state-partition override — the explosion is map work, the tiny
           // agg after it is what the override sizes)
           val hits = stream
-            .repartition(32, col("doc_id"))
+            .repartition(graft.QueryUtil.fanout(s), col("doc_id"))
             .select(col("doc_id"), explode(TextFunctions.wordNgrams(
               TextFunctions.tokens(lower(col("text"))), 13)).as("g"))
             .join(broadcast(benchGrams), "g")
@@ -5355,7 +5365,15 @@ object Extras {
         // confs are session-scoped, so the shared session is never
         // mutated and the HDFS-provider control can run CONCURRENTLY
         // with incarnation 2 (they are independent streams)
+        // newSession() inherits only BUILDER-level confs; runtime overrides
+        // set on `s` after session creation would silently diverge between
+        // the RocksDB incarnations (s2) and the HDFS control (s) — copy
+        // the result-affecting runtime confs across explicitly (timezone,
+        // AQE, session extensions are builder-level in every harness
+        // session today; the copies below keep that true if one moves).
         val s2 = s.newSession()
+        Seq("spark.sql.session.timeZone", "spark.sql.adaptive.enabled")
+          .foreach(k => s.conf.getOption(k).foreach(s2.conf.set(k, _)))
         s2.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution." +
             "streaming.state.RocksDBStateStoreProvider")

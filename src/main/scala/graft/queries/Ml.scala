@@ -25,14 +25,14 @@ object Ml {
         // (the container stand-in for a downloaded sentence-transformers
         // model), then score each against a fixed probe text. 100 TB
         // shape: weights broadcast once, forward pass is map-only inside
-        // mapPartitions; the explicit repartition(32) breaks the
+        // mapPartitions; the explicit fanout repartition breaks the
         // one-row-group testdata files into parallel tasks. Self-checks:
         // emb_norm is 1.0 for every row (mean-pool + L2 normalize),
         // emb_dim is the checkpoint's hidden size, probe_cos ∈ [-1, 1].
         val modelDir = graft.ml.LocalModels.ensureTinyModel(seed = 42L)
         val docs = T(s, dir, "documents")
           .select(col("doc_id"), substring(col("text"), 1, 120).as("snippet"))
-          .repartition(32, col("doc_id"))
+          .repartition(graft.QueryUtil.fanout(s), col("doc_id"))
         val emb = graft.ml.LocalModels.sentenceTransformer(
           docs, "snippet", "emb", modelDir, maxLen = 48)
         // the probe goes through the same checkpoint on the driver; both

@@ -174,7 +174,7 @@ object Pipeline {
         val sh = shingles(col("text"))
         T(s, dir, "documents")
           .filter(col("n_chars") >= 3)
-          .repartition(32, col("doc_id")) // one-row-group file: fan out
+          .repartition(graft.QueryUtil.fanout(s), col("doc_id")) // one-row-group file: fan out
           .withColumn("sig",
             graft.plans.TextNative.minhashSignature(s, sh))
           .select((col("doc_id") +:
@@ -200,7 +200,7 @@ object Pipeline {
         val sh = shingles(col("text"))
         val sig = T(s, dir, "documents")
           .filter(col("n_chars") >= 3 && col("doc_id") < 1000)
-          .repartition(32, col("doc_id")) // one-row-group file: fan out
+          .repartition(graft.QueryUtil.fanout(s), col("doc_id")) // one-row-group file: fan out
           .withColumn("_sig", graft.plans.TextNative.minhashSignature(s, sh))
           .select(col("doc_id") +: (0 until 8).map(j =>
             element_at(col("_sig"), j + 1).as(s"h$j")): _*)
@@ -291,7 +291,7 @@ object Pipeline {
         // bit, 16 interpreted array passes (ScaleCheck measured it 16.6x
         // at 10x before the kernel).
         T(s, dir, "documents")
-          .repartition(32, col("doc_id")) // one-row-group file: fan out
+          .repartition(graft.QueryUtil.fanout(s), col("doc_id")) // one-row-group file: fan out
           .select(col("doc_id"), graft.plans.TextNative.simhash16(s,
             tokens(col("text"))).as("simhash"))
           .transform(graft.QueryUtil.orderedSmall(_, col("doc_id")))
@@ -470,29 +470,58 @@ object Pipeline {
         // exact re-rank + the byte check) and the map-only encode would
         // otherwise re-run per action
         val codes = Pq.encode(emb, "embedding", "vec_id", model).persist()
-        val codeBytesOk = codes.agg(max(length(col("code"))).as("mx"),
-          min(length(col("code"))).as("mn")).head() match {
-          case r => r.getInt(0) == 8 && r.getInt(1) == 8
-        }
         val queries = Seq(1 -> queryVec, 2 -> queryVec2)
-        try queries.map { case (qid, q) =>
-          val approx = Pq.search(emb, codes, "embedding", "vec_id", model, q,
-            k = 10, nprobe = 6, rerank = 200).collect()
-          val exact = emb.select(col("vec_id").cast("long").as("vec_id"),
-              aggregate(zip_with(
-                graft.operators.ExactAnn.normalized(col("embedding")),
-                unitCol(q), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-                .as("cos"))
-            .orderBy(col("cos").desc, col("vec_id")).limit(10).collect()
-          val recall = approx.map(_.getLong(0)).toSet
-            .intersect(exact.map(_.getLong(0)).toSet).size / 10.0
-          (qid, approx.head.getLong(0),
-            BigDecimal(approx.head.getDouble(1)).setScale(6,
-              BigDecimal.RoundingMode.HALF_UP).toDouble,
-            recall >= 0.7, approx.length == 10, codeBytesOk)
-        }.toDF("qid", "nn_vec_id", "nn_cos", "recall_ok", "k_ok", "code_ok")
-          .orderBy("qid")
-        finally { codes.unpersist(blocking = false); () }
+        // the exact-control top-10s for BOTH probe vectors share ONE scan
+        // (guide §2.4 — r15 ran one TakeOrdered scan per probe): both
+        // cosines are computed per row, exploded to (qid, vec_id, cos),
+        // top-10 per qid via a window. The cosine expression and the
+        // (cos desc, vec_id) total order are unchanged, so the surviving
+        // ids are identical to the per-probe controls.
+        def cosCol(q: Seq[Double]) = aggregate(zip_with(
+          graft.operators.ExactAnn.normalized(col("embedding")),
+          unitCol(q), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+        val exactBoth = emb
+          .select(col("vec_id").cast("long").as("vec_id"),
+            explode(array(queries.map { case (qid, q) =>
+              struct(lit(qid).as("qid"), cosCol(q).as("cos")) }: _*)).as("qc"))
+          .select(col("qc.qid").as("qid"), col("vec_id"), col("qc.cos").as("cos"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+              .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 10)
+        // the byte check, the two ADC searches and the exact control are
+        // independent actions — overlap them (guide §2.6); the persisted
+        // codes materialize once under the cache manager's block locks
+        try {
+          val acts = graft.QueryUtil.inParallel(Seq[() => Any](
+            () => codes.agg(max(length(col("code"))).as("mx"),
+              min(length(col("code"))).as("mn")).head(),
+            () => Pq.search(emb, codes, "embedding", "vec_id", model,
+              queryVec, k = 10, nprobe = 6, rerank = 200).collect(),
+            () => Pq.search(emb, codes, "embedding", "vec_id", model,
+              queryVec2, k = 10, nprobe = 6, rerank = 200).collect(),
+            () => exactBoth.collect(),
+          ))
+          val codeBytesOk = acts(0) match {
+            case r: org.apache.spark.sql.Row => r.getInt(0) == 8 && r.getInt(1) == 8
+          }
+          val approxByQid = Map(
+            1 -> acts(1).asInstanceOf[Array[org.apache.spark.sql.Row]],
+            2 -> acts(2).asInstanceOf[Array[org.apache.spark.sql.Row]])
+          val exactIds = acts(3).asInstanceOf[Array[org.apache.spark.sql.Row]]
+            .groupBy(_.getInt(0)).view
+            .mapValues(_.map(_.getLong(1)).toSet).toMap
+          queries.map { case (qid, _) =>
+            val approx = approxByQid(qid)
+            val recall = approx.map(_.getLong(0)).toSet
+              .intersect(exactIds(qid)).size / 10.0
+            (qid, approx.head.getLong(0),
+              BigDecimal(approx.head.getDouble(1)).setScale(6,
+                BigDecimal.RoundingMode.HALF_UP).toDouble,
+              recall >= 0.7, approx.length == 10, codeBytesOk)
+          }.toDF("qid", "nn_vec_id", "nn_cos", "recall_ok", "k_ok", "code_ok")
+            .orderBy("qid")
+        } finally { codes.unpersist(blocking = false); () }
       },
       Some(s"""WITH sc AS (
               |  SELECT 1 AS qid, $queryVecSql AS q
@@ -579,27 +608,54 @@ object Pipeline {
           .resolve("idx").toString
         val emb = T(s, dir, "embeddings")
         Hnsw.buildIndex(emb, "embedding", "vec_id", idx, shards = 4)
-        val minShard = s.read.parquet(idx).select(col("graph"))
-          .as[Array[Byte]].collect().map(Hnsw.deserialize(_).size).min
         val efUsed = 32
-        Seq(1 -> queryVec, 2 -> queryVec2).map { case (qid, q) =>
-          val ids = Hnsw.search(s, idx, q, k = 10, ef = efUsed)
-            .collect().map(_.getLong(0))
-          // exact re-score of the traversal's candidates (double cosine)
-          val rescored = emb
-            .filter(col("vec_id").cast("long").isInCollection(ids.toSet))
+        val queries = Seq(1 -> queryVec, 2 -> queryVec2)
+        def cosCol(q: Seq[Double]) = aggregate(zip_with(
+          ExactAnn.normalized(col("embedding")),
+          unitCol(q), (x, y) => x * y), lit(0.0), (a, x) => a + x)
+        // exact-control top-10s for BOTH probes from ONE scan (guide §2.4;
+        // r15 ran one TakeOrdered scan per probe) — same cosine expression,
+        // same (cos desc, vec_id) total order, so identical surviving ids
+        val exactBoth = emb
+          .select(col("vec_id").cast("long").as("vec_id"),
+            explode(array(queries.map { case (qid, q) =>
+              struct(lit(qid).as("qid"), cosCol(q).as("cos")) }: _*)).as("qc"))
+          .select(col("qc.qid").as("qid"), col("vec_id"), col("qc.cos").as("cos"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+              .orderBy(col("cos").desc, col("vec_id"))))
+          .filter(col("rk") <= 10)
+        // phase 1 overlapped (guide §2.6): the min-shard summary read, the
+        // two graph traversals and the shared exact control are independent
+        val p1 = graft.QueryUtil.inParallel(Seq[() => Any](
+          () => s.read.parquet(idx).select(col("graph"))
+            .as[Array[Byte]].collect().map(Hnsw.deserialize(_).size).min,
+          () => Hnsw.search(s, idx, queryVec, k = 10, ef = efUsed)
+            .collect().map(_.getLong(0)),
+          () => Hnsw.search(s, idx, queryVec2, k = 10, ef = efUsed)
+            .collect().map(_.getLong(0)),
+          () => exactBoth.collect(),
+        ))
+        val minShard = p1(0).asInstanceOf[Int]
+        val idsByQid = Map(1 -> p1(1).asInstanceOf[Array[Long]],
+          2 -> p1(2).asInstanceOf[Array[Long]])
+        val exactIds = p1(3).asInstanceOf[Array[org.apache.spark.sql.Row]]
+          .groupBy(_.getInt(0)).view
+          .mapValues(_.map(_.getLong(1)).toSet).toMap
+        // phase 2 overlapped: each traversal's exact re-score (double
+        // cosine) only depends on its own candidate ids
+        val p2 = graft.QueryUtil.inParallel(queries.map { case (qid, q) =>
+          () => emb
+            .filter(col("vec_id").cast("long")
+              .isInCollection(idsByQid(qid).toSet))
             .select(col("vec_id").cast("long").as("vec_id"),
-              aggregate(zip_with(ExactAnn.normalized(col("embedding")),
-                unitCol(q), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-                .as("cos"))
+              cosCol(q).as("cos"))
             .orderBy(col("cos").desc, col("vec_id")).collect()
-          val exact = emb.select(col("vec_id").cast("long").as("vec_id"),
-              aggregate(zip_with(ExactAnn.normalized(col("embedding")),
-                unitCol(q), (x, y) => x * y), lit(0.0), (a, x) => a + x)
-                .as("cos"))
-            .orderBy(col("cos").desc, col("vec_id")).limit(10).collect()
-          val recall = ids.toSet
-            .intersect(exact.map(_.getLong(0)).toSet).size / 10.0
+        })
+        queries.zipWithIndex.map { case ((qid, _), i) =>
+          val ids = idsByQid(qid)
+          val rescored = p2(i)
+          val recall = ids.toSet.intersect(exactIds(qid)).size / 10.0
           (qid, rescored.head.getLong(0),
             BigDecimal(rescored.head.getDouble(1)).setScale(6,
               BigDecimal.RoundingMode.HALF_UP).toDouble,
@@ -793,7 +849,7 @@ object Pipeline {
           // one-row-group corpus file: fan the heavy train-side gram
           // explosion out across cores (q32/q35 discipline; at 100 TB
           // inputs arrive pre-split and this shuffle disappears)
-          docs.where(col("doc_id") % 7 =!= 0).repartition(32, col("doc_id")),
+          docs.where(col("doc_id") % 7 =!= 0).repartition(graft.QueryUtil.fanout(s), col("doc_id")),
           docs.where(col("doc_id") % 7 === 0),
           "text", "doc_id", n = 13)
           .orderBy(col("doc_id"))
@@ -827,7 +883,7 @@ object Pipeline {
         import graft.operators.{Bloom, Dedup}
         val docs = T(s, dir, "documents")
         val train = docs.where(col("doc_id") % 7 =!= 0)
-          .repartition(32, col("doc_id"))
+          .repartition(graft.QueryUtil.fanout(s), col("doc_id"))
         val bench = docs.where(col("doc_id") % 7 === 0)
         val exact = Dedup.decontaminate(train, bench, "text", "doc_id")
           .withColumnRenamed("doc_id", "eid")
@@ -837,7 +893,14 @@ object Pipeline {
         // executed TWICE otherwise — once for the fpRate scalar below and
         // once as the returned frame — and each execution re-runs BOTH
         // gram pipelines (exact + bloom) end to end (r15, guide §1.2:
-        // don't compute things twice)
+        // don't compute things twice).
+        // Scale trade (r15 verdict item 9): this frame grows with the
+        // train corpus, and localCheckpoint pins it in EXECUTOR-LOCAL
+        // storage with lineage truncated — an executor loss fails the
+        // query instead of recomputing. Materializing once still beats
+        // executing the gram pipelines twice at any scale; on a real
+        // cluster swap for persist(MEMORY_AND_DISK) + a count() action
+        // (keeps lineage for recovery) or a reliable checkpoint dir.
         val joined = train.select(col("doc_id"))
           .join(exact, col("doc_id") === col("eid"), "left")
           .join(bloomed, col("doc_id") === col("bid"), "left")
@@ -1162,7 +1225,7 @@ object Pipeline {
         import graft.functions.TextFunctions
         val toksC = TextFunctions.tokens(lower(col("text")))
         val base = T(s, dir, "documents").where(col("doc_id") % 7 =!= 0)
-          .repartition(32, col("doc_id"))
+          .repartition(graft.QueryUtil.fanout(s), col("doc_id"))
           .select(col("doc_id"), col("text"), toksC.as("_tk"))
         val quality = base.select(col("doc_id"), col("text"), col("_tk"),
             size(col("_tk")).cast("long").as("n_words"),
@@ -1404,6 +1467,11 @@ object Pipeline {
         // inside the loop they re-ran per iteration — one distinct + one
         // agg + one extra join per round, ~40% of the 5-round wall. The
         // integer rank math is unchanged, so the gate hash is unchanged.
+        // Scale trade (r15 verdict item 9): the edge list grows with the
+        // corpus and localCheckpoint is executor-local, non-recoverable
+        // storage — right for bounded gate fixtures; on a real cluster
+        // use persist(MEMORY_AND_DISK)+count (keeps lineage) or a
+        // reliable checkpoint for corpus-sized loop invariants.
         val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("w"))
           .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("w")))
           .distinct().localCheckpoint(true)
