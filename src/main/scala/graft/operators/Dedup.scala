@@ -233,41 +233,88 @@ object Dedup {
         col("cluster").as("_ca"))
     val cand = candidateClusterPairs(ivf, tau, exact)
     import spark.implicits._
-    // SALT the cluster-id equi-join: its key has only k distinct values, so
-    // un-salted the comparison work lands on ≤k tasks no matter the cluster
-    // fan-out (a fat cluster = one straggler). Replicating the a-side into
-    // `saltFactor` sub-keys while each b row takes ONE deterministic salt
-    // spreads every cluster pair over saltFactor tasks; each unordered row
-    // pair still meets exactly once. Shuffle volume grows ×saltFactor on
-    // the a-side only — the candidate list stays a driver-side broadcast.
-    val candDf = cand.flatMap { case (i, j) =>
-      (0 until saltFactor).map(s => (i, j, s))
-    }.toDF("_ci", "_cj", "_s")
-    val b = assigned.select(col("_ida").as("_idb"), col("_ua").as("_ub"),
-      col("_ca").as("_cb"),
-      pmod(hash(col("_ida")), lit(saltFactor)).as("_sb"))
-    // one orientation per cluster pair (ci <= cj): an unordered row pair
-    // across clusters i<j meets exactly once (a-side from i, b-side from
-    // j) with NO reverse-orientation combo ever evaluated — half the
-    // cosine work of the both-orientations form; within a cluster the id
-    // inequality dedups. Output order is normalized afterwards, since the
-    // smaller id may sit on either side of a cross-cluster pair.
-    // the cosine threshold rides INSIDE the join condition (conservative by
-    // 1e-6 against the output rounding): candidate row pairs die inside the
-    // join instead of materializing ~|i|×|j| wide rows for a downstream
-    // filter. The condition kernel is the copy-free DOT over pre-normalized
-    // vectors (a condition runs |i|×|j| times per key group — the fused
-    // cosine expr's toDoubleArray() copies are pure GC churn there), and
-    // join rows carry ONLY the unit vector, halving the shuffle/sort bytes.
-    // Survivors re-fetch their raw vectors to pay the oracle-exact cosine
-    // formula — so exactness never rests on normalize-then-dot rounding.
-    val survivors = assigned.join(broadcast(candDf), col("_ca") === col("_ci"))
-      .join(b, col("_cb") === col("_cj") && col("_sb") === col("_s") &&
-        (col("_ci") < col("_cj") || col("_ida") < col("_idb")) &&
-        graft.plans.NativeVector.dot(spark, col("_ua"), col("_ub")) >=
-          tau - 1e-6)
-      .select(least(col("_ida"), col("_idb")).as("vec_a"),
-        greatest(col("_ida"), col("_idb")).as("vec_b"))
+    // The pairwise comparison runs as a grouped primitive-array kernel, not
+    // a join (r16, guide §4): the former salted SMJ evaluated its (codegen)
+    // dot condition once per buffered ROW PAIR, paying row-decode + join
+    // machinery ~|i|×|j| times per cluster pair — measured 3.4 s for ~2M
+    // 64-dim pairs at sf0.1 where a tight double[] loop does the identical
+    // flops in a fraction of that (the documented imperative-kernel
+    // exception, same rationale as KMeans.fitRdd). Discipline unchanged:
+    //  * one orientation per cluster pair (i ≤ j): a-side rows come from i,
+    //    b-side rows from j, so an unordered row pair meets exactly once
+    //    (within a cluster the id inequality dedups);
+    //  * SALT: each b row takes ONE deterministic salt, a-side rows
+    //    replicate to every salt — a fat cluster pair spreads over
+    //    `saltFactor` tasks instead of one straggler, and shuffle volume
+    //    grows ×saltFactor on the a-side only;
+    //  * the threshold stays conservative by 1e-6 against the output
+    //    rounding, and survivors re-fetch their RAW vectors to pay the
+    //    oracle-exact cosine formula — exactness never rests on
+    //    normalize-then-dot rounding (a reordered kernel sum moves the dot
+    //    by ulps, orders of magnitude inside the cushion).
+    val idType = df.schema(idCol).dataType
+    val thr = tau - 1e-6
+    val candByCluster: Map[Int, Seq[Int]] =
+      cand.groupBy(_._1).map { case (i, ps) => i -> ps.map(_._2) }
+    val pairIdx: Map[(Int, Int), Int] = cand.zipWithIndex.toMap
+    val pairInv: Map[Int, (Int, Int)] = pairIdx.map(_.swap)
+    val sf = saltFactor
+    val bcCand = spark.sparkContext.broadcast((candByCluster, pairIdx))
+    val bcInv = spark.sparkContext.broadcast(pairInv)
+    val emitted = assigned
+      .where(col("_ida").isNotNull && col("_ua").isNotNull &&
+        col("_ca").isNotNull)
+      .select(col("_ida").cast("long").as("_id"), col("_ua"), col("_ca"))
+      .as[(Long, Seq[Double], Int)]
+      .flatMap { case (id, v, c) =>
+        val (byC, pIdx) = bcCand.value
+        val vec = v.toArray
+        val salt = ((id % sf) + sf).toInt % sf
+        val bSide = pIdx.iterator.collect {
+          case ((_, j), p) if j == c => (p, salt, false, id, vec)
+        }.toSeq
+        val aSide = byC.getOrElse(c, Seq.empty).flatMap { j =>
+          val p = pIdx((c, j))
+          (0 until sf).map(sl => (p, sl, true, id, vec))
+        }
+        bSide ++ aSide
+      }
+    val survivors = emitted.groupByKey(r => (r._1, r._2)).flatMapGroups {
+      (pk: (Int, Int),
+       it: Iterator[(Int, Int, Boolean, Long, Array[Double])]) =>
+        val (ci, cj) = bcInv.value(pk._1)
+        val within = ci == cj
+        val aIds = scala.collection.mutable.ArrayBuffer[Long]()
+        val aVs = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+        val bIds = scala.collection.mutable.ArrayBuffer[Long]()
+        val bVs = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+        it.foreach { case (_, _, isA, id, vec) =>
+          if (isA) { aIds += id; aVs += vec } else { bIds += id; bVs += vec }
+        }
+        val res = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var ai = 0
+        while (ai < aIds.length) {
+          val av = aVs(ai); val aid = aIds(ai)
+          var bi = 0
+          while (bi < bIds.length) {
+            val bid = bIds(bi)
+            if (!within || aid < bid) {
+              val bv = bVs(bi)
+              var d = 0.0
+              var x = 0
+              val n = math.min(av.length, bv.length)
+              while (x < n) { d += av(x) * bv(x); x += 1 }
+              if (d >= thr)
+                res += ((math.min(aid, bid), math.max(aid, bid)))
+            }
+            bi += 1
+          }
+          ai += 1
+        }
+        res.iterator
+    }.toDF("vec_a", "vec_b")
+      // long was the kernel's working type; give callers back the id type
+      .select(col("vec_a").cast(idType), col("vec_b").cast(idType))
     val raw = df.select(col(idCol).as("_rid"),
       col(vecCol).cast("array<double>").as("_rv"))
     survivors

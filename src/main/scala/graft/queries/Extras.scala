@@ -4996,9 +4996,15 @@ object Extras {
           .select(col("doc_id"), col("simhash"), col("dup_of"))
         val control = s.table(qname)
           .select(col("doc_id"), col("simhash"), col("dup_of"))
-        val equal = restarted.count() == 60 &&
-          restarted.exceptAll(control).isEmpty &&
-          control.exceptAll(restarted).isEmpty
+        // multiset equality on the driver: these sinks are gate-sized
+        // (60 rows), and the old count + two exceptAll actions were three
+        // shuffle jobs where two tiny collects do (guide §2.4; exceptAll
+        // IS multiset difference, so grouped-count equality is identical)
+        def multiset(rows: Array[org.apache.spark.sql.Row]) =
+          rows.groupBy(identity).view.mapValues(_.length).toMap
+        val restRows = restarted.collect()
+        val equal = restRows.length == 60 &&
+          multiset(restRows) == multiset(control.collect())
         restarted
           .select(col("doc_id"), col("simhash").as("sig"),
             (col("dup_of") =!= -1L).as("is_dup"), col("dup_of"))
@@ -5419,9 +5425,13 @@ object Extras {
           .select(col("doc_id"), col("simhash"), col("dup_of"))
         val control = s.table(qname)
           .select(col("doc_id"), col("simhash"), col("dup_of"))
-        val equal = restarted.count() == 50 &&
-          restarted.exceptAll(control).isEmpty &&
-          control.exceptAll(restarted).isEmpty
+        // multiset equality on the driver (see q199): two tiny collects
+        // replace count + two exceptAll shuffle jobs on a 50-row sink
+        def multiset(rows: Array[org.apache.spark.sql.Row]) =
+          rows.groupBy(identity).view.mapValues(_.length).toMap
+        val restRows = restarted.collect()
+        val equal = restRows.length == 50 &&
+          multiset(restRows) == multiset(control.collect())
         restarted
           .select(col("doc_id"), col("simhash").as("sig"),
             (col("dup_of") =!= -1L).as("is_dup"), col("dup_of"))

@@ -257,22 +257,32 @@ object Relational {
         //
         // Scale shape: l_returnflag has 3 distinct values, so a direct
         // per-flag window sorts the whole table in ≤3 tasks regardless of
-        // cluster size. Two-phase instead: (1) keep the top 501 rows per
-        // (flag, salt) — 64× the parallelism, salt derived from the order
-        // key so tied rows stay together; top-501-of-union ⊇ global
-        // top-501, and rank 501 is exactly what lead() at rank 500 needs —
-        // then (2) run the real window on the ≤ 64·501 survivors per flag.
+        // cluster size, and the former salted two-phase top-501 still
+        // shuffled and sorted EVERY row (r16, guide §2.3: shuffle fewer
+        // bytes). The window order leads with l_orderkey, so a bound B with
+        // ≥501 rows per flag at l_orderkey ≤ B provably contains every
+        // rank-≤501 row (any row beyond B is outranked by those 501; rank
+        // 501 is what lead() at rank 500 reads). Find B with a cheap
+        // 2-column count probe (map-side agg, no shuffle of data rows),
+        // escalating ×8 on the rare undershoot — then the real window runs
+        // on the few-hundred-row remnant and the l_orderkey ≤ B predicate
+        // pushes down to parquet row-group pruning at any corpus size.
         val orderCols = Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"), col("l_tax"), col("l_shipdate"))
-        val salt = pmod(crc32(concat_ws("_", orderCols: _*)), lit(64))
-        val wPre = Window.partitionBy(col("l_returnflag"), salt).orderBy(orderCols: _*)
         val w = Window
           .partitionBy(col("l_returnflag"))
           .orderBy(orderCols: _*)
+        var bound = 2048L
+        var boundSafe = false
+        while (!boundSafe) {
+          val c = T(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+            count(when(col("l_orderkey") <= bound, 1)).as("inB"),
+            count(lit(1)).as("tot")).collect()
+          boundSafe = c.forall(r => r.getLong(1) >= math.min(501L, r.getLong(2)))
+          if (!boundSafe) bound *= 8
+        }
         T(s, dir, "lineitem")
-          .withColumn("_prk", row_number().over(wPre))
-          .filter(col("_prk") <= 501)
-          .drop("_prk")
+          .filter(col("l_orderkey") <= bound)
           .select(
             col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
             row_number().over(w).cast("long").as("rn"),

@@ -169,24 +169,23 @@ class DedupSpec extends AnyFunSuite {
     assert(exactPairs == wantBlobPairs)
   }
 
-  test("semantic pair join broadcasts candidates — no cartesian product") {
+  test("semantic pair comparison is keyed on (pair, salt) — no cartesian") {
     val rnd = new scala.util.Random(11)
     val df = (0 until 60).map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian())))
       .toDF("vec_id", "embedding")
     val q = Dedup.semanticNearDupPairs(df, "embedding", "vec_id",
       tau = 0.5, k = 4)
     val plan = q.queryExecution.executedPlan.toString
-    // candidate cluster pairs ride a broadcast join; the row-pair meeting
-    // point is an equi-join on cluster id (hash or sort-merge after AQE),
-    // never a cartesian/nested-loop over rows
-    assert(plan.contains("BroadcastHashJoin") ||
-      plan.contains("BroadcastNestedLoopJoin"))
+    // the row-pair meeting point is the grouped primitive kernel: one
+    // hash exchange on the (candidate pair, salt) key feeding MapGroups —
+    // never a cartesian/nested-loop over rows (the candidate pair map is a
+    // driver-held broadcast variable, not a join input)
+    assert(plan.contains("MapGroups"), plan.take(2000))
     assert(!plan.contains("CartesianProduct"))
-    // the row-row join condition is cluster-equi: both sides exchange (or
-    // broadcast) on the cluster key, not an unkeyed all-pairs
-    val rowJoin = plan.linesIterator.filter(l =>
-      l.contains("Join") && l.contains("_cb")).toSeq
-    assert(rowJoin.nonEmpty && rowJoin.forall(_.contains("=")), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // the survivor re-fetch joins stay id-equi (broadcast/hash), keyed
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
   }
 
   test("wordNgrams guards short token arrays") {
