@@ -346,18 +346,31 @@ object Relational {
       "q17_sample_stratified",
       (s, dir) => {
         // n-per-stratum repeatable sample: rank by md5 key within stratum.
-        // Two-phase (see q13): pre-reduce per (stratum, salt) so no task
-        // ever sorts a whole stratum; top-10-of-union == global top-10.
+        // The md5 key is UNIFORM, so the 10 lowest keys per flag sit far
+        // below any small hex cutoff — filter to key < C first (verified:
+        // a cheap count probe proves every flag has ≥10 rows under C, or
+        // fewer than 10 rows in total; escalate C ×16 on the rare
+        // undershoot), then rank the few-hundred-row remnant (r16, guide
+        // §2.3 — the former salted two-phase rank still shuffled and
+        // sorted every row). Safety: any row with final rank ≤ 10 has one
+        // of the 10 smallest keys of its flag, all of which are < C once
+        // the probe passes.
         val key = md5Key("7", col("l_orderkey"), col("l_linenumber"))
-        val salt = pmod(crc32(key), lit(64))
-        val wPre = Window.partitionBy(col("l_returnflag"), salt).orderBy(key)
         val w = Window
           .partitionBy(col("l_returnflag"))
           .orderBy(key)
+        val cutoffs = Seq("008", "08", "8", "g") // ×16 steps; "g" > any hex
+        var ci = 0
+        var cutoffSafe = false
+        while (!cutoffSafe) {
+          val c = T(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+            count(when(key < cutoffs(ci), 1)).as("inC"),
+            count(lit(1)).as("tot")).collect()
+          cutoffSafe = c.forall(r => r.getLong(1) >= math.min(10L, r.getLong(2)))
+          if (!cutoffSafe) ci += 1
+        }
         T(s, dir, "lineitem")
-          .withColumn("_prk", row_number().over(wPre))
-          .filter(col("_prk") <= 10)
-          .drop("_prk")
+          .filter(key < cutoffs(ci))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 10)
           .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))

@@ -126,9 +126,14 @@ object ScaleCheck {
     // never silently serve an sf0.1 probe (r13 found exactly that —
     // r12's q109 "100x" figure was measured against a 6M-row leftover)
     val bigDir = s"/tmp/graft_scale_${new java.io.File(base).getName}_${mult}x"
+    // honors SPARK_GRAFT_CPUS like graft.Bench so the same replicated
+    // corpus can be probed at different core counts (r16 core-scaling
+    // evidence: VERDICT item 6 — sf0.1 fixtures sit on the scheduling
+    // floor, so c8/c32 ratios are only meaningful at 10x+)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
